@@ -153,9 +153,79 @@ object AdsbQueries {
       .orderBy("hex_ident", "num")
   }
 
+  /** S2-S6/§2.9.6: the full parse pipeline over the reference's 14-line
+    * sample corpus (README.md:82-94). Of 14 lines exactly 6 survive the
+    * arity / strict-cast / NOT-NULL gates; the oracle is the hand-derived
+    * VALUES table from FIXTURES.md §A. parsed_time parameterized for
+    * determinism (the stream stamps current_timestamp per micro-batch).
+    */
+  def qParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ts = lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+      .cast("timestamp_ntz")
+    val parsed = graft.sources.Sbs1.parse(
+      graft.sources.Sbs1.sampleLines.toDF("value"), parsedTime = ts)
+    dateAsIso(dateAsIso(parsed, "generated_date"), "logged_date")
+      .orderBy("transmission_type")
+  }
+
+  private val qParseOracle: String = {
+    // 23-column expected rows for the 6 surviving MSG lines
+    def r(t: Int, sid: String, aid: String, hex: String, fid: String,
+          gd: String, gt: String, ld: String, lt: String, cs: String,
+          alt: String, lat: String, lon: String, sq: String, al: String,
+          em: String, spi: String, gnd: String) =
+      s"('MSG', $t, '$sid', '$aid', '$hex', '$fid', '$gd', '$gt', '$ld', " +
+        s"'$lt', $cs, $alt, NULL, NULL, $lat, $lon, NULL, $sq, $al, $em, " +
+        s"$spi, $gnd)"
+    val rows = Seq(
+      r(1, "145", "256", "7404F2", "11267", "2008-11-28", "23:48:18.611",
+        "2008-11-28", "23:53:19.161", "'RJA1118'", "NULL", "NULL", "NULL",
+        "NULL", "NULL", "NULL", "NULL", "NULL"),
+      r(3, "496", "211", "4CA2D6", "10057", "2008-11-28", "14:53:50.594",
+        "2008-11-28", "14:58:51.153", "NULL", "37000", "51.45735",
+        "-1.02826", "NULL", "0", "0", "0", "0"),
+      r(5, "496", "329", "394A65", "27868", "2010-02-19", "17:58:12.644",
+        "2010-02-19", "17:58:13.368", "NULL", "10000", "NULL", "NULL",
+        "NULL", "0", "NULL", "0", "0"),
+      r(6, "496", "237", "4CA215", "27864", "2010-02-19", "17:58:12.846",
+        "2010-02-19", "17:58:13.368", "NULL", "33325", "NULL", "NULL",
+        "'0271'", "0", "0", "0", "0"),
+      r(7, "496", "742", "51106E", "27929", "2011-03-06", "07:57:36.523",
+        "2011-03-06", "07:57:37.054", "NULL", "3775", "NULL", "NULL",
+        "NULL", "NULL", "NULL", "NULL", "0"),
+      r(8, "496", "194", "405F4E", "27884", "2010-02-19", "17:58:13.244",
+        "2010-02-19", "17:58:13.368", "NULL", "NULL", "NULL", "NULL",
+        "NULL", "NULL", "NULL", "NULL", "0"))
+    s"""SELECT message_type, CAST(transmission_type AS INTEGER) AS transmission_type,
+       |  session_id, aircraft_id, hex_ident, flight_id,
+       |  generated_date, generated_time, logged_date, logged_time,
+       |  CAST(callsign AS VARCHAR) AS callsign,
+       |  CAST(altitude AS INTEGER) AS altitude,
+       |  CAST(ground_speed AS INTEGER) AS ground_speed,
+       |  CAST(track AS INTEGER) AS track,
+       |  CAST(lat AS REAL) AS lat, CAST(lon AS REAL) AS lon,
+       |  CAST(vertical_rate AS REAL) AS vertical_rate,
+       |  CAST(squawk AS VARCHAR) AS squawk,
+       |  CAST(alert AS INTEGER) AS alert,
+       |  CAST(emergency AS INTEGER) AS emergency,
+       |  CAST(spi AS INTEGER) AS spi,
+       |  CAST(is_on_ground AS INTEGER) AS is_on_ground,
+       |  TIMESTAMP '2020-01-01 00:00:00' AS parsed_time
+       |FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) v(message_type, transmission_type, session_id, aircraft_id,
+       |    hex_ident, flight_id, generated_date, generated_time,
+       |    logged_date, logged_time, callsign, altitude, ground_speed,
+       |    track, lat, lon, vertical_rate, squawk, alert, emergency, spi,
+       |    is_on_ground)
+       |ORDER BY transmission_type""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q_parse" -> qParseOracle,
     "q_callsigns" ->
       s"""$adsbCte $callsignsCte
          |SELECT * FROM callsigns_iso ORDER BY callsign, hex_ident, date_seen""".stripMargin,
@@ -203,6 +273,7 @@ object AdsbQueries {
          |ORDER BY hex_ident, num""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parse"      -> (qParse _),
     "q_callsigns"  -> (qCallsigns _),
     "q_locations"  -> (qLocations _),
     "q_flights"    -> (qFlights _),
