@@ -21,13 +21,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     AdsbQueries.qFlights(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (ADS-B surface)
+    * and §2.10 (training-data pipeline extensions).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AdsbQueries.queries
+    AdsbQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    AdsbQueries.oracles
+    AdsbQueries.oracles ++ TextQueries.oracles
 }

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Driver-contract queries + DuckDB oracle SQL for the text-analysis and
+  * deduplication operators ([[TextOps]]).
+  *
+  * Every oracle mirrors the Spark expression tree term-for-term (same
+  * association order, same integer/double promotion points), so floating
+  * point results are bit-identical and all scores travel as integer
+  * micro-units. The MinHash/SimHash oracle SQL is *generated* from the
+  * same seed constants the Spark side uses ([[Hashing.MinhashSeeds]]).
+  */
+object TextQueries {
+
+  val ShingleN = 5
+  val MaxShingleDf = 1000L
+  val NgramJacMin = 800000L   // Jaccard >= 0.8
+  val MinhashJacMin = 700000L // verified Jaccard >= 0.7
+  val SimhashMaxHamming = 3
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "text")
+
+  // ------------------------------------------------------------- queries
+
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(docs(spark, dir)).orderBy("doc_id")
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir)).orderBy("doc_id")
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(docs(spark, dir), ShingleN).orderBy("doc_id")
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dedupExact(docs(spark, dir)).orderBy("keeper")
+
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramJaccardPairs(docs(spark, dir), ShingleN, MaxShingleDf,
+      NgramJacMin).orderBy("d1", "d2")
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashLshPairs(docs(spark, dir), ShingleN, MinhashJacMin)
+      .orderBy("d1", "d2")
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashPairs(docs(spark, dir), SimhashMaxHamming)
+      .orderBy("d1", "d2")
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared CTEs: tokenization + distinct 5-gram shingle sets. DuckDB
+    * list slicing is inclusive (`toks[i:i+4]` = 5 elements); `range` is
+    * end-exclusive, and the `greatest` guard empties it below 5 tokens
+    * exactly like the Spark-side `when(size >= n)` guard.
+    */
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+      |)""".stripMargin
+
+  private val shCte =
+    """, shs AS (
+      |  SELECT DISTINCT doc_id,
+      |         list_aggregate(toks[i:i+4], 'string_agg', ' ') AS sh
+      |  FROM tok, unnest(range(1, greatest(len(toks) - 3, 1))) AS g(i)
+      |)""".stripMargin
+
+  private def h60(e: String): String = Hashing.md5LongSql(e)
+
+  private val stopFilter = "len(list_filter(toks, t -> t = 'the' OR t = 'a'))"
+
+  private val qualityExpr =
+    "0.5 * least(1.0, len(toks) / 200.0)" +
+      " + 0.3 * (len(list_distinct(toks)) / len(toks))" +
+      s" + 0.2 * (1.0 - ($stopFilter / len(toks)))"
+
+  private val tokenStatsOracle =
+    s"""$tokCte
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  ${Hashing.microSql("length(replace(text, ' ', '')) / len(toks)")}
+       |    AS avg_token_len_micro,
+       |  ${Hashing.microSql(s"$stopFilter / len(toks)")} AS stopword_micro,
+       |  ${Hashing.microSql("len(list_distinct(toks)) / len(toks)")}
+       |    AS distinct_micro,
+       |  ${Hashing.microSql(qualityExpr)} AS quality_micro
+       |FROM tok ORDER BY doc_id""".stripMargin
+
+  private val langIdOracle: String = {
+    def cnt(sub: String): String = {
+      val esc = sub.replace("'", "''")
+      s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${sub.length} AS BIGINT)"
+    }
+    val scoreDefs = TextOps.LangProfiles.map { case (l, evid) =>
+      val e = evid.map { case (w, s) => s"$w * ${cnt(s)}" }.mkString(" + ")
+      s"($e) AS score_$l"
+    }.mkString(",\n    ")
+    val names = TextOps.LangProfiles.map { case (l, _) => s"score_$l" }
+    val best = s"greatest(${names.mkString(", ")})"
+    val total = names.mkString(" + ") + " + 1"
+    val pred = TextOps.LangProfiles.map { case (l, _) =>
+      s"WHEN score_$l >= $best THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scoreDefs
+       |  FROM documents
+       |)
+       |SELECT doc_id, $pred AS lang_pred,
+       |  ${Hashing.microSql(s"$best / ($total)")} AS conf_micro
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val fingerprintOracle =
+    s"""$tokCte $shCte,
+       |m AS (
+       |  SELECT doc_id, min(${h60("sh")}) AS min_shingle_hash
+       |  FROM shs GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, sha256(d.text) AS sha,
+       |       COALESCE(m.min_shingle_hash, -1) AS min_shingle_hash
+       |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private val dedupExactOracle =
+    """SELECT sha256(text) AS fingerprint,
+      |       CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  private val dedupNgramOracle =
+    s"""$tokCte $shCte,
+       |keep AS (SELECT sh FROM shs GROUP BY sh HAVING count(*) <= $MaxShingleDf),
+       |shf AS (SELECT s.doc_id, s.sh FROM shs s JOIN keep USING (sh)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+       |it AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+       |    ${Hashing.microSql("inter / (s1.n + s2.n - inter)")} AS jac_micro
+       |  FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |          JOIN sz s2 ON it.d2 = s2.doc_id
+       |) WHERE jac_micro >= $NgramJacMin ORDER BY d1, d2""".stripMargin
+
+  private val dedupMinhashOracle: String = {
+    val p = Hashing.MinhashP
+    val mins = Hashing.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $p) AS m$j"
+    }.mkString(",\n    ")
+    def bandExpr(b: Int): String = {
+      val ms = (0 until 4).map(j => s"m${4 * b + j}")
+      ms.reduceLeft((acc, m) => s"($acc * 31 + $m)")
+    }
+    val bandCase = (0 until 3).map(b =>
+      s"WHEN $b THEN ${bandExpr(b)}").mkString("CASE b.band ",
+      " ", s" ELSE ${bandExpr(3)} END")
+    val nMatch = Hashing.MinhashSeeds.indices.map(j =>
+      s"(CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$tokCte $shCte,
+       |hs AS (SELECT doc_id, ${h60("sh")} % $p AS h FROM shs),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hs GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, b.band, $bandCase AS bh
+       |  FROM mh, (VALUES (0), (1), (2), (3)) b(band)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |),
+       |est AS (
+       |  SELECT c.d1, c.d2, CAST($nMatch AS BIGINT) AS n_match
+       |  FROM cand c JOIN mh x ON c.d1 = x.doc_id
+       |              JOIN mh y ON c.d2 = y.doc_id
+       |),
+       |it AS (
+       |  SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c JOIN shs a ON a.doc_id = c.d1
+       |              JOIN shs b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2
+       |),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT e.d1, e.d2, e.n_match, COALESCE(it.inter, 0) AS inter,
+       |    ${Hashing.microSql(
+      "COALESCE(it.inter, 0) / (s1.n + s2.n - COALESCE(it.inter, 0))")}
+       |      AS jac_micro
+       |  FROM est e LEFT JOIN it ON e.d1 = it.d1 AND e.d2 = it.d2
+       |  JOIN sz s1 ON e.d1 = s1.doc_id
+       |  JOIN sz s2 ON e.d2 = s2.doc_id
+       |) WHERE jac_micro >= $MinhashJacMin ORDER BY d1, d2""".stripMargin
+  }
+
+  private val dedupSimhashOracle: String = {
+    val bitSums = (0 until Hashing.SimhashBits).map(b =>
+      s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
+      .mkString(",\n    ")
+    val simExpr = (0 until Hashing.SimhashBits).map(b =>
+      s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString(" + ")
+    s"""WITH tok2 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |),
+       |th AS (SELECT doc_id, ${h60("t")} % ${Hashing.SimhashMod} AS h FROM tok2),
+       |bs AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id
+       |),
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM bs),
+       |bands AS (
+       |  SELECT doc_id, simhash, k.k, (simhash >> (8 * k.k)) & 255 AS band
+       |  FROM sim, (VALUES (0), (1), (2), (3)) k(k)
+       |),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         a.simhash AS sh1, b.simhash AS sh2
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, sh1, sh2,
+       |       CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+       |FROM pr WHERE bit_count(xor(sh1, sh2)) <= $SimhashMaxHamming
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats"   -> (qTokenStats _),
+    "q_lang_id"       -> (qLangId _),
+    "q_fingerprint"   -> (qFingerprint _),
+    "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_ngram"   -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q_token_stats"   -> tokenStatsOracle,
+    "q_lang_id"       -> langIdOracle,
+    "q_fingerprint"   -> fingerprintOracle,
+    "q_dedup_exact"   -> dedupExactOracle,
+    "q_dedup_ngram"   -> dedupNgramOracle,
+    "q_dedup_minhash" -> dedupMinhashOracle,
+    "q_dedup_simhash" -> dedupSimhashOracle)
+}
