@@ -25,11 +25,11 @@ object SparkEntry {
     * and §2.10 (training-data pipeline extensions).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AdsbQueries.queries ++ TextQueries.queries
+    AdsbQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    AdsbQueries.oracles ++ TextQueries.oracles
+    AdsbQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

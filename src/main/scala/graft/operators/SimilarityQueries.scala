@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** Driver-contract queries + DuckDB oracle SQL for [[SimilarityOps]].
+  *
+  * The oracle computes each cosine as `sum(a_i*b_i) / (sqrt(sum(a_i²)) *
+  * sqrt(sum(b_i²)))` over position-joined unnested elements, all in
+  * double — the same expression tree as the Spark `zip_with`/`aggregate`
+  * fold up to summation order, which the micro-unit floor absorbs.
+  * (DuckDB's own `list_cosine_similarity` accumulates in float32 and is
+  * NOT used — it diverges from double math at ~1e-8, too close to the
+  * 1e-6 quantization step.)
+  */
+object SimilarityQueries {
+
+  val EmbedCosMin = 300000L // cosine >= 0.3
+  val TopK = 10
+  val QueryVecId = 0L
+  val NCentroids = 10
+  val NProbe = 3
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  def qEmbedPairs(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embedNearDupPairs(emb(spark, dir), EmbedCosMin)
+      .orderBy("d1", "d2")
+
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.annTopK(emb(spark, dir), QueryVecId, TopK)
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.annIvf(emb(spark, dir), QueryVecId, NCentroids, NProbe,
+      TopK)
+
+  // ------------------------------------------------------------- oracles
+
+  /** Unnested elements + per-vector L2 norms. */
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1)""".stripMargin
+
+  private val embedPairsOracle =
+    s"""$evCte,
+       |lbl AS (SELECT DISTINCT vec_id, label FROM ev),
+       |dots AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2, sum(a.v * b.v) AS dot
+       |  FROM ev a JOIN ev b
+       |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT d.d1, d.d2, l.label,
+       |    ${Hashing.microSql("d.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM dots d
+       |  JOIN nrm n1 ON d.d1 = n1.vec_id
+       |  JOIN nrm n2 ON d.d2 = n2.vec_id
+       |  JOIN lbl l ON d.d1 = l.vec_id
+       |) WHERE cos_micro >= $EmbedCosMin ORDER BY d1, d2""".stripMargin
+
+  private val annTopKOracle =
+    s"""$evCte,
+       |dots AS (
+       |  SELECT e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  WHERE e.vec_id <> $QueryVecId GROUP BY 1
+       |)
+       |SELECT d.vec_id,
+       |  ${Hashing.microSql(
+      s"d.dot / (n.nrm * (SELECT nrm FROM nrm WHERE vec_id = $QueryVecId))")}
+       |    AS cos_micro
+       |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+       |ORDER BY cos_micro DESC, d.vec_id LIMIT $TopK""".stripMargin
+
+  private val annIvfOracle =
+    s"""$evCte,
+       |cdots AS (
+       |  SELECT e.vec_id, c.vec_id AS cid, sum(e.v * c.v) AS dot
+       |  FROM ev e JOIN ev c ON e.i = c.i AND c.vec_id < $NCentroids
+       |  GROUP BY 1, 2
+       |),
+       |cm AS (
+       |  SELECT d.vec_id, d.cid,
+       |    ${Hashing.microSql("d.dot / (na.nrm * nc.nrm)")} AS cm
+       |  FROM cdots d JOIN nrm na ON d.vec_id = na.vec_id
+       |               JOIN nrm nc ON d.cid = nc.vec_id
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cm DESC, cid) AS rn
+       |    FROM cm
+       |  ) WHERE rn = 1
+       |),
+       |probe AS (
+       |  SELECT cid FROM cm WHERE vec_id = $QueryVecId
+       |  ORDER BY cm DESC, cid LIMIT $NProbe
+       |),
+       |qdots AS (
+       |  SELECT e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  WHERE e.vec_id <> $QueryVecId GROUP BY 1
+       |),
+       |qcm AS (
+       |  SELECT d.vec_id,
+       |    ${Hashing.microSql(
+      s"d.dot / (n.nrm * (SELECT nrm FROM nrm WHERE vec_id = $QueryVecId))")}
+       |      AS cos_micro
+       |  FROM qdots d JOIN nrm n ON d.vec_id = n.vec_id
+       |)
+       |SELECT q.vec_id, a.cluster, q.cos_micro
+       |FROM qcm q
+       |JOIN assign a ON q.vec_id = a.vec_id
+       |JOIN probe p ON a.cluster = p.cid
+       |ORDER BY q.cos_micro DESC, q.vec_id LIMIT $TopK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pairs" -> (qEmbedPairs _),
+    "q_ann_topk"    -> (qAnnTopK _),
+    "q_ann_ivf"     -> (qAnnIvf _))
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_pairs" -> embedPairsOracle,
+    "q_ann_topk"    -> annTopKOracle,
+    "q_ann_ivf"     -> annIvfOracle)
+}
