@@ -25,11 +25,13 @@ object SparkEntry {
     * and §2.10 (training-data pipeline extensions).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AdsbQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
+    AdsbQueries.queries ++ TextQueries.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    AdsbQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
+    AdsbQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.sources.Tables
+
+/** Driver-contract queries + oracles for [[MultimodalOps]].
+  *
+  * `q_media_meta` / `q_media_frames` are fully oracle-checked (payload
+  * bytes are the UTF-8 text, so DuckDB can mirror every byte-level value
+  * through string functions). `q_media_features` intentionally ships
+  * WITHOUT an oracle: its body is the imperative `mapPartitions` decode
+  * path that SQL cannot express — the driver records the weaker
+  * rows-only check, which is exactly the documented contract for
+  * non-SQL-expressible operators.
+  */
+object MultimodalQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  def qMediaMeta(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaMeta(docs(spark, dir)).orderBy("doc_id")
+
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaFrames(docs(spark, dir))
+      .orderBy("doc_id", "frame_idx")
+
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaFeatures(docs(spark, dir)).orderBy("doc_id")
+
+  private val fmtCase =
+    """CASE source WHEN 'src0' THEN 'png' WHEN 'src1' THEN 'jpeg'
+      |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
+      |            ELSE 'bin' END""".stripMargin
+
+  private val nFramesSql =
+    "CASE WHEN length(text) >= 16 THEN (length(text) - 16) // 32 + 1 ELSE 0 END"
+
+  private val mediaMetaOracle =
+    s"""SELECT doc_id,
+       |  $fmtCase AS format,
+       |  CAST(16 + (doc_id & 63) * 4 AS BIGINT) AS width,
+       |  CAST(16 + ((doc_id >> 3) & 63) * 4 AS BIGINT) AS height,
+       |  CAST(greatest(1, (16 + (doc_id & 63) * 4) >> 1) AS BIGINT)
+       |    AS resized_width,
+       |  CAST(greatest(1, (16 + ((doc_id >> 3) & 63) * 4) >> 1) AS BIGINT)
+       |    AS resized_height,
+       |  CAST(length(text) AS BIGINT) AS byte_len,
+       |  sha256(text) AS sha,
+       |  CAST($nFramesSql AS BIGINT) AS n_frames
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val mediaFramesOracle =
+    s"""SELECT doc_id, CAST(g.i AS BIGINT) AS frame_idx,
+       |  sha256(substr(text, CAST(g.i * 32 + 1 AS BIGINT), 16)) AS frame_sha
+       |FROM documents, unnest(range(0, $nFramesSql)) AS g(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_meta"     -> (qMediaMeta _),
+    "q_media_frames"   -> (qMediaFrames _),
+    "q_media_features" -> (qMediaFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "q_media_meta"   -> mediaMetaOracle,
+    "q_media_frames" -> mediaFramesOracle)
+}
