@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.Sbs1
+
+/** Structured Streaming ingest: the reference's entire Python hot loop
+  * (dump1090-postgres.py:160-244) re-expressed as a declarative stream.
+  *
+  *   socket source → SBS-1 parse projection → watermarked dedup →
+  *   date-partitioned Parquet sink
+  *
+  * Mapping to the reference, piece by piece (SURVEY.md §2.1/§2.7):
+  *  - S1/S2: `format("socket")` delivers newline-delimited UTF-8 lines —
+  *    including correct handling of records torn across recv() buffers,
+  *    which the reference drops (§2.9.2).
+  *  - S4/T1: `current_timestamp()` inside the parse projection stamps
+  *    each micro-batch once — same granularity semantics as the
+  *    reference's one `datetime.now()` per recv batch.
+  *  - T5: the PK `(transmission_type, parsed_time, hex_ident)` becomes
+  *    `dropDuplicates` on those columns; the watermark bounds the dedup
+  *    state store (the reference instead crashes on PK violation, §2.9.3).
+  *  - S7: the sink is append-only columnar Parquet partitioned by ingest
+  *    date — the BRIN-index time-pruning intent (create_schema.sql:141)
+  *    becomes partition pruning + row-group min/max skipping. A JDBC
+  *    parity sink is one `foreachBatch(_.write.jdbc(...))` away and
+  *    deliberately not defaulted (no PG in this environment).
+  *  - T6: the reference's dial-retry policy (10 attempts × 5 s,
+  *    Dockerfile:17-18) lives in [[runSupervised]] — the socket source
+  *    fails the query on disconnect; the supervisor restarts it. The
+  *    checkpoint + idempotent parquet sink make restarts exactly-once.
+  *
+  * Scale: ingest is embarrassingly parallel until the dedup (a shuffle
+  * on the PK columns, state partitioned the same way); the sink writes
+  * one file per partition per batch. At 100 TB/day you would bump
+  * shuffle partitions + compact small files periodically — both config,
+  * not code changes.
+  */
+object Ingest {
+
+  /** Env-var defaults mirror the reference's Dockerfile:7-18 contract. */
+  case class Config(
+      host: String = sys.env.getOrElse("DUMP1090_HOST", "localhost"),
+      port: Int = sys.env.getOrElse("DUMP1090_PORT", "30003").toInt,
+      sinkDir: String,
+      checkpointDir: String,
+      connectAttemptLimit: Int =
+        sys.env.getOrElse("CONNECT_ATTEMPT_LIMIT", "10").toInt,
+      connectAttemptDelayMs: Long =
+        (sys.env.getOrElse("CONNECT_ATTEMPT_DELAY", "5.0").toDouble * 1000).toLong,
+      dedupWatermark: String = "10 minutes")
+
+  /** The unbounded parsed stream (23-column ADS-B frame). */
+  def stream(spark: SparkSession, host: String, port: Int): DataFrame =
+    Sbs1.parse(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load())
+
+  /** PK-intent dedup with bounded state. `parsed_time` is processing
+    * time (monotone per micro-batch), so the watermark only ever evicts
+    * state that can no longer collide.
+    */
+  def deduped(parsed: DataFrame, watermark: String): DataFrame =
+    parsed.withWatermark("parsed_time", watermark)
+      .dropDuplicates("transmission_type", "parsed_time", "hex_ident")
+
+  /** Start the ingest query (non-blocking). */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery =
+    deduped(stream(spark, cfg.host, cfg.port), cfg.dedupWatermark)
+      .withColumn("ingest_date", to_date(col("parsed_time")))
+      .writeStream.format("parquet")
+      .option("path", cfg.sinkDir)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .partitionBy("ingest_date")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
+  /** Reference retry policy (dump1090-postgres.py:181-198, :220-237):
+    * re-dial up to `connectAttemptLimit` times with a fixed delay; a
+    * successful (re)connection resets the budget. Returns when the
+    * attempt budget is exhausted — the reference `sys.exit()`s there.
+    */
+  def runSupervised(spark: SparkSession, cfg: Config): Unit = {
+    var attempts = 0
+    while (attempts < cfg.connectAttemptLimit) {
+      try {
+        val q = start(spark, cfg)
+        attempts = 0
+        q.awaitTermination() // throws on socket disconnect/source error
+      } catch {
+        case _: Exception =>
+          attempts += 1
+          Thread.sleep(cfg.connectAttemptDelayMs)
+      }
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.nio.file.Files
+
+import graft.sources.Sbs1
+import graft.streaming.Ingest
+
+/** Streaming integration test: replay the reference's 14-line sample
+  * corpus (plus one duplicate) over a local TCP server → socket source →
+  * parse → watermarked dedup → Parquet sink (SURVEY.md §5.2.5).
+  */
+class IngestSpec extends SparkSpec {
+
+  test("socket ingest: parse gates, PK dedup, date-partitioned sink") {
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    // 14 sample lines (6 survive the gates) + an exact duplicate of the
+    // MSG,3 line: same micro-batch => same parsed_time => PK dedup drops it
+    val lines = Sbs1.sampleLines :+ Sbs1.sampleLines(7)
+    @volatile var done = false
+    val serverThread = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream)
+      lines.foreach(l => out.print(l + "\n"))
+      out.flush()
+      while (!done) Thread.sleep(50) // hold the connection open
+      sock.close()
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val sink = Files.createTempDirectory("graft-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = Ingest.start(spark, Ingest.Config(
+      host = "localhost", port = port, sinkDir = sink, checkpointDir = ckpt))
+    try {
+      def sinkCount(): Long =
+        try spark.read.parquet(sink).count()
+        catch { case _: Exception => -1L }
+      val deadline = System.currentTimeMillis() + 90000
+      while (sinkCount() < 6 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+
+      val rows = spark.read.parquet(sink)
+      assert(rows.count() === 6,
+        "6 of 14 sample lines survive the gates; the duplicate must dedup")
+      assert(rows.select("transmission_type", "parsed_time", "hex_ident")
+        .distinct().count() === 6, "PK uniqueness holds in the sink")
+      assert(rows.columns.contains("ingest_date"),
+        "sink is date-partitioned for time pruning")
+      assert(rows.filter(rows("hex_ident") === "4CA2D6").count() === 1,
+        "the duplicated MSG,3 line appears exactly once")
+    } finally {
+      done = true
+      q.stop()
+      server.close()
+    }
+  }
+}

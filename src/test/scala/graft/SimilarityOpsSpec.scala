@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  private val vecs = emb(
+    (0L, Seq(1f, 0f), 0),
+    (1L, Seq(0.6f, 0.8f), 0), // cos vs v0 = 0.6
+    (2L, Seq(1f, 0f), 1),     // cos vs v0 = 1.0 (exact dup, other label)
+    (3L, Seq(0f, 1f), 0),     // cos vs v0 = 0.0
+    (4L, Seq(-1f, 0f), 1))    // cos vs v0 = -1.0
+
+  test("annTopK: exact cosines, rank order, ties broken by vec_id") {
+    val out = SimilarityOps.annTopK(vecs, 0L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Seq((2L, 1000000L), (1L, 600000L), (3L, 0L)))
+  }
+
+  test("embedNearDupPairs respects label blocking") {
+    val out = SimilarityOps.embedNearDupPairs(vecs, 500000L)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cos_micro")))
+    // v0/v2 are identical but in different labels -> never compared;
+    // label-0 pairs above 0.5: (v0,v1) cos 0.6 and (v1,v3) cos 0.8
+    // (799999: float32 inputs put the double a hair under 0.8)
+    assert(out === Seq((0L, 1L, 600000L), (1L, 3L, 799999L)))
+  }
+
+  test("annIvf assigns to nearest centroid and probes top clusters") {
+    // centroids = vec_id < 2 (v0=[1,0], v1=[.6,.8]); probe both
+    val out = SimilarityOps.annIvf(vecs, 0L, 2, 2, 5).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cluster"),
+        r.getAs[Long]("cos_micro")))
+    val byId = out.map(o => o._1 -> o).toMap
+    assert(byId(2L)._2 === 0L, "duplicate of v0 clusters to centroid 0")
+    assert(byId(2L)._3 === 1000000L)
+    assert(byId(3L)._2 === 1L, "[0,1] is closer to [.6,.8] than [1,0]")
+    // ranking: cos desc with vec_id tiebreak
+    assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L, 4L))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: 5-grams in order, empty below n tokens") {
+    val out = docs((1L, "a b c d e f"), (2L, "a b"))
+      .select($"doc_id", TextOps.shingles(TextOps.tokens($"text"), 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("a b c d e", "b c d e f"))
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("tokenStats: counts and micro ratios") {
+    val r = TextOps.tokenStats(docs((1L, "the a the b"))).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    // 3 of 4 tokens are stopwords -> floor(1e6 * 3/4)
+    assert(r.getAs[Long]("stopword_micro") === 750000L)
+    assert(r.getAs[Long]("distinct_micro") === 750000L)
+  }
+
+  test("dedupExact groups identical content") {
+    val out = TextOps.dedupExact(
+      docs((1L, "same text"), (2L, "same text"), (3L, "other")))
+      .orderBy("keeper").collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("keeper") === 1L)
+    assert(out.head.getAs[Long]("n_docs") === 2L)
+  }
+
+  /** Two 25-token docs differing in one token: shingle Jaccard
+    * = 16/26 ≈ 0.615; a third unrelated doc shares nothing.
+    */
+  private val nearDupDocs = {
+    val base = (1 to 25).map(i => s"w$i")
+    val variant = base.updated(12, "CHANGED")
+    val other = (1 to 25).map(i => s"z$i")
+    docs((1L, base.mkString(" ")), (2L, variant.mkString(" ")),
+      (3L, other.mkString(" ")))
+  }
+
+  test("ngramJaccardPairs finds the planted near-dup pair only") {
+    val out = TextOps.ngramJaccardPairs(nearDupDocs, 5, 1000L, 500000L)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("d1"), r.getAs[Long]("d2")) === (1L, 2L))
+    // |A|=|B|=21 shingles, 16 shared: floor(1e6 * 16/26)
+    assert(r.getAs[Long]("inter") === 16L)
+    assert(r.getAs[Long]("jac_micro") === 615384L)
+  }
+
+  /** LSH banding (4 bands × 4 rows) reliably catches Jaccard ≳ 0.9, so
+    * the minhash fixture is a one-token APPEND on a 40-token doc:
+    * 36 of 37 shingles shared, Jaccard = 36/37 ≈ 0.973. (The 0.615-pair
+    * fixture above is legitimately below the banding threshold — missing
+    * it is correct LSH behavior, not a bug.)
+    */
+  test("minhashLshPairs candidates agree with verified Jaccard") {
+    val base = (1 to 40).map(i => s"w$i")
+    val closeDocs = docs(
+      (1L, base.mkString(" ")),
+      (2L, (base :+ "extra").mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")))
+    val out = TextOps.minhashLshPairs(closeDocs, 5, 500000L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("d1"), r.getAs[Long]("d2")) === (1L, 2L))
+    assert(r.getAs[Long]("inter") === 36L)
+    assert(r.getAs[Long]("jac_micro") === 972972L) // floor(1e6 * 36/37)
+    assert(r.getAs[Long]("n_match") >= 10L,
+      "minhash agreement should roughly track 0.973 Jaccard")
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs do not") {
+    val sims = TextOps.simhash(nearDupDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(2L)) <
+      hamming(sims(1L), sims(3L)),
+      "one-token edit must be closer than a disjoint-vocab doc")
+  }
+
+  test("langId is deterministic and confidence-bounded") {
+    val out = TextOps.langId(
+      docs((1L, "the batch the merge a scan"), (2L, "scan schema merge")))
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("conf_micro") <= 1000000L))
+    assert(out.forall(r =>
+      TextOps.LangProfiles.map(_._1).contains(r.getAs[String]("lang_pred"))))
+  }
+
+  test("fingerprints: sha256 matches JDK digest; min shingle hash set") {
+    val text = "one two three four five six"
+    val r = TextOps.fingerprints(docs((1L, text)), 5).collect().head
+    val jdk = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("sha") === jdk)
+    assert(r.getAs[Long]("min_shingle_hash") > 0L)
+  }
+}
