@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.vector.cosineSim
+
+class VectorExpressionsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val df = Seq(
+    (0L, Seq(1f, 0f), Seq(1f, 0f)),     // identical -> 1.0
+    (1L, Seq(1f, 0f), Seq(0f, 1f)),     // orthogonal -> 0.0
+    (2L, Seq(1f, 0f), Seq(-1f, 0f)),    // opposite -> -1.0
+    (3L, Seq(3f, 4f), Seq(4f, 3f)))     // 24/25 = 0.96
+    .toDF("id", "a", "b")
+
+  test("cosine_sim: known values, exact in double") {
+    val out = df.select($"id", cosineSim($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) === 1.0)
+    assert(out(1L) === 0.0)
+    assert(out(2L) === -1.0)
+    assert(out(3L) === 0.96)
+  }
+
+  test("cosine_sim: codegen and interpreted paths agree") {
+    val withCodegen = df.select(cosineSim($"a", $"b")).collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = df.select(cosineSim($"a", $"b")).collect()
+      assert(withCodegen.map(_.getDouble(0)).toSeq ===
+        interpreted.map(_.getDouble(0)).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cosine_sim: null array yields null; length mismatch truncates") {
+    val out = Seq((Some(Seq(1f, 0f)), None: Option[Seq[Float]]))
+      .toDF("a", "b")
+      .select(cosineSim($"a", $"b")).collect().head
+    assert(out.isNullAt(0))
+    val trunc = Seq((Seq(1f, 0f, 9f), Seq(1f, 0f)))
+      .toDF("a", "b").select(cosineSim($"a", $"b")).collect().head
+    assert(trunc.getDouble(0) === 1.0)
+  }
+
+  test("cosine_sim is registered as a SQL function via GraftExtensions") {
+    df.createOrReplaceTempView("vex")
+    val out = spark.sql(
+      "SELECT id, cosine_sim(a, b) AS c FROM vex WHERE id = 3")
+      .collect().head
+    assert(out.getDouble(1) === 0.96)
+  }
+}
