@@ -26,12 +26,14 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AdsbQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     AdsbQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
+      RelationalQueries.oracles
 }

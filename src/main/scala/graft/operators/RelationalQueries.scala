@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.{micro, microSql}
+import graft.sources.Tables
+
+/** Relational capabilities beyond the reference's own corpus — the
+  * operators SURVEY.md §2.4-§2.6 notes as "absent in reference, Spark
+  * built-in": sessionization (gaps-and-islands), the full window-function
+  * suite (rank/dense_rank/ntile/percent_rank/frames), set operations,
+  * ROLLUP, and an as-of join composed from primitives (§7.3 preference
+  * (a): composition before custom operators).
+  *
+  * All run over the driver's `events` table; every query has a
+  * term-for-term DuckDB oracle. Fractional outputs travel as micro-units;
+  * window moving aggregates sum *integers* inside the frame (sliding-
+  * window double accumulation is implementation-defined — segment trees
+  * vs running sums associate differently).
+  */
+object RelationalQueries {
+
+  val SessionGapMinutes = 30
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+
+  /** DuckDB-side mirror of [[Tables.events]]'s ns→µs truncation. */
+  private val evCte =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         value
+      |  FROM events
+      |)""".stripMargin
+
+  // -------------------------------------------------------- sessionization
+
+  /** Gaps-and-islands sessionization: a session breaks after a 30-minute
+    * silence. One shuffle on user_id feeds both window passes and the
+    * final aggregation (same partitioning reused across stages).
+    */
+  def qSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull ||
+          col("ts") > col("prev") +
+            expr(s"INTERVAL $SessionGapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_num", sum(col("ns")).over(run))
+      .groupBy("user_id", "session_num")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_num")
+  }
+
+  private val sessionsOracle =
+    s"""$evCte,
+       |x AS (
+       |  SELECT user_id, event_id, ts,
+       |         lag(ts) OVER (PARTITION BY user_id
+       |                       ORDER BY ts, event_id) AS prev
+       |  FROM ev
+       |),
+       |y AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN prev IS NULL
+       |           OR ts > prev + INTERVAL $SessionGapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM x
+       |),
+       |z AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS session_num
+       |  FROM y
+       |)
+       |SELECT user_id, session_num, count(*) AS n_events,
+       |       min(ts) AS session_start, max(ts) AS session_end
+       |FROM z GROUP BY 1, 2 ORDER BY user_id, session_num""".stripMargin
+
+  // -------------------------------------------------------- window suite
+
+  /** The window functions absent from the reference corpus: rank /
+    * dense_rank (over a value with real ties), ntile, percent_rank, and
+    * a ROWS-frame moving aggregate — all per user, all in one shuffle.
+    */
+  def qWindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(floor(col("value")).desc, col("event_id"))
+    val frame = byTime.rowsBetween(-2, Window.currentRow)
+    events(spark, dir)
+      .withColumn("v_int", floor(col("value")))
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("user_id")).orderBy(col("v_int").desc)))
+      .withColumn("drnk", dense_rank().over(
+        Window.partitionBy(col("user_id")).orderBy(col("v_int").desc)))
+      .withColumn("tile", ntile(4).over(byTime))
+      .withColumn("prank_micro", micro(percent_rank().over(byValue)))
+      .withColumn("mavg_micro",
+        micro(sum(col("v_int")).over(frame) /
+          count(lit(1)).over(frame)))
+      .select("user_id", "event_id", "v_int", "rnk", "drnk", "tile",
+        "prank_micro", "mavg_micro")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowSuiteOracle =
+    s"""$evCte,
+       |x AS (
+       |  SELECT user_id, event_id, CAST(floor(value) AS BIGINT) AS v_int,
+       |         ts
+       |  FROM ev
+       |)
+       |SELECT user_id, event_id, v_int,
+       |  CAST(rank() OVER (PARTITION BY user_id ORDER BY v_int DESC)
+       |       AS INTEGER) AS rnk,
+       |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY v_int DESC)
+       |       AS INTEGER) AS drnk,
+       |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |       AS INTEGER) AS tile,
+       |  ${microSql("percent_rank() OVER (PARTITION BY user_id " +
+      "ORDER BY v_int DESC, event_id)")} AS prank_micro,
+       |  ${microSql(
+      "(sum(v_int) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / " +
+        "(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))")} AS mavg_micro
+       |FROM x ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------- set operations
+
+  /** UNION / INTERSECT / EXCEPT over per-event-type user sets, emitted
+    * as one tagged relation.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def users(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val purchasers = users("purchase")
+    val errorers = users("error")
+    val clickers = users("click")
+    purchasers.intersect(errorers)
+      .select(lit("purchase_and_error").as("tag"), col("user_id"))
+      .unionAll(purchasers.except(clickers)
+        .select(lit("purchase_not_click").as("tag"), col("user_id")))
+      .unionAll(purchasers.union(errorers).distinct()
+        .select(lit("purchase_or_error").as("tag"), col("user_id")))
+      .orderBy("tag", "user_id")
+  }
+
+  private val setOpsOracle =
+    s"""$evCte
+       |SELECT 'purchase_and_error' AS tag, user_id FROM (
+       |  SELECT user_id FROM ev WHERE event_type = 'purchase'
+       |  INTERSECT
+       |  SELECT user_id FROM ev WHERE event_type = 'error'
+       |)
+       |UNION ALL
+       |SELECT 'purchase_not_click' AS tag, user_id FROM (
+       |  SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+       |  EXCEPT
+       |  SELECT user_id FROM ev WHERE event_type = 'click'
+       |)
+       |UNION ALL
+       |SELECT 'purchase_or_error' AS tag, user_id FROM (
+       |  SELECT user_id FROM ev WHERE event_type = 'purchase'
+       |  UNION
+       |  SELECT user_id FROM ev WHERE event_type = 'error'
+       |)
+       |ORDER BY tag, user_id""".stripMargin
+
+  // -------------------------------------------------------- rollup
+
+  /** ROLLUP over (event_type, day): subtotal rows at each level, with
+    * the level derived from the null pattern (engine-agnostic, unlike
+    * grouping_id bit orders).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value"))).as("sum_v"))
+      .withColumn("level",
+        when(col("event_type").isNull && col("day").isNull, 2L)
+          .when(col("day").isNull, 1L).otherwise(0L))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("level"), col("n"), col("sum_v"))
+      .orderBy("event_type", "day", "level")
+
+  private val rollupOracle =
+    s"""$evCte,
+       |x AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM ev
+       |),
+       |r AS (
+       |  SELECT event_type, day, count(*) AS n,
+       |         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+       |         CASE WHEN event_type IS NULL AND day IS NULL THEN 2
+       |              WHEN day IS NULL THEN 1 ELSE 0 END AS level
+       |  FROM x GROUP BY ROLLUP (event_type, day)
+       |)
+       |SELECT COALESCE(event_type, 'ALL') AS event_type,
+       |       COALESCE(day, 'ALL') AS day,
+       |       CAST(level AS BIGINT) AS level, n, sum_v
+       |FROM r ORDER BY event_type, day, level""".stripMargin
+
+  // -------------------------------------------------------- as-of join
+
+  /** As-of join composed from primitives: for every error event, the
+    * latest purchase by the same user at or before it. The band join on
+    * (user_id, pts <= ts) fans out per user (bounded by purchases/user);
+    * the row_number argmax collapses it. At 100 TB: bucket both sides by
+    * user_id (co-located join) and salt hot users.
+    */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("purchase_ts").desc, col("purchase_id").desc)
+    errors
+      .join(purchases.withColumnRenamed("user_id", "p_user"),
+        col("p_user") === col("user_id") &&
+          col("purchase_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_id"), col("purchase_ts"),
+        expr("timestampdiff(MICROSECOND, purchase_ts, ts)")
+          .as("gap_micros"))
+      .orderBy("event_id")
+  }
+
+  private val asofOracle =
+    s"""$evCte,
+       |e AS (SELECT event_id, user_id, ts FROM ev
+       |      WHERE event_type = 'error'),
+       |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+       |      FROM ev WHERE event_type = 'purchase'),
+       |j AS (
+       |  SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.purchase_ts,
+       |    row_number() OVER (PARTITION BY e.event_id
+       |                       ORDER BY p.purchase_ts DESC,
+       |                                p.purchase_id DESC) AS rn
+       |  FROM e LEFT JOIN p
+       |    ON p.user_id = e.user_id AND p.purchase_ts <= e.ts
+       |)
+       |SELECT event_id, user_id, ts, purchase_id, purchase_ts,
+       |       date_diff('microsecond', purchase_ts, ts) AS gap_micros
+       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessions"     -> (qSessions _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_set_ops"      -> (qSetOps _),
+    "q_rollup"       -> (qRollup _),
+    "q_asof"         -> (qAsof _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sessions"     -> sessionsOracle,
+    "q_window_suite" -> windowSuiteOracle,
+    "q_set_ops"      -> setOpsOracle,
+    "q_rollup"       -> rollupOracle,
+    "q_asof"         -> asofOracle)
+}

@@ -38,11 +38,23 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Ensure a CPU-heavy derivation isn't bottlenecked on scan
+    * parallelism: a small hot table often arrives as a single parquet
+    * row group (one partition), which would run the whole explode/hash
+    * projection on one core. Only repartitions when the input is
+    * under-parallel — at 100 TB inputs already carry thousands of
+    * splits and this is a no-op (no shuffle added).
+    */
+  private[operators] def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct (doc_id, sh) shingle set — the base relation for the n-gram
     * and MinHash dedup paths.
     */
   def shingleSet(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
+    parallelized(docs).select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
 
   // ------------------------------------------------------------ analysis
@@ -185,30 +197,38 @@ object TextOps {
   def minhashLshPairs(docs: DataFrame, n: Int,
                       jacMicroMin: Long): DataFrame = {
     val sh = shingleSet(docs, n).cache()
-    val minh = minhashSignature(sh)
+    // carry the whole signature (array of 16 longs) through the band
+    // join: candidate pairs surface with both signatures attached, so
+    // the minhash-agreement count needs no extra joins back to the
+    // signature table (two fewer shuffles)
+    val sig = array(Hashing.MinhashSeeds.indices.map(j => col(s"m$j")): _*)
+    val withSig = minhashSignature(sh).select(col("doc_id"), sig.as("sig"))
     val nBands = 4
     val bandStructs = (0 until nBands).map { b =>
-      val ms = (0 until 4).map(j => col(s"m${4 * b + j}"))
+      val ms = (0 until 4).map(j => element_at(col("sig"), 4 * b + j + 1))
       struct(lit(b).as("band"),
         ms.reduceLeft((acc, m) => acc * lit(31L) + m).as("bh"))
     }
-    val bands = minh.select(col("doc_id"),
+    val bands = withSig.select(col("doc_id"), col("sig"),
         explode(array(bandStructs: _*)).as("s"))
-      .select(col("doc_id"), col("s.band").as("band"), col("s.bh").as("bh"))
-    val cand = bands.select(col("doc_id").as("d1"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("d2"), col("band"), col("bh")),
-        Seq("band", "bh"))
+      .select(col("doc_id"), col("sig"),
+        col("s.band").as("band"), col("s.bh").as("bh"))
+    val cand = bands.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+        col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+        col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    val x = minh.toDF(minh.columns.map(c => s"x_$c"): _*)
-    val y = minh.toDF(minh.columns.map(c => s"y_$c"): _*)
-    val nMatch = Hashing.MinhashSeeds.indices
-      .map(j => when(col(s"x_m$j") === col(s"y_m$j"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val est = cand
-      .join(x, col("d1") === col("x_doc_id"))
-      .join(y, col("d2") === col("y_doc_id"))
-      .select(col("d1"), col("d2"), nMatch.as("n_match"))
+      // signatures are functionally dependent on the pair: group+first
+      // dedups on the 16-byte key instead of hashing both signature
+      // arrays per row like distinct() would
+      .groupBy("d1", "d2")
+      .agg(first("sig1").as("sig1"), first("sig2").as("sig2"))
+    // zip_with over 16 elements on candidate rows only (~0.01% of input)
+    val nMatch = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val est = cand.select(col("d1"), col("d2"), nMatch.as("n_match"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
@@ -230,7 +250,7 @@ object TextOps {
     * shuffle of partial sums.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = parallelized(docs).select(col("doc_id"),
       explode(tokens(col("text"))).as("t"))
     val th = toks.select(col("doc_id"),
       (md5Long(col("t")) % Hashing.SimhashMod).as("h"))
