@@ -265,7 +265,81 @@ object RelationalQueries {
        |       date_diff('microsecond', purchase_ts, ts) AS gap_micros
        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------- aggregation-join shapes
+
+  /** Money as exact integer cents: `round(x*100)` of the same input
+    * double is identical in both engines, and integer sums are
+    * association-free — unlike summing 600k doubles, where Spark's
+    * per-partition partials and DuckDB's sequential scan associate
+    * differently and drift past the micro-unit floor.
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100.0).cast("long")
+
+  /** TPC-H Q1-shaped pricing summary over the largest table: map-side
+    * partial aggregation means the shuffle carries one row per
+    * (partition × flag × status), not 600k rows.
+    */
+  def qPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price_cents"))
+      .withColumn("avg_qty_micro",
+        micro(col("sum_qty_cents") / col("n") / lit(100.0)))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummaryOracle =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_qty_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |           AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+      |  CAST(floor(1000000.0 *
+      |    (sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / count(*) / 100.0))
+      |    AS BIGINT) AS avg_qty_micro
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue by region/nation: the fact table joins a broadcast dim
+    * chain (supplier⋈nation⋈region resolved driver-side-free, shipped to
+    * every executor), so lineitem is never shuffled — the only exchange
+    * is the final tiny group-by.
+    */
+  def qRevenueNation(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val revenueNationOracle =
+    """SELECT r_name, n_name, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |           AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (qPricingSummary _),
+    "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops"      -> (qSetOps _),
@@ -273,6 +347,8 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummaryOracle,
+    "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,
     "q_window_suite" -> windowSuiteOracle,
     "q_set_ops"      -> setOpsOracle,
