@@ -52,11 +52,19 @@ object Ingest {
         (sys.env.getOrElse("CONNECT_ATTEMPT_DELAY", "5.0").toDouble * 1000).toLong,
       dedupWatermark: String = "10 minutes")
 
-  /** The unbounded parsed stream (23-column ADS-B frame). */
-  def stream(spark: SparkSession, host: String, port: Int): DataFrame =
+  /** The unbounded parsed stream (23-column ADS-B frame), read through
+    * the custom DSv2 source ([[Sbs1SourceProvider]]) so the reference's
+    * dial-retry policy lives *inside* the source — a peer disconnect
+    * no longer fails the query. (The built-in `socket` source remains a
+    * drop-in: `format("socket")` + [[runSupervised]].)
+    */
+  def stream(spark: SparkSession, cfg: Config): DataFrame =
     Sbs1.parse(
-      spark.readStream.format("socket")
-        .option("host", host).option("port", port).load())
+      spark.readStream.format("sbs1")
+        .option("host", cfg.host).option("port", cfg.port)
+        .option("connectAttemptLimit", cfg.connectAttemptLimit)
+        .option("connectAttemptDelayMs", cfg.connectAttemptDelayMs)
+        .load())
 
   /** PK-intent dedup with bounded state. `parsed_time` is processing
     * time (monotone per micro-batch), so the watermark only ever evicts
@@ -68,7 +76,7 @@ object Ingest {
 
   /** Start the ingest query (non-blocking). */
   def start(spark: SparkSession, cfg: Config): StreamingQuery =
-    deduped(stream(spark, cfg.host, cfg.port), cfg.dedupWatermark)
+    deduped(stream(spark, cfg), cfg.dedupWatermark)
       .withColumn("ingest_date", to_date(col("parsed_time")))
       .writeStream.format("parquet")
       .option("path", cfg.sinkDir)
