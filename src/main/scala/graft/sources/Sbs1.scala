@@ -93,7 +93,10 @@ object Sbs1 {
             parsedTime: Column = current_timestamp()): DataFrame = {
     // split with limit -1 keeps trailing empty fields (MSG,1 ends in ",,,")
     val parts = split(regexp_replace(col(rawCol), "\r$", ""), ",", -1)
-    val withParts = raw.select(parts.as("p"))
+    // input columns ride along so `parsedTime` may reference one (e.g. a
+    // per-record event time in tests/streams); the final projection
+    // drops them
+    val withParts = raw.select(col("*"), parts.as("p"))
 
     // functions.get (not apply) — null on out-of-bounds instead of the
     // ANSI-mode INVALID_ARRAY_INDEX error for short (non-22-field) records

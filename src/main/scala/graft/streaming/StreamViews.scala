@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming variants of the analytical views — the T3 extension
+  * (SURVEY.md §2.7): the reference keys everything on processing time
+  * and runs its views as batch SQL over the sink; these run the same
+  * aggregations *on the stream itself* with event-time windows and
+  * watermarked state.
+  *
+  * State sizing at 100 TB/day: both aggregations key on
+  * (window, hex_ident[, callsign]) — state rows are bounded by
+  * (active aircraft × windows inside the watermark), not by input
+  * volume, and the watermark evicts each window as it closes.
+  */
+object StreamViews {
+
+  /** Position fixes per aircraft per tumbling window (streaming
+    * counterpart of `locations` rollups like README.md:259-263).
+    */
+  def fixesPerWindow(parsed: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("lat").isNotNull)
+      .withWatermark("parsed_time", watermark)
+      .groupBy(window(col("parsed_time"), windowLen), col("hex_ident"))
+      .agg(count(lit(1)).as("n_fixes"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("hex_ident"), col("n_fixes"))
+
+  /** Streaming `callsigns` view (create_schema.sql:85-93 semantics):
+    * first/last-seen per (callsign, hex_ident) per tumbling day.
+    */
+  def callsigns(parsed: DataFrame,
+                watermark: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("callsign").isNotNull && col("callsign") =!= "")
+      .withWatermark("parsed_time", watermark)
+      .groupBy(window(col("parsed_time"), "1 day"),
+        col("callsign"), col("hex_ident"))
+      .agg(min(col("parsed_time")).as("first_seen"),
+        max(col("parsed_time")).as("last_seen"))
+      .select(col("window.start").cast("date").as("date_seen"),
+        col("callsign"), col("hex_ident"), col("first_seen"),
+        col("last_seen"))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sbs1
+import graft.streaming.StreamViews
+
+/** Streaming window aggregations over a MemoryStream of raw SBS-1 lines:
+  * deterministic event times injected per line (the stream analogue of
+  * the per-batch stamp), complete-mode sink for stable assertions.
+  */
+class StreamViewsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // MSG,3 sample with a distinct hex per line; positions at controlled times
+  private def posLine(hex: String): String =
+    s"MSG,3,496,211,$hex,10057,2008/11/28,14:53:50.594,2008/11/28,14:58:51.153,,37000,,,51.45735,-1.02826,,,0,0,0,0"
+
+  test("fixesPerWindow: tumbling hourly counts with event-time windows") {
+    val ms = MemoryStream[(String, Timestamp)](spark)
+    val parsed = Sbs1.parse(
+      ms.toDF().toDF("value", "evt"), parsedTime = col("evt"))
+
+    val q = StreamViews.fixesPerWindow(parsed, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("fixes_win")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData(
+        (posLine("AAA111"), t("2024-01-01 10:05:00")),
+        (posLine("AAA111"), t("2024-01-01 10:55:00")),
+        (posLine("AAA111"), t("2024-01-01 11:05:00")),
+        (posLine("BBB222"), t("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT hex_ident, window_start, n_fixes FROM fixes_win")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSet
+      assert(out === Set(
+        ("AAA111", "2024-01-01 10:00:00.0", 2L),
+        ("AAA111", "2024-01-01 11:00:00.0", 1L),
+        ("BBB222", "2024-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming callsigns: first/last seen per day window") {
+    val ms = MemoryStream[(String, Timestamp)](spark)
+    def csLine(hex: String, cs: String): String =
+      s"MSG,1,145,256,$hex,11267,2008/11/28,23:48:18.611,2008/11/28,23:53:19.161,$cs,,,,,,,,,,,"
+    val parsed = Sbs1.parse(
+      ms.toDF().toDF("value", "evt"), parsedTime = col("evt"))
+
+    val q = StreamViews.callsigns(parsed, "0 seconds")
+      .writeStream.format("memory").queryName("cs_win")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData(
+        (csLine("AAA111", "FDX1"), t("2024-01-01 08:00:00")),
+        (csLine("AAA111", "FDX1"), t("2024-01-01 19:00:00")),
+        (csLine("AAA111", "FDX1"), t("2024-01-02 07:00:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT CAST(date_seen AS STRING), callsign, hex_ident, " +
+          "CAST(first_seen AS STRING), CAST(last_seen AS STRING) " +
+          "FROM cs_win").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4))).toSet
+      assert(out === Set(
+        ("2024-01-01", "FDX1", "AAA111",
+          "2024-01-01 08:00:00", "2024-01-01 19:00:00"),
+        ("2024-01-02", "FDX1", "AAA111",
+          "2024-01-02 07:00:00", "2024-01-02 07:00:00")))
+    } finally q.stop()
+  }
+}
