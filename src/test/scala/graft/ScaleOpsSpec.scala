@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SkewJoin, TopKAggregator}
+
+class ScaleOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("salted join equals plain join, including skewed keys") {
+    // key 1 is hot: 500 left rows; key 2 has 3
+    val left = ((1 to 500).map(i => (1L, s"l$i")) ++
+      (1 to 3).map(i => (2L, s"m$i"))).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (1L, "r2"), (2L, "r3"), (3L, "r4"))
+      .toDF("k", "rv")
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").collect().toSet
+    val salted = SkewJoin.salted(left, right, "k", salts = 8)
+      .select("k", "lv", "rv").collect().toSet
+    assert(salted === plain)
+    assert(salted.size === 1003) // 500*2 + 3*1
+  }
+
+  test("topK aggregator: per-group k best with deterministic ties") {
+    val data = Seq(
+      ("a", 0.9, 1L), ("a", 0.5, 2L), ("a", 0.9, 3L), ("a", 0.1, 4L),
+      ("b", 0.2, 5L)).toDF("g", "score", "id")
+      .as[(String, Double, Long)]
+    val out = data.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopKAggregator.topK(2).toColumn.name("top"))
+      .collect().toMap
+    // score desc, tie -> smaller id
+    assert(out("a") === Seq((0.9, 1L), (0.9, 3L)))
+    assert(out("b") === Seq((0.2, 5L)))
+  }
+
+  test("topK merge keeps global best across partial buffers") {
+    val n = 10000
+    val data = (1 to n).map(i => ("g", (i % 997).toDouble, i.toLong))
+      .toDF("g", "score", "id").repartition(16)
+      .as[(String, Double, Long)]
+    val out = data.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopKAggregator.topK(3).toColumn.name("top"))
+      .collect().toMap
+    // best score 996.0 at ids 996, 1993, 2990 -> smallest ids win
+    assert(out("g") === Seq((996.0, 996L), (996.0, 1993L), (996.0, 2990L)))
+  }
+}
