@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AdsbQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +35,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     AdsbQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      RelationalQueries.oracles
+      RelationalQueries.oracles ++ SketchQueries.oracles
 }

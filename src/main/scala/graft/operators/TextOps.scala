@@ -245,6 +245,32 @@ object TextOps {
       .select("d1", "d2", "n_match", "inter", "jac_micro")
   }
 
+  /** TF-IDF top terms per document. tf and df are exact integer
+    * aggregates; only the final `tf * ln(N/df)` touches doubles, and the
+    * ranking key is the micro-quantized score (+ term tiebreak), so
+    * top-k selection is deterministic cross-engine. df comes from one
+    * extra aggregation over the same exploded tokens — two shuffles
+    * total, both carrying (term, partial-count) pairs.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val toks = parallelized(docs).select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
+      .withColumn("tfidf_micro",
+        micro(col("tf") * log(col("n_docs") / col("df"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_micro").desc, col("t"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"),
+        col("t").as("term"), col("tf"), col("df"), col("tfidf_micro"))
+  }
+
   /** Per-doc 32-bit SimHash over token occurrences (md5-based bit votes).
     * One explode + one hash-aggregate with 32 conditional sums — a single
     * shuffle of partial sums.

@@ -52,6 +52,11 @@ object TextQueries {
     TextOps.simhashPairs(docs(spark, dir), SimhashMaxHamming)
       .orderBy("d1", "d2")
 
+  val TfIdfK = 3
+
+  def qTfIdf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdfTopTerms(docs(spark, dir), TfIdfK).orderBy("doc_id", "rn")
+
   // ------------------------------------------------------------- oracles
 
   /** Shared CTEs: tokenization + distinct 5-gram shingle sets. DuckDB
@@ -236,7 +241,31 @@ object TextQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  private val tfIdfOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (
+       |  SELECT t, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1
+       |),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+       |    ${Hashing.microSql("tf.tf * ln(n.n_docs / df.df)")} AS tfidf_micro
+       |  FROM tf JOIN df USING (t) CROSS JOIN n
+       |)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rn, t AS term, tf, df,
+       |       tfidf_micro
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf_micro DESC, t) AS rn
+       |  FROM scored
+       |) WHERE rn <= $TfIdfK ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf"         -> (qTfIdf _),
     "q_token_stats"   -> (qTokenStats _),
     "q_lang_id"       -> (qLangId _),
     "q_fingerprint"   -> (qFingerprint _),
@@ -246,6 +275,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf"         -> tfIdfOracle,
     "q_token_stats"   -> tokenStatsOracle,
     "q_lang_id"       -> langIdOracle,
     "q_fingerprint"   -> fingerprintOracle,
