@@ -158,13 +158,18 @@ object TextOps {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, maxDf: Long,
                         jacMicroMin: Long): DataFrame = {
-    val sh = shingleSet(docs, n).cache()
-    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("sh")
-    val shf = sh.join(keep, "sh")
+    // hash shingles to 60-bit longs at the source: every downstream
+    // shuffle/join key is 8 bytes instead of a ~30-byte string
+    // (collisions at 2^-60 are negligible and the oracle mirrors the
+    // same hash, so any would affect both sides identically)
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h")).cache()
+    val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val shf = sh.join(keep, "h")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shf.select(col("doc_id").as("d1"), col("sh"))
-      .join(shf.select(col("doc_id").as("d2"), col("sh")), "sh")
+    val inter = shf.select(col("doc_id").as("d1"), col("h"))
+      .join(shf.select(col("doc_id").as("d2"), col("h")), "h")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
@@ -176,10 +181,12 @@ object TextOps {
       .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
   }
 
-  /** Per-doc MinHash signature (16 permutations) as columns m0..m15. */
-  def minhashSignature(sh: DataFrame): DataFrame = {
+  /** Per-doc MinHash signature (16 permutations) as columns m0..m15,
+    * over pre-hashed shingles (`h0` = 60-bit md5 hash per shingle).
+    */
+  def minhashSignature(hashed: DataFrame): DataFrame = {
     val p = Hashing.MinhashP
-    val hs = sh.select(col("doc_id"), (md5Long(col("sh")) % p).as("h"))
+    val hs = hashed.select(col("doc_id"), (col("h0") % p).as("h"))
     val aggs = Hashing.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % p).as(s"m$j")
     }
@@ -196,7 +203,9 @@ object TextOps {
     */
   def minhashLshPairs(docs: DataFrame, n: Int,
                       jacMicroMin: Long): DataFrame = {
-    val sh = shingleSet(docs, n).cache()
+    // one md5 pass; the cached working set and every join key are longs
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
     // carry the whole signature (array of 16 longs) through the band
     // join: candidate pairs surface with both signatures attached, so
     // the minhash-agreement count needs no extra joins back to the
@@ -231,8 +240,8 @@ object TextOps {
     val est = cand.select(col("d1"), col("d2"), nMatch.as("n_match"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .join(sh.select(col("doc_id").as("d1"), col("h0")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("h0")), Seq("d2", "h0"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     est
       .join(inter, Seq("d1", "d2"), "left")

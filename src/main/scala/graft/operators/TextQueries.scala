@@ -140,12 +140,13 @@ object TextQueries {
 
   private val dedupNgramOracle =
     s"""$tokCte $shCte,
-       |keep AS (SELECT sh FROM shs GROUP BY sh HAVING count(*) <= $MaxShingleDf),
-       |shf AS (SELECT s.doc_id, s.sh FROM shs s JOIN keep USING (sh)),
-       |sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1),
+       |hs AS (SELECT doc_id, ${h60("sh")} AS h FROM shs),
+       |keep AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= $MaxShingleDf),
+       |shf AS (SELECT s.doc_id, s.h FROM hs s JOIN keep USING (h)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
        |it AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT * FROM (
@@ -170,7 +171,8 @@ object TextQueries {
     val nMatch = Hashing.MinhashSeeds.indices.map(j =>
       s"(CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""$tokCte $shCte,
-       |hs AS (SELECT doc_id, ${h60("sh")} % $p AS h FROM shs),
+       |hs0 AS (SELECT doc_id, ${h60("sh")} AS h0 FROM shs),
+       |hs AS (SELECT doc_id, h0 % $p AS h FROM hs0),
        |mh AS (
        |  SELECT doc_id,
        |    $mins
@@ -192,11 +194,11 @@ object TextQueries {
        |),
        |it AS (
        |  SELECT c.d1, c.d2, count(*) AS inter
-       |  FROM cand c JOIN shs a ON a.doc_id = c.d1
-       |              JOIN shs b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  FROM cand c JOIN hs0 a ON a.doc_id = c.d1
+       |              JOIN hs0 b ON b.doc_id = c.d2 AND b.h0 = a.h0
        |  GROUP BY 1, 2
        |),
-       |sz AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY 1)
+       |sz AS (SELECT doc_id, count(*) AS n FROM hs0 GROUP BY 1)
        |SELECT * FROM (
        |  SELECT e.d1, e.d2, e.n_match, COALESCE(it.inter, 0) AS inter,
        |    ${Hashing.microSql(
