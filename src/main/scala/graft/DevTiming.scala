@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import graft.operators.{TextOps, TextQueries}
-import graft.sources.Tables
+
+/** Dev tool: time individual queries (args; default = the heavy dedup
+  * set) against SPARK_GRAFT_SF_DIR, two passes each (cold + warm).
+  */
 object DevTiming {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -10,20 +12,17 @@ object DevTiming {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"TIME $name%-20s ${(System.nanoTime()-t0)/1e9}%8.3f s  rows=$n")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash")
+    SparkEntry.entry(spark).count() // warm the JVM
+    names.foreach { n =>
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        println(f"TIME $n%-20s pass$pass ${(System.nanoTime()-t0)/1e9}%8.3f s  rows=$rows")
+      }
     }
-    t("warmup")(docs.count())
-    val sh = TextOps.shingleSet(docs, 5).cache()
-    t("shingleSet")(sh.count())
-    val minh = TextOps.minhashSignature(sh).cache()
-    t("minhash16")(minh.count())
-    t("full_pipeline")(TextOps.minhashLshPairs(docs, 5, 700000L).count())
-    t("full_again")(TextOps.minhashLshPairs(docs, 5, 700000L).count())
     spark.stop()
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The §4 storage claims, executed: date-partition pruning (the BRIN-
+  * index replacement) and bucketed co-located joins (the 100 TB band-
+  * join path) — asserted on physical plans, not taken on faith.
+  */
+class StorageLayoutSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("date-partitioned sink prunes partitions on time predicates") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    (1 to 100).map(i => (i.toLong, s"2024-01-${i % 4 + 1}"))
+      .toDF("id", "day")
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter($"day" === "2024-01-02")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day") &&
+      scan.contains("= 2024-01-02)"),
+      s"expected the day predicate as a partition filter in:\n$scan")
+    assert(pruned.count() === (1 to 100).count(_ % 4 + 1 == 2))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh != null)
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucket_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucket_b")
+    try {
+      // disable broadcast so the join would otherwise need a shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free, got:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bucket_a")
+      spark.sql("DROP TABLE IF EXISTS bucket_b")
+    }
+  }
+}
