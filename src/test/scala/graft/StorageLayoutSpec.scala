@@ -13,7 +13,7 @@ class StorageLayoutSpec extends SparkSpec {
 
   test("date-partitioned sink prunes partitions on time predicates") {
     val dir = Files.createTempDirectory("graft-part").toString
-    (1 to 100).map(i => (i.toLong, s"2024-01-${i % 4 + 1}"))
+    (1 to 100).map(i => (i.toLong, f"2024-01-${i % 4 + 1}%02d"))
       .toDF("id", "day")
       .write.partitionBy("day").mode("overwrite").parquet(dir)
 
