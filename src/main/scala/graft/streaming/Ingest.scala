@@ -85,6 +85,35 @@ object Ingest {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** JDBC parity sink (S7): the reference's row-at-a-time PostgreSQL
+    * INSERT loop becomes one batched, partition-parallel JDBC append
+    * per micro-batch — `foreachBatch` + `DataFrameWriter.jdbc`, the
+    * documented pattern for exactly-the-reference's-sink semantics
+    * (dump1090-postgres.py:110-116, minus the 1-row-per-commit quirk
+    * §2.9.1). Works against any JDBC database; integration-tested on
+    * embedded Derby (no PostgreSQL in this environment).
+    */
+  def startJdbc(spark: SparkSession, cfg: Config, url: String,
+                table: String,
+                props: java.util.Properties = new java.util.Properties())
+  : StreamingQuery =
+    deduped(stream(spark, cfg), cfg.dedupWatermark)
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeJdbcBatch(df, url, table, props)
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
+  /** One micro-batch → JDBC append. JDBC has no TIMESTAMP_NTZ / the
+    * reference column is timestamptz, so parsed_time goes back to LTZ.
+    */
+  def writeJdbcBatch(df: DataFrame, url: String, table: String,
+                     props: java.util.Properties): Unit =
+    df.withColumn("parsed_time", col("parsed_time").cast("timestamp"))
+      .write.mode("append").jdbc(url, table, props)
+
   /** Reference retry policy (dump1090-postgres.py:181-198, :220-237):
     * re-dial up to `connectAttemptLimit` times with a fixed delay; a
     * successful (re)connection resets the budget. Returns when the
