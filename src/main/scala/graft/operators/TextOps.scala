@@ -182,6 +182,7 @@ object TextOps {
   }
 
   /** Per-doc MinHash signature (16 permutations) as columns m0..m15,
+    * plus the shingle-set size `n` fused into the same aggregation —
     * over pre-hashed shingles (`h0` = 60-bit md5 hash per shingle).
     */
   def minhashSignature(hashed: DataFrame): DataFrame = {
@@ -189,7 +190,7 @@ object TextOps {
     val hs = hashed.select(col("doc_id"), (col("h0") % p).as("h"))
     val aggs = Hashing.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % p).as(s"m$j")
-    }
+    } :+ count(lit(1)).as("n")
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -211,34 +212,39 @@ object TextOps {
     // the minhash-agreement count needs no extra joins back to the
     // signature table (two fewer shuffles)
     val sig = array(Hashing.MinhashSeeds.indices.map(j => col(s"m$j")): _*)
-    val withSig = minhashSignature(sh).select(col("doc_id"), sig.as("sig"))
+    val withSig = minhashSignature(sh)
+      .select(col("doc_id"), sig.as("sig"), col("n"))
     val nBands = 4
     val bandStructs = (0 until nBands).map { b =>
       val ms = (0 until 4).map(j => element_at(col("sig"), 4 * b + j + 1))
       struct(lit(b).as("band"),
         ms.reduceLeft((acc, m) => acc * lit(31L) + m).as("bh"))
     }
-    val bands = withSig.select(col("doc_id"), col("sig"),
+    // signature AND set size ride through the band join: no joins back
+    // to per-doc tables afterwards — only the intersection count needs
+    // another pass
+    val bands = withSig.select(col("doc_id"), col("sig"), col("n"),
         explode(array(bandStructs: _*)).as("s"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"), col("n"),
         col("s.band").as("band"), col("s.bh").as("bh"))
     val cand = bands.select(col("doc_id").as("d1"), col("sig").as("sig1"),
-        col("band"), col("bh"))
+        col("n").as("n1"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("d2"), col("sig").as("sig2"),
-        col("band"), col("bh")), Seq("band", "bh"))
+        col("n").as("n2"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("d1") < col("d2"))
-      // signatures are functionally dependent on the pair: group+first
-      // dedups on the 16-byte key instead of hashing both signature
-      // arrays per row like distinct() would
+      // attached columns are functionally dependent on the pair:
+      // group+first dedups on the 16-byte key instead of hashing both
+      // signature arrays per row like distinct() would
       .groupBy("d1", "d2")
-      .agg(first("sig1").as("sig1"), first("sig2").as("sig2"))
+      .agg(first("sig1").as("sig1"), first("sig2").as("sig2"),
+        first("n1").as("n1"), first("n2").as("n2"))
     // zip_with over 16 elements on candidate rows only (~0.01% of input)
     val nMatch = aggregate(
       zip_with(col("sig1"), col("sig2"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
-    val est = cand.select(col("d1"), col("d2"), nMatch.as("n_match"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val est = cand.select(col("d1"), col("d2"), col("n1"), col("n2"),
+      nMatch.as("n_match"))
     val inter = cand
       .join(sh.select(col("doc_id").as("d1"), col("h0")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("h0")), Seq("d2", "h0"))
@@ -246,8 +252,6 @@ object TextOps {
     est
       .join(inter, Seq("d1", "d2"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac_micro",
         micro(col("inter") / (col("n1") + col("n2") - col("inter"))))
       .filter(col("jac_micro") >= jacMicroMin)
