@@ -268,9 +268,10 @@ object TextOps {
   def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val toks = parallelized(docs).select(col("doc_id"),
       explode(tokens(col("text"))).as("t"))
-    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "t").distinct()
-      .groupBy("t").agg(count(lit(1)).as("df"))
+    // tf rows are distinct (doc, term) pairs, so df folds out of tf —
+    // tokens are exploded and hashed exactly once
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).cache()
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "t").crossJoin(broadcast(n))
       .withColumn("tfidf_micro",
