@@ -169,6 +169,57 @@ object AdsbQueries {
       .orderBy("transmission_type")
   }
 
+  /** Trajectory kinematics: per-aircraft leg length and derived speed
+    * from consecutive fixes (lag over the same hex_ident shuffle as
+    * q_lines). Distance is planar in degree units — deliberately pure
+    * arithmetic (sub/mul/sqrt are IEEE-deterministic cross-engine;
+    * haversine's trig is libm-dependent). Zero-dt legs (shared batch
+    * stamps) are filtered on both sides.
+    */
+  def qSpeed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("hex_ident"))
+      .orderBy(col("parsed_time"), col("lon"))
+    import graft.functions.Hashing.micro
+    Views.locations(eventsAsAdsb(spark, dir))
+      .select(col("hex_ident"), col("parsed_time"), col("lon"), col("lat"))
+      .withColumn("x0", lag(col("lon"), 1).over(w))
+      .withColumn("y0", lag(col("lat"), 1).over(w))
+      .withColumn("t0", lag(col("parsed_time"), 1).over(w))
+      .filter(col("t0").isNotNull && col("parsed_time") > col("t0"))
+      .withColumn("dist_micro", micro(sqrt(
+        (col("lon") - col("x0")) * (col("lon") - col("x0")) +
+          (col("lat") - col("y0")) * (col("lat") - col("y0")))))
+      .withColumn("dt_micros",
+        expr("timestampdiff(MICROSECOND, t0, parsed_time)"))
+      .withColumn("speed_micro", micro(
+        sqrt((col("lon") - col("x0")) * (col("lon") - col("x0")) +
+          (col("lat") - col("y0")) * (col("lat") - col("y0"))) /
+          (col("dt_micros") / lit(1000000.0))))
+      .select("hex_ident", "parsed_time", "dist_micro", "dt_micros",
+        "speed_micro")
+      .orderBy("hex_ident", "parsed_time", "dist_micro")
+  }
+
+  private val qSpeedOracle =
+    """, legs AS (
+      |  SELECT hex_ident, parsed_time, lon, lat,
+      |    lag(lon) OVER w AS x0, lag(lat) OVER w AS y0,
+      |    lag(parsed_time) OVER w AS t0
+      |  FROM locations
+      |  WINDOW w AS (PARTITION BY hex_ident ORDER BY parsed_time, lon)
+      |)
+      |SELECT hex_ident, parsed_time,
+      |  CAST(floor(1000000.0 * (sqrt((lon - x0) * (lon - x0)
+      |       + (lat - y0) * (lat - y0)))) AS BIGINT) AS dist_micro,
+      |  date_diff('microsecond', t0, parsed_time) AS dt_micros,
+      |  CAST(floor(1000000.0 * (sqrt((lon - x0) * (lon - x0)
+      |       + (lat - y0) * (lat - y0))
+      |       / (date_diff('microsecond', t0, parsed_time) / 1000000.0)))
+      |    AS BIGINT) AS speed_micro
+      |FROM legs
+      |WHERE t0 IS NOT NULL AND parsed_time > t0
+      |ORDER BY hex_ident, parsed_time, dist_micro""".stripMargin
+
   private val qParseOracle: String = {
     // 23-column expected rows for the 6 surviving MSG lines
     def r(t: Int, sid: String, aid: String, hex: String, fid: String,
@@ -226,6 +277,7 @@ object AdsbQueries {
 
   val oracles: Map[String, String] = Map(
     "q_parse" -> qParseOracle,
+    "q_speed" -> s"$adsbCte $locationsCte $qSpeedOracle",
     "q_callsigns" ->
       s"""$adsbCte $callsignsCte
          |SELECT * FROM callsigns_iso ORDER BY callsign, hex_ident, date_seen""".stripMargin,
@@ -274,6 +326,7 @@ object AdsbQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_parse"      -> (qParse _),
+    "q_speed"      -> (qSpeed _),
     "q_callsigns"  -> (qCallsigns _),
     "q_locations"  -> (qLocations _),
     "q_flights"    -> (qFlights _),
