@@ -37,6 +37,41 @@ object SimilarityQueries {
     SimilarityOps.annIvf(emb(spark, dir), QueryVecId, NCentroids, NProbe,
       TopK)
 
+  val PerLabelK = 3
+
+  /** Grouped top-k through [[SimilarityOps]]'s scoring plus the bounded
+    * [[graft.operators.TopKAggregator]] — the partial/merge path ships
+    * at most k rows per map partition per label, vs the window
+    * formulation's full per-label sort. The oracle is the window
+    * formulation: both must agree exactly (scores are integer micro-
+    * units; ties break to the smaller vec_id on both paths).
+    */
+  def qTopkPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.micro
+    import graft.functions.vector.cosineSim
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("qe"))
+    val scored = e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("label"),
+        micro(cosineSim(col("embedding"), col("qe")))
+          .cast("double").as("score"),
+        col("vec_id"))
+      .as[(Int, Double, Long)]
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopKAggregator.topK(PerLabelK).toColumn.name("top"))
+      .toDF("label", "top")
+      .select(col("label"), posexplode(col("top")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"),
+        col("col._1").cast("long").as("cos_micro"))
+      .orderBy("label", "rank")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -123,13 +158,38 @@ object SimilarityQueries {
        |JOIN probe p ON a.cluster = p.cid
        |ORDER BY q.cos_micro DESC, q.vec_id LIMIT $TopK""".stripMargin
 
+  private val topkPerLabelOracle =
+    s"""$evCte,
+       |lbl AS (SELECT DISTINCT vec_id, label FROM ev),
+       |dots AS (
+       |  SELECT e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  WHERE e.vec_id <> $QueryVecId GROUP BY 1
+       |),
+       |qcm AS (
+       |  SELECT d.vec_id,
+       |    ${Hashing.microSql(
+      s"d.dot / (n.nrm * (SELECT nrm FROM nrm WHERE vec_id = $QueryVecId))")}
+       |      AS cos_micro
+       |  FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+       |)
+       |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, cos_micro
+       |FROM (
+       |  SELECT l.label, q.vec_id, q.cos_micro,
+       |    row_number() OVER (PARTITION BY l.label
+       |                       ORDER BY q.cos_micro DESC, q.vec_id) AS rank
+       |  FROM qcm q JOIN lbl l ON q.vec_id = l.vec_id
+       |) WHERE rank <= $PerLabelK ORDER BY label, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_embed_pairs" -> (qEmbedPairs _),
-    "q_ann_topk"    -> (qAnnTopK _),
-    "q_ann_ivf"     -> (qAnnIvf _))
+    "q_embed_pairs"    -> (qEmbedPairs _),
+    "q_ann_topk"       -> (qAnnTopK _),
+    "q_ann_ivf"        -> (qAnnIvf _),
+    "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
-    "q_embed_pairs" -> embedPairsOracle,
-    "q_ann_topk"    -> annTopKOracle,
-    "q_ann_ivf"     -> annIvfOracle)
+    "q_embed_pairs"    -> embedPairsOracle,
+    "q_ann_topk"       -> annTopKOracle,
+    "q_ann_ivf"        -> annIvfOracle,
+    "q_topk_per_label" -> topkPerLabelOracle)
 }
