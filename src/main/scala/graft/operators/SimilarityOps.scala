@@ -61,6 +61,67 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic "random" hyperplanes for sign-LSH: w(j)(i) derived
+    * from md5 of a fixed tag, quantized to 3 decimals so the same
+    * literals inject exactly into Spark expressions and oracle SQL.
+    */
+  def planeW(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pl${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** Sign-LSH near-dup pairs — the label-free scale path for
+    * [[embedNearDupPairs]]: 16 hyperplane sign bits per vector, banded
+    * 4×4; vectors sharing any band bucket become candidates, verified
+    * with exact cosine. Candidate generation is a bucket join (no
+    * blocking column needed, no O(n²)); recall at cos≥0.5 is ~59% per
+    * the standard 1-θ/π sign-agreement bound — raise nPlanes/bands for
+    * higher recall at scale.
+    */
+  def signLshPairs(emb: DataFrame, nPlanes: Int, bandBits: Int,
+                   cosMicroMin: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = 64
+    val nBands = nPlanes / bandBits
+    val planes = for {
+      j <- 0 until nPlanes; i <- 1 to dims
+    } yield (j, i, planeW(j, i))
+    val planesDf = planes.toDF("j", "i", "w")
+    val ev = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("v").cast("double").as("v"))
+    val dots = ev.join(broadcast(planesDf), "i")
+      .groupBy("vec_id", "j").agg(sum(col("v") * col("w")).as("d"))
+    val sig = dots.groupBy("vec_id")
+      .agg(sum(expr(
+        "CASE WHEN d >= 0.0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("sig"))
+    val mask = (1L << bandBits) - 1
+    val bandRows = (0 until nBands).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("sig"), bandBits * k).bitwiseAND(lit(mask))
+          .as("band"))
+    }
+    val bands = sig.select(col("vec_id"),
+        explode(array(bandRows: _*)).as("s"))
+      .select(col("vec_id"), col("s.k").as("k"), col("s.band").as("band"))
+    val cand = bands.select(col("vec_id").as("d1"), col("k"), col("band"))
+      .join(bands.select(col("vec_id").as("d2"), col("k"), col("band")),
+        Seq("k", "band"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val e1 = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    cand.join(e1, "d1").join(e2, "d2")
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+      .filter(col("cos_micro") >= cosMicroMin)
+  }
+
   /** IVF-style ANN: a small codebook of centroids (here the first
     * `nCentroids` vectors — deterministic seeds; k-means would slot in
     * the same way), each vector assigned to its nearest centroid, and

@@ -38,6 +38,13 @@ object SimilarityQueries {
       TopK)
 
   val PerLabelK = 3
+  val LshPlanes = 16
+  val LshBandBits = 4
+  val LshCosMin = 400000L // verified cosine >= 0.4
+
+  def qEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.signLshPairs(emb(spark, dir), LshPlanes, LshBandBits,
+      LshCosMin).orderBy("d1", "d2")
 
   /** Grouped top-k through [[SimilarityOps]]'s scoring plus the bounded
     * [[graft.operators.TopKAggregator]] — the partial/merge path ships
@@ -181,13 +188,58 @@ object SimilarityQueries {
        |  FROM qcm q JOIN lbl l ON q.vec_id = l.vec_id
        |) WHERE rank <= $PerLabelK ORDER BY label, rank""".stripMargin
 
+  private val embedLshOracle: String = {
+    val planeRows = (for {
+      j <- 0 until LshPlanes; i <- 1 to 64
+    } yield f"($j, $i, CAST(${SimilarityOps.planeW(j, i)}%.3f AS DOUBLE))")
+      .mkString(", ")
+    val nBands = LshPlanes / LshBandBits
+    val mask = (1L << LshBandBits) - 1
+    val bandVals = (0 until nBands).map(k => s"($k)").mkString(", ")
+    s"""$evCte,
+       |pl(j, i, w) AS (SELECT * FROM (VALUES $planeRows) v(j, i, w)),
+       |pdots AS (
+       |  SELECT e.vec_id, p.j, sum(e.v * p.w) AS d
+       |  FROM ev e JOIN pl p ON e.i = p.i GROUP BY 1, 2
+       |),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN d >= 0.0 THEN (CAST(1 AS BIGINT) << j)
+       |             ELSE 0 END) AS BIGINT) AS sig
+       |  FROM pdots GROUP BY 1
+       |),
+       |bands AS (
+       |  SELECT vec_id, k.k, (sig >> ($LshBandBits * k.k)) & $mask AS band
+       |  FROM sig, (VALUES $bandVals) k(k)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.vec_id < b.vec_id
+       |),
+       |pd AS (
+       |  SELECT c.d1, c.d2, sum(x.v * y.v) AS dot
+       |  FROM cand c JOIN ev x ON x.vec_id = c.d1
+       |              JOIN ev y ON y.vec_id = c.d2 AND y.i = x.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT * FROM (
+       |  SELECT p.d1, p.d2,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM pd p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |            JOIN nrm n2 ON p.d2 = n2.vec_id
+       |) WHERE cos_micro >= $LshCosMin ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_ann_topk"       -> (qAnnTopK _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,
     "q_ann_topk"       -> annTopKOracle,
     "q_ann_ivf"        -> annIvfOracle,
