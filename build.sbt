@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of whole-stage-codegen classes across the query corpus:
+  // don't let code-cache eviction force recompiles mid-bench
+  "-XX:ReservedCodeCacheSize=512m",
 )
