@@ -62,4 +62,17 @@ object Views {
   /** flights straight from the fact table. */
   def flights(adsb: DataFrame): DataFrame =
     flights(locations(adsb), callsigns(adsb))
+
+  /** S9 parity (create_schema.sql:85-124 `CREATE OR REPLACE VIEW`):
+    * register the fact table and all three views as temp views so the
+    * SQL surface works verbatim — `spark.sql("SELECT ... FROM
+    * callsigns WHERE callsign LIKE 'FDX%'")`. The Analyzer expands view
+    * references exactly like PostgreSQL's rewriter (SURVEY.md §3).
+    */
+  def register(adsb: DataFrame): Unit = {
+    adsb.createOrReplaceTempView("adsb_messages")
+    callsigns(adsb).createOrReplaceTempView("callsigns")
+    locations(adsb).createOrReplaceTempView("locations")
+    flights(adsb).createOrReplaceTempView("flights")
+  }
 }

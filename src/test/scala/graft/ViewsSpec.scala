@@ -83,4 +83,22 @@ class ViewsSpec extends SparkSpec {
     // each position matches both callsign windows -> 2 positions x 2 = 4
     assert(out.count() === 4)
   }
+
+  test("register: SQL surface works verbatim against the temp views") {
+    val df = frame(Seq(
+      ("AAA", "FDX1", "2020-01-01 10:00:00", f),
+      ("AAA", "FDX1", "2020-01-01 10:05:00", f),
+      ("BBB", "UPS9", "2020-01-01 11:00:00", f)))
+    Views.register(df)
+    val fdx = spark.sql(
+      "SELECT callsign, hex_ident FROM callsigns " +
+        "WHERE callsign LIKE 'FDX%'").collect()
+    assert(fdx.length === 1 && fdx.head.getString(0) === "FDX1")
+    assert(spark.sql("SELECT * FROM locations").count() === 3)
+    assert(spark.sql(
+      "SELECT DISTINCT callsign FROM flights WHERE hex_ident = 'AAA'")
+      .collect().map(_.getString(0)).toSeq === Seq("FDX1"))
+    assert(spark.sql("SELECT count(*) FROM adsb_messages")
+      .collect().head.getLong(0) === 3L)
+  }
 }
