@@ -337,7 +337,37 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin
 
+  /** Exact interpolated percentiles of the integerized value per event
+    * type. Spark `percentile` and DuckDB `quantile_cont` share the
+    * (n-1)*p index + linear interpolation definition over exact integer
+    * inputs, so the micro floor absorbs any last-ulp arithmetic
+    * difference. (Approximate sketch percentiles differ per engine and
+    * are deliberately not used for oracle-checked output.)
+    */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("v_int", floor(col("value")))
+      .groupBy("event_type")
+      .agg(
+        micro(expr("percentile(v_int, 0.25)")).as("p25_micro"),
+        micro(expr("percentile(v_int, 0.5)")).as("p50_micro"),
+        micro(expr("percentile(v_int, 0.9)")).as("p90_micro"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val quantilesOracle =
+    s"""$evCte,
+       |x AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v_int
+       |      FROM ev)
+       |SELECT event_type,
+       |  ${microSql("quantile_cont(v_int, 0.25)")} AS p25_micro,
+       |  ${microSql("quantile_cont(v_int, 0.5)")} AS p50_micro,
+       |  ${microSql("quantile_cont(v_int, 0.9)")} AS p90_micro,
+       |  count(*) AS n
+       |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantiles"       -> (qQuantiles _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
@@ -347,6 +377,7 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles"       -> quantilesOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,
