@@ -366,7 +366,35 @@ object RelationalQueries {
        |  count(*) AS n
        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Semi-structured extraction: pull a typed value out of the JSON
+    * `props` column and aggregate it. `get_json_object` is a codegen'd
+    * path expression — no UDF, no whole-row JSON materialization; only
+    * `$.k` is extracted.
+    */
+  def qJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        micro(sum("k") / count(lit(1))).as("avg_k_micro"))
+      .orderBy("event_type")
+
+  private val jsonOracle =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(k) AS BIGINT) AS sum_k,
+       |  CAST(min(k) AS BIGINT) AS min_k,
+       |  CAST(max(k) AS BIGINT) AS max_k,
+       |  ${microSql("sum(k) / count(*)")} AS avg_k_micro
+       |FROM (
+       |  SELECT event_type,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events
+       |) GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json"            -> (qJson _),
     "q_quantiles"       -> (qQuantiles _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
@@ -377,6 +405,7 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_json"            -> jsonOracle,
     "q_quantiles"       -> quantilesOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,

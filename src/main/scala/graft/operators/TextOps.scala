@@ -285,6 +285,29 @@ object TextOps {
         col("t").as("term"), col("tf"), col("df"), col("tfidf_micro"))
   }
 
+  /** Overlapping document chunking (LLM training prep): fixed-length
+    * character windows every `stride` chars (overlap = chunkLen-stride).
+    * Pure expressions — sequence/transform/substr/explode — zero
+    * shuffles, and the chunk count derives from exact integer floor
+    * division on both engines.
+    */
+  def chunkDocs(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
+    val len = length(col("text"))
+    val nc = ((len - 1) / lit(stride)).cast("long") + 1L
+    val chunkCol = (i: Column) => substr(col("text"), i * stride + 1L,
+      lit(chunkLen))
+    val chunks = transform(sequence(lit(0L), nc - 1L), i =>
+      struct(i.as("chunk_idx"),
+        sha2(chunkCol(i).cast("binary"), 256).as("chunk_sha"),
+        length(chunkCol(i)).cast("long").as("chunk_chars"),
+        size(tokens(chunkCol(i))).cast("long").as("chunk_tokens")))
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_sha").as("chunk_sha"),
+        col("c.chunk_chars").as("chunk_chars"),
+        col("c.chunk_tokens").as("chunk_tokens"))
+  }
+
   /** Per-doc 32-bit SimHash over token occurrences (md5-based bit votes).
     * One explode + one hash-aggregate with 32 conditional sums — a single
     * shuffle of partial sums.

@@ -53,9 +53,15 @@ object TextQueries {
       .orderBy("d1", "d2")
 
   val TfIdfK = 3
+  val ChunkLen = 200
+  val ChunkStride = 150
 
   def qTfIdf(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfIdfTopTerms(docs(spark, dir), TfIdfK).orderBy("doc_id", "rn")
+
+  def qChunks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(docs(spark, dir), ChunkLen, ChunkStride)
+      .orderBy("doc_id", "chunk_idx")
 
   // ------------------------------------------------------------- oracles
 
@@ -266,7 +272,19 @@ object TextQueries {
        |  FROM scored
        |) WHERE rn <= $TfIdfK ORDER BY doc_id, rn""".stripMargin
 
+  private val chunksOracle = {
+    val c = s"substr(text, CAST(g.i * $ChunkStride + 1 AS BIGINT), $ChunkLen)"
+    s"""SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+       |  sha256($c) AS chunk_sha,
+       |  CAST(length($c) AS BIGINT) AS chunk_chars,
+       |  CAST(len(string_split($c, ' ')) AS BIGINT) AS chunk_tokens
+       |FROM documents,
+       |  unnest(range(0, (length(text) - 1) // $ChunkStride + 1)) AS g(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunks"        -> (qChunks _),
     "q_tfidf"         -> (qTfIdf _),
     "q_token_stats"   -> (qTokenStats _),
     "q_lang_id"       -> (qLangId _),
@@ -277,6 +295,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_chunks"        -> chunksOracle,
     "q_tfidf"         -> tfIdfOracle,
     "q_token_stats"   -> tokenStatsOracle,
     "q_lang_id"       -> langIdOracle,
