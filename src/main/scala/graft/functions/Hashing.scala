@@ -19,6 +19,11 @@ object Hashing {
 
   /** 60-bit non-negative hash: first 15 hex chars of md5, as a long.
     * DuckDB mirror: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    *
+    * Production note: md5 is the cross-engine-verifiability tax — a
+    * deployment without the DuckDB oracle would swap this for Spark's
+    * native `xxhash64` (same 64-bit shape, several times faster, still
+    * no UDF) without touching any downstream operator.
     */
   def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")

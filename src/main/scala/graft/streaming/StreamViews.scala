@@ -30,6 +30,19 @@ object StreamViews {
         col("window.end").as("window_end"),
         col("hex_ident"), col("n_fixes"))
 
+  /** Streaming exact dedup of a document stream by content hash — the
+    * ingest-time half of the dedup family ([[graft.operators.TextOps]]):
+    * first occurrence wins, duplicates arriving within the watermark
+    * horizon are dropped, and state holds one (hash) key per distinct
+    * doc inside the horizon rather than the documents themselves.
+    */
+  def dedupDocs(docs: DataFrame, eventTimeCol: String,
+                watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_sha", sha2(col("text").cast("binary"), 256))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates("content_sha")
+
   /** Streaming `callsigns` view (create_schema.sql:85-93 semantics):
     * first/last-seen per (callsign, hex_ident) per tumbling day.
     */

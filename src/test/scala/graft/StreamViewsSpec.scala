@@ -77,4 +77,26 @@ class StreamViewsSpec extends SparkSpec {
           "2024-01-02 07:00:00", "2024-01-02 07:00:00")))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first occurrence wins within watermark") {
+    val ms = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = ms.toDF().toDF("doc_id", "text", "evt")
+    val q = graft.streaming.StreamViews.dedupDocs(docs, "evt", "0 seconds")
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData(
+        (1L, "the quick brown fox", t("2024-01-01 10:00:00")),
+        (2L, "the quick brown fox", t("2024-01-01 10:01:00")), // dup
+        (3L, "a different document", t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM doc_dedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(out.size === 2)
+      assert(out.contains(3L))
+      assert(out.intersect(Set(1L, 2L)).size === 1,
+        "exactly one of the duplicate pair survives")
+    } finally q.stop()
+  }
 }
