@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SimilarityOps, TextOps}
+
+/** Dev tool: scale-extrapolation probe. Replicates the sf0.1 tables
+  * in-memory (id-offset copies — same distribution, k× the rows; near-
+  * dup pairs only exist within each replica, so candidate counts scale
+  * linearly like real deduped corpora) and times the heavy operators at
+  * 1×..k×. If time grows ~linearly the candidate-generation design
+  * (inverted index / LSH buckets) is doing its job; quadratic growth
+  * would expose an O(n²) hiding behind the small provided SFs.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
+      val n = 10000000L
+      df.crossJoin(
+          spark.range(copies).toDF("__r"))
+        .withColumn(idCol, col(idCol) + col("__r") * n)
+        .drop("__r")
+    }
+
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"SCALE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      spark.catalog.clearCache()
+    }
+
+    Seq(1, k).foreach { c =>
+      val d = replicate(docs, "doc_id", c)
+      val e = replicate(emb, "vec_id", c)
+      println(s"--- ${c}x sf0.1 (${5000 * c} docs, ${2000 * c} vecs) ---")
+      time(s"minhash_lsh_${c}x")(
+        TextOps.minhashLshPairs(d, 5, 700000L).count())
+      time(s"ngram_jaccard_${c}x")(
+        TextOps.ngramJaccardPairs(d, 5, 1000L, 800000L).count())
+      time(s"simhash_pairs_${c}x")(
+        TextOps.simhashPairs(d, 3).count())
+      time(s"sign_lsh_${c}x")(
+        SimilarityOps.signLshPairs(e, 16, 4, 400000L).count())
+      time(s"ann_topk_${c}x")(
+        SimilarityOps.annTopK(e, 0L, 10).count())
+    }
+    spark.stop()
+  }
+}
