@@ -393,7 +393,51 @@ object RelationalQueries {
        |  FROM events
        |) GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** Data-quality audit: referential integrity via anti join (orphan
+    * foreign keys), coverage via semi join, duplicate-key detection,
+    * and null-rate checks — one row of invariants. The anti/semi joins
+    * broadcast the key side; nothing shuffles the fact table.
+    */
+  def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir).select("s_suppkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+    val orphans = li.join(broadcast(supp),
+      col("l_suppkey") === col("s_suppkey"), "left_anti")
+    val custWithOrders = cust.join(ord,
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    val dupOrders = ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    orphans.agg(count(lit(1)).as("n_orphan_suppkey"))
+      .crossJoin(li.agg(count(lit(1)).as("n_lineitem"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("n_null_shipdate")))
+      .crossJoin(custWithOrders.agg(count(lit(1)).as("n_cust_with_orders")))
+      .crossJoin(dupOrders.agg(count(lit(1)).as("n_dup_orderkey")))
+      .select("n_lineitem", "n_orphan_suppkey", "n_null_shipdate",
+        "n_cust_with_orders", "n_dup_orderkey")
+  }
+
+  private val integrityOracle =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_lineitem,
+      |  (SELECT count(*) FROM lineitem l
+      |   WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |                     WHERE s.s_suppkey = l.l_suppkey))
+      |    AS n_orphan_suppkey,
+      |  (SELECT CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |          AS BIGINT) FROM lineitem) AS n_null_shipdate,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE EXISTS (SELECT 1 FROM orders o
+      |                 WHERE o.o_custkey = c.c_custkey))
+      |    AS n_cust_with_orders,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+      |    AS n_dup_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_integrity"       -> (qIntegrity _),
     "q_json"            -> (qJson _),
     "q_quantiles"       -> (qQuantiles _),
     "q_pricing_summary" -> (qPricingSummary _),
@@ -405,6 +449,7 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_integrity"       -> integrityOracle,
     "q_json"            -> jsonOracle,
     "q_quantiles"       -> quantilesOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
