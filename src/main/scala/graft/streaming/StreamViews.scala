@@ -30,6 +30,15 @@ object StreamViews {
         col("window.end").as("window_end"),
         col("hex_ident"), col("n_fixes"))
 
+  /** Stream-static enrichment: join the live fix stream against a
+    * static registry dimension (aircraft type/operator keyed by
+    * hex_ident). The static side is broadcast to every micro-batch —
+    * no stream state, no shuffle of the stream; re-reading the dim per
+    * batch is how reference-data updates propagate.
+    */
+  def enriched(parsed: DataFrame, registry: DataFrame): DataFrame =
+    parsed.join(broadcast(registry), Seq("hex_ident"), "left")
+
   /** Streaming exact dedup of a document stream by content hash — the
     * ingest-time half of the dedup family ([[graft.operators.TextOps]]):
     * first occurrence wins, duplicates arriving within the watermark

@@ -99,4 +99,30 @@ class StreamViewsSpec extends SparkSpec {
         "exactly one of the duplicate pair survives")
     } finally q.stop()
   }
+
+  test("stream-static join enriches fixes with a broadcast registry") {
+    val ms = MemoryStream[(String, Timestamp)](spark)
+    val parsed = Sbs1.parse(
+      ms.toDF().toDF("value", "evt"), parsedTime = col("evt"))
+    val registry = Seq(
+      ("AAA111", "B738", "FedEx"), ("ZZZ999", "A320", "Other"))
+      .toDF("hex_ident", "ac_type", "operator")
+    val q = graft.streaming.StreamViews.enriched(parsed, registry)
+      .select("hex_ident", "ac_type", "operator")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData(
+        (posLine("AAA111"), t("2024-01-01 10:00:00")),
+        (posLine("BBB222"), t("2024-01-01 10:01:00"))) // not in registry
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT hex_ident, ac_type, operator FROM enriched").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(out === Set(
+        ("AAA111", "B738", "FedEx"),
+        ("BBB222", null, null)), s"got $out")
+    } finally q.stop()
+  }
 }
