@@ -58,4 +58,41 @@ class IngestSpec extends SparkSpec {
       server.close()
     }
   }
+
+  /** At 100 TB the default in-memory state store is the first thing to
+    * fall over; the dedup pipeline must run unchanged on the RocksDB
+    * provider (spill-to-disk state, the production choice).
+    */
+  test("watermarked dedup runs on the RocksDB state store provider") {
+    import sqlImplicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String](spark)
+    val parsed = sources.Sbs1.parse(ms.toDF())
+    val q = streaming.Ingest.deduped(parsed, "10 minutes")
+      .writeStream.format("memory").queryName("rocksdb_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(sources.Sbs1.sampleLines: _*)
+      ms.addData(sources.Sbs1.sampleLines(7)) // dup in a later batch
+      q.processAllAvailable()
+      // same parsed_time only within a batch; the cross-batch duplicate
+      // has a distinct PK, so >= 6 rows and per-batch uniqueness hold
+      val n = spark.sql(
+        "SELECT count(DISTINCT transmission_type, parsed_time, hex_ident) " +
+          "FROM rocksdb_dedup").collect().head.getLong(0)
+      assert(n === spark.sql("SELECT count(*) FROM rocksdb_dedup")
+        .collect().head.getLong(0), "PK uniqueness holds under RocksDB")
+      assert(n >= 6L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
