@@ -1,0 +1,85 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.TextOps
+
+/** Property tests for the dedup operators: invariants that must hold on
+  * any corpus, checked on fixed-seed generated docs (deterministic CI).
+  */
+class TextPropertySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.chooseNum(8, 60)
+    toks <- Gen.listOfN(n, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "the", "a"))
+  } yield toks.mkString(" ")
+
+  private def docs(seed: Long, n: Int) =
+    draw(Gen.listOfN(n, genDoc), seed).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("jaccard invariants: 0 <= jac <= 1e6 and inter <= min(n1, n2)") {
+    val out = TextOps.ngramJaccardPairs(docs(101L, 40), 5, 1000L, 0L)
+      .collect()
+    assert(out.nonEmpty, "small vocab must produce some candidate pairs")
+    out.foreach { r =>
+      val (inter, n1, n2, jac) = (r.getAs[Long]("inter"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("jac_micro"))
+      assert(jac >= 0L && jac <= 1000000L)
+      assert(inter <= math.min(n1, n2))
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+    }
+  }
+
+  test("simhash is a bag-of-words function: token order never matters") {
+    val base = draw(Gen.listOfN(20, genDoc), 7L)
+    val rnd = new scala.util.Random(42)
+    val shuffled = base.map(t => rnd.shuffle(t.split(" ").toSeq).mkString(" "))
+    val a = TextOps.simhash(base.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = TextOps.simhash(shuffled.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("identical docs: full minhash agreement and jaccard = 1") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.minhashLshPairs(d, 5, 0L).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_match") === 16L)
+    assert(out.head.getAs[Long]("jac_micro") === 1000000L)
+  }
+
+  test("chunking covers every character exactly per stride arithmetic") {
+    val d = docs(55L, 25)
+    val out = TextOps.chunkDocs(d, 200, 150)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("nc"),
+        org.apache.spark.sql.functions.sum("chunk_chars").as("cc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    d.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val expectNc = (text.length - 1) / 150 + 1
+      val (nc, cc) = out(id)
+      assert(nc === expectNc.toLong, s"chunk count for len ${text.length}")
+      // sum of chunk lengths = len + overlap of interior chunks
+      val expectCc = (0 until expectNc)
+        .map(i => math.min(200, text.length - i * 150)).sum
+      assert(cc === expectCc.toLong)
+    }
+  }
+}
