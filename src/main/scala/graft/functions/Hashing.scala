@@ -26,6 +26,14 @@ object Hashing {
     * no UDF) without touching any downstream operator.
     */
   def md5Long(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(Md5Long60(
+      org.apache.spark.sql.GraftSqlBridge.expression(c.cast("binary"))))
+
+  /** The composable (built-ins only) formulation — identical value,
+    * ~3 string round-trips per row slower than [[Md5Long60]]; kept for
+    * reference and as the parity cross-check in tests.
+    */
+  def md5LongComposable(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** The same primitive as oracle SQL over expression `e`. */

@@ -55,4 +55,15 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head
     assert(out.getDouble(1) === 0.96)
   }
+
+  test("Md5Long60 equals the composable md5 formulation on random strings") {
+    import graft.functions.Hashing
+    val df = (1 to 500).map(i => s"probe-$i-\u00e9\u4e2d")
+      .toDF("s")
+    val out = df.select(
+      Hashing.md5Long($"s").as("fused"),
+      Hashing.md5LongComposable($"s").as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(out.forall(_.getLong(0) >= 0L))
+  }
 }
