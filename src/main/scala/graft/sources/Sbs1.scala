@@ -81,6 +81,17 @@ object Sbs1 {
     }
   }
 
+  /** Batch re-ingest of archived SBS-1 logs: line files (plain or
+    * compressed — Spark's text source decodes .gz etc. transparently)
+    * through the exact same parse projection as the live stream. A
+    * directory of daily archives becomes the fact table in one call;
+    * at scale, point this at the partitioned log store and write the
+    * result with `partitionBy(ingest_date)` like the streaming sink.
+    */
+  def readArchive(spark: org.apache.spark.sql.SparkSession, path: String,
+                  parsedTime: Column = current_timestamp()): DataFrame =
+    parse(spark.read.text(path), parsedTime = parsedTime)
+
   /** Parse a DataFrame of raw SBS-1 lines (`rawCol`: StringType) into the
     * canonical 23-column ADS-B frame, dropping invalid records exactly as
     * the reference does.

@@ -92,4 +92,19 @@ class Sbs1Spec extends SparkSpec {
     val out = Sbs1.parse(Seq(row).toDF("value"), parsedTime = ts)
     assert(out.select("is_on_ground").as[Int].collect().toSeq === Seq(0))
   }
+
+  test("readArchive ingests plain and gzipped line files identically") {
+    val dir = java.nio.file.Files.createTempDirectory("sbs1-archive")
+    val plain = dir.resolve("day1.sbs")
+    java.nio.file.Files.writeString(plain,
+      graft.sources.Sbs1.sampleLines.mkString("", "\n", "\n"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("day2.sbs.gz")))
+    gz.write(graft.sources.Sbs1.sampleLines.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    gz.close()
+    val out = graft.sources.Sbs1.readArchive(spark, dir.toString)
+    assert(out.count() === 12, "6 valid lines from each of the two files")
+    assert(out.columns.length === 23)
+  }
 }
