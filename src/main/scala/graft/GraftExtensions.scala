@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Md5Long60}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions as SQL functions so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
+      (children: Seq[Expression]) => Md5Long60(children.head)))
   }
 }

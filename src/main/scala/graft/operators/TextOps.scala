@@ -308,6 +308,30 @@ object TextOps {
         col("c.chunk_tokens").as("chunk_tokens"))
   }
 
+  /** The curation pipeline — what this operator family exists FOR,
+    * composed into one declarative plan: language-ID + quality scoring
+    * + near-dup removal (keep the lower doc_id of each pair), then
+    * per-language corpus stats of what survives. All of it is one
+    * Catalyst plan: the optimizer pushes the quality filter below the
+    * joins and the anti-join against the (tiny) drop set broadcasts.
+    */
+  def curate(docs: DataFrame, n: Int, maxDf: Long, dupJacMin: Long,
+             qualityMicroMin: Long): DataFrame = {
+    val stats = tokenStats(docs).select("doc_id", "n_tokens",
+      "quality_micro")
+    val lang = langId(docs).select("doc_id", "lang_pred")
+    val drops = ngramJaccardPairs(docs, n, maxDf, dupJacMin)
+      .select(col("d2").as("doc_id")).distinct()
+    stats.join(lang, "doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .filter(col("quality_micro") >= qualityMicroMin)
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        floor(sum(col("quality_micro")) / count(lit(1))).cast("long")
+          .as("avg_quality_micro"))
+  }
+
   /** Per-doc 32-bit SimHash over token occurrences (md5-based bit votes).
     * One explode + one hash-aggregate with 32 conditional sums — a single
     * shuffle of partial sums.

@@ -63,6 +63,12 @@ object TextQueries {
     TextOps.chunkDocs(docs(spark, dir), ChunkLen, ChunkStride)
       .orderBy("doc_id", "chunk_idx")
 
+  val CurateQualityMin = 400000L // quality >= 0.4
+
+  def qCurate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.curate(docs(spark, dir), ShingleN, MaxShingleDf, NgramJacMin,
+      CurateQualityMin).orderBy("lang_pred")
+
   // ------------------------------------------------------------- oracles
 
   /** Shared CTEs: tokenization + distinct 5-gram shingle sets. DuckDB
@@ -104,30 +110,31 @@ object TextQueries {
        |  ${Hashing.microSql(qualityExpr)} AS quality_micro
        |FROM tok ORDER BY doc_id""".stripMargin
 
-  private val langIdOracle: String = {
-    def cnt(sub: String): String = {
-      val esc = sub.replace("'", "''")
-      s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${sub.length} AS BIGINT)"
-    }
-    val scoreDefs = TextOps.LangProfiles.map { case (l, evid) =>
-      val e = evid.map { case (w, s) => s"$w * ${cnt(s)}" }.mkString(" + ")
-      s"($e) AS score_$l"
-    }.mkString(",\n    ")
-    val names = TextOps.LangProfiles.map { case (l, _) => s"score_$l" }
-    val best = s"greatest(${names.mkString(", ")})"
-    val total = names.mkString(" + ") + " + 1"
-    val pred = TextOps.LangProfiles.map { case (l, _) =>
-      s"WHEN score_$l >= $best THEN '$l'"
-    }.mkString("CASE ", " ", " ELSE 'und' END")
+  // lang-ID SQL fragments, shared by q_lang_id and the curation oracle
+  private def langCnt(sub: String): String = {
+    val esc = sub.replace("'", "''")
+    s"CAST((length(text) - length(replace(text, '$esc', ''))) / ${sub.length} AS BIGINT)"
+  }
+  private val langScoreDefs = TextOps.LangProfiles.map { case (l, evid) =>
+    val e = evid.map { case (w, s) => s"$w * ${langCnt(s)}" }.mkString(" + ")
+    s"($e) AS score_$l"
+  }.mkString(",\n    ")
+  private val langNames = TextOps.LangProfiles.map { case (l, _) => s"score_$l" }
+  private val langBest = s"greatest(${langNames.mkString(", ")})"
+  private val langTotal = langNames.mkString(" + ") + " + 1"
+  private val langPred = TextOps.LangProfiles.map { case (l, _) =>
+    s"WHEN score_$l >= $langBest THEN '$l'"
+  }.mkString("CASE ", " ", " ELSE 'und' END")
+
+  private val langIdOracle: String =
     s"""WITH s AS (
        |  SELECT doc_id,
-       |    $scoreDefs
+       |    $langScoreDefs
        |  FROM documents
        |)
-       |SELECT doc_id, $pred AS lang_pred,
-       |  ${Hashing.microSql(s"$best / ($total)")} AS conf_micro
+       |SELECT doc_id, $langPred AS lang_pred,
+       |  ${Hashing.microSql(s"$langBest / ($langTotal)")} AS conf_micro
        |FROM s ORDER BY doc_id""".stripMargin
-  }
 
   private val fingerprintOracle =
     s"""$tokCte $shCte,
@@ -144,9 +151,11 @@ object TextQueries {
       |       CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin
 
-  private val dedupNgramOracle =
-    s"""$tokCte $shCte,
-       |hs AS (SELECT doc_id, ${h60("sh")} AS h FROM shs),
+  /** Shared n-gram inverted-index CTEs (also reused by the curation
+    * pipeline oracle).
+    */
+  private val ngramCtes =
+    s"""hs AS (SELECT doc_id, ${h60("sh")} AS h FROM shs),
        |keep AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= $MaxShingleDf),
        |shf AS (SELECT s.doc_id, s.h FROM hs s JOIN keep USING (h)),
        |sz AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
@@ -154,7 +163,11 @@ object TextQueries {
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  private val dedupNgramOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes
        |SELECT * FROM (
        |  SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
        |    ${Hashing.microSql("inter / (s1.n + s2.n - inter)")} AS jac_micro
@@ -283,7 +296,45 @@ object TextQueries {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  private val curateOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+       |q AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${Hashing.microSql(qualityExpr)} AS quality_micro
+       |  FROM tok
+       |),
+       |l AS (
+       |  SELECT doc_id, $langPred AS lang_pred FROM (
+       |    SELECT doc_id,
+       |      $langScoreDefs
+       |    FROM documents
+       |  )
+       |),
+       |kept AS (
+       |  SELECT q.doc_id, q.n_tokens, q.quality_micro, l.lang_pred
+       |  FROM q JOIN l ON q.doc_id = l.doc_id
+       |  WHERE q.quality_micro >= $CurateQualityMin
+       |    AND NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = q.doc_id)
+       |)
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(floor(sum(quality_micro) / count(*)) AS BIGINT)
+       |    AS avg_quality_micro
+       |FROM kept GROUP BY 1 ORDER BY lang_pred""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate"        -> (qCurate _),
     "q_chunks"        -> (qChunks _),
     "q_tfidf"         -> (qTfIdf _),
     "q_token_stats"   -> (qTokenStats _),
@@ -295,6 +346,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_curate"        -> curateOracle,
     "q_chunks"        -> chunksOracle,
     "q_tfidf"         -> tfIdfOracle,
     "q_token_stats"   -> tokenStatsOracle,
