@@ -85,6 +85,25 @@ object Ingest {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** Archive backfill: stream SBS-1 line files (plain or compressed)
+    * through the same parse/dedup/sink pipeline with an AvailableNow
+    * trigger — process everything present, then stop. Restarting with
+    * the same checkpoint after new files land resumes exactly-once
+    * (file-source offsets + idempotent parquet commits), which is the
+    * catch-up/backfill pattern a 100 TB log store needs.
+    */
+  def backfill(spark: SparkSession, archiveDir: String,
+               cfg: Config): StreamingQuery =
+    deduped(Sbs1.parse(spark.readStream.text(archiveDir)),
+        cfg.dedupWatermark)
+      .withColumn("ingest_date", to_date(col("parsed_time")))
+      .writeStream.format("parquet")
+      .option("path", cfg.sinkDir)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .partitionBy("ingest_date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** JDBC parity sink (S7): the reference's row-at-a-time PostgreSQL
     * INSERT loop becomes one batched, partition-parallel JDBC append
     * per micro-batch — `foreachBatch` + `DataFrameWriter.jdbc`, the
