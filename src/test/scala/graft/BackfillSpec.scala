@@ -39,4 +39,22 @@ class BackfillSpec extends SparkSpec {
     assert(rows.select("transmission_type", "parsed_time", "hex_ident")
       .distinct().count() === 12)
   }
+
+  test("compaction rewrites a partition into few files, data intact") {
+    import sqlImplicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    (1 to 1000).map(i => (i.toLong, "2024-01-01"))
+      .toDF("id", "ingest_date")
+      .repartition(20)
+      .write.partitionBy("ingest_date").mode("overwrite").parquet(root)
+    val beforeRows = spark.read.parquet(root)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val (before, after) = graft.streaming.Maintenance.compactPartition(
+      spark, root, "ingest_date=2024-01-01", targetFiles = 2)
+    assert(before >= 10, s"expected many small files, got $before")
+    assert(after <= 2)
+    val afterRows = spark.read.parquet(root)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(afterRows === beforeRows)
+  }
 }
