@@ -436,7 +436,32 @@ object RelationalQueries {
       |     SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
       |    AS n_dup_orderkey""".stripMargin
 
+  /** Pivot: event counts per user as one column per event type.
+    * Explicit pivot values skip Spark's extra distinct-values job and
+    * make the output schema static — at scale you always pass them.
+    */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .orderBy("user_id")
+
+  private val pivotOracle = {
+    val cols = PivotTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n  ")
+    s"""$evCte
+       |SELECT user_id,
+       |  $cols
+       |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"           -> (qPivot _),
     "q_integrity"       -> (qIntegrity _),
     "q_json"            -> (qJson _),
     "q_quantiles"       -> (qQuantiles _),
@@ -449,6 +474,7 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot"           -> pivotOracle,
     "q_integrity"       -> integrityOracle,
     "q_json"            -> jsonOracle,
     "q_quantiles"       -> quantilesOracle,

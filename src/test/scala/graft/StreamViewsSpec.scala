@@ -125,4 +125,25 @@ class StreamViewsSpec extends SparkSpec {
         ("BBB222", null, null)), s"got $out")
     } finally q.stop()
   }
+
+  test("monitoring listener captures per-batch progress") {
+    val mon = graft.streaming.Monitoring.attach(spark)
+    try {
+      val ms = MemoryStream[(String, Timestamp)](spark)
+      val parsed = Sbs1.parse(ms.toDF().toDF("value", "evt"),
+        parsedTime = col("evt"))
+      val q = parsed.writeStream.format("memory")
+        .queryName("monitored_q").outputMode("append").start()
+      try {
+        ms.addData((posLine("AAA111"), Timestamp.valueOf("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        ms.addData((posLine("BBB222"), Timestamp.valueOf("2024-01-01 10:01:00")))
+        q.processAllAvailable()
+        val sum = mon.summaries.find(_.name == "monitored_q")
+        assert(sum.isDefined, s"got ${mon.summaries}")
+        assert(sum.get.totalRows === 2L)
+        assert(sum.get.batches >= 2L)
+      } finally q.stop()
+    } finally spark.streams.removeListener(mon)
+  }
 }
