@@ -460,7 +460,42 @@ object RelationalQueries {
        |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin
   }
 
+  /** Column profiling: one row per column with null count, distinct
+    * count, and lexicographic min/max (everything stringified so the
+    * output schema is column-agnostic). One pass per column batched
+    * into a single job via union of partial aggregates — the shape of
+    * every "describe my table" pipeline step.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val profiled = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c).cast("string")).as("min_str"),
+        max(col(c).cast("string")).as("max_str"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }
+    profiled.reduce(_ unionAll _).orderBy("column")
+  }
+
+  private val profileOracle = {
+    val parts = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min(CAST($c AS VARCHAR)) AS min_str,
+         |  max(CAST($c AS VARCHAR)) AS max_str
+         |FROM documents""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile"         -> (qProfile _),
     "q_pivot"           -> (qPivot _),
     "q_integrity"       -> (qIntegrity _),
     "q_json"            -> (qJson _),
@@ -474,6 +509,7 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_profile"         -> profileOracle,
     "q_pivot"           -> pivotOracle,
     "q_integrity"       -> integrityOracle,
     "q_json"            -> jsonOracle,
