@@ -39,10 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * recv buffers are impossible by construction — BufferedReader yields
   * whole lines, fixing reference quirk §2.9.2); offsets are cumulative
   * line counts; `commit` trims everything at or below the committed
-  * offset. Like the built-in socket source this buffers on the driver —
-  * fine for an ADS-B feed at O(100) msg/s (README.md:48-49); a
-  * production deployment would front it with a durable log, which the
-  * single-TCP-socket reference cannot survive either.
+  * offset. Like the built-in socket source this buffers on the driver
+  * and is NOT fault-tolerant across query restarts (a TCP broadcast is
+  * not replayable — the reference has the identical limitation): use
+  * [[graft.streaming.Ingest.backfill]] over archived logs when replay
+  * matters, or front the feed with a durable log. Fine for a live
+  * ADS-B feed at O(100) msg/s (README.md:48-49).
   */
 class Sbs1SourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sbs1"

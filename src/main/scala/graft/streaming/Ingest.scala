@@ -140,11 +140,13 @@ object Ingest {
     */
   def runSupervised(spark: SparkSession, cfg: Config): Unit = {
     var attempts = 0
-    while (attempts < cfg.connectAttemptLimit) {
+    var stoppedGracefully = false
+    while (!stoppedGracefully && attempts < cfg.connectAttemptLimit) {
       try {
         val q = start(spark, cfg)
         attempts = 0
-        q.awaitTermination() // throws on socket disconnect/source error
+        q.awaitTermination() // throws on source error
+        stoppedGracefully = true // explicit q.stop(): do not restart
       } catch {
         case _: Exception =>
           attempts += 1
