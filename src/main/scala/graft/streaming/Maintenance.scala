@@ -29,8 +29,12 @@ object Maintenance {
     spark.read.parquet(dir.toString)
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(dir, old)
-    fs.rename(tmp, dir)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compaction: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // restore — the partition must never vanish
+      throw new java.io.IOException(s"compaction: cannot swap in $tmp")
+    }
     fs.delete(old, true)
     (before, parquetFiles(dir))
   }
