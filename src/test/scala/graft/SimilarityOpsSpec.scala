@@ -43,4 +43,18 @@ class SimilarityOpsSpec extends SparkSpec {
     // ranking: cos desc with vec_id tiebreak
     assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L, 4L))
   }
+
+  test("signLshPairs: identical vectors always collide; verified cosine exact") {
+    // v0 == v5 (identical, all 16 sign bits equal -> every band matches);
+    // the rest are axis-aligned and orthogonal-ish
+    val vecs64 = emb(
+      (0L, Seq.tabulate(64)(i => (i % 7 - 3).toFloat / 3f), 0),
+      (5L, Seq.tabulate(64)(i => (i % 7 - 3).toFloat / 3f), 1),
+      (7L, Seq.tabulate(64)(i => if (i == 0) 1f else 0f), 2))
+    val out = SimilarityOps.signLshPairs(vecs64, 16, 4, 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("cos_micro")))
+    assert(out.toSeq === Seq((0L, 5L, 1000000L)),
+      s"identical pair must be found with cosine exactly 1: ${out.toSeq}")
+  }
 }
