@@ -15,8 +15,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q_flights", "q_dedup_minhash", "q_embed_pairs",
-        "q_revenue_nation", "q_media_meta", "q_asof")
+      else Seq("q_flights", "q_dedup_minhash", "q_curate",
+        "q_revenue_nation", "q_embed_lsh", "q_asof")
     names.foreach { n =>
       println(s"\n================ $n ================")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
