@@ -494,7 +494,48 @@ object RelationalQueries {
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** Pure range join (no equi key): events against non-aligned 36-hour
+    * buckets. Plans as BroadcastNestedLoopJoin with the tiny bucket
+    * table broadcast — the correct physical shape when there is no
+    * equi key to hash on; at scale you'd instead bucket-align and add
+    * an equi key (see the band join J1), which is why this stays a
+    * small-dimension pattern.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = spark.sql(
+      """SELECT explode(sequence(
+        |  TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '2024-01-30 12:00:00',
+        |  INTERVAL 36 HOURS)) AS bucket_start""".stripMargin)
+      .withColumn("bucket_end",
+        expr("bucket_start + INTERVAL 36 HOURS"))
+      .withColumn("bucket_start", col("bucket_start").cast("timestamp_ntz"))
+      .withColumn("bucket_end", col("bucket_end").cast("timestamp_ntz"))
+    events(spark, dir)
+      .join(broadcast(buckets),
+        col("ts") >= col("bucket_start") && col("ts") < col("bucket_end"))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("bucket_start")
+  }
+
+  private val rangeJoinOracle =
+    s"""$evCte,
+       |buckets AS (
+       |  SELECT b AS bucket_start, b + INTERVAL 36 HOUR AS bucket_end
+       |  FROM unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+       |                    TIMESTAMP '2024-01-30 12:00:00' + INTERVAL 1 SECOND,
+       |                    INTERVAL 36 HOUR)) AS t(b)
+       |)
+       |SELECT b.bucket_start, count(*) AS n_events,
+       |       count(DISTINCT ev.user_id) AS n_users
+       |FROM ev JOIN buckets b
+       |  ON ev.ts >= b.bucket_start AND ev.ts < b.bucket_end
+       |GROUP BY 1 ORDER BY bucket_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join"      -> (qRangeJoin _),
     "q_profile"         -> (qProfile _),
     "q_pivot"           -> (qPivot _),
     "q_integrity"       -> (qIntegrity _),
@@ -509,6 +550,7 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_range_join"      -> rangeJoinOracle,
     "q_profile"         -> profileOracle,
     "q_pivot"           -> pivotOracle,
     "q_integrity"       -> integrityOracle,
