@@ -65,6 +65,20 @@ object TextQueries {
 
   val CurateQualityMin = 400000L // quality >= 0.4
 
+  /** Chunk-level exact dedup — where exact dedup actually fires on this
+    * corpus: near-duplicate documents share their unedited chunks, so
+    * grouping chunk hashes finds real cross-document duplicate spans
+    * (the fine-grained dedup granularity LLM pipelines use alongside
+    * doc-level near-dup).
+    */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(docs(spark, dir), ChunkLen, ChunkStride)
+      .groupBy("chunk_sha")
+      .agg(count(lit(1)).as("n_copies"),
+        min("doc_id").as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_sha")
+
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     TextOps.curate(docs(spark, dir), ShingleN, MaxShingleDf, NgramJacMin,
       CurateQualityMin).orderBy("lang_pred")
@@ -333,7 +347,20 @@ object TextQueries {
        |    AS avg_quality_micro
        |FROM kept GROUP BY 1 ORDER BY lang_pred""".stripMargin
 
+  private val chunkDedupOracle = {
+    val c = s"substr(text, CAST(g.i * $ChunkStride + 1 AS BIGINT), $ChunkLen)"
+    s"""WITH c AS (
+       |  SELECT doc_id, sha256($c) AS chunk_sha
+       |  FROM documents,
+       |    unnest(range(0, (length(text) - 1) // $ChunkStride + 1)) AS g(i)
+       |)
+       |SELECT chunk_sha, count(*) AS n_copies,
+       |       CAST(min(doc_id) AS BIGINT) AS keeper
+       |FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_sha""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
     "q_chunks"        -> (qChunks _),
     "q_tfidf"         -> (qTfIdf _),
@@ -346,6 +373,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,
     "q_chunks"        -> chunksOracle,
     "q_tfidf"         -> tfIdfOracle,
