@@ -308,6 +308,47 @@ object TextOps {
         col("c.chunk_tokens").as("chunk_tokens"))
   }
 
+  /** Connected components of the near-dup pair graph: dedup semantics
+    * demand one keeper per transitive CLUSTER — pairs (1,2),(2,3) are
+    * one duplicate group, not two independent decisions. Iterative
+    * min-label propagation over the (tiny) candidate-pair graph,
+    * driver-coordinated like every Spark iterative algorithm; converges
+    * in component-diameter rounds, and near-dup chains are short. At
+    * massive component counts you'd switch to the large-star/small-star
+    * formulation — same join shapes, fewer rounds.
+    *
+    * Returns (doc_id, component) for every doc appearing in a pair,
+    * component = minimum doc_id reachable (so keepers are the rows with
+    * component == doc_id).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).cache()
+    var changed = true
+    while (changed) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy(col("b").as("doc_id"))
+        .agg(min("component").as("nbr_min"))
+      val updated = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      changed = updated.as("u")
+        .join(labels.select(col("doc_id"),
+          col("component").as("old_component")), "doc_id")
+        .filter(col("component") =!= col("old_component"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+    }
+    labels
+  }
+
   /** The curation pipeline — what this operator family exists FOR,
     * composed into one declarative plan: language-ID + quality scoring
     * + near-dup removal (keep the lower doc_id of each pair), then

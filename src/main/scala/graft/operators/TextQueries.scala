@@ -359,7 +359,41 @@ object TextQueries {
        |FROM c GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_sha""".stripMargin
   }
 
+  /** Duplicate clusters: connected components over the verified n-gram
+    * near-dup pairs.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    TextOps.connectedComponents(
+      TextOps.ngramJaccardPairs(docs(spark, dir), ShingleN, MaxShingleDf,
+        NgramJacMin))
+      .orderBy("doc_id")
+
+  private val dedupClustersOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
     "q_chunks"        -> (qChunks _),
@@ -373,6 +407,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,
     "q_chunks"        -> chunksOracle,
