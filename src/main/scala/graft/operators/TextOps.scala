@@ -321,7 +321,51 @@ object TextOps {
     * component = minimum doc_id reachable (so keepers are the rows with
     * component == doc_id).
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+                          driverMaxPairs: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgesDf = pairs.select(col("d1"), col("d2")).cache()
+    val n = edgesDf.count()
+    if (n <= driverMaxPairs) {
+      // The candidate-pair graph is orders of magnitude smaller than the
+      // corpus (it exists precisely because the LSH/inverted-index stage
+      // pruned it); union-find on the driver is O(n α) with ZERO extra
+      // jobs, vs diameter-many join rounds. Collecting PAIRS is not
+      // collecting data — 4M pairs ≈ 64 MB.
+      val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // min-id root => component is the minimum reachable doc_id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      import spark.implicits._
+      rows.toDF("doc_id", "component")
+    } else {
+      connectedComponentsDistributed(edgesDf)
+    }
+  }
+
+  /** Distributed min-label propagation — the path for pair graphs too
+    * large to union-find on the driver. Rounds = component diameter
+    * (large-star/small-star would cut rounds at extreme sizes).
+    */
+  private[operators] def connectedComponentsDistributed(
+      pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct().cache()

@@ -85,8 +85,13 @@ class TextPropertySpec extends SparkSpec {
 
   test("connectedComponents: chains collapse to one cluster, min label wins") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("d1", "d2")
-    val out = TextOps.connectedComponents(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val fast = TextOps.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(fast === expect)
+    // force the distributed path; must agree exactly
+    val dist = TextOps.connectedComponents(pairs, driverMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expect)
   }
 }
