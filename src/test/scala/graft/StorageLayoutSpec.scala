@@ -49,4 +49,19 @@ class StorageLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucket_b")
     }
   }
+
+  test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
+    import sqlImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val parsed = graft.sources.Sbs1.parse(
+      graft.sources.Sbs1.sampleLines.toDF("value"),
+      parsedTime = org.apache.spark.sql.functions
+        .lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    parsed.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === 6)
+    // file formats may relax nullability flags; names + types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      parsed.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
 }
