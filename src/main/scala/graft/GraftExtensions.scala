@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -15,15 +15,38 @@ import graft.functions.{CosineSimilarity, Md5Long60}
   * (or the `--conf` equivalent on spark-submit).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Wrong arity must surface as an AnalysisException with the expected
+    * signature (like every built-in function), not as an
+    * IndexOutOfBoundsException from the builder reaching for a missing
+    * child.
+    */
+  private def requireArity(name: String, expected: Int,
+                           children: Seq[Expression]): Unit =
+    if (children.length != expected)
+      throw new AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        None)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        requireArity("cosine_sim", 2, children)
+        CosineSimilarity(children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("md5long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
-      (children: Seq[Expression]) => Md5Long60(children.head)))
+      (children: Seq[Expression]) => {
+        requireArity("md5long60", 1, children)
+        Md5Long60(children.head)
+      }))
   }
 }

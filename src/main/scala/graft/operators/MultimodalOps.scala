@@ -39,7 +39,10 @@ object MultimodalOps {
     * and derived reproducibly from doc_id/source.
     */
   def media(docs: DataFrame): DataFrame = {
-    val len = length(col("text")).cast("long")
+    // byte_len is the OCTET length of the payload (length() on a binary
+    // column counts bytes), not the character count of `text` — for
+    // non-ASCII text these differ, and all frame math slices bytes
+    val len = length(col("text").cast("binary")).cast("long")
     docs.select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),

@@ -35,8 +35,16 @@ object MultimodalQueries {
       |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
       |            ELSE 'bin' END""".stripMargin
 
+  // byte_len / frame counts are BYTE math on both sides:
+  // octet_length(encode(text)) is the UTF-8 byte count, mirroring the
+  // engine's length(payload). The frame-slice oracle below still slices
+  // characters (this DuckDB build cannot substring BLOBs), which equals
+  // byte slicing only for ASCII — a limitation of the TEST ORACLE, not
+  // of the engine; the test corpus is ASCII-only by construction.
+  private val byteLenSql = "octet_length(encode(text))"
+
   private val nFramesSql =
-    "CASE WHEN length(text) >= 16 THEN (length(text) - 16) // 32 + 1 ELSE 0 END"
+    s"CASE WHEN $byteLenSql >= 16 THEN ($byteLenSql - 16) // 32 + 1 ELSE 0 END"
 
   private val mediaMetaOracle =
     s"""SELECT doc_id,
@@ -47,7 +55,7 @@ object MultimodalQueries {
        |    AS resized_width,
        |  CAST(greatest(1, (16 + ((doc_id >> 3) & 63) * 4) >> 1) AS BIGINT)
        |    AS resized_height,
-       |  CAST(length(text) AS BIGINT) AS byte_len,
+       |  CAST($byteLenSql AS BIGINT) AS byte_len,
        |  sha256(text) AS sha,
        |  CAST($nFramesSql AS BIGINT) AS n_frames
        |FROM documents ORDER BY doc_id""".stripMargin

@@ -462,27 +462,37 @@ object RelationalQueries {
 
   /** Column profiling: one row per column with null count, distinct
     * count, and lexicographic min/max (everything stringified so the
-    * output schema is column-agnostic). One pass per column batched
-    * into a single job via union of partial aggregates — the shape of
-    * every "describe my table" pipeline step.
+    * output schema is column-agnostic). ONE scan of the table: all
+    * per-column aggregates live in a single `agg` — the multiple exact
+    * `count_distinct`s compile to a single Expand (one pass over the
+    * scan, rows replicated per distinct-column internally) instead of
+    * one full scan per column — then the 1-row result is pivoted into
+    * per-column rows with explode (driver-free, 1 row in flight).
     */
+  val ProfileColumns = Seq("doc_id", "lang", "source", "n_chars")
+
   def qProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val profiled = Seq("doc_id", "lang", "source", "n_chars").map { c =>
-      docs.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        count_distinct(col(c)).as("n_distinct"),
-        min(col(c).cast("string")).as("min_str"),
-        max(col(c).cast("string")).as("max_str"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_str"), col("max_str"))
+    val aggs = count(lit(1)).as("n_rows") +: ProfileColumns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"))
     }
-    profiled.reduce(_ unionAll _).orderBy("column")
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileColumns.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        col(s"${c}__null").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"), col(s"${c}__max").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select("r.*").orderBy("column")
   }
 
   private val profileOracle = {
-    val parts = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+    val parts = ProfileColumns.map { c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_null,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing.micro
@@ -61,16 +60,20 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Deterministic "random" hyperplanes for sign-LSH: w(j)(i) derived
-    * from md5 of a fixed tag, quantized to 3 decimals so the same
-    * literals inject exactly into Spark expressions and oracle SQL.
+  /** Deterministic "random" hyperplane weights for sign-LSH in integer
+    * milli-units (w ∈ [-1000, 1000]), derived from md5 of a fixed tag.
+    * Integers so the sign-bit decision can be an exact integer sum —
+    * see [[signLshPairs]].
     */
-  def planeW(j: Int, i: Int): Double = {
+  def planeWInt(j: Int, i: Int): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"pl${j}_$i".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(15)
-    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
   }
+
+  /** The real-valued weight: [[planeWInt]] / 1000. */
+  def planeW(j: Int, i: Int): Double = planeWInt(j, i) / 1000.0
 
   /** Sign-LSH near-dup pairs — the label-free scale path for
     * [[embedNearDupPairs]]: 16 hyperplane sign bits per vector, banded
@@ -88,17 +91,24 @@ object SimilarityOps {
     val nBands = nPlanes / bandBits
     val planes = for {
       j <- 0 until nPlanes; i <- 1 to dims
-    } yield (j, i, planeW(j, i))
+    } yield (j, i, planeWInt(j, i))
     val planesDf = planes.toDF("j", "i", "w")
+    // the sign bit is the sign of an EXACT INTEGER dot product: micro-
+    // quantized components × milli-unit integer weights. A double sum's
+    // partial-aggregation association order varies with partitioning and
+    // task retries, so a near-zero dot product could flip a bit
+    // nondeterministically (and diverge from the oracle); integer sums
+    // are association-free. |v_micro| ≤ ~2^21, |w| ≤ 2^10, 64 dims →
+    // |sum| ≤ ~2^37, nowhere near long overflow.
     val ev = emb.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("i0", "v")))
       .select(col("vec_id"), (col("i0") + 1).as("i"),
-        col("v").cast("double").as("v"))
+        floor(col("v").cast("double") * lit(1000000.0)).as("v"))
     val dots = ev.join(broadcast(planesDf), "i")
       .groupBy("vec_id", "j").agg(sum(col("v") * col("w")).as("d"))
     val sig = dots.groupBy("vec_id")
       .agg(sum(expr(
-        "CASE WHEN d >= 0.0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+        "CASE WHEN d >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
           "ELSE CAST(0 AS BIGINT) END")).as("sig"))
     val mask = (1L << bandBits) - 1
     val bandRows = (0 until nBands).map { k =>
@@ -138,10 +148,18 @@ object SimilarityOps {
     val cm = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         micro(cosineSim(col("embedding"), col("ce"))).as("cm"))
-    val byCm = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cm").desc, col("cid"))
-    val assign = cm.withColumn("rn", row_number().over(byCm))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cluster"))
+    // assignment argmax as a partial aggregation, not a window: a
+    // row_number window would sort + shuffle the full n×nCentroids score
+    // table just to keep one row per vector. The (cm, cid) pair is
+    // encoded into ONE long — cm·2²⁰ − cid, requiring nCentroids < 2²⁰
+    // — so the aggregate is a plain long max: HashAggregate with
+    // map-side combine inside whole-stage codegen (max over a struct
+    // would fall back to SortAggregate). max picks max cm then min cid,
+    // the oracle's ORDER BY cm DESC, cid tie-break; pmod recovers cid.
+    require(nCentroids < (1 << 20), "centroid id must fit in 20 bits")
+    val assign = cm.groupBy("vec_id")
+      .agg(max(col("cm") * lit(1L << 20) - col("cid")).as("best"))
+      .select(col("vec_id"), pmod(-col("best"), lit(1L << 20)).as("cluster"))
     val probe = cm.filter(col("vec_id") === queryId)
       .orderBy(col("cm").desc, col("cid"))
       .limit(nProbe).select(col("cid").as("probe_cid"))

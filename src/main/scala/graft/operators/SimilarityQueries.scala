@@ -189,9 +189,12 @@ object SimilarityQueries {
        |) WHERE rank <= $PerLabelK ORDER BY label, rank""".stripMargin
 
   private val embedLshOracle: String = {
+    // integer milli-unit weights + micro-quantized components: the sign
+    // bit is the sign of an exact integer sum on BOTH engines (a double
+    // sum's association order differs between engines and partitionings)
     val planeRows = (for {
       j <- 0 until LshPlanes; i <- 1 to 64
-    } yield f"($j, $i, CAST(${SimilarityOps.planeW(j, i)}%.3f AS DOUBLE))")
+    } yield s"($j, $i, CAST(${SimilarityOps.planeWInt(j, i)} AS BIGINT))")
       .mkString(", ")
     val nBands = LshPlanes / LshBandBits
     val mask = (1L << LshBandBits) - 1
@@ -199,12 +202,13 @@ object SimilarityQueries {
     s"""$evCte,
        |pl(j, i, w) AS (SELECT * FROM (VALUES $planeRows) v(j, i, w)),
        |pdots AS (
-       |  SELECT e.vec_id, p.j, sum(e.v * p.w) AS d
+       |  SELECT e.vec_id, p.j,
+       |    sum(CAST(floor(e.v * 1000000.0) AS BIGINT) * p.w) AS d
        |  FROM ev e JOIN pl p ON e.i = p.i GROUP BY 1, 2
        |),
        |sig AS (
        |  SELECT vec_id,
-       |    CAST(sum(CASE WHEN d >= 0.0 THEN (CAST(1 AS BIGINT) << j)
+       |    CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << j)
        |             ELSE 0 END) AS BIGINT) AS sig
        |  FROM pdots GROUP BY 1
        |),

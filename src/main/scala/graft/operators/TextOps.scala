@@ -312,10 +312,9 @@ object TextOps {
     * demand one keeper per transitive CLUSTER — pairs (1,2),(2,3) are
     * one duplicate group, not two independent decisions. Iterative
     * min-label propagation over the (tiny) candidate-pair graph,
-    * driver-coordinated like every Spark iterative algorithm; converges
-    * in component-diameter rounds, and near-dup chains are short. At
-    * massive component counts you'd switch to the large-star/small-star
-    * formulation — same join shapes, fewer rounds.
+    * driver-coordinated like every Spark iterative algorithm; the
+    * distributed path uses pointer jumping so rounds grow with
+    * log(diameter), not diameter.
     *
     * Returns (doc_id, component) for every doc appearing in a pair,
     * component = minimum doc_id reachable (so keepers are the rows with
@@ -360,37 +359,71 @@ object TextOps {
     }
   }
 
-  /** Distributed min-label propagation — the path for pair graphs too
-    * large to union-find on the driver. Rounds = component diameter
-    * (large-star/small-star would cut rounds at extreme sizes).
+  /** Distributed min-label propagation with pointer jumping — the path
+    * for pair graphs too large to union-find on the driver.
+    *
+    * Hardening for deep components at scale:
+    *  - each round ALSO adopts the current label of the node's own label
+    *    ("pointer jumping" — a label is itself a node id in the same
+    *    component), collapsing chains in O(log diameter) rounds instead
+    *    of O(diameter);
+    *  - every round is `localCheckpoint`ed: the round's result is
+    *    materialized once and its lineage truncated, so plans don't grow
+    *    unboundedly across iterations and no round re-runs its
+    *    predecessors;
+    *  - convergence is a changed-label count over the just-materialized
+    *    blocks (the `old` column rides along) — no extra join pipeline
+    *    re-execution for the test;
+    *  - a `maxRounds` cap turns a non-converging run (impossible for
+    *    monotone min-label, but cheap insurance against a planner bug)
+    *    into a loud failure instead of an infinite loop.
     */
   private[operators] def connectedComponentsDistributed(
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    ccDistributed(pairs, maxRounds)._1
+
+  /** Returns (labels, rounds) — rounds exposed so tests can pin the
+    * O(log diameter) convergence of the pointer-jumping formulation.
+    */
+  private[graft] def ccDistributed(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")).cache()
-    var changed = true
-    while (changed) {
+      .withColumn("component", col("doc_id")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds")
+      // min label over neighbors (one shuffle, map-side partial min)
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min("component").as("nbr_min"))
-      val updated = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val stepped = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component").as("old"),
           least(col("component"),
             coalesce(col("nbr_min"), col("component"))).as("component"))
-        .cache()
-      changed = updated.as("u")
-        .join(labels.select(col("doc_id"),
-          col("component").as("old_component")), "doc_id")
-        .filter(col("component") =!= col("old_component"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = updated
+        .localCheckpoint()
+      // pointer jumping: component ids are node ids of the same
+      // component, so the node adopts its label's JUST-stepped label —
+      // known label distance doubles every round
+      val jumped = stepped.join(
+          stepped.select(col("doc_id").as("component"),
+            col("component").as("comp_label")),
+          Seq("component"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("component"),
+            coalesce(col("comp_label"), col("component"))).as("component"))
+      val updated = jumped.localCheckpoint()
+      changed = updated.filter(col("component") =!= col("old")).count()
+      labels = updated.select("doc_id", "component")
+      rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 
   /** The curation pipeline — what this operator family exists FOR,

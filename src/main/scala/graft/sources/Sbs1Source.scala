@@ -32,7 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * out to a driver-side supervisor ([[graft.streaming.Ingest.runSupervised]]).
   * This source embeds that policy: a reader thread re-dials across
   * disconnects and the query keeps running — micro-batches just come up
-  * empty while the dial loop backs off.
+  * empty while the dial loop backs off. When the dial budget is
+  * exhausted the source FAILS the query (rethrown from the next
+  * `latestOffset`/`planInputPartitions`), mirroring the reference's
+  * `sys.exit` at that point — never a silently dead feed.
   *
   * Shape mirrors Spark's own TextSocketMicroBatchStream: the driver-side
   * thread accumulates newline-delimited records (torn records across
@@ -103,10 +106,17 @@ class Sbs1MicroBatchStream(host: String, port: Int, attemptLimit: Int,
   private val buffer = ArrayBuffer.empty[String]
   private var base = 0L
   @volatile private var socket: Socket = _
+  // set exactly once, when the dial budget is exhausted: the reference
+  // sys.exit()s here (dump1090-postgres.py:193-195); a streaming query
+  // must instead FAIL so the driver-side restart/exit policy can engage
+  // — a silently dead feed producing empty micro-batches forever is the
+  // worst outcome
+  @volatile private var terminalFailure: Throwable = _
 
   private val reader = new Thread(s"sbs1-reader-$host:$port") {
     override def run(): Unit = {
       var attempts = 0
+      var lastError: Throwable = null
       while (!stopped.get() && attempts < attemptLimit) {
         try {
           val s = new Socket(host, port)
@@ -121,21 +131,36 @@ class Sbs1MicroBatchStream(host: String, port: Int, attemptLimit: Int,
           }
           s.close() // EOF: peer closed; fall through to re-dial (py:220-237)
         } catch {
-          case _: java.io.IOException => // dial failed or read error
+          case e: java.io.IOException => lastError = e // dial/read error
         }
         if (!stopped.get()) {
           attempts += 1
           Thread.sleep(attemptDelayMs)
         }
       }
+      if (!stopped.get()) {
+        terminalFailure = new java.io.IOException(
+          s"sbs1 $host:$port unreachable: dial budget exhausted " +
+            s"($attemptLimit attempts x ${attemptDelayMs}ms)", lastError)
+      }
     }
   }
   reader.setDaemon(true)
   reader.start()
 
+  /** Rethrow the reader thread's terminal failure on the query thread —
+    * called from every driver-side planning entry point so budget
+    * exhaustion fails the query instead of starving it silently.
+    */
+  private def checkFailure(): Unit = {
+    val t = terminalFailure
+    if (t != null) throw t
+  }
+
   override def initialOffset(): Offset = Sbs1Offset(0L)
 
   override def latestOffset(): Offset = synchronized {
+    checkFailure()
     Sbs1Offset(base + buffer.length)
   }
 
@@ -144,6 +169,7 @@ class Sbs1MicroBatchStream(host: String, port: Int, attemptLimit: Int,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
+    checkFailure()
     val (s, e) = (start.asInstanceOf[Sbs1Offset].count,
       end.asInstanceOf[Sbs1Offset].count)
     val lines = synchronized {

@@ -137,19 +137,33 @@ object Ingest {
     * re-dial up to `connectAttemptLimit` times with a fixed delay; a
     * successful (re)connection resets the budget. Returns when the
     * attempt budget is exhausted — the reference `sys.exit()`s there.
+    *
+    * `start()` is non-blocking and always "succeeds" even against an
+    * unreachable feed (the failure surfaces later in awaitTermination),
+    * so the budget must NOT reset on start() returning: only evidence
+    * that the feed actually worked — a completed micro-batch that
+    * ingested rows — counts as the reference's "successful connection".
+    * Otherwise a persistently-down feed would oscillate 0→1→0 and
+    * retry forever.
     */
   def runSupervised(spark: SparkSession, cfg: Config): Unit = {
     var attempts = 0
     var stoppedGracefully = false
     while (!stoppedGracefully && attempts < cfg.connectAttemptLimit) {
+      var progressed = false
       try {
         val q = start(spark, cfg)
-        attempts = 0
-        q.awaitTermination() // throws on source error
-        stoppedGracefully = true // explicit q.stop(): do not restart
+        try {
+          q.awaitTermination() // throws on source error
+          stoppedGracefully = true // explicit q.stop(): do not restart
+        } catch {
+          case e: Exception =>
+            progressed = q.recentProgress.exists(_.numInputRows > 0)
+            throw e
+        }
       } catch {
         case _: Exception =>
-          attempts += 1
+          attempts = if (progressed) 1 else attempts + 1
           Thread.sleep(cfg.connectAttemptDelayMs)
       }
     }

@@ -62,4 +62,33 @@ class Sbs1SourceSpec extends SparkSpec {
       server.close()
     }
   }
+
+  test("sbs1 source fails the query once the dial budget is exhausted") {
+    val free = new ServerSocket(0)
+    val port = free.getLocalPort
+    free.close() // nothing listening: every dial fails
+    val q = spark.readStream.format("sbs1")
+      .option("host", "localhost").option("port", port)
+      .option("connectAttemptLimit", 2)
+      .option("connectAttemptDelayMs", 100)
+      .load()
+      .writeStream.format("memory").queryName("sbs1_deadfeed")
+      .start()
+    try {
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(60000)
+        // a silently-empty stream would time out with no exception —
+        // that is exactly the bug this test pins
+        fail("query kept running on a permanently-dead feed")
+      }
+      def messages(t: Throwable): List[String] =
+        Option(t).map(x =>
+          Option(x.getMessage).getOrElse("") :: messages(x.getCause))
+          .getOrElse(Nil)
+      assert(messages(ex).exists(_.contains("dial budget exhausted")),
+        s"failure should name the exhausted dial budget: ${messages(ex)}")
+      assert(!q.isActive)
+    } finally if (q.isActive) q.stop()
+  }
 }

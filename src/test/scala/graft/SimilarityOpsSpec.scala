@@ -44,6 +44,16 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L, 4L))
   }
 
+  test("annIvf assignment is a partial aggregation, not a window sort") {
+    // the centroid-assignment argmax must plan as HashAggregate with
+    // map-side combine; a row_number window would sort + shuffle the
+    // full n×nCentroids score table (the dominant cost at scale)
+    val plan = SimilarityOps.annIvf(vecs, 0L, 2, 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("signLshPairs: identical vectors always collide; verified cosine exact") {
     // v0 == v5 (identical, all 16 sign bits equal -> every band matches);
     // the rest are axis-aligned and orthogonal-ish

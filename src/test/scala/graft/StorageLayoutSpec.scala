@@ -26,6 +26,16 @@ class StorageLayoutSpec extends SparkSpec {
     assert(pruned.count() === (1 to 100).count(_ % 4 + 1 == 2))
   }
 
+  test("qProfile reads the table in ONE scan (grouping via Expand)") {
+    val df = graft.operators.RelationalQueries
+      .qProfile(spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("documents"))
+    assert(scans === 1,
+      s"profiling must not scan once per column, got $scans scans")
+    assert(df.count() === 4)
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh != null)

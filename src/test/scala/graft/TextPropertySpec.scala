@@ -94,4 +94,15 @@ class TextPropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === expect)
   }
+
+  test("ccDistributed: 65-node chain converges in log-diameter rounds") {
+    // worst case for plain min-label propagation (diameter 64 would need
+    // 64 rounds); pointer jumping must collapse it in ~log2(64) rounds
+    val pairs = (0 until 64).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
+    val (labels, rounds) = TextOps.ccDistributed(pairs, maxRounds = 15)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 65)
+    assert(out.values.forall(_ == 0L), "all chain nodes reach component 0")
+    assert(rounds <= 10, s"expected log-diameter convergence, got $rounds")
+  }
 }

@@ -56,6 +56,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getDouble(1) === 0.96)
   }
 
+  test("SQL function arity errors are AnalysisExceptions with signature") {
+    import org.apache.spark.sql.AnalysisException
+    val e1 = intercept[AnalysisException](
+      spark.sql("SELECT cosine_sim(array(1.0D))").collect())
+    assert(e1.getMessage.contains("cosine_sim"))
+    val e2 = intercept[AnalysisException](
+      spark.sql("SELECT md5long60()").collect())
+    assert(e2.getMessage.contains("md5long60"))
+  }
+
   test("Md5Long60 equals the composable md5 formulation on random strings") {
     import graft.functions.Hashing
     val df = (1 to 500).map(i => s"probe-$i-\u00e9\u4e2d")
