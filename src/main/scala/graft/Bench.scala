@@ -11,14 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Steady-state methodology: run every query once at the smallest SF
-    // first so whole-stage-codegen compilation (up to ~5s for the wide
-    // minhash aggregate) and JIT are charged to warmup, not to the
-    // measured run; queries are then timed in deterministic (sorted)
-    // order at the target SF.
-    val warmDir = "/root/testdata/sf0.001"
+    // Steady-state methodology: run every query once AT THE MEASURED SF
+    // first, so whole-stage-codegen compilation, JIT, and — crucially —
+    // the AQE-dependent physical shapes (which differ between SFs as
+    // broadcast/coalesce decisions change with data size) are charged
+    // to warmup, not to whichever measured query first touches them.
+    // Queries are then timed in deterministic (sorted) order.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // operators cache intermediates (shingle sets, tf tables) scoped to
     // their own run; drop them between measurements so no query pays

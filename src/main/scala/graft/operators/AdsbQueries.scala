@@ -153,6 +153,38 @@ object AdsbQueries {
       .orderBy("hex_ident", "num")
   }
 
+  /** F5 as true WKT: the 24h points with an `ST_AsText`-style
+    * `POINT (x y)` column ([[graft.functions.Wkt]]) — closes the GIS-
+    * consumer gap left by the coordinate-pair shape of [[qPoints24h]].
+    */
+  def qPointsWkt(spark: SparkSession, dir: String): DataFrame = {
+    val now = lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    Views.locations(eventsAsAdsb(spark, dir))
+      .filter(col("parsed_time")
+        .between(now - expr("INTERVAL 24 HOURS"), now))
+      .select(col("hex_ident"), col("lon").as("x"), col("lat").as("y"),
+        graft.functions.Wkt.point(col("lon"), col("lat")).as("wkt"))
+      .orderBy("hex_ident", "x", "y")
+  }
+
+  /** F6 as true WKT: trajectory segments as `LINESTRING (x1 y1, x2 y2)`
+    * strings — [[qLines]]'s 4-coordinate shape for GIS consumers.
+    */
+  def qLinesWkt(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("hex_ident"))
+      .orderBy(col("parsed_time"), col("lon"))
+    Views.locations(eventsAsAdsb(spark, dir))
+      .select(col("hex_ident"), col("parsed_time"), col("lon"), col("lat"))
+      .withColumn("num", row_number().over(w))
+      .withColumn("x2", lead(col("lon"), 1).over(w))
+      .withColumn("y2", lead(col("lat"), 1).over(w))
+      .filter(col("y2").isNotNull)
+      .select(col("hex_ident"), col("num"),
+        graft.functions.Wkt.line(col("lon"), col("lat"),
+          col("x2"), col("y2")).as("wkt"))
+      .orderBy("hex_ident", "num")
+  }
+
   /** S2-S6/§2.9.6: the full parse pipeline over the reference's 14-line
     * sample corpus (README.md:82-94). Of 14 lines exactly 6 survive the
     * arity / strict-cast / NOT-NULL gates; the oracle is the hand-derived
@@ -322,6 +354,28 @@ object AdsbQueries {
          |  FROM locations
          |  WINDOW w AS (PARTITION BY hex_ident ORDER BY parsed_time, lon)
          |) q WHERE y2 IS NOT NULL
+         |ORDER BY hex_ident, num""".stripMargin,
+    "q_points_wkt" ->
+      s"""$adsbCte $locationsCte
+         |SELECT hex_ident, lon AS x, lat AS y,
+         |  ${graft.functions.Wkt.pointSql("lon", "lat")} AS wkt
+         |FROM locations
+         |WHERE parsed_time BETWEEN TIMESTAMP '2024-01-02 00:00:00' - INTERVAL 24 HOUR
+         |                      AND TIMESTAMP '2024-01-02 00:00:00'
+         |ORDER BY hex_ident, x, y""".stripMargin,
+    "q_lines_wkt" ->
+      s"""$adsbCte $locationsCte
+         |SELECT hex_ident, num,
+         |  ${graft.functions.Wkt.lineSql("x", "y", "x2", "y2")} AS wkt
+         |FROM (
+         |  SELECT hex_ident,
+         |         row_number() OVER w AS num,
+         |         lon AS x, lat AS y,
+         |         lead(lon) OVER w AS x2,
+         |         lead(lat) OVER w AS y2
+         |  FROM locations
+         |  WINDOW w AS (PARTITION BY hex_ident ORDER BY parsed_time, lon)
+         |) q WHERE y2 IS NOT NULL
          |ORDER BY hex_ident, num""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,5 +388,7 @@ object AdsbQueries {
     "q_track_one"  -> (qTrackOne _),
     "q_recent5"    -> (qRecent5 _),
     "q_points_24h" -> (qPoints24h _),
-    "q_lines"      -> (qLines _))
+    "q_lines"      -> (qLines _),
+    "q_points_wkt" -> (qPointsWkt _),
+    "q_lines_wkt"  -> (qLinesWkt _))
 }
