@@ -58,6 +58,41 @@ object ScaleProbe {
       time(s"ann_topk_${c}x")(
         SimilarityOps.annTopK(e, 0L, 10).count())
     }
+
+    // Production sign-LSH setting (ScaleLshPlanes × ScaleLshBandBits,
+    // see SimilarityOps). Candidate COUNT on replicated identical data
+    // is exactly quadratic for any similarity-preserving LSH (every
+    // cross-replica copy-pair of a 1× candidate is itself a candidate —
+    // measured 65x at 8x, k²=64 plus the identical-copy pairs), so
+    // "sub-quadratic growth" is not the invariant to pin. The invariant
+    // that holds at 100 TB is the candidate FRACTION: of all n²/2
+    // pairs, ~nBands·2^-bandBits collide on unclustered data — the
+    // band-width dial (4→8 bits cuts the constant 16×) plus balanced
+    // buckets (a skewed plane would blow the constant past theory).
+    val cand = Seq(1, k).map { c =>
+      val e = replicate(emb, "vec_id", c)
+      var n = 0L
+      time(s"lsh_scale_cand_${c}x") {
+        n = SimilarityOps.signLshCandidates(e,
+          SimilarityOps.ScaleLshPlanes, SimilarityOps.ScaleLshBandBits)
+          .count()
+        n
+      }
+      c -> n
+    }.toMap
+    println(f"SCALE lsh_scale_cand_growth ${
+      cand(k).toDouble / math.max(1L, cand(1))}%.1fx at ${k}x " +
+      f"(identical-replica floor=${k * k}x)")
+    val nVec = emb.count() * k
+    val frac = cand(k).toDouble / (nVec.toDouble * (nVec - 1) / 2.0)
+    val nBands = SimilarityOps.ScaleLshPlanes / SimilarityOps.ScaleLshBandBits
+    val theory = nBands * math.pow(2.0, -SimilarityOps.ScaleLshBandBits)
+    println(f"SCALE lsh_scale_cand_fraction ${100 * frac}%.2f%% of all " +
+      f"pairs (unclustered theory ${100 * theory}%.2f%%, bound ${
+        300 * theory}%.2f%%)")
+    require(frac <= 3 * theory,
+      f"scale-config candidate fraction $frac%.4f exceeds 3x the " +
+        f"B*2^-b theory bound — check hyperplane/bucket balance")
     spark.stop()
   }
 }

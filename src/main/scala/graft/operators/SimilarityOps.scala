@@ -75,16 +75,33 @@ object SimilarityOps {
   /** The real-valued weight: [[planeWInt]] / 1000. */
   def planeW(j: Int, i: Int): Double = planeWInt(j, i) / 1000.0
 
-  /** Sign-LSH near-dup pairs — the label-free scale path for
-    * [[embedNearDupPairs]]: 16 hyperplane sign bits per vector, banded
-    * 4×4; vectors sharing any band bucket become candidates, verified
-    * with exact cosine. Candidate generation is a bucket join (no
-    * blocking column needed, no O(n²)); recall at cos≥0.5 is ~59% per
-    * the standard 1-θ/π sign-agreement bound — raise nPlanes/bands for
-    * higher recall at scale.
+  /** The documented 100 TB sign-LSH configuration: 32 planes banded
+    * 4×8 bits (the corpus/test tuning is 16 planes × 4-bit bands).
+    *
+    * The math (collision prob per plane p = 1 − θ/π, band match p^b,
+    * any-of-B-bands recall 1 − (1 − p^b)^B):
+    *  - TRUE near-dups are high-cosine at scale: at cos ≥ 0.95
+    *    (p ≈ 0.899) an 8-bit band matches with p⁸ ≈ 0.43 → recall
+    *    ≈ 0.89 over 4 bands; at cos 0.9, recall ≈ 0.75.
+    *  - RANDOM pairs (cos ≈ 0, p ≈ ½) collide per band at ~2⁻ᵇ: the
+    *    candidate count on unclustered data is ~B·n²·2⁻ᵇ — widening
+    *    bands 4→8 bits cuts the quadratic term 16× (measured in
+    *    ScaleProbe), which is the dial that keeps bucket joins
+    *    tractable as n grows; b is chosen so n²·2⁻ᵇ fits the cluster.
+    * The corpus tuning (4-bit bands) exists because the test corpus's
+    * "near-dups" sit near cos 0.5, where 8-bit bands would have ~4%
+    * recall — at production thresholds the scale config dominates.
     */
-  def signLshPairs(emb: DataFrame, nPlanes: Int, bandBits: Int,
-                   cosMicroMin: Long): DataFrame = {
+  val ScaleLshPlanes = 32
+  val ScaleLshBandBits = 8
+
+  /** Sign-LSH candidate pairs: nPlanes hyperplane sign bits per vector,
+    * banded (nPlanes/bandBits)×bandBits; vectors sharing any band
+    * bucket are candidates. A bucket join — no blocking column, no
+    * O(n²) scan; see [[ScaleLshPlanes]] for parameter selection.
+    */
+  def signLshCandidates(emb: DataFrame, nPlanes: Int,
+                        bandBits: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dims = 64
@@ -119,11 +136,20 @@ object SimilarityOps {
     val bands = sig.select(col("vec_id"),
         explode(array(bandRows: _*)).as("s"))
       .select(col("vec_id"), col("s.k").as("k"), col("s.band").as("band"))
-    val cand = bands.select(col("vec_id").as("d1"), col("k"), col("band"))
+    bands.select(col("vec_id").as("d1"), col("k"), col("band"))
       .join(bands.select(col("vec_id").as("d2"), col("k"), col("band")),
         Seq("k", "band"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+  }
+
+  /** Sign-LSH near-dup pairs — the label-free scale path for
+    * [[embedNearDupPairs]]: [[signLshCandidates]] bucket join, then
+    * exact-cosine verification over candidates only.
+    */
+  def signLshPairs(emb: DataFrame, nPlanes: Int, bandBits: Int,
+                   cosMicroMin: Long): DataFrame = {
+    val cand = signLshCandidates(emb, nPlanes, bandBits)
     val e1 = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
     val e2 = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
     cand.join(e1, "d1").join(e2, "d2")
