@@ -434,11 +434,15 @@ object TextOps {
     * joins and the anti-join against the (tiny) drop set broadcasts.
     */
   def curate(docs: DataFrame, n: Int, maxDf: Long, dupJacMin: Long,
-             qualityMicroMin: Long): DataFrame = {
+             qualityMicroMin: Long,
+             pairs: Option[DataFrame] = None): DataFrame = {
     val stats = tokenStats(docs).select("doc_id", "n_tokens",
       "quality_micro")
     val lang = langId(docs).select("doc_id", "lang_pred")
-    val drops = ngramJaccardPairs(docs, n, maxDf, dupJacMin)
+    // callers holding a shared pair relation (see [[PairRelations]])
+    // pass it in; default stays self-contained
+    val drops = pairs
+      .getOrElse(ngramJaccardPairs(docs, n, maxDf, dupJacMin))
       .select(col("d2").as("doc_id")).distinct()
     stats.join(lang, "doc_id")
       .join(drops, Seq("doc_id"), "left_anti")

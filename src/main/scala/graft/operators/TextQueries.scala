@@ -40,9 +40,16 @@ object TextQueries {
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     TextOps.dedupExact(docs(spark, dir)).orderBy("keeper")
 
+  /** The shared verified pair relation — q_dedup_ngram, q_curate, and
+    * q_dedup_clusters all consume it; [[PairRelations]] computes it
+    * once per session.
+    */
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    PairRelations.ngramPairs(spark, dir, docs(spark, dir), ShingleN,
+      MaxShingleDf, NgramJacMin)
+
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
-    TextOps.ngramJaccardPairs(docs(spark, dir), ShingleN, MaxShingleDf,
-      NgramJacMin).orderBy("d1", "d2")
+    ngramPairs(spark, dir).orderBy("d1", "d2")
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashLshPairs(docs(spark, dir), ShingleN, MinhashJacMin)
@@ -81,7 +88,8 @@ object TextQueries {
 
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     TextOps.curate(docs(spark, dir), ShingleN, MaxShingleDf, NgramJacMin,
-      CurateQualityMin).orderBy("lang_pred")
+      CurateQualityMin, pairs = Some(ngramPairs(spark, dir)))
+      .orderBy("lang_pred")
 
   // ------------------------------------------------------------- oracles
 
@@ -363,9 +371,7 @@ object TextQueries {
     * near-dup pairs.
     */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    TextOps.connectedComponents(
-      TextOps.ngramJaccardPairs(docs(spark, dir), ShingleN, MaxShingleDf,
-        NgramJacMin))
+    TextOps.connectedComponents(ngramPairs(spark, dir))
       .orderBy("doc_id")
 
   private val dedupClustersOracle =

@@ -133,6 +133,30 @@ object Ingest {
     df.withColumn("parsed_time", col("parsed_time").cast("timestamp"))
       .write.mode("append").jdbc(url, table, props)
 
+  /** The exact `Properties` a PostgreSQL deployment passes to
+    * [[startJdbc]], mirroring the reference's connection options
+    * (dump1090-postgres.py:144-150): its `options='-c search_path=…'`
+    * becomes the pgJDBC `currentSchema` parameter and its
+    * `application_name` maps 1:1. This environment has no PostgreSQL
+    * (the sink is integration-tested on embedded Derby, which ignores
+    * unknown properties), so this helper IS the documented deployment
+    * contract: `startJdbc(spark, cfg, "jdbc:postgresql://host/db",
+    * "dump1090.dump1090", pgProperties(user, pass))`.
+    */
+  def pgProperties(user: String, password: String,
+                   searchPath: String = "dump1090",
+                   applicationName: String = "dump1090-db-stream")
+  : java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    p.setProperty("currentSchema", searchPath)
+    p.setProperty("ApplicationName", applicationName)
+    // append-only firehose: batched inserts, no generated-key fetch
+    p.setProperty("reWriteBatchedInserts", "true")
+    p
+  }
+
   /** Reference retry policy (dump1090-postgres.py:181-198, :220-237):
     * re-dial up to `connectAttemptLimit` times with a fixed delay; a
     * successful (re)connection resets the budget. Returns when the

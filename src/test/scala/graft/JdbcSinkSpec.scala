@@ -39,4 +39,21 @@ class JdbcSinkSpec extends SparkSpec {
       assert(rows("4CA2D6") === 37000)
     } finally q.stop()
   }
+
+  test("pgProperties maps the reference's connection options") {
+    // dump1090-postgres.py:144-150: search_path option + application_name
+    val p = Ingest.pgProperties("ingest", "secret")
+    assert(p.getProperty("currentSchema") === "dump1090")
+    assert(p.getProperty("ApplicationName") === "dump1090-db-stream")
+    assert(p.getProperty("user") === "ingest")
+    assert(p.getProperty("reWriteBatchedInserts") === "true")
+    // Derby ignores the pg-specific properties (and scopes tables to
+    // the user's schema), so the same Properties object must remain
+    // usable against the integration-test database
+    val url = "jdbc:derby:memory:graftJdbcProps;create=true"
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite")
+      .jdbc(url, "props_probe", Ingest.pgProperties("ingest", "secret"))
+    assert(spark.read.jdbc(url, "props_probe",
+      Ingest.pgProperties("ingest", "secret")).count() === 1)
+  }
 }
