@@ -79,6 +79,9 @@ object SimilarityQueries {
       .orderBy("label", "rank")
   }
 
+  def qQuantize(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.quantizeInt8(emb(spark, dir)).orderBy("vec_id", "i")
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -235,7 +238,22 @@ object SimilarityQueries {
        |) WHERE cos_micro >= $LshCosMin ORDER BY d1, d2""".stripMargin
   }
 
+  private val quantizeOracle =
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |am AS (SELECT vec_id, max(abs(v)) AS amax FROM ev GROUP BY 1)
+       |SELECT e.vec_id, CAST(e.i AS BIGINT) AS i,
+       |  CASE WHEN am.amax = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(e.v * 127.0 / am.amax) AS BIGINT) END AS q,
+       |  ${Hashing.microSql("am.amax")} AS amax_micro
+       |FROM ev e JOIN am ON e.vec_id = am.vec_id
+       |ORDER BY e.vec_id, i""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_ann_topk"       -> (qAnnTopK _),
@@ -243,6 +261,7 @@ object SimilarityQueries {
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,
     "q_ann_topk"       -> annTopKOracle,

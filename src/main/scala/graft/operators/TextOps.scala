@@ -454,6 +454,54 @@ object TextOps {
           .as("avg_quality_micro"))
   }
 
+  /** Deterministic stratified train/val/test split — the training-mix
+    * assignment step of a data pipeline. The split is a pure function
+    * of doc_id (salted md5 bucket 0-99), so it is stable across runs,
+    * engines, and re-partitioning — never `rand()`, which would make
+    * the split irreproducible and retries inconsistent. One narrow
+    * projection + one partial-agg shuffle of (lang, split) pairs.
+    */
+  def sampleSplit(docs: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    val bucket =
+      md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val").otherwise("test")
+    docs.select(col("lang"), split.as("split"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+  }
+
+  /** Sequence packing (LLM training prep): assign each document a
+    * (shard, bin, offset) position in fixed-size context windows, docs
+    * packed contiguously in doc_id order within a shard (straddling a
+    * bin boundary = the standard packed-sample-with-continuation
+    * layout). Packing is inherently sequential, so the scale unit is
+    * the SHARD — a deterministic md5 bucket of doc_id; the window sum
+    * runs per shard (one shuffle, no global ordering anywhere). At
+    * 100 TB you raise nShards so each shard's token stream fits an
+    * executor's window state; all math is exact integer arithmetic.
+    */
+  def packSequences(docs: DataFrame, nShards: Int,
+                    ctxLen: Long): DataFrame = {
+    val shard =
+      md5Long(concat(lit("shard:"), col("doc_id").cast("string"))) %
+        nShards.toLong
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"), shard.as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // (cum - n_tok) = the doc's start offset in the shard token stream;
+    // ctxLen is a power of two so the long/long->double division is
+    // exact and the truncating cast equals floor division cross-engine
+    base.withColumn("cum", sum("n_tok").over(w))
+      .select(col("shard"), col("doc_id"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / ctxLen).cast("long").as("bin"),
+        ((col("cum") - col("n_tok")) % ctxLen).as("bin_offset"))
+  }
+
   /** Per-doc 32-bit SimHash over token occurrences (md5-based bit votes).
     * One explode + one hash-aggregate with 32 conditional sums — a single
     * shuffle of partial sums.

@@ -398,7 +398,57 @@ object TextQueries {
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- training-mix operators
+
+  val TrainPct = 80
+  val ValPct = 10
+  val PackShards = 8
+  val PackCtxLen = 2048L // power of two: exact floor division cross-engine
+
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sampleSplit(Tables.documents(spark, dir), TrainPct, ValPct)
+      .orderBy("lang", "split")
+
+  def qPack(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(spark, dir), PackShards, PackCtxLen)
+      .orderBy("shard", "doc_id")
+
+  private val splitBucketSql =
+    s"${Hashing.md5LongSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+
+  private val sampleSplitOracle =
+    s"""SELECT lang, split, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |FROM (
+       |  SELECT lang,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  private val packOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${Hashing.md5LongSql("'shard:' || CAST(doc_id AS VARCHAR)")}
+       |      % $PackShards AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT shard, doc_id, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM base
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tok,
+       |  CAST((cum - n_tok) // $PackCtxLen AS BIGINT) AS bin,
+       |  CAST((cum - n_tok) % $PackCtxLen AS BIGINT) AS bin_offset
+       |FROM c ORDER BY shard, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_split"   -> (qSampleSplit _),
+    "q_pack"           -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
@@ -413,6 +463,8 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_split"   -> sampleSplitOracle,
+    "q_pack"           -> packOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,

@@ -54,6 +54,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("quantizeInt8: absmax scaling, floor semantics, zero-vector guard") {
+    val out = SimilarityOps.quantizeInt8(emb(
+        (0L, Seq(1f, -0.5f), 0),
+        (1L, Seq(0f, 0f), 0)))
+      .orderBy("vec_id", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Seq(
+      (0L, 1L, 127L, 1000000L),   // 1.0 * 127 / 1.0 = 127
+      (0L, 2L, -64L, 1000000L),   // floor(-63.5) = -64
+      (1L, 1L, 0L, 0L),           // zero vector -> q = 0, scale 0
+      (1L, 2L, 0L, 0L)))
+  }
+
   test("signLshPairs: identical vectors always collide; verified cosine exact") {
     // v0 == v5 (identical, all 16 sign bits equal -> every band matches);
     // the rest are axis-aligned and orthogonal-ish

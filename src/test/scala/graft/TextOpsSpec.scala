@@ -18,6 +18,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === Seq.empty)
   }
 
+  test("sampleSplit: deterministic, exhaustive, and stratified by lang") {
+    val d = (1L to 200L).map(i => (i, s"doc $i tokens here", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.sampleSplit(d, 80, 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // every doc lands in exactly one split
+    assert(out.values.map(_._1).sum === 200L)
+    assert(out.keys.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // pure function of doc_id: a second run is identical
+    val again = TextOps.sampleSplit(d, 80, 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
+
+  test("packSequences: contiguous integer packing per shard") {
+    val d = (1L to 100L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val rows = TextOps.packSequences(d, 4, 16L)
+      .orderBy("shard", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._2).toSet === (1L to 100L).toSet)
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.foreach { case (_, _, nTok, bin, off) =>
+        assert(bin === cum / 16L, "bin = start offset / ctx")
+        assert(off === cum % 16L)
+        assert(off >= 0L && off < 16L)
+        cum += nTok
+      }
+    }
+  }
+
   test("tokenStats: counts and micro ratios") {
     val r = TextOps.tokenStats(docs((1L, "the a the b"))).collect().head
     assert(r.getAs[Long]("n_tokens") === 4L)
