@@ -81,6 +81,29 @@ object TextOps {
       micro(quality).as("quality_micro"))
   }
 
+  /** GPT-style BPE pre-tokenization pattern, restricted to the subset
+    * with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    * leftmost-first alternation over contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs, and residual spaces.
+    * (The real GPT-2 pattern's `\p{L}` classes and negative lookahead
+    * are not RE2-expressible — ASCII classes keep both engines exact.)
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** Token counting under both tokenization models a data pipeline
+    * budgets with: whitespace words and BPE-style pre-tokens. One
+    * narrow projection, no shuffle; the regex runs inside codegen.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val nWs = size(tokens(col("text"))).cast("long")
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern),
+      lit(0))).cast("long")
+    docs.select(col("doc_id"), nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      micro(nBpe / nWs).as("bpe_ws_micro"))
+  }
+
   /** Language-ID profiles: (weight, substring) evidence lists per
     * language, scored by substring occurrence counts. A toy character-
     * n-gram classifier, but the *operator* is the point: deterministic,

@@ -398,6 +398,21 @@ object TextQueries {
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
+
+  private val tokenBpeOracle = {
+    val pat = TextOps.BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  ${Hashing.microSql(
+        "len(regexp_extract_all(text, '" + pat + "')) * 1.0 / " +
+          "len(string_split(text, ' '))")} AS bpe_ws_micro
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- training-mix operators
 
   val TrainPct = 80
@@ -447,6 +462,7 @@ object TextQueries {
        |FROM c ORDER BY shard, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_bpe"      -> (qTokenBpe _),
     "q_sample_split"   -> (qSampleSplit _),
     "q_pack"           -> (qPack _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -463,6 +479,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_token_bpe"      -> tokenBpeOracle,
     "q_sample_split"   -> sampleSplitOracle,
     "q_pack"           -> packOracle,
     "q_dedup_clusters" -> dedupClustersOracle,

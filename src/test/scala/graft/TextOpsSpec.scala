@@ -18,6 +18,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === Seq.empty)
   }
 
+  test("tokenCounts: BPE-style pre-tokens vs whitespace words") {
+    val out = TextOps.tokenCounts(docs(
+        (1L, "don't stop"),
+        (2L, "hello, world! 42")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // don|'t| stop ; hello|,| world|!| 42
+    assert(out(1L) === (2L, 3L))
+    assert(out(2L) === (3L, 5L))
+  }
+
   test("sampleSplit: deterministic, exhaustive, and stratified by lang") {
     val d = (1L to 200L).map(i => (i, s"doc $i tokens here", s"l${i % 3}"))
       .toDF("doc_id", "text", "lang")
