@@ -477,6 +477,32 @@ object TextOps {
           .as("avg_quality_micro"))
   }
 
+  /** PII detection/redaction patterns — the RE2∩Java-safe subset
+    * (ASCII classes, no lookahead), so Spark and the oracle match
+    * byte-for-byte. Real deployments extend the pattern list; the
+    * operator shape (count + redact + rehash) is the contract.
+    */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub (training-data compliance stage): per-doc match counts
+    * plus the sha256 of the redacted text (emails first, then phones —
+    * replacement order is part of the contract). Pure projection, zero
+    * shuffles, regex inside codegen.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      sha2(redacted.cast("binary"), 256).as("redacted_sha"))
+  }
+
   /** Deterministic stratified train/val/test split — the training-mix
     * assignment step of a data pipeline. The split is a pure function
     * of doc_id (salted md5 bucket 0-99), so it is stable across runs,

@@ -401,6 +401,23 @@ object TextQueries {
   def qTokenBpe(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
 
+  def qPii(spark: SparkSession, dir: String): DataFrame =
+    TextOps.piiScrub(docs(spark, dir)).orderBy("doc_id")
+
+  private val piiOracle = {
+    // SQL single-quoted strings pass backslashes through literally, so
+    // the Java/RE2 pattern injects unchanged
+    val em = TextOps.EmailPattern
+    val ph = TextOps.PhonePattern
+    // DuckDB regexp_replace is first-match-only without the 'g' flag
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+       |  sha256(regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+       |                        '$ph', '<PHONE>', 'g')) AS redacted_sha
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val tokenBpeOracle = {
     val pat = TextOps.BpePattern.replace("'", "''")
     s"""SELECT doc_id,
@@ -462,6 +479,7 @@ object TextQueries {
        |FROM c ORDER BY shard, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii"            -> (qPii _),
     "q_token_bpe"      -> (qTokenBpe _),
     "q_sample_split"   -> (qSampleSplit _),
     "q_pack"           -> (qPack _),
@@ -479,6 +497,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_pii"            -> piiOracle,
     "q_token_bpe"      -> tokenBpeOracle,
     "q_sample_split"   -> sampleSplitOracle,
     "q_pack"           -> packOracle,

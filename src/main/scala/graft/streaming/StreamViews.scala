@@ -52,6 +52,27 @@ object StreamViews {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicates("content_sha")
 
+  /** Flight legs via the built-in `session_window` (gap-based): the
+    * declarative counterpart of the custom `flatMapGroupsWithState`
+    * legs in [[FlightSessions]] — the preference-order demonstration:
+    * built-in session state (RocksDB-capable, watermark-evicted) over
+    * hand-rolled state unless per-event emission semantics are needed.
+    * State per key = one open session per active aircraft.
+    */
+  def flightSessions(parsed: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    parsed
+      .filter(col("lat").isNotNull)
+      .withWatermark("parsed_time", watermark)
+      .groupBy(session_window(col("parsed_time"), gap), col("hex_ident"))
+      .agg(count(lit(1)).as("n_fixes"),
+        min("parsed_time").as("first_fix"),
+        max("parsed_time").as("last_fix"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("hex_ident"), col("n_fixes"), col("first_fix"),
+        col("last_fix"))
+
   /** Streaming `callsigns` view (create_schema.sql:85-93 semantics):
     * first/last-seen per (callsign, hex_ident) per tumbling day.
     */

@@ -47,6 +47,33 @@ class StreamViewsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flightSessions: gap-based session windows split legs") {
+    val ms = MemoryStream[(String, Timestamp)](spark)
+    val parsed = Sbs1.parse(
+      ms.toDF().toDF("value", "evt"), parsedTime = col("evt"))
+    val q = StreamViews.flightSessions(parsed, "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("flight_sessions")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData(
+        // leg 1: two fixes 10 min apart; leg 2 starts 90 min later
+        (posLine("AAA111"), t("2024-01-01 10:00:00")),
+        (posLine("AAA111"), t("2024-01-01 10:10:00")),
+        (posLine("AAA111"), t("2024-01-01 11:40:00")),
+        (posLine("BBB222"), t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT hex_ident, n_fixes FROM flight_sessions")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(out.count(_._1 == "AAA111") === 2,
+        "a 90-minute gap must split the aircraft into two sessions")
+      assert(out.filter(_._1 == "AAA111").map(_._2).sorted.toSeq ===
+        Seq(1L, 2L))
+      assert(out.count(_._1 == "BBB222") === 1)
+    } finally q.stop()
+  }
+
   test("streaming callsigns: first/last seen per day window") {
     val ms = MemoryStream[(String, Timestamp)](spark)
     def csLine(hex: String, cs: String): String =

@@ -18,6 +18,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === Seq.empty)
   }
 
+  test("piiScrub: counts and redacts planted emails/phones") {
+    val out = TextOps.piiScrub(docs(
+        (1L, "mail me at a.b+c@ex-ample.org or call 555-867-5309 now"),
+        (2L, "clean text only")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(out(1L)._2 === 1L)
+    val expectedRedacted = "mail me at <EMAIL> or call <PHONE> now"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(expectedRedacted.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L)._3 === sha, "redaction order: emails then phones")
+    assert(out(2L) === (0L, 0L,
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest("clean text only".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+  }
+
   test("tokenCounts: BPE-style pre-tokens vs whitespace words") {
     val out = TextOps.tokenCounts(docs(
         (1L, "don't stop"),
