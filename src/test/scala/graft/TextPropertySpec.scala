@@ -95,6 +95,19 @@ class TextPropertySpec extends SparkSpec {
     assert(dist === expect)
   }
 
+  test("distributed CC matches driver union-find on the real pair graph") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val pairs = TextOps.ngramJaccardPairs(docs, 5, 1000L, 800000L)
+    def labels(driverMax: Long) =
+      TextOps.connectedComponents(pairs, driverMaxPairs = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = labels(1L << 22)
+    val viaDistributed = labels(0L)
+    assert(viaDistributed === viaDriver)
+    assert(viaDriver.nonEmpty, "sf0.001 must contain near-dup pairs")
+  }
+
   test("ccDistributed: 65-node chain converges in log-diameter rounds") {
     // worst case for plain min-label propagation (diameter 64 would need
     // 64 rounds); pointer jumping must collapse it in ~log2(64) rounds
