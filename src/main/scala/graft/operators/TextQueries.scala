@@ -404,6 +404,36 @@ object TextQueries {
   def qPii(spark: SparkSession, dir: String): DataFrame =
     TextOps.piiScrub(docs(spark, dir)).orderBy("doc_id")
 
+  val WinnowK = 8
+  val WinnowW = 4
+
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(docs(spark, dir), WinnowK, WinnowW)
+      .orderBy("doc_id", "fingerprint")
+
+  private val winnowOracle = {
+    val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(range(1, length(text) - $k + 2), i ->
+       |        list_reduce(list_prepend(0, list_transform(range(0, $k),
+       |          j -> ord(text[i+j]))), (a, b) -> (a * 31 + b) % $m))
+       |    ELSE [] END AS hs
+       |  FROM documents
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= $w THEN
+       |      list_distinct(list_transform(range(1, len(hs) - $w + 2), p ->
+       |        list_min(hs[p:p+${w - 1}])))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE [] END AS fps
+       |  FROM kg
+       |)
+       |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
+       |FROM fp ORDER BY doc_id, fingerprint""".stripMargin
+  }
+
   private val piiOracle = {
     // SQL single-quoted strings pass backslashes through literally, so
     // the Java/RE2 pattern injects unchanged
@@ -480,6 +510,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii"            -> (qPii _),
+    "q_winnow"         -> (qWinnow _),
     "q_token_bpe"      -> (qTokenBpe _),
     "q_sample_split"   -> (qSampleSplit _),
     "q_pack"           -> (qPack _),
@@ -498,6 +529,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pii"            -> piiOracle,
+    "q_winnow"         -> winnowOracle,
     "q_token_bpe"      -> tokenBpeOracle,
     "q_sample_split"   -> sampleSplitOracle,
     "q_pack"           -> packOracle,

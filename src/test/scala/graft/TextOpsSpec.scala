@@ -18,6 +18,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === Seq.empty)
   }
 
+  test("winnowFingerprints: matches the hand-computed winnow set") {
+    // k=8, w=4 over "hello world abc": gram hashes computed by the
+    // rolling recurrence a' = (a*31 + ord(c)) mod 2^25; winnow mins
+    // verified by hand against the reference algorithm
+    val out = TextOps.winnowFingerprints(
+        docs((1L, "hello world abc"), (2L, "short")), 8, 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    assert(out(1L) === Set(2615151L, 3067573L))
+    assert(!out.contains(2L), "docs shorter than k emit no fingerprints")
+    // shared-substring guarantee: any common substring of length >=
+    // k+w-1 yields at least one shared fingerprint
+    val shared = TextOps.winnowFingerprints(docs(
+        (1L, "prefix AAA the quick brown fox jumps ZZZ"),
+        (2L, "other text the quick brown fox jumps yy")), 8, 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    assert((shared(1L) & shared(2L)).nonEmpty)
+  }
+
   test("piiScrub: counts and redacts planted emails/phones") {
     val out = TextOps.piiScrub(docs(
         (1L, "mail me at a.b+c@ex-ample.org or call 555-867-5309 now"),
