@@ -38,6 +38,24 @@ class TextOpsSpec extends SparkSpec {
     assert((shared(1L) & shared(2L)).nonEmpty)
   }
 
+  test("winnowFingerprints: codegen and interpreted paths agree") {
+    val d = docs((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a" * 40), (3L, "short"))
+    def run(): Seq[(Long, Long)] =
+      TextOps.winnowFingerprints(d, 8, 4).orderBy("doc_id", "fingerprint")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val withCodegen = run()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("piiScrub: counts and redacts planted emails/phones") {
     val out = TextOps.piiScrub(docs(
         (1L, "mail me at a.b+c@ex-ample.org or call 555-867-5309 now"),
