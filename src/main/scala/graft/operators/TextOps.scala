@@ -503,6 +503,46 @@ object TextOps {
     docs.select(col("doc_id"), explode(fps).as("fingerprint"))
   }
 
+  /** Train/test contamination audit — the decontamination pass every
+    * LLM training pipeline runs before evaluation: for each (test doc,
+    * train doc) pair, the fraction of the test doc's winnowing
+    * fingerprints that also appear in the train doc. High overlap =
+    * the eval set leaks into training (here: planted near-dups whose
+    * copies straddle the split).
+    *
+    * Composition of this engine's own stages: [[sampleSplit]]'s hash
+    * split + [[winnowFingerprints]] + the D2 inverted-index join
+    * discipline (document-frequency cap on the fingerprint key bounds
+    * per-key fan-out — boilerplate shared by thousands of docs must
+    * not become a quadratic join key at 100 TB).
+    */
+  def contamination(docs: DataFrame, trainPct: Int, valPct: Int,
+                    k: Int, w: Int, maxDf: Long,
+                    ratioMicroMin: Long): DataFrame = {
+    val bucket =
+      md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val").otherwise("test")
+    val fs = winnowFingerprints(docs, k, w)
+      .join(docs.select(col("doc_id"), split.as("split")), "doc_id")
+    val keep = fs.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fingerprint")
+    val fsk = fs.join(keep, "fingerprint")
+    val nf = fsk.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val te = fsk.filter(col("split") === "test")
+      .select(col("fingerprint"), col("doc_id").as("test_doc"))
+    val tr = fsk.filter(col("split") === "train")
+      .select(col("fingerprint"), col("doc_id").as("train_doc"))
+    val ov = te.join(tr, "fingerprint")
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("shared_fps"))
+    ov.join(nf.select(col("doc_id").as("test_doc"), col("n_fp")),
+        "test_doc")
+      .withColumn("ratio_micro", micro(col("shared_fps") / col("n_fp")))
+      .filter(col("ratio_micro") >= ratioMicroMin)
+      .select("test_doc", "train_doc", "shared_fps", "ratio_micro")
+  }
+
   /** PII detection/redaction patterns — the RE2∩Java-safe subset
     * (ASCII classes, no lookahead), so Spark and the oracle match
     * byte-for-byte. Real deployments extend the pattern list; the

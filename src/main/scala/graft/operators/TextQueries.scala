@@ -411,6 +411,69 @@ object TextQueries {
     TextOps.winnowFingerprints(docs(spark, dir), WinnowK, WinnowW)
       .orderBy("doc_id", "fingerprint")
 
+  val ContamMaxDf = 1000L
+  val ContamRatioMin = 500000L // >= 50% of the test doc's fingerprints
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame =
+    TextOps.contamination(docs(spark, dir), TrainPct, ValPct, WinnowK,
+      WinnowW, ContamMaxDf, ContamRatioMin)
+      .orderBy("test_doc", "train_doc")
+
+  // lazy: interpolates splitBucketSql/TrainPct/ValPct, which are
+  // declared further down the object — an eager val would capture
+  // null/0 (Scala top-to-bottom initialization)
+  private lazy val contaminationOracle = {
+    val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(range(1, length(text) - $k + 2), i ->
+       |        list_reduce(list_prepend(0, list_transform(range(0, $k),
+       |          j -> ord(text[i+j]))), (a, b) -> (a * 31 + b) % $m))
+       |    ELSE [] END AS hs
+       |  FROM documents
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= $w THEN
+       |      list_distinct(list_transform(range(1, len(hs) - $w + 2), p ->
+       |        list_min(hs[p:p+${w - 1}])))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE [] END AS fps
+       |  FROM kg
+       |), f AS (
+       |  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM fp
+       |), s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), fs AS (
+       |  SELECT f.doc_id, s.split, f.fingerprint FROM f JOIN s USING(doc_id)
+       |), keep AS (
+       |  SELECT fingerprint FROM fs GROUP BY 1
+       |  HAVING count(*) <= $ContamMaxDf
+       |), nf AS (
+       |  SELECT doc_id, count(*) AS n_fp
+       |  FROM fs JOIN keep USING(fingerprint) GROUP BY 1
+       |), te AS (
+       |  SELECT fs.fingerprint, doc_id AS test_doc
+       |  FROM fs JOIN keep USING(fingerprint) WHERE split = 'test'
+       |), tr AS (
+       |  SELECT fs.fingerprint, doc_id AS train_doc
+       |  FROM fs JOIN keep USING(fingerprint) WHERE split = 'train'
+       |), ov AS (
+       |  SELECT te.test_doc, tr.train_doc, count(*) AS shared_fps
+       |  FROM te JOIN tr USING(fingerprint) GROUP BY 1, 2
+       |)
+       |SELECT ov.test_doc, ov.train_doc, ov.shared_fps,
+       |  ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")} AS ratio_micro
+       |FROM ov JOIN nf ON ov.test_doc = nf.doc_id
+       |WHERE ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")}
+       |  >= $ContamRatioMin
+       |ORDER BY test_doc, train_doc""".stripMargin
+  }
+
   private val winnowOracle = {
     val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
     s"""WITH kg AS (
@@ -511,6 +574,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
+    "q_contamination"  -> (qContamination _),
     "q_token_bpe"      -> (qTokenBpe _),
     "q_sample_split"   -> (qSampleSplit _),
     "q_pack"           -> (qPack _),
@@ -530,6 +594,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
+    "q_contamination"  -> contaminationOracle,
     "q_token_bpe"      -> tokenBpeOracle,
     "q_sample_split"   -> sampleSplitOracle,
     "q_pack"           -> packOracle,

@@ -56,6 +56,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: flags only high-overlap cross-split pairs") {
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.01").select("doc_id", "text")
+    val out = TextOps.contamination(corpus, 80, 10, 8, 4, 1000L, 500000L)
+      .collect()
+    assert(out.nonEmpty, "the corpus plants near-dups straddling splits")
+    out.foreach { r =>
+      assert(r.getLong(3) >= 500000L, "ratio filter must hold")
+      assert(r.getLong(2) > 0L)
+    }
+    // raising the bar to exact-duplication keeps only full containment
+    val strict = TextOps.contamination(corpus, 80, 10, 8, 4, 1000L,
+      999999L).collect()
+    assert(strict.length <= out.length)
+  }
+
   test("piiScrub: counts and redacts planted emails/phones") {
     val out = TextOps.piiScrub(docs(
         (1L, "mail me at a.b+c@ex-ample.org or call 555-867-5309 now"),
