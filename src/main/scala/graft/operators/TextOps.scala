@@ -523,8 +523,12 @@ object TextOps {
       md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
     val split = when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val").otherwise("test")
+    // cache the fingerprint relation: four consumers (df cap, per-doc
+    // counts, test side, train side) would otherwise each re-run the
+    // winnow scan — same discipline as ngramJaccardPairs' cached `sh`
     val fs = winnowFingerprints(docs, k, w)
       .join(docs.select(col("doc_id"), split.as("split")), "doc_id")
+      .cache()
     val keep = fs.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
     val fsk = fs.join(keep, "fingerprint")
