@@ -95,6 +95,30 @@ class TextPropertySpec extends SparkSpec {
     assert(dist === expect)
   }
 
+  test("winnowing guarantee: shared substring >= k+w-1 => shared print") {
+    // the defining theorem of winnowing (Schleimer et al. §2): any
+    // common substring of length >= k+w-1 forces at least one common
+    // selected fingerprint. Fixed-seed random docs with planted spans.
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val (k, w) = (8, 4)
+    val span = randText(k + w - 1) // minimal guaranteed length
+    val rows = (1 to 20).flatMap { i =>
+      val a = randText(30) + span + randText(30)
+      val b = randText(25) + span + randText(35)
+      Seq((i * 2L, a), (i * 2L + 1L, b))
+    }
+    val fps = TextOps.winnowFingerprints(rows.toDF("doc_id", "text"), k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, v) => d -> v.map(_.getLong(1)).toSet }
+    (1 to 20).foreach { i =>
+      val common = fps(i * 2L) & fps(i * 2L + 1L)
+      assert(common.nonEmpty,
+        s"pair $i shares a ${k + w - 1}-char span but no fingerprint")
+    }
+  }
+
   test("distributed CC matches driver union-find on the real pair graph") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
