@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, Md5Long60}
+import graft.functions.{CosineSimilarity, Md5Long60, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions as SQL functions so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -47,6 +49,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("md5long60", 1, children)
         Md5Long60(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        requireArity("winnow_fingerprints", 4, children)
+        def intLit(i: Int, name: String): Int = children(i) match {
+          case Literal(v: Int, IntegerType) => v
+          case _ => throw new AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`winnow_fingerprints`",
+              "paramName" -> s"`$name`", "paramType" -> "\"INT\""),
+            None)
+        }
+        WinnowFingerprints(children.head, intLit(1, "k"), intLit(2, "w"),
+          intLit(3, "mod").toLong)
       }))
   }
 }

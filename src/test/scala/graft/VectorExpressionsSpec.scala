@@ -56,6 +56,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getDouble(1) === 0.96)
   }
 
+  test("winnow_fingerprints is registered as a SQL function") {
+    val out = spark.sql(
+      "SELECT winnow_fingerprints('hello world abc', 8, 4, 33554432)")
+      .collect().head.getSeq[Long](0).toSet
+    assert(out === Set(2615151L, 3067573L))
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(
+        "SELECT winnow_fingerprints('x', length('abcdefgh'), 4, 33554432)")
+        .collect())
+    assert(e.getMessage.contains("winnow_fingerprints"))
+  }
+
   test("SQL function arity errors are AnalysisExceptions with signature") {
     import org.apache.spark.sql.AnalysisException
     val e1 = intercept[AnalysisException](
