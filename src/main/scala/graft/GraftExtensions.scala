@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, Md5Long60, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, Md5Long60, SignLshSignature,
+  WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions as SQL functions so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -33,6 +34,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "expectedNum" -> expected.toString,
           "actualNum" -> children.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"),
+        None)
+
+  /** Out-of-range literal parameters (w ≤ 0, mod ≤ 0, …) must fail
+    * analysis with the range spelled out — not surface later as an
+    * ArrayIndexOutOfBounds/ArithmeticException from inside generated
+    * code.
+    */
+  private def requireRange(name: String, param: String, value: Long,
+                           lo: Long, hi: Long): Unit =
+    if (value < lo || value > hi)
+      throw new AnalysisException(
+        "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE",
+        Map(
+          "sqlExpr" -> s"\"$name\"",
+          "exprName" -> s"`$param`",
+          "valueRange" -> s"[$lo, $hi]",
+          "currentValue" -> value.toString),
         None)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -64,8 +82,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "paramName" -> s"`$name`", "paramType" -> "\"INT\""),
             None)
         }
-        WinnowFingerprints(children.head, intLit(1, "k"), intLit(2, "w"),
-          intLit(3, "mod").toLong)
+        val (k, w, mod) = (intLit(1, "k"), intLit(2, "w"), intLit(3, "mod"))
+        requireRange("winnow_fingerprints", "k", k, 1, Int.MaxValue)
+        requireRange("winnow_fingerprints", "w", w, 1, Int.MaxValue)
+        requireRange("winnow_fingerprints", "mod", mod, 1, Int.MaxValue)
+        WinnowFingerprints(children.head, k, w, mod.toLong)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_sig"),
+      new ExpressionInfo(classOf[SignLshSignature].getName, "sign_lsh_sig"),
+      (children: Seq[Expression]) => {
+        requireArity("sign_lsh_sig", 3, children)
+        def intLit(i: Int, name: String): Int = children(i) match {
+          case Literal(v: Int, IntegerType) => v
+          case _ => throw new AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`sign_lsh_sig`",
+              "paramName" -> s"`$name`", "paramType" -> "\"INT\""),
+            None)
+        }
+        val (nPlanes, dims) = (intLit(1, "nPlanes"), intLit(2, "dims"))
+        // 64 planes fill the long; more would silently alias bit 63
+        requireRange("sign_lsh_sig", "nPlanes", nPlanes, 1, 64)
+        requireRange("sign_lsh_sig", "dims", dims, 1, Int.MaxValue)
+        SignLshSignature(children.head, nPlanes, dims)
       }))
   }
 }

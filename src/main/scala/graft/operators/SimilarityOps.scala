@@ -61,16 +61,12 @@ object SimilarityOps {
   }
 
   /** Deterministic "random" hyperplane weights for sign-LSH in integer
-    * milli-units (w ∈ [-1000, 1000]), derived from md5 of a fixed tag.
-    * Integers so the sign-bit decision can be an exact integer sum —
-    * see [[signLshPairs]].
+    * milli-units (w ∈ [-1000, 1000]) — canonical generator in
+    * [[graft.functions.SignLsh.planeWInt]], shared by the per-row
+    * signature expression and the oracle's literal plane table.
     */
-  def planeWInt(j: Int, i: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"pl${j}_$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
-  }
+  def planeWInt(j: Int, i: Int): Long =
+    graft.functions.SignLsh.planeWInt(j, i)
 
   /** The real-valued weight: [[planeWInt]] / 1000. */
   def planeW(j: Int, i: Int): Double = planeWInt(j, i) / 1000.0
@@ -95,38 +91,37 @@ object SimilarityOps {
   val ScaleLshPlanes = 32
   val ScaleLshBandBits = 8
 
+  /** Embedding dimensionality the plane table covers (the corpus
+    * contract; extra dimensions would carry no weight).
+    */
+  val LshDims = 64
+
+  /** Per-vector packed sign-bit signatures — ONE zero-shuffle projection
+    * through the custom codegen expression
+    * [[graft.functions.SignLshSignature]]. The former relational
+    * formulation (posexplode → broadcast plane join → two hash
+    * aggregations) inflated every row ×(dims·nPlanes) and paid two
+    * Exchanges for what is a pure per-row function; at the production
+    * shape (768-dim × 32 planes) that is ~25,000× row inflation. Same
+    * exact integer math (micro components × milli weights, long sums),
+    * so the oracle's literal-injected plane table is unaffected.
+    */
+  def signLshSignatures(emb: DataFrame, nPlanes: Int): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.SignLsh.signLshSig(col("embedding"), nPlanes,
+        LshDims).as("sig"))
+
   /** Sign-LSH candidate pairs: nPlanes hyperplane sign bits per vector,
     * banded (nPlanes/bandBits)×bandBits; vectors sharing any band
     * bucket are candidates. A bucket join — no blocking column, no
-    * O(n²) scan; see [[ScaleLshPlanes]] for parameter selection.
+    * O(n²) scan; see [[ScaleLshPlanes]] for parameter selection. The
+    * only Exchanges in the whole plan are the band self-join's — the
+    * candidate generation itself.
     */
   def signLshCandidates(emb: DataFrame, nPlanes: Int,
                         bandBits: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val dims = 64
     val nBands = nPlanes / bandBits
-    val planes = for {
-      j <- 0 until nPlanes; i <- 1 to dims
-    } yield (j, i, planeWInt(j, i))
-    val planesDf = planes.toDF("j", "i", "w")
-    // the sign bit is the sign of an EXACT INTEGER dot product: micro-
-    // quantized components × milli-unit integer weights. A double sum's
-    // partial-aggregation association order varies with partitioning and
-    // task retries, so a near-zero dot product could flip a bit
-    // nondeterministically (and diverge from the oracle); integer sums
-    // are association-free. |v_micro| ≤ ~2^21, |w| ≤ 2^10, 64 dims →
-    // |sum| ≤ ~2^37, nowhere near long overflow.
-    val ev = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("i0", "v")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
-        floor(col("v").cast("double") * lit(1000000.0)).as("v"))
-    val dots = ev.join(broadcast(planesDf), "i")
-      .groupBy("vec_id", "j").agg(sum(col("v") * col("w")).as("d"))
-    val sig = dots.groupBy("vec_id")
-      .agg(sum(expr(
-        "CASE WHEN d >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
-          "ELSE CAST(0 AS BIGINT) END")).as("sig"))
+    val sig = signLshSignatures(emb, nPlanes)
     val mask = (1L << bandBits) - 1
     val bandRows = (0 until nBands).map { k =>
       struct(lit(k).as("k"),

@@ -33,6 +33,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the one shuffle must be on shard:\n$p")
   }
 
+  test("sign-LSH signature stage is shuffle-free (per-row expression)") {
+    val p = plan(SimilarityOps.signLshSignatures(
+      Tables.embeddings(spark, dir), SimilarityOps.ScaleLshPlanes))
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+    assert(!p.contains("Generate"), s"expected no explode:\n$p")
+  }
+
   test("sampleSplit aggregates with map-side partials") {
     val p = plan(TextOps.sampleSplit(Tables.documents(spark, dir), 80, 10))
     assert(p.contains("partial_count") || p.contains("partial"),

@@ -68,6 +68,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("winnow_fingerprints"))
   }
 
+  test("winnow_fingerprints rejects out-of-range k/w/mod at analysis") {
+    import org.apache.spark.sql.AnalysisException
+    for (q <- Seq(
+      "SELECT winnow_fingerprints('abc', 0, 4, 33554432)",
+      "SELECT winnow_fingerprints('abc', 8, 0, 33554432)",
+      "SELECT winnow_fingerprints('abc', 8, 4, 0)",
+      "SELECT winnow_fingerprints('abc', 8, -1, 33554432)")) {
+      val e = intercept[AnalysisException](spark.sql(q).collect())
+      assert(e.getCondition === "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE", q)
+    }
+  }
+
   test("SQL function arity errors are AnalysisExceptions with signature") {
     import org.apache.spark.sql.AnalysisException
     val e1 = intercept[AnalysisException](
