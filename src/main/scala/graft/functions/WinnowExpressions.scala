@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType,
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD'03) as a
-  * native expression: polynomial rolling hash over every k-char gram,
-  * minimum of each w-window of gram hashes, first-seen-deduplicated.
+  * native expression: polynomial rolling hash over every k-char gram
+  * (O(1) update per position), minimum of each w-window of gram hashes
+  * via a monotonic deque (amortized O(1) per position — O(n) total),
+  * first-seen-deduplicated.
   *
   * Why a custom Catalyst `Expression` (SURVEY.md §7.3 preference order
   * (b)): the expression-only formulation — nested
@@ -55,27 +57,39 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
 
 object WinnowFingerprints {
 
-  /** O(n·k) gram hashing + O(n·w) sliding min, all compiled integer
-    * arithmetic. Returns distinct window minima in first-seen order
-    * (consumers sort or set-compare; the oracle's `list_distinct` has
-    * its own order, so equality is on the SET, which explode + ORDER BY
-    * restores).
+  /** True O(n): each gram hash is a rolling update of its predecessor
+    * (drop the outgoing char's power term, shift, add the incoming
+    * char), and each window minimum comes from a monotonic deque (every
+    * index is pushed and popped at most once). The per-position k· and
+    * w· rescans of the naive formulation are real CPU at 100 TB of
+    * text; the hash values and selected minima are bit-identical to it
+    * (property-pinned in WinnowPropertySpec).
+    *
+    * Returns distinct window minima in first-seen order (consumers sort
+    * or set-compare; the oracle's `list_distinct` has its own order, so
+    * equality is on the SET, which explode + ORDER BY restores).
     */
   def compute(text: UTF8String, k: Int, w: Int, mod: Long): ArrayData = {
     val s = text.toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val m = n - k + 1
+    // powK = 31^(k-1) mod `mod`: the outgoing char's positional weight
+    var powK = 1L
+    var t = 0
+    while (t < k - 1) { powK = (powK * 31L) % mod; t += 1 }
     val hs = new Array[Long](m)
-    var i = 0
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * 31L + s.charAt(j).toLong) % mod; j += 1 }
+    hs(0) = h
+    var i = 1
     while (i < m) {
-      var a = 0L
-      var j = 0
-      while (j < k) {
-        a = (a * 31L + s.charAt(i + j).toLong) % mod
-        j += 1
-      }
-      hs(i) = a
+      // h, (c·powK)%mod ∈ [0, mod): difference ∈ (-mod, mod), so one
+      // +mod before the final %mod keeps everything non-negative
+      h = (h - (s.charAt(i - 1).toLong * powK) % mod + mod) % mod
+      h = (h * 31L + s.charAt(i + k - 1).toLong) % mod
+      hs(i) = h
       i += 1
     }
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -85,13 +99,20 @@ object WinnowFingerprints {
       while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
       out.add(mn)
     } else {
-      var p = 0
-      while (p + w <= m) {
-        var mn = hs(p)
-        var q = p + 1
-        while (q < p + w) { if (hs(q) < mn) mn = hs(q); q += 1 }
-        out.add(mn)
-        p += 1
+      // monotonic deque of indices with strictly increasing hash values;
+      // strict pops keep the EARLIER of equal values at the front, so the
+      // front is always the window's leftmost minimum
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0
+      i = 0
+      while (i < m) {
+        while (tail > head && hs(dq(tail - 1)) > hs(i)) tail -= 1
+        dq(tail) = i
+        tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(hs(dq(head)))
+        i += 1
       }
     }
     val arr = new Array[Long](out.size)

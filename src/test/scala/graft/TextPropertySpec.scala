@@ -95,6 +95,46 @@ class TextPropertySpec extends SparkSpec {
     assert(dist === expect)
   }
 
+  test("rolling-hash winnowing equals the naive O(n·k + n·w) reference") {
+    // the shipped compute() rolls each gram hash forward and keeps the
+    // window minimum in a monotonic deque; this naive mirror recomputes
+    // every gram from scratch and rescans every window — same definition,
+    // quadratic constants. Bit-identical output is the contract.
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(s: String, k: Int, w: Int, mod: Long): Seq[Long] = {
+      val n = s.length
+      if (n < k) return Seq.empty
+      val m = n - k + 1
+      val hs = (0 until m).map { i =>
+        (0 until k).foldLeft(0L)((a, j) => (a * 31L + s.charAt(i + j)) % mod)
+      }
+      val mins =
+        if (m < w) Seq(hs.min)
+        else (0 to m - w).map(p => (p until p + w).map(hs).min)
+      mins.distinct
+    }
+    def rolled(s: String, k: Int, w: Int, mod: Long): Seq[Long] = {
+      val out = graft.functions.WinnowFingerprints
+        .compute(UTF8String.fromString(s), k, w, mod)
+      (0 until out.numElements()).map(out.getLong(_))
+    }
+    val genCase = for {
+      k <- Gen.chooseNum(1, 12)
+      w <- Gen.chooseNum(1, 10)
+      mod <- Gen.oneOf(2L, 97L, 33554432L, 1L << 30)
+      len <- Gen.chooseNum(0, 300)
+      // include chars above 'z' so UTF-16 units beyond ASCII are hit
+      s <- Gen.listOfN(len, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 1 -> Gen.const(' '),
+        1 -> Gen.oneOf('é', '中', '￿')))
+    } yield (k, w, mod, s.mkString)
+    (1 to 300).foreach { seed =>
+      val (k, w, mod, s) = draw(genCase, seed.toLong)
+      assert(rolled(s, k, w, mod) === naive(s, k, w, mod),
+        s"k=$k w=$w mod=$mod len=${s.length} seed=$seed")
+    }
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 => shared print") {
     // the defining theorem of winnowing (Schleimer et al. §2): any
     // common substring of length >= k+w-1 forces at least one common
