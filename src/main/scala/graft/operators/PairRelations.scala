@@ -22,7 +22,7 @@ import org.apache.spark.storage.StorageLevel
 object PairRelations {
 
   private val cache =
-    new ConcurrentHashMap[(Int, String, Int, Long, Long), DataFrame]()
+    new ConcurrentHashMap[(String, String, Int, Long, Long), DataFrame]()
 
   /** The verified n-gram Jaccard pair relation for (dir, params),
     * built once per session via [[TextOps.ngramJaccardPairs]].
@@ -30,7 +30,14 @@ object PairRelations {
     */
   def ngramPairs(spark: SparkSession, dir: String, docs: => DataFrame,
                  n: Int, maxDf: Long, jacMicroMin: Long): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, n, maxDf, jacMicroMin)
+    // plans bound to a stopped session are dead weight (and can never be
+    // re-used): drop them so session-scoped entries don't accumulate for
+    // the process lifetime
+    cache.entrySet.removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
+    // sessionUUID, not identityHashCode: collision-free session identity
+    val key = (org.apache.spark.sql.GraftSqlBridge.sessionUUID(spark),
+      dir, n, maxDf, jacMicroMin)
     val df = cache.computeIfAbsent(key,
       _ => TextOps.ngramJaccardPairs(docs, n, maxDf, jacMicroMin))
     // re-persist after an external clearCache; no-op (and no re-cache

@@ -519,15 +519,12 @@ object TextOps {
   def contamination(docs: DataFrame, trainPct: Int, valPct: Int,
                     k: Int, w: Int, maxDf: Long,
                     ratioMicroMin: Long): DataFrame = {
-    val bucket =
-      md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
-    val split = when(bucket < trainPct, "train")
-      .when(bucket < trainPct + valPct, "val").otherwise("test")
     // cache the fingerprint relation: four consumers (df cap, per-doc
     // counts, test side, train side) would otherwise each re-run the
     // winnow scan — same discipline as ngramJaccardPairs' cached `sh`
     val fs = winnowFingerprints(docs, k, w)
-      .join(docs.select(col("doc_id"), split.as("split")), "doc_id")
+      .join(docs.select(col("doc_id"),
+        splitAssign(trainPct, valPct).as("split")), "doc_id")
       .cache()
     val keep = fs.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
@@ -573,19 +570,30 @@ object TextOps {
       sha2(redacted.cast("binary"), 256).as("redacted_sha"))
   }
 
+  /** THE split contract: a deterministic bucket 0-99 as a pure function
+    * of doc_id (salted md5) — never `rand()`, which would make the
+    * split irreproducible and retries inconsistent. One definition,
+    * shared by [[sampleSplit]] and [[contamination]] (and mirrored by
+    * the oracles' `splitBucketSql`), so train/test membership cannot
+    * silently fork between the assignment and decontamination stages.
+    */
+  private[operators] def splitBucket: Column =
+    md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+
+  /** Bucket → split label under (trainPct, valPct). */
+  private[operators] def splitAssign(trainPct: Int, valPct: Int): Column =
+    when(splitBucket < trainPct, "train")
+      .when(splitBucket < trainPct + valPct, "val")
+      .otherwise("test")
+
   /** Deterministic stratified train/val/test split — the training-mix
-    * assignment step of a data pipeline. The split is a pure function
-    * of doc_id (salted md5 bucket 0-99), so it is stable across runs,
-    * engines, and re-partitioning — never `rand()`, which would make
-    * the split irreproducible and retries inconsistent. One narrow
-    * projection + one partial-agg shuffle of (lang, split) pairs.
+    * assignment step of a data pipeline. The split is [[splitBucket]]'s
+    * pure function of doc_id, stable across runs, engines, and
+    * re-partitioning. One narrow projection + one partial-agg shuffle
+    * of (lang, split) pairs.
     */
   def sampleSplit(docs: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
-    val bucket =
-      md5Long(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
-    val split = when(bucket < trainPct, "train")
-      .when(bucket < trainPct + valPct, "val").otherwise("test")
-    docs.select(col("lang"), split.as("split"),
+    docs.select(col("lang"), splitAssign(trainPct, valPct).as("split"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))

@@ -171,24 +171,49 @@ object Ingest {
     * retry forever.
     */
   def runSupervised(spark: SparkSession, cfg: Config): Unit = {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+    import org.apache.spark.sql.streaming.StreamingQueryListener
     var attempts = 0
     var stoppedGracefully = false
     while (!stoppedGracefully && attempts < cfg.connectAttemptLimit) {
-      var progressed = false
+      // rows-ingested evidence via a listener, which observes EVERY
+      // progress update — `recentProgress` is a bounded ring (~100
+      // entries), so a feed that ingested rows and then idled through
+      // 100+ empty micro-batches before failing would read as
+      // never-progressed and spuriously burn the attempt budget
+      val progressed = new AtomicBoolean(false)
+      val qid = new AtomicReference[java.util.UUID]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.id == qid.get && e.progress.numInputRows > 0)
+            progressed.set(true)
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       try {
         val q = start(spark, cfg)
+        qid.set(q.id)
         try {
           q.awaitTermination() // throws on source error
           stoppedGracefully = true // explicit q.stop(): do not restart
         } catch {
           case e: Exception =>
-            progressed = q.recentProgress.exists(_.numInputRows > 0)
+            // belt-and-braces: covers a final progress event still in
+            // flight on the (async) listener bus at failure time
+            if (q.recentProgress.exists(_.numInputRows > 0))
+              progressed.set(true)
             throw e
         }
       } catch {
         case _: Exception =>
-          attempts = if (progressed) 1 else attempts + 1
+          attempts = if (progressed.get) 1 else attempts + 1
           Thread.sleep(cfg.connectAttemptDelayMs)
+      } finally {
+        spark.streams.removeListener(listener)
       }
     }
   }

@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Collision-free session identity (`sessionUUID` is `private[sql]`);
+    * an identityHashCode can be reissued to a new session after the old
+    * one is GC'd, a UUID cannot.
+    */
+  def sessionUUID(spark: SparkSession): String = spark match {
+    case c: classic.SparkSession => c.sessionUUID
+    case s => s"idhash-${System.identityHashCode(s)}"
+  }
 }
