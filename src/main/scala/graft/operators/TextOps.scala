@@ -522,10 +522,34 @@ object TextOps {
     // cache the fingerprint relation: four consumers (df cap, per-doc
     // counts, test side, train side) would otherwise each re-run the
     // winnow scan — same discipline as ngramJaccardPairs' cached `sh`
-    val fs = winnowFingerprints(docs, k, w)
+    contaminationFrom(winnowedSplit(docs, k, w, trainPct, valPct).cache(),
+      maxDf, ratioMicroMin)
+  }
+
+  /** The (doc_id, fingerprint, split) relation [[contaminationFrom]]
+    * audits — computed inline here, persisted bucketed-by-fingerprint at
+    * deployment scale ([[graft.sources.FingerprintStore]]).
+    */
+  def winnowedSplit(docs: DataFrame, k: Int, w: Int, trainPct: Int,
+                    valPct: Int): DataFrame =
+    winnowFingerprints(docs, k, w)
       .join(docs.select(col("doc_id"),
         splitAssign(trainPct, valPct).as("split")), "doc_id")
-      .cache()
+
+  /** The audit stage of [[contamination]], over an already-materialized
+    * fingerprint relation `fs` (doc_id, fingerprint, split).
+    *
+    * This split exists because at deployment scale the fingerprint
+    * relation is a persisted table, not a per-audit recomputation: write
+    * it once, bucketed by `fingerprint`
+    * ([[graft.sources.FingerprintStore]]), and every fingerprint-keyed
+    * step here — the document-frequency cap, the cap semi-join, and the
+    * test⋈train overlap join — runs Exchange-free against the bucketed
+    * scans (pinned in StorageLayoutSpec). The only shuffles left are the
+    * doc-keyed aggregations, which are unavoidable reductions.
+    */
+  def contaminationFrom(fs: DataFrame, maxDf: Long,
+                        ratioMicroMin: Long): DataFrame = {
     val keep = fs.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
     val fsk = fs.join(keep, "fingerprint")

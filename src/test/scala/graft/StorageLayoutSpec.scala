@@ -60,6 +60,39 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed fingerprint store: contamination joins Exchange-free") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val (k, w, maxDf, ratioMin) = (8, 4, 1000L, 500000L)
+    graft.sources.FingerprintStore.save(docs, k, w, 80, 10,
+      "fp_store_test")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val audit = graft.sources.FingerprintStore.contamination(
+        spark, "fp_store_test", maxDf, ratioMin)
+      val plan = audit.queryExecution.executedPlan.toString
+      // every fingerprint-keyed step — df cap, cap semi-join, te⋈tr
+      // overlap join — must ride the bucketing; the only Exchanges
+      // allowed are the doc-keyed reductions
+      val fpExchanges = "Exchange hashpartitioning\\(fingerprint".r
+        .findAllIn(plan).length
+      assert(fpExchanges === 0,
+        s"fingerprint-keyed steps must use the bucketing:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucketed scans:\n$plan")
+      // same audit result as the self-contained recomputing path
+      val inline = graft.operators.TextOps.contamination(
+        docs, 80, 10, k, w, maxDf, ratioMin)
+      assert(audit.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
+      assert(audit.count() > 0, "sf0.001 must contain planted leaks")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS fp_store_test")
+    }
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
