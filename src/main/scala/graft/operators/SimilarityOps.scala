@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing.micro
@@ -174,46 +174,156 @@ object SimilarityOps {
         micro(col("amax")).as("amax_micro"))
   }
 
-  /** IVF-style ANN: a small codebook of centroids (here the first
-    * `nCentroids` vectors — deterministic seeds; k-means would slot in
-    * the same way), each vector assigned to its nearest centroid, and
-    * the query probed against the `nProbe` nearest clusters only.
-    *
-    * Everything stays distributed: the codebook and probe list are
-    * broadcast joins, the scan reads only probed clusters — at scale the
-    * sink would be partitioned by cluster id for partition pruning.
+  // --------------------------------------------------------- k-means IVF
+
+  /** Lloyd rounds for the IVF codebook. Two rounds move the md5-seeded
+    * init most of the way to convergence on this corpus; the oracle
+    * mirrors the SAME count as chained SQL CTEs, so the constant is part
+    * of the cross-engine contract.
     */
-  def annIvf(emb: DataFrame, queryId: Long, nCentroids: Int, nProbe: Int,
-             k: Int): DataFrame = {
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val cm = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        micro(cosineSim(col("embedding"), col("ce"))).as("cm"))
-    // assignment argmax as a partial aggregation, not a window: a
-    // row_number window would sort + shuffle the full n×nCentroids score
-    // table just to keep one row per vector. The (cm, cid) pair is
-    // encoded into ONE long — cm·2²⁰ − cid, requiring nCentroids < 2²⁰
-    // — so the aggregate is a plain long max: HashAggregate with
-    // map-side combine inside whole-stage codegen (max over a struct
-    // would fall back to SortAggregate). max picks max cm then min cid,
-    // the oracle's ORDER BY cm DESC, cid tie-break; pmod recovers cid.
-    require(nCentroids < (1 << 20), "centroid id must fit in 20 bits")
-    val assign = cm.groupBy("vec_id")
-      .agg(max(col("cm") * lit(1L << 20) - col("cid")).as("best"))
-      .select(col("vec_id"), pmod(-col("best"), lit(1L << 20)).as("cluster"))
-    val probe = cm.filter(col("vec_id") === queryId)
-      .orderBy(col("cm").desc, col("cid"))
-      .limit(nProbe).select(col("cid").as("probe_cid"))
+  val KmRounds = 2
+
+  /** Assignment score of a degenerate all-zero centroid — below any real
+    * micro-cosine (≥ −10⁶), so such a centroid never wins. Mirrored in
+    * the oracle's CASE.
+    */
+  val KmScoreEmpty = -2000000L
+
+  /** Components milli-quantized to exact integers: floor(v·1000).
+    * Integer sums are association-free, so centroid sums — and therefore
+    * the whole training trajectory — are bit-identical across engines,
+    * partitionings, and retries. Milli (not micro) keeps every derived
+    * integer (ssq ≤ dims·S²) exactly representable in doubles through
+    * the score division even at 100× this corpus.
+    */
+  private def milliVec(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * lit(1000.0)))
+
+  /** Assignment score of milli-vector `vm` against one integer centroid,
+    * as a column: micro(dot / sqrt(ssq)). dot is an exact integer sum;
+    * ssq is a driver-side constant; the division is the only double op,
+    * computed from exact integers — both engines produce the identical
+    * IEEE value, so the micro floor agrees.
+    */
+  private def centScore(vm: Column, c: Array[Long]): Column = {
+    val ssq = c.map(x => x * x).sum
+    if (ssq == 0L) lit(KmScoreEmpty)
+    else {
+      val dot = c.indices.map(i => element_at(vm, i + 1) * lit(c(i)))
+        .reduce(_ + _)
+      micro(dot.cast("double") / lit(math.sqrt(ssq.toDouble)))
+    }
+  }
+
+  /** Nearest-centroid id under a literal codebook — a zero-shuffle
+    * per-row projection (the codebook is literals inside the expression,
+    * not a joined table). argmax = max of score·2²⁰ − cid, the same
+    * long-encode trick the pre-k-means assignment used: max score, then
+    * min cid, matching the oracle's ORDER BY score DESC, cid.
+    */
+  private def assignCluster(vm: Column,
+                            cents: Array[Array[Long]]): Column = {
+    require(cents.length < (1 << 20), "centroid id must fit in 20 bits")
+    val encs = cents.zipWithIndex.map { case (c, j) =>
+      centScore(vm, c) * lit(1L << 20) - lit(j.toLong)
+    }
+    pmod(-greatest(encs: _*), lit(1L << 20))
+  }
+
+  /** [[centScore]] on the driver, for probe selection: same integer dot,
+    * same IEEE division — bit-identical to both engines.
+    */
+  private def centScoreLocal(vm: Array[Long], c: Array[Long]): Long = {
+    val ssq = c.map(x => x * x).sum
+    if (ssq == 0L) KmScoreEmpty
+    else {
+      var dot = 0L
+      var i = 0
+      val n = math.min(vm.length, c.length)
+      while (i < n) { dot += vm(i) * c(i); i += 1 }
+      math.floor(1000000.0 * (dot.toDouble / math.sqrt(ssq.toDouble)))
+        .toLong
+    }
+  }
+
+  /** Deterministic Lloyd training of the IVF codebook.
+    *
+    * Init: the `nCentroids` vectors ranked lowest by md5("km:"‖vec_id)
+    * — a data-independent pseudo-random draw both engines reproduce.
+    * Each round: assign every vector to its nearest centroid (zero-
+    * shuffle literal-codebook projection), then refresh each centroid as
+    * the per-dimension INTEGER SUM of its members (one partial-agg
+    * shuffle of (cluster, dim) pairs — cosine is scale-invariant, so the
+    * sum is as good a direction as the mean and stays exact). Empty
+    * clusters keep their previous centroid. Driver-coordinated like
+    * every iterative Spark algorithm; the collected state is only the
+    * nCentroids×dims sum table.
+    */
+  def kmeansCodebook(emb: DataFrame, nCentroids: Int,
+                     rounds: Int): Array[Array[Long]] = {
+    val vm = emb.select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+      .cache()
+    val seedRows = vm
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(nCentroids)
+      .select("h", "vec_id", "vm").collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+    var cents = seedRows.map(_.getSeq[Long](2).toArray)
+    var r = 0
+    while (r < rounds) {
+      val sums = vm
+        .select(assignCluster(col("vm"), cents).as("cluster"),
+          posexplode(col("vm")).as(Seq("i", "v")))
+        .groupBy("cluster", "i").agg(sum("v").as("s"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep previous
+      sums.foreach { row =>
+        next(row.getLong(0).toInt)(row.getInt(1)) = row.getLong(2)
+      }
+      cents = next
+      r += 1
+    }
+    vm.unpersist()
+    cents
+  }
+
+  /** IVF ANN under an explicit integer codebook: every vector assigned
+    * by the zero-shuffle literal-codebook projection, the query probed
+    * against the `nProbe` best clusters (selected on the driver from the
+    * same score function), and exact cosine computed only over probed
+    * clusters' vectors.
+    *
+    * Everything stays distributed: assignment is a projection, the probe
+    * filter is an `isin` over ≤ nProbe literals, the final ranking is
+    * TakeOrderedAndProject — at scale the vector store would be
+    * partitioned by cluster id so the probe filter prunes partitions.
+    */
+  def annIvfWith(emb: DataFrame, queryId: Long,
+                 cents: Array[Array[Long]], nProbe: Int,
+                 k: Int): DataFrame = {
+    val qvm = emb.filter(col("vec_id") === queryId)
+      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
+    val probed = cents.indices
+      .sortBy(j => (-centScoreLocal(qvm, cents(j)), j)).take(nProbe)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= queryId)
-      .join(assign, "vec_id")
-      .join(broadcast(probe), col("cluster") === col("probe_cid"))
+      .select(col("vec_id"), col("embedding"),
+        assignCluster(milliVec(col("embedding")), cents).as("cluster"))
+      .filter(col("cluster").isin(probed.map(_.toLong): _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"),
         micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
       .orderBy(col("cos_micro").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF-style ANN with a k-means-trained codebook ([[kmeansCodebook]]):
+    * train, then query via [[annIvfWith]].
+    */
+  def annIvf(emb: DataFrame, queryId: Long, nCentroids: Int, nProbe: Int,
+             k: Int, rounds: Int = KmRounds): DataFrame =
+    annIvfWith(emb, queryId, kmeansCodebook(emb, nCentroids, rounds),
+      nProbe, k)
 }

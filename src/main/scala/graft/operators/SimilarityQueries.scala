@@ -125,30 +125,69 @@ object SimilarityQueries {
        |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
        |ORDER BY cos_micro DESC, d.vec_id LIMIT $TopK""".stripMargin
 
-  private val annIvfOracle =
+  /** The k-means IVF oracle re-trains the codebook INSIDE DuckDB —
+    * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
+    * every quantity on the training path is an exact integer (milli
+    * components, integer centroid sums) and the one double op (the score
+    * division) is computed from exact integers identically on both
+    * engines, the SQL training trajectory is bit-identical to the Spark
+    * one — no data-dependent literals need to cross engines.
+    */
+  private val annIvfOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    def scoreCtes(r: Int): String =
+      s"""s$r AS (SELECT cid, sum(S * S) AS ssq FROM c$r GROUP BY 1),
+         |d$r AS (
+         |  SELECT m.vec_id, c.cid, sum(m.vm * c.S) AS dot
+         |  FROM mv m JOIN c$r c ON m.i = c.i GROUP BY 1, 2
+         |),
+         |sc$r AS (
+         |  SELECT d.vec_id, d.cid,
+         |    CASE WHEN s.ssq = 0 THEN ${SimilarityOps.KmScoreEmpty}
+         |         ELSE ${Hashing.microSql(
+                      "d.dot / sqrt(CAST(s.ssq AS DOUBLE))")} END AS score
+         |  FROM d$r d JOIN s$r s USING (cid)
+         |),
+         |a$r AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY score DESC, cid) AS rn
+         |    FROM sc$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def refineCtes(r: Int): String =
+      s"""n${r + 1} AS (
+         |  SELECT a.cid, m.i, sum(m.vm) AS S
+         |  FROM a$r a JOIN mv m USING (vec_id) GROUP BY 1, 2
+         |),
+         |c${r + 1} AS (
+         |  SELECT c.cid, c.i, COALESCE(n.S, c.S) AS S
+         |  FROM c$r c LEFT JOIN n${r + 1} n
+         |    ON c.cid = n.cid AND c.i = n.i
+         |)""".stripMargin
+    val training = (0 until rounds)
+      .map(r => s"${scoreCtes(r)},\n${refineCtes(r)}").mkString(",\n")
     s"""$evCte,
-       |cdots AS (
-       |  SELECT e.vec_id, c.vec_id AS cid, sum(e.v * c.v) AS dot
-       |  FROM ev e JOIN ev c ON e.i = c.i AND c.vec_id < $NCentroids
-       |  GROUP BY 1, 2
+       |mv AS (
+       |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i FROM ev
        |),
-       |cm AS (
-       |  SELECT d.vec_id, d.cid,
-       |    ${Hashing.microSql("d.dot / (na.nrm * nc.nrm)")} AS cm
-       |  FROM cdots d JOIN nrm na ON d.vec_id = na.vec_id
-       |               JOIN nrm nc ON d.cid = nc.vec_id
+       |sd AS (
+       |  SELECT vec_id,
+       |    ${Hashing.md5LongSql("'km:' || CAST(vec_id AS VARCHAR)")} AS h
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings)
        |),
-       |assign AS (
-       |  SELECT vec_id, cid AS cluster FROM (
-       |    SELECT vec_id, cid,
-       |           row_number() OVER (PARTITION BY vec_id
-       |                              ORDER BY cm DESC, cid) AS rn
-       |    FROM cm
-       |  ) WHERE rn = 1
+       |seeds AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
+       |  FROM sd ORDER BY h, vec_id LIMIT $NCentroids
        |),
+       |c0 AS (SELECT s.cid, m.i, m.vm AS S FROM seeds s JOIN mv m USING (vec_id)),
+       |$training,
+       |${scoreCtes(rounds)},
        |probe AS (
-       |  SELECT cid FROM cm WHERE vec_id = $QueryVecId
-       |  ORDER BY cm DESC, cid LIMIT $NProbe
+       |  SELECT cid FROM sc$rounds WHERE vec_id = $QueryVecId
+       |  ORDER BY score DESC, cid LIMIT $NProbe
        |),
        |qdots AS (
        |  SELECT e.vec_id, sum(e.v * q.v) AS dot
@@ -162,11 +201,12 @@ object SimilarityQueries {
        |      AS cos_micro
        |  FROM qdots d JOIN nrm n ON d.vec_id = n.vec_id
        |)
-       |SELECT q.vec_id, a.cluster, q.cos_micro
+       |SELECT q.vec_id, a.cid AS cluster, q.cos_micro
        |FROM qcm q
-       |JOIN assign a ON q.vec_id = a.vec_id
-       |JOIN probe p ON a.cluster = p.cid
+       |JOIN a$rounds a ON q.vec_id = a.vec_id
+       |JOIN probe p ON a.cid = p.cid
        |ORDER BY q.cos_micro DESC, q.vec_id LIMIT $TopK""".stripMargin
+  }
 
   private val topkPerLabelOracle =
     s"""$evCte,

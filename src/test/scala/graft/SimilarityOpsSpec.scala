@@ -31,9 +31,10 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out === Seq((0L, 1L, 600000L), (1L, 3L, 799999L)))
   }
 
-  test("annIvf assigns to nearest centroid and probes top clusters") {
-    // centroids = vec_id < 2 (v0=[1,0], v1=[.6,.8]); probe both
-    val out = SimilarityOps.annIvf(vecs, 0L, 2, 2, 5).collect()
+  test("annIvfWith assigns to nearest centroid and probes top clusters") {
+    // explicit milli-integer codebook: c0 = [1,0], c1 = [.6,.8]
+    val cents = Array(Array(1000L, 0L), Array(600L, 800L))
+    val out = SimilarityOps.annIvfWith(vecs, 0L, cents, 2, 5).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("cluster"),
         r.getAs[Long]("cos_micro")))
     val byId = out.map(o => o._1 -> o).toMap
@@ -44,14 +45,53 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(2L, 1L, 3L, 4L))
   }
 
-  test("annIvf assignment is a partial aggregation, not a window sort") {
-    // the centroid-assignment argmax must plan as HashAggregate with
-    // map-side combine; a row_number window would sort + shuffle the
-    // full n×nCentroids score table (the dominant cost at scale)
-    val plan = SimilarityOps.annIvf(vecs, 0L, 2, 2, 5)
+  test("annIvf assignment is a zero-shuffle literal-codebook projection") {
+    // the codebook lives as literals inside the assignment expression:
+    // no centroid join, no per-vector aggregation, no window — the only
+    // allowed exchanges are the broadcast of the single-row query side
+    val cents = Array(Array(1000L, 0L), Array(600L, 800L))
+    val plan = SimilarityOps.annIvfWith(vecs, 0L, cents, 2, 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
-    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("HashAggregate"),
+      s"no assignment aggregation expected:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no shuffle expected:\n$plan")
+  }
+
+  test("kmeansCodebook: deterministic, and rounds=0 gives the md5 seeds") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val a = SimilarityOps.kmeansCodebook(e, 10, 2)
+    val b = SimilarityOps.kmeansCodebook(e, 10, 2)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // untrained codebook = the md5-ranked seed vectors themselves
+    val seeds = SimilarityOps.kmeansCodebook(e, 10, 0)
+    import org.apache.spark.sql.functions._
+    val expect = e
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy("h", "vec_id").limit(10)
+      .select(transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1000.0))))
+      .collect().map(_.getSeq[Long](0))
+    assert(seeds.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+  }
+
+  test("trained codebook recall >= untrained-seed codebook recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val exact = SimilarityOps.annTopK(e, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    def recall(rounds: Int): Double = {
+      val got = SimilarityOps.annIvf(e, 0L, 10, 3, 10, rounds).collect()
+        .map(_.getLong(0)).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val (r0, rTrained) = (recall(0), recall(SimilarityOps.KmRounds))
+    assert(rTrained >= r0,
+      s"Lloyd training must not lose recall: trained=$rTrained seeds=$r0")
+    assert(rTrained > 0.0, "IVF must find some of the true top-k")
   }
 
   test("quantizeInt8: absmax scaling, floor semantics, zero-vector guard") {
