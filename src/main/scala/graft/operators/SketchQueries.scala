@@ -79,9 +79,42 @@ object SketchQueries {
        |ORDER BY u.user_id""".stripMargin
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cms" -> (qCms _))
+  /** HLL relative standard deviation: 0.02 needs 2^14 registers — the
+    * accuracy/space point a production rollup would pick (±2% on
+    * billions of distincts from a ~16 KB sketch per group).
+    */
+  val HllRsd = 0.02
 
+  /** HyperLogLog++ approx-distinct users per event type, next to the
+    * exact distinct count and the absolute error in parts-per-million.
+    *
+    * The one sketch family that canNOT be oracle-checked: HLL register
+    * layouts and bias tables are implementation-specific, so DuckDB's
+    * approx_count_distinct returns a *different* estimate for the same
+    * set. The driver records a rows-only check (the M3 precedent); the
+    * ScalaTest spec asserts the documented error bound and that the
+    * estimate is partitioning-invariant (register merge = element-wise
+    * max, so partial sketches combine associatively — the mergeable-
+    * summary property that makes HLL the 100 TB distinct-count rollup:
+    * each partition ships one 16 KB sketch, never its keys).
+    */
+  def qHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .withColumn("err_ppm",
+        floor(abs(col("approx_users") - col("exact_users")) *
+          lit(1000000L) / greatest(col("exact_users"), lit(1L))))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms" -> (qCms _),
+    "q_hll" -> (qHll _))
+
+  /** q_hll has no oracle entry by design — see [[qHll]]. */
   val oracles: Map[String, String] = Map(
     "q_cms" -> cmsOracle)
 }

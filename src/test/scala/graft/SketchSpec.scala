@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchQueries
+import graft.sources.Tables
+
+/** HLL approx-distinct: the one sketch without a DuckDB oracle (register
+  * layouts are engine-specific), so its contract is asserted here — the
+  * documented error bound and the mergeable-summary property.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_hll: estimate within 3-sigma of the configured rsd") {
+    val rows = SketchQueries.qHll(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bound = (3 * SketchQueries.HllRsd * 1e6).toLong // 60k ppm
+    rows.foreach { r =>
+      assert(r.getAs[Long]("err_ppm") <= bound,
+        s"${r.getString(0)}: approx=${r.getAs[Long]("approx_users")} " +
+          s"exact=${r.getAs[Long]("exact_users")}")
+    }
+  }
+
+  test("q_hll: estimate is partitioning-invariant (sketches merge)") {
+    // HLL registers combine by element-wise max — associative and
+    // commutative — so the merged estimate cannot depend on how rows
+    // were split across partitions (each partition contributes one
+    // partial sketch, never its keys)
+    val ev = Tables.events(spark, dir)
+    def est(parts: Int): Map[String, Long] =
+      ev.repartition(parts)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), SketchQueries.HllRsd)
+          .as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(1) === est(17))
+  }
+
+  test("q_hll plans partial sketch aggregation below the shuffle") {
+    val plan = SketchQueries.qHll(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"expected map-side partial HLL sketches:\n$plan")
+  }
+}
