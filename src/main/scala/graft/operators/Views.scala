@@ -75,4 +75,42 @@ object Views {
     locations(adsb).createOrReplaceTempView("locations")
     flights(adsb).createOrReplaceTempView("flights")
   }
+
+  /** Full `CREATE OR REPLACE VIEW` parity: the reference's views persist
+    * in the DATABASE (create_schema.sql:85-124), not in one connection's
+    * session — any later client sees them. The Spark equivalent is a
+    * catalog (non-temp) view over a saved table: view definitions live
+    * in the external catalog shared by every session of the warehouse
+    * (and in the metastore across restarts when one is configured), so a
+    * `spark.newSession()` — a fresh "connection" — resolves them with no
+    * re-registration. Bodies are the reference's SQL re-expressed
+    * verbatim, views-over-views like the PG schema (`flights` reads the
+    * `locations`/`callsigns` VIEWS, not the fact table).
+    */
+  def registerPersistent(spark: org.apache.spark.sql.SparkSession,
+                         factTable: String): Unit = {
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW callsigns AS
+         |SELECT callsign, hex_ident,
+         |       to_date(parsed_time) AS date_seen,
+         |       max(parsed_time) AS last_seen,
+         |       min(parsed_time) AS first_seen
+         |FROM $factTable
+         |WHERE callsign <> ''
+         |GROUP BY callsign, hex_ident, to_date(parsed_time)""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW locations AS
+         |SELECT hex_ident, parsed_time, lon, lat, altitude
+         |FROM $factTable
+         |WHERE lat IS NOT NULL""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE VIEW flights AS
+        |SELECT DISTINCT l.hex_ident, l.parsed_time, l.lon, l.lat,
+        |       l.altitude, cs.callsign
+        |FROM locations l
+        |JOIN callsigns cs
+        |  ON l.hex_ident = cs.hex_ident
+        | AND l.parsed_time <= cs.last_seen  + INTERVAL 10 MINUTES
+        | AND l.parsed_time >= cs.first_seen - INTERVAL 10 MINUTES""".stripMargin)
+  }
 }

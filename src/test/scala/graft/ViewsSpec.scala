@@ -84,6 +84,37 @@ class ViewsSpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("registerPersistent: catalog views survive a new session") {
+    val df = frame(Seq(
+      ("AAA", "FDX1", "2020-01-01 10:00:00", f),
+      ("AAA", "",     "2020-01-01 10:05:00", f),
+      ("BBB", "UPS9", "2020-01-01 11:00:00", f)))
+    df.write.mode("overwrite").saveAsTable("adsb_messages_t")
+    try {
+      Views.registerPersistent(spark, "adsb_messages_t")
+      // a NEW session = a fresh "connection" to the same warehouse: temp
+      // state is gone, but catalog views resolve — the reference's
+      // CREATE OR REPLACE VIEW persistence semantics
+      val s2 = spark.newSession()
+      assert(s2.catalog.tableExists("flights"))
+      val out = s2.sql(
+        "SELECT DISTINCT callsign FROM flights WHERE hex_ident = 'AAA'")
+        .collect().map(_.getString(0)).toSeq
+      assert(out === Seq("FDX1"))
+      // view output ≡ the DataFrame formulation on the same data
+      val viaSql = s2.sql("SELECT * FROM flights").collect()
+        .map(_.toSeq.toString).sorted
+      val viaDf = Views.flights(spark.table("adsb_messages_t")).collect()
+        .map(_.toSeq.toString).sorted
+      assert(viaSql.toSeq === viaDf.toSeq)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS flights")
+      spark.sql("DROP VIEW IF EXISTS locations")
+      spark.sql("DROP VIEW IF EXISTS callsigns")
+      spark.sql("DROP TABLE IF EXISTS adsb_messages_t")
+    }
+  }
+
   test("register: SQL surface works verbatim against the temp views") {
     val df = frame(Seq(
       ("AAA", "FDX1", "2020-01-01 10:00:00", f),
