@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Nearest-centroid assignment against an integer codebook, as one
+  * compiled per-row loop.
+  *
+  * The column-expression formulation (dims × centroids `element_at`
+  * terms folded with `greatest`) is semantically identical but builds a
+  * ~2,000-node Catalyst tree PER TRAINING ROUND — each round's new
+  * literals force fresh analysis + janino compilation, which dominated
+  * q_ann_ivf's wall clock (~12 s of the bench). Here the codebook rides
+  * into generated code as a reference object, so the generated source is
+  * identical across rounds (janino cache hit) and the loop is a compact
+  * scalar kernel.
+  *
+  * Math contract (mirrored by the DuckDB oracle's trained CTEs and the
+  * driver-side probe selection): components milli-quantized floor(v·1e3),
+  * dot = exact long sum, score = floor(1e6 · dot / sqrt(ssq)) with
+  * all-zero centroids scored [[KmeansAssign.ScoreEmpty]]; argmax breaks
+  * ties toward the lower centroid id.
+  */
+case class KmeansAssign(child: Expression, cents: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_assign requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "kmeans_assign"
+
+  // sqrt(ssq) per centroid, computed once per expression instance
+  @transient private lazy val sqrts: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KmeansAssign = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansAssign.compute(input.asInstanceOf[ArrayData], cents, sqrts)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    val sqrtsRef = ctx.addReferenceObj("kmSqrts", sqrts, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KmeansAssign$$.MODULE$$" +
+        s".compute($c, $centsRef, $sqrtsRef);")
+  }
+}
+
+object KmeansAssign {
+
+  /** Assignment score of an all-zero centroid — below any real
+    * micro-cosine, so it never wins (the oracle's CASE mirror).
+    */
+  val ScoreEmpty = -2000000L
+
+  def compute(arr: ArrayData, cents: Array[Array[Long]],
+              sqrts: Array[Double]): Long = {
+    val nDims = arr.numElements()
+    val vm = new Array[Long](nDims)
+    var i = 0
+    while (i < nDims) {
+      vm(i) = math.floor(arr.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    var bestScore = Long.MinValue
+    var bestJ = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(nDims, c.length)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += vm(i) * c(i); i += 1 }
+      val score =
+        if (sqrts(j) == 0.0) ScoreEmpty
+        else math.floor(1000000.0 * (dot.toDouble / sqrts(j))).toLong
+      if (score > bestScore) { bestScore = score; bestJ = j }
+      j += 1
+    }
+    bestJ.toLong
+  }
+
+  /** Column-API entry point. */
+  def kmeansAssign(embedding: Column, cents: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(KmeansAssign(
+      GraftSqlBridge.expression(embedding), cents))
+}

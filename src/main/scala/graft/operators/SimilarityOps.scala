@@ -187,7 +187,7 @@ object SimilarityOps {
     * micro-cosine (≥ −10⁶), so such a centroid never wins. Mirrored in
     * the oracle's CASE.
     */
-  val KmScoreEmpty = -2000000L
+  val KmScoreEmpty: Long = graft.functions.KmeansAssign.ScoreEmpty
 
   /** Components milli-quantized to exact integers: floor(v·1000).
     * Integer sums are association-free, so centroid sums — and therefore
@@ -199,36 +199,16 @@ object SimilarityOps {
   private def milliVec(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * lit(1000.0)))
 
-  /** Assignment score of milli-vector `vm` against one integer centroid,
-    * as a column: micro(dot / sqrt(ssq)). dot is an exact integer sum;
-    * ssq is a driver-side constant; the division is the only double op,
-    * computed from exact integers — both engines produce the identical
-    * IEEE value, so the micro floor agrees.
+  /** Nearest-centroid id under a codebook — a zero-shuffle per-row
+    * projection through [[graft.functions.KmeansAssign]] (one compiled
+    * loop; the codebook is a reference object, so each training round
+    * reuses the same generated class instead of re-planning a
+    * dims×centroids literal tree). Ties break toward the lower centroid
+    * id, matching the oracle's ORDER BY score DESC, cid.
     */
-  private def centScore(vm: Column, c: Array[Long]): Column = {
-    val ssq = c.map(x => x * x).sum
-    if (ssq == 0L) lit(KmScoreEmpty)
-    else {
-      val dot = c.indices.map(i => element_at(vm, i + 1) * lit(c(i)))
-        .reduce(_ + _)
-      micro(dot.cast("double") / lit(math.sqrt(ssq.toDouble)))
-    }
-  }
-
-  /** Nearest-centroid id under a literal codebook — a zero-shuffle
-    * per-row projection (the codebook is literals inside the expression,
-    * not a joined table). argmax = max of score·2²⁰ − cid, the same
-    * long-encode trick the pre-k-means assignment used: max score, then
-    * min cid, matching the oracle's ORDER BY score DESC, cid.
-    */
-  private def assignCluster(vm: Column,
-                            cents: Array[Array[Long]]): Column = {
-    require(cents.length < (1 << 20), "centroid id must fit in 20 bits")
-    val encs = cents.zipWithIndex.map { case (c, j) =>
-      centScore(vm, c) * lit(1L << 20) - lit(j.toLong)
-    }
-    pmod(-greatest(encs: _*), lit(1L << 20))
-  }
+  private def assignCluster(emb: Column,
+                            cents: Array[Array[Long]]): Column =
+    graft.functions.KmeansAssign.kmeansAssign(emb, cents)
 
   /** [[centScore]] on the driver, for probe selection: same integer dot,
     * same IEEE division — bit-identical to both engines.
@@ -261,7 +241,8 @@ object SimilarityOps {
     */
   def kmeansCodebook(emb: DataFrame, nCentroids: Int,
                      rounds: Int): Array[Array[Long]] = {
-    val vm = emb.select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+    val vm = emb.select(col("vec_id"), col("embedding"),
+        milliVec(col("embedding")).as("vm"))
       .cache()
     val seedRows = vm
       .withColumn("h", graft.functions.Hashing.md5Long(
@@ -273,7 +254,7 @@ object SimilarityOps {
     var r = 0
     while (r < rounds) {
       val sums = vm
-        .select(assignCluster(col("vm"), cents).as("cluster"),
+        .select(assignCluster(col("embedding"), cents).as("cluster"),
           posexplode(col("vm")).as(Seq("i", "v")))
         .groupBy("cluster", "i").agg(sum("v").as("s"))
         .collect()
@@ -310,7 +291,7 @@ object SimilarityOps {
       .select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"),
-        assignCluster(milliVec(col("embedding")), cents).as("cluster"))
+        assignCluster(col("embedding"), cents).as("cluster"))
       .filter(col("cluster").isin(probed.map(_.toLong): _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cluster"),

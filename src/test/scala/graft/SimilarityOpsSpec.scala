@@ -78,6 +78,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(seeds.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
   }
 
+  test("kmeans_assign: codegen and interpreted paths agree") {
+    import graft.functions.KmeansAssign.kmeansAssign
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, 10, 1)
+    val df = e.select(kmeansAssign(org.apache.spark.sql.functions
+      .col("embedding"), cents))
+    val withCodegen = df.collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = df.collect()
+      assert(withCodegen.map(_.getLong(0)).toSeq ===
+        interpreted.map(_.getLong(0)).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("trained codebook recall >= untrained-seed codebook recall") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.embeddings(spark, dir)
