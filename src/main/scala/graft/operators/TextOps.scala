@@ -44,10 +44,28 @@ object TextOps {
     * projection on one core. Only repartitions when the input is
     * under-parallel — at 100 TB inputs already carry thousands of
     * splits and this is a no-op (no shuffle added).
+    *
+    * The decision reads FILE METADATA only (`inputFiles` + file sizes —
+    * both served from the already-cached file index): the earlier
+    * `df.rdd.getNumPartitions` probe forced physical planning outside
+    * AQE just to count partitions. Non-file-backed frames (in-memory
+    * test relations) pass through untouched.
     */
   private[operators] def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) return df
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // enough bytes -> the scan itself splits to >= target partitions
+    if (bytes / math.max(1L, maxPart) >= target) df
+    else df.repartition(target)
   }
 
   /** Distinct (doc_id, sh) shingle set — the base relation for the n-gram
