@@ -280,13 +280,22 @@ object SimilarityOps {
     * TakeOrderedAndProject — at scale the vector store would be
     * partitioned by cluster id so the probe filter prunes partitions.
     */
+  /** The query's `nProbe` best clusters, selected on the driver with
+    * the same score function as assignment (the codebook is tiny; the
+    * one collected row is the query's embedding).
+    */
+  def probeClusters(emb: DataFrame, cents: Array[Array[Long]],
+                    queryId: Long, nProbe: Int): Seq[Int] = {
+    val qvm = emb.filter(col("vec_id") === queryId)
+      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
+    cents.indices.sortBy(j => (-centScoreLocal(qvm, cents(j)), j))
+      .take(nProbe)
+  }
+
   def annIvfWith(emb: DataFrame, queryId: Long,
                  cents: Array[Array[Long]], nProbe: Int,
                  k: Int): DataFrame = {
-    val qvm = emb.filter(col("vec_id") === queryId)
-      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
-    val probed = cents.indices
-      .sortBy(j => (-centScoreLocal(qvm, cents(j)), j)).take(nProbe)
+    val probed = probeClusters(emb, cents, queryId, nProbe)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= queryId)

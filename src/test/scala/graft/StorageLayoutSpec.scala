@@ -93,6 +93,27 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("cluster-partitioned IVF store prunes partitions on probes") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val path = Files.createTempDirectory("graft-ivf").toString
+    val cents = graft.sources.VectorStore.save(emb, path, 10)
+    val stored = graft.sources.VectorStore.annTopK(spark, path, cents,
+      queryId = 0L, nProbe = 3, k = 10)
+    // the probe filter must reach the scan as a PARTITION filter — a
+    // non-probed cluster's files are never opened
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters"))
+    assert(scan.exists(s => s.contains("cluster")),
+      s"probe filter must prune cluster partitions:\n${scan.getOrElse("")}")
+    // identical result to the recompute-on-read formulation: the store
+    // only changes where assignment is paid
+    val inline = graft.operators.SimilarityOps.annIvfWith(emb, 0L, cents,
+      3, 10)
+    assert(stored.collect().map(_.toSeq).toSeq ===
+      inline.collect().map(_.toSeq).toSeq)
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
