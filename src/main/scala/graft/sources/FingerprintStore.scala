@@ -49,4 +49,41 @@ object FingerprintStore {
   def contamination(spark: SparkSession, table: String, maxDf: Long,
                     ratioMicroMin: Long): DataFrame =
     TextOps.contaminationFrom(load(spark, table), maxDf, ratioMicroMin)
+
+  /** Incremental-load dedup audit: which INCOMING documents (a new
+    * crawl shard, typically ≪ the corpus) near-duplicate which STORED
+    * documents — the admission check every incremental corpus load runs.
+    * `ratio_micro` = shared fingerprints / the incoming doc's
+    * fingerprint count.
+    *
+    * Scale asymmetry is the point: the store side never shuffles (df
+    * cap and overlap join ride the fingerprint bucketing); only the
+    * small incoming shard's fingerprints are hashed into the store's
+    * bucketing — ONE Exchange of the new data, zero of the corpus
+    * (pinned in StorageLayoutSpec). The df cap uses the STORE's
+    * document frequencies: boilerplate shared across the corpus must
+    * not become a hot join key, exactly the D2 discipline.
+    */
+  def auditIncoming(spark: SparkSession, table: String,
+                    newDocs: DataFrame, k: Int, w: Int, maxDf: Long,
+                    ratioMicroMin: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.micro
+    val store = load(spark, table)
+    val keep = store.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fingerprint")
+    val inc = TextOps.winnowFingerprints(newDocs, k, w)
+      .select(col("doc_id").as("new_doc"), col("fingerprint"))
+    val nf = inc.groupBy("new_doc").agg(count(lit(1)).as("n_fp"))
+    val ov = inc
+      .join(keep, "fingerprint")
+      .join(store.select(col("fingerprint"),
+        col("doc_id").as("stored_doc")), "fingerprint")
+      .groupBy("new_doc", "stored_doc")
+      .agg(count(lit(1)).as("shared_fps"))
+    ov.join(nf, "new_doc")
+      .withColumn("ratio_micro", micro(col("shared_fps") / col("n_fp")))
+      .filter(col("ratio_micro") >= ratioMicroMin)
+      .select("new_doc", "stored_doc", "shared_fps", "ratio_micro")
+  }
 }

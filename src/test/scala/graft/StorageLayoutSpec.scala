@@ -93,6 +93,43 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("incoming-shard audit shuffles the shard, never the store") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val (k, w) = (8, 4)
+    graft.sources.FingerprintStore.save(docs, k, w, 80, 10,
+      "fp_store_inc")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // incoming shard: two near-copies of stored docs + one fresh doc
+      val sample = docs.orderBy("doc_id").limit(2).collect()
+      val incoming = (sample.zipWithIndex.map { case (r, i) =>
+        (1000000L + i, r.getString(1))
+      } :+ ((1000009L, "entirely fresh text with no stored counterpart")))
+        .toSeq.toDF("doc_id", "text")
+      val audit = graft.sources.FingerprintStore.auditIncoming(
+        spark, "fp_store_inc", incoming, k, w, 1000L, 500000L)
+      val plan = audit.queryExecution.executedPlan.toString
+      // fingerprint-keyed Exchanges: at most the one hashing the small
+      // incoming shard into the store's bucketing — the corpus-sized
+      // store side must ride its buckets
+      val fpExchanges = "Exchange hashpartitioning\\(fingerprint".r
+        .findAllIn(plan).length
+      assert(fpExchanges <= 1,
+        s"the store side must not shuffle on fingerprint:\n$plan")
+      val out = audit.collect()
+      val flaggedNew = out.map(_.getAs[Long]("new_doc")).toSet
+      assert(flaggedNew === Set(1000000L, 1000001L),
+        s"copies flagged, fresh doc admitted: ${out.toSeq}")
+      // copies flag their stored originals with full overlap
+      assert(out.forall(_.getAs[Long]("ratio_micro") === 1000000L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS fp_store_inc")
+    }
+  }
+
   test("cluster-partitioned IVF store prunes partitions on probes") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, dir)
