@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sources.FingerprintStore
+import graft.streaming.CorpusAdmission
+
+/** Streaming corpus admission end-to-end: a doc admitted in batch N
+  * rejects its near-copies in batch N+1, because admission appends the
+  * doc's fingerprints to the same store the audit reads.
+  */
+class CorpusAdmissionSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val (k, w, maxDf, ratioMin) = (8, 4, 1000L, 500000L)
+
+  test("admission loop: fresh docs admitted, later copies quarantined") {
+    val store = "fp_admission_test"
+    // seed the store with one already-admitted document
+    val seed = Seq((1L, "the original corpus document about aviation " +
+      "telemetry and message parsing pipelines")).toDF("doc_id", "text")
+    FingerprintStore.save(seed, k, w, 80, 10, store)
+    val corpusDir = Files.createTempDirectory("graft-corpus").toString
+    val quarantineDir = Files.createTempDirectory("graft-quar").toString
+    val ckpt = Files.createTempDirectory("graft-adm-ckpt").toString
+    try {
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = CorpusAdmission.start(spark, ms.toDF()
+          .toDF("doc_id", "text"),
+        store, corpusDir, quarantineDir, ckpt, k, w, maxDf, ratioMin)
+      try {
+        // batch 1: a copy of the seeded doc + a fresh doc
+        ms.addData(
+          (10L, "the original corpus document about aviation " +
+            "telemetry and message parsing pipelines"),
+          (11L, "a completely different text on winnowing fingerprints " +
+            "and locality sensitive hashing for deduplication"))
+        q.processAllAvailable()
+        // batch 2: a copy of the doc admitted in batch 1, one exact
+        // in-batch duplicate pair, and one fresh doc
+        ms.addData(
+          (20L, "a completely different text on winnowing fingerprints " +
+            "and locality sensitive hashing for deduplication"),
+          (21L, "twin rows arriving together in one single micro batch"),
+          (22L, "twin rows arriving together in one single micro batch"),
+          (23L, "yet another unrelated piece of text about spark " +
+            "catalyst expressions and code generation"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val corpus = spark.read.parquet(corpusDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val quarantined = spark.read.parquet(quarantineDir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("stored_doc"))
+        .toMap
+      // 11 fresh in batch 1; 21 wins its in-batch twin; 23 fresh
+      assert(corpus === Set(11L, 21L, 23L))
+      // 10 matches the seeded doc 1; 20 matches 11 ADMITTED IN BATCH 1
+      assert(quarantined === Map(10L -> 1L, 20L -> 11L))
+      // the store grew by the admitted docs' fingerprints
+      val storedDocs = FingerprintStore.load(spark, store)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(storedDocs === Set(1L, 11L, 21L, 23L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $store")
+    }
+  }
+}
