@@ -38,4 +38,41 @@ object Maintenance {
     fs.delete(old, true)
     (before, parquetFiles(dir))
   }
+
+  /** Compact a BUCKETED catalog table (e.g. the fingerprint store after
+    * many streaming appends, [[CorpusAdmission]]) — every append job
+    * adds its own file per bucket, and at 100 TB a thousand appends
+    * mean a thousand files per bucket on every audit's scan.
+    *
+    * A plain coalesce-rewrite would destroy the property the store
+    * exists for: bucket files carry their bucket id in the layout, and
+    * joins are only Exchange-free while rows live in the file their
+    * hash says. So compaction rewrites THROUGH the same bucket spec
+    * (one shuffle-free pass: the scan is already partitioned by the
+    * bucket key) into a fresh table, then swaps names in the catalog.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactBucketed(spark: SparkSession, table: String, nBuckets: Int,
+                      bucketCol: String,
+                      sortCols: Seq[String] = Seq.empty): (Int, Int) = {
+    def fileCount(t: String): Int =
+      spark.table(t).inputFiles.length
+    val before = fileCount(table)
+    val tmp = s"${table}__compact_tmp"
+    val old = s"${table}__compact_old"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val writer = spark.table(table).write
+      .bucketBy(nBuckets, bucketCol, Nil: _*)
+    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
+     else writer).saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    catch {
+      case e: Throwable =>
+        spark.sql(s"ALTER TABLE $old RENAME TO $table") // restore
+        throw e
+    }
+    spark.sql(s"DROP TABLE $old")
+    (before, fileCount(table))
+  }
 }

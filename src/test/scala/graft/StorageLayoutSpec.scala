@@ -130,6 +130,47 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed-store compaction keeps audits Exchange-free") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val (k, w) = (8, 4)
+    val store = "fp_store_compact"
+    // simulate a store that grew through streaming appends
+    graft.sources.FingerprintStore.save(docs.filter($"doc_id" < 100),
+      k, w, 80, 10, store)
+    try {
+      for (lo <- Seq(100L, 200L))
+        graft.streaming.CorpusAdmission.appendToStore(
+          docs.filter($"doc_id" >= lo && $"doc_id" < lo + 100), store, k, w)
+      val incoming = Seq((9000001L,
+        docs.orderBy("doc_id").limit(1).collect().head.getString(1)))
+        .toDF("doc_id", "text")
+      def audit() = graft.sources.FingerprintStore.auditIncoming(
+        spark, store, incoming, k, w, 1000L, 500000L)
+      val beforeRows = audit().collect().map(_.toSeq).toSet
+      val (before, after) = graft.streaming.Maintenance.compactBucketed(
+        spark, store, 8, "fingerprint", Seq("fingerprint"))
+      assert(after < before, s"compaction must shrink files: $before -> $after")
+      // the rewritten table still carries the bucket spec: the store
+      // side of the audit joins without a fingerprint Exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = audit().queryExecution.executedPlan.toString
+        val fpExchanges = "Exchange hashpartitioning\\(fingerprint".r
+          .findAllIn(plan).length
+        assert(fpExchanges <= 1,
+          s"store must stay bucketed after compaction:\n$plan")
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")
+      assert(audit().collect().map(_.toSeq).toSet === beforeRows)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $store")
+      spark.sql(s"DROP TABLE IF EXISTS ${store}__compact_tmp")
+      spark.sql(s"DROP TABLE IF EXISTS ${store}__compact_old")
+    }
+  }
+
   test("cluster-partitioned IVF store prunes partitions on probes") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.embeddings(spark, dir)
