@@ -82,6 +82,43 @@ object SimilarityQueries {
   def qQuantize(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.quantizeInt8(emb(spark, dir)).orderBy("vec_id", "i")
 
+  val BatchQueryMax = 5L // query set = vec_id < 5
+  val BatchK = 3
+
+  /** Batch ANN — top-k neighbors for a SET of query vectors in one
+    * plan (the batch-inference shape: embedding-service lookups arrive
+    * in batches, not one by one). The query side is a tiny broadcast;
+    * each corpus row is scored against all queries in one codegen
+    * projection pass, and per-query top-k flows through the bounded
+    * [[TopKAggregator]] — ≤ k rows per map partition per query reach
+    * the shuffle, never the n×Q score table.
+    */
+  def qAnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing.micro
+    import graft.functions.vector.cosineSim
+    val e = emb(spark, dir)
+    val qs = e.filter(col("vec_id") < BatchQueryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        micro(cosineSim(col("embedding"), col("qe")))
+          .cast("double").as("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopKAggregator.topK(BatchK).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"),
+        col("col._1").cast("long").as("cos_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -278,6 +315,26 @@ object SimilarityQueries {
        |) WHERE cos_micro >= $LshCosMin ORDER BY d1, d2""".stripMargin
   }
 
+  private val annBatchOracle =
+    s"""$evCte,
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |scores AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dots d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_micro
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_micro DESC, vec_id) AS rank
+       |  FROM scores
+       |) WHERE rank <= $BatchK ORDER BY query_id, rank""".stripMargin
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -297,6 +354,7 @@ object SimilarityQueries {
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_ann_topk"       -> (qAnnTopK _),
+    "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
@@ -305,6 +363,7 @@ object SimilarityQueries {
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,
     "q_ann_topk"       -> annTopKOracle,
+    "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }
