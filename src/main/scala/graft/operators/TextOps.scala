@@ -671,6 +671,53 @@ object TextOps {
         ((col("cum") - col("n_tok")) % ctxLen).as("bin_offset"))
   }
 
+  /** Bigram language-model quality scoring — the LM-perplexity filter
+    * stage of a curation pipeline (heuristic stats [[tokenStats]] catch
+    * garbage; an n-gram LM trained on the corpus's own train split
+    * catches fluent-looking noise). Add-one smoothed bigram model:
+    * P(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁)+V), with c from train-split
+    * bigrams and V = distinct train tokens; each document scores the
+    * average log-probability of its bigrams under that model.
+    *
+    * Cross-engine exactness discipline: all counts are exact integers;
+    * each bigram's ln(ratio-of-exact-ints) is micro-floored PER TERM and
+    * the per-doc reduction is an INTEGER sum (summing raw doubles
+    * across engines is forbidden — partial-agg association differs);
+    * the final average is one exact-integer division, floored.
+    *
+    * Scale shape: two (bigram, partial-count) aggregations over the
+    * train split; scoring is a 1:1 lookup join keyed on the bigram
+    * (vocabulary-sized count tables — broadcast at realistic sizes,
+    * bucketed by w1 at the extreme); one per-doc partial agg. The
+    * bigram sequence comes from a per-doc window (doc_id-partitioned —
+    * the same shuffle the per-doc aggregate needs anyway).
+    */
+  def lmScore(docs: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    val toks = parallelized(docs).select(col("doc_id"),
+      splitAssign(trainPct, valPct).as("split"),
+      posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val bi = toks.withColumn("w1", lag("w", 1).over(win))
+      .filter(col("w1").isNotNull)
+    val train = bi.filter(col("split") === "train")
+    val cb = train.groupBy("w1", "w").agg(count(lit(1)).as("cb"))
+    val cu = train.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = toks.filter(col("split") === "train")
+      .agg(countDistinct("w").as("v"))
+    val lp = micro(log(
+      (coalesce(col("cb"), lit(0L)) + 1L) /
+        (coalesce(col("cu"), lit(0L)) + col("v"))))
+    bi.join(cb, Seq("w1", "w"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("split"), lp.as("lp_micro"))
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("slp"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"),
+        floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
+  }
+
   /** Per-doc 32-bit SimHash over token occurrences (md5-based bit votes).
     * One explode + one hash-aggregate with 32 conditional sums — a single
     * shuffle of partial sums.

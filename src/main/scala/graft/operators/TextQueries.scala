@@ -530,6 +530,54 @@ object TextQueries {
   val PackShards = 8
   val PackCtxLen = 2048L // power of two: exact floor division cross-engine
 
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(docs(spark, dir), TrainPct, ValPct).orderBy("doc_id")
+
+  /** Bigram-LM scoring oracle: bigrams via positional list indexing
+    * (same pairs as the Spark lag window), counts from the train split,
+    * per-term micro-floored ln, integer per-doc sum. lazy — uses
+    * splitBucketSql (declared below).
+    */
+  private lazy val lmScoreOracle =
+    s"""$tokCte,
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    toks
+       |  FROM tok
+       |),
+       |bi AS (
+       |  SELECT doc_id, split, toks[i] AS w1, toks[i + 1] AS w
+       |  FROM t, unnest(range(1, len(toks))) AS g(i)
+       |),
+       |cb AS (
+       |  SELECT w1, w, count(*) AS cb FROM bi
+       |  WHERE split = 'train' GROUP BY 1, 2
+       |),
+       |cu AS (
+       |  SELECT w1, count(*) AS cu FROM bi
+       |  WHERE split = 'train' GROUP BY 1
+       |),
+       |v AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM t WHERE split = 'train')
+       |),
+       |scores AS (
+       |  SELECT b.doc_id, b.split,
+       |    ${Hashing.microSql(
+          "ln((COALESCE(cb.cb, 0) + 1) / (COALESCE(cu.cu, 0) + v.v))")}
+       |      AS lp
+       |  FROM bi b
+       |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w = cb.w
+       |  LEFT JOIN cu ON b.w1 = cu.w1
+       |  CROSS JOIN v
+       |)
+       |SELECT doc_id, split, count(*) AS n_bigrams,
+       |  CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micro
+       |FROM scores GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
     TextOps.sampleSplit(Tables.documents(spark, dir), TrainPct, ValPct)
       .orderBy("lang", "split")
@@ -572,6 +620,7 @@ object TextQueries {
        |FROM c ORDER BY shard, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score"       -> (qLmScore _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -592,6 +641,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score"       -> lmScoreOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

@@ -102,6 +102,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) === (3L, 5L))
   }
 
+  test("lmScore: in-distribution text outscores out-of-vocabulary noise") {
+    // many docs repeating the same phrase train a confident bigram
+    // model; the noise doc's bigrams all back off to the 1/(0+V) floor
+    val common = (1L to 40L).map(i => (i, "the quick brown fox jumps"))
+    val noise = Seq((900L, "zzq xvw qqj kpl mmx"))
+    val out = TextOps.lmScore((common ++ noise).toDF("doc_id", "text"),
+        80, 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out.contains(900L))
+    val (_, nBi, noiseScore) = out(900L)
+    assert(nBi === 4L)
+    val fluent = out.filter(_._1 <= 40L).values.map(_._3)
+    assert(fluent.forall(_ > noiseScore),
+      s"fluent docs must outscore noise: ${fluent.min} vs $noiseScore")
+    // deterministic: pure function of the corpus
+    val again = TextOps.lmScore((common ++ noise).toDF("doc_id", "text"),
+      80, 10).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again === out.map { case (k, v) => k -> v._3 })
+  }
+
   test("sampleSplit: deterministic, exhaustive, and stratified by lang") {
     val d = (1L to 200L).map(i => (i, s"doc $i tokens here", s"l${i % 3}"))
       .toDF("doc_id", "text", "lang")
