@@ -718,6 +718,48 @@ object TextOps {
         floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
   }
 
+  /** Training-mix computation — the source-reweighting stage between
+    * curation and packing: given target mixture percentages per source,
+    * compute each source's sampling rate for the max-data-retention mix
+    * (keep ALL of the bottleneck source — the one scarcest relative to
+    * its target — and downsample every other source to match the
+    * mixture). rate_i = (target_i·t_b)/(target_b·t_i), where b
+    * minimizes t/target; the bottleneck's own rate is exactly 1.
+    *
+    * Exactness: token totals are integer aggregates; every rate is ONE
+    * double division of exact integer cross-products, micro-floored —
+    * both engines agree bit-for-bit. The per-source table is
+    * mixture-sized (tens of rows), so the argmin window and broadcast
+    * are trivial; the only real work is the one partial-agg shuffle of
+    * (source, token-partial) pairs.
+    */
+  def trainingMix(docs: DataFrame,
+                  targets: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val per = parallelized(docs)
+      .select(col("source"), size(tokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    val tgt = targets.toDF("source", "target_pct")
+    val j = per.join(tgt, "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens").cast("double") / col("target_pct"),
+        col("source"))
+    val bn = j.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("tokens").as("b_tokens"),
+        col("target_pct").as("b_target"))
+    j.crossJoin(broadcast(bn))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("target_pct"),
+        micro((col("target_pct") * col("b_tokens")) /
+          (col("b_target") * col("tokens"))).as("rate_micro"))
+      .withColumn("kept_tokens",
+        floor(col("tokens") * col("rate_micro") / lit(1000000.0)))
+  }
+
   /** Per-doc 32-bit SimHash over token occurrences (md5-based bit votes).
     * One explode + one hash-aggregate with 32 conditional sums — a single
     * shuffle of partial sums.

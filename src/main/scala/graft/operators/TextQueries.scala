@@ -578,6 +578,50 @@ object TextQueries {
        |  CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micro
        |FROM scores GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  /** Target mixture over the corpus's 20 sources: four upweighted
+    * "high-quality" sources at 13 % each, the rest at 3 % (sums to 100).
+    * Literal constants so the oracle injects the identical table.
+    */
+  val MixTargets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", if (i < 4) 13L else 3L))
+
+  def qMix(spark: SparkSession, dir: String): DataFrame =
+    TextOps.trainingMix(Tables.documents(spark, dir), MixTargets)
+      .orderBy("source")
+
+  private val mixOracle = {
+    val vals = MixTargets
+      .map { case (s, t) => s"('$s', $t)" }.mkString(", ")
+    val rate = "(j.target_pct * b.b_tokens) * 1.0 / " +
+      "(b.b_target * j.tokens)"
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |tgt AS (
+       |  SELECT * FROM (VALUES $vals) v(source, target_pct)
+       |),
+       |j AS (
+       |  SELECT p.source, p.n_docs, p.tokens,
+       |    CAST(t.target_pct AS BIGINT) AS target_pct
+       |  FROM per p JOIN tgt t USING (source)
+       |),
+       |bn AS (
+       |  SELECT tokens AS b_tokens, target_pct AS b_target FROM j
+       |  ORDER BY tokens * 1.0 / target_pct, source LIMIT 1
+       |),
+       |r AS (
+       |  SELECT j.source, j.n_docs, j.tokens, j.target_pct,
+       |    ${Hashing.microSql(rate)} AS rate_micro
+       |  FROM j CROSS JOIN bn b
+       |)
+       |SELECT source, n_docs, tokens, target_pct, rate_micro,
+       |  CAST(floor(tokens * rate_micro / 1000000.0) AS BIGINT)
+       |    AS kept_tokens
+       |FROM r ORDER BY source""".stripMargin
+  }
+
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
     TextOps.sampleSplit(Tables.documents(spark, dir), TrainPct, ValPct)
       .orderBy("lang", "split")
@@ -621,6 +665,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_score"       -> (qLmScore _),
+    "q_mix"            -> (qMix _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -642,6 +687,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_lm_score"       -> lmScoreOracle,
+    "q_mix"            -> mixOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

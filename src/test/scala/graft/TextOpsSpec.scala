@@ -124,6 +124,27 @@ class TextOpsSpec extends SparkSpec {
     assert(again === out.map { case (k, v) => k -> v._3 })
   }
 
+  test("trainingMix: bottleneck kept whole, others downsampled to mixture") {
+    // webby: 60 tokens, target 20%; bookish: 20 tokens, target 80%.
+    // bookish is the bottleneck (scarcest vs target) -> rate 1;
+    // webby rate = (20*20)/(80*60) = 1/12.
+    val d = Seq(
+      (1L, ("w " * 60).trim, "webby"),
+      (2L, ("b " * 20).trim, "bookish"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.trainingMix(d, Seq(("webby", 20L), ("bookish", 80L)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(out("bookish") === ((20L, 1000000L, 20L)))
+    val (wTok, wRate, wKept) = out("webby")
+    assert(wTok === 60L)
+    assert(wRate === 83333L) // floor(1e6/12)
+    assert(wKept === 4L)     // floor(60 * 83333 / 1e6)
+    // resulting mix ~ 4:20 tokens = 1:5 vs target 20:80 = 1:4 (floor
+    // quantization) — the bottleneck source is never subsampled
+  }
+
   test("sampleSplit: deterministic, exhaustive, and stratified by lang") {
     val d = (1L to 200L).map(i => (i, s"doc $i tokens here", s"l${i % 3}"))
       .toDF("doc_id", "text", "lang")
