@@ -698,11 +698,20 @@ object TextOps {
       posexplode(tokens(col("text"))).as(Seq("i", "w")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
+    // cache the bigram relation: three consumers (model counts, and the
+    // scoring pass) would otherwise each re-run the explode + per-doc
+    // window — the same shared-relation discipline as contamination's
+    // cached fingerprint relation
     val bi = toks.withColumn("w1", lag("w", 1).over(win))
       .filter(col("w1").isNotNull)
-    val train = bi.filter(col("split") === "train")
-    val cb = train.groupBy("w1", "w").agg(count(lit(1)).as("cb"))
-    val cu = train.groupBy("w1").agg(count(lit(1)).as("cu"))
+      .cache()
+    val cb = bi.filter(col("split") === "train")
+      .groupBy("w1", "w").agg(count(lit(1)).as("cb"))
+    // context totals fold out of the bigram counts (sum of cb over w) —
+    // aggregating the already-reduced count table, not the full stream
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    // vocab needs ALL train tokens (doc-initial ones included), but no
+    // window — a plain projection scan
     val vocab = toks.filter(col("split") === "train")
       .agg(countDistinct("w").as("v"))
     val lp = micro(log(
