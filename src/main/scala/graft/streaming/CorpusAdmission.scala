@@ -69,14 +69,16 @@ object CorpusAdmission {
 
   /** Append the fingerprints of newly admitted docs to the bucketed
     * store (split fixed to "train": admission feeds the training
-    * corpus; eval sets are curated, not streamed).
+    * corpus; eval sets are curated, not streamed). `nBuckets` must
+    * match the spec the store was [[FingerprintStore.save]]d with —
+    * Spark rejects a mismatched append.
     */
   def appendToStore(admitted: DataFrame, storeTable: String, k: Int,
-                    w: Int): Unit =
+                    w: Int, nBuckets: Int = 8): Unit =
     TextOps.winnowFingerprints(admitted.select("doc_id", "text"), k, w)
       .withColumn("split", lit("train"))
       .write.mode("append")
-      .bucketBy(8, "fingerprint").sortBy("fingerprint")
+      .bucketBy(nBuckets, "fingerprint").sortBy("fingerprint")
       .saveAsTable(storeTable)
 
   /** The streaming admission query: docs stream → per-batch audit →
