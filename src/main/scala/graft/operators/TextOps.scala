@@ -727,6 +727,29 @@ object TextOps {
         floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
   }
 
+  /** Intra-document repetition stats — the Gopher/MassiveText-style
+    * repetition filter: the fraction of a document's word n-gram
+    * OCCURRENCES that belong to an n-gram appearing more than once in
+    * the same document. Complements [[tokenStats]]'s distinct-token
+    * ratio (which catches token-level loops but not phrase-level
+    * boilerplate) and [[chunkDocs]]-based dedup (which is cross-doc).
+    * Docs shorter than n tokens have no grams and drop out.
+    *
+    * Shape: one explode + two hash aggregations, both keyed within the
+    * document — the (doc, gram) shuffle carries map-side partials.
+    */
+  def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
+    // multiplicity matters here: no array_distinct (unlike shingleSet)
+    val grams = parallelized(docs).select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("rep_grams"))
+      .select(col("doc_id"), col("n_grams"), col("rep_grams"),
+        micro(col("rep_grams") / col("n_grams")).as("rep_micro"))
+  }
+
   /** Training-mix computation — the source-reweighting stage between
     * curation and packing: given target mixture percentages per source,
     * compute each source's sampling rate for the max-data-retention mix

@@ -622,6 +622,33 @@ object TextQueries {
        |FROM r ORDER BY source""".stripMargin
   }
 
+  val RepN = 3
+
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(spark, dir), RepN).orderBy("doc_id")
+
+  /** 3-grams WITH multiplicity (no DISTINCT, unlike `shCte`); DuckDB
+    * inclusive list slicing: toks[i:i+2] = 3 elements, i up to len-2.
+    */
+  private val repetitionOracle =
+    s"""$tokCte,
+       |shm AS (
+       |  SELECT doc_id,
+       |         list_aggregate(toks[i:i+${RepN - 1}], 'string_agg', ' ') AS g
+       |  FROM tok,
+       |    unnest(range(1, greatest(len(toks) - ${RepN - 2}, 1))) AS r(i)
+       |),
+       |per AS (SELECT doc_id, g, count(*) AS c FROM shm GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |      AS rep_grams
+       |  FROM per GROUP BY 1
+       |)
+       |SELECT doc_id, n_grams, rep_grams,
+       |  ${Hashing.microSql("rep_grams * 1.0 / n_grams")} AS rep_micro
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
     TextOps.sampleSplit(Tables.documents(spark, dir), TrainPct, ValPct)
       .orderBy("lang", "split")
@@ -666,6 +693,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_score"       -> (qLmScore _),
     "q_mix"            -> (qMix _),
+    "q_repetition"     -> (qRepetition _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -688,6 +716,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_lm_score"       -> lmScoreOracle,
     "q_mix"            -> mixOracle,
+    "q_repetition"     -> repetitionOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

@@ -124,6 +124,22 @@ class TextOpsSpec extends SparkSpec {
     assert(again === out.map { case (k, v) => k -> v._3 })
   }
 
+  test("repetitionStats: phrase loops counted, clean prose near zero") {
+    val out = TextOps.repetitionStats(docs(
+        // "click here now" ×3 -> the 3-gram "click here now" repeats
+        (1L, "click here now click here now click here now"),
+        (2L, "nine distinct words make one clean readable sentence ok"),
+        (3L, "too short")) // < 3 tokens: no grams, drops out
+      , 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 9 tokens -> 7 grams; "click here now" occurs 3x,
+    // "now click here" and "here now click" 2x each -> 7 repeated
+    assert(out(1L) === ((7L, 7L, 1000000L)))
+    assert(out(2L) === ((7L, 0L, 0L)))
+    assert(!out.contains(3L))
+  }
+
   test("trainingMix: bottleneck kept whole, others downsampled to mixture") {
     // webby: 60 tokens, target 20%; bookish: 20 tokens, target 80%.
     // bookish is the bottleneck (scarcest vs target) -> rate 1;
