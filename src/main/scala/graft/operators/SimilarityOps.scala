@@ -232,12 +232,17 @@ object SimilarityOps {
     * — a data-independent pseudo-random draw both engines reproduce.
     * Each round: assign every vector to its nearest centroid (zero-
     * shuffle literal-codebook projection), then refresh each centroid as
-    * the per-dimension INTEGER SUM of its members (one partial-agg
-    * shuffle of (cluster, dim) pairs — cosine is scale-invariant, so the
-    * sum is as good a direction as the mean and stays exact). Empty
-    * clusters keep their previous centroid. Driver-coordinated like
-    * every iterative Spark algorithm; the collected state is only the
-    * nCentroids×dims sum table.
+    * the per-dimension truncated INTEGER MEAN of its members (one
+    * partial-agg shuffle of (cluster, dim) pairs — cosine is scale-
+    * invariant, so the integer mean keeps the training trajectory exact
+    * while bounding every component by the milli input range; a raw SUM
+    * would grow with cluster size until the assignment kernel's
+    * ssq = Σc² overflowed Long at ~3M members). Java's long division
+    * and DuckDB's BIGINT `//` both truncate toward zero, so the mean —
+    * and the whole trajectory — stays bit-identical across engines.
+    * Empty clusters keep their previous centroid. Driver-coordinated
+    * like every iterative Spark algorithm; the collected state is only
+    * the nCentroids×dims mean table.
     */
   def kmeansCodebook(emb: DataFrame, nCentroids: Int,
                      rounds: Int): Array[Array[Long]] = {
@@ -256,11 +261,13 @@ object SimilarityOps {
       val sums = vm
         .select(assignCluster(col("embedding"), cents).as("cluster"),
           posexplode(col("vm")).as(Seq("i", "v")))
-        .groupBy("cluster", "i").agg(sum("v").as("s"))
+        .groupBy("cluster", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
         .collect()
       val next = cents.map(_.clone()) // empty clusters keep previous
       sums.foreach { row =>
-        next(row.getLong(0).toInt)(row.getInt(1)) = row.getLong(2)
+        next(row.getLong(0).toInt)(row.getInt(1)) =
+          row.getLong(2) / row.getLong(3)
       }
       cents = next
       r += 1

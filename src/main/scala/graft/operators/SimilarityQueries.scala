@@ -193,9 +193,13 @@ object SimilarityQueries {
          |    FROM sc$r
          |  ) WHERE rn = 1
          |)""".stripMargin
+    // centroid refresh = truncated integer MEAN: DuckDB's BIGINT `//`
+    // truncates toward zero exactly like the Java long division on the
+    // Spark driver, so the trajectories stay bit-identical
     def refineCtes(r: Int): String =
       s"""n${r + 1} AS (
-         |  SELECT a.cid, m.i, sum(m.vm) AS S
+         |  SELECT a.cid, m.i,
+         |         CAST(sum(m.vm) // count(*) AS BIGINT) AS S
          |  FROM a$r a JOIN mv m USING (vec_id) GROUP BY 1, 2
          |),
          |c${r + 1} AS (

@@ -711,9 +711,16 @@ object TextOps {
     // aggregating the already-reduced count table, not the full stream
     val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     // vocab needs ALL train tokens (doc-initial ones included), but no
-    // window — a plain projection scan
+    // window — a plain projection scan. An empty train split gives
+    // V = 0 and every smoothed denominator (cu + V) = 0 — fail the job
+    // loudly (inside the plan, no extra action) instead of emitting
+    // log(inf)/null scores
     val vocab = toks.filter(col("split") === "train")
       .agg(countDistinct("w").as("v"))
+      .select(when(col("v") > 0L, col("v"))
+        .otherwise(raise_error(
+          lit("lmScore: empty train split (vocabulary V = 0)")))
+        .as("v"))
     val lp = micro(log(
       (coalesce(col("cb"), lit(0L)) + 1L) /
         (coalesce(col("cu"), lit(0L)) + col("v"))))
@@ -761,12 +768,17 @@ object TextOps {
     * Exactness: token totals are integer aggregates; every rate is ONE
     * double division of exact integer cross-products, micro-floored —
     * both engines agree bit-for-bit. The per-source table is
-    * mixture-sized (tens of rows), so the argmin window and broadcast
+    * mixture-sized (tens of rows), so the argmin aggregate and broadcast
     * are trivial; the only real work is the one partial-agg shuffle of
-    * (source, token-partial) pairs.
+    * (source, token-partial) pairs. The bottleneck argmin is a single
+    * `min_by` aggregate (struct ordering = ratio, then source), NOT a
+    * global window — an unpartitioned window is never the right shape,
+    * even on a mixture-sized table.
     */
   def trainingMix(docs: DataFrame,
                   targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      s"trainingMix: every target_pct must be positive, got $targets")
     val spark = docs.sparkSession
     import spark.implicits._
     val per = parallelized(docs)
@@ -775,14 +787,21 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
     val tgt = targets.toDF("source", "target_pct")
+    // a source with a target but zero tokens makes the mix infeasible
+    // (its rate would be infinite) — fail loudly, inside the plan
     val j = per.join(tgt, "source")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tokens").cast("double") / col("target_pct"),
-        col("source"))
-    val bn = j.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("tokens").as("b_tokens"),
-        col("target_pct").as("b_target"))
+      .select(col("source"), col("n_docs"), col("target_pct"),
+        when(col("tokens") > 0L, col("tokens"))
+          .otherwise(raise_error(concat(lit("trainingMix: source "),
+            col("source"), lit(" has a target but zero tokens"))))
+          .as("tokens"))
+    val bn = j.agg(min_by(
+        struct(col("tokens").as("b_tokens"),
+          col("target_pct").as("b_target")),
+        struct(col("tokens").cast("double") / col("target_pct"),
+          col("source"))).as("b"))
+      .select(col("b.b_tokens").as("b_tokens"),
+        col("b.b_target").as("b_target"))
     j.crossJoin(broadcast(bn))
       .select(col("source"), col("n_docs"), col("tokens"),
         col("target_pct"),

@@ -63,6 +63,16 @@ object FingerprintStore {
     * (pinned in StorageLayoutSpec). The df cap uses the STORE's
     * document frequencies: boilerplate shared across the corpus must
     * not become a hot join key, exactly the D2 discipline.
+    *
+    * Replay tolerance (the at-least-once admission stream,
+    * [[graft.streaming.CorpusAdmission]]): the store is deduplicated on
+    * (doc_id, fingerprint) — a no-op on a clean store, where winnowed
+    * fingerprints are already distinct per doc, but it keeps a replayed
+    * append from inflating df and shared counts — and self-pairs
+    * (stored_doc = new_doc) are excluded, so a doc whose own
+    * fingerprints were already appended re-audits exactly as it did the
+    * first time. The dedup's grouping keys are a superset of the bucket
+    * key, so it too runs without an Exchange.
     */
   def auditIncoming(spark: SparkSession, table: String,
                     newDocs: DataFrame, k: Int, w: Int, maxDf: Long,
@@ -70,6 +80,8 @@ object FingerprintStore {
     import org.apache.spark.sql.functions._
     import graft.functions.Hashing.micro
     val store = load(spark, table)
+      .dropDuplicates("doc_id", "fingerprint")
+      .select("doc_id", "fingerprint")
     val keep = store.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
     val inc = TextOps.winnowFingerprints(newDocs, k, w)
@@ -79,6 +91,7 @@ object FingerprintStore {
       .join(keep, "fingerprint")
       .join(store.select(col("fingerprint"),
         col("doc_id").as("stored_doc")), "fingerprint")
+      .filter(col("stored_doc") =!= col("new_doc"))
       .groupBy("new_doc", "stored_doc")
       .agg(count(lit(1)).as("shared_fps"))
     ov.join(nf, "new_doc")

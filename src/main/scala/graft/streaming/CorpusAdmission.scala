@@ -31,8 +31,16 @@ import graft.sources.FingerprintStore
   *    is the standard admission-pipeline contract (a stricter
   *    in-batch near-dup pass would insert [[TextOps.minhashLshPairs]]
   *    on the batch here);
-  *  - `foreachBatch` + append sinks + checkpoint = exactly-once
-  *    admission decisions across restarts.
+  *  - `foreachBatch` is AT-LEAST-ONCE: a crash between the three sink
+  *    writes replays the whole batch on restart. Every write is made
+  *    idempotent so the replay converges to the original outcome:
+  *    corpus and quarantine rows land in batch-id-keyed partition
+  *    directories written with OVERWRITE (a replay replaces, never
+  *    duplicates); the store append can duplicate (doc_id, fingerprint)
+  *    rows, but [[FingerprintStore.auditIncoming]] deduplicates the
+  *    store and excludes self-pairs, so a replayed batch — whose own
+  *    fingerprints may already be stored — re-derives exactly its
+  *    original admission decisions.
   */
 object CorpusAdmission {
 
@@ -82,22 +90,31 @@ object CorpusAdmission {
       .saveAsTable(storeTable)
 
   /** The streaming admission query: docs stream → per-batch audit →
-    * corpus sink + quarantine sink + store append.
+    * corpus sink + quarantine sink + store append. `nBuckets` must
+    * match the spec the store was saved with (a mismatched bucket
+    * count makes every append fail and wedges the stream).
+    *
+    * Corpus/quarantine rows go to `batch_id=<id>` partition directories
+    * in OVERWRITE mode — the replay-idempotence half of the at-least-
+    * once contract documented on the object (readers of the sink roots
+    * see `batch_id` as an ordinary partition column).
     */
   def start(spark: SparkSession, docs: DataFrame, storeTable: String,
             corpusDir: String, quarantineDir: String,
             checkpointDir: String, k: Int, w: Int, maxDf: Long,
-            ratioMicroMin: Long): StreamingQuery =
+            ratioMicroMin: Long, nBuckets: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (admitted, quarantined) = admitBatch(spark, batch, storeTable,
           k, w, maxDf, ratioMicroMin)
         val keep = admitted.cache() // consumed twice: sink + store append
         try {
-          keep.write.mode("append").parquet(corpusDir)
-          quarantined.write.mode("append").parquet(quarantineDir)
-          appendToStore(keep, storeTable, k, w)
+          keep.write.mode("overwrite")
+            .parquet(s"$corpusDir/batch_id=$batchId")
+          quarantined.write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch_id=$batchId")
+          appendToStore(keep, storeTable, k, w, nBuckets)
         } finally keep.unpersist()
       }
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -51,6 +51,17 @@ object Maintenance {
     * (one shuffle-free pass: the scan is already partitioned by the
     * bucket key) into a fresh table, then swaps names in the catalog.
     * Returns (filesBefore, filesAfter).
+    *
+    * NOT atomic for concurrent readers/writers: the swap is two catalog
+    * renames, and between them the table name resolves to nothing —
+    * a concurrent query (or a streaming append like
+    * [[CorpusAdmission]]'s) fails that one batch with
+    * TABLE_OR_VIEW_NOT_FOUND. QUIESCE FIRST: stop (or pause past) the
+    * admission stream, compact, then restart — the standard maintenance
+    * window every Hive-catalog rename swap needs. A failed batch is not
+    * data loss (the stream's checkpoint replays it, and the replay is
+    * idempotent per [[CorpusAdmission]]'s contract), but routine
+    * compaction should not rely on that.
     */
   def compactBucketed(spark: SparkSession, table: String, nBuckets: Int,
                       bucketCol: String,

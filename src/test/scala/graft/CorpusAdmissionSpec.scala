@@ -67,4 +67,43 @@ class CorpusAdmissionSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $store")
     }
   }
+
+  test("replayed batch re-derives its original admission decisions") {
+    // foreachBatch is at-least-once: after a crash between the corpus
+    // write and restart, the SAME batch runs again — against a store
+    // that may already hold that batch's fingerprints. The audit's
+    // (doc_id, fingerprint) dedup + self-pair exclusion must make the
+    // second run reach the identical verdicts.
+    val store = "fp_replay_test"
+    val seed = Seq((1L, "the original corpus document about aviation " +
+      "telemetry and message parsing pipelines")).toDF("doc_id", "text")
+    FingerprintStore.save(seed, k, w, 80, 10, store)
+    try {
+      val batch = Seq(
+        (10L, "the original corpus document about aviation " +
+          "telemetry and message parsing pipelines"), // copy → quarantine
+        (11L, "a completely different text on winnowing fingerprints " +
+          "and locality sensitive hashing for deduplication")) // fresh
+        .toDF("doc_id", "text")
+      def decide() = {
+        val (adm, quar) = CorpusAdmission.admitBatch(spark, batch, store,
+          k, w, maxDf, ratioMin)
+        (adm.select("doc_id").collect().map(_.getLong(0)).toSet,
+          quar.select("doc_id", "stored_doc").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      }
+      val first = decide()
+      assert(first === (Set(11L), Map(10L -> 1L)))
+      // the crash point: fingerprints appended, then the batch replays —
+      // twice, covering double-appended stores too
+      CorpusAdmission.appendToStore(
+        batch.filter($"doc_id" === 11L), store, k, w)
+      assert(decide() === first, "replay after one append must agree")
+      CorpusAdmission.appendToStore(
+        batch.filter($"doc_id" === 11L), store, k, w)
+      assert(decide() === first, "replay after a duplicate append must agree")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $store")
+    }
+  }
 }
