@@ -67,7 +67,18 @@ object KmeansAssign {
   val ScoreEmpty = -2000000L
 
   def compute(arr: ArrayData, cents: Array[Array[Long]],
-              sqrts: Array[Double]): Long = {
+              sqrts: Array[Double]): Long =
+    best(arr, cents, sqrts)._1.toLong
+
+  def computeScore(arr: ArrayData, cents: Array[Array[Long]],
+                   sqrts: Array[Double]): Long =
+    best(arr, cents, sqrts)._2
+
+  /** (argmax centroid id, max score) in one loop — ties toward the
+    * lower id, same contract as the oracle's ORDER BY score DESC, cid.
+    */
+  private def best(arr: ArrayData, cents: Array[Array[Long]],
+                   sqrts: Array[Double]): (Int, Long) = {
     val nDims = arr.numElements()
     val vm = new Array[Long](nDims)
     var i = 0
@@ -90,11 +101,58 @@ object KmeansAssign {
       if (score > bestScore) { bestScore = score; bestJ = j }
       j += 1
     }
-    bestJ.toLong
+    (bestJ, bestScore)
   }
 
   /** Column-API entry point. */
   def kmeansAssign(embedding: Column, cents: Array[Array[Long]]): Column =
     GraftSqlBridge.column(KmeansAssign(
+      GraftSqlBridge.expression(embedding), cents))
+}
+
+/** The WINNING assignment score (micro-cosine against the nearest
+  * centroid) under the same codebook — [[KmeansAssign]]'s sibling, used
+  * as the drift signal for a persisted IVF index: when a batch of new
+  * vectors scores systematically below the training-time mean, the
+  * codebook no longer describes the data and the store should re-train
+  * ([[graft.sources.VectorStore.append]]). Same compiled-kernel shape:
+  * the codebook rides in as a reference object, one scalar loop.
+  */
+case class KmeansScore(child: Expression, cents: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_score requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "kmeans_score"
+
+  @transient private lazy val sqrts: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KmeansScore = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansAssign.computeScore(input.asInstanceOf[ArrayData], cents, sqrts)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    val sqrtsRef = ctx.addReferenceObj("kmSqrts", sqrts, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KmeansAssign$$.MODULE$$" +
+        s".computeScore($c, $centsRef, $sqrtsRef);")
+  }
+}
+
+object KmeansScore {
+  /** Column-API entry point. */
+  def kmeansScore(embedding: Column, cents: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(KmeansScore(
       GraftSqlBridge.expression(embedding), cents))
 }

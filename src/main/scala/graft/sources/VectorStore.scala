@@ -1,9 +1,11 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.KmeansAssign.kmeansAssign
+import graft.functions.KmeansScore.kmeansScore
 import graft.functions.Hashing.micro
 import graft.functions.vector.cosineSim
 import graft.operators.SimilarityOps
@@ -21,21 +23,177 @@ import graft.operators.SimilarityOps
   * [[graft.functions.KmeansAssign]] per-row kernel, zero shuffles; the
   * partitioned write is the only data movement). Queries recompute
   * nothing: assignment is baked into the layout.
+  *
+  * == Index lifecycle (a 100 TB index is never rebuilt from scratch) ==
+  *
+  * The codebook and a training-time quality baseline persist NEXT TO
+  * the data (underscore-prefixed sidecar dirs, invisible to the main
+  * parquet scan), making the store self-contained:
+  *
+  *  - [[append]]: new vectors assign against the STORED codebook (the
+  *    same zero-shuffle kernel) and land in their cluster's partition
+  *    directory — probes keep pruning, no existing file is touched.
+  *  - drift: every append measures the batch's mean assignment score
+  *    (micro-cosine against its nearest centroid,
+  *    [[graft.functions.KmeansScore]]) against the training-time mean.
+  *    A batch the codebook still describes scores near the baseline; a
+  *    distribution shift scores low — the signal that probes are
+  *    scanning the wrong clusters and recall is silently decaying.
+  *  - [[retrain]]: re-derives the codebook from ALL stored vectors and
+  *    rewrites the layout (to a sibling dir, swapped in via rename, the
+  *    [[graft.streaming.Maintenance]] pattern). [[appendOrRetrain]]
+  *    wires the two together with a drift tolerance.
   */
 object VectorStore {
 
+  /** Stored-next-to-the-data index metadata: the codebook and the mean
+    * assignment score (micro-cosine) over the vectors the codebook was
+    * trained on.
+    */
+  final case class Meta(cents: Array[Array[Long]],
+                        baselineScoreMicro: Long, nTrain: Long)
+
+  /** Drift report of one appended batch: training-time baseline vs the
+    * batch's own mean assignment score, both micro-cosine.
+    */
+  final case class Drift(batchScoreMicro: Long, baselineScoreMicro: Long,
+                         nAppended: Long) {
+    /** How far below the training baseline the batch scores. */
+    def driftMicro: Long = baselineScoreMicro - batchScoreMicro
+  }
+
+  private def codebookDir(path: String) = s"$path/_codebook"
+  private def metaDir(path: String) = s"$path/_meta"
+
+  /** Mean assignment quality of `emb` under `cents`, in MICRO-COSINE
+    * units: the raw [[KmeansScore]] kernel output scales with the
+    * vector norm (≈ 10⁹ · cos · ‖v‖), so it is divided back by
+    * 1000·‖v‖ per row — the metric is then comparable across batches
+    * whatever their norms, and tolerances read as plain cosine
+    * (300000 = "0.3 worse than training"). One aggregate, two collected
+    * values; a double mean is fine here — this is an operational
+    * metric, not an oracled output.
+    */
+  private def meanScore(emb: DataFrame,
+                        cents: Array[Array[Long]]): (Long, Long) = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val cosMicro = when(norm > 0.0,
+      kmeansScore(col("embedding"), cents).cast("double") /
+        (norm * lit(1000.0))).otherwise(lit(0.0))
+    val r = emb.agg(avg(cosMicro).as("s"), count(lit(1)).as("n")).head()
+    val n = r.getLong(1)
+    (if (n == 0) 0L else math.floor(r.getDouble(0)).toLong, n)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        cents: Array[Array[Long]], baseline: Long,
+                        nTrain: Long): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .flatMap { case (c, cid) =>
+        c.zipWithIndex.map { case (s, i) => (cid.toLong, i, s) }
+      }.toSeq.toDF("cid", "i", "s")
+      .coalesce(1).write.mode("overwrite").parquet(codebookDir(path))
+    Seq((baseline, nTrain)).toDF("baseline_score_micro", "n_train")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir(path))
+  }
+
+  /** The persisted codebook + baseline. */
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val rows = spark.read.parquet(codebookDir(path))
+      .orderBy("cid", "i").collect()
+    val nC = rows.map(_.getLong(0)).max.toInt + 1
+    val cents = Array.ofDim[Array[Long]](nC)
+    rows.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
+      cents(cid.toInt) = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+    }
+    val m = spark.read.parquet(metaDir(path)).head()
+    Meta(cents, m.getLong(0), m.getLong(1))
+  }
+
+  private def writeRows(emb: DataFrame, path: String,
+                        cents: Array[Array[Long]], mode: String): Unit =
+    emb.select(col("vec_id"), col("embedding"),
+        kmeansAssign(col("embedding"), cents).as("cluster"))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
   /** Train a codebook on `emb` and write (vec_id, embedding, cluster)
-    * partitioned by cluster under `path`. Returns the trained codebook —
-    * the query side needs it for probe selection (persist it next to the
-    * store in a real deployment).
+    * partitioned by cluster under `path`, plus the codebook/baseline
+    * sidecar. Returns the trained codebook ([[readMeta]] recovers it —
+    * callers no longer need to hold it).
     */
   def save(emb: DataFrame, path: String, nCentroids: Int,
            rounds: Int = SimilarityOps.KmRounds): Array[Array[Long]] = {
     val cents = SimilarityOps.kmeansCodebook(emb, nCentroids, rounds)
-    emb.select(col("vec_id"), col("embedding"),
-        kmeansAssign(col("embedding"), cents).as("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    saveWith(emb, path, cents)
     cents
+  }
+
+  /** Write the store under an EXPLICIT codebook (no training) — the
+    * rebuild half of the append-equals-rebuild contract, and the write
+    * path [[retrain]] reuses.
+    */
+  def saveWith(emb: DataFrame, path: String,
+               cents: Array[Array[Long]]): Unit = {
+    writeRows(emb, path, cents, "overwrite")
+    val (baseline, n) = meanScore(emb, cents)
+    writeMeta(emb.sparkSession, path, cents, baseline, n)
+  }
+
+  /** Incremental append: assign `newVecs` against the STORED codebook
+    * and append them to their cluster partitions. Existing files and
+    * the sidecar are untouched — a store grown by appends answers every
+    * query exactly as the same data re-saved under the same codebook
+    * (spec-pinned). Returns the batch's [[Drift]] so callers can gate
+    * re-clustering ([[appendOrRetrain]]).
+    */
+  def append(spark: SparkSession, path: String,
+             newVecs: DataFrame): Drift = {
+    val meta = readMeta(spark, path)
+    val (batchScore, n) = meanScore(newVecs, meta.cents)
+    writeRows(newVecs, path, meta.cents, "append")
+    Drift(batchScore, meta.baselineScoreMicro, n)
+  }
+
+  /** Re-derive the codebook from ALL stored vectors and rewrite the
+    * layout. The rewrite goes to a sibling directory and swaps in via
+    * two renames (the [[graft.streaming.Maintenance.compactPartition]]
+    * discipline) — a reader mid-swap sees the old or the new index,
+    * never a partial one; quiesce writers first.
+    */
+  def retrain(spark: SparkSession, path: String, nCentroids: Int,
+              rounds: Int = SimilarityOps.KmRounds): Array[Array[Long]] = {
+    val emb = spark.read.parquet(path).select("vec_id", "embedding")
+    val tmp = s"${path}__retrain_tmp"
+    val cents = save(emb, tmp, nCentroids, rounds)
+    val dir = new Path(path)
+    val fs = FileSystem.get(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"${path}__retrain_old")
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"retrain: cannot move $path aside")
+    if (!fs.rename(new Path(tmp), dir)) {
+      fs.rename(old, dir) // restore — the index must never vanish
+      throw new java.io.IOException(s"retrain: cannot swap in $tmp")
+    }
+    fs.delete(old, true)
+    cents
+  }
+
+  /** The maintenance policy in one call: append the batch, and if its
+    * mean assignment score fell more than `tolMicro` below the training
+    * baseline, re-cluster the whole store (the appended rows included).
+    * Returns (drift, retrained?).
+    */
+  def appendOrRetrain(spark: SparkSession, path: String,
+                      newVecs: DataFrame, tolMicro: Long, nCentroids: Int,
+                      rounds: Int = SimilarityOps.KmRounds)
+      : (Drift, Boolean) = {
+    val drift = append(spark, path, newVecs)
+    val retrained = drift.driftMicro > tolMicro
+    if (retrained) retrain(spark, path, nCentroids, rounds)
+    (drift, retrained)
   }
 
   /** Top-k cosine ANN against the stored index: probe clusters chosen
@@ -60,4 +218,9 @@ object VectorStore {
       .orderBy(col("cos_micro").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** [[annTopK]] with the codebook read from the store's own sidecar. */
+  def annTopK(spark: SparkSession, path: String, queryId: Long,
+              nProbe: Int, k: Int): DataFrame =
+    annTopK(spark, path, readMeta(spark, path).cents, queryId, nProbe, k)
 }
