@@ -93,6 +93,36 @@ object ScaleProbe {
     require(frac <= 3 * theory,
       f"scale-config candidate fraction $frac%.4f exceeds 3x the " +
         f"B*2^-b theory bound — check hyperplane/bucket balance")
+
+    // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
+    // measured on the replicated corpus — the evidence that nProbe
+    // trades recall for scan fraction beyond the tiny test SF. Recall
+    // is monotone in nProbe by construction (anything displacing a
+    // truth hit from a wider candidate set's top-k is itself a truth
+    // hit) and exact at nProbe = nCentroids (full probe IS brute
+    // force) — both asserted, not assumed.
+    {
+      val e = replicate(emb, "vec_id", k)
+      val nCent = 16
+      val cents = SimilarityOps.kmeansCodebook(e, nCent,
+        SimilarityOps.KmRounds)
+      val probes = Seq(1, 2, 4, 8, nCent)
+      var curve: Array[(Long, Double)] = Array.empty
+      time(s"ann_recall_${k}x") {
+        curve = SimilarityOps.annRecall(e, 5L, cents, probes, 10)
+          .groupBy("nprobe").agg(avg("recall_micro").as("r"))
+          .orderBy("nprobe")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        curve.length.toLong
+      }
+      curve.foreach { case (np, r) =>
+        println(f"SCALE ann_recall_np$np%-3d ${r / 10000}%6.1f%% @ ${k}x")
+      }
+      require(curve.last._2 == 1000000.0,
+        "full probe must reach exact recall")
+      require(curve.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+        "recall must be monotone in nProbe")
+    }
     spark.stop()
   }
 }

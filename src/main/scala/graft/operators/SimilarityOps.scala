@@ -323,4 +323,70 @@ object SimilarityOps {
              k: Int, rounds: Int = KmRounds): DataFrame =
     annIvfWith(emb, queryId, kmeansCodebook(emb, nCentroids, rounds),
       nProbe, k)
+
+  /** Measured IVF recall@k — the accuracy/cost dial of the index,
+    * reported per probe width: for every query in the set
+    * (vec_id < queryMax) and every nProbe in `nProbes`, how many of the
+    * brute-force top-k neighbors the probed search returns
+    * (`recall_micro` = hits/k, micro-floored). nProbe = nCentroids rows
+    * anchor at exactly 10⁶ — the probed search degenerates to
+    * brute force.
+    *
+    * Scale shape: recall evaluation is always over a SAMPLED query set,
+    * so the scored relation is |corpus| × Q — the same broadcast-query
+    * projection as [[SimilarityQueries.qAnnBatch]], cached once for the
+    * truth and candidate passes. Probe ranks are a Q × nCentroids
+    * driver table (the same [[probeClusters]] math, one bounded
+    * collect), broadcast back; every ranking is a per-(query, nProbe)
+    * window over candidates only.
+    */
+  def annRecall(emb: DataFrame, queryMax: Long,
+                cents: Array[Array[Long]], nProbes: Seq[Int],
+                k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        assignCluster(col("embedding"), cents).as("cluster"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .cache()
+    // probe ranking per query: Q × nCentroids, same integer score math
+    // as assignment — one bounded collect of the query embeddings
+    val qvm = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+      .collect()
+    val prank = qvm.toSeq.flatMap { r =>
+      val vm = r.getSeq[Long](1).toArray
+      cents.indices.sortBy(j => (-centScoreLocal(vm, cents(j)), j))
+        .zipWithIndex.map { case (j, rank) =>
+          (r.getLong(0), j.toLong, (rank + 1).toLong)
+        }
+    }.toDF("query_id", "cluster", "prank")
+    val np = nProbes.map(_.toLong).toDF("nprobe")
+    def topk(df: DataFrame, parts: Seq[String]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts.map(col): _*)
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+    val truth = topk(scored, Seq("query_id")).select("query_id", "vec_id")
+    val ann = topk(
+      scored.join(broadcast(prank), Seq("query_id", "cluster"))
+        .crossJoin(broadcast(np))
+        .filter(col("prank") <= col("nprobe")),
+      Seq("query_id", "nprobe"))
+    val hits = ann.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id", "nprobe").agg(count(lit(1)).as("hits"))
+    queries.select("query_id").crossJoin(broadcast(np))
+      .join(hits, Seq("query_id", "nprobe"), "left")
+      .select(col("query_id"), col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        micro(coalesce(col("hits"), lit(0L)) / lit(k)).as("recall_micro"))
+  }
 }

@@ -119,6 +119,25 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Probe widths the recall curve is measured at — the last equals
+    * [[NCentroids]], anchoring recall at exactly 1.0 (probing every
+    * cluster IS brute force).
+    */
+  val RecallProbes: Seq[Int] = Seq(1, 2, 3, 5, NCentroids)
+
+  /** IVF recall@k per nProbe — "IVF works" turned into "IVF's
+    * accuracy/cost dial is measured": the same trained codebook as
+    * q_ann_ivf, evaluated against brute-force truth over the q_ann_batch
+    * query set.
+    */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.annRecall(e, BatchQueryMax, cents, RecallProbes, TopK)
+      .orderBy("query_id", "nprobe")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -162,15 +181,18 @@ object SimilarityQueries {
        |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
        |ORDER BY cos_micro DESC, d.vec_id LIMIT $TopK""".stripMargin
 
-  /** The k-means IVF oracle re-trains the codebook INSIDE DuckDB —
+  /** The k-means oracle machinery re-trains the codebook INSIDE DuckDB —
     * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
     * every quantity on the training path is an exact integer (milli
-    * components, integer centroid sums) and the one double op (the score
-    * division) is computed from exact integers identically on both
-    * engines, the SQL training trajectory is bit-identical to the Spark
-    * one — no data-dependent literals need to cross engines.
+    * components, truncated integer centroid means) and the one double op
+    * (the score division) is computed from exact integers identically on
+    * both engines, the SQL training trajectory is bit-identical to the
+    * Spark one — no data-dependent literals need to cross engines.
+    * The returned text ends with `sc<rounds>` (per-(vector, centroid)
+    * scores) and `a<rounds>` (final assignments) available to the query
+    * tail; shared by the q_ann_ivf and q_ann_recall oracles.
     */
-  private val annIvfOracle: String = {
+  private def kmeansTrainedCtes: String = {
     val rounds = SimilarityOps.KmRounds
     def scoreCtes(r: Int): String =
       s"""s$r AS (SELECT cid, sum(S * S) AS ssq FROM c$r GROUP BY 1),
@@ -225,7 +247,12 @@ object SimilarityQueries {
        |),
        |c0 AS (SELECT s.cid, m.i, m.vm AS S FROM seeds s JOIN mv m USING (vec_id)),
        |$training,
-       |${scoreCtes(rounds)},
+       |${scoreCtes(rounds)}""".stripMargin
+  }
+
+  private val annIvfOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
        |probe AS (
        |  SELECT cid FROM sc$rounds WHERE vec_id = $QueryVecId
        |  ORDER BY score DESC, cid LIMIT $NProbe
@@ -339,6 +366,75 @@ object SimilarityQueries {
        |  FROM scores
        |) WHERE rank <= $BatchK ORDER BY query_id, rank""".stripMargin
 
+  /** Recall oracle: the same trained CTEs, then truth = per-query
+    * brute-force top-k, candidates = vectors whose assigned cluster
+    * ranks within nProbe for the query (probe ranks from the final
+    * score table), ANN answer = top-k over candidates, recall = overlap
+    * with truth on a dense (query × nProbe) grid.
+    */
+  private val annRecallOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    val npVals = RecallProbes.map(p => s"($p)").mkString(", ")
+    s"""$kmeansTrainedCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY score DESC, cid) AS BIGINT)
+       |      AS prank
+       |  FROM sc$rounds WHERE vec_id < $BatchQueryMax
+       |),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |qcm AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM qd d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |             JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM qcm
+       |  ) WHERE rn <= $TopK
+       |),
+       |np(nprobe) AS (SELECT CAST(v.c AS BIGINT) FROM (VALUES $npVals) v(c)),
+       |ann AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT n.nprobe, q.query_id, q.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id, n.nprobe
+       |                         ORDER BY q.cos_micro DESC, q.vec_id) AS rn
+       |    FROM qcm q
+       |    JOIN a$rounds a ON q.vec_id = a.vec_id
+       |    JOIN probes p ON p.query_id = q.query_id AND p.cid = a.cid
+       |    CROSS JOIN np n
+       |    WHERE p.prank <= n.nprobe
+       |  ) WHERE rn <= $TopK
+       |),
+       |h AS (
+       |  SELECT a.query_id, a.nprobe, count(*) AS hits
+       |  FROM ann a JOIN truth t
+       |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT q.query_id, n.nprobe
+       |  FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |        WHERE vec_id < $BatchQueryMax) q CROSS JOIN np n
+       |)
+       |SELECT g.query_id, g.nprobe,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  ${Hashing.microSql(s"COALESCE(h.hits, 0) * 1.0 / $TopK")}
+       |    AS recall_micro
+       |FROM grid g LEFT JOIN h
+       |  ON g.query_id = h.query_id AND g.nprobe = h.nprobe
+       |ORDER BY g.query_id, g.nprobe""".stripMargin
+  }
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -360,6 +456,7 @@ object SimilarityQueries {
     "q_ann_topk"       -> (qAnnTopK _),
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
+    "q_ann_recall"     -> (qAnnRecall _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -369,5 +466,6 @@ object SimilarityQueries {
     "q_ann_topk"       -> annTopKOracle,
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
+    "q_ann_recall"     -> annRecallOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

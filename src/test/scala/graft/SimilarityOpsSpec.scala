@@ -140,4 +140,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 5L, 1000000L)),
       s"identical pair must be found with cosine exactly 1: ${out.toSeq}")
   }
+
+  test("annRecall: dense grid, monotone in nProbe, exact at full probe") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val out = SimilarityOps.annRecall(e, 3L, cents, Seq(1, 3, 10), 10)
+      .orderBy("query_id", "nprobe").collect()
+    assert(out.length === 9, "3 queries x 3 probe widths, zero-filled")
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val recalls = rows.sortBy(_.getLong(1)).map(_.getAs[Long]("recall_micro"))
+      assert(recalls.zip(recalls.tail).forall(p => p._1 <= p._2),
+        s"recall must be monotone in nProbe for query $q: ${recalls.toSeq}")
+      assert(recalls.last === 1000000L,
+        s"probing every cluster is brute force (query $q): ${recalls.toSeq}")
+    }
+    // hits/k wiring: recall_micro is exactly micro(hits / k)
+    assert(out.forall(r =>
+      r.getAs[Long]("recall_micro") === r.getAs[Long]("hits") * 100000L))
+  }
 }
