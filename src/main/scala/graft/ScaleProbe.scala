@@ -94,6 +94,45 @@ object ScaleProbe {
       f"scale-config candidate fraction $frac%.4f exceeds 3x the " +
         f"B*2^-b theory bound — check hyperplane/bucket balance")
 
+    // Production MinHash setting (ScaleMinhashBands × ScaleMinhashRows,
+    // see TextOps for the S-curve math). Replica copies share their
+    // signatures EXACTLY, so the candidate count at k× is an identity,
+    // not a bound: cand(k×) = k²·cand(1×) + n·k(k−1)/2 — every 1×
+    // candidate pair appears in all k² copy combinations, plus the
+    // identical-copy pairs themselves always collide. Holding exactly
+    // means the wide-band config generates candidates from true
+    // similarity only; drift would expose band-hash truncation or a
+    // broken bucket key.
+    {
+      val mhSeeds = graft.functions.Hashing.minhashSeeds(
+        TextOps.ScaleMinhashBands * TextOps.ScaleMinhashRows)
+      def mhCand(c: Int): Long = {
+        val d = replicate(docs, "doc_id", c)
+        val sh = TextOps.shingleSet(d, 5).select(col("doc_id"),
+          graft.functions.Hashing.md5Long(col("sh")).as("h0"))
+        var n = 0L
+        time(s"minhash_scale_cand_${c}x") {
+          n = TextOps.minhashCandidates(sh, TextOps.ScaleMinhashBands,
+            TextOps.ScaleMinhashRows, mhSeeds).count()
+          n
+        }
+        n
+      }
+      val base = mhCand(1)
+      val atK = mhCand(k)
+      val nDocs = docs.count()
+      val expected = base * k * k + nDocs * k * (k - 1) / 2
+      val nPairs1 = nDocs.toDouble * (nDocs - 1) / 2.0
+      println(f"SCALE minhash_scale_cand_fraction ${100 * base / nPairs1}%.3f%% " +
+        f"of 1x pairs; ${k}x identity $atK vs expected $expected")
+      require(atK == expected,
+        s"replica candidate identity broken: $atK != $expected")
+      require(base / nPairs1 <= 0.001,
+        f"wide-band MinHash candidate fraction ${base / nPairs1}%.5f " +
+          "exceeds 0.1%% of all pairs — the S-curve should crush " +
+          "background collisions")
+    }
+
     // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
     // measured on the replicated corpus — the evidence that nProbe
     // trades recall for scan fraction beyond the tiny test SF. Recall

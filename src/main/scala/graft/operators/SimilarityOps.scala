@@ -121,21 +121,10 @@ object SimilarityOps {
   def signLshCandidates(emb: DataFrame, nPlanes: Int,
                         bandBits: Int): DataFrame = {
     val nBands = nPlanes / bandBits
-    val sig = signLshSignatures(emb, nPlanes)
     val mask = (1L << bandBits) - 1
-    val bandRows = (0 until nBands).map { k =>
-      struct(lit(k).as("k"),
-        shiftright(col("sig"), bandBits * k).bitwiseAND(lit(mask))
-          .as("band"))
-    }
-    val bands = sig.select(col("vec_id"),
-        explode(array(bandRows: _*)).as("s"))
-      .select(col("vec_id"), col("s.k").as("k"), col("s.band").as("band"))
-    bands.select(col("vec_id").as("d1"), col("k"), col("band"))
-      .join(bands.select(col("vec_id").as("d2"), col("k"), col("band")),
-        Seq("k", "band"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    Banding.bandedCandidates(signLshSignatures(emb, nPlanes), "vec_id",
+      (0 until nBands).map(k =>
+        shiftright(col("sig"), bandBits * k).bitwiseAND(lit(mask))))
   }
 
   /** Sign-LSH near-dup pairs — the label-free scale path for

@@ -222,64 +222,94 @@ object TextOps {
       .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
   }
 
-  /** Per-doc MinHash signature (16 permutations) as columns m0..m15,
-    * plus the shingle-set size `n` fused into the same aggregation —
-    * over pre-hashed shingles (`h0` = 60-bit md5 hash per shingle).
+  /** Per-doc MinHash signature as columns m0..m{seeds-1}, plus the
+    * shingle-set size `n` fused into the same aggregation — over
+    * pre-hashed shingles (`h0` = 60-bit md5 hash per shingle). `seeds`
+    * selects the permutation count: the default 16 literal pairs are
+    * the corpus tuning baked into the oracle SQL; the scale config
+    * generates as many as it needs ([[Hashing.minhashSeeds]]).
     */
-  def minhashSignature(hashed: DataFrame): DataFrame = {
+  def minhashSignature(hashed: DataFrame,
+      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame = {
     val p = Hashing.MinhashP
     val hs = hashed.select(col("doc_id"), (col("h0") % p).as("h"))
-    val aggs = Hashing.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
+    val aggs = seeds.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % p).as(s"m$j")
     } :+ count(lit(1)).as("n")
     hs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + banded LSH near-dup detection, verified.
+  /** The documented 100 TB MinHash configuration: 128 permutations
+    * banded 16 bands × 8 rows (the corpus/test tuning is 16 perms,
+    * 4×4 — same [[Banding]] join, different dial settings).
     *
-    * 16 minhashes → 4 bands × 4 rows; docs sharing any band bucket are
-    * candidates (catches Jaccard ≳ 0.7 with high probability); candidates
-    * are then verified with the exact Jaccard from the shingle sets.
-    * Candidate generation is a join on (band, band_hash) — tiny buckets,
-    * no O(n²) anywhere; verification touches only candidate pairs.
+    * S-curve math (a pair with Jaccard J collides per band w.p. Jʳ;
+    * any-of-B recall 1 − (1 − Jʳ)ᴮ; the threshold sits at
+    * J* ≈ (1/B)^(1/r)):
+    *  - corpus tuning r=4, B=4: J* ≈ 0.71; catches J = 0.8 w.p. 0.88,
+    *    J = 0.85 w.p. 0.95 — and lets a background J = 0.3 pair
+    *    through w.p. 3.2%, harmless at 5k docs.
+    *  - scale config r=8, B=16: SAME threshold (J* ≈ 0.71) but twice
+    *    the slope — J = 0.8 w.p. 0.95, J = 0.85 w.p. 0.99, while the
+    *    J = 0.3 background collapses to 0.1% (30× fewer junk
+    *    candidates). Doubling r is the dial that crushes the
+    *    quadratic B·n²·E[J_bg^r] candidate term as n grows; B rises to
+    *    hold recall at the threshold. ScaleProbe measures the exact
+    *    replica-candidate identity for this config.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int,
-                      jacMicroMin: Long): DataFrame = {
-    // one md5 pass; the cached working set and every join key are longs
-    val sh = shingleSet(docs, n)
-      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
-    // carry the whole signature (array of 16 longs) through the band
-    // join: candidate pairs surface with both signatures attached, so
-    // the minhash-agreement count needs no extra joins back to the
-    // signature table (two fewer shuffles)
-    val sig = array(Hashing.MinhashSeeds.indices.map(j => col(s"m$j")): _*)
-    val withSig = minhashSignature(sh)
+  val ScaleMinhashBands = 16
+  val ScaleMinhashRows = 8
+
+  /** MinHash LSH candidate pairs over pre-hashed shingles, signatures
+    * and set sizes attached — the [[Banding]] join. The band hash is a
+    * base-31 polynomial of the band's rows: kept literally for r ≤ 4
+    * (it is mirrored in the q_dedup_minhash oracle SQL and stays below
+    * 2⁴⁶), reduced mod p per step for wider bands (r = 8 would pass
+    * 2⁶³; the reduction only re-buckets, ANSI-safely — wider bands are
+    * probe configs with no oracle contract).
+    */
+  def minhashCandidates(hashed: DataFrame, nBands: Int, rowsPerBand: Int,
+      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame = {
+    require(seeds.length >= nBands * rowsPerBand,
+      s"need ${nBands * rowsPerBand} permutations, got ${seeds.length}")
+    val sig = array(seeds.indices.map(j => col(s"m$j")): _*)
+    val withSig = minhashSignature(hashed, seeds)
       .select(col("doc_id"), sig.as("sig"), col("n"))
-    val nBands = 4
-    val bandStructs = (0 until nBands).map { b =>
-      val ms = (0 until 4).map(j => element_at(col("sig"), 4 * b + j + 1))
-      struct(lit(b).as("band"),
-        ms.reduceLeft((acc, m) => acc * lit(31L) + m).as("bh"))
+    val step: (Column, Column) => Column =
+      if (rowsPerBand <= 4) (acc, m) => acc * lit(31L) + m
+      else (acc, m) => (acc * lit(31L) + m) % lit(Hashing.MinhashP)
+    val bandVals = (0 until nBands).map { b =>
+      (0 until rowsPerBand)
+        .map(j => element_at(col("sig"), rowsPerBand * b + j + 1))
+        .reduceLeft(step)
     }
     // signature AND set size ride through the band join: no joins back
     // to per-doc tables afterwards — only the intersection count needs
     // another pass
-    val bands = withSig.select(col("doc_id"), col("sig"), col("n"),
-        explode(array(bandStructs: _*)).as("s"))
-      .select(col("doc_id"), col("sig"), col("n"),
-        col("s.band").as("band"), col("s.bh").as("bh"))
-    val cand = bands.select(col("doc_id").as("d1"), col("sig").as("sig1"),
-        col("n").as("n1"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("d2"), col("sig").as("sig2"),
-        col("n").as("n2"), col("band"), col("bh")), Seq("band", "bh"))
-      .filter(col("d1") < col("d2"))
-      // attached columns are functionally dependent on the pair:
-      // group+first dedups on the 16-byte key instead of hashing both
-      // signature arrays per row like distinct() would
-      .groupBy("d1", "d2")
-      .agg(first("sig1").as("sig1"), first("sig2").as("sig2"),
-        first("n1").as("n1"), first("n2").as("n2"))
-    // zip_with over 16 elements on candidate rows only (~0.01% of input)
+    Banding.bandedCandidates(withSig, "doc_id", bandVals,
+      payload = Seq("sig", "n"))
+  }
+
+  /** MinHash + banded LSH near-dup detection, verified.
+    *
+    * minhashes → bands × rows ([[ScaleMinhashBands]] for the parameter
+    * math; defaults are the corpus tuning); docs sharing any band
+    * bucket are candidates; candidates are then verified with the
+    * exact Jaccard from the shingle sets. Candidate generation is a
+    * join on (band, band_hash) — tiny buckets, no O(n²) anywhere;
+    * verification touches only candidate pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int, jacMicroMin: Long,
+      nBands: Int = 4, rowsPerBand: Int = 4,
+      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame = {
+    // one md5 pass; the cached working set and every join key are longs
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+    val cand = minhashCandidates(sh, nBands, rowsPerBand, seeds)
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2"),
+        col("n1"), col("n2"))
+    // zip_with over the signatures on candidate rows only (~0.01% of
+    // input)
     val nMatch = aggregate(
       zip_with(col("sig1"), col("sig2"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -836,24 +866,14 @@ object TextOps {
     * band, so bucket-join + exact `bit_count(xor)` filter finds all of
     * them without a cross join.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sim = simhash(docs)
-    val bandRows = (0 until 4).map { k =>
-      struct(lit(k).as("k"),
-        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("band"))
-    }
-    val bands = sim.select(col("doc_id"), col("simhash"),
-        explode(array(bandRows: _*)).as("s"))
-      .select(col("doc_id"), col("simhash"),
-        col("s.k").as("k"), col("s.band").as("band"))
-    bands.select(col("doc_id").as("d1"), col("simhash").as("sh1"),
-        col("k"), col("band"))
-      .join(bands.select(col("doc_id").as("d2"), col("simhash").as("sh2"),
-        col("k"), col("band")), Seq("k", "band"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "sh1", "sh2").distinct()
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    Banding.bandedCandidates(simhash(docs), "doc_id",
+      (0 until 4).map(k =>
+        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))),
+      payload = Seq("simhash"))
+      .select(col("d1"), col("d2"), col("simhash1").as("sh1"),
+        col("simhash2").as("sh2"))
       .withColumn("hamming",
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-  }
 }
