@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   * quadratic dial the callers' band-width parameters control; dedup is
   * a hash aggregate on (d1, d2). Payload columns (signatures, set
   * sizes) ride THROUGH the join so verification needs no joins back to
-  * per-row tables, and dedup uses group+first — the payloads are
-  * functionally dependent on the pair, so hashing them like distinct()
-  * would is pure waste.
+  * per-row tables. The dedup formulation is payload-type-dispatched,
+  * A/B-measured both ways: scalar payloads go through plain
+  * distinct() — group-by-keys-only hash aggregation, no agg buffers
+  * (group+first cost SimHash 2.5× warm: two first() buffers per group
+  * beat re-hashing two longs); container payloads (MinHash's
+  * 16-element signature arrays) go through group+first on (d1, d2) —
+  * there, hashing both arrays per pre-dedup row is the expensive side.
+  * The payloads are functionally dependent on the pair, so both
+  * formulations return identical rows.
   */
 object Banding {
 
@@ -49,10 +55,19 @@ object Banding {
         col("__k") :+ col("__band"): _*)
     val joined = side("1").join(side("2"), Seq("__k", "__band"))
       .filter(col("d1") < col("d2"))
-    if (payload.isEmpty) joined.select("d1", "d2").distinct()
+    val outCols = "d1" +: "d2" +:
+      payload.flatMap(p => Seq(s"${p}1", s"${p}2"))
+    val scalarPayload = payload.forall(p =>
+      sig.schema(p).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      })
+    if (scalarPayload)
+      joined.select(outCols.map(col): _*).distinct()
     else {
-      val firsts = payload.flatMap(p => Seq(s"${p}1", s"${p}2"))
-        .map(c => first(col(c)).as(c))
+      val firsts = outCols.drop(2).map(c => first(col(c)).as(c))
       joined.groupBy("d1", "d2").agg(firsts.head, firsts.tail: _*)
     }
   }
