@@ -55,6 +55,76 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int, mod: Long)
         s".compute($c, $k, $w, ${mod}L);")
 }
 
+/** All k-gram rolling hashes of a string, in position order (index i =
+  * the gram starting at character i) — the UN-winnowed sibling of
+  * [[WinnowFingerprints]], for operators that need the gram's POSITION
+  * (exact-substring span detection): two documents share a k-character
+  * substring iff they share a gram hash, and the array index says
+  * where.
+  *
+  * Same O(n) rolling update as the winnow kernel (shared math, one
+  * place to audit); no window-min, no dedup — every position's hash is
+  * emitted. The modulus can be far larger than the winnow oracle's 2²⁵
+  * because the mirroring DuckDB `list_reduce` seeds its accumulator
+  * with `CAST(0 AS BIGINT)`: products stay under 2⁶³ for mod < 2⁵⁷.
+  */
+case class GramHashes(child: Expression, k: Int, mod: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"gram_hashes requires a string column, got $t")
+    }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "gram_hashes"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramHashes = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashes.compute(input.asInstanceOf[UTF8String], k, mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramHashes$$.MODULE$$" +
+        s".compute($c, $k, ${mod}L);")
+}
+
+object GramHashes {
+
+  /** Rolling gram hashes, one per position: hs(i) = polynomial hash of
+    * s[i, i+k) base 31 mod `mod` — identical update rule to
+    * [[WinnowFingerprints.compute]]'s first phase.
+    */
+  def compute(text: UTF8String, k: Int, mod: Long): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    var powK = 1L
+    var t = 0
+    while (t < k - 1) { powK = (powK * 31L) % mod; t += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var j = 0
+    while (j < k) { h = (h * 31L + s.charAt(j).toLong) % mod; j += 1 }
+    hs(0) = h
+    var i = 1
+    while (i < m) {
+      h = (h - (s.charAt(i - 1).toLong * powK) % mod + mod) % mod
+      h = (h * 31L + s.charAt(i + k - 1).toLong) % mod
+      hs(i) = h
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+}
+
 object WinnowFingerprints {
 
   /** True O(n): each gram hash is a rolling update of its predecessor

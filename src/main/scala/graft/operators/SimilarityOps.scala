@@ -378,4 +378,30 @@ object SimilarityOps {
         coalesce(col("hits"), lit(0L)).as("hits"),
         micro(coalesce(col("hits"), lit(0L)) / lit(k)).as("recall_micro"))
   }
+
+  /** Embedding-space data mix: cluster the corpus with the trained
+    * codebook, then report each cluster's population share and the
+    * balanced-sampling weight (uniform target share / actual share)
+    * that would equalize the mixture — the topic-balancing counterpart
+    * of [[TextOps.trainingMix]]'s source-level mix, driven by embedding
+    * geometry instead of provenance labels.
+    *
+    * Scale shape: assignment is the zero-shuffle [[assignCluster]]
+    * kernel projection; the only Exchange is the (cluster, partial)
+    * aggregation, and everything after runs on the nCentroids-sized
+    * table (the total rides in via a broadcast of a one-row aggregate,
+    * never a driver collect).
+    */
+  def clusterMix(emb: DataFrame, cents: Array[Array[Long]],
+                 nCentroids: Int): DataFrame = {
+    val counts = emb
+      .select(assignCluster(col("embedding"), cents).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum("n_vecs").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_vecs"),
+        micro(col("n_vecs") / col("total")).as("share_micro"),
+        micro(col("total") / (lit(nCentroids.toLong) * col("n_vecs")))
+          .as("weight_micro"))
+  }
 }

@@ -138,6 +138,16 @@ object SimilarityQueries {
       .orderBy("query_id", "nprobe")
   }
 
+  /** Embedding-space data mix under the same trained codebook as
+    * q_ann_ivf — cluster shares + balanced sampling weights.
+    */
+  def qClusterMix(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.clusterMix(e, cents, NCentroids).orderBy("cluster")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -435,6 +445,25 @@ object SimilarityQueries {
        |ORDER BY g.query_id, g.nprobe""".stripMargin
   }
 
+  /** Cluster-mix oracle: the trained assignments, aggregated. Both
+    * divisions are single IEEE ops on identical integer operands, so
+    * the micro floors agree exactly.
+    */
+  private val clusterMixOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |cm AS (
+       |  SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM a$rounds GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM cm)
+       |SELECT cluster, n_vecs,
+       |  ${Hashing.microSql("n_vecs / total")} AS share_micro,
+       |  ${Hashing.microSql(s"total / ($NCentroids * n_vecs)")}
+       |    AS weight_micro
+       |FROM cm, tot ORDER BY cluster""".stripMargin
+  }
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -457,6 +486,7 @@ object SimilarityQueries {
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
+    "q_cluster_mix"    -> (qClusterMix _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -467,5 +497,6 @@ object SimilarityQueries {
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,
+    "q_cluster_mix"    -> clusterMixOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

@@ -551,6 +551,60 @@ object TextOps {
     docs.select(col("doc_id"), explode(fps).as("fingerprint"))
   }
 
+  /** Modulus for [[substringMatches]]' gram hashes: 2⁴⁵ — large enough
+    * that hash collisions are negligible at corpus scale (birthday
+    * bound ~n²/2⁴⁶ for n distinct grams per df-capped bucket), small
+    * enough that the DuckDB oracle's BIGINT `list_reduce` never
+    * overflows (products stay < 2⁶³ for mod < 2⁵⁷).
+    */
+  val SubMod: Long = 1L << 45
+
+  /** Exact shared-substring span detection (the exact-substring dedup
+    * primitive of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): two documents share a k-character
+    * substring iff they share a k-gram rolling hash, and the gram's
+    * array position says WHERE. For every document pair sharing at
+    * least one k-gram (document frequency of the gram capped at
+    * `maxDf` — boilerplate shared by half the corpus must not become a
+    * quadratic join key), emits the number of distinct shared grams and
+    * the earliest matching span start in each document (1-based, the
+    * substring-extraction convention).
+    *
+    * Scale shape: the gram relation is the inherent cost of
+    * exact-substring dedup (≈ one row per character, the same order as
+    * a suffix-array build); it flows through ONE map-side-combinable
+    * partial aggregation per (hash, doc) — never materialized raw into
+    * a join — and candidates come only from df-capped inverted-index
+    * buckets, the same discipline as [[ngramJaccardPairs]] and
+    * [[contamination]]. Production note: a deployment would verify the
+    * tiny candidate set with an exact substring compare to clear the
+    * ~2⁻⁴⁶ per-pair hash-collision risk; the oracle computes identical
+    * hashes, so the contract here is exact.
+    */
+  def substringMatches(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+    val gh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        k, SubMod))
+    // first occurrence per (gram, doc): one partial-agg shuffle; pos is
+    // 1-based (posexplode is 0-based)
+    val grams = docs
+      .select(col("doc_id"), posexplode(gh).as(Seq("p", "h")))
+      .groupBy("h", "doc_id")
+      .agg((min(col("p")) + 1).cast("long").as("pos"))
+    val keep = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val g = grams.join(keep, "h")
+    g.select(col("h"), col("doc_id").as("d1"), col("pos").as("p1"))
+      .join(g.select(col("h"), col("doc_id").as("d2"),
+        col("pos").as("p2")), "h")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_shared"),
+        min("p1").as("d1_pos"), min("p2").as("d2_pos"))
+  }
+
   /** Train/test contamination audit — the decontamination pass every
     * LLM training pipeline runs before evaluation: for each (test doc,
     * train doc) pair, the fraction of the test doc's winnowing
@@ -699,6 +753,32 @@ object TextOps {
       .select(col("shard"), col("doc_id"), col("n_tok"),
         ((col("cum") - col("n_tok")) / ctxLen).cast("long").as("bin"),
         ((col("cum") - col("n_tok")) % ctxLen).as("bin_offset"))
+  }
+
+  /** Deterministic epoch shuffle + shard assignment — the "global
+    * shuffle" every training run needs before writing shards: a
+    * reproducible pseudo-random order (salted md5 of doc_id — never
+    * `rand()`, same discipline as [[splitBucket]]) with documents
+    * bucketed into `nShards` output shards and positioned within their
+    * shard. Re-running with the same corpus gives byte-identical shard
+    * files; changing the salt gives an independent epoch order.
+    *
+    * Scale shape: one hash-partition Exchange on `shard` plus a
+    * per-shard sort — exactly the cost of writing shuffled training
+    * shards, with no global ordering anywhere (the per-shard window is
+    * partitioned, so each shard sorts independently; at 100 TB you
+    * raise nShards until a shard fits an executor's sort spill budget).
+    */
+  def shuffleShard(docs: DataFrame, nShards: Int): DataFrame = {
+    val h = md5Long(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val base = docs.select(col("doc_id"), h.as("h"),
+      (h % nShards.toLong).as("shard"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    base.select(col("shard"),
+      row_number().over(w).cast("long").as("pos"),
+      col("doc_id"), col("n_tok"))
   }
 
   /** Bigram language-model quality scoring — the LM-perplexity filter

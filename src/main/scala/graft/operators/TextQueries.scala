@@ -657,6 +657,73 @@ object TextQueries {
     TextOps.packSequences(docs(spark, dir), PackShards, PackCtxLen)
       .orderBy("shard", "doc_id")
 
+  /** 32-character grams: any shared substring of ≥ 32 chars — roughly
+    * the 50-token exact-match threshold of the dedup literature scaled
+    * to this corpus's short documents — produces a shared gram.
+    */
+  val SubK = 32
+  val SubMaxDf = 50L
+
+  def qSubstring(spark: SparkSession, dir: String): DataFrame =
+    TextOps.substringMatches(docs(spark, dir), SubK, SubMaxDf)
+      .orderBy("d1", "d2")
+
+  /** Mirrors the rolling hash literally (the [[winnowOracle]] recipe
+    * with positions kept): the reduce accumulator is seeded BIGINT so
+    * the 2⁴⁵ modulus cannot overflow DuckDB's integer arithmetic.
+    */
+  private val substringOracle = {
+    val (k, m) = (SubK, TextOps.SubMod)
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(range(1, length(text) - $k + 2), i ->
+       |        struct_pack(p := i,
+       |          h := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(0, $k), j -> ord(text[i+j]))),
+       |            (a, b) -> (a * 31 + b) % $m)))
+       |    ELSE [] END AS gs
+       |  FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, unnest(gs) AS u FROM kg
+       |), g1 AS (
+       |  SELECT u.h AS h, doc_id, CAST(min(u.p) AS BIGINT) AS pos
+       |  FROM g0 GROUP BY 1, 2
+       |), keep AS (
+       |  SELECT h FROM g1 GROUP BY 1
+       |  HAVING count(*) >= 2 AND count(*) <= $SubMaxDf
+       |), gk AS (
+       |  SELECT g1.* FROM g1 JOIN keep USING (h)
+       |), pr AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+       |  FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |)
+       |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_shared,
+       |  min(p1) AS d1_pos, min(p2) AS d2_pos
+       |FROM pr GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+  }
+
+  val ShuffleShards = 4
+
+  def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shuffleShard(docs(spark, dir), ShuffleShards)
+      .orderBy("shard", "pos")
+
+  private val shuffleShardOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    ${Hashing.md5LongSql("'shuf:' || CAST(doc_id AS VARCHAR)")} AS h,
+       |    ${Hashing.md5LongSql("'shuf:' || CAST(doc_id AS VARCHAR)")}
+       |      % $ShuffleShards AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |    AS BIGINT) AS pos,
+       |  doc_id, n_tok
+       |FROM base ORDER BY shard, pos""".stripMargin
+
   private val splitBucketSql =
     s"${Hashing.md5LongSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
 
@@ -700,6 +767,8 @@ object TextQueries {
     "q_token_bpe"      -> (qTokenBpe _),
     "q_sample_split"   -> (qSampleSplit _),
     "q_pack"           -> (qPack _),
+    "q_shuffle_shard"  -> (qShuffleShard _),
+    "q_substring"      -> (qSubstring _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
@@ -723,6 +792,8 @@ object TextQueries {
     "q_token_bpe"      -> tokenBpeOracle,
     "q_sample_split"   -> sampleSplitOracle,
     "q_pack"           -> packOracle,
+    "q_shuffle_shard"  -> shuffleShardOracle,
+    "q_substring"      -> substringOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,

@@ -158,4 +158,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.forall(r =>
       r.getAs[Long]("recall_micro") === r.getAs[Long]("hits") * 100000L))
   }
+
+  test("clusterMix: shares and weights from the assignment census") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val nc = 10
+    val cents = SimilarityOps.kmeansCodebook(e, nc, SimilarityOps.KmRounds)
+    val out = SimilarityOps.clusterMix(e, cents, nc).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === n,
+      "every vector lands in exactly one cluster")
+    out.foreach { r =>
+      val nv = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("share_micro") ===
+        math.floor(1e6 * (nv.toDouble / n)).toLong)
+      assert(r.getAs[Long]("weight_micro") ===
+        math.floor(1e6 * (n.toDouble / (nc.toLong * nv))).toLong,
+        "weight = uniform target share / actual share")
+    }
+    // balanced-mixture identity: share * weight = 1/nc in exact math
+    // (micro floors make it approximate here); spot-check the bound
+    out.foreach { r =>
+      val prod = r.getAs[Long]("share_micro").toDouble *
+        r.getAs[Long]("weight_micro") / 1e12
+      assert(math.abs(prod - 1.0 / nc) < 0.01,
+        s"share x weight should approximate 1/$nc, got $prod")
+    }
+  }
 }

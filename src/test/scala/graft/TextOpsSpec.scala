@@ -284,4 +284,70 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[String]("sha") === jdk)
     assert(r.getAs[Long]("min_shingle_hash") > 0L)
   }
+
+  test("gramHashes: rolling update matches the direct polynomial hash") {
+    val mod = TextOps.SubMod
+    val k = 32
+    val rnd = new scala.util.Random(7)
+    val texts = Seq.tabulate(5)(i =>
+      (i.toLong, rnd.alphanumeric.take(40 + rnd.nextInt(60)).mkString))
+    def naive(s: String): Seq[Long] =
+      (0 to s.length - k).map { i =>
+        s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % mod)
+      }
+    val gh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression($"text"), k, mod))
+    val out = texts.toDF("doc_id", "text").select($"doc_id", gh.as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, s) => assert(out(id) === naive(s)) }
+  }
+
+  test("substringMatches: planted spans found at their positions") {
+    val common = "the quick brown fox jumps over it" // 33 chars: 2 grams
+    assert(common.length === 33)
+    val corpus = docs(
+      (1L, "AAAA" + common + " tail text here"),   // span starts at pos 5
+      (2L, "ZZ" + common + "+other ending text"),  // span starts at pos 3
+      (3L, "completely unrelated document body text"))
+    val out = TextOps.substringMatches(corpus, 32, 50L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("d1_pos"),
+          r.getAs[Long]("d2_pos")))).toMap
+    assert(out.keySet === Set((1L, 2L)), s"only the planted pair: $out")
+    val (nShared, p1, p2) = out((1L, 2L))
+    assert(nShared === 2L, "a 33-char shared span contains two 32-grams")
+    assert(p1 === 5L, "1-based first match position in d1")
+    assert(p2 === 3L, "1-based first match position in d2")
+  }
+
+  test("substringMatches: document-frequency cap kills boilerplate grams") {
+    val boiler = "standard license header text okay!" // 34 chars
+    val corpus = docs((1L to 5L).map(i =>
+      (i, boiler + s" unique suffix number $i")): _*)
+    // every doc shares the boilerplate grams: df = 5 > maxDf = 4
+    assert(TextOps.substringMatches(corpus, 32, 4L).count() === 0L)
+    // with the cap lifted all 10 pairs emerge
+    assert(TextOps.substringMatches(corpus, 32, 5L).count() === 10L)
+  }
+
+  test("shuffleShard: deterministic permutation, dense per-shard positions") {
+    val corpus = docs((1L to 100L).map(i => (i, s"doc number $i words")): _*)
+    val a = TextOps.shuffleShard(corpus, 4).orderBy("shard", "pos").collect()
+    val b = TextOps.shuffleShard(corpus, 4).orderBy("shard", "pos").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "same corpus => byte-identical shuffle")
+    assert(a.map(_.getLong(2)).toSet === (1L to 100L).toSet,
+      "every doc appears exactly once")
+    a.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length).toSeq,
+        s"shard $shard positions must be dense 1..n")
+    }
+    // the order is a real permutation, not doc_id order
+    val firstShard = a.filter(_.getLong(0) === a.head.getLong(0))
+    assert(firstShard.map(_.getLong(2)).toSeq !=
+      firstShard.map(_.getLong(2)).sorted.toSeq,
+      "hash order should differ from doc_id order")
+  }
 }
