@@ -97,14 +97,14 @@ case class GramHashes(child: Expression, k: Int, mod: Long)
 
 object GramHashes {
 
-  /** Rolling gram hashes, one per position: hs(i) = polynomial hash of
+  /** The shared rolling-hash core: hs(i) = polynomial hash of
     * s[i, i+k) base 31 mod `mod` — identical update rule to
-    * [[WinnowFingerprints.compute]]'s first phase.
+    * [[WinnowFingerprints.compute]]'s first phase. Empty array below k
+    * chars.
     */
-  def compute(text: UTF8String, k: Int, mod: Long): ArrayData = {
-    val s = text.toString
+  private[functions] def hashes(s: String, k: Int, mod: Long): Array[Long] = {
     val n = s.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
+    if (n < k) return Array.empty[Long]
     val m = n - k + 1
     var powK = 1L
     var t = 0
@@ -121,7 +121,77 @@ object GramHashes {
       hs(i) = h
       i += 1
     }
-    new GenericArrayData(hs)
+    hs
+  }
+
+  def compute(text: UTF8String, k: Int, mod: Long): ArrayData =
+    new GenericArrayData(hashes(text.toString, k, mod))
+}
+
+/** Per-document deduplicated gram hashes with their FIRST (1-based)
+  * position: array of (h, pos) structs, one per distinct gram hash.
+  *
+  * This is [[GramHashes]] with the per-document dedup folded into the
+  * kernel: the (hash, doc) → first-position reduction that would
+  * otherwise be a full shuffle of the ~1-row-per-character gram stream
+  * happens map-side, inside the expression, for free — the downstream
+  * operator sees only distinct grams per document (≤ one per position,
+  * typically far fewer on repetitive text).
+  */
+case class GramFirstPos(child: Expression, k: Int, mod: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"gram_first_pos requires a string column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("pos", LongType,
+        nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "gram_first_pos"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramFirstPos = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    GramFirstPos.compute(input.asInstanceOf[UTF8String], k, mod)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramFirstPos$$.MODULE$$" +
+        s".compute($c, $k, ${mod}L);")
+}
+
+object GramFirstPos {
+
+  def compute(text: UTF8String, k: Int, mod: Long): ArrayData = {
+    val hs = GramHashes.hashes(text.toString, k, mod)
+    // first-seen position per hash; the scan is left-to-right, so
+    // first-seen = minimum position
+    val seen = new java.util.LinkedHashMap[java.lang.Long, Long]()
+    var i = 0
+    while (i < hs.length) {
+      if (!seen.containsKey(hs(i))) seen.put(hs(i), (i + 1).toLong)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.entrySet().iterator()
+    var idx = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey.longValue(), e.getValue)
+      idx += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -582,16 +582,20 @@ object TextOps {
     * hashes, so the contract here is exact.
     */
   def substringMatches(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
-    val gh = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.GramHashes(
+    // per-doc dedup to (hash, first 1-based pos) happens INSIDE the
+    // kernel ([[graft.functions.GramFirstPos]]) — map-side and free, so
+    // the ~1-row-per-character raw gram stream never reaches a shuffle.
+    // Cached: three consumers (the df cap and both join sides) would
+    // otherwise each re-run the scan + explode — same discipline as
+    // [[contamination]]'s cached fingerprint relation.
+    val gfp = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramFirstPos(
         org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
         k, SubMod))
-    // first occurrence per (gram, doc): one partial-agg shuffle; pos is
-    // 1-based (posexplode is 0-based)
     val grams = docs
-      .select(col("doc_id"), posexplode(gh).as(Seq("p", "h")))
-      .groupBy("h", "doc_id")
-      .agg((min(col("p")) + 1).cast("long").as("pos"))
+      .select(col("doc_id"), explode(gfp).as("u"))
+      .select(col("u.h").as("h"), col("doc_id"), col("u.pos").as("pos"))
+      .cache()
     val keep = grams.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("h")

@@ -303,6 +303,34 @@ class TextOpsSpec extends SparkSpec {
     texts.foreach { case (id, s) => assert(out(id) === naive(s)) }
   }
 
+  test("gramFirstPos: distinct grams with first positions; codegen parity") {
+    val mod = TextOps.SubMod
+    val gfp = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramFirstPos(
+        org.apache.spark.sql.GraftSqlBridge.expression($"text"), 4, mod))
+    val d = docs((1L, "abcdabcdabcd"), (2L, "xy"))
+    def run(): Map[Long, Seq[(Long, Long)]] =
+      d.select($"doc_id", gfp.as("u")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getLong(1)))).toMap
+    val out = run()
+    // "abcdabcdabcd" has 9 4-grams but only 4 distinct ("abcd","bcda",
+    // "cdab","dabc"), first seen at positions 1..4
+    assert(out(1L).map(_._2) === Seq(1L, 2L, 3L, 4L))
+    assert(out(1L).map(_._1).distinct.length === 4)
+    assert(out(2L) === Seq.empty, "below k chars -> no grams")
+    val withCodegen = out
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("substringMatches: planted spans found at their positions") {
     val common = "the quick brown fox jumps over it" // 33 chars: 2 grams
     assert(common.length === 33)
