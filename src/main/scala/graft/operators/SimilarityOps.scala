@@ -387,21 +387,29 @@ object SimilarityOps {
     * geometry instead of provenance labels.
     *
     * Scale shape: assignment is the zero-shuffle [[assignCluster]]
-    * kernel projection; the only Exchange is the (cluster, partial)
-    * aggregation, and everything after runs on the nCentroids-sized
-    * table (the total rides in via a broadcast of a one-row aggregate,
-    * never a driver collect).
+    * kernel projection, and the whole query is ONE linear plan — the
+    * corpus is scanned exactly once. A naive `counts.join(totals)`
+    * would consume the count relation twice and re-run the scan +
+    * assignment per consumer; instead the nCentroids-sized census is
+    * packed into a single row (`collect_list` over ≤ nCentroids
+    * rows — bounded by construction), the total derived from the
+    * packed list with a fold, and the per-cluster rows exploded back
+    * out. Two Exchanges total: the (cluster, partial) aggregation and
+    * a single-row global step.
     */
   def clusterMix(emb: DataFrame, cents: Array[Array[Long]],
                  nCentroids: Int): DataFrame = {
     val counts = emb
       .select(assignCluster(col("embedding"), cents).as("cluster"))
       .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
-    val tot = counts.agg(sum("n_vecs").as("total"))
-    counts.crossJoin(broadcast(tot))
-      .select(col("cluster"), col("n_vecs"),
-        micro(col("n_vecs") / col("total")).as("share_micro"),
-        micro(col("total") / (lit(nCentroids.toLong) * col("n_vecs")))
+    counts
+      .agg(collect_list(struct(col("cluster"), col("n_vecs"))).as("cs"))
+      .select(aggregate(col("cs"), lit(0L),
+        (a, x) => a + x.getField("n_vecs")).as("total"),
+        explode(col("cs")).as("c"))
+      .select(col("c.cluster").as("cluster"), col("c.n_vecs").as("n_vecs"),
+        micro(col("c.n_vecs") / col("total")).as("share_micro"),
+        micro(col("total") / (lit(nCentroids.toLong) * col("c.n_vecs")))
           .as("weight_micro"))
   }
 }

@@ -45,4 +45,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial"),
       s"expected partial aggregation before the shuffle:\n$p")
   }
+
+  test("shuffleShard shuffles once, on the shard key (partitioned window)") {
+    val p = plan(TextOps.shuffleShard(
+      Tables.documents(spark, dir).select("doc_id", "text"), 4))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly one shard shuffle:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the one shuffle must be on shard:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning"),
+      s"no global ordering anywhere:\n$p")
+  }
+
+  test("substringMatches: gram dedup is in the kernel, not a shuffle") {
+    val df = TextOps.substringMatches(
+      Tables.documents(spark, dir).select("doc_id", "text"), 32, 50L)
+    val p = plan(df)
+    // the raw per-position gram stream must not hit an Exchange keyed
+    // by (h, doc_id) — the per-doc reduction happens inside
+    // gram_first_pos; the only hash Exchanges are the df cap / join on
+    // h and the final pair aggregation
+    assert(!p.contains("hashpartitioning(h#") ||
+      !"hashpartitioning\\(h#\\d+, doc_id".r.findFirstIn(p).isDefined,
+      s"no (h, doc) shuffle — kernel dedup replaces it:\n$p")
+    assert(p.contains("gram_first_pos"),
+      s"kernel expression must be in the plan:\n$p")
+  }
+
+  test("clusterMix: one linear plan, corpus scanned exactly once") {
+    val e = Tables.embeddings(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val p = plan(SimilarityOps.clusterMix(e, cents, 10))
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"the corpus must be scanned exactly once (no self-join of the " +
+        s"census):\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"expected exactly one cluster-keyed shuffle:\n$p")
+    assert(p.contains("hashpartitioning(cluster"),
+      s"the one shuffle must be on cluster:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in the plan:\n$p")
+  }
 }
