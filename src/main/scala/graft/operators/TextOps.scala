@@ -785,6 +785,41 @@ object TextOps {
       col("doc_id"), col("n_tok"))
   }
 
+  /** Vocabulary coverage — the tokenizer-prep census: build the top-V
+    * vocabulary from the TRAIN split's token frequencies (count-desc,
+    * token-asc tie-break — deterministic truncation, never engine
+    * order), then report every split's out-of-vocabulary token rate
+    * against it. The val/test OOV rates are the early-warning signal
+    * for train/eval distribution drift, and the train OOV rate is the
+    * tail mass a V-sized tokenizer would shatter into bytes.
+    *
+    * Scale shape: the token stream is one explode (inherent); the
+    * vocabulary is a (token, partial-count) shuffle followed by a
+    * bounded top-V (TakeOrdered — V rows per partition, never a global
+    * sort); membership is a BROADCAST left join of the V-sized
+    * vocabulary against the stream; the final census is one
+    * (split, partials) aggregation. The token stream is cached for its
+    * two consumers (vocab build, coverage scan).
+    */
+  def vocabCoverage(docs: DataFrame, trainPct: Int, valPct: Int,
+                    vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(splitAssign(trainPct, valPct).as("split"),
+        explode(tokens(col("text"))).as("tok"))
+      .cache()
+    val vocab = toks.filter(col("split") === "train")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_tokens"))
+      .select(col("split"), col("n_tokens"), col("oov_tokens"),
+        micro(col("oov_tokens") / col("n_tokens")).as("oov_micro"))
+  }
+
   /** Bigram language-model quality scoring — the LM-perplexity filter
     * stage of a curation pipeline (heuristic stats [[tokenStats]] catch
     * garbage; an n-gram LM trained on the corpus's own train split

@@ -657,6 +657,40 @@ object TextQueries {
     TextOps.packSequences(docs(spark, dir), PackShards, PackCtxLen)
       .orderBy("shard", "doc_id")
 
+  /** Below the corpus's distinct-token count, so truncation — and the
+    * count-desc/token-asc tie-break at the boundary — is exercised.
+    */
+  val VocabSize = 20
+
+  def qVocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(docs(spark, dir), TrainPct, ValPct, VocabSize)
+      .orderBy("split")
+
+  /** Vocab truncation is deterministic on both engines: count-desc,
+    * token-asc. lazy — uses splitBucketSql (declared below).
+    */
+  private lazy val vocabOracle =
+    s"""$tokCte,
+       |t AS (
+       |  SELECT CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |              WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         unnest(toks) AS tok
+       |  FROM tok
+       |),
+       |tv AS (
+       |  SELECT tok, count(*) AS c FROM t WHERE split = 'train' GROUP BY 1
+       |),
+       |vocab AS (SELECT tok FROM tv ORDER BY c DESC, tok LIMIT $VocabSize)
+       |SELECT t.split, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oov_tokens,
+       |  ${Hashing.microSql(
+        "sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / count(*)")}
+       |    AS oov_micro
+       |FROM t LEFT JOIN vocab v ON t.tok = v.tok
+       |GROUP BY 1 ORDER BY split""".stripMargin
+
   /** 32-character grams: any shared substring of ≥ 32 chars — roughly
     * the 50-token exact-match threshold of the dedup literature scaled
     * to this corpus's short documents — produces a shared gram.
@@ -769,6 +803,7 @@ object TextQueries {
     "q_pack"           -> (qPack _),
     "q_shuffle_shard"  -> (qShuffleShard _),
     "q_substring"      -> (qSubstring _),
+    "q_vocab"          -> (qVocab _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
@@ -794,6 +829,7 @@ object TextQueries {
     "q_pack"           -> packOracle,
     "q_shuffle_shard"  -> shuffleShardOracle,
     "q_substring"      -> substringOracle,
+    "q_vocab"          -> vocabOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,

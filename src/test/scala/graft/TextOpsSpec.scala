@@ -359,6 +359,27 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.substringMatches(corpus, 32, 5L).count() === 10L)
   }
 
+  test("vocabCoverage: OOV counted against the train-built top-V vocab") {
+    // train docs use tokens a..d heavily; one val-bucket doc brings an
+    // unseen token. With V=2 the vocab is the two most frequent train
+    // tokens and everything else counts as OOV.
+    val corpus = docs(
+      (1L, "aa aa aa bb bb cc"), (2L, "aa bb aa bb dd"),
+      (3L, "aa bb zz yy"), (4L, "aa aa bb cc dd"))
+    // force the split: doc_ids 1,2,4 hash into train for (100,0)?? —
+    // instead use trainPct=100 so every doc is train; OOV then measures
+    // pure tail mass beyond the top-V
+    val out = TextOps.vocabCoverage(corpus, 100, 0, 2).collect()
+    assert(out.length === 1 && out.head.getString(0) === "train")
+    val r = out.head
+    // counts: aa=8 bb=6 cc=2 dd=2 zz=1 yy=1 over 20 tokens; vocab =
+    // {aa, bb}; OOV = 6
+    assert(r.getAs[Long]("n_tokens") === 20L)
+    assert(r.getAs[Long]("oov_tokens") === 6L)
+    assert(r.getAs[Long]("oov_micro") ===
+      math.floor(1e6 * (6.0 / 20)).toLong)
+  }
+
   test("shuffleShard: deterministic permutation, dense per-shard positions") {
     val corpus = docs((1L to 100L).map(i => (i, s"doc number $i words")): _*)
     val a = TextOps.shuffleShard(corpus, 4).orderBy("shard", "pos").collect()
