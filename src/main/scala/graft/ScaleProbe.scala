@@ -133,6 +133,40 @@ object ScaleProbe {
           "background collisions")
     }
 
+    // Exact-substring span detection at k×. Replica copies share every
+    // gram, so with the df cap scaled by k (df at k× is exactly k·df_1)
+    // the pair count is an IDENTITY: every 1× pair appears in all k²
+    // copy combinations, plus each doc that has ≥1 cap-surviving gram
+    // pairs with its own k−1 copies. Holding exactly means candidates
+    // come only from true shared substrings — hash-collision drift or a
+    // broken df cap would break the equality.
+    {
+      val subK = 32
+      val maxDf = 50L
+      def subPairs(c: Int): Long = {
+        val d = replicate(docs, "doc_id", c)
+        var n = 0L
+        time(s"substring_pairs_${c}x") {
+          n = TextOps.substringMatches(d, subK, maxDf * c).count()
+          n
+        }
+        n
+      }
+      val p1 = subPairs(1)
+      val pk = subPairs(k)
+      // docs owning >= 1 gram that survives the cap (df_1 <= maxDf; the
+      // >= 2 lower bound is met at kx since every gram's df becomes k)
+      val g1 = TextOps.gramFirstPositions(docs, subK)
+      val dfOk = g1.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("h")
+      val dCount = g1.join(dfOk, "h").select("doc_id").distinct().count()
+      val expected = p1 * k * k + dCount * k * (k - 1) / 2
+      println(s"SCALE substring_identity $pk vs expected $expected " +
+        s"(p1=$p1, docsWithGrams=$dCount)")
+      require(pk == expected,
+        s"substring replica identity broken: $pk != $expected")
+    }
+
     // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
     // measured on the replicated corpus — the evidence that nProbe
     // trades recall for scan fraction beyond the tiny test SF. Recall

@@ -581,21 +581,27 @@ object TextOps {
     * ~2⁻⁴⁶ per-pair hash-collision risk; the oracle computes identical
     * hashes, so the contract here is exact.
     */
-  def substringMatches(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
-    // per-doc dedup to (hash, first 1-based pos) happens INSIDE the
-    // kernel ([[graft.functions.GramFirstPos]]) — map-side and free, so
-    // the ~1-row-per-character raw gram stream never reaches a shuffle.
-    // Cached: three consumers (the df cap and both join sides) would
-    // otherwise each re-run the scan + explode — same discipline as
-    // [[contamination]]'s cached fingerprint relation.
+  /** The (h, doc_id, pos) relation [[substringMatches]] joins: one row
+    * per DISTINCT gram per document with its first 1-based position —
+    * the per-doc dedup happens INSIDE the kernel
+    * ([[graft.functions.GramFirstPos]]), map-side and free, so the
+    * ~1-row-per-character raw gram stream never reaches a shuffle.
+    */
+  private[graft] def gramFirstPositions(docs: DataFrame,
+                                        k: Int): DataFrame = {
     val gfp = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.GramFirstPos(
         org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
         k, SubMod))
-    val grams = docs
-      .select(col("doc_id"), explode(gfp).as("u"))
+    docs.select(col("doc_id"), explode(gfp).as("u"))
       .select(col("u.h").as("h"), col("doc_id"), col("u.pos").as("pos"))
-      .cache()
+  }
+
+  def substringMatches(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+    // Cached: three consumers (the df cap and both join sides) would
+    // otherwise each re-run the scan + explode — same discipline as
+    // [[contamination]]'s cached fingerprint relation.
+    val grams = gramFirstPositions(docs, k).cache()
     val keep = grams.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("h")
