@@ -615,6 +615,71 @@ object TextOps {
         min("p1").as("d1_pos"), min("p2").as("d2_pos"))
   }
 
+  /** Duplicated-span coverage — the per-document companion of
+    * [[substringMatches]]: what FRACTION of each document's characters
+    * lies inside at least one k-gram shared with another document
+    * (df-capped, like the pair query). This is the number the cut-vs-
+    * drop decision in exact-substring dedup actually reads: a doc 95 %
+    * covered is a near-copy (drop it); one 10 % covered has a quoted
+    * passage (cut the span, keep the doc).
+    *
+    * Coverage is the measure of the UNION of the fixed-length match
+    * intervals [pos, pos+k−1] — overlapping matches must not double-
+    * count — computed with the standard gaps-and-islands reduction:
+    * a match opens a new island iff its start exceeds the running max
+    * end of all earlier matches (a per-document window, ordered by
+    * position); islands then aggregate to span lengths.
+    *
+    * Scale shape: the all-positions stream (1 row/char, inherent) is
+    * immediately semi-joined against the df-capped shared-gram set, so
+    * the windows run over MATCHED positions only (bounded by true
+    * duplication, typically a tiny fraction); every window is
+    * partitioned by doc_id — no global ordering anywhere.
+    */
+  def dupCoverage(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+    val keep = gramFirstPositions(docs, k)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val gh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        k, SubMod))
+    val allPos = docs
+      .select(col("doc_id"), posexplode(gh).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        col("h"))
+    val matched = allPos.join(keep, "h")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val perDoc = matched
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(wPrev))
+      .withColumn("newi",
+        when(col("prev_end").isNull, 1L)
+          .when(col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum("newi").over(wCum))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max(col("pos")) + (k - 1)).as("e"),
+        count(lit(1)).as("ng"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("covered_chars"),
+        sum("ng").as("n_matched_grams"))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        micro(coalesce(col("covered_chars"), lit(0L)) / col("n_chars"))
+          .as("coverage_micro"))
+  }
+
   /** Train/test contamination audit — the decontamination pass every
     * LLM training pipeline runs before evaluation: for each (test doc,
     * train doc) pair, the fraction of the test doc's winnowing

@@ -737,6 +737,71 @@ object TextQueries {
        |FROM pr GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
   }
 
+  def qDupCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dupCoverage(docs(spark, dir), SubK, SubMaxDf)
+      .orderBy("doc_id")
+
+  /** Same gram CTEs as [[substringOracle]], then the gaps-and-islands
+    * interval union over matched positions.
+    */
+  private val dupCoverageOracle = {
+    val (k, m) = (SubK, TextOps.SubMod)
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(range(1, length(text) - $k + 2), i ->
+       |        struct_pack(p := i,
+       |          h := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(0, $k), j -> ord(text[i+j]))),
+       |            (a, b) -> (a * 31 + b) % $m)))
+       |    ELSE [] END AS gs
+       |  FROM documents
+       |), ap AS (
+       |  SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.h AS h
+       |  FROM (SELECT doc_id, unnest(gs) AS u FROM kg)
+       |), g1 AS (
+       |  SELECT h, doc_id FROM ap GROUP BY 1, 2
+       |), keep AS (
+       |  SELECT h FROM g1 GROUP BY 1
+       |  HAVING count(*) >= 2 AND count(*) <= $SubMaxDf
+       |), mt AS (
+       |  SELECT ap.doc_id, ap.pos FROM ap JOIN keep USING (h)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_end
+       |  FROM mt
+       |), fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0
+       |    END AS newi
+       |  FROM isl
+       |), ci AS (
+       |  SELECT doc_id, pos,
+       |    sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM fl
+       |), pi AS (
+       |  SELECT doc_id, island, min(pos) AS s,
+       |    max(pos) + ${k - 1} AS e, count(*) AS ng
+       |  FROM ci GROUP BY 1, 2
+       |), pd AS (
+       |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered_chars,
+       |    CAST(sum(ng) AS BIGINT) AS n_matched_grams
+       |  FROM pi GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(pd.n_matched_grams, 0) AS BIGINT)
+       |    AS n_matched_grams,
+       |  CAST(COALESCE(pd.covered_chars, 0) AS BIGINT) AS covered_chars,
+       |  ${Hashing.microSql(
+        "COALESCE(pd.covered_chars, 0) / length(d.text)")}
+       |    AS coverage_micro
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val ShuffleShards = 4
 
   def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
@@ -804,6 +869,7 @@ object TextQueries {
     "q_shuffle_shard"  -> (qShuffleShard _),
     "q_substring"      -> (qSubstring _),
     "q_vocab"          -> (qVocab _),
+    "q_dup_coverage"   -> (qDupCoverage _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
@@ -830,6 +896,7 @@ object TextQueries {
     "q_shuffle_shard"  -> shuffleShardOracle,
     "q_substring"      -> substringOracle,
     "q_vocab"          -> vocabOracle,
+    "q_dup_coverage"   -> dupCoverageOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,

@@ -359,6 +359,45 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.substringMatches(corpus, 32, 5L).count() === 10L)
   }
 
+  test("dupCoverage: interval union over matched grams, zeros elsewhere") {
+    val common = "the quick brown fox jumps over a lazy dog again!" // 48
+    assert(common.length === 48)
+    val corpus = docs(
+      (1L, "AAAA" + common + "BBBB"),
+      (2L, "CC" + common + "DD"),
+      (3L, "a completely unrelated document body with no match"))
+    val out = TextOps.dupCoverage(corpus, 32, 50L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 48-char shared span = 17 overlapping 32-grams; their interval
+    // UNION is exactly the 48 chars — no double counting
+    assert(out(1L).getAs[Long]("n_matched_grams") === 17L)
+    assert(out(1L).getAs[Long]("covered_chars") === 48L)
+    assert(out(1L).getAs[Long]("n_chars") === 56L)
+    assert(out(1L).getAs[Long]("coverage_micro") ===
+      math.floor(1e6 * (48.0 / 56)).toLong)
+    assert(out(2L).getAs[Long]("covered_chars") === 48L)
+    assert(out(3L).getAs[Long]("n_matched_grams") === 0L)
+    assert(out(3L).getAs[Long]("covered_chars") === 0L)
+    assert(out(3L).getAs[Long]("coverage_micro") === 0L)
+  }
+
+  test("dupCoverage: disjoint shared spans form separate islands") {
+    val s1 = "first shared span of text here ok" // 33 chars -> 2 grams
+    val s2 = "second shared span very different" // 33 chars
+    assert(s1.length === 33 && s2.length === 33)
+    val gap = "x" * 40
+    val corpus = docs(
+      (1L, s1 + gap + s2),
+      (2L, "PP" + s1 + "QQ"),
+      (3L, "RR" + s2 + "SS"))
+    val r = TextOps.dupCoverage(corpus, 32, 50L).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1 shares s1 with doc 2 and s2 with doc 3: two disjoint
+    // 33-char islands
+    assert(r(1L).getAs[Long]("covered_chars") === 66L)
+    assert(r(1L).getAs[Long]("n_matched_grams") === 4L)
+  }
+
   test("vocabCoverage: OOV counted against the train-built top-V vocab") {
     // train docs use tokens a..d heavily; one val-bucket doc brings an
     // unseen token. With V=2 the vocab is the two most frequent train
