@@ -676,7 +676,11 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
         coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
-        micro(coalesce(col("covered_chars"), lit(0L)) / col("n_chars"))
+        // empty docs have no grams, so coverage is 0 by definition —
+        // the guard keeps the division NaN-free on both engines
+        when(col("n_chars") === 0L, 0L)
+          .otherwise(micro(
+            coalesce(col("covered_chars"), lit(0L)) / col("n_chars")))
           .as("coverage_micro"))
   }
 

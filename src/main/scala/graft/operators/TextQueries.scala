@@ -795,9 +795,9 @@ object TextQueries {
        |  CAST(COALESCE(pd.n_matched_grams, 0) AS BIGINT)
        |    AS n_matched_grams,
        |  CAST(COALESCE(pd.covered_chars, 0) AS BIGINT) AS covered_chars,
-       |  ${Hashing.microSql(
+       |  CASE WHEN length(d.text) = 0 THEN 0 ELSE ${Hashing.microSql(
         "COALESCE(pd.covered_chars, 0) / length(d.text)")}
-       |    AS coverage_micro
+       |  END AS coverage_micro
        |FROM documents d LEFT JOIN pd USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
