@@ -597,11 +597,20 @@ object TextOps {
       .select(col("u.h").as("h"), col("doc_id"), col("u.pos").as("pos"))
   }
 
-  def substringMatches(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+  def substringMatches(docs: DataFrame, k: Int, maxDf: Long): DataFrame =
     // Cached: three consumers (the df cap and both join sides) would
     // otherwise each re-run the scan + explode — same discipline as
     // [[contamination]]'s cached fingerprint relation.
-    val grams = gramFirstPositions(docs, k).cache()
+    substringMatchesFrom(gramFirstPositions(docs, k).cache(), maxDf)
+
+  /** The audit stage of [[substringMatches]] over an already-
+    * materialized gram relation (h, doc_id, pos) — split out so the
+    * deployment shape can run it against a PERSISTED gram table
+    * bucketed by `h` ([[graft.sources.GramStore]]), where the df cap,
+    * the cap semi-join, and the self-join all arrive pre-partitioned on
+    * the hash key and run Exchange-free.
+    */
+  def substringMatchesFrom(grams: DataFrame, maxDf: Long): DataFrame = {
     val keep = grams.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("h")

@@ -192,6 +192,76 @@ class StorageLayoutSpec extends SparkSpec {
       inline.collect().map(_.toSeq).toSeq)
   }
 
+  test("bucketed gram store: substring audit joins Exchange-free") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val (k, maxDf) = (32, 50L)
+    graft.sources.GramStore.save(docs, k, "gram_store_test")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = graft.sources.GramStore.substringMatches(
+        spark, "gram_store_test", maxDf)
+      val plan = pairs.queryExecution.executedPlan.toString
+      // every h-keyed step — df cap, cap semi-join, pair self-join —
+      // must ride the bucketing; the only Exchange allowed is the
+      // (d1, d2) pair reduction
+      val hExchanges = "Exchange hashpartitioning\\(h#".r
+        .findAllIn(plan).length
+      assert(hExchanges === 0,
+        s"h-keyed steps must use the bucketing:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucketed scans:\n$plan")
+      val inline = graft.operators.TextOps.substringMatches(
+        docs, k, maxDf)
+      assert(pairs.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
+      assert(pairs.count() > 0, "sf0.001 must contain shared spans")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS gram_store_test")
+    }
+  }
+
+  test("incoming-shard substring audit shuffles the shard, not the store") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val k = 32
+    graft.sources.GramStore.save(docs, k, "gram_store_inc")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sample = docs.orderBy("doc_id").limit(1).collect()
+      val incoming = Seq(
+        (2000000L, sample.head.getString(1)), // exact copy of a stored doc
+        (2000001L, "fresh text sharing no thirty-two character span " +
+          "with anything stored in the corpus table at all"))
+        .toDF("doc_id", "text")
+      val audit = graft.sources.GramStore.auditIncoming(
+        spark, "gram_store_inc", incoming, k, 50L)
+      val plan = audit.queryExecution.executedPlan.toString
+      // h-keyed Exchanges: at most the one hashing the small incoming
+      // shard into the store's bucketing
+      val hExchanges = "Exchange hashpartitioning\\(h#".r
+        .findAllIn(plan).length
+      assert(hExchanges <= 1,
+        s"the store side must not shuffle on h:\n$plan")
+      val out = audit.collect()
+      assert(out.map(_.getAs[Long]("new_doc")).toSet === Set(2000000L),
+        s"copy flagged, fresh doc admitted: ${out.toSeq}")
+      // the exact copy shares every gram with its stored original,
+      // starting at the same position
+      val hit = out.find(r => r.getAs[Long]("stored_doc") ===
+        sample.head.getLong(0))
+      assert(hit.isDefined, s"copy must flag its original: ${out.toSeq}")
+      assert(hit.get.getAs[Long]("new_pos") ===
+        hit.get.getAs[Long]("stored_pos"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS gram_store_inc")
+    }
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
