@@ -135,6 +135,45 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("gram kernels equal their from-scratch references on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def naiveHashes(s: String, k: Int, mod: Long): Seq[Long] =
+      (0 to s.length - k).map { i =>
+        (0 until k).foldLeft(0L)((a, j) => (a * 31L + s.charAt(i + j)) % mod)
+      }
+    def naiveFirstPos(s: String, k: Int, mod: Long): Seq[(Long, Long)] = {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      naiveHashes(s, k, mod).zipWithIndex.foreach { case (h, i) =>
+        if (!seen.contains(h)) seen(h) = (i + 1).toLong
+      }
+      seen.toSeq
+    }
+    val genCase = for {
+      k <- Gen.chooseNum(1, 12)
+      mod <- Gen.oneOf(97L, 33554432L, 1L << 45)
+      len <- Gen.chooseNum(0, 300)
+      s <- Gen.listOfN(len, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 1 -> Gen.const(' '),
+        1 -> Gen.oneOf('é', '中', '￿')))
+    } yield (k, mod, s.mkString)
+    (1 to 200).foreach { seed =>
+      val (k, mod, s) = draw(genCase, seed.toLong)
+      val u = UTF8String.fromString(s)
+      val gh = graft.functions.GramHashes.compute(u, k, mod)
+      val expected = if (s.length < k) Seq.empty else naiveHashes(s, k, mod)
+      assert((0 until gh.numElements()).map(gh.getLong(_)) === expected,
+        s"gram_hashes k=$k mod=$mod len=${s.length} seed=$seed")
+      val gf = graft.functions.GramFirstPos.compute(u, k, mod)
+      val got = (0 until gf.numElements()).map { i =>
+        val r = gf.getStruct(i, 2)
+        (r.getLong(0), r.getLong(1))
+      }
+      val want = if (s.length < k) Seq.empty else naiveFirstPos(s, k, mod)
+      assert(got === want,
+        s"gram_first_pos k=$k mod=$mod len=${s.length} seed=$seed")
+    }
+  }
+
   test("winnowing guarantee: shared substring >= k+w-1 => shared print") {
     // the defining theorem of winnowing (Schleimer et al. §2): any
     // common substring of length >= k+w-1 forces at least one common
