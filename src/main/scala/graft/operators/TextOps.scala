@@ -525,6 +525,46 @@ object TextOps {
           .as("avg_quality_micro"))
   }
 
+  /** Corpus card — the per-source datasheet a dataset release ships
+    * (docs, tokens, exact-duplicate fraction, mean quality, dominant
+    * language), composed from this engine's own per-doc stages
+    * ([[tokenStats]], [[langId]], the exact-dedup content hash). The
+    * capstone companion of [[curate]]: curate DECIDES what survives,
+    * the card DESCRIBES what a corpus contains.
+    *
+    * Scale shape: three per-doc projections joined on doc_id (Catalyst
+    * pushes all of it below the aggregations), ONE source-keyed
+    * aggregation (count-distinct of the content hash is the standard
+    * two-phase expansion), and the dominant-language argmax runs on the
+    * (source × language)-sized count table under a PARTITIONED window.
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val stats = tokenStats(docs).select("doc_id", "n_tokens",
+      "quality_micro")
+    val lang = langId(docs).select("doc_id", "lang_pred")
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+      .join(stats, "doc_id").join(lang, "doc_id")
+    val agg = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("sha")).as("n_distinct_docs"),
+      sum("n_tokens").as("total_tokens"),
+      floor(sum(col("quality_micro")) / count(lit(1))).cast("long")
+        .as("avg_quality_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("lang_pred"))
+    val top = perDoc.groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang_pred").as("top_lang"))
+    agg.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_distinct_docs"),
+        micro((col("n_docs") - col("n_distinct_docs")) / col("n_docs"))
+          .as("dup_micro"),
+        col("total_tokens"), col("avg_quality_micro"), col("top_lang"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD'03) — the
     * rolling-hash fingerprint family: a polynomial rolling hash over

@@ -737,6 +737,57 @@ object TextQueries {
        |FROM pr GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
   }
 
+  def qCorpusCard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.corpusCard(
+      Tables.documents(spark, dir).select("doc_id", "text", "source"))
+      .orderBy("source")
+
+  /** Per-doc stages re-expressed over the shared tok/lang-score CTEs,
+    * then the source census + dominant-language argmax. lazy — uses
+    * langScoreDefs/langPred (declared below).
+    */
+  private lazy val corpusCardOracle =
+    s"""$tokCte,
+       |s AS (
+       |  SELECT doc_id,
+       |    $langScoreDefs
+       |  FROM documents
+       |),
+       |pd AS (
+       |  SELECT d.source, d.doc_id, sha256(d.text) AS sha,
+       |    CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |    ${Hashing.microSql(qualityExpr)} AS quality_micro,
+       |    $langPred AS lang_pred
+       |  FROM documents d
+       |  JOIN tok t ON d.doc_id = t.doc_id
+       |  JOIN s ON d.doc_id = s.doc_id
+       |),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(floor(sum(quality_micro) / count(*)) AS BIGINT)
+       |      AS avg_quality_micro
+       |  FROM pd GROUP BY 1
+       |),
+       |lc AS (
+       |  SELECT source, lang_pred, count(*) AS c FROM pd GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT source, lang_pred AS top_lang FROM (
+       |    SELECT source, lang_pred,
+       |      row_number() OVER (PARTITION BY source
+       |                         ORDER BY c DESC, lang_pred) AS rn
+       |    FROM lc
+       |  ) WHERE rn = 1
+       |)
+       |SELECT a.source, a.n_docs, a.n_distinct_docs,
+       |  ${Hashing.microSql("(a.n_docs - a.n_distinct_docs) / a.n_docs")}
+       |    AS dup_micro,
+       |  a.total_tokens, a.avg_quality_micro, t.top_lang
+       |FROM agg a JOIN top t ON a.source = t.source
+       |ORDER BY a.source""".stripMargin
+
   def qDupCoverage(spark: SparkSession, dir: String): DataFrame =
     TextOps.dupCoverage(docs(spark, dir), SubK, SubMaxDf)
       .orderBy("doc_id")
@@ -870,6 +921,7 @@ object TextQueries {
     "q_substring"      -> (qSubstring _),
     "q_vocab"          -> (qVocab _),
     "q_dup_coverage"   -> (qDupCoverage _),
+    "q_corpus_card"    -> (qCorpusCard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
@@ -897,6 +949,7 @@ object TextQueries {
     "q_substring"      -> substringOracle,
     "q_vocab"          -> vocabOracle,
     "q_dup_coverage"   -> dupCoverageOracle,
+    "q_corpus_card"    -> corpusCardOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,

@@ -398,6 +398,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_matched_grams") === 4L)
   }
 
+  test("corpusCard: per-source census with dup fraction and top lang") {
+    val corpus = Seq(
+      (1L, "the batch the merge a scan", "web"),
+      (2L, "the batch the merge a scan", "web"),   // exact dup of 1
+      (3L, "scan schema merge batch line", "web"),
+      (4L, "join filter group order sort", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.corpusCard(corpus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("web", "books"))
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Long]("n_distinct_docs") === 2L)
+    assert(web.getAs[Long]("dup_micro") ===
+      math.floor(1e6 * (1.0 / 3)).toLong)
+    assert(web.getAs[Long]("total_tokens") === 17L)
+    assert(out("books").getAs[Long]("dup_micro") === 0L)
+    // top_lang is one of the declared profiles (or 'und')
+    val langs = TextOps.LangProfiles.map(_._1).toSet + "und"
+    assert(out.values.forall(r => langs.contains(r.getAs[String]("top_lang"))))
+  }
+
   test("vocabCoverage: OOV counted against the train-built top-V vocab") {
     // train docs use tokens a..d heavily; one val-bucket doc brings an
     // unseen token. With V=2 the vocab is the two most frequent train
