@@ -135,30 +135,31 @@ object TextOps {
     "fr" -> Seq((2, "ar"), (1, "ou"), (1, "le")),
     "zh" -> Seq((2, "ow"), (1, "in"), (1, "at")))
 
-  /** Non-overlapping substring occurrence count via the replace trick —
-    * identical left-to-right semantics in Spark and DuckDB.
-    */
-  private def substrCount(text: Column, sub: String): Column =
-    ((length(text) - length(regexp_replace(text,
-      java.util.regex.Pattern.quote(sub), ""))) / lit(sub.length))
-      .cast("long")
-
   def langId(docs: DataFrame): DataFrame = {
-    val scores = LangProfiles.map { case (lang, evid) =>
-      lang -> evid.map { case (w, s) =>
-        lit(w.toLong) * substrCount(col("text"), s)
-      }.reduce(_ + _)
-    }
-    val withScores = docs.select(
-      col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") }: _*)
-    val best = greatest(scores.map { case (l, _) => col(s"score_$l") }: _*)
-    val total = scores.map { case (l, _) => col(s"score_$l") }
-      .reduce(_ + _) + lit(1L)
-    val pred = scores.foldRight(lit("und")) { case ((l, _), acc) =>
+    // all profile scores in ONE compiled pass (lang_scores): the column
+    // formulation ran a regexp_replace over the full text per
+    // (language, needle) — 15 regex passes per row for a substring
+    // count; the kernel's indexOf advances are the same non-overlapping
+    // left-to-right semantics the oracle's replace trick keeps using
+    val sc = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LangScores(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        LangProfiles.map(_._2.map(_._1.toLong).toArray).toArray,
+        LangProfiles.map(_._2.map(_._2).toArray).toArray))
+    // (element_at is 1-based)
+    val scored = docs.select(col("doc_id"), sc.as("__sc"))
+      .select(col("doc_id") +:
+        LangProfiles.zipWithIndex.map { case ((l, _), i) =>
+          element_at(col("__sc"), i + 1).as(s"score_$l")
+        }: _*)
+    val names = LangProfiles.map { case (l, _) => col(s"score_$l") }
+    val best = greatest(names: _*)
+    val total = names.reduce(_ + _) + lit(1L)
+    val pred = LangProfiles.foldRight(lit("und")) { case ((l, _), acc) =>
       when(col(s"score_$l") >= best, lit(l)).otherwise(acc)
     }
     // foldRight keeps declaration order: first lang reaching max wins
-    withScores.select(col("doc_id"), pred.as("lang_pred"),
+    scored.select(col("doc_id"), pred.as("lang_pred"),
       micro(best / total).as("conf_micro"))
   }
 

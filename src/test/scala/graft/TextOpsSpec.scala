@@ -267,6 +267,45 @@ class TextOpsSpec extends SparkSpec {
       "one-token edit must be closer than a disjoint-vocab doc")
   }
 
+  test("langScores kernel equals the replace-trick counts; codegen parity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val weights = TextOps.LangProfiles.map(_._2.map(_._1.toLong).toArray)
+      .toArray
+    val needles = TextOps.LangProfiles.map(_._2.map(_._2).toArray).toArray
+    def replaceTrick(s: String, n: String): Long =
+      ((s.length - s.replace(n, "").length) / n.length).toLong
+    val rnd = new scala.util.Random(11)
+    val texts = Seq.tabulate(20)(_ =>
+      Seq.fill(15 + rnd.nextInt(30))(rnd.alphanumeric.take(
+        1 + rnd.nextInt(5)).mkString).mkString(" ")) :+
+      "that the scheme touched a char " :+ "" :+ "th"
+    texts.foreach { s =>
+      val out = graft.functions.LangScores.compute(
+        UTF8String.fromString(s), weights, needles)
+      TextOps.LangProfiles.zipWithIndex.foreach { case ((_, evid), l) =>
+        val want = evid.map { case (w, sub) =>
+          w.toLong * replaceTrick(s, sub)
+        }.sum
+        assert(out.getLong(l) === want, s"lang $l over '$s'")
+      }
+    }
+    // codegen and interpreted paths agree through the full langId
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def run() = TextOps.langId(d).orderBy("doc_id").collect()
+      .map(_.toSeq).toSeq
+    val withCodegen = run()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("langId is deterministic and confidence-bounded") {
     val out = TextOps.langId(
       docs((1L, "the batch the merge a scan"), (2L, "scan schema merge")))
