@@ -167,6 +167,34 @@ object ScaleProbe {
         s"substring replica identity broken: $pk != $expected")
     }
 
+    // BPE training at k×: replicating the corpus multiplies every word
+    // frequency — hence every pair count — by exactly k, and ties at 1×
+    // stay ties at k× under the same (count desc, pair asc) break, so
+    // the learned merge SEQUENCE is invariant and each pair_freq scales
+    // by exactly k. Holding exactly means training depends only on
+    // frequency ratios (the property that makes a sampled/sharded
+    // training corpus representative); drift would expose
+    // non-determinism in the argmax or the rewrite.
+    {
+      def mergeTable(c: Int): Seq[(Int, String, String, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Seq[(Int, String, String, Long)] = Nil
+        time(s"bpe_train_${c}x") {
+          out = TextOps.bpeTrain(d, TextOps.BpeMerges).collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+              r.getLong(4))).toSeq
+          out.length.toLong
+        }
+        out
+      }
+      val m1 = mergeTable(1)
+      val mk = mergeTable(k)
+      require(mk == m1.map { case (s, a, b, f) => (s, a, b, f * k) },
+        s"BPE merge-sequence invariance under ${k}x replication broken")
+      println(s"SCALE bpe_merge_invariance ok (${m1.length} merges, " +
+        s"pair counts exactly x$k)")
+    }
+
     // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
     // measured on the replicated corpus — the evidence that nProbe
     // trades recall for scan fraction beyond the tiny test SF. Recall

@@ -945,6 +945,106 @@ object TextOps {
         micro(col("oov_tokens") / col("n_tokens")).as("oov_micro"))
   }
 
+  /** Merge rounds for [[bpeTrain]] — mirrored into the generated oracle
+    * CTE chain, so both engines train the same number of steps.
+    */
+  val BpeMerges = 10
+
+  /** BPE merge training — the tokenizer-induction stage itself
+    * ([[vocabCoverage]] sizes a vocabulary, [[tokenCounts]] budgets under
+    * a FIXED pre-tokenizer; this operator LEARNS the merge table a
+    * byte-pair-encoding tokenizer ships with). Classic Sennrich-style
+    * BPE over lowercase ASCII word forms: the working set is the
+    * distinct (word, frequency) vocabulary; each round counts adjacent
+    * symbol pairs weighted by word frequency (overlapping occurrences
+    * all count — the standard formulation), picks the argmax pair
+    * (count desc, then (lhs, rhs) lexicographic — symbols are pure
+    * ASCII, so engine collations agree), and rewrites every word by
+    * greedy leftmost non-overlapping replacement of the pair.
+    *
+    * The greedy rewrite is ONE Catalyst `aggregate` fold per word, no
+    * shuffle: "last accumulated symbol == lhs AND current == rhs →
+    * replace the tail with lhs||rhs" is exactly the leftmost scan,
+    * because a just-merged tail symbol (lhs||rhs) can never re-match
+    * lhs — rhs is non-empty. BpeTrainSpec property-pins the fold
+    * against a naive index-walking reference, repeated-letter runs
+    * included. The DuckDB oracle re-trains the identical merge table as
+    * chained CTEs (the k-means recipe, [[SimilarityOps]]): matches
+    * marked by a lead() window, greedy non-overlap = taking every
+    * second match within each run of consecutive matches (runs only
+    * arise when lhs == rhs), rebuild via list(... ORDER BY pos) minus
+    * positions consumed by a taken left neighbour. Every trained
+    * quantity is an exact integer — nothing data-dependent crosses
+    * engines.
+    *
+    * Scale shape: the corpus is read ONCE (one (word, partial-count)
+    * Exchange — the shuffle any vocabulary build pays); every round
+    * after that runs on the vocabulary-sized relation (Heaps-law
+    * bounded — ~10⁸ word forms at 100 TB, never corpus-sized): one
+    * (lhs, rhs, partial) Exchange for pair counts, a ONE-row argmax
+    * collect (bounded driver state, the k-means discipline), and a
+    * zero-shuffle fold projection for the rewrite. `localCheckpoint`
+    * after each round keeps round r's plan flat instead of r folds
+    * deep — the standard iterative-refinement pattern.
+    */
+  /** The (word, freq, syms) working vocabulary [[bpeTrain]] iterates
+    * on — the corpus's only appearance in the whole training loop.
+    */
+  private[graft] def bpeVocab(docs: DataFrame): DataFrame =
+    parallelized(docs)
+      .select(explode(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+"), lit(0))).as("w"))
+      .groupBy(lower(col("w")).as("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", filter(split(col("word"), ""), s => s =!= ""))
+
+  /** Frequency-weighted adjacent-pair counts over the vocabulary — one
+    * (lhs, rhs, partial) Exchange per round (plan-pinned).
+    */
+  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Greedy leftmost non-overlapping (lhs, rhs) → lhs‖rhs rewrite as a
+    * zero-shuffle fold projection (plan-pinned).
+    */
+  private[graft] def bpeMergeApplied(vocab: DataFrame, lhs: String,
+                                     rhs: String): DataFrame =
+    vocab.withColumn("syms",
+      aggregate(col("syms"), array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 &&
+            element_at(acc, -1) === lhs && x === rhs,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(x)))))
+
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = bpeVocab(docs).localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      val best = bpePairCounts(vocab)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"bpeTrain: vocabulary exhausted after ${step - 1} merges")
+      val lhs = best(0).getString(0)
+      val rhs = best(0).getString(1)
+      learned += ((step, lhs, rhs, lhs + rhs, best(0).getLong(2)))
+      vocab = bpeMergeApplied(vocab, lhs, rhs).localCheckpoint()
+    }
+    learned.result()
+      .toDF("step", "lhs", "rhs", "merged", "pair_freq")
+      .orderBy("step")
+  }
+
   /** Bigram language-model quality scoring — the LM-perplexity filter
     * stage of a curation pipeline (heuristic stats [[tokenStats]] catch
     * garbage; an n-gram LM trained on the corpus's own train split

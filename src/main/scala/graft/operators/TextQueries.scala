@@ -86,6 +86,9 @@ object TextQueries {
       .filter(col("n_copies") > 1)
       .orderBy("chunk_sha")
 
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(docs(spark, dir), TextOps.BpeMerges)
+
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     TextOps.curate(docs(spark, dir), ShingleN, MaxShingleDf, NgramJacMin,
       CurateQualityMin, pairs = Some(ngramPairs(spark, dir)))
@@ -907,7 +910,86 @@ object TextQueries {
        |  CAST((cum - n_tok) % $PackCtxLen AS BIGINT) AS bin_offset
        |FROM c ORDER BY shard, doc_id""".stripMargin
 
+  /** q_bpe_train oracle — re-trains the identical merge table inside
+    * DuckDB as [[TextOps.BpeMerges]] chained CTE rounds (the k-means
+    * recipe): per round, pair counts from position-joined unnested
+    * symbols, the argmax merge (count desc, pair asc), then the greedy
+    * leftmost non-overlapping rewrite expressed positionally — a match
+    * is TAKEN iff its offset within its run of consecutive matches is
+    * even (runs of overlapping matches only arise when lhs = rhs), and
+    * the position right of a taken match is consumed. Mirrors the
+    * Spark-side `aggregate` fold exactly (BpeTrainSpec pins both
+    * against a naive reference).
+    */
+  private val bpeTrainOracle: String = {
+    def round(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT word, freq, generate_subscripts(syms, 1) AS pos,
+         |         unnest(syms) AS sym
+         |  FROM v$r
+         |),
+         |pc$r AS (
+         |  SELECT a.sym AS lhs, b.sym AS rhs,
+         |         CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM p$r a JOIN p$r b ON a.word = b.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2
+         |),
+         |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc$r
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |g$r AS (
+         |  SELECT *, pos - row_number()
+         |    OVER (PARTITION BY word, mtch ORDER BY pos) AS grp
+         |  FROM (
+         |    SELECT p.word, p.freq, p.pos, p.sym,
+         |      COALESCE(p.sym = m.lhs AND lead(p.sym)
+         |        OVER (PARTITION BY p.word ORDER BY p.pos) = m.rhs,
+         |        FALSE) AS mtch
+         |    FROM p$r p CROSS JOIN m$r m
+         |  )
+         |),
+         |s$r AS (
+         |  SELECT word, freq, pos, sym, taken,
+         |    COALESCE(lag(taken) OVER (PARTITION BY word ORDER BY pos),
+         |             FALSE) AS dropped
+         |  FROM (
+         |    SELECT word, freq, pos, sym,
+         |      CASE WHEN mtch THEN (pos - min(pos)
+         |        OVER (PARTITION BY word, mtch, grp)) % 2 = 0
+         |      ELSE FALSE END AS taken
+         |    FROM g$r
+         |  )
+         |),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT s.word, s.freq,
+         |    list(CASE WHEN s.taken THEN m.lhs || m.rhs ELSE s.sym END
+         |         ORDER BY s.pos) AS syms
+         |  FROM s$r s CROSS JOIN m$r m
+         |  WHERE NOT s.dropped
+         |  GROUP BY 1, 2
+         |)"""
+    val rounds =
+      (0 until TextOps.BpeMerges).map(round).mkString(",\n")
+    val out = (0 until TextOps.BpeMerges).map { r =>
+      s"SELECT ${r + 1} AS step, lhs, rhs, lhs || rhs AS merged," +
+        s" cnt AS pair_freq FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |         string_split(word, '') AS syms
+       |  FROM (
+       |    SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+       |      AS word
+       |    FROM documents
+       |  )
+       |  GROUP BY 1
+       |),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train"      -> (qBpeTrain _),
     "q_lm_score"       -> (qLmScore _),
     "q_mix"            -> (qMix _),
     "q_repetition"     -> (qRepetition _),
@@ -936,6 +1018,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_train"      -> bpeTrainOracle,
     "q_lm_score"       -> lmScoreOracle,
     "q_mix"            -> mixOracle,
     "q_repetition"     -> repetitionOracle,

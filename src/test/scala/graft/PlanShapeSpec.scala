@@ -73,6 +73,24 @@ class PlanShapeSpec extends SparkSpec {
       s"kernel expression must be in the plan:\n$p")
   }
 
+  test("bpeTrain round: one pair-keyed Exchange with map-side partials") {
+    val vocab = TextOps.bpeVocab(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    val p = plan(TextOps.bpePairCounts(vocab.localCheckpoint()))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"a training round shuffles once, on the pair key:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"pair counts must combine map-side before the Exchange:\n$p")
+  }
+
+  test("bpeTrain rewrite: zero-shuffle fold projection") {
+    val vocab = TextOps.bpeVocab(
+      Tables.documents(spark, dir).select("doc_id", "text"))
+    val p = plan(TextOps.bpeMergeApplied(vocab.localCheckpoint(), "e", "r"))
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+  }
+
   test("clusterMix: one linear plan, corpus scanned exactly once") {
     val e = Tables.embeddings(spark, dir)
     val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
