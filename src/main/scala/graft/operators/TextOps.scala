@@ -950,43 +950,6 @@ object TextOps {
     */
   val BpeMerges = 10
 
-  /** BPE merge training — the tokenizer-induction stage itself
-    * ([[vocabCoverage]] sizes a vocabulary, [[tokenCounts]] budgets under
-    * a FIXED pre-tokenizer; this operator LEARNS the merge table a
-    * byte-pair-encoding tokenizer ships with). Classic Sennrich-style
-    * BPE over lowercase ASCII word forms: the working set is the
-    * distinct (word, frequency) vocabulary; each round counts adjacent
-    * symbol pairs weighted by word frequency (overlapping occurrences
-    * all count — the standard formulation), picks the argmax pair
-    * (count desc, then (lhs, rhs) lexicographic — symbols are pure
-    * ASCII, so engine collations agree), and rewrites every word by
-    * greedy leftmost non-overlapping replacement of the pair.
-    *
-    * The greedy rewrite is ONE Catalyst `aggregate` fold per word, no
-    * shuffle: "last accumulated symbol == lhs AND current == rhs →
-    * replace the tail with lhs||rhs" is exactly the leftmost scan,
-    * because a just-merged tail symbol (lhs||rhs) can never re-match
-    * lhs — rhs is non-empty. BpeTrainSpec property-pins the fold
-    * against a naive index-walking reference, repeated-letter runs
-    * included. The DuckDB oracle re-trains the identical merge table as
-    * chained CTEs (the k-means recipe, [[SimilarityOps]]): matches
-    * marked by a lead() window, greedy non-overlap = taking every
-    * second match within each run of consecutive matches (runs only
-    * arise when lhs == rhs), rebuild via list(... ORDER BY pos) minus
-    * positions consumed by a taken left neighbour. Every trained
-    * quantity is an exact integer — nothing data-dependent crosses
-    * engines.
-    *
-    * Scale shape: the corpus is read ONCE (one (word, partial-count)
-    * Exchange — the shuffle any vocabulary build pays); every round
-    * after that runs on the vocabulary-sized relation (Heaps-law
-    * bounded — ~10⁸ word forms at 100 TB, never corpus-sized): one
-    * (lhs, rhs, partial) Exchange for pair counts, a ONE-row argmax
-    * collect (bounded driver state, the k-means discipline), and a
-    * zero-shuffle fold projection for the rewrite. `localCheckpoint`
-    * after each round keeps round r's plan flat instead of r folds
-    * deep — the standard iterative-refinement pattern.
-    */
   /** The (word, freq, syms) working vocabulary [[bpeTrain]] iterates
     * on — the corpus's only appearance in the whole training loop.
     */
@@ -1024,9 +987,12 @@ object TextOps {
             array(lit(lhs + rhs))))
           .otherwise(concat(acc, array(x)))))
 
-  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The training loop shared by [[bpeTrain]] and [[bpeEncode]]:
+    * returns the learned merge table AND the post-training vocabulary
+    * (whose symbol arrays ARE the tokenization of every corpus word).
+    */
+  private def bpeTrainLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var vocab = bpeVocab(docs).localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
     for (step <- 1 to merges) {
@@ -1040,9 +1006,90 @@ object TextOps {
       learned += ((step, lhs, rhs, lhs + rhs, best(0).getLong(2)))
       vocab = bpeMergeApplied(vocab, lhs, rhs).localCheckpoint()
     }
-    learned.result()
+    (learned.result(), vocab)
+  }
+
+  /** BPE merge training — the tokenizer-induction stage itself
+    * ([[vocabCoverage]] sizes a vocabulary, [[tokenCounts]] budgets under
+    * a FIXED pre-tokenizer; this operator LEARNS the merge table a
+    * byte-pair-encoding tokenizer ships with). Classic Sennrich-style
+    * BPE over lowercase ASCII word forms: the working set is the
+    * distinct (word, frequency) vocabulary; each round counts adjacent
+    * symbol pairs weighted by word frequency (overlapping occurrences
+    * all count — the standard formulation), picks the argmax pair
+    * (count desc, then (lhs, rhs) lexicographic — symbols are pure
+    * ASCII, so engine collations agree), and rewrites every word by
+    * greedy leftmost non-overlapping replacement of the pair.
+    *
+    * The greedy rewrite is ONE Catalyst `aggregate` fold per word, no
+    * shuffle: "last accumulated symbol == lhs AND current == rhs →
+    * replace the tail with lhs||rhs" is exactly the leftmost scan,
+    * because a just-merged tail symbol (lhs||rhs) can never re-match
+    * lhs — rhs is non-empty. BpeTrainSpec property-pins the fold
+    * against a naive index-walking reference, repeated-letter runs
+    * included. The DuckDB oracle re-trains the identical merge table as
+    * chained CTEs (the k-means recipe, [[SimilarityOps]]): matches
+    * marked by a lead() window, greedy non-overlap = taking every
+    * second match within each run of consecutive matches (runs only
+    * arise when lhs == rhs), rebuild via list(... ORDER BY pos) minus
+    * positions consumed by a taken left neighbour. Every trained
+    * quantity is an exact integer — nothing data-dependent crosses
+    * engines.
+    *
+    * Scale shape: the corpus is read ONCE (one (word, partial-count)
+    * Exchange — the shuffle any vocabulary build pays); every round
+    * after that runs on the vocabulary-sized relation (Heaps-law
+    * bounded — ~10⁸ word forms at 100 TB, never corpus-sized): one
+    * (lhs, rhs, partial) Exchange for pair counts, a ONE-row argmax
+    * collect (bounded driver state, the k-means discipline), and a
+    * zero-shuffle fold projection for the rewrite. `localCheckpoint`
+    * after each round keeps round r's plan flat instead of r folds
+    * deep — the standard iterative-refinement pattern.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainLoop(docs, merges)._1
       .toDF("step", "lhs", "rhs", "merged", "pair_freq")
       .orderBy("step")
+  }
+
+  /** Corpus tokenization census under the [[bpeTrain]]-learned
+    * tokenizer — subtoken counts and the compression ratio
+    * (subtokens per word) each document would cost at training time,
+    * the number a token budget is actually spent in.
+    *
+    * Tokenizing a word is a pure function of the word, and the
+    * post-training vocabulary's symbol array IS that tokenization for
+    * every corpus word — so encoding is a DICTIONARY LOOKUP, not a
+    * per-occurrence re-fold: broadcast the vocabulary-sized
+    * (word → subtoken count) dictionary and join the exploded word
+    * stream against it. One corpus pass, one broadcast hash join, one
+    * doc-keyed partial agg (plan-pinned) — the shape that holds when
+    * the corpus is 100 TB and the dictionary is Heaps-bounded. The
+    * oracle reuses the training CTE chain's final vocabulary relation
+    * the same way. Documents with no extractable word forms stay in
+    * the census with zero counts (`explode_outer` keeps their row —
+    * NOT a join back to the corpus, which would scan it twice and
+    * shuffle two doc-sized relations on doc_id).
+    */
+  def bpeEncode(docs: DataFrame, merges: Int): DataFrame = {
+    val dict = bpeTrainLoop(docs, merges)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    parallelized(docs)
+      .select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+"), lit(0))).as("w"))
+      .select(col("doc_id"), lower(col("w")).as("word"))
+      .join(broadcast(dict), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum("n_sub"), lit(0L)).as("n_subtokens"))
+      .select(col("doc_id"), col("n_words"), col("n_subtokens"),
+        when(col("n_words") > 0,
+          micro(col("n_subtokens") / col("n_words")))
+          .otherwise(lit(0L)).as("subtokens_per_word_micro"))
+      .orderBy("doc_id")
   }
 
   /** Bigram language-model quality scoring — the LM-perplexity filter

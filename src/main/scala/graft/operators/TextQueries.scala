@@ -89,6 +89,9 @@ object TextQueries {
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeTrain(docs(spark, dir), TextOps.BpeMerges)
 
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncode(docs(spark, dir), TextOps.BpeMerges)
+
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     TextOps.curate(docs(spark, dir), ShingleN, MaxShingleDf, NgramJacMin,
       CurateQualityMin, pairs = Some(ngramPairs(spark, dir)))
@@ -910,19 +913,13 @@ object TextQueries {
        |  CAST((cum - n_tok) % $PackCtxLen AS BIGINT) AS bin_offset
        |FROM c ORDER BY shard, doc_id""".stripMargin
 
-  /** q_bpe_train oracle — re-trains the identical merge table inside
-    * DuckDB as [[TextOps.BpeMerges]] chained CTE rounds (the k-means
-    * recipe): per round, pair counts from position-joined unnested
-    * symbols, the argmax merge (count desc, pair asc), then the greedy
-    * leftmost non-overlapping rewrite expressed positionally — a match
-    * is TAKEN iff its offset within its run of consecutive matches is
-    * even (runs of overlapping matches only arise when lhs = rhs), and
-    * the position right of a taken match is consumed. Mirrors the
-    * Spark-side `aggregate` fold exactly (BpeTrainSpec pins both
-    * against a naive reference).
+  /** One BPE training round as DuckDB CTEs — shared by the
+    * q_bpe_train and q_bpe_encode oracles. Every multiply-referenced
+    * CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference,
+    * and a 10-round chain otherwise expands the scan tree
+    * exponentially (first symptom: `Too many open files`).
     */
-  private val bpeTrainOracle: String = {
-    def round(r: Int): String =
+  private def bpeRound(r: Int): String =
       s"""p$r AS MATERIALIZED (
          |  SELECT word, freq, generate_subscripts(syms, 1) AS pos,
          |         unnest(syms) AS sym
@@ -967,29 +964,78 @@ object TextQueries {
          |  WHERE NOT s.dropped
          |  GROUP BY 1, 2
          |)"""
+
+  private val bpeV0Cte =
+    """v0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+      |         string_split(word, '') AS syms
+      |  FROM (
+      |    SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+      |      AS word
+      |    FROM documents
+      |  )
+      |  GROUP BY 1
+      |)"""
+
+  /** q_bpe_train oracle — re-trains the identical merge table inside
+    * DuckDB as [[TextOps.BpeMerges]] chained CTE rounds (the k-means
+    * recipe): per round, pair counts from position-joined unnested
+    * symbols, the argmax merge (count desc, pair asc), then the greedy
+    * leftmost non-overlapping rewrite expressed positionally — a match
+    * is TAKEN iff its offset within its run of consecutive matches is
+    * even (runs of overlapping matches only arise when lhs = rhs), and
+    * the position right of a taken match is consumed. Mirrors the
+    * Spark-side `aggregate` fold exactly (BpeTrainSpec pins both
+    * against a naive reference).
+    */
+  private val bpeTrainOracle: String = {
     val rounds =
-      (0 until TextOps.BpeMerges).map(round).mkString(",\n")
+      (0 until TextOps.BpeMerges).map(bpeRound).mkString(",\n")
     val out = (0 until TextOps.BpeMerges).map { r =>
       s"SELECT ${r + 1} AS step, lhs, rhs, lhs || rhs AS merged," +
         s" cnt AS pair_freq FROM m$r"
     }.mkString("\nUNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-       |         string_split(word, '') AS syms
-       |  FROM (
-       |    SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
-       |      AS word
-       |    FROM documents
-       |  )
-       |  GROUP BY 1
-       |),
+    s"""WITH $bpeV0Cte,
        |$rounds
        |$out
        |ORDER BY step""".stripMargin
   }
 
+  /** q_bpe_encode oracle — the training chain's FINAL vocabulary
+    * relation is the tokenization dictionary (symbol-array length =
+    * subtokens per word); the census mirrors the Spark explode_outer +
+    * left-join formulation, wordless documents kept with zero counts.
+    */
+  private val bpeEncodeOracle: String = {
+    val m = TextOps.BpeMerges
+    val rounds = (0 until m).map(bpeRound).mkString(",\n")
+    s"""WITH $bpeV0Cte,
+       |$rounds,
+       |dict AS (SELECT word, len(syms) AS n_sub FROM v$m),
+       |w AS (
+       |  SELECT doc_id, lower(u.w) AS word
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) = 0
+       |           THEN [CAST(NULL AS VARCHAR)]
+       |           ELSE regexp_extract_all(text, '[A-Za-z]+') END AS ws
+       |    FROM documents
+       |  ), unnest(ws) AS u(w)
+       |)
+       |SELECT w.doc_id,
+       |  CAST(count(w.word) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(sum(d.n_sub), 0) AS BIGINT) AS n_subtokens,
+       |  CASE WHEN count(w.word) > 0
+       |    THEN ${Hashing.microSql(
+      "CAST(COALESCE(sum(d.n_sub), 0) AS BIGINT) / count(w.word)")}
+       |    ELSE 0 END AS subtokens_per_word_micro
+       |FROM w LEFT JOIN dict d USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train"      -> (qBpeTrain _),
+    "q_bpe_encode"     -> (qBpeEncode _),
     "q_lm_score"       -> (qLmScore _),
     "q_mix"            -> (qMix _),
     "q_repetition"     -> (qRepetition _),
@@ -1019,6 +1065,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train"      -> bpeTrainOracle,
+    "q_bpe_encode"     -> bpeEncodeOracle,
     "q_lm_score"       -> lmScoreOracle,
     "q_mix"            -> mixOracle,
     "q_repetition"     -> repetitionOracle,

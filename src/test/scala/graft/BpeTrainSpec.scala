@@ -109,4 +109,37 @@ class BpeTrainSpec extends SparkSpec {
     val texts = Seq("the cat sat", "the bat sat", "a cab fat cat")
     assert(trained(texts, 4) === trained(texts, 4))
   }
+
+  test("encode census equals naive per-doc tokenization, wordless kept") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "letter better setter batter",
+      "12345 !!!",                       // no word forms -> zero counts
+      "aaaa abab the letter")
+    val merges = 6
+    // naive: train, then tokenize each doc's words with the final
+    // vocabulary state (tokenization is a pure function of the word)
+    val wc = scala.collection.mutable.Map[String, Long]()
+    texts.flatMap(words).foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L)
+    var syms: Map[String, Vector[String]] =
+      wc.keysIterator.map(w =>
+        w -> w.split("").filter(_.nonEmpty).toVector).toMap
+    naiveTrain(texts, merges).foreach { case (_, lhs, rhs, _, _) =>
+      syms = syms.map { case (w, v) => w -> mergeWord(v, lhs, rhs) }
+    }
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val ws = words(t)
+      val nSub = ws.map(syms(_).length.toLong).sum
+      val micro = if (ws.nonEmpty)
+        math.floor(1e6 * nSub.toDouble / ws.length).toLong else 0L
+      (i.toLong, ws.length.toLong, nSub, micro)
+    }
+    val got = TextOps.bpeEncode(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), merges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+  }
 }

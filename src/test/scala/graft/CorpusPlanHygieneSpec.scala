@@ -1,0 +1,53 @@
+package graft
+
+/** Corpus-wide physical-plan hygiene: every registered query's executed
+  * plan, audited mechanically — the per-operator pins in PlanShapeSpec
+  * catch regressions in the operators they name; this suite catches the
+  * operator nobody pinned.
+  *
+  *  - `CartesianProduct` (the NON-broadcast cartesian — both sides
+  *    partitioned, quadratic work per partition pair) must never
+  *    appear. Zero occurrences across the corpus today; any future one
+  *    is an accidental non-equi join that would be a 100 TB killer.
+  *  - `BroadcastNestedLoopJoin` always broadcasts one side, so it is
+  *    legitimate exactly where that side is intrinsically tiny (a
+  *    single query vector, a one-row total, an nProbe cluster list, a
+  *    mixture-sized dim). Those users are whitelisted BY NAME — a new
+  *    BNLJ outside the list means a join lost its equi key silently.
+  */
+class CorpusPlanHygieneSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain a BroadcastNestedLoopJoin
+    * (tiny broadcast side by construction; audited 2026-08).
+    */
+  private val bnljWhitelist = Set(
+    "q_ann_batch",      // broadcast query-vector set vs corpus scores
+    "q_ann_ivf",        // broadcast nProbe cluster list
+    "q_ann_recall",     // broadcast probe ranks grid (Q x nCentroids)
+    "q_ann_topk",       // broadcast single query vector
+    "q_integrity",      // broadcast one-row expected-totals relation
+    "q_lm_score",       // broadcast one-row vocab-size V
+    "q_mix",            // broadcast one-row bottleneck-source argmin
+    "q_range_join",     // pure range join on a broadcast bucket dim
+    "q_tfidf",          // broadcast one-row corpus doc count N
+    "q_topk_per_label") // broadcast single query vector
+
+  test("no CartesianProduct anywhere; BNLJ only in whitelisted queries") {
+    val offendersCart = Seq.newBuilder[String]
+    val offendersBnlj = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) offendersCart += name
+      if (p.contains("BroadcastNestedLoopJoin") &&
+        !bnljWhitelist(name)) offendersBnlj += name
+      spark.catalog.clearCache()
+    }
+    assert(offendersCart.result().isEmpty,
+      s"non-broadcast cartesian product in: ${offendersCart.result()}")
+    assert(offendersBnlj.result().isEmpty,
+      "unexpected BroadcastNestedLoopJoin (a join lost its equi key?) " +
+        s"in: ${offendersBnlj.result()}")
+  }
+}
