@@ -28,7 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // dozens of whole-stage-codegen classes across the query corpus:
-  // don't let code-cache eviction force recompiles mid-bench
-  "-XX:ReservedCodeCacheSize=512m",
+  // dozens of whole-stage-codegen classes across the query corpus —
+  // plus ~20 per-round generated classes per training-loop query
+  // (k-means, BPE): don't let code-cache eviction force recompiles
+  // mid-bench
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
