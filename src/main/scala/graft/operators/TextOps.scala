@@ -973,25 +973,33 @@ object TextOps {
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** Greedy leftmost non-overlapping (lhs, rhs) → lhs‖rhs rewrite as a
-    * zero-shuffle fold projection (plan-pinned).
+  /** Greedy leftmost non-overlapping (lhs, rhs) → lhs‖rhs rewrite of
+    * one symbol array — the merge-application fold ([[bpeTrain]]'s
+    * rewrite step, and [[graft.sources.TokenizerStore]]'s
+    * dictionary-miss path replays the whole stored chain through it).
+    */
+  private[graft] def bpeMergeFold(syms: Column, lhs: String,
+                                  rhs: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 &&
+          element_at(acc, -1) === lhs && x === rhs,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The fold as a vocabulary rewrite — a zero-shuffle projection
+    * (plan-pinned).
     */
   private[graft] def bpeMergeApplied(vocab: DataFrame, lhs: String,
                                      rhs: String): DataFrame =
-    vocab.withColumn("syms",
-      aggregate(col("syms"), array().cast("array<string>"),
-        (acc, x) => when(
-          size(acc) > 0 &&
-            element_at(acc, -1) === lhs && x === rhs,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(lit(lhs + rhs))))
-          .otherwise(concat(acc, array(x)))))
+    vocab.withColumn("syms", bpeMergeFold(col("syms"), lhs, rhs))
 
   /** The training loop shared by [[bpeTrain]] and [[bpeEncode]]:
     * returns the learned merge table AND the post-training vocabulary
     * (whose symbol arrays ARE the tokenization of every corpus word).
     */
-  private def bpeTrainLoop(docs: DataFrame, merges: Int)
+  private[graft] def bpeTrainLoop(docs: DataFrame, merges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var vocab = bpeVocab(docs).localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.TextOps
+import graft.sources.TokenizerStore
+
+/** [[TokenizerStore]] — the persisted-tokenizer deployment shape:
+  * store-encode must equal in-query encode on the training corpus, and
+  * the dictionary-miss fold cascade must tokenize novel words exactly
+  * as training would have.
+  */
+class TokenizerStoreSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val corpus = Seq(
+    "the cat sat on the mat",
+    "The THE the batter better",
+    "aaa abab xaay ab ab ab",
+    "letter better setter, wetter!",
+    "12345 !!!")
+  private val merges = 6
+
+  private def df(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  private def rows(d: org.apache.spark.sql.DataFrame) =
+    d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("store encode equals in-query encode on the training corpus") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tokstore").toString
+    TokenizerStore.save(df(corpus), path, merges)
+    assert(rows(TokenizerStore.encodeWith(spark, path, df(corpus))) ===
+      rows(TextOps.bpeEncode(df(corpus), merges)))
+  }
+
+  test("dictionary misses replay the chain exactly like training") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tokstore").toString
+    TokenizerStore.save(df(corpus), path, merges)
+    // novel shard: 'thecat'/'batters'/'aaaa' unseen at train time
+    val shard = Seq("thecat batters aaaa", "the zzz")
+    // naive: apply the stored merges to each novel word's chars
+    val stored = TokenizerStore.readMerges(spark, path)
+    def naiveTok(w: String): Long = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      stored.foreach { case (lhs, rhs) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+            out += (lhs + rhs); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val expect = shard.zipWithIndex.map { case (t, i) =>
+      val ws = "[A-Za-z]+".r.findAllIn(t).map(_.toLowerCase).toSeq
+      val nSub = ws.map(naiveTok).sum
+      val micro =
+        math.floor(1e6 * nSub.toDouble / ws.length).toLong
+      (i.toLong, ws.length.toLong, nSub, micro)
+    }
+    val got = rows(TokenizerStore.encodeWith(spark, path, df(shard)))
+    assert(got === expect)
+  }
+
+  test("chain and dictionary agree on every trained word") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tokstore").toString
+    TokenizerStore.save(df(corpus), path, merges)
+    val dict = spark.read.parquet(s"$path/dict")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stored = TokenizerStore.readMerges(spark, path)
+    // re-encode each dict word through the miss path by hiding the
+    // dictionary: a one-word doc per word, empty store dict is not
+    // constructible, so assert via the naive chain instead
+    def naiveTok(w: String): Long = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      stored.foreach { case (lhs, rhs) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+            out += (lhs + rhs); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    dict.foreach { case (w, n) =>
+      assert(naiveTok(w) === n, s"chain/dict disagreement on '$w'")
+    }
+  }
+}
