@@ -68,6 +68,36 @@ object TokenizerStore {
       case (syms, (lhs, rhs)) => TextOps.bpeMergeFold(syms, lhs, rhs)
     }).cast("long")
 
+  /** Out-of-vocabulary drift of one shard against the stored
+    * dictionary — the retrain signal, mirroring [[VectorStore]]'s
+    * assignment-score drift: a rising miss fraction means the corpus
+    * has moved past the tokenizer's training vocabulary (new domains,
+    * new languages) and the merge table is mis-budgeting tokens.
+    */
+  final case class TokDrift(nWords: Long, oovWords: Long) {
+    def oovMicro: Long =
+      if (nWords == 0) 0L
+      else math.floor(1e6 * oovWords.toDouble / nWords).toLong
+    def needsRetrain(oovMicroMax: Long): Boolean = oovMicro > oovMicroMax
+  }
+
+  /** Measure a shard's [[TokDrift]] — one broadcast dictionary join,
+    * one global count pair; the shard never shuffles.
+    */
+  def auditShard(spark: SparkSession, path: String,
+                 docs: DataFrame): TokDrift = {
+    val dict = spark.read.parquet(dictDir(path))
+    val r = docs
+      .select(explode(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+"), lit(0))).as("w"))
+      .select(lower(col("w")).as("word"))
+      .join(broadcast(dict), Seq("word"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_sub").isNull, 1L).otherwise(0L)).as("oov"))
+      .head()
+    TokDrift(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Per-document census of `docs` under the STORED tokenizer — the
     * schema of [[TextOps.bpeEncode]] with zero training jobs.
     */

@@ -110,6 +110,18 @@ class BpeTrainSpec extends SparkSpec {
     assert(trained(texts, 4) === trained(texts, 4))
   }
 
+  test("training is partitioning-invariant (exact sums, total tie order)") {
+    val texts = Seq(
+      "the cat sat on the mat", "letter better setter",
+      "aaa abab xaay ab ab ab", "the bat sat, a cab")
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val a = TextOps.bpeTrain(base, 5).collect().map(_.toSeq).toSeq
+    val b = TextOps.bpeTrain(base.repartition(7), 5)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("encode census equals naive per-doc tokenization, wordless kept") {
     val texts = Seq(
       "the cat sat on the mat",

@@ -97,4 +97,20 @@ class TokenizerStoreSpec extends SparkSpec {
       assert(naiveTok(w) === n, s"chain/dict disagreement on '$w'")
     }
   }
+
+  test("shard OOV drift: zero on the training corpus, exact on novel") {
+    val path = java.nio.file.Files
+      .createTempDirectory("tokstore").toString
+    TokenizerStore.save(df(corpus), path, merges)
+    val onTrain = TokenizerStore.auditShard(spark, path, df(corpus))
+    assert(onTrain.oovWords === 0L)
+    assert(!onTrain.needsRetrain(0L))
+    // shard: 5 words, 3 unseen (thecat, batters, zzz; 'the' seen twice)
+    val drift = TokenizerStore.auditShard(spark, path,
+      df(Seq("thecat batters the", "the zzz")))
+    assert(drift.nWords === 5L)
+    assert(drift.oovWords === 3L)
+    assert(drift.oovMicro === 600000L)
+    assert(drift.needsRetrain(500000L) && !drift.needsRetrain(600000L))
+  }
 }
