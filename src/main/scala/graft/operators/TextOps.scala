@@ -980,12 +980,22 @@ object TextOps {
     */
   private[graft] def bpeMergeFold(syms: Column, lhs: String,
                                   rhs: String): Column =
+    bpeMergeFold(syms, lit(lhs), lit(rhs))
+
+  /** The fold with COLUMN operands — what lets a whole stored merge
+    * chain apply as ONE data-dependent `aggregate` over the chain array
+    * (constant expression depth however many merges were trained)
+    * instead of a merges-deep nest of folds. Semantics are identical to
+    * the literal form: lhs/rhs are just evaluated per row.
+    */
+  private[graft] def bpeMergeFold(syms: Column, lhs: Column,
+                                  rhs: Column): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(
         size(acc) > 0 &&
           element_at(acc, -1) === lhs && x === rhs,
         concat(slice(acc, lit(1), size(acc) - 1),
-          array(lit(lhs + rhs))))
+          array(concat(lhs, rhs))))
         .otherwise(concat(acc, array(x))))
 
   /** The fold as a vocabulary rewrite — a zero-shuffle projection
