@@ -38,9 +38,36 @@ object GramStore {
       .bucketBy(nBuckets, "h").sortBy("h")
       .saveAsTable(table)
 
+  /** Incremental append — the growth path every admission loop needs:
+    * an admitted shard's grams land in the SAME bucket layout (Spark
+    * rejects a mismatched `nBuckets`), so later audits and span joins
+    * keep running Exchange-free over the grown store, and a document
+    * admitted in batch N is visible to batch N+1's audit. Mirrors
+    * [[graft.streaming.CorpusAdmission.appendToStore]]'s fingerprint
+    * append; periodic per-bucket compaction is the same
+    * [[graft.streaming.Maintenance.compactBucketed]] story.
+    */
+  def append(newDocs: DataFrame, k: Int, table: String,
+             nBuckets: Int = 8): Unit =
+    TextOps.gramFirstPositions(newDocs, k)
+      .write.mode("append")
+      .bucketBy(nBuckets, "h").sortBy("h")
+      .saveAsTable(table)
+
   /** The stored relation, bucket metadata intact. */
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** The stored relation with crash-replay duplicates dropped — an
+    * at-least-once admission stream ([[graft.streaming]]) can append
+    * the same shard's grams twice, which would inflate document
+    * frequencies and shared-gram counts. Rows are identical on replay
+    * ((h, doc_id) determines the first position), and the dedup's
+    * grouping keys are a superset of the bucket key, so this costs no
+    * Exchange — the [[FingerprintStore.auditIncoming]] discipline.
+    */
+  private def loadDeduped(spark: SparkSession, table: String): DataFrame =
+    load(spark, table).dropDuplicates("h", "doc_id")
 
   /** Exact-substring span pairs against the persisted store: identical
     * output to [[TextOps.substringMatches]] on the same corpus/params
@@ -49,7 +76,7 @@ object GramStore {
     */
   def substringMatches(spark: SparkSession, table: String,
                        maxDf: Long): DataFrame =
-    TextOps.substringMatchesFrom(load(spark, table), maxDf)
+    TextOps.substringMatchesFrom(loadDeduped(spark, table), maxDf)
 
   /** Incremental-shard audit: which INCOMING documents (a new crawl
     * shard, ≪ the corpus) share which exact k-char spans with which
@@ -66,7 +93,7 @@ object GramStore {
                     newDocs: DataFrame, k: Int,
                     maxDf: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val store = load(spark, table)
+    val store = loadDeduped(spark, table)
     val keep = store.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     val inc = TextOps.gramFirstPositions(newDocs, k)

@@ -262,6 +262,57 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("gram store append: layout preserved, append+audit == rebuild+audit") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val (k, maxDf) = (32, 50L)
+    val corpusA = docs.filter(col("doc_id") < 400)
+    val shardB = docs.filter(col("doc_id") >= 400)
+    graft.sources.GramStore.save(corpusA, k, "gram_store_app")
+    graft.sources.GramStore.append(shardB, k, "gram_store_app")
+    graft.sources.GramStore.save(docs, k, "gram_store_reb")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def pairs(t: String) = graft.sources.GramStore
+        .substringMatches(spark, t, maxDf)
+      // a store grown by append answers the span query exactly as the
+      // same data saved in one shot...
+      assert(pairs("gram_store_app").collect().map(_.toSeq).toSet ===
+        pairs("gram_store_reb").collect().map(_.toSeq).toSet)
+      // ...and audits an incoming shard identically — grams appended in
+      // "batch N" (shardB) must reject a later copy
+      val copy = shardB.orderBy("doc_id").limit(1)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      def audit(t: String) = graft.sources.GramStore
+        .auditIncoming(spark, t, copy, k, maxDf)
+      val fromAppended = audit("gram_store_app").collect().map(_.toSeq)
+      assert(fromAppended.nonEmpty,
+        "batch-N append must be visible to the batch-N+1 audit")
+      assert(fromAppended.toSet ===
+        audit("gram_store_reb").collect().map(_.toSeq).toSet)
+      // the grown store still carries the bucket spec: audit plan has at
+      // most the one Exchange hashing the incoming shard
+      val plan = audit("gram_store_app")
+        .queryExecution.executedPlan.toString
+      val hExchanges = "Exchange hashpartitioning\\(h#".r
+        .findAllIn(plan).length
+      assert(hExchanges <= 1,
+        s"append must preserve the bucket layout:\n$plan")
+      // at-least-once replay: appending the same shard AGAIN must not
+      // change any audit decision (dedup + exact-row duplicates)
+      graft.sources.GramStore.append(shardB, k, "gram_store_app")
+      assert(audit("gram_store_app").collect().map(_.toSeq).toSet ===
+        fromAppended.toSet)
+      assert(pairs("gram_store_app").collect().map(_.toSeq).toSet ===
+        pairs("gram_store_reb").collect().map(_.toSeq).toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS gram_store_app")
+      spark.sql("DROP TABLE IF EXISTS gram_store_reb")
+    }
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
