@@ -628,12 +628,12 @@ object TextOps {
     * ([[graft.functions.GramFirstPos]]), map-side and free, so the
     * ~1-row-per-character raw gram stream never reaches a shuffle.
     */
-  private[graft] def gramFirstPositions(docs: DataFrame,
-                                        k: Int): DataFrame = {
+  private[graft] def gramFirstPositions(docs: DataFrame, k: Int,
+                                        mod: Long = SubMod): DataFrame = {
     val gfp = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.GramFirstPos(
         org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
-        k, SubMod))
+        k, mod))
     docs.select(col("doc_id"), explode(gfp).as("u"))
       .select(col("u.h").as("h"), col("doc_id"), col("u.pos").as("pos"))
   }
@@ -660,6 +660,57 @@ object TextOps {
       .join(g.select(col("h"), col("doc_id").as("d2"),
         col("pos").as("p2")), "h")
       .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_shared"),
+        min("p1").as("d1_pos"), min("p2").as("d2_pos"))
+  }
+
+  /** The PRODUCTION variant of [[substringMatches]]: every candidate
+    * gram pair is verified by an exact substring compare at the two
+    * reported positions before it may count toward a pair — the
+    * verification stage the hash-only contract's docs promise, closing
+    * the ~n²/2⁴⁶ per-bucket collision risk entirely (a deployment
+    * deciding what data to DELETE should not act on a hash match,
+    * however improbable).
+    *
+    * Scale shape: identical to the hash path up through the df-capped
+    * self-join; the verify stage then joins TEXTS onto the candidate
+    * gram stream — two doc_id-keyed hash joins whose stream side is
+    * bounded by true duplication plus collisions (the df cap already
+    * killed boilerplate), and whose corpus side Spark prunes to
+    * (doc_id, text). The substring compare itself is codegen'd
+    * (`Substring` + `EqualTo`), per candidate row, no shuffle beyond
+    * the joins. Verified-equals-hash on collision-free data and
+    * planted-collision rejection are both spec-pinned.
+    */
+  def substringMatchesVerified(docs: DataFrame, k: Int, maxDf: Long,
+                               mod: Long = SubMod): DataFrame =
+    substringMatchesVerifiedFrom(
+      gramFirstPositions(docs, k, mod).cache(), docs, k, maxDf)
+
+  /** [[substringMatchesVerified]] over an already-materialized gram
+    * relation — the [[graft.sources.GramStore]] deployment shape,
+    * where the store supplies (h, doc_id, pos) pre-bucketed and `docs`
+    * supplies the texts to verify against.
+    */
+  def substringMatchesVerifiedFrom(grams: DataFrame, docs: DataFrame,
+                                   k: Int, maxDf: Long): DataFrame = {
+    val keep = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val g = grams.join(keep, "h")
+    val cand = g
+      .select(col("h"), col("doc_id").as("d1"), col("pos").as("p1"))
+      .join(g.select(col("h"), col("doc_id").as("d2"),
+        col("pos").as("p2")), "h")
+      .filter(col("d1") < col("d2"))
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")),
+        "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")),
+        "d2")
+      .filter(substring(col("t1"), col("p1"), lit(k)) ===
+        substring(col("t2"), col("p2"), lit(k)))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("n_shared"),
         min("p1").as("d1_pos"), min("p2").as("d2_pos"))

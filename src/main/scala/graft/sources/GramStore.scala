@@ -78,6 +78,18 @@ object GramStore {
                        maxDf: Long): DataFrame =
     TextOps.substringMatchesFrom(loadDeduped(spark, table), maxDf)
 
+  /** The verified span query against the persisted store
+    * ([[TextOps.substringMatchesVerified]]'s production form): the
+    * store supplies the pre-bucketed gram relation, `docs` supplies
+    * the texts the exact substring compare reads — hash candidates
+    * that fail the compare never reach the output.
+    */
+  def substringMatchesVerified(spark: SparkSession, table: String,
+                               docs: DataFrame, k: Int,
+                               maxDf: Long): DataFrame =
+    TextOps.substringMatchesVerifiedFrom(loadDeduped(spark, table),
+      docs, k, maxDf)
+
   /** Incremental-shard audit: which INCOMING documents (a new crawl
     * shard, ≪ the corpus) share which exact k-char spans with which
     * STORED documents. The scale asymmetry mirrors

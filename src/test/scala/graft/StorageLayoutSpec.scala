@@ -217,6 +217,12 @@ class StorageLayoutSpec extends SparkSpec {
       assert(pairs.collect().map(_.toSeq).toSet ===
         inline.collect().map(_.toSeq).toSet)
       assert(pairs.count() > 0, "sf0.001 must contain shared spans")
+      // the verified production variant agrees too (sf0.001 grams are
+      // collision-free at mod 2^45, so verification changes nothing)
+      assert(graft.sources.GramStore.substringMatchesVerified(
+        spark, "gram_store_test", docs, k, maxDf)
+        .collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS gram_store_test")

@@ -398,6 +398,46 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.substringMatches(corpus, 32, 5L).count() === 10L)
   }
 
+  test("substringMatchesVerified: equals hash path; rejects collisions") {
+    // collision-free fixture: the verify stage must be invisible
+    val common = "the quick brown fox jumps over it"
+    val corpus = docs(
+      (1L, "AAAA" + common + " tail text here"),
+      (2L, "ZZ" + common + "+other ending text"),
+      (3L, "completely unrelated document body text"))
+    assert(TextOps.substringMatchesVerified(corpus, 32, 50L)
+      .collect().map(_.toSeq).toSet ===
+      TextOps.substringMatches(corpus, 32, 50L)
+        .collect().map(_.toSeq).toSet)
+
+    // planted collision: under mod=64 find two DIFFERENT 4-grams with
+    // the same rolling hash, embed them in docs sharing no 4-substring
+    val mod = 64L
+    val k = 4
+    def h(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c) % mod)
+    val grams = for {
+      a <- 'a' to 'j'; b <- 'a' to 'j'; c <- 'a' to 'j'; d <- 'a' to 'j'
+    } yield s"$a$b$c$d"
+    val (g1, g2) = grams.groupBy(h).values
+      .find(g => g.length >= 2 && g(0) != g(1))
+      .map(g => (g(0), g(1))).get
+    assert(h(g1) === h(g2) && g1 != g2)
+    val planted = docs((1L, "XXX" + g1), (2L, "YYY" + g2))
+    // no true shared 4-substring between the two docs
+    val subs = (s: String) => (0 to s.length - k).map(i =>
+      s.substring(i, i + k)).toSet
+    assert(subs("XXX" + g1).intersect(subs("YYY" + g2)).isEmpty)
+    // the hash-only path reports the colliding pair...
+    val hashed = TextOps.substringMatchesFrom(
+      TextOps.gramFirstPositions(planted, k, mod), maxDf = 50L)
+    assert(hashed.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set((1L, 2L)), "collision must fool the hash path")
+    // ...and the verify stage rejects it
+    assert(TextOps.substringMatchesVerified(planted, k, 50L, mod)
+      .count() === 0L)
+  }
+
   test("dupCoverage: interval union over matched grams, zeros elsewhere") {
     val common = "the quick brown fox jumps over a lazy dog again!" // 48
     assert(common.length === 48)
