@@ -949,8 +949,10 @@ object TextOps {
     * partitioned, so each shard sorts independently; at 100 TB you
     * raise nShards until a shard fits an executor's sort spill budget).
     */
-  def shuffleShard(docs: DataFrame, nShards: Int): DataFrame = {
-    val h = md5Long(concat(lit("shuf:"), col("doc_id").cast("string")))
+  def shuffleShard(docs: DataFrame, nShards: Int,
+                   salt: String = ""): DataFrame = {
+    val prefix = if (salt.isEmpty) "shuf:" else s"shuf:$salt:"
+    val h = md5Long(concat(lit(prefix), col("doc_id").cast("string")))
     val base = docs.select(col("doc_id"), h.as("h"),
       (h % nShards.toLong).as("shard"),
       size(tokens(col("text"))).cast("long").as("n_tok"))
@@ -960,6 +962,28 @@ object TextOps {
       row_number().over(w).cast("long").as("pos"),
       col("doc_id"), col("n_tok"))
   }
+
+  /** The [[shuffleShard]] DELIVERABLE: write the epoch's shard files.
+    * Each shard directory holds its documents in epoch order
+    * (pos-sorted), so a training loader streams `shard=i/` front to
+    * back and reads the deterministic permutation. Re-running with the
+    * same (corpus, salt) re-creates byte-identical shard files —
+    * the write is a pure function of its inputs (salted-md5 order,
+    * one hash-partition Exchange, per-shard sort, deterministic
+    * parquet encode) — and a new salt is an independent epoch
+    * permutation of the same document set (both spec-pinned).
+    *
+    * Scale shape: `repartition` on shard + `partitionBy` is the only
+    * data movement — exactly the one Exchange [[shuffleShard]]
+    * documents; at 100 TB you raise `nShards` until one shard fits an
+    * executor's sort budget, same dial as [[packSequences]].
+    */
+  def writeShards(docs: DataFrame, nShards: Int, salt: String,
+                  outDir: String): Unit =
+    shuffleShard(docs, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
   /** Vocabulary coverage — the tokenizer-prep census: build the top-V
     * vocabulary from the TRAIN split's token frequencies (count-desc,

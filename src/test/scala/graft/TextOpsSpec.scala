@@ -398,6 +398,51 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.substringMatches(corpus, 32, 5L).count() === 10L)
   }
 
+  test("writeShards: byte-identical re-write; new salt = new epoch") {
+    val d = docs((1L to 200L).map(i =>
+      (i, s"document number $i with some shared words and id$i")): _*)
+    val (o1, o2, o3) = (
+      java.nio.file.Files.createTempDirectory("shards1").toString,
+      java.nio.file.Files.createTempDirectory("shards2").toString,
+      java.nio.file.Files.createTempDirectory("shards3").toString)
+    TextOps.writeShards(d, 4, "epoch1", o1)
+    TextOps.writeShards(d, 4, "epoch1", o2)
+    TextOps.writeShards(d, 4, "epoch2", o3)
+    // per-shard content hash, filenames normalized away
+    def shardHashes(dir: String): Map[String, Seq[String]] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard="))
+        .map { sd =>
+          sd.getName -> sd.listFiles
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map { f =>
+              java.security.MessageDigest.getInstance("SHA-256")
+                .digest(java.nio.file.Files.readAllBytes(f.toPath))
+                .map("%02x".format(_)).mkString
+            }.toSeq
+        }.toMap
+    val h1 = shardHashes(o1)
+    assert(h1.keySet === Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    assert(h1 === shardHashes(o2),
+      "same (corpus, salt) must re-create byte-identical shard files")
+    assert(h1 !== shardHashes(o3),
+      "a new salt must produce a different epoch permutation")
+    // the new epoch is a permutation of the SAME documents...
+    def perm(dir: String): Map[Long, (Long, Long)] =
+      spark.read.parquet(dir).collect().map(r =>
+        r.getAs[Long]("doc_id") ->
+          // partition-dir column comes back as an inferred Integer
+          (r.getAs[Number]("shard").longValue, r.getAs[Long]("pos"))).toMap
+    val (p1, p3) = (perm(o1), perm(o3))
+    assert(p1.keySet === (1L to 200L).toSet)
+    assert(p3.keySet === p1.keySet)
+    assert(p1 !== p3, "epoch order must actually change")
+    // ...and each shard file IS the epoch order: pos is 1..n in file order
+    val inFile = spark.read.parquet(s"$o1/shard=0")
+      .collect().map(_.getAs[Long]("pos")).toSeq
+    assert(inFile === (1L to inFile.length).toSeq,
+      "shard files must be stored in epoch (pos) order")
+  }
+
   test("substringMatchesVerified: equals hash path; rejects collisions") {
     // collision-free fixture: the verify stage must be invisible
     val common = "the quick brown fox jumps over it"
