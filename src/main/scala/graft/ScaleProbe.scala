@@ -195,6 +195,79 @@ object ScaleProbe {
         s"pair counts exactly x$k)")
     }
 
+    // Duplicated-span coverage at k×. With the df cap scaled by k,
+    // the matched-position set SATURATES at 2×: every gram has
+    // df_k = k·df_1, so the df >= 2 lower bound is met by every gram
+    // once k >= 2 and the cap keeps exactly the df_1 <= maxDf grams —
+    // the matched set (hence the interval union) is then independent
+    // of k. Three invariants, all exact: (a) every replica reports the
+    // identical row as its base doc (coverage is a pure function of
+    // content); (b) 8× rows == 2× rows (saturation); (c) per base doc
+    // 2× >= 1× in matched grams and covered chars (more duplicates
+    // can only extend the matched set).
+    {
+      val subK = 32
+      val maxDf = 50L
+      val base = 10000000L
+      def cov(c: Int): Map[Long, (Long, Long, Long, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[Long, (Long, Long, Long, Long)] = Map.empty
+        time(s"dup_coverage_${c}x") {
+          out = TextOps.dupCoverage(d, subK, maxDf * c).collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val c1 = cov(1)
+      val c2 = cov(2)
+      val ck = cov(k)
+      ck.foreach { case (id, v) =>
+        require(v == c2(id % base),
+          s"replica/saturation identity broken for doc $id: " +
+            s"$v != ${c2(id % base)}")
+      }
+      val grew = c1.count { case (id, v) =>
+        c2(id)._2 > v._2 || c2(id)._3 > v._3 }
+      c1.foreach { case (id, v) =>
+        require(c2(id)._2 >= v._2 && c2(id)._3 >= v._3,
+          s"coverage must be monotone under duplication for doc $id")
+        require(c2(id)._1 == v._1, s"n_chars must not move for doc $id")
+      }
+      println(s"SCALE dup_coverage_invariance ok (saturates at 2x; " +
+        s"$grew/${c1.size} docs gain coverage from replication)")
+    }
+
+    // BPE encode census at k×: the merge sequence is replication-
+    // invariant (pinned above), so the learned vocabulary's symbol
+    // arrays — and therefore every document's (n_words, n_subtokens,
+    // ratio) row — are identical for every replica of a base doc.
+    {
+      val base = 10000000L
+      def census(c: Int): Map[Long, (Long, Long, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[Long, (Long, Long, Long)] = Map.empty
+        time(s"bpe_encode_${c}x") {
+          out = TextOps.bpeEncode(d, TextOps.BpeMerges).collect()
+            .map(r => r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val e1 = census(1)
+      val ek = census(k)
+      require(ek.size == e1.size * k, "census must keep every replica")
+      ek.foreach { case (id, v) =>
+        require(v == e1(id % base),
+          s"encode census replica identity broken for doc $id: " +
+            s"$v != ${e1(id % base)}")
+      }
+      println(s"SCALE bpe_encode_invariance ok (${e1.size} base docs, " +
+        s"every replica row identical at ${k}x)")
+    }
+
     // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
     // measured on the replicated corpus — the evidence that nProbe
     // trades recall for scan fraction beyond the tiny test SF. Recall
