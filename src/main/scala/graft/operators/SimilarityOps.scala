@@ -412,4 +412,54 @@ object SimilarityOps {
         micro(col("total") / (lit(nCentroids.toLong) * col("c.n_vecs")))
           .as("weight_micro"))
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    * in embedding space — cluster the corpus with the trained codebook,
+    * score cosine only WITHIN clusters, and drop every vector that has
+    * a lower-id same-cluster neighbor at or above `cosMicroMin`. The
+    * keep-lowest-id policy is the embedding-space twin of
+    * [[TextOps]]' exact-dedup "keep first" rule and is deliberately
+    * non-transitive: each vector's verdict depends only on its own
+    * qualifying neighbors, so verdicts are embarrassingly parallel (no
+    * connected-components pass on the verdict path — [[TextOps]] D7
+    * exists when cluster membership itself is wanted).
+    *
+    * Output: one row per vector — (vec_id, cluster, dup_cos_micro =
+    * max qualifying lower-id cosine or 0, kept 1/0).
+    *
+    * Scale shape: the k-means cluster is the blocking bucket, exactly
+    * the paper's construction — pair cost is Σ|cluster|², controlled by
+    * scaling nCentroids with corpus size so per-cluster population
+    * stays bounded (the paper runs ~100k clusters on LAION); at that
+    * regime the codebook moves out of literals into [[graft.sources
+    * .VectorStore]]'s cluster-partitioned layout and this join becomes
+    * partition-local. Assignment is the zero-shuffle literal-codebook
+    * projection; the within-cluster self-join is one (cluster)
+    * Exchange of vec_id+embedding; qualifying pairs collapse to a
+    * per-vector max BEFORE the verdict join, so its build side carries
+    * duplicates only — AQE broadcasts it when small and falls back to a
+    * 16-byte-per-row id shuffle when the dup rate makes it large (an
+    * explicit broadcast hint would be wrong at a 100 TB dup set).
+    */
+  def semDedup(emb: DataFrame, cents: Array[Array[Long]],
+               cosMicroMin: Long): DataFrame = {
+    val assigned = emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val dup = a.join(b, Seq("cluster"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d2").as("vec_id"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+      .filter(col("cos_micro") >= cosMicroMin)
+      .groupBy("vec_id").agg(max("cos_micro").as("dup_cos_micro"))
+    assigned.select("vec_id", "cluster")
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup_cos_micro"), lit(0L)).as("dup_cos_micro"),
+        when(col("dup_cos_micro").isNull, 1L).otherwise(0L).as("kept"))
+  }
 }

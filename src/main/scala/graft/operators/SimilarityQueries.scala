@@ -148,6 +148,22 @@ object SimilarityQueries {
     SimilarityOps.clusterMix(e, cents, NCentroids).orderBy("cluster")
   }
 
+  // within-cluster cosine >= 0.4 drops the higher id — above the 99th
+  // percentile of within-cluster pair cosines on the synthetic
+  // embeddings (max observed 0.47), so the verdict set is small but
+  // non-empty at every SF
+  val SemDedupCosMin = 400000L
+
+  /** SemDeDup verdicts under the same trained codebook as q_ann_ivf —
+    * per-vector keep/drop with the qualifying-neighbor cosine.
+    */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.semDedup(e, cents, SemDedupCosMin).orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -464,6 +480,40 @@ object SimilarityQueries {
        |FROM cm, tot ORDER BY cluster""".stripMargin
   }
 
+  /** SemDeDup oracle: the trained assignments, within-cluster pair
+    * cosines from position-joined elements (the q_embed_pairs
+    * machinery restricted to same-cid pairs), threshold-filtered max
+    * per higher id, left-joined back onto every vector.
+    */
+  private val semDedupOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |spr AS (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |scm AS (
+       |  SELECT p.d2 AS vec_id,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM spr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |),
+       |sdup AS (
+       |  SELECT vec_id, max(cos_micro) AS m FROM scm
+       |  WHERE cos_micro >= $SemDedupCosMin GROUP BY 1
+       |)
+       |SELECT a.vec_id, a.cid AS cluster,
+       |  CAST(COALESCE(d.m, 0) AS BIGINT) AS dup_cos_micro,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept
+       |FROM a$rounds a LEFT JOIN sdup d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -487,6 +537,7 @@ object SimilarityQueries {
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
     "q_cluster_mix"    -> (qClusterMix _),
+    "q_semdedup"       -> (qSemDedup _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -498,5 +549,6 @@ object SimilarityQueries {
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,
     "q_cluster_mix"    -> clusterMixOracle,
+    "q_semdedup"       -> semDedupOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

@@ -184,4 +184,50 @@ class SimilarityOpsSpec extends SparkSpec {
         s"share x weight should approximate 1/$nc, got $prod")
     }
   }
+
+  test("semDedup: cluster-blocked keep-lowest-id verdicts") {
+    // codebook c0 = [1,0], c1 = [0,1]; cluster 0 holds v0,v1,v2 and
+    // cluster 1 holds v3,v4. v2 duplicates v0 across the similarity
+    // bar; v1 is near v0 but below it; v4 duplicates v3 within c1.
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.9f, 0.436f), 0),  // cos vs v0 ~ 0.9
+      (2L, Seq(1f, 0f), 0),        // exact dup of v0
+      (3L, Seq(0f, 1f), 0),
+      (4L, Seq(0f, 1f), 0))        // exact dup of v3
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L))
+    val out = SimilarityOps.semDedup(e, cents, 950000L)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cluster"),
+        r.getAs[Long]("dup_cos_micro"), r.getAs[Long]("kept")))
+    assert(out.map(o => (o._1, o._2)).toSeq ===
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    // lowest id of each dup group survives; sub-threshold v1 survives
+    assert(out.map(o => o._1 -> o._4).toMap ===
+      Map(0L -> 1L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    assert(out(2)._3 === 1000000L, "v2 reports its qualifying cosine")
+    assert(out(1)._3 === 0L, "below-threshold neighbors never qualify")
+  }
+
+  test("semDedup verdicts are blind to cross-cluster duplicates") {
+    // v0 and v1 are identical but assigned to different clusters by a
+    // codebook that splits them — SemDeDup by construction only dedups
+    // within a cluster (the paper's recall/cost tradeoff)
+    val e = emb((0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0))
+    val split = Array(Array(1000L, 0L), Array(1000L, 0L))
+    // both score identically against both centroids; tie-break keeps
+    // them together -> same cluster -> v1 dropped
+    val same = SimilarityOps.semDedup(e, split, 900000L)
+      .orderBy("vec_id").collect().map(_.getAs[Long]("kept"))
+    assert(same.toSeq === Seq(1L, 0L))
+    val apart = Array(Array(1000L, 0L), Array(0L, 1000L))
+    // force v1 into cluster 1 by zeroing... identical vectors cannot be
+    // split by any codebook; instead verify with distinct vectors that
+    // near-dups landing in different clusters are both kept
+    val e2 = emb((0L, Seq(1f, 0.02f), 0), (1L, Seq(0.02f, 1f), 0))
+    val kept2 = SimilarityOps.semDedup(e2, apart, 0L)
+      .orderBy("vec_id").collect().map(_.getAs[Long]("kept"))
+    assert(kept2.toSeq === Seq(1L, 1L),
+      "different clusters are never compared even at threshold 0")
+  }
 }
