@@ -1271,6 +1271,106 @@ object TextOps {
         micro(col("rep_grams") / col("n_grams")).as("rep_micro"))
   }
 
+  /** Boilerplate n-gram census — the CCNet/RefinedWeb repeated-line
+    * filter re-expressed for a corpus without line structure: the `k`
+    * most document-frequent word n-grams ARE the corpus's boilerplate
+    * set (navigation chrome, cookie banners, license headers — whatever
+    * phrase repeats across documents rather than within one, the
+    * complement of [[repetitionStats]]' within-doc signal), and each
+    * document reports how much of its gram stream that set covers,
+    * with a keep verdict under `barMicro`.
+    *
+    * Output: (doc_id, n_grams, boiler_hits, boiler_micro, kept 1/0).
+    * Sub-n-token documents have zero grams, zero coverage, kept = 1.
+    *
+    * Scale shape: ONE corpus scan — the occurrence stream is cached and
+    * consumed twice (distinct-set census, hit count). The document-
+    * frequency census is one (gram) Exchange; the top-k cut is a
+    * bounded TakeOrdered with a deterministic (df desc, gram) order, and
+    * the k winners broadcast to the occurrence stream, so the hit count
+    * pays only its (doc_id) partial-agg Exchange. At 100 TB the census
+    * side would run over 60-bit gram hashes with strings resolved only
+    * for the k winners ([[ngramJaccardPairs]]' discipline); the string
+    * census here keeps the oracle exact.
+    */
+  def boilerplateStats(docs: DataFrame, n: Int, k: Int,
+                       barMicro: Long): DataFrame = {
+    val occ = parallelized(docs).select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("sh")).cache()
+    val topK = occ.distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh")).limit(k)
+      .select("sh")
+    val hits = occ.join(broadcast(topK), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("boiler_hits"))
+    val totals = docs.select(col("doc_id"),
+      greatest(size(tokens(col("text"))) - (n - 1), lit(0))
+        .cast("long").as("n_grams"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("boiler_hits"), lit(0L)).as("boiler_hits"))
+      .withColumn("boiler_micro",
+        when(col("n_grams") === 0L, 0L)
+          .otherwise(micro(col("boiler_hits") / col("n_grams"))))
+      .withColumn("kept",
+        when(col("boiler_micro") < barMicro, 1L).otherwise(0L))
+  }
+
+  /** Gopher-style quality rule battery (Rae et al., arXiv:2112.11446
+    * Table A1, the subset meaningful for a whitespace corpus): per-
+    * document hard filters with an explicit per-rule flag so a pipeline
+    * can audit WHICH rule rejected a document, not just that one did —
+    * the difference between a filter and a diagnosable filter. Rules:
+    * token count within [minTok, maxTok]; mean word length within
+    * [3, 10]; type-token ratio >= `ttrMinMicro`; most-frequent-token
+    * share <= `topMaxMicro` (the word-soup analogue of Gopher's
+    * duplicate-line share); at least `minStops` stopwords. `pass` is
+    * the conjunction.
+    *
+    * Scale shape: one token explode into a (doc_id, token) count, then
+    * a doc-keyed rollup — both aggregations partial-agg before their
+    * Exchange, and every downstream ratio is ONE double division of
+    * exact integer operands, micro-floored (the oracle mirrors each
+    * division verbatim). The text-level metrics (char count, stopword
+    * count) ride the same scan; no second corpus pass.
+    */
+  def qualityRules(docs: DataFrame, minTok: Long, maxTok: Long,
+                   ttrMinMicro: Long, topMaxMicro: Long,
+                   minStops: Long): DataFrame = {
+    val counts = parallelized(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_tok"))
+    val textside = docs.select(col("doc_id"),
+      length(regexp_replace(col("text"), lit(" "), lit("")))
+        .cast("long").as("n_chars"),
+      size(filter(tokens(col("text")),
+        t => t === "the" || t === "a")).cast("long").as("n_stops"))
+    counts.join(textside, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        micro(col("n_chars") / col("n_tokens")).as("mean_wlen_micro"),
+        micro(col("n_distinct") / col("n_tokens")).as("ttr_micro"),
+        micro(col("max_tok") / col("n_tokens")).as("top_share_micro"),
+        col("n_stops"))
+      .withColumn("r_len",
+        when(col("n_tokens").between(minTok, maxTok), 1L).otherwise(0L))
+      .withColumn("r_wlen",
+        when(col("mean_wlen_micro").between(3000000L, 10000000L), 1L)
+          .otherwise(0L))
+      .withColumn("r_ttr",
+        when(col("ttr_micro") >= ttrMinMicro, 1L).otherwise(0L))
+      .withColumn("r_top",
+        when(col("top_share_micro") <= topMaxMicro, 1L).otherwise(0L))
+      .withColumn("r_stop",
+        when(col("n_stops") >= minStops, 1L).otherwise(0L))
+      .withColumn("pass",
+        col("r_len") * col("r_wlen") * col("r_ttr") * col("r_top") *
+          col("r_stop"))
+  }
+
   /** Training-mix computation — the source-reweighting stage between
     * curation and packing: given target mixture percentages per source,
     * compute each source's sampling rate for the max-data-retention mix

@@ -655,6 +655,113 @@ object TextQueries {
        |  ${Hashing.microSql("rep_grams * 1.0 / n_grams")} AS rep_micro
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  val BoilerN = 2
+  val BoilerK = 20
+  val BoilerBarMicro = 50000L // drop docs with >= 5 % boilerplate grams
+
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.boilerplateStats(docs(spark, dir), BoilerN, BoilerK,
+      BoilerBarMicro).orderBy("doc_id")
+
+  /** Boilerplate oracle: bigrams with multiplicity for hit counting,
+    * DISTINCT per doc for the document-frequency census, the top-k cut
+    * on the same deterministic (df desc, gram) order.
+    */
+  private val boilerplateOracle =
+    s"""$tokCte,
+       |bgm AS (
+       |  SELECT doc_id,
+       |    list_aggregate(toks[i:i+${BoilerN - 1}], 'string_agg', ' ') AS sh
+       |  FROM tok,
+       |    unnest(range(1, greatest(len(toks) - ${BoilerN - 2}, 1))) AS r(i)
+       |),
+       |bdf AS (
+       |  SELECT sh, count(DISTINCT doc_id) AS df FROM bgm GROUP BY 1
+       |),
+       |btop AS (SELECT sh FROM bdf ORDER BY df DESC, sh LIMIT $BoilerK),
+       |bhit AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS boiler_hits
+       |  FROM bgm g JOIN btop t ON g.sh = t.sh GROUP BY 1
+       |),
+       |btot AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(toks) - ${BoilerN - 1}, 0) AS BIGINT)
+       |      AS n_grams
+       |  FROM tok
+       |),
+       |bstat AS (
+       |  SELECT t.doc_id, t.n_grams,
+       |    COALESCE(h.boiler_hits, 0) AS boiler_hits,
+       |    CASE WHEN t.n_grams = 0 THEN 0
+       |         ELSE ${Hashing.microSql(
+                  "COALESCE(h.boiler_hits, 0) * 1.0 / t.n_grams")} END
+       |      AS boiler_micro
+       |  FROM btot t LEFT JOIN bhit h ON t.doc_id = h.doc_id
+       |)
+       |SELECT doc_id, n_grams, boiler_hits, boiler_micro,
+       |  CAST(CASE WHEN boiler_micro < $BoilerBarMicro THEN 1 ELSE 0 END
+       |       AS BIGINT) AS kept
+       |FROM bstat ORDER BY doc_id""".stripMargin
+
+  val QrMinTok = 20L
+  val QrMaxTok = 1000L
+  val QrTtrMin = 300000L  // type-token ratio >= 0.30 (~p1 of the corpus)
+  val QrTopMax = 200000L  // top-token share <= 0.20 (~p95)
+  val QrMinStops = 1L
+
+  def qQualityRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityRules(docs(spark, dir), QrMinTok, QrMaxTok,
+      QrTtrMin, QrTopMax, QrMinStops).orderBy("doc_id")
+
+  /** Quality-rule oracle: the same token census and the same five rule
+    * predicates over micro-floored single divisions.
+    */
+  private val qualityRulesOracle =
+    s"""$tokCte,
+       |qfl AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |qtc AS (SELECT doc_id, t, count(*) AS c FROM qfl GROUP BY 1, 2),
+       |qagg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(max(c) AS BIGINT) AS max_tok
+       |  FROM qtc GROUP BY 1
+       |),
+       |qtx AS (
+       |  SELECT doc_id,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |    CAST($stopFilter AS BIGINT) AS n_stops
+       |  FROM tok
+       |),
+       |qm AS (
+       |  SELECT a.doc_id, a.n_tokens,
+       |    ${Hashing.microSql("x.n_chars * 1.0 / a.n_tokens")}
+       |      AS mean_wlen_micro,
+       |    ${Hashing.microSql("a.n_distinct * 1.0 / a.n_tokens")}
+       |      AS ttr_micro,
+       |    ${Hashing.microSql("a.max_tok * 1.0 / a.n_tokens")}
+       |      AS top_share_micro,
+       |    x.n_stops
+       |  FROM qagg a JOIN qtx x ON a.doc_id = x.doc_id
+       |),
+       |qr AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN n_tokens BETWEEN $QrMinTok AND $QrMaxTok
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       |    CAST(CASE WHEN mean_wlen_micro BETWEEN 3000000 AND 10000000
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+       |    CAST(CASE WHEN ttr_micro >= $QrTtrMin THEN 1 ELSE 0 END
+       |         AS BIGINT) AS r_ttr,
+       |    CAST(CASE WHEN top_share_micro <= $QrTopMax THEN 1 ELSE 0 END
+       |         AS BIGINT) AS r_top,
+       |    CAST(CASE WHEN n_stops >= $QrMinStops THEN 1 ELSE 0 END
+       |         AS BIGINT) AS r_stop
+       |  FROM qm
+       |)
+       |SELECT doc_id, n_tokens, mean_wlen_micro, ttr_micro,
+       |  top_share_micro, n_stops, r_len, r_wlen, r_ttr, r_top, r_stop,
+       |  CAST(r_len * r_wlen * r_ttr * r_top * r_stop AS BIGINT) AS pass
+       |FROM qr ORDER BY doc_id""".stripMargin
+
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
     TextOps.sampleSplit(Tables.documents(spark, dir), TrainPct, ValPct)
       .orderBy("lang", "split")
@@ -1039,6 +1146,8 @@ object TextQueries {
     "q_lm_score"       -> (qLmScore _),
     "q_mix"            -> (qMix _),
     "q_repetition"     -> (qRepetition _),
+    "q_boilerplate"    -> (qBoilerplate _),
+    "q_quality_rules"  -> (qQualityRules _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -1069,6 +1178,8 @@ object TextQueries {
     "q_lm_score"       -> lmScoreOracle,
     "q_mix"            -> mixOracle,
     "q_repetition"     -> repetitionOracle,
+    "q_boilerplate"    -> boilerplateOracle,
+    "q_quality_rules"  -> qualityRulesOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

@@ -140,6 +140,69 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("boilerplateStats: top-df grams flagged, verdict under the bar") {
+    // "subscribe now" appears in docs 1-3 (df 3) — the only bigram with
+    // df > 1, so a k=1 cut selects exactly it
+    val out = TextOps.boilerplateStats(docs(
+        (1L, "subscribe now for great original articles"),
+        (2L, "another piece subscribe now subscribe now"), // 2 of 5 grams
+        (3L, "subscribe now"),                             // 1 hit / 1
+        (4L, "wholly original text with no banner"),
+        (5L, "tiny")) // 1 token: zero bigrams
+      , n = 2, k = 1, barMicro = 400000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((5L, 1L, 200000L, 1L)))
+    assert(out(2L) === ((5L, 2L, 400000L, 0L)), "at the bar drops")
+    assert(out(3L) === ((1L, 1L, 1000000L, 0L)))
+    assert(out(4L) === ((5L, 0L, 0L, 1L)))
+    assert(out(5L) === ((0L, 0L, 0L, 1L)), "gramless docs are kept")
+  }
+
+  test("qualityRules: each rule flags independently, pass is the and") {
+    val out = TextOps.qualityRules(docs(
+        // 6 tokens (< minTok 8) but otherwise clean
+        (1L, "the quick brown fox jumps over"),
+        // 8 distinct tokens incl. stopword, balanced -> passes all
+        (2L, "the quick brown fox jumps over every fence"),
+        // 8 tokens, no stopword -> r_stop fails
+        (3L, "quick brown fox jumps over every fence post"),
+        // "spam" 6/8 = 0.75 top share and ttr 3/8 < 0.5 -> r_top+r_ttr
+        (4L, "the spam spam spam spam spam spam ok"))
+      , minTok = 8L, maxTok = 100L, ttrMinMicro = 500000L,
+        topMaxMicro = 500000L, minStops = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("r_len"), r.getAs[Long]("r_wlen"),
+          r.getAs[Long]("r_ttr"), r.getAs[Long]("r_top"),
+          r.getAs[Long]("r_stop"), r.getAs[Long]("pass"))).toMap
+    assert(out(1L) === ((0L, 1L, 1L, 1L, 1L, 0L)))
+    assert(out(2L) === ((1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(3L) === ((1L, 1L, 1L, 1L, 0L, 0L)))
+    assert(out(4L) === ((1L, 1L, 0L, 0L, 1L, 0L)))
+  }
+
+  test("qualityRules metrics are exact micro floors") {
+    val out = TextOps.qualityRules(docs(
+        (1L, "aa bb aa")), 1L, 10L, 0L, 1000000L, 0L).collect().head
+    assert(out.getAs[Long]("n_tokens") === 3L)
+    // 6 chars / 3 tokens = 2.0; ttr 2/3; top share 2/3
+    assert(out.getAs[Long]("mean_wlen_micro") === 2000000L)
+    assert(out.getAs[Long]("ttr_micro") === 666666L)
+    assert(out.getAs[Long]("top_share_micro") === 666666L)
+    assert(out.getAs[Long]("r_wlen") === 0L, "mean length 2 < 3 fails")
+  }
+
+  test("boilerplateStats top-k cut is deterministic under df ties") {
+    // every bigram has df 1 -> the cut falls entirely on the gram
+    // string order; k=2 must select the two lexicographically smallest
+    val out = TextOps.boilerplateStats(docs(
+        (1L, "bb cc"), (2L, "aa dd"), (3L, "cc aa")),
+        n = 2, k = 2, barMicro = 2000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // grams: "bb cc", "aa dd", "cc aa" -> sorted: "aa dd", "bb cc"
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("trainingMix: bottleneck kept whole, others downsampled to mixture") {
     // webby: 60 tokens, target 20%; bookish: 20 tokens, target 80%.
     // bookish is the bottleneck (scarcest vs target) -> rate 1;
