@@ -268,6 +268,74 @@ object ScaleProbe {
         s"every replica row identical at ${k}x)")
     }
 
+    // Boilerplate census at k×: replication scales every gram's
+    // document frequency by exactly k, so the (df desc, gram) top-k
+    // order — ties included — is invariant, and every replica doc
+    // reports its base doc's exact row.
+    {
+      val base = 10000000L
+      def boiler(c: Int): Map[Long, (Long, Long, Long, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[Long, (Long, Long, Long, Long)] = Map.empty
+        time(s"boilerplate_${c}x") {
+          out = TextOps.boilerplateStats(d, 2, 20, 50000L).collect()
+            .map(r => r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .toMap
+          out.size.toLong
+        }
+        out
+      }
+      val b1 = boiler(1)
+      val bk = boiler(k)
+      require(bk.size == b1.size * k, "census must keep every replica")
+      bk.foreach { case (id, v) =>
+        require(v == b1(id % base),
+          s"boilerplate replica identity broken for doc $id: " +
+            s"$v != ${b1(id % base)}")
+      }
+      println(s"SCALE boilerplate_invariance ok (${b1.size} base docs, " +
+        s"top-20 df cut stable under ${k}x replication)")
+    }
+
+    // SemDeDup at k×, under ONE codebook trained on the base corpus
+    // (the production shape — the codebook is a persisted artifact
+    // reused as the corpus grows, not retrained per query; retraining
+    // on the replicated corpus would reseed the md5 init and change
+    // the clustering itself). Identical vectors then assign to
+    // identical clusters, and replica ids sit ABOVE every base id, so
+    // (a) each base vector keeps its 1× verdict exactly (its lower-id
+    // neighbor set is unchanged), and (b) every replica beyond the
+    // base copy has a cos-1.0 lower-id twin in its own cluster and is
+    // dropped — the kept set at k× IS the kept set at 1×.
+    {
+      val base = 10000000L
+      val cents = SimilarityOps.kmeansCodebook(emb, 10,
+        SimilarityOps.KmRounds)
+      def sem(c: Int): Map[Long, Long] = {
+        val e = replicate(emb, "vec_id", c)
+        var out: Map[Long, Long] = Map.empty
+        time(s"semdedup_${c}x") {
+          out = SimilarityOps.semDedup(e, cents, 400000L).collect()
+            .map(r => r.getLong(0) -> r.getAs[Long]("kept")).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val s1 = sem(1)
+      val sk = sem(k)
+      require(sk.size == s1.size * k, "one verdict per replica")
+      val kept1 = s1.filter(_._2 == 1L).keySet
+      val keptK = sk.filter(_._2 == 1L).keySet
+      require(keptK == kept1,
+        s"kept set must be replication-invariant: ${keptK.size} at " +
+          s"${k}x vs ${kept1.size} at 1x")
+      require(sk.keys.filter(_ >= base).forall(id => sk(id) == 0L),
+        "every non-base replica is a cos-1.0 dup and must drop")
+      println(s"SCALE semdedup_invariance ok (${kept1.size} of " +
+        s"${s1.size} base vectors kept; kept set identical at ${k}x)")
+    }
+
     // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
     // measured on the replicated corpus — the evidence that nProbe
     // trades recall for scan fraction beyond the tiny test SF. Recall
