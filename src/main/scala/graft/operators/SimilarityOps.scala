@@ -413,6 +413,78 @@ object SimilarityOps {
           .as("weight_micro"))
   }
 
+  // ------------------------------------------------------- product quant
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): one
+    * deterministic integer k-means codebook per contiguous `subLen`-dim
+    * subspace — the [[kmeansCodebook]] trainer applied to each slice,
+    * so the whole PQ trajectory inherits its exactness (md5 seeding,
+    * milli components, truncated-integer-mean refresh). The seed DRAW
+    * is vec_id-hash based and therefore shared by all subspaces; the
+    * seed VALUES differ per slice.
+    */
+  def pqCodebooks(emb: DataFrame, nSub: Int, subLen: Int, nCents: Int,
+                  rounds: Int = KmRounds): Seq[Array[Array[Long]]] =
+    (0 until nSub).map { j =>
+      kmeansCodebook(emb.select(col("vec_id"),
+        slice(col("embedding"), j * subLen + 1, subLen).as("embedding")),
+        nCents, rounds)
+    }
+
+  /** PQ encoding: each vector compressed to `nSub` sub-centroid ids —
+    * for the production 4-bit-to-8-bit code widths this is the 64×-256×
+    * memory cut that fits a 100 TB vector corpus in serving RAM. Zero
+    * shuffles: one [[graft.functions.KmeansAssign]] kernel projection
+    * per subspace, all riding a single scan.
+    */
+  def pqEncode(emb: DataFrame, books: Seq[Array[Array[Long]]],
+               subLen: Int): DataFrame = {
+    val codes = books.zipWithIndex.map { case (cents, j) =>
+      assignCluster(slice(col("embedding"), j * subLen + 1, subLen),
+        cents).as(s"code$j")
+    }
+    emb.select(col("vec_id") +: codes: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * UNcompressed — its milli vector forms one `nSub × nCents` lookup
+    * table of exact integer sub-dots against the codebooks (driver-side:
+    * the table is tiny and data-independent given the artifacts), and
+    * each database vector's score is the sum of `nSub` table lookups on
+    * its codes. Every quantity is an exact integer, so the oracle
+    * agrees bit-for-bit with no micro-flooring anywhere.
+    *
+    * Scale shape: scoring is a zero-shuffle projection over the CODES
+    * (the compressed relation — the raw vectors are never read past
+    * encoding), the LUT rides as `nSub` tiny literal arrays, and the
+    * ranking plans as TakeOrderedAndProject. At production scale the
+    * codes relation is the persisted artifact ([[graft.sources
+    * .VectorStore]]'s layout with codes beside cluster ids) and an IVF
+    * probe prunes it before ADC — compose with [[annIvfWith]].
+    */
+  def pqAdcTopK(emb: DataFrame, books: Seq[Array[Array[Long]]],
+                subLen: Int, queryId: Long, k: Int): DataFrame = {
+    val qm = emb.filter(col("vec_id") === queryId)
+      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
+    val luts = books.zipWithIndex.map { case (cents, j) =>
+      cents.map { c =>
+        var dot = 0L
+        var i = 0
+        val n = math.min(subLen, c.length)
+        while (i < n) { dot += qm(j * subLen + i) * c(i); i += 1 }
+        dot
+      }.toSeq
+    }
+    val adc = luts.zipWithIndex.map { case (lut, j) =>
+      element_at(typedLit(lut), col(s"code$j").cast("int") + 1)
+    }.reduce(_ + _)
+    pqEncode(emb.filter(col("vec_id") =!= queryId), books, subLen)
+      .withColumn("adc", adc)
+      .select("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     * in embedding space — cluster the corpus with the trained codebook,
     * score cosine only WITHIN clusters, and drop every vector that has

@@ -154,6 +154,31 @@ object SimilarityQueries {
   // non-empty at every SF
   val SemDedupCosMin = 400000L
 
+  val PqSub = 4      // subspaces
+  val PqSubLen = 16  // dims per subspace (4 × 16 = the 64-dim vectors)
+  val PqCents = 8    // sub-centroids per subspace → 3-bit codes
+  val PqK = 10
+
+  private def pqBooks(e: org.apache.spark.sql.DataFrame) =
+    SimilarityOps.pqCodebooks(e, PqSub, PqSubLen, PqCents,
+      SimilarityOps.KmRounds)
+
+  /** PQ code assignment for the whole corpus — the compressed ANN
+    * artifact (vec_id, code0..code3).
+    */
+  def qPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    SimilarityOps.pqEncode(e, pqBooks(e), PqSubLen).orderBy("vec_id")
+  }
+
+  /** ADC top-k for the q_ann_topk query vector over PQ codes — exact
+    * integer scores end to end.
+    */
+  def qPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    SimilarityOps.pqAdcTopK(e, pqBooks(e), PqSubLen, QueryVecId, PqK)
+  }
+
   /** SemDeDup verdicts under the same trained codebook as q_ann_ivf —
     * per-vector keep/drop with the qualifying-neighbor cosine.
     */
@@ -218,63 +243,76 @@ object SimilarityQueries {
     * scores) and `a<rounds>` (final assignments) available to the query
     * tail; shared by the q_ann_ivf and q_ann_recall oracles.
     */
-  private def kmeansTrainedCtes: String = {
+  /** One k-means training chain, name-prefixed so several instances can
+    * compose in one statement (the PQ oracle runs four, one per
+    * subspace); `iLo..iHi` restricts the element positions the chain
+    * trains on (the identity range for the full-vector codebook).
+    * Callers prepend `evCte` themselves; the chain's final relations
+    * are `<pfx>sc<rounds>` (scores) and `<pfx>a<rounds>` (assignments).
+    */
+  private def kmeansCtesFor(pfx: String, nCent: Int,
+                            iLo: Int, iHi: Int): String = {
     val rounds = SimilarityOps.KmRounds
     def scoreCtes(r: Int): String =
-      s"""s$r AS (SELECT cid, sum(S * S) AS ssq FROM c$r GROUP BY 1),
-         |d$r AS (
+      s"""${pfx}s$r AS (SELECT cid, sum(S * S) AS ssq FROM ${pfx}c$r GROUP BY 1),
+         |${pfx}d$r AS (
          |  SELECT m.vec_id, c.cid, sum(m.vm * c.S) AS dot
-         |  FROM mv m JOIN c$r c ON m.i = c.i GROUP BY 1, 2
+         |  FROM ${pfx}mv m JOIN ${pfx}c$r c ON m.i = c.i GROUP BY 1, 2
          |),
-         |sc$r AS (
+         |${pfx}sc$r AS (
          |  SELECT d.vec_id, d.cid,
          |    CASE WHEN s.ssq = 0 THEN ${SimilarityOps.KmScoreEmpty}
          |         ELSE ${Hashing.microSql(
                       "d.dot / sqrt(CAST(s.ssq AS DOUBLE))")} END AS score
-         |  FROM d$r d JOIN s$r s USING (cid)
+         |  FROM ${pfx}d$r d JOIN ${pfx}s$r s USING (cid)
          |),
-         |a$r AS (
+         |${pfx}a$r AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id
          |                         ORDER BY score DESC, cid) AS rn
-         |    FROM sc$r
+         |    FROM ${pfx}sc$r
          |  ) WHERE rn = 1
          |)""".stripMargin
     // centroid refresh = truncated integer MEAN: DuckDB's BIGINT `//`
     // truncates toward zero exactly like the Java long division on the
     // Spark driver, so the trajectories stay bit-identical
     def refineCtes(r: Int): String =
-      s"""n${r + 1} AS (
+      s"""${pfx}n${r + 1} AS (
          |  SELECT a.cid, m.i,
          |         CAST(sum(m.vm) // count(*) AS BIGINT) AS S
-         |  FROM a$r a JOIN mv m USING (vec_id) GROUP BY 1, 2
+         |  FROM ${pfx}a$r a JOIN ${pfx}mv m USING (vec_id) GROUP BY 1, 2
          |),
-         |c${r + 1} AS (
+         |${pfx}c${r + 1} AS (
          |  SELECT c.cid, c.i, COALESCE(n.S, c.S) AS S
-         |  FROM c$r c LEFT JOIN n${r + 1} n
+         |  FROM ${pfx}c$r c LEFT JOIN ${pfx}n${r + 1} n
          |    ON c.cid = n.cid AND c.i = n.i
          |)""".stripMargin
     val training = (0 until rounds)
       .map(r => s"${scoreCtes(r)},\n${refineCtes(r)}").mkString(",\n")
-    s"""$evCte,
-       |mv AS (
-       |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i FROM ev
+    s"""${pfx}mv AS (
+       |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i
+       |  FROM ev WHERE i BETWEEN $iLo AND $iHi
        |),
-       |sd AS (
+       |${pfx}sd AS (
        |  SELECT vec_id,
        |    ${Hashing.md5LongSql("'km:' || CAST(vec_id AS VARCHAR)")} AS h
        |  FROM (SELECT DISTINCT vec_id FROM embeddings)
        |),
-       |seeds AS (
+       |${pfx}seeds AS (
        |  SELECT vec_id,
        |    CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid
-       |  FROM sd ORDER BY h, vec_id LIMIT $NCentroids
+       |  FROM ${pfx}sd ORDER BY h, vec_id LIMIT $nCent
        |),
-       |c0 AS (SELECT s.cid, m.i, m.vm AS S FROM seeds s JOIN mv m USING (vec_id)),
+       |${pfx}c0 AS (SELECT s.cid, m.i, m.vm AS S
+       |       FROM ${pfx}seeds s JOIN ${pfx}mv m USING (vec_id)),
        |$training,
        |${scoreCtes(rounds)}""".stripMargin
   }
+
+  private def kmeansTrainedCtes: String =
+    s"""$evCte,
+       |${kmeansCtesFor("", NCentroids, 1, 1 << 20)}""".stripMargin
 
   private val annIvfOracle: String = {
     val rounds = SimilarityOps.KmRounds
@@ -514,6 +552,57 @@ object SimilarityQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** The four per-subspace training chains of the PQ oracle. */
+  private def pqChains: String =
+    (0 until PqSub).map(j => kmeansCtesFor(s"p${j}_", PqCents,
+      j * PqSubLen + 1, (j + 1) * PqSubLen)).mkString(",\n")
+
+  private val pqEncodeOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val joins = (1 until PqSub)
+      .map(j => s"JOIN p${j}_a$r x$j ON x0.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val cols = (0 until PqSub).map(j => s"x$j.cid AS code$j")
+      .mkString(", ")
+    s"""$evCte,
+       |$pqChains
+       |SELECT x0.vec_id, $cols
+       |FROM p0_a$r x0
+       |$joins
+       |ORDER BY x0.vec_id""".stripMargin
+  }
+
+  /** ADC oracle: the query's milli vector against the final centroids
+    * forms one exact-integer LUT per subspace; each vector's adc is the
+    * sum of its four code lookups — no flooring anywhere.
+    */
+  private val pqAdcOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val luts = (0 until PqSub).map(j =>
+      s"""p${j}_lut AS (
+         |  SELECT c.cid, CAST(sum(m.vm * c.S) AS BIGINT) AS dot
+         |  FROM p${j}_c$r c JOIN p${j}_mv m
+         |    ON m.i = c.i AND m.vec_id = $QueryVecId
+         |  GROUP BY 1
+         |)""".stripMargin).mkString(",\n")
+    val joins = (1 until PqSub)
+      .map(j => s"JOIN p${j}_a$r x$j ON x0.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until PqSub)
+      .map(j => s"JOIN p${j}_lut l$j ON l$j.cid = x$j.cid")
+      .mkString("\n")
+    val adc = (0 until PqSub).map(j => s"l$j.dot").mkString(" + ")
+    s"""$evCte,
+       |$pqChains,
+       |$luts
+       |SELECT x0.vec_id, CAST($adc AS BIGINT) AS adc
+       |FROM p0_a$r x0
+       |$joins
+       |$lutJoins
+       |WHERE x0.vec_id <> $QueryVecId
+       |ORDER BY adc DESC, x0.vec_id LIMIT $PqK""".stripMargin
+  }
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -538,6 +627,8 @@ object SimilarityQueries {
     "q_ann_recall"     -> (qAnnRecall _),
     "q_cluster_mix"    -> (qClusterMix _),
     "q_semdedup"       -> (qSemDedup _),
+    "q_pq_encode"      -> (qPqEncode _),
+    "q_pq_adc"         -> (qPqAdc _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -550,5 +641,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> annRecallOracle,
     "q_cluster_mix"    -> clusterMixOracle,
     "q_semdedup"       -> semDedupOracle,
+    "q_pq_encode"      -> pqEncodeOracle,
+    "q_pq_adc"         -> pqAdcOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

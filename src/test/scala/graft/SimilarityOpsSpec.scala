@@ -185,6 +185,48 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqEncode assigns per-subspace codes; pqAdcTopK ranks by exact " +
+    "integer table lookups") {
+    // 4 dims, 2 subspaces of 2; books in milli units
+    val e = emb(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),     // query
+      (1L, Seq(1f, 0f, 0f, 1f), 0),     // exact copy -> top adc
+      (2L, Seq(0f, 1f, 0f, 1f), 0),     // half match
+      (3L, Seq(0f, 1f, 1f, 0f), 0))     // anti-aligned per subspace
+    val books = Seq(
+      Array(Array(1000L, 0L), Array(0L, 1000L)),  // sub 0: c0=[1,0], c1=[0,1]
+      Array(Array(0L, 1000L), Array(1000L, 0L)))  // sub 1: c0=[0,1], c1=[1,0]
+    val codes = SimilarityOps.pqEncode(e, books, 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("code0"),
+        r.getAs[Long]("code1")))
+    assert(codes.toSeq === Seq((0L, 0L, 0L), (1L, 0L, 0L),
+      (2L, 1L, 0L), (3L, 1L, 1L)))
+    // query milli vec = [1000,0,0,1000]; LUTs: sub0 c0 dot = 1e6,
+    // c1 = 0; sub1 c0 = 1e6, c1 = 0 -> adc: v1 = 2e6, v2 = 1e6, v3 = 0
+    val top = SimilarityOps.pqAdcTopK(e, books, 2, 0L, 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("adc")))
+    assert(top.toSeq === Seq((1L, 2000000L), (2L, 1000000L), (3L, 0L)))
+  }
+
+  test("pqCodebooks trains independent subspace books that round-trip " +
+    "through encode") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = SimilarityOps.pqCodebooks(e, 4, 16, 8)
+    assert(books.length === 4)
+    assert(books.forall(_.length === 8))
+    assert(books.forall(_.forall(_.length === 16)))
+    // books differ across subspaces (values, not just ids)
+    assert(books.map(_.head.toSeq).distinct.length === 4)
+    val codes = SimilarityOps.pqEncode(e, books, 16)
+    assert(codes.columns.toSeq ===
+      Seq("vec_id", "code0", "code1", "code2", "code3"))
+    val rng = codes.agg(
+      org.apache.spark.sql.functions.min("code0"),
+      org.apache.spark.sql.functions.max("code3")).head()
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 7L)
+  }
+
   test("semDedup: cluster-blocked keep-lowest-id verdicts") {
     // codebook c0 = [1,0], c1 = [0,1]; cluster 0 holds v0,v1,v2 and
     // cluster 1 holds v3,v4. v2 duplicates v0 across the similarity
