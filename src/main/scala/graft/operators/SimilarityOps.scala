@@ -485,6 +485,105 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batch ADC: top-k for a SET of queries in one plan. The per-query
+    * lookup tables become one tiny (query, subspace, code) → dot
+    * relation (Q × nSub × nCents exact-integer rows, built on the
+    * driver from the collected query milli vectors — bounded like
+    * [[annRecall]]'s probe table) BROADCAST to the exploded code
+    * stream; each (query, vector) score is the 4-row sum the join
+    * produces. One (query_id, vec_id) partial-agg Exchange, then a
+    * per-query ranking window over n rows — the codes relation is
+    * scanned once for all queries.
+    */
+  def pqAdcBatch(emb: DataFrame, books: Seq[Array[Array[Long]]],
+                 subLen: Int, queryMax: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nSub = books.length
+    val qms = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+      .collect()
+    val lutRows = for {
+      r <- qms.toSeq
+      qm = r.getSeq[Long](1).toArray
+      (cents, j) <- books.zipWithIndex
+      (c, cid) <- cents.zipWithIndex
+    } yield {
+      var dot = 0L
+      var i = 0
+      val n = math.min(subLen, c.length)
+      while (i < n) { dot += qm(j * subLen + i) * c(i); i += 1 }
+      (r.getLong(0), j, cid.toLong, dot)
+    }
+    val lut = lutRows.toDF("query_id", "s", "code", "dot")
+    val cs = pqEncode(emb, books, subLen)
+      .select(col("vec_id"), posexplode(
+        array((0 until nSub).map(j => col(s"code$j")): _*))
+        .as(Seq("s", "code")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id"))
+    cs.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("dot").as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc")
+  }
+
+  /** Exact top-k truth per batch query under the MILLI-INTEGER DOT —
+    * the metric ADC actually approximates (q·recon(v) ≈ q·v over milli
+    * components), so the recall it anchors measures QUANTIZATION error
+    * alone, not a dot-vs-cosine metric mismatch. Every score is an
+    * exact integer on both engines.
+    */
+  private def pqTruth(emb: DataFrame, queryMax: Long,
+                      k: Int): DataFrame = {
+    val queries = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"),
+        milliVec(col("embedding")).as("qm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(milliVec(col("embedding")), col("qm"),
+          (x, y) => x * y), lit(0L), (acc, v) => acc + v).as("dot"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id")
+  }
+
+  /** Measured PQ recall@k against exact milli-dot truth, per sub-
+    * codebook size — the compression/accuracy dial of the PQ index as
+    * an oracled curve, the [[annRecall]] discipline applied to
+    * quantization error instead of probe width (the budget axis is
+    * code bits = nSub·log₂(nCents), so recall must rise with nCents).
+    * Truth is computed ONCE and cached; each budget point trains its
+    * own codebooks and ranks by its own exact-integer ADC.
+    */
+  def pqRecallCurve(emb: DataFrame, nCentsList: Seq[Int], nSub: Int,
+                    subLen: Int, queryMax: Long, k: Int): DataFrame = {
+    val truth = pqTruth(emb, queryMax, k).cache()
+    val queries = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"))
+    val perBudget = nCentsList.map { nc =>
+      val books = pqCodebooks(emb, nSub, subLen, nc)
+      val ann = pqAdcBatch(emb, books, subLen, queryMax, k)
+        .select("query_id", "vec_id")
+      val hits = ann.join(truth, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(nc.toLong).as("n_cents"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          micro(coalesce(col("hits"), lit(0L)) / lit(k))
+            .as("recall_micro"))
+    }
+    perBudget.reduce(_ unionByName _)
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
     * in embedding space — cluster the corpus with the trained codebook,
     * score cosine only WITHIN clusters, and drop every vector that has

@@ -179,6 +179,20 @@ object SimilarityQueries {
     SimilarityOps.pqAdcTopK(e, pqBooks(e), PqSubLen, QueryVecId, PqK)
   }
 
+  /** Sub-codebook sizes the recall curve is measured at — code budgets
+    * of 8, 12, and 20 bits per vector (nSub · log₂ nCents).
+    */
+  val PqRecallCents: Seq[Int] = Seq(4, 8, 32)
+
+  /** Measured PQ recall@k vs exact-cosine truth, per code budget —
+    * quantization error as an oracled curve.
+    */
+  def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    SimilarityOps.pqRecallCurve(e, PqRecallCents, PqSub, PqSubLen,
+      BatchQueryMax, PqK).orderBy("n_cents", "query_id")
+  }
+
   /** SemDeDup verdicts under the same trained codebook as q_ann_ivf —
     * per-vector keep/drop with the qualifying-neighbor cosine.
     */
@@ -552,10 +566,14 @@ object SimilarityQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
-  /** The four per-subspace training chains of the PQ oracle. */
-  private def pqChains: String =
-    (0 until PqSub).map(j => kmeansCtesFor(s"p${j}_", PqCents,
+  /** The four per-subspace training chains of the PQ oracle, under a
+    * name tag so several code budgets can coexist in one statement.
+    */
+  private def pqChainsFor(tag: String, nCents: Int): String =
+    (0 until PqSub).map(j => kmeansCtesFor(s"${tag}p${j}_", nCents,
       j * PqSubLen + 1, (j + 1) * PqSubLen)).mkString(",\n")
+
+  private def pqChains: String = pqChainsFor("", PqCents)
 
   private val pqEncodeOracle: String = {
     val r = SimilarityOps.KmRounds
@@ -603,6 +621,100 @@ object SimilarityQueries {
        |ORDER BY adc DESC, x0.vec_id LIMIT $PqK""".stripMargin
   }
 
+  /** Per-budget ADC ranking CTEs: exact-integer per-query LUTs over
+    * the tagged chains' final centroids, ADC per (query, vector), rank
+    * per query. Ends with `<tag>annp` (query_id, vec_id) rows.
+    */
+  private def pqAnnCtesFor(tag: String): String = {
+    val r = SimilarityOps.KmRounds
+    val luts = (0 until PqSub).map(j =>
+      s"""${tag}p${j}_lq AS (
+         |  SELECT m.vec_id AS query_id, c.cid,
+         |    CAST(sum(m.vm * c.S) AS BIGINT) AS dot
+         |  FROM ${tag}p${j}_c$r c JOIN ${tag}p${j}_mv m
+         |    ON m.i = c.i AND m.vec_id < $BatchQueryMax
+         |  GROUP BY 1, 2
+         |)""".stripMargin).mkString(",\n")
+    val codeJoins = (1 until PqSub)
+      .map(j => s"JOIN ${tag}p${j}_a$r x$j ON x0.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until PqSub).map(j =>
+      s"JOIN ${tag}p${j}_lq l$j ON l$j.cid = x$j.cid" +
+        (if (j == 0) "" else " AND l" + j + ".query_id = l0.query_id"))
+      .mkString("\n")
+    val adc = (0 until PqSub).map(j => s"l$j.dot").mkString(" + ")
+    s"""$luts,
+       |${tag}adcr AS (
+       |  SELECT l0.query_id, x0.vec_id, CAST($adc AS BIGINT) AS adc
+       |  FROM ${tag}p0_a$r x0
+       |$codeJoins
+       |$lutJoins
+       |  WHERE x0.vec_id <> l0.query_id
+       |),
+       |${tag}annp AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, vec_id) AS rn
+       |    FROM ${tag}adcr
+       |  ) WHERE rn <= $PqK
+       |)""".stripMargin
+  }
+
+  /** PQ recall-curve oracle: one tagged chain set + ADC ranking per
+    * code budget, exact-cosine truth ranked once, per-budget overlap
+    * zero-filled over the query grid and unioned.
+    */
+  private val pqRecallOracle: String = {
+    val budgets = PqRecallCents.map(nc => (nc, s"b${nc}_"))
+    val chains = budgets
+      .map { case (nc, tag) => pqChainsFor(tag, nc) }.mkString(",\n")
+    val anns = budgets.map { case (_, tag) => pqAnnCtesFor(tag) }
+      .mkString(",\n")
+    val branches = budgets.map { case (nc, tag) =>
+      s"""SELECT CAST($nc AS BIGINT) AS n_cents, g.query_id,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  ${Hashing.microSql(s"COALESCE(h.hits, 0) * 1.0 / $PqK")}
+         |    AS recall_micro
+         |FROM pgrid g
+         |LEFT JOIN (
+         |  SELECT a.query_id, count(*) AS hits
+         |  FROM ${tag}annp a JOIN ptr t
+         |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |  GROUP BY 1
+         |) h ON g.query_id = h.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$evCte,
+       |$chains,
+       |$anns,
+       |ptmv AS (
+       |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i
+       |  FROM ev
+       |),
+       |ptd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    CAST(sum(e.vm * q.vm) AS BIGINT) AS dot
+       |  FROM ptmv e JOIN ptmv q
+       |    ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |ptr AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY dot DESC, vec_id) AS rn
+       |    FROM ptd
+       |  ) WHERE rn <= $PqK
+       |),
+       |pgrid AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |  WHERE vec_id < $BatchQueryMax
+       |)
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY n_cents, query_id""".stripMargin
+  }
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -629,6 +741,7 @@ object SimilarityQueries {
     "q_semdedup"       -> (qSemDedup _),
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
+    "q_pq_recall"      -> (qPqRecall _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -643,5 +756,6 @@ object SimilarityQueries {
     "q_semdedup"       -> semDedupOracle,
     "q_pq_encode"      -> pqEncodeOracle,
     "q_pq_adc"         -> pqAdcOracle,
+    "q_pq_recall"      -> pqRecallOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

@@ -227,6 +227,52 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 7L)
   }
 
+  test("pqAdcBatch matches per-query pqAdcTopK") {
+    val e = emb(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),
+      (1L, Seq(0f, 1f, 1f, 0f), 0),
+      (2L, Seq(1f, 0f, 1f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 1f), 0))
+    val books = Seq(
+      Array(Array(1000L, 0L), Array(0L, 1000L)),
+      Array(Array(0L, 1000L), Array(1000L, 0L)))
+    val batch = SimilarityOps.pqAdcBatch(e, books, 2, 2L, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getLong(2),
+        r.getAs[Long]("adc"))).sortBy(t => (t._1, t._2))
+    val single = Seq(0L, 1L).flatMap { q =>
+      SimilarityOps.pqAdcTopK(e, books, 2, q, 3).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (q, (i + 1).toLong, r.getLong(0), r.getAs[Long]("adc"))
+        }
+    }
+    assert(batch.toSeq === single)
+  }
+
+  test("pqRecallCurve: recall rises with the code budget, exact at " +
+    "point-perfect codebooks") {
+    // 4 vectors, all subvectors distinct -> nCents=4 trains every
+    // point into its own centroid (seeds are the points; integer-mean
+    // refresh is a fixpoint), ADC becomes the exact milli dot, and
+    // recall anchors at 1.0; nCents=1 collapses every code to one
+    // centroid -> ADC is constant and top-k degenerates to id order
+    val e = emb(
+      (0L, Seq(1f, 0f, 0f, 1f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.2f, 0.8f), 0),
+      (2L, Seq(0f, 1f, 1f, 0f), 0),
+      (3L, Seq(0.1f, 0.9f, 0.8f, 0.2f), 0))
+    val out = SimilarityOps.pqRecallCurve(e, Seq(1, 4), 2, 2, 2L, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("n_cents"), r.getLong(1),
+        r.getAs[Long]("recall_micro")))
+    val byBudget = out.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(out.filter(_._1 == 4L).forall(_._3 === 1000000L),
+      s"point-perfect codebook must reach exact recall: ${out.toSeq}")
+    assert(byBudget(1L) <= byBudget(4L),
+      s"recall must not fall as the budget grows: ${out.toSeq}")
+  }
+
   test("semDedup: cluster-blocked keep-lowest-id verdicts") {
     // codebook c0 = [1,0], c1 = [0,1]; cluster 0 holds v0,v1,v2 and
     // cluster 1 holds v3,v4. v2 duplicates v0 across the similarity
