@@ -185,7 +185,7 @@ object SimilarityOps {
     * integer (ssq ≤ dims·S²) exactly representable in doubles through
     * the score division even at 100× this corpus.
     */
-  private def milliVec(emb: Column): Column =
+  private[graft] def milliVec(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * lit(1000.0)))
 
   /** Nearest-centroid id under a codebook — a zero-shuffle per-row
@@ -462,11 +462,13 @@ object SimilarityOps {
     * .VectorStore]]'s layout with codes beside cluster ids) and an IVF
     * probe prunes it before ADC — compose with [[annIvfWith]].
     */
-  def pqAdcTopK(emb: DataFrame, books: Seq[Array[Array[Long]]],
-                subLen: Int, queryId: Long, k: Int): DataFrame = {
-    val qm = emb.filter(col("vec_id") === queryId)
-      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
-    val luts = books.zipWithIndex.map { case (cents, j) =>
+  /** Per-subspace exact-integer lookup tables for one milli query
+    * vector: luts(j)(c) = q_j · books(j)(c).
+    */
+  private[graft] def pqLuts(qm: Array[Long],
+                            books: Seq[Array[Array[Long]]],
+                            subLen: Int): Seq[Seq[Long]] =
+    books.zipWithIndex.map { case (cents, j) =>
       cents.map { c =>
         var dot = 0L
         var i = 0
@@ -475,11 +477,21 @@ object SimilarityOps {
         dot
       }.toSeq
     }
-    val adc = luts.zipWithIndex.map { case (lut, j) =>
+
+  /** The ADC score column over `code0..codeN` — a sum of tiny
+    * literal-array lookups.
+    */
+  private[graft] def pqAdcColumn(luts: Seq[Seq[Long]]): Column =
+    luts.zipWithIndex.map { case (lut, j) =>
       element_at(typedLit(lut), col(s"code$j").cast("int") + 1)
     }.reduce(_ + _)
+
+  def pqAdcTopK(emb: DataFrame, books: Seq[Array[Array[Long]]],
+                subLen: Int, queryId: Long, k: Int): DataFrame = {
+    val qm = emb.filter(col("vec_id") === queryId)
+      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
     pqEncode(emb.filter(col("vec_id") =!= queryId), books, subLen)
-      .withColumn("adc", adc)
+      .withColumn("adc", pqAdcColumn(pqLuts(qm, books, subLen)))
       .select("vec_id", "adc")
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(k)

@@ -223,4 +223,81 @@ object VectorStore {
   def annTopK(spark: SparkSession, path: String, queryId: Long,
               nProbe: Int, k: Int): DataFrame =
     annTopK(spark, path, readMeta(spark, path).cents, queryId, nProbe, k)
+
+  // ------------------------------------------------------------- PQ leg
+
+  private def pqCodesDir(path: String) = s"$path/_pqcodes"
+  private def pqBooksDir(path: String) = s"$path/_pqbooks"
+
+  /** Attach a PQ leg to an existing store: train per-subspace codebooks
+    * over the stored vectors ([[SimilarityOps.pqCodebooks]]), write
+    * every vector's codes partitioned by the SAME cluster id as the
+    * main layout — so an IVF probe prunes the compressed relation
+    * exactly as it prunes the raw one — plus the books sidecar
+    * (sub, cid, i, comp). The codes relation is the serving artifact: at
+    * production code widths it is 2-3 orders of magnitude smaller than
+    * the vectors, the working set that actually fits in RAM.
+    */
+  def savePq(spark: SparkSession, path: String, nSub: Int, subLen: Int,
+             nCents: Int): Seq[Array[Array[Long]]] = {
+    val store = spark.read.parquet(path)
+      .select("vec_id", "embedding", "cluster")
+    val books = SimilarityOps.pqCodebooks(
+      store.select("vec_id", "embedding"), nSub, subLen, nCents)
+    SimilarityOps.pqEncode(store, books, subLen)
+      .join(store.select("vec_id", "cluster"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(pqCodesDir(path))
+    val rows = for {
+      (cents, s) <- books.zipWithIndex
+      (c, cid) <- cents.toSeq.zipWithIndex
+      (v, i) <- c.toSeq.zipWithIndex
+    } yield (s, cid.toLong, i, v)
+    import spark.implicits._
+    rows.toDF("sub", "cid", "i", "comp").coalesce(1)
+      .write.mode("overwrite").parquet(pqBooksDir(path))
+    books
+  }
+
+  /** The stored PQ codebooks, subspace-major. */
+  def readPqBooks(spark: SparkSession, path: String)
+      : Seq[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(pqBooksDir(path))
+      .orderBy("sub", "cid", "i").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (_, cs) =>
+        cs.sortBy(_.getInt(2)).map(_.getLong(3))
+      }.toArray
+    }
+  }
+
+  /** IVF-pruned ADC top-k — the 100 TB serving path: probe clusters
+    * are chosen from the IVF codebook on the driver, the scan touches
+    * ONLY the probed partitions of the CODES relation (the raw vectors
+    * are read for the one query row, nothing else), and ranking is the
+    * exact-integer ADC of [[SimilarityOps.pqAdcTopK]]. With nProbe =
+    * nCentroids the result equals the in-query ADC over the same books
+    * (spec-pinned); narrower probes trade recall for scan bytes on
+    * BOTH axes at once — partition pruning and 16-byte code rows.
+    */
+  def pqAdcTopK(spark: SparkSession, path: String, queryId: Long,
+                nProbe: Int, k: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    val books = readPqBooks(spark, path)
+    val subLen = books.head.head.length
+    val store = spark.read.parquet(path)
+    val probed = SimilarityOps.probeClusters(store, meta.cents, queryId,
+      nProbe)
+    val qm = store.filter(col("vec_id") === queryId)
+      .select(SimilarityOps.milliVec(col("embedding")))
+      .head().getSeq[Long](0).toArray
+    spark.read.parquet(pqCodesDir(path))
+      .filter(col("cluster").isin(probed.map(_.toLong): _*))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("adc", SimilarityOps.pqAdcColumn(
+        SimilarityOps.pqLuts(qm, books, subLen)))
+      .select("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -45,6 +45,42 @@ class VectorStoreSpec extends SparkSpec {
     assert(topk(grown) === topk(rebuilt))
   }
 
+  test("PQ leg: stored codes serve ADC; full probe == in-query ADC; " +
+    "probes prune the codes partitions") {
+    val path = Files.createTempDirectory("graft-vs-pq").toString
+    VectorStore.save(emb, path, 10)
+    val books = VectorStore.savePq(spark, path, nSub = 4, subLen = 16,
+      nCents = 8)
+    // round-trip: the sidecar reproduces the trained books exactly
+    assert(VectorStore.readPqBooks(spark, path)
+      .map(_.toSeq.map(_.toSeq)) === books.map(_.toSeq.map(_.toSeq)))
+    // full probe: store-served ADC == the in-query formulation
+    val served = VectorStore.pqAdcTopK(spark, path, queryId = 0L,
+      nProbe = 10, k = 10)
+    val inline = SimilarityOps.pqAdcTopK(emb, books, 16, 0L, 10)
+    assert(served.collect().map(_.toSeq).toSeq ===
+      inline.collect().map(_.toSeq).toSeq)
+    // narrow probe: the cluster filter must prune the CODES partitions
+    val probed = VectorStore.pqAdcTopK(spark, path, queryId = 0L,
+      nProbe = 3, k = 10)
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+      .find(s => s.contains("_pqcodes") && s.contains("PartitionFilters"))
+    assert(scan.exists(_.contains("cluster")),
+      s"probe filter must prune code partitions:\n${scan.getOrElse("")}")
+    // and its answers come only from probed clusters: every returned
+    // vec_id's stored cluster is in the probe set
+    val probeSet = SimilarityOps.probeClusters(
+      spark.read.parquet(path), VectorStore.readMeta(spark, path).cents,
+      0L, 3).map(_.toLong).toSet
+    val clusters = spark.read.parquet(path)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Number]("cluster").longValue).toMap
+    probed.collect().map(_.getLong(0))
+      .foreach(v => assert(probeSet.contains(clusters(v))))
+  }
+
   test("drift fires on distribution shift, stays quiet on more of the same") {
     val path = Files.createTempDirectory("graft-vs-drift").toString
     VectorStore.save(emb.filter(col("vec_id") % 2 === 0), path, 10)
