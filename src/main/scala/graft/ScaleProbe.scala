@@ -336,6 +336,54 @@ object ScaleProbe {
         s"${s1.size} base vectors kept; kept set identical at ${k}x)")
     }
 
+    // PQ at k× under ONE codebook set trained on the base corpus (the
+    // artifact-reuse shape, as with SemDeDup above): codes are a pure
+    // function of the embedding, so every replica encodes identically
+    // to its base; and because ADC ties break to the lower vec_id, the
+    // k×-corpus ADC top-k is exactly the 1× ranking with each winner
+    // expanded into its replica run — top-10 at 8× must be 8 copies of
+    // the 1× winner then 2 of the runner-up.
+    {
+      val base = 10000000L
+      val books = SimilarityOps.pqCodebooks(emb, 4, 16, 8)
+      def codes(c: Int): Map[Long, Seq[Long]] = {
+        val e = replicate(emb, "vec_id", c)
+        var out: Map[Long, Seq[Long]] = Map.empty
+        time(s"pq_encode_${c}x") {
+          out = SimilarityOps.pqEncode(e, books, 16).collect()
+            .map(r => r.getLong(0) -> (1 to 4).map(r.getLong(_))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val c1 = codes(1)
+      val ck = codes(k)
+      require(ck.size == c1.size * k, "one code row per replica")
+      ck.foreach { case (id, v) =>
+        require(v == c1(id % base),
+          s"pq code replica identity broken for vec $id")
+      }
+      val top1 = SimilarityOps.pqAdcTopK(emb, books, 16, 0L, 10)
+        .collect().map(_.getLong(0))
+      // replicas of the QUERY would trivially top the list (exact
+      // copies); drop them so the probe measures db-side ranking
+      val ek = replicate(emb, "vec_id", k)
+        .filter(col("vec_id") % base =!= 0L || col("vec_id") === 0L)
+      var topk: Array[Long] = Array.empty
+      time(s"pq_adc_${k}x") {
+        topk = SimilarityOps.pqAdcTopK(ek, books, 16, 0L, 10)
+          .collect().map(_.getLong(0))
+        topk.length.toLong
+      }
+      val expected = top1.flatMap(id =>
+        (0 until k).map(r => id + r * base)).take(10)
+      require(topk.toSeq == expected.toSeq,
+        s"ADC ranking must expand 1x winners into replica runs: " +
+          s"${topk.toSeq} vs ${expected.toSeq}")
+      println(s"SCALE pq_invariance ok (codes replica-identical, " +
+        s"ADC top-10 at ${k}x = 1x winners expanded)")
+    }
+
     // IVF accuracy/cost dial at k×: mean recall@10 per probe width,
     // measured on the replicated corpus — the evidence that nProbe
     // trades recall for scan fraction beyond the tiny test SF. Recall

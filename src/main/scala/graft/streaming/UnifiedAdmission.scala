@@ -6,11 +6,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.sources.{FingerprintStore, GramStore, VectorStore}
 
-/** Unified streaming admission — the three independently-specced
-  * admission signals composed into ONE `foreachBatch` gate with one
-  * quarantine schema, the shape a production ingestion loop actually
-  * runs: every micro-batch of (doc_id, text, embedding) rows is
-  * audited against
+/** Unified streaming admission — the independently-specced admission
+  * signals composed into ONE `foreachBatch` gate with one quarantine
+  * schema, the shape a production ingestion loop actually runs: every
+  * micro-batch of (doc_id, text, embedding) rows is audited against
   *
   *  - the winnowing-fingerprint store (near-duplicate text,
   *    [[FingerprintStore.auditIncoming]] — signal `winnow`, score =
@@ -21,6 +20,10 @@ import graft.sources.{FingerprintStore, GramStore, VectorStore}
   *  - the cluster-partitioned vector store (embedding cosine,
   *    [[VectorAdmission.auditBatch]] — signal `vector`, score =
   *    micro-cosine against the best stored match),
+  *  - the document's OWN statistics (the Gopher-style rule battery,
+  *    [[graft.operators.TextOps.qualityRules]] — signal `quality`,
+  *    matched_id = −1, score = bitmask of the failed rules; off by
+  *    default, see [[Config]]),
   *
   * and a document flagged by ANY signal is quarantined — one row PER
   * FIRING SIGNAL, `(doc_id, signal, matched_id, score)`, so the
@@ -45,14 +48,22 @@ import graft.sources.{FingerprintStore, GramStore, VectorStore}
   */
 object UnifiedAdmission {
 
-  /** Thresholds for the three signals — one value object so the gate's
-    * policy travels as data.
+  /** Thresholds for the four signals — one value object so the gate's
+    * policy travels as data. The quality bars default to permissive
+    * values that never fire (min counts 0, ratio bars at the domain
+    * edges): quality is an INTRINSIC signal — rejecting a document by
+    * its own statistics is a policy decision, so the caller opts in by
+    * setting real bars (e.g. [[graft.operators.TextQueries]]'s
+    * measured-quantile constants).
     */
   final case class Config(
       winnowK: Int = 8, winnowW: Int = 4, winnowMaxDf: Long = 1000L,
       winnowRatioMicroMin: Long = 500000L,
       gramK: Int = 32, gramMaxDf: Long = 50L, gramMinShared: Long = 1L,
-      cosMicroMin: Long = 900000L)
+      cosMicroMin: Long = 900000L,
+      qMinTok: Long = 0L, qMaxTok: Long = Long.MaxValue,
+      qTtrMinMicro: Long = 0L, qTopMaxMicro: Long = 1000000L,
+      qMinStops: Long = 0L)
 
   /** Every (doc, firing signal) row for one already-deduplicated
     * micro-batch — the union of the three audits in the unified
@@ -79,7 +90,21 @@ object UnifiedAdmission {
     val vector = vecQuar
       .select(col("vec_id").as("doc_id"), lit("vector").as("signal"),
         col("stored_vec").as("matched_id"), col("cos_micro").as("score"))
-    winnow.unionByName(gram).unionByName(vector)
+    // intrinsic quality: no matched document (matched_id = -1); the
+    // score is a bitmask of the FAILED rules (1 len, 2 wlen, 4 ttr,
+    // 8 top-share, 16 stopwords) so the quarantine row says WHY
+    val quality = graft.operators.TextOps.qualityRules(texts,
+        cfg.qMinTok, cfg.qMaxTok, cfg.qTtrMinMicro, cfg.qTopMaxMicro,
+        cfg.qMinStops)
+      .filter(col("pass") === 0L)
+      .select(col("doc_id"), lit("quality").as("signal"),
+        lit(-1L).as("matched_id"),
+        ((lit(1L) - col("r_len")) +
+          (lit(1L) - col("r_wlen")) * 2 +
+          (lit(1L) - col("r_ttr")) * 4 +
+          (lit(1L) - col("r_top")) * 8 +
+          (lit(1L) - col("r_stop")) * 16).as("score"))
+    winnow.unionByName(gram).unionByName(vector).unionByName(quality)
   }
 
   /** One micro-batch through the unified decision. Returns

@@ -148,4 +148,53 @@ class UnifiedAdmissionSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $gramTable")
     }
   }
+
+  test("quality signal quarantines intrinsically bad docs with a rule " +
+    "bitmask; permissive defaults never fire") {
+    val fpTable = "uni_fp_q"
+    val gramTable = "uni_gram_q"
+    val vecPath = Files.createTempDirectory("graft-uni-vecq").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    VectorStore.save(emb, vecPath, 10)
+    val seed = Seq((1L, "seed text long enough to populate the gram " +
+      "store with thirty-two character spans")).toDF("doc_id", "text")
+    FingerprintStore.save(seed, 8, 4, 80, 10, fpTable)
+    GramStore.save(seed, 32, gramTable)
+    try {
+      // duplicate signals silenced (bars above their score ceilings) —
+      // only quality can fire
+      val qCfg = UnifiedAdmission.Config(
+        winnowRatioMicroMin = 1000001L, gramMinShared = Long.MaxValue,
+        cosMicroMin = 1000001L,
+        qMinTok = 8L, qMaxTok = 1000L, qTtrMinMicro = 300000L,
+        qTopMaxMicro = 500000L, qMinStops = 1L)
+      val vec = Array.fill(64)(0.1f)
+      val batch = Seq(
+        (7100L, "the quick brown fox jumps over every lazy fence post",
+          vec),
+        (7101L, "spam spam spam spam", vec))
+        .toDF("doc_id", "text", "embedding")
+      val (admitted, quarantined) = UnifiedAdmission.admitBatch(spark,
+        batch, fpTable, gramTable, vecPath, qCfg)
+      assert(admitted.select("doc_id").collect().map(_.getLong(0))
+        .toSet === Set(7100L))
+      val quar = quarantined.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("signal"),
+          r.getAs[Long]("matched_id"), r.getAs[Long]("score")))
+      // 4 tokens (<8: bit 1), ttr 1/4 (bit 4), top share 4/4 (bit 8),
+      // zero stopwords (bit 16); mean word length 4 passes -> 29
+      assert(quar.toSeq === Seq((7101L, "quality", -1L, 29L)))
+
+      // the same batch under default (permissive) quality bars sails
+      // through — quality is opt-in
+      val (admAll, quarNone) = UnifiedAdmission.admitBatch(spark, batch,
+        fpTable, gramTable, vecPath, UnifiedAdmission.Config(
+          winnowRatioMicroMin = 1000001L,
+          gramMinShared = Long.MaxValue, cosMicroMin = 1000001L))
+      assert(admAll.count() === 2L && quarNone.isEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $fpTable")
+      spark.sql(s"DROP TABLE IF EXISTS $gramTable")
+    }
+  }
 }
