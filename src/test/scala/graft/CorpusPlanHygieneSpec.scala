@@ -30,6 +30,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_integrity",      // broadcast one-row expected-totals relation
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
+    "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
     "q_range_join",     // pure range join on a broadcast bucket dim
     "q_tfidf",          // broadcast one-row corpus doc count N
     "q_topk_per_label") // broadcast single query vector
