@@ -1371,6 +1371,58 @@ object TextOps {
           col("r_stop"))
   }
 
+  /** Temperature-based source mixing at α = ½ — the multilingual
+    * sampling rule (q_i ∝ p_i^α) in its most common setting, as a
+    * keep-all-of-the-smallest downsampling plan: with α = ½ the rate
+    * algebra collapses to rate_i = √(t_min / t_i) (the corpus total
+    * cancels), so every rate is ONE double division of exact integer
+    * token totals through ONE correctly-rounded sqrt, micro-floored —
+    * bit-identical on both engines. Generic α would need `pow`, whose
+    * rounding is not pinned down cross-engine; α = ½ is exactly the
+    * case that oracles (and the one overwhelmingly used).
+    * [[trainingMix]] hits explicit target percentages; temperatureMix
+    * DERIVES the targets from the observed distribution.
+    *
+    * Output: (source, n_docs, tokens, rate_micro, kept_tokens,
+    * eff_share_micro) — kept = ⌊tokens·rate⌋ in micro units, effective
+    * share over the kept totals.
+    *
+    * Scale shape: one (source, token-partial) Exchange; everything
+    * after runs on the mixture-sized census packed into a single row
+    * (collect_list over source-count rows — bounded), t_min and the
+    * kept total derived with folds, rows exploded back out — ONE
+    * linear plan, no self-join of the census (the V9 discipline).
+    * The ⌊t·rate_micro⌋ product stays under 2⁵³ for any per-source
+    * total below ~9·10¹⁵ tokens, so the double conversion both
+    * engines make before the final division is exact.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = parallelized(docs)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+    def rateMicro(t: Column, tmin: Column): Column =
+      micro(sqrt(tmin / t))
+    def keptOf(t: Column, tmin: Column): Column =
+      floor(t * rateMicro(t, tmin) / lit(1000000.0)).cast("long")
+    counts
+      .agg(collect_list(struct(col("source"), col("n_docs"),
+        col("tokens"))).as("cs"))
+      .select(aggregate(col("cs"), lit(Long.MaxValue),
+        (a, x) => least(a, x.getField("tokens"))).as("tmin"), col("cs"))
+      .select(col("tmin"),
+        aggregate(col("cs"), lit(0L),
+          (a, x) => a + keptOf(x.getField("tokens"), col("tmin")))
+          .as("total_kept"),
+        explode(col("cs")).as("c"))
+      .select(col("c.source").as("source"), col("c.n_docs").as("n_docs"),
+        col("c.tokens").as("tokens"),
+        rateMicro(col("c.tokens"), col("tmin")).as("rate_micro"),
+        keptOf(col("c.tokens"), col("tmin")).as("kept_tokens"),
+        micro(keptOf(col("c.tokens"), col("tmin")) / col("total_kept"))
+          .as("eff_share_micro"))
+  }
+
   /** Training-mix computation — the source-reweighting stage between
     * curation and packing: given target mixture percentages per source,
     * compute each source's sampling rate for the max-data-retention mix

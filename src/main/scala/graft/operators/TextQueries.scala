@@ -628,6 +628,35 @@ object TextQueries {
        |FROM r ORDER BY source""".stripMargin
   }
 
+  def qTempMix(spark: SparkSession, dir: String): DataFrame =
+    TextOps.temperatureMix(Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")).orderBy("source")
+
+  private val tempMixOracle =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |mn AS (SELECT min(tokens) AS tmin FROM per),
+       |r AS (
+       |  SELECT p.source, p.n_docs, p.tokens,
+       |    ${Hashing.microSql("sqrt(m.tmin * 1.0 / p.tokens)")}
+       |      AS rate_micro
+       |  FROM per p CROSS JOIN mn m
+       |),
+       |k AS (
+       |  SELECT *, CAST(floor(tokens * rate_micro / 1000000.0) AS BIGINT)
+       |    AS kept_tokens
+       |  FROM r
+       |),
+       |tk AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_kept
+       |       FROM k)
+       |SELECT k.source, k.n_docs, k.tokens, k.rate_micro, k.kept_tokens,
+       |  ${Hashing.microSql("k.kept_tokens * 1.0 / t.total_kept")}
+       |    AS eff_share_micro
+       |FROM k CROSS JOIN tk t ORDER BY k.source""".stripMargin
+
   val RepN = 3
 
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -1148,6 +1177,7 @@ object TextQueries {
     "q_repetition"     -> (qRepetition _),
     "q_boilerplate"    -> (qBoilerplate _),
     "q_quality_rules"  -> (qQualityRules _),
+    "q_temp_mix"       -> (qTempMix _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -1180,6 +1210,7 @@ object TextQueries {
     "q_repetition"     -> repetitionOracle,
     "q_boilerplate"    -> boilerplateOracle,
     "q_quality_rules"  -> qualityRulesOracle,
+    "q_temp_mix"       -> tempMixOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

@@ -192,6 +192,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("r_wlen") === 0L, "mean length 2 < 3 fails")
   }
 
+  test("temperatureMix: sqrt rates keep the smallest source whole") {
+    val out = TextOps.temperatureMix(Seq(
+        (1L, "web", "one two three four"),          // 4 tokens
+        (2L, "web", "five six seven eight"),        // web: 8 total
+        (3L, "code", "fn main"),                    // code: 2 total
+        (4L, "wiki", "a b c d e f g h"))            // wiki: 8 total
+      .toDF("doc_id", "source", "text"))
+      .orderBy("source").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("rate_micro"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("eff_share_micro"))).toMap
+    // t_min = 2: code rate = 1.0 (kept whole), web/wiki = sqrt(2/8) =
+    // 0.5; kept = 2/4/4 of 10 -> shares 0.2/0.4/0.4
+    assert(out("code") === ((1L, 2L, 1000000L, 2L, 200000L)))
+    assert(out("web") === ((2L, 8L, 500000L, 4L, 400000L)))
+    assert(out("wiki") === ((1L, 8L, 500000L, 4L, 400000L)))
+  }
+
   test("boilerplateStats top-k cut is deterministic under df ties") {
     // every bigram has df 1 -> the cut falls entirely on the gram
     // string order; k=2 must select the two lexicographically smallest
