@@ -497,6 +497,34 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF-pruned ADC top-k in one plan — the [[graft.sources
+    * .VectorStore.pqAdcTopK]] serving path as an oracled in-query
+    * operator: clusters probed from the full-vector IVF codebook
+    * (driver-side, [[probeClusters]]), candidates restricted to probed
+    * clusters by the same zero-shuffle assignment projection, scored by
+    * exact-integer ADC. Both prunings compose: the probe bounds the
+    * candidate fraction, the codes bound the bytes per candidate.
+    */
+  def pqIvfTopK(emb: DataFrame, cents: Array[Array[Long]],
+                books: Seq[Array[Array[Long]]], subLen: Int,
+                queryId: Long, nProbe: Int, k: Int): DataFrame = {
+    val probed = probeClusters(emb, cents, queryId, nProbe)
+    val qm = emb.filter(col("vec_id") === queryId)
+      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
+    val codes = books.zipWithIndex.map { case (b, j) =>
+      assignCluster(slice(col("embedding"), j * subLen + 1, subLen), b)
+        .as(s"code$j")
+    }
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id") +:
+        assignCluster(col("embedding"), cents).as("cluster") +: codes: _*)
+      .filter(col("cluster").isin(probed.map(_.toLong): _*))
+      .withColumn("adc", pqAdcColumn(pqLuts(qm, books, subLen)))
+      .select("vec_id", "cluster", "adc")
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch ADC: top-k for a SET of queries in one plan. The per-query
     * lookup tables become one tiny (query, subspace, code) → dot
     * relation (Q × nSub × nCents exact-integer rows, built on the

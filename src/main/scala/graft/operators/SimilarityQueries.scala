@@ -179,6 +179,18 @@ object SimilarityQueries {
     SimilarityOps.pqAdcTopK(e, pqBooks(e), PqSubLen, QueryVecId, PqK)
   }
 
+  /** IVF probing composed with ADC scoring — the serving path as an
+    * oracled query: the q_ann_ivf codebook prunes clusters, the
+    * q_pq_adc codes score what survives.
+    */
+  def qPqIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.pqIvfTopK(e, cents, pqBooks(e), PqSubLen, QueryVecId,
+      NProbe, PqK)
+  }
+
   /** Sub-codebook sizes the recall curve is measured at — code budgets
     * of 8, 12, and 20 bits per vector (nSub · log₂ nCents).
     */
@@ -621,6 +633,43 @@ object SimilarityQueries {
        |ORDER BY adc DESC, x0.vec_id LIMIT $PqK""".stripMargin
   }
 
+  /** IVF×PQ oracle: the full-vector training chain supplies the probe
+    * set, the subspace chains supply codes and LUTs, the ranking runs
+    * over probed clusters only.
+    */
+  private val pqIvfOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val luts = (0 until PqSub).map(j =>
+      s"""p${j}_lut AS (
+         |  SELECT c.cid, CAST(sum(m.vm * c.S) AS BIGINT) AS dot
+         |  FROM p${j}_c$r c JOIN p${j}_mv m
+         |    ON m.i = c.i AND m.vec_id = $QueryVecId
+         |  GROUP BY 1
+         |)""".stripMargin).mkString(",\n")
+    val codeJoins = (1 until PqSub)
+      .map(j => s"JOIN p${j}_a$r x$j ON x0.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until PqSub)
+      .map(j => s"JOIN p${j}_lut l$j ON l$j.cid = x$j.cid")
+      .mkString("\n")
+    val adc = (0 until PqSub).map(j => s"l$j.dot").mkString(" + ")
+    s"""$kmeansTrainedCtes,
+       |$pqChains,
+       |$luts,
+       |probe AS (
+       |  SELECT cid FROM sc$r WHERE vec_id = $QueryVecId
+       |  ORDER BY score DESC, cid LIMIT $NProbe
+       |)
+       |SELECT x0.vec_id, fa.cid AS cluster, CAST($adc AS BIGINT) AS adc
+       |FROM p0_a$r x0
+       |$codeJoins
+       |$lutJoins
+       |JOIN a$r fa ON fa.vec_id = x0.vec_id
+       |JOIN probe pr ON fa.cid = pr.cid
+       |WHERE x0.vec_id <> $QueryVecId
+       |ORDER BY adc DESC, x0.vec_id LIMIT $PqK""".stripMargin
+  }
+
   /** Per-budget ADC ranking CTEs: exact-integer per-query LUTs over
     * the tagged chains' final centroids, ADC per (query, vector), rank
     * per query. Ends with `<tag>annp` (query_id, vec_id) rows.
@@ -742,6 +791,7 @@ object SimilarityQueries {
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
     "q_pq_recall"      -> (qPqRecall _),
+    "q_pq_ivf"         -> (qPqIvf _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -757,5 +807,6 @@ object SimilarityQueries {
     "q_pq_encode"      -> pqEncodeOracle,
     "q_pq_adc"         -> pqAdcOracle,
     "q_pq_recall"      -> pqRecallOracle,
+    "q_pq_ivf"         -> pqIvfOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

@@ -273,6 +273,22 @@ class SimilarityOpsSpec extends SparkSpec {
       s"recall must not fall as the budget grows: ${out.toSeq}")
   }
 
+  test("pqIvfTopK at full probe width equals unpruned ADC") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val books = SimilarityOps.pqCodebooks(e, 4, 16, 8)
+    val full = SimilarityOps.pqIvfTopK(e, cents, books, 16, 0L, 10, 10)
+      .select("vec_id", "adc").collect().map(_.toSeq).toSeq
+    val unpruned = SimilarityOps.pqAdcTopK(e, books, 16, 0L, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(full === unpruned, "probing every cluster is plain ADC")
+    // narrow probe returns a subset drawn only from probed clusters
+    val probed = SimilarityOps.probeClusters(e, cents, 0L, 2)
+      .map(_.toLong).toSet
+    SimilarityOps.pqIvfTopK(e, cents, books, 16, 0L, 2, 10).collect()
+      .foreach(r => assert(probed.contains(r.getAs[Long]("cluster"))))
+  }
+
   test("semDedup: cluster-blocked keep-lowest-id verdicts") {
     // codebook c0 = [1,0], c1 = [0,1]; cluster 0 holds v0,v1,v2 and
     // cluster 1 holds v3,v4. v2 duplicates v0 across the similarity
