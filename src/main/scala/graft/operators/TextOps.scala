@@ -864,6 +864,36 @@ object TextOps {
     * replacement order is part of the contract). Pure projection, zero
     * shuffles, regex inside codegen.
     */
+  /** Decontamination — ACTING on what [[contamination]] detects: every
+    * train document implicated in a test-overlap pair above the ratio
+    * bar is dropped, and the report is per-split retention (the number
+    * a release note quotes). Eval splits are never touched — the
+    * training side pays for the overlap, keeping the benchmark intact.
+    *
+    * Scale shape: the pair relation is [[contaminationFrom]] verbatim
+    * (cached winnow relation, df-capped inverted index); the drop set
+    * is train-side distinct ids (bounded by true contamination) joined
+    * back against the doc roster, then one (split, partials) rollup.
+    */
+  def decontaminate(docs: DataFrame, trainPct: Int, valPct: Int,
+                    k: Int, w: Int, maxDf: Long,
+                    ratioMicroMin: Long): DataFrame = {
+    val fs = winnowedSplit(docs, k, w, trainPct, valPct).cache()
+    val dropped = contaminationFrom(fs, maxDf, ratioMicroMin)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    docs.select(col("doc_id"),
+        splitAssign(trainPct, valPct).as("split"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+      .select(col("split"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        micro((col("n_docs") - col("n_dropped")) / col("n_docs"))
+          .as("retained_micro"))
+  }
+
   def piiScrub(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(
       regexp_replace(col("text"), EmailPattern, "<EMAIL>"),

@@ -425,10 +425,19 @@ object TextQueries {
       WinnowW, ContamMaxDf, ContamRatioMin)
       .orderBy("test_doc", "train_doc")
 
+  def qDecontam(spark: SparkSession, dir: String): DataFrame =
+    TextOps.decontaminate(docs(spark, dir), TrainPct, ValPct, WinnowK,
+      WinnowW, ContamMaxDf, ContamRatioMin)
+      .orderBy("split")
+
   // lazy: interpolates splitBucketSql/TrainPct/ValPct, which are
   // declared further down the object — an eager val would capture
   // null/0 (Scala top-to-bottom initialization)
-  private lazy val contaminationOracle = {
+  /** Shared CTE prefix of the contamination detector and remover:
+    * winnow fingerprints, split assignment, df cap, per-doc counts,
+    * and the (test_doc, train_doc, shared_fps) overlap relation.
+    */
+  private lazy val contamCtes = {
     val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
     s"""WITH kg AS (
        |  SELECT doc_id,
@@ -471,14 +480,34 @@ object TextQueries {
        |), ov AS (
        |  SELECT te.test_doc, tr.train_doc, count(*) AS shared_fps
        |  FROM te JOIN tr USING(fingerprint) GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val contaminationOracle =
+    s"""$contamCtes
        |SELECT ov.test_doc, ov.train_doc, ov.shared_fps,
        |  ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")} AS ratio_micro
        |FROM ov JOIN nf ON ov.test_doc = nf.doc_id
        |WHERE ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")}
        |  >= $ContamRatioMin
        |ORDER BY test_doc, train_doc""".stripMargin
-  }
+
+  private lazy val decontamOracle =
+    s"""$contamCtes,
+       |cdrop AS (
+       |  SELECT DISTINCT ov.train_doc AS doc_id
+       |  FROM ov JOIN nf ON ov.test_doc = nf.doc_id
+       |  WHERE ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")}
+       |    >= $ContamRatioMin
+       |)
+       |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(d.doc_id) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(d.doc_id) AS BIGINT) AS n_kept,
+       |  ${Hashing.microSql(
+      "(count(*) - count(d.doc_id)) * 1.0 / count(*)")}
+       |    AS retained_micro
+       |FROM s LEFT JOIN cdrop d ON s.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val winnowOracle = {
     val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
@@ -1178,6 +1207,7 @@ object TextQueries {
     "q_boilerplate"    -> (qBoilerplate _),
     "q_quality_rules"  -> (qQualityRules _),
     "q_temp_mix"       -> (qTempMix _),
+    "q_decontam"       -> (qDecontam _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -1211,6 +1241,7 @@ object TextQueries {
     "q_boilerplate"    -> boilerplateOracle,
     "q_quality_rules"  -> qualityRulesOracle,
     "q_temp_mix"       -> tempMixOracle,
+    "q_decontam"       -> decontamOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

@@ -72,6 +72,28 @@ class TextOpsSpec extends SparkSpec {
     assert(strict.length <= out.length)
   }
 
+  test("decontaminate drops exactly the flagged train docs, evals whole") {
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.01").select("doc_id", "text")
+    val pairs = TextOps.contamination(corpus, 80, 10, 8, 4, 1000L,
+      500000L).collect()
+    val flagged = pairs.map(_.getLong(1)).toSet // train_doc column
+    val out = TextOps.decontaminate(corpus, 80, 10, 8, 4, 1000L,
+      500000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("retained_micro")))
+      .toMap
+    assert(out("train")._2 === flagged.size.toLong,
+      "drop count = distinct flagged train docs")
+    assert(out("test")._2 === 0L && out("val")._2 === 0L,
+      "eval splits are never touched")
+    out.foreach { case (_, (n, d, kept, rm)) =>
+      assert(kept === n - d)
+      assert(rm === math.floor(1e6 * kept.toDouble / n).toLong)
+    }
+  }
+
   test("piiScrub: counts and redacts planted emails/phones") {
     val out = TextOps.piiScrub(docs(
         (1L, "mail me at a.b+c@ex-ample.org or call 555-867-5309 now"),
