@@ -864,6 +864,30 @@ object TextOps {
     * replacement order is part of the contract). Pure projection, zero
     * shuffles, regex inside codegen.
     */
+  /** Deterministic exact-N per-stratum sample — eval-set construction:
+    * rank documents within each stratum by a salted md5 of the doc id
+    * (never `rand()` — the [[sampleSplit]] discipline: the same
+    * (corpus, salt) reproduces the identical sample, a different salt
+    * draws an independent one) and keep the first `n`. Unlike the
+    * percentage split, the draw is EXACTLY n per stratum — the shape
+    * benchmark suites need ("500 per language").
+    *
+    * Scale shape: one projection + one stratum-partitioned window
+    * (rank) + a pushable rank filter; no global ordering. At 100 TB a
+    * stratum is one shuffle partition group — n rows survive per
+    * stratum, so the output is bounded by strata × n.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, n: Int,
+                       salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5Long(concat(lit(s"strat:$salt:"),
+        col("doc_id").cast("string"))), col("doc_id"))
+    docs.select(col(strataCol), col("doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** Decontamination — ACTING on what [[contamination]] detects: every
     * train document implicated in a test-overlap pair above the ratio
     * bar is dropped, and the report is per-split retention (the number

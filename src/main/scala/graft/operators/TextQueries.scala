@@ -425,6 +425,26 @@ object TextQueries {
       WinnowW, ContamMaxDf, ContamRatioMin)
       .orderBy("test_doc", "train_doc")
 
+  val StratN = 5
+  val StratSalt = "eval-v1"
+
+  def qStratified(spark: SparkSession, dir: String): DataFrame =
+    TextOps.stratifiedSample(Tables.documents(spark, dir)
+      .select("doc_id", "source", "text"), "source", StratN, StratSalt)
+      .orderBy("source", "rank")
+
+  private val stratifiedOracle =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+       |      ${Hashing.md5LongSql(
+      s"'strat:$StratSalt:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM documents
+       |)
+       |SELECT source, doc_id, rank FROM ranked
+       |WHERE rank <= $StratN ORDER BY source, rank""".stripMargin
+
   def qDecontam(spark: SparkSession, dir: String): DataFrame =
     TextOps.decontaminate(docs(spark, dir), TrainPct, ValPct, WinnowK,
       WinnowW, ContamMaxDf, ContamRatioMin)
@@ -1208,6 +1228,7 @@ object TextQueries {
     "q_quality_rules"  -> (qQualityRules _),
     "q_temp_mix"       -> (qTempMix _),
     "q_decontam"       -> (qDecontam _),
+    "q_stratified"     -> (qStratified _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
     "q_contamination"  -> (qContamination _),
@@ -1242,6 +1263,7 @@ object TextQueries {
     "q_quality_rules"  -> qualityRulesOracle,
     "q_temp_mix"       -> tempMixOracle,
     "q_decontam"       -> decontamOracle,
+    "q_stratified"     -> stratifiedOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,
     "q_contamination"  -> contaminationOracle,

@@ -72,6 +72,23 @@ class TextOpsSpec extends SparkSpec {
     assert(strict.length <= out.length)
   }
 
+  test("stratifiedSample: exactly n per stratum, salt-deterministic") {
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    def draw(salt: String) = TextOps
+      .stratifiedSample(corpus, "source", 3, salt)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = draw("s1")
+    assert(a.groupBy(_._1).forall(_._2.length == 3),
+      "exactly 3 docs per stratum")
+    assert(a.groupBy(_._1).forall(_._2.map(_._3).sorted.sameElements(
+      Seq(1L, 2L, 3L))), "dense ranks 1..n")
+    assert(draw("s1").toSet === a.toSet, "same salt reproduces the draw")
+    assert(draw("s2").map(_._2).toSet !== a.map(_._2).toSet,
+      "a new salt draws an independent sample")
+  }
+
   test("decontaminate drops exactly the flagged train docs, evals whole") {
     val corpus = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.01").select("doc_id", "text")
