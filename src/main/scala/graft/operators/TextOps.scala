@@ -785,6 +785,96 @@ object TextOps {
           .as("coverage_micro"))
   }
 
+  /** Duplicated-span EXCISION — acting on [[substringMatches]]/
+    * [[dupCoverage]] the way decontamination acts on the contamination
+    * detector: emit the deduplicated corpus TEXT, the deliverable of
+    * exact-substring dedup (Lee et al., ACL'22, whose ExactSubstr tool
+    * removes all but one occurrence of every duplicated span).
+    *
+    * Policy (deterministic, doc-granular): every df-capped shared
+    * k-gram has a canonical OWNER — the lowest doc_id holding it. The
+    * owner keeps its text untouched; every occurrence of that gram in
+    * any other document is marked, marked intervals [pos, pos+k−1]
+    * union per doc (the [[dupCoverage]] gaps-and-islands reduction),
+    * and the islands are spliced out of the text. Exactly one copy of
+    * each duplicated span survives corpus-wide, and the policy is
+    * order-free: ownership is a pure min over the gram's holder set,
+    * so the verdict for a doc never depends on scan order.
+    *
+    * Scale shape: identical to [[dupCoverage]] up through the islands
+    * (the 1-row/char stream is semi-joined against the df-capped owner
+    * set before any window runs — marked rows are bounded by true
+    * duplication); the splice itself is per-doc-bounded: complement
+    * segments come from one `lag` over islands (doc-partitioned, no
+    * global order), and each doc's kept text is rebuilt by ONE ordered
+    * concat over its own segment array — no driver work, no UDF, and
+    * docs with no marked spans never enter the window at all (left
+    * join restores them with text intact).
+    */
+  def exciseSpans(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+    val grams = gramFirstPositions(docs, k)
+    val owner = grams.groupBy("h")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h", "owner")
+    val gh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.GramHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        k, SubMod))
+    val allPos = docs
+      .select(col("doc_id"), posexplode(gh).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        col("h"))
+    val marked = allPos.join(owner, "h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "pos")
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val islands = marked
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(wPrev))
+      .withColumn("newi",
+        when(col("prev_end").isNull, 1L)
+          .when(col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum("newi").over(wCum))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    // complement segments: the kept text is [prev_e+1, s−1] before each
+    // island plus the tail after the last one. Islands are maximal and
+    // disjoint with s > prev_e, so every segment length is ≥ 0.
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s")
+    val spliced = islands
+      .withColumn("prev_e", coalesce(lag("e", 1).over(wLag), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("e") - col("s") + 1).as("removed_chars"),
+        max("e").as("last_e"),
+        sort_array(collect_list(struct(col("prev_e"), col("s"))))
+          .as("cuts"))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+      .join(spliced, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        (col("n_chars") - coalesce(col("removed_chars"), lit(0L)))
+          .as("kept_chars"),
+        when(col("cuts").isNull, col("text"))
+          .otherwise(concat(
+            concat_ws("", transform(col("cuts"), c =>
+              col("text").substr(
+                (c("prev_e") + 1).cast("int"),
+                (c("s") - c("prev_e") - 1).cast("int")))),
+            col("text").substr((col("last_e") + 1).cast("int"),
+              col("n_chars").cast("int"))))
+          .as("kept_text"))
+  }
+
   /** Train/test contamination audit — the decontamination pass every
     * LLM training pipeline runs before evaluation: for each (test doc,
     * train doc) pair, the fraction of the test doc's winnowing

@@ -1044,6 +1044,85 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  def qExcise(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exciseSpans(docs(spark, dir), SubK, SubMaxDf)
+      .orderBy("doc_id")
+
+  /** The [[dupCoverageOracle]] gram/island CTEs with the owner filter
+    * added, then the complement-segment splice: kept text =
+    * string_agg of the between-island substrings (ordered by segment
+    * start) plus the tail after the last island.
+    */
+  private val exciseOracle = {
+    val (k, m) = (SubK, TextOps.SubMod)
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(range(1, length(text) - $k + 2), i ->
+       |        struct_pack(p := i,
+       |          h := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(0, $k), j -> ord(text[i+j]))),
+       |            (a, b) -> (a * 31 + b) % $m)))
+       |    ELSE [] END AS gs
+       |  FROM documents
+       |), ap AS (
+       |  SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.h AS h
+       |  FROM (SELECT doc_id, unnest(gs) AS u FROM kg)
+       |), g1 AS (
+       |  SELECT h, doc_id FROM ap GROUP BY 1, 2
+       |), own AS (
+       |  SELECT h, min(doc_id) AS owner FROM g1 GROUP BY 1
+       |  HAVING count(*) >= 2 AND count(*) <= $SubMaxDf
+       |), mt AS (
+       |  SELECT ap.doc_id, ap.pos FROM ap JOIN own USING (h)
+       |  WHERE ap.doc_id <> own.owner
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS prev_end
+       |  FROM mt
+       |), fl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0
+       |    END AS newi
+       |  FROM isl
+       |), ci AS (
+       |  SELECT doc_id, pos,
+       |    sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM fl
+       |), pi AS (
+       |  SELECT doc_id, island, min(pos) AS s,
+       |    max(pos) + ${k - 1} AS e
+       |  FROM ci GROUP BY 1, 2
+       |), sg AS (
+       |  SELECT doc_id, s, e,
+       |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+       |      AS prev_e
+       |  FROM pi
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CAST(sum(e - s + 1) AS BIGINT) AS removed_chars,
+       |    max(e) AS last_e,
+       |    string_agg(substr(text, CAST(prev_e + 1 AS INTEGER),
+       |      CAST(s - prev_e - 1 AS INTEGER)), '' ORDER BY s)
+       |      AS head_text
+       |  FROM sg JOIN documents USING (doc_id)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(sp.removed_chars, 0) AS BIGINT) AS removed_chars,
+       |  CAST(length(d.text) - COALESCE(sp.removed_chars, 0) AS BIGINT)
+       |    AS kept_chars,
+       |  CASE WHEN sp.doc_id IS NULL THEN d.text
+       |    ELSE COALESCE(sp.head_text, '') ||
+       |      substr(d.text, CAST(sp.last_e + 1 AS INTEGER))
+       |  END AS kept_text
+       |FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val ShuffleShards = 4
 
   def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
@@ -1239,6 +1318,7 @@ object TextQueries {
     "q_substring"      -> (qSubstring _),
     "q_vocab"          -> (qVocab _),
     "q_dup_coverage"   -> (qDupCoverage _),
+    "q_excise"         -> (qExcise _),
     "q_corpus_card"    -> (qCorpusCard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
@@ -1274,6 +1354,7 @@ object TextQueries {
     "q_substring"      -> substringOracle,
     "q_vocab"          -> vocabOracle,
     "q_dup_coverage"   -> dupCoverageOracle,
+    "q_excise"         -> exciseOracle,
     "q_corpus_card"    -> corpusCardOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,

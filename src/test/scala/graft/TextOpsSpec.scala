@@ -643,6 +643,55 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_matched_grams") === 4L)
   }
 
+  test("exciseSpans: owner keeps text, non-owner spans spliced out") {
+    val common = "the quick brown fox jumps over a lazy dog again!" // 48
+    val corpus = docs(
+      (1L, "AAAA" + common + "BBBB"),  // owner (lowest doc_id)
+      (2L, "CC" + common + "DD"),
+      (3L, common + " with a tail after it"),  // span at pos 1
+      (4L, "a completely unrelated document body with no match"))
+    val out = TextOps.exciseSpans(corpus, 32, 50L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("kept_text") === "AAAA" + common + "BBBB",
+      "the canonical owner must keep its text untouched")
+    assert(out(1L).getAs[Long]("removed_chars") === 0L)
+    assert(out(2L).getAs[String]("kept_text") === "CCDD",
+      "the shared span must be spliced out of the non-owner")
+    assert(out(2L).getAs[Long]("removed_chars") === 48L)
+    assert(out(2L).getAs[Long]("kept_chars") === 4L)
+    // doc 3's match starts at pos 1: the head segment is empty. Its
+    // tail begins where the LAST shared gram's interval ends — the
+    // trailing k−1 chars of the span overlap the tail's first grams
+    // and stay covered, so the kept text is the pure suffix.
+    val k3 = out(3L).getAs[String]("kept_text")
+    assert(!k3.contains("quick brown") && k3.endsWith("after it"),
+      s"head-anchored span must leave only the tail: '$k3'")
+    assert(out(4L).getAs[String]("kept_text") ===
+      "a completely unrelated document body with no match")
+    // kept_chars is literally the length of the spliced text, everywhere
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("kept_chars") ===
+        r.getAs[String]("kept_text").length.toLong)
+    }
+  }
+
+  test("exciseSpans: disjoint owned spans splice independently") {
+    val s1 = "first shared span of text here ok" // 33 chars
+    val s2 = "second shared span very different" // 33 chars
+    val gap = "x" * 40
+    val corpus = docs(
+      (1L, "AA" + s1 + "BB"),
+      (2L, "CC" + s2 + "DD"),
+      (5L, "PP" + s1 + gap + s2 + "QQ"))
+    val out = TextOps.exciseSpans(corpus, 32, 50L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("removed_chars") === 0L)
+    assert(out(2L).getAs[Long]("removed_chars") === 0L)
+    assert(out(5L).getAs[String]("kept_text") === "PP" + gap + "QQ",
+      "both foreign spans excised, the gap and edges kept")
+    assert(out(5L).getAs[Long]("removed_chars") === 66L)
+  }
+
   test("corpusCard: per-source census with dup fraction and top lang") {
     val corpus = Seq(
       (1L, "the batch the merge a scan", "web"),
