@@ -875,6 +875,62 @@ object TextOps {
           .as("kept_text"))
   }
 
+  /** DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by how much its HASHED n-gram feature profile
+    * resembles a target distribution, then keep the top-K. The target
+    * here is the corpus's own English slice — DSIR's canonical use
+    * (select web text resembling a formal-English target); any
+    * predicate over the corpus works.
+    *
+    * DSIR's importance weight is Σ_features n·(log p_target − log
+    * p_raw). A cross-engine-exact oracle cannot pin `ln` (neither
+    * Java's `Math.log` nor DuckDB's libm `ln` is correctly rounded —
+    * the same reason X29 fixes α = ½ where `pow` cancels), so the
+    * per-bucket weight is the integer frequency CONTRAST instead:
+    * micro(cnt_t/N_t) − micro(cnt_r/N_r) — one correctly-rounded
+    * double division each, micro-floored, then pure integer products.
+    * Same sign semantics (positive = over-represented in the target),
+    * rank-equivalent in the small-frequency regime where log(1+x)≈x.
+    *
+    * Scale shape — DSIR's hashed-feature trick is precisely what makes
+    * this 100 TB-able: the feature space is FIXED at `buckets` (not
+    * vocabulary-sized), so the weight table is a bounded relation that
+    * BROADCASTS. One explode rides the scan into one partial-agg'd
+    * (doc, bucket) Exchange; the censuses (raw, target, totals) are
+    * tiny rollups of that cached relation; scoring is a broadcast join
+    * + doc-keyed partial agg; the top-K plans as TakeOrderedAndProject
+    * (no global sort).
+    */
+  def dsirScores(docs: DataFrame, targetLang: String, buckets: Int,
+                 topK: Int): DataFrame = {
+    val db = parallelized(docs)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("b",
+        md5Long(concat(lit("dsir:"), col("tok"))) % buckets)
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("n"))
+      .cache() // four consumers: raw census, target census, totals, scores
+    val raw = db.groupBy("b").agg(sum("n").as("cr"))
+    val tgt = db.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum("n").as("ct"))
+    val totals = db.agg(
+      sum("n").as("nr"),
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L))
+        .as("nt"))
+    val weights = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (micro(coalesce(col("ct"), lit(0L)) / col("nt")) -
+          micro(col("cr") / col("nr"))).as("w"))
+    db.join(broadcast(weights), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("n") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Train/test contamination audit — the decontamination pass every
     * LLM training pipeline runs before evaluation: for each (test doc,
     * train doc) pair, the fraction of the test doc's winnowing

@@ -1123,6 +1123,43 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  val DsirBuckets = 1024
+  val DsirTopK = 50
+  val DsirTarget = "en"
+
+  def qDsir(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dsirScores(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang"),
+      DsirTarget, DsirBuckets, DsirTopK)
+
+  private val dsirOracle =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang,
+       |    ${Hashing.md5LongSql("'dsir:' || tok")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |), db AS (
+       |  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM tb GROUP BY 1, 2, 3
+       |), raw AS (SELECT b, sum(n) AS cr FROM db GROUP BY 1),
+       |tgt AS (
+       |  SELECT b, sum(n) AS ct FROM db WHERE lang = '$DsirTarget'
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(n) AS nr,
+       |    sum(CASE WHEN lang = '$DsirTarget' THEN n ELSE 0 END) AS nt
+       |  FROM db
+       |), w AS (
+       |  SELECT raw.b,
+       |    ${Hashing.microSql("COALESCE(ct, 0) / nt")} -
+       |      ${Hashing.microSql("cr / nr")} AS w
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+       |)
+       |SELECT doc_id, lang, CAST(sum(n * w) AS BIGINT) AS score
+       |FROM db JOIN w ON db.b = w.b
+       |GROUP BY 1, 2
+       |ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+
   val ShuffleShards = 4
 
   def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
@@ -1319,6 +1356,7 @@ object TextQueries {
     "q_vocab"          -> (qVocab _),
     "q_dup_coverage"   -> (qDupCoverage _),
     "q_excise"         -> (qExcise _),
+    "q_dsir"           -> (qDsir _),
     "q_corpus_card"    -> (qCorpusCard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
@@ -1355,6 +1393,7 @@ object TextQueries {
     "q_vocab"          -> vocabOracle,
     "q_dup_coverage"   -> dupCoverageOracle,
     "q_excise"         -> exciseOracle,
+    "q_dsir"           -> dsirOracle,
     "q_corpus_card"    -> corpusCardOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,

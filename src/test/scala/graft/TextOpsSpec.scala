@@ -692,6 +692,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("removed_chars") === 66L)
   }
 
+  test("dsirScores: target-resembling docs outrank the rest") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta beta alpha", "en"),
+      (3L, "gamma delta gamma delta", "de"),
+      (4L, "gamma delta delta gamma", "de"),
+      // a 'de'-labeled doc whose CONTENT is target-like: DSIR scores
+      // resemblance, not the label, so it must outrank the pure-de docs
+      (5L, "alpha beta alpha beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirScores(corpus, "en", 1024, 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("score")).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // target tokens are over-represented in the target slice: positive
+    // weight; gamma/delta never appear in the target: negative
+    assert(out(5L) > out(3L) && out(5L) > out(4L),
+      s"content-based ranking must ignore the label: $out")
+    assert(out(1L) === out(5L),
+      "identical token profiles must score identically")
+    assert(out(3L) < 0L, "pure non-target profile scores negative")
+    assert(out(1L) > 0L, "pure target profile scores positive")
+  }
+
   test("corpusCard: per-source census with dup fraction and top lang") {
     val corpus = Seq(
       (1L, "the batch the merge a scan", "web"),
