@@ -875,6 +875,38 @@ object TextOps {
           .as("kept_text"))
   }
 
+  /** Quality-ranked canonical selection over duplicate clusters — the
+    * RefinedWeb/CCNet refinement of min-id dedup: within each near-dup
+    * cluster keep the BEST copy (highest quality score), not the
+    * arbitrary lowest-id one. Ties break to the lowest doc_id so the
+    * verdict is fully deterministic.
+    *
+    * The argmax is deliberately NOT `max_by` (whose tie behavior is
+    * engine-dependent): per-cluster max quality first, then min doc_id
+    * among the docs achieving it — two exact integer aggregations both
+    * engines order identically.
+    *
+    * Scale shape: `cc` is bounded by true duplication (it exists
+    * because the LSH/inverted-index stage pruned the corpus), so every
+    * join here is cluster-member-sized, keyed on component — never a
+    * corpus-wide shuffle; the quality relation joins once on doc_id
+    * with its columns pruned to (doc_id, quality_micro).
+    */
+  def keepBest(cc: DataFrame, quality: DataFrame): DataFrame = {
+    val members = cc
+      .join(quality.select("doc_id", "quality_micro"), "doc_id")
+    val best = members.groupBy("component")
+      .agg(max("quality_micro").as("qmax"),
+        count(lit(1)).as("n_members"))
+    val canon = members.join(best, "component")
+      .filter(col("quality_micro") === col("qmax"))
+      .groupBy("component").agg(min("doc_id").as("canonical"))
+    members.join(best, "component").join(canon, "component")
+      .select(col("doc_id"), col("component"), col("quality_micro"),
+        col("n_members"), col("canonical"),
+        (col("doc_id") === col("canonical")).as("keep"))
+  }
+
   /** DSIR-style data selection (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every raw document by how much its HASHED n-gram feature profile

@@ -404,6 +404,66 @@ object TextQueries {
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** D14: quality-ranked canonical selection over the D7 clusters. */
+  def qDedupBest(spark: SparkSession, dir: String): DataFrame =
+    TextOps.keepBest(
+      TextOps.connectedComponents(ngramPairs(spark, dir)),
+      TextOps.tokenStats(docs(spark, dir)))
+      .orderBy("doc_id")
+
+  /** The [[dedupClustersOracle]] component CTEs plus the tokenStats
+    * quality expression, then the tie-safe two-stage argmax.
+    */
+  private val dedupBestOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |cc AS (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |q AS (
+       |  SELECT doc_id, ${Hashing.microSql(qualityExpr)} AS quality_micro
+       |  FROM tok
+       |),
+       |m AS (
+       |  SELECT cc.doc_id, cc.component, q.quality_micro
+       |  FROM cc JOIN q USING (doc_id)
+       |),
+       |b AS (
+       |  SELECT component, max(quality_micro) AS qmax,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM m GROUP BY 1
+       |),
+       |cn AS (
+       |  SELECT m.component, CAST(min(m.doc_id) AS BIGINT) AS canonical
+       |  FROM m JOIN b ON m.component = b.component
+       |    AND m.quality_micro = b.qmax
+       |  GROUP BY 1
+       |)
+       |SELECT m.doc_id, m.component, m.quality_micro, b.n_members,
+       |  cn.canonical, m.doc_id = cn.canonical AS keep
+       |FROM m JOIN b ON m.component = b.component
+       |       JOIN cn ON m.component = cn.component
+       |ORDER BY m.doc_id""".stripMargin
+
   def qTokenBpe(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(docs(spark, dir)).orderBy("doc_id")
 
@@ -1357,6 +1417,7 @@ object TextQueries {
     "q_dup_coverage"   -> (qDupCoverage _),
     "q_excise"         -> (qExcise _),
     "q_dsir"           -> (qDsir _),
+    "q_dedup_best"     -> (qDedupBest _),
     "q_corpus_card"    -> (qCorpusCard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_chunk_dedup"   -> (qChunkDedup _),
@@ -1394,6 +1455,7 @@ object TextQueries {
     "q_dup_coverage"   -> dupCoverageOracle,
     "q_excise"         -> exciseOracle,
     "q_dsir"           -> dsirOracle,
+    "q_dedup_best"     -> dedupBestOracle,
     "q_corpus_card"    -> corpusCardOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,

@@ -211,6 +211,28 @@ class TextPropertySpec extends SparkSpec {
     assert(viaDriver.nonEmpty, "sf0.001 must contain near-dup pairs")
   }
 
+  test("keepBest: highest quality wins its cluster, ties to lowest id") {
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "component")
+    // cluster 1: doc 2 alone holds the max quality; cluster 7: both
+    // members tie, so the canonical must be the LOWER doc_id (7)
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 20L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "quality_micro")
+    val out = TextOps.keepBest(cc, quality).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 7L, 9L))
+    assert(out(2L) === ((3L, 2L, true)), "doc 2 is cluster 1's best")
+    assert(out(1L) === ((3L, 2L, false)))
+    assert(out(3L) === ((3L, 2L, false)))
+    assert(out(7L) === ((2L, 7L, true)), "quality tie breaks to min id")
+    assert(out(9L) === ((2L, 7L, false)))
+    // exactly one keeper per cluster, always
+    val keepers = out.values.groupBy(_._2).map { case (c, vs) =>
+      c -> vs.count(_._3) }
+    assert(keepers === Map(2L -> 1, 7L -> 1))
+  }
+
   test("ccDistributed: 65-node chain converges in log-diameter rounds") {
     // worst case for plain min-label propagation (diameter 64 would need
     // 64 rounds); pointer jumping must collapse it in ~log2(64) rounds
