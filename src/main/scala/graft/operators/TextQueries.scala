@@ -648,12 +648,19 @@ object TextQueries {
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(docs(spark, dir), TrainPct, ValPct).orderBy("doc_id")
 
-  /** Bigram-LM scoring oracle: bigrams via positional list indexing
-    * (same pairs as the Spark lag window), counts from the train split,
-    * per-term micro-floored ln, integer per-doc sum. lazy — uses
-    * splitBucketSql (declared below).
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.pplBuckets(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang"),
+      TrainPct, ValPct).orderBy("doc_id")
+
+  /** Bigram-LM scoring CTE prefix, ending in `sc` = per-doc
+    * (doc_id, split, n_bigrams, avg_lp_micro): bigrams via positional
+    * list indexing (same pairs as the Spark lag window), counts from
+    * the train split, per-term micro-floored ln, integer per-doc sum.
+    * Shared by the X19 score oracle and the X33 bucket oracle so the
+    * two cannot drift. lazy — uses splitBucketSql (declared below).
     */
-  private lazy val lmScoreOracle =
+  private lazy val lmCtes =
     s"""$tokCte,
        |t AS (
        |  SELECT doc_id,
@@ -688,10 +695,53 @@ object TextQueries {
        |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w = cb.w
        |  LEFT JOIN cu ON b.w1 = cu.w1
        |  CROSS JOIN v
+       |),
+       |sc AS (
+       |  SELECT doc_id, split, count(*) AS n_bigrams,
+       |    CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micro
+       |  FROM scores GROUP BY 1, 2
+       |)""".stripMargin
+
+  private lazy val lmScoreOracle =
+    s"""$lmCtes
+       |SELECT doc_id, split, n_bigrams, avg_lp_micro
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** X33: the lmCtes prefix, then the census-threshold terciles —
+    * cumulative counts over DISTINCT (lang, score) rows pick each
+    * score value's bucket; docs join the verdict back by value, so
+    * tie groups bucket together (threshold semantics, no tie-break).
+    * n_lang is a sum-of-counts → HUGEINT in DuckDB, hence the cast.
+    */
+  private lazy val pplBucketsOracle =
+    s"""$lmCtes,
+       |wl AS (
+       |  SELECT sc.doc_id, sc.split, sc.avg_lp_micro, d.lang
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       |),
+       |cen AS (
+       |  SELECT lang, avg_lp_micro, count(*) AS c FROM wl GROUP BY 1, 2
+       |),
+       |ct AS (
+       |  SELECT lang, avg_lp_micro,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY avg_lp_micro DESC)
+       |      AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS n_lang
+       |  FROM cen
+       |),
+       |bk AS (
+       |  SELECT lang, avg_lp_micro,
+       |    CASE WHEN cum * 3 <= n_lang THEN 'head'
+       |         WHEN cum * 3 <= n_lang * 2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket,
+       |    CAST(n_lang AS BIGINT) AS n_lang
+       |  FROM ct
        |)
-       |SELECT doc_id, split, count(*) AS n_bigrams,
-       |  CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micro
-       |FROM scores GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+       |SELECT wl.doc_id, wl.lang, wl.split, wl.avg_lp_micro,
+       |  bk.bucket, bk.n_lang
+       |FROM wl JOIN bk ON wl.lang = bk.lang
+       |  AND wl.avg_lp_micro = bk.avg_lp_micro
+       |ORDER BY wl.doc_id""".stripMargin
 
   /** Target mixture over the corpus's 20 sources: four upweighted
     * "high-quality" sources at 13 % each, the rest at 3 % (sums to 100).
@@ -1398,6 +1448,7 @@ object TextQueries {
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_encode"     -> (qBpeEncode _),
     "q_lm_score"       -> (qLmScore _),
+    "q_ppl_buckets"    -> (qPplBuckets _),
     "q_mix"            -> (qMix _),
     "q_repetition"     -> (qRepetition _),
     "q_boilerplate"    -> (qBoilerplate _),
@@ -1436,6 +1487,7 @@ object TextQueries {
     "q_bpe_train"      -> bpeTrainOracle,
     "q_bpe_encode"     -> bpeEncodeOracle,
     "q_lm_score"       -> lmScoreOracle,
+    "q_ppl_buckets"    -> pplBucketsOracle,
     "q_mix"            -> mixOracle,
     "q_repetition"     -> repetitionOracle,
     "q_boilerplate"    -> boilerplateOracle,

@@ -233,6 +233,41 @@ class TextPropertySpec extends SparkSpec {
     assert(keepers === Map(2L -> 1, 7L -> 1))
   }
 
+  test("bucketize: census terciles, tie groups bucket together") {
+    // lang a: 9 distinct scores -> exact 3/3/3 terciles
+    val a = (1L to 9L).map(i => (i, "train", 100L - i * 10L, "a"))
+    // lang b: tie group (40,40) straddles the head boundary (n=4,
+    // cum=3, 3*3 > 2*4) -> the whole group falls to TAIL; head keeps
+    // only the score-50 doc, middle is legitimately empty
+    val b = Seq((11L, "train", 50L, "b"), (12L, "val", 40L, "b"),
+      (13L, "train", 40L, "b"), (14L, "test", 10L, "b"))
+    // lang c: tie group (8,8) lands inside middle; 7 closes middle
+    // exactly at cum*3 == 2n (boundary inclusive)
+    val c = Seq((21L, "train", 9L, "c"), (22L, "train", 8L, "c"),
+      (23L, "val", 8L, "c"), (24L, "train", 7L, "c"),
+      (25L, "train", 3L, "c"), (26L, "test", 1L, "c"))
+    val scored = (a ++ b ++ c)
+      .toDF("doc_id", "split", "avg_lp_micro", "lang")
+    val out = TextOps.bucketize(scored).collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getLong(5)))).toMap
+    assert(out.size === 19)
+    val expectA = Map(1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "middle", 5L -> "middle", 6L -> "middle",
+      7L -> "tail", 8L -> "tail", 9L -> "tail")
+    expectA.foreach { case (id, bkt) => assert(out(id) === ((bkt, 9L))) }
+    assert(out(11L) === (("head", 4L)))
+    assert(out(12L) === (("tail", 4L)), "tie group straddling a cut " +
+      "falls wholly into the later bucket")
+    assert(out(12L)._1 === out(13L)._1, "equal scores, equal bucket")
+    assert(out(14L) === (("tail", 4L)))
+    assert(out(21L) === (("head", 6L)))
+    assert(out(22L) === (("middle", 6L)))
+    assert(out(23L) === (("middle", 6L)))
+    assert(out(24L) === (("middle", 6L)), "cum*3 == 2n is middle")
+    assert(out(25L) === (("tail", 6L)))
+    assert(out(26L) === (("tail", 6L)))
+  }
+
   test("ccDistributed: 65-node chain converges in log-diameter rounds") {
     // worst case for plain min-label propagation (diameter 64 would need
     // 64 rounds); pointer jumping must collapse it in ~log2(64) rounds
