@@ -198,8 +198,13 @@ object TextOps {
     * otherwise produce a quadratic key. Set sizes are computed from the
     * *unfiltered* sets so Jaccard stays unbiased.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, maxDf: Long,
-                        jacMicroMin: Long): DataFrame = {
+  /** The shared n-gram inverted-index pair relation: candidate doc
+    * pairs with distinct-shared-shingle counts and both set sizes —
+    * the common prefix of [[ngramJaccardPairs]] (symmetric metric) and
+    * [[ngramContainmentPairs]] (asymmetric metric).
+    */
+  private def ngramPairStats(docs: DataFrame, n: Int,
+                             maxDf: Long): DataFrame = {
     // hash shingles to 60-bit longs at the source: every downstream
     // shuffle/join key is 8 bytes instead of a ~30-byte string
     // (collisions at 2^-60 are negligible and the oracle mirrors the
@@ -217,11 +222,40 @@ object TextOps {
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int, maxDf: Long,
+                        jacMicroMin: Long): DataFrame =
+    ngramPairStats(docs, n, maxDf)
       .withColumn("jac_micro",
         micro(col("inter") / (col("n1") + col("n2") - col("inter"))))
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
-  }
+
+  /** Asymmetric containment near-dup pairs (Broder's containment
+    * coefficient, the metric behind suffix/quote dedup): |A∩B| over
+    * the SMALLER set, so a short document mostly embedded inside a
+    * long one scores ~1.0 where Jaccard — diluted by the long doc's
+    * unique content — stays under its dedup bar and the pair is
+    * missed. `jaccard_missed` marks exactly those pairs: what this
+    * operator catches that symmetric dedup cannot.
+    *
+    * Same inverted-index scale shape as [[ngramJaccardPairs]] (df-cap
+    * before the self-join, candidates bounded by true sharing); only
+    * the final metric projection differs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, maxDf: Long,
+                            contMicroMin: Long,
+                            jacMicroMin: Long): DataFrame =
+    ngramPairStats(docs, n, maxDf)
+      .withColumn("cont_micro",
+        micro(col("inter") / least(col("n1"), col("n2"))))
+      .withColumn("jac_micro",
+        micro(col("inter") / (col("n1") + col("n2") - col("inter"))))
+      .filter(col("cont_micro") >= contMicroMin)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        col("cont_micro"), col("jac_micro"),
+        (col("jac_micro") < jacMicroMin).as("jaccard_missed"))
 
   /** Per-doc MinHash signature as columns m0..m{seeds-1}, plus the
     * shingle-set size `n` fused into the same aggregation — over

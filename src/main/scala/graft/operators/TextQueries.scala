@@ -22,6 +22,7 @@ object TextQueries {
   val NgramJacMin = 800000L   // Jaccard >= 0.8
   val MinhashJacMin = 700000L // verified Jaccard >= 0.7
   val SimhashMaxHamming = 3
+  val ContMicroMin = 900000L  // containment >= 0.9
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select("doc_id", "text")
@@ -50,6 +51,10 @@ object TextQueries {
 
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("d1", "d2")
+
+  def qDedupContain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramContainmentPairs(docs(spark, dir), ShingleN,
+      MaxShingleDf, ContMicroMin, NgramJacMin).orderBy("d1", "d2")
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashLshPairs(docs(spark, dir), ShingleN, MinhashJacMin)
@@ -202,6 +207,21 @@ object TextQueries {
        |  FROM it JOIN sz s1 ON it.d1 = s1.doc_id
        |          JOIN sz s2 ON it.d2 = s2.doc_id
        |) WHERE jac_micro >= $NgramJacMin ORDER BY d1, d2""".stripMargin
+
+  /** D15: asymmetric containment pairs over the same inverted index.
+    * microSql divides by the true least() set size — the expression
+    * tree mirrors the Spark side exactly (association order matters).
+    */
+  private val dedupContainOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes
+       |SELECT *, jac_micro < $NgramJacMin AS jaccard_missed FROM (
+       |  SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+       |    ${Hashing.microSql("inter / least(s1.n, s2.n)")} AS cont_micro,
+       |    ${Hashing.microSql("inter / (s1.n + s2.n - inter)")} AS jac_micro
+       |  FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |          JOIN sz s2 ON it.d2 = s2.doc_id
+       |) WHERE cont_micro >= $ContMicroMin ORDER BY d1, d2""".stripMargin
 
   private val dedupMinhashOracle: String = {
     val p = Hashing.MinhashP
@@ -1480,6 +1500,7 @@ object TextQueries {
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
+    "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
@@ -1519,6 +1540,7 @@ object TextQueries {
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,
+    "q_dedup_contain" -> dedupContainOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

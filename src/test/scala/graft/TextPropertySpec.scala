@@ -233,6 +233,30 @@ class TextPropertySpec extends SparkSpec {
     assert(keepers === Map(2L -> 1, 7L -> 1))
   }
 
+  test("containment pairs: embedded doc caught where Jaccard misses") {
+    // A (20 tokens) appears verbatim inside B (200 tokens): every one
+    // of A's 16 5-shingles is in B, so containment = 1.0, while
+    // Jaccard = 16/196 — far under the 0.8 dedup bar
+    val aText = (1 to 20).map(i => s"a$i").mkString(" ")
+    val bText = aText + " " + (1 to 180).map(i => s"b$i").mkString(" ")
+    // C == D: the symmetric near-dup, caught by both metrics
+    val cText = (1 to 30).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, aText), (2L, bText), (3L, cText), (4L, cText),
+      (5L, (1 to 30).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramContainmentPairs(df, 5, 1000L, 900000L, 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getBoolean(7)))).toMap
+    assert(out.keySet === Set((1L, 2L), (3L, 4L)))
+    val (interAB, contAB, missedAB) = out((1L, 2L))
+    assert(interAB === 16L)
+    assert(contAB === 1000000L, "A fully contained in B")
+    assert(missedAB, "Jaccard dilution: symmetric dedup misses A in B")
+    val (_, contCD, missedCD) = out((3L, 4L))
+    assert(contCD === 1000000L)
+    assert(!missedCD, "identical docs are caught by Jaccard too")
+  }
+
   test("bucketize: census terciles, tie groups bucket together") {
     // lang a: 9 distinct scores -> exact 3/3/3 terciles
     val a = (1L to 9L).map(i => (i, "train", 100L - i * 10L, "a"))
