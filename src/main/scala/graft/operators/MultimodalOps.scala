@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
 import org.apache.spark.sql.functions._
 
 /** One media record as seen by the partition-local feature extractor. */
@@ -140,5 +140,41 @@ object MultimodalOps {
     val ds = media(docs).select("doc_id", "payload", "format")
       .as[MediaRecord]
     extractFeatures(ds).toDF()
+  }
+
+  /** Exact media dedup census — the storage-side dedup report every
+    * multimodal pipeline runs first: blobs grouped by content hash
+    * (sha-256 of the payload bytes), per-format counts of stored vs
+    * distinct blobs and the bytes reclaimable by keeping one copy per
+    * hash, plus an ALL rollup row where a blob stored under several
+    * formats still counts ONCE distinct (cross-format duplicates are
+    * invisible to any per-format number — the reason the rollup
+    * re-groups by hash instead of summing the format rows).
+    *
+    * Scale shape: ONE corpus pass builds the (format, sha) blob
+    * relation — the only shuffle that sees payload-derived rows, keyed
+    * on the 64-char hash with map-side partials (identical blobs
+    * collapse before the wire); both censuses and the ALL re-group
+    * aggregate blob-level rows (bounded by distinct blobs, not bytes).
+    */
+  def mediaDedupCensus(docs: DataFrame): DataFrame = {
+    val blobs = media(docs)
+      .select(col("format"), sha2(col("payload"), 256).as("sha"),
+        col("byte_len"))
+      .groupBy("format", "sha")
+      .agg(count(lit(1)).as("c"), max("byte_len").as("len"))
+      .cache()
+    def census(g: RelationalGroupedDataset) = g.agg(
+      sum("c").as("n_blobs"),
+      count(lit(1)).as("n_distinct_blobs"),
+      (sum("c") - count(lit(1))).as("dup_blobs"),
+      sum(col("c") * col("len")).as("total_bytes"),
+      sum((col("c") - 1L) * col("len")).as("reclaim_bytes"))
+    val perFormat = census(blobs.groupBy("format"))
+    val all = census(
+      blobs.groupBy("sha").agg(sum("c").as("c"), max("len").as("len"))
+        .groupBy())
+      .withColumn("format", lit("ALL"))
+    perFormat.unionByName(all.select(perFormat.columns.map(col): _*))
   }
 }

@@ -30,6 +30,9 @@ object MultimodalQueries {
   def qMediaFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaFeatures(docs(spark, dir)).orderBy("doc_id")
 
+  def qMediaDedup(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaDedupCensus(docs(spark, dir)).orderBy("format")
+
   private val fmtCase =
     """CASE source WHEN 'src0' THEN 'png' WHEN 'src1' THEN 'jpeg'
       |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
@@ -66,12 +69,47 @@ object MultimodalQueries {
        |FROM documents, unnest(range(0, $nFramesSql)) AS g(i)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** M4: blob-level CTE (count + len per (format, sha)), then the
+    * per-format census UNION the ALL row, which re-groups by sha so a
+    * cross-format duplicate counts once distinct.
+    */
+  private val mediaDedupOracle =
+    s"""WITH blobs AS (
+       |  SELECT $fmtCase AS format, sha256(text) AS sha,
+       |    count(*) AS c, max(CAST($byteLenSql AS BIGINT)) AS len
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |fmt AS (
+       |  SELECT format, CAST(sum(c) AS BIGINT) AS n_blobs,
+       |    count(*) AS n_distinct_blobs,
+       |    CAST(sum(c) - count(*) AS BIGINT) AS dup_blobs,
+       |    CAST(sum(c * len) AS BIGINT) AS total_bytes,
+       |    CAST(sum((c - 1) * len) AS BIGINT) AS reclaim_bytes
+       |  FROM blobs GROUP BY 1
+       |),
+       |g AS (
+       |  SELECT sha, CAST(sum(c) AS BIGINT) AS c, max(len) AS len
+       |  FROM blobs GROUP BY 1
+       |),
+       |allrow AS (
+       |  SELECT 'ALL' AS format, CAST(sum(c) AS BIGINT) AS n_blobs,
+       |    count(*) AS n_distinct_blobs,
+       |    CAST(sum(c) - count(*) AS BIGINT) AS dup_blobs,
+       |    CAST(sum(c * len) AS BIGINT) AS total_bytes,
+       |    CAST(sum((c - 1) * len) AS BIGINT) AS reclaim_bytes
+       |  FROM g
+       |)
+       |SELECT * FROM fmt UNION ALL SELECT * FROM allrow
+       |ORDER BY format""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
-    "q_media_features" -> (qMediaFeatures _))
+    "q_media_features" -> (qMediaFeatures _),
+    "q_media_dedup"    -> (qMediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_media_meta"   -> mediaMetaOracle,
-    "q_media_frames" -> mediaFramesOracle)
+    "q_media_frames" -> mediaFramesOracle,
+    "q_media_dedup"  -> mediaDedupOracle)
 }

@@ -46,4 +46,28 @@ class MultimodalOpsSpec extends SparkSpec {
     val ent = math.floor(1000000.0 * bytes.distinct.length / 256.0).toLong
     assert(r.getAs[Long]("byte_entropy_micro") === ent)
   }
+
+  test("mediaDedupCensus: cross-format dup counts once in ALL") {
+    // "dup" stored under png (src0), jpeg (src1), and bin (src9) —
+    // invisible to every per-format census, visible only to ALL;
+    // "solo" is unique. All payloads ASCII: byte_len == char count.
+    val docsDf = Seq(
+      (1L, "dup text payload", "en", "src0", 16L),
+      (2L, "dup text payload", "en", "src1", 16L),
+      (3L, "dup text payload", "en", "src9", 16L),
+      (4L, "solo", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = MultimodalOps.mediaDedupCensus(docsDf).collect()
+      .map(r => r.getAs[String]("format") ->
+        ((r.getAs[Long]("n_blobs"), r.getAs[Long]("n_distinct_blobs"),
+          r.getAs[Long]("dup_blobs"), r.getAs[Long]("reclaim_bytes"))))
+      .toMap
+    // per-format: each format sees its copy as distinct, zero dups
+    assert(out("png") === ((2L, 2L, 0L, 0L)))
+    assert(out("jpeg") === ((1L, 1L, 0L, 0L)))
+    assert(out("bin") === ((1L, 1L, 0L, 0L)))
+    // ALL re-groups by hash: 4 stored, 2 distinct, 2 dup copies of the
+    // 16-byte payload reclaimable
+    assert(out("ALL") === ((4L, 2L, 2L, 32L)))
+  }
 }
