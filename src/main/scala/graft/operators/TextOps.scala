@@ -1451,6 +1451,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility by language — the cross-lingual tokenizer
+    * fairness report (the "fertility" metric of the mBERT/XLM
+    * analyses): subtokens per word and bytes per subtoken under the
+    * [[bpeTrain]]-learned tokenizer, rolled up per language. A
+    * language whose fertility is 2× another's pays 2× the context
+    * budget for the same text — the number that drives vocabulary
+    * allocation across languages.
+    *
+    * Same dictionary-lookup shape as [[bpeEncode]] (tokenizing a word
+    * is a pure function of the word: broadcast the Heaps-bounded
+    * (word → subtoken count) dictionary into the exploded word
+    * stream); the rollup is one (lang, partial) Exchange — language
+    * cardinality is tiny, the corpus is read once. Word forms are
+    * lowercase ASCII so char length == byte length exactly.
+    */
+  def tokenizerFertility(docs: DataFrame, merges: Int): DataFrame = {
+    val dict = bpeTrainLoop(docs, merges)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    parallelized(docs)
+      .select(col("doc_id"), col("lang"),
+        explode_outer(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+"), lit(0))).as("w"))
+      .select(col("doc_id"), col("lang"), lower(col("w")).as("word"))
+      .join(broadcast(dict), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(col("word")).as("n_words"),
+        coalesce(sum("n_sub"), lit(0L)).as("n_subtokens"),
+        coalesce(sum(length(col("word")).cast("long")), lit(0L))
+          .as("word_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_subtokens"), col("word_bytes"),
+        when(col("n_words") > 0,
+          micro(col("n_subtokens") / col("n_words")))
+          .otherwise(lit(0L)).as("fertility_micro"),
+        when(col("n_subtokens") > 0,
+          micro(col("word_bytes") / col("n_subtokens")))
+          .otherwise(lit(0L)).as("bytes_per_subtoken_micro"))
+  }
+
   /** Bigram language-model quality scoring — the LM-perplexity filter
     * stage of a curation pipeline (heuristic stats [[tokenStats]] catch
     * garbage; an n-gram LM trained on the corpus's own train split

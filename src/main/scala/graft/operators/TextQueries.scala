@@ -97,6 +97,11 @@ object TextQueries {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeEncode(docs(spark, dir), TextOps.BpeMerges)
 
+  def qFertility(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenizerFertility(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang"),
+      TextOps.BpeMerges).orderBy("lang")
+
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     TextOps.curate(docs(spark, dir), ShingleN, MaxShingleDf, NgramJacMin,
       CurateQualityMin, pairs = Some(ngramPairs(spark, dir)))
@@ -1464,9 +1469,48 @@ object TextQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** X34: the bpeEncode oracle's dictionary chain, the word stream
+    * extended with lang, then one per-language rollup; aggregate
+    * first, divide once — mirroring the Spark expression tree.
+    */
+  private val fertilityOracle: String = {
+    val m = TextOps.BpeMerges
+    val rounds = (0 until m).map(bpeRound).mkString(",\n")
+    s"""WITH $bpeV0Cte,
+       |$rounds,
+       |dict AS (SELECT word, len(syms) AS n_sub FROM v$m),
+       |w AS (
+       |  SELECT doc_id, lang, lower(u.w) AS word
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) = 0
+       |           THEN [CAST(NULL AS VARCHAR)]
+       |           ELSE regexp_extract_all(text, '[A-Za-z]+') END AS ws
+       |    FROM documents
+       |  ), unnest(ws) AS u(w)
+       |),
+       |r AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS n_docs,
+       |    CAST(count(w.word) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(sum(d.n_sub), 0) AS BIGINT) AS n_subtokens,
+       |    CAST(COALESCE(sum(len(w.word)), 0) AS BIGINT) AS word_bytes
+       |  FROM w LEFT JOIN dict d USING (word)
+       |  GROUP BY 1
+       |)
+       |SELECT lang, n_docs, n_words, n_subtokens, word_bytes,
+       |  CASE WHEN n_words > 0
+       |    THEN ${Hashing.microSql("n_subtokens / n_words")}
+       |    ELSE 0 END AS fertility_micro,
+       |  CASE WHEN n_subtokens > 0
+       |    THEN ${Hashing.microSql("word_bytes / n_subtokens")}
+       |    ELSE 0 END AS bytes_per_subtoken_micro
+       |FROM r ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_encode"     -> (qBpeEncode _),
+    "q_fertility"      -> (qFertility _),
     "q_lm_score"       -> (qLmScore _),
     "q_ppl_buckets"    -> (qPplBuckets _),
     "q_mix"            -> (qMix _),
@@ -1507,6 +1551,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_bpe_train"      -> bpeTrainOracle,
     "q_bpe_encode"     -> bpeEncodeOracle,
+    "q_fertility"      -> fertilityOracle,
     "q_lm_score"       -> lmScoreOracle,
     "q_ppl_buckets"    -> pplBucketsOracle,
     "q_mix"            -> mixOracle,

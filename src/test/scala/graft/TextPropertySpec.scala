@@ -233,6 +233,35 @@ class TextPropertySpec extends SparkSpec {
     assert(keepers === Map(2L -> 1, 7L -> 1))
   }
 
+  test("tokenizerFertility: per-lang rollup consistent with bpeEncode") {
+    val docsDf = Seq(
+      (1L, "aa bb aa bb cc", "x"), (2L, "aa aa", "x"),
+      (3L, "ddd ee ddd", "y"), (4L, "", "y"))
+      .toDF("doc_id", "text", "lang")
+    val langOf = Map(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "y")
+    val fert = TextOps.tokenizerFertility(docsDf, 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the same corpus through the per-doc census, rolled up by hand
+    val enc = TextOps.bpeEncode(docsDf.select("doc_id", "text"), 3)
+      .collect().groupBy(r => langOf(r.getLong(0)))
+    assert(fert.keySet === Set("x", "y"))
+    for (l <- Seq("x", "y")) {
+      val rows = enc(l)
+      assert(fert(l).getAs[Long]("n_docs") === rows.length.toLong)
+      val words = rows.map(_.getAs[Long]("n_words")).sum
+      val subs = rows.map(_.getAs[Long]("n_subtokens")).sum
+      assert(fert(l).getAs[Long]("n_words") === words)
+      assert(fert(l).getAs[Long]("n_subtokens") === subs)
+      assert(fert(l).getAs[Long]("fertility_micro") ===
+        math.floor(1000000.0 * subs / words).toLong)
+    }
+    // byte accounting: lang x = 7 two-char words; the empty doc 4
+    // still counts toward y's n_docs
+    assert(fert("x").getAs[Long]("word_bytes") === 14L)
+    assert(fert("y").getAs[Long]("word_bytes") === 8L)
+    assert(fert("y").getAs[Long]("n_docs") === 2L)
+  }
+
   test("containment pairs: embedded doc caught where Jaccard misses") {
     // A (20 tokens) appears verbatim inside B (200 tokens): every one
     // of A's 16 5-shingles is in B, so containment = 1.0, while
