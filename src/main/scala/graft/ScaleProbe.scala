@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{SimilarityOps, TextOps}
+import graft.operators.{MultimodalOps, SimilarityOps, TextOps}
 
 /** Dev tool: scale-extrapolation probe. Replicates the sf0.1 tables
   * in-memory (id-offset copies — same distribution, k× the rows; near-
@@ -412,6 +412,103 @@ object ScaleProbe {
         "full probe must reach exact recall")
       require(curve.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
         "recall must be monotone in nProbe")
+    }
+    // Tokenizer fertility at k×: replication scales every word and
+    // pair frequency by exactly k, so the learned merge table — ties
+    // included — is invariant (pinned by the bpe_train probe above);
+    // per-language totals scale by exactly k and both micro ratios
+    // are therefore EXACTLY unchanged.
+    {
+      val dl = graft.sources.Tables.documents(spark, dir)
+        .select("doc_id", "text", "lang")
+      def fert(c: Int): Map[String, (Long, Long, Long, Long, Long)] = {
+        val d = replicate(dl, "doc_id", c)
+        var out: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+        time(s"fertility_${c}x") {
+          out = TextOps.tokenizerFertility(d, TextOps.BpeMerges)
+            .collect().map(r => r.getString(0) ->
+              (r.getLong(2), r.getLong(3), r.getLong(4),
+                r.getLong(5), r.getLong(6))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val f1 = fert(1)
+      val fk = fert(k)
+      require(fk.keySet == f1.keySet, "language set must be stable")
+      f1.foreach { case (l, (w, s, b, fm, bpm)) =>
+        val (wk, sk2, bk2, fmk, bpmk) = fk(l)
+        require(wk == w * k && sk2 == s * k && bk2 == b * k,
+          s"fertility totals for $l must scale exactly ${k}x")
+        require(fmk == fm && bpmk == bpm,
+          s"fertility ratios for $l must be replication-invariant")
+      }
+      println(s"SCALE fertility_invariance ok (${f1.size} languages, " +
+        s"totals x$k exact, ratios unchanged)")
+    }
+
+    // Media dedup census at k×: every payload's copy count scales by
+    // exactly k, so n_blobs and total/reclaim bytes follow closed
+    // forms of the 1× census — n_distinct invariant, n_blobs ×k,
+    // reclaim(k) = total(k) − (total(1) − reclaim(1)).
+    {
+      val dm = graft.sources.Tables.documents(spark, dir)
+      def med(c: Int): Map[String, (Long, Long, Long, Long)] = {
+        val d = replicate(dm, "doc_id", c)
+        var out: Map[String, (Long, Long, Long, Long)] = Map.empty
+        time(s"media_dedup_${c}x") {
+          out = MultimodalOps.mediaDedupCensus(d).collect()
+            .map(r => r.getString(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+            .toMap
+          out.size.toLong
+        }
+        out
+      }
+      val m1 = med(1)
+      val mk = med(k)
+      require(mk.keySet == m1.keySet, "format set must be stable")
+      m1.foreach { case (f, (nb, nd, tb, rb)) =>
+        val (nbk, ndk, tbk, rbk) = mk(f)
+        require(nbk == nb * k, s"$f: n_blobs must scale exactly ${k}x")
+        require(ndk == nd, s"$f: n_distinct must be invariant")
+        require(tbk == tb * k, s"$f: total_bytes must scale exactly ${k}x")
+        require(rbk == tbk - (tb - rb),
+          s"$f: reclaim must equal total minus one kept copy per blob")
+      }
+      println(s"SCALE media_dedup_invariance ok (${m1.size} census rows, " +
+        s"distinct blobs invariant under ${k}x)")
+    }
+
+    // Containment pairs at k×: a base pair's stats are functions of
+    // the two shingle SETS, which replication leaves untouched — every
+    // 1× pair must reappear with IDENTICAL (inter, n1, n2, cont, jac)
+    // among the base ids at k× (the df cap scales with k so the same
+    // grams survive).
+    {
+      val base = 10000000L
+      def cont(c: Int): Map[(Long, Long), Seq[Long]] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[(Long, Long), Seq[Long]] = Map.empty
+        time(s"containment_${c}x") {
+          out = TextOps.ngramContainmentPairs(d, 5, 1000L * c,
+            900000L, 800000L).collect()
+            .map(r => (r.getLong(0), r.getLong(1)) ->
+              Seq(r.getLong(2), r.getLong(3), r.getLong(4),
+                r.getLong(5), r.getLong(6))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val c1 = cont(1)
+      val ck = cont(k)
+      c1.foreach { case (pair, stats) =>
+        require(ck.get(pair).contains(stats),
+          s"containment base pair $pair must persist with identical " +
+            s"stats at ${k}x")
+      }
+      println(s"SCALE containment_invariance ok (${c1.size} base pairs " +
+        s"persist stat-identical at ${k}x; ${ck.size} total)")
     }
     spark.stop()
   }

@@ -334,9 +334,15 @@ object TextOps {
     * join on (band, band_hash) — tiny buckets, no O(n²) anywhere;
     * verification touches only candidate pairs.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int, jacMicroMin: Long,
-      nBands: Int = 4, rowsPerBand: Int = 4,
-      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame = {
+  /** The threshold-free MinHash candidate stream with BOTH the
+    * signature estimate (n_match of `seeds.length` components) and the
+    * verified true Jaccard — the shared prefix of [[minhashLshPairs]]
+    * (which applies the dedup bar) and [[minhashCalibration]] (which
+    * audits the estimator against the truth).
+    */
+  private def minhashScoredCandidates(docs: DataFrame, n: Int,
+      nBands: Int, rowsPerBand: Int,
+      seeds: Seq[(Long, Long)]): DataFrame = {
     // one md5 pass; the cached working set and every join key are longs
     val sh = shingleSet(docs, n)
       .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
@@ -360,8 +366,43 @@ object TextOps {
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jac_micro",
         micro(col("inter") / (col("n1") + col("n2") - col("inter"))))
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int, jacMicroMin: Long,
+      nBands: Int = 4, rowsPerBand: Int = 4,
+      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame =
+    minhashScoredCandidates(docs, n, nBands, rowsPerBand, seeds)
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "n_match", "inter", "jac_micro")
+
+  /** MinHash estimator calibration — the dedup analogue of the ANN
+    * recall curve: over the PRODUCTION candidate stream (same banding,
+    * no similarity bar), group pairs by the signature estimate
+    * (n_match of `seeds.length` components) and report how the truth
+    * distributes at each estimate level — pair count, mean verified
+    * Jaccard, and mean absolute estimator error. The table answers
+    * "can I trust k-of-16 as a dedup verdict, or must I verify?" with
+    * measured numbers instead of the binomial-theory answer.
+    *
+    * Integer-exact: the estimate is micro(n_match / seeds), truth is
+    * the verified micro Jaccard, both means are floor(sum / count) —
+    * no doubles cross the aggregation.
+    *
+    * Scale shape: everything rides [[minhashScoredCandidates]] (LSH-
+    * bounded candidates, verified by one intersection join); the
+    * census is one (n_match, partial) Exchange over ≤ seeds+1 groups.
+    */
+  def minhashCalibration(docs: DataFrame, n: Int,
+      nBands: Int = 4, rowsPerBand: Int = 4,
+      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame = {
+    val estMicro = micro(col("n_match") / lit(seeds.length))
+    minhashScoredCandidates(docs, n, nBands, rowsPerBand, seeds)
+      .select(col("n_match"), col("jac_micro"),
+        abs(estMicro - col("jac_micro")).as("abs_err"))
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum("jac_micro") / count(lit(1))).as("mean_jac_micro"),
+        floor(sum("abs_err") / count(lit(1))).as("mean_abs_err_micro"))
   }
 
   /** TF-IDF top terms per document. tf and df are exact integer

@@ -52,6 +52,10 @@ object TextQueries {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("d1", "d2")
 
+  def qMinhashCalib(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashCalibration(docs(spark, dir), ShingleN)
+      .orderBy("n_match")
+
   def qDedupContain(spark: SparkSession, dir: String): DataFrame =
     TextOps.ngramContainmentPairs(docs(spark, dir), ShingleN,
       MaxShingleDf, ContMicroMin, NgramJacMin).orderBy("d1", "d2")
@@ -228,7 +232,11 @@ object TextQueries {
        |          JOIN sz s2 ON it.d2 = s2.doc_id
        |) WHERE cont_micro >= $ContMicroMin ORDER BY d1, d2""".stripMargin
 
-  private val dedupMinhashOracle: String = {
+  /** Shared MinHash CTE chain ending in `scored` = the threshold-free
+    * candidate stream with estimate + verified truth — the D3 dedup
+    * oracle filters it, the D16 calibration oracle aggregates it.
+    */
+  private val minhashScoredCtes: String = {
     val p = Hashing.MinhashP
     val mins = Hashing.MinhashSeeds.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $p) AS m$j"
@@ -270,8 +278,8 @@ object TextQueries {
        |              JOIN hs0 b ON b.doc_id = c.d2 AND b.h0 = a.h0
        |  GROUP BY 1, 2
        |),
-       |sz AS (SELECT doc_id, count(*) AS n FROM hs0 GROUP BY 1)
-       |SELECT * FROM (
+       |sz AS (SELECT doc_id, count(*) AS n FROM hs0 GROUP BY 1),
+       |scored AS (
        |  SELECT e.d1, e.d2, e.n_match, COALESCE(it.inter, 0) AS inter,
        |    ${Hashing.microSql(
       "COALESCE(it.inter, 0) / (s1.n + s2.n - COALESCE(it.inter, 0))")}
@@ -279,7 +287,28 @@ object TextQueries {
        |  FROM est e LEFT JOIN it ON e.d1 = it.d1 AND e.d2 = it.d2
        |  JOIN sz s1 ON e.d1 = s1.doc_id
        |  JOIN sz s2 ON e.d2 = s2.doc_id
-       |) WHERE jac_micro >= $MinhashJacMin ORDER BY d1, d2""".stripMargin
+       |)""".stripMargin
+  }
+
+  private val dedupMinhashOracle: String =
+    s"""$minhashScoredCtes
+       |SELECT * FROM scored
+       |WHERE jac_micro >= $MinhashJacMin ORDER BY d1, d2""".stripMargin
+
+  /** D16: the estimator-calibration census over the same `scored`
+    * stream — estimate is micro(n_match/seeds), means are
+    * floor(sum/count), mirroring the Spark tree exactly.
+    */
+  private val minhashCalibOracle: String = {
+    val nSeeds = Hashing.MinhashSeeds.length
+    s"""$minhashScoredCtes
+       |SELECT n_match, count(*) AS n_pairs,
+       |  CAST(floor(sum(jac_micro) * 1.0 / count(*)) AS BIGINT)
+       |    AS mean_jac_micro,
+       |  CAST(floor(sum(abs(${Hashing.microSql(s"n_match / $nSeeds")}
+       |    - jac_micro)) * 1.0 / count(*)) AS BIGINT)
+       |    AS mean_abs_err_micro
+       |FROM scored GROUP BY 1 ORDER BY n_match""".stripMargin
   }
 
   private val dedupSimhashOracle: String = {
@@ -1545,6 +1574,7 @@ object TextQueries {
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_dedup_contain" -> (qDedupContain _),
+    "q_minhash_calib" -> (qMinhashCalib _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
@@ -1586,6 +1616,7 @@ object TextQueries {
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,
     "q_dedup_contain" -> dedupContainOracle,
+    "q_minhash_calib" -> minhashCalibOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

@@ -27,9 +27,11 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ann_ivf",        // broadcast nProbe cluster list
     "q_ann_recall",     // broadcast probe ranks grid (Q x nCentroids)
     "q_ann_topk",       // broadcast single query vector
+    "q_dsir",           // broadcast one-row target/raw census totals
     "q_integrity",      // broadcast one-row expected-totals relation
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
+    "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
     "q_range_join",     // pure range join on a broadcast bucket dim
     "q_tfidf",          // broadcast one-row corpus doc count N

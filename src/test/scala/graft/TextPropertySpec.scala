@@ -262,6 +262,20 @@ class TextPropertySpec extends SparkSpec {
     assert(fert("y").getAs[Long]("n_docs") === 2L)
   }
 
+  test("minhashCalibration: perfect copies calibrate to zero error") {
+    val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val t2 = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, t1), (2L, t1), (3L, t1), (4L, t2))
+      .toDF("doc_id", "text")
+    val out = TextOps.minhashCalibration(df, 5).collect()
+    assert(out.length === 1, "only the identical triple collides")
+    val r = out.head
+    assert(r.getLong(0) === 16L, "all 16 signature components match")
+    assert(r.getLong(1) === 3L, "pairs (1,2) (1,3) (2,3)")
+    assert(r.getLong(2) === 1000000L, "true Jaccard 1.0")
+    assert(r.getLong(3) === 0L, "estimate == truth, zero error")
+  }
+
   test("containment pairs: embedded doc caught where Jaccard misses") {
     // A (20 tokens) appears verbatim inside B (200 tokens): every one
     // of A's 16 5-shingles is in B, so containment = 1.0, while
