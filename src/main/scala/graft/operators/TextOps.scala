@@ -1595,6 +1595,50 @@ object TextOps {
         floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
   }
 
+  /** Fractional source upsampling — the epoch-repeat assignment of a
+    * weighted data recipe (the LLaMA-style "Wikipedia ×2.5, web ×0.8"
+    * table): a source weighted w repeats each of its documents
+    * floor(w) times plus one more with probability frac(w), decided by
+    * a salted md5 of doc_id — never `rand()` ([[splitBucket]]'s
+    * discipline), so the same (corpus, salt) re-derives the identical
+    * repeat plan on every run and retry. Complements [[trainingMix]] /
+    * temperature mixing, which only SUBSAMPLE (weights ≤ 1): this is
+    * the operator that realizes weights above 1. Weights are micro
+    * ints; sources absent from the table default to 1.0 (pass-through).
+    *
+    * Output is the per-source census — docs, emitted repeats, target
+    * vs realized weight and their gap (shrinks as 1/n by LLN; the spec
+    * pins exactness on a crafted corpus instead). Scale shape: one
+    * broadcast of the weight table into a two-column projection of the
+    * corpus, one (source, partial) Exchange; the coin is a pure
+    * per-row function — no state, no window, nothing corpus-global.
+    */
+  def fractionalUpsample(docs: DataFrame, weights: Seq[(String, Long)],
+                         salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("source", "w_micro")
+    val coin =
+      md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))) %
+        1000000L
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(w), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("w_micro"), lit(1000000L)).as("w_micro"),
+        (floor(coalesce(col("w_micro"), lit(1000000L)) / 1000000L) +
+          when(coin < coalesce(col("w_micro"), lit(1000000L)) % 1000000L,
+            1L).otherwise(0L)).as("n_rep"))
+      .groupBy("source")
+      .agg(max("w_micro").as("target_w_micro"),
+        count(lit(1)).as("n_docs"),
+        sum("n_rep").as("n_emitted"))
+      .select(col("source"), col("target_w_micro"), col("n_docs"),
+        col("n_emitted"),
+        micro(col("n_emitted") / col("n_docs")).as("realized_w_micro"),
+        abs(micro(col("n_emitted") / col("n_docs")) -
+          col("target_w_micro")).as("abs_dev_micro"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
     * split each language's documents into head/middle/tail terciles of
     * the [[lmScore]] fluency score — the filter CCNet uses to keep the

@@ -804,9 +804,54 @@ object TextQueries {
   val MixTargets: Seq[(String, Long)] =
     (0 until 20).map(i => (s"src$i", if (i < 4) 13L else 3L))
 
+  /** X35 weight table: the four "high-quality" sources upweighted
+    * 2.5×, one explicitly downsampled to 0.75×, the rest passing
+    * through at the 1.0 default — both fractional branches exercised.
+    */
+  val UpWeights: Seq[(String, Long)] =
+    (0 until 4).map(i => (s"src$i", 2500000L)) :+ ("src19" -> 750000L)
+
+  val UpsampleSalt = "epoch0"
+
+  def qUpsample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fractionalUpsample(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      UpWeights, UpsampleSalt).orderBy("source")
+
   def qMix(spark: SparkSession, dir: String): DataFrame =
     TextOps.trainingMix(Tables.documents(spark, dir), MixTargets)
       .orderBy("source")
+
+  /** X35: the weight table as VALUES, the same salted-md5 coin as the
+    * Spark side, floor'd integer base + fractional bernoulli, one
+    * per-source rollup.
+    */
+  private val upsampleOracle = {
+    val vals = UpWeights
+      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    val coin = s"${Hashing.md5LongSql(
+      s"'$UpsampleSalt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
+    s"""WITH w(source, w_micro) AS (VALUES $vals),
+       |per AS (
+       |  SELECT d.source,
+       |    CAST(COALESCE(w.w_micro, 1000000) AS BIGINT) AS w_micro,
+       |    CAST(floor(COALESCE(w.w_micro, 1000000) / 1000000) AS BIGINT)
+       |      + CASE WHEN $coin <
+       |          COALESCE(w.w_micro, 1000000) % 1000000
+       |        THEN 1 ELSE 0 END AS n_rep
+       |  FROM documents d LEFT JOIN w USING (source)
+       |),
+       |c AS (
+       |  SELECT source, max(w_micro) AS target_w_micro,
+       |    count(*) AS n_docs, CAST(sum(n_rep) AS BIGINT) AS n_emitted
+       |  FROM per GROUP BY 1
+       |)
+       |SELECT source, target_w_micro, n_docs, n_emitted,
+       |  ${Hashing.microSql("n_emitted / n_docs")} AS realized_w_micro,
+       |  abs(${Hashing.microSql("n_emitted / n_docs")} - target_w_micro)
+       |    AS abs_dev_micro
+       |FROM c ORDER BY source""".stripMargin
+  }
 
   private val mixOracle = {
     val vals = MixTargets
@@ -1543,6 +1588,7 @@ object TextQueries {
     "q_lm_score"       -> (qLmScore _),
     "q_ppl_buckets"    -> (qPplBuckets _),
     "q_mix"            -> (qMix _),
+    "q_upsample"       -> (qUpsample _),
     "q_repetition"     -> (qRepetition _),
     "q_boilerplate"    -> (qBoilerplate _),
     "q_quality_rules"  -> (qQualityRules _),
@@ -1585,6 +1631,7 @@ object TextQueries {
     "q_lm_score"       -> lmScoreOracle,
     "q_ppl_buckets"    -> pplBucketsOracle,
     "q_mix"            -> mixOracle,
+    "q_upsample"       -> upsampleOracle,
     "q_repetition"     -> repetitionOracle,
     "q_boilerplate"    -> boilerplateOracle,
     "q_quality_rules"  -> qualityRulesOracle,

@@ -262,6 +262,30 @@ class TextPropertySpec extends SparkSpec {
     assert(fert("y").getAs[Long]("n_docs") === 2L)
   }
 
+  test("fractionalUpsample: deterministic repeats, both branches") {
+    val docs = (1L to 300L).map { i =>
+      (i, if (i <= 100) "a" else if (i <= 200) "b" else "c")
+    }.toDF("doc_id", "source")
+    val w = Seq("a" -> 2500000L, "c" -> 3000000L) // b: 1.0 default
+    def run() = TextOps.fractionalUpsample(docs, w, "s").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = run()
+    assert(out === run(), "same (corpus, salt) must re-derive the " +
+      "identical repeat plan")
+    // default source: exact pass-through
+    assert(out("b") === ((1000000L, 100L, 100L)))
+    // integral weight: exactly 3 repeats each, no coin involved
+    assert(out("c") === ((3000000L, 100L, 300L)))
+    // fractional weight: 2 guaranteed + bernoulli third
+    val (wA, nA, eA) = out("a")
+    assert(wA === 2500000L && nA === 100L)
+    assert(eA >= 200L && eA <= 300L)
+    // ~half the coins land heads; a 0-or-100 outcome would mean the
+    // coin ignores doc_id
+    assert(eA > 210L && eA < 290L, s"got $eA of [200,300]")
+  }
+
   test("minhashCalibration: perfect copies calibrate to zero error") {
     val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val t2 = (100 to 140).map(i => s"x$i").mkString(" ")
