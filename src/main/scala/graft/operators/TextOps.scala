@@ -1617,8 +1617,12 @@ object TextOps {
     * corpus, one (source, partial) Exchange; the coin is a pure
     * per-row function — no state, no window, nothing corpus-global.
     */
-  def fractionalUpsample(docs: DataFrame, weights: Seq[(String, Long)],
-                         salt: String): DataFrame = {
+  /** Per-document repeat counts under a fractional weight table — the
+    * shared kernel of [[fractionalUpsample]] (census) and
+    * [[upsampleShards]] (the materialized epoch stream).
+    */
+  private def upsampleRepeats(docs: DataFrame,
+      weights: Seq[(String, Long)], salt: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toDF("source", "w_micro")
@@ -1627,11 +1631,16 @@ object TextOps {
         1000000L
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(w), Seq("source"), "left")
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         coalesce(col("w_micro"), lit(1000000L)).as("w_micro"),
         (floor(coalesce(col("w_micro"), lit(1000000L)) / 1000000L) +
           when(coin < coalesce(col("w_micro"), lit(1000000L)) % 1000000L,
             1L).otherwise(0L)).as("n_rep"))
+  }
+
+  def fractionalUpsample(docs: DataFrame, weights: Seq[(String, Long)],
+                         salt: String): DataFrame = {
+    upsampleRepeats(docs, weights, salt)
       .groupBy("source")
       .agg(max("w_micro").as("target_w_micro"),
         count(lit(1)).as("n_docs"),
@@ -1641,6 +1650,40 @@ object TextOps {
         micro(col("n_emitted") / col("n_docs")).as("realized_w_micro"),
         abs(micro(col("n_emitted") / col("n_docs")) -
           col("target_w_micro")).as("abs_dev_micro"))
+  }
+
+  /** ACTING on [[fractionalUpsample]] the way [[shuffleShard]] acts on
+    * the 1× corpus: materialize the upsampled epoch STREAM. Every
+    * (doc, repeat) copy is an independent unit — its shard/position
+    * hash includes the repeat index, so a doc's 3 copies scatter
+    * independently across the epoch instead of training back-to-back
+    * (the property repeat-weighting needs to not behave like simple
+    * concatenation); a weight-0.75 doc whose coin missed drops out of
+    * the epoch entirely. Same (corpus, weights, salts) ⇒ identical
+    * stream; the epoch salt re-deals positions without touching the
+    * repeat plan.
+    *
+    * Scale shape: [[upsampleRepeats]]'s broadcast + a bounded explode
+    * (Σ weights × docs rows), then exactly [[shuffleShard]]'s cost —
+    * one hash-partition Exchange on shard and a per-shard sort, no
+    * global ordering; raise nShards until a shard fits the executor
+    * sort budget.
+    */
+  def upsampleShards(docs: DataFrame, weights: Seq[(String, Long)],
+      salt: String, nShards: Int, epochSalt: String): DataFrame = {
+    val copies = upsampleRepeats(docs, weights, salt)
+      .filter(col("n_rep") > 0L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_rep"))).as("rep"))
+    val h = md5Long(concat(lit(s"shuf:$epochSalt:"),
+      col("doc_id").cast("string"), lit(":"), col("rep").cast("string")))
+    val base = copies.select(col("doc_id"), col("rep"), h.as("h"),
+      (h % nShards.toLong).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id", "rep")
+    base.select(col("shard"),
+      row_number().over(w).cast("long").as("pos"),
+      col("doc_id"), col("rep"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):

@@ -812,6 +812,14 @@ object TextQueries {
     (0 until 4).map(i => (s"src$i", 2500000L)) :+ ("src19" -> 750000L)
 
   val UpsampleSalt = "epoch0"
+  val UpShards = 8
+  val UpEpochSalt = "e1"
+
+  def qUpsampleShards(spark: SparkSession, dir: String): DataFrame =
+    TextOps.upsampleShards(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      UpWeights, UpsampleSalt, UpShards, UpEpochSalt)
+      .orderBy("shard", "pos")
 
   def qUpsample(spark: SparkSession, dir: String): DataFrame =
     TextOps.fractionalUpsample(
@@ -826,21 +834,28 @@ object TextQueries {
     * Spark side, floor'd integer base + fractional bernoulli, one
     * per-source rollup.
     */
-  private val upsampleOracle = {
+  /** Shared X35/X36 per-doc repeat CTE: the weight VALUES table, the
+    * salted-md5 coin, floor'd base + fractional bernoulli.
+    */
+  private val upsamplePerCte = {
     val vals = UpWeights
       .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
     val coin = s"${Hashing.md5LongSql(
       s"'$UpsampleSalt:' || CAST(doc_id AS VARCHAR)")} % 1000000"
     s"""WITH w(source, w_micro) AS (VALUES $vals),
        |per AS (
-       |  SELECT d.source,
+       |  SELECT d.doc_id, d.source,
        |    CAST(COALESCE(w.w_micro, 1000000) AS BIGINT) AS w_micro,
        |    CAST(floor(COALESCE(w.w_micro, 1000000) / 1000000) AS BIGINT)
        |      + CASE WHEN $coin <
        |          COALESCE(w.w_micro, 1000000) % 1000000
        |        THEN 1 ELSE 0 END AS n_rep
        |  FROM documents d LEFT JOIN w USING (source)
-       |),
+       |)""".stripMargin
+  }
+
+  private val upsampleOracle =
+    s"""$upsamplePerCte,
        |c AS (
        |  SELECT source, max(w_micro) AS target_w_micro,
        |    count(*) AS n_docs, CAST(sum(n_rep) AS BIGINT) AS n_emitted
@@ -851,6 +866,26 @@ object TextQueries {
        |  abs(${Hashing.microSql("n_emitted / n_docs")} - target_w_micro)
        |    AS abs_dev_micro
        |FROM c ORDER BY source""".stripMargin
+
+  /** X36: per-doc repeats exploded to copies (range is [a, b) so
+    * n_rep = 0 drops out), each copy independently hashed into its
+    * shard and position — the md5 mirror of the Spark window.
+    */
+  private val upsampleShardsOracle = {
+    val h = Hashing.md5LongSql(
+      s"'shuf:$UpEpochSalt:' || CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(rep AS VARCHAR)")
+    s"""$upsamplePerCte,
+       |copies AS (
+       |  SELECT doc_id, CAST(g.r AS BIGINT) AS rep
+       |  FROM per, unnest(range(1, n_rep + 1)) AS g(r)
+       |),
+       |hh AS (SELECT doc_id, rep, $h AS h FROM copies)
+       |SELECT CAST(h % $UpShards AS BIGINT) AS shard,
+       |  row_number() OVER (PARTITION BY h % $UpShards
+       |    ORDER BY h, doc_id, rep) AS pos,
+       |  doc_id, rep
+       |FROM hh ORDER BY shard, pos""".stripMargin
   }
 
   private val mixOracle = {
@@ -1589,6 +1624,7 @@ object TextQueries {
     "q_ppl_buckets"    -> (qPplBuckets _),
     "q_mix"            -> (qMix _),
     "q_upsample"       -> (qUpsample _),
+    "q_upsample_shards" -> (qUpsampleShards _),
     "q_repetition"     -> (qRepetition _),
     "q_boilerplate"    -> (qBoilerplate _),
     "q_quality_rules"  -> (qQualityRules _),
@@ -1632,6 +1668,7 @@ object TextQueries {
     "q_ppl_buckets"    -> pplBucketsOracle,
     "q_mix"            -> mixOracle,
     "q_upsample"       -> upsampleOracle,
+    "q_upsample_shards" -> upsampleShardsOracle,
     "q_repetition"     -> repetitionOracle,
     "q_boilerplate"    -> boilerplateOracle,
     "q_quality_rules"  -> qualityRulesOracle,

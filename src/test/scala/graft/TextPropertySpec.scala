@@ -286,6 +286,36 @@ class TextPropertySpec extends SparkSpec {
     assert(eA > 210L && eA < 290L, s"got $eA of [200,300]")
   }
 
+  test("upsampleShards: copies scatter independently, misses drop") {
+    val docs = (1L to 200L).map { i =>
+      (i, if (i <= 100) "a" else "b")
+    }.toDF("doc_id", "source")
+    val w = Seq("a" -> 3000000L, "b" -> 500000L)
+    def run() = TextOps.upsampleShards(docs, w, "s", 4, "e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = run()
+    assert(out.toSeq === run().toSeq, "same salts, same epoch stream")
+    val byDoc = out.groupBy(_._3)
+    // integral 3x: every a-doc contributes reps {1,2,3}
+    (1L to 100L).foreach { d =>
+      assert(byDoc(d).map(_._4).toSet === Set(1L, 2L, 3L))
+    }
+    // 0.5x: b-docs appear at most once; roughly half drop out entirely
+    val bKept = (101L to 200L).count(byDoc.contains)
+    assert((101L to 200L).forall(d =>
+      byDoc.get(d).forall(_.length == 1)))
+    assert(bKept > 25 && bKept < 75, s"got $bKept of 100 at weight 0.5")
+    // positions are dense 1..n within each shard
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // the 3 copies of most docs land in >1 shard — repeats scatter
+    // instead of training back-to-back
+    val scattered = (1L to 100L).count(d =>
+      byDoc(d).map(_._1).toSet.size > 1)
+    assert(scattered > 60, s"only $scattered of 100 docs scattered")
+  }
+
   test("minhashCalibration: perfect copies calibrate to zero error") {
     val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val t2 = (100 to 140).map(i => s"x$i").mkString(" ")
