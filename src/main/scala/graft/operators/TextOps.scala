@@ -368,6 +368,35 @@ object TextOps {
         micro(col("inter") / (col("n1") + col("n2") - col("inter"))))
   }
 
+  /** Candidate-similarity histogram — the threshold-sensitivity curve
+    * behind the dedup bar: every df-capped candidate pair bucketed by
+    * its exact Jaccard (5 %-wide buckets), with pair counts and the
+    * cumulative count from the top. Reading the curve answers "how
+    * many more pairs would a 0.75 bar admit than 0.8?" with data
+    * before anyone re-runs a dedup sweep. Candidates only (pairs
+    * sharing ≥ 1 df-capped shingle) — below-candidate pairs have
+    * Jaccard ≈ 0 by construction and would swamp the histogram.
+    *
+    * Scale: the [[ngramPairStats]] machinery verbatim, then one
+    * (bucket, partial) Exchange over ≤ 21 groups and a window across
+    * those 21 rows — nothing pair-bounded ever re-shuffles.
+    */
+  def jaccardHistogram(docs: DataFrame, n: Int, maxDf: Long): DataFrame = {
+    val bucket = (floor(micro(
+      col("inter") / (col("n1") + col("n2") - col("inter"))) /
+      lit(50000L)) * 50000L).as("bucket_lo_micro")
+    val census = ngramPairStats(docs, n, maxDf)
+      .select(bucket)
+      .groupBy("bucket_lo_micro")
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo_micro").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    census.select(col("bucket_lo_micro"), col("n_pairs"),
+      sum("n_pairs").over(w).as("n_pairs_at_or_above"))
+  }
+
   def minhashLshPairs(docs: DataFrame, n: Int, jacMicroMin: Long,
       nBands: Int = 4, rowsPerBand: Int = 4,
       seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame =

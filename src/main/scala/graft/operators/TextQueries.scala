@@ -52,6 +52,10 @@ object TextQueries {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("d1", "d2")
 
+  def qJacHist(spark: SparkSession, dir: String): DataFrame =
+    TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
+      .orderBy("bucket_lo_micro")
+
   def qMinhashCalib(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashCalibration(docs(spark, dir), ShingleN)
       .orderBy("n_match")
@@ -231,6 +235,24 @@ object TextQueries {
        |  FROM it JOIN sz s1 ON it.d1 = s1.doc_id
        |          JOIN sz s2 ON it.d2 = s2.doc_id
        |) WHERE cont_micro >= $ContMicroMin ORDER BY d1, d2""".stripMargin
+
+  /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
+    * column windows over the ≤ 21 census rows (unique bucket values,
+    * so DuckDB's default RANGE frame equals the Spark ROWS frame).
+    */
+  private val jacHistOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes
+       |SELECT bucket_lo_micro, count(*) AS n_pairs,
+       |  CAST(sum(count(*)) OVER (ORDER BY bucket_lo_micro DESC)
+       |    AS BIGINT) AS n_pairs_at_or_above
+       |FROM (
+       |  SELECT CAST(floor(${Hashing.microSql(
+      "it.inter / (s1.n + s2.n - it.inter)")} / 50000) AS BIGINT)
+       |    * 50000 AS bucket_lo_micro
+       |  FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |          JOIN sz s2 ON it.d2 = s2.doc_id
+       |) GROUP BY 1 ORDER BY bucket_lo_micro""".stripMargin
 
   /** Shared MinHash CTE chain ending in `scored` = the threshold-free
     * candidate stream with estimate + verified truth — the D3 dedup
@@ -1657,6 +1679,7 @@ object TextQueries {
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_minhash_calib" -> (qMinhashCalib _),
+    "q_jac_hist"      -> (qJacHist _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
@@ -1701,6 +1724,7 @@ object TextQueries {
     "q_dedup_ngram"   -> dedupNgramOracle,
     "q_dedup_contain" -> dedupContainOracle,
     "q_minhash_calib" -> minhashCalibOracle,
+    "q_jac_hist"      -> jacHistOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

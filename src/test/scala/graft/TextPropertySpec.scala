@@ -316,6 +316,19 @@ class TextPropertySpec extends SparkSpec {
     assert(scattered > 60, s"only $scattered of 100 docs scattered")
   }
 
+  test("jaccardHistogram: buckets and top-down cumulative counts") {
+    val t1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val t3 = t1 + " " + (1 to 180).map(i => s"b$i").mkString(" ")
+    // 1 == 2 (jac 1.0 -> bucket 1000000); 3 shares 16 of 196 with each
+    // (jac 81632 -> bucket 50000), twice
+    val df = Seq((1L, t1), (2L, t1), (3L, t3)).toDF("doc_id", "text")
+    val out = TextOps.jaccardHistogram(df, 5, 1000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1000000L -> ((1L, 1L)),
+      50000L -> ((2L, 3L))), s"got $out")
+  }
+
   test("minhashCalibration: perfect copies calibrate to zero error") {
     val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val t2 = (100 to 140).map(i => s"x$i").mkString(" ")
