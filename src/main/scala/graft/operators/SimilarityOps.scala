@@ -652,6 +652,43 @@ object SimilarityOps {
     * 16-byte-per-row id shuffle when the dup rate makes it large (an
     * explicit broadcast hint would be wrong at a 100 TB dup set).
     */
+  /** Within-cluster pair-cosine distribution — the measured basis for
+    * the SemDeDup bar (D12's 0.4 threshold was picked from exactly
+    * this curve, ad hoc at the time; this operator makes the evidence
+    * a first-class query): every within-cluster pair bucketed by
+    * exact cosine (5 %-wide buckets over [-1, 1]), with counts and
+    * top-down cumulative counts. Read it before setting a dedup bar —
+    * the bar belongs above the bulk of the distribution and below the
+    * duplicate mode.
+    *
+    * Scale: identical pair cost to [[semDedup]] (Σ|cluster|²,
+    * controlled by nCentroids — the blocking IS the scale dial); the
+    * census is one (bucket, partial) Exchange over ≤ 41 groups and
+    * one window across those census rows.
+    */
+  def cosineCensus(emb: DataFrame,
+                   cents: Array[Array[Long]]): DataFrame = {
+    val assigned = emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val census = a.join(b, Seq("cluster"))
+      .filter(col("d1") < col("d2"))
+      .select((floor(micro(cosineSim(col("e1"), col("e2"))) /
+        lit(50000L)) * 50000L).as("bucket_lo_micro"))
+      .groupBy("bucket_lo_micro")
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo_micro").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    census.select(col("bucket_lo_micro"), col("n_pairs"),
+      sum("n_pairs").over(w).as("n_pairs_at_or_above"))
+  }
+
   def semDedup(emb: DataFrame, cents: Array[Array[Long]],
                cosMicroMin: Long): DataFrame = {
     val assigned = emb.select(col("vec_id"),

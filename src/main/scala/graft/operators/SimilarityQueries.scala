@@ -215,6 +215,16 @@ object SimilarityQueries {
     SimilarityOps.semDedup(e, cents, SemDedupCosMin).orderBy("vec_id")
   }
 
+  /** V11: the within-cluster cosine distribution under the same
+    * trained codebook — the curve the D12 bar is read from.
+    */
+  def qCosCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.cosineCensus(e, cents).orderBy("bucket_lo_micro")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -578,6 +588,38 @@ object SimilarityQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** V11: the semDedup pair machinery threshold-free, bucketed at
+    * 5 %-wide cosine buckets with top-down cumulative counts (unique
+    * bucket values after grouping, so DuckDB's default RANGE frame
+    * equals the Spark ROWS frame).
+    */
+  private val cosCensusOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |spr AS (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |scm AS (
+       |  SELECT ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")}
+       |    AS cos_micro
+       |  FROM spr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |)
+       |SELECT bucket_lo_micro, count(*) AS n_pairs,
+       |  CAST(sum(count(*)) OVER (ORDER BY bucket_lo_micro DESC)
+       |    AS BIGINT) AS n_pairs_at_or_above
+       |FROM (
+       |  SELECT CAST(floor(cos_micro / 50000) AS BIGINT) * 50000
+       |    AS bucket_lo_micro
+       |  FROM scm
+       |) GROUP BY 1 ORDER BY bucket_lo_micro""".stripMargin
+  }
+
   /** The four per-subspace training chains of the PQ oracle, under a
     * name tag so several code budgets can coexist in one statement.
     */
@@ -788,6 +830,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> (qAnnRecall _),
     "q_cluster_mix"    -> (qClusterMix _),
     "q_semdedup"       -> (qSemDedup _),
+    "q_cos_census"     -> (qCosCensus _),
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
     "q_pq_recall"      -> (qPqRecall _),
@@ -804,6 +847,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> annRecallOracle,
     "q_cluster_mix"    -> clusterMixOracle,
     "q_semdedup"       -> semDedupOracle,
+    "q_cos_census"     -> cosCensusOracle,
     "q_pq_encode"      -> pqEncodeOracle,
     "q_pq_adc"         -> pqAdcOracle,
     "q_pq_recall"      -> pqRecallOracle,

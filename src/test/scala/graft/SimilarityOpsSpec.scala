@@ -313,6 +313,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1)._3 === 0L, "below-threshold neighbors never qualify")
   }
 
+  test("cosineCensus: within-cluster buckets and cumulative counts") {
+    // cluster 0 holds the exact dup pair (v0, v2) at cos 1.0;
+    // cluster 1 holds (v1, v3) at cos ~0.8 (float rounding lands the
+    // micro value just under 800000 -> bucket 750000); cross-cluster
+    // pairs like (v0, v3) must NOT appear — blocking bounds the census
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.6f, 0.8f), 0), // nearest centroid is c1
+      (2L, Seq(1f, 0f), 0),     // exact dup of v0
+      (3L, Seq(0f, 1f), 0))
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L))
+    val out = SimilarityOps.cosineCensus(e, cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1000000L -> ((1L, 1L)),
+      750000L -> ((1L, 2L))), s"got $out")
+  }
+
   test("semDedup verdicts are blind to cross-cluster duplicates") {
     // v0 and v1 are identical but assigned to different clusters by a
     // codebook that splits them — SemDeDup by construction only dedups
