@@ -1628,6 +1628,63 @@ object TextOps {
         floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
   }
 
+  /** Heaps-law vocabulary growth curve — the scaling diagnostic behind
+    * vocabulary budgeting: distinct word count at nested corpus
+    * fractions 1/8, 1/4, 1/2, 1 (docs bucketed by salted md5, so each
+    * fraction is a strict superset of the previous — a genuine growth
+    * curve, not four independent samples). Extrapolating the curve
+    * tells you the V a 100 TB corpus needs before you pay for the
+    * full-corpus census.
+    *
+    * The corpus is NOT scanned once per fraction. One pass computes
+    * each word's MINIMUM doc-bucket (the first fraction the word
+    * appears in — one vocabulary-bounded (word, partial-min) Exchange)
+    * and each bucket's doc/token totals (an 8-row census); every
+    * fraction's numbers are then cumulative sums over ≤ 8-row
+    * censuses. Adding more fraction points costs nothing but census
+    * rows.
+    */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val bucket =
+      md5Long(concat(lit("heaps:"), col("doc_id").cast("string"))) % 8L
+    val words = parallelized(docs).select(bucket.as("b"),
+      explode(tokens(col("text"))).as("w"))
+    // vocabulary-bounded: each word's first fraction
+    val firstIn = words.groupBy("w").agg(min("b").as("mb"))
+      .groupBy("mb").agg(count(lit(1)).as("new_words"))
+    // the 5-gram vocabulary grows where a small word pool saturates —
+    // the curve n-gram models and winnowing indexes actually live on
+    val firstSh = shingleSet(docs, 5)
+      .select(bucket.as("b"), col("sh"))
+      .groupBy("sh").agg(min("b").as("mb"))
+      .groupBy("mb").agg(count(lit(1)).as("new_shingles"))
+    // 8-row doc/token census
+    val perBucket = parallelized(docs)
+      .select(bucket.as("b"), size(tokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fractions = Seq(1L, 2L, 4L, 8L).toDF("fraction_eighths")
+    fractions
+      .join(perBucket, col("b") < col("fraction_eighths"), "left")
+      .groupBy("fraction_eighths")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+      .join(fractions
+        .join(firstIn, col("mb") < col("fraction_eighths"), "left")
+        .groupBy("fraction_eighths")
+        .agg(coalesce(sum("new_words"), lit(0L)).as("n_distinct_words")),
+        Seq("fraction_eighths"))
+      .join(fractions
+        .join(firstSh, col("mb") < col("fraction_eighths"), "left")
+        .groupBy("fraction_eighths")
+        .agg(coalesce(sum("new_shingles"), lit(0L))
+          .as("n_distinct_shingles")),
+        Seq("fraction_eighths"))
+  }
+
   /** Fractional source upsampling — the epoch-repeat assignment of a
     * weighted data recipe (the LLaMA-style "Wikipedia ×2.5, web ×0.8"
     * table): a source weighted w repeats each of its documents

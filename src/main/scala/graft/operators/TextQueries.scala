@@ -52,6 +52,9 @@ object TextQueries {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("d1", "d2")
 
+  def qHeaps(spark: SparkSession, dir: String): DataFrame =
+    TextOps.heapsCurve(docs(spark, dir)).orderBy("fraction_eighths")
+
   def qJacHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
       .orderBy("bucket_lo_micro")
@@ -235,6 +238,48 @@ object TextQueries {
        |  FROM it JOIN sz s1 ON it.d1 = s1.doc_id
        |          JOIN sz s2 ON it.d2 = s2.doc_id
        |) WHERE cont_micro >= $ContMicroMin ORDER BY d1, d2""".stripMargin
+
+  /** X37: nested-fraction vocabulary growth — each word's minimum doc
+    * bucket marks the first fraction it appears in; per-fraction
+    * numbers are sums over the ≤ 8-row censuses (correlated scalar
+    * subqueries here; the Spark side joins the same censuses).
+    */
+  private val heapsOracle = {
+    val b = s"${Hashing.md5LongSql(
+      "'heaps:' || CAST(doc_id AS VARCHAR)")} % 8"
+    s"""$tokCte $shCte,
+       |bk AS (
+       |  SELECT doc_id, $b AS b, len(toks) AS n_tok FROM tok
+       |),
+       |wrd AS (
+       |  SELECT bk.b, u.w FROM tok JOIN bk USING (doc_id),
+       |    unnest(toks) AS u(w)
+       |),
+       |fi AS (SELECT w, min(b) AS mb FROM wrd GROUP BY 1),
+       |fw AS (SELECT mb, count(*) AS new_words FROM fi GROUP BY 1),
+       |shb AS (
+       |  SELECT bk.b, s.sh FROM shs s JOIN bk USING (doc_id)
+       |),
+       |si AS (SELECT sh, min(b) AS mb FROM shb GROUP BY 1),
+       |sw AS (SELECT mb, count(*) AS new_shingles FROM si GROUP BY 1),
+       |pb AS (
+       |  SELECT b, count(*) AS n_docs, sum(n_tok) AS n_tokens
+       |  FROM bk GROUP BY 1
+       |),
+       |f(fraction_eighths) AS (VALUES (1), (2), (4), (8))
+       |SELECT CAST(f.fraction_eighths AS BIGINT) AS fraction_eighths,
+       |  CAST(COALESCE((SELECT sum(n_docs) FROM pb
+       |    WHERE pb.b < f.fraction_eighths), 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE((SELECT sum(n_tokens) FROM pb
+       |    WHERE pb.b < f.fraction_eighths), 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE((SELECT sum(new_words) FROM fw
+       |    WHERE fw.mb < f.fraction_eighths), 0) AS BIGINT)
+       |    AS n_distinct_words,
+       |  CAST(COALESCE((SELECT sum(new_shingles) FROM sw
+       |    WHERE sw.mb < f.fraction_eighths), 0) AS BIGINT)
+       |    AS n_distinct_shingles
+       |FROM f ORDER BY fraction_eighths""".stripMargin
+  }
 
   /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
     * column windows over the ≤ 21 census rows (unique bucket values,
@@ -1680,6 +1725,7 @@ object TextQueries {
     "q_dedup_contain" -> (qDedupContain _),
     "q_minhash_calib" -> (qMinhashCalib _),
     "q_jac_hist"      -> (qJacHist _),
+    "q_heaps"         -> (qHeaps _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
@@ -1725,6 +1771,7 @@ object TextQueries {
     "q_dedup_contain" -> dedupContainOracle,
     "q_minhash_calib" -> minhashCalibOracle,
     "q_jac_hist"      -> jacHistOracle,
+    "q_heaps"         -> heapsOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

@@ -316,6 +316,31 @@ class TextPropertySpec extends SparkSpec {
     assert(scattered > 60, s"only $scattered of 100 docs scattered")
   }
 
+  test("heapsCurve: nested fractions, exact full-corpus totals") {
+    // doc i holds words w(5i)..w(5i+9): vocabulary grows with every
+    // doc while neighbours share half their words
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (5 * i until 5 * i + 10).map(j => s"w$j").mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val rows = TextOps.heapsCurve(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // nested fractions: every column monotone non-decreasing
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(a._1 <= b._1 && a._2 <= b._2 &&
+        a._3 <= b._3 && a._4 <= b._4, s"$a !<= $b")
+    }
+    // the full fraction is the exact corpus census
+    val words = texts.flatMap(_._2.split(" "))
+    val shingles = texts.flatMap(_._2.split(" ").sliding(5)
+      .map(_.mkString(" ")).toSeq.distinct)
+    assert(rows.last._2 === ((40L, words.length.toLong,
+      words.distinct.length.toLong, shingles.distinct.length.toLong)))
+  }
+
   test("jaccardHistogram: buckets and top-down cumulative counts") {
     val t1 = (1 to 20).map(i => s"a$i").mkString(" ")
     val t3 = t1 + " " + (1 to 180).map(i => s"b$i").mkString(" ")
