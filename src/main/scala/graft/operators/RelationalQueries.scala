@@ -217,6 +217,47 @@ object RelationalQueries {
        |       CAST(level AS BIGINT) AS level, n, sum_v
        |FROM r ORDER BY event_type, day, level""".stripMargin
 
+  /** R10: CUBE over (event_type, day) — all four grouping sets in one
+    * pass, including the (day)-only slice ROLLUP cannot express; the
+    * grouping level again derives from the null pattern (engine-
+    * agnostic, unlike grouping_id bit orders). One shuffle: Spark
+    * expands the grouping sets map-side and aggregates partials, so
+    * the cube costs one Exchange like the plain census.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value"))).as("sum_v"))
+      .withColumn("level",
+        when(col("event_type").isNull && col("day").isNull, 3L)
+          .when(col("event_type").isNull, 2L)
+          .when(col("day").isNull, 1L).otherwise(0L))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("level"), col("n"), col("sum_v"))
+      .orderBy("event_type", "day", "level")
+
+  private val cubeOracle =
+    s"""$evCte,
+       |x AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM ev
+       |),
+       |r AS (
+       |  SELECT event_type, day, count(*) AS n,
+       |         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+       |         CASE WHEN event_type IS NULL AND day IS NULL THEN 3
+       |              WHEN event_type IS NULL THEN 2
+       |              WHEN day IS NULL THEN 1 ELSE 0 END AS level
+       |  FROM x GROUP BY CUBE (event_type, day)
+       |)
+       |SELECT COALESCE(event_type, 'ALL') AS event_type,
+       |       COALESCE(day, 'ALL') AS day,
+       |       CAST(level AS BIGINT) AS level, n, sum_v
+       |FROM r ORDER BY event_type, day, level""".stripMargin
+
   // -------------------------------------------------------- as-of join
 
   /** As-of join composed from primitives: for every error event, the
@@ -557,6 +598,7 @@ object RelationalQueries {
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops"      -> (qSetOps _),
     "q_rollup"       -> (qRollup _),
+    "q_cube"         -> (qCube _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -572,5 +614,6 @@ object RelationalQueries {
     "q_window_suite" -> windowSuiteOracle,
     "q_set_ops"      -> setOpsOracle,
     "q_rollup"       -> rollupOracle,
+    "q_cube"         -> cubeOracle,
     "q_asof"         -> asofOracle)
 }
