@@ -510,6 +510,112 @@ object ScaleProbe {
       println(s"SCALE containment_invariance ok (${c1.size} base pairs " +
         s"persist stat-identical at ${k}x; ${ck.size} total)")
     }
+    // Heaps curve at k×: replication adds documents but NO new words
+    // or shingles, so the full-fraction distinct counts are EXACTLY
+    // invariant while docs/tokens scale ×k — the difference between a
+    // vocabulary census and a row count, pinned.
+    {
+      def heaps(c: Int): Map[Long, (Long, Long, Long, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[Long, (Long, Long, Long, Long)] = Map.empty
+        time(s"heaps_${c}x") {
+          out = TextOps.heapsCurve(d).collect()
+            .map(r => r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .toMap
+          out.size.toLong
+        }
+        out
+      }
+      val h1 = heaps(1)
+      val hk = heaps(k)
+      val (d1, t1, w1, s1) = h1(8L)
+      val (dk, tk, wk, sk2) = hk(8L)
+      require(dk == d1 * k && tk == t1 * k,
+        s"full-fraction docs/tokens must scale exactly ${k}x")
+      require(wk == w1 && sk2 == s1,
+        "replication must add ZERO new words or shingles")
+      println(s"SCALE heaps_invariance ok (full fraction: docs/tokens " +
+        s"x$k, vocabulary bit-identical at ${k}x)")
+    }
+
+    // Jaccard histogram at k×: every cross-replica image of a 1× pair
+    // shares its sets (same bucket), and the identical-copy pairs land
+    // at bucket 1000000 — so with the df cap scaled by k the histogram
+    // obeys the exact closed form hist_k(b) = k²·hist_1(b), plus
+    // nShingled·k(k−1)/2 at b = 1000000 (the D9 replica-identity form,
+    // now per similarity level).
+    {
+      def hist(c: Int): Map[Long, Long] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[Long, Long] = Map.empty
+        time(s"jac_hist_${c}x") {
+          out = TextOps.jaccardHistogram(d, 5, 1000L * c).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val nShingled = TextOps.shingleSet(docs, 5)
+        .select("doc_id").distinct().count()
+      val h1 = hist(1)
+      val hk = hist(k)
+      val expected = (h1.keySet + 1000000L).map { b =>
+        val base = h1.getOrElse(b, 0L) * k * k
+        b -> (if (b == 1000000L)
+          base + nShingled * k * (k - 1) / 2 else base)
+      }.toMap.filter(_._2 > 0L)
+      require(hk == expected,
+        s"histogram must follow the k² closed form: $hk vs $expected")
+      println(s"SCALE jac_hist_invariance ok (k² closed form exact at " +
+        s"${k}x, identical-copy mass at bucket 1.0)")
+    }
+
+    // Cosine census at k× under ONE codebook trained on the base
+    // vectors (the semdedup probe's production shape): identical
+    // replicas co-cluster, every cross-replica image of a 1× pair
+    // scores identically, and the copy pairs add per-vector self-pair
+    // mass — the same k² closed form, in embedding space. Unlike the
+    // Jaccard case the self-cosine is NOT exactly 1.0 for every
+    // vector: cos(v,v) = d/(sqrt(d)·sqrt(d)) in doubles, and sqrt(d)²
+    // rounds above or below d per vector, so micro-floor puts some
+    // copy pairs at bucket 950000 (cos 0.999999…) and the rest at
+    // 1000000. The probe measures each base vector's own self-cosine
+    // bucket (the same expression the census uses) and distributes
+    // the k(k−1)/2 copy-pair mass per bucket — exact, not assumed.
+    {
+      val cents = SimilarityOps.kmeansCodebook(emb, 10,
+        SimilarityOps.KmRounds)
+      val selfBuckets: Map[Long, Long] = {
+        import graft.functions.vector.cosineSim
+        import graft.functions.Hashing.micro
+        emb.select((floor(micro(cosineSim(col("embedding"),
+            col("embedding"))) / lit(50000L)) * 50000L).as("b"))
+          .groupBy("b").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      def census(c: Int): Map[Long, Long] = {
+        val e = replicate(emb, "vec_id", c)
+        var out: Map[Long, Long] = Map.empty
+        time(s"cos_census_${c}x") {
+          out = SimilarityOps.cosineCensus(e, cents).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val c1 = census(1)
+      val ck = census(k)
+      val expected = (c1.keySet ++ selfBuckets.keySet).map { b =>
+        b -> (c1.getOrElse(b, 0L) * k * k +
+          selfBuckets.getOrElse(b, 0L) * k * (k - 1) / 2)
+      }.toMap.filter(_._2 > 0L)
+      require(ck == expected,
+        s"cosine census must follow the k² closed form: $ck vs $expected")
+      println(s"SCALE cos_census_invariance ok (k² closed form exact " +
+        s"at ${k}x; self-cos mass split ${selfBuckets.toSeq.sortBy(_._1)
+          .map { case (b, n) => s"$b:$n" }.mkString(", ")})")
+    }
     spark.stop()
   }
 }
