@@ -689,6 +689,58 @@ object SimilarityOps {
       sum("n_pairs").over(w).as("n_pairs_at_or_above"))
   }
 
+  /** Cluster-blocked k-NN majority-label audit — the label-noise /
+    * auto-labeling check (the Confident-Learning shape): every vector
+    * is re-labeled by its k nearest same-cluster neighbors and the
+    * output is the (label, predicted) confusion census — off-diagonal
+    * mass is either label noise or embedding-space class overlap,
+    * exactly what a pipeline inspects before trusting labels for
+    * curation. The blocking is the operator's documented semantics
+    * (the D12 precedent), not an approximation footnote: neighbors
+    * are within-cluster by definition, and the cluster count is the
+    * recall/cost dial.
+    *
+    * Determinism: neighbors rank by (micro cosine DESC, vec_id) — ties
+    * on the integer cosine break by id, never by float residue — and
+    * the majority vote is deliberately two exact aggregations (max
+    * vote count, then MIN label among achievers) instead of `max_by`,
+    * whose tie behavior is engine-dependent.
+    *
+    * Scale: pair cost is Σ|cluster|², dialed by nCentroids like D12;
+    * the ranking window partitions by vec_id over pair-bounded rows,
+    * and everything past the top-k filter is bounded by vectors × k.
+    * One Exchange for the pairs' window, one partial-agg'd Exchange
+    * per vote rollup — no corpus-wide shuffle, no global sort.
+    */
+  def knnLabelConfusion(emb: DataFrame, cents: Array[Array[Long]],
+                        kNN: Int): DataFrame = {
+    val assigned = emb.select(col("vec_id"), col("label"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("d1"),
+      col("label").as("l1"), col("cluster"), col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"),
+      col("label").as("l2"), col("cluster"), col("embedding").as("e2"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("l1"), col("d2"), col("l2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1")
+      .orderBy(col("cos_micro").desc, col("d2"))
+    val votes = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kNN)
+      .groupBy("d1", "l1", "l2").agg(count(lit(1)).as("c"))
+    val best = votes.groupBy("d1").agg(max("c").as("mc"))
+    val pred = votes.join(best, Seq("d1"))
+      .filter(col("c") === col("mc"))
+      .groupBy("d1", "l1").agg(min("l2").as("predicted"))
+    pred.select(col("l1").as("label"), col("predicted"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   def semDedup(emb: DataFrame, cents: Array[Array[Long]],
                cosMicroMin: Long): DataFrame = {
     val assigned = emb.select(col("vec_id"),

@@ -159,6 +159,9 @@ object SimilarityQueries {
   val PqCents = 8    // sub-centroids per subspace → 3-bit codes
   val PqK = 10
 
+  // V12: neighbors per vector in the k-NN label audit
+  val KnnK = 5
+
   private def pqBooks(e: org.apache.spark.sql.DataFrame) =
     SimilarityOps.pqCodebooks(e, PqSub, PqSubLen, PqCents,
       SimilarityOps.KmRounds)
@@ -223,6 +226,17 @@ object SimilarityQueries {
     val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
       SimilarityOps.KmRounds)
     SimilarityOps.cosineCensus(e, cents).orderBy("bucket_lo_micro")
+  }
+
+  /** V12: the cluster-blocked k-NN label-confusion audit under the
+    * same trained codebook.
+    */
+  def qKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.knnLabelConfusion(e, cents, KnnK)
+      .orderBy("label", "predicted")
   }
 
   // ------------------------------------------------------------- oracles
@@ -620,6 +634,56 @@ object SimilarityQueries {
        |) GROUP BY 1 ORDER BY bucket_lo_micro""".stripMargin
   }
 
+  /** V12: within-cluster pairs once (MATERIALIZED — referenced by both
+    * directions), micro cosines mirrored, rank by (cos DESC, id),
+    * top-k votes, majority with the two-step exact tie-break (max
+    * count, then MIN label among achievers — never `max_by`).
+    */
+  private val knnLabelOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |kpr AS MATERIALIZED (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |kcm AS MATERIALIZED (
+       |  SELECT p.d1, p.d2,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM kpr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |),
+       |dcos AS (
+       |  SELECT d1, d2, cos_micro FROM kcm
+       |  UNION ALL
+       |  SELECT d2 AS d1, d1 AS d2, cos_micro FROM kcm
+       |),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |topk AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2, row_number() OVER (PARTITION BY d1
+       |      ORDER BY cos_micro DESC, d2) AS rk
+       |    FROM dcos
+       |  ) WHERE rk <= $KnnK
+       |),
+       |votes AS (
+       |  SELECT t.d1, l.label AS l2, count(*) AS c
+       |  FROM topk t JOIN lbl l ON t.d2 = l.vec_id GROUP BY 1, 2
+       |),
+       |best AS (SELECT d1, max(c) AS mc FROM votes GROUP BY 1),
+       |pred AS (
+       |  SELECT v.d1, min(v.l2) AS predicted
+       |  FROM votes v JOIN best b ON v.d1 = b.d1 AND v.c = b.mc
+       |  GROUP BY 1
+       |)
+       |SELECT l.label, p.predicted, CAST(count(*) AS BIGINT) AS n_vecs
+       |FROM pred p JOIN lbl l ON p.d1 = l.vec_id
+       |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
+  }
+
   /** The four per-subspace training chains of the PQ oracle, under a
     * name tag so several code budgets can coexist in one statement.
     */
@@ -831,6 +895,7 @@ object SimilarityQueries {
     "q_cluster_mix"    -> (qClusterMix _),
     "q_semdedup"       -> (qSemDedup _),
     "q_cos_census"     -> (qCosCensus _),
+    "q_knn_label"      -> (qKnnLabel _),
     "q_pq_encode"      -> (qPqEncode _),
     "q_pq_adc"         -> (qPqAdc _),
     "q_pq_recall"      -> (qPqRecall _),
@@ -848,6 +913,7 @@ object SimilarityQueries {
     "q_cluster_mix"    -> clusterMixOracle,
     "q_semdedup"       -> semDedupOracle,
     "q_cos_census"     -> cosCensusOracle,
+    "q_knn_label"      -> knnLabelOracle,
     "q_pq_encode"      -> pqEncodeOracle,
     "q_pq_adc"         -> pqAdcOracle,
     "q_pq_recall"      -> pqRecallOracle,

@@ -1685,6 +1685,41 @@ object TextOps {
         Seq("fraction_eighths"))
   }
 
+  /** Zipf / Good-Turing frequency-of-frequencies census — the other
+    * half of the vocabulary diagnostic [[heapsCurve]] starts: for
+    * every observed word frequency c, how many TYPES occur exactly c
+    * times (Good-Turing's N_c, the table smoothing estimators are
+    * built from) and how many tokens those types carry, with a
+    * top-down cumulative so "keep only words seen ≥ c times" reads
+    * straight off the curve — the truncation question every
+    * vocabulary / min-count cutoff answers by guesswork otherwise.
+    *
+    * Scale: one (word, partial-count) Exchange builds the
+    * vocabulary-bounded count relation; the frequency census is a
+    * second partial-agg'd Exchange over DISTINCT COUNT VALUES — at
+    * most O(√totalTokens) rows regardless of corpus size (c·N_c ≤ T
+    * forces distinct c values under √(2T)), so the cumulative window
+    * runs over a provably tiny census, never the corpus (the D17
+    * precedent, with a closed-form bound instead of a bucket count).
+    * All integers end to end; frequencies are distinct after grouping
+    * so DuckDB's default RANGE frame equals Spark's ROWS frame.
+    */
+  def zipfCensus(docs: DataFrame): DataFrame = {
+    val counts = parallelized(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val census = counts.groupBy("freq")
+      .agg(count(lit(1)).as("n_types"))
+      .select(col("freq"), col("n_types"),
+        (col("freq") * col("n_types")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    census.select(col("freq"), col("n_types"), col("n_tokens"),
+      sum("n_tokens").over(w).as("n_tokens_at_or_above"))
+  }
+
   /** Fractional source upsampling — the epoch-repeat assignment of a
     * weighted data recipe (the LLaMA-style "Wikipedia ×2.5, web ×0.8"
     * table): a source weighted w repeats each of its documents

@@ -55,6 +55,9 @@ object TextQueries {
   def qHeaps(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsCurve(docs(spark, dir)).orderBy("fraction_eighths")
 
+  def qZipf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.zipfCensus(docs(spark, dir)).orderBy("freq")
+
   def qJacHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
       .orderBy("bucket_lo_micro")
@@ -280,6 +283,27 @@ object TextQueries {
        |    AS n_distinct_shingles
        |FROM f ORDER BY fraction_eighths""".stripMargin
   }
+
+  /** X38: frequency-of-frequencies with top-down cumulative token
+    * coverage; frequencies are distinct after grouping so DuckDB's
+    * default RANGE frame equals the Spark ROWS frame.
+    */
+  private val zipfOracle =
+    s"""$tokCte,
+       |wc AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(toks) AS w FROM tok
+       |  ) GROUP BY 1
+       |),
+       |census AS (
+       |  SELECT freq, CAST(count(*) AS BIGINT) AS n_types,
+       |         CAST(freq * count(*) AS BIGINT) AS n_tokens
+       |  FROM wc GROUP BY 1
+       |)
+       |SELECT freq, n_types, n_tokens,
+       |  CAST(sum(n_tokens) OVER (ORDER BY freq DESC) AS BIGINT)
+       |    AS n_tokens_at_or_above
+       |FROM census ORDER BY freq""".stripMargin
 
   /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
     * column windows over the ≤ 21 census rows (unique bucket values,
@@ -1726,6 +1750,7 @@ object TextQueries {
     "q_minhash_calib" -> (qMinhashCalib _),
     "q_jac_hist"      -> (qJacHist _),
     "q_heaps"         -> (qHeaps _),
+    "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
@@ -1772,6 +1797,7 @@ object TextQueries {
     "q_minhash_calib" -> minhashCalibOracle,
     "q_jac_hist"      -> jacHistOracle,
     "q_heaps"         -> heapsOracle,
+    "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

@@ -313,6 +313,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(1)._3 === 0L, "below-threshold neighbors never qualify")
   }
 
+  test("knnLabelConfusion: majority vote, tie to lowest label, blocked") {
+    // cluster 0: v0..v2 label 0, v3 mislabeled 1 — its three neighbors
+    // all vote 0, so it lands off-diagonal (1 -> 0). cluster 1: an
+    // exact-dup pair agreeing at label 2 (each has ONE neighbor —
+    // fewer than k is fine). cluster 2: three mutually-identical
+    // vectors with distinct labels — every vote ties 1:1 and the
+    // tie breaks to the LOWEST label, never engine order.
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.99f, 0.141f), 0),
+      (2L, Seq(0.98f, 0.199f), 0),
+      (3L, Seq(0.97f, 0.243f), 1),
+      (4L, Seq(0f, 1f), 2),
+      (5L, Seq(0f, 1f), 2),
+      (6L, Seq(0.7f, 0.7f), 3),
+      (7L, Seq(0.7f, 0.7f), 4),
+      (8L, Seq(0.7f, 0.7f), 5))
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L),
+      Array(1000L, 1000L))
+    val out = SimilarityOps.knnLabelConfusion(e, cents, 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0, 0) -> 3L, (1, 0) -> 1L, (2, 2) -> 2L,
+      (3, 4) -> 1L, (4, 3) -> 1L, (5, 3) -> 1L), s"got $out")
+  }
+
   test("cosineCensus: within-cluster buckets and cumulative counts") {
     // cluster 0 holds the exact dup pair (v0, v2) at cos 1.0;
     // cluster 1 holds (v1, v3) at cos ~0.8 (float rounding lands the

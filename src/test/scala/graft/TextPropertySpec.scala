@@ -354,6 +354,20 @@ class TextPropertySpec extends SparkSpec {
       50000L -> ((2L, 3L))), s"got $out")
   }
 
+  test("zipfCensus: frequency-of-frequencies with token coverage") {
+    // a occurs 3x, b 2x, c 1x -> three census rows; cumulative
+    // coverage reads top-down: freq>=3 covers 3 tokens, >=2 covers 5,
+    // >=1 covers all 6
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.zipfCensus(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 1L, 6L)),
+      2L -> ((1L, 2L, 5L)),
+      3L -> ((1L, 3L, 3L))), s"got $out")
+  }
+
   test("minhashCalibration: perfect copies calibrate to zero error") {
     val t1 = (1 to 40).map(i => s"w$i").mkString(" ")
     val t2 = (100 to 140).map(i => s"x$i").mkString(" ")
