@@ -616,6 +616,65 @@ object ScaleProbe {
         s"at ${k}x; self-cos mass split ${selfBuckets.toSeq.sortBy(_._1)
           .map { case (b, n) => s"$b:$n" }.mkString(", ")})")
     }
+
+    // Zipf census at k×: replication multiplies every word's count by
+    // exactly k, so the census maps bijectively — freq c moves to c·k,
+    // n_types is INVARIANT, token masses scale ×k. The frequency AXIS
+    // stretches while the type distribution stays put: the signature
+    // distinguishing "more data" from "more diverse data", and the
+    // replication analogue of the Heaps full-fraction invariant.
+    {
+      def zipf(c: Int): Map[Long, (Long, Long, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[Long, (Long, Long, Long)] = Map.empty
+        time(s"zipf_${c}x") {
+          out = TextOps.zipfCensus(d).collect()
+            .map(r => r.getLong(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val z1 = zipf(1)
+      val zk = zipf(k)
+      val expected = z1.map { case (c, (t, n, cum)) =>
+        (c * k) -> (t, n * k, cum * k)
+      }
+      require(zk == expected,
+        s"zipf census must stretch the frequency axis by exactly $k")
+      println(s"SCALE zipf_invariance ok (freq axis x$k, type counts " +
+        s"invariant, ${z1.size} census rows)")
+    }
+
+    // kNN label audit at k× (k > kNN): every vector's nearest
+    // neighbors become its own replicas — self-cosine dominates every
+    // true cross-vector cosine (max within-cluster base cosine ~0.47
+    // vs ~1.0) — so the vote is unanimous-own-label and the confusion
+    // collapses to a PURE DIAGONAL at exactly k × the per-label
+    // vector counts. A replicated corpus passes its own label audit
+    // perfectly: the measured form of the caveat that a kNN audit is
+    // only meaningful AFTER dedup, never before.
+    {
+      require(k > 5, "diagonal collapse needs more replicas than kNN")
+      val cents = SimilarityOps.kmeansCodebook(emb, 10,
+        SimilarityOps.KmRounds)
+      var conf: Map[(Int, Int), Long] = Map.empty
+      time(s"knn_label_${k}x") {
+        conf = SimilarityOps
+          .knnLabelConfusion(replicate(emb, "vec_id", k), cents, 5)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        conf.size.toLong
+      }
+      val perLabel = emb.groupBy("label").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val expected = perLabel.map { case (l, n) => (l, l) -> n * k }
+      require(conf == expected,
+        s"replicated corpus must self-audit to a pure diagonal: " +
+          s"$conf vs $expected")
+      println(s"SCALE knn_label_invariance ok (pure diagonal at ${k}x " +
+        s"— the dedup-before-audit caveat, measured)")
+    }
     spark.stop()
   }
 }
