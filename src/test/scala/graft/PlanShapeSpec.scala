@@ -91,6 +91,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
   }
 
+  test("knnLabelConfusion: top-k pushes down as WindowGroupLimit") {
+    val e = Tables.embeddings(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val p = plan(SimilarityOps.knnLabelConfusion(e, cents, 5))
+    // the scale claim: the rank filter runs map-side BEFORE the (d1)
+    // Exchange (partial WindowGroupLimit) and again after (final), so
+    // only ~k rows per vector per partition ever shuffle — never the
+    // full within-cluster pair stream
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2,
+      s"expected partial+final WindowGroupLimit around the Exchange:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected a map-side partial rank limit:\n$p")
+  }
+
+  test("zipfCensus: the window runs over the census, not the corpus") {
+    val p = plan(TextOps.zipfCensus(
+      Tables.documents(spark, dir).select("doc_id", "text")))
+    // two partial-agg'd hash Exchanges (word census, then frequency
+    // census); the only SinglePartition Exchange feeds the cumulative
+    // window over distinct-frequency rows — O(sqrt(T)) by pigeonhole
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 2, s"expected word + frequency Exchanges only:\n$p")
+    assert(p.contains("partial_count"),
+      s"both censuses must combine map-side:\n$p")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single === 1,
+      s"exactly one census-sized window Exchange:\n$p")
+  }
+
   test("clusterMix: one linear plan, corpus scanned exactly once") {
     val e = Tables.embeddings(spark, dir)
     val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
