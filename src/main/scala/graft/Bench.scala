@@ -20,6 +20,20 @@ object Bench {
     // actually producing the query's output.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Session hygiene between measurements. `clearCache()` drops
+    // DataFrame cache entries but NOT the RDD blocks pinned by
+    // `localCheckpoint` inside iterative operators (BPE's merge loop,
+    // distributed connected components): across a 93-query single-JVM
+    // run those blocks accumulate, squeeze the unified memory region,
+    // and push later shuffle-heavy queries into spill — the round-6
+    // bench-of-record contamination. Unpersisting via the context's
+    // persistent-RDD registry returns the storage memory after every
+    // measurement, so each query starts from the same clean session.
+    def clean(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     // Steady-state methodology: run every query once AT THE MEASURED SF
     // first, so whole-stage-codegen compilation, JIT, and — crucially —
     // the AQE-dependent physical shapes (which differ between SFs as
@@ -28,33 +42,45 @@ object Bench {
     // Queries are then timed in deterministic (sorted) order.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      clean()
     }
-    // operators cache intermediates (shingle sets, tf tables) scoped to
-    // their own run; drop them between measurements so no query pays
-    // cache-manager lookups against — or recomputation of — a
-    // predecessor's leftovers
-    spark.catalog.clearCache()
     // min of two measured passes per query: the container shares its
     // host, and hypervisor-level contention (invisible from inside the
     // VM) has been observed to inflate whole runs ~2×; the minimum of
-    // two post-warmup passes estimates the uncontended cost. Caches are
-    // still cleared after every pass, so each timing is a full
-    // self-contained execution.
+    // two post-warmup passes estimates the uncontended cost. The full
+    // clean() runs after every pass, so each timing is a full
+    // self-contained execution against a fresh session.
+    def timed(fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      clean()
+      dt
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> times.min
+      val times = (1 to 2).map(_ => timed(fn))
+      // outlier re-run: two passes disagreeing by >2x mean one of them
+      // caught a host-contention spike — a third pass arbitrates, and
+      // the min over all passes stands as the uncontended estimate
+      val best =
+        if (times.max > 2 * times.min) (times :+ timed(fn)).min
+        else times.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout is the driver contract; the sidecar file is the durable
+    // copy — round 6's official artifact was a truncated stdout capture,
+    // so the full parsed line must survive independently of the pipe
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -3,25 +3,35 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
 import org.apache.spark.sql.functions._
 
-/** One media record as seen by the partition-local feature extractor. */
-case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String)
-
-/** Extracted (fake-decoded) per-record features — see
-  * [[MultimodalOps.extractFeatures]] for the decode-stub contract.
+/** One media record as seen by the partition-local decoder: a real
+  * container-format payload (BMP or WAV bytes) plus its kind tag.
   */
-case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte_micro: Long,
-                         max_byte: Long, byte_entropy_micro: Long)
+case class MediaBlob(doc_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoded per-record features. `width`/`height` are the BMP header
+  * dimensions (None for audio); `sample_rate` is the WAV fmt-chunk rate
+  * (None for images). Stats are exact integers over the decoded units —
+  * unsigned pixel bytes for BMP, signed 16-bit samples for WAV — so the
+  * relation hashes deterministically against a closed-form oracle.
+  */
+case class MediaDecoded(doc_id: Long, kind: String,
+                        width: Option[Long], height: Option[Long],
+                        sample_rate: Option[Long],
+                        n_units: Long, sum_units: Long,
+                        min_unit: Long, max_unit: Long)
 
 /** Multimodal-column operators: image/audio/video-style payloads modeled
   * as opaque `binary` columns with typed metadata, plus the Spark-side
   * plumbing a real decode pipeline needs (schema, frame sampling,
   * partition-batched feature extraction).
   *
-  * The *decode step itself is a stub* — this container has no image or
-  * audio codecs, so "decoding" is a deterministic byte-level fake. The
-  * schemas, the binary slicing, the metadata propagation, and the
-  * batched `mapPartitions` shape are real and tested; swapping the stub
-  * for an actual codec touches only [[decodeStub]].
+  * The decode step is a REAL pure-JVM container parser for the two
+  * uncompressed formats a codec-free container can carry: 24-bpp BMP
+  * ([[decodeBmp]] — header fields read from the bytes, padded row
+  * stride walked, stats over pixel bytes) and PCM16 WAV ([[decodeWav]]
+  * — RIFF chunk walk, fmt parse, signed 16-bit samples). Compressed
+  * formats (JPEG/FLAC/H.264) need codec libraries this container lacks;
+  * adding one touches only the per-kind dispatch in [[decodeMedia]].
   *
   * Scale notes: payload columns ride along untouched until the operator
   * that needs them — narrow projections everywhere else keep Parquet
@@ -92,55 +102,200 @@ object MultimodalOps {
         col("f.frame_sha").as("frame_sha"))
   }
 
-  /** STUB — deterministic stand-in for a real image/audio decode.
-    * A production build would replace this body with the codec call
-    * (e.g. javax.imageio / ffmpeg bindings) returning pixel/sample
-    * buffers; everything around it (batching, schema, partitioning)
-    * stays as-is.
-    */
-  def decodeStub(payload: Array[Byte]): Array[Int] =
-    payload.map(b => b & 0xff)
+  // ------------------------------------------------- real decode (M3)
 
-  /** Partition-batched feature extraction over the opaque payloads —
-    * the `mapPartitions` shape a vectorized decoder wants: records are
-    * processed in fixed-size batches (amortizing per-batch codec setup),
-    * one iterator pass, no driver collection. This is the one operator
-    * family where imperative per-partition code beats expressions
-    * (codecs aren't expressible in Catalyst), so `mapPartitions` is the
-    * honest tool (SURVEY.md §7.3 last-resort rule).
+  /** Deterministic real-format payload generator — the test fixture for
+    * the decoder below. Even doc_ids become 24-bpp bottom-up BMPs
+    * (width 4–8 px so the 4-byte row stride actually pads), odd doc_ids
+    * become PCM16 mono WAVs; pixel/sample values follow a closed-form
+    * recurrence in (doc_id, index) so a SQL oracle can recompute the
+    * decoded statistics without parsing a byte. The ENCODERS are the
+    * fixture; the DECODERS are the operator under test — they see only
+    * the bytes and recover everything from the headers.
+    */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (2 + id % 3).toInt
+    val rowBytes = 3 * w
+    val stride = (rowBytes + 3) & ~3
+    val dataSize = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize)          // file size
+      .putInt(0)                      // reserved
+      .putInt(54)                     // pixel-data offset
+      .putInt(40)                     // BITMAPINFOHEADER size
+      .putInt(w).putInt(h)            // positive height = bottom-up
+      .putShort(1)                    // planes
+      .putShort(24)                   // bits per pixel
+      .putInt(0)                      // BI_RGB, uncompressed
+      .putInt(dataSize)
+      .putInt(2835).putInt(2835)      // 72 dpi
+      .putInt(0).putInt(0)
+    var k = 0L
+    (0 until h).foreach { _ =>
+      (0 until rowBytes).foreach { _ =>
+        buf.put(((id * 7 + k * 13) % 256).toByte); k += 1
+      }
+      (rowBytes until stride).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  val WavRate = 8000
+
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val dataLen = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(1)                    // mono
+      .putInt(WavRate)
+      .putInt(WavRate * 2)            // byte rate
+      .putShort(2)                    // block align
+      .putShort(16)                   // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach { i =>
+      buf.putShort((((id * 31 + i.toLong * 17) % 4096) - 2048).toShort)
+    }
+    buf.array()
+  }
+
+  /** documents → one real binary payload per doc (BMP/WAV alternating
+    * on doc_id parity). Imperative generation is fine here — this is
+    * fixture synthesis, not the measured operator.
+    */
+  def mediaBinary(docs: DataFrame)
+  : org.apache.spark.sql.Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) MediaBlob(id, "bmp", encodeBmp(id))
+      else MediaBlob(id, "wav", encodeWav(id))
+    }
+  }
+
+  /** BMP decode: header fields are READ from the bytes (offset 10 =
+    * pixel-data offset, 18/22 = width/height, 28 = bpp, 30 =
+    * compression), rows walked at the 4-byte-padded stride, padding
+    * skipped, stats over the unsigned pixel bytes. Negative header
+    * height (top-down storage) is honored — row order never affects
+    * the order-invariant stats, but the row COUNT must use |height|.
+    */
+  def decodeBmp(docId: Long, bytes: Array[Byte]): MediaDecoded = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = math.abs(b.getInt(22))
+    val bpp = b.getShort(28).toInt
+    require(bpp == 24 && b.getInt(30) == 0,
+      s"doc $docId: unsupported BMP variant (bpp=$bpp)")
+    val rowBytes = 3 * w
+    val stride = (rowBytes + 3) & ~3
+    var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+    var r = 0
+    while (r < h) {
+      var i = dataOffset + r * stride
+      val end = i + rowBytes
+      while (i < end) {
+        val v = (bytes(i) & 0xff).toLong
+        sum += v; if (v < min) min = v; if (v > max) max = v
+        i += 1
+      }
+      r += 1
+    }
+    val n = rowBytes.toLong * h
+    MediaDecoded(docId, "bmp", Some(w.toLong), Some(h.toLong), None,
+      n, sum, if (n == 0) 0L else min, if (n == 0) 0L else max)
+  }
+
+  /** WAV decode: RIFF/WAVE magic checked, then a generic chunk walk —
+    * fmt parsed for (channels, rate, bits), data read as little-endian
+    * signed 16-bit samples. A chunk walk (not fixed offsets) is the
+    * honest parser: real WAV files carry LIST/fact chunks between fmt
+    * and data.
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte]): MediaDecoded = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $docId: not a WAV")
+    var off = 12
+    var rate = 0L; var bits = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val len = b.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(b.getShort(off + 8) == 1,
+            s"doc $docId: non-PCM WAV")
+          channels = b.getShort(off + 10).toInt
+          rate = b.getInt(off + 12).toLong
+          bits = b.getShort(off + 22).toInt
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => () // skip LIST/fact/etc.
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(dataOff >= 0 && bits == 16 && channels == 1,
+      s"doc $docId: unsupported WAV shape")
+    val n = dataLen / 2
+    var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val v = b.getShort(dataOff + 2 * i).toLong
+      sum += v; if (v < min) min = v; if (v > max) max = v
+      i += 1
+    }
+    MediaDecoded(docId, "wav", None, None, Some(rate),
+      n.toLong, sum, if (n == 0) 0L else min, if (n == 0) 0L else max)
+  }
+
+  /** Partition-batched decode over the opaque payloads — the
+    * `mapPartitions` shape a vectorized decoder wants: records are
+    * processed in fixed-size batches (amortizing per-batch codec
+    * setup), one iterator pass, no driver collection. This is the one
+    * operator family where imperative per-partition code beats
+    * expressions (byte-level container parsing isn't expressible in
+    * Catalyst), so `mapPartitions` is the honest tool (SURVEY.md §7.3
+    * last-resort rule). Swapping in a JPEG/FLAC codec touches only the
+    * per-kind decode dispatch.
     */
   val FeatureBatchSize = 64
 
-  def extractFeatures(media: org.apache.spark.sql.Dataset[MediaRecord])
-  : org.apache.spark.sql.Dataset[MediaFeatures] = {
+  def decodeMedia(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[MediaDecoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(FeatureBatchSize).flatMap { batch =>
-        // per-batch "codec init" would happen here, once per batch
+        // per-batch codec init would happen here, once per batch
         batch.iterator.map { rec =>
-          val bytes = decodeStub(rec.payload)
-          val n = bytes.length.toLong
-          val sum = bytes.foldLeft(0L)(_ + _)
-          val max = if (bytes.isEmpty) 0L else bytes.max.toLong
-          // byte-value spread in [0,1]: distinct values / 256
-          val distinct = bytes.distinct.length.toLong
-          MediaFeatures(
-            rec.doc_id,
-            n,
-            if (n == 0) 0L else math.floor(1000000.0 * sum / n / 255.0).toLong,
-            max,
-            math.floor(1000000.0 * distinct / 256.0).toLong)
+          rec.kind match {
+            case "bmp" => decodeBmp(rec.doc_id, rec.payload)
+            case "wav" => decodeWav(rec.doc_id, rec.payload)
+            case k => throw new IllegalArgumentException(
+              s"doc ${rec.doc_id}: no decoder for kind $k")
+          }
         }
       }
     }
   }
 
-  def mediaFeatures(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val ds = media(docs).select("doc_id", "payload", "format")
-      .as[MediaRecord]
-    extractFeatures(ds).toDF()
-  }
+  /** M3 end-to-end: synthesize real BMP/WAV payloads, decode them back
+    * through the header-parsing path, emit exact-integer stats. The
+    * oracle recomputes the same stats from the generative closed form —
+    * a differential test of the full encode→decode roundtrip.
+    */
+  def mediaFeatures(docs: DataFrame): DataFrame =
+    decodeMedia(mediaBinary(docs)).toDF()
 
   /** Exact media dedup census — the storage-side dedup report every
     * multimodal pipeline runs first: blobs grouped by content hash

@@ -9,11 +9,13 @@ import graft.sources.Tables
   *
   * `q_media_meta` / `q_media_frames` are fully oracle-checked (payload
   * bytes are the UTF-8 text, so DuckDB can mirror every byte-level value
-  * through string functions). `q_media_features` intentionally ships
-  * WITHOUT an oracle: its body is the imperative `mapPartitions` decode
-  * path that SQL cannot express — the driver records the weaker
-  * rows-only check, which is exactly the documented contract for
-  * non-SQL-expressible operators.
+  * through string functions). `q_media_features` is the real-decoder
+  * differential: the Spark side synthesizes genuine BMP/WAV containers
+  * and parses them back through the header-walking decoder; the oracle
+  * recomputes the decoded statistics from the generative closed form
+  * (`unnest(range(...))` over the pixel/sample recurrence) WITHOUT
+  * parsing bytes — the two agree only if the encode→decode roundtrip
+  * recovers every unit exactly.
   */
 object MultimodalQueries {
 
@@ -69,6 +71,57 @@ object MultimodalQueries {
        |FROM documents, unnest(range(0, $nFramesSql)) AS g(i)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** M3 oracle: the decoder's output recomputed from the generative
+    * model. Even doc_ids are 24-bpp BMPs of w=4+id%5, h=2+id%3 with
+    * pixel byte k valued (id*7+k*13)%256 over the 3wh pixel bytes; odd
+    * doc_ids are PCM16 WAVs of n=64+id%64 samples valued
+    * ((id*31+i*17)%4096)-2048 at 8 kHz. The oracle never sees the
+    * bytes — stride padding, header layout, and chunk walking are
+    * exactly what the differential exercises.
+    */
+  private val mediaFeaturesOracle =
+    """WITH bmp AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      |  FROM documents WHERE doc_id % 2 = 0
+      |),
+      |bmp_bytes AS (
+      |  SELECT b.doc_id, b.w, b.h, (b.doc_id * 7 + g.k * 13) % 256 AS v
+      |  FROM bmp b, unnest(range(0, 3 * b.w * b.h)) AS g(k)
+      |),
+      |bmp_f AS (
+      |  SELECT doc_id, 'bmp' AS kind,
+      |    CAST(max(w) AS BIGINT) AS width,
+      |    CAST(max(h) AS BIGINT) AS height,
+      |    CAST(NULL AS BIGINT) AS sample_rate,
+      |    CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(v) AS BIGINT) AS sum_units,
+      |    CAST(min(v) AS BIGINT) AS min_unit,
+      |    CAST(max(v) AS BIGINT) AS max_unit
+      |  FROM bmp_bytes GROUP BY doc_id
+      |),
+      |wav AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n
+      |  FROM documents WHERE doc_id % 2 = 1
+      |),
+      |wav_samples AS (
+      |  SELECT w.doc_id,
+      |    ((w.doc_id * 31 + g.i * 17) % 4096) - 2048 AS s
+      |  FROM wav w, unnest(range(0, w.n)) AS g(i)
+      |),
+      |wav_f AS (
+      |  SELECT doc_id, 'wav' AS kind,
+      |    CAST(NULL AS BIGINT) AS width,
+      |    CAST(NULL AS BIGINT) AS height,
+      |    CAST(8000 AS BIGINT) AS sample_rate,
+      |    CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(s) AS BIGINT) AS sum_units,
+      |    CAST(min(s) AS BIGINT) AS min_unit,
+      |    CAST(max(s) AS BIGINT) AS max_unit
+      |  FROM wav_samples GROUP BY doc_id
+      |)
+      |SELECT * FROM bmp_f UNION ALL SELECT * FROM wav_f
+      |ORDER BY doc_id""".stripMargin
+
   /** M4: blob-level CTE (count + len per (format, sha)), then the
     * per-format census UNION the ALL row, which re-groups by sha so a
     * cross-format duplicate counts once distinct.
@@ -109,7 +162,8 @@ object MultimodalQueries {
     "q_media_dedup"    -> (qMediaDedup _))
 
   val oracles: Map[String, String] = Map(
-    "q_media_meta"   -> mediaMetaOracle,
-    "q_media_frames" -> mediaFramesOracle,
-    "q_media_dedup"  -> mediaDedupOracle)
+    "q_media_meta"     -> mediaMetaOracle,
+    "q_media_frames"   -> mediaFramesOracle,
+    "q_media_features" -> mediaFeaturesOracle,
+    "q_media_dedup"    -> mediaDedupOracle)
 }

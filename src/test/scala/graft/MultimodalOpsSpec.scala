@@ -35,16 +35,80 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
-  test("extractFeatures: deterministic stub features, batched") {
-    val r = MultimodalOps.mediaFeatures(doc).collect().head
-    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
-    assert(r.getAs[Long]("n_bytes") === 80L)
-    assert(r.getAs[Long]("max_byte") === bytes.max.toLong)
-    val mean = math.floor(
-      1000000.0 * bytes.map(_.toLong).sum / 80 / 255.0).toLong
-    assert(r.getAs[Long]("mean_byte_micro") === mean)
-    val ent = math.floor(1000000.0 * bytes.distinct.length / 256.0).toLong
-    assert(r.getAs[Long]("byte_entropy_micro") === ent)
+  test("decodeBmp: encode->decode roundtrip recovers closed-form stats") {
+    val id = 6L // w = 4+6%5 = 5 -> rowBytes 15, stride 16: padding real
+    val d = MultimodalOps.decodeBmp(id, MultimodalOps.encodeBmp(id))
+    val w = 4 + id % 5; val h = 2 + id % 3
+    val vals = (0L until 3 * w * h).map(k => (id * 7 + k * 13) % 256)
+    assert(d.width === Some(w))
+    assert(d.height === Some(h))
+    assert(d.sample_rate === None)
+    assert(d.n_units === vals.length.toLong)
+    assert(d.sum_units === vals.sum)
+    assert(d.min_unit === vals.min)
+    assert(d.max_unit === vals.max)
+  }
+
+  test("decodeBmp: honors header fields it did not generate") {
+    // hand-built 2x2 top-down BMP (negative height) with a non-54 data
+    // offset — fields the generator never emits, so a decoder that
+    // assumed the generator's layout would fail here
+    val w = 2; val h = 2; val stride = 8; val off = 70
+    val buf = java.nio.ByteBuffer.allocate(off + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(off + stride * h)
+      .putInt(0).putInt(off).putInt(40).putInt(w).putInt(-h)
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    (54 until off).foreach(_ => buf.put(0xEE.toByte)) // gap bytes
+    val px = Array(10, 20, 30, 40, 50, 60).map(_.toByte)
+    (0 until h).foreach { r =>
+      px.foreach(buf.put); buf.put(0.toByte).put(0.toByte)
+    }
+    val d = MultimodalOps.decodeBmp(99L, buf.array())
+    assert(d.width === Some(2L) && d.height === Some(2L))
+    assert(d.n_units === 12L)
+    assert(d.sum_units === 2L * px.map(_.toLong).sum)
+    assert(d.min_unit === 10L && d.max_unit === 60L)
+  }
+
+  test("decodeWav: chunk walk skips LIST, parses fmt + data") {
+    val samples = Array[Short](-300, 5, 1200, -4, 0)
+    val listLen = 6
+    val buf = java.nio.ByteBuffer
+      .allocate(12 + 24 + (8 + listLen) + 8 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+      .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(88200)
+      .putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(listLen)
+      .put("INFOab".getBytes("US-ASCII"))
+      .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(buf.putShort)
+    val d = MultimodalOps.decodeWav(7L, buf.array())
+    assert(d.sample_rate === Some(44100L))
+    assert(d.n_units === samples.length.toLong)
+    assert(d.sum_units === samples.map(_.toLong).sum)
+    assert(d.min_unit === -300L && d.max_unit === 1200L)
+  }
+
+  test("mediaFeatures: end-to-end BMP/WAV decode over the corpus") {
+    val docsDf = Seq(
+      (2L, "x", "en", "src0", 1L), (3L, "y", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = MultimodalOps.mediaFeatures(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[String]("kind") === "bmp")
+    // id 2: w=6, h=1+... w=4+2%5=6, h=2+2%3=4 -> 72 pixel bytes
+    assert(out(2L).getAs[Long]("n_units") === 3L * 6 * 4)
+    val wavVals = (0L until (64 + 3 % 64)).map(i =>
+      ((3 * 31 + i * 17) % 4096) - 2048)
+    assert(out(3L).getAs[String]("kind") === "wav")
+    assert(out(3L).getAs[Long]("sample_rate") === 8000L)
+    assert(out(3L).getAs[Long]("n_units") === wavVals.length.toLong)
+    assert(out(3L).getAs[Long]("sum_units") === wavVals.sum)
   }
 
   test("mediaDedupCensus: cross-format dup counts once in ALL") {
