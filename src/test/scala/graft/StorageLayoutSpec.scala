@@ -319,6 +319,49 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed ADS-B store: the whole flights plan is Exchange-free") {
+    val adsb = graft.operators.AdsbQueries
+      .eventsAsAdsb(spark, "/root/testdata/sf0.001")
+    graft.sources.AdsbStore.save(adsb, "adsb_bucketed")
+    try {
+      // disable broadcast: the claim is co-location carries the plan
+      // even when BOTH sides are too big to broadcast — the 100 TB case
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val flights = graft.sources.AdsbStore.flights(spark, "adsb_bucketed")
+      val plan = flights.queryExecution.executedPlan.toString
+      // scan -> filters -> callsigns aggregate (bucket key is a subset
+      // of the grouping key) -> band join -> DISTINCT: every step's
+      // required clustering is satisfied by the bucket partitioning
+      assert(!plan.contains("Exchange"),
+        s"flights over the bucketed store must plan zero Exchange:\n$plan")
+      // identical output to the inline path on the same rows
+      val inline = graft.operators.Views.flights(adsb)
+      assert(flights.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
+      // streaming growth: an appended micro-batch keeps the layout and
+      // the Exchange-free plan, and its rows join against the history
+      val (histDf, batchDf) = {
+        val marked = adsb.withColumn("__h",
+          org.apache.spark.sql.functions.abs(
+            org.apache.spark.sql.functions.hash($"hex_ident")) % 10)
+        (marked.filter($"__h" =!= 0).drop("__h"),
+         marked.filter($"__h" === 0).drop("__h"))
+      }
+      graft.sources.AdsbStore.save(histDf, "adsb_grown")
+      graft.sources.AdsbStore.append(batchDf, "adsb_grown")
+      val grown = graft.sources.AdsbStore.flights(spark, "adsb_grown")
+      assert(!grown.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "append must preserve the bucket layout")
+      assert(grown.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS adsb_bucketed")
+      spark.sql("DROP TABLE IF EXISTS adsb_grown")
+    }
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
