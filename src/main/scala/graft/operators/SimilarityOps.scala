@@ -713,10 +713,21 @@ object SimilarityOps {
     * per vote rollup — no corpus-wide shuffle, no global sort.
     */
   def knnLabelConfusion(emb: DataFrame, cents: Array[Array[Long]],
-                        kNN: Int): DataFrame = {
-    val assigned = emb.select(col("vec_id"), col("label"),
+                        kNN: Int): DataFrame =
+    knnLabelConfusionFrom(emb.select(col("vec_id"), col("label"),
       assignCluster(col("embedding"), cents).as("cluster"),
-      col("embedding"))
+      col("embedding")), kNN)
+
+  /** [[knnLabelConfusion]] over an ALREADY-ASSIGNED (vec_id, label,
+    * cluster, embedding) relation — the store-backed entry point:
+    * [[graft.sources.VectorStore.knnLabelConfusion]] feeds it the
+    * cluster-partitioned layout, where assignment was paid once at
+    * write time and a cluster-subset audit prunes partitions at the
+    * scan. The pair join hash-partitions both sides on the cluster id
+    * (the second side reuses the first's Exchange), so pairs form
+    * partition-locally and never cross clusters.
+    */
+  def knnLabelConfusionFrom(assigned: DataFrame, kNN: Int): DataFrame = {
     val a = assigned.select(col("vec_id").as("d1"),
       col("label").as("l1"), col("cluster"), col("embedding").as("e1"))
     val b = assigned.select(col("vec_id").as("d2"),
@@ -742,10 +753,18 @@ object SimilarityOps {
   }
 
   def semDedup(emb: DataFrame, cents: Array[Array[Long]],
-               cosMicroMin: Long): DataFrame = {
-    val assigned = emb.select(col("vec_id"),
+               cosMicroMin: Long): DataFrame =
+    semDedupFrom(emb.select(col("vec_id"),
       assignCluster(col("embedding"), cents).as("cluster"),
-      col("embedding"))
+      col("embedding")), cosMicroMin)
+
+  /** [[semDedup]] over an ALREADY-ASSIGNED (vec_id, cluster, embedding)
+    * relation — the store-backed entry point (see
+    * [[knnLabelConfusionFrom]] for the partitioning story; this is the
+    * documented 100-k-cluster regime where the codebook lives in
+    * [[graft.sources.VectorStore]]'s layout, not in literals).
+    */
+  def semDedupFrom(assigned: DataFrame, cosMicroMin: Long): DataFrame = {
     val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
       col("embedding").as("e1"))
     val b = assigned.select(col("vec_id").as("d2"), col("cluster"),

@@ -112,9 +112,15 @@ object VectorStore {
     Meta(cents, m.getLong(0), m.getLong(1))
   }
 
+  /** All input columns ride into the layout — vec_id and embedding are
+    * the index; metadata columns (label, source, ...) persist alongside
+    * so store-backed audits ([[semDedup]], [[knnLabelConfusion]]) never
+    * join back to the corpus for them. Parquet stores them columnar:
+    * a query that doesn't read `label` never opens its pages.
+    */
   private def writeRows(emb: DataFrame, path: String,
                         cents: Array[Array[Long]], mode: String): Unit =
-    emb.select(col("vec_id"), col("embedding"),
+    emb.select(col("*"),
         kmeansAssign(col("embedding"), cents).as("cluster"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
 
@@ -223,6 +229,48 @@ object VectorStore {
   def annTopK(spark: SparkSession, path: String, queryId: Long,
               nProbe: Int, k: Int): DataFrame =
     annTopK(spark, path, readMeta(spark, path).cents, queryId, nProbe, k)
+
+  /** The stored (vec_id, cluster, …metadata, embedding) relation,
+    * optionally restricted to a cluster subset — the restriction is a
+    * PARTITION filter (pinned in StorageLayoutSpec): a non-audited
+    * cluster's files are never opened.
+    */
+  private def storeRows(spark: SparkSession, path: String,
+                        clusters: Seq[Long]): DataFrame = {
+    val store = spark.read.parquet(path)
+    if (clusters.isEmpty) store
+    else store.filter(col("cluster").isin(clusters: _*))
+  }
+
+  /** SemDeDup over the stored layout — the documented 100-k-cluster
+    * regime of [[SimilarityOps.semDedup]] made concrete: assignment was
+    * paid ONCE at write time (the cluster id is read, not recomputed —
+    * no codebook literals in the plan), a cluster-subset audit prunes
+    * partitions at the scan, and the within-cluster pair join
+    * hash-partitions on the stored cluster id with the second side
+    * reusing the first's Exchange — each cluster's pairs form
+    * partition-locally and never cross clusters. Output ≡ the in-query
+    * path under the same codebook (spec-pinned).
+    */
+  def semDedup(spark: SparkSession, path: String, cosMicroMin: Long,
+               clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.semDedupFrom(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "cluster", "embedding"),
+      cosMicroMin)
+
+  /** k-NN majority-label confusion over the stored layout — labels come
+    * from the store's own metadata columns ([[writeRows]] persists
+    * them), so the audit reads ONE relation: no corpus-side join, and a
+    * per-cluster audit (label drift in one shard's neighborhood) scans
+    * only that cluster's partition.
+    */
+  def knnLabelConfusion(spark: SparkSession, path: String, kNN: Int,
+                        clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.knnLabelConfusionFrom(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "label", "cluster", "embedding"),
+      kNN)
 
   // ------------------------------------------------------------- PQ leg
 

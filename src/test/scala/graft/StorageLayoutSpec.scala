@@ -319,6 +319,50 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("store-backed SemDeDup/kNN: assignment read not recomputed, " +
+      "partitions pruned, output == in-query path") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val path = Files.createTempDirectory("graft-sem").toString
+    val cents = graft.sources.VectorStore.save(emb, path, 10)
+
+    val stored = graft.sources.VectorStore.semDedup(spark, path, 700000L)
+    val inline = graft.operators.SimilarityOps
+      .semDedup(emb, cents, 700000L)
+    assert(stored.collect().map(_.toSeq).toSet ===
+      inline.collect().map(_.toSeq).toSet)
+    // the store path must READ the cluster id — a plan that re-runs the
+    // assignment kernel is paying write-time work per audit
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(!plan.contains("kmeans_assign"),
+      s"store-backed audit must not re-assign clusters:\n$plan")
+
+    // cluster-subset audit: the restriction is a partition filter, and
+    // verdicts are cluster-local, so the subset equals the full audit
+    // filtered to those clusters
+    val sub = graft.sources.VectorStore
+      .semDedup(spark, path, 700000L, Seq(0L, 1L))
+    val scan = sub.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters"))
+    assert(scan.exists(s => s.contains("cluster")),
+      s"cluster subset must prune partitions:\n${scan.getOrElse("")}")
+    assert(sub.collect().map(_.toSeq).toSet ===
+      stored.filter($"cluster".isin(0L, 1L))
+        .collect().map(_.toSeq).toSet)
+
+    // kNN label audit: labels come off the store's own metadata
+    // columns — one relation, no corpus-side join — same confusion
+    // census as the in-query formulation
+    val kStored = graft.sources.VectorStore
+      .knnLabelConfusion(spark, path, 3)
+    val kInline = graft.operators.SimilarityOps
+      .knnLabelConfusion(emb, cents, 3)
+    assert(kStored.collect().map(_.toSeq).toSet ===
+      kInline.collect().map(_.toSeq).toSet)
+    assert(!kStored.queryExecution.executedPlan.toString
+      .contains("kmeans_assign"))
+  }
+
   test("bucketed ADS-B store: the whole flights plan is Exchange-free") {
     val adsb = graft.operators.AdsbQueries
       .eventsAsAdsb(spark, "/root/testdata/sf0.001")
