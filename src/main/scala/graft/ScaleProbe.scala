@@ -675,6 +675,114 @@ object ScaleProbe {
       println(s"SCALE knn_label_invariance ok (pure diagonal at ${k}x " +
         s"— the dedup-before-audit caveat, measured)")
     }
+    // SemDeDup's scale dial, executed (the paper's ~100k-cluster
+    // regime in miniature): the Σ|cluster|² pair cost is honest at
+    // 100 TB only if nCentroids scales WITH the corpus. Identical
+    // replicas can't test this (same point → same cluster by
+    // definition), so replica r translates component 0 by +16r —
+    // k disjoint regions of identical internal structure. Invariants:
+    // with nCentroids held at C the per-vector pair mass grows ~k×
+    // (the failure mode); with nCentroids scaled to k·C the codebook
+    // spends ~C per region and per-vector pair mass returns to ~1×.
+    {
+      def shifted(c: Int): DataFrame = {
+        val n = 10000000L
+        emb.crossJoin(spark.range(c).toDF("__r"))
+          .withColumn("vec_id", col("vec_id") + col("__r") * n)
+          .withColumn("embedding",
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, x + (col("__r") * 16).cast("float"))
+                .otherwise(x)))
+          .drop("__r")
+      }
+      def pairsPerVec(e: DataFrame, nCents: Int, tag: String): Double = {
+        var out = 0.0
+        time(s"semdedup_dial_$tag") {
+          val cents = SimilarityOps.kmeansCodebook(e, nCents,
+            SimilarityOps.KmRounds)
+          val counts = SimilarityOps.clusterMix(e, cents, nCents)
+            .select("n_vecs").collect().map(_.getLong(0))
+          val pairs = counts.map(n => n * (n - 1) / 2).sum
+          out = pairs.toDouble / counts.sum
+          counts.sum
+        }
+        out
+      }
+      val c0 = 10
+      val base = pairsPerVec(shifted(1), c0, s"1x_${c0}c")
+      val fixedC = pairsPerVec(shifted(k), c0, s"${k}x_${c0}c")
+      val scaledC = pairsPerVec(shifted(k), c0 * k, s"${k}x_${c0 * k}c")
+      println(f"SCALE semdedup_dial pairs/vec: 1x@${c0}c=$base%.1f, " +
+        f"${k}x@${c0}c=$fixedC%.1f (${fixedC / base}%.1fx), " +
+        f"${k}x@${c0 * k}c=$scaledC%.1f (${scaledC / base}%.2fx)")
+      // measured at 8x: 100 → 2823 (28.2x, fixed C) → 307 (3.07x,
+      // scaled C). The residual ~3x over the balanced ideal is TRAINER
+      // imbalance, constant in k: the md5-seed draw is multinomial
+      // across the 8 disjoint regions (a region dealt 7 seeds keeps 7 —
+      // 2 Lloyd rounds cannot migrate a centroid across a 16-unit gap),
+      // inflating E[region/c_r] above region/E[c_r]. The invariants pin
+      // the REGIME, not the trainer's luck: fixed C must blow up with
+      // the corpus, scaling C by k must claw back at least k/2 of it,
+      // and the residual must stay a small constant multiple.
+      require(fixedC > (k / 2.0) * base,
+        f"holding nCentroids fixed must inflate per-vector pair mass " +
+          f"~k x (got ${fixedC / base}%.1fx) — otherwise the dial tests " +
+          "nothing")
+      require(fixedC / scaledC > k / 2.0,
+        f"scaling nCentroids ${k}x must cut per-vector pair mass by " +
+          f">= ${k}/2, got ${fixedC / scaledC}%.1fx")
+      require(scaledC < 6.0 * base,
+        f"per-vector pair mass under the scaled codebook must stay a " +
+          f"small constant multiple of 1x, got ${scaledC / base}%.2fx")
+    }
+    // ≥1k-merge sampled BPE train: real tokenizers live at 32k merges,
+    // and the scale claim is that every training round is VOCABULARY-
+    // sized (pair counts over distinct word forms), never corpus-sized
+    // — which predicts per-merge cost ~flat in the merge index. The
+    // provided corpus's 31-word vocabulary exhausts long before 1k, so
+    // train on a 4000-word deterministic synthetic vocabulary (the
+    // TokenizerStoreSpec fixture, scaled) at samplePct=50 (the sampled
+    // path: train reads the hash-sample, the dictionary still covers
+    // the full corpus via the chain replay), and pin that amortized
+    // per-merge cost at 1024 merges stays within 2.5x of 128 merges.
+    {
+      import spark.implicits._
+      val words = (0 until 4000).map { i =>
+        val x = i * 7919 + 13
+        (0 until (6 + i % 7)).map(j => ('a' + (x >> (j * 2)) % 26).toChar)
+          .mkString
+      }
+      val corpus = words.grouped(10).map(_.mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+        .cache()
+      corpus.count()
+      def train(m: Int): Double = {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft-tok$m").toString
+        var dt = 0.0
+        time(s"bpe_train_${m}m") {
+          val t0 = System.nanoTime()
+          graft.sources.TokenizerStore.save(corpus, path, merges = m,
+            samplePct = 50)
+          dt = (System.nanoTime() - t0) / 1e9
+          m.toLong
+        }
+        require(graft.sources.TokenizerStore
+          .readMerges(spark, path).length == m, s"chain must hold $m merges")
+        dt
+      }
+      val t128 = train(128)
+      val t1024 = train(1024)
+      val per128 = t128 / 128.0
+      val per1024 = t1024 / 1024.0
+      println(f"SCALE bpe_1k_round_cost ${per128 * 1000}%.0f ms/merge at " +
+        f"128m vs ${per1024 * 1000}%.0f ms/merge at 1024m " +
+        f"(${per1024 / per128}%.2fx)")
+      require(per1024 < 2.5 * per128,
+        f"per-merge cost must stay ~flat in the merge index, got " +
+          f"${per1024 / per128}%.2fx at 1024 merges")
+      corpus.unpersist()
+    }
     spark.stop()
   }
 }

@@ -330,6 +330,7 @@ object MultimodalOps {
       blobs.groupBy("sha").agg(sum("c").as("c"), max("len").as("len"))
         .groupBy())
       .withColumn("format", lit("ALL"))
-    perFormat.unionByName(all.select(perFormat.columns.map(col): _*))
+    perFormat.unionByName(
+      all.select(perFormat.columns.toIndexedSeq.map(col): _*))
   }
 }
