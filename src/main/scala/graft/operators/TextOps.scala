@@ -1720,6 +1720,53 @@ object TextOps {
       sum("n_tokens").over(w).as("n_tokens_at_or_above"))
   }
 
+  /** [[zipfCensus]] with a TWO-LEVEL cumulative — the formulation for
+    * the regime past the census bound's comfort zone. The plain census
+    * is provably ≤ √(2T) rows (c·N_c ≤ T), ~6.3M rows at 100 TB — one
+    * executor's sort, the stated budget. This variant removes even that
+    * single-partition window: frequencies are range-bucketed
+    * (freq >> bucketBits), the top-down cumulative runs as a
+    * PARTITIONED window within each bucket, and the cross-bucket
+    * carry is a second cumulative over the non-empty-bucket census —
+    * ≤ maxFreq / 2^bucketBits rows (thousands at any corpus size with
+    * the default 16 bits), the only global ordering left. Output is
+    * row-identical to [[zipfCensus]] (spec-asserted): for a census row
+    * in bucket b, tokens-at-or-above = the within-bucket cumulative
+    * plus every strictly-higher bucket's total.
+    *
+    * Cost vs the flat census: one extra (bucket, partial) Exchange for
+    * the bucket totals and the bucket-join — both bounded by census
+    * rows, nothing corpus-sized.
+    */
+  def zipfCensusBucketed(docs: DataFrame, bucketBits: Int = 16)
+      : DataFrame = {
+    val counts = parallelized(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val census = counts.groupBy("freq")
+      .agg(count(lit(1)).as("n_types"))
+      .select(col("freq"), col("n_types"),
+        (col("freq") * col("n_types")).as("n_tokens"),
+        shiftright(col("freq"), bucketBits).as("bucket"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("freq").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val inBucket = census.withColumn("cum_in", sum("n_tokens").over(wIn))
+    val wHigher = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val carries = census.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .select(col("bucket"),
+        coalesce(sum("bucket_tokens").over(wHigher), lit(0L))
+          .as("higher_tokens"))
+    inBucket.join(carries, Seq("bucket"))
+      .select(col("freq"), col("n_types"), col("n_tokens"),
+        (col("cum_in") + col("higher_tokens")).as("n_tokens_at_or_above"))
+  }
+
   /** Fractional source upsampling — the epoch-repeat assignment of a
     * weighted data recipe (the LLaMA-style "Wikipedia ×2.5, web ×0.8"
     * table): a source weighted w repeats each of its documents

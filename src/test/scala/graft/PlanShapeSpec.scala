@@ -106,6 +106,33 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side partial rank limit:\n$p")
   }
 
+  test("zipfCensusBucketed: census window is PARTITIONED; only the " +
+      "bucket carry orders globally; output == flat census") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // bucketBits=1 puts freq 1 in bucket 0 and freqs 2-3 in bucket 1
+    // even on the tiny fixture, so the two-level path actually splits
+    val bucketed = TextOps.zipfCensusBucketed(docs, bucketBits = 1)
+    // AdaptiveSparkPlanExec hides its tree from collect(); unwrap it
+    val root = bucketed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val wins = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the census-sized cumulative must run under a bucket-partitioned " +
+        "window")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.length === 1,
+      s"exactly one global window (the bucket carry), got " +
+        s"${global.length}")
+    // row-identical to the flat formulation
+    assert(bucketed.collect().map(_.toSeq).toSet ===
+      TextOps.zipfCensus(docs).collect().map(_.toSeq).toSet)
+  }
+
   test("zipfCensus: the window runs over the census, not the corpus") {
     val p = plan(TextOps.zipfCensus(
       Tables.documents(spark, dir).select("doc_id", "text")))
