@@ -104,6 +104,28 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Bucketed analytical sink — the third S7 sink shape beside the
+    * date-partitioned parquet sink and the JDBC parity sink: each
+    * micro-batch appends into [[graft.sources.AdsbStore]]'s
+    * `bucketBy(hex_ident)` catalog layout, so the serving views (the
+    * flights plan above all) stay EXCHANGE-FREE over a store that
+    * grows one batch at a time. Dedup happens upstream of the sink
+    * (same as the parquet path); a crash-replayed batch re-appends
+    * identical rows, which the flights DISTINCT absorbs — and
+    * periodic per-bucket compaction is
+    * [[Maintenance.compactBucketed]] unchanged.
+    */
+  def startBucketed(spark: SparkSession, cfg: Config, table: String,
+                    nBuckets: Int = 8): StreamingQuery =
+    deduped(stream(spark, cfg), cfg.dedupWatermark)
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        graft.sources.AdsbStore.append(df, table, nBuckets)
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
   /** JDBC parity sink (S7): the reference's row-at-a-time PostgreSQL
     * INSERT loop becomes one batched, partition-parallel JDBC append
     * per micro-batch — `foreachBatch` + `DataFrameWriter.jdbc`, the

@@ -63,6 +63,42 @@ class IngestSpec extends SparkSpec {
     * fall over; the dedup pipeline must run unchanged on the RocksDB
     * provider (spill-to-disk state, the production choice).
     */
+  test("micro-batches land in the bucketed store; flights stays " +
+      "Exchange-free over the streamed table") {
+    import sqlImplicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String](spark)
+    val parsed = sources.Sbs1.parse(ms.toDF())
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bstore-ckpt").toString
+    val q = streaming.Ingest.deduped(parsed, "10 minutes")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sources.AdsbStore.append(df, "adsb_stream_store")
+      }
+      .start()
+    try {
+      ms.addData(sources.Sbs1.sampleLines: _*)
+      q.processAllAvailable()
+      ms.addData(sources.Sbs1.sampleLines(1)) // a second micro-batch
+      q.processAllAvailable()
+      val store = spark.table("adsb_stream_store")
+      assert(store.count() >= 6L,
+        "both micro-batches' rows must be in the store")
+      // the batch-grown layout serves the flagship plan shuffle-free
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = sources.AdsbStore.flights(spark, "adsb_stream_store")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"flights over the streamed store must stay Exchange-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS adsb_stream_store")
+    }
+  }
+
   test("watermarked dedup runs on the RocksDB state store provider") {
     import sqlImplicits._
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -399,6 +399,22 @@ class StorageLayoutSpec extends SparkSpec {
         "append must preserve the bucket layout")
       assert(grown.collect().map(_.toSeq).toSet ===
         inline.collect().map(_.toSeq).toSet)
+      // reference SQL parity: the persistent catalog-VIEW chain
+      // (create_schema.sql:85-124 semantics) over the bucketed table
+      // resolves to the SAME Exchange-free plan — a reference user's
+      // `SELECT * FROM flights` runs shuffle-free verbatim
+      graft.operators.Views.registerPersistent(spark, "adsb_bucketed")
+      try {
+        val viaSql = spark.sql("SELECT * FROM flights")
+        assert(!viaSql.queryExecution.executedPlan.toString
+          .contains("Exchange"),
+          "the catalog-view chain must inherit the bucketed plan")
+        assert(viaSql.collect().map(_.toSeq).toSet ===
+          inline.collect().map(_.toSeq).toSet)
+      } finally {
+        Seq("flights", "locations", "callsigns")
+          .foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS adsb_bucketed")
