@@ -403,6 +403,11 @@ class StorageLayoutSpec extends SparkSpec {
       // (create_schema.sql:85-124 semantics) over the bucketed table
       // resolves to the SAME Exchange-free plan — a reference user's
       // `SELECT * FROM flights` runs shuffle-free verbatim
+      // a prior suite may have left Views.register's TEMP views in the
+      // shared session; they would shadow the catalog views (and Spark
+      // refuses a persistent view over a temp one) — clear them first
+      Seq("adsb_messages", "callsigns", "locations", "flights")
+        .foreach(spark.catalog.dropTempView(_))
       graft.operators.Views.registerPersistent(spark, "adsb_bucketed")
       try {
         val viaSql = spark.sql("SELECT * FROM flights")
