@@ -525,6 +525,38 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Two-stage PQ serving (V13): ADC over the compressed codes
+    * produces a `shortlist`-sized candidate set, then ONLY those rows'
+    * full vectors are re-scored with exact cosine for the final top-k
+    * — the standard rerank pattern (Jégou et al. §V.C) that buys back
+    * quantization error for the price of `shortlist` full-vector
+    * reads. Determinism end to end: the ADC stage ties (adc DESC,
+    * vec_id), the rerank ties (cos_micro DESC, vec_id), so the
+    * shortlist cut and the final order are engine-independent.
+    *
+    * Scale shape: stage 1 scans CODES only (16-byte rows; under the
+    * store it is also partition-pruned, [[graft.sources.VectorStore]]);
+    * stage 2's full-vector read is `shortlist` rows — a semi-join
+    * against a TakeOrdered result the optimizer turns into a tiny
+    * build side. With shortlist = corpus the result degenerates to
+    * exact [[annTopK]] (spec-pinned); production picks shortlist a
+    * small multiple of k.
+    */
+  def pqRerankTopK(emb: DataFrame, books: Seq[Array[Array[Long]]],
+                   subLen: Int, queryId: Long, shortlist: Int,
+                   k: Int): DataFrame = {
+    val short = pqAdcTopK(emb, books, subLen, queryId, shortlist)
+      .select("vec_id")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.join(short, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch ADC: top-k for a SET of queries in one plan. The per-query
     * lookup tables become one tiny (query, subspace, code) → dot
     * relation (Q × nSub × nCents exact-integer rows, built on the

@@ -194,6 +194,19 @@ object SimilarityQueries {
       NProbe, PqK)
   }
 
+  /** V13: ADC shortlist → exact-cosine rerank, the two-stage serving
+    * pattern. Shortlist 2.5× k: wide enough that the exact top stays
+    * inside it on this corpus, narrow enough that the rerank reads a
+    * bounded full-vector set.
+    */
+  val PqShortlist = 25
+
+  def qPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    SimilarityOps.pqRerankTopK(e, pqBooks(e), PqSubLen, QueryVecId,
+      PqShortlist, PqK)
+  }
+
   /** Sub-codebook sizes the recall curve is measured at — code budgets
     * of 8, 12, and 20 bits per vector (nSub · log₂ nCents).
     */
@@ -739,6 +752,54 @@ object SimilarityQueries {
        |ORDER BY adc DESC, x0.vec_id LIMIT $PqK""".stripMargin
   }
 
+  /** Rerank oracle: the ADC ranking becomes a shortlist CTE (same
+    * fragments as the q_pq_adc oracle), and the exact-cosine tail of
+    * the q_ann_topk oracle runs restricted to the shortlist — the
+    * two-stage composition mirrored 1:1.
+    */
+  private val pqRerankOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val luts = (0 until PqSub).map(j =>
+      s"""p${j}_lut AS (
+         |  SELECT c.cid, CAST(sum(m.vm * c.S) AS BIGINT) AS dot
+         |  FROM p${j}_c$r c JOIN p${j}_mv m
+         |    ON m.i = c.i AND m.vec_id = $QueryVecId
+         |  GROUP BY 1
+         |)""".stripMargin).mkString(",\n")
+    val joins = (1 until PqSub)
+      .map(j => s"JOIN p${j}_a$r x$j ON x0.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until PqSub)
+      .map(j => s"JOIN p${j}_lut l$j ON l$j.cid = x$j.cid")
+      .mkString("\n")
+    val adc = (0 until PqSub).map(j => s"l$j.dot").mkString(" + ")
+    s"""$evCte,
+       |$pqChains,
+       |$luts,
+       |short AS (
+       |  SELECT x0.vec_id
+       |  FROM p0_a$r x0
+       |$joins
+       |$lutJoins
+       |  WHERE x0.vec_id <> $QueryVecId
+       |  ORDER BY CAST($adc AS BIGINT) DESC, x0.vec_id
+       |  LIMIT $PqShortlist
+       |),
+       |dots AS (
+       |  SELECT e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e
+       |  JOIN ev q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  JOIN short s ON s.vec_id = e.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT d.vec_id,
+       |  ${Hashing.microSql(
+      s"d.dot / (n.nrm * (SELECT nrm FROM nrm WHERE vec_id = $QueryVecId))")}
+       |    AS cos_micro
+       |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+       |ORDER BY cos_micro DESC, d.vec_id LIMIT $PqK""".stripMargin
+  }
+
   /** IVF×PQ oracle: the full-vector training chain supplies the probe
     * set, the subspace chains supply codes and LUTs, the ranking runs
     * over probed clusters only.
@@ -900,6 +961,7 @@ object SimilarityQueries {
     "q_pq_adc"         -> (qPqAdc _),
     "q_pq_recall"      -> (qPqRecall _),
     "q_pq_ivf"         -> (qPqIvf _),
+    "q_pq_rerank"      -> (qPqRerank _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -918,5 +980,6 @@ object SimilarityQueries {
     "q_pq_adc"         -> pqAdcOracle,
     "q_pq_recall"      -> pqRecallOracle,
     "q_pq_ivf"         -> pqIvfOracle,
+    "q_pq_rerank"      -> pqRerankOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

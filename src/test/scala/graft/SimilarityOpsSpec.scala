@@ -227,6 +227,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 7L)
   }
 
+  test("pqRerankTopK: full shortlist degenerates to exact annTopK; " +
+      "narrow shortlist reranks by exact cosine") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count().toInt
+    val books = SimilarityOps.pqCodebooks(e, 4, 16, 8)
+    // shortlist = corpus: ADC cannot exclude anyone, so the rerank IS
+    // the exact ranking
+    val full = SimilarityOps
+      .pqRerankTopK(e, books, 16, 0L, shortlist = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = SimilarityOps.annTopK(e, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("cos_micro")))
+    assert(full.toSeq === exact.toSeq)
+    // narrow shortlist: results are a subset of the ADC shortlist,
+    // ordered by exact cosine (descending, ties to lower id)
+    val short = SimilarityOps.pqAdcTopK(e, books, 16, 0L, 25)
+      .collect().map(_.getLong(0)).toSet
+    val rr = SimilarityOps
+      .pqRerankTopK(e, books, 16, 0L, shortlist = 25, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rr.length === 10)
+    assert(rr.forall { case (id, _) => short(id) })
+    assert(rr.map(_._2).toSeq === rr.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("pqAdcBatch matches per-query pqAdcTopK") {
     val e = emb(
       (0L, Seq(1f, 0f, 0f, 1f), 0),
