@@ -34,6 +34,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
+    "q_pq_rerank",      // broadcast single query vector (rerank stage)
     "q_range_join",     // pure range join on a broadcast bucket dim
     "q_tfidf",          // broadcast one-row corpus doc count N
     "q_topk_per_label") // broadcast single query vector
