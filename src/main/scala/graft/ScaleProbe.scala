@@ -336,6 +336,82 @@ object ScaleProbe {
         s"${s1.size} base vectors kept; kept set identical at ${k}x)")
     }
 
+    // SSP prototype pruning at k× under ONE base-trained codebook:
+    // replicas score identically to their base, so the verdict is
+    // fraction-shaped, not threshold-shaped — each cluster keeps
+    // EXACTLY floor(k·n·num/den) rows no matter how duplicated the
+    // data is (a threshold rule would flood or starve the kept set as
+    // density shifts; the rank rule cannot). Pinned: per-cluster size
+    // scales by exactly k and per-cluster kept count equals the
+    // closed-form floor at both scales.
+    {
+      val cents = SimilarityOps.kmeansCodebook(emb, 10,
+        SimilarityOps.KmRounds)
+      val (num, den) = (7, 10)
+      def prune(c: Int): Map[Long, (Long, Long)] = {
+        val e = replicate(emb, "vec_id", c)
+        var out: Map[Long, (Long, Long)] = Map.empty
+        time(s"proto_prune_${c}x") {
+          val rows = SimilarityOps.protoPrune(e, cents, num, den)
+            .groupBy("cluster")
+            .agg(max("n_cluster").as("n"), sum("kept").as("kept"))
+            .collect()
+          out = rows.map(r => r.getAs[Long]("cluster") ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("kept")))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val p1 = prune(1)
+      val pk = prune(k)
+      require(p1.keySet == pk.keySet, "cluster set replication-invariant")
+      p1.foreach { case (cid, (n1, kept1)) =>
+        val (nk, keptK) = pk(cid)
+        require(nk == n1 * k, s"cluster $cid size must scale by $k")
+        require(kept1 == n1 * num / den,
+          s"1x kept of cluster $cid must equal floor(n*frac)")
+        require(keptK == nk * num / den,
+          s"${k}x kept of cluster $cid must equal floor(kn*frac)")
+      }
+      println(s"SCALE proto_prune_invariance ok (${p1.size} clusters; " +
+        s"kept = floor(n*$num/$den) exact at 1x and ${k}x)")
+    }
+
+    // Diversity census at k×: the sum-vector identity gives CLOSED
+    // FORMS under replication — n'=kn, t'=kt, ssum'=k²·ssum — so the
+    // k× census is fully predicted by the 1× census with zero slack:
+    // coherence' = micro((k²·ssum − k·t)/((kn−1)·k·t)). Measured
+    // equality pins both the identity algebra and the exactness claim
+    // (any double drift in the pipeline would break bit-equality).
+    {
+      def divers(c: Int): Map[Int, (Long, Long, Long, Long)] = {
+        val e = replicate(emb, "vec_id", c)
+        var out: Map[Int, (Long, Long, Long, Long)] = Map.empty
+        time(s"embed_diversity_${c}x") {
+          out = SimilarityOps.embedDiversity(e).collect()
+            .map(r => r.getInt(0) -> ((r.getAs[Long]("n_vecs"),
+              r.getAs[Long]("self_dot_sum"), r.getAs[Long]("sum_vec_dot"),
+              r.getAs[Long]("coherence_micro")))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val d1 = divers(1)
+      val dk = divers(k)
+      require(d1.keySet == dk.keySet, "label set replication-invariant")
+      d1.foreach { case (label, (n, t, ssum, _)) =>
+        val (nk, tk, ssumK, cohK) = dk(label)
+        require(nk == n * k && tk == t * k && ssumK == ssum * k * k,
+          s"label $label moments must follow the closed form at ${k}x")
+        val predicted = math.floor(1000000.0 *
+          ((ssumK - tk).toDouble / ((nk - 1).toDouble * tk))).toLong
+        require(cohK == predicted,
+          s"label $label coherence ${cohK} != closed form $predicted")
+      }
+      println(s"SCALE diversity_closed_form ok (${d1.size} labels; " +
+        s"k²/k moment scaling and coherence bit-exact at ${k}x)")
+    }
+
     // PQ at k× under ONE codebook set trained on the base corpus (the
     // artifact-reuse shape, as with SemDeDup above): codes are a pure
     // function of the embedding, so every replica encodes identically

@@ -784,6 +784,141 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** SSP prototype pruning (Sorscher et al., "Beyond neural scaling
+    * laws", NeurIPS 2022): rank every vector by its cosine to its OWN
+    * cluster centroid — the paper's "prototypicality" — and keep the
+    * hardest (least prototypical) fraction of each cluster. The
+    * abundant-data regime of the paper: prototypical examples are the
+    * redundant core a model learns from few samples, so pruning them
+    * first buys the steepest loss-per-example improvement. SemDeDup
+    * (D12) removes literal semantic copies; this removes the easy
+    * CENTER of each semantic region — the two compose into the
+    * paper's full curation recipe under one trained codebook.
+    *
+    * Determinism: the prototypicality score is the integer
+    * micro-cosine the assignment kernel already computes
+    * ([[graft.functions.KmeansScore]] — the winning score of
+    * [[graft.functions.KmeansAssign]]'s argmax, same codebook, same
+    * tie order), the hardness rank orders (score ASC, vec_id), and
+    * the keep verdict is the exact integer comparison
+    * rank · keepDen ≤ n_cluster · keepNum — floor(n·frac) kept per
+    * cluster with no float threshold anywhere.
+    *
+    * Scale shape: NO pair join at all — unlike the Σ|cluster|²
+    * families this is assignment-shaped: one zero-shuffle kernel
+    * projection (cluster id + score ride the same scan), then ONE
+    * (cluster) Exchange shared by both windows (the rank and the
+    * cluster-size count partition identically, so Spark plans a
+    * single sort + two WindowExecs over one shuffle). At 100 TB this
+    * costs what scanning the vectors costs.
+    */
+  def protoPrune(emb: DataFrame, cents: Array[Array[Long]],
+                 keepNum: Int, keepDen: Int): DataFrame = {
+    val assigned = emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      graft.functions.KmeansScore.kmeansScore(col("embedding"), cents)
+        .as("proto_cos_micro"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("proto_cos_micro").asc, col("vec_id"))
+    val wSize = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+    assigned
+      .withColumn("hardness_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(wSize))
+      .select(col("vec_id"), col("cluster"), col("proto_cos_micro"),
+        col("hardness_rank"), col("n_cluster"),
+        when(col("hardness_rank") * lit(keepDen.toLong) <=
+          col("n_cluster") * lit(keepNum.toLong), 1L).otherwise(0L)
+          .as("kept"))
+  }
+
+  /** Per-label embedding diversity census WITHOUT a pair join — the
+    * sum-vector identity: over any group, the sum of all pairwise
+    * dots is (‖Σv‖² − Σ‖v‖²)/2, so the group's mean pairwise
+    * similarity falls out of ONE linear pass where the pairwise
+    * formulation pays Σ|group|². On milli-quantized integer
+    * components every term is exact: S_i = Σ_v v_i per dimension,
+    * ssum = Σ_i S_i² = ‖Σv‖², t = Σ_v ‖v‖² — all integers, so the
+    * identity holds bit-for-bit on both engines.
+    *
+    * The reported `coherence_micro` = (ssum − t) / ((n−1) · t) is the
+    * norm-weighted mean pairwise dot over the mean self dot: exactly
+    * 10⁶ when all of a label's vectors are identical, near 0 for an
+    * isotropic cloud — the per-class redundancy number a curation
+    * pipeline reads BEFORE deciding which classes need SemDeDup-style
+    * pair work at all (low coherence ⇒ the Σ|cluster|² spend is
+    * wasted there). One IEEE division of exact integer operands,
+    * micro-floored, oracle-mirrored verbatim.
+    *
+    * Scale shape: one posexplode → one partial-agg'd (label, i)
+    * Exchange (bounded by labels × dims, NOT by vectors) → one
+    * (label) rollup. Exactness bound: ssum ≤ dims · (n·1000)² stays
+    * inside the 2⁵³ double-exact range up to ~1.5M vectors per label
+    * at 64 dims; past that, range-partition the label (the X38
+    * bucketing precedent) or drop to 100-unit components.
+    */
+  def embedDiversity(emb: DataFrame): DataFrame = {
+    emb
+      .select(col("label"),
+        posexplode(milliVec(col("embedding"))).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(sum("v").as("s"), sum(col("v") * col("v")).as("q"),
+        count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(sum(col("s") * col("s")).as("ssum"), sum("q").as("t"),
+        max("n").as("n"))
+      .select(col("label"), col("n").as("n_vecs"),
+        col("t").as("self_dot_sum"), col("ssum").as("sum_vec_dot"),
+        when(col("n") > 1L,
+          micro((col("ssum") - col("t")) /
+            ((col("n") - 1L) * col("t"))))
+          .otherwise(0L).as("coherence_micro"))
+  }
+
+  /** Hard-negative mining — the contrastive-training data-prep stage
+    * (the DPR/ANCE shape): for every query in the batch set, the k
+    * vectors that score HIGHEST against it while carrying a DIFFERENT
+    * label — the negatives that actually move a contrastive loss,
+    * as opposed to the trivial random ones. Output carries the
+    * negative's label so downstream can audit which classes supply
+    * each query's hard negatives.
+    *
+    * Scale shape: identical to [[SimilarityQueries.qAnnBatch]] — the
+    * query side (id, embedding, label) is a tiny broadcast, scoring
+    * is one codegen projection pass over the corpus, and per-query
+    * top-k flows through the bounded [[TopKAggregator]] (≤ k rows per
+    * map partition per query reach the shuffle — the n×Q score table
+    * never materializes). The negatives' labels join back over k·Q
+    * rows only.
+    */
+  def hardNegatives(emb: DataFrame, queryMax: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .select(col("query_id"),
+        micro(cosineSim(col("embedding"), col("qe")))
+          .cast("double").as("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    val top = scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopKAggregator.topK(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("vec_id"),
+        col("col._1").cast("long").as("cos_micro"))
+    top.join(emb.select(col("vec_id"), col("label").as("neg_label")),
+        Seq("vec_id"))
+      .select("query_id", "rank", "vec_id", "neg_label", "cos_micro")
+  }
+
   def semDedup(emb: DataFrame, cents: Array[Array[Long]],
                cosMicroMin: Long): DataFrame =
     semDedupFrom(emb.select(col("vec_id"),

@@ -241,6 +241,37 @@ object SimilarityQueries {
     SimilarityOps.cosineCensus(e, cents).orderBy("bucket_lo_micro")
   }
 
+  /** V14: keep the hardest 7/10 of each cluster — the paper's
+    * abundant-data regime (prune the prototypical core first).
+    */
+  val ProtoKeepNum = 7
+  val ProtoKeepDen = 10
+
+  /** V14: SSP prototype pruning under the same trained codebook as
+    * q_ann_ivf — per-vector prototypicality, hardness rank, keep
+    * verdict.
+    */
+  def qProtoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.protoPrune(e, cents, ProtoKeepNum, ProtoKeepDen)
+      .orderBy("vec_id")
+  }
+
+  /** V15: per-label diversity census via the sum-vector identity —
+    * mean pairwise similarity with no pair join.
+    */
+  def qEmbedDiversity(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embedDiversity(emb(spark, dir)).orderBy("label")
+
+  /** V16: hard negatives per batch query. */
+  val HardNegK = 5
+
+  def qHardNeg(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.hardNegatives(emb(spark, dir), BatchQueryMax, HardNegK)
+      .orderBy("query_id", "rank")
+
   /** V12: the cluster-blocked k-NN label-confusion audit under the
     * same trained codebook.
     */
@@ -931,6 +962,96 @@ object SimilarityQueries {
        |) ORDER BY n_cents, query_id""".stripMargin
   }
 
+  /** V14 oracle: the trained chain's final score/assignment relations
+    * give each vector its assigned-centroid score directly; hardness
+    * ranks and the exact-integer keep verdict mirror the Spark
+    * windows 1:1.
+    */
+  private val protoPruneOracle: String = {
+    val r = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |psz AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a$r GROUP BY 1
+       |),
+       |prk AS (
+       |  SELECT a.vec_id, a.cid, s.score,
+       |    CAST(row_number() OVER (PARTITION BY a.cid
+       |                            ORDER BY s.score ASC, a.vec_id)
+       |      AS BIGINT) AS rk
+       |  FROM a$r a JOIN sc$r s
+       |    ON a.vec_id = s.vec_id AND a.cid = s.cid
+       |)
+       |SELECT p.vec_id, p.cid AS cluster,
+       |  CAST(p.score AS BIGINT) AS proto_cos_micro,
+       |  p.rk AS hardness_rank, z.n AS n_cluster,
+       |  CAST(CASE WHEN p.rk * $ProtoKeepDen <= z.n * $ProtoKeepNum
+       |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM prk p JOIN psz z ON p.cid = z.cid
+       |ORDER BY p.vec_id""".stripMargin
+  }
+
+  /** V15 oracle: the identical milli quantization, per-(label, dim)
+    * sums, and the same single IEEE division — the identity holds on
+    * exact integers, so no tolerance is needed anywhere.
+    */
+  private val embedDiversityOracle: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |dmv AS (
+       |  SELECT vec_id, label,
+       |    CAST(floor(v * 1000.0) AS BIGINT) AS vm, i
+       |  FROM ev
+       |),
+       |per AS (
+       |  SELECT label, i, CAST(sum(vm) AS BIGINT) AS s,
+       |    CAST(sum(vm * vm) AS BIGINT) AS q,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM dmv GROUP BY 1, 2
+       |),
+       |agg AS (
+       |  SELECT label, CAST(sum(s * s) AS BIGINT) AS ssum,
+       |    CAST(sum(q) AS BIGINT) AS t, CAST(max(n) AS BIGINT) AS n
+       |  FROM per GROUP BY 1
+       |)
+       |SELECT label, n AS n_vecs, t AS self_dot_sum,
+       |  ssum AS sum_vec_dot,
+       |  CAST(CASE WHEN n > 1
+       |       THEN ${Hashing.microSql("(ssum - t) / ((n - 1) * t)")}
+       |       ELSE 0 END AS BIGINT) AS coherence_micro
+       |FROM agg ORDER BY label""".stripMargin
+
+  /** V16 oracle: the batch-ANN oracle with the cross-label filter and
+    * the negative's label carried through.
+    */
+  private val hardNegOracle: String =
+    s"""$evCte,
+       |lbl AS (SELECT DISTINCT vec_id, label FROM ev),
+       |hdots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |hscores AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro,
+       |    le.label AS neg_label
+       |  FROM hdots d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |              JOIN lbl le ON d.vec_id = le.vec_id
+       |              JOIN lbl lq ON d.query_id = lq.vec_id
+       |  WHERE le.label <> lq.label
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  neg_label, cos_micro
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_micro DESC, vec_id) AS rank
+       |  FROM hscores
+       |) WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
+
   private val quantizeOracle =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -962,6 +1083,9 @@ object SimilarityQueries {
     "q_pq_recall"      -> (qPqRecall _),
     "q_pq_ivf"         -> (qPqIvf _),
     "q_pq_rerank"      -> (qPqRerank _),
+    "q_proto_prune"    -> (qProtoPrune _),
+    "q_embed_diversity" -> (qEmbedDiversity _),
+    "q_hard_neg"       -> (qHardNeg _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
@@ -981,5 +1105,8 @@ object SimilarityQueries {
     "q_pq_recall"      -> pqRecallOracle,
     "q_pq_ivf"         -> pqIvfOracle,
     "q_pq_rerank"      -> pqRerankOracle,
+    "q_proto_prune"    -> protoPruneOracle,
+    "q_embed_diversity" -> embedDiversityOracle,
+    "q_hard_neg"       -> hardNegOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

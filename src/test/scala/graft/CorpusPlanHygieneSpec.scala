@@ -28,6 +28,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ann_recall",     // broadcast probe ranks grid (Q x nCentroids)
     "q_ann_topk",       // broadcast single query vector
     "q_dsir",           // broadcast one-row target/raw census totals
+    "q_hard_neg",       // broadcast query-vector set vs corpus scores
     "q_heaps",          // 4-row fraction dim x <= 8-row bucket censuses
     "q_integrity",      // broadcast one-row expected-totals relation
     "q_lm_score",       // broadcast one-row vocab-size V

@@ -148,6 +148,36 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one census-sized window Exchange:\n$p")
   }
 
+  test("protoPrune: assignment-shaped — one cluster Exchange, no join") {
+    val e = Tables.embeddings(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val p = plan(SimilarityOps.protoPrune(e, cents, 7, 10))
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"the corpus must be scanned exactly once:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1,
+      s"both windows must share one cluster-keyed shuffle:\n$p")
+    assert(p.contains("hashpartitioning(cluster"),
+      s"the one shuffle must be on cluster:\n$p")
+    assert(!p.contains("Join"),
+      s"no join — this is the NON-pairwise curation op:\n$p")
+  }
+
+  test("embedDiversity: no pair join, two partial-agg'd Exchanges") {
+    val p = plan(SimilarityOps.embedDiversity(
+      Tables.embeddings(spark, dir)))
+    assert(!p.contains("Join"),
+      s"the sum-vector identity must not plan any join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 2,
+      s"expected (label, i) then (label) Exchanges only:\n$p")
+    assert(p.contains("partial_sum"),
+      s"dimension sums must combine map-side:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning"),
+      s"no global ordering anywhere:\n$p")
+  }
+
   test("clusterMix: one linear plan, corpus scanned exactly once") {
     val e = Tables.embeddings(spark, dir)
     val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)

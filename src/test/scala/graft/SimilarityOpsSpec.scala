@@ -382,6 +382,82 @@ class SimilarityOpsSpec extends SparkSpec {
       750000L -> ((1L, 2L))), s"got $out")
   }
 
+  test("protoPrune: hardness ranks, floor-fraction keeps, exact ties") {
+    // cluster 0 (centroid [1,0]) holds v0..v3 at decreasing cosine to
+    // the centroid; cluster 1 holds a single vector (rank 1 of 1 —
+    // kept iff 1*den <= 1*num, i.e. dropped at 1/2). keep 1/2 of each
+    // cluster => floor(4*1/2) = 2 hardest of cluster 0 kept.
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),        // cos to c0 = 1.0 (most prototypical)
+      (1L, Seq(0.99f, 0.141f), 0), // ~0.990
+      (2L, Seq(0.9f, 0.436f), 0),  // ~0.900
+      (3L, Seq(0.8f, 0.6f), 0),    // 0.8 (hardest)
+      (4L, Seq(0f, 1f), 0))
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L))
+    val out = SimilarityOps.protoPrune(e, cents, 1, 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cluster"),
+        r.getAs[Long]("hardness_rank"), r.getAs[Long]("n_cluster"),
+        r.getAs[Long]("kept")))
+    assert(out === Seq(
+      (0L, 0L, 4L, 4L, 0L), // most prototypical = last rank, pruned
+      (1L, 0L, 3L, 4L, 0L),
+      (2L, 0L, 2L, 4L, 1L), // hardest two kept at 1/2
+      (3L, 0L, 1L, 4L, 1L),
+      (4L, 1L, 1L, 1L, 0L)), // floor(1 * 1/2) = 0 kept
+      s"got ${out.toSeq}")
+    // keep-all sanity: 1/1 keeps every vector
+    val all = SimilarityOps.protoPrune(e, cents, 1, 1)
+      .agg(org.apache.spark.sql.functions.sum("kept")).head().getLong(0)
+    assert(all === 5L)
+  }
+
+  test("embedDiversity: sum-vector identity equals brute-force pairs") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.6f, 0.8f), 0),
+      (2L, Seq(0f, 1f), 0),
+      (3L, Seq(0.5f, 0.5f), 1),
+      (4L, Seq(0.5f, 0.5f), 1), // identical pair -> coherence 10^6
+      (5L, Seq(0.25f, -0.75f), 2)) // singleton -> coherence 0
+    val out = SimilarityOps.embedDiversity(e).orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("self_dot_sum"), r.getAs[Long]("sum_vec_dot"),
+        r.getAs[Long]("coherence_micro")))
+    // label 0 milli vectors: (1000,0), (600,800), (0,1000)
+    // t = 1e6 + (360000+640000) + 1e6 = 3e6
+    // sum vec = (1600, 1800); ssum = 2560000 + 3240000 = 5800000
+    // coherence = (5800000-3e6)/(2*3e6) = 2800000/6000000 = 0.4666..
+    assert(out(0) === ((0, 3L, 3000000L, 5800000L, 466666L)))
+    // label 1: identical vectors -> exactly 1.0
+    assert(out(1)._5 === 1000000L)
+    // label 2: singleton -> 0 by contract
+    assert(out(2) === ((2, 1L, 625000L, 625000L, 0L)))
+    // brute-force cross-check for label 0: mean pairwise dot over the
+    // 3 pairs: (1000,0)·(600,800)=600000, (1000,0)·(0,1000)=0,
+    // (600,800)·(0,1000)=800000 -> sum*2 = 2800000 = ssum - t
+    assert(out(0)._4 - out(0)._3 === 2L * (600000L + 0L + 800000L))
+  }
+
+  test("hardNegatives: same-label vectors never mined, rank by cosine") {
+    // query v0 (label 0): v1 is its nearest SAME-label vector and must
+    // be excluded; negatives rank v2 (dup, label 1), then v3, then v4
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.99f, 0.141f), 0), // same label — never a negative
+      (2L, Seq(1f, 0f), 1),        // cos 1.0
+      (3L, Seq(0.6f, 0.8f), 1),    // cos 0.6
+      (4L, Seq(0f, 1f), 2))        // cos 0.0
+    val out = SimilarityOps.hardNegatives(e, 1L, 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("neg_label"),
+        r.getAs[Long]("cos_micro")))
+    assert(out === Seq(
+      (0L, 1L, 2L, 1, 1000000L),
+      (0L, 2L, 3L, 1, 600000L)), s"got ${out.toSeq}")
+  }
+
   test("semDedup verdicts are blind to cross-cluster duplicates") {
     // v0 and v1 are identical but assigned to different clusters by a
     // codebook that splits them — SemDeDup by construction only dedups
