@@ -1204,6 +1204,79 @@ object TextOps {
           .as("retained_micro"))
   }
 
+  /** X39: exact n-gram eval-overlap audit — the GPT-3 appendix-C /
+    * PaLM decontamination RULE, distinct from [[contamination]]'s
+    * pairwise shape: those report which (test, train) DOC PAIRS share
+    * winnowed fingerprints; this reports, per eval document, the
+    * fraction of its distinct word n-grams that occur ANYWHERE in the
+    * train split — membership against the train gram set, no pair
+    * identity, which is exactly how the release-note "X% of the eval
+    * set was contaminated" numbers are computed. Docs shorter than n
+    * tokens carry zero grams and report 0 overlap (kept).
+    *
+    * Scale shape: the train gram set is the big relation (≈ one row
+    * per train token) but it flows through ONE (h, partial) distinct
+    * and a gram-keyed join against the SMALL side (eval splits are a
+    * few percent of a corpus by construction); no df cap is needed
+    * because membership, not fan-out, is consumed — the join output
+    * is bounded by eval gram count. At deployment the train gram set
+    * is [[graft.sources.GramStore]]'s persisted bucketed layout, so
+    * only the eval shard shuffles (the `auditIncoming` precedent).
+    */
+  /** The per-doc-distinct (doc_id, split, h) word n-gram hash relation
+    * the overlap audit consumes — split assignment riding the shingle
+    * projection (a pure function of doc_id).
+    */
+  private def splitGramHashes(docs: DataFrame, n: Int, trainPct: Int,
+                              valPct: Int): DataFrame =
+    shingleSet(docs, n)
+      .select(col("doc_id"), splitAssign(trainPct, valPct).as("split"),
+        md5Long(col("sh")).as("h"))
+
+  /** The distinct train-split gram-hash SET — the persistable half of
+    * the audit ([[graft.sources.WordGramStore]] saves exactly this,
+    * bucketed by `h`).
+    */
+  def trainGramSet(docs: DataFrame, n: Int, trainPct: Int,
+                   valPct: Int): DataFrame =
+    splitGramHashes(docs, n, trainPct, valPct)
+      .filter(col("split") === "train")
+      .select("h").distinct()
+
+  def ngramOverlapAudit(docs: DataFrame, n: Int, trainPct: Int,
+                        valPct: Int, dirtyMicroMin: Long): DataFrame =
+    ngramOverlapAuditFrom(trainGramSet(docs, n, trainPct, valPct),
+      docs, n, trainPct, valPct, dirtyMicroMin)
+
+  /** [[ngramOverlapAudit]] against an ALREADY-MATERIALIZED train gram
+    * set — the store-backed entry point: [[graft.sources
+    * .WordGramStore]] feeds it the h-bucketed layout, so the
+    * membership join never shuffles the (huge) train side; only the
+    * eval shard's grams hash into the store's partitioning.
+    */
+  def ngramOverlapAuditFrom(trainGrams: DataFrame, docs: DataFrame,
+                            n: Int, trainPct: Int, valPct: Int,
+                            dirtyMicroMin: Long): DataFrame = {
+    val hits = splitGramHashes(docs, n, trainPct, valPct)
+      .filter(col("split") =!= "train")
+      .join(trainGrams.select("h").withColumn("hit", lit(1L)),
+        Seq("h"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.select(col("doc_id"), splitAssign(trainPct, valPct).as("split"))
+      .filter(col("split") =!= "train")
+      .join(hits, Seq("doc_id", "split"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_micro",
+        when(col("n_grams") > 0L, micro(col("n_hit") / col("n_grams")))
+          .otherwise(0L))
+      .withColumn("dirty",
+        when(col("overlap_micro") >= dirtyMicroMin, 1L).otherwise(0L))
+  }
+
   def piiScrub(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(
       regexp_replace(col("text"), EmailPattern, "<EMAIL>"),

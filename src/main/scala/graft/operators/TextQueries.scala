@@ -655,6 +655,72 @@ object TextQueries {
       WinnowW, ContamMaxDf, ContamRatioMin)
       .orderBy("split")
 
+  /** X39: word n-gram width and dirty bar of the exact-overlap audit
+    * — 8-grams at a 70 % membership bar, the PaLM-style rule (GPT-3
+    * used 13-grams; the synthetic corpus's docs are short enough that
+    * 8 keeps the gram sets non-degenerate at every SF).
+    */
+  val OverlapN = 8
+  val OverlapDirtyMin = 700000L
+
+  def qNgramOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramOverlapAudit(docs(spark, dir), OverlapN, TrainPct,
+      ValPct, OverlapDirtyMin).orderBy("doc_id")
+
+  // lazy: interpolates splitBucketSql (declared below)
+  private lazy val ngramOverlapOracle = {
+    val n = OverlapN
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |),
+       |og AS (
+       |  SELECT DISTINCT doc_id,
+       |         list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ') AS sh
+       |  FROM tok, unnest(range(1, greatest(len(toks) - ${n - 2}, 1)))
+       |    AS g(i)
+       |),
+       |gh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    ${Hashing.md5LongSql("sh")} AS h
+       |  FROM og
+       |),
+       |otg AS (SELECT DISTINCT h FROM gh WHERE split = 'train'),
+       |oev AS (
+       |  SELECT gh.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM gh LEFT JOIN otg t ON gh.h = t.h
+       |  WHERE gh.split <> 'train' GROUP BY 1
+       |),
+       |oro AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |),
+       |obase AS (
+       |  SELECT r.doc_id, r.split,
+       |    CAST(COALESCE(e.n_grams, 0) AS BIGINT) AS n_grams,
+       |    CAST(COALESCE(e.n_hit, 0) AS BIGINT) AS n_hit
+       |  FROM oro r LEFT JOIN oev e ON r.doc_id = e.doc_id
+       |  WHERE r.split <> 'train'
+       |),
+       |ofin AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN n_grams > 0
+       |         THEN ${Hashing.microSql("n_hit * 1.0 / n_grams")}
+       |         ELSE 0 END AS BIGINT) AS overlap_micro
+       |  FROM obase
+       |)
+       |SELECT doc_id, split, n_grams, n_hit, overlap_micro,
+       |  CAST(CASE WHEN overlap_micro >= $OverlapDirtyMin
+       |       THEN 1 ELSE 0 END AS BIGINT) AS dirty
+       |FROM ofin ORDER BY doc_id""".stripMargin
+  }
+
   // lazy: interpolates splitBucketSql/TrainPct/ValPct, which are
   // declared further down the object — an eager val would capture
   // null/0 (Scala top-to-bottom initialization)
@@ -1721,6 +1787,7 @@ object TextQueries {
     "q_quality_rules"  -> (qQualityRules _),
     "q_temp_mix"       -> (qTempMix _),
     "q_decontam"       -> (qDecontam _),
+    "q_ngram_overlap"  -> (qNgramOverlap _),
     "q_stratified"     -> (qStratified _),
     "q_pii"            -> (qPii _),
     "q_winnow"         -> (qWinnow _),
@@ -1768,6 +1835,7 @@ object TextQueries {
     "q_quality_rules"  -> qualityRulesOracle,
     "q_temp_mix"       -> tempMixOracle,
     "q_decontam"       -> decontamOracle,
+    "q_ngram_overlap"  -> ngramOverlapOracle,
     "q_stratified"     -> stratifiedOracle,
     "q_pii"            -> piiOracle,
     "q_winnow"         -> winnowOracle,

@@ -319,6 +319,39 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed word-gram store: overlap audit shuffles the eval " +
+      "side only, output == inline path") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val (n, tp, vp, bar) = (8, 80, 10, 700000L)
+    graft.sources.WordGramStore.save(docs, n, tp, vp, "wg_store_test")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val audit = graft.sources.WordGramStore.overlapAudit(
+        spark, "wg_store_test", docs, n, tp, vp, bar)
+      val plan = audit.queryExecution.executedPlan.toString
+      // the membership join is h-keyed: the corpus-sized train set must
+      // ride its buckets — at most the ONE Exchange hashing the eval
+      // side's grams into the store layout is allowed on h
+      val hExchanges = "Exchange hashpartitioning\\(h#".r
+        .findAllIn(plan).length
+      assert(hExchanges <= 1,
+        s"the stored train gram set must not shuffle on h:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucketed scans:\n$plan")
+      val inline = graft.operators.TextOps.ngramOverlapAudit(
+        docs, n, tp, vp, bar)
+      assert(audit.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet,
+        "store-backed audit must equal the inline path")
+      assert(audit.count() > 0, "eval split must be non-empty")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS wg_store_test")
+    }
+  }
+
   test("store-backed SemDeDup/kNN: assignment read not recomputed, " +
       "partitions pruned, output == in-query path") {
     val dir = "/root/testdata/sf0.001"

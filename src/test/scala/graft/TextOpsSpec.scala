@@ -758,6 +758,37 @@ class TextOpsSpec extends SparkSpec {
       math.floor(1e6 * (6.0 / 20)).toLong)
   }
 
+  test("ngramOverlapAudit: train-gram membership; short docs stay clean") {
+    import org.apache.spark.sql.functions._
+    // discover the split buckets the operator itself will assign (the
+    // splitBucket contract: md5("split:"||id) % 100) so the fixture can
+    // plant one train doc and three eval docs deterministically
+    val bk = (1L to 300L).toDF("doc_id")
+      .select(col("doc_id"), (graft.functions.Hashing.md5Long(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 100L)
+        .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      .sortBy(_._1)
+    val trainId = bk.collectFirst { case (id, b) if b < 80 => id }.get
+    val evalIds = bk.collect { case (id, b) if b >= 90 => id }.take(3)
+    val shared = "a b c d e f g h i j" // 10 tokens -> 3 distinct 8-grams
+    val corpus = docs(
+      (trainId, shared),
+      (evalIds(0), shared),                  // verbatim copy -> dirty
+      (evalIds(1), "p q r s t u v w x y"),   // disjoint -> clean
+      (evalIds(2), "a b c d e f g"))         // 7 tokens -> no grams
+    val out = TextOps.ngramOverlapAudit(corpus, 8, 80, 10, 700000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("overlap_micro"), r.getAs[Long]("dirty")))).toMap
+    assert(!out.contains(trainId), "train docs are never audited")
+    assert(out(evalIds(0)) === ((3L, 3L, 1000000L, 1L)),
+      s"verbatim copy must be fully contaminated: ${out(evalIds(0))}")
+    assert(out(evalIds(1)) === ((3L, 0L, 0L, 0L)))
+    assert(out(evalIds(2)) === ((0L, 0L, 0L, 0L)),
+      "sub-n-token docs carry no grams and stay clean")
+  }
+
   test("shuffleShard: deterministic permutation, dense per-shard positions") {
     val corpus = docs((1L to 100L).map(i => (i, s"doc number $i words")): _*)
     val a = TextOps.shuffleShard(corpus, 4).orderBy("shard", "pos").collect()
