@@ -74,6 +74,40 @@ object KmeansAssign {
                    sqrts: Array[Double]): Long =
     best(arr, cents, sqrts)._2
 
+  /** The rank-2 score of the (score DESC, cid) order — one loop
+    * tracking both leaders; a later centroid TYING the best goes to
+    * second place, exactly the oracle's row_number semantics. Returns
+    * [[ScoreEmpty]] for degenerate single-centroid codebooks.
+    */
+  def computeSecond(arr: ArrayData, cents: Array[Array[Long]],
+                    sqrts: Array[Double]): Long = {
+    if (cents.length < 2) return ScoreEmpty
+    val nDims = arr.numElements()
+    val vm = new Array[Long](nDims)
+    var i = 0
+    while (i < nDims) {
+      vm(i) = math.floor(arr.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    var bestScore = Long.MinValue
+    var second = Long.MinValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(nDims, c.length)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += vm(i) * c(i); i += 1 }
+      val score =
+        if (sqrts(j) == 0.0) ScoreEmpty
+        else math.floor(1000000.0 * (dot.toDouble / sqrts(j))).toLong
+      if (score > bestScore) { second = bestScore; bestScore = score }
+      else if (score > second) second = score
+      j += 1
+    }
+    second
+  }
+
   /** (argmax centroid id, max score) in one loop — ties toward the
     * lower id, same contract as the oracle's ORDER BY score DESC, cid.
     */
@@ -154,5 +188,56 @@ object KmeansScore {
   /** Column-API entry point. */
   def kmeansScore(embedding: Column, cents: Array[Array[Long]]): Column =
     GraftSqlBridge.column(KmeansScore(
+      GraftSqlBridge.expression(embedding), cents))
+}
+
+/** The RUNNER-UP assignment score — the micro-cosine against the
+  * second-nearest centroid, rank 2 of the same (score DESC, cid) order
+  * the assignment argmax uses. `best − second` is the assignment
+  * MARGIN: how decisively a vector belongs to its cluster, the
+  * boundary-vector signal behind the V17 margin audit (a vector at
+  * margin ≈ 0 sits on a cluster boundary, exactly where cluster-blocked
+  * operators — SemDeDup, kNN audits — mis-serve it). Same compiled-
+  * kernel shape as its siblings; one loop tracks both leaders. Needs
+  * ≥ 2 centroids to be meaningful (with one, the runner-up is the
+  * empty-codebook sentinel).
+  */
+case class KmeansSecond(child: Expression, cents: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_second requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "kmeans_second"
+
+  @transient private lazy val sqrts: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KmeansSecond = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansAssign.computeSecond(input.asInstanceOf[ArrayData], cents,
+      sqrts)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    val sqrtsRef = ctx.addReferenceObj("kmSqrts", sqrts, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KmeansAssign$$.MODULE$$" +
+        s".computeSecond($c, $centsRef, $sqrtsRef);")
+  }
+}
+
+object KmeansSecond {
+  /** Column-API entry point. */
+  def kmeansSecond(embedding: Column, cents: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(KmeansSecond(
       GraftSqlBridge.expression(embedding), cents))
 }

@@ -876,6 +876,44 @@ object SimilarityOps {
           .otherwise(0L).as("coherence_micro"))
   }
 
+  /** V17: per-vector assignment-margin audit — best minus runner-up
+    * centroid score under the trained codebook, via the
+    * [[graft.functions.KmeansSecond]] kernel (rank 2 of the same
+    * (score DESC, cid) order the assignment argmax uses, one compiled
+    * loop tracking both leaders). A vector at margin ≈ 0 sits ON a
+    * cluster boundary — exactly where every cluster-BLOCKED operator
+    * (SemDeDup D12, the kNN label audit V12) mis-serves it, since its
+    * near neighbors can land across the cut. The margin census is the
+    * measured answer to "is nCentroids carving real structure?": a
+    * codebook slicing through density yields a boundary-heavy census;
+    * one tracing real cluster gaps yields wide margins. Read it before
+    * trusting the blocking, the way V11's cosine census is read before
+    * setting the D12 bar.
+    *
+    * Units: scores are the assignment kernel's own — floor(1e6 ·
+    * vm·c / |c|) = 1e6 · |vm| · cosθ, NORM-SCALED by the vector's
+    * milli magnitude (|vm| ≈ 1000 for unit embeddings, so a margin of
+    * 10⁹·Δcos). Rankings and margins are exact integers mirrored
+    * verbatim by the oracle; the boundary bar is stated in the same
+    * units.
+    *
+    * Scale shape: a PURE PROJECTION — three sibling kernels (assign /
+    * best score / runner-up score) ride one scan, zero shuffles
+    * (plan-pinned). The cheapest audit in the similarity family.
+    */
+  def clusterMargins(emb: DataFrame, cents: Array[Array[Long]],
+                     boundaryMicroMax: Long): DataFrame =
+    emb.select(col("vec_id"),
+        assignCluster(col("embedding"), cents).as("cluster"),
+        graft.functions.KmeansScore.kmeansScore(col("embedding"), cents)
+          .as("best_micro"),
+        graft.functions.KmeansSecond.kmeansSecond(col("embedding"),
+          cents).as("second_micro"))
+      .withColumn("margin_micro",
+        col("best_micro") - col("second_micro"))
+      .withColumn("boundary",
+        when(col("margin_micro") <= boundaryMicroMax, 1L).otherwise(0L))
+
   /** Hard-negative mining — the contrastive-training data-prep stage
     * (the DPR/ANCE shape): for every query in the batch set, the k
     * vectors that score HIGHEST against it while carrying a DIFFERENT

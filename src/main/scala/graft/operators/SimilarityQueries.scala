@@ -265,6 +265,21 @@ object SimilarityQueries {
   def qEmbedDiversity(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.embedDiversity(emb(spark, dir)).orderBy("label")
 
+  /** V17: boundary bar of the margin audit, in the kernel's norm-
+    * scaled units (1e6·|vm|·Δcos; |vm| ≈ 1000 on unit embeddings) —
+    * 5·10⁷ ≈ a 0.05-cosine gap: vectors whose two best centroids score
+    * within it sit on a cluster boundary the blocking mis-serves.
+    */
+  val MarginBoundaryMax = 50000000L
+
+  def qClusterMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.clusterMargins(e, cents, MarginBoundaryMax)
+      .orderBy("vec_id")
+  }
+
   /** V16: hard negatives per batch query. */
   val HardNegK = 5
 
@@ -990,6 +1005,30 @@ object SimilarityQueries {
        |ORDER BY p.vec_id""".stripMargin
   }
 
+  /** V17 oracle: rank the trained chain's per-(vector, centroid)
+    * scores per vector, join rank 1 to rank 2 — the kernel's two-leader
+    * loop mirrored as row_number semantics.
+    */
+  private val clusterMarginOracle: String = {
+    val r = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |mr AS (
+       |  SELECT vec_id, cid, score,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY score DESC, cid) AS rn
+       |  FROM sc$r
+       |)
+       |SELECT s1.vec_id, s1.cid AS cluster,
+       |  CAST(s1.score AS BIGINT) AS best_micro,
+       |  CAST(s2.score AS BIGINT) AS second_micro,
+       |  CAST(s1.score - s2.score AS BIGINT) AS margin_micro,
+       |  CAST(CASE WHEN s1.score - s2.score <= $MarginBoundaryMax
+       |       THEN 1 ELSE 0 END AS BIGINT) AS boundary
+       |FROM (SELECT * FROM mr WHERE rn = 1) s1
+       |JOIN (SELECT * FROM mr WHERE rn = 2) s2 USING (vec_id)
+       |ORDER BY s1.vec_id""".stripMargin
+  }
+
   /** V15 oracle: the identical milli quantization, per-(label, dim)
     * sums, and the same single IEEE division — the identity holds on
     * exact integers, so no tolerance is needed anywhere.
@@ -1084,6 +1123,7 @@ object SimilarityQueries {
     "q_pq_ivf"         -> (qPqIvf _),
     "q_pq_rerank"      -> (qPqRerank _),
     "q_proto_prune"    -> (qProtoPrune _),
+    "q_cluster_margin" -> (qClusterMargin _),
     "q_embed_diversity" -> (qEmbedDiversity _),
     "q_hard_neg"       -> (qHardNeg _),
     "q_topk_per_label" -> (qTopkPerLabel _))
@@ -1106,6 +1146,7 @@ object SimilarityQueries {
     "q_pq_ivf"         -> pqIvfOracle,
     "q_pq_rerank"      -> pqRerankOracle,
     "q_proto_prune"    -> protoPruneOracle,
+    "q_cluster_margin" -> clusterMarginOracle,
     "q_embed_diversity" -> embedDiversityOracle,
     "q_hard_neg"       -> hardNegOracle,
     "q_topk_per_label" -> topkPerLabelOracle)

@@ -1243,6 +1243,41 @@ object TextOps {
       .filter(col("split") === "train")
       .select("h").distinct()
 
+  /** The distinct gram-hash set OF a given document set (no split
+    * filter) — the PROTECTED set of the eval-overlap admission signal:
+    * persist a benchmark suite's grams once
+    * ([[graft.sources.WordGramStore.saveDocs]]) and screen every
+    * incoming crawl shard against it.
+    */
+  def gramSet(docs: DataFrame, n: Int): DataFrame =
+    shingleSet(docs, n).select(md5Long(col("sh")).as("h")).distinct()
+
+  /** Per-doc overlap of `docs` against an explicit protected gram set
+    * — the split-free core of the X39 audit, used by the streaming
+    * admission gate (an incoming TRAIN candidate that substantially
+    * overlaps a protected eval suite must be quarantined, or the
+    * benchmark silently enters the training set). Same membership
+    * join shape and bounds as [[ngramOverlapAuditFrom]].
+    */
+  def gramOverlapAgainst(protectedGrams: DataFrame, docs: DataFrame,
+                         n: Int): DataFrame = {
+    val hits = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h"))
+      .join(protectedGrams.select("h").withColumn("hit", lit(1L)),
+        Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_micro",
+        when(col("n_grams") > 0L, micro(col("n_hit") / col("n_grams")))
+          .otherwise(0L))
+  }
+
   def ngramOverlapAudit(docs: DataFrame, n: Int, trainPct: Int,
                         valPct: Int, dirtyMicroMin: Long): DataFrame =
     ngramOverlapAuditFrom(trainGramSet(docs, n, trainPct, valPct),

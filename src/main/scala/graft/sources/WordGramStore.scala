@@ -56,6 +56,27 @@ object WordGramStore {
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table).dropDuplicates("h")
 
+  /** Persist the gram set OF the given documents verbatim (no split
+    * filter) — the PROTECTED-set variant: save a benchmark/eval
+    * suite's grams once, then screen every incoming crawl shard
+    * against it ([[overlapAgainst]], the streaming admission gate's
+    * `eval_overlap` signal).
+    */
+  def saveDocs(docs: DataFrame, n: Int, table: String,
+               nBuckets: Int = 8): Unit =
+    TextOps.gramSet(docs, n)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "h").sortBy("h")
+      .saveAsTable(table)
+
+  /** Per-doc overlap of `docs` against the persisted protected set —
+    * same membership-join scale shape as [[overlapAudit]]: the store
+    * side rides its buckets, only the incoming docs' grams shuffle.
+    */
+  def overlapAgainst(spark: SparkSession, table: String, docs: DataFrame,
+                     n: Int): DataFrame =
+    TextOps.gramOverlapAgainst(load(spark, table), docs, n)
+
   /** The X39 audit against the persisted set: identical output to
     * [[TextOps.ngramOverlapAudit]] on the same corpus/params
     * (StorageLayoutSpec asserts it), with the train-side scan

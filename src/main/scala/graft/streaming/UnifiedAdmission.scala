@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.sources.{FingerprintStore, GramStore, VectorStore}
+import graft.sources.{FingerprintStore, GramStore, VectorStore,
+  WordGramStore}
 
 /** Unified streaming admission — the independently-specced admission
   * signals composed into ONE `foreachBatch` gate with one quarantine
@@ -24,6 +25,13 @@ import graft.sources.{FingerprintStore, GramStore, VectorStore}
   *    [[graft.operators.TextOps.qualityRules]] — signal `quality`,
   *    matched_id = −1, score = bitmask of the failed rules; off by
   *    default, see [[Config]]),
+  *  - optionally a PROTECTED eval gram set
+  *    ([[WordGramStore.overlapAgainst]] — signal `eval_overlap`,
+  *    matched_id = −1, score = overlap fraction in micro units): an
+  *    incoming train candidate substantially overlapping a persisted
+  *    benchmark suite is quarantined BEFORE it can contaminate
+  *    training — the streaming form of the X39 release-note rule;
+  *    opt-in by passing `evalGramTable`,
   *
   * and a document flagged by ANY signal is quarantined — one row PER
   * FIRING SIGNAL, `(doc_id, signal, matched_id, score)`, so the
@@ -63,7 +71,8 @@ object UnifiedAdmission {
       cosMicroMin: Long = 900000L,
       qMinTok: Long = 0L, qMaxTok: Long = Long.MaxValue,
       qTtrMinMicro: Long = 0L, qTopMaxMicro: Long = 1000000L,
-      qMinStops: Long = 0L)
+      qMinStops: Long = 0L,
+      overlapN: Int = 8, evalOverlapMicroMin: Long = 700000L)
 
   /** Every (doc, firing signal) row for one already-deduplicated
     * micro-batch — the union of the three audits in the unified
@@ -71,7 +80,8 @@ object UnifiedAdmission {
     */
   def signalMatches(spark: SparkSession, batch: DataFrame,
                     fpTable: String, gramTable: String, vecPath: String,
-                    cfg: Config): DataFrame = {
+                    cfg: Config,
+                    evalGramTable: Option[String] = None): DataFrame = {
     val texts = batch.select("doc_id", "text")
     val winnow = FingerprintStore.auditIncoming(spark, fpTable, texts,
         cfg.winnowK, cfg.winnowW, cfg.winnowMaxDf,
@@ -104,7 +114,25 @@ object UnifiedAdmission {
           (lit(1L) - col("r_ttr")) * 4 +
           (lit(1L) - col("r_top")) * 8 +
           (lit(1L) - col("r_stop")) * 16).as("score"))
-    winnow.unionByName(gram).unionByName(vector).unionByName(quality)
+    // FIFTH signal, opt-in via a persisted protected gram set
+    // (WordGramStore.saveDocs of the benchmark suite): an incoming
+    // TRAIN candidate substantially overlapping a protected eval
+    // suite is quarantined — the streaming form of the X39
+    // release-note rule, applied where it actually prevents
+    // contamination (at ingestion, before the doc ever trains).
+    // matched_id = -1: the match is against the SET, not one doc.
+    val base = winnow.unionByName(gram).unionByName(vector)
+      .unionByName(quality)
+    evalGramTable match {
+      case Some(t) =>
+        val ev = WordGramStore.overlapAgainst(spark, t, texts,
+            cfg.overlapN)
+          .filter(col("overlap_micro") >= cfg.evalOverlapMicroMin)
+          .select(col("doc_id"), lit("eval_overlap").as("signal"),
+            lit(-1L).as("matched_id"), col("overlap_micro").as("score"))
+        base.unionByName(ev)
+      case None => base
+    }
   }
 
   /** One micro-batch through the unified decision. Returns
@@ -113,8 +141,9 @@ object UnifiedAdmission {
     * firing signal).
     */
   def admitBatch(spark: SparkSession, batch: DataFrame, fpTable: String,
-                 gramTable: String, vecPath: String,
-                 cfg: Config): (DataFrame, DataFrame) = {
+                 gramTable: String, vecPath: String, cfg: Config,
+                 evalGramTable: Option[String] = None)
+      : (DataFrame, DataFrame) = {
     // in-batch exact dedup: one row per content hash (min doc_id wins),
     // the CorpusAdmission discipline
     val w1 = org.apache.spark.sql.expressions.Window
@@ -124,7 +153,7 @@ object UnifiedAdmission {
       .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") === 1).drop("__rn")
     val signals = signalMatches(spark, distinctBatch, fpTable, gramTable,
-      vecPath, cfg)
+      vecPath, cfg, evalGramTable)
     val admitted = distinctBatch.join(
       signals.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     (admitted, signals)
@@ -141,12 +170,13 @@ object UnifiedAdmission {
             gramTable: String, vecPath: String, corpusDir: String,
             quarantineDir: String, checkpointDir: String, cfg: Config,
             nBuckets: Int = 8,
-            onDrift: VectorStore.Drift => Unit = _ => ()): StreamingQuery =
+            onDrift: VectorStore.Drift => Unit = _ => (),
+            evalGramTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (admitted, quarantined) = admitBatch(spark, batch, fpTable,
-          gramTable, vecPath, cfg)
+          gramTable, vecPath, cfg, evalGramTable)
         val keep = admitted.cache() // four consumers: sink + 3 appends
         try {
           keep.write.mode("overwrite")

@@ -163,6 +163,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no join — this is the NON-pairwise curation op:\n$p")
   }
 
+  test("clusterMargins is shuffle-free (three sibling kernels, one scan)") {
+    val e = Tables.embeddings(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val p = plan(SimilarityOps.clusterMargins(e, cents, 100000L))
+    assert(!p.contains("Exchange"), s"expected a pure projection:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length === 1,
+      s"one scan feeds all three kernels:\n$p")
+  }
+
   test("embedDiversity: no pair join, two partial-agg'd Exchanges") {
     val p = plan(SimilarityOps.embedDiversity(
       Tables.embeddings(spark, dir)))

@@ -412,6 +412,56 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(all === 5L)
   }
 
+  test("clusterMargins: runner-up score, ties, and boundary flags") {
+    // reference formula (the documented kernel contract): milli
+    // components, exact long dot, floor(1e6 * dot / sqrt(ssq))
+    def refScores(v: Seq[Float], cents: Array[Array[Long]]): Seq[Long] = {
+      val vm = v.map(x => math.floor(x.toDouble * 1000.0).toLong)
+      cents.toSeq.map { c =>
+        val ssq = c.map(x => x * x).sum
+        if (ssq == 0L) -2000000L
+        else {
+          val dot = vm.zip(c).map { case (a, b) => a * b }.sum
+          math.floor(1000000.0 * (dot.toDouble / math.sqrt(ssq.toDouble)))
+            .toLong
+        }
+      }
+    }
+    val vecs = Seq(
+      0L -> Seq(1f, 0f),       // on c0's axis: wide margin
+      1L -> Seq(0.5f, 0.5f),   // best c2; runner-up = the c0/c1 TIE
+      2L -> Seq(0.924f, 0.383f)) // near the c0/c2 bisector: tiny margin
+    val e = emb(vecs.map { case (id, v) => (id, v, 0) }: _*)
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L),
+      Array(707L, 707L))
+    val bar = 5000000L
+    val out = SimilarityOps.clusterMargins(e, cents, bar)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cluster"),
+        r.getAs[Long]("best_micro"), r.getAs[Long]("second_micro"),
+        r.getAs[Long]("margin_micro"), r.getAs[Long]("boundary")))
+    vecs.zip(out).foreach { case ((id, v), o) =>
+      val ss = refScores(v, cents)
+      val sorted = ss.zipWithIndex.sortBy { case (s, j) => (-s, j) }
+      assert(o._2 === sorted.head._2.toLong, s"cluster of vec $id")
+      assert(o._3 === sorted.head._1, s"best of vec $id")
+      assert(o._4 === sorted(1)._1, s"runner-up of vec $id (rank-2)")
+      assert(o._5 === sorted.head._1 - sorted(1)._1, s"margin of vec $id")
+      assert(o._6 === (if (o._5 <= bar) 1L else 0L))
+    }
+    // structural: v1's runner-up is the exact c0/c1 tie score, and the
+    // near-bisector v2 flags boundary while axis-aligned v0 does not
+    assert(refScores(Seq(0.5f, 0.5f), cents)(0) ===
+      refScores(Seq(0.5f, 0.5f), cents)(1), "c0/c1 must tie for v1")
+    assert(out(2)._6 === 1L && out(0)._6 === 0L,
+      s"boundary flags: ${out.toSeq}")
+    // exact-tie codebook: two identical centroids => margin exactly 0
+    val tie = SimilarityOps.clusterMargins(e,
+      Array(Array(1000L, 0L), Array(1000L, 0L)), 0L).collect()
+    assert(tie.forall(r => r.getAs[Long]("margin_micro") === 0L))
+    assert(tie.forall(r => r.getAs[Long]("boundary") === 1L))
+  }
+
   test("embedDiversity: sum-vector identity equals brute-force pairs") {
     val e = emb(
       (0L, Seq(1f, 0f), 0),

@@ -149,6 +149,59 @@ class UnifiedAdmissionSpec extends SparkSpec {
     }
   }
 
+  test("eval_overlap signal quarantines benchmark copies; silent when " +
+    "no protected set is configured") {
+    val fpTable = "uni_fp_ev"
+    val gramTable = "uni_gram_ev"
+    val evalTable = "uni_eval_grams"
+    val vecPath = Files.createTempDirectory("graft-uni-vece").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    VectorStore.save(emb, vecPath, 10)
+    val seed = Seq((1L, "seed text long enough to populate the gram " +
+      "store with thirty-two character spans")).toDF("doc_id", "text")
+    FingerprintStore.save(seed, 8, 4, 80, 10, fpTable)
+    GramStore.save(seed, 32, gramTable)
+    // the protected benchmark suite: one eval question, its grams saved
+    val benchText = (0 until 12).map(i =>
+      s"question$i what is the capital of country$i region").mkString(" ")
+    graft.sources.WordGramStore.saveDocs(
+      Seq((500L, benchText)).toDF("doc_id", "text"), 8, evalTable)
+    try {
+      // duplicate + quality signals silenced: only eval_overlap can fire
+      val cfg = UnifiedAdmission.Config(
+        winnowRatioMicroMin = 1000001L, gramMinShared = Long.MaxValue,
+        cosMicroMin = 1000001L,
+        overlapN = 8, evalOverlapMicroMin = 700000L)
+      val vec = Array.fill(64)(0.1f)
+      val leak = "prefix words " + benchText // carries the benchmark verbatim
+      val clean = (0 until 12).map(i =>
+        s"article$i about unrelated engineering topic$i details").mkString(" ")
+      val batch = Seq((8100L, leak, vec), (8101L, clean, vec))
+        .toDF("doc_id", "text", "embedding")
+      val (admitted, quarantined) = UnifiedAdmission.admitBatch(spark,
+        batch, fpTable, gramTable, vecPath, cfg, Some(evalTable))
+      assert(admitted.select("doc_id").collect().map(_.getLong(0))
+        .toSet === Set(8101L))
+      val quar = quarantined.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("signal"),
+          r.getAs[Long]("matched_id"), r.getAs[Long]("score")))
+      assert(quar.length === 1 && quar.head._1 === 8100L &&
+        quar.head._2 === "eval_overlap" && quar.head._3 === -1L,
+        s"got ${quar.toSeq}")
+      assert(quar.head._4 >= 700000L,
+        "score carries the overlap fraction")
+      // without a protected set the same batch sails through
+      val (admAll, quarNone) = UnifiedAdmission.admitBatch(spark, batch,
+        fpTable, gramTable, vecPath, cfg, None)
+      assert(admAll.count() === 2L && quarNone.isEmpty,
+        "eval_overlap is strictly opt-in")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $fpTable")
+      spark.sql(s"DROP TABLE IF EXISTS $gramTable")
+      spark.sql(s"DROP TABLE IF EXISTS $evalTable")
+    }
+  }
+
   test("quality signal quarantines intrinsically bad docs with a rule " +
     "bitmask; permissive defaults never fire") {
     val fpTable = "uni_fp_q"
