@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -79,6 +79,115 @@ object SketchQueries {
        |ORDER BY u.user_id""".stripMargin
   }
 
+  /** X41 Bloom filter: bits (and the FP regime) of the membership
+    * sketch. 1024 bits / 4 probes over ~400 train docs at sf0.01 sits
+    * deliberately in the measurable-FP load region (kn/m ≈ 1.6 ⇒
+    * p_fp ≈ 0.4), so the audit actually exercises false positives
+    * instead of reporting a vacuous all-clear; production sizes m to
+    * the target rate, the operator shape is identical. 32 bits used
+    * per stored word keep every shift ≤ 31 — no sign/overflow edge on
+    * either engine.
+    */
+  val BloomBits = 1024
+  val BloomK = 4
+
+  /** X41: deterministic Bloom-filter membership audit — the
+    * approximate-membership sibling of the CMS above ([[qCms]]'s
+    * discipline: fixed md5-derived probe positions make the sketch
+    * bit-identical across engines, so unlike HLL it IS oracle-able).
+    * The filter summarizes the TRAIN split's content hashes; every
+    * eval doc probes it, and the output reports claimed vs actual
+    * membership with the false-positive flag — the measured FP rate
+    * at this load, the number that sizes m in production.
+    *
+    * Scale shape: the filter is a mergeable 32-word summary — the
+    * build is one explode + one (word, partial bit_or) Exchange that
+    * carries at most 32 rows per map partition REGARDLESS of corpus
+    * size (partial bit_or partials OR together, the mergeable-summary
+    * property); probes join a broadcast 32-row table; the exact-
+    * membership audit column is one key-keyed left join, which a
+    * production deployment drops once the FP rate is accepted.
+    */
+  def qBloom(spark: SparkSession, dir: String): DataFrame = {
+    val tp = TextQueries.TrainPct
+    val vp = TextQueries.ValPct
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.splitAssign(tp, vp).as("split"),
+        sha2(col("text").cast("binary"), 256).as("key"))
+    def positions: Column = posexplode(array((0 until BloomK).map(i =>
+      md5Long(concat(lit(s"bloom:$i:"), col("key"))) % BloomBits): _*))
+    val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    val word = (col("pos") / 32).cast("long")
+    val words = keyed.filter(col("split") === "train")
+      .select(positions.as(Seq("i0", "pos")))
+      .select(word.as("w"), mask.as("mask"))
+      .groupBy("w").agg(bit_or(col("mask")).as("word"))
+    val claimed = keyed.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("key"), positions.as(Seq("i0", "pos")))
+      .select(col("doc_id"), col("key"), word.as("w"), mask.as("mask"))
+      .join(broadcast(words), Seq("w"), "left")
+      .select(col("doc_id"), col("key"),
+        when(col("word").isNotNull &&
+          col("word").bitwiseAND(col("mask")) =!= 0L, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("doc_id", "key").agg(min("hit").as("claimed"))
+    val trainKeys = keyed.filter(col("split") === "train")
+      .select("key").distinct().withColumn("present", lit(1L))
+    claimed.join(trainKeys, Seq("key"), "left")
+      .select(col("doc_id"), col("claimed"),
+        coalesce(col("present"), lit(0L)).as("actual"))
+      .withColumn("false_positive",
+        when(col("claimed") === 1L && col("actual") === 0L, 1L)
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val bloomOracle: String = {
+    val tp = TextQueries.TrainPct
+    val vp = TextQueries.ValPct
+    val splitCase = {
+      val b = s"${Hashing.md5LongSql(
+        "'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+      s"""CASE WHEN $b < $tp THEN 'train'
+         |     WHEN $b < ${tp + vp} THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    }
+    val iVals = (0 until BloomK).map(i => s"($i)").mkString(", ")
+    val posExpr = Hashing.md5LongSql(
+      "'bloom:' || CAST(i.i AS VARCHAR) || ':' || key") + s" % $BloomBits"
+    s"""WITH bk AS (
+       |  SELECT doc_id, $splitCase AS split, sha256(text) AS key
+       |  FROM documents
+       |),
+       |bp AS (
+       |  SELECT doc_id, split, key, $posExpr AS pos
+       |  FROM bk, (VALUES $iVals) i(i)
+       |),
+       |bw AS (
+       |  SELECT pos // 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+       |  FROM bp WHERE split = 'train' GROUP BY 1
+       |),
+       |bc AS (
+       |  SELECT p.doc_id, p.key,
+       |    min(CASE WHEN w.word IS NOT NULL AND
+       |          (w.word & (CAST(1 AS BIGINT) <<
+       |                     CAST(p.pos % 32 AS INT))) <> 0
+       |        THEN 1 ELSE 0 END) AS claimed
+       |  FROM bp p LEFT JOIN bw w ON p.pos // 32 = w.w
+       |  WHERE p.split <> 'train' GROUP BY 1, 2
+       |),
+       |tk AS (SELECT DISTINCT key FROM bk WHERE split = 'train')
+       |SELECT bc.doc_id, CAST(bc.claimed AS BIGINT) AS claimed,
+       |  CAST(CASE WHEN tk.key IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS actual,
+       |  CAST(CASE WHEN bc.claimed = 1 AND tk.key IS NULL
+       |       THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+       |FROM bc LEFT JOIN tk USING (key)
+       |ORDER BY bc.doc_id""".stripMargin
+  }
+
   /** HLL relative standard deviation: 0.02 needs 2^14 registers — the
     * accuracy/space point a production rollup would pick (±2% on
     * billions of distincts from a ~16 KB sketch per group).
@@ -112,9 +221,11 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms" -> (qCms _),
+    "q_bloom" -> (qBloom _),
     "q_hll" -> (qHll _))
 
   /** q_hll has no oracle entry by design — see [[qHll]]. */
   val oracles: Map[String, String] = Map(
-    "q_cms" -> cmsOracle)
+    "q_cms" -> cmsOracle,
+    "q_bloom" -> bloomOracle)
 }

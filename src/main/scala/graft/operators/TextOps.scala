@@ -232,6 +232,40 @@ object TextOps {
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
 
+  /** X40: cross-source duplication census — the provenance overlap
+    * matrix a corpus assembler reads before merging sources: near-dup
+    * pairs (the D2 inverted-index machinery and bar, verbatim) rolled
+    * up per unordered source pair. The off-diagonal entries are
+    * MIRRORS (the same content shipped by two providers — paying for
+    * both buys nothing); the diagonal is within-source duplication
+    * (the D1–D7 job). least/greatest canonicalizes the pair so
+    * (src2, src7) and (src7, src2) census together on both engines.
+    *
+    * Scale shape: the pair relation is [[ngramJaccardPairs]] verbatim
+    * (df-capped inverted index — candidates bounded by true sharing);
+    * the source joins are doc_id-keyed over the pair-bounded relation
+    * with columns pruned to (doc_id, source); the census is one
+    * (source_a, source_b, partial) Exchange over ≤ sources² groups.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int, maxDf: Long,
+                    jacMicroMin: Long): DataFrame = {
+    val pairs = ngramJaccardPairs(docs.select("doc_id", "text"), n,
+      maxDf, jacMicroMin).select("d1", "d2")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")),
+        "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")),
+        "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        when(col("source_a") === col("source_b"), 1L).otherwise(0L)
+          .as("intra"))
+  }
+
   /** Asymmetric containment near-dup pairs (Broder's containment
     * coefficient, the metric behind suffix/quote dedup): |A∩B| over
     * the SMALLER set, so a short document mostly embedded inside a

@@ -227,6 +227,39 @@ object TextQueries {
        |          JOIN sz s2 ON it.d2 = s2.doc_id
        |) WHERE jac_micro >= $NgramJacMin ORDER BY d1, d2""".stripMargin
 
+  /** X40: cross-source duplication census over the same machinery and
+    * bar as q_dedup_ngram.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.sourceOverlap(
+      Tables.documents(spark, dir).select("doc_id", "text", "source"),
+      ShingleN, MaxShingleDf, NgramJacMin)
+      .orderBy("source_a", "source_b")
+
+  private val sourceOverlapOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes,
+       |jp AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2,
+       |      ${Hashing.microSql("inter / (s1.n + s2.n - inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |sdoc AS (SELECT doc_id, source FROM documents)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS BIGINT)
+       |    AS intra
+       |FROM (
+       |  SELECT least(a.source, b.source) AS source_a,
+       |         greatest(a.source, b.source) AS source_b
+       |  FROM jp JOIN sdoc a ON jp.d1 = a.doc_id
+       |          JOIN sdoc b ON jp.d2 = b.doc_id
+       |)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** D15: asymmetric containment pairs over the same inverted index.
     * microSql divides by the true least() set size — the expression
     * tree mirrors the Spark side exactly (association order matters).
@@ -1813,6 +1846,7 @@ object TextQueries {
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_minhash_calib" -> (qMinhashCalib _),
     "q_jac_hist"      -> (qJacHist _),
@@ -1861,6 +1895,7 @@ object TextQueries {
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,
+    "q_source_overlap" -> sourceOverlapOracle,
     "q_dedup_contain" -> dedupContainOracle,
     "q_minhash_calib" -> minhashCalibOracle,
     "q_jac_hist"      -> jacHistOracle,

@@ -45,4 +45,31 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("partial_approx_count_distinct"),
       s"expected map-side partial HLL sketches:\n$plan")
   }
+
+  test("q_bloom: no false negatives, claimed dominates actual, " +
+    "deterministic") {
+    val out = SketchQueries.qBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("claimed"),
+        r.getAs[Long]("actual"), r.getAs[Long]("false_positive")))
+    assert(out.nonEmpty, "eval split must be non-empty")
+    // THE Bloom guarantee: a member is never missed
+    assert(out.forall(o => o._3 == 0L || o._2 == 1L),
+      s"false negative found: ${out.filter(o => o._3 == 1L && o._2 == 0L).toSeq}")
+    // claimed >= actual pointwise; fp flag consistent
+    assert(out.forall(o => o._2 >= o._3))
+    assert(out.forall(o => o._4 == (if (o._2 == 1L && o._3 == 0L) 1L
+      else 0L)))
+    // the sketch is a pure function of the corpus — byte-identical rerun
+    val again = SketchQueries.qBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("claimed"),
+        r.getAs[Long]("actual"), r.getAs[Long]("false_positive")))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("q_bloom plans the filter as a mergeable partial-agg summary") {
+    val plan = SketchQueries.qBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bit_or"),
+      s"word partials must OR map-side (mergeable summary):\n$plan")
+  }
 }

@@ -758,6 +758,24 @@ class TextOpsSpec extends SparkSpec {
       math.floor(1e6 * (6.0 / 20)).toLong)
   }
 
+  test("sourceOverlap: cross-source mirrors vs intra-source dups") {
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val t3 = "unrelated words that share nothing with the other texts"
+    val corpus = Seq(
+      (1L, t1, "srcA"), (2L, t1, "srcB"),   // cross-source mirror
+      (3L, t2, "srcC"), (4L, t2, "srcC"),   // intra-source duplicate
+      (5L, t3, "srcA")                      // no pair
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(corpus, 5, 1000L, 800000L)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("intra")))
+    assert(out.toSeq === Seq(
+      ("srcA", "srcB", 1L, 0L),
+      ("srcC", "srcC", 1L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("ngramOverlapAudit: train-gram membership; short docs stay clean") {
     import org.apache.spark.sql.functions._
     // discover the split buckets the operator itself will assign (the
