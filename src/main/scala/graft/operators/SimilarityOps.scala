@@ -557,6 +557,40 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** V18: the COMPLETE two-pruning serving stack in one oracled plan —
+    * IVF probe (cluster pruning) → ADC over codes (byte pruning) →
+    * exact-cosine rerank of the shortlist (quantization error bought
+    * back) — the composition a production ANN service actually runs
+    * (the FAISS IVFADC + refine pipeline): q_pq_ivf demonstrated
+    * probe×ADC, q_pq_rerank demonstrated ADC×rerank; this is all
+    * three, with both prunings bounding the rerank's full-vector
+    * reads. Determinism end to end: probe order (score DESC, cid),
+    * shortlist ties (adc DESC, vec_id), final ties (cos DESC,
+    * vec_id).
+    *
+    * Scale shape: stage 1 reads CODES of probed clusters only (under
+    * [[graft.sources.VectorStore]] both relations partition-prune);
+    * stage 2's full-vector read is `shortlist` rows via a semi-join
+    * against a TakeOrdered build side. Cost per query at 100 TB:
+    * (probed fraction × 16-byte code rows) + shortlist full vectors —
+    * never the corpus.
+    */
+  def pqServeTopK(emb: DataFrame, cents: Array[Array[Long]],
+                  books: Seq[Array[Array[Long]]], subLen: Int,
+                  queryId: Long, nProbe: Int, shortlist: Int,
+                  k: Int): DataFrame = {
+    val short = pqIvfTopK(emb, cents, books, subLen, queryId, nProbe,
+      shortlist).select("vec_id")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.join(short, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch ADC: top-k for a SET of queries in one plan. The per-query
     * lookup tables become one tiny (query, subspace, code) → dot
     * relation (Q × nSub × nCents exact-integer rows, built on the

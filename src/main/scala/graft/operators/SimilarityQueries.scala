@@ -207,6 +207,18 @@ object SimilarityQueries {
       PqShortlist, PqK)
   }
 
+  /** V18: the full IVF → ADC → rerank serving stack, one oracled
+    * plan — probe width and shortlist inherited from q_pq_ivf /
+    * q_pq_rerank so the three compositions stay comparable.
+    */
+  def qPqServe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.pqServeTopK(e, cents, pqBooks(e), PqSubLen, QueryVecId,
+      NProbe, PqShortlist, PqK)
+  }
+
   /** Sub-codebook sizes the recall curve is measured at — code budgets
     * of 8, 12, and 20 bits per vector (nSub · log₂ nCents).
     */
@@ -883,6 +895,60 @@ object SimilarityQueries {
        |ORDER BY adc DESC, x0.vec_id LIMIT $PqK""".stripMargin
   }
 
+  /** V18 oracle: the q_pq_ivf oracle's probe+codes+LUT fragments cut a
+    * probed-cluster ADC shortlist, and the q_pq_rerank oracle's
+    * exact-cosine tail runs restricted to it — the three-stage
+    * composition mirrored 1:1.
+    */
+  private val pqServeOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val luts = (0 until PqSub).map(j =>
+      s"""p${j}_lut AS (
+         |  SELECT c.cid, CAST(sum(m.vm * c.S) AS BIGINT) AS dot
+         |  FROM p${j}_c$r c JOIN p${j}_mv m
+         |    ON m.i = c.i AND m.vec_id = $QueryVecId
+         |  GROUP BY 1
+         |)""".stripMargin).mkString(",\n")
+    val codeJoins = (1 until PqSub)
+      .map(j => s"JOIN p${j}_a$r x$j ON x0.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until PqSub)
+      .map(j => s"JOIN p${j}_lut l$j ON l$j.cid = x$j.cid")
+      .mkString("\n")
+    val adc = (0 until PqSub).map(j => s"l$j.dot").mkString(" + ")
+    s"""$kmeansTrainedCtes,
+       |$pqChains,
+       |$luts,
+       |probe AS (
+       |  SELECT cid FROM sc$r WHERE vec_id = $QueryVecId
+       |  ORDER BY score DESC, cid LIMIT $NProbe
+       |),
+       |short AS (
+       |  SELECT x0.vec_id
+       |  FROM p0_a$r x0
+       |$codeJoins
+       |$lutJoins
+       |  JOIN a$r fa ON fa.vec_id = x0.vec_id
+       |  JOIN probe pr ON fa.cid = pr.cid
+       |  WHERE x0.vec_id <> $QueryVecId
+       |  ORDER BY CAST($adc AS BIGINT) DESC, x0.vec_id
+       |  LIMIT $PqShortlist
+       |),
+       |dots AS (
+       |  SELECT e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e
+       |  JOIN ev q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  JOIN short s ON s.vec_id = e.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT d.vec_id,
+       |  ${Hashing.microSql(
+      s"d.dot / (n.nrm * (SELECT nrm FROM nrm WHERE vec_id = $QueryVecId))")}
+       |    AS cos_micro
+       |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
+       |ORDER BY cos_micro DESC, d.vec_id LIMIT $PqK""".stripMargin
+  }
+
   /** Per-budget ADC ranking CTEs: exact-integer per-query LUTs over
     * the tagged chains' final centroids, ADC per (query, vector), rank
     * per query. Ends with `<tag>annp` (query_id, vec_id) rows.
@@ -1122,6 +1188,7 @@ object SimilarityQueries {
     "q_pq_recall"      -> (qPqRecall _),
     "q_pq_ivf"         -> (qPqIvf _),
     "q_pq_rerank"      -> (qPqRerank _),
+    "q_pq_serve"       -> (qPqServe _),
     "q_proto_prune"    -> (qProtoPrune _),
     "q_cluster_margin" -> (qClusterMargin _),
     "q_embed_diversity" -> (qEmbedDiversity _),
@@ -1145,6 +1212,7 @@ object SimilarityQueries {
     "q_pq_recall"      -> pqRecallOracle,
     "q_pq_ivf"         -> pqIvfOracle,
     "q_pq_rerank"      -> pqRerankOracle,
+    "q_pq_serve"       -> pqServeOracle,
     "q_proto_prune"    -> protoPruneOracle,
     "q_cluster_margin" -> clusterMarginOracle,
     "q_embed_diversity" -> embedDiversityOracle,

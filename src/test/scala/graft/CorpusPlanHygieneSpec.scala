@@ -36,6 +36,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
     "q_pq_rerank",      // broadcast single query vector (rerank stage)
+    "q_pq_serve",       // broadcast single query vector (rerank stage)
     "q_range_join",     // pure range join on a broadcast bucket dim
     "q_tfidf",          // broadcast one-row corpus doc count N
     "q_topk_per_label") // broadcast single query vector

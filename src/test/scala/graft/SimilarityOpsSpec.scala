@@ -314,6 +314,30 @@ class SimilarityOpsSpec extends SparkSpec {
       .foreach(r => assert(probed.contains(r.getAs[Long]("cluster"))))
   }
 
+  test("pqServeTopK at full probe width equals plain ADC rerank") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val books = SimilarityOps.pqCodebooks(e, 4, 16, 8)
+    val full = SimilarityOps.pqServeTopK(e, cents, books, 16, 0L, 10,
+      25, 10).collect().map(_.toSeq).toSeq
+    val plain = SimilarityOps.pqRerankTopK(e, books, 16, 0L, 25, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(full === plain,
+      "probing every cluster degenerates to the two-stage rerank")
+    // narrow probe: results only from probed clusters
+    val probed = SimilarityOps.probeClusters(e, cents, 0L, 2)
+      .map(_.toLong).toSet
+    import org.apache.spark.sql.functions.col
+    val assignedIn = e.select(col("vec_id"),
+        graft.functions.KmeansAssign.kmeansAssign(col("embedding"),
+          cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SimilarityOps.pqServeTopK(e, cents, books, 16, 0L, 2, 25, 10)
+      .collect().foreach(r =>
+        assert(probed.contains(assignedIn(r.getAs[Long]("vec_id"))),
+          s"vec ${r.getLong(0)} outside probed clusters"))
+  }
+
   test("semDedup: cluster-blocked keep-lowest-id verdicts") {
     // codebook c0 = [1,0], c1 = [0,1]; cluster 0 holds v0,v1,v2 and
     // cluster 1 holds v3,v4. v2 duplicates v0 across the similarity
