@@ -910,6 +910,54 @@ object SimilarityOps {
           .otherwise(0L).as("coherence_micro"))
   }
 
+  /** V19: label-centroid geometry census — the class-separability
+    * report: each label's centroid as per-dimension truncated INTEGER
+    * means of the milli components (the V2 trainer's refresh rule
+    * applied to label groups — Java `div` and DuckDB `//` both
+    * truncate toward zero, so centroids are bit-identical across
+    * engines), then the pairwise centroid cosine matrix. Two labels
+    * whose centroids sit at cos ≈ 1 WILL cross-predict in V12's kNN
+    * confusion and resist any cluster blocking — this census predicts
+    * those off-diagonals from pure geometry before any pair work runs,
+    * and is the evidence for merging or re-labeling classes.
+    *
+    * Scale shape: one posexplode + one partial-agg'd (label, dim)
+    * Exchange (bounded by labels × dims, not vectors) builds the
+    * centroid relation; everything after — norms, the pair join, the
+    * census — runs on the labels×dims-row centroid table, broadcast-
+    * sized at any corpus scale. Zero corpus pair work.
+    */
+  def labelCentroidGeometry(emb: DataFrame): DataFrame = {
+    val cents = emb
+      .select(col("label"),
+        posexplode(milliVec(col("embedding"))).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"), expr("s div n").as("c"),
+        col("n"))
+    val norms = cents.groupBy("label")
+      .agg(sum(col("c") * col("c")).as("ssq"), max("n").as("n"))
+    val dots = cents.select(col("label").as("label_a"), col("i"),
+        col("c").as("ca"))
+      .join(cents.select(col("label").as("label_b"), col("i"),
+        col("c").as("cb")), "i")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("label_a"),
+        col("ssq").as("ssqa"), col("n").as("n_a")), "label_a")
+      .join(norms.select(col("label").as("label_b"),
+        col("ssq").as("ssqb"), col("n").as("n_b")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        when(col("ssqa") === 0L || col("ssqb") === 0L, 0L)
+          .otherwise(micro(col("dot") /
+            (sqrt(col("ssqa").cast("double")) *
+              sqrt(col("ssqb").cast("double")))))
+          .as("cos_micro"),
+        col("n_a"), col("n_b"))
+  }
+
   /** V17: per-vector assignment-margin audit — best minus runner-up
     * centroid score under the trained codebook, via the
     * [[graft.functions.KmeansSecond]] kernel (rank 2 of the same

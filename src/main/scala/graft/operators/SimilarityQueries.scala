@@ -292,6 +292,13 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** V19: the label-centroid cosine matrix — class separability from
+    * pure geometry.
+    */
+  def qLabelGeometry(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelCentroidGeometry(emb(spark, dir))
+      .orderBy("label_a", "label_b")
+
   /** V16: hard negatives per batch query. */
   val HardNegK = 5
 
@@ -1095,6 +1102,44 @@ object SimilarityQueries {
        |ORDER BY s1.vec_id""".stripMargin
   }
 
+  /** V19 oracle: identical milli quantization, truncated integer-mean
+    * centroids (`//` ≡ Java `div`, toward zero — the kmeans-refresh
+    * contract), centroid-relation-sized pair cosines.
+    */
+  private val labelGeometryOracle: String =
+    s"""WITH gev AS (
+       |  SELECT label,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+       |      AS BIGINT) AS vm,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |gc AS (
+       |  SELECT label, i, CAST(sum(vm) // count(*) AS BIGINT) AS c,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM gev GROUP BY 1, 2
+       |),
+       |gn AS (
+       |  SELECT label, CAST(sum(c * c) AS BIGINT) AS ssq,
+       |    CAST(max(n) AS BIGINT) AS n
+       |  FROM gc GROUP BY 1
+       |),
+       |gd AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       |  FROM gc a JOIN gc b ON a.i = b.i AND a.label < b.label
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.label_a, d.label_b,
+       |  CAST(CASE WHEN na.ssq = 0 OR nb.ssq = 0 THEN 0
+       |       ELSE ${Hashing.microSql(
+      "d.dot / (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE)))")}
+       |       END AS BIGINT) AS cos_micro,
+       |  na.n AS n_a, nb.n AS n_b
+       |FROM gd d JOIN gn na ON d.label_a = na.label
+       |          JOIN gn nb ON d.label_b = nb.label
+       |ORDER BY d.label_a, d.label_b""".stripMargin
+
   /** V15 oracle: the identical milli quantization, per-(label, dim)
     * sums, and the same single IEEE division — the identity holds on
     * exact integers, so no tolerance is needed anywhere.
@@ -1192,6 +1237,7 @@ object SimilarityQueries {
     "q_proto_prune"    -> (qProtoPrune _),
     "q_cluster_margin" -> (qClusterMargin _),
     "q_embed_diversity" -> (qEmbedDiversity _),
+    "q_label_geometry" -> (qLabelGeometry _),
     "q_hard_neg"       -> (qHardNeg _),
     "q_topk_per_label" -> (qTopkPerLabel _))
 
@@ -1216,6 +1262,7 @@ object SimilarityQueries {
     "q_proto_prune"    -> protoPruneOracle,
     "q_cluster_margin" -> clusterMarginOracle,
     "q_embed_diversity" -> embedDiversityOracle,
+    "q_label_geometry" -> labelGeometryOracle,
     "q_hard_neg"       -> hardNegOracle,
     "q_topk_per_label" -> topkPerLabelOracle)
 }

@@ -513,6 +513,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(0)._4 - out(0)._3 === 2L * (600000L + 0L + 800000L))
   }
 
+  test("labelCentroidGeometry: integer-mean centroids, exact cosines") {
+    // label 0 -> centroid (1000, 0); label 1 -> (0, 1000);
+    // label 2 = {(1,0),(0,1)} -> (500, 500);
+    // label 3 = {(1,0),(0,0),(0,0)} -> (333, 0)   [1000/3 truncated]
+    // label 4 = {(-1,0),(0,0),(0,0)} -> (-333, 0) [toward ZERO, not floor]
+    val e = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1),
+      (3L, Seq(1f, 0f), 2), (4L, Seq(0f, 1f), 2),
+      (5L, Seq(1f, 0f), 3), (6L, Seq(0f, 0f), 3), (7L, Seq(0f, 0f), 3),
+      (8L, Seq(-1f, 0f), 4), (9L, Seq(0f, 0f), 4), (10L, Seq(0f, 0f), 4))
+    val out = SimilarityOps.labelCentroidGeometry(e)
+      .orderBy("label_a", "label_b").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getAs[Long]("cos_micro"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b")))).toMap
+    assert(out.size === 10, "all label pairs")
+    assert(out((0, 1))._1 === 0L)
+    assert(out((0, 2))._1 === 707106L) // cos 45 deg, micro-floored
+    assert(out((0, 3)) === ((1000000L, 2L, 3L)),
+      "parallel centroids at different norms still cos 1.0")
+    assert(out((3, 4))._1 === -1000000L, "antiparallel -> exactly -1")
+    assert(out((2, 4))._1 === -707107L,
+      "negative cosines floor DOWN (-0.7071.. -> -707107)")
+  }
+
   test("hardNegatives: same-label vectors never mined, rank by cosine") {
     // query v0 (label 0): v1 is its nearest SAME-label vector and must
     // be excluded; negatives rank v2 (dup, label 1), then v3, then v4
