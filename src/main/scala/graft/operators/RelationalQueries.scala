@@ -36,6 +36,72 @@ object RelationalQueries {
       |  FROM events
       |)""".stripMargin
 
+  // ------------------------------------------------------- active users
+
+  /** R11: rolling window of the activity census. */
+  val ActiveWindowDays = 7
+
+  /** R11: daily / rolling-window distinct actives + first-seen users —
+    * the DAU/WAU/new-user report every event pipeline runs. The exact
+    * rolling distinct deliberately does NOT use a range join or a
+    * window function (distinct is not frame-decomposable): each
+    * (day, user) activity row is EXPLODED into the `windowDays` future
+    * days it contributes to, and the rolling count is a plain
+    * count-distinct per day — the contribution-explode formulation.
+    *
+    * Scale shape: everything rides the (day, user) pre-aggregate
+    * (one partial-agg'd Exchange off the raw events — the raw stream
+    * is never touched again); the explode fans that relation out by
+    * exactly windowDays (7×, the window length — not a quadratic
+    * term); the per-day distinct is the standard two-phase expansion;
+    * the day census is bounded by the calendar. At sketch scale the
+    * same window composes from X18's HLL register merges — this is
+    * the exact path.
+    */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val daily = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = dayUser.select(
+      explode(sequence(col("day"),
+        date_add(col("day"), ActiveWindowDays - 1))).as("day"),
+      col("user_id"))
+    // inner join against observed days drops the phantom tail past the
+    // last event date (a contribution to a day with no activity at all)
+    val rolling = contrib.join(daily.select("day"), "day")
+      .groupBy("day")
+      .agg(count_distinct(col("user_id")).as("active_7d"))
+    val newUsers = dayUser.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    daily.join(rolling, "day").join(newUsers, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"), col("dau"),
+        col("active_7d"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .orderBy("day")
+  }
+
+  private val activeUsersOracle =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |),
+       |daily AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+       |contrib AS (
+       |  SELECT day + CAST(g.i AS INTEGER) AS day, user_id
+       |  FROM du, unnest(range(0, $ActiveWindowDays)) g(i)
+       |),
+       |rolling AS (
+       |  SELECT c.day, count(DISTINCT c.user_id) AS active_7d
+       |  FROM contrib c JOIN daily d ON c.day = d.day GROUP BY 1
+       |),
+       |fs AS (SELECT user_id, min(day) AS day FROM du GROUP BY 1),
+       |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+       |SELECT CAST(d.day AS VARCHAR) AS day, d.dau, r.active_7d,
+       |  CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users
+       |FROM daily d JOIN rolling r USING (day)
+       |LEFT JOIN nu n USING (day)
+       |ORDER BY day""".stripMargin
+
   // -------------------------------------------------------- sessionization
 
   /** Gaps-and-islands sessionization: a session breaks after a 30-minute
@@ -595,6 +661,7 @@ object RelationalQueries {
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
+    "q_active_users" -> (qActiveUsers _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops"      -> (qSetOps _),
     "q_rollup"       -> (qRollup _),
@@ -611,6 +678,7 @@ object RelationalQueries {
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,
+    "q_active_users" -> activeUsersOracle,
     "q_window_suite" -> windowSuiteOracle,
     "q_set_ops"      -> setOpsOracle,
     "q_rollup"       -> rollupOracle,
