@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,163 @@ object RelationalQueries {
        |FROM daily d JOIN rolling r USING (day)
        |LEFT JOIN nu n USING (day)
        |ORDER BY day""".stripMargin
+
+  /** R12: cohort retention matrix — users grouped by first-seen day
+    * (the cohort), each cohort's active count at every day offset, and
+    * the retention fraction — THE product-analytics report, and the
+    * time-resolved refinement of [[qActiveUsers]]' new_users column.
+    *
+    * Scale shape: rides the same (day, user) pre-aggregate; the
+    * cohort assignment is one user-keyed min; the matrix census is one
+    * (cohort, offset) partial-agg Exchange bounded by days²; cohort
+    * sizes join onto the census relation, never the activity rows.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val cohort = dayUser.groupBy("user_id").agg(min("day").as("cohort"))
+    val sizes = cohort.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    dayUser.join(cohort, "user_id")
+      .select(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select(col("cohort").cast("string").as("cohort"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        micro(col("n_active") / col("cohort_size")).as("retained_micro"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  private val retentionOracle =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |),
+       |co AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY 1),
+       |cs AS (SELECT cohort, count(*) AS cohort_size FROM co GROUP BY 1),
+       |act AS (
+       |  SELECT c.cohort, CAST(du.day - c.cohort AS BIGINT) AS day_offset,
+       |    count(*) AS n_active
+       |  FROM du JOIN co c USING (user_id) GROUP BY 1, 2
+       |)
+       |SELECT CAST(a.cohort AS VARCHAR) AS cohort, a.day_offset,
+       |  a.n_active, s.cohort_size,
+       |  ${microSql("a.n_active * 1.0 / s.cohort_size")}
+       |    AS retained_micro
+       |FROM act a JOIN cs s USING (cohort)
+       |ORDER BY cohort, day_offset""".stripMargin
+
+  /** R13: ordered conversion funnel (view → click → purchase) with
+    * the product-analytics contract: SINGLE-ATTEMPT, entry-anchored
+    * conversion window — the funnel attempt starts at the user's
+    * FIRST view (t1), and every later step must land inside
+    * (prev step, t1 + window]: t2 is the first qualifying click, t3
+    * the first qualifying purchase. A user active for months still
+    * converts only if the SEQUENCE completes within the window of the
+    * first entry — without the window every active user eventually
+    * "converts" and the funnel reads 100 % at every step (measured:
+    * exactly that degeneration on this corpus at 30 days).
+    *
+    * Scale shape: each step is one filtered (user, partial-min)
+    * aggregation joined user-keyed against the previous step's
+    * survivors (monotonically shrinking relations); the conversion
+    * census packs the 3-row step table into ONE row and re-explodes
+    * (the clusterMix discipline — no driver collect, no
+    * unpartitioned window over data rows).
+    */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+  val FunnelWindowHours = 24
+
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val deadline = col("t1") + expr(s"INTERVAL $FunnelWindowHours HOURS")
+    val s1 = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= deadline)
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= deadline)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val census = s1.agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("step"), col("n"))
+      .unionByName(s2.agg(count(lit(1)).as("n"))
+        .select(lit(2L).as("step"), col("n")))
+      .unionByName(s3.agg(count(lit(1)).as("n"))
+        .select(lit(3L).as("step"), col("n")))
+    val stepName = when(col("step") === 1L, FunnelSteps.head)
+      .when(col("step") === 2L, FunnelSteps(1))
+      .otherwise(FunnelSteps(2))
+    def lookup(step: Column): Column =
+      aggregate(filter(col("cs"), x => x.getField("step") === step),
+        lit(0L), (a, x) => a + x.getField("n"))
+    census
+      .agg(collect_list(struct(col("step"), col("n"))).as("cs"))
+      .select(explode(col("cs")).as("c"), col("cs"))
+      .select(col("c.step").as("step"), col("c.n").as("n_users"),
+        lookup(col("c.step") - 1L).as("prev_n"),
+        lookup(lit(1L)).as("first_n"))
+      .select(col("step"), stepName.as("event_type"), col("n_users"),
+        when(col("step") === 1L, 1000000L)
+          .otherwise(when(col("prev_n") > 0L,
+            micro(col("n_users") / col("prev_n"))).otherwise(0L))
+          .as("conv_prev_micro"),
+        when(col("step") === 1L, 1000000L)
+          .otherwise(when(col("first_n") > 0L,
+            micro(col("n_users") / col("first_n"))).otherwise(0L))
+          .as("conv_first_micro"))
+      .orderBy("step")
+  }
+
+  private val funnelOracle =
+    s"""WITH fev AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events
+       |),
+       |f1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM fev
+       |  WHERE event_type = '${FunnelSteps.head}' GROUP BY 1
+       |),
+       |f2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2, min(f1.t1) AS t1
+       |  FROM fev e JOIN f1 USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > f1.t1
+       |    AND e.ts <= f1.t1 + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1
+       |),
+       |f3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3
+       |  FROM fev e JOIN f2 USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > f2.t2
+       |    AND e.ts <= f2.t1 + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1
+       |),
+       |fc AS (
+       |  SELECT CAST(1 AS BIGINT) AS step, count(*) AS n FROM f1
+       |  UNION ALL SELECT 2, count(*) FROM f2
+       |  UNION ALL SELECT 3, count(*) FROM f3
+       |)
+       |SELECT c.step,
+       |  CASE c.step WHEN 1 THEN '${FunnelSteps.head}'
+       |              WHEN 2 THEN '${FunnelSteps(1)}'
+       |              ELSE '${FunnelSteps(2)}' END AS event_type,
+       |  c.n AS n_users,
+       |  CAST(CASE WHEN c.step = 1 THEN 1000000
+       |       WHEN (SELECT n FROM fc p WHERE p.step = c.step - 1) > 0
+       |       THEN ${microSql(
+      "c.n * 1.0 / (SELECT n FROM fc p WHERE p.step = c.step - 1)")}
+       |       ELSE 0 END AS BIGINT) AS conv_prev_micro,
+       |  CAST(CASE WHEN c.step = 1 THEN 1000000
+       |       WHEN (SELECT n FROM fc p WHERE p.step = 1) > 0
+       |       THEN ${microSql(
+      "c.n * 1.0 / (SELECT n FROM fc p WHERE p.step = 1)")}
+       |       ELSE 0 END AS BIGINT) AS conv_first_micro
+       |FROM fc c ORDER BY c.step""".stripMargin
 
   // -------------------------------------------------------- sessionization
 
@@ -662,6 +819,8 @@ object RelationalQueries {
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
+    "q_retention"    -> (qRetention _),
+    "q_funnel"       -> (qFunnel _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops"      -> (qSetOps _),
     "q_rollup"       -> (qRollup _),
@@ -679,6 +838,8 @@ object RelationalQueries {
     "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
+    "q_retention"    -> retentionOracle,
+    "q_funnel"       -> funnelOracle,
     "q_window_suite" -> windowSuiteOracle,
     "q_set_ops"      -> setOpsOracle,
     "q_rollup"       -> rollupOracle,
