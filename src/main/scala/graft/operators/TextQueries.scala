@@ -582,6 +582,54 @@ object TextQueries {
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** D18: the dedup report — cluster-size histogram over the D7
+    * components: how many duplicate clusters exist at each size, how
+    * many documents they hold, and how many are removable keeping one
+    * canonical per cluster (the headline number of every dedup
+    * release note). Rides the D7 relation (bounded by true
+    * duplication); the histogram is one (size, partial) Exchange over
+    * a handful of groups.
+    */
+  def qDedupSizes(spark: SparkSession, dir: String): DataFrame =
+    TextOps.connectedComponents(ngramPairs(spark, dir))
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1L) * col("n_clusters")).as("removable"))
+      .orderBy("size")
+
+  private val dedupSizesOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |cc AS (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |szs AS (SELECT component, count(*) AS size FROM cc GROUP BY 1)
+       |SELECT size, count(*) AS n_clusters,
+       |  CAST(size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((size - 1) * count(*) AS BIGINT) AS removable
+       |FROM szs GROUP BY 1 ORDER BY size""".stripMargin
+
   /** D14: quality-ranked canonical selection over the D7 clusters. */
   def qDedupBest(spark: SparkSession, dir: String): DataFrame =
     TextOps.keepBest(
@@ -1837,6 +1885,7 @@ object TextQueries {
     "q_dedup_best"     -> (qDedupBest _),
     "q_corpus_card"    -> (qCorpusCard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_sizes"   -> (qDedupSizes _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
     "q_chunks"        -> (qChunks _),
@@ -1886,6 +1935,7 @@ object TextQueries {
     "q_dedup_best"     -> dedupBestOracle,
     "q_corpus_card"    -> corpusCardOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_dedup_sizes"   -> dedupSizesOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,
     "q_chunks"        -> chunksOracle,
