@@ -133,6 +133,49 @@ object ScaleProbe {
           "background collisions")
     }
 
+    // X40 source-overlap census at k× (the D2 replica identity
+    // PROJECTED per source pair): replicas keep their source, so every
+    // 1× pair multiplies k² inside its own (source_a, source_b) cell,
+    // and each doc's identical replicas add k(k−1)/2 pairs to its
+    // source's DIAGONAL cell — off-diagonal cells scale by exactly k²,
+    // diagonals by k²·base + nDocs(source)·k(k−1)/2. The df cap scales
+    // with k (df at k× is exactly k·df₁ — the substring-probe
+    // discipline). Holding exactly means the census is driven by true
+    // sharing per provenance cell, not hash drift.
+    {
+      val sdocs = graft.sources.Tables.documents(spark, dir)
+        .select("doc_id", "text", "source")
+      def srcov(c: Int): Map[(String, String), Long] = {
+        val d = replicate(sdocs, "doc_id", c)
+        var out: Map[(String, String), Long] = Map.empty
+        time(s"source_overlap_${c}x") {
+          out = TextOps.sourceOverlap(d, 5, 1000L * c, 800000L)
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+            .toMap
+          out.size.toLong
+        }
+        out
+      }
+      val s1 = srcov(1)
+      val sk = srcov(k)
+      val perSource = sdocs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sk.foreach { case ((sa, sb), n) =>
+        val base = s1.getOrElse((sa, sb), 0L)
+        val expected = base * k * k +
+          (if (sa == sb) perSource(sa) * k * (k - 1) / 2 else 0L)
+        require(n == expected,
+          s"source-overlap identity broken at ($sa,$sb): $n != $expected")
+      }
+      // and no 1x cell disappears
+      require(s1.keySet.subsetOf(sk.keySet),
+        "every 1x census cell must survive replication")
+      println(s"SCALE source_overlap_identity ok (${s1.size} cells at " +
+        s"1x -> ${sk.size} at ${k}x; k² off-diagonal, " +
+        "k²+n·k(k−1)/2 diagonal, exact)")
+    }
+
     // Exact-substring span detection at k×. Replica copies share every
     // gram, so with the df cap scaled by k (df at k× is exactly k·df_1)
     // the pair count is an IDENTITY: every 1× pair appears in all k²

@@ -73,6 +73,30 @@ object StreamViews {
         col("hex_ident"), col("n_fixes"), col("first_fix"),
         col("last_fix"))
 
+  /** Streaming sliding-window actives — the streaming twin of the
+    * batch DAU/WAU census ([[graft.operators.RelationalQueries
+    * .qActiveUsers]]): distinct actives per sliding window over an
+    * event stream. Exact distinct is not frame-decomposable and a
+    * streaming agg cannot hold per-user state per window at scale, so
+    * the streaming path is the SKETCH path the batch operator's docs
+    * point to: `approx_count_distinct` keeps one mergeable HLL sketch
+    * per open window (X18's register-merge property — partial sketches
+    * from every micro-batch OR together), state bounded by (windows
+    * inside the watermark) × sketch size, independent of user count.
+    * The batch path over the sink remains the exact reconciliation.
+    */
+  def slidingActives(events: DataFrame, windowLen: String = "7 days",
+                     slide: String = "1 day",
+                     watermark: String = "1 day",
+                     rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(approx_count_distinct(col("user_id"), rsd)
+        .as("active_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("active_users"))
+
   /** Streaming `callsigns` view (create_schema.sql:85-93 semantics):
     * first/last-seen per (callsign, hex_ident) per tumbling day.
     */

@@ -105,6 +105,34 @@ class StreamViewsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingActives: sliding-window sketched distinct actives") {
+    val ms = MemoryStream[(Timestamp, Long)](spark)
+    val q = StreamViews.slidingActives(
+      ms.toDF().toDF("ts", "user_id"), "2 days", "1 day", "0 seconds")
+      .writeStream.format("memory").queryName("slide_act")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // day 1: users 1,2 (user 1 twice); day 2: users 2,3
+      ms.addData(
+        (t("2024-01-01 08:00:00"), 1L), (t("2024-01-01 09:00:00"), 1L),
+        (t("2024-01-01 10:00:00"), 2L),
+        (t("2024-01-02 08:00:00"), 2L), (t("2024-01-02 09:00:00"), 3L))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT window_start, active_users FROM slide_act")
+        .collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      // HLL++ sparse mode is exact at these cardinalities; the window
+      // covering both days sees the distinct UNION (3, not 2+2) —
+      // the sketch merges, it does not add
+      assert(out("2024-01-01 00:00:00.0") === 3L,
+        s"2-day window spanning both days must merge to 3: $out")
+      assert(out("2023-12-31 00:00:00.0") === 2L, s"day-1-only: $out")
+      assert(out("2024-01-02 00:00:00.0") === 2L, s"day-2-only: $out")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first occurrence wins within watermark") {
     val ms = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = ms.toDF().toDF("doc_id", "text", "evt")
