@@ -808,7 +808,85 @@ object RelationalQueries {
        |  ON ev.ts >= b.bucket_start AND ev.ts < b.bucket_end
        |GROUP BY 1 ORDER BY bucket_start""".stripMargin
 
+  /** R14: latest-snapshot compaction — the CDC/upsert materialization
+    * every lakehouse pipeline runs (Delta/Hudi merge-on-read compact,
+    * Kafka log compaction): one current row per (user_id, event_type)
+    * key, picked by latest `ts` with `event_id` breaking ties, plus
+    * the version count the compaction collapsed.
+    *
+    * Scale shape: ONE partial-aggregated Exchange — `max` over a
+    * `(ts, event_id, value)` struct compares lexicographically, and
+    * since `event_id` is unique the comparison never reaches `value`,
+    * so the struct-max IS the deterministic "latest row" in a single
+    * map-side-combining pass. No window over the raw stream (a
+    * per-key `row_number` sorts every version of every key), no
+    * second join back to the fact table (the payload rides in the
+    * struct). The oracle is the window formulation — both must agree
+    * exactly.
+    */
+  def latestSnapshot(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("last_event_id"),
+        col("m.ts").as("last_ts"),
+        micro(col("m.value")).as("last_value_micro"),
+        col("n_versions"))
+
+  def qLatestSnapshot(spark: SparkSession, dir: String): DataFrame =
+    latestSnapshot(events(spark, dir)).orderBy("user_id", "event_type")
+
+  private val latestSnapshotOracle =
+    s"""$evCte,
+       |snap AS (
+       |  SELECT user_id, event_type, event_id, ts, value,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |                       ORDER BY ts DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, event_type)
+       |      AS n_versions
+       |  FROM ev
+       |)
+       |SELECT user_id, event_type, event_id AS last_event_id,
+       |  ts AS last_ts, ${microSql("value")} AS last_value_micro,
+       |  CAST(n_versions AS BIGINT) AS n_versions
+       |FROM snap WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** Salt fan-out for [[SkewJoin.salted]] under q_skew_join. */
+  val SkewSalts = 8
+
+  /** The salted skew-join, oracled: lineitem⋈supplier through
+    * [[SkewJoin.salted]] (left side split 8 ways by content hash,
+    * right side replicated per salt), aggregated to per-nation
+    * revenue. The oracle is the PLAIN join — salting must be
+    * result-invariant, and this query pins that invariance into the
+    * driver's hash compare (the manual fallback for skew AQE doesn't
+    * cover: aggregations after the join, non-SMJ plans).
+    */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    SkewJoin.salted(li, supp, "suppkey", SkewSalts)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy("s_nationkey")
+  }
+
+  private val skewJoinOracle =
+    """SELECT s_nationkey, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |           AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_snapshot" -> (qLatestSnapshot _),
+    "q_skew_join"       -> (qSkewJoin _),
     "q_range_join"      -> (qRangeJoin _),
     "q_profile"         -> (qProfile _),
     "q_pivot"           -> (qPivot _),
@@ -828,6 +906,8 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_latest_snapshot" -> latestSnapshotOracle,
+    "q_skew_join"       -> skewJoinOracle,
     "q_range_join"      -> rangeJoinOracle,
     "q_profile"         -> profileOracle,
     "q_pivot"           -> pivotOracle,

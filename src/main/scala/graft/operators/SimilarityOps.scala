@@ -1068,4 +1068,121 @@ object SimilarityOps {
         coalesce(col("dup_cos_micro"), lit(0L)).as("dup_cos_micro"),
         when(col("dup_cos_micro").isNull, 1L).otherwise(0L).as("kept"))
   }
+
+  // ------------------------------------------- scalar quantization (V20)
+
+  /** Per-element int8 codes under [[quantizeInt8]]'s law —
+    * `floor(v · 127 / amax)` with the per-vector abs-max scale — kept
+    * as an ARRAY (cast to float, exact for |code| ≤ 127) so the code
+    * vectors flow through the same codegen'd
+    * [[graft.functions.CosineSimilarity]] kernel as the raw floats.
+    */
+  def int8CodeVec(e: Column): Column = {
+    val amax = aggregate(e, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    transform(e, v => when(amax === 0.0, lit(0L))
+      .otherwise(floor(v.cast("double") * lit(127.0) / amax)))
+      .cast("array<float>")
+  }
+
+  /** V20: scalar-quantized (SQ8) search with measured fidelity — the
+    * OTHER standard vector-compression serving path next to PQ/ADC
+    * (FAISS `SQ8`, pgvector `halfvec`/`int8`): 4 bytes/dim drop to 1,
+    * the scoring loop stays a plain dot product (no codebook, no LUT —
+    * SIMD-friendly where PQ's gather is not), and because cosine is
+    * scale-invariant the per-vector `amax` scale CANCELS — int8 cosine
+    * needs no dequantization at all.
+    *
+    * Emits the SQ top-k per query with each hit flagged against the
+    * exact-cosine truth (`in_truth`), so the result carries both the
+    * approximate ranking AND its measured fidelity in one relation.
+    *
+    * Scale shape: codes are a per-row projection BEFORE the query
+    * join (computed once per corpus row, never per pair); one corpus
+    * scan scores exact + SQ cosine side by side (the scan is shared,
+    * not run twice); both top-k windows plan as WindowGroupLimit over
+    * the same partial relation. At serving scale only the 1-byte/dim
+    * code column ships to the scorer — the raw floats stay in cold
+    * storage for the rerank tier (q_pq_rerank's pattern).
+    */
+  def sqSearch(emb: DataFrame, queryMax: Long, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      int8CodeVec(col("embedding")).as("codes"))
+    val qs = e.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("codes").as("qc"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"),
+        micro(cosineSim(col("codes"), col("qc"))).as("sq_micro"))
+      .cache() // two consumers: the SQ ranking and the exact truth
+    def topk(order: Column) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(order, col("vec_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+    }
+    val truth = topk(col("cos_micro").desc)
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_truth"))
+    topk(col("sq_micro").desc)
+      .select(col("query_id"), col("__rn").cast("long").as("rank"),
+        col("vec_id"), col("sq_micro"))
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sq_micro"), coalesce(col("in_truth"), lit(false))
+          .as("in_truth"))
+  }
+
+  // --------------------------------------- Matryoshka truncation (V21)
+
+  /** V21: truncated-dimension retrieval quality — the Matryoshka /
+    * adaptive-retrieval dial (MRL): score with only the first `d`
+    * dimensions and measure recall@k against full-dimension truth.
+    * With MRL-trained embeddings the leading dims carry most of the
+    * signal, so serving can cut dot-product cost `dims/d`-fold and
+    * rerank the shortlist at full width; this query measures exactly
+    * what that dial costs on THIS corpus. The largest entry in `dims`
+    * is the full width, anchoring recall at 1.0 (self-truth).
+    *
+    * Scale shape: ONE corpus×queries scan computes every truncation's
+    * score in a single codegen projection (the per-dim kernels share
+    * the row) and unpivots — the scan does NOT run once per dim; top-k
+    * per (query, dim) plans as WindowGroupLimit; everything downstream
+    * of the window is bounded by queries × dims × k.
+    */
+  def mrlRecall(emb: DataFrame, queryMax: Long, dims: Seq[Int],
+                k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val perDim = dims.map(d => struct(lit(d.toLong).as("dim"),
+      micro(cosineSim(slice(col("embedding"), 1, d),
+        slice(col("qe"), 1, d))).as("cos_micro")))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        explode(array(perDim: _*)).as("s"))
+      .select(col("query_id"), col("vec_id"), col("s.dim").as("dim"),
+        col("s.cos_micro").as("cos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("dim"))
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    val topk = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "dim")
+      .cache() // truth (full dim) joins against every truncation
+    val truth = topk.filter(col("dim") === dims.max.toLong)
+      .select("query_id", "vec_id")
+    val hits = topk.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id", "dim").agg(count(lit(1)).as("hits"))
+    val dimDf = dims.map(_.toLong).toDF("dim")
+    qs.select("query_id").crossJoin(broadcast(dimDf))
+      .join(hits, Seq("query_id", "dim"), "left")
+      .select(col("query_id"), col("dim"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        micro(coalesce(col("hits"), lit(0L)) / lit(k))
+          .as("recall_micro"))
+  }
 }

@@ -317,6 +317,23 @@ object SimilarityQueries {
       .orderBy("label", "predicted")
   }
 
+  /** V20: SQ8 search fidelity — top-k per batch query over int8-coded
+    * cosine (the per-vector scale cancels), flagged against exact
+    * truth.
+    */
+  def qSqSearch(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sqSearch(emb(spark, dir), BatchQueryMax, TopK)
+      .orderBy("query_id", "rank")
+
+  /** V21: Matryoshka truncation dims the recall curve is measured at —
+    * the last is the full width, anchoring recall at exactly 1.0.
+    */
+  val MrlDims: Seq[Int] = Seq(16, 32, 64)
+
+  def qMrlRecall(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mrlRecall(emb(spark, dir), BatchQueryMax, MrlDims,
+      TopK).orderBy("query_id", "dim")
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -1216,7 +1233,124 @@ object SimilarityQueries {
        |FROM ev e JOIN am ON e.vec_id = am.vec_id
        |ORDER BY e.vec_id, i""".stripMargin
 
+  /** SQ8 oracle: quantize per the q_quantize law, score int8 cosine
+    * (integer dot — association-free — over code values, then one
+    * division), rank, and flag against the exact-cosine truth.
+    */
+  private val sqSearchOracle =
+    s"""$evCte,
+       |am AS (SELECT vec_id, max(abs(v)) AS amax FROM ev GROUP BY 1),
+       |q8 AS (
+       |  SELECT e.vec_id, e.i,
+       |    CASE WHEN am.amax = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor(e.v * 127.0 / am.amax) AS BIGINT) END AS q
+       |  FROM ev e JOIN am ON e.vec_id = am.vec_id
+       |),
+       |n8 AS (SELECT vec_id, sqrt(sum(q * q)) AS nrm FROM q8 GROUP BY 1),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |d8 AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.q * q.q) AS dot8
+       |  FROM q8 e JOIN q8 q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |sc AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dots d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |s8 AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot8 / (ne.nrm * nq.nrm)")} AS sq_micro
+       |  FROM d8 d JOIN n8 ne ON d.vec_id = ne.vec_id
+       |            JOIN n8 nq ON d.query_id = nq.vec_id
+       |),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM sc
+       |  ) WHERE rn <= $TopK
+       |),
+       |ann AS (
+       |  SELECT query_id, vec_id, sq_micro, rn FROM (
+       |    SELECT query_id, vec_id, sq_micro,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sq_micro DESC, vec_id) AS rn
+       |    FROM s8
+       |  ) WHERE rn <= $TopK
+       |)
+       |SELECT a.query_id, CAST(a.rn AS BIGINT) AS rank, a.vec_id,
+       |  a.sq_micro, (t.vec_id IS NOT NULL) AS in_truth
+       |FROM ann a LEFT JOIN truth t
+       |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |ORDER BY a.query_id, rank""".stripMargin
+
+  /** MRL oracle: per-dim norms and dots over the first `dim` elements
+    * (position filter on the unnested relation), per-(query, dim)
+    * top-k, recall vs the full-width truth on a dense grid.
+    */
+  private val mrlRecallOracle: String = {
+    val dimVals = MrlDims.map(d => s"($d)").mkString(", ")
+    val dMax = MrlDims.max
+    s"""$evCte,
+       |dims(dim) AS (SELECT CAST(v.c AS BIGINT) FROM (VALUES $dimVals) v(c)),
+       |nd AS (
+       |  SELECT vec_id, d.dim, sqrt(sum(v * v)) AS nrm
+       |  FROM ev CROSS JOIN dims d WHERE ev.i <= d.dim GROUP BY 1, 2
+       |),
+       |dd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, d.dim,
+       |         sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  CROSS JOIN dims d
+       |  WHERE e.vec_id <> q.vec_id AND e.i <= d.dim
+       |  GROUP BY 1, 2, 3
+       |),
+       |sc AS (
+       |  SELECT d.query_id, d.vec_id, d.dim,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dd d
+       |  JOIN nd ne ON d.vec_id = ne.vec_id AND d.dim = ne.dim
+       |  JOIN nd nq ON d.query_id = nq.vec_id AND d.dim = nq.dim
+       |),
+       |tk AS (
+       |  SELECT query_id, vec_id, dim FROM (
+       |    SELECT query_id, vec_id, dim,
+       |      row_number() OVER (PARTITION BY query_id, dim
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM sc
+       |  ) WHERE rn <= $TopK
+       |),
+       |truth AS (SELECT query_id, vec_id FROM tk WHERE dim = $dMax),
+       |h AS (
+       |  SELECT t.query_id, t.dim, count(*) AS hits
+       |  FROM tk t JOIN truth u
+       |    ON t.query_id = u.query_id AND t.vec_id = u.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT q.query_id, d.dim
+       |  FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |        WHERE vec_id < $BatchQueryMax) q CROSS JOIN dims d
+       |)
+       |SELECT g.query_id, g.dim,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  ${Hashing.microSql(s"COALESCE(h.hits, 0) * 1.0 / $TopK")}
+       |    AS recall_micro
+       |FROM grid g LEFT JOIN h
+       |  ON g.query_id = h.query_id AND g.dim = h.dim
+       |ORDER BY g.query_id, g.dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq_search"      -> (qSqSearch _),
+    "q_mrl_recall"     -> (qMrlRecall _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
@@ -1242,6 +1376,8 @@ object SimilarityQueries {
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_sq_search"      -> sqSearchOracle,
+    "q_mrl_recall"     -> mrlRecallOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,

@@ -232,6 +232,54 @@ object TextOps {
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
 
+  /** G1: damped PageRank over the verified duplication graph — graph
+    * centrality as a curation signal (the web-corpus precedent:
+    * Common Crawl ranks hosts by harmonic centrality/PageRank before
+    * sampling). Over the near-dup pair graph high rank marks TEMPLATE
+    * HUBS — documents whose content recurs across many near-copies —
+    * exactly the rows a quality pass should inspect first, invisible
+    * to any per-pair score.
+    *
+    * Determinism: rank is micro-unit INTEGER state. Each iteration
+    * computes `r' = 150000 + floor(850000 · c / 10⁶)` where
+    * `c = Σ_in floor(r/deg)` — every floor is a single IEEE division
+    * of exact integers (magnitudes ≪ 2⁵³), and the contribution sum
+    * is integer (association-free), so the whole trajectory is
+    * bit-identical across engines and partitionings — the
+    * [[graft.operators.SimilarityOps]] k-means discipline applied to
+    * graph iteration. Isolated nodes don't exist (every node of a
+    * symmetric pair graph has degree ≥ 1), so mass never dangles.
+    *
+    * Scale shape: the edge relation is the df-capped verified pair
+    * relation (bounded by TRUE duplication, not corpus²); each of the
+    * fixed `iters` rounds is one edge-keyed join + one partial-agg'd
+    * Exchange over the node set — the classic distributed PageRank
+    * plan, here with the degree pre-joined once so iterations reuse
+    * the same edge relation. Plan depth is linear in `iters` (a
+    * constant), not data-dependent — no driver loop over data.
+    */
+  def dupPageRank(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src").cache() // reused every round
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = edgesD
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("r") / col("deg")).cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      ranks = contrib.select(col("dst").as("node"),
+        (lit(150000L) + floor(lit(850000L) * col("c") / lit(1000000.0))
+          .cast("long")).as("r"))
+    }
+    ranks.join(deg, col("node") === col("src"))
+      .select(col("node").as("doc_id"), col("deg"),
+        col("r").as("rank_micro"))
+  }
+
   /** X40: cross-source duplication census — the provenance overlap
     * matrix a corpus assembler reads before merging sources: near-dup
     * pairs (the D2 inverted-index machinery and bar, verbatim) rolled

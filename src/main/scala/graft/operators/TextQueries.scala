@@ -55,6 +55,17 @@ object TextQueries {
   def qHeaps(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsCurve(docs(spark, dir)).orderBy("fraction_eighths")
 
+  /** G1: PageRank iterations over the verified dup-pair graph. A
+    * constant — the oracle unrolls exactly this many CTE rounds, so
+    * the count is part of the cross-engine contract (the
+    * [[SimilarityOps.KmRounds]] discipline).
+    */
+  val PrIters = 5
+
+  def qPagerank(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dupPageRank(ngramPairs(spark, dir), PrIters)
+      .orderBy("doc_id")
+
   def qZipf(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfCensus(docs(spark, dir)).orderBy("freq")
 
@@ -259,6 +270,47 @@ object TextQueries {
        |          JOIN sdoc b ON jp.d2 = b.doc_id
        |)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** G1 oracle: the verified pair graph (the q_dedup_ngram prefix),
+    * then exactly [[PrIters]] unrolled rank rounds — every floor is a
+    * single IEEE division of exact integers, so the trajectory is
+    * bit-identical to the Spark loop.
+    */
+  private val pagerankOracle = {
+    val rounds = (1 to PrIters).map { t =>
+      s"""c$t AS (
+         |  SELECT e.t AS node,
+         |         sum(CAST(floor(r.r / e.deg) AS BIGINT)) AS c
+         |  FROM edges e JOIN r${t - 1} r ON e.s = r.node GROUP BY 1
+         |),
+         |r$t AS (
+         |  SELECT node,
+         |    CAST(150000 + floor(850000 * c / 1000000.0) AS BIGINT) AS r
+         |  FROM c$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$tokCte $shCte,
+       |$ngramCtes,
+       |jp AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2,
+       |      ${Hashing.microSql("inter / (s1.n + s2.n - inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |ed0 AS (SELECT d1 AS s, d2 AS t FROM jp
+       |        UNION ALL SELECT d2, d1 FROM jp),
+       |dg AS (SELECT s, count(*) AS deg FROM ed0 GROUP BY 1),
+       |edges AS (SELECT e.s, e.t, d.deg FROM ed0 e JOIN dg d ON e.s = d.s),
+       |r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM dg),
+       |$rounds
+       |SELECT r.node AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       |       r.r AS rank_micro
+       |FROM r$PrIters r JOIN dg d ON r.node = d.s
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** D15: asymmetric containment pairs over the same inverted index.
     * microSql divides by the true least() set size — the expression
@@ -1900,6 +1952,7 @@ object TextQueries {
     "q_minhash_calib" -> (qMinhashCalib _),
     "q_jac_hist"      -> (qJacHist _),
     "q_heaps"         -> (qHeaps _),
+    "q_pagerank"      -> (qPagerank _),
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
@@ -1950,6 +2003,7 @@ object TextQueries {
     "q_minhash_calib" -> minhashCalibOracle,
     "q_jac_hist"      -> jacHistOracle,
     "q_heaps"         -> heapsOracle,
+    "q_pagerank"      -> pagerankOracle,
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)

@@ -33,6 +33,8 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_integrity",      // broadcast one-row expected-totals relation
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
+    "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid
+    "q_sq_search",      // broadcast query-vector set vs corpus scores
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
     "q_pq_rerank",      // broadcast single query vector (rerank stage)

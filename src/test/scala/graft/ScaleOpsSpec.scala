@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{SkewJoin, TopKAggregator}
+import graft.operators.{RelationalQueries, SkewJoin, TopKAggregator}
 
 class ScaleOpsSpec extends SparkSpec {
   import sqlImplicits._
@@ -46,5 +46,23 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().toMap
     // best score 996.0 at ids 996, 1993, 2990 -> smallest ids win
     assert(out("g") === Seq((996.0, 996L), (996.0, 1993L), (996.0, 2990L)))
+  }
+
+  test("latestSnapshot: latest ts wins, event_id breaks the ts tie") {
+    val ev = Seq(
+      (1L, 10L, "a", "2024-01-01 10:00:00", 1.5),
+      (2L, 10L, "a", "2024-01-01 11:00:00", 2.5),
+      (3L, 10L, "a", "2024-01-01 11:00:00", 3.5), // ts tie, higher id
+      (4L, 20L, "b", "2024-01-01 10:00:00", -0.25))
+      .toDF("event_id", "user_id", "event_type", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = RelationalQueries.latestSnapshot(ev)
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("last_value_micro"), r.getAs[Long]("n_versions")))
+    assert(out.toSeq === Seq(
+      (10L, "a", 3L, 3500000L, 3L),
+      (20L, "b", 4L, -250000L, 1L)))
   }
 }

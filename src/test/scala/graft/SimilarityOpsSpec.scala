@@ -579,4 +579,41 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(kept2.toSeq === Seq(1L, 1L),
       "different clusters are never compared even at threshold 0")
   }
+
+  test("sqSearch: int8 codes collapse near-ties; truth flag exposes it") {
+    // v3 and v5 quantize to the SAME code vector [127, 12, 0, 0]
+    // (floor(100*127/1000) = floor(995*127/10000) = 12), so SQ scores
+    // them identically and ties to the lower id — while exact cosine
+    // ranks v5 first (995/10000 < 100/1000). With k=1 the SQ winner is
+    // v3 and it is NOT in the exact top-1: in_truth = false is the
+    // measured quantization cost, not a bug.
+    val sq = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (3L, Seq(1000f, 100f, 0f, 0f), 0),
+      (5L, Seq(10000f, 995f, 0f, 0f), 0))
+    val k1 = SimilarityOps.sqSearch(sq, 1L, 1).collect()
+    assert(k1.length === 1)
+    assert(k1.head.getAs[Long]("vec_id") === 3L)
+    assert(k1.head.getAs[Boolean]("in_truth") === false)
+    // at k=2 both enter; equal codes => equal sq_micro, both in truth
+    val k2 = SimilarityOps.sqSearch(sq, 1L, 2)
+      .orderBy("rank").collect()
+    assert(k2.map(_.getAs[Long]("vec_id")).toSeq === Seq(3L, 5L))
+    assert(k2.map(_.getAs[Long]("sq_micro")).distinct.length === 1)
+    assert(k2.forall(_.getAs[Boolean]("in_truth")))
+  }
+
+  test("mrlRecall: truncation loses the tail signal; full width exact") {
+    // truncated to 2 dims, v1 looks IDENTICAL to the query (its mass
+    // beyond dim 2 is invisible) and beats v2; at full width v2 wins
+    val m = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0f, 0.5f, 0f), 0),  // trunc2 cos 1.0, full 0.874
+      (2L, Seq(0.95f, 0.1f, 0f, 0f), 0)) // cos 0.9945 at both widths
+    val out = SimilarityOps.mrlRecall(m, 1L, Seq(2, 4), 1)
+      .orderBy("dim").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("hits"),
+        r.getAs[Long]("recall_micro")))
+    assert(out.toSeq === Seq((2L, 0L, 0L), (4L, 1L, 1000000L)))
+  }
 }

@@ -826,4 +826,19 @@ class TextOpsSpec extends SparkSpec {
       firstShard.map(_.getLong(2)).sorted.toSeq,
       "hash order should differ from doc_id order")
   }
+
+  test("dupPageRank: hand-computed 5-round trajectory on a 3-node path") {
+    import sqlImplicits._
+    // path 1-2-3: deg(2)=2 concentrates rank at the hub; every floor
+    // division hand-traced (see the expected micro values)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val out = TextOps.dupPageRank(pairs, 5).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("rank_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 668336L), (2L, 2L, 1663323L), (3L, 1L, 668336L)))
+    // mass check: the hub holds more than both leaves combined after
+    // damping, and leaves are exactly symmetric
+    assert(out(1)._3 > out(0)._3 + out(2)._3 - 150000L)
+  }
 }
