@@ -297,6 +297,173 @@ object MultimodalOps {
   def mediaFeatures(docs: DataFrame): DataFrame =
     decodeMedia(mediaBinary(docs)).toDF()
 
+  // ------------------------------------- M5: audio frame energy (WAV)
+
+  /** Samples per analysis frame for [[wavEnergyWindows]]. */
+  val EnergyWindow = 16
+
+  /** One audio analysis frame: exact-integer energy features over a
+    * [[EnergyWindow]]-sample window (the last window may be partial —
+    * `n_samples` carries its true width). `sum_sq` is the frame energy
+    * (RMS² · n, integer-exact); `sum_abs`/`max_abs` drive silence /
+    * clipping detection downstream.
+    */
+  case class AudioFrame(doc_id: Long, window_idx: Long, n_samples: Long,
+                        sum_amp: Long, sum_abs: Long, sum_sq: Long,
+                        max_abs: Long)
+
+  /** M5: windowed audio feature extraction — the real-feature refinement
+    * of [[decodeWav]]'s whole-file stats: the decoder walks the RIFF
+    * chunks exactly as before, but emits per-frame energy rows (the
+    * shape every VAD / silence-trim / loudness-normalization pass
+    * consumes) instead of one aggregate. Frame features are computed
+    * IN the decoder's scalar loop (a real extractor computes energy in
+    * native code per frame, not by exploding samples into the engine) —
+    * the engine sees ~n/16 feature rows, never n sample rows.
+    *
+    * Scale shape: `mapPartitions` batched like [[decodeMedia]]; output
+    * is a narrow all-integer relation ~16× smaller than the sample
+    * count; everything downstream (per-doc rollups, silence censuses)
+    * is ordinary partial-agg'd relational work.
+    */
+  def wavEnergyWindows(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          d.grouped(EnergyWindow).zipWithIndex.map { case (w, wi) =>
+            var sum = 0L; var sabs = 0L; var ssq = 0L; var mabs = 0L
+            w.foreach { v =>
+              sum += v; val a = math.abs(v); sabs += a; ssq += v * v
+              if (a > mabs) mabs = a
+            }
+            AudioFrame(rec.doc_id, wi.toLong, w.length.toLong,
+              sum, sabs, ssq, mabs)
+          }
+        }
+      }
+    }
+  }
+
+  /** The [[decodeWav]] chunk walk, returning the raw PCM16 samples —
+    * shared parsing, per-frame consumers do their own math.
+    */
+  private def decodeWavSamples(docId: Long,
+                               bytes: Array[Byte]): Array[Long] = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $docId: not a WAV")
+    var off = 12
+    var dataOff = -1; var dataLen = 0; var bits = 0; var channels = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off); val len = b.getInt(off + 4)
+      id match {
+        case "fmt " =>
+          require(b.getShort(off + 8) == 1, s"doc $docId: non-PCM WAV")
+          channels = b.getShort(off + 10).toInt
+          bits = b.getShort(off + 22).toInt
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0 && bits == 16 && channels == 1,
+      s"doc $docId: unsupported WAV shape")
+    Array.tabulate(dataLen / 2)(i => b.getShort(dataOff + 2 * i).toLong)
+  }
+
+  // -------------------------------- M6: image box-filter resize (BMP)
+
+  /** Per-doc stats of a 2× box-filter downsample. `out_w`/`out_h` are
+    * ceil-halved source dims; pixel values are channel-wise
+    * floor-averages over each (≤2)×(≤2) box.
+    */
+  case class ResizedStats(doc_id: Long, src_w: Long, src_h: Long,
+                          out_w: Long, out_h: Long, n_px: Long,
+                          sum_px: Long, min_px: Long, max_px: Long)
+
+  /** M6: a REAL image resize over the decoded BMP pixels — 2× box
+    * filter (average pooling), the standard thumbnail/pre-embed
+    * downsample. The decoder honors storage orientation: bottom-up
+    * files (positive header height) are flipped to IMAGE row order
+    * before pooling, so boxes pair image-adjacent rows — for odd
+    * heights storage-order pooling would pair different rows, which is
+    * why orientation handling is load-bearing here (unlike the
+    * order-invariant stats of [[decodeBmp]]). Edge boxes clamp: a
+    * leftover row/column averages over the 1–2 pixels that exist.
+    * All math is integer (sum / count via floor division), so the
+    * resized image — and therefore its stats — hash exactly against
+    * the generative closed form.
+    */
+  def bmpResizeStats(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[ResizedStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "bmp").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec => resizeBmp(rec.doc_id, rec.payload) }
+      }
+    }
+  }
+
+  private def resizeBmp(docId: Long, bytes: Array[Byte]): ResizedStats = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val hdrH = b.getInt(22)
+    val h = math.abs(hdrH)
+    require(b.getShort(28) == 24 && b.getInt(30) == 0,
+      s"doc $docId: unsupported BMP variant")
+    val rowBytes = 3 * w
+    val stride = (rowBytes + 3) & ~3
+    // image row r -> file row: bottom-up (hdrH > 0) stores the bottom
+    // image row first
+    def fileRow(r: Int) = if (hdrH > 0) h - 1 - r else r
+    def px(r: Int, c: Int, ch: Int): Int =
+      bytes(dataOffset + fileRow(r) * stride + c * 3 + ch) & 0xff
+    val outW = (w + 1) / 2
+    val outH = (h + 1) / 2
+    var n = 0L; var sum = 0L
+    var min = Long.MaxValue; var max = Long.MinValue
+    var r2 = 0
+    while (r2 < outH) {
+      var c2 = 0
+      while (c2 < outW) {
+        var ch = 0
+        while (ch < 3) {
+          var s = 0; var cnt = 0
+          var dr = 0
+          while (dr < 2) {
+            val r = 2 * r2 + dr
+            if (r < h) {
+              var dc = 0
+              while (dc < 2) {
+                val c = 2 * c2 + dc
+                if (c < w) { s += px(r, c, ch); cnt += 1 }
+                dc += 1
+              }
+            }
+            dr += 1
+          }
+          val v = (s / cnt).toLong // ints >= 0: floor division
+          n += 1; sum += v
+          if (v < min) min = v; if (v > max) max = v
+          ch += 1
+        }
+        c2 += 1
+      }
+      r2 += 1
+    }
+    ResizedStats(docId, w.toLong, h.toLong, outW.toLong, outH.toLong,
+      n, sum, min, max)
+  }
+
   /** Exact media dedup census — the storage-side dedup report every
     * multimodal pipeline runs first: blobs grouped by content hash
     * (sha-256 of the payload bytes), per-format counts of stored vs

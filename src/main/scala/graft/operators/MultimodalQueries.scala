@@ -35,6 +35,16 @@ object MultimodalQueries {
   def qMediaDedup(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaDedupCensus(docs(spark, dir)).orderBy("format")
 
+  def qMediaEnergy(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.wavEnergyWindows(
+      MultimodalOps.mediaBinary(docs(spark, dir)))
+      .toDF().orderBy("doc_id", "window_idx")
+
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.bmpResizeStats(
+      MultimodalOps.mediaBinary(docs(spark, dir)))
+      .toDF().orderBy("doc_id")
+
   private val fmtCase =
     """CASE source WHEN 'src0' THEN 'png' WHEN 'src1' THEN 'jpeg'
       |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
@@ -155,15 +165,81 @@ object MultimodalQueries {
        |SELECT * FROM fmt UNION ALL SELECT * FROM allrow
        |ORDER BY format""".stripMargin
 
+  /** M5 oracle: the per-frame energy features recomputed from the WAV
+    * generative closed form — `i // 16` is the frame index, every
+    * aggregate integer-exact. The Spark side computed these in the
+    * decoder's scalar loop from the PARSED bytes; agreement proves the
+    * frame segmentation and the sample recovery simultaneously.
+    */
+  private val mediaEnergyOracle =
+    s"""WITH wav AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n
+       |  FROM documents WHERE doc_id % 2 = 1
+       |),
+       |s AS (
+       |  SELECT w.doc_id, g.i,
+       |    ((w.doc_id * 31 + g.i * 17) % 4096) - 2048 AS v
+       |  FROM wav w, unnest(range(0, w.n)) AS g(i)
+       |)
+       |SELECT doc_id,
+       |  CAST(i // ${MultimodalOps.EnergyWindow} AS BIGINT) AS window_idx,
+       |  count(*) AS n_samples,
+       |  CAST(sum(v) AS BIGINT) AS sum_amp,
+       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       |  CAST(max(abs(v)) AS BIGINT) AS max_abs
+       |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin
+
+  /** M6 oracle: the 2× box filter replayed over the generative pixel
+    * grid in IMAGE coordinates — the byte index of image row r is
+    * `(h-1-r)·3w + 3c + ch` (bottom-up storage), so a decoder that
+    * pools in file order without flipping fails on every odd-height
+    * image. `sum // count` mirrors the engine's positive integer
+    * division.
+    */
+  private val mediaResizeOracle =
+    """WITH bmp AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      |  FROM documents WHERE doc_id % 2 = 0
+      |),
+      |px AS (
+      |  SELECT b.doc_id, b.w, b.h, gr.r, gc.c, gk.ch,
+      |    (b.doc_id * 7 +
+      |     ((b.h - 1 - gr.r) * 3 * b.w + gc.c * 3 + gk.ch) * 13) % 256
+      |      AS v
+      |  FROM bmp b,
+      |       unnest(range(0, b.h)) AS gr(r),
+      |       unnest(range(0, b.w)) AS gc(c),
+      |       unnest(range(0, 3)) AS gk(ch)
+      |),
+      |boxes AS (
+      |  SELECT doc_id, w, h, r // 2 AS r2, c // 2 AS c2, ch,
+      |    CAST(sum(v) // count(*) AS BIGINT) AS pv
+      |  FROM px GROUP BY 1, 2, 3, 4, 5, 6
+      |)
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS src_w,
+      |  CAST(max(h) AS BIGINT) AS src_h,
+      |  CAST((max(w) + 1) // 2 AS BIGINT) AS out_w,
+      |  CAST((max(h) + 1) // 2 AS BIGINT) AS out_h,
+      |  count(*) AS n_px,
+      |  CAST(sum(pv) AS BIGINT) AS sum_px,
+      |  min(pv) AS min_px, max(pv) AS max_px
+      |FROM boxes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
     "q_media_features" -> (qMediaFeatures _),
-    "q_media_dedup"    -> (qMediaDedup _))
+    "q_media_dedup"    -> (qMediaDedup _),
+    "q_media_energy"   -> (qMediaEnergy _),
+    "q_media_resize"   -> (qMediaResize _))
 
   val oracles: Map[String, String] = Map(
     "q_media_meta"     -> mediaMetaOracle,
     "q_media_frames"   -> mediaFramesOracle,
     "q_media_features" -> mediaFeaturesOracle,
-    "q_media_dedup"    -> mediaDedupOracle)
+    "q_media_dedup"    -> mediaDedupOracle,
+    "q_media_energy"   -> mediaEnergyOracle,
+    "q_media_resize"   -> mediaResizeOracle)
 }

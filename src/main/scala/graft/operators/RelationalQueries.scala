@@ -852,6 +852,49 @@ object RelationalQueries {
        |  CAST(n_versions AS BIGINT) AS n_versions
        |FROM snap WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** R16: SCD Type-2 history materialization — R14's other half: the
+    * FULL version history per (user_id, event_type) key with validity
+    * intervals, the slowly-changing-dimension table every warehouse
+    * keeps next to the compacted snapshot. Each version is valid
+    * `[valid_from, valid_to)`; the current row has `valid_to` NULL and
+    * `is_current` true.
+    *
+    * Scale shape: unlike R14 this is inherently a per-key ordering
+    * (every version's interval needs its successor), so the window is
+    * the honest plan — ONE shuffle by key, per-key sort bounded by
+    * versions-per-key, `row_number` + `lead` sharing a single window
+    * frame. At lakehouse scale the same plan runs per partition-bucket
+    * of the key (the AdsbStore bucketing precedent) so history rebuild
+    * never re-sorts the full stream globally.
+    */
+  def scd2(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("event_id"), col("ts").as("valid_from"), col("valid_to"),
+        micro(col("value")).as("value_micro"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  def qScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(events(spark, dir))
+      .orderBy("user_id", "event_type", "version")
+
+  private val scd2Oracle =
+    s"""$evCte
+       |SELECT user_id, event_type,
+       |  CAST(row_number() OVER w AS BIGINT) AS version,
+       |  event_id, ts AS valid_from,
+       |  lead(ts) OVER w AS valid_to,
+       |  ${microSql("value")} AS value_micro,
+       |  (lead(ts) OVER w IS NULL) AS is_current
+       |FROM ev
+       |WINDOW w AS (PARTITION BY user_id, event_type
+       |             ORDER BY ts, event_id)
+       |ORDER BY user_id, event_type, version""".stripMargin
+
   /** Salt fan-out for [[SkewJoin.salted]] under q_skew_join. */
   val SkewSalts = 8
 
@@ -886,6 +929,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_latest_snapshot" -> (qLatestSnapshot _),
+    "q_scd2"            -> (qScd2 _),
     "q_skew_join"       -> (qSkewJoin _),
     "q_range_join"      -> (qRangeJoin _),
     "q_profile"         -> (qProfile _),
@@ -907,6 +951,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_latest_snapshot" -> latestSnapshotOracle,
+    "q_scd2"            -> scd2Oracle,
     "q_skew_join"       -> skewJoinOracle,
     "q_range_join"      -> rangeJoinOracle,
     "q_profile"         -> profileOracle,

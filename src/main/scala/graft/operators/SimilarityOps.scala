@@ -1134,6 +1134,55 @@ object SimilarityOps {
           .as("in_truth"))
   }
 
+  // --------------------------------- label-relevance retrieval (V22)
+
+  /** V22: mean-reciprocal-rank retrieval evaluation with the label as
+    * the relevance judgment — the standard embedding-quality number
+    * (MTEB-style retrieval eval) next to V12's kNN confusion: for each
+    * query, the rank of the FIRST same-label neighbor under exact
+    * cosine, and its reciprocal. Queries whose label never recurs have
+    * no relevant document and drop out (both engines inner-join the
+    * best-relevant relation).
+    *
+    * Scale shape: deliberately NOT a window over per-query rankings
+    * (that sorts the whole corpus per query). Two aggregations do it:
+    * (1) the best same-label hit per query — one partial-agg'd
+    * struct-max (cos DESC, vec_id ASC via negation); (2) its rank =
+    * 1 + count of candidates strictly better — one filtered count
+    * against the broadcast best relation. Both passes stream the same
+    * cached score relation; nothing is ever sorted.
+    */
+  def labelMrr(emb: DataFrame, queryMax: Long): DataFrame = {
+    val qs = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("label"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .cache() // two consumers: best-relevant and the rank count
+    val best = scored.filter(col("label") === col("q_label"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cos_micro"), (-col("vec_id")).as("nv")))
+        .as("b"))
+      .select(col("query_id"), col("b.cos_micro").as("best_cos_micro"),
+        (-col("b.nv")).as("best_vec_id"))
+    val better = scored.join(broadcast(best), Seq("query_id"))
+      .filter(col("cos_micro") > col("best_cos_micro") ||
+        (col("cos_micro") === col("best_cos_micro") &&
+          col("vec_id") < col("best_vec_id")))
+      .groupBy("query_id").agg(count(lit(1)).as("n_better"))
+    qs.select("query_id", "q_label")
+      .join(best, Seq("query_id"))
+      .join(better, Seq("query_id"), "left")
+      .select(col("query_id"), col("q_label"), col("best_vec_id"),
+        col("best_cos_micro"),
+        (coalesce(col("n_better"), lit(0L)) + 1L).as("first_rank"),
+        micro(lit(1.0) / (coalesce(col("n_better"), lit(0L)) + 1L))
+          .as("rr_micro"))
+  }
+
   // --------------------------------------- Matryoshka truncation (V21)
 
   /** V21: truncated-dimension retrieval quality — the Matryoshka /

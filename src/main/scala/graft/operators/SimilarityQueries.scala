@@ -334,6 +334,13 @@ object SimilarityQueries {
     SimilarityOps.mrlRecall(emb(spark, dir), BatchQueryMax, MrlDims,
       TopK).orderBy("query_id", "dim")
 
+  /** V22: first-relevant rank + reciprocal rank per batch query, label
+    * as relevance.
+    */
+  def qMrr(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelMrr(emb(spark, dir), BatchQueryMax)
+      .orderBy("query_id")
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -1348,9 +1355,56 @@ object SimilarityQueries {
        |ORDER BY g.query_id, g.dim""".stripMargin
   }
 
+  /** V22 oracle: the window formulation — rank-1 same-label row per
+    * query, its global rank recomputed by the same strictly-better
+    * count. `1.0 / first_rank` is one IEEE division on both engines.
+    */
+  private val mrrOracle =
+    s"""$evCte,
+       |lbl AS (SELECT DISTINCT vec_id, label FROM ev),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |scl AS (
+       |  SELECT d.query_id, ql.label AS q_label, d.vec_id,
+       |    cl.label AS label,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dots d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |              JOIN lbl ql ON d.query_id = ql.vec_id
+       |              JOIN lbl cl ON d.vec_id = cl.vec_id
+       |),
+       |best AS (
+       |  SELECT query_id, q_label, vec_id AS best_vec_id,
+       |         cos_micro AS best_cos_micro
+       |  FROM (
+       |    SELECT query_id, q_label, vec_id, cos_micro,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM scl WHERE label = q_label
+       |  ) WHERE rn = 1
+       |),
+       |bt AS (
+       |  SELECT s.query_id, count(*) AS n_better
+       |  FROM scl s JOIN best b ON s.query_id = b.query_id
+       |  WHERE s.cos_micro > b.best_cos_micro
+       |     OR (s.cos_micro = b.best_cos_micro
+       |         AND s.vec_id < b.best_vec_id)
+       |  GROUP BY 1
+       |)
+       |SELECT b.query_id, b.q_label, b.best_vec_id, b.best_cos_micro,
+       |  CAST(COALESCE(bt.n_better, 0) + 1 AS BIGINT) AS first_rank,
+       |  ${Hashing.microSql("1.0 / (COALESCE(bt.n_better, 0) + 1)")}
+       |    AS rr_micro
+       |FROM best b LEFT JOIN bt ON b.query_id = bt.query_id
+       |ORDER BY b.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq_search"      -> (qSqSearch _),
     "q_mrl_recall"     -> (qMrlRecall _),
+    "q_mrr"            -> (qMrr _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
@@ -1378,6 +1432,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_sq_search"      -> sqSearchOracle,
     "q_mrl_recall"     -> mrlRecallOracle,
+    "q_mrr"            -> mrrOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,

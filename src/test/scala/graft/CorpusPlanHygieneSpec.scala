@@ -34,6 +34,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid
+    "q_mrr",            // broadcast query-vector set vs corpus scores
     "q_sq_search",      // broadcast query-vector set vs corpus scores
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MultimodalOps
+import graft.operators.{MediaBlob, MultimodalOps}
 
 class MultimodalOpsSpec extends SparkSpec {
   import sqlImplicits._
@@ -133,5 +133,85 @@ class MultimodalOpsSpec extends SparkSpec {
     // ALL re-groups by hash: 4 stored, 2 distinct, 2 dup copies of the
     // 16-byte payload reclaimable
     assert(out("ALL") === ((4L, 2L, 2L, 32L)))
+  }
+
+  test("wavEnergyWindows: frame features match the closed form, " +
+    "partial tail window kept") {
+    val id = 3L // odd -> wav; n = 64 + 3 = 67 samples -> 4 full + 3-tail
+    val docsDf = Seq((id, "y", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = MultimodalOps.wavEnergyWindows(
+        MultimodalOps.mediaBinary(docsDf))
+      .orderBy("window_idx").collect()
+    val samples = (0L until 67L).map(i => ((id * 31 + i * 17) % 4096) - 2048)
+    val expect = samples.grouped(16).zipWithIndex.map { case (w, wi) =>
+      (wi.toLong, w.length.toLong, w.sum, w.map(math.abs).sum,
+        w.map(v => v * v).sum, w.map(math.abs).max)
+    }.toSeq
+    assert(out.length === 5)
+    assert(out.map(f => (f.window_idx, f.n_samples, f.sum_amp,
+      f.sum_abs, f.sum_sq, f.max_abs)).toSeq === expect)
+    assert(out.last.n_samples === 3L)
+  }
+
+  test("bmpResizeStats: box filter over image rows matches replica, " +
+    "odd height clamps") {
+    val id = 4L // even -> bmp; w = 8, h = 3 (odd: leftover image row)
+    val docsDf = Seq((id, "x", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = MultimodalOps.bmpResizeStats(
+      MultimodalOps.mediaBinary(docsDf)).collect().head
+    val w = 8; val h = 3
+    def px(ir: Int, c: Int, ch: Int): Long =
+      (id * 7 + ((h - 1 - ir) * 3 * w + c * 3 + ch) * 13) % 256
+    val pooled = for {
+      r2 <- 0 until (h + 1) / 2; c2 <- 0 until (w + 1) / 2
+      ch <- 0 until 3
+    } yield {
+      val cells = for {
+        dr <- 0 until 2 if 2 * r2 + dr < h
+        dc <- 0 until 2 if 2 * c2 + dc < w
+      } yield px(2 * r2 + dr, 2 * c2 + dc, ch)
+      cells.sum / cells.length
+    }
+    assert(r.src_w === 8L && r.src_h === 3L)
+    assert(r.out_w === 4L && r.out_h === 2L)
+    assert(r.n_px === pooled.length.toLong)
+    assert(r.sum_px === pooled.sum)
+    assert(r.min_px === pooled.min)
+    assert(r.max_px === pooled.max)
+  }
+
+  test("bmpResizeStats: top-down and bottom-up encodings of the same " +
+    "image resize identically") {
+    // 2x3 image, arbitrary distinct pixel bytes; odd height makes the
+    // pooling orientation-sensitive, so agreement proves the decoder
+    // flips bottom-up storage to image order before pooling
+    val w = 2; val h = 3
+    val img = Array.tabulate(h, 3 * w)((r, k) => (r * 40 + k * 3 + 5))
+    def build(topDown: Boolean): Array[Byte] = {
+      val stride = (3 * w + 3) & ~3
+      val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+        .putInt(0).putInt(54).putInt(40).putInt(w)
+        .putInt(if (topDown) -h else h)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val fileRows = if (topDown) 0 until h else (h - 1) to 0 by -1
+      fileRows.foreach { r =>
+        img(r).foreach(v => buf.put(v.toByte))
+        (3 * w until stride).foreach(_ => buf.put(0.toByte))
+      }
+      buf.array()
+    }
+    val blobs = Seq(
+      MediaBlob(1L, "bmp", build(topDown = false)),
+      MediaBlob(2L, "bmp", build(topDown = true)))
+      .toDS()
+    val out = MultimodalOps.bmpResizeStats(blobs).collect()
+      .map(r => (r.sum_px, r.min_px, r.max_px, r.n_px))
+    assert(out.length === 2)
+    assert(out(0) === out(1))
   }
 }

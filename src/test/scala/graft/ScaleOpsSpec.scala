@@ -65,4 +65,28 @@ class ScaleOpsSpec extends SparkSpec {
       (10L, "a", 3L, 3500000L, 3L),
       (20L, "b", 4L, -250000L, 1L)))
   }
+
+  test("scd2: validity intervals chain per key, current row open-ended") {
+    val ev = Seq(
+      (1L, 10L, "a", "2024-01-01 10:00:00", 1.0),
+      (2L, 10L, "a", "2024-01-02 09:00:00", 2.0),
+      (3L, 10L, "a", "2024-01-03 08:00:00", 3.0),
+      (4L, 20L, "b", "2024-01-01 10:00:00", 9.0))
+      .toDF("event_id", "user_id", "event_type", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = RelationalQueries.scd2(ev)
+      .orderBy("user_id", "version").collect()
+    val u10 = out.filter(_.getAs[Long]("user_id") == 10L)
+    assert(u10.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L, 3L))
+    // each interval's end is the successor's start; only v3 is current
+    assert(u10(0).getAs[java.sql.Timestamp]("valid_to") ===
+      u10(1).getAs[java.sql.Timestamp]("valid_from"))
+    assert(u10(1).getAs[java.sql.Timestamp]("valid_to") ===
+      u10(2).getAs[java.sql.Timestamp]("valid_from"))
+    assert(u10.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+    assert(u10(2).getAs[java.sql.Timestamp]("valid_to") === null)
+    val u20 = out.filter(_.getAs[Long]("user_id") == 20L)
+    assert(u20.length === 1 && u20.head.getAs[Boolean]("is_current"))
+  }
 }

@@ -603,6 +603,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(k2.forall(_.getAs[Boolean]("in_truth")))
   }
 
+  test("labelMrr: first-relevant rank via aggregation, no window") {
+    // query v0 (label 0); same-label candidates score 0.6 (v1) and
+    // 0.0 (v3); two other-label candidates outrank v1 -> the first
+    // relevant hit is v1 at global rank 3, rr = floor(1e6/3)
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.6f, 0.8f), 0),   // cos 0.6, relevant
+      (2L, Seq(1f, 0f), 1),       // cos 1.0, not relevant
+      (3L, Seq(0f, 1f), 0),       // cos 0.0, relevant but worse
+      (4L, Seq(0.8f, 0.6f), 1))   // cos 0.8, not relevant
+    val out = SimilarityOps.labelMrr(m, 1L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("best_vec_id") === 1L)
+    assert(r.getAs[Long]("best_cos_micro") === 600000L)
+    assert(r.getAs[Long]("first_rank") === 3L)
+    assert(r.getAs[Long]("rr_micro") === 333333L)
+    // a query whose label never recurs drops out entirely
+    val lone = emb((0L, Seq(1f, 0f), 7), (1L, Seq(0f, 1f), 1))
+    assert(SimilarityOps.labelMrr(lone, 1L).collect().isEmpty)
+  }
+
   test("mrlRecall: truncation loses the tail signal; full width exact") {
     // truncated to 2 dims, v1 looks IDENTICAL to the query (its mass
     // beyond dim 2 is invisible) and beats v2; at full width v2 wins
