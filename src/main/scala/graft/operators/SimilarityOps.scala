@@ -1134,6 +1134,59 @@ object SimilarityOps {
           .as("in_truth"))
   }
 
+  // --------------------------------------- filtered search (V23)
+
+  /** V23: FILTERED vector search — the pre-filter vs post-filter
+    * recall experiment every vector store runs when metadata
+    * predicates meet ANN: for each query, (a) the TRUE answer = top-k
+    * over only the candidates passing the predicate (pre-filtering:
+    * exact but requires predicate pushdown into the index), vs (b) the
+    * cheap answer = unfiltered top-k, THEN the predicate (post-
+    * filtering: reuses any index untouched but returns ≤ k rows and
+    * loses every passing candidate that sat below rank k). The
+    * measured gap — `n_post` survivors and their recall against the
+    * pre-filtered truth — is the number that decides which side of
+    * that tradeoff a serving stack takes (and why real systems do
+    * predicate-aware probing).
+    *
+    * Scale shape: one scored corpus scan (cached) feeds both rankings;
+    * each is a WindowGroupLimit top-k; everything downstream is
+    * bounded by queries × k. The predicate here is a label threshold —
+    * any pushable metadata predicate slots into the same plan.
+    */
+  def filteredAnn(emb: DataFrame, queryMax: Long, labelMax: Int,
+                  k: Int): DataFrame = {
+    val qs = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .cache() // two consumers: pre-filter truth + unfiltered ranking
+    def topk(df: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+    }
+    val pre = topk(scored.filter(col("label") < labelMax))
+      .select(col("query_id"), col("vec_id"))
+    val post = topk(scored).filter(col("label") < labelMax)
+      .select(col("query_id"), col("vec_id"))
+    val nPost = post.groupBy("query_id").agg(count(lit(1)).as("n_post"))
+    val hits = post.join(pre, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    qs.select("query_id")
+      .join(nPost, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        micro(coalesce(col("hits"), lit(0L)) / lit(k))
+          .as("recall_micro"))
+  }
+
   // --------------------------------- label-relevance retrieval (V22)
 
   /** V22: mean-reciprocal-rank retrieval evaluation with the label as

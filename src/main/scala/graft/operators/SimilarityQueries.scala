@@ -341,6 +341,15 @@ object SimilarityQueries {
     SimilarityOps.labelMrr(emb(spark, dir), BatchQueryMax)
       .orderBy("query_id")
 
+  /** V23: the metadata predicate for filtered search — labels 0–4, half
+    * the 10-label space, so post-filtering visibly loses candidates.
+    */
+  val FilterLabelMax = 5
+
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.filteredAnn(emb(spark, dir), BatchQueryMax,
+      FilterLabelMax, TopK).orderBy("query_id")
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -1401,10 +1410,63 @@ object SimilarityQueries {
        |FROM best b LEFT JOIN bt ON b.query_id = bt.query_id
        |ORDER BY b.query_id""".stripMargin
 
+  /** V23 oracle: same scored relation, pre-filter ranking vs
+    * filtered unfiltered ranking, dense per-query grid.
+    */
+  private val annFilteredOracle =
+    s"""$evCte,
+       |lbl AS (SELECT DISTINCT vec_id, label FROM ev),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |sc AS (
+       |  SELECT d.query_id, d.vec_id, l.label,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dots d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |              JOIN lbl l ON d.vec_id = l.vec_id
+       |),
+       |pre AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM sc WHERE label < $FilterLabelMax
+       |  ) WHERE rn <= $TopK
+       |),
+       |post AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, label,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM sc
+       |  ) WHERE rn <= $TopK AND label < $FilterLabelMax
+       |),
+       |np AS (SELECT query_id, count(*) AS n_post FROM post GROUP BY 1),
+       |h AS (
+       |  SELECT p.query_id, count(*) AS hits
+       |  FROM post p JOIN pre r
+       |    ON p.query_id = r.query_id AND p.vec_id = r.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(np.n_post, 0) AS BIGINT) AS n_post,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  ${Hashing.microSql(s"COALESCE(h.hits, 0) * 1.0 / $TopK")}
+       |    AS recall_micro
+       |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |      WHERE vec_id < $BatchQueryMax) q
+       |LEFT JOIN np ON q.query_id = np.query_id
+       |LEFT JOIN h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq_search"      -> (qSqSearch _),
     "q_mrl_recall"     -> (qMrlRecall _),
     "q_mrr"            -> (qMrr _),
+    "q_ann_filtered"   -> (qAnnFiltered _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
@@ -1433,6 +1495,7 @@ object SimilarityQueries {
     "q_sq_search"      -> sqSearchOracle,
     "q_mrl_recall"     -> mrlRecallOracle,
     "q_mrr"            -> mrrOracle,
+    "q_ann_filtered"   -> annFilteredOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,

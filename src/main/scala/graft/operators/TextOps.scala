@@ -232,6 +232,35 @@ object TextOps {
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "inter", "n1", "n2", "jac_micro")
 
+  /** X42: per-document n-gram novelty — the fraction of a document's
+    * distinct shingles appearing for the FIRST time at this doc_id
+    * (ids as the arrival order — the streaming-corpus reading). The
+    * curation signal between exact dedup and quality scoring: a
+    * near-1 score is genuinely new content, a near-0 score is stitched
+    * from already-seen fragments (boilerplate assemblies, template
+    * spins) even when no single pair-level duplicate fires. The same
+    * census, cut the other way, is the D13 span-excision economics —
+    * how much of each NEW doc survives a seen-before filter.
+    *
+    * Scale shape: one shingle Exchange builds the (gram → first doc)
+    * relation; the per-doc census joins gram-keyed with fan-out
+    * exactly 1 (first-doc is unique per gram) and aggregates with
+    * map-side partials. No pair relation, no df cap needed — nothing
+    * here is quadratic.
+    */
+  def noveltyScores(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h"))
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        micro(col("n_novel") / col("n_grams")).as("novelty_micro"))
+  }
+
   /** G1: damped PageRank over the verified duplication graph — graph
     * centrality as a curation signal (the web-corpus precedent:
     * Common Crawl ranks hosts by harmonic centrality/PageRank before

@@ -66,6 +66,9 @@ object TextQueries {
     TextOps.dupPageRank(ngramPairs(spark, dir), PrIters)
       .orderBy("doc_id")
 
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextOps.noveltyScores(docs(spark, dir), ShingleN).orderBy("doc_id")
+
   def qZipf(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfCensus(docs(spark, dir)).orderBy("freq")
 
@@ -311,6 +314,22 @@ object TextQueries {
        |FROM r$PrIters r JOIN dg d ON r.node = d.s
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** X42 oracle: gram → first doc_id, per-doc census; the division is
+    * one IEEE op over exact integers on both engines.
+    */
+  private val noveltyOracle =
+    s"""$tokCte $shCte,
+       |hs AS (SELECT doc_id, ${h60("sh")} AS h FROM shs),
+       |fi AS (SELECT h, min(doc_id) AS first_doc FROM hs GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN fi.first_doc = hs.doc_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_novel,
+       |  ${Hashing.microSql(
+             "sum(CASE WHEN fi.first_doc = hs.doc_id THEN 1 ELSE 0 END)" +
+             " * 1.0 / count(*)")} AS novelty_micro
+       |FROM hs JOIN fi USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** D15: asymmetric containment pairs over the same inverted index.
     * microSql divides by the true least() set size — the expression
@@ -1953,6 +1972,7 @@ object TextQueries {
     "q_jac_hist"      -> (qJacHist _),
     "q_heaps"         -> (qHeaps _),
     "q_pagerank"      -> (qPagerank _),
+    "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _))
@@ -2004,6 +2024,7 @@ object TextQueries {
     "q_jac_hist"      -> jacHistOracle,
     "q_heaps"         -> heapsOracle,
     "q_pagerank"      -> pagerankOracle,
+    "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)

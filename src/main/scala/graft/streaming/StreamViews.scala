@@ -97,6 +97,46 @@ object StreamViews {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("active_users"))
 
+  /** T8: STREAM-STREAM interval join — the reference's flights band
+    * join (`create_schema.sql:116-124`: positions matched to callsign
+    * reports of the same aircraft within ±10 minutes) lifted onto the
+    * live stream itself: position fixes are enriched with every
+    * callsign report of the same `hex_ident` in the `lookback` window
+    * BEHIND the fix. Both sides are unbounded streams, so this is the
+    * genuine stream-stream join (not stream-static): Spark buffers
+    * each side's rows in state until the other side's watermark passes
+    * the interval bound, then evicts — the time-range condition is
+    * what makes state GC possible at all (an unconstrained
+    * stream-stream equi-join would buffer forever).
+    *
+    * State sizing at scale: per aircraft, only rows inside
+    * (watermark + lookback) are retained — bounded by event RATE ×
+    * horizon, independent of stream length. The join key (`hex_ident`)
+    * is the shuffle key on both sides, so each aircraft's buffers
+    * co-locate on one task.
+    */
+  def callsignEnrichedFixes(parsed: DataFrame,
+                            lookback: String = "10 minutes",
+                            watermark: String = "10 minutes")
+  : DataFrame = {
+    val pos = parsed.filter(col("lat").isNotNull)
+      .select(col("hex_ident"), col("parsed_time").as("pos_time"),
+        col("lat"), col("lon"))
+      .withWatermark("pos_time", watermark)
+    val cs = parsed
+      .filter(col("callsign").isNotNull && col("callsign") =!= "")
+      .select(col("hex_ident").as("cs_hex"),
+        col("callsign"), col("parsed_time").as("cs_time"))
+      .withWatermark("cs_time", watermark)
+    pos.join(cs,
+        col("hex_ident") === col("cs_hex") &&
+          col("cs_time") >= col("pos_time") -
+            expr(s"INTERVAL $lookback") &&
+          col("cs_time") <= col("pos_time"))
+      .select(col("hex_ident"), col("callsign"), col("pos_time"),
+        col("cs_time"), col("lat"), col("lon"))
+  }
+
   /** Streaming `callsigns` view (create_schema.sql:85-93 semantics):
     * first/last-seen per (callsign, hex_ident) per tumbling day.
     */

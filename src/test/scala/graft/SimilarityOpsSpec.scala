@@ -603,6 +603,24 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(k2.forall(_.getAs[Boolean]("in_truth")))
   }
 
+  test("filteredAnn: post-filtering loses below-rank candidates that " +
+    "pre-filtering keeps") {
+    // predicate = label < 1; unfiltered top-2 is v1 (blocked) + v2, so
+    // post-filter returns 1 survivor; pre-filter truth is {v2, v3}
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0f), 5),     // cos 1.0, fails predicate
+      (2L, Seq(0.8f, 0.6f), 0), // cos 0.8, passes
+      (3L, Seq(0.6f, 0.8f), 0), // cos 0.6, passes
+      (4L, Seq(0f, 1f), 5))     // cos 0.0, fails
+    val out = SimilarityOps.filteredAnn(m, 1L, 1, 2).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_post") === 1L)
+    assert(r.getAs[Long]("hits") === 1L)
+    assert(r.getAs[Long]("recall_micro") === 500000L)
+  }
+
   test("labelMrr: first-relevant rank via aggregation, no window") {
     // query v0 (label 0); same-label candidates score 0.6 (v1) and
     // 0.0 (v3); two other-label candidates outrank v1 -> the first

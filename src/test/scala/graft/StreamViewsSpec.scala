@@ -105,6 +105,46 @@ class StreamViewsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("callsignEnrichedFixes: stream-stream interval join within " +
+    "the lookback, co-keyed by aircraft") {
+    val ms = MemoryStream[(String, Timestamp)](spark)
+    def csLine(hex: String, cs: String): String =
+      s"MSG,1,145,256,$hex,11267,2008/11/28,23:48:18.611,2008/11/28,23:53:19.161,$cs,,,,,,,,,,,"
+    val parsed = Sbs1.parse(
+      ms.toDF().toDF("value", "evt"), parsedTime = col("evt"))
+    val q = StreamViews.callsignEnrichedFixes(parsed, "10 minutes",
+      "0 seconds")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      ms.addData(
+        // in-window callsign (4 min before the fix) -> joins
+        (csLine("AAA111", "FDX1"), t("2024-01-01 10:01:00")),
+        // stale callsign (11 min before) -> outside the lookback
+        (csLine("AAA111", "OLD9"), t("2024-01-01 09:54:00")),
+        // other aircraft inside the window -> different key, no join
+        (csLine("BBB222", "UAL5"), t("2024-01-01 10:03:00")),
+        // callsign AFTER the fix -> lookback is strictly behind
+        (csLine("AAA111", "LATE"), t("2024-01-01 10:06:00")),
+        (posLine("AAA111"), t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance both watermarks far past the interval so buffered
+      // state flushes every eligible match
+      ms.addData(
+        (csLine("ZZZ999", "ADV1"), t("2024-01-01 12:00:00")),
+        (posLine("ZZZ999"), t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT hex_ident, callsign, CAST(pos_time AS STRING) FROM ss_join")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2))).toSet
+      assert(out === Set(
+        ("AAA111", "FDX1", "2024-01-01 10:05:00"),
+        ("ZZZ999", "ADV1", "2024-01-01 12:00:00")))
+    } finally q.stop()
+  }
+
   test("slidingActives: sliding-window sketched distinct actives") {
     val ms = MemoryStream[(Timestamp, Long)](spark)
     val q = StreamViews.slidingActives(

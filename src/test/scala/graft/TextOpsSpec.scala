@@ -827,6 +827,21 @@ class TextOpsSpec extends SparkSpec {
       "hash order should differ from doc_id order")
   }
 
+  test("noveltyScores: first-arrival fractions by doc_id order") {
+    val corpus = docs(
+      (1L, "a b c"),    // grams {a b, b c}: both first here -> 1.0
+      (2L, "b c d"),    // {b c (seen), c d (new)} -> 1/2
+      (3L, "a b b c"))  // {a b, b b, b c}: only b b new -> 1/3
+    val out = TextOps.noveltyScores(corpus, 2).orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
   test("dupPageRank: hand-computed 5-round trajectory on a 3-node path") {
     import sqlImplicits._
     // path 1-2-3: deg(2)=2 concentrates rank at the hub; every floor
