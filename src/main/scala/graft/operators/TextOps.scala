@@ -309,6 +309,61 @@ object TextOps {
         col("r").as("rank_micro"))
   }
 
+  /** G2: triangle census + local clustering coefficient over the
+    * verified dup-pair graph — the structural readout PageRank (G1)
+    * can't give: a node in many triangles sits inside a clique-like
+    * duplication CLUSTER (one canonical + k near-copies of the same
+    * content, all pairwise similar), while a high-degree node with few
+    * triangles is a hub of unrelated partial overlaps (template/
+    * boilerplate stitching) — exactly the triage a dedup operator
+    * wants before choosing "keep one of the clique" vs "excise the
+    * shared span" ([[exciseSpans]]).
+    *
+    * Counting discipline: edges arrive once each as (d1 < d2), which
+    * IS an orientation by id — every triangle {a<b<c} is generated
+    * exactly once, as the wedge (a,b),(a,c) closed by edge (b,c). No
+    * global count-then-divide-by-3, no double counting, no
+    * symmetrization explosion.
+    *
+    * Scale shape: wedge generation is a self-join of the df-capped
+    * verified pair relation on the apex id — fan-out Σ out-deg(a)²,
+    * bounded by TRUE duplication cluster sizes (the relation is df-
+    * capped at candidate generation, so no corpus-sized key exists);
+    * the closing test is one equi-join on the (b, c) edge key. At
+    * general-graph scale the orientation would be by (degree, id)
+    * instead of id — the classic compact-forward bound Σ min(deg)
+    * per edge — which changes WHICH node apexes a wedge but not the
+    * count; id-orientation keeps the oracle join order identical.
+    * cc = 2·tri / (deg·(deg−1)) is one IEEE division of exact
+    * integers, micro-floored (oracle mirrors the tree verbatim).
+    *
+    * Output: (doc_id, deg, n_tri, cc_micro) for every node of the
+    * pair graph — the same node set as [[dupPageRank]].
+    */
+  def dupTriangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("d1"), col("d2")).cache()
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.d1") === col("y.d1") && col("x.d2") < col("y.d2"))
+      .select(col("x.d1").as("a"), col("x.d2").as("b"),
+        col("y.d2").as("c"))
+    val tri = wedges
+      .join(e, col("b") === col("d1") && col("c") === col("d2"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("d1").as("doc_id"))
+      .union(e.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_micro",
+        when(col("deg") >= 2L,
+          micro(lit(2L) * col("n_tri") / (col("deg") * (col("deg") - 1L))))
+          .otherwise(lit(0L)))
+  }
+
   /** X40: cross-source duplication census — the provenance overlap
     * matrix a corpus assembler reads before merging sources: near-dup
     * pairs (the D2 inverted-index machinery and bar, verbatim) rolled
@@ -2195,6 +2250,53 @@ object TextOps {
           .otherwise(micro(col("boiler_hits") / col("n_grams"))))
       .withColumn("kept",
         when(col("boiler_micro") < barMicro, 1L).otherwise(0L))
+  }
+
+  /** X43: co-occurrence lift census over the top-V corpus terms — the
+    * collocation-mining readout (PMI's argument without the log, so
+    * every value is ONE IEEE division of exact integers and the
+    * cross-engine compare stays bit-exact): for terms t1 < t2,
+    * lift = P(t1,t2) / (P(t1)·P(t2)) = co·N / (df1·df2), where co is
+    * the number of documents containing both and df the per-term
+    * document frequency. lift > 1 means the terms travel together
+    * (phrases, templates — candidate compounds for a tokenizer or a
+    * topic signal); lift < 1 means they repel (register/domain
+    * separation). A corpus assembler reads this census to spot
+    * template stitching that per-document stats can't see.
+    *
+    * Scale shape: the top-V cut is a bounded TakeOrdered over the term
+    * census (count desc, term asc — deterministic on both engines) and
+    * the V winners BROADCAST to the occurrence stream, so the distinct
+    * (doc_id, term) relation carries at most V rows per document. Pair
+    * generation self-joins that relation on doc_id — fan-out ≤ C(V,2)
+    * per document, a constant, never corpus² — and partial-aggregates
+    * before its (t1, t2) Exchange (≤ C(V,2) groups total). Replication
+    * invariance: corpus ×k scales co, df, and N by k each, so lift is
+    * EXACTLY invariant — "more data" does not manufacture collocation
+    * signal (probed in ScaleProbe).
+    */
+  def coocLift(docs: DataFrame, topV: Int): DataFrame = {
+    val occ = parallelized(docs).select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    val topTerms = occ.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topV).select("t")
+    val dt = occ.join(broadcast(topTerms), Seq("t"))
+      .select("doc_id", "t").distinct()
+    val dfc = dt.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("co"))
+    pairs
+      .join(broadcast(dfc.select(col("t").as("t1"), col("df").as("df1"))),
+        Seq("t1"))
+      .join(broadcast(dfc.select(col("t").as("t2"), col("df").as("df2"))),
+        Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("co"), col("df1"), col("df2"),
+        micro(col("co") * col("n_docs") / (col("df1") * col("df2")))
+          .as("lift_micro"))
   }
 
   /** Gopher-style quality rule battery (Rae et al., arXiv:2112.11446

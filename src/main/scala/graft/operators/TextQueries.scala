@@ -66,6 +66,17 @@ object TextQueries {
     TextOps.dupPageRank(ngramPairs(spark, dir), PrIters)
       .orderBy("doc_id")
 
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dupTriangles(ngramPairs(spark, dir)).orderBy("doc_id")
+
+  /** Below the corpus's distinct-term count so the count-desc/term-asc
+    * boundary tie-break is exercised; C(V,2) bounds the census size.
+    */
+  val CoocTopV = 24
+
+  def qCooc(spark: SparkSession, dir: String): DataFrame =
+    TextOps.coocLift(docs(spark, dir), CoocTopV).orderBy("t1", "t2")
+
   def qNovelty(spark: SparkSession, dir: String): DataFrame =
     TextOps.noveltyScores(docs(spark, dir), ShingleN).orderBy("doc_id")
 
@@ -314,6 +325,75 @@ object TextQueries {
        |FROM r$PrIters r JOIN dg d ON r.node = d.s
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** G2 oracle: the verified pair graph, wedges oriented by id
+    * (x.d2 < y.d2 under a shared apex x.d1 = y.d1) closed by the
+    * (b, c) edge — the same single-count discipline as the Spark
+    * side; cc is one IEEE division of exact integers.
+    */
+  private val trianglesOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes,
+       |jp AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2,
+       |      ${Hashing.microSql("inter / (s1.n + s2.n - inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |tri AS (
+       |  SELECT x.d1 AS a, x.d2 AS b, y.d2 AS c
+       |  FROM jp x JOIN jp y ON x.d1 = y.d1 AND x.d2 < y.d2
+       |       JOIN jp e ON e.d1 = x.d2 AND e.d2 = y.d2
+       |),
+       |pn AS (
+       |  SELECT doc_id, count(*) AS n_tri FROM (
+       |    SELECT a AS doc_id FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1
+       |),
+       |dg AS (
+       |  SELECT doc_id, count(*) AS deg FROM (
+       |    SELECT d1 AS doc_id FROM jp UNION ALL SELECT d2 FROM jp)
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, deg, n_tri,
+       |  CASE WHEN deg >= 2
+       |       THEN ${Hashing.microSql("2 * n_tri / (deg * (deg - 1))")}
+       |       ELSE CAST(0 AS BIGINT) END AS cc_micro
+       |FROM (
+       |  SELECT dg.doc_id, dg.deg, COALESCE(pn.n_tri, 0) AS n_tri
+       |  FROM dg LEFT JOIN pn USING (doc_id)
+       |) ORDER BY doc_id""".stripMargin
+
+  /** X43 oracle: same top-V cut (count desc, term asc), distinct
+    * (doc, term) relation, id-ordered pair join; lift is one IEEE
+    * division of exact integers.
+    */
+  private val coocOracle =
+    s"""$tokCte,
+       |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |topv AS (
+       |  SELECT t FROM (SELECT t, count(*) AS c FROM occ GROUP BY 1)
+       |  ORDER BY c DESC, t LIMIT $CoocTopV
+       |),
+       |dt AS (SELECT DISTINCT o.doc_id, o.t FROM occ o JOIN topv USING (t)),
+       |dfc AS (SELECT t, count(*) AS df FROM dt GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |pr AS (
+       |  SELECT a.t AS t1, b.t AS t2, count(*) AS co
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2
+       |)
+       |SELECT t1, t2, co, d1.df AS df1, d2.df AS df2,
+       |  ${Hashing.microSql("co * n_docs / (d1.df * d2.df)")}
+       |    AS lift_micro
+       |FROM pr JOIN dfc d1 ON pr.t1 = d1.t
+       |        JOIN dfc d2 ON pr.t2 = d2.t, n
+       |ORDER BY t1, t2""".stripMargin
 
   /** X42 oracle: gram → first doc_id, per-doc census; the division is
     * one IEEE op over exact integers on both engines.
@@ -1972,6 +2052,8 @@ object TextQueries {
     "q_jac_hist"      -> (qJacHist _),
     "q_heaps"         -> (qHeaps _),
     "q_pagerank"      -> (qPagerank _),
+    "q_triangles"     -> (qTriangles _),
+    "q_cooc"          -> (qCooc _),
     "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2024,6 +2106,8 @@ object TextQueries {
     "q_jac_hist"      -> jacHistOracle,
     "q_heaps"         -> heapsOracle,
     "q_pagerank"      -> pagerankOracle,
+    "q_triangles"     -> trianglesOracle,
+    "q_cooc"          -> coocOracle,
     "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

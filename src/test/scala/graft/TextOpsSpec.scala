@@ -856,4 +856,44 @@ class TextOpsSpec extends SparkSpec {
     // damping, and leaves are exactly symmetric
     assert(out(1)._3 > out(0)._3 + out(2)._3 - 150000L)
   }
+
+  test("dupTriangles: clique, path, and attached-pendant counted once") {
+    import sqlImplicits._
+    // 4-clique {1,2,3,4} (4 triangles, cc=1 everywhere), pendant 5 on
+    // node 4 (deg 4, tri 3 -> cc = 6/12), path 6-7-8 (no triangles)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)).toDF("d1", "d2")
+    val out = TextOps.dupTriangles(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("cc_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 3L, 1000000L),
+      (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L),
+      (4L, 4L, 3L, 500000L),
+      (5L, 1L, 0L, 0L),
+      (6L, 1L, 0L, 0L),
+      (7L, 2L, 0L, 0L),
+      (8L, 1L, 0L, 0L)))
+    // total triangle mass: each of the clique's 4 triangles counted at
+    // exactly its 3 corners, never more (the id-orientation discipline)
+    assert(out.map(_._3).sum === 4L * 3L)
+  }
+
+  test("coocLift: hand-computed lift census with a top-V cut") {
+    import sqlImplicits._
+    // counts: x=3 y=3 z=2 w=1 -> top-3 = {x, y, z}; w never pairs
+    val corpus = Seq(
+      (1L, "x y"), (2L, "x z"), (3L, "x y z"), (4L, "y w"))
+      .toDF("doc_id", "text")
+    val out = TextOps.coocLift(corpus, 3).orderBy("t1", "t2").collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[Long]("co"), r.getAs[Long]("df1"), r.getAs[Long]("df2"),
+        r.getAs[Long]("lift_micro")))
+    assert(out.toSeq === Seq(
+      ("x", "y", 2L, 3L, 3L, 888888L),   // 2*4/9  < 1: repel
+      ("x", "z", 2L, 3L, 2L, 1333333L),  // 2*4/6  > 1: attract
+      ("y", "z", 1L, 3L, 2L, 666666L)))
+  }
 }
