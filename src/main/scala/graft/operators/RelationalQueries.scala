@@ -630,6 +630,125 @@ object RelationalQueries {
        |  count(*) AS n
        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** R17: the same exact interpolated quantiles as [[qQuantiles]],
+    * computed from a VALUE CENSUS instead of `percentile`'s per-group
+    * value collection — the 100 TB path. Spark's `percentile` (and any
+    * sort-based exact percentile) materializes every value of a group
+    * in one aggregation buffer: at a billion events per event_type
+    * that's the executor-OOM shape, and the reason engines fall back
+    * to sketches (which are engine-specific and not oracle-able).
+    *
+    * A census changes the cardinality the sort touches: group by
+    * (group, value) first — partial-aggregated map-side, so the
+    * Exchange carries at most |distinct values| rows per group, not
+    * |rows| — then run the rank arithmetic on the census:
+    * value-at-rank-r is the census row whose cumulative range
+    * [cum−cnt, cum) contains r, found by a range join of the tiny
+    * target table (one row per (group, p)) against the census. The
+    * per-group window orders census rows only. For integerized
+    * telemetry/score columns the census is bounded by the value
+    * domain, independent of row count — quantiles over 100 TB cost
+    * one partial-agg Exchange plus census-sized work.
+    *
+    * The interpolation mirrors `percentile`'s definition term for
+    * term: h = p·(n−1); if ⌊h⌋ = ⌈h⌉ the value itself, else
+    * v_lo·(⌈h⌉−h) + v_hi·(h−⌊h⌋) — each term one IEEE multiply of an
+    * exact integer by an exact difference, so the census path, Spark's
+    * `percentile`, and the DuckDB oracle agree bit-for-bit after the
+    * micro floor (pinned against [[qQuantiles]] in the spec).
+    */
+  def censusQuantiles(ev: DataFrame, ps: Seq[Double]): DataFrame = {
+    // cached: the census is consumed three times (n, lo probe, hi
+    // probe) — one corpus scan + one partial-agg Exchange total
+    val cen = ev.withColumn("v_int", floor(col("value")))
+      .groupBy("event_type", "v_int").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val cum = cen.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("event_type").orderBy("v_int")))
+    val n = cen.groupBy("event_type").agg(sum("cnt").as("n"))
+    val tgt = n.select(col("event_type"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("h", col("p") * (col("n") - lit(1L)))
+      .withColumn("lo_idx", floor(col("h")))
+      .withColumn("hi_idx", ceil(col("h")))
+    val lo = tgt.join(cum.select(col("event_type"), col("v_int"),
+        col("cnt"), col("cum")),
+        Seq("event_type"))
+      .filter(col("lo_idx") >= col("cum") - col("cnt") &&
+        col("lo_idx") < col("cum"))
+      .select(col("event_type"), col("n"), col("p"), col("h"),
+        col("lo_idx"), col("hi_idx"), col("v_int").as("lo_val"))
+    val both = lo.join(cum.select(col("event_type"),
+        col("v_int").as("hi_val"), col("cnt"), col("cum")),
+        Seq("event_type"))
+      .filter(col("hi_idx") >= col("cum") - col("cnt") &&
+        col("hi_idx") < col("cum"))
+      .select(col("event_type"), col("n"), col("p"), col("h"),
+        col("lo_idx"), col("hi_idx"), col("lo_val"), col("hi_val"))
+    val qv = both.withColumn("qv",
+      when(col("lo_idx") === col("hi_idx"), col("lo_val").cast("double"))
+        .otherwise(col("lo_val") * (col("hi_idx") - col("h")) +
+          col("hi_val") * (col("h") - col("lo_idx"))))
+    qv.groupBy("event_type")
+      .agg(
+        micro(max(when(col("p") === ps(0), col("qv")))).as("p25_micro"),
+        micro(max(when(col("p") === ps(1), col("qv")))).as("p50_micro"),
+        micro(max(when(col("p") === ps(2), col("qv")))).as("p90_micro"),
+        max(col("n")).as("n"))
+  }
+
+  val QuantilePs = Seq(0.25, 0.5, 0.9)
+
+  def qQuantileCensus(spark: SparkSession, dir: String): DataFrame =
+    censusQuantiles(events(spark, dir), QuantilePs).orderBy("event_type")
+
+  /** R17 oracle: the census formulation mirrored CTE for CTE — same
+    * rank arithmetic, same interpolation association.
+    */
+  private val quantileCensusOracle =
+    s"""$evCte,
+       |x AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v_int
+       |      FROM ev),
+       |cen AS (SELECT event_type, v_int, count(*) AS cnt
+       |        FROM x GROUP BY 1, 2),
+       |cum AS (SELECT event_type, v_int, cnt,
+       |        sum(cnt) OVER (PARTITION BY event_type ORDER BY v_int)
+       |          AS cum FROM cen),
+       |n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+       |      FROM cen GROUP BY 1),
+       |tgt AS (
+       |  -- p MUST be DOUBLE: a bare 0.9 literal is DECIMAL in DuckDB
+       |  -- and would compute h = p*(n-1) exactly where IEEE rounds
+       |  SELECT event_type, n, p, p * (n - 1) AS h,
+       |    CAST(floor(p * (n - 1)) AS BIGINT) AS lo_idx,
+       |    CAST(ceil(p * (n - 1)) AS BIGINT) AS hi_idx
+       |  FROM n, (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS p)
+       |),
+       |lo AS (
+       |  SELECT t.event_type, t.n, t.p, t.h, t.lo_idx, t.hi_idx,
+       |         c.v_int AS lo_val
+       |  FROM tgt t JOIN cum c ON t.event_type = c.event_type
+       |   AND t.lo_idx >= c.cum - c.cnt AND t.lo_idx < c.cum
+       |),
+       |b AS (
+       |  SELECT l.*, c.v_int AS hi_val
+       |  FROM lo l JOIN cum c ON l.event_type = c.event_type
+       |   AND l.hi_idx >= c.cum - c.cnt AND l.hi_idx < c.cum
+       |),
+       |qv AS (
+       |  SELECT event_type, n, p,
+       |    CASE WHEN lo_idx = hi_idx THEN CAST(lo_val AS DOUBLE)
+       |         ELSE lo_val * (hi_idx - h) + hi_val * (h - lo_idx)
+       |    END AS qv
+       |  FROM b
+       |)
+       |SELECT event_type,
+       |  ${microSql("max(CASE WHEN p = 0.25 THEN qv END)")} AS p25_micro,
+       |  ${microSql("max(CASE WHEN p = 0.5 THEN qv END)")} AS p50_micro,
+       |  ${microSql("max(CASE WHEN p = 0.9 THEN qv END)")} AS p90_micro,
+       |  max(n) AS n
+       |FROM qv GROUP BY 1 ORDER BY event_type""".stripMargin
+
   /** Semi-structured extraction: pull a typed value out of the JSON
     * `props` column and aggregate it. `get_json_object` is a codegen'd
     * path expression — no UDF, no whole-row JSON materialization; only
@@ -937,6 +1056,7 @@ object RelationalQueries {
     "q_integrity"       -> (qIntegrity _),
     "q_json"            -> (qJson _),
     "q_quantiles"       -> (qQuantiles _),
+    "q_quantile_census" -> (qQuantileCensus _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
@@ -959,6 +1079,7 @@ object RelationalQueries {
     "q_integrity"       -> integrityOracle,
     "q_json"            -> jsonOracle,
     "q_quantiles"       -> quantilesOracle,
+    "q_quantile_census" -> quantileCensusOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,

@@ -21,6 +21,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.size === 1003) // 500*2 + 3*1
   }
 
+  test("censusQuantiles equals Spark percentile bit-for-bit") {
+    // even group (interpolated h), odd group (exact h), a group with
+    // heavy value ties (the census's whole point), negative values
+    val rows =
+      (1 to 4).map(i => ("even", i.toDouble)) ++
+      (1 to 5).map(i => ("odd", i * 3.0)) ++
+      (1 to 300).map(i => ("ties", (i % 3).toDouble)) ++
+      Seq(("neg", -2.5), ("neg", -1.0), ("neg", 4.0))
+    val ev = rows.toDF("event_type", "value")
+    val viaCensus = RelationalQueries
+      .censusQuantiles(ev, Seq(0.25, 0.5, 0.9))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val viaPercentile = ev
+      .withColumn("v_int", floor(col("value")))
+      .groupBy("event_type")
+      .agg(
+        graft.functions.Hashing.micro(expr("percentile(v_int, 0.25)"))
+          .as("p25_micro"),
+        graft.functions.Hashing.micro(expr("percentile(v_int, 0.5)"))
+          .as("p50_micro"),
+        graft.functions.Hashing.micro(expr("percentile(v_int, 0.9)"))
+          .as("p90_micro"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(viaCensus.toSeq === viaPercentile.toSeq)
+    // hand-check the interpolated case: even = [1,2,3,4],
+    // p90 -> h = 2.7, 3*(3-2.7) + 4*(2.7-2) = 3.7
+    assert(viaCensus.head === (("even", 1750000L, 2500000L,
+      3700000L, 4L)))
+  }
+
   test("topK aggregator: per-group k best with deterministic ties") {
     val data = Seq(
       ("a", 0.9, 1L), ("a", 0.5, 2L), ("a", 0.9, 3L), ("a", 0.1, 4L),
