@@ -464,6 +464,105 @@ object MultimodalOps {
       n, sum, min, max)
   }
 
+  // ----------------------------- M7: perceptual image near-dup (dHash)
+
+  /** Per-image difference hash decoded from the real BMP bytes. */
+  case class ImageHash(doc_id: Long, w: Long, h: Long, dhash: Long)
+
+  /** M7: dHash — the classic perceptual fingerprint (horizontal
+    * gradient sign bits over grayscale): bit i = r·(w−1)+c is set iff
+    * gray(r, c+1) > gray(r, c) in IMAGE row order. Gradient signs
+    * survive global brightness/contrast shifts, which is what makes
+    * this a NEAR-dup signal where [[mediaDedupCensus]]'s payload sha
+    * only catches byte-identical blobs. Grayscale is the integer mean
+    * of the three channels — all math exact, so the hash (and the
+    * census downstream) oracles against the generative closed form.
+    * At these fixture dims (w ≤ 8, h ≤ 4) the hash is ≤ 28 bits; the
+    * production variant resamples to 9×8 first ([[bmpResizeStats]]'s
+    * box filter is the building block) for the canonical 72-bit hash.
+    */
+  def imageDHash(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "bmp").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec => dhashBmp(rec.doc_id, rec.payload) }
+      }
+    }
+  }
+
+  private def dhashBmp(docId: Long, bytes: Array[Byte]): ImageHash = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val hdrH = b.getInt(22)
+    val h = math.abs(hdrH)
+    require(b.getShort(28) == 24 && b.getInt(30) == 0,
+      s"doc $docId: unsupported BMP variant")
+    val stride = (3 * w + 3) & ~3
+    def fileRow(r: Int) = if (hdrH > 0) h - 1 - r else r
+    def gray(r: Int, c: Int): Int = {
+      val base = dataOffset + fileRow(r) * stride + c * 3
+      ((bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+        (bytes(base + 2) & 0xff)) / 3
+    }
+    var bits = 0L
+    var i = 0
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w - 1) {
+        if (gray(r, c + 1) > gray(r, c)) bits |= 1L << i
+        i += 1
+        c += 1
+      }
+      r += 1
+    }
+    ImageHash(docId, w.toLong, h.toLong, bits)
+  }
+
+  /** M7: perceptual near-dup census over the dHash relation. The pair
+    * join runs at the DISTINCT-HASH level, never the image level: at
+    * sf0.1 the corpus holds ~25k images but only ~424 distinct hashes,
+    * and doc-level banding would generate ~1.4B candidate pairs where
+    * hash-level banding generates thousands — the image multiplicities
+    * ride along as counts and the census reports pair MASS
+    * (n1·n2 cross-class, C(n,2) within-class) instead of materializing
+    * the quadratic pair list. Bands: 4×7 bits, so by pigeonhole every
+    * hash pair within Hamming ≤ 3 shares a band ([[TextOps.simhashPairs]]'
+    * discipline); `bit_count(xor)` verifies exactly.
+    *
+    * Output: one row per duplicate class (h1 = h2, hamming 0) or
+    * near-dup hash pair (hamming 1..maxHamming), with class sizes,
+    * exemplar doc ids, and the implied pair count.
+    */
+  def phashCensus(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val cls = imageDHash(mediaBinary(docs)).toDF()
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("exemplar"))
+      .cache()
+    val near = Banding.bandedCandidates(cls, "dhash",
+        (0 until 4).map(k =>
+          shiftright(col("dhash"), 7 * k).bitwiseAND(lit(127L))),
+        payload = Seq("n", "exemplar"))
+      .withColumn("hamming",
+        bit_count(col("d1").bitwiseXOR(col("d2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1").as("h1"), col("d2").as("h2"), col("hamming"),
+        col("n1"), col("n2"),
+        (col("n1") * col("n2")).as("n_pairs"),
+        col("exemplar1"), col("exemplar2"))
+    val self = cls.filter(col("n") >= 2L)
+      .select(col("dhash").as("h1"), col("dhash").as("h2"),
+        lit(0L).as("hamming"), col("n").as("n1"), col("n").as("n2"),
+        (col("n") * (col("n") - 1L) / lit(2)).cast("long").as("n_pairs"),
+        col("exemplar").as("exemplar1"), col("exemplar").as("exemplar2"))
+    self.unionByName(near)
+  }
+
   /** Exact media dedup census — the storage-side dedup report every
     * multimodal pipeline runs first: blobs grouped by content hash
     * (sha-256 of the payload bytes), per-format counts of stored vs

@@ -45,6 +45,12 @@ object MultimodalQueries {
       MultimodalOps.mediaBinary(docs(spark, dir)))
       .toDF().orderBy("doc_id")
 
+  val PhashMaxHamming = 3
+
+  def qMediaPhash(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.phashCensus(docs(spark, dir), PhashMaxHamming)
+      .orderBy("h1", "h2")
+
   private val fmtCase =
     """CASE source WHEN 'src0' THEN 'png' WHEN 'src1' THEN 'jpeg'
       |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
@@ -197,6 +203,61 @@ object MultimodalQueries {
     * image. `sum // count` mirrors the engine's positive integer
     * division.
     */
+  /** M7 oracle: dHash recomputed from the generative closed form
+    * (gray = channel-sum // 3 over the pixel recurrence, gradient
+    * bits summed at index r·(w−1)+c), classes paired by an explicit
+    * hash-level join with `bit_count(xor)` — the pigeonhole-banded
+    * Spark candidates are exactly the Hamming ≤ 3 pairs, so the plain
+    * join mirrors the result set.
+    */
+  private val mediaPhashOracle =
+    """WITH bmp AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      |  FROM documents WHERE doc_id % 2 = 0
+      |),
+      |g AS (
+      |  SELECT b.doc_id, b.w, gr.r, gc.c,
+      |    ((b.doc_id * 7 +
+      |      ((b.h - 1 - gr.r) * 3 * b.w + gc.c * 3 + 0) * 13) % 256 +
+      |     (b.doc_id * 7 +
+      |      ((b.h - 1 - gr.r) * 3 * b.w + gc.c * 3 + 1) * 13) % 256 +
+      |     (b.doc_id * 7 +
+      |      ((b.h - 1 - gr.r) * 3 * b.w + gc.c * 3 + 2) * 13) % 256)
+      |    // 3 AS g
+      |  FROM bmp b,
+      |       unnest(range(0, b.h)) AS gr(r),
+      |       unnest(range(0, b.w)) AS gc(c)
+      |),
+      |dh AS (
+      |  SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN bn.g > a.g THEN CAST(1 AS BIGINT)
+      |                  ELSE CAST(0 AS BIGINT) END
+      |             << (a.r * (a.w - 1) + a.c)) AS BIGINT) AS dhash
+      |  FROM g a JOIN g bn ON a.doc_id = bn.doc_id AND a.r = bn.r
+      |       AND bn.c = a.c + 1
+      |  GROUP BY 1
+      |),
+      |cls AS (
+      |  SELECT dhash, count(*) AS n, min(doc_id) AS exemplar
+      |  FROM dh GROUP BY 1
+      |),
+      |near AS (
+      |  SELECT a.dhash AS h1, b.dhash AS h2,
+      |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+      |    a.n AS n1, b.n AS n2, a.n * b.n AS n_pairs,
+      |    a.exemplar AS exemplar1, b.exemplar AS exemplar2
+      |  FROM cls a JOIN cls b ON a.dhash < b.dhash
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      |),
+      |selfp AS (
+      |  SELECT dhash AS h1, dhash AS h2, CAST(0 AS BIGINT) AS hamming,
+      |    n AS n1, n AS n2, n * (n - 1) // 2 AS n_pairs,
+      |    exemplar AS exemplar1, exemplar AS exemplar2
+      |  FROM cls WHERE n >= 2
+      |)
+      |SELECT * FROM selfp UNION ALL SELECT * FROM near
+      |ORDER BY h1, h2""".stripMargin
+
   private val mediaResizeOracle =
     """WITH bmp AS (
       |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
@@ -233,7 +294,8 @@ object MultimodalQueries {
     "q_media_features" -> (qMediaFeatures _),
     "q_media_dedup"    -> (qMediaDedup _),
     "q_media_energy"   -> (qMediaEnergy _),
-    "q_media_resize"   -> (qMediaResize _))
+    "q_media_resize"   -> (qMediaResize _),
+    "q_media_phash"    -> (qMediaPhash _))
 
   val oracles: Map[String, String] = Map(
     "q_media_meta"     -> mediaMetaOracle,
@@ -241,5 +303,6 @@ object MultimodalQueries {
     "q_media_features" -> mediaFeaturesOracle,
     "q_media_dedup"    -> mediaDedupOracle,
     "q_media_energy"   -> mediaEnergyOracle,
-    "q_media_resize"   -> mediaResizeOracle)
+    "q_media_resize"   -> mediaResizeOracle,
+    "q_media_phash"    -> mediaPhashOracle)
 }

@@ -214,4 +214,46 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out(0) === out(1))
   }
+
+  test("imageDHash: decoded gradient bits match the closed form") {
+    import sqlImplicits._
+    // closed-form replica of the fixture recurrence (the oracle's math)
+    def expected(id: Long): Long = {
+      val w = (4 + id % 5).toInt; val h = (2 + id % 3).toInt
+      def gray(r: Int, c: Int): Int = (0 until 3).map { ch =>
+        ((id * 7 + ((h - 1 - r) * 3 * w + c * 3 + ch) * 13) % 256).toInt
+      }.sum / 3
+      (for (r <- 0 until h; c <- 0 until w - 1
+            if gray(r, c + 1) > gray(r, c))
+        yield 1L << (r * (w - 1) + c)).sum
+    }
+    val ids = Seq(0L, 2L, 4L, 6L, 8L, 100L, 3838L)
+    val blobs = ids.map(id =>
+      MediaBlob(id, "bmp", MultimodalOps.encodeBmp(id))).toDS()
+    val got = MultimodalOps.imageDHash(blobs).collect()
+      .map(ih => ih.doc_id -> ih.dhash).toMap
+    ids.foreach(id => assert(got(id) === expected(id), s"id $id"))
+  }
+
+  test("phashCensus: self/near rows equal brute-force Hamming pairing") {
+    import sqlImplicits._
+    val docs = (0L until 120L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = MultimodalOps.phashCensus(docs, 3)
+      .orderBy("h1", "h2").collect()
+      .map(r => (r.getAs[Long]("h1"), r.getAs[Long]("h2"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs")))
+    // brute force over the decoded hashes
+    val hs = MultimodalOps.imageDHash(
+      MultimodalOps.mediaBinary(docs)).collect().map(_.dhash)
+    val byHash = hs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val keys = byHash.keys.toSeq.sorted
+    val selfRows = keys.filter(byHash(_) >= 2).map(k =>
+      (k, k, 0L, byHash(k) * (byHash(k) - 1) / 2))
+    val nearRows = for {
+      i <- keys.indices; j <- (i + 1) until keys.length
+      ham = java.lang.Long.bitCount(keys(i) ^ keys(j)).toLong
+      if ham <= 3
+    } yield (keys(i), keys(j), ham, byHash(keys(i)) * byHash(keys(j)))
+    assert(out.toSeq === (selfRows ++ nearRows).sortBy(t => (t._1, t._2)))
+  }
 }
