@@ -854,6 +854,151 @@ object ScaleProbe {
         f"per-vector pair mass under the scaled codebook must stay a " +
           f"small constant multiple of 1x, got ${scaledC / base}%.2fx")
     }
+    // G2 triangle census under a k-blow-up with KNOWN ground truth:
+    // every node of the 1x verified pair graph becomes a k-clique and
+    // every edge a complete k x k bipartite graph — the exact structure
+    // replication induces on a dup graph — and the triangle count has
+    // a closed form: n·C(k,3) (within-clique) + m·2k·C(k,2) (one side
+    // doubled across an edge) + t·k³ (original triangles blown up).
+    // Constructing the blow-up at the PAIR level keeps the prediction
+    // exact regardless of the df-cap's behavior under replication.
+    {
+      val off = 10000000L
+      val pairs1 = TextOps.ngramJaccardPairs(docs, 5, 1000L, 800000L)
+        .select("d1", "d2").cache()
+      val m1 = pairs1.count()
+      val nodes1 = pairs1.select(col("d1").as("x"))
+        .union(pairs1.select(col("d2").as("x"))).distinct().cache()
+      val n1 = nodes1.count()
+      def triTotal(p: DataFrame): Long = {
+        val t = TextOps.dupTriangles(p)
+          .agg(sum("n_tri").as("s")).head.getLong(0)
+        require(t % 3 == 0, "corner sum must be divisible by 3")
+        t / 3
+      }
+      var t1 = 0L
+      time("triangles_1x") { t1 = triTotal(pairs1); t1 }
+      val ri = spark.range(k).toDF("i")
+      val rj = spark.range(k).toDF("j")
+      val cross = pairs1.crossJoin(ri).crossJoin(rj)
+        .select((col("d1") + col("i") * off).as("u"),
+          (col("d2") + col("j") * off).as("v"))
+      val cliq = nodes1.crossJoin(ri).crossJoin(rj)
+        .filter(col("i") < col("j"))
+        .select((col("x") + col("i") * off).as("u"),
+          (col("x") + col("j") * off).as("v"))
+      val blowup = cross.union(cliq)
+        .select(least(col("u"), col("v")).as("d1"),
+          greatest(col("u"), col("v")).as("d2"))
+      var tk = 0L
+      time(s"triangles_blowup_${k}x") { tk = triTotal(blowup); tk }
+      def c2(x: Long) = x * (x - 1) / 2
+      def c3(x: Long) = x * (x - 1) * (x - 2) / 6
+      val kL = k.toLong
+      val predicted = n1 * c3(kL) + m1 * 2 * kL * c2(kL) + t1 * kL * kL * kL
+      println(s"SCALE triangles_closed_form measured=$tk predicted=" +
+        s"$predicted (n=$n1 m=$m1 t1=$t1)")
+      require(tk == predicted,
+        s"blow-up triangle count must match the closed form: " +
+          s"$tk != $predicted")
+      pairs1.unpersist(); nodes1.unpersist()
+    }
+    // X43 lift invariance: replication multiplies co, df, and N by k
+    // each, so lift = co·N/(df1·df2) is EXACTLY invariant — "more of
+    // the same data" cannot manufacture collocation signal. The top-V
+    // cut is also invariant (counts scale uniformly, ties break on the
+    // same term order).
+    {
+      def liftMap(c: Int): Map[(String, String), (Long, Long)] = {
+        val d = replicate(docs, "doc_id", c)
+        var out: Map[(String, String), (Long, Long)] = null
+        time(s"cooc_lift_${c}x") {
+          out = TextOps.coocLift(d, 24).collect()
+            .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2")) ->
+              (r.getAs[Long]("lift_micro"), r.getAs[Long]("co"))).toMap
+          out.size.toLong
+        }
+        out
+      }
+      val l1 = liftMap(1)
+      val lk = liftMap(k)
+      require(l1.keySet == lk.keySet,
+        "top-V pair set must be invariant under replication")
+      l1.foreach { case (key, (lift1, co1)) =>
+        val (liftK, coK) = lk(key)
+        require(liftK == lift1,
+          s"lift must be exactly invariant at $key: $liftK != $lift1")
+        require(coK == co1 * k,
+          s"co-occurrence count must scale by k at $key")
+      }
+      println(s"SCALE cooc_invariance ${l1.size} pairs bit-identical " +
+        s"at ${k}x, co scaled exactly ${k}x")
+    }
+    // R17 census quantiles at kx: the scale claim is that the census —
+    // the only relation the rank arithmetic ever sorts or joins — does
+    // NOT grow with replication (distinct values are the same), while
+    // n scales by k; the quantile itself stays within one value unit
+    // (h = p·(kn−1) lands in the same census neighborhood).
+    {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "event_type", "value")
+      def qmap(c: Int): (Long, Map[String, (Long, Long, Long, Long)]) = {
+        val e = replicate(ev, "event_id", c)
+        val censusRows = e.withColumn("v_int", floor(col("value")))
+          .select("event_type", "v_int").distinct().count()
+        var out: Map[String, (Long, Long, Long, Long)] = null
+        time(s"quantile_census_${c}x") {
+          out = graft.operators.RelationalQueries
+            .censusQuantiles(e, Seq(0.25, 0.5, 0.9)).collect()
+            .map(r => r.getAs[String]("event_type") ->
+              (r.getAs[Long]("p25_micro"), r.getAs[Long]("p50_micro"),
+                r.getAs[Long]("p90_micro"), r.getAs[Long]("n"))).toMap
+          out.size.toLong
+        }
+        (censusRows, out)
+      }
+      val (cen1, q1) = qmap(1)
+      val (cenK, qk) = qmap(k)
+      require(cen1 == cenK,
+        s"census must not grow under replication: $cen1 -> $cenK")
+      q1.foreach { case (t, (a1, b1, c1, n1e)) =>
+        val (aK, bK, cK, nK) = qk(t)
+        require(nK == n1e * k, s"n must scale by k for $t")
+        require(math.abs(aK - a1) <= 1000000L &&
+          math.abs(bK - b1) <= 1000000L && math.abs(cK - c1) <= 1000000L,
+          s"quantiles must stay within one value unit for $t")
+      }
+      println(s"SCALE quantile_census_rows $cen1 rows at 1x AND ${k}x " +
+        s"(n scales, census does not)")
+    }
+    // M7 class ceiling: the dHash relation is what the pair join runs
+    // over, and the fixture's hash space is bounded (image determined
+    // by id mod 3840) — at kx the image count grows k-fold while
+    // distinct classes stay under the ceiling, so hash-level pairing
+    // cost is ~flat where doc-level pairing would grow k².
+    {
+      def classes(c: Int): (Long, Long) = {
+        val d = replicate(docs, "doc_id", c)
+        var cls = 0L; var imgs = 0L
+        time(s"phash_classes_${c}x") {
+          val h = MultimodalOps.imageDHash(MultimodalOps.mediaBinary(d))
+            .toDF().cache()
+          imgs = h.count()
+          cls = h.select("dhash").distinct().count()
+          h.unpersist()
+          cls
+        }
+        (cls, imgs)
+      }
+      val (cls1, img1) = classes(1)
+      val (clsK, imgK) = classes(k)
+      require(imgK == img1 * k, "image count must scale by k")
+      require(clsK <= 3840L,
+        s"distinct dHash classes must stay under the fixture ceiling, " +
+          s"got $clsK")
+      println(s"SCALE phash_classes $cls1 classes over $img1 images at " +
+        s"1x -> $clsK over $imgK at ${k}x (ceiling 3840)")
+    }
     // ≥1k-merge sampled BPE train: real tokenizers live at 32k merges,
     // and the scale claim is that every training round is VOCABULARY-
     // sized (pair counts over distinct word forms), never corpus-sized

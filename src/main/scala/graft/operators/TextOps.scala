@@ -309,8 +309,8 @@ object TextOps {
         col("r").as("rank_micro"))
   }
 
-  /** G2: triangle census + local clustering coefficient over the
-    * verified dup-pair graph — the structural readout PageRank (G1)
+  /** D20: triangle census + local clustering coefficient over the
+    * verified dup-pair graph — the structural readout PageRank (D19)
     * can't give: a node in many triangles sits inside a clique-like
     * duplication CLUSTER (one canonical + k near-copies of the same
     * content, all pairwise similar), while a high-degree node with few
@@ -2297,6 +2297,118 @@ object TextOps {
       .select(col("t1"), col("t2"), col("co"), col("df1"), col("df2"),
         micro(col("co") * col("n_docs") / (col("df1") * col("df2")))
           .as("lift_micro"))
+  }
+
+  /** X45: BM25 relevance scoring (Robertson–Spärck Jones, the
+    * retrieval function behind every lexical search stack and the
+    * ranking half of RAG hybrid retrieval) of the whole corpus against
+    * a deterministic query — the top-`qk` corpus terms. Canonical
+    * k1 = 1.2, b = 0.75:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5) / (df + 0.5))
+    *
+    * Common terms get NEGATIVE idf under the classic formula — kept
+    * (not clamped) so the census exposes it; a serving stack would
+    * drop such terms from the query.
+    *
+    * Cross-engine exactness: the [[lmScore]] ln discipline — idf is
+    * micro-floored ONCE PER TERM over an exact-integer ratio, each
+    * (doc, term) contribution is floor(idf_micro · rational), and the
+    * per-doc reduction sums INTEGERS (double sums across engines are
+    * forbidden). All fractional literals reach the oracle as explicit
+    * DOUBLE casts (a bare 0.75 is DECIMAL in DuckDB and associates
+    * exactly where IEEE rounds).
+    *
+    * Scale shape: the query relation (qk terms + their df + idf) is
+    * census-derived and BROADCAST; tf is one (doc, term) partial-agg
+    * over the occurrence stream filtered by the broadcast query; doc
+    * lengths ride a zero-shuffle projection joined on doc_id; avgdl is
+    * a broadcast one-row aggregate. One corpus-keyed Exchange total.
+    */
+  def bm25(docs: DataFrame, qk: Int): DataFrame = {
+    val occ = parallelized(docs).select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    val qTerms = occ.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(qk).select("t")
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val totals = lens.agg(sum("dl").as("tot"),
+      count(lit(1)).as("n_docs"))
+    val tf = occ.join(broadcast(qTerms), Seq("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("t"),
+        micro(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)))).as("idf_micro"))
+    val avg = totals.select((col("tot") / col("n_docs")).as("avgdl"),
+      col("n_docs"))
+    tf.join(broadcast(dfc), Seq("t"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .select(col("doc_id"),
+        floor(col("idf_micro") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          .cast("long").as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("score_micro"))
+  }
+
+  /** X44: two-sample Kolmogorov–Smirnov drift census between sources
+    * over a per-document metric (token count) — the distribution-drift
+    * gate a pipeline runs before mixing a new provider into the
+    * training pool (and, in serving, between the training corpus and
+    * live traffic): KS = max_v |F₁(v) − F₂(v)| over the empirical
+    * CDFs. A large KS between two sources means their length (or
+    * quality) profiles genuinely differ — re-weighting or re-filtering
+    * territory; near-0 means the providers draw from the same
+    * distribution (and the X40 mirror census says whether it's the
+    * SAME data).
+    *
+    * Exactness discipline: the CDF difference is kept as an INTEGER
+    * numerator for the whole max — |cum₁·n₂ − cum₂·n₁| over the common
+    * denominator n₁·n₂ — so the maximum is exact integer comparison
+    * and only the reported statistic pays ONE IEEE division at the
+    * end (micro-floored). No per-row doubles, no double max.
+    *
+    * Scale shape: everything runs on CENSUSES. The (source, value)
+    * census partial-aggregates map-side (the only corpus-sized
+    * Exchange); the evaluation grid is the distinct value set crossed
+    * with the bounded source list (census-sized), cumulated by a
+    * per-source window over census rows; the pair comparison
+    * self-joins grid rows per value with C(|sources|, 2) fan-out.
+    * Nothing downstream of the first Exchange scales with rows.
+    */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val vals = parallelized(docs).select(col("source"),
+      size(tokens(col("text"))).cast("long").as("v"))
+    val cen = vals.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val grid = cen.select("v").distinct()
+    val srcs = cen.groupBy("source").agg(sum("cnt").as("n"))
+    // every (source, grid value) point, 0 where the source lacks it
+    val filled = grid.crossJoin(broadcast(srcs))
+      .join(cen, Seq("source", "v"), "left")
+      .select(col("source"), col("n"), col("v"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cum = filled.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("v")))
+    val a = cum.select(col("source").as("source_a"), col("n").as("n_a"),
+      col("v"), col("cum").as("cum_a"))
+    val b = cum.select(col("source").as("source_b"), col("n").as("n_b"),
+      col("v"), col("cum").as("cum_b"))
+    a.join(b, Seq("v")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          .as("num"))
+      .groupBy("source_a", "source_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("num")).as("ks_num"))
+      .withColumn("ks_micro",
+        micro(col("ks_num") / (col("n_a") * col("n_b"))))
   }
 
   /** Gopher-style quality rule battery (Rae et al., arXiv:2112.11446

@@ -77,6 +77,19 @@ object TextQueries {
   def qCooc(spark: SparkSession, dir: String): DataFrame =
     TextOps.coocLift(docs(spark, dir), CoocTopV).orderBy("t1", "t2")
 
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ksDrift(Tables.documents(spark, dir))
+      .orderBy("source_a", "source_b")
+
+  /** Small enough that the deterministic top-k query stays a real
+    * multi-term query; large enough to mix positive and the classic
+    * negative-idf common terms.
+    */
+  val Bm25QK = 5
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25(docs(spark, dir), Bm25QK).orderBy("doc_id")
+
   def qNovelty(spark: SparkSession, dir: String): DataFrame =
     TextOps.noveltyScores(docs(spark, dir), ShingleN).orderBy("doc_id")
 
@@ -326,7 +339,7 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** G2 oracle: the verified pair graph, wedges oriented by id
+  /** D20 oracle: the verified pair graph, wedges oriented by id
     * (x.d2 < y.d2 under a shared apex x.d1 = y.d1) closed by the
     * (b, c) edge — the same single-count discipline as the Spark
     * side; cc is one IEEE division of exact integers.
@@ -394,6 +407,81 @@ object TextQueries {
        |FROM pr JOIN dfc d1 ON pr.t1 = d1.t
        |        JOIN dfc d2 ON pr.t2 = d2.t, n
        |ORDER BY t1, t2""".stripMargin
+
+  /** X45 oracle: idf micro-floored per term over an exact-integer
+    * ratio (the lm_score ln discipline), per-(doc, term) contribution
+    * floored, per-doc INTEGER sum; every fractional literal cast to
+    * DOUBLE (bare literals are DECIMAL in DuckDB).
+    */
+  private val bm25Oracle = {
+    val idfExpr = "ln((n_docs - df + CAST(0.5 AS DOUBLE)) / " +
+      "(df + CAST(0.5 AS DOUBLE)))"
+    s"""$tokCte,
+       |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |qt AS (
+       |  SELECT t FROM (SELECT t, count(*) AS c FROM occ GROUP BY 1)
+       |  ORDER BY c DESC, t LIMIT $Bm25QK
+       |),
+       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+       |               count(*) AS n_docs FROM lens),
+       |tf AS (
+       |  SELECT o.doc_id, o.t, count(*) AS tf
+       |  FROM occ o JOIN qt USING (t) GROUP BY 1, 2
+       |),
+       |dfc AS (
+       |  SELECT t, ${Hashing.microSql(idfExpr)} AS idf_micro
+       |  FROM (SELECT t, count(*) AS df FROM tf GROUP BY 1), tot
+       |),
+       |avg AS (SELECT tot / n_docs AS avgdl FROM tot)
+       |SELECT doc_id, count(*) AS n_terms,
+       |  CAST(sum(w) AS BIGINT) AS score_micro
+       |FROM (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(d.idf_micro * (tf.tf * CAST(2.2 AS DOUBLE)) /
+       |         (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |          CAST(0.75 AS DOUBLE) * (l.dl / a.avgdl))))
+       |         AS BIGINT) AS w
+       |  FROM tf JOIN dfc d USING (t)
+       |       JOIN lens l ON tf.doc_id = l.doc_id, avg a
+       |)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** X44 oracle: CDF differences carried as integer numerators over
+    * the common denominator n₁·n₂; one IEEE division at the very end.
+    */
+  private val ksDriftOracle =
+    s"""WITH vals AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents
+       |),
+       |cen AS (SELECT source, v, count(*) AS cnt FROM vals GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT v FROM cen),
+       |srcs AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+       |         FROM cen GROUP BY 1),
+       |filled AS (
+       |  SELECT s.source, s.n, g.v, COALESCE(c.cnt, 0) AS cnt
+       |  FROM grid g CROSS JOIN srcs s
+       |  LEFT JOIN cen c ON c.source = s.source AND c.v = g.v
+       |),
+       |cum AS (
+       |  SELECT source, n, v,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+       |         AS BIGINT) AS cum
+       |  FROM filled
+       |),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n AS n_a, b.n AS n_b,
+       |    abs(a.cum * b.n - b.cum * a.n) AS num
+       |  FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+       |)
+       |SELECT source_a, source_b, max(n_a) AS n_a, max(n_b) AS n_b,
+       |  CAST(max(num) AS BIGINT) AS ks_num,
+       |  ${Hashing.microSql("max(num) / (max(n_a) * max(n_b))")}
+       |    AS ks_micro
+       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** X42 oracle: gram → first doc_id, per-doc census; the division is
     * one IEEE op over exact integers on both engines.
@@ -2054,6 +2142,8 @@ object TextQueries {
     "q_pagerank"      -> (qPagerank _),
     "q_triangles"     -> (qTriangles _),
     "q_cooc"          -> (qCooc _),
+    "q_ks_drift"      -> (qKsDrift _),
+    "q_bm25"          -> (qBm25 _),
     "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2108,6 +2198,8 @@ object TextQueries {
     "q_pagerank"      -> pagerankOracle,
     "q_triangles"     -> trianglesOracle,
     "q_cooc"          -> coocOracle,
+    "q_ks_drift"      -> ksDriftOracle,
+    "q_bm25"          -> bm25Oracle,
     "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

@@ -881,6 +881,58 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._3).sum === 4L * 3L)
   }
 
+  test("ksDrift: hand-computed two-sample KS with integer numerators") {
+    import sqlImplicits._
+    // source A token counts [1,1,2,3] (n=4), B [2,3,3] (n=3):
+    // grid {1,2,3}; cumA = 2,3,4; cumB = 0,1,3
+    // |cumA*nB - cumB*nA| = 6, 5, 0 -> ks = 6/12 = 0.5
+    val corpus = Seq(
+      (1L, "w", "A"), (2L, "w", "A"), (3L, "w w", "A"), (4L, "w w w", "A"),
+      (5L, "w w", "B"), (6L, "w w w", "B"), (7L, "w w w", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.ksDrift(corpus).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("ks_num"), r.getAs[Long]("ks_micro")))
+    assert(out.toSeq === Seq(("A", "B", 4L, 3L, 6L, 500000L)))
+  }
+
+  test("ksDrift: identical distributions give ks = 0") {
+    import sqlImplicits._
+    val corpus = Seq(
+      (1L, "w", "A"), (2L, "w w", "A"),
+      (3L, "w", "B"), (4L, "w w", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.ksDrift(corpus).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("ks_num") === 0L)
+    assert(out.head.getAs[Long]("ks_micro") === 0L)
+  }
+
+  test("bm25: hand-traced positive and negative idf contributions") {
+    import sqlImplicits._
+    // top-2 terms by count: x (4), y (3); df(x)=1 -> idf > 0 (rare),
+    // df(y)=2 -> idf = ln(1.5/2.5) < 0 (common)
+    val corpus = Seq(
+      (1L, "x x x x y"), (2L, "y y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val n = 3.0; val avgdl = (5 + 2 + 1) / n
+    def idf(df: Int): Long =
+      math.floor(1e6 * math.log((n - df + 0.5) / (df + 0.5))).toLong
+    def w(idfM: Long, tf: Long, dl: Long): Long =
+      math.floor(idfM * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))).toLong
+    val ix = idf(1); val iy = idf(2)
+    val expected = Seq(
+      (1L, 2L, w(ix, 4, 5) + w(iy, 1, 5)),
+      (2L, 1L, w(iy, 2, 2)))
+    val out = TextOps.bm25(corpus, 2).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("score_micro")))
+    assert(out.toSeq === expected)
+    assert(ix > 0 && iy < 0) // the census exposes the classic negative idf
+  }
+
   test("coocLift: hand-computed lift census with a top-V cut") {
     import sqlImplicits._
     // counts: x=3 y=3 z=2 w=1 -> top-3 = {x, y, z}; w never pairs
