@@ -697,6 +697,67 @@ object RelationalQueries {
         max(col("n")).as("n"))
   }
 
+  /** R18: first-order Markov transition census over per-user event
+    * sequences — the behavioral-model readout (what follows what, with
+    * what probability) that funnels (R13) check one FIXED path of:
+    * every (from → to) arc with its count and conditional probability
+    * P(to | from) = n / Σ_to n. Feeds churn/journey models and
+    * synthetic-event generation; a missing arc is structurally absent
+    * (no zero-filled cross product — the census reports the support).
+    *
+    * Exactness: p is ONE IEEE division of exact integers,
+    * micro-floored; ordering inside a user's sequence ties on
+    * (ts, event_id) so the lag is deterministic on both engines.
+    *
+    * Scale shape: the lag window is the honest per-key plan (the R16
+    * argument): ONE shuffle by user_id, per-key sort bounded by a
+    * user's own event count; the census aggregations downstream are
+    * |event_types|²-bounded with map-side partials. At lakehouse
+    * scale the same window runs per user-bucket (the AdsbStore
+    * precedent) — sequence rebuild never global-sorts.
+    */
+  def transitionCensus(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum("n").as("total_from"))
+    tr.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("total_from"),
+        micro(col("n") / col("total_from")).as("p_micro"))
+  }
+
+  def qTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionCensus(events(spark, dir)).orderBy("from_type", "to_type")
+
+  /** R18 oracle: the same lag window with the same (ts, event_id) tie
+    * order; one division at the end.
+    */
+  private val transitionsOracle =
+    s"""$evCte,
+       |tr AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |                          ORDER BY ts, event_id) AS prev
+       |  FROM ev
+       |),
+       |cnt AS (
+       |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+       |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2
+       |),
+       |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total_from
+       |        FROM cnt GROUP BY 1)
+       |SELECT c.from_type, c.to_type, c.n, t.total_from,
+       |  ${microSql("c.n / t.total_from")} AS p_micro
+       |FROM cnt c JOIN tot t USING (from_type)
+       |ORDER BY from_type, to_type""".stripMargin
+
   val QuantilePs = Seq(0.25, 0.5, 0.9)
 
   def qQuantileCensus(spark: SparkSession, dir: String): DataFrame =
@@ -1057,6 +1118,7 @@ object RelationalQueries {
     "q_json"            -> (qJson _),
     "q_quantiles"       -> (qQuantiles _),
     "q_quantile_census" -> (qQuantileCensus _),
+    "q_transitions"     -> (qTransitions _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
@@ -1080,6 +1142,7 @@ object RelationalQueries {
     "q_json"            -> jsonOracle,
     "q_quantiles"       -> quantilesOracle,
     "q_quantile_census" -> quantileCensusOracle,
+    "q_transitions"     -> transitionsOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,

@@ -1134,6 +1134,70 @@ object SimilarityOps {
           .as("in_truth"))
   }
 
+  // --------------------------- MMR diversified retrieval (V24)
+
+  /** V24: Maximal Marginal Relevance (Carbonell & Goldstein 1998) —
+    * the diversified re-rank every RAG/search stack runs over its ANN
+    * shortlist so the k results aren't k near-copies of the best hit
+    * (on a deduplicated-imperfectly corpus the top-k WILL be
+    * near-dups; MMR is the serving-time complement of D12's
+    * index-time SemDeDup). Greedy: each round selects
+    * argmax_c [ λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s) ].
+    *
+    * Determinism/exactness: λ = ½ with both terms in integer micro
+    * units, so selection maximizes the INTEGER score
+    * `cosq − max_sim` (= 2·MMR; the halving cannot change an argmax)
+    * with ties to the smaller vec_id — every round is an exact
+    * integer argmax, bit-identical cross-engine; max over the empty
+    * selected set is 0 by the standard convention (round 1 is pure
+    * relevance).
+    *
+    * Scale shape: MMR is quadratic in its POOL, so the pool is the
+    * bounded ANN shortlist (top-`poolK` by relevance — the
+    * TakeOrdered path), never the corpus: pool and its pairwise sim
+    * relation (≤ poolK² rows, kernel-scored, both cached) are
+    * shortlist-sized, each of the `k` fixed rounds is one anti-join +
+    * one max-aggregate + one TakeOrdered(1) over ≤ poolK rows, and
+    * the selected relation is localCheckpointed per round (the
+    * [[TextOps]] iterative discipline) so plan depth stays linear in
+    * the constant k.
+    */
+  def mmrDiversified(emb: DataFrame, queryId: Long, poolK: Int,
+                     k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val pool = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cosq"))
+      .orderBy(col("cosq").desc, col("vec_id")).limit(poolK)
+      .cache()
+    val sims = pool.select(col("vec_id").as("u"), col("embedding").as("eu"))
+      .join(pool.select(col("vec_id").as("v"), col("embedding").as("ev")),
+        col("u") =!= col("v"))
+      .select(col("u"), col("v"),
+        micro(cosineSim(col("eu"), col("ev"))).as("s"))
+      .cache()
+    var selected = pool
+      .orderBy(col("cosq").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), lit(1L).as("rank"), col("cosq"),
+        lit(0L).as("msim"), col("cosq").as("score_micro"))
+      .localCheckpoint()
+    (2 to k).foreach { t =>
+      val selIds = selected.select("vec_id")
+      val msim = sims
+        .join(selIds.withColumnRenamed("vec_id", "v"), Seq("v"))
+        .groupBy("u").agg(max("s").as("msim"))
+      val pick = pool.join(selIds, Seq("vec_id"), "left_anti")
+        .join(msim, col("vec_id") === col("u"))
+        .select(col("vec_id"), lit(t.toLong).as("rank"), col("cosq"),
+          col("msim"), (col("cosq") - col("msim")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id")).limit(1)
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+  }
+
   // --------------------------------------- filtered search (V23)
 
   /** V23: FILTERED vector search — the pre-filter vs post-filter

@@ -350,6 +350,14 @@ object SimilarityQueries {
     SimilarityOps.filteredAnn(emb(spark, dir), BatchQueryMax,
       FilterLabelMax, TopK).orderBy("query_id")
 
+  /** V24: pool ≫ k so diversity actually displaces relevance ranks. */
+  val MmrPoolK = 30
+  val MmrK = 5
+
+  def qMmr(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mmrDiversified(emb(spark, dir), QueryVecId,
+      MmrPoolK, MmrK).orderBy("rank")
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -378,6 +386,76 @@ object SimilarityQueries {
        |  JOIN nrm n2 ON d.d2 = n2.vec_id
        |  JOIN lbl l ON d.d1 = l.vec_id
        |) WHERE cos_micro >= $EmbedCosMin ORDER BY d1, d2""".stripMargin
+
+  /** V24 oracle: the pool and its pairwise sim relation as
+    * MATERIALIZED CTEs (multiply referenced — DuckDB inlines plain
+    * CTEs per reference), then MmrK unrolled greedy rounds; every
+    * selection is an integer argmax with vec_id ties, so the
+    * trajectory is bit-identical to the Spark loop.
+    */
+  private val mmrOracle = {
+    val rounds = (2 to MmrK).map { t =>
+      s"""cand$t AS (
+         |  SELECT p.vec_id, p.cosq,
+         |    (SELECT max(s.s) FROM sims s
+         |     WHERE s.u = p.vec_id
+         |       AND s.v IN (SELECT vec_id FROM sel${t - 1})) AS msim
+         |  FROM pool p
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |),
+         |pick$t AS MATERIALIZED (
+         |  SELECT vec_id, CAST($t AS BIGINT) AS rank, cosq, msim,
+         |    cosq - msim AS score_micro
+         |  FROM cand$t ORDER BY score_micro DESC, vec_id LIMIT 1
+         |),
+         |sel$t AS MATERIALIZED (
+         |  SELECT vec_id FROM sel${t - 1}
+         |  UNION ALL SELECT vec_id FROM pick$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val tail = (2 to MmrK).map(t =>
+      s"UNION ALL SELECT vec_id, rank, cosq, msim, score_micro " +
+        s"FROM pick$t").mkString("\n")
+    s"""$evCte,
+       |qd AS (
+       |  SELECT e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  WHERE e.vec_id <> $QueryVecId GROUP BY 1
+       |),
+       |pool AS MATERIALIZED (
+       |  SELECT d.vec_id,
+       |    ${Hashing.microSql(s"d.dot / (n.nrm * " +
+            s"(SELECT nrm FROM nrm WHERE vec_id = $QueryVecId))")}
+       |      AS cosq
+       |  FROM qd d JOIN nrm n ON d.vec_id = n.vec_id
+       |  ORDER BY cosq DESC, d.vec_id LIMIT $MmrPoolK
+       |),
+       |pe AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, e.i
+       |  FROM ev e JOIN pool p ON e.vec_id = p.vec_id
+       |),
+       |pd AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v, sum(a.v * b.v) AS dot
+       |  FROM pe a JOIN pe b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |sims AS MATERIALIZED (
+       |  SELECT pd.u, pd.v,
+       |    ${Hashing.microSql("pd.dot / (n1.nrm * n2.nrm)")} AS s
+       |  FROM pd JOIN nrm n1 ON pd.u = n1.vec_id
+       |          JOIN nrm n2 ON pd.v = n2.vec_id
+       |),
+       |pick1 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(1 AS BIGINT) AS rank, cosq,
+       |    CAST(0 AS BIGINT) AS msim, cosq AS score_micro
+       |  FROM pool ORDER BY cosq DESC, vec_id LIMIT 1
+       |),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+       |$rounds
+       |SELECT vec_id, rank, cosq, msim, score_micro FROM pick1
+       |$tail
+       |ORDER BY rank""".stripMargin
+  }
 
   private val annTopKOracle =
     s"""$evCte,
@@ -1467,6 +1545,7 @@ object SimilarityQueries {
     "q_mrl_recall"     -> (qMrlRecall _),
     "q_mrr"            -> (qMrr _),
     "q_ann_filtered"   -> (qAnnFiltered _),
+    "q_mmr"            -> (qMmr _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
@@ -1496,6 +1575,7 @@ object SimilarityQueries {
     "q_mrl_recall"     -> mrlRecallOracle,
     "q_mrr"            -> mrrOracle,
     "q_ann_filtered"   -> annFilteredOracle,
+    "q_mmr"            -> mmrOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,

@@ -56,6 +56,29 @@ class ScaleOpsSpec extends SparkSpec {
       3700000L, 4L)))
   }
 
+  test("transitionCensus: hand-computed Markov arcs and probabilities") {
+    // user 1: A->B->A->C, user 2: A->B
+    // arcs: (A,B)=2, (B,A)=1, (A,C)=1; totals A=3, B=1
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:01"),
+      (2L, 1L, "B", "2024-01-01 00:00:02"),
+      (3L, 1L, "A", "2024-01-01 00:00:03"),
+      (4L, 1L, "C", "2024-01-01 00:00:04"),
+      (5L, 2L, "A", "2024-01-01 00:00:01"),
+      (6L, 2L, "B", "2024-01-01 00:00:02"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.transitionCensus(ev)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("total_from"),
+        r.getAs[Long]("p_micro")))
+    assert(out.toSeq === Seq(
+      ("A", "B", 2L, 3L, 666666L),
+      ("A", "C", 1L, 3L, 333333L),
+      ("B", "A", 1L, 1L, 1000000L)))
+  }
+
   test("topK aggregator: per-group k best with deterministic ties") {
     val data = Seq(
       ("a", 0.9, 1L), ("a", 0.5, 2L), ("a", 0.9, 3L), ("a", 0.1, 4L),

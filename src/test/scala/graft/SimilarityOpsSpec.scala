@@ -656,4 +656,49 @@ class SimilarityOpsSpec extends SparkSpec {
         r.getAs[Long]("recall_micro")))
     assert(out.toSeq === Seq((2L, 0L, 0L), (4L, 1L, 1000000L)))
   }
+
+  test("mmrDiversified: diversity displaces a redundant high scorer") {
+    // query (1,0,0); 1 = best hit (cos .894), 2 ≈ near-copy of 1
+    // (cos .885, msim .9997 -> negative score forever), 3 = relevant
+    // and moderately novel (cos .707, msim .316), 4 = orthogonal.
+    // greedy order: 1, 3, 4 — the pure-relevance runner-up (the
+    // near-copy) is displaced out of the whole top-3, which is MMR's
+    // entire point. Asserted against an in-test replay of the rule.
+    val m = emb(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(2f, 1f, 0f), 0),
+      (2L, Seq(1.9f, 1f, 0f), 0),
+      (3L, Seq(1f, -1f, 0f), 0),
+      (4L, Seq(0f, 0f, 1f), 0))
+    val out = SimilarityOps.mmrDiversified(m, 0L, 4, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("msim"), r.getAs[Long]("score_micro")))
+    // in-test replay of the greedy rule over exact micro cosines
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val vs = Map(1L -> Seq(2f, 1f, 0f), 2L -> Seq(1.9f, 1f, 0f),
+      3L -> Seq(1f, -1f, 0f), 4L -> Seq(0f, 0f, 1f))
+    val q = Seq(1f, 0f, 0f)
+    def mi(x: Double): Long = math.floor(1e6 * x).toLong
+    var sel = List.empty[Long]
+    val expect = (1 to 3).map { rank =>
+      val scored = vs.keys.filterNot(sel.contains).map { id =>
+        val msim = if (sel.isEmpty) 0L
+          else sel.map(s => mi(cos(vs(id), vs(s)))).max
+        (id, msim, mi(cos(vs(id), q)) - msim)
+      }.toSeq
+      val (id, msim, sc) =
+        scored.minBy { case (id, _, sc) => (-sc, id) }
+      sel = sel :+ id
+      (rank.toLong, id, msim, sc)
+    }
+    assert(out.toSeq === expect)
+    assert(out.map(_._2).toSeq === Seq(1L, 3L, 4L))
+    assert(!out.map(_._2).contains(2L)) // near-copy displaced from top-3
+  }
 }
