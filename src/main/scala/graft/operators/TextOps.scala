@@ -2299,6 +2299,131 @@ object TextOps {
           .as("lift_micro"))
   }
 
+  /** X46: winsorized robust length stats per source — the outlier-
+    * tolerant profile a pipeline reads where a plain mean is dominated
+    * by a few megadocs (and a plain trim throws data away): values
+    * clipped at the empirical p05/p95 BOUNDS (rank-picked, no
+    * interpolation — the bounds are actual corpus values, so all math
+    * stays integer), then an exact integer mean of the clipped
+    * multiset. One division at the end.
+    *
+    * Scale shape: the R17 census machinery with a rank PICK instead of
+    * interpolation — the (source, value) census partial-aggregates
+    * map-side, bounds come off cumulative ranges, the winsorized sum
+    * is Σ cnt·clip(v) over census rows. Nothing after the census
+    * Exchange scales with rows.
+    */
+  def winsorStats(docs: DataFrame, pLoMilli: Long = 50L,
+                  pHiMilli: Long = 950L): DataFrame = {
+    val cen = parallelized(docs).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val cum = cen.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("v")))
+    val n = cen.groupBy("source").agg(sum("cnt").as("n"))
+    // rank-picked bounds: value at 0-based rank floor((n-1)·p)
+    val tgt = n.select(col("source"), col("n"),
+      floor((col("n") - 1L) * pLoMilli / lit(1000.0)).cast("long")
+        .as("r_lo"),
+      floor((col("n") - 1L) * pHiMilli / lit(1000.0)).cast("long")
+        .as("r_hi"))
+    val lo = tgt.join(cum, Seq("source"))
+      .filter(col("r_lo") >= col("cum") - col("cnt") &&
+        col("r_lo") < col("cum"))
+      .select(col("source"), col("n"), col("r_hi"), col("v").as("lo"))
+    val bounds = lo.join(cum, Seq("source"))
+      .filter(col("r_hi") >= col("cum") - col("cnt") &&
+        col("r_hi") < col("cum"))
+      .select(col("source"), col("n"), col("lo"), col("v").as("hi"))
+    cen.join(bounds, Seq("source"))
+      .select(col("source"), col("n"), col("lo"), col("hi"),
+        col("cnt"),
+        (col("cnt") * greatest(least(col("v"), col("hi")), col("lo")))
+          .as("wsum"),
+        when(col("v") < col("lo"), col("cnt")).otherwise(0L)
+          .as("clip_lo"),
+        when(col("v") > col("hi"), col("cnt")).otherwise(0L)
+          .as("clip_hi"))
+      .groupBy("source")
+      .agg(max("n").as("n"), max("lo").as("lo"), max("hi").as("hi"),
+        sum("clip_lo").as("n_clip_lo"), sum("clip_hi").as("n_clip_hi"),
+        sum("wsum").as("wsum"))
+      .withColumn("wmean_micro", micro(col("wsum") / col("n")))
+  }
+
+  /** X47: source concentration census — HHI (Herfindahl–Hirschman,
+    * Σ share²) and top-source share of the corpus, on both a
+    * doc-count and a token-count basis. The one-glance answer to "is
+    * this corpus actually diverse or is it one provider wearing
+    * twenty names" (read next to X40's mirror matrix, which says
+    * whether the providers also ship the same bytes). HHI over k
+    * equal sources = 1/k; → 1 as one source dominates.
+    *
+    * Exactness: HHI = (Σ c²)/T² and top = max(c)/T with integer
+    * numerators — the share-squares never materialize individually,
+    * so each statistic is ONE IEEE division of exact integers.
+    *
+    * Scale shape: both bases reduce to a ≤|sources|-row census
+    * (doc counts; token sums ride the same scan) — everything after
+    * the per-source partial agg is constant-size.
+    */
+  def concentrationCensus(docs: DataFrame): DataFrame = {
+    val per = parallelized(docs).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("toks").as("toks"))
+      .cache()
+    def basis(cName: String, label: String) =
+      per.agg(count(lit(1)).as("n_sources"),
+          sum(col(cName)).as("total"),
+          sum(col(cName) * col(cName)).as("sq"),
+          max(col(cName)).as("top"))
+        .select(lit(label).as("basis"), col("n_sources"), col("total"),
+          micro(col("sq") / (col("total") * col("total")))
+            .as("hhi_micro"),
+          micro(col("top") / col("total")).as("top_share_micro"))
+    basis("docs", "docs").unionByName(basis("toks", "tokens"))
+  }
+
+  /** X48: Pearson correlation census per source between document
+    * length and distinct-token count — the profiling relation behind
+    * "is vocabulary growing with length here, or are long docs just
+    * repetition" (a per-source Heaps'-law pulse; near-zero where long
+    * documents are stuffed/templated). r computed from the five exact
+    * integer power sums n, Σx, Σy, Σxy, Σx², Σy²:
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) —
+    * numerator and both radicands exact integers, then two sqrts, one
+    * multiply, one division in fixed association (the X29 sqrt
+    * discipline). Zero-variance sides report r = 0 (flagged by the
+    * radicand columns, not NaN).
+    *
+    * Scale shape: one partial-agg'd Exchange carrying five sums per
+    * source; nothing else. (At extreme group sizes the integer power
+    * sums would move to DECIMAL(38) — the bounded x, y here keep
+    * longs exact.)
+    */
+  def corrCensus(docs: DataFrame): DataFrame = {
+    val xy = parallelized(docs).select(col("source"),
+      size(tokens(col("text"))).cast("long").as("x"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("y"))
+    val sums = xy.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums.select(col("source"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
+      .withColumn("r_micro",
+        when(col("var_x") > 0L && col("var_y") > 0L,
+          micro(col("cov_num") /
+            (sqrt(col("var_x")) * sqrt(col("var_y")))))
+          .otherwise(0L))
+  }
+
   /** X45: BM25 relevance scoring (Robertson–Spärck Jones, the
     * retrieval function behind every lexical search stack and the
     * ranking half of RAG hybrid retrieval) of the whole corpus against

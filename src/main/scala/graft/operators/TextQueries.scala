@@ -81,6 +81,16 @@ object TextQueries {
     TextOps.ksDrift(Tables.documents(spark, dir))
       .orderBy("source_a", "source_b")
 
+  def qWinsor(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winsorStats(Tables.documents(spark, dir)).orderBy("source")
+
+  def qConcentration(spark: SparkSession, dir: String): DataFrame =
+    TextOps.concentrationCensus(Tables.documents(spark, dir))
+      .orderBy("basis")
+
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    TextOps.corrCensus(Tables.documents(spark, dir)).orderBy("source")
+
   /** Small enough that the deterministic top-k query stays a real
     * multi-term query; large enough to mix positive and the classic
     * negative-idf common terms.
@@ -447,6 +457,111 @@ object TextQueries {
        |)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** X46 oracle: rank-picked integer bounds from the cumulative
+    * census; winsorized sum over census rows; one division.
+    */
+  private val winsorOracle =
+    s"""WITH vals AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents
+       |),
+       |cen AS (SELECT source, v, count(*) AS cnt FROM vals GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, v, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+       |         AS BIGINT) AS cum
+       |  FROM cen
+       |),
+       |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+       |      FROM cen GROUP BY 1),
+       |tgt AS (
+       |  SELECT source, n,
+       |    CAST(floor((n - 1) * 50 / CAST(1000.0 AS DOUBLE))
+       |         AS BIGINT) AS r_lo,
+       |    CAST(floor((n - 1) * 950 / CAST(1000.0 AS DOUBLE))
+       |         AS BIGINT) AS r_hi
+       |  FROM n
+       |),
+       |lo AS (
+       |  SELECT t.source, t.n, t.r_hi, c.v AS lo
+       |  FROM tgt t JOIN cum c ON t.source = c.source
+       |   AND t.r_lo >= c.cum - c.cnt AND t.r_lo < c.cum
+       |),
+       |bounds AS (
+       |  SELECT l.source, l.n, l.lo, c.v AS hi
+       |  FROM lo l JOIN cum c ON l.source = c.source
+       |   AND l.r_hi >= c.cum - c.cnt AND l.r_hi < c.cum
+       |)
+       |SELECT cen.source, max(b.n) AS n, max(b.lo) AS lo,
+       |  max(b.hi) AS hi,
+       |  CAST(sum(CASE WHEN cen.v < b.lo THEN cen.cnt ELSE 0 END)
+       |       AS BIGINT) AS n_clip_lo,
+       |  CAST(sum(CASE WHEN cen.v > b.hi THEN cen.cnt ELSE 0 END)
+       |       AS BIGINT) AS n_clip_hi,
+       |  CAST(sum(cen.cnt * greatest(least(cen.v, b.hi), b.lo))
+       |       AS BIGINT) AS wsum,
+       |  ${Hashing.microSql(
+            "sum(cen.cnt * greatest(least(cen.v, b.hi), b.lo))" +
+            " / max(b.n)")} AS wmean_micro
+       |FROM cen JOIN bounds b USING (source)
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X47 oracle: integer numerators; one division per statistic. */
+  private val concentrationOracle = {
+    def basis(c: String, label: String) =
+      s"""SELECT '$label' AS basis, n_sources, total,
+         |  ${Hashing.microSql("sq / (total * total)")} AS hhi_micro,
+         |  ${Hashing.microSql("top / total")} AS top_share_micro
+         |FROM (
+         |  SELECT count(*) AS n_sources, CAST(sum($c) AS BIGINT) AS total,
+         |    CAST(sum($c * $c) AS BIGINT) AS sq,
+         |    CAST(max($c) AS BIGINT) AS top
+         |  FROM per
+         |)""".stripMargin
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+       |  FROM documents GROUP BY 1
+       |)
+       |${basis("docs", "docs")}
+       |UNION ALL
+       |${basis("toks", "tokens")}
+       |ORDER BY basis""".stripMargin
+  }
+
+  /** X48 oracle: five exact integer power sums, two sqrts, one
+    * division in fixed association.
+    */
+  private val corrOracle =
+    s"""WITH xy AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS y
+       |  FROM documents
+       |),
+       |s AS (
+       |  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM xy GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT source, n,
+       |    CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       |    CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+       |    CAST(n * syy - sy * sy AS BIGINT) AS var_y
+       |  FROM s
+       |)
+       |SELECT source, n, cov_num, var_x, var_y,
+       |  CASE WHEN var_x > 0 AND var_y > 0
+       |       THEN ${Hashing.microSql(
+                "cov_num / (sqrt(var_x) * sqrt(var_y))")}
+       |       ELSE CAST(0 AS BIGINT) END AS r_micro
+       |FROM f ORDER BY source""".stripMargin
 
   /** X44 oracle: CDF differences carried as integer numerators over
     * the common denominator n₁·n₂; one IEEE division at the very end.
@@ -2144,6 +2259,9 @@ object TextQueries {
     "q_cooc"          -> (qCooc _),
     "q_ks_drift"      -> (qKsDrift _),
     "q_bm25"          -> (qBm25 _),
+    "q_winsor"        -> (qWinsor _),
+    "q_concentration" -> (qConcentration _),
+    "q_corr"          -> (qCorr _),
     "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -2200,6 +2318,9 @@ object TextQueries {
     "q_cooc"          -> coocOracle,
     "q_ks_drift"      -> ksDriftOracle,
     "q_bm25"          -> bm25Oracle,
+    "q_winsor"        -> winsorOracle,
+    "q_concentration" -> concentrationOracle,
+    "q_corr"          -> corrOracle,
     "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

@@ -28,7 +28,10 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ann_ivf",        // broadcast nProbe cluster list
     "q_ann_recall",     // broadcast probe ranks grid (Q x nCentroids)
     "q_ann_topk",       // broadcast single query vector
+    "q_bm25",           // broadcast one-row corpus totals + avgdl
+    "q_cooc",           // broadcast one-row corpus doc count N
     "q_dsir",           // broadcast one-row target/raw census totals
+    "q_ks_drift",       // value grid x broadcast bounded source census
     "q_hard_neg",       // broadcast query-vector set vs corpus scores
     "q_heaps",          // 4-row fraction dim x <= 8-row bucket censuses
     "q_integrity",      // broadcast one-row expected-totals relation

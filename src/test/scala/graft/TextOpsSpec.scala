@@ -881,6 +881,59 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._3).sum === 4L * 3L)
   }
 
+  test("winsorStats: rank-picked bounds, clip accounting, exact mean") {
+    import sqlImplicits._
+    // source A lengths 1..20: r_lo = floor(19*.05) = 0 -> lo = 1,
+    // r_hi = floor(19*.95) = 18 -> hi = 19; only v=20 clips;
+    // wsum = (1+...+19) + 19 = 209; mean = 209/20 = 10.45
+    val corpus = (1 to 20).map(k =>
+      (k.toLong, Seq.fill(k)("w").mkString(" "), "A"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.winsorStats(corpus).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+      r.getAs[Long]("n_clip_lo"), r.getAs[Long]("n_clip_hi"),
+      r.getAs[Long]("wsum"), r.getAs[Long]("wmean_micro")) ===
+      ((20L, 1L, 19L, 0L, 1L, 209L, 10450000L)))
+  }
+
+  test("concentrationCensus: HHI and top share on both bases") {
+    import sqlImplicits._
+    // docs: A=3, B=1 -> HHI (9+1)/16 = .625, top 3/4 = .75
+    // tokens: A=6, B=4 -> HHI (36+16)/100 = .52, top 6/10 = .6
+    val corpus = Seq(
+      (1L, "w w", "A"), (2L, "w w", "A"), (3L, "w w", "A"),
+      (4L, "w w w w", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.concentrationCensus(corpus).orderBy("basis")
+      .collect()
+      .map(r => (r.getAs[String]("basis"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("total"), r.getAs[Long]("hhi_micro"),
+        r.getAs[Long]("top_share_micro")))
+    assert(out.toSeq === Seq(
+      ("docs", 2L, 4L, 625000L, 750000L),
+      ("tokens", 2L, 10L, 520000L, 600000L)))
+  }
+
+  test("corrCensus: exact power sums, zero-variance guarded") {
+    import sqlImplicits._
+    // A: (x,y) = (2,2),(2,1),(3,3): cov_num 3, var_x 2, var_y 6,
+    // r = 3/sqrt(12) = .8660254 -> 866025
+    // B: identical docs -> zero variance -> r = 0, not NaN
+    val corpus = Seq(
+      (1L, "a b", "A"), (2L, "a a", "A"), (3L, "a b c", "A"),
+      (4L, "a a", "B"), (5L, "a a", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.corrCensus(corpus).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Long]("cov_num"), r.getAs[Long]("var_x"),
+        r.getAs[Long]("var_y"), r.getAs[Long]("r_micro")))
+    assert(out.toSeq === Seq(
+      ("A", 3L, 3L, 2L, 6L, 866025L),
+      ("B", 2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("ksDrift: hand-computed two-sample KS with integer numerators") {
     import sqlImplicits._
     // source A token counts [1,1,2,3] (n=4), B [2,3,3] (n=3):
