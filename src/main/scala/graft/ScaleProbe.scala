@@ -999,6 +999,48 @@ object ScaleProbe {
       println(s"SCALE phash_classes $cls1 classes over $img1 images at " +
         s"1x -> $clsK over $imgK at ${k}x (ceiling 3840)")
     }
+    // X44/X47/X48/R18 exact-invariance battery: each of these censuses
+    // is a RATIO of quantities that all scale by k (or k²) under
+    // replication, so the reported statistic must be BIT-identical at
+    // 8x — KS (num x k² over n1·n2 x k²), HHI/top-share (Σc², max c
+    // over T² , T), Pearson r (cov and variances x k², and √(64·v) =
+    // 8·√v exactly in IEEE since 64 is a power of 4), and transition
+    // probabilities (arcs and totals x k when USERS are replicated).
+    // "More of the same data" must not move any drift/concentration/
+    // correlation needle.
+    {
+      def km[K](df: DataFrame, keys: Seq[String], value: String)
+      : Map[Seq[Any], Long] =
+        df.collect().map(r => keys.map(k => r.getAs[Any](k)) ->
+          r.getAs[Long](value)).toMap
+      def invariant(name: String, f: DataFrame => DataFrame,
+                    base: DataFrame, idCol: String,
+                    keys: Seq[String], value: String): Unit = {
+        var m1: Map[Seq[Any], Long] = null
+        var mk: Map[Seq[Any], Long] = null
+        time(s"${name}_1x") { m1 = km(f(base), keys, value); m1.size.toLong }
+        time(s"${name}_${k}x") {
+          mk = km(f(replicate(base, idCol, k)), keys, value)
+          mk.size.toLong
+        }
+        require(m1 == mk,
+          s"$name must be bit-invariant under ${k}x replication")
+        println(s"SCALE ${name}_invariance ok (${m1.size} groups " +
+          s"bit-identical at ${k}x)")
+      }
+      val fullDocs = graft.sources.Tables.documents(spark, dir)
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      invariant("ks_drift", d => TextOps.ksDrift(d),
+        fullDocs, "doc_id", Seq("source_a", "source_b"), "ks_micro")
+      invariant("concentration", d => TextOps.concentrationCensus(d),
+        fullDocs, "doc_id", Seq("basis"), "hhi_micro")
+      invariant("corr", d => TextOps.corrCensus(d),
+        fullDocs, "doc_id", Seq("source"), "r_micro")
+      invariant("transitions",
+        e => graft.operators.RelationalQueries.transitionCensus(e),
+        ev, "user_id", Seq("from_type", "to_type"), "p_micro")
+    }
     // ≥1k-merge sampled BPE train: real tokenizers live at 32k merges,
     // and the scale claim is that every training round is VOCABULARY-
     // sized (pair counts over distinct word forms), never corpus-sized

@@ -219,13 +219,114 @@ object SketchQueries {
       .orderBy("event_type")
   }
 
+  /** X49: K-Minimum-Values distinct-count sketch — the FULLY
+    * oracle-able sibling of q_hll: because the hash is the shared md5
+    * primitive and the estimator is pure arithmetic over the k-th
+    * minimum, both engines compute the IDENTICAL estimate — so unlike
+    * HLL this sketch gets rows+schema+hash verification, with the
+    * measured error against the exact count in the same row. KMV
+    * (Bar-Yossef et al. 2002): with hashes uniform on [0, 2⁶⁰), the
+    * k-th smallest hash h₍ₖ₎ estimates density k/n ≈ h₍ₖ₎/2⁶⁰, so
+    * n̂ = (k−1)·2⁶⁰ / h₍ₖ₎ (the unbiased form). Sources with fewer
+    * than k distinct values report the exact count (the KMV rule).
+    *
+    * Exactness: every arithmetic literal is DOUBLE on both engines
+    * (CAST in SQL — bare fractional literals are DECIMAL in DuckDB),
+    * one fixed-association multiply-divide per estimate, floored.
+    *
+    * Scale shape: the sketch is a BOUNDED minima set per group. The
+    * production form keeps a k-sized heap per partition and merges
+    * (mergeable-summary, like CMS/Bloom here); this formulation gets
+    * the same bound declaratively: a threshold prefilter
+    * h < 8k·2⁶⁰/n keeps ~8k expected survivors per group (P(<k
+    * survivors) < e⁻¹⁰⁰ — and BOTH engines apply the same filter, so
+    * even the astronomically-unlucky case stays bit-identical), and
+    * the per-group rank window sorts only the ~8k survivors, never
+    * the distinct-hash relation. The n in the threshold comes from
+    * the exact count computed for the audit column anyway; a
+    * production deployment seeds it from the previous sketch.
+    */
+  val KmvK = 64
+
+  private val pow60 = "CAST(1152921504606846976 AS DOUBLE)"
+
+  def qKmv(spark: SparkSession, dir: String): DataFrame = {
+    // universe = per-source distinct word 5-grams (thousands per
+    // source, so the estimator actually fires; distinct TEXTS would
+    // be ≤ docs-per-source and always take the exact branch)
+    val hs = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.shingles(
+        TextOps.tokens(col("text")), 5)).as("sh"))
+      .select(col("source"), md5Long(col("sh")).as("h")).distinct()
+    val exact = hs.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val pref = hs.join(broadcast(exact), Seq("source"))
+      .filter(col("n_exact") <= lit(8L * KmvK) ||
+        col("h") < floor(lit(8.0 * KmvK) * lit(1.152921504606846976e18) /
+          col("n_exact")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val kth = pref.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === KmvK)
+      .select(col("source"), col("h").as("kth"))
+    exact.join(kth, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        coalesce(col("kth"), lit(0L)).as("kth_min"),
+        when(col("n_exact") < KmvK, col("n_exact"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(1.152921504606846976e18) / col("kth")).cast("long"))
+          .as("est"))
+      .withColumn("err_ppm",
+        Hashing.micro((col("est") - col("n_exact")) / col("n_exact")))
+      .orderBy("source")
+  }
+
+  private val kmvOracle =
+    s"""WITH tok AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents
+       |),
+       |shs AS (
+       |  SELECT source,
+       |    list_aggregate(toks[i:i+4], 'string_agg', ' ') AS sh
+       |  FROM tok, unnest(range(1, greatest(len(toks) - 3, 1))) AS g(i)
+       |),
+       |hs AS (
+       |  SELECT DISTINCT source, ${Hashing.md5LongSql("sh")} AS h
+       |  FROM shs
+       |),
+       |ex AS (SELECT source, count(*) AS n_exact FROM hs GROUP BY 1),
+       |pref AS (
+       |  SELECT s.source, s.h, e.n_exact
+       |  FROM hs s JOIN ex e USING (source)
+       |  WHERE e.n_exact <= ${8 * KmvK}
+       |     OR s.h < CAST(floor(CAST(${8 * KmvK} AS DOUBLE) * $pow60
+       |                         / e.n_exact) AS BIGINT)
+       |),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM pref
+       |),
+       |kth AS (SELECT source, h AS kth FROM rk WHERE rn = $KmvK),
+       |est AS (
+       |  SELECT e.source, e.n_exact, COALESCE(k.kth, 0) AS kth_min,
+       |    CASE WHEN e.n_exact < $KmvK THEN e.n_exact
+       |         ELSE CAST(floor(CAST(${KmvK - 1} AS DOUBLE) * $pow60
+       |                         / k.kth) AS BIGINT) END AS est
+       |  FROM ex e LEFT JOIN kth k USING (source)
+       |)
+       |SELECT source, n_exact, kth_min, est,
+       |  ${Hashing.microSql("(est - n_exact) / n_exact")} AS err_ppm
+       |FROM est ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms" -> (qCms _),
     "q_bloom" -> (qBloom _),
+    "q_kmv" -> (qKmv _),
     "q_hll" -> (qHll _))
 
   /** q_hll has no oracle entry by design — see [[qHll]]. */
   val oracles: Map[String, String] = Map(
     "q_cms" -> cmsOracle,
-    "q_bloom" -> bloomOracle)
+    "q_bloom" -> bloomOracle,
+    "q_kmv" -> kmvOracle)
 }

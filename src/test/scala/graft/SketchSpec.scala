@@ -72,4 +72,31 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("partial_bit_or"),
       s"word partials must OR map-side (mergeable summary):\n$plan")
   }
+
+  test("q_kmv: estimator within 5-sigma, exact branch below k, " +
+    "deterministic reruns") {
+    val rows = SketchQueries.qKmv(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("kth_min"), r.getAs[Long]("est"),
+        r.getAs[Long]("err_ppm")))
+    assert(rows.nonEmpty)
+    // KMV relative error std ≈ 1/sqrt(k-2); 5 sigma at k=64 ≈ 63.5%
+    val sigma5 = 5.0 / math.sqrt(SketchQueries.KmvK - 2.0)
+    rows.foreach { case (s, n, kth, est, _) =>
+      if (n < SketchQueries.KmvK) {
+        assert(est === n, s"$s below k must take the exact branch")
+        assert(kth === 0L, s"$s below k has no k-th minimum")
+      } else {
+        assert(kth > 0L)
+        assert(math.abs(est - n) <= sigma5 * n,
+          s"$s estimate $est vs exact $n exceeds 5 sigma")
+      }
+    }
+    // the estimator must actually fire somewhere in this corpus
+    assert(rows.exists(_._2 >= SketchQueries.KmvK))
+    val rerun = SketchQueries.qKmv(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("est")))
+    assert(rerun.toSeq ===
+      rows.map(t => (t._1, t._4)).toSeq) // md5 determinism
+  }
 }
