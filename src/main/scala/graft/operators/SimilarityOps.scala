@@ -958,6 +958,55 @@ object SimilarityOps {
         col("n_a"), col("n_b"))
   }
 
+  /** V25: per-label centroid DRIFT census — V19's machinery pointed
+    * at the monitoring question instead of the separability one: each
+    * label's population split into two deterministic halves
+    * (vec_id parity — in production, the time/batch column), a
+    * truncated-integer-mean centroid per half, and the cosine between
+    * the two half-centroids. cos ≈ 1 means the label occupies the
+    * same region in both halves (stable embedding space / stable
+    * labeling); a low cosine is the drift alarm — re-embedding,
+    * upstream distribution shift, or label contamination — caught
+    * from pure geometry before any model metric moves. The embedding-
+    * space sibling of X44's KS gate.
+    *
+    * Scale shape: identical to V19 — one posexplode into a partial-
+    * agg'd (label, half, dim) Exchange bounded by labels × 2 × dims;
+    * everything after runs on the centroid table. Labels present in
+    * only one half drop out (inner join) — there is nothing to
+    * compare.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val cents = emb
+      .select(col("label"), (col("vec_id") % 2L).as("half"),
+        posexplode(milliVec(col("embedding"))).as(Seq("i", "v")))
+      .groupBy("label", "half", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("i"),
+        expr("s div n").as("c"), col("n"))
+    val norms = cents.groupBy("label", "half")
+      .agg(sum(col("c") * col("c")).as("ssq"), max("n").as("n"))
+    val dots = cents.filter(col("half") === 0L)
+      .select(col("label"), col("i"), col("c").as("ca"))
+      .join(cents.filter(col("half") === 1L)
+        .select(col("label"), col("i"), col("c").as("cb")),
+        Seq("label", "i"))
+      .groupBy("label").agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.filter(col("half") === 0L)
+        .select(col("label"), col("ssq").as("ssqa"),
+          col("n").as("n_a")), Seq("label"))
+      .join(norms.filter(col("half") === 1L)
+        .select(col("label"), col("ssq").as("ssqb"),
+          col("n").as("n_b")), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("ssqa") === 0L || col("ssqb") === 0L, 0L)
+          .otherwise(micro(col("dot") /
+            (sqrt(col("ssqa").cast("double")) *
+              sqrt(col("ssqb").cast("double")))))
+          .as("cos_micro"))
+  }
+
   /** V17: per-vector assignment-margin audit — best minus runner-up
     * centroid score under the trained codebook, via the
     * [[graft.functions.KmeansSecond]] kernel (rank 2 of the same

@@ -350,6 +350,9 @@ object SimilarityQueries {
     SimilarityOps.filteredAnn(emb(spark, dir), BatchQueryMax,
       FilterLabelMax, TopK).orderBy("query_id")
 
+  def qCentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.centroidDrift(emb(spark, dir)).orderBy("label")
+
   /** V24: pool ≫ k so diversity actually displaces relevance ranks. */
   val MmrPoolK = 30
   val MmrK = 5
@@ -1251,6 +1254,43 @@ object SimilarityQueries {
        |          JOIN gn nb ON d.label_b = nb.label
        |ORDER BY d.label_a, d.label_b""".stripMargin
 
+  /** V25 oracle: V19's CTEs with the parity half in the key; one
+    * IEEE division per label.
+    */
+  private val centroidDriftOracle: String =
+    s"""WITH gev AS (
+       |  SELECT label, vec_id % 2 AS half,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+       |      AS BIGINT) AS vm,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |gc AS (
+       |  SELECT label, half, i,
+       |    CAST(sum(vm) // count(*) AS BIGINT) AS c,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM gev GROUP BY 1, 2, 3
+       |),
+       |gn AS (
+       |  SELECT label, half, CAST(sum(c * c) AS BIGINT) AS ssq,
+       |    CAST(max(n) AS BIGINT) AS n
+       |  FROM gc GROUP BY 1, 2
+       |),
+       |gd AS (
+       |  SELECT a.label, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       |  FROM gc a JOIN gc b ON a.label = b.label AND a.i = b.i
+       |   AND a.half = 0 AND b.half = 1
+       |  GROUP BY 1
+       |)
+       |SELECT d.label, na.n AS n_a, nb.n AS n_b,
+       |  CAST(CASE WHEN na.ssq = 0 OR nb.ssq = 0 THEN 0
+       |       ELSE ${Hashing.microSql(
+      "d.dot / (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE)))")}
+       |       END AS BIGINT) AS cos_micro
+       |FROM gd d JOIN gn na ON d.label = na.label AND na.half = 0
+       |          JOIN gn nb ON d.label = nb.label AND nb.half = 1
+       |ORDER BY d.label""".stripMargin
+
   /** V15 oracle: the identical milli quantization, per-(label, dim)
     * sums, and the same single IEEE division — the identity holds on
     * exact integers, so no tolerance is needed anywhere.
@@ -1546,6 +1586,7 @@ object SimilarityQueries {
     "q_mrr"            -> (qMrr _),
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
+    "q_centroid_drift" -> (qCentroidDrift _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
@@ -1576,6 +1617,7 @@ object SimilarityQueries {
     "q_mrr"            -> mrrOracle,
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
+    "q_centroid_drift" -> centroidDriftOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,

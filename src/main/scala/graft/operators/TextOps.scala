@@ -2299,6 +2299,43 @@ object TextOps {
           .as("lift_micro"))
   }
 
+  /** X50: term burstiness census (Church & Gale's variance-to-mean
+    * dispersion) over the top-V corpus terms — the within-document
+    * companion of X43's cross-document lift: VMR = 1 is Poisson
+    * scatter (function-word behavior), VMR ≫ 1 is bursty (a term that
+    * arrives in clumps — topical/content words, or template blocks
+    * repeating inside documents). A tokenizer/stopword policy and the
+    * X27 boilerplate bar both read this: high-df + high-VMR terms are
+    * template signatures, high-df + VMR ≈ 1 terms are glue.
+    *
+    * Exactness: with per-doc counts x_d over ALL N docs (zeros
+    * included — they contribute nothing to the sums, so only the
+    * occurrence rows are ever materialized),
+    * VMR = (N·Σx² − (Σx)²) / (N·Σx) and mean = Σx/N — integer
+    * numerators, ONE IEEE division each, micro-floored.
+    *
+    * Scale shape: the X43 census shape — top-V winners broadcast to
+    * the occurrence stream, one (doc, term) partial-agg, then a
+    * V-row rollup. Nothing pairwise.
+    */
+  def burstinessCensus(docs: DataFrame, topV: Int): DataFrame = {
+    val occ = parallelized(docs).select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+    val topTerms = occ.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topV).select("t")
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val perDoc = occ.join(broadcast(topTerms), Seq("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("x"))
+    perDoc.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t"), col("df"), col("sx"), col("n_docs"),
+        micro(col("sx") / col("n_docs")).as("mean_micro"),
+        micro((col("n_docs") * col("sxx") - col("sx") * col("sx")) /
+          (col("n_docs") * col("sx"))).as("vmr_micro"))
+  }
+
   /** X46: winsorized robust length stats per source — the outlier-
     * tolerant profile a pipeline reads where a plain mean is dominated
     * by a few megadocs (and a plain trim throws data away): values

@@ -81,6 +81,9 @@ object TextQueries {
     TextOps.ksDrift(Tables.documents(spark, dir))
       .orderBy("source_a", "source_b")
 
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame =
+    TextOps.burstinessCensus(docs(spark, dir), CoocTopV).orderBy("t")
+
   def qWinsor(spark: SparkSession, dir: String): DataFrame =
     TextOps.winsorStats(Tables.documents(spark, dir)).orderBy("source")
 
@@ -562,6 +565,32 @@ object TextQueries {
                 "cov_num / (sqrt(var_x) * sqrt(var_y))")}
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY source""".stripMargin
+
+  /** X50 oracle: same top-V cut, (term, doc) partial counts, integer
+    * numerators; one division per statistic.
+    */
+  private val burstinessOracle =
+    s"""$tokCte,
+       |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |topv AS (
+       |  SELECT t FROM (SELECT t, count(*) AS c FROM occ GROUP BY 1)
+       |  ORDER BY c DESC, t LIMIT $CoocTopV
+       |),
+       |pd AS (
+       |  SELECT o.t, o.doc_id, count(*) AS x
+       |  FROM occ o JOIN topv USING (t) GROUP BY 1, 2
+       |),
+       |s AS (
+       |  SELECT t, count(*) AS df, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM pd GROUP BY 1
+       |),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT t, df, sx, n_docs,
+       |  ${Hashing.microSql("sx / n_docs")} AS mean_micro,
+       |  ${Hashing.microSql(
+            "(n_docs * sxx - sx * sx) / (n_docs * sx)")} AS vmr_micro
+       |FROM s, n ORDER BY t""".stripMargin
 
   /** X44 oracle: CDF differences carried as integer numerators over
     * the common denominator n₁·n₂; one IEEE division at the very end.
@@ -2258,6 +2287,7 @@ object TextQueries {
     "q_triangles"     -> (qTriangles _),
     "q_cooc"          -> (qCooc _),
     "q_ks_drift"      -> (qKsDrift _),
+    "q_burstiness"    -> (qBurstiness _),
     "q_bm25"          -> (qBm25 _),
     "q_winsor"        -> (qWinsor _),
     "q_concentration" -> (qConcentration _),
@@ -2317,6 +2347,7 @@ object TextQueries {
     "q_triangles"     -> trianglesOracle,
     "q_cooc"          -> coocOracle,
     "q_ks_drift"      -> ksDriftOracle,
+    "q_burstiness"    -> burstinessOracle,
     "q_bm25"          -> bm25Oracle,
     "q_winsor"        -> winsorOracle,
     "q_concentration" -> concentrationOracle,

@@ -701,4 +701,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(1L, 3L, 4L))
     assert(!out.map(_._2).contains(2L)) // near-copy displaced from top-3
   }
+
+  test("centroidDrift: orthogonal halves read 0, identical halves 1, " +
+    "single-half labels drop") {
+    // label 0: half-0 centroid (1,0) vs half-1 (0,1) -> cos 0
+    // label 1: identical halves -> dot/(sqrt(ssq)*sqrt(ssq)) rounds to
+    //   1-ulp below 1, so the micro floor reads 999999 (the self-cosine
+    //   floor boundary; both engines compute the identical ops)
+    // label 2: only half 0 -> no comparison, absent
+    val m = emb(
+      (0L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),
+      (4L, Seq(1f, 1f), 1), (5L, Seq(1f, 1f), 1),
+      (6L, Seq(1f, 0f), 2))
+    val out = SimilarityOps.centroidDrift(m).orderBy("label").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("cos_micro")))
+    assert(out.toSeq === Seq(
+      (0, 2L, 1L, 0L),
+      (1, 1L, 1L, 999999L)))
+  }
 }

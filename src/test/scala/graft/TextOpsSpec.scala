@@ -881,6 +881,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._3).sum === 4L * 3L)
   }
 
+  test("burstinessCensus: hand-computed VMR separates bursty from glue") {
+    import sqlImplicits._
+    // a: x = (4, 1) over N=3 -> VMR = (3*17-25)/15 = 26/15 (bursty)
+    // b: x = (2, 1)          -> VMR = (3*5-9)/9 = 2/3 (sub-Poisson)
+    val corpus = Seq(
+      (1L, "a a a a"), (2L, "b b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.burstinessCensus(corpus, 2).orderBy("t").collect()
+      .map(r => (r.getAs[String]("t"), r.getAs[Long]("df"),
+        r.getAs[Long]("sx"), r.getAs[Long]("mean_micro"),
+        r.getAs[Long]("vmr_micro")))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 5L, 1666666L, 1733333L),
+      ("b", 2L, 3L, 1000000L, 666666L)))
+  }
+
   test("winsorStats: rank-picked bounds, clip accounting, exact mean") {
     import sqlImplicits._
     // source A lengths 1..20: r_lo = floor(19*.05) = 0 -> lo = 1,
