@@ -2299,6 +2299,36 @@ object TextOps {
           .as("lift_micro"))
   }
 
+  /** X44's KS statistic between two VALUE CENSUSES (v, cnt) — the
+    * census-level core [[ksDrift]] computes pairwise per source,
+    * exposed for the streaming drift monitor
+    * ([[graft.streaming.DriftMonitor]]) where one side is a batch and
+    * the other a persisted reference. Same exactness: integer
+    * numerator max, one division. Returns ONE row
+    * (n_a, n_b, ks_num, ks_micro).
+    */
+  def ksBetweenCensuses(a: DataFrame, b: DataFrame): DataFrame = {
+    val grid = a.select("v").union(b.select("v")).distinct()
+    def cum(cen: DataFrame, tag: String) =
+      grid.join(cen, Seq("v"), "left")
+        .select(col("v"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn(s"cum_$tag",
+          sum("cnt").over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0)).orderBy("v")))
+        .select(col("v"), col(s"cum_$tag"))
+    val joined = cum(a, "a").join(cum(b, "b"), Seq("v")).cache()
+    val totals = joined
+      .agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+          .as("num"))
+      .groupBy("n_a", "n_b").agg(max("num").as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        micro(col("ks_num") / (col("n_a") * col("n_b")))
+          .as("ks_micro"))
+  }
+
   /** X50: term burstiness census (Church & Gale's variance-to-mean
     * dispersion) over the top-V corpus terms — the within-document
     * companion of X43's cross-document lift: VMR = 1 is Poisson
