@@ -758,6 +758,217 @@ object RelationalQueries {
        |FROM cnt c JOIN tot t USING (from_type)
        |ORDER BY from_type, to_type""".stripMargin
 
+  /** D21: fuzzy record-linkage join (entity resolution) — the
+    * dirty-feed-to-master-data matcher every warehouse runs when a
+    * provider ships mangled keys: a deterministic probe feed (every
+    * 50th customer name with one character corrupted at a
+    * key-derived position) is resolved back to the master by q-gram
+    * BLOCKING (character 3-grams, document-frequency-capped so the
+    * shared template prefix and zero-run grams never become join
+    * keys) followed by exact Levenshtein verification at distance
+    * ≤ [[FuzzyMaxDist]] and a deterministic best-match rank
+    * (distance, then key). `n_cand` reports the verified competitor
+    * count — on this master the corrupted digit leaves single-digit
+    * neighbors at distance 2, so resolution genuinely has to RANK,
+    * not just find.
+    *
+    * Cross-engine: Levenshtein is the classic DP edit distance in
+    * both engines — an exact integer; blocking and ranking are
+    * integer/string comparisons throughout.
+    *
+    * Scale shape: the inverted q-gram index is the [[TextOps]] dedup
+    * discipline applied to record linkage — candidates are generated
+    * per shared DISCRIMINATIVE gram (df cap bounds each gram's
+    * fan-out; the probe side is the small feed), never by a name ×
+    * name cross join; verification cost is |candidates| small DP
+    * evaluations. Known recall edge, measured not hidden: a record
+    * with NO discriminative gram (customer 0 — an all-template name
+    * whose every gram is df-capped) generates no candidates and is
+    * absent from the output; production handles the all-template
+    * tail with a fallback exact-key pass.
+    */
+  val FuzzyEvery = 50L
+  val FuzzyMaxDist = 2
+  val FuzzyMaxDf = 500L
+
+  private def charGrams3(c: Column): Column =
+    transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))
+
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val probes = cust.filter(col("c_custkey") % FuzzyEvery === 0)
+      .selectExpr("c_custkey AS probe_id",
+        "concat(substring(c_name, 1, 9 + cast(c_custkey % 4 as int)), " +
+          "'X', substring(c_name, 11 + cast(c_custkey % 4 as int))) " +
+          "AS dirty_name")
+    val mg = cust.select(col("c_custkey"),
+      explode(array_distinct(charGrams3(col("c_name")))).as("g"))
+    val keep = mg.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyMaxDf).select("g")
+    val mgk = mg.join(keep, Seq("g"))
+    val pg = probes.select(col("probe_id"), col("dirty_name"),
+      explode(array_distinct(charGrams3(col("dirty_name")))).as("g"))
+    val cand = pg.join(mgk, Seq("g"))
+      .select("probe_id", "dirty_name", "c_custkey").distinct()
+    val verified = cand.join(cust, Seq("c_custkey"))
+      .withColumn("distance",
+        levenshtein(col("dirty_name"), col("c_name")).cast("long"))
+      .filter(col("distance") <= FuzzyMaxDist)
+    val wBest = Window.partitionBy("probe_id")
+      .orderBy(col("distance"), col("c_custkey"))
+    verified
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_cand",
+        count(lit(1)).over(Window.partitionBy("probe_id")))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("dirty_name"),
+        col("c_custkey").as("matched_key"), col("distance"),
+        col("n_cand"))
+      .orderBy("probe_id")
+  }
+
+  /** D21 oracle: identical grams, cap, verification, and rank. */
+  private val fuzzyJoinOracle =
+    s"""WITH cust AS (SELECT c_custkey, c_name FROM customer),
+       |probes AS (
+       |  SELECT c_custkey AS probe_id,
+       |    substr(c_name, 1, 9 + CAST(c_custkey % 4 AS INTEGER)) || 'X'
+       |      || substr(c_name, 11 + CAST(c_custkey % 4 AS INTEGER))
+       |      AS dirty_name
+       |  FROM cust WHERE c_custkey % $FuzzyEvery = 0
+       |),
+       |mg AS (
+       |  SELECT DISTINCT c_custkey, substr(c_name, i, 3) AS g
+       |  FROM cust, unnest(range(1, len(c_name) - 1)) AS t(i)
+       |),
+       |keep AS (SELECT g FROM mg GROUP BY g
+       |         HAVING count(*) <= $FuzzyMaxDf),
+       |mgk AS (SELECT m.* FROM mg m JOIN keep USING (g)),
+       |pg AS (
+       |  SELECT DISTINCT probe_id, dirty_name,
+       |    substr(dirty_name, i, 3) AS g
+       |  FROM probes, unnest(range(1, len(dirty_name) - 1)) AS t(i)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.probe_id, p.dirty_name, m.c_custkey
+       |  FROM pg p JOIN mgk m USING (g)
+       |),
+       |ver AS (
+       |  SELECT c.probe_id, c.dirty_name, c.c_custkey,
+       |    CAST(levenshtein(c.dirty_name, k.c_name) AS BIGINT)
+       |      AS distance
+       |  FROM cand c JOIN cust k USING (c_custkey)
+       |  WHERE levenshtein(c.dirty_name, k.c_name) <= $FuzzyMaxDist
+       |),
+       |rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY distance, c_custkey) AS rn,
+       |    count(*) OVER (PARTITION BY probe_id) AS n_cand
+       |  FROM ver
+       |)
+       |SELECT probe_id, dirty_name, c_custkey AS matched_key, distance,
+       |  n_cand
+       |FROM rk WHERE rn = 1 ORDER BY probe_id""".stripMargin
+
+  /** R19: fixed-grid resample with last-observation-carried-forward —
+    * the time-series regularization every feature pipeline runs
+    * before feeding a model that expects one row per (entity, day):
+    * each user's irregular event stream becomes a dense daily grid
+    * over the corpus's span, each cell carrying the latest
+    * observation at or before that day (value as exact cents), its
+    * source day, and the staleness (`gap_days` — the feature a
+    * downstream consumer thresholds). Cells before a user's first
+    * observation have nothing to carry and are absent (dense-from-
+    * first-touch, the standard LOCF contract).
+    *
+    * Determinism: within a day the carried observation is the last by
+    * (ts, event_id); the LOCF pick is max(obs_day) — unique per cell.
+    * Dates cross the oracle boundary as ISO strings (engine DATE
+    * encodings differ in the compare).
+    *
+    * Scale shape: the daily-last reduction is the only corpus-sized
+    * window (user-keyed, per-key sort bounded); the grid is
+    * users × span-days (entity-census-sized, NOT event-sized), and
+    * the LOCF join runs grid × that user's ≤ span-days daily rows —
+    * both sides census-scale. At lakehouse scale the same plan runs
+    * per user-bucket.
+    */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val e2 = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        to_date(col("ts")).as("day"))
+    val wd = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = e2.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1).select("user_id", "day", "cents")
+      .cache()
+    val span = e2.agg(min("day").as("d0"), max("day").as("d1"))
+    val days = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = e2.select("user_id").distinct()
+      .crossJoin(broadcast(days))
+    val locf = grid
+      .join(daily.select(col("user_id"), col("day").as("obs_day")),
+        Seq("user_id"))
+      .filter(col("obs_day") <= col("day"))
+      .groupBy("user_id", "day").agg(max("obs_day").as("obs_day"))
+    locf
+      .join(daily.select(col("user_id"), col("day").as("obs_day"),
+        col("cents")), Seq("user_id", "obs_day"))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("grid_day"),
+        date_format(col("obs_day"), "yyyy-MM-dd").as("obs_day"),
+        col("cents"),
+        datediff(col("day"), col("obs_day")).cast("long")
+          .as("gap_days"))
+      .orderBy("user_id", "grid_day")
+  }
+
+  /** R19 oracle: same daily-last window, same grid, same max-day
+    * LOCF pick; dates as ISO strings.
+    */
+  private val resampleOracle =
+    s"""$evCte,
+       |e2 AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    CAST(ts AS DATE) AS d
+       |  FROM ev
+       |),
+       |daily AS (
+       |  SELECT user_id, d, cents FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, d
+       |      ORDER BY ts DESC, event_id DESC) AS rn FROM e2
+       |  ) WHERE rn = 1
+       |),
+       |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e2),
+       |days AS (
+       |  SELECT CAST(unnest(range(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY))
+       |    AS DATE) AS d
+       |  FROM span
+       |),
+       |grid AS (
+       |  SELECT u.user_id, dy.d
+       |  FROM (SELECT DISTINCT user_id FROM e2) u CROSS JOIN days dy
+       |),
+       |locf AS (
+       |  SELECT g.user_id, g.d, max(dd.d) AS obs_d
+       |  FROM grid g JOIN daily dd
+       |    ON g.user_id = dd.user_id AND dd.d <= g.d
+       |  GROUP BY 1, 2
+       |)
+       |SELECT l.user_id,
+       |  CAST(l.d AS VARCHAR) AS grid_day,
+       |  CAST(l.obs_d AS VARCHAR) AS obs_day,
+       |  dd.cents,
+       |  CAST(l.d - l.obs_d AS BIGINT) AS gap_days
+       |FROM locf l JOIN daily dd
+       |  ON l.user_id = dd.user_id AND l.obs_d = dd.d
+       |ORDER BY l.user_id, grid_day""".stripMargin
+
   val QuantilePs = Seq(0.25, 0.5, 0.9)
 
   def qQuantileCensus(spark: SparkSession, dir: String): DataFrame =
@@ -1119,6 +1330,8 @@ object RelationalQueries {
     "q_quantiles"       -> (qQuantiles _),
     "q_quantile_census" -> (qQuantileCensus _),
     "q_transitions"     -> (qTransitions _),
+    "q_fuzzy_join"      -> (qFuzzyJoin _),
+    "q_resample"        -> (qResample _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_sessions"     -> (qSessions _),
@@ -1143,6 +1356,8 @@ object RelationalQueries {
     "q_quantiles"       -> quantilesOracle,
     "q_quantile_census" -> quantileCensusOracle,
     "q_transitions"     -> transitionsOracle,
+    "q_fuzzy_join"      -> fuzzyJoinOracle,
+    "q_resample"        -> resampleOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
     "q_sessions"     -> sessionsOracle,

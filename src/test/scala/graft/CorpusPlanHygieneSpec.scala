@@ -46,6 +46,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_pq_rerank",      // broadcast single query vector (rerank stage)
     "q_pq_serve",       // broadcast single query vector (rerank stage)
     "q_range_join",     // pure range join on a broadcast bucket dim
+    "q_resample",       // users x broadcast span-days grid (<= 31 rows)
     "q_tfidf",          // broadcast one-row corpus doc count N
     "q_topk_per_label") // broadcast single query vector
 

@@ -79,6 +79,51 @@ class ScaleOpsSpec extends SparkSpec {
       ("B", "A", 1L, 1L, 1000000L)))
   }
 
+  test("fuzzy join resolves every discriminative probe to its source") {
+    val out = RelationalQueries.qFuzzyJoin(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("matched_key"),
+        r.getAs[Long]("distance"), r.getAs[Long]("n_cand")))
+    // probes 0/50/100 — at sf0.001's 150 customers even the zero-run
+    // grams sit under the df cap, so all three probes resolve (the
+    // documented all-template recall edge only appears at sf0.01+,
+    // where q_fuzzy_join's oracle run shows 29/30)
+    assert(out.map(_._1).toSet === Set(0L, 50L, 100L))
+    out.foreach { case (p, m, d, n) =>
+      assert(m === p, s"probe $p must resolve to itself")
+      assert(d === 1L, s"probe $p is one substitution from its source")
+      assert(n >= 1L)
+    }
+  }
+
+  test("resample: LOCF grid is dense from first touch with exact gaps") {
+    val rows = RelationalQueries.qResample(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("grid_day"),
+        r.getAs[String]("obs_day"), r.getAs[Long]("gap_days")))
+    assert(rows.nonEmpty)
+    val spanEnd = rows.map(_._2).max
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val days = g.map(_._2).sorted
+      // dense: one row per day from the user's first observation to
+      // the span end
+      assert(days.last === spanEnd, s"user $u grid must reach span end")
+      assert(days.length ===
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(days.head),
+          java.time.LocalDate.parse(days.last)).toInt + 1,
+        s"user $u grid must be gapless")
+      g.foreach { case (_, gd, od, gap) =>
+        assert(od <= gd, "carried observation never from the future")
+        assert(gap === java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(od),
+          java.time.LocalDate.parse(gd)), "gap_days exact")
+      }
+      // the first grid day IS an observation day
+      assert(g.minBy(_._2)._4 === 0L)
+    }
+  }
+
   test("topK aggregator: per-group k best with deterministic ties") {
     val data = Seq(
       ("a", 0.9, 1L), ("a", 0.5, 2L), ("a", 0.9, 3L), ("a", 0.1, 4L),
