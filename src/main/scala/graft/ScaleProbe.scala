@@ -1040,6 +1040,23 @@ object ScaleProbe {
       invariant("transitions",
         e => graft.operators.RelationalQueries.transitionCensus(e),
         ev, "user_id", Seq("from_type", "to_type"), "p_micro")
+      // X50 VMR: every power sum scales by k, numerator and
+      // denominator both by k² — bit-invariant
+      invariant("burstiness", d => TextOps.burstinessCensus(d, 24),
+        docs, "doc_id", Seq("t"), "vmr_micro")
+      // V25: the 10M id offset is even, so replica parity is
+      // preserved; (k·s) div (k·n) == s div n (same rational, same
+      // truncation) — centroids and the drift cosine bit-identical
+      invariant("centroid_drift",
+        e => graft.operators.SimilarityOps.centroidDrift(e),
+        emb, "vec_id", Seq("label"), "cos_micro")
+      // X49 KMV: replication adds ZERO new distinct shingles, so the
+      // sketch — k-th minimum, estimate, and exact count alike — is
+      // completely blind to duplication (the distinct-count sketch's
+      // defining property, measured)
+      invariant("kmv",
+        d => graft.operators.SketchQueries.kmvCensus(d),
+        fullDocs, "doc_id", Seq("source"), "est")
     }
     // ≥1k-merge sampled BPE train: real tokenizers live at 32k merges,
     // and the scale claim is that every training round is VOCABULARY-

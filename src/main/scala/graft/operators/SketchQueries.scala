@@ -250,11 +250,14 @@ object SketchQueries {
 
   private val pow60 = "CAST(1152921504606846976 AS DOUBLE)"
 
-  def qKmv(spark: SparkSession, dir: String): DataFrame = {
+  def qKmv(spark: SparkSession, dir: String): DataFrame =
+    kmvCensus(Tables.documents(spark, dir))
+
+  def kmvCensus(docs: DataFrame): DataFrame = {
     // universe = per-source distinct word 5-grams (thousands per
     // source, so the estimator actually fires; distinct TEXTS would
     // be ≤ docs-per-source and always take the exact branch)
-    val hs = Tables.documents(spark, dir)
+    val hs = docs
       .select(col("source"), explode(TextOps.shingles(
         TextOps.tokens(col("text")), 5)).as("sh"))
       .select(col("source"), md5Long(col("sh")).as("h")).distinct()
