@@ -1058,6 +1058,42 @@ object ScaleProbe {
         d => graft.operators.SketchQueries.kmvCensus(d),
         fullDocs, "doc_id", Seq("source"), "est")
     }
+    // D21 fuzzy join under name-preserving k-replication (keys offset,
+    // names copied — the "same entity shipped k times under different
+    // keys" regime) with the df cap scaled by k (the corpus-relative
+    // dial): every replica probe must resolve to the BASE entity
+    // (lowest key of its name class) at distance 1, and the resolved
+    // probe count must scale by exactly k.
+    {
+      val off = 10000000L
+      val cust = graft.sources.Tables.customer(spark, dir)
+        .select("c_custkey", "c_name")
+      def resolved(c: Int): Seq[(Long, Long, Long)] = {
+        val m = replicate(cust, "c_custkey", c)
+        var out: Seq[(Long, Long, Long)] = null
+        time(s"fuzzy_join_${c}x") {
+          out = graft.operators.RelationalQueries
+            .fuzzyResolve(m, maxDf = 500L * c).collect()
+            .map(r => (r.getAs[Long]("probe_id"),
+              r.getAs[Long]("matched_key"), r.getAs[Long]("distance")))
+            .toSeq
+          out.size.toLong
+        }
+        out
+      }
+      val r1 = resolved(1)
+      val rk = resolved(k)
+      require(rk.size == r1.size * k,
+        s"resolved probe count must scale by k: ${r1.size} -> ${rk.size}")
+      rk.foreach { case (p, m, d) =>
+        require(m == p % off,
+          s"replica probe $p must resolve to its base entity, got $m")
+        require(d == 1L, s"probe $p must resolve at distance 1")
+      }
+      println(s"SCALE fuzzy_blowup ok (${r1.size} probes at 1x -> " +
+        s"${rk.size} at ${k}x, every replica resolved to its base " +
+        "entity at distance 1)")
+    }
     // ≥1k-merge sampled BPE train: real tokenizers live at 32k merges,
     // and the scale claim is that every training round is VOCABULARY-
     // sized (pair counts over distinct word forms), never corpus-sized

@@ -794,8 +794,17 @@ object RelationalQueries {
   private def charGrams3(c: Column): Column =
     transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))
 
-  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyResolve(Tables.customer(spark, dir)
+      .select("c_custkey", "c_name"))
+
+  /** `maxDf` is a corpus-relative dial (the SemDeDup-nCentroids
+    * discipline): at k× the master, the cap must scale by k or every
+    * discriminative gram saturates — ScaleProbe holds the ratio fixed
+    * and pins the blow-up closed form.
+    */
+  def fuzzyResolve(cust: DataFrame,
+                   maxDf: Long = FuzzyMaxDf): DataFrame = {
     val probes = cust.filter(col("c_custkey") % FuzzyEvery === 0)
       .selectExpr("c_custkey AS probe_id",
         "concat(substring(c_name, 1, 9 + cast(c_custkey % 4 as int)), " +
@@ -804,7 +813,7 @@ object RelationalQueries {
     val mg = cust.select(col("c_custkey"),
       explode(array_distinct(charGrams3(col("c_name")))).as("g"))
     val keep = mg.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= FuzzyMaxDf).select("g")
+      .filter(col("df") <= maxDf).select("g")
     val mgk = mg.join(keep, Seq("g"))
     val pg = probes.select(col("probe_id"), col("dirty_name"),
       explode(array_distinct(charGrams3(col("dirty_name")))).as("g"))
