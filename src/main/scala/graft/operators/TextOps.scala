@@ -2329,6 +2329,80 @@ object TextOps {
           .as("ks_micro"))
   }
 
+  /** X51: Population Stability Index per source against the corpus
+    * reference — the OTHER production drift metric beside X44's KS:
+    * where KS is the sup-norm of the CDF gap (one worst point), PSI
+    * is an f-divergence over decile buckets,
+    * Σ (p_b − q_b)·ln(p_b/q_b) — every bucket's deviation contributes
+    * and tail mass is weighted by the log ratio, so PSI flags a
+    * fattened tail KS can underweight. Industry reading: < 0.1 quiet,
+    * 0.1–0.25 investigate, > 0.25 re-fit.
+    *
+    * Construction: reference buckets are the CORPUS length deciles
+    * (rank-picked integer edges — actual corpus values, the X46
+    * discipline; tied edges merge buckets, the standard behavior);
+    * each source's distribution lands on those buckets; Laplace +1
+    * smoothing on every bucket count (both sides) keeps empty buckets
+    * finite — documented, not hidden behind an ε.
+    *
+    * Exactness: counts are exact integers end to end; each bucket's
+    * term is micro-floored from a FIXED double tree — p and q one
+    * division each, one ln of their ratio, one multiply (the X19 ln
+    * discipline) — and the per-source reduction sums INTEGERS.
+    *
+    * Scale shape: everything after the (source, value) census
+    * partial-agg runs census-sized: decile edges come off the global
+    * value census (winsor's rank machinery), bucket assignment joins
+    * the census against NINE broadcast edges, and the PSI rollup is
+    * sources × 10 rows.
+    */
+  def psiDrift(docs: DataFrame): DataFrame = {
+    val scen = parallelized(docs).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val cen = scen.groupBy("v").agg(sum("cnt").as("cnt"))
+    val cum = cen.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy("v")))
+    val nAll = cen.agg(sum("cnt").as("n_all"))
+    val edges = nAll
+      .select(explode(sequence(lit(1), lit(9))).as("i"), col("n_all"))
+      .withColumn("r",
+        floor((col("n_all") - 1L) * col("i") / lit(10.0)).cast("long"))
+      .join(cum, col("r") >= col("cum") - col("cnt") &&
+        col("r") < col("cum"))
+      .select(col("i"), col("v").as("edge"))
+    val bucketOf = scen.crossJoin(broadcast(edges))
+      .groupBy("source", "v")
+      .agg(max("cnt").as("cnt"),
+        sum(when(col("v") > col("edge"), 1L).otherwise(0L))
+          .as("bucket"))
+    val perSrcBucket = bucketOf.groupBy("source", "bucket")
+      .agg(sum("cnt").as("n_b"))
+    val srcTotals = perSrcBucket.groupBy("source")
+      .agg(sum("n_b").as("n_s"))
+    val refBucket = perSrcBucket.groupBy("bucket")
+      .agg(sum("n_b").as("m_b"))
+    val grid = srcTotals.select(col("source"), col("n_s"),
+      explode(sequence(lit(0L), lit(9L))).as("bucket"))
+    val terms = grid
+      .join(perSrcBucket, Seq("source", "bucket"), "left")
+      .join(broadcast(refBucket), Seq("bucket"), "left")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_s"),
+        (coalesce(col("n_b"), lit(0L)) + 1L).as("sn"),
+        (col("n_s") + 10L).as("sd"),
+        (coalesce(col("m_b"), lit(0L)) + 1L).as("rn"),
+        (col("n_all") + 10L).as("rd"))
+      .select(col("source"), col("n_s"),
+        micro((col("sn") / col("sd") - col("rn") / col("rd")) *
+          log((col("sn") / col("sd")) / (col("rn") / col("rd"))))
+          .as("term_micro"))
+    terms.groupBy("source")
+      .agg(max("n_s").as("n_docs"), sum("term_micro").as("psi_micro"))
+  }
+
   /** X50: term burstiness census (Church & Gale's variance-to-mean
     * dispersion) over the top-V corpus terms — the within-document
     * companion of X43's cross-document lift: VMR = 1 is Poisson

@@ -84,6 +84,9 @@ object TextQueries {
   def qBurstiness(spark: SparkSession, dir: String): DataFrame =
     TextOps.burstinessCensus(docs(spark, dir), CoocTopV).orderBy("t")
 
+  def qPsi(spark: SparkSession, dir: String): DataFrame =
+    TextOps.psiDrift(Tables.documents(spark, dir)).orderBy("source")
+
   def qWinsor(spark: SparkSession, dir: String): DataFrame =
     TextOps.winsorStats(Tables.documents(spark, dir)).orderBy("source")
 
@@ -565,6 +568,66 @@ object TextQueries {
                 "cov_num / (sqrt(var_x) * sqrt(var_y))")}
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY source""".stripMargin
+
+  /** X51 oracle: same rank-picked decile edges, bucket sums, Laplace
+    * smoothing, and the fixed (p − q)·ln(p/q) tree micro-floored per
+    * bucket with an integer per-source sum.
+    */
+  private val psiOracle =
+    s"""WITH vals AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents
+       |),
+       |scen AS (SELECT source, v, count(*) AS cnt FROM vals GROUP BY 1, 2),
+       |cen AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt
+       |        FROM scen GROUP BY 1),
+       |cum AS (SELECT v, cnt,
+       |        CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+       |        FROM cen),
+       |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM cen),
+       |ed AS (
+       |  SELECT t.i,
+       |    CAST(floor((n_all - 1) * t.i / CAST(10.0 AS DOUBLE))
+       |         AS BIGINT) AS r
+       |  FROM na, unnest(range(1, 10)) AS t(i)
+       |),
+       |edges AS (
+       |  SELECT e.i, c.v AS edge FROM ed e
+       |  JOIN cum c ON e.r >= c.cum - c.cnt AND e.r < c.cum
+       |),
+       |bk AS (
+       |  SELECT s.source, s.v, max(s.cnt) AS cnt,
+       |    CAST(sum(CASE WHEN s.v > e2.edge THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS bucket
+       |  FROM scen s CROSS JOIN edges e2 GROUP BY 1, 2
+       |),
+       |psb AS (SELECT source, bucket, CAST(sum(cnt) AS BIGINT) AS n_b
+       |        FROM bk GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(n_b) AS BIGINT) AS n_s
+       |       FROM psb GROUP BY 1),
+       |rb AS (SELECT bucket, CAST(sum(n_b) AS BIGINT) AS m_b
+       |       FROM psb GROUP BY 1),
+       |grid AS (
+       |  SELECT st.source, st.n_s, gb.b AS bucket
+       |  FROM st, unnest(range(0, 10)) AS gb(b)
+       |),
+       |terms AS (
+       |  SELECT g.source, g.n_s,
+       |    COALESCE(p.n_b, 0) + 1 AS sn, g.n_s + 10 AS sd,
+       |    COALESCE(r.m_b, 0) + 1 AS rn, na.n_all + 10 AS rd
+       |  FROM grid g
+       |  LEFT JOIN psb p ON g.source = p.source AND g.bucket = p.bucket
+       |  LEFT JOIN rb r ON g.bucket = r.bucket, na
+       |),
+       |tm AS (
+       |  SELECT source, n_s,
+       |    ${Hashing.microSql(
+            "(sn / sd - rn / rd) * ln((sn / sd) / (rn / rd))")} AS term
+       |  FROM terms
+       |)
+       |SELECT source, max(n_s) AS n_docs,
+       |  CAST(sum(term) AS BIGINT) AS psi_micro
+       |FROM tm GROUP BY 1 ORDER BY source""".stripMargin
 
   /** X50 oracle: same top-V cut, (term, doc) partial counts, integer
     * numerators; one division per statistic.
@@ -2288,6 +2351,7 @@ object TextQueries {
     "q_cooc"          -> (qCooc _),
     "q_ks_drift"      -> (qKsDrift _),
     "q_burstiness"    -> (qBurstiness _),
+    "q_psi"           -> (qPsi _),
     "q_bm25"          -> (qBm25 _),
     "q_winsor"        -> (qWinsor _),
     "q_concentration" -> (qConcentration _),
@@ -2348,6 +2412,7 @@ object TextQueries {
     "q_cooc"          -> coocOracle,
     "q_ks_drift"      -> ksDriftOracle,
     "q_burstiness"    -> burstinessOracle,
+    "q_psi"           -> psiOracle,
     "q_bm25"          -> bm25Oracle,
     "q_winsor"        -> winsorOracle,
     "q_concentration" -> concentrationOracle,

@@ -42,6 +42,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_mrr",            // broadcast query-vector set vs corpus scores
     "q_sq_search",      // broadcast query-vector set vs corpus scores
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
+    "q_psi",            // 9-row broadcast decile edges + one-row total
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
     "q_pq_rerank",      // broadcast single query vector (rerank stage)
     "q_pq_serve",       // broadcast single query vector (rerank stage)

@@ -881,6 +881,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._3).sum === 4L * 3L)
   }
 
+  test("psiDrift: identical sources read near-zero, a shifted source " +
+    "reads loud, symmetry exact") {
+    import sqlImplicits._
+    // A and B share one distribution (lengths 1..20); C is all-100
+    val corpus = ((1 to 20).map(k =>
+      (k.toLong, Seq.fill(k)("w").mkString(" "), "A")) ++
+      (1 to 20).map(k =>
+        (100L + k, Seq.fill(k)("w").mkString(" "), "B")) ++
+      (1 to 20).map(k =>
+        (200L + k, Seq.fill(100)("w").mkString(" "), "C")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.psiDrift(corpus).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("psi_micro"))
+      .toMap
+    // identical distributions -> identical PSI (exact symmetry); the
+    // shifted source diverges MORE from the blended reference than
+    // the majority sources do (the blend itself contains C's mass, so
+    // A and B read the mirror image of C's shift — correct PSI
+    // behavior, not noise)
+    assert(out("A") === out("B"))
+    assert(out("C") > out("A"), s"shifted source must read loudest: $out")
+    // a corpus where every source shares one distribution is quiet:
+    // only the Laplace smoothing separates any source from the blend
+    val quiet = TextOps.psiDrift(corpus.filter(col("source") =!= "C"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("psi_micro"))
+      .toMap
+    assert(quiet("A") === quiet("B"))
+    assert(quiet("A") < 10000L,
+      s"identical-source corpus must be quiet: $quiet")
+    assert(out("C") > 25 * quiet("A"))
+  }
+
   test("burstinessCensus: hand-computed VMR separates bursty from glue") {
     import sqlImplicits._
     // a: x = (4, 1) over N=3 -> VMR = (3*17-25)/15 = 26/15 (bursty)
