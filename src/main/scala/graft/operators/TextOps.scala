@@ -2357,7 +2357,10 @@ object TextOps {
     * sources × 10 rows.
     */
   def psiDrift(docs: DataFrame): DataFrame = {
-    val scen = parallelized(docs).select(col("source"),
+    // no `parallelized`: tokenizing into a census is scan-cheap, and
+    // the repartition it inserts would shuffle full document text for
+    // a projection the scan parallelism already covers
+    val scen = docs.select(col("source"),
         size(tokens(col("text"))).cast("long").as("v"))
       .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
       .cache()
