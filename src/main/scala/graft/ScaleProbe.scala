@@ -1057,6 +1057,50 @@ object ScaleProbe {
       invariant("kmv",
         d => graft.operators.SketchQueries.kmvCensus(d),
         fullDocs, "doc_id", Seq("source"), "est")
+      // X53: both rank picks land on the same census value under ×k
+      // (k = 8 is a power of two, so the boundary positions scale
+      // losslessly and (k·a)/(k·b) is the SAME IEEE division as a/b)
+      // — med, MAD, and the outlier rate all bit-identical
+      invariant("mad_pick", d => TextOps.madOutliers(d),
+        fullDocs, "doc_id", Seq("source"), "mad")
+      invariant("mad_rate", d => TextOps.madOutliers(d),
+        fullDocs, "doc_id", Seq("source"), "out_rate_micro")
+      // X54: per-segment type counts are per-replica identical,
+      // n_segs and Σtypes both ×k ⇒ the ratio is the same IEEE
+      // division (power-of-two k) — bit-invariant
+      invariant("msttr", d => TextOps.msttr(d),
+        fullDocs, "doc_id", Seq("source"), "msttr_micro")
+      // X55: every bigram count ×k ⇒ each term's two ratios are the
+      // same IEEE divisions (power-of-two k) — bit-invariant, i.e.
+      // "more of the same bytes" moves no entropy needle
+      invariant("entropy", d => TextOps.entropyRate(d),
+        fullDocs, "doc_id", Seq("source"), "h_micro")
+    }
+    // X52 JSD identity at scale: Laplace smoothing deliberately keeps
+    // JSD from being replication-invariant (the +1 floor does not
+    // scale), so the pinned invariant is the identity axiom instead —
+    // a source and its EXACT CLONE (same bytes, new ids, new source
+    // label) must read jsd_micro == 0 at sf0.1: p = q in every bucket
+    // makes every ln(1) exactly zero BEFORE the floor, no tolerance.
+    {
+      val fullDocs = graft.sources.Tables.documents(spark, dir)
+      val base = fullDocs.filter(col("source") === "src0")
+      val clone = base
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+        .withColumn("source", lit("zzz_clone"))
+      val corpus = fullDocs.unionByName(clone)
+      var zero = -1L
+      time("jsd_clone_identity") {
+        val m = TextOps.jsdDrift(corpus, 24).collect()
+          .map(r => (r.getAs[String]("source_a"),
+            r.getAs[String]("source_b")) -> r.getAs[Long]("jsd_micro"))
+          .toMap
+        zero = m(("src0", "zzz_clone"))
+        m.size.toLong
+      }
+      require(zero == 0L,
+        s"clone source must read EXACTLY zero JSD, got $zero")
+      println("SCALE jsd_clone_identity ok (exact integer zero)")
     }
     // D21 fuzzy join under name-preserving k-replication (keys offset,
     // names copied — the "same entity shipped k times under different

@@ -481,6 +481,51 @@ object RelationalQueries {
        |       CAST(level AS BIGINT) AS level, n, sum_v
        |FROM r ORDER BY event_type, day, level""".stripMargin
 
+  /** R20: explicit GROUPING SETS — the asymmetric aggregation shape
+    * neither ROLLUP (R9, hierarchical prefixes only) nor CUBE (R10,
+    * all 2^k combinations) can express: detail (event_type, day) plus
+    * the (day)-only slice, WITHOUT the (event_type)-only and grand-
+    * total rows a cube would force the consumer to filter back out.
+    * The dashboard shape — "per-type-per-day plus a daily total line"
+    * — in one pass: Spark expands the requested sets map-side and
+    * partial-aggregates, so the asymmetric list still costs ONE
+    * Exchange like a plain census (no union of two aggregations, no
+    * double scan).
+    *
+    * Level derives from the null pattern (engine-agnostic, unlike
+    * grouping_id bit orders, which Spark and DuckDB assign
+    * differently) — the R9/R10 discipline.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("day"))),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value"))).as("sum_v"))
+      .withColumn("level",
+        when(col("event_type").isNull, 1L).otherwise(0L))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("day"), col("level"), col("n"), col("sum_v"))
+      .orderBy("event_type", "day", "level")
+
+  private val groupingSetsOracle =
+    s"""$evCte,
+       |x AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM ev
+       |),
+       |r AS (
+       |  SELECT event_type, day, count(*) AS n,
+       |         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+       |         CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS level
+       |  FROM x GROUP BY GROUPING SETS ((event_type, day), (day))
+       |)
+       |SELECT COALESCE(event_type, 'ALL') AS event_type, day,
+       |       CAST(level AS BIGINT) AS level, n, sum_v
+       |FROM r ORDER BY event_type, day, level""".stripMargin
+
   // -------------------------------------------------------- as-of join
 
   /** As-of join composed from primitives: for every error event, the
@@ -1351,6 +1396,7 @@ object RelationalQueries {
     "q_set_ops"      -> (qSetOps _),
     "q_rollup"       -> (qRollup _),
     "q_cube"         -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -1377,5 +1423,6 @@ object RelationalQueries {
     "q_set_ops"      -> setOpsOracle,
     "q_rollup"       -> rollupOracle,
     "q_cube"         -> cubeOracle,
+    "q_grouping_sets" -> groupingSetsOracle,
     "q_asof"         -> asofOracle)
 }

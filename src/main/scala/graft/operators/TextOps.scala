@@ -2876,4 +2876,223 @@ object TextOps {
       .withColumn("hamming",
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+
+  /** X53: median/MAD robust outlier census per source — the
+    * breakdown-point-0.5 companion of X46's winsorized mean: median
+    * and Median Absolute Deviation are immune to up to half the data
+    * being garbage, so the |v − med| > k·MAD flag count is the
+    * outlier census a pipeline trusts even when a crawler bug floods
+    * one source with megadocs (which would drag a mean/stddev z-score
+    * past any fixed cut).
+    *
+    * Exactness: FULLY integer — both medians are rank-PICKED census
+    * values (the X46 lower-median discipline: the value at 0-based
+    * rank ⌊(n−1)/2⌋, no interpolation, so `med` and `mad` are actual
+    * corpus values), the deviation census re-aggregates |v − med|
+    * with exact counts, and the outlier rule is an integer compare.
+    * The single IEEE division is the final rate.
+    *
+    * MAD = 0 (majority of a source at one length) degenerates to
+    * "any deviation is an outlier" — the standard MAD edge, reported
+    * honestly via the `mad` column rather than patched with an ε.
+    *
+    * Scale shape: everything after the (source, length) census
+    * partial-agg is census-sized — two rank picks over per-source
+    * cumulative windows (bounded by distinct lengths), a census-sized
+    * deviation re-aggregation, and a census-sized flag rollup.
+    */
+  def madOutliers(docs: DataFrame, k: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cen = parallelized(docs).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val n = cen.groupBy("source").agg(sum("cnt").as("n"))
+    // value at 0-based rank floor((n-1)/2) of a (source, v, cnt) census
+    def lowerMedian(c: DataFrame, outName: String): DataFrame = {
+      val cum = c.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("source").orderBy("v")))
+      cum.join(n, Seq("source"))
+        .filter(
+          floor((col("n") - 1L) / lit(2.0)).cast("long") >=
+            col("cum") - col("cnt") &&
+          floor((col("n") - 1L) / lit(2.0)).cast("long") < col("cum"))
+        .select(col("source"), col("v").as(outName))
+    }
+    val med = lowerMedian(cen, "med")
+    val dev = cen.join(med, Seq("source"))
+      .select(col("source"), abs(col("v") - col("med")).as("v"),
+        col("cnt"))
+      .groupBy("source", "v").agg(sum("cnt").as("cnt"))
+    val mad = lowerMedian(dev, "mad")
+    cen.join(med, Seq("source")).join(mad, Seq("source"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n"), max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(k) * col("mad"),
+          col("cnt")).otherwise(0L)).as("n_out"))
+      .withColumn("out_rate_micro", micro(col("n_out") / col("n")))
+  }
+
+  /** X54: Mean Segmental Type-Token Ratio per source — the lexical-
+    * diversity statistic that is actually comparable across document
+    * lengths: a plain TTR falls with length mechanically (Heaps, X37),
+    * so corpora can't be ranked by it; MSTTR fixes the window (every
+    * COMPLETE `segTokens`-token segment scores types/segTokens) and
+    * averages, so a low value means genuinely repetitive text, not
+    * long text. Reads next to X48 (length–vocabulary correlation) and
+    * the X13 repetition flags.
+    *
+    * Exactness: per-segment type counts are exact integers (segment
+    * identity is ⌊pos/segTokens⌋ off the token ordinal — same floor
+    * tree both engines); the trailing partial segment is DROPPED
+    * (n_tok = segTokens filter), the standard MSTTR convention, so
+    * every averaged segment has identical weight. One IEEE division:
+    * Σtypes / (segTokens · n_segs).
+    *
+    * Scale shape: one (source, doc, segment) aggregation over the
+    * token stream — the distinct count partial-aggregates per
+    * segment, segments are 16 tokens, nothing pairwise; the rollup
+    * above it is census-sized.
+    */
+  def msttr(docs: DataFrame, segTokens: Int = 16): DataFrame = {
+    val occ = parallelized(docs).select(col("source"), col("doc_id"),
+        posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "t")
+    val perSeg = occ
+      .select(col("source"), col("doc_id"),
+        floor(col("pos") / lit(segTokens.toDouble)).cast("long")
+          .as("seg"),
+        col("t"))
+      .groupBy("source", "doc_id", "seg")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("t")).as("types"))
+      .filter(col("n_tok") === segTokens.toLong)
+    perSeg.groupBy("source")
+      .agg(count(lit(1)).as("n_segs"), sum("types").as("sum_types"))
+      .withColumn("msttr_micro",
+        micro(col("sum_types") /
+          (lit(segTokens.toDouble) * col("n_segs"))))
+  }
+
+  /** X55: character-bigram conditional entropy rate per source —
+    * H(next char | current char) = Σ (c_xy/T)·ln(c_x/c_xy) in nats:
+    * the model-free compressibility signal (Shannon's entropy-rate
+    * estimate at order 1). Near-zero means deterministic/templated
+    * bytes (a generator loop, boilerplate), high means diverse prose
+    * — the quality lens that catches low-entropy spam X1's
+    * length/ratio heuristics and X13's token-level repetition flags
+    * can both miss (it reads BYTES, not tokens, so it needs no
+    * tokenizer to agree with the spammer).
+    *
+    * Bigrams never cross document boundaries (per-doc windows), and
+    * the conditional form means padding with more IID text moves
+    * nothing (probed: it is a ratio census — all counts ×k under
+    * replication).
+    *
+    * Exactness: counts are exact integers; each bigram's term is
+    * micro-floored from ONE fixed double tree (c_xy/T one division,
+    * ln of one integer ratio, one multiply — every term ≥ 0 since
+    * c_x ≥ c_xy) and the per-source reduction sums INTEGERS.
+    *
+    * Scale shape: everything after the (source, bigram) census
+    * partial-agg (bounded by alphabet² per source) is census-sized —
+    * the conditional totals c_x come off the census itself, never a
+    * second corpus pass.
+    */
+  def entropyRate(docs: DataFrame): DataFrame = {
+    val bi = parallelized(docs).select(col("source"),
+      explode(
+        when(length(col("text")) >= 2,
+          transform(sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+    val cen = bi.groupBy("source", "b").agg(count(lit(1)).as("c_xy"))
+      .cache()
+    val cond = cen.select(col("source"),
+        substring(col("b"), 1, 1).as("x"), col("c_xy"))
+      .groupBy("source", "x").agg(sum("c_xy").as("c_x"))
+    val totals = cen.groupBy("source").agg(sum("c_xy").as("t_bigrams"),
+      count(lit(1)).as("n_distinct"))
+    cen.withColumn("x", substring(col("b"), 1, 1))
+      .join(cond, Seq("source", "x"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("t_bigrams"), col("n_distinct"),
+        micro((col("c_xy") / col("t_bigrams")) *
+          log(col("c_x") / col("c_xy"))).as("term_micro"))
+      .groupBy("source")
+      .agg(max("t_bigrams").as("t_bigrams"),
+        max("n_distinct").as("n_distinct"),
+        sum("term_micro").as("h_micro"))
+  }
+
+  /** Bucket label for the off-top-V residual mass in [[jsdDrift]] —
+    * leads with the control character \u0001 (DuckDB mirror:
+    * `chr(1) || 'REST'`), unreachable by whitespace tokenization of
+    * real text, so a corpus containing the literal word "REST"
+    * cannot alias the residual bucket.
+    */
+  val JsdRestBucket = "REST"
+
+  /** X52: pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the third drift lens beside X44 (KS: sup-norm of
+    * the length CDF gap) and X51 (PSI: bucketed f-divergence against
+    * the corpus): JSD compares WHAT WORDS each source uses, not how
+    * long its documents are, is symmetric, and is bounded by ln 2 —
+    * the standard "are these two corpora interchangeable for mixing"
+    * number (a mixture-weights tuner reads exactly this matrix).
+    *
+    * Distribution support: the corpus top-V terms plus ONE residual
+    * bucket holding each source's remaining mass (so both
+    * distributions are complete — no mass silently dropped), with
+    * Laplace +1 smoothing over the V+1 buckets keeping every log
+    * finite (the X51 discipline, documented not ε-hidden).
+    *
+    * Exactness: counts are exact integers end to end; each bucket
+    * term is micro-floored from ONE fixed double tree —
+    * ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) with p, q one division each
+    * — and the per-pair reduction sums INTEGERS. Individual terms can
+    * be negative (either KL half's terms may dip below zero); the
+    * floor is still deterministic.
+    *
+    * Scale shape: after the (source, term) census partial-agg, the
+    * top-V cut is a bounded TakeOrdered, winners broadcast back, and
+    * ALL remaining relations are (sources × (V+1))-sized — the
+    * pairwise join is census × census, never touching the corpus.
+    */
+  def jsdDrift(docs: DataFrame, topV: Int): DataFrame = {
+    val scen = parallelized(docs).select(col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val top = scen.groupBy("t").agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topV).select("t")
+    val nS = scen.groupBy("source").agg(sum("cnt").as("n_s"))
+    val inTop = scen.join(broadcast(top), Seq("t"))
+    val topMass = inTop.groupBy("source").agg(sum("cnt").as("top_mass"))
+    val gridTop = nS.crossJoin(broadcast(top))
+      .join(inTop, Seq("source", "t"), "left")
+      .select(col("source"), col("n_s"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val rest = nS.join(topMass, Seq("source"), "left")
+      .select(col("source"), col("n_s"), lit(JsdRestBucket).as("t"),
+        (col("n_s") - coalesce(col("top_mass"), lit(0L))).as("cnt"))
+    val buckets = gridTop.unionByName(rest)
+    val a = buckets.select(col("source").as("source_a"),
+      col("n_s").as("n_a"), col("t"), col("cnt").as("cnt_a"))
+    val b = buckets.select(col("source").as("source_b"),
+      col("n_s").as("n_b"), col("t"), col("cnt").as("cnt_b"))
+    val v1 = (topV + 1).toLong
+    val pa = (col("cnt_a") + 1L) / (col("n_a") + lit(v1))
+    val pb = (col("cnt_b") + 1L) / (col("n_b") + lit(v1))
+    a.join(b, Seq("t")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        micro(lit(0.5) *
+          (pa * log(lit(2.0) * pa / (pa + pb)) +
+           pb * log(lit(2.0) * pb / (pa + pb))))
+          .as("term_micro"))
+      .groupBy("source_a", "source_b")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum("term_micro").as("jsd_micro"))
+  }
 }

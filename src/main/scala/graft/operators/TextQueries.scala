@@ -87,6 +87,19 @@ object TextQueries {
   def qPsi(spark: SparkSession, dir: String): DataFrame =
     TextOps.psiDrift(Tables.documents(spark, dir)).orderBy("source")
 
+  def qJsd(spark: SparkSession, dir: String): DataFrame =
+    TextOps.jsdDrift(Tables.documents(spark, dir), CoocTopV)
+      .orderBy("source_a", "source_b")
+
+  def qMad(spark: SparkSession, dir: String): DataFrame =
+    TextOps.madOutliers(Tables.documents(spark, dir)).orderBy("source")
+
+  def qMsttr(spark: SparkSession, dir: String): DataFrame =
+    TextOps.msttr(Tables.documents(spark, dir)).orderBy("source")
+
+  def qEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextOps.entropyRate(Tables.documents(spark, dir)).orderBy("source")
+
   def qWinsor(spark: SparkSession, dir: String): DataFrame =
     TextOps.winsorStats(Tables.documents(spark, dir)).orderBy("source")
 
@@ -628,6 +641,173 @@ object TextQueries {
        |SELECT source, max(n_s) AS n_docs,
        |  CAST(sum(term) AS BIGINT) AS psi_micro
        |FROM tm GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X53 oracle: both medians rank-picked off per-source cumulative
+    * censuses (lower median, no interpolation), deviation census
+    * re-aggregated, integer outlier compare; one division at the end.
+    */
+  private val madOracle =
+    s"""WITH vals AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents
+       |),
+       |cen AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM vals GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+       |      FROM cen GROUP BY 1),
+       |cum AS (SELECT source, v, cnt,
+       |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+       |             AS BIGINT) AS cum
+       |        FROM cen),
+       |med AS (
+       |  SELECT c.source, c.v AS med
+       |  FROM cum c JOIN n USING (source)
+       |  WHERE CAST(floor((n.n - 1) / 2.0) AS BIGINT) >= c.cum - c.cnt
+       |    AND CAST(floor((n.n - 1) / 2.0) AS BIGINT) < c.cum
+       |),
+       |dev AS (
+       |  SELECT c.source, abs(c.v - m.med) AS v,
+       |    CAST(sum(c.cnt) AS BIGINT) AS cnt
+       |  FROM cen c JOIN med m USING (source) GROUP BY 1, 2
+       |),
+       |dcum AS (SELECT source, v, cnt,
+       |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+       |              AS BIGINT) AS cum
+       |         FROM dev),
+       |mad AS (
+       |  SELECT d.source, d.v AS mad
+       |  FROM dcum d JOIN n USING (source)
+       |  WHERE CAST(floor((n.n - 1) / 2.0) AS BIGINT) >= d.cum - d.cnt
+       |    AND CAST(floor((n.n - 1) / 2.0) AS BIGINT) < d.cum
+       |),
+       |g AS (
+       |  SELECT c.source, max(n.n) AS n, max(m.med) AS med,
+       |    max(a.mad) AS mad,
+       |    CAST(sum(CASE WHEN abs(c.v - m.med) > 3 * a.mad
+       |                  THEN c.cnt ELSE 0 END) AS BIGINT) AS n_out
+       |  FROM cen c JOIN med m USING (source) JOIN mad a USING (source)
+       |       JOIN n USING (source)
+       |  GROUP BY 1
+       |)
+       |SELECT source, n, med, mad, n_out,
+       |  ${Hashing.microSql("n_out / n")} AS out_rate_micro
+       |FROM g ORDER BY source""".stripMargin
+
+  /** X54 oracle: segment identity from the token ordinal, exact
+    * per-segment distinct counts, complete segments only; one
+    * division Σtypes / (16 · n_segs).
+    */
+  private val msttrOracle =
+    s"""WITH tok AS (
+       |  SELECT source, doc_id, string_split(text, ' ') AS toks
+       |  FROM documents
+       |),
+       |occ AS (
+       |  SELECT source, doc_id,
+       |    CAST(floor((g.i - 1) / 16.0) AS BIGINT) AS seg, toks[i] AS t
+       |  FROM tok, unnest(range(1, len(toks) + 1)) AS g(i)
+       |),
+       |per AS (
+       |  SELECT source, doc_id, seg, count(*) AS n_tok,
+       |    CAST(count(DISTINCT t) AS BIGINT) AS types
+       |  FROM occ GROUP BY 1, 2, 3
+       |),
+       |f AS (SELECT * FROM per WHERE n_tok = 16)
+       |SELECT source, count(*) AS n_segs,
+       |  CAST(sum(types) AS BIGINT) AS sum_types,
+       |  ${Hashing.microSql("sum(types) / (16.0 * count(*))")}
+       |    AS msttr_micro
+       |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X55 oracle: same per-doc bigram windows, census-derived
+    * conditional totals, the fixed (c_xy/T)·ln(c_x/c_xy) tree
+    * micro-floored per bigram, integer per-source sum.
+    */
+  private val entropyOracle =
+    s"""WITH bi AS (
+       |  SELECT source, substr(text, g.i, 2) AS b
+       |  FROM documents, unnest(range(1, len(text))) AS g(i)
+       |),
+       |cen AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c_xy
+       |        FROM bi GROUP BY 1, 2),
+       |cond AS (
+       |  SELECT source, substr(b, 1, 1) AS x,
+       |    CAST(sum(c_xy) AS BIGINT) AS c_x
+       |  FROM cen GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT source, CAST(sum(c_xy) AS BIGINT) AS t_bigrams,
+       |    CAST(count(*) AS BIGINT) AS n_distinct
+       |  FROM cen GROUP BY 1
+       |),
+       |tm AS (
+       |  SELECT c.source, t.t_bigrams, t.n_distinct,
+       |    ${Hashing.microSql(
+            "(c.c_xy / t.t_bigrams) * ln(d.c_x / c.c_xy)")} AS term
+       |  FROM cen c
+       |  JOIN cond d ON c.source = d.source AND substr(c.b, 1, 1) = d.x
+       |  JOIN tot t ON c.source = t.source
+       |)
+       |SELECT source, max(t_bigrams) AS t_bigrams,
+       |  max(n_distinct) AS n_distinct,
+       |  CAST(sum(term) AS BIGINT) AS h_micro
+       |FROM tm GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X52 oracle: same top-V + residual-bucket support, Laplace +1
+    * over V+1 buckets, the fixed ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
+    * tree micro-floored per bucket, integer per-pair sum.
+    */
+  private val jsdOracle = {
+    val pa = "(sn_a / sd_a)"
+    val pb = "(sn_b / sd_b)"
+    s"""WITH occ AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |),
+       |scen AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM occ GROUP BY 1, 2),
+       |topv AS (
+       |  SELECT t FROM (
+       |    SELECT t, CAST(sum(cnt) AS BIGINT) AS c FROM scen GROUP BY 1)
+       |  ORDER BY c DESC, t LIMIT $CoocTopV
+       |),
+       |ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s
+       |       FROM scen GROUP BY 1),
+       |intop AS (SELECT s.source, s.t, s.cnt
+       |          FROM scen s JOIN topv USING (t)),
+       |tm AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS top_mass
+       |       FROM intop GROUP BY 1),
+       |gridtop AS (
+       |  SELECT n.source, n.n_s, tv.t, COALESCE(i.cnt, 0) AS cnt
+       |  FROM ns n CROSS JOIN topv tv
+       |  LEFT JOIN intop i ON n.source = i.source AND tv.t = i.t
+       |),
+       |rest AS (
+       |  SELECT n.source, n.n_s, chr(1) || 'REST' AS t,
+       |    n.n_s - COALESCE(tm.top_mass, 0) AS cnt
+       |  FROM ns n LEFT JOIN tm USING (source)
+       |),
+       |buckets AS (
+       |  SELECT * FROM gridtop UNION ALL SELECT * FROM rest),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n_s AS n_a, b.n_s AS n_b,
+       |    a.cnt + 1 AS sn_a, a.n_s + ${CoocTopV + 1} AS sd_a,
+       |    b.cnt + 1 AS sn_b, b.n_s + ${CoocTopV + 1} AS sd_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.source < b.source
+       |),
+       |tms AS (
+       |  SELECT source_a, source_b, n_a, n_b,
+       |    ${Hashing.microSql(
+            s"0.5 * ($pa * ln(2.0 * $pa / ($pa + $pb)) + " +
+            s"$pb * ln(2.0 * $pb / ($pa + $pb)))")} AS term
+       |  FROM pairs
+       |)
+       |SELECT source_a, source_b, max(n_a) AS n_a, max(n_b) AS n_b,
+       |  CAST(sum(term) AS BIGINT) AS jsd_micro
+       |FROM tms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+  }
 
   /** X50 oracle: same top-V cut, (term, doc) partial counts, integer
     * numerators; one division per statistic.
@@ -2352,6 +2532,10 @@ object TextQueries {
     "q_ks_drift"      -> (qKsDrift _),
     "q_burstiness"    -> (qBurstiness _),
     "q_psi"           -> (qPsi _),
+    "q_jsd"           -> (qJsd _),
+    "q_mad"           -> (qMad _),
+    "q_msttr"         -> (qMsttr _),
+    "q_entropy"       -> (qEntropy _),
     "q_bm25"          -> (qBm25 _),
     "q_winsor"        -> (qWinsor _),
     "q_concentration" -> (qConcentration _),
@@ -2413,6 +2597,10 @@ object TextQueries {
     "q_ks_drift"      -> ksDriftOracle,
     "q_burstiness"    -> burstinessOracle,
     "q_psi"           -> psiOracle,
+    "q_jsd"           -> jsdOracle,
+    "q_mad"           -> madOracle,
+    "q_msttr"         -> msttrOracle,
+    "q_entropy"       -> entropyOracle,
     "q_bm25"          -> bm25Oracle,
     "q_winsor"        -> winsorOracle,
     "q_concentration" -> concentrationOracle,

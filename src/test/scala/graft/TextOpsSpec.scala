@@ -1050,4 +1050,96 @@ class TextOpsSpec extends SparkSpec {
       ("x", "z", 2L, 3L, 2L, 1333333L),  // 2*4/6  > 1: attract
       ("y", "z", 1L, 3L, 2L, 666666L)))
   }
+
+  test("madOutliers: hand-computed median/MAD, incl. the MAD=0 " +
+    "degeneracy") {
+    import sqlImplicits._
+    def doc(id: Long, k: Int, src: String) =
+      (id, Seq.fill(k)("w").mkString(" "), src)
+    // A: lengths 1,1,1,1,100 -> med 1, dev census {0:4, 99:1} -> MAD 0
+    //    (majority at one length); any deviation is then an outlier
+    // B: lengths 10,12,14,16,18,20,22 -> med 16 (rank 3), devs
+    //    0,2,2,4,4,6,6 -> MAD 4 (rank 3); nothing exceeds 3*4
+    val corpus = ((1 to 4).map(i => doc(i.toLong, 1, "A")) :+
+      doc(5L, 100, "A")) ++
+      Seq(10, 12, 14, 16, 18, 20, 22).zipWithIndex.map {
+        case (k, i) => doc(100L + i, k, "B") }
+    val out = TextOps.madOutliers(corpus.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("n_out"), r.getAs[Long]("out_rate_micro"))))
+      .toMap
+    assert(out("A") === ((5L, 1L, 0L, 1L, 200000L)))
+    assert(out("B") === ((7L, 16L, 4L, 0L, 0L)))
+  }
+
+  test("msttr: fixed segments, partial tails dropped, repetition " +
+    "reads low and diversity reads 1.0") {
+    import sqlImplicits._
+    val corpus = Seq(
+      // 32 identical tokens: 2 full segments, 1 type each -> 1/16
+      (1L, Seq.fill(32)("w").mkString(" "), "A"),
+      // 40 distinct tokens: 2 full segments (types 16 each), the
+      // 8-token tail is DROPPED -> exactly 1.0
+      (2L, (0 until 40).map(i => s"t$i").mkString(" "), "B"),
+      // 10 tokens: no complete segment -> source absent entirely
+      (3L, Seq.fill(10)("w").mkString(" "), "C"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.msttr(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("sum_types"),
+          r.getAs[Long]("msttr_micro"))))
+      .toMap
+    assert(out("A") === ((2L, 2L, 62500L)))
+    assert(out("B") === ((2L, 32L, 1000000L)))
+    assert(!out.contains("C"))
+  }
+
+  test("entropyRate: deterministic text reads EXACTLY zero, " +
+    "hand-computed mixed case") {
+    import sqlImplicits._
+    val corpus = Seq(
+      // "ababababab": ab x5, ba x4 -> every next-char is determined,
+      // each term is ln(c_x/c_xy) = ln(1): exact integer zero
+      (1L, "ababababab", "A"),
+      // "aabb": aa, ab, bb; c_a = 2, c_b = 1, T = 3
+      // H = (1/3)ln2 + (1/3)ln2 + (1/3)ln1, floored per term:
+      // 231049 + 231049 + 0
+      (2L, "aabb", "B"),
+      // single char: no bigram window -> source absent
+      (3L, "a", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.entropyRate(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("t_bigrams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("h_micro"))))
+      .toMap
+    assert(out("A") === ((9L, 2L, 0L)))
+    assert(out("B") === ((3L, 3L, 462098L)))
+    assert(!out.contains("C"))
+  }
+
+  test("jsdDrift: identical sources read EXACTLY zero, disjoint " +
+    "vocabularies read loud, overlap sits between") {
+    import sqlImplicits._
+    val corpus = Seq(
+      (1L, Seq.fill(20)("x").mkString(" "), "A"),
+      (2L, Seq.fill(20)("x").mkString(" "), "A2"),
+      (3L, Seq.fill(20)("y").mkString(" "), "B"),
+      (4L, (Seq.fill(10)("x") ++ Seq.fill(10)("y")).mkString(" "), "C"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.jsdDrift(corpus, 4).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) -> r.getAs[Long]("jsd_micro"))
+      .toMap
+    // p = q in every bucket -> every ln is ln(1): exact integer zero,
+    // not "small" — the identity axiom lands bit-exactly
+    assert(out(("A", "A2")) === 0L)
+    // disjoint unigrams approach ln 2 =~ 693147, pulled down only by
+    // the Laplace floor; half-overlap must sit strictly between
+    assert(out(("A", "B")) > 400000L && out(("A", "B")) < 693148L)
+    assert(out(("A", "C")) > 0L && out(("A", "C")) < out(("A", "B")))
+    assert(out(("B", "C")) === out(("A", "C")),
+      "x|y mirror symmetry: C is equidistant from A and B")
+  }
 }
