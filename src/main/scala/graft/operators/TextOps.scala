@@ -2975,6 +2975,44 @@ object TextOps {
           (lit(segTokens.toDouble) * col("n_segs"))))
   }
 
+  /** D22: soft deduplication weights — the keep-everything
+    * alternative to hard removal (D4/D14): every document stays, but
+    * a duplicate cluster of size s contributes weight 1/s per member,
+    * so the CLUSTER has unit total influence regardless of how many
+    * times the crawler shipped it. The census reports, per source,
+    * the raw vs effective (weighted) document and token mass — the
+    * numbers a sampling stage multiplies into its rates, and the
+    * honest answer to "how much data do we actually have" when
+    * sources differ wildly in duplication.
+    *
+    * Exactness: cluster sizes are exact integers off the D7
+    * components; per-document weight micro(1/s) and weighted tokens
+    * micro(toks/s) are each ONE IEEE division, floored, and the
+    * per-source reduction sums INTEGERS. Docs in no pair have s = 1
+    * exactly (left join + coalesce, not a smoothing constant).
+    *
+    * Scale shape: the component relation is bounded by TRUE
+    * duplication (only docs appearing in a verified pair); the join
+    * back to the corpus is doc-keyed against that bounded relation;
+    * the rollup is source-sized with map-side partials.
+    */
+  def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("s"))
+    val dsz = cc.join(sizes, "component").select(col("doc_id"), col("s"))
+    parallelized(docs).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .join(dsz, Seq("doc_id"), "left")
+      .select(col("source"), col("toks"),
+        coalesce(col("s"), lit(1L)).as("s"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum("toks").as("toks"),
+        sum(micro(lit(1) / col("s"))).as("eff_docs_micro"),
+        sum(micro(col("toks") / col("s"))).as("eff_tokens_micro"))
+  }
+
   /** X55: character-bigram conditional entropy rate per source —
     * H(next char | current char) = Σ (c_xy/T)·ln(c_x/c_xy) in nats:
     * the model-free compressibility signal (Shannon's entropy-rate

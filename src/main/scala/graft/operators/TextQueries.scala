@@ -52,6 +52,10 @@ object TextQueries {
   def qDedupNgram(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir).orderBy("d1", "d2")
 
+  def qDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dedupWeights(Tables.documents(spark, dir),
+      ngramPairs(spark, dir)).orderBy("source")
+
   def qHeaps(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsCurve(docs(spark, dir)).orderBy("fraction_eighths")
 
@@ -1207,6 +1211,60 @@ object TextQueries {
        |)
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** D22 oracle: the D7 pair + recursive-reachability chain (cc
+    * MATERIALIZED — it is referenced twice and DuckDB 1.0 inlines
+    * plain CTEs per reference, re-expanding the recursion), then the
+    * per-source weighted rollup with micro(1/s), micro(toks/s) per
+    * document and integer sums.
+    */
+  private val dedupWeightsOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |cc AS MATERIALIZED (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |csz AS (SELECT component, CAST(count(*) AS BIGINT) AS s
+       |        FROM cc GROUP BY 1),
+       |dsz AS (SELECT c.doc_id, z.s
+       |        FROM cc c JOIN csz z USING (component)),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents
+       |),
+       |w AS (
+       |  SELECT d.source, d.toks, COALESCE(z.s, 1) AS s
+       |  FROM d LEFT JOIN dsz z USING (doc_id)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(sum(toks) AS BIGINT) AS toks,
+       |  CAST(sum(${Hashing.microSql("1 / s")}) AS BIGINT)
+       |    AS eff_docs_micro,
+       |  CAST(sum(${Hashing.microSql("toks / s")}) AS BIGINT)
+       |    AS eff_tokens_micro
+       |FROM w GROUP BY 1 ORDER BY source""".stripMargin
 
   /** D18: the dedup report — cluster-size histogram over the D7
     * components: how many duplicate clusters exist at each size, how
@@ -2512,6 +2570,7 @@ object TextQueries {
     "q_corpus_card"    -> (qCorpusCard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_sizes"   -> (qDedupSizes _),
+    "q_dedup_weights" -> (qDedupWeights _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
     "q_chunks"        -> (qChunks _),
@@ -2577,6 +2636,7 @@ object TextQueries {
     "q_corpus_card"    -> corpusCardOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_sizes"   -> dedupSizesOracle,
+    "q_dedup_weights" -> dedupWeightsOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,
     "q_chunks"        -> chunksOracle,

@@ -1095,6 +1095,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains("C"))
   }
 
+  test("dedupWeights: a cluster has unit total influence, " +
+    "singletons weigh exactly 1.0") {
+    import sqlImplicits._
+    // transitive cluster {1,2,3} via pairs (1,2),(2,3); doc 4 alone
+    val corpus = Seq(
+      (1L, "w w", "S"), (2L, "w w", "S"), (3L, "w w", "S"),
+      (4L, "w w", "S"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val r = TextOps.dedupWeights(corpus, pairs).collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_dup_docs") === 3L)
+    assert(r.getAs[Long]("toks") === 8L)
+    // 3 x floor(1e6/3) + 1e6: the micro floor is visible (1999999,
+    // not 2000000) — per-document flooring, integer sums, no hidden
+    // re-rounding
+    assert(r.getAs[Long]("eff_docs_micro") === 1999999L)
+    assert(r.getAs[Long]("eff_tokens_micro") === 3999998L)
+  }
+
   test("entropyRate: deterministic text reads EXACTLY zero, " +
     "hand-computed mixed case") {
     import sqlImplicits._
