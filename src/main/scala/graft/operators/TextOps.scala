@@ -163,6 +163,34 @@ object TextOps {
       micro(best / total).as("conf_micro"))
   }
 
+  /** X56: language confusion census — the declared-vs-predicted
+    * matrix that EVALUATES the X2 heuristic classifier against the
+    * corpus's own metadata (every real pipeline runs exactly this
+    * audit before trusting either side): each (declared lang,
+    * predicted lang) cell with its count and row-normalized fraction.
+    * Diagonal cells are recall per declared language; loud
+    * off-diagonal cells say which language pair the n-gram profiles
+    * cannot separate (or which source mislabels its metadata — the
+    * census cannot tell you which side is wrong, only where to look).
+    *
+    * Exactness: counts exact integers; the row fraction is ONE IEEE
+    * division, micro-floored.
+    *
+    * Scale shape: the classifier pass is the one corpus scan (the X2
+    * compiled kernel); cells are a ≤|langs|²-row census with
+    * map-side partials, totals a census-over-census aggregate.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val pred = langId(docs).select(col("doc_id"), col("lang_pred"))
+    val cells = docs.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("n_lang"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_lang"),
+        micro(col("n") / col("n_lang")).as("frac_micro"))
+  }
+
   /** Document fingerprints: content hash (sha256) + winnowing-style
     * minimum shingle hash. LEFT join keeps sub-n-token docs with a -1
     * sentinel.

@@ -35,6 +35,10 @@ object TextQueries {
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langId(docs(spark, dir)).orderBy("doc_id")
 
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langConfusion(Tables.documents(spark, dir))
+      .orderBy("lang", "lang_pred")
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(spark, dir), ShingleN).orderBy("doc_id")
 
@@ -258,6 +262,25 @@ object TextQueries {
        |SELECT doc_id, $langPred AS lang_pred,
        |  ${Hashing.microSql(s"$langBest / ($langTotal)")} AS conf_micro
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** X56 oracle: the same score/argmax fragments as q_lang_id, then
+    * the (declared, predicted) census with a row-normalized fraction.
+    */
+  private val langConfusionOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    $langScoreDefs
+       |  FROM documents
+       |),
+       |p AS (SELECT doc_id, lang, $langPred AS lang_pred FROM s),
+       |c AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+       |      FROM p GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+       |      FROM c GROUP BY 1)
+       |SELECT c.lang, c.lang_pred, c.n, t.n_lang,
+       |  ${Hashing.microSql("c.n / t.n_lang")} AS frac_micro
+       |FROM c JOIN t USING (lang)
+       |ORDER BY lang, lang_pred""".stripMargin
 
   private val fingerprintOracle =
     s"""$tokCte $shCte,
@@ -2577,6 +2600,7 @@ object TextQueries {
     "q_tfidf"         -> (qTfIdf _),
     "q_token_stats"   -> (qTokenStats _),
     "q_lang_id"       -> (qLangId _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
@@ -2643,6 +2667,7 @@ object TextQueries {
     "q_tfidf"         -> tfIdfOracle,
     "q_token_stats"   -> tokenStatsOracle,
     "q_lang_id"       -> langIdOracle,
+    "q_lang_confusion" -> langConfusionOracle,
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,

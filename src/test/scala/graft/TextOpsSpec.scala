@@ -1095,6 +1095,28 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains("C"))
   }
 
+  test("langConfusion: hand-built corpus lands in the right cells " +
+    "with exact row fractions") {
+    import sqlImplicits._
+    // "ththth" scores en=6 (3x "th" weight 2), others 0 -> pred en
+    // "scscsc" -> pred de; "qqqq" scores all-zero -> the argmax
+    // tie-break gives the first declared profile (en) — pinning the
+    // deterministic tie rule, same as the oracle CASE order
+    val corpus = Seq(
+      (1L, "ththth", "en"), (2L, "ththth", "en"), (3L, "scscsc", "en"),
+      (4L, "qqqq", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langConfusion(corpus).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_lang"),
+          r.getAs[Long]("frac_micro"))))
+      .toMap
+    assert(out(("en", "en")) === ((2L, 3L, 666666L)))
+    assert(out(("en", "de")) === ((1L, 3L, 333333L)))
+    assert(out(("de", "en")) === ((1L, 1L, 1000000L)))
+    assert(out.size === 3, "no empty cells materialized")
+  }
+
   test("dedupWeights: a cluster has unit total influence, " +
     "singletons weigh exactly 1.0") {
     import sqlImplicits._
