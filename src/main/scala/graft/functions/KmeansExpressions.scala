@@ -144,6 +144,79 @@ object KmeansAssign {
       GraftSqlBridge.expression(embedding), cents))
 }
 
+/** [[KmeansAssign]] over an ALREADY-MILLI integer vector
+  * (`array<bigint>`) — the residual-PQ path ([[graft.operators
+  * .SimilarityOps.pqResidualTopK]]) trains and encodes in the residual
+  * domain r = milli(v) − centroid, which is integer by construction;
+  * re-quantizing it through the float kernel would double-scale (and a
+  * float round-trip r/1000.0·1000.0 is not floor-stable at the
+  * boundaries). Same math contract minus the milli step: dot = exact
+  * long sum, score = floor(1e6 · dot / √ssq), ties toward the lower
+  * centroid id, all-zero centroids score [[KmeansAssign.ScoreEmpty]].
+  */
+case class KmeansAssignMilli(child: Expression,
+                             cents: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_assign_milli requires an array<bigint> column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "kmeans_assign_milli"
+
+  @transient private lazy val sqrts: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KmeansAssignMilli = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansAssignMilli.compute(input.asInstanceOf[ArrayData], cents,
+      sqrts)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    val sqrtsRef = ctx.addReferenceObj("kmSqrts", sqrts, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KmeansAssignMilli$$.MODULE$$" +
+        s".compute($c, $centsRef, $sqrtsRef);")
+  }
+}
+
+object KmeansAssignMilli {
+
+  def compute(arr: ArrayData, cents: Array[Array[Long]],
+              sqrts: Array[Double]): Long = {
+    val nDims = arr.numElements()
+    var bestScore = Long.MinValue
+    var bestJ = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(nDims, c.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += arr.getLong(i) * c(i); i += 1 }
+      val score =
+        if (sqrts(j) == 0.0) KmeansAssign.ScoreEmpty
+        else math.floor(1000000.0 * (dot.toDouble / sqrts(j))).toLong
+      if (score > bestScore) { bestScore = score; bestJ = j }
+      j += 1
+    }
+    bestJ.toLong
+  }
+
+  /** Column-API entry point. */
+  def kmeansAssignMilli(vm: Column, cents: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(KmeansAssignMilli(
+      GraftSqlBridge.expression(vm), cents))
+}
+
 /** The WINNING assignment score (micro-cosine against the nearest
   * centroid) under the same codebook — [[KmeansAssign]]'s sibling, used
   * as the drift signal for a persisted IVF index: when a batch of new

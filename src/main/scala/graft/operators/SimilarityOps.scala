@@ -525,6 +525,116 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** [[kmeansCodebook]] over an ALREADY-MILLI vector column `vm`
+    * (`array<bigint>`) — the residual-domain trainer: residuals
+    * r = milli(v) − centroid are integer by construction, so the
+    * float path's milli step must not run again. Identical training
+    * discipline: md5-seeded init, truncated-integer-mean refresh,
+    * empty clusters keep their previous centroid, the collected state
+    * is only the nCentroids×dims mean table.
+    */
+  def kmeansCodebookMilli(vmDf: DataFrame, nCentroids: Int,
+                          rounds: Int): Array[Array[Long]] = {
+    import graft.functions.KmeansAssignMilli.kmeansAssignMilli
+    val vm = vmDf.cache()
+    val seedRows = vm
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(nCentroids)
+      .select("h", "vec_id", "vm").collect()
+      .sortBy(r => (r.getLong(0), r.getLong(1)))
+    var cents = seedRows.map(_.getSeq[Long](2).toArray)
+    var r = 0
+    while (r < rounds) {
+      val sums = vm
+        .select(kmeansAssignMilli(col("vm"), cents).as("cluster"),
+          posexplode(col("vm")).as(Seq("i", "v")))
+        .groupBy("cluster", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { row =>
+        next(row.getLong(0).toInt)(row.getInt(1)) =
+          row.getLong(2) / row.getLong(3)
+      }
+      cents = next
+      r += 1
+    }
+    vm.unpersist()
+    cents
+  }
+
+  /** V26: residual IVF-PQ (IVFADC, Jégou et al. §IV) — the actual
+    * FAISS serving architecture, one step past V10's raw-vector PQ:
+    * the coarse quantizer (IVF codebook) removes each vector's
+    * cluster-level component FIRST, and product quantization encodes
+    * only the RESIDUAL r = milli(v) − centroid. Residuals are
+    * centered near zero with far less variance than raw vectors, so
+    * the same code budget spends its centroids on the part of the
+    * vector the coarse index cannot explain — the reason every
+    * production IVF-PQ index encodes residuals.
+    *
+    * Query path: for each probed cluster c the query forms its OWN
+    * residual milli(q) − cent_c (the asymmetric part — a different
+    * LUT per probed cluster, nProbe × nSub × nCents exact integer
+    * sub-dots), and each candidate's ADC score is the sum of nSub
+    * lookups under ITS cluster's LUT. All quantities exact integers
+    * end to end — no flooring anywhere past the milli inputs, so the
+    * oracle agrees bit-for-bit through BOTH trainings (coarse chain,
+    * then per-subspace residual chains).
+    *
+    * Scale shape: training residuals is one zero-shuffle projection
+    * over the assigned vectors (the kernel + a zip_with against the
+    * broadcast codebook literal); encoding is nSub kernel
+    * projections on the same scan; the probe filter is an `isin`
+    * over ≤ nProbe literals (partition-pruned under the V10 store
+    * layout); scoring is a per-row CASE over nProbe LUT literals;
+    * ranking is TakeOrderedAndProject.
+    */
+  def pqResidualTopK(emb: DataFrame, nCoarse: Int, nProbe: Int,
+                     nSub: Int, subLen: Int, nCents: Int, queryId: Long,
+                     k: Int, rounds: Int = KmRounds): DataFrame = {
+    import graft.functions.KmeansAssignMilli.kmeansAssignMilli
+    val cents = kmeansCodebook(emb, nCoarse, rounds)
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val resid = emb
+      .select(col("vec_id"),
+        assignCluster(col("embedding"), cents).as("cluster"),
+        milliVec(col("embedding")).as("vm"))
+      .withColumn("rm", zip_with(col("vm"),
+        element_at(centsLit, col("cluster").cast("int") + 1),
+        (a, b) => a - b))
+      .cache()
+    val books = (0 until nSub).map { j =>
+      kmeansCodebookMilli(
+        resid.select(col("vec_id"),
+          slice(col("rm"), j * subLen + 1, subLen).as("vm")),
+        nCents, rounds)
+    }
+    val codes = books.zipWithIndex.map { case (b, j) =>
+      kmeansAssignMilli(slice(col("rm"), j * subLen + 1, subLen), b)
+        .as(s"code$j")
+    }
+    val probed = probeClusters(emb, cents, queryId, nProbe)
+    val qm = emb.filter(col("vec_id") === queryId)
+      .select(milliVec(col("embedding"))).head().getSeq[Long](0).toArray
+    // one LUT per probed cluster: the query's residual w.r.t. THAT
+    // cluster's centroid — the asymmetric half of IVFADC
+    val adc = probed.map { c =>
+      val rq = qm.indices.map(i => qm(i) - cents(c)(i)).toArray
+      when(col("cluster") === c.toLong,
+        pqAdcColumn(pqLuts(rq, books, subLen)))
+    }.reduce(coalesce(_, _))
+    val out = resid.filter(col("vec_id") =!= queryId)
+      .filter(col("cluster").isin(probed.map(_.toLong): _*))
+      .select(col("vec_id") +: col("cluster") +: codes: _*)
+      .withColumn("adc", adc)
+      .select("vec_id", "cluster", "adc")
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+    out
+  }
+
   /** Two-stage PQ serving (V13): ADC over the compressed codes
     * produces a `shortlist`-sized candidate set, then ONLY those rows'
     * full vectors are re-scored with exact cosine for the final top-k

@@ -219,6 +219,15 @@ object SimilarityQueries {
       NProbe, PqShortlist, PqK)
   }
 
+  /** Residual IVF-PQ (IVFADC): coarse-quantize, PQ-encode the
+    * residuals, per-probed-cluster asymmetric LUTs.
+    */
+  def qPqResidual(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.pqResidualTopK(emb(spark, dir), NCentroids, NProbe,
+      PqSub, PqSubLen, PqCents, QueryVecId, PqK)
+      .orderBy(org.apache.spark.sql.functions.col("adc").desc,
+        org.apache.spark.sql.functions.col("vec_id"))
+
   /** Sub-codebook sizes the recall curve is measured at — code budgets
     * of 8, 12, and 20 bits per vector (nSub · log₂ nCents).
     */
@@ -492,8 +501,14 @@ object SimilarityQueries {
     * Callers prepend `evCte` themselves; the chain's final relations
     * are `<pfx>sc<rounds>` (scores) and `<pfx>a<rounds>` (assignments).
     */
+  /** `milliSrc`: train over an ALREADY-MILLI relation
+    * (vec_id, i, vm) instead of milli-quantizing `ev` — the
+    * residual-PQ chains (q_pq_residual) train on integer residuals,
+    * which must not be scaled twice. None keeps the original text.
+    */
   private def kmeansCtesFor(pfx: String, nCent: Int,
-                            iLo: Int, iHi: Int): String = {
+                            iLo: Int, iHi: Int,
+                            milliSrc: Option[String] = None): String = {
     val rounds = SimilarityOps.KmRounds
     def scoreCtes(r: Int): String =
       s"""${pfx}s$r AS (SELECT cid, sum(S * S) AS ssq FROM ${pfx}c$r GROUP BY 1),
@@ -532,10 +547,19 @@ object SimilarityQueries {
          |)""".stripMargin
     val training = (0 until rounds)
       .map(r => s"${scoreCtes(r)},\n${refineCtes(r)}").mkString(",\n")
-    s"""${pfx}mv AS (
-       |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i
-       |  FROM ev WHERE i BETWEEN $iLo AND $iHi
-       |),
+    val mvCte = milliSrc match {
+      case Some(rel) =>
+        s"""${pfx}mv AS (
+           |  SELECT vec_id, vm, i
+           |  FROM $rel WHERE i BETWEEN $iLo AND $iHi
+           |)""".stripMargin
+      case None =>
+        s"""${pfx}mv AS (
+           |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i
+           |  FROM ev WHERE i BETWEEN $iLo AND $iHi
+           |)""".stripMargin
+    }
+    s"""$mvCte,
        |${pfx}sd AS (
        |  SELECT vec_id,
        |    ${Hashing.md5LongSql("'km:' || CAST(vec_id AS VARCHAR)")} AS h
@@ -1074,6 +1098,66 @@ object SimilarityQueries {
     * the tagged chains' final centroids, ADC per (query, vector), rank
     * per query. Ends with `<tag>annp` (query_id, vec_id) rows.
     */
+  /** V26 oracle: the ENTIRE residual-IVFADC pipeline mirrored —
+    * coarse k-means chain, residual relation (MATERIALIZED: it feeds
+    * four sub-chains plus the candidate set, and DuckDB 1.0 would
+    * otherwise re-expand the coarse training at every reference),
+    * four per-subspace residual k-means chains via the milliSrc
+    * generator, probe mirror, per-probed-cluster query-residual LUTs,
+    * and the exact-integer ADC sum. No flooring past the milli
+    * inputs.
+    */
+  private val pqResidualOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val rchains = (0 until PqSub).map(j =>
+      kmeansCtesFor(s"rp${j}_", PqCents, j * PqSubLen + 1,
+        (j + 1) * PqSubLen, Some("g_res"))).mkString(",\n")
+    val luts = (0 until PqSub).map(j =>
+      s"""rp${j}_lut AS (
+         |  SELECT q.cluster, b.cid,
+         |    CAST(sum(q.vm * b.S) AS BIGINT) AS dot
+         |  FROM rp${j}_c$r b JOIN qres q ON q.i = b.i
+         |  GROUP BY 1, 2
+         |)""".stripMargin).mkString(",\n")
+    val codeJoins = (0 until PqSub)
+      .map(j => s"JOIN rp${j}_a$r x$j ON cand.vec_id = x$j.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until PqSub)
+      .map(j => s"JOIN rp${j}_lut l$j ON l$j.cluster = cand.cluster " +
+        s"AND l$j.cid = x$j.cid")
+      .mkString("\n")
+    val adc = (0 until PqSub).map(j => s"l$j.dot").mkString(" + ")
+    s"""$evCte,
+       |${kmeansCtesFor("g_", NCentroids, 1, 1 << 20)},
+       |g_res AS MATERIALIZED (
+       |  SELECT m.vec_id, m.i, m.vm - c.S AS vm, a.cid AS cluster
+       |  FROM g_mv m JOIN g_a$r a USING (vec_id)
+       |       JOIN g_c$r c ON c.cid = a.cid AND c.i = m.i
+       |),
+       |$rchains,
+       |qpr AS (
+       |  SELECT cid FROM g_sc$r WHERE vec_id = $QueryVecId
+       |  ORDER BY score DESC, cid LIMIT $NProbe
+       |),
+       |qres AS (
+       |  SELECT c.cid AS cluster, c.i, m.vm - c.S AS vm
+       |  FROM g_c$r c JOIN g_mv m ON m.vec_id = $QueryVecId AND m.i = c.i
+       |  WHERE c.cid IN (SELECT cid FROM qpr)
+       |),
+       |$luts,
+       |cand AS (
+       |  SELECT DISTINCT vec_id, cluster FROM g_res
+       |  WHERE cluster IN (SELECT cid FROM qpr)
+       |    AND vec_id <> $QueryVecId
+       |)
+       |SELECT cand.vec_id, CAST(cand.cluster AS BIGINT) AS cluster,
+       |  CAST($adc AS BIGINT) AS adc
+       |FROM cand
+       |$codeJoins
+       |$lutJoins
+       |ORDER BY adc DESC, cand.vec_id LIMIT $PqK""".stripMargin
+  }
+
   private def pqAnnCtesFor(tag: String): String = {
     val r = SimilarityOps.KmRounds
     val luts = (0 until PqSub).map(j =>
@@ -1604,6 +1688,7 @@ object SimilarityQueries {
     "q_pq_ivf"         -> (qPqIvf _),
     "q_pq_rerank"      -> (qPqRerank _),
     "q_pq_serve"       -> (qPqServe _),
+    "q_pq_residual"    -> (qPqResidual _),
     "q_proto_prune"    -> (qProtoPrune _),
     "q_cluster_margin" -> (qClusterMargin _),
     "q_embed_diversity" -> (qEmbedDiversity _),
@@ -1635,6 +1720,7 @@ object SimilarityQueries {
     "q_pq_ivf"         -> pqIvfOracle,
     "q_pq_rerank"      -> pqRerankOracle,
     "q_pq_serve"       -> pqServeOracle,
+    "q_pq_residual"    -> pqResidualOracle,
     "q_proto_prune"    -> protoPruneOracle,
     "q_cluster_margin" -> clusterMarginOracle,
     "q_embed_diversity" -> embedDiversityOracle,

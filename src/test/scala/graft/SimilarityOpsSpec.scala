@@ -252,6 +252,38 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rr.map(_._2).toSeq === rr.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("pqResidualTopK: deterministic through both trainings, " +
+      "probed-cluster-bounded, and residual codes beat-or-match " +
+      "raw-PQ recall at full probe") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run() = SimilarityOps
+      .pqResidualTopK(e, 10, 3, 4, 16, 8, 0L, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cluster"),
+        r.getAs[Long]("adc")))
+    val out = run()
+    // bit-identical rerun: coarse training, four residual trainings,
+    // probe selection, and the ADC ranking are all deterministic
+    assert(out.toSeq === run().toSeq)
+    // every result sits in a probed cluster
+    val cents = SimilarityOps.kmeansCodebook(e, 10, 2)
+    val probed = SimilarityOps.probeClusters(e, cents, 0L, 3)
+      .map(_.toLong).toSet
+    assert(out.forall { case (_, c, _) => probed(c) })
+    // the IVFADC claim: at full probe width, spending the same code
+    // budget on RESIDUALS recalls at least as much of the exact top-k
+    // as raw-vector PQ (residuals have less variance per bit)
+    val truth = SimilarityOps.annTopK(e, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val res = SimilarityOps.pqResidualTopK(e, 10, 10, 4, 16, 8, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val raw = SimilarityOps
+      .pqAdcTopK(e, SimilarityOps.pqCodebooks(e, 4, 16, 8), 16, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((res & truth).size >= (raw & truth).size,
+      s"residual recall ${(res & truth).size} < raw ${(raw & truth).size}")
+  }
+
   test("pqAdcBatch matches per-query pqAdcTopK") {
     val e = emb(
       (0L, Seq(1f, 0f, 0f, 1f), 0),
