@@ -526,6 +526,80 @@ object RelationalQueries {
        |       CAST(level AS BIGINT) AS level, n, sum_v
        |FROM r ORDER BY event_type, day, level""".stripMargin
 
+  /** R21: k-anonymity risk curve — the privacy audit a governance
+    * review runs before any event export: project each event onto its
+    * quasi-identifier (event_type, day), count DISTINCT users per
+    * equivalence class, and report, for every class size s, the
+    * fraction of user-QI records sitting in classes of size ≤ s. The
+    * curve answers every k at once: risk at k is the value at
+    * s = k − 1 (records in classes smaller than k are re-identifiable
+    * under that threshold). A record here is a distinct (user, QI)
+    * membership — a user active in a class on many events is one
+    * exposure, not many.
+    *
+    * Exactness: class sizes, census counts, and the cumulative are
+    * exact integers; risk is ONE micro-floored division per census
+    * row.
+    *
+    * Scale shape: distinct (user, QI) partial-aggregates map-side;
+    * class sizes are one QI-keyed aggregation; everything above —
+    * the size census, the cumulative window, the one-row total — is
+    * census-sized (≤ distinct class sizes rows).
+    */
+  def qKanon(spark: SparkSession, dir: String): DataFrame =
+    kanonCurve(events(spark, dir))
+
+  /** The curve over any events-shaped frame (user_id, event_type, ts)
+    * — factored for the hand-computed spec.
+    */
+  def kanonCurve(ev: DataFrame): DataFrame = {
+    val rec = ev
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val classes = rec.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("size"))
+    val census = classes.groupBy("size")
+      .agg(count(lit(1)).as("n_classes"))
+      .select(col("size"), col("n_classes"),
+        (col("size") * col("n_classes")).as("n_recs"))
+    val total = census.agg(sum("n_recs").as("t")).select("t")
+    census
+      .withColumn("cum_recs",
+        sum("n_recs").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy("size")))
+      .crossJoin(broadcast(total))
+      .select(col("size"), col("n_classes"), col("n_recs"),
+        micro(col("cum_recs") / col("t")).as("risk_micro"))
+      .orderBy("size")
+  }
+
+  private val kanonOracle =
+    s"""$evCte,
+       |rec AS (
+       |  SELECT DISTINCT user_id, event_type,
+       |    strftime(ts, '%Y-%m-%d') AS day
+       |  FROM ev
+       |),
+       |cls AS (
+       |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS size
+       |  FROM rec GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT size, CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(size * count(*) AS BIGINT) AS n_recs
+       |  FROM cls GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n_recs) AS BIGINT) AS t FROM cen),
+       |cum AS (
+       |  SELECT size, n_classes, n_recs,
+       |    CAST(sum(n_recs) OVER (ORDER BY size) AS BIGINT) AS cum_recs
+       |  FROM cen
+       |)
+       |SELECT size, n_classes, n_recs,
+       |  ${microSql("cum_recs / t")} AS risk_micro
+       |FROM cum, tot ORDER BY size""".stripMargin
+
   // -------------------------------------------------------- as-of join
 
   /** As-of join composed from primitives: for every error event, the
@@ -1397,6 +1471,7 @@ object RelationalQueries {
     "q_rollup"       -> (qRollup _),
     "q_cube"         -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_kanon"        -> (qKanon _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -1424,5 +1499,6 @@ object RelationalQueries {
     "q_rollup"       -> rollupOracle,
     "q_cube"         -> cubeOracle,
     "q_grouping_sets" -> groupingSetsOracle,
+    "q_kanon"        -> kanonOracle,
     "q_asof"         -> asofOracle)
 }

@@ -79,6 +79,30 @@ class ScaleOpsSpec extends SparkSpec {
       ("B", "A", 1L, 1L, 1000000L)))
   }
 
+  test("kanonCurve: duplicate events collapse to one exposure, " +
+    "hand-computed risk curve") {
+    // classes: (A,d1)={u1,u2,u3} size 3; (B,d1)={u1} size 1 (u1's two
+    // B events that day are ONE record); (A,d2)={u1,u2} size 2
+    // records total 6 -> curve 1/6, 3/6, 6/6
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:01"),
+      (2L, 2L, "A", "2024-01-01 00:00:02"),
+      (3L, 3L, "A", "2024-01-01 00:00:03"),
+      (4L, 1L, "B", "2024-01-01 00:00:04"),
+      (5L, 1L, "B", "2024-01-01 00:00:05"),
+      (6L, 1L, "A", "2024-01-02 00:00:01"),
+      (7L, 2L, "A", "2024-01-02 00:00:02"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.kanonCurve(ev).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_recs"), r.getAs[Long]("risk_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 166666L),
+      (2L, 1L, 2L, 500000L),
+      (3L, 1L, 3L, 1000000L)))
+  }
+
   test("fuzzy join resolves every discriminative probe to its source") {
     val out = RelationalQueries.qFuzzyJoin(spark, "/root/testdata/sf0.001")
       .collect()
