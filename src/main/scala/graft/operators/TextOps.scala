@@ -163,6 +163,42 @@ object TextOps {
       micro(best / total).as("conf_micro"))
   }
 
+  /** X57: weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES) — the missing third sampling mode beside X31's
+    * exact-N uniform strata and X29's rate-based temperature mix: an
+    * EXACT-N sample where inclusion probability is proportional to a
+    * per-document weight (here its token count — "sample by mass, not
+    * by headcount"). A-ES keys are u^(1/w) with u uniform; taken in
+    * the log domain the key is ln(u)/w — ONE ln and ONE division, no
+    * pow() (whose libm rounding differs across engines where ln's
+    * does not, the X19 precedent). Top-N keys win; u is the salted
+    * md5 fraction, so the draw is deterministic, reproducible, and
+    * stratum-free (the X31 discipline).
+    *
+    * Exactness: h is a 60-bit integer; u = h/2⁶⁰ is one exact-tree
+    * division; key_micro = micro(ln(u)/w) with integer w ≥ 1
+    * (zero-token docs clamp to 1 — ln(u) < 0, so a zero weight would
+    * be −∞); ranking ties break by doc_id.
+    *
+    * Scale shape: one scan projecting (hash, weight, key); the top-N
+    * cut is a bounded TakeOrdered — no shuffle carries more than N
+    * rows per partition.
+    */
+  def weightedSample(docs: DataFrame, n: Int): DataFrame = {
+    val w = greatest(size(tokens(col("text"))).cast("long"), lit(1L))
+    val u = greatest(md5Long(concat(lit("aes:"),
+      col("doc_id").cast("string"))), lit(1L)) /
+      lit(1152921504606846976.0) // 2^60, exactly representable
+    val keyed = parallelized(docs).select(col("doc_id"), col("source"),
+      w.as("toks"), micro(log(u) / w).as("key_micro"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+    keyed.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= n)
+      .select("rank", "doc_id", "source", "toks", "key_micro")
+  }
+
   /** X56: language confusion census — the declared-vs-predicted
     * matrix that EVALUATES the X2 heuristic classifier against the
     * corpus's own metadata (every real pipeline runs exactly this

@@ -108,6 +108,15 @@ object TextQueries {
   def qEntropy(spark: SparkSession, dir: String): DataFrame =
     TextOps.entropyRate(Tables.documents(spark, dir)).orderBy("source")
 
+  /** Sample size for the X57 weighted draw — deep enough that both
+    * heavy and light documents appear at sf0.001.
+    */
+  val WSampleN = 20
+
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.weightedSample(Tables.documents(spark, dir), WSampleN)
+      .orderBy("rank")
+
   def qWinsor(spark: SparkSession, dir: String): DataFrame =
     TextOps.winsorStats(Tables.documents(spark, dir)).orderBy("source")
 
@@ -745,6 +754,32 @@ object TextQueries {
        |  ${Hashing.microSql("sum(types) / (16.0 * count(*))")}
        |    AS msttr_micro
        |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X57 oracle: the same salted-md5 uniform, the same log-domain
+    * A-ES key ln(u)/w (one ln, one division — no pow), the same
+    * (key DESC, doc_id) top-N.
+    */
+  private val weightedSampleOracle =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+       |      AS toks,
+       |    greatest(${Hashing.md5LongSql(
+            "'aes:' || CAST(doc_id AS VARCHAR)")}, 1) AS h
+       |  FROM documents
+       |),
+       |keyed AS (
+       |  SELECT doc_id, source, toks,
+       |    ${Hashing.microSql(
+            "ln(h / 1152921504606846976.0) / toks")} AS key_micro
+       |  FROM k
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+       |              AS BIGINT) AS rank,
+       |    doc_id, source, toks, key_micro
+       |  FROM keyed
+       |) WHERE rank <= $WSampleN ORDER BY rank""".stripMargin
 
   /** X55 oracle: same per-doc bigram windows, census-derived
     * conditional totals, the fixed (c_xy/T)·ln(c_x/c_xy) tree
@@ -2619,6 +2654,7 @@ object TextQueries {
     "q_mad"           -> (qMad _),
     "q_msttr"         -> (qMsttr _),
     "q_entropy"       -> (qEntropy _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_bm25"          -> (qBm25 _),
     "q_winsor"        -> (qWinsor _),
     "q_concentration" -> (qConcentration _),
@@ -2686,6 +2722,7 @@ object TextQueries {
     "q_mad"           -> madOracle,
     "q_msttr"         -> msttrOracle,
     "q_entropy"       -> entropyOracle,
+    "q_weighted_sample" -> weightedSampleOracle,
     "q_bm25"          -> bm25Oracle,
     "q_winsor"        -> winsorOracle,
     "q_concentration" -> concentrationOracle,

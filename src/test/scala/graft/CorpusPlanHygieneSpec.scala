@@ -37,6 +37,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_heaps",          // 4-row fraction dim x <= 8-row bucket censuses
     "q_integrity",      // broadcast one-row expected-totals relation
     "q_jsd",            // sources x broadcast top-V bucket grid
+    "q_kanon",          // broadcast one-row record total
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid

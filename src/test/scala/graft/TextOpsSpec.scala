@@ -1095,6 +1095,30 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains("C"))
   }
 
+  test("weightedSample: the A-ES draw replays exactly from first " +
+    "principles") {
+    import sqlImplicits._
+    val corpus = (1L to 8L).map(i =>
+      (i, Seq.fill(i.toInt * 3)("w").mkString(" "), s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.weightedSample(corpus, 4).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("toks"), r.getAs[Long]("key_micro")))
+    // independent replay: md5 -> 60-bit h -> key = floor(1e6*ln(u)/w)
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"aes:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = math.max(java.lang.Long.parseLong(hex, 16), 1L)
+      math.floor(1000000.0 *
+        (math.log(h / 1152921504606846976.0) / w)).toLong
+    }
+    val expected = (1L to 8L).map(i => (i, i * 3, key(i, i * 3)))
+      .sortBy { case (id, _, k) => (-k, id) }.take(4).zipWithIndex
+      .map { case ((id, w, k), r) => (r + 1L, id, w, k) }
+    assert(out.toSeq === expected)
+  }
+
   test("langConfusion: hand-built corpus lands in the right cells " +
     "with exact row fractions") {
     import sqlImplicits._
