@@ -1075,6 +1075,43 @@ object ScaleProbe {
       // "more of the same bytes" moves no entropy needle
       invariant("entropy", d => TextOps.entropyRate(d),
         fullDocs, "doc_id", Seq("source"), "h_micro")
+      // X56: every confusion cell ×k ⇒ row fractions are the same
+      // IEEE divisions — the classifier-eval matrix is duplication-
+      // blind, as an accuracy metric must be
+      invariant("lang_confusion", d => TextOps.langConfusion(d),
+        fullDocs, "doc_id", Seq("lang", "lang_pred"), "frac_micro")
+    }
+    // R21 k-anonymity closed form under USER replication: every class
+    // gains exactly k distinct users per original one, so the census
+    // maps (size, n_classes) -> (k·size, n_classes) bijectively and
+    // the risk curve is IDENTICAL at the stretched sizes (cum and
+    // total both ×k; power-of-two k ⇒ same IEEE division). Measured,
+    // not assumed: "more clones of the same population" must not move
+    // a re-identification risk needle, only the k axis.
+    {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts")
+      def curve(c: Int): Seq[(Long, Long, Long, Long)] = {
+        val d = if (c == 1) ev else replicate(ev, "user_id", c)
+        var out: Seq[(Long, Long, Long, Long)] = null
+        time(s"kanon_${c}x") {
+          out = graft.operators.RelationalQueries.kanonCurve(d)
+            .collect()
+            .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_classes"),
+              r.getAs[Long]("n_recs"), r.getAs[Long]("risk_micro")))
+            .toSeq
+          out.size.toLong
+        }
+        out
+      }
+      val c1 = curve(1)
+      val ck = curve(k)
+      val expected = c1.map { case (s, nc, nr, risk) =>
+        (s * k, nc, nr * k, risk) }
+      require(ck == expected,
+        s"k-anonymity closed form broken at ${k}x")
+      println(s"SCALE kanon_closed_form ok (${c1.size} census rows, " +
+        s"size axis x$k, risk curve bit-identical)")
     }
     // X52 JSD identity at scale: Laplace smoothing deliberately keeps
     // JSD from being replication-invariant (the +1 floor does not
