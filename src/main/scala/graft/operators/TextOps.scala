@@ -3197,4 +3197,133 @@ object TextOps {
       .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
         sum("term_micro").as("jsd_micro"))
   }
+
+  /** X58: Flesch reading-ease per source — the classic surface
+    * readability score 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), computed corpus-style (source-level
+    * totals, so ASL/ASW are the source's aggregate averages). The
+    * curation lens X1/X28 don't carry: a source can pass every Gopher
+    * rule and still be legalese (40-word sentences, latinate
+    * vocabulary → deeply negative score) or SEO chaff (staccato
+    * 3-word fragments → implausibly high). Syllables use the standard
+    * programmatic estimator — count of maximal vowel-group runs
+    * ([aeiouy]+) — which is what every readability library actually
+    * ships; sentences are maximal [.!?]+ runs, clamped to ≥ 1 per doc
+    * so fragment docs count as one sentence rather than poisoning the
+    * ratio with a zero.
+    *
+    * Exactness: the three counts are exact integers off regexp_count
+    * (both engines anchor the same ERE class semantics); the score is
+    * ONE fixed double tree — two divisions, two multiplies, two
+    * subtractions — micro-floored once per source.
+    *
+    * Scale shape: a pure per-doc projection (three codegen regex
+    * counters, no explode — the corpus is never tokenized into rows)
+    * followed by a source-sized integer rollup with map-side partials.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    parallelized(docs).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("sy"))
+      .groupBy("source")
+      .agg(sum("w").as("n_words"), sum("s").as("n_sents"),
+        sum("sy").as("n_syll"))
+      .withColumn("flesch_micro",
+        micro(lit(206.835) -
+          lit(1.015) * (col("n_words") / col("n_sents")) -
+          lit(84.6) * (col("n_syll") / col("n_words"))))
+
+  /** X59: Gini coefficient of the type-frequency distribution per
+    * source — the inequality lens on vocabulary usage that X47's HHI
+    * (dominated by the few largest shares) and X38's Zipf slope (a
+    * two-point fit) both summarize away: G = Σ(2i−n−1)·c_(i) / (n·T)
+    * over counts sorted ascending, 0 = every type used equally, → 1 =
+    * one type carries the corpus. Template/generator text shows up as
+    * a LOW Gini at tiny vocabulary (flat reuse of few types); healthy
+    * prose is high-Gini high-vocabulary (Zipf's law IS inequality).
+    *
+    * The ranked sum never ranks types individually: tied counts are
+    * contiguous ranks, so each (count, multiplicity) census group
+    * contributes the closed form c·m·(2a + m − n) where a is the
+    * number of types with smaller counts — the X38 discipline (the
+    * cumulative window runs over the O(√T)-bounded frequency census,
+    * never the type census, so no per-source type-sized sort exists
+    * anywhere in the plan).
+    *
+    * Exactness: all integers until ONE micro-floored division
+    * num/(n·T). Headroom: |num| ≤ n·T ≤ 2⁶³ holds through ~10⁹ types
+    * × ~10¹⁰ tokens per source; past that the same census form
+    * carries in DECIMAL(38,0) unchanged.
+    */
+  def gini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fcen = parallelized(docs).select(col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .groupBy("source", "c").agg(count(lit(1)).as("m"))
+    val cum = fcen.withColumn("cum",
+      sum("m").over(Window.partitionBy("source").orderBy("c")))
+    val tot = fcen.groupBy("source")
+      .agg(sum("m").as("n"), sum(col("c") * col("m")).as("t"))
+    cum.join(tot, Seq("source"))
+      .select(col("source"), col("n"), col("t"),
+        (col("c") * col("m") *
+          (lit(2L) * (col("cum") - col("m")) + col("m") - col("n")))
+          .as("contrib"))
+      .groupBy("source")
+      .agg(max("n").as("n_types"), max("t").as("n_tokens"),
+        sum("contrib").as("num"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        micro(col("num") / (col("n_types") * col("n_tokens")))
+          .as("gini_micro"))
+  }
+
+  /** X60: top-k type coverage curve per source — what fraction of a
+    * source's token mass its k most frequent types carry, at k ∈
+    * {1, 10, 100, 1000}. The operational readout of X38/X59: a
+    * tokenizer-budget or stopword-list decision reads "top-1000 types
+    * cover 72 %" directly, where a Zipf slope or Gini has to be
+    * inverted. k is clamped to the vocabulary (k_used = min(k, n)) so
+    * small sources report their true saturation point instead of a
+    * missing row.
+    *
+    * Scale shape: the rank cut `row_number ≤ max(k)` plans as
+    * WindowGroupLimit (the V12 precedent) — per-partition top-1000
+    * before the Exchange — so the cumulative window that follows runs
+    * over ≤ 1000 rows per source, never the type census; totals come
+    * off the census aggregation, not a second corpus pass. Exactness:
+    * integer cumulative, ONE micro division per output row; ties at
+    * the cut break on (count desc, type) in both engines — ASCII
+    * tokens keep the collations aligned.
+    */
+  def coverageCurve(docs: DataFrame,
+                    ks: Seq[Int] = Seq(1, 10, 100, 1000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxK = ks.max
+    val cen = parallelized(docs).select(col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .cache()
+    val tot = cen.groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("c").desc, col("t"))
+    val top = cen.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= maxK.toLong)
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("t"))))
+    import docs.sparkSession.implicits._
+    val kdf = ks.map(_.toLong).toDF("k")
+    val picked = top.select(col("source").as("psrc"), col("rn"),
+      col("cum"))
+    tot.crossJoin(broadcast(kdf))
+      .withColumn("k_used", least(col("k"), col("n_types")))
+      .join(picked, col("source") === col("psrc") &&
+        col("k_used") === col("rn"))
+      .select(col("source"), col("k"), col("k_used"),
+        col("n_types"), col("n_tokens"),
+        micro(col("cum") / col("n_tokens")).as("cov_micro"))
+  }
 }

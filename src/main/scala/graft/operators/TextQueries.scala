@@ -108,6 +108,16 @@ object TextQueries {
   def qEntropy(spark: SparkSession, dir: String): DataFrame =
     TextOps.entropyRate(Tables.documents(spark, dir)).orderBy("source")
 
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    TextOps.readability(Tables.documents(spark, dir)).orderBy("source")
+
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gini(Tables.documents(spark, dir)).orderBy("source")
+
+  def qCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextOps.coverageCurve(Tables.documents(spark, dir))
+      .orderBy("source", "k")
+
   /** Sample size for the X57 weighted draw — deep enough that both
     * heavy and light documents appear at sf0.001.
     */
@@ -814,6 +824,99 @@ object TextQueries {
        |  max(n_distinct) AS n_distinct,
        |  CAST(sum(term) AS BIGINT) AS h_micro
        |FROM tm GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X58 oracle: identical regex classes (ERE-safe in both engines),
+    * per-doc sentence clamp, integer source totals, the same fixed
+    * double tree micro-floored once.
+    */
+  private val readabilityOracle =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+       |      AS s,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |         AS BIGINT) AS sy
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT source, CAST(sum(w) AS BIGINT) AS n_words,
+       |    CAST(sum(s) AS BIGINT) AS n_sents,
+       |    CAST(sum(sy) AS BIGINT) AS n_syll
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT source, n_words, n_sents, n_syll,
+       |  ${Hashing.microSql(
+          "206.835 - 1.015 * (n_words / n_sents)" +
+            " - 84.6 * (n_syll / n_words)")} AS flesch_micro
+       |FROM g ORDER BY source""".stripMargin
+
+  /** X59 oracle: same frequency-census closed form — tied counts
+    * contribute c·m·(2a + m − n) where a = types with smaller counts;
+    * one division num/(n·T) at the end.
+    */
+  private val giniOracle =
+    s"""WITH occ AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |),
+       |cen AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+       |        FROM occ GROUP BY 1, 2),
+       |fc AS (SELECT source, c, CAST(count(*) AS BIGINT) AS m
+       |       FROM cen GROUP BY 1, 2),
+       |cum AS (SELECT source, c, m,
+       |        CAST(sum(m) OVER (PARTITION BY source ORDER BY c)
+       |             AS BIGINT) AS cum
+       |        FROM fc),
+       |tot AS (SELECT source, CAST(sum(m) AS BIGINT) AS n,
+       |          CAST(sum(c * m) AS BIGINT) AS t
+       |        FROM fc GROUP BY 1),
+       |ct AS (
+       |  SELECT u.source, o.n, o.t,
+       |    u.c * u.m * (2 * (u.cum - u.m) + u.m - o.n) AS contrib
+       |  FROM cum u JOIN tot o USING (source)
+       |)
+       |SELECT source, max(n) AS n_types, max(t) AS n_tokens,
+       |  ${Hashing.microSql("sum(contrib) / (max(n) * max(t))")}
+       |    AS gini_micro
+       |FROM ct GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** X60 oracle: same (count desc, type) rank cut at 1000, cumulative
+    * over the cut prefix only, k clamped to the vocabulary.
+    */
+  private val coverageOracle =
+    s"""WITH occ AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |),
+       |cen AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+       |        FROM occ GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |          CAST(sum(c) AS BIGINT) AS n_tokens
+       |        FROM cen GROUP BY 1),
+       |top AS (
+       |  SELECT source, c, t,
+       |    CAST(row_number() OVER
+       |      (PARTITION BY source ORDER BY c DESC, t) AS BIGINT) AS rn
+       |  FROM cen QUALIFY rn <= 1000
+       |),
+       |cc AS (
+       |  SELECT source, rn,
+       |    CAST(sum(c) OVER (PARTITION BY source ORDER BY c DESC, t)
+       |         AS BIGINT) AS cum
+       |  FROM top
+       |),
+       |ks AS (SELECT CAST(unnest([1, 10, 100, 1000]) AS BIGINT) AS k),
+       |g AS (
+       |  SELECT o.source, ks.k, least(ks.k, o.n_types) AS k_used,
+       |    o.n_types, o.n_tokens
+       |  FROM tot o, ks
+       |)
+       |SELECT g.source, g.k, g.k_used, g.n_types, g.n_tokens,
+       |  ${Hashing.microSql("cc.cum / g.n_tokens")} AS cov_micro
+       |FROM g JOIN cc ON g.source = cc.source AND g.k_used = cc.rn
+       |ORDER BY g.source, g.k""".stripMargin
 
   /** X52 oracle: same top-V + residual-bucket support, Laplace +1
     * over V+1 buckets, the fixed ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q)))
@@ -2654,6 +2757,9 @@ object TextQueries {
     "q_mad"           -> (qMad _),
     "q_msttr"         -> (qMsttr _),
     "q_entropy"       -> (qEntropy _),
+    "q_readability"   -> (qReadability _),
+    "q_gini"          -> (qGini _),
+    "q_coverage"      -> (qCoverage _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_bm25"          -> (qBm25 _),
     "q_winsor"        -> (qWinsor _),
@@ -2722,6 +2828,9 @@ object TextQueries {
     "q_mad"           -> madOracle,
     "q_msttr"         -> msttrOracle,
     "q_entropy"       -> entropyOracle,
+    "q_readability"   -> readabilityOracle,
+    "q_gini"          -> giniOracle,
+    "q_coverage"      -> coverageOracle,
     "q_weighted_sample" -> weightedSampleOracle,
     "q_bm25"          -> bm25Oracle,
     "q_winsor"        -> winsorOracle,

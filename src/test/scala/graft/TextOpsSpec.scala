@@ -1185,6 +1185,71 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains("C"))
   }
 
+  test("readability: hand-computed Flesch, sentence clamp on " +
+    "fragment docs") {
+    import sqlImplicits._
+    val corpus = Seq(
+      // 5 words, 2 sentence runs (. and !), 5 vowel groups
+      (1L, "the cat sat. it ran!", "A"),
+      // no terminator at all: sentence count clamps to 1;
+      // hello(2) + world(1) = 3 vowel groups over 2 words
+      (2L, "hello world", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.readability(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"),
+          r.getAs[Long]("n_syll"), r.getAs[Long]("flesch_micro"))))
+      .toMap
+    def f(w: Double, s: Double, sy: Double): Long =
+      math.floor(1000000.0 *
+        (206.835 - 1.015 * (w / s) - 84.6 * (sy / w))).toLong
+    assert(out("A") === ((5L, 2L, 5L, f(5, 2, 5))))
+    assert(out("B") === ((2L, 1L, 3L, f(2, 1, 3))))
+  }
+
+  test("gini: equal use reads EXACTLY zero, tie groups carry the " +
+    "closed form, hand-computed skew") {
+    import sqlImplicits._
+    val corpus = Seq(
+      // counts (3, 1): num = (2-3)*1 + (4-3)*3 = 2, G = 2/8
+      (1L, "a a a b", "A"),
+      // every type used once: G = 0 exactly
+      (2L, "x y z", "B"),
+      // tie group at c=2 (m=2): (-2) + 0 + 4 = 2, G = 2/15
+      (3L, "a a b b c", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.gini(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("gini_micro"))))
+      .toMap
+    assert(out("A") === ((2L, 4L, 250000L)))
+    assert(out("B") === ((3L, 3L, 0L)))
+    assert(out("C") === ((3L, 5L,
+      math.floor(1000000.0 * (2.0 / 15.0)).toLong)))
+  }
+
+  test("coverageCurve: k clamps to the vocabulary, ties at the cut " +
+    "break on (count desc, type)") {
+    import sqlImplicits._
+    val corpus = Seq(
+      // counts a=3, b=2, c=1: top-1 covers 3/6, full curve saturates
+      (1L, "a a a b b c", "A"),
+      // tie a=2, b=2: rank 1 must be 'a' (type tiebreak)
+      (2L, "b b a a", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.coverageCurve(corpus).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("k")) ->
+        ((r.getAs[Long]("k_used"), r.getAs[Long]("cov_micro"))))
+      .toMap
+    assert(out(("A", 1L)) === ((1L, 500000L)))
+    assert(out(("A", 10L)) === ((3L, 1000000L)))
+    assert(out(("A", 1000L)) === ((3L, 1000000L)))
+    assert(out(("B", 1L)) === ((1L, 500000L)))
+    assert(out(("B", 10L)) === ((2L, 1000000L)))
+    assert(out.size === 8)
+  }
+
   test("jsdDrift: identical sources read EXACTLY zero, disjoint " +
     "vocabularies read loud, overlap sits between") {
     import sqlImplicits._
