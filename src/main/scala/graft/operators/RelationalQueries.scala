@@ -600,6 +600,246 @@ object RelationalQueries {
        |  ${microSql("cum_recs / t")} AS risk_micro
        |FROM cum, tot ORDER BY size""".stripMargin
 
+  // ------------------------------------------------------- l-diversity
+
+  /** R22: l-diversity risk curve — the audit k-anonymity (R21) cannot
+    * express: a class can hold 50 users (k-anonymous at any practical
+    * k) and still leak an attribute if all 50 share it. Here the
+    * sensitive attribute is the user's nationality (events joined to
+    * the customer dimension), the QI is R21's (event_type, day), and
+    * the curve reports, for every diversity level l, the fraction of
+    * user-QI records in classes with ≤ l distinct sensitive values —
+    * risk at threshold l is read directly, one curve for every l.
+    *
+    * Exactness: diversity levels, class record counts, and the
+    * cumulative are exact integers; risk is ONE micro-floored
+    * division per census row.
+    *
+    * Scale shape: the dimension join broadcasts (customers are the
+    * small side by construction); distinct (user, QI) partial-
+    * aggregates map-side; per-class COUNT + COUNT DISTINCT is one
+    * QI-keyed aggregation; the l census, cumulative window, and
+    * one-row total are census-sized (≤ distinct diversity levels).
+    */
+  def qLdiv(spark: SparkSession, dir: String): DataFrame =
+    ldivCurve(events(spark, dir),
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long")))
+
+  /** The curve over any events-shaped frame joined to a (c_custkey,
+    * c_nationkey) dimension — factored for the hand-computed spec.
+    */
+  def ldivCurve(ev: DataFrame, cust: DataFrame): DataFrame = {
+    val rec = ev
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+    val classes = rec.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_recs_cls"),
+        countDistinct(col("c_nationkey")).as("l"))
+    val census = classes.groupBy("l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum("n_recs_cls").as("n_recs"))
+    val total = census.agg(sum("n_recs").as("t")).select("t")
+    census
+      .withColumn("cum_recs",
+        sum("n_recs").over(Window.partitionBy(lit(0)).orderBy("l")))
+      .crossJoin(broadcast(total))
+      .select(col("l"), col("n_classes"), col("n_recs"),
+        micro(col("cum_recs") / col("t")).as("risk_micro"))
+      .orderBy("l")
+  }
+
+  private val ldivOracle =
+    s"""$evCte,
+       |rec AS (
+       |  SELECT DISTINCT e.user_id, e.event_type,
+       |    strftime(e.ts, '%Y-%m-%d') AS day,
+       |    CAST(c.c_nationkey AS BIGINT) AS nat
+       |  FROM ev e JOIN customer c ON e.user_id = c.c_custkey
+       |),
+       |cls AS (
+       |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_recs_cls,
+       |    CAST(count(DISTINCT nat) AS BIGINT) AS l
+       |  FROM rec GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(sum(n_recs_cls) AS BIGINT) AS n_recs
+       |  FROM cls GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n_recs) AS BIGINT) AS t FROM cen),
+       |cum AS (
+       |  SELECT l, n_classes, n_recs,
+       |    CAST(sum(n_recs) OVER (ORDER BY l) AS BIGINT) AS cum_recs
+       |  FROM cen
+       |)
+       |SELECT l, n_classes, n_recs,
+       |  ${microSql("cum_recs / t")} AS risk_micro
+       |FROM cum, tot ORDER BY l""".stripMargin
+
+  // ------------------------------------------- inter-arrival census
+
+  /** R23: inter-arrival time census per event type — the traffic-
+    * shape fingerprint (bot bursts vs human cadence vs batch-loader
+    * spikes) and the number capacity planning reads. Consecutive
+    * same-type events (ordered by ts, event_id — the deterministic
+    * tiebreak) yield microsecond deltas, binned into power-of-two
+    * buckets via a 64-row broadcast boundary table (lo ≤ δ < hi) —
+    * never floor(log2(δ)): an IEEE log at an exact power-of-two
+    * boundary is engine-dependent, an integer range compare is not.
+    * Bucket −1 holds δ = 0 (same-microsecond arrivals).
+    *
+    * Scale shape: one (event_type)-keyed sort-window for the lag; the
+    * bucket assignment is a broadcast range join against 64 rows; the
+    * census is ≤ 64 rows per type with map-side partials. Exactness:
+    * deltas and counts are exact integers; the per-type share is ONE
+    * micro division per census row.
+    */
+  def qInterarrival(spark: SparkSession, dir: String): DataFrame =
+    interarrivalCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def interarrivalCensus(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    // ts is TIMESTAMP_NTZ; the session is pinned UTC so the cast to
+    // TIMESTAMP is an identity relabel for unix_micros
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val deltas = ev
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("prev", lag(us, 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (us - col("prev")).as("delta"))
+    val buckets = ((-1L, 0L, 1L) +:
+      (0 until 62).map(b =>
+        (b.toLong, 1L << b, if (b == 61) Long.MaxValue else 1L << (b + 1))))
+      .toDF("bucket", "lo", "hi")
+    val binned = deltas.join(broadcast(buckets),
+        col("delta") >= col("lo") && col("delta") < col("hi"))
+      .groupBy("event_type", "bucket")
+      .agg(min("lo").as("lo"), count(lit(1)).as("n"))
+    val totals = binned.groupBy("event_type").agg(sum("n").as("t"))
+    binned.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("bucket"), col("lo"), col("n"),
+        micro(col("n") / col("t")).as("frac_micro"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private val interarrivalOracle =
+    s"""$evCte,
+       |d AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |      (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+       |  FROM ev
+       |),
+       |dd AS (SELECT event_type, delta FROM d WHERE delta IS NOT NULL),
+       |bkt AS (
+       |  SELECT CAST(g.b AS BIGINT) AS bucket,
+       |    CASE WHEN g.b = -1 THEN 0
+       |         ELSE CAST(2 ** g.b AS BIGINT) END AS lo,
+       |    CASE WHEN g.b = 61 THEN 9223372036854775807
+       |         ELSE CAST(2 ** (g.b + 1) AS BIGINT) END AS hi
+       |  FROM unnest(range(-1, 62)) AS g(b)
+       |),
+       |binned AS (
+       |  SELECT dd.event_type, bkt.bucket, min(bkt.lo) AS lo,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM dd JOIN bkt ON dd.delta >= bkt.lo AND dd.delta < bkt.hi
+       |  GROUP BY 1, 2
+       |),
+       |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+       |        FROM binned GROUP BY 1)
+       |SELECT b.event_type, b.bucket, b.lo, b.n,
+       |  ${microSql("b.n / tot.t")} AS frac_micro
+       |FROM binned b JOIN tot USING (event_type)
+       |ORDER BY b.event_type, b.bucket""".stripMargin
+
+  // ------------------------------------------------- EWMA anomaly
+
+  /** R24: EWMA volume-anomaly flags per event type — the streaming-
+    * adjacent drift detector as a batch census: each day's count is
+    * compared against the exponentially weighted moving average of
+    * the preceding ≤ 30 days with half-life decay (weight 2^(30−k)
+    * for a day k back). The deliberate α = ½ makes every weight a
+    * power of two, so numerator and denominator are EXACT INTEGERS —
+    * the one decay schedule whose EWMA cross-checks bit-for-bit
+    * between engines (an arbitrary α compounds libm pow drift).
+    * The spike verdict never divides: cnt > 3·EWMA tests as
+    * cnt·den > 3·num in integers.
+    *
+    * Scale shape: daily counts are one partial-agg'd Exchange off the
+    * raw events; the lookback is a ≤ 30× band self-join on the
+    * calendar-sized census, never the event stream; days with no
+    * prior day in the window are absent by contract (a first day has
+    * no baseline to be anomalous against). Headroom: weights spend
+    * 2^30, so daily counts to 2^32 fit the int64 sum; larger counts
+    * rescale the weight budget, not the algorithm.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaAnomaly(events(spark, dir))
+
+  /** The flags over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def ewmaAnomaly(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("d",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+    val prior = daily.select(col("event_type").as("p_et"),
+      col("d").as("pd"), col("cnt").as("pcnt"))
+    daily.join(prior,
+        col("event_type") === col("p_et") &&
+          col("pd") >= col("d") - 30L && col("pd") <= col("d") - 1L)
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("pcnt") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - (d - pd) AS INT))"))
+          .as("num_t"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - (d - pd) AS INT))")
+          .as("den_t"))
+      .groupBy("event_type", "day", "cnt")
+      .agg(sum("num_t").as("num"), sum("den_t").as("den"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        micro(col("num") / col("den")).as("ewma_micro"),
+        (col("cnt") * col("den") > lit(3L) * col("num"))
+          .as("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
+  private val ewmaOracle =
+    s"""$evCte,
+       |daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |         AS BIGINT) AS d
+       |  FROM ev GROUP BY 1, 2, 4
+       |),
+       |j AS (
+       |  SELECT c.event_type, c.day, c.cnt,
+       |    CAST(sum(p.cnt * CAST(2 ** (30 - (c.d - p.d)) AS BIGINT))
+       |         AS BIGINT) AS num,
+       |    CAST(sum(CAST(2 ** (30 - (c.d - p.d)) AS BIGINT))
+       |         AS BIGINT) AS den
+       |  FROM daily c JOIN daily p
+       |    ON c.event_type = p.event_type
+       |   AND p.d >= c.d - 30 AND p.d <= c.d - 1
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       |  ${microSql("num / den")} AS ewma_micro,
+       |  cnt * den > 3 * num AS is_spike
+       |FROM j ORDER BY event_type, day""".stripMargin
+
   // -------------------------------------------------------- as-of join
 
   /** As-of join composed from primitives: for every error event, the
@@ -1472,6 +1712,9 @@ object RelationalQueries {
     "q_cube"         -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_kanon"        -> (qKanon _),
+    "q_ldiv"         -> (qLdiv _),
+    "q_interarrival" -> (qInterarrival _),
+    "q_ewma"         -> (qEwma _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -1500,5 +1743,8 @@ object RelationalQueries {
     "q_cube"         -> cubeOracle,
     "q_grouping_sets" -> groupingSetsOracle,
     "q_kanon"        -> kanonOracle,
+    "q_ldiv"         -> ldivOracle,
+    "q_interarrival" -> interarrivalOracle,
+    "q_ewma"         -> ewmaOracle,
     "q_asof"         -> asofOracle)
 }

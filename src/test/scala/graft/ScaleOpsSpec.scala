@@ -103,6 +103,70 @@ class ScaleOpsSpec extends SparkSpec {
       (3L, 1L, 3L, 1000000L)))
   }
 
+  test("ldivCurve: class diversity counts distinct sensitive values, " +
+    "hand-computed risk curve") {
+    // dim: u1,u2 -> nat 10; u3 -> nat 20
+    // class (A,d1) = {u1,u2,u3}: 3 recs, l = 2; (B,d1) = {u1}: 1 rec,
+    // l = 1 -> census l=1 (1 rec), l=2 (3 recs); curve 1/4, 4/4
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:01"),
+      (2L, 2L, "A", "2024-01-01 00:00:02"),
+      (3L, 3L, "A", "2024-01-01 00:00:03"),
+      (4L, 1L, "B", "2024-01-01 00:00:04"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val dim = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("c_custkey", "c_nationkey")
+    val out = RelationalQueries.ldivCurve(ev, dim).collect()
+      .map(r => (r.getAs[Long]("l"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_recs"), r.getAs[Long]("risk_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 250000L),
+      (2L, 1L, 3L, 1000000L)))
+  }
+
+  test("interarrivalCensus: zero-delta bucket, power-of-two bins, " +
+    "event_id tiebreak at equal timestamps") {
+    // type A at 0us, 1us, 1us, 9us -> deltas 1 (bucket 0),
+    // 0 (bucket -1, the same-microsecond pair), 8 (bucket 3)
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:00.000000"),
+      (2L, 1L, "A", "2024-01-01 00:00:00.000001"),
+      (3L, 1L, "A", "2024-01-01 00:00:00.000001"),
+      (4L, 1L, "A", "2024-01-01 00:00:00.000009"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.interarrivalCensus(ev).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo"),
+        r.getAs[Long]("n"), r.getAs[Long]("frac_micro")))
+    assert(out.toSeq === Seq(
+      (-1L, 0L, 1L, 333333L),
+      (0L, 1L, 1L, 333333L),
+      (3L, 8L, 1L, 333333L)))
+  }
+
+  test("ewmaAnomaly: exact power-of-two decay, integer spike verdict, " +
+    "first day and out-of-window days absent") {
+    // A: d1 cnt 2, d2 cnt 2 (ewma 2.0, quiet), d3 cnt 10 (ewma 2.0,
+    // spike: 10 > 3*2); B: d1 then d40 -> no day in the 30-day window
+    val rows =
+      Seq.fill(2)(("A", "2024-01-01 12:00:00")) ++
+      Seq.fill(2)(("A", "2024-01-02 12:00:00")) ++
+      Seq.fill(10)(("A", "2024-01-03 12:00:00")) ++
+      Seq(("B", "2024-01-01 12:00:00"), ("B", "2024-02-10 12:00:00"))
+    val ev = rows.zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, 1L, t, s) }
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.ewmaAnomaly(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("ewma_micro"),
+        r.getAs[Boolean]("is_spike")))
+    assert(out.toSeq === Seq(
+      ("A", "2024-01-02", 2L, 2000000L, false),
+      ("A", "2024-01-03", 10L, 2000000L, true)))
+  }
+
   test("fuzzy join resolves every discriminative probe to its source") {
     val out = RelationalQueries.qFuzzyJoin(spark, "/root/testdata/sf0.001")
       .collect()
