@@ -599,4 +599,62 @@ object MultimodalOps {
     perFormat.unionByName(
       all.select(perFormat.columns.toIndexedSeq.map(col): _*))
   }
+
+  /** M8 fixture knobs: every doc whose id ≡ 3 (mod 7) carries the
+    * WRONG declared format tag (a bmp payload labeled wav or vice
+    * versa) — the deterministic stand-in for crawler metadata drift.
+    */
+  val MislabelMod = 7L
+  val MislabelRem = 3L
+
+  /** The M8 input relation: real container payloads ([[mediaBinary]])
+    * plus a DECLARED format column that disagrees with the bytes on
+    * the mislabeled subset. The payload format stays keyed to doc_id
+    * parity; only the label lies.
+    */
+  def mediaBinaryDeclared(docs: DataFrame): DataFrame =
+    mediaBinary(docs).toDF()
+      .select(col("doc_id"),
+        when(col("doc_id") % MislabelMod === MislabelRem,
+          when(col("kind") === "bmp", "wav").otherwise("bmp"))
+          .otherwise(col("kind")).as("declared"),
+        col("payload"))
+
+  /** Magic-byte sniff as a pure codegen expression over the binary
+    * column — 'BM' at offset 0 is BMP; 'RIFF' at 0 plus 'WAVE' at 8
+    * is WAV; anything else is unknown. No decode, no UDF: two binary
+    * slices and equality against hex literals.
+    */
+  def magicSniff(payload: Column): Column =
+    when(hex(substring(payload, 1, 2)) === "424D", "bmp")
+      .when(hex(substring(payload, 1, 4)) === "52494646" &&
+        hex(substring(payload, 9, 4)) === "57415645", "wav")
+      .otherwise("unknown")
+
+  /** M8: declared-vs-sniffed format confusion census — the X56
+    * discipline applied to bytes: every real ingest audits whether
+    * upstream content-type metadata matches what the payloads
+    * actually are (format-keyed pipelines route on this; a wav
+    * decoder fed mislabeled BMP bytes is a task failure, not a
+    * statistic). Counts are exact; the per-declared-row fraction is
+    * ONE micro division. Off-diagonal cells ARE the mislabel rate per
+    * declared format.
+    *
+    * Scale shape: the sniff is a zero-shuffle projection reading two
+    * header slices (Parquet page-level column pruning keeps every
+    * other byte of the payload un-fetched only if the format stores
+    * payloads out-of-row — with in-row payloads the scan pays the
+    * payload pages, the CPU still only touches 12 bytes); the census
+    * is ≤ formats² rows with map-side partials.
+    */
+  def magicCensus(media: DataFrame): DataFrame = {
+    val cells = media
+      .select(col("declared"), magicSniff(col("payload")).as("sniffed"))
+      .groupBy("declared", "sniffed").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("declared").agg(sum("n").as("t"))
+    cells.join(tot, Seq("declared"))
+      .select(col("declared"), col("sniffed"), col("n"),
+        graft.functions.Hashing.micro(col("n") / col("t"))
+          .as("frac_micro"))
+  }
 }

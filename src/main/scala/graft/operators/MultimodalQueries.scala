@@ -51,6 +51,11 @@ object MultimodalQueries {
     MultimodalOps.phashCensus(docs(spark, dir), PhashMaxHamming)
       .orderBy("h1", "h2")
 
+  def qMediaMagic(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.magicCensus(
+      MultimodalOps.mediaBinaryDeclared(docs(spark, dir)))
+      .orderBy("declared", "sniffed")
+
   private val fmtCase =
     """CASE source WHEN 'src0' THEN 'png' WHEN 'src1' THEN 'jpeg'
       |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
@@ -288,7 +293,36 @@ object MultimodalQueries {
       |  min(pv) AS min_px, max(pv) AS max_px
       |FROM boxes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** M8 oracle: the Spark side SNIFFS real bytes; the oracle recomputes
+    * ground truth from the generator's closed form — payload format is
+    * doc_id parity, the declared tag flips on the id ≡ 3 (mod 7)
+    * mislabel subset. Agreement means the byte-level sniff recovered
+    * exactly the planted truth.
+    */
+  private val mediaMagicOracle =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS actual,
+       |    CASE WHEN doc_id % 7 = 3
+       |         THEN CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END
+       |         ELSE CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END
+       |    END AS declared
+       |  FROM documents
+       |),
+       |cells AS (
+       |  SELECT declared, actual AS sniffed,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM m GROUP BY 1, 2
+       |),
+       |tot AS (SELECT declared, CAST(sum(n) AS BIGINT) AS t
+       |        FROM cells GROUP BY 1)
+       |SELECT c.declared, c.sniffed, c.n,
+       |  ${graft.functions.Hashing.microSql("c.n / t.t")} AS frac_micro
+       |FROM cells c JOIN tot t USING (declared)
+       |ORDER BY c.declared, c.sniffed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_magic"    -> (qMediaMagic _),
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
     "q_media_features" -> (qMediaFeatures _),
@@ -304,5 +338,6 @@ object MultimodalQueries {
     "q_media_dedup"    -> mediaDedupOracle,
     "q_media_energy"   -> mediaEnergyOracle,
     "q_media_resize"   -> mediaResizeOracle,
-    "q_media_phash"    -> mediaPhashOracle)
+    "q_media_phash"    -> mediaPhashOracle,
+    "q_media_magic"    -> mediaMagicOracle)
 }

@@ -256,4 +256,42 @@ class MultimodalOpsSpec extends SparkSpec {
     } yield (keys(i), keys(j), ham, byHash(keys(i)) * byHash(keys(j)))
     assert(out.toSeq === (selfRows ++ nearRows).sortBy(t => (t._1, t._2)))
   }
+
+  test("magicSniff + magicCensus: bytes beat labels, garbage reads " +
+    "unknown, fractions per declared row") {
+    import sqlImplicits._
+    // real BMP declared wav, real WAV declared bmp, real BMP declared
+    // right, garbage declared bmp
+    val media = Seq(
+      (1L, "wav", MultimodalOps.encodeBmp(1L)),
+      (2L, "bmp", MultimodalOps.encodeWav(2L)),
+      (3L, "bmp", MultimodalOps.encodeBmp(3L)),
+      (4L, "bmp", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
+      .toDF("doc_id", "declared", "payload")
+    val out = MultimodalOps.magicCensus(media)
+      .orderBy("declared", "sniffed").collect()
+      .map(r => (r.getAs[String]("declared"), r.getAs[String]("sniffed"),
+        r.getAs[Long]("n"), r.getAs[Long]("frac_micro")))
+    assert(out.toSeq === Seq(
+      ("bmp", "bmp", 1L, 333333L),
+      ("bmp", "unknown", 1L, 333333L),
+      ("bmp", "wav", 1L, 333333L),
+      ("wav", "bmp", 1L, 1000000L)))
+  }
+
+  test("mediaBinaryDeclared: the mislabel subset flips, everything " +
+    "else keeps its parity kind") {
+    import sqlImplicits._
+    val docs = (0L until 28L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = MultimodalOps.mediaBinaryDeclared(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("declared"))
+      .toMap
+    (0L until 28L).foreach { i =>
+      val actual = if (i % 2 == 0) "bmp" else "wav"
+      val expect =
+        if (i % 7 == 3) (if (actual == "bmp") "wav" else "bmp")
+        else actual
+      assert(out(i) === expect, s"doc $i")
+    }
+  }
 }
