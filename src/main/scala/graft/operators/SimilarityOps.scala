@@ -60,6 +60,67 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Exact integer milli-domain inner product of two milli vectors —
+    * every term |a·b| ≤ 10⁶ and the 64-dim sum ≤ 6.4·10⁷, so the
+    * double-typed fold is exact and order-free; the cast pins the
+    * integer type at the edge.
+    */
+  private def milliDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+      (acc, t) => acc + t.cast("long"))
+
+  /** V27: maximum-inner-product top-k (the recommender/re-ranker
+    * retrieval contract — scores are UNnormalized, so a long vector
+    * legitimately outranks a near-parallel short one; cosine top-k is
+    * [[annTopK]]) with Cauchy–Schwarz norm pruning, the classic exact
+    * MIPS accelerator: a seed pass scores only the `seedPool` largest-
+    * norm vectors (TakeOrdered, bounded) and takes its kth-best dot as
+    * the bar τ; the main pass then skips every vector with
+    * |q|²·|v|² < τ² (all integers — no sqrt anywhere), since
+    * dot ≤ |q|·|v| < τ can never displace the k seeds already at ≥ τ.
+    * When τ ≤ 0 the bound is vacuous and the pass is brute force —
+    * correctness never depends on the seed pool being lucky, only the
+    * pruned fraction does (large-norm vectors are exactly where large
+    * dots live, the Cauchy–Schwarz heuristic MIPS indexes are built
+    * on).
+    *
+    * Exactness: milli dots and squared norms are exact integers; the
+    * prune compare |q|²·|v|² vs τ² stays within int64 through 64 dims
+    * × milli range. Output is bit-equal to brute force by
+    * construction (proved, and spec-pinned against it).
+    *
+    * Scale shape: one scan projecting (vm, |v|²); the seed cut is a
+    * bounded TakeOrdered (seedPool rows); τ is a one-row broadcast;
+    * the survivor scan is filter + dot + TakeOrderedAndProject — no
+    * shuffle carries more than k rows per partition; nothing pairwise.
+    */
+  def mipsTopK(emb: DataFrame, queryId: Long, k: Int,
+               seedPool: Int = 30): DataFrame = {
+    val mv = emb.select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+      .withColumn("n2", milliDot(col("vm"), col("vm")))
+    val q = mv.filter(col("vec_id") === queryId)
+      .select(col("vm").as("qm"), col("n2").as("qn2"))
+    // the bar is only sound if the seed pass yielded a FULL k dots at
+    // >= tau — with fewer, pruning could evict a legitimate top-k row,
+    // so nseed < k makes the bound vacuous (as does tau <= 0, where
+    // the squared compare loses the sign)
+    val tau = mv.filter(col("vec_id") =!= queryId)
+      .orderBy(col("n2").desc, col("vec_id")).limit(math.max(seedPool, k))
+      .crossJoin(broadcast(q))
+      .withColumn("dot", milliDot(col("vm"), col("qm")))
+      .orderBy(col("dot").desc, col("vec_id")).limit(k)
+      .agg(count(lit(1)).as("nseed"), min("dot").as("tau"))
+    mv.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(tau))
+      .filter(col("nseed") < k.toLong || col("tau") <= 0L ||
+        col("qn2") * col("n2") >= col("tau") * col("tau"))
+      .select(col("vec_id"),
+        milliDot(col("vm"), col("qm")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic "random" hyperplane weights for sign-LSH in integer
     * milli-units (w ∈ [-1000, 1000]) — canonical generator in
     * [[graft.functions.SignLsh.planeWInt]], shared by the per-row

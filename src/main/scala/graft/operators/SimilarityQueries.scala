@@ -37,6 +37,9 @@ object SimilarityQueries {
     SimilarityOps.annIvf(emb(spark, dir), QueryVecId, NCentroids, NProbe,
       TopK)
 
+  def qMips(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.mipsTopK(emb(spark, dir), QueryVecId, TopK)
+
   val PerLabelK = 3
   val LshPlanes = 16
   val LshBandBits = 4
@@ -482,6 +485,24 @@ object SimilarityQueries {
        |    AS cos_micro
        |FROM dots d JOIN nrm n ON d.vec_id = n.vec_id
        |ORDER BY cos_micro DESC, d.vec_id LIMIT $TopK""".stripMargin
+
+  /** V27 oracle: brute-force exact-integer milli dots — the norm
+    * pruning on the Spark side is provably result-preserving, so the
+    * oracle never models it.
+    */
+  private val mipsOracle =
+    s"""$evCte,
+       |mv AS (
+       |  SELECT vec_id, CAST(floor(v * 1000.0) AS BIGINT) AS vm, i
+       |  FROM ev
+       |),
+       |dots AS (
+       |  SELECT e.vec_id, CAST(sum(e.vm * q.vm) AS BIGINT) AS dot
+       |  FROM mv e JOIN mv q ON e.i = q.i AND q.vec_id = $QueryVecId
+       |  WHERE e.vec_id <> $QueryVecId GROUP BY 1
+       |)
+       |SELECT vec_id, dot FROM dots
+       |ORDER BY dot DESC, vec_id LIMIT $TopK""".stripMargin
 
   /** The k-means oracle machinery re-trains the codebook INSIDE DuckDB —
     * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
@@ -1675,6 +1696,7 @@ object SimilarityQueries {
     "q_embed_lsh"      -> (qEmbedLsh _),
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_ann_topk"       -> (qAnnTopK _),
+    "q_mips"           -> (qMips _),
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
@@ -1707,6 +1729,7 @@ object SimilarityQueries {
     "q_embed_lsh"      -> embedLshOracle,
     "q_embed_pairs"    -> embedPairsOracle,
     "q_ann_topk"       -> annTopKOracle,
+    "q_mips"           -> mipsOracle,
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,

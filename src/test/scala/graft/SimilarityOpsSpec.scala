@@ -21,6 +21,53 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out === Seq((2L, 1000000L), (1L, 600000L), (3L, 0L)))
   }
 
+  test("mipsTopK: unnormalized ranking, pruning preserves the exact " +
+    "result, negative-tau pass is brute force") {
+    // long vector v1 must outrank the parallel unit v2 (MIPS, not
+    // cosine). k=1, seedPool=2 forces REAL pruning: tau = dot(q,v1) =
+    // 3e6 > 0 with a full k seeds, so v2/v3 (qn2*n2 = 1e12 < 9e12)
+    // are skipped — correctly, neither can beat 3e6
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),      // query
+      (1L, Seq(3f, 0f), 0),      // dot 3,000,000
+      (2L, Seq(1f, 0f), 0),      // dot 1,000,000
+      (3L, Seq(0f, 1f), 0))      // dot 0
+    val top1 = SimilarityOps.mipsTopK(m, 0L, 1, seedPool = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1 === Seq((1L, 3000000L)))
+    // seedPool < k is clamped up to k so the bar stays backed by a
+    // full k seeds — v2 belongs to top-2 and must survive (tau = 1e6,
+    // v3 sits exactly AT the bound qn2*n2 = tau^2 and is kept: only
+    // strictly-below is provably safe to skip)
+    val out = SimilarityOps.mipsTopK(m, 0L, 2, seedPool = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Seq((1L, 3000000L), (2L, 1000000L)))
+    // all dots negative -> tau < 0 -> vacuous bound, still exact
+    val neg = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(-2f, 0f), 0),     // dot -2,000,000
+      (2L, Seq(-1f, 0f), 0))     // dot -1,000,000
+    val outNeg = SimilarityOps.mipsTopK(neg, 0L, 2, seedPool = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(outNeg === Seq((2L, -1000000L), (1L, -2000000L)))
+  }
+
+  test("mipsTopK equals brute force on the real corpus") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimilarityOps.mipsTopK(e, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent brute force over collected milli vectors
+    val all = e.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Seq[Float]]("embedding")
+        .map(v => math.floor(v.toDouble * 1000.0).toLong).toArray))
+    val q = all.find(_._1 == 0L).get._2
+    val brute = all.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(10)
+    assert(out.toSeq === brute.toSeq)
+  }
+
   test("embedNearDupPairs respects label blocking") {
     val out = SimilarityOps.embedNearDupPairs(vecs, 500000L)
       .orderBy("d1", "d2").collect()
