@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, Md5Long60, SignLshSignature,
-  WinnowFingerprints}
+import graft.functions.{CosineSimilarity, Md5Long60, MilliDotProduct,
+  SignLshSignature, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions as SQL functions so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("cosine_sim", 2, children)
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("milli_dot"),
+      new ExpressionInfo(classOf[MilliDotProduct].getName, "milli_dot"),
+      (children: Seq[Expression]) => {
+        requireArity("milli_dot", 2, children)
+        MilliDotProduct(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("md5long60"),

@@ -60,15 +60,6 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Exact integer milli-domain inner product of two milli vectors —
-    * every term |a·b| ≤ 10⁶ and the 64-dim sum ≤ 6.4·10⁷, so the
-    * double-typed fold is exact and order-free; the cast pins the
-    * integer type at the edge.
-    */
-  private def milliDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-      (acc, t) => acc + t.cast("long"))
-
   /** V27: maximum-inner-product top-k (the recommender/re-ranker
     * retrieval contract — scores are UNnormalized, so a long vector
     * legitimately outranks a near-parallel short one; cosine top-k is
@@ -96,27 +87,30 @@ object SimilarityOps {
     */
   def mipsTopK(emb: DataFrame, queryId: Long, k: Int,
                seedPool: Int = 30): DataFrame = {
-    val mv = emb.select(col("vec_id"), milliVec(col("embedding")).as("vm"))
-      .withColumn("n2", milliDot(col("vm"), col("vm")))
-    val q = mv.filter(col("vec_id") === queryId)
-      .select(col("vm").as("qm"), col("n2").as("qn2"))
+    import graft.functions.vector.milliDot
+    // the kernel floors inside its loop, so no milli-vector array is
+    // ever materialized — the scan carries the raw float column only
+    val base = emb.select(col("vec_id"), col("embedding"),
+      milliDot(col("embedding"), col("embedding")).as("n2"))
+    val q = base.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
     // the bar is only sound if the seed pass yielded a FULL k dots at
     // >= tau — with fewer, pruning could evict a legitimate top-k row,
     // so nseed < k makes the bound vacuous (as does tau <= 0, where
     // the squared compare loses the sign)
-    val tau = mv.filter(col("vec_id") =!= queryId)
+    val tau = base.filter(col("vec_id") =!= queryId)
       .orderBy(col("n2").desc, col("vec_id")).limit(math.max(seedPool, k))
       .crossJoin(broadcast(q))
-      .withColumn("dot", milliDot(col("vm"), col("qm")))
+      .withColumn("dot", milliDot(col("embedding"), col("qe")))
       .orderBy(col("dot").desc, col("vec_id")).limit(k)
       .agg(count(lit(1)).as("nseed"), min("dot").as("tau"))
-    mv.filter(col("vec_id") =!= queryId)
+    base.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .crossJoin(broadcast(tau))
       .filter(col("nseed") < k.toLong || col("tau") <= 0L ||
         col("qn2") * col("n2") >= col("tau") * col("tau"))
       .select(col("vec_id"),
-        milliDot(col("vm"), col("qm")).as("dot"))
+        milliDot(col("embedding"), col("qe")).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
       .limit(k)
   }

@@ -35,9 +35,13 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ks_drift",       // value grid x broadcast bounded source census
     "q_hard_neg",       // broadcast query-vector set vs corpus scores
     "q_heaps",          // 4-row fraction dim x <= 8-row bucket censuses
+    "q_coverage",       // sources x broadcast 4-row k grid
     "q_integrity",      // broadcast one-row expected-totals relation
+    "q_interarrival",   // range join on a 64-row broadcast bucket dim
     "q_jsd",            // sources x broadcast top-V bucket grid
     "q_kanon",          // broadcast one-row record total
+    "q_ldiv",           // broadcast one-row record total
+    "q_mips",           // broadcast single query vector + one-row tau
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid

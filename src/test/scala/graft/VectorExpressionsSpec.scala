@@ -38,6 +38,54 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("milli_dot: floor semantics (negatives down), exact integers, " +
+    "equals the HOF fold") {
+    import graft.functions.vector.milliDot
+    val d = Seq(
+      (0L, Seq(1f, 0f), Seq(1f, 0f)),        // 1000*1000
+      (1L, Seq(0.5f, -0.25f), Seq(2f, 4f)),  // 500*2000 + (-250)*4000
+      (2L, Seq(-1.5f, 0f), Seq(1f, 0f)),     // floor(-1500) = -1500
+      (3L, Seq(0.1f, 0.2f), Seq(0.3f, 0.7f)))// float-fuzzed components
+      .toDF("id", "a", "b")
+    val out = d.select($"id", milliDot($"a", $"b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 1000000L)
+    assert(out(1L) === 0L)
+    assert(out(2L) === -1500000L)
+    // the built-in fold with the same floor tree must agree bit-for-bit
+    val fold = d.select($"id",
+      aggregate(
+        zip_with(
+          transform($"a", v => floor(v.cast("double") * lit(1000.0))),
+          transform($"b", v => floor(v.cast("double") * lit(1000.0))),
+          (x, y) => x * y),
+        lit(0L), (acc, t) => acc + t.cast("long")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === fold)
+  }
+
+  test("milli_dot: codegen and interpreted paths agree; SQL-registered") {
+    import graft.functions.vector.milliDot
+    val d = Seq((0L, Seq(0.123f, -0.456f, 0.789f),
+      Seq(-0.321f, 0.654f, -0.987f))).toDF("id", "a", "b")
+    val withCodegen = d.select(milliDot($"a", $"b")).collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = d.select(milliDot($"a", $"b")).collect()
+      assert(withCodegen.map(_.getLong(0)).toSeq ===
+        interpreted.map(_.getLong(0)).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    d.createOrReplaceTempView("md_v")
+    val viaSql = spark.sql("SELECT milli_dot(a, b) FROM md_v")
+      .collect().head.getLong(0)
+    assert(viaSql === withCodegen.head.getLong(0))
+  }
+
   test("cosine_sim: null array yields null; length mismatch truncates") {
     val out = Seq((Some(Seq(1f, 0f)), None: Option[Seq[Float]]))
       .toDF("a", "b")
