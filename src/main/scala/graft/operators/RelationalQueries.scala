@@ -950,6 +950,72 @@ object RelationalQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** R25: TPC-H Q3-shaped shipping priority — the canonical
+    * selective-dimension + fact-fact join report: unshipped revenue
+    * per order for one market segment, orders placed before the cut
+    * and line items shipping after it, top 10 by revenue. The classic
+    * join-strategy showcase: the filtered customer keys BROADCAST
+    * (segment cuts the dimension ~6×), orders joins them map-side,
+    * and the lineitem⋈orders equi join is the only real Exchange —
+    * both sides keyed on orderkey, so at 100 TB the same plan rides
+    * orderkey-bucketed layouts Exchange-free (the q_flights
+    * precedent). The top-10 is a TakeOrderedAndProject, never a full
+    * sort.
+    *
+    * Exactness: revenue in integer cents (`round(x·100)` per line
+    * item, the house money discipline), integer sums; dates compared
+    * and emitted as DATE/ISO strings (no tz arithmetic).
+    */
+  val ShipSegment = "BUILDING"
+  val ShipCutoff = "1998-06-01"
+
+  def qShipPriority(spark: SparkSession, dir: String): DataFrame =
+    shipPriority(Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), ShipSegment, ShipCutoff, 10)
+
+  /** The report over any TPC-H-shaped frames — factored for the
+    * hand-computed spec.
+    */
+  def shipPriority(cust: DataFrame, orders: DataFrame, li: DataFrame,
+                   segment: String, cutoff: String, k: Int): DataFrame = {
+    val c = cust.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    val o = orders
+      .filter(col("o_orderdate").cast("date") < lit(cutoff).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    li.filter(col("l_shipdate").cast("date") > lit(cutoff).cast("date"))
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum("rev").as("revenue_cents"))
+      .select(col("l_orderkey"), col("revenue_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue_cents").desc, col("o_orderdate"),
+        col("l_orderkey"))
+      .limit(k)
+  }
+
+  private val shipPriorityOracle =
+    s"""SELECT l_orderkey,
+       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+       |           AS BIGINT)) AS BIGINT) AS revenue_cents,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = '$ShipSegment'
+       |  AND CAST(o_orderdate AS DATE) < DATE '$ShipCutoff'
+       |  AND CAST(l_shipdate AS DATE) > DATE '$ShipCutoff'
+       |GROUP BY 1, 3, 4
+       |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin
+
   private val revenueNationOracle =
     """SELECT r_name, n_name, count(*) AS n_items,
       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
@@ -1702,6 +1768,7 @@ object RelationalQueries {
     "q_resample"        -> (qResample _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
+    "q_ship_priority"   -> (qShipPriority _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
@@ -1733,6 +1800,7 @@ object RelationalQueries {
     "q_resample"        -> resampleOracle,
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
+    "q_ship_priority"   -> shipPriorityOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,

@@ -115,6 +115,40 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** V28: label-balance audit — the class-distribution health check
+    * every eval/training split runs before trusting per-label metrics
+    * (V12's confusion matrix, V20's MRR, V23's geometry all assume
+    * the label histogram is sane): per-label counts and shares, plus
+    * the two standard imbalance summaries carried on every row — max
+    * share (majority-class dominance) and normalized label entropy
+    * H/ln L ∈ [0,1] (1 = perfectly balanced; the single-label
+    * degenerate case reads 0 by convention, ln 1 never divides).
+    *
+    * Exactness: counts exact; each share and entropy term is ONE
+    * micro-floored fixed double tree ((n/T)·ln(T/n)/ln L — the X55
+    * discipline), and the entropy reduction sums INTEGERS.
+    *
+    * Scale shape: one label-keyed partial-agg'd Exchange; everything
+    * above is label-census-sized; the one-row summary broadcasts
+    * back.
+    */
+  def labelBalance(emb: DataFrame): DataFrame = {
+    val cen = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = cen.agg(sum("n").as("t"), count(lit(1)).as("nl"))
+    val terms = cen.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        micro(col("n") / col("t")).as("share_micro"),
+        col("nl"),
+        when(col("nl") === 1L, 0L).otherwise(
+          micro((col("n") / col("t")) * log(col("t") / col("n")) /
+            log(col("nl")))).as("term_micro"))
+    val summ = terms.agg(max("nl").as("n_labels"),
+      max("share_micro").as("maxshare_micro"),
+      sum("term_micro").as("hnorm_micro"))
+    terms.select(col("label"), col("n"), col("share_micro"))
+      .crossJoin(broadcast(summ))
+  }
+
   /** Deterministic "random" hyperplane weights for sign-LSH in integer
     * milli-units (w ∈ [-1000, 1000]) — canonical generator in
     * [[graft.functions.SignLsh.planeWInt]], shared by the per-row

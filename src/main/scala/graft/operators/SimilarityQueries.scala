@@ -40,6 +40,9 @@ object SimilarityQueries {
   def qMips(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.mipsTopK(emb(spark, dir), QueryVecId, TopK)
 
+  def qLabelBalance(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelBalance(emb(spark, dir)).orderBy("label")
+
   val PerLabelK = 3
   val LshPlanes = 16
   val LshBandBits = 4
@@ -503,6 +506,34 @@ object SimilarityQueries {
        |)
        |SELECT vec_id, dot FROM dots
        |ORDER BY dot DESC, vec_id LIMIT $TopK""".stripMargin
+
+  /** V28 oracle: label census + the same micro-floored share/entropy
+    * term trees, summary re-joined to every row.
+    */
+  private val labelBalanceOracle =
+    s"""WITH cen AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+       |          CAST(count(*) AS BIGINT) AS nl
+       |        FROM cen),
+       |terms AS (
+       |  SELECT label, n, ${Hashing.microSql("n / t")} AS share_micro,
+       |    nl,
+       |    CASE WHEN nl = 1 THEN 0
+       |         ELSE ${Hashing.microSql(
+          "(n / t) * ln(t / n) / ln(nl)")} END AS term_micro
+       |  FROM cen, tot
+       |),
+       |summ AS (
+       |  SELECT max(nl) AS n_labels, max(share_micro) AS maxshare_micro,
+       |    CAST(sum(term_micro) AS BIGINT) AS hnorm_micro
+       |  FROM terms
+       |)
+       |SELECT label, n, share_micro, n_labels, maxshare_micro,
+       |  hnorm_micro
+       |FROM terms, summ ORDER BY label""".stripMargin
 
   /** The k-means oracle machinery re-trains the codebook INSIDE DuckDB —
     * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
@@ -1697,6 +1728,7 @@ object SimilarityQueries {
     "q_embed_pairs"    -> (qEmbedPairs _),
     "q_ann_topk"       -> (qAnnTopK _),
     "q_mips"           -> (qMips _),
+    "q_label_balance"  -> (qLabelBalance _),
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
@@ -1730,6 +1762,7 @@ object SimilarityQueries {
     "q_embed_pairs"    -> embedPairsOracle,
     "q_ann_topk"       -> annTopKOracle,
     "q_mips"           -> mipsOracle,
+    "q_label_balance"  -> labelBalanceOracle,
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,

@@ -3077,6 +3077,37 @@ object TextOps {
         sum(micro(col("toks") / col("s"))).as("eff_tokens_micro"))
   }
 
+  /** D23: duplicate-cluster provenance census — WHERE duplication
+    * comes from, per cluster: D19 sizes the clusters and D22 weighs
+    * them, but the mirror-hunting / license-laundering / crawler-
+    * overlap question is WHICH sources ship the same content. Each D7
+    * component reports its size, its distinct-source count, and the
+    * sorted source list — n_sources = 1 is intra-source duplication
+    * (a crawler re-fetching), n_sources > 1 is the cross-source
+    * mirror signature that feeds source-level dedup policy (and the
+    * aggregate X40 matrix can't attribute to individual clusters).
+    *
+    * Exactness: counts are exact integers; the source list is a
+    * sorted-distinct join (deterministic ordering, ASCII source
+    * names).
+    *
+    * Scale shape: the component relation is bounded by TRUE
+    * duplication; the corpus joins it doc-keyed (only dup docs
+    * survive the inner join); the rollup is cluster-sized with
+    * map-side partials; the collect_set per cluster is bounded by the
+    * source universe, not the cluster size.
+    */
+  def dedupProvenance(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    parallelized(docs).select(col("doc_id"), col("source"))
+      .join(cc, Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(sort_array(collect_set(col("source"))), ",")
+          .as("sources"))
+  }
+
   /** X55: character-bigram conditional entropy rate per source —
     * H(next char | current char) = Σ (c_xy/T)·ln(c_x/c_xy) in nats:
     * the model-free compressibility signal (Shannon's entropy-rate

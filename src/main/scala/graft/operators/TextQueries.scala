@@ -60,6 +60,10 @@ object TextQueries {
     TextOps.dedupWeights(Tables.documents(spark, dir),
       ngramPairs(spark, dir)).orderBy("source")
 
+  def qDedupSources(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dedupProvenance(Tables.documents(spark, dir),
+      ngramPairs(spark, dir)).orderBy("component")
+
   def qHeaps(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsCurve(docs(spark, dir)).orderBy("fraction_eighths")
 
@@ -1379,6 +1383,49 @@ object TextQueries {
     * per-source weighted rollup with micro(1/s), micro(toks/s) per
     * document and integer sums.
     */
+  /** D23 oracle: the D7 recursive-reachability component chain, then a
+    * sorted-distinct source aggregation per component.
+    */
+  private val dedupSourcesOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |cc AS (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |ds AS (
+       |  SELECT DISTINCT cc.component, d.source
+       |  FROM cc JOIN documents d USING (doc_id)
+       |),
+       |nd AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM cc GROUP BY 1),
+       |ns AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS n_sources,
+       |    string_agg(source, ',' ORDER BY source) AS sources
+       |  FROM ds GROUP BY 1
+       |)
+       |SELECT component, n_docs, n_sources, sources
+       |FROM nd JOIN ns USING (component)
+       |ORDER BY component""".stripMargin
+
   private val dedupWeightsOracle =
     s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
        |$ngramCtes,
@@ -2732,6 +2779,7 @@ object TextQueries {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_sizes"   -> (qDedupSizes _),
     "q_dedup_weights" -> (qDedupWeights _),
+    "q_dedup_sources" -> (qDedupSources _),
     "q_chunk_dedup"   -> (qChunkDedup _),
     "q_curate"        -> (qCurate _),
     "q_chunks"        -> (qChunks _),
@@ -2803,6 +2851,7 @@ object TextQueries {
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dedup_sizes"   -> dedupSizesOracle,
     "q_dedup_weights" -> dedupWeightsOracle,
+    "q_dedup_sources" -> dedupSourcesOracle,
     "q_chunk_dedup"   -> chunkDedupOracle,
     "q_curate"        -> curateOracle,
     "q_chunks"        -> chunksOracle,

@@ -40,6 +40,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_interarrival",   // range join on a 64-row broadcast bucket dim
     "q_jsd",            // sources x broadcast top-V bucket grid
     "q_kanon",          // broadcast one-row record total
+    "q_label_balance",  // broadcast one-row totals + one-row summary
     "q_ldiv",           // broadcast one-row record total
     "q_mips",           // broadcast single query vector + one-row tau
     "q_lm_score",       // broadcast one-row vocab-size V

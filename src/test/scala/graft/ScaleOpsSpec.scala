@@ -167,6 +167,43 @@ class ScaleOpsSpec extends SparkSpec {
       ("A", "2024-01-03", 10L, 2000000L, true)))
   }
 
+  test("shipPriority: segment filter, date band, cents revenue, " +
+    "top-k order") {
+    val cust = Seq(
+      (1L, "BUILDING"), (2L, "MACHINERY"), (3L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      // in: before cutoff, BUILDING customer
+      (10L, 1L, "2024-01-01 00:00:00", "1-URGENT"),
+      // out: after cutoff
+      (11L, 1L, "2024-03-01 00:00:00", "2-HIGH"),
+      // out: wrong segment
+      (12L, 2L, "2024-01-01 00:00:00", "3-MEDIUM"),
+      // in: second qualifying order
+      (13L, 3L, "2024-01-10 00:00:00", "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "od", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("od"))).drop("od")
+    val li = Seq(
+      // ships after cutoff: 10.00 * (1 - 0.1) = 9.00 -> 900 cents
+      (10L, "2024-02-20 00:00:00", 10.0, 0.1),
+      // second line, same order: 5.00 -> 500 cents
+      (10L, "2024-02-21 00:00:00", 5.0, 0.0),
+      // ships BEFORE cutoff: excluded
+      (10L, "2024-01-15 00:00:00", 99.0, 0.0),
+      (13L, "2024-02-22 00:00:00", 7.0, 0.5))
+      .toDF("l_orderkey", "sd", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", to_timestamp(col("sd"))).drop("sd")
+    val out = RelationalQueries
+      .shipPriority(cust, orders, li, "BUILDING", "2024-02-01", 10)
+      .collect()
+      .map(r => (r.getAs[Long]("l_orderkey"),
+        r.getAs[Long]("revenue_cents"), r.getAs[String]("o_orderdate"),
+        r.getAs[String]("o_orderpriority")))
+    assert(out.toSeq === Seq(
+      (10L, 1400L, "2024-01-01", "1-URGENT"),
+      (13L, 350L, "2024-01-10", "2-HIGH")))
+  }
+
   test("fuzzy join resolves every discriminative probe to its source") {
     val out = RelationalQueries.qFuzzyJoin(spark, "/root/testdata/sf0.001")
       .collect()

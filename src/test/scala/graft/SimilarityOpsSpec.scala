@@ -68,6 +68,30 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === brute.toSeq)
   }
 
+  test("labelBalance: shares, max share, normalized entropy; " +
+    "single-label case reads zero by convention") {
+    // labels: 0 x3, 1 x1 -> shares 750000/250000, max 750000
+    // Hnorm = [micro(.75*ln(4/3)/ln2) + micro(.25*ln4/ln2)]
+    val m = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(1f, 0f), 1))
+    val out = SimilarityOps.labelBalance(m).orderBy("label").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_micro"), r.getAs[Long]("n_labels"),
+        r.getAs[Long]("maxshare_micro"), r.getAs[Long]("hnorm_micro")))
+    def t(n: Double, tt: Double, l: Double): Long =
+      math.floor(1000000.0 *
+        ((n / tt) * math.log(tt / n) / math.log(l))).toLong
+    val h = t(3, 4, 2) + t(1, 4, 2)
+    assert(out.toSeq === Seq(
+      (0, 3L, 750000L, 2L, 750000L, h),
+      (1, 1L, 250000L, 2L, 750000L, h)))
+    val single = SimilarityOps.labelBalance(emb((0L, Seq(1f), 7)))
+      .collect().head
+    assert(single.getAs[Long]("hnorm_micro") === 0L)
+    assert(single.getAs[Long]("maxshare_micro") === 1000000L)
+  }
+
   test("embedNearDupPairs respects label blocking") {
     val out = SimilarityOps.embedNearDupPairs(vecs, 500000L)
       .orderBy("d1", "d2").collect()

@@ -1185,6 +1185,24 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains("C"))
   }
 
+  test("dedupProvenance: cross-source vs intra-source clusters, " +
+    "unpaired docs absent, sorted source list") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "x", "A"), (2L, "x", "B"), (3L, "x", "A"),
+      (4L, "y", "C"),                      // unpaired -> absent
+      (5L, "z", "A"), (6L, "z", "A"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("d1", "d2")
+    val out = TextOps.dedupProvenance(docs, pairs)
+      .orderBy("component").collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources"), r.getAs[String]("sources")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, "A,B"),
+      (5L, 2L, 1L, "A")))
+  }
+
   test("readability: hand-computed Flesch, sentence clamp on " +
     "fragment docs") {
     import sqlImplicits._
