@@ -1016,6 +1016,72 @@ object RelationalQueries {
        |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
        |LIMIT 10""".stripMargin
 
+  /** R26: TPC-H Q8-shaped market share — the deep-join-tree report:
+    * for every order year, each supplier nation's share of the
+    * revenue delivered into one region's market. Six base relations;
+    * every dimension chain (customer→nation→region filtered to the
+    * market, supplier→nation for the seller side) collapses to a
+    * BROADCAST before it touches a fact table, so the only real
+    * Exchange is lineitem⋈orders on orderkey — exactly the q_ship
+    * _priority spine with two more dimension hops, which is the point:
+    * join depth should cost broadcasts, not shuffles. Shares are
+    * census-over-census (per-year totals off the year×nation census
+    * itself, never a second fact pass).
+    *
+    * Exactness: revenue in integer cents; each share is ONE
+    * micro-floored division of exact integers.
+    */
+  val MarketRegion = "ASIA"
+
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val custIn = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === MarketRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cen = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custIn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+    val totals = cen.groupBy("o_year")
+      .agg(sum("revenue_cents").as("t"))
+    cen.join(totals, Seq("o_year"))
+      .select(col("o_year"), col("supp_nation"), col("revenue_cents"),
+        micro(col("revenue_cents") / col("t")).as("share_micro"))
+      .orderBy("o_year", "supp_nation")
+  }
+
+  private val marketShareOracle =
+    s"""WITH cen AS (
+       |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+       |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |             * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  WHERE r_name = '$MarketRegion'
+       |  GROUP BY 1, 2
+       |),
+       |tot AS (SELECT o_year, CAST(sum(revenue_cents) AS BIGINT) AS t
+       |        FROM cen GROUP BY 1)
+       |SELECT c.o_year, c.supp_nation, c.revenue_cents,
+       |  ${microSql("c.revenue_cents / t.t")} AS share_micro
+       |FROM cen c JOIN tot t USING (o_year)
+       |ORDER BY c.o_year, c.supp_nation""".stripMargin
+
   private val revenueNationOracle =
     """SELECT r_name, n_name, count(*) AS n_items,
       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
@@ -1769,6 +1835,7 @@ object RelationalQueries {
     "q_pricing_summary" -> (qPricingSummary _),
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_ship_priority"   -> (qShipPriority _),
+    "q_market_share"    -> (qMarketShare _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
@@ -1801,6 +1868,7 @@ object RelationalQueries {
     "q_pricing_summary" -> pricingSummaryOracle,
     "q_revenue_nation"  -> revenueNationOracle,
     "q_ship_priority"   -> shipPriorityOracle,
+    "q_market_share"    -> marketShareOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,

@@ -115,6 +115,39 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** V29: per-dimension variance census — the dead/collapsed-
+    * dimension audit an embedding pipeline runs on every new encoder
+    * drop: a dimension whose variance is ~zero carries no information
+    * (dimensional collapse, the failure mode contrastive-learning
+    * monitors watch for), wastes index budget in every V10/V18/V26
+    * quantizer, and — if it is exactly constant — silently breaks
+    * absmax scaling assumptions. Milli-domain integers end to end:
+    * per-dim n, Σv, Σv², mean and variance as micro-floored fixed
+    * trees over exact integers, and a dead flag at variance < 10
+    * milli² (squared-milli units — the documented convention; the
+    * flag is a readout, the variance column is the measurement).
+    *
+    * Scale shape: one posexplode (×dims, the unavoidable pivot) into
+    * a dims-sized census with map-side partials; everything above is
+    * ≤ dims rows.
+    */
+  val DeadVarMicro = 10000000L // variance < 10 milli^2
+
+  def dimVariance(emb: DataFrame): DataFrame = {
+    val el = emb.select(posexplode(milliVec(col("embedding"))))
+      .select(col("pos").cast("long").as("dim"),
+        col("col").cast("long").as("v"))
+    el.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("dim"), col("n"), col("s"), col("s2"),
+        micro(col("s") / col("n")).as("mean_milli_micro"),
+        micro((col("s2") / col("n")) -
+          (col("s") / col("n")) * (col("s") / col("n")))
+          .as("var_micro"))
+      .withColumn("is_dead", col("var_micro") < DeadVarMicro)
+  }
+
   /** V28: label-balance audit — the class-distribution health check
     * every eval/training split runs before trusting per-label metrics
     * (V12's confusion matrix, V20's MRR, V23's geometry all assume

@@ -43,6 +43,9 @@ object SimilarityQueries {
   def qLabelBalance(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.labelBalance(emb(spark, dir)).orderBy("label")
 
+  def qDimVariance(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.dimVariance(emb(spark, dir)).orderBy("dim")
+
   val PerLabelK = 3
   val LshPlanes = 16
   val LshBandBits = 4
@@ -534,6 +537,33 @@ object SimilarityQueries {
        |SELECT label, n, share_micro, n_labels, maxshare_micro,
        |  hnorm_micro
        |FROM terms, summ ORDER BY label""".stripMargin
+
+  /** V29 oracle: milli census per 0-based dimension, same mean and
+    * variance trees, same dead bar.
+    */
+  private val dimVarianceOracle =
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |mv AS (
+       |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(v * 1000.0) AS BIGINT) AS v
+       |  FROM ev
+       |),
+       |g AS (
+       |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS s,
+       |    CAST(sum(v * v) AS BIGINT) AS s2
+       |  FROM mv GROUP BY 1
+       |)
+       |SELECT dim, n, s, s2,
+       |  ${Hashing.microSql("s / n")} AS mean_milli_micro,
+       |  ${Hashing.microSql("(s2 / n) - (s / n) * (s / n)")} AS var_micro,
+       |  ${Hashing.microSql("(s2 / n) - (s / n) * (s / n)")}
+       |    < ${SimilarityOps.DeadVarMicro} AS is_dead
+       |FROM g ORDER BY dim""".stripMargin
 
   /** The k-means oracle machinery re-trains the codebook INSIDE DuckDB —
     * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
@@ -1729,6 +1759,7 @@ object SimilarityQueries {
     "q_ann_topk"       -> (qAnnTopK _),
     "q_mips"           -> (qMips _),
     "q_label_balance"  -> (qLabelBalance _),
+    "q_dim_variance"   -> (qDimVariance _),
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
@@ -1763,6 +1794,7 @@ object SimilarityQueries {
     "q_ann_topk"       -> annTopKOracle,
     "q_mips"           -> mipsOracle,
     "q_label_balance"  -> labelBalanceOracle,
+    "q_dim_variance"   -> dimVarianceOracle,
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,

@@ -3267,6 +3267,39 @@ object TextOps {
           lit(1.015) * (col("n_words") / col("n_sents")) -
           lit(84.6) * (col("n_syll") / col("n_words"))))
 
+  /** X61: character-class composition census per source — the
+    * alpha/digit/whitespace/symbol split every quality pipeline reads
+    * before its tokenizer does (Gopher's symbol-to-word ratio, C4's
+    * punctuation heuristics): a source drowning in digits is logs or
+    * tables, one drowning in symbols is code or markup soup, and
+    * neither belongs in a prose mix at its raw weight. Symbol count
+    * is the complement (chars − alpha − digit − space), so the four
+    * classes always partition the byte budget exactly.
+    *
+    * Exactness: counts are exact integers off regexp_count; each
+    * ratio is ONE micro-floored division of source-total integers.
+    * Scale shape: a pure per-doc projection (three codegen regex
+    * counters) into a source-sized integer rollup.
+    */
+  def charClasses(docs: DataFrame): DataFrame =
+    parallelized(docs).select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+          .as("alpha"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("digit"),
+        regexp_count(col("text"), lit(" ")).cast("long").as("space"))
+      .groupBy("source")
+      .agg(sum("chars").as("n_chars"), sum("alpha").as("alpha"),
+        sum("digit").as("digit"), sum("space").as("space"))
+      .select(col("source"), col("n_chars"), col("alpha"), col("digit"),
+        col("space"),
+        (col("n_chars") - col("alpha") - col("digit") - col("space"))
+          .as("symbol"),
+        micro(col("alpha") / col("n_chars")).as("alpha_micro"),
+        micro(col("digit") / col("n_chars")).as("digit_micro"),
+        micro((col("n_chars") - col("alpha") - col("digit") -
+          col("space")) / col("n_chars")).as("symbol_micro"))
+
   /** X59: Gini coefficient of the type-frequency distribution per
     * source — the inequality lens on vocabulary usage that X47's HHI
     * (dominated by the few largest shares) and X38's Zipf slope (a

@@ -115,6 +115,9 @@ object TextQueries {
   def qReadability(spark: SparkSession, dir: String): DataFrame =
     TextOps.readability(Tables.documents(spark, dir)).orderBy("source")
 
+  def qCharclass(spark: SparkSession, dir: String): DataFrame =
+    TextOps.charClasses(Tables.documents(spark, dir)).orderBy("source")
+
   def qGini(spark: SparkSession, dir: String): DataFrame =
     TextOps.gini(Tables.documents(spark, dir)).orderBy("source")
 
@@ -854,6 +857,34 @@ object TextQueries {
        |  ${Hashing.microSql(
           "206.835 - 1.015 * (n_words / n_sents)" +
             " - 84.6 * (n_syll / n_words)")} AS flesch_micro
+       |FROM g ORDER BY source""".stripMargin
+
+  /** X61 oracle: same regex classes, the symbol complement, four
+    * source-total integer counts, three micro divisions.
+    */
+  private val charclassOracle =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(text) AS BIGINT) AS chars,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+       |      AS alpha,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+       |      AS digit,
+       |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS space
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT source, CAST(sum(chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(alpha) AS BIGINT) AS alpha,
+       |    CAST(sum(digit) AS BIGINT) AS digit,
+       |    CAST(sum(space) AS BIGINT) AS space
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT source, n_chars, alpha, digit, space,
+       |  n_chars - alpha - digit - space AS symbol,
+       |  ${Hashing.microSql("alpha / n_chars")} AS alpha_micro,
+       |  ${Hashing.microSql("digit / n_chars")} AS digit_micro,
+       |  ${Hashing.microSql(
+          "(n_chars - alpha - digit - space) / n_chars")} AS symbol_micro
        |FROM g ORDER BY source""".stripMargin
 
   /** X59 oracle: same frequency-census closed form — tied counts
@@ -2806,6 +2837,7 @@ object TextQueries {
     "q_msttr"         -> (qMsttr _),
     "q_entropy"       -> (qEntropy _),
     "q_readability"   -> (qReadability _),
+    "q_charclass"     -> (qCharclass _),
     "q_gini"          -> (qGini _),
     "q_coverage"      -> (qCoverage _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -2878,6 +2910,7 @@ object TextQueries {
     "q_msttr"         -> msttrOracle,
     "q_entropy"       -> entropyOracle,
     "q_readability"   -> readabilityOracle,
+    "q_charclass"     -> charclassOracle,
     "q_gini"          -> giniOracle,
     "q_coverage"      -> coverageOracle,
     "q_weighted_sample" -> weightedSampleOracle,

@@ -204,6 +204,20 @@ class ScaleOpsSpec extends SparkSpec {
       (13L, 350L, "2024-01-10", "2-HIGH")))
   }
 
+  test("marketShare: per-year shares partition the year's revenue") {
+    val out = RelationalQueries
+      .qMarketShare(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Int]("o_year"), r.getAs[Long]("revenue_cents"),
+        r.getAs[Long]("share_micro")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (y, rows) =>
+      val shares = rows.map(_._3).sum
+      // each share is floor'd once, so the sum sits within n rows of 1
+      assert(shares <= 1000000L && shares >= 1000000L - rows.length,
+        s"year $y shares sum $shares over ${rows.length} rows")
+    }
+  }
+
   test("fuzzy join resolves every discriminative probe to its source") {
     val out = RelationalQueries.qFuzzyJoin(spark, "/root/testdata/sf0.001")
       .collect()

@@ -68,6 +68,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === brute.toSeq)
   }
 
+  test("dimVariance: constant dimension reads exactly zero and dead, " +
+    "hand-computed milli variance") {
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 1f), 0))
+    val out = SimilarityOps.dimVariance(m).orderBy("dim").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("s2"),
+        r.getAs[Long]("mean_milli_micro"), r.getAs[Long]("var_micro"),
+        r.getAs[Boolean]("is_dead")))
+    // dim0: both 1000 -> var 0, dead; dim1: 0/1000 -> mean 500,
+    // var = 500000 - 250000 = 250000 milli^2
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2000L, 2000000L, 1000000000L, 0L, true),
+      (1L, 2L, 1000L, 1000000L, 500000000L, 250000000000L, false)))
+  }
+
   test("labelBalance: shares, max share, normalized entropy; " +
     "single-label case reads zero by convention") {
     // labels: 0 x3, 1 x1 -> shares 750000/250000, max 750000

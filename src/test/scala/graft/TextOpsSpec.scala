@@ -1225,6 +1225,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out("B") === ((2L, 1L, 3L, f(2, 1, 3))))
   }
 
+  test("charClasses: the four classes partition the byte budget " +
+    "exactly, hand-computed ratios") {
+    import sqlImplicits._
+    val corpus = Seq(
+      // "ab1 c!": alpha 3, digit 1, space 1, symbol 1 of 6
+      (1L, "ab1 c!", "A"),
+      // pure digits
+      (2L, "12345", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.charClasses(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("alpha"),
+          r.getAs[Long]("digit"), r.getAs[Long]("space"),
+          r.getAs[Long]("symbol"), r.getAs[Long]("alpha_micro"),
+          r.getAs[Long]("digit_micro"), r.getAs[Long]("symbol_micro"))))
+      .toMap
+    assert(out("A") === ((6L, 3L, 1L, 1L, 1L, 500000L,
+      math.floor(1000000.0 / 6.0).toLong,
+      math.floor(1000000.0 / 6.0).toLong)))
+    assert(out("B") === ((5L, 0L, 5L, 0L, 0L, 0L, 1000000L, 0L)))
+  }
+
   test("gini: equal use reads EXACTLY zero, tie groups carry the " +
     "closed form, hand-computed skew") {
     import sqlImplicits._
