@@ -631,6 +631,77 @@ object MultimodalOps {
         hex(substring(payload, 9, 4)) === "57415645", "wav")
       .otherwise("unknown")
 
+  /** M9 fixture knob: every doc whose id ≡ 5 (mod 11) ships a payload
+    * with its last [[TruncBytes]] bytes missing — the deterministic
+    * stand-in for a truncated download.
+    */
+  val TruncMod = 11L
+  val TruncRem = 5L
+  val TruncBytes = 10
+
+  /** The M9 input relation: real containers, a deterministic subset
+    * truncated mid-payload. Headers stay intact (the truncation eats
+    * tail bytes), which is exactly why size-field integrity catches
+    * what a magic-byte sniff (M8) cannot.
+    */
+  def mediaBinaryTruncated(docs: DataFrame)
+  : org.apache.spark.sql.Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    mediaBinary(docs).map { b =>
+      if (b.doc_id % TruncMod == TruncRem)
+        MediaBlob(b.doc_id, b.kind,
+          b.payload.dropRight(TruncBytes))
+      else b
+    }
+  }
+
+  /** Little-endian uint32 read from a binary column at 1-based byte
+    * offset `pos` — four one-byte slices re-ordered into big-endian
+    * hex and parsed by `conv`: stays inside whole-stage codegen, no
+    * UDF, no decode.
+    */
+  def leUint32(payload: Column, pos: Int): Column =
+    conv(concat(
+      hex(substring(payload, pos + 3, 1)),
+      hex(substring(payload, pos + 2, 1)),
+      hex(substring(payload, pos + 1, 1)),
+      hex(substring(payload, pos, 1))), 16, 10).cast("long")
+
+  /** M9: container-integrity census — truncated-download detection
+    * the M8 sniff cannot do (truncation eats the tail, headers stay
+    * pristine): both container formats DECLARE their size (BMP file
+    * size at offset 2, RIFF chunk size at offset 4 + 8), so
+    * declared-vs-actual byte length is a pure header read — short
+    * payloads are truncated transfers, long ones carry trailing junk
+    * (the appended-payload smuggling signature). Per format: counts
+    * of ok/truncated/trailing and the total missing byte mass (the
+    * re-fetch budget).
+    *
+    * Exactness: sizes are exact integers off the LE header reads; no
+    * division at all. Scale shape: the header read touches 8 bytes
+    * per payload inside codegen; the census is formats-sized with
+    * map-side partials.
+    */
+  def integrityCensus(media: DataFrame): DataFrame = {
+    val declared = when(col("kind") === "bmp", leUint32(col("payload"), 3))
+      .otherwise(leUint32(col("payload"), 5) + 8L)
+    media
+      .select(col("kind"),
+        length(col("payload")).cast("long").as("actual"),
+        declared.as("declared"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("actual") === col("declared"), 1L).otherwise(0L))
+          .as("n_ok"),
+        sum(when(col("actual") < col("declared"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(when(col("actual") > col("declared"), 1L).otherwise(0L))
+          .as("n_trailing"),
+        sum(when(col("actual") < col("declared"),
+          col("declared") - col("actual")).otherwise(0L))
+          .as("missing_bytes"))
+  }
+
   /** M8: declared-vs-sniffed format confusion census — the X56
     * discipline applied to bytes: every real ingest audits whether
     * upstream content-type metadata matches what the payloads

@@ -56,6 +56,11 @@ object MultimodalQueries {
       MultimodalOps.mediaBinaryDeclared(docs(spark, dir)))
       .orderBy("declared", "sniffed")
 
+  def qMediaIntegrity(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.integrityCensus(
+      MultimodalOps.mediaBinaryTruncated(docs(spark, dir)).toDF())
+      .orderBy("kind")
+
   private val fmtCase =
     """CASE source WHEN 'src0' THEN 'png' WHEN 'src1' THEN 'jpeg'
       |            WHEN 'src2' THEN 'wav' WHEN 'src3' THEN 'mp4'
@@ -321,8 +326,42 @@ object MultimodalQueries {
        |FROM cells c JOIN tot t USING (declared)
        |ORDER BY c.declared, c.sniffed""".stripMargin
 
+  /** M9 oracle: ground truth from the generator closed form — BMP
+    * declared = 54 + stride·h, WAV declared = 44 + 2n, the id ≡ 5
+    * (mod 11) subset is 10 bytes short. Agreement means the header
+    * size-field reads recovered exactly the planted truth.
+    */
+  private val mediaIntegrityOracle =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN 54 + ((3 * (4 + doc_id % 5) + 3) // 4) * 4
+       |              * (2 + doc_id % 3)
+       |         ELSE 44 + 2 * (64 + doc_id % 64)
+       |    END AS declared
+       |  FROM documents
+       |),
+       |w AS (
+       |  SELECT kind, CAST(declared AS BIGINT) AS declared,
+       |    CAST(CASE WHEN doc_id % 11 = 5 THEN declared - 10
+       |              ELSE declared END AS BIGINT) AS actual
+       |  FROM m
+       |)
+       |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN actual = declared THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_ok,
+       |  CAST(sum(CASE WHEN actual < declared THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_truncated,
+       |  CAST(sum(CASE WHEN actual > declared THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_trailing,
+       |  CAST(sum(CASE WHEN actual < declared THEN declared - actual
+       |                ELSE 0 END) AS BIGINT) AS missing_bytes
+       |FROM w GROUP BY 1 ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_magic"    -> (qMediaMagic _),
+    "q_media_integrity" -> (qMediaIntegrity _),
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
     "q_media_features" -> (qMediaFeatures _),
@@ -339,5 +378,6 @@ object MultimodalQueries {
     "q_media_energy"   -> mediaEnergyOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
-    "q_media_magic"    -> mediaMagicOracle)
+    "q_media_magic"    -> mediaMagicOracle,
+    "q_media_integrity" -> mediaIntegrityOracle)
 }

@@ -279,6 +279,27 @@ class MultimodalOpsSpec extends SparkSpec {
       ("wav", "bmp", 1L, 1000000L)))
   }
 
+  test("integrityCensus: header size fields vs actual bytes — ok, " +
+    "truncated, trailing junk") {
+    import sqlImplicits._
+    val bmp = MultimodalOps.encodeBmp(2L)
+    val wav = MultimodalOps.encodeWav(3L)
+    val media = Seq(
+      (1L, "bmp", bmp),                              // intact
+      (2L, "bmp", bmp.dropRight(7)),                 // truncated by 7
+      (3L, "wav", wav),                              // intact
+      (4L, "wav", wav ++ Array[Byte](9, 9, 9)))      // 3 trailing bytes
+      .toDF("doc_id", "kind", "payload")
+    val out = MultimodalOps.integrityCensus(media)
+      .orderBy("kind").collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_ok"), r.getAs[Long]("n_truncated"),
+        r.getAs[Long]("n_trailing"), r.getAs[Long]("missing_bytes")))
+    assert(out.toSeq === Seq(
+      ("bmp", 2L, 1L, 1L, 0L, 7L),
+      ("wav", 2L, 1L, 0L, 1L, 0L)))
+  }
+
   test("mediaBinaryDeclared: the mislabel subset flips, everything " +
     "else keeps its parity kind") {
     import sqlImplicits._
