@@ -1080,6 +1080,30 @@ object ScaleProbe {
       // blind, as an accuracy metric must be
       invariant("lang_confusion", d => TextOps.langConfusion(d),
         fullDocs, "doc_id", Seq("lang", "lang_pred"), "frac_micro")
+      // X58: words/sentences/syllables all ×k ⇒ both Flesch ratios
+      // are the same IEEE divisions — readability is duplication-blind
+      invariant("readability", d => TextOps.readability(d),
+        fullDocs, "doc_id", Seq("source"), "flesch_micro")
+      // X59: every type count ×k scales the tie-group numerator and
+      // n·T by exactly k (order of counts preserved) ⇒ the one
+      // division has both operands ×k — Gini inequality is
+      // duplication-blind, as an inequality measure must be
+      invariant("gini", d => TextOps.gini(d),
+        fullDocs, "doc_id", Seq("source"), "gini_micro")
+      // X60: the rank order is invariant under ×k (all counts scale),
+      // so cum and T scale together at every k_used — coverage curve
+      // bit-identical
+      invariant("coverage", d => TextOps.coverageCurve(d),
+        fullDocs, "doc_id", Seq("source", "k"), "cov_micro")
+      // R24: cnt, num both ×k with den fixed ⇒ the integer verdict
+      // cnt·den > 3·num compares both sides ×k — the spike census is
+      // volume-homogeneous (a uniformly duplicated feed alarms on the
+      // same days, never on the duplication itself)
+      invariant("ewma_spikes",
+        e => graft.operators.RelationalQueries.ewmaAnomaly(e)
+          .select(col("event_type"), col("day"),
+            col("is_spike").cast("long").as("spike")),
+        ev, "event_id", Seq("event_type", "day"), "spike")
     }
     // R21 k-anonymity closed form under USER replication: every class
     // gains exactly k distinct users per original one, so the census
