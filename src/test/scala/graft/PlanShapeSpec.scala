@@ -106,6 +106,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a map-side partial rank limit:\n$p")
   }
 
+  test("coverageCurve: the rank cut pushes down as WindowGroupLimit") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(TextOps.coverageCurve(docs))
+    // the scale claim: row_number <= maxK runs as a group limit
+    // (partial before the source Exchange + final after), so the
+    // cumulative window downstream sees <= 1000 rows per source —
+    // never the type census
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2,
+      s"expected partial+final WindowGroupLimit for the rank cut:\n$p")
+  }
+
+  test("mipsTopK: both passes are TakeOrdered, no sort, no real join") {
+    val e = Tables.embeddings(spark, dir)
+    val p = plan(SimilarityOps.mipsTopK(e, 0L, 10))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"expected seed + final TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"MIPS must not shuffle-join or cross-join the corpus:\n$p")
+  }
+
   test("zipfCensusBucketed: census window is PARTITIONED; only the " +
       "bucket carry orders globally; output == flat census") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
