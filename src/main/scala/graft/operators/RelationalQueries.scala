@@ -1082,6 +1082,54 @@ object RelationalQueries {
        |FROM cen c JOIN tot t USING (o_year)
        |ORDER BY c.o_year, c.supp_nation""".stripMargin
 
+  /** R27: TPC-H Q10-shaped returned-item report — the "who is
+    * returning merchandise and how much is it costing us" top-20:
+    * 'R'-flagged line items aggregated to lost revenue per customer,
+    * identity columns (name, nation) joined AFTER the aggregation so
+    * the wide dimension attributes never ride the fact shuffle —
+    * aggregate-then-decorate, the dimensional-join discipline every
+    * star-schema report should follow (decorating before aggregating
+    * drags c_name/n_name through the orderkey Exchange for nothing).
+    *
+    * Exactness: lost revenue in integer cents; top-20 ties break on
+    * c_custkey.
+    */
+  def qReturns(spark: SparkSession, dir: String): DataFrame = {
+    val lost = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"), sum("rev").as("lost_cents"))
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    lost.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_items"), col("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val returnsOracle =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |           AS BIGINT)) AS BIGINT) AS lost_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2, 3
+      |ORDER BY lost_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   private val revenueNationOracle =
     """SELECT r_name, n_name, count(*) AS n_items,
       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
@@ -1836,6 +1884,7 @@ object RelationalQueries {
     "q_revenue_nation"  -> (qRevenueNation _),
     "q_ship_priority"   -> (qShipPriority _),
     "q_market_share"    -> (qMarketShare _),
+    "q_returns"         -> (qReturns _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
@@ -1869,6 +1918,7 @@ object RelationalQueries {
     "q_revenue_nation"  -> revenueNationOracle,
     "q_ship_priority"   -> shipPriorityOracle,
     "q_market_share"    -> marketShareOracle,
+    "q_returns"         -> returnsOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,

@@ -148,6 +148,33 @@ object SimilarityOps {
       .withColumn("is_dead", col("var_micro") < DeadVarMicro)
   }
 
+  /** V30: embedding-norm census — the norm-distribution sanity check
+    * the V27 MIPS pruning and every absmax quantizer (V8/V18) lean
+    * on: MIPS pruning only bites if norms actually spread (a
+    * normalized corpus makes MIPS ≡ cosine and the seed pass
+    * worthless), and a heavy norm tail is exactly where int8 absmax
+    * loses precision. Squared milli norms binned by integer floor
+    * division (4·10⁶ milli² buckets — an integer compare, engine-
+    * exact), counts and one micro share per bucket.
+    *
+    * Scale shape: one scan through the `milli_dot` kernel (v·v), a
+    * ≤ ~16-row census with map-side partials.
+    */
+  val NormBucketWidth = 4000000L
+
+  def normCensus(emb: DataFrame): DataFrame = {
+    import graft.functions.vector.milliDot
+    val cen = emb
+      .select(milliDot(col("embedding"), col("embedding")).as("n2"))
+      .select(expr(s"n2 div $NormBucketWidth").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val tot = cen.agg(sum("n").as("t"))
+    cen.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (col("bucket") * NormBucketWidth).as("lo"), col("n"),
+        micro(col("n") / col("t")).as("frac_micro"))
+  }
+
   /** V28: label-balance audit — the class-distribution health check
     * every eval/training split runs before trusting per-label metrics
     * (V12's confusion matrix, V20's MRR, V23's geometry all assume

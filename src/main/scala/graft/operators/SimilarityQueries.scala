@@ -46,6 +46,9 @@ object SimilarityQueries {
   def qDimVariance(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.dimVariance(emb(spark, dir)).orderBy("dim")
 
+  def qNormCensus(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.normCensus(emb(spark, dir)).orderBy("bucket")
+
   val PerLabelK = 3
   val LshPlanes = 16
   val LshBandBits = 4
@@ -564,6 +567,31 @@ object SimilarityQueries {
        |  ${Hashing.microSql("(s2 / n) - (s / n) * (s / n)")}
        |    < ${SimilarityOps.DeadVarMicro} AS is_dead
        |FROM g ORDER BY dim""".stripMargin
+
+  /** V30 oracle: the same milli dot v·v, integer floor-division
+    * bucketing, one micro share per census row.
+    */
+  private val normCensusOracle =
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings
+       |),
+       |n2 AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CAST(floor(v * 1000.0) AS BIGINT)
+       |             * CAST(floor(v * 1000.0) AS BIGINT)) AS BIGINT) AS n2
+       |  FROM ev GROUP BY 1
+       |),
+       |cen AS (
+       |  SELECT n2 // ${SimilarityOps.NormBucketWidth} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM n2 GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cen)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(bucket * ${SimilarityOps.NormBucketWidth} AS BIGINT) AS lo,
+       |  n, ${Hashing.microSql("n / t")} AS frac_micro
+       |FROM cen, tot ORDER BY bucket""".stripMargin
 
   /** The k-means oracle machinery re-trains the codebook INSIDE DuckDB —
     * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
@@ -1760,6 +1788,7 @@ object SimilarityQueries {
     "q_mips"           -> (qMips _),
     "q_label_balance"  -> (qLabelBalance _),
     "q_dim_variance"   -> (qDimVariance _),
+    "q_norm_census"    -> (qNormCensus _),
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
@@ -1795,6 +1824,7 @@ object SimilarityQueries {
     "q_mips"           -> mipsOracle,
     "q_label_balance"  -> labelBalanceOracle,
     "q_dim_variance"   -> dimVarianceOracle,
+    "q_norm_census"    -> normCensusOracle,
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,

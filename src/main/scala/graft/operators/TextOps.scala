@@ -3300,6 +3300,53 @@ object TextOps {
         micro((col("n_chars") - col("alpha") - col("digit") -
           col("space")) / col("n_chars")).as("symbol_micro"))
 
+  /** X62: skip-gram co-occurrence PMI over the top-V terms — the
+    * word-association matrix (the PMI formulation word2vec's SGNS
+    * implicitly factorizes, Levy & Goldberg 2014) X43's DOCUMENT-level
+    * lift can't see: X43 asks "do these words share documents", this
+    * asks "do they share a ±2-token window" — collocations,
+    * multi-word entities, template n-grams. Marginals and the total
+    * come FROM the pair relation itself (cx = Σ_y c_xy row marginal,
+    * N = Σ c_xy), so the distribution is self-consistent — never
+    * corpus unigram counts mixed with window pair counts. Pairs are
+    * position-ordered (first, second), so directional template
+    * signatures survive.
+    *
+    * Exactness: counts exact; PMI = ln(c_xy·N/(cx·cy)) is ONE
+    * micro-floored tree — two exact-integer products (< 2⁵³), one
+    * division, one ln.
+    *
+    * Scale shape: the occurrence stream is top-V-FILTERED before the
+    * pair join (broadcast winners), so the position band self-join
+    * fans out ≤ window× on a stream bounded by the top-V density,
+    * never the corpus; the census and both marginals are ≤ V² rows.
+    */
+  def skipgramPmi(docs: DataFrame, topV: Int = 50,
+                  window: Int = 2): DataFrame = {
+    val occ = parallelized(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        col("col").as("t"))
+    val top = occ.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(topV).select("t")
+    val ot = occ.join(broadcast(top), Seq("t")).cache()
+    val a = ot.select(col("doc_id"), col("p"), col("t").as("x"))
+    val b = ot.select(col("doc_id").as("d2"), col("p").as("q"),
+      col("t").as("y"))
+    val cen = a.join(b, col("doc_id") === col("d2") &&
+        col("q") > col("p") && col("q") <= col("p") + window.toLong)
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .cache()
+    val mx = cen.groupBy("x").agg(sum("c_xy").as("c_x"))
+    val my = cen.groupBy("y").agg(sum("c_xy").as("c_y"))
+    val tot = cen.agg(sum("c_xy").as("n"))
+    cen.join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        micro(log((col("c_xy") * col("n")) / (col("c_x") * col("c_y"))))
+          .as("pmi_micro"))
+  }
+
   /** X59: Gini coefficient of the type-frequency distribution per
     * source — the inequality lens on vocabulary usage that X47's HHI
     * (dominated by the few largest shares) and X38's Zipf slope (a

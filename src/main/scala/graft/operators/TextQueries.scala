@@ -118,6 +118,9 @@ object TextQueries {
   def qCharclass(spark: SparkSession, dir: String): DataFrame =
     TextOps.charClasses(Tables.documents(spark, dir)).orderBy("source")
 
+  def qSkipgram(spark: SparkSession, dir: String): DataFrame =
+    TextOps.skipgramPmi(docs(spark, dir)).orderBy("x", "y")
+
   def qGini(spark: SparkSession, dir: String): DataFrame =
     TextOps.gini(Tables.documents(spark, dir)).orderBy("source")
 
@@ -886,6 +889,39 @@ object TextQueries {
        |  ${Hashing.microSql(
           "(n_chars - alpha - digit - space) / n_chars")} AS symbol_micro
        |FROM g ORDER BY source""".stripMargin
+
+  /** X62 oracle: same top-V filter, position band self-join, pair-
+    * relation marginals, and micro-floored ln tree.
+    */
+  private val skipgramOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |),
+       |occ AS (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS p, toks[i] AS t
+       |  FROM tok, unnest(range(1, len(toks) + 1)) AS g(i)
+       |),
+       |top AS (
+       |  SELECT t FROM (SELECT t, count(*) AS c FROM occ GROUP BY 1)
+       |  ORDER BY c DESC, t LIMIT 50
+       |),
+       |ot AS (SELECT o.doc_id, o.p, o.t FROM occ o JOIN top USING (t)),
+       |cen AS (
+       |  SELECT a.t AS x, b.t AS y, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM ot a JOIN ot b
+       |    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + 2
+       |  GROUP BY 1, 2
+       |),
+       |mx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x
+       |       FROM cen GROUP BY 1),
+       |my AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y
+       |       FROM cen GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cen)
+       |SELECT c.x, c.y, c.c_xy, mx.c_x, my.c_y,
+       |  ${Hashing.microSql(
+          "ln((c.c_xy * tot.n) / (mx.c_x * my.c_y))")} AS pmi_micro
+       |FROM cen c JOIN mx USING (x) JOIN my USING (y), tot
+       |ORDER BY c.x, c.y""".stripMargin
 
   /** X59 oracle: same frequency-census closed form — tied counts
     * contribute c·m·(2a + m − n) where a = types with smaller counts;
@@ -2838,6 +2874,7 @@ object TextQueries {
     "q_entropy"       -> (qEntropy _),
     "q_readability"   -> (qReadability _),
     "q_charclass"     -> (qCharclass _),
+    "q_skipgram"      -> (qSkipgram _),
     "q_gini"          -> (qGini _),
     "q_coverage"      -> (qCoverage _),
     "q_weighted_sample" -> (qWeightedSample _),
@@ -2911,6 +2948,7 @@ object TextQueries {
     "q_entropy"       -> entropyOracle,
     "q_readability"   -> readabilityOracle,
     "q_charclass"     -> charclassOracle,
+    "q_skipgram"      -> skipgramOracle,
     "q_gini"          -> giniOracle,
     "q_coverage"      -> coverageOracle,
     "q_weighted_sample" -> weightedSampleOracle,

@@ -43,6 +43,8 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_label_balance",  // broadcast one-row totals + one-row summary
     "q_ldiv",           // broadcast one-row record total
     "q_mips",           // broadcast single query vector + one-row tau
+    "q_norm_census",    // broadcast one-row total
+    "q_skipgram",       // broadcast one-row pair total
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid

@@ -204,6 +204,18 @@ class ScaleOpsSpec extends SparkSpec {
       (13L, 350L, "2024-01-10", "2-HIGH")))
   }
 
+  test("returns: R-flag filter, aggregate-then-decorate, top-20 order") {
+    val out = RelationalQueries.qReturns(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("lost_cents")))
+    assert(out.length === 20)
+    assert(out.forall(t => t._2 > 0 && t._3 > 0))
+    // sorted by (lost_cents desc, c_custkey)
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
+  }
+
   test("marketShare: per-year shares partition the year's revenue") {
     val out = RelationalQueries
       .qMarketShare(spark, "/root/testdata/sf0.001").collect()

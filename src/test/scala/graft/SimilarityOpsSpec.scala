@@ -68,6 +68,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === brute.toSeq)
   }
 
+  test("normCensus: integer floor-division buckets, shares") {
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),   // n2 = 1e6 -> bucket 0
+      (1L, Seq(3f, 0f), 0),   // n2 = 9e6 -> bucket 2
+      (2L, Seq(0f, 0f), 0))   // n2 = 0   -> bucket 0
+    val out = SimilarityOps.normCensus(m).orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo"),
+        r.getAs[Long]("n"), r.getAs[Long]("frac_micro")))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 666666L),
+      (2L, 8000000L, 1L, 333333L)))
+  }
+
   test("dimVariance: constant dimension reads exactly zero and dead, " +
     "hand-computed milli variance") {
     val m = emb(

@@ -1247,6 +1247,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out("B") === ((5L, 0L, 5L, 0L, 0L, 0L, 1000000L, 0L)))
   }
 
+  test("skipgramPmi: position-ordered window pairs, self-consistent " +
+    "marginals, hand-computed PMI") {
+    import sqlImplicits._
+    // "a b a b": pairs within +2 -> (a,b)x2, (a,a), (b,a), (b,b); N=5
+    val corpus = Seq((1L, "a b a b", "A")).toDF("doc_id", "text", "source")
+    val out = TextOps.skipgramPmi(corpus).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y")) ->
+        ((r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"),
+          r.getAs[Long]("c_y"), r.getAs[Long]("pmi_micro"))))
+      .toMap
+    def pmi(cxy: Long, cx: Long, cy: Long): Long =
+      math.floor(1000000.0 *
+        math.log((cxy * 5L).toDouble / (cx * cy).toDouble)).toLong
+    assert(out(("a", "b")) === ((2L, 3L, 3L, pmi(2, 3, 3))))
+    assert(out(("a", "a")) === ((1L, 3L, 2L, pmi(1, 3, 2))))
+    assert(out(("b", "a")) === ((1L, 2L, 2L, pmi(1, 2, 2))))
+    assert(out(("b", "b")) === ((1L, 2L, 3L, pmi(1, 2, 3))))
+    assert(out.size === 4)
+  }
+
   test("gini: equal use reads EXACTLY zero, tie groups carry the " +
     "closed form, hand-computed skew") {
     import sqlImplicits._
