@@ -148,6 +148,59 @@ object SimilarityOps {
       .withColumn("is_dead", col("var_micro") < DeadVarMicro)
   }
 
+  /** V31: dominant principal direction by distributed power
+    * iteration — the anisotropy axis of the embedding cloud, the
+    * number behind the standard "all-but-the-top" postprocessing (Mu
+    * & Viswanath 2018: contextual embeddings concentrate mass in a
+    * few dominant directions; removing the top one measurably
+    * improves similarity tasks) and the first sanity check on any
+    * encoder drop. Computed over the UNcentered second-moment matrix
+    * C = Σ v·vᵀ (exact integers off milli components), with the
+    * iteration kept IN the engine: each round is a census-sized
+    * (dims², dims) join y = C·x followed by an integer rescale
+    * x' = sign(y)·(|y|·1000 div max|y|) — truncation toward zero on
+    * non-negative operands, identical in both engines, so the WHOLE
+    * trajectory is exact integers and the DuckDB oracle replays it as
+    * chained MATERIALIZED CTEs (the k-means/BPE discipline).
+    *
+    * Exactness bounds: C entries ≤ n·10⁶; y = Σⱼ C·x ≤ dims·n·10⁹
+    * (int64-safe through ~10⁸ vectors at 64 dims); |y|·1000 stays in
+    * int64 because x is renormalized to ±1000 every round. max|y| is
+    * clamped ≥ 1 so an all-zero corpus degenerates to the zero vector
+    * instead of a division error.
+    *
+    * Scale shape: the second-moment census is ONE self-join fan-out
+    * of dims² per vector with map-side partials (the shuffle carries
+    * ≤ dims² rows per partition regardless of corpus size), computed
+    * once and localCheckpointed; every round after that is
+    * census-sized (dims² ⋈ dims), nothing ever touches the corpus
+    * again.
+    */
+  val PcaRounds = 5
+
+  def pcaPower(emb: DataFrame, rounds: Int = PcaRounds): DataFrame = {
+    val mv = emb.select(col("vec_id"), posexplode(milliVec(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        col("col").cast("long").as("v"))
+    val b = mv.select(col("vec_id"), col("i").as("j"), col("v").as("w"))
+    val c = mv.join(b, Seq("vec_id"))
+      .groupBy("i", "j").agg(sum(col("v") * col("w")).as("c"))
+      .localCheckpoint()
+    var x = c.select(col("i")).distinct()
+      .select(col("i"), lit(1000L).as("x"))
+    (1 to rounds).foreach { _ =>
+      val y = c.join(x.select(col("i").as("j"), col("x")), Seq("j"))
+        .groupBy("i").agg(sum(col("c") * col("x")).as("y"))
+      val m = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("i"),
+          expr("CASE WHEN y < 0 THEN -((abs(y) * 1000) div m)" +
+            " ELSE (abs(y) * 1000) div m END").cast("long").as("x"))
+        .localCheckpoint()
+    }
+    x.select(col("i").as("dim"), col("x"))
+  }
+
   /** V30: embedding-norm census — the norm-distribution sanity check
     * the V27 MIPS pruning and every absmax quantizer (V8/V18) lean
     * on: MIPS pruning only bites if norms actually spread (a

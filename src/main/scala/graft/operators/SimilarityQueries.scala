@@ -593,6 +593,50 @@ object SimilarityQueries {
        |  n, ${Hashing.microSql("n / t")} AS frac_micro
        |FROM cen, tot ORDER BY bucket""".stripMargin
 
+  def qPca(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.pcaPower(emb(spark, dir)).orderBy("dim")
+
+  /** V31 oracle: the identical integer power-iteration trajectory as
+    * chained MATERIALIZED CTEs (the k-means/BPE discipline — every
+    * y_r/x_r is referenced more than once, and DuckDB 1.0 re-inlines
+    * plain CTEs at each reference).
+    */
+  private val pcaOracle: String = {
+    val rounds = SimilarityOps.PcaRounds
+    val chain = (1 to rounds).map { r =>
+      val px = if (r == 1) "x0" else s"x${r - 1}"
+      s"""y$r AS MATERIALIZED (
+         |  SELECT cm.i, CAST(sum(cm.c * $px.x) AS BIGINT) AS y
+         |  FROM cm JOIN $px ON cm.j = $px.i GROUP BY 1
+         |),
+         |m$r AS (SELECT greatest(max(abs(y)), 1) AS m FROM y$r),
+         |x$r AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN y < 0
+         |    THEN -((abs(y) * 1000) // (SELECT m FROM m$r))
+         |    ELSE (abs(y) * 1000) // (SELECT m FROM m$r)
+         |  END AS BIGINT) AS x
+         |  FROM y$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |mv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(floor(v * 1000.0) AS BIGINT) AS v
+       |  FROM ev
+       |),
+       |cm AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS c
+       |  FROM mv a JOIN mv b ON a.vec_id = b.vec_id GROUP BY 1, 2
+       |),
+       |x0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS x FROM cm),
+       |$chain
+       |SELECT i - 1 AS dim, x FROM x$rounds ORDER BY dim""".stripMargin
+  }
+
   /** The k-means oracle machinery re-trains the codebook INSIDE DuckDB —
     * [[SimilarityOps.KmRounds]] Lloyd rounds as chained CTEs. Because
     * every quantity on the training path is an exact integer (milli
@@ -1789,6 +1833,7 @@ object SimilarityQueries {
     "q_label_balance"  -> (qLabelBalance _),
     "q_dim_variance"   -> (qDimVariance _),
     "q_norm_census"    -> (qNormCensus _),
+    "q_pca"            -> (qPca _),
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
@@ -1825,6 +1870,7 @@ object SimilarityQueries {
     "q_label_balance"  -> labelBalanceOracle,
     "q_dim_variance"   -> dimVarianceOracle,
     "q_norm_census"    -> normCensusOracle,
+    "q_pca"            -> pcaOracle,
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,

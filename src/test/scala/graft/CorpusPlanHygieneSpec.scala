@@ -44,6 +44,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ldiv",           // broadcast one-row record total
     "q_mips",           // broadcast single query vector + one-row tau
     "q_norm_census",    // broadcast one-row total
+    "q_pca",            // broadcast one-row rescale max per round
     "q_skipgram",       // broadcast one-row pair total
     "q_lm_score",       // broadcast one-row vocab-size V
     "q_mix",            // broadcast one-row bottleneck-source argmin

@@ -68,6 +68,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === brute.toSeq)
   }
 
+  test("pcaPower: converges to the dominant axis on an exact integer " +
+    "trajectory; deterministic across reruns") {
+    // 3 vectors on the x-axis (milli 2000) vs 1 on y (milli 1000):
+    // C = diag(1.2e7, 1e6); the minor component decays 83 -> 6 -> 0
+    // over the rescale rounds, the dominant pins at 1000
+    val m = emb(
+      (0L, Seq(2f, 0f), 0), (1L, Seq(2f, 0f), 0), (2L, Seq(2f, 0f), 0),
+      (3L, Seq(0f, 1f), 0))
+    val out = SimilarityOps.pcaPower(m).orderBy("dim").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("x")))
+    assert(out.toSeq === Seq((0L, 1000L), (1L, 0L)))
+    val again = SimilarityOps.pcaPower(m).orderBy("dim").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("x")))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("normCensus: integer floor-division buckets, shares") {
     val m = emb(
       (0L, Seq(1f, 0f), 0),   // n2 = 1e6 -> bucket 0
