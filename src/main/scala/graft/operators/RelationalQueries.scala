@@ -1130,6 +1130,80 @@ object RelationalQueries {
       |ORDER BY lost_cents DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** R28: revenue-concentration (Lorenz) census — the whale-analysis
+    * readout finance and capacity planning both ask for: "the bottom
+    * p of customers carry what share of revenue?" at p ∈ {50 %, 90 %,
+    * 99 %}, customers ranked ascending by revenue — X60's coverage
+    * curve pointed at entities and money. Integer cents throughout;
+    * the rank pick is k = max(1, n·p div 1000) (exact integer
+    * arithmetic, no IEEE percentile); share is ONE micro division per
+    * cut.
+    *
+    * Scale shape: the fact side is one orderkey Exchange + custkey
+    * aggregation; the rank/cumulative window runs over the CUSTOMER
+    * census (entity-sized, never event-sized; range-bucketed
+    * two-level at extreme scale — the X38 precedent); the 3-row cut
+    * grid broadcasts.
+    */
+  def qLorenz(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("r"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("r").as("rev"))
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("rev"), col("o_custkey"))
+    val ranked = rev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("rev").over(w))
+    val tot = rev.agg(count(lit(1)).as("n"), sum("rev").as("t"))
+    val cuts = Seq(500L, 900L, 990L).toDF("permille")
+    tot.crossJoin(broadcast(cuts))
+      .select(col("permille"), col("n"), col("t"),
+        greatest(lit(1L), expr("(n * permille) div 1000")).as("k"))
+      .join(ranked.select(col("rn"), col("cum")),
+        col("k") === col("rn"))
+      .select(col("permille"), col("n"), col("k"),
+        col("cum").as("cum_cents"), col("t").as("total_cents"),
+        micro(col("cum") / col("t")).as("share_micro"))
+      .orderBy("permille")
+  }
+
+  private val lorenzOracle =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+       |             * 100.0) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT o_custkey, rev,
+       |    CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT)
+       |      AS rn,
+       |    CAST(sum(rev) OVER (ORDER BY rev, o_custkey) AS BIGINT)
+       |      AS cum
+       |  FROM rev
+       |),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |          CAST(sum(rev) AS BIGINT) AS t FROM rev),
+       |cuts AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT)
+       |           AS permille),
+       |g AS (
+       |  SELECT c.permille, tot.n, tot.t,
+       |    greatest(1, (tot.n * c.permille) // 1000) AS k
+       |  FROM cuts c, tot
+       |)
+       |SELECT g.permille, g.n, g.k, r.cum AS cum_cents,
+       |  g.t AS total_cents,
+       |  ${microSql("r.cum / g.t")} AS share_micro
+       |FROM g JOIN ranked r ON g.k = r.rn
+       |ORDER BY g.permille""".stripMargin
+
   private val revenueNationOracle =
     """SELECT r_name, n_name, count(*) AS n_items,
       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
@@ -1885,6 +1959,7 @@ object RelationalQueries {
     "q_ship_priority"   -> (qShipPriority _),
     "q_market_share"    -> (qMarketShare _),
     "q_returns"         -> (qReturns _),
+    "q_lorenz"          -> (qLorenz _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
@@ -1919,6 +1994,7 @@ object RelationalQueries {
     "q_ship_priority"   -> shipPriorityOracle,
     "q_market_share"    -> marketShareOracle,
     "q_returns"         -> returnsOracle,
+    "q_lorenz"          -> lorenzOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,

@@ -216,6 +216,23 @@ class ScaleOpsSpec extends SparkSpec {
       a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) })
   }
 
+  test("lorenz: ascending-rank shares are monotone and the 99% cut " +
+    "stays below full mass") {
+    val out = RelationalQueries.qLorenz(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("permille"), r.getAs[Long]("n"),
+        r.getAs[Long]("k"), r.getAs[Long]("share_micro")))
+    assert(out.map(_._1).toSeq === Seq(500L, 900L, 990L))
+    val n = out.head._2
+    out.foreach { case (p, _, k, _) =>
+      assert(k === math.max(1L, n * p / 1000L)) }
+    val shares = out.map(_._4)
+    assert(shares(0) < shares(1) && shares(1) < shares(2))
+    // bottom-p of an ascending rank always carries LESS than p of
+    // the mass when revenue is skewed
+    assert(shares(0) < 500000L && shares(2) < 1000000L)
+  }
+
   test("marketShare: per-year shares partition the year's revenue") {
     val out = RelationalQueries
       .qMarketShare(spark, "/root/testdata/sf0.001").collect()
