@@ -1204,6 +1204,69 @@ object RelationalQueries {
        |FROM g JOIN ranked r ON g.k = r.rn
        |ORDER BY g.permille""".stripMargin
 
+  /** R29: weekday-seasonality deviation census — the (event_type,
+    * day-of-week) contingency table with each cell's chi-square
+    * contribution against the independence expectation
+    * e = row·col/T: the "is this event type weekday-shaped?" audit
+    * behind alerting calendars and traffic models (a deploy-driven
+    * `error` type spikes on weekdays, organic `view` traffic doesn't
+    * — the loud cells say which and where). Weekday numbering is
+    * pinned cross-engine: Spark `dayofweek` (1 = Sunday) minus one ≡
+    * DuckDB `dayofweek` (0 = Sunday) — never locale day NAMES.
+    *
+    * Exactness: counts and both marginals exact integers; each
+    * cell's expectation and chi term are ONE micro-floored fixed
+    * double tree ((n − rc/T)²/(rc/T) with rc = row·col an exact
+    * integer product).
+    *
+    * Scale shape: one partial-agg'd (type, dow) Exchange; marginals
+    * and the total come census-over-census; everything after the
+    * first aggregation is ≤ |types|·7 rows.
+    */
+  def qDow(spark: SparkSession, dir: String): DataFrame =
+    dowCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def dowCensus(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("event_type").agg(sum("n").as("rt"))
+    val cols = cells.groupBy("dow").agg(sum("n").as("ct"))
+    val tot = cells.agg(sum("n").as("t"))
+    val e = (col("rt") * col("ct")) / col("t")
+    cells.join(rows, Seq("event_type")).join(cols, Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("n"), col("rt"),
+        col("ct"),
+        micro(e).as("expected_micro"),
+        micro((col("n") - e) * (col("n") - e) / e).as("chi_micro"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val dowOracle =
+    s"""$evCte,
+       |cells AS (
+       |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rt
+       |      FROM cells GROUP BY 1),
+       |c AS (SELECT dow, CAST(sum(n) AS BIGINT) AS ct
+       |      FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells)
+       |SELECT cells.event_type, cells.dow, cells.n, r.rt, c.ct,
+       |  ${microSql("(r.rt * c.ct) / t.t")} AS expected_micro,
+       |  ${microSql("(cells.n - (r.rt * c.ct) / t.t)" +
+        " * (cells.n - (r.rt * c.ct) / t.t) / ((r.rt * c.ct) / t.t)")}
+       |    AS chi_micro
+       |FROM cells JOIN r USING (event_type) JOIN c USING (dow), t
+       |ORDER BY cells.event_type, cells.dow""".stripMargin
+
   private val revenueNationOracle =
     """SELECT r_name, n_name, count(*) AS n_items,
       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
@@ -1960,6 +2023,7 @@ object RelationalQueries {
     "q_market_share"    -> (qMarketShare _),
     "q_returns"         -> (qReturns _),
     "q_lorenz"          -> (qLorenz _),
+    "q_dow"             -> (qDow _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
@@ -1995,6 +2059,7 @@ object RelationalQueries {
     "q_market_share"    -> marketShareOracle,
     "q_returns"         -> returnsOracle,
     "q_lorenz"          -> lorenzOracle,
+    "q_dow"             -> dowOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,

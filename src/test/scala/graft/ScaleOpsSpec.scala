@@ -233,6 +233,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shares(0) < 500000L && shares(2) < 1000000L)
   }
 
+  test("dow: cross-engine weekday numbering, independence " +
+    "expectations, hand-computed chi contributions") {
+    // A: Sunday x1 + Monday x2; B: Monday x1 -> T = 4,
+    // rt(A)=3 rt(B)=1, ct(sun)=1 ct(mon)=3
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-07 10:00:00"), // Sunday -> dow 0
+      (2L, 1L, "A", "2024-01-08 10:00:00"), // Monday -> dow 1
+      (3L, 2L, "A", "2024-01-08 11:00:00"),
+      (4L, 3L, "B", "2024-01-08 12:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+    val out = RelationalQueries.dowCensus(ev)
+      .orderBy("event_type", "dow").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow"),
+        r.getAs[Long]("n"), r.getAs[Long]("expected_micro"),
+        r.getAs[Long]("chi_micro")))
+    def cell(n: Double, rt: Double, ct: Double): (Long, Long) = {
+      val e = rt * ct / 4.0
+      (math.floor(1000000.0 * e).toLong,
+        math.floor(1000000.0 * ((n - e) * (n - e) / e)).toLong)
+    }
+    val (ea0, ca0) = cell(1, 3, 1)
+    val (ea1, ca1) = cell(2, 3, 3)
+    val (eb1, cb1) = cell(1, 1, 3)
+    assert(out.toSeq === Seq(
+      ("A", 0L, 1L, ea0, ca0),
+      ("A", 1L, 2L, ea1, ca1),
+      ("B", 1L, 1L, eb1, cb1)))
+  }
+
   test("marketShare: per-year shares partition the year's revenue") {
     val out = RelationalQueries
       .qMarketShare(spark, "/root/testdata/sf0.001").collect()
