@@ -1267,6 +1267,71 @@ object RelationalQueries {
        |FROM cells JOIN r USING (event_type) JOIN c USING (dow), t
        |ORDER BY cells.event_type, cells.dow""".stripMargin
 
+  /** R30: market-basket pair lift — association mining over order
+    * contents (which parts are co-purchased beyond chance), the
+    * relational sibling of X43's document co-occurrence with a
+    * different blocking story: pairs generate WITHIN an order, so the
+    * fan-out is Σ C(|order|, 2) — bounded by real basket sizes (≤ ~21
+    * for TPC-H's ≤ 7-line orders), never a global cross join. Lift =
+    * n_ab·N/(n_a·n_b) (> 10⁶ micro means the pair co-occurs beyond
+    * independence); a min-support floor of 2 keeps the reported
+    * census to repeated signals.
+    *
+    * Exactness: all counts exact integers off DISTINCT (order, part)
+    * memberships; lift is ONE micro-floored division of exact integer
+    * products (< 2⁵³ through ~10⁸ orders).
+    */
+  val BasketMinSupport = 2L
+
+  def qBasket(spark: SparkSession, dir: String): DataFrame =
+    basketLift(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** The census over any (o, p) membership frame — factored for the
+    * hand-computed spec.
+    */
+  def basketLift(memb: DataFrame): DataFrame = {
+    val items = memb.select(col("o"), col("p")).distinct()
+    val b = items.select(col("o"), col("p").as("p2"))
+    val pairs = items.join(b, Seq("o")).filter(col("p") < col("p2"))
+      .groupBy("p", "p2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinSupport)
+    val freq = items.groupBy("p").agg(count(lit(1)).as("n_p"))
+    val tot = items.agg(countDistinct(col("o")).as("n_orders"))
+    pairs
+      .join(freq, Seq("p"))
+      .join(freq.select(col("p").as("p2"), col("n_p").as("n_p2")),
+        Seq("p2"))
+      .crossJoin(broadcast(tot))
+      .select(col("p"), col("p2"), col("n_ab"), col("n_p"),
+        col("n_p2"), col("n_orders"),
+        micro((col("n_ab") * col("n_orders")) /
+          (col("n_p") * col("n_p2"))).as("lift_micro"))
+      .orderBy("p", "p2")
+  }
+
+  private val basketOracle =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |),
+       |pairs AS (
+       |  SELECT a.p, b.p AS p2, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport
+       |),
+       |freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p
+       |         FROM items GROUP BY 1),
+       |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+       |        FROM items)
+       |SELECT pr.p, pr.p2, pr.n_ab, fa.n_p, fb.n_p AS n_p2,
+       |  tot.n_orders,
+       |  ${microSql("(pr.n_ab * tot.n_orders) / (fa.n_p * fb.n_p)")}
+       |    AS lift_micro
+       |FROM pairs pr
+       |JOIN freq fa ON pr.p = fa.p
+       |JOIN freq fb ON pr.p2 = fb.p, tot
+       |ORDER BY pr.p, pr.p2""".stripMargin
+
   private val revenueNationOracle =
     """SELECT r_name, n_name, count(*) AS n_items,
       |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
@@ -2024,6 +2089,7 @@ object RelationalQueries {
     "q_returns"         -> (qReturns _),
     "q_lorenz"          -> (qLorenz _),
     "q_dow"             -> (qDow _),
+    "q_basket"          -> (qBasket _),
     "q_sessions"     -> (qSessions _),
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
@@ -2060,6 +2126,7 @@ object RelationalQueries {
     "q_returns"         -> returnsOracle,
     "q_lorenz"          -> lorenzOracle,
     "q_dow"             -> dowOracle,
+    "q_basket"          -> basketOracle,
     "q_sessions"     -> sessionsOracle,
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,

@@ -42,6 +42,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_kanon",          // broadcast one-row record total
     "q_label_balance",  // broadcast one-row totals + one-row summary
     "q_ldiv",           // broadcast one-row record total
+    "q_basket",         // broadcast one-row order total
     "q_dow",            // broadcast one-row grand total
     "q_lorenz",         // one-row totals x 3-row broadcast cut grid
     "q_mips",           // broadcast single query vector + one-row tau

@@ -233,6 +233,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(shares(0) < 500000L && shares(2) < 1000000L)
   }
 
+  test("basketLift: within-order pairs only, min-support floor, " +
+    "hand-computed lift") {
+    // order 1: {1,2,3}; order 2: {1,2}; order 3: {4} ->
+    // pair (1,2) support 2, lift = 2*3/(2*2) = 1.5; (1,3)/(2,3)
+    // support 1 are floored out; part 4 never pairs
+    val memb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 4L)).toDF("o", "p")
+    val out = RelationalQueries.basketLift(memb).collect()
+      .map(r => (r.getAs[Long]("p"), r.getAs[Long]("p2"),
+        r.getAs[Long]("n_ab"), r.getAs[Long]("n_p"),
+        r.getAs[Long]("n_p2"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("lift_micro")))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 2L, 2L, 3L, 1500000L)))
+  }
+
   test("dow: cross-engine weekday numbering, independence " +
     "expectations, hand-computed chi contributions") {
     // A: Sunday x1 + Monday x2; B: Monday x1 -> T = 4,
