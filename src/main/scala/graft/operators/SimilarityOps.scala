@@ -76,9 +76,12 @@ object SimilarityOps {
     * on).
     *
     * Exactness: milli dots and squared norms are exact integers; the
-    * prune compare |q|²·|v|² vs τ² stays within int64 through 64 dims
-    * × milli range. Output is bit-equal to brute force by
-    * construction (proved, and spec-pinned against it).
+    * prune compare |q|²·|v|² vs τ² is widened to decimal(19,0)
+    * operands (products ≤ (2⁶³)² ≈ 8.5e37 < 10³⁸ fit decimal(38,0)
+    * exactly, so the compare can never overflow or go null at ANY
+    * dimensionality — int64×int64 would silently wrap past ~3000 dims
+    * at full milli range and mis-prune). Output is bit-equal to brute
+    * force by construction (proved, and spec-pinned against it).
     *
     * Scale shape: one scan projecting (vm, |v|²); the seed cut is a
     * bounded TakeOrdered (seedPool rows); τ is a one-row broadcast;
@@ -108,7 +111,9 @@ object SimilarityOps {
       .crossJoin(broadcast(q))
       .crossJoin(broadcast(tau))
       .filter(col("nseed") < k.toLong || col("tau") <= 0L ||
-        col("qn2") * col("n2") >= col("tau") * col("tau"))
+        col("qn2").cast("decimal(19,0)") * col("n2").cast("decimal(19,0)")
+          >= col("tau").cast("decimal(19,0)") *
+             col("tau").cast("decimal(19,0)"))
       .select(col("vec_id"),
         milliDot(col("embedding"), col("qe")).as("dot"))
       .orderBy(col("dot").desc, col("vec_id"))
@@ -827,14 +832,22 @@ object SimilarityOps {
       when(col("cluster") === c.toLong,
         pqAdcColumn(pqLuts(rq, books, subLen)))
     }.reduce(coalesce(_, _))
-    val out = resid.filter(col("vec_id") =!= queryId)
+    // materialize the probed-row codes eagerly (they are tiny — id,
+    // cluster, nSub codes) so resid's corpus-sized cache can be released
+    // HERE instead of leaking into the session until LRU eviction; the
+    // returned plan reads only the checkpointed codes relation (Bench's
+    // persistent-RDD sweep reclaims the checkpoint blocks per query, the
+    // bpeTrainLoop precedent)
+    val probedCodes = resid.filter(col("vec_id") =!= queryId)
       .filter(col("cluster").isin(probed.map(_.toLong): _*))
       .select(col("vec_id") +: col("cluster") +: codes: _*)
+      .localCheckpoint()
+    resid.unpersist()
+    probedCodes
       .withColumn("adc", adc)
       .select("vec_id", "cluster", "adc")
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(k)
-    out
   }
 
   /** Two-stage PQ serving (V13): ADC over the compressed codes

@@ -3268,13 +3268,16 @@ object TextOps {
           lit(84.6) * (col("n_syll") / col("n_words"))))
 
   /** X61: character-class composition census per source — the
-    * alpha/digit/whitespace/symbol split every quality pipeline reads
-    * before its tokenizer does (Gopher's symbol-to-word ratio, C4's
-    * punctuation heuristics): a source drowning in digits is logs or
-    * tables, one drowning in symbols is code or markup soup, and
-    * neither belongs in a prose mix at its raw weight. Symbol count
-    * is the complement (chars − alpha − digit − space), so the four
-    * classes always partition the byte budget exactly.
+    * alpha/digit/single-space/symbol split every quality pipeline
+    * reads before its tokenizer does (Gopher's symbol-to-word ratio,
+    * C4's punctuation heuristics): a source drowning in digits is logs
+    * or tables, one drowning in symbols is code or markup soup, and
+    * neither belongs in a prose mix at its raw weight. The space class
+    * counts only the literal ' ' separator (tabs/newlines/CRs land in
+    * symbol — in this corpus they are formatting anomalies worth
+    * surfacing, not whitespace to forgive). Symbol count is the
+    * complement (chars − alpha − digit − space), so the four classes
+    * always partition the byte budget exactly.
     *
     * Exactness: counts are exact integers off regexp_count; each
     * ratio is ONE micro-floored division of source-total integers.

@@ -1444,14 +1444,10 @@ object TextQueries {
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
-  /** D22 oracle: the D7 pair + recursive-reachability chain (cc
-    * MATERIALIZED — it is referenced twice and DuckDB 1.0 inlines
-    * plain CTEs per reference, re-expanding the recursion), then the
-    * per-source weighted rollup with micro(1/s), micro(toks/s) per
-    * document and integer sums.
-    */
-  /** D23 oracle: the D7 recursive-reachability component chain, then a
-    * sorted-distinct source aggregation per component.
+  /** D23 oracle: the D7 recursive-reachability component chain (cc
+    * MATERIALIZED — referenced twice, by ds and nd, and DuckDB 1.0
+    * inlines plain CTEs per reference, re-expanding the recursion),
+    * then a sorted-distinct source aggregation per component.
     */
   private val dedupSourcesOracle =
     s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
@@ -1474,7 +1470,7 @@ object TextQueries {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |),
-       |cc AS (
+       |cc AS MATERIALIZED (
        |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |  FROM reach GROUP BY a
        |),
@@ -1493,6 +1489,12 @@ object TextQueries {
        |FROM nd JOIN ns USING (component)
        |ORDER BY component""".stripMargin
 
+  /** D22 oracle: the D7 pair + recursive-reachability chain (cc
+    * MATERIALIZED — it is referenced twice and DuckDB 1.0 inlines
+    * plain CTEs per reference, re-expanding the recursion), then the
+    * per-source weighted rollup with micro(1/s), micro(toks/s) per
+    * document and integer sums.
+    */
   private val dedupWeightsOracle =
     s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
        |$ngramCtes,
