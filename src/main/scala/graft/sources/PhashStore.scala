@@ -82,7 +82,7 @@ object PhashStore {
     val merged = load(spark, table).unionByName(fresh)
       .groupBy("dhash")
       .agg(sum("n").as("n"), min("exemplar").as("exemplar"))
-      .localCheckpoint()
+      .localCheckpoint(eager = true) // must materialize BEFORE the overwrite truncates its source
     merged.write.mode("overwrite")
       .bucketBy(nBuckets, "dhash").sortBy("dhash")
       .saveAsTable(table)
