@@ -837,11 +837,13 @@ object SimilarityOps {
     // HERE instead of leaking into the session until LRU eviction; the
     // returned plan reads only the checkpointed codes relation (Bench's
     // persistent-RDD sweep reclaims the checkpoint blocks per query, the
-    // bpeTrainLoop precedent)
+    // bpeTrainLoop precedent). `eager = true` is load-bearing: the codes
+    // must materialize from resid's cache BEFORE resid.unpersist() below,
+    // or the corpus-sized resid would silently recompute uncached.
     val probedCodes = resid.filter(col("vec_id") =!= queryId)
       .filter(col("cluster").isin(probed.map(_.toLong): _*))
       .select(col("vec_id") +: col("cluster") +: codes: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = true)
     resid.unpersist()
     probedCodes
       .withColumn("adc", adc)
@@ -1141,6 +1143,130 @@ object SimilarityOps {
     pred.select(col("l1").as("label"), col("predicted"))
       .groupBy("label", "predicted")
       .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** V33: hubness (k-occurrence) census — the intrinsic-dimensionality
+    * pathology check every ANN index needs before trusting its recall
+    * numbers (Radovanović et al., JMLR 2010): N_k(x) counts how often
+    * x appears in OTHER vectors' k-NN lists; in high intrinsic
+    * dimension the distribution of N_k grows a long right tail (hubs
+    * that answer a disproportionate share of queries) and a mass of
+    * antihubs (N_k = 0) that no query ever retrieves — both distort
+    * kNN-label audits (V12) and graph-index construction. The output
+    * is the full k-occurrence histogram, antihubs included via the
+    * corpus left join.
+    *
+    * Neighbor semantics are IDENTICAL to V12 ([[knnLabelConfusionFrom]]):
+    * cluster-blocked candidates, rank by (micro cosine DESC, vec_id) —
+    * so the two audits read the same kNN graph.
+    *
+    * Scale shape: the V12 pair bound (Σ|cluster|², dialed by
+    * nCentroids); the histogram itself is bounded by the distinct
+    * k-occurrence values ≤ max N_k — census-sized, no global sort.
+    * Closed-form invariant (ScaleProbe): Σ k_occ · n_vecs = N · k
+    * exactly (every vector emits exactly k directed edges when its
+    * cluster has > k members).
+    */
+  def hubnessCensus(emb: DataFrame, cents: Array[Array[Long]],
+                    kNN: Int): DataFrame = {
+    val assigned = emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1")
+      .orderBy(col("cos_micro").desc, col("d2"))
+    val occ = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kNN)
+      .groupBy(col("d2").as("vec_id"))
+      .agg(count(lit(1)).as("c"))
+    emb.select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("k_occ"))
+      .groupBy("k_occ")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** V32's discount weight at rank i: floor(1e6 · ln 2 / ln(i+1)) —
+    * the binary-relevance DCG gain 1/log2(i+1) in micro units. The
+    * constant is computed ONCE here and inlined as the same integer
+    * literal into both the Spark plan and the DuckDB oracle, so no
+    * transcendental function is ever evaluated by either engine.
+    */
+  def ndcgWeightMicro(i: Int): Long =
+    math.floor(1e6 * math.log(2.0) / math.log(i + 1.0)).toLong
+
+  /** V32: nDCG@k retrieval-quality census over the batch query set —
+    * the rank-discounted companion of V22's MRR: where MRR reads only
+    * the FIRST relevant hit, nDCG@k credits every relevant result,
+    * discounted by 1/log2(rank+1), normalized by the best achievable
+    * DCG given the query's relevant-document budget (IDCG over
+    * min(k, n_rel) ranks) — the standard retrieval-eval readout for
+    * embedding QA before an index ships.
+    *
+    * Relevance is binary label match (the V12/V22 convention); the
+    * query's own row is excluded from both the ranking and its
+    * relevant budget (n_rel = label count − 1). Queries with
+    * n_rel = 0 have undefined nDCG and are excluded by contract.
+    *
+    * Exactness: discount weights and their prefix sums are integer
+    * micro-unit literals from [[ndcgWeightMicro]] (shared verbatim
+    * with the oracle SQL — neither engine computes a log); DCG is an
+    * integer sum of those weights; nDCG = (dcg · 1e6) div idcg on
+    * non-negative integers, where Spark `div` ≡ DuckDB `//`.
+    *
+    * Scale shape: ONE corpus × queries codegen scan (the V19 batch
+    * pattern — queries broadcast); per-query top-k plans as
+    * WindowGroupLimit (partial before the Exchange); everything after
+    * the rank filter is bounded by queries × k joined against three
+    * broadcast relations (k-row weights, k-row prefix sums, ≤ labels
+    * census).
+    */
+  def ndcgAtK(emb: DataFrame, queryMax: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val wts = (1 to k).map(i => (i.toLong, ndcgWeightMicro(i)))
+    val cum = (1 to k)
+      .map(m => (m.toLong, wts.take(m).map(_._2).sum))
+    val wDf = wts.toDF("rk", "w_micro")
+    val cumDf = cum.toDF("m", "idcg_micro")
+    val qs = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        col("label"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    val dcg = scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .join(broadcast(wDf), Seq("rk"))
+      .groupBy("query_id", "q_label")
+      .agg(sum(when(col("label") === col("q_label"), col("w_micro"))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("hits"))
+    val labelCounts = emb.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    dcg.join(broadcast(labelCounts), Seq("q_label"))
+      .withColumn("n_rel", col("n_label") - 1L)
+      .withColumn("m", least(lit(k.toLong), col("n_rel")))
+      .join(broadcast(cumDf), Seq("m"))
+      .select(col("query_id"), col("q_label"), col("n_rel"),
+        col("hits"), col("dcg_micro"), col("idcg_micro"),
+        expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_micro"))
   }
 
   /** SSP prototype pruning (Sorscher et al., "Beyond neural scaling

@@ -362,6 +362,19 @@ object SimilarityQueries {
     SimilarityOps.labelMrr(emb(spark, dir), BatchQueryMax)
       .orderBy("query_id")
 
+  /** V32: nDCG@k over the same batch query set as V22's MRR. */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.ndcgAtK(emb(spark, dir), BatchQueryMax, TopK)
+      .orderBy("query_id")
+
+  /** V33: k-occurrence hubness census on the V12 kNN graph. */
+  def qHubness(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.hubnessCensus(e, cents, KnnK).orderBy("k_occ")
+  }
+
   /** V23: the metadata predicate for filtered search — labels 0–4, half
     * the 10-label space, so post-filtering visibly loses candidates.
     */
@@ -1766,6 +1779,109 @@ object SimilarityQueries {
        |FROM best b LEFT JOIN bt ON b.query_id = bt.query_id
        |ORDER BY b.query_id""".stripMargin
 
+  /** V32 oracle: same scored relation as the MRR oracle; the discount
+    * weights and their prefix sums are the SAME integer literals the
+    * Spark plan broadcasts ([[SimilarityOps.ndcgWeightMicro]] is the
+    * single source) — neither engine evaluates a logarithm.
+    */
+  private val ndcgOracle: String = {
+    val wVals = (1 to TopK)
+      .map(i => s"($i, ${SimilarityOps.ndcgWeightMicro(i)})")
+      .mkString(", ")
+    val cumVals = (1 to TopK)
+      .map { m =>
+        val c = (1 to m).map(SimilarityOps.ndcgWeightMicro).sum
+        s"($m, $c)"
+      }
+      .mkString(", ")
+    s"""$evCte,
+       |lbl AS (SELECT DISTINCT vec_id, label FROM ev),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |scl AS (
+       |  SELECT d.query_id, ql.label AS q_label, d.vec_id,
+       |    cl.label AS label,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dots d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |              JOIN lbl ql ON d.query_id = ql.vec_id
+       |              JOIN lbl cl ON d.vec_id = cl.vec_id
+       |),
+       |ntopk AS (
+       |  SELECT query_id, q_label, label, rn FROM (
+       |    SELECT query_id, q_label, label,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM scl
+       |  ) WHERE rn <= $TopK
+       |),
+       |wt(rk, w_micro) AS (VALUES $wVals),
+       |cw(m, cum_micro) AS (VALUES $cumVals),
+       |dcg AS (
+       |  SELECT t.query_id, t.q_label,
+       |    CAST(sum(CASE WHEN t.label = t.q_label THEN w.w_micro
+       |             ELSE 0 END) AS BIGINT) AS dcg_micro,
+       |    CAST(sum(CASE WHEN t.label = t.q_label THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS hits
+       |  FROM ntopk t JOIN wt w ON t.rn = w.rk GROUP BY 1, 2
+       |),
+       |lc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT)
+       |         AS n_label
+       |       FROM embeddings GROUP BY 1)
+       |SELECT d.query_id, d.q_label,
+       |  CAST(lc.n_label - 1 AS BIGINT) AS n_rel, d.hits, d.dcg_micro,
+       |  CAST(c.cum_micro AS BIGINT) AS idcg_micro,
+       |  CAST((d.dcg_micro * 1000000) // c.cum_micro AS BIGINT)
+       |    AS ndcg_micro
+       |FROM dcg d JOIN lc USING (q_label)
+       |JOIN cw c ON c.m = least($TopK, lc.n_label - 1)
+       |ORDER BY d.query_id""".stripMargin
+  }
+
+  /** V33 oracle: the V12 kNN graph verbatim (same k-means chain, same
+    * pair CTEs), read as a k-occurrence histogram with antihubs via
+    * the corpus left join.
+    */
+  private val hubnessOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |kpr AS MATERIALIZED (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |kcm AS MATERIALIZED (
+       |  SELECT p.d1, p.d2,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM kpr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |),
+       |dcos AS (
+       |  SELECT d1, d2, cos_micro FROM kcm
+       |  UNION ALL
+       |  SELECT d2 AS d1, d1 AS d2, cos_micro FROM kcm
+       |),
+       |htopk AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2, row_number() OVER (PARTITION BY d1
+       |      ORDER BY cos_micro DESC, d2) AS rk
+       |    FROM dcos
+       |  ) WHERE rk <= $KnnK
+       |),
+       |occ AS (SELECT d2 AS vec_id, CAST(count(*) AS BIGINT) AS c
+       |        FROM htopk GROUP BY 1)
+       |SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vecs FROM (
+       |  SELECT COALESCE(o.c, 0) AS k_occ
+       |  FROM embeddings e LEFT JOIN occ o ON e.vec_id = o.vec_id
+       |) GROUP BY 1 ORDER BY k_occ""".stripMargin
+  }
+
   /** V23 oracle: same scored relation, pre-filter ranking vs
     * filtered unfiltered ranking, dense per-query grid.
     */
@@ -1822,6 +1938,8 @@ object SimilarityQueries {
     "q_sq_search"      -> (qSqSearch _),
     "q_mrl_recall"     -> (qMrlRecall _),
     "q_mrr"            -> (qMrr _),
+    "q_ndcg"           -> (qNdcg _),
+    "q_hubness"        -> (qHubness _),
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
     "q_centroid_drift" -> (qCentroidDrift _),
@@ -1859,6 +1977,8 @@ object SimilarityQueries {
     "q_sq_search"      -> sqSearchOracle,
     "q_mrl_recall"     -> mrlRecallOracle,
     "q_mrr"            -> mrrOracle,
+    "q_ndcg"           -> ndcgOracle,
+    "q_hubness"        -> hubnessOracle,
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
     "q_centroid_drift" -> centroidDriftOracle,

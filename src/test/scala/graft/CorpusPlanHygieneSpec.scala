@@ -53,6 +53,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid
     "q_mrr",            // broadcast query-vector set vs corpus scores
+    "q_ndcg",           // broadcast query-vector set vs corpus scores
     "q_sq_search",      // broadcast query-vector set vs corpus scores
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_psi",            // 9-row broadcast decile edges + one-row total

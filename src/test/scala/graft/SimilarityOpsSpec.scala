@@ -869,4 +869,77 @@ class SimilarityOpsSpec extends SparkSpec {
       (0, 2L, 1L, 0L),
       (1, 1L, 1L, 999999L)))
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, budget-capped ideal, " +
+    "integer division, weight literals") {
+    // weights: w1 = 1000000, w2 = 630929, w3 = 500000 (exact floors)
+    assert(SimilarityOps.ndcgWeightMicro(1) === 1000000L)
+    assert(SimilarityOps.ndcgWeightMicro(2) === 630929L)
+    assert(SimilarityOps.ndcgWeightMicro(3) === 500000L)
+    // query v0 (label 0); ranking: v1 cos 1.0 (rel), v2 cos 0.6,
+    // v3 cos 0.0 (rel), v4 cos -1.0 — top-3 = v1, v2, v3
+    // dcg = w1 + w3 = 1500000; n_rel = 2 (v1, v3) so the ideal is
+    // capped at m = 2: idcg = w1 + w2 = 1630929
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.6f, 0.8f), 1),
+      (3L, Seq(0f, 1f), 0),
+      (4L, Seq(-1f, 0f), 1))
+    val out = SimilarityOps.ndcgAtK(m, 1L, 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rel") === 2L)
+    assert(r.getAs[Long]("hits") === 2L)
+    assert(r.getAs[Long]("dcg_micro") === 1500000L)
+    assert(r.getAs[Long]("idcg_micro") === 1630929L)
+    // 1500000 * 1e6 div 1630929 = 919721
+    assert(r.getAs[Long]("ndcg_micro") === 919721L)
+  }
+
+  test("ndcgAtK: perfect ranking reads exactly 1e6 when the budget " +
+    "covers k") {
+    // all corpus rows share the query's label -> every rank relevant,
+    // dcg = idcg regardless of the weight values
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 0))
+    val r = SimilarityOps.ndcgAtK(m, 1L, 3).collect().head
+    assert(r.getAs[Long]("ndcg_micro") === 1000000L)
+  }
+
+  test("hubnessCensus: hand-computed k-occurrences, antihub row via " +
+    "the corpus left join") {
+    // one centroid -> one cluster; k = 1:
+    //   v0 -> v1 (cos 1e6), v1 -> v0 (cos 1e6),
+    //   v2 -> tie (cos 0 vs both) broken by min vec_id -> v0
+    // k-occ: v0 = 2 (hub), v1 = 1, v2 = 0 (antihub)
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1))
+    val cents = Array(Array(1000L, 0L))
+    val out = SimilarityOps.hubnessCensus(m, cents, 1).orderBy("k_occ")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("hubnessCensus: edge-count closed form — sum k_occ * n_vecs = " +
+    "sum over clusters of |c| * min(k, |c| - 1)") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, 5, SimilarityOps.KmRounds)
+    val k = 3
+    val out = SimilarityOps.hubnessCensus(e, cents, k).collect()
+    val edges = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    val n = e.count()
+    assert(out.map(_.getLong(1)).sum === n) // every vector lands once
+    val sizes = e.select(graft.functions.KmeansAssign
+        .kmeansAssign(org.apache.spark.sql.functions.col("embedding"),
+          cents).as("c"))
+      .groupBy("c").count().collect().map(_.getLong(1))
+    val expected = sizes.map(s => s * math.min(k.toLong, s - 1)).sum
+    assert(edges === expected)
+  }
 }
