@@ -2068,6 +2068,367 @@ object RelationalQueries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY 1 ORDER BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------- RFM segmentation
+
+  /** R31: RFM quintile segmentation over orders — the classic customer
+    * scoring grid (recency / frequency / monetary, each cut into
+    * quintiles) that CRM and retention pipelines run before any model:
+    * the (r, f, m) cell census says where the customer base actually
+    * sits (fresh heavy spenders vs lapsed one-timers) and which
+    * segments carry the revenue.
+    *
+    * Quintile semantics are CENSUS-THRESHOLD (the X46/X51 rank-picked
+    * edge discipline, NOT ntile): four edges per metric are picked by
+    * integer rank r_i = ((n−1)·i) div 5 off the metric's value census,
+    * and a customer's score is 1 + (# edges strictly below its value)
+    * — value-determined, so no row tiebreak exists at all, and tied
+    * edges merge buckets (the documented standard behavior). Scores
+    * read ascending in the raw value: r_q = 1 is the MOST RECENT
+    * quintile (smallest recency_days — best), f_q = 5 / m_q = 5 are
+    * the most frequent / highest spend (best). Recency is measured
+    * against the corpus as-of date (max order date), so the readout
+    * is reproducible from the data alone.
+    *
+    * Exactness: money as integer cents, day gaps as integer datediff,
+    * edge ranks in pure integer division — no IEEE percentile, no
+    * double anywhere.
+    *
+    * Scale shape: per-customer metrics are ONE custkey-keyed
+    * partial-agg'd Exchange off orders; each quintile cut runs over
+    * the METRIC'S VALUE CENSUS (recency: bounded by the date range;
+    * frequency: tiny; monetary: ≤ customers, the X38 documented
+    * census-window bound — range-bucketed two-level at extreme
+    * scale), and the four edges broadcast back; the (r,f,m) rollup is
+    * ≤ 125 cells. The alternative — three global ntile sorts over the
+    * customer relation — is exactly the single-partition shape this
+    * formulation avoids.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.orders(spark, dir))
+
+  /** The segmentation over any orders-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        cents(col("o_totalprice")).as("p"))
+      .groupBy("o_custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum("p").as("monetary_cents"))
+    val asof = per.agg(max("last_day").as("asof"))
+    val scored = per.crossJoin(broadcast(asof))
+      .select(col("o_custkey"),
+        datediff(col("asof"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .cache() // three quintile cuts + the final bucket pass read it
+    val n = scored.agg(count(lit(1)).as("n"))
+    def quintileEdges(metric: String): DataFrame = {
+      val cen = scored.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = cen.withColumn("cum",
+        sum("cnt").over(Window.partitionBy(lit(0)).orderBy("v")))
+      n.select(explode(sequence(lit(1L), lit(4L))).as("i"), col("n"))
+        .withColumn("r", expr("((n - 1) * i) div 5"))
+        .join(cum, col("r") >= col("cum") - col("cnt") &&
+          col("r") < col("cum"))
+        .select(col("v").as("edge"))
+    }
+    def score(df: DataFrame, metric: String, q: String): DataFrame =
+      df.crossJoin(broadcast(quintileEdges(metric)))
+        .groupBy(df.columns.map(col): _*)
+        .agg((lit(1L) +
+          sum(when(col(metric) > col("edge"), 1L).otherwise(0L)))
+          .as(q))
+    val cells = score(score(score(scored, "recency_days", "r_q"),
+      "frequency", "f_q"), "monetary_cents", "m_q")
+    cells.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_cust"),
+        sum("monetary_cents").as("segment_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  private val rfmOracle = {
+    def edgesCte(tag: String, metric: String): String =
+      s"""${tag}cen AS (
+         |  SELECT $metric AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM per GROUP BY 1
+         |),
+         |${tag}cum AS (
+         |  SELECT v, cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM ${tag}cen
+         |),
+         |${tag}edges AS (
+         |  SELECT c.v AS edge
+         |  FROM (SELECT unnest([1, 2, 3, 4]) AS i) g, nn, ${tag}cum c
+         |  WHERE ((nn.n - 1) * g.i) // 5 >= c.cum - c.cnt
+         |    AND ((nn.n - 1) * g.i) // 5 < c.cum
+         |),
+         |${tag}sc AS (
+         |  SELECT p.o_custkey,
+         |    CAST(1 + (SELECT count(*) FROM ${tag}edges e
+         |              WHERE p.$metric > e.edge) AS BIGINT) AS q
+         |  FROM per p
+         |)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |    max(CAST(o_orderdate AS DATE)) AS last_day,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+       |         AS BIGINT) AS monetary_cents
+       |  FROM orders GROUP BY 1
+       |),
+       |refday AS (SELECT max(last_day) AS asof_day FROM base),
+       |per AS MATERIALIZED (
+       |  SELECT b.o_custkey,
+       |    CAST(date_diff('day', b.last_day, a.asof_day) AS BIGINT)
+       |      AS recency_days,
+       |    b.frequency, b.monetary_cents
+       |  FROM base b, refday a
+       |),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+       |${edgesCte("r_", "recency_days")},
+       |${edgesCte("f_", "frequency")},
+       |${edgesCte("m_", "monetary_cents")}
+       |SELECT r.q AS r_q, f.q AS f_q, m.q AS m_q,
+       |  CAST(count(*) AS BIGINT) AS n_cust,
+       |  CAST(sum(p.monetary_cents) AS BIGINT) AS segment_cents
+       |FROM per p
+       |JOIN r_sc r USING (o_custkey)
+       |JOIN f_sc f USING (o_custkey)
+       |JOIN m_sc m USING (o_custkey)
+       |GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+  }
+
+  // ------------------------------------------------- forecast error
+
+  /** R32: one-step-ahead forecast-error census per event type — the
+    * eval half of R24's EWMA monitor: R24 flags spikes, this measures
+    * how good the EWMA actually IS as a forecaster on this stream
+    * (MAE for magnitude, signed bias for systematic over/under-
+    * forecast, sMAPE for scale-free comparison across event types) —
+    * the numbers a team reads before trusting the monitor's
+    * thresholds or picking a better model.
+    *
+    * The forecaster is R24's exact integer EWMA verbatim (α = ½,
+    * power-of-two weights over the preceding ≤ 30 days, num/den
+    * integers); a day with no prior day in the window has no forecast
+    * and is absent by the same contract. Per-day errors stay exact:
+    * the raw residual is cnt·den − num (integers), emitted in MILLI
+    * units — ae_milli = (|cnt·den − num| · 1000) div den, the signed
+    * bias term via the sign(y)·(|y| div m) wrap (Spark div truncates
+    * toward zero, DuckDB // floors; they agree only on non-negatives)
+    * — and sMAPE's term is (2000 · |cnt·den − num|) div
+    * (cnt·den + num), denominator > 0 since cnt ≥ 1. The census then
+    * divides integer sums by integer day counts. Headroom: milli
+    * units spend 2^10 on top of the 2^31 weight budget, so daily
+    * counts to ~2·10⁶ stay exact in int64 — beyond that, rescale the
+    * weight budget (the R24 note), not the algorithm.
+    *
+    * Scale shape: identical to R24 — one partial-agg'd Exchange to
+    * daily counts, a ≤ 30× band self-join on the calendar-sized
+    * census, then a ≤ #event_types census rollup.
+    */
+  def qForecast(spark: SparkSession, dir: String): DataFrame =
+    forecastCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def forecastCensus(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("d",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+    val prior = daily.select(col("event_type").as("p_et"),
+      col("d").as("pd"), col("cnt").as("pcnt"))
+    val f = daily.join(prior,
+        col("event_type") === col("p_et") &&
+          col("pd") >= col("d") - 30L && col("pd") <= col("d") - 1L)
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("pcnt") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - (d - pd) AS INT))"))
+          .as("num_t"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - (d - pd) AS INT))")
+          .as("den_t"))
+      .groupBy("event_type", "day", "cnt")
+      .agg(sum("num_t").as("num"), sum("den_t").as("den"))
+      .withColumn("resid", col("cnt") * col("den") - col("num"))
+      .select(col("event_type"),
+        expr("(abs(resid) * 1000) div den").as("ae_milli"),
+        expr("CASE WHEN resid < 0 THEN -((abs(resid) * 1000) div den)" +
+          " ELSE (abs(resid) * 1000) div den END").as("se_milli"),
+        expr("(2000 * abs(resid)) div (cnt * den + num)")
+          .as("sm_milli"))
+    f.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("ae_milli").as("sum_ae"),
+        sum("se_milli").as("sum_se"), sum("sm_milli").as("sum_sm"))
+      .select(col("event_type"), col("n_days"),
+        expr("sum_ae div n_days").as("mae_milli"),
+        expr("CASE WHEN sum_se < 0 THEN -((-sum_se) div n_days)" +
+          " ELSE sum_se div n_days END").as("bias_milli"),
+        expr("sum_sm div n_days").as("smape_milli"))
+      .orderBy("event_type")
+  }
+
+  private val forecastOracle =
+    s"""$evCte,
+       |daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |         AS BIGINT) AS d
+       |  FROM ev GROUP BY 1, 2, 4
+       |),
+       |j AS (
+       |  SELECT c.event_type, c.day, c.cnt,
+       |    CAST(sum(p.cnt * CAST(2 ** (30 - (c.d - p.d)) AS BIGINT))
+       |         AS BIGINT) AS num,
+       |    CAST(sum(CAST(2 ** (30 - (c.d - p.d)) AS BIGINT))
+       |         AS BIGINT) AS den
+       |  FROM daily c JOIN daily p
+       |    ON c.event_type = p.event_type
+       |   AND p.d >= c.d - 30 AND p.d <= c.d - 1
+       |  GROUP BY 1, 2, 3
+       |),
+       |terms AS (
+       |  SELECT event_type,
+       |    (abs(cnt * den - num) * 1000) // den AS ae_milli,
+       |    CASE WHEN cnt * den - num < 0
+       |      THEN -((abs(cnt * den - num) * 1000) // den)
+       |      ELSE (abs(cnt * den - num) * 1000) // den END AS se_milli,
+       |    (2000 * abs(cnt * den - num)) // (cnt * den + num)
+       |      AS sm_milli
+       |  FROM j
+       |),
+       |cen AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(ae_milli) AS BIGINT) AS sum_ae,
+       |    CAST(sum(se_milli) AS BIGINT) AS sum_se,
+       |    CAST(sum(sm_milli) AS BIGINT) AS sum_sm
+       |  FROM terms GROUP BY 1
+       |)
+       |SELECT event_type, n_days,
+       |  CAST(sum_ae // n_days AS BIGINT) AS mae_milli,
+       |  CAST(CASE WHEN sum_se < 0 THEN -((-sum_se) // n_days)
+       |       ELSE sum_se // n_days END AS BIGINT) AS bias_milli,
+       |  CAST(sum_sm // n_days AS BIGINT) AS smape_milli
+       |FROM cen ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- A/B experiment
+
+  /** R33: A/B experiment census — the uplift readout every
+    * experimentation pipeline computes: users split into two arms by
+    * a DETERMINISTIC assignment (user_id parity — in production a
+    * salted hash bucket; parity keeps the oracle engine-exact), arm
+    * conversion measured per event type ("did the user emit ≥ 1 such
+    * event"), and each type read as a 2×2 contingency: conversion
+    * rates, relative lift B/A, and the chi-square statistic whose
+    * threshold (3.84 at α = 0.05, df = 1) is the ship/no-ship gate.
+    * R29 reads seasonality cells against independence; this reads a
+    * designed two-arm split — the experiment, not the calendar.
+    *
+    * Exactness: all eight contingency integers are exact distinct-user
+    * counts; rates and lift are integer micro divisions
+    * ((conv·1e6) div n, (conv_b·n_a·1e6) div (n_b·conv_a) — exact to
+    * ~3·10⁶ users per arm before int64 headroom runs out, the
+    * documented bound); chi² is ONE micro-floored fixed double tree
+    * (N·(ad−bc)²)/((a+b)(c+d)(a+c)(b+d)) evaluated in the identical
+    * association on both engines (the X51 discipline). Degenerate
+    * marginals (zero conversions anywhere, or everyone converted)
+    * read NULL lift/chi² rather than dividing by zero.
+    *
+    * Scale shape: one distinct over (event_type, user) pairs and one
+    * over users — both partial-agg'd Exchanges; everything after is
+    * ≤ #event_types rows against a ONE-ROW broadcast arm-totals
+    * relation. No window, no sort, no pairwise anything.
+    */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    abTestCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def abTestCensus(ev: DataFrame): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("variant", expr("user_id % 2"))
+    val tot = users.groupBy()
+      .agg(sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val conv = ev.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("variant", expr("user_id % 2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("variant") === 0L, 1L).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("conv_b"))
+    conv.crossJoin(broadcast(tot))
+      .withColumn("bb", col("n_a") - col("conv_a"))
+      .withColumn("dd", col("n_b") - col("conv_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        expr("(conv_a * 1000000) div n_a").as("rate_a_micro"),
+        expr("(conv_b * 1000000) div n_b").as("rate_b_micro"),
+        when(col("conv_a") > 0L,
+          expr("(conv_b * n_a * 1000000) div (n_b * conv_a)"))
+          .as("lift_micro"),
+        when(col("conv_a") + col("conv_b") > 0L &&
+          col("bb") + col("dd") > 0L,
+          micro(((col("n_a") + col("n_b")).cast("double") *
+            ((col("conv_a") * col("dd") - col("bb") * col("conv_b"))
+              .cast("double") *
+              (col("conv_a") * col("dd") - col("bb") * col("conv_b"))
+                .cast("double"))) /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("conv_a") + col("conv_b")).cast("double") *
+              (col("bb") + col("dd")).cast("double"))))
+          .as("chi2_micro"))
+      .orderBy("event_type")
+  }
+
+  private val abTestOracle =
+    s"""$evCte,
+       |u AS (SELECT DISTINCT user_id FROM ev),
+       |tot AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b
+       |  FROM u
+       |),
+       |cu AS (SELECT DISTINCT event_type, user_id FROM ev),
+       |conv AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS conv_b
+       |  FROM cu GROUP BY 1
+       |)
+       |SELECT c.event_type, t.n_a, t.n_b, c.conv_a, c.conv_b,
+       |  CAST((c.conv_a * 1000000) // t.n_a AS BIGINT) AS rate_a_micro,
+       |  CAST((c.conv_b * 1000000) // t.n_b AS BIGINT) AS rate_b_micro,
+       |  CASE WHEN c.conv_a > 0 THEN
+       |    CAST((c.conv_b * t.n_a * 1000000) // (t.n_b * c.conv_a)
+       |         AS BIGINT) END AS lift_micro,
+       |  CASE WHEN c.conv_a + c.conv_b > 0
+       |        AND (t.n_a - c.conv_a) + (t.n_b - c.conv_b) > 0 THEN
+       |    ${microSql("(CAST(t.n_a + t.n_b AS DOUBLE) * " +
+      "(CAST(c.conv_a * (t.n_b - c.conv_b) - " +
+      "(t.n_a - c.conv_a) * c.conv_b AS DOUBLE) * " +
+      "CAST(c.conv_a * (t.n_b - c.conv_b) - " +
+      "(t.n_a - c.conv_a) * c.conv_b AS DOUBLE))) / " +
+      "(CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE) * " +
+      "CAST(c.conv_a + c.conv_b AS DOUBLE) * " +
+      "CAST((t.n_a - c.conv_a) + (t.n_b - c.conv_b) AS DOUBLE))")}
+       |  END AS chi2_micro
+       |FROM conv c, tot t
+       |ORDER BY c.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
@@ -2103,6 +2464,9 @@ object RelationalQueries {
     "q_ldiv"         -> (qLdiv _),
     "q_interarrival" -> (qInterarrival _),
     "q_ewma"         -> (qEwma _),
+    "q_rfm"          -> (qRfm _),
+    "q_forecast"     -> (qForecast _),
+    "q_ab_test"      -> (qAbTest _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -2140,5 +2504,8 @@ object RelationalQueries {
     "q_ldiv"         -> ldivOracle,
     "q_interarrival" -> interarrivalOracle,
     "q_ewma"         -> ewmaOracle,
+    "q_rfm"          -> rfmOracle,
+    "q_forecast"     -> forecastOracle,
+    "q_ab_test"      -> abTestOracle,
     "q_asof"         -> asofOracle)
 }

@@ -45,6 +45,8 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_basket",         // broadcast one-row order total
     "q_dow",            // broadcast one-row grand total
     "q_lorenz",         // one-row totals x 3-row broadcast cut grid
+    "q_rfm",            // one-row as-of date x 4-row quintile edge grids
+    "q_ab_test",        // broadcast one-row arm-totals relation
     "q_mips",           // broadcast single query vector + one-row tau
     "q_norm_census",    // broadcast one-row total
     "q_pca",            // broadcast one-row rescale max per round

@@ -167,6 +167,86 @@ class ScaleOpsSpec extends SparkSpec {
       ("A", "2024-01-03", 10L, 2000000L, true)))
   }
 
+  test("forecastCensus: exact integer one-step-ahead errors on the " +
+    "EWMA fixture, no-baseline days absent") {
+    // same fixture as the ewmaAnomaly spec:
+    // A d2: forecast 2.0, actual 2 -> ae 0, se 0, smape 0
+    // A d3: priors d1 (w 2^28) + d2 (w 2^29), forecast 2.0, actual 10
+    //   resid = 10*den - num = 8*den -> ae_milli = 8000, se +8000,
+    //   smape = 2000*8*den div (10*den + 2*den) = 16000 div 12 = 1333
+    // census A: mae = 8000 div 2 = 4000, bias 4000,
+    //   smape = (0 + 1333) div 2 = 666; B: no day in window -> absent
+    val rows =
+      Seq.fill(2)(("A", "2024-01-01 12:00:00")) ++
+      Seq.fill(2)(("A", "2024-01-02 12:00:00")) ++
+      Seq.fill(10)(("A", "2024-01-03 12:00:00")) ++
+      Seq(("B", "2024-01-01 12:00:00"), ("B", "2024-02-10 12:00:00"))
+    val ev = rows.zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, 1L, t, s) }
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.forecastCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("mae_milli"), r.getAs[Long]("bias_milli"),
+        r.getAs[Long]("smape_milli")))
+    assert(out.toSeq === Seq(("A", 2L, 4000L, 4000L, 666L)))
+  }
+
+  test("abTestCensus: hand-computed 2x2 cells, integer lift, " +
+    "chi-square fixed tree, zero-association reads 0") {
+    // users 1,3 = arm B (odd), 2,4 = arm A (even)
+    // click: A converts {2,4}, B converts {1}
+    //   lift = (1*2*1e6) div (2*2) = 500000
+    //   chi2: a=2 b=0 c=1 d=1, N=4 -> 4*(2*1-0*1)^2/(2*2*3*1)
+    //       = 16/12 -> 1333333 micro
+    // view: A {4}, B {3} -> lift (1*2*1e6) div (2*1) = 1e6;
+    //   ad - bc = 1*1 - 1*1 = 0 -> chi2 exactly 0
+    val rows = Seq(
+      (1L, "click"), (2L, "click"), (3L, "view"),
+      (4L, "click"), (4L, "view"))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t, "2024-01-01 12:00:00") }
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0))
+    val out = RelationalQueries.abTestCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("conv_a"),
+        r.getAs[Long]("conv_b"), r.getAs[Long]("rate_a_micro"),
+        r.getAs[Long]("rate_b_micro"), r.getAs[Long]("lift_micro"),
+        r.getAs[Long]("chi2_micro")))
+    assert(out.toSeq === Seq(
+      ("click", 2L, 2L, 2L, 1L, 1000000L, 500000L, 500000L, 1333333L),
+      ("view", 2L, 2L, 1L, 1L, 500000L, 500000L, 1000000L, 0L)))
+  }
+
+  test("rfmSegments: rank-picked quintile edges, tied customers merge " +
+    "into one cell, census-threshold scores") {
+    // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
+    // -> recency 0..4, frequency 1..5, monetary k^2*10000 cents;
+    // c6 duplicates c5 exactly. n = 6 -> edge ranks (5i) div 5 =
+    // 1,2,3,4. recency census {0,1,2,3,4(x2)} -> edges 1,2,3,4 ->
+    // scores 1,1,2,3,4,4; frequency/monetary same shape. Cells:
+    // (1,1,1) = {c1,c2}, (2,2,2) = c3, (3,3,3) = c4, (4,4,4) = {c5,c6}
+    val rows = (1 to 5).flatMap { k =>
+      (1 to k).map(j =>
+        (k.toLong * 100 + j, k.toLong,
+          f"2024-01-${11 - k}%02d 00:00:00", k * 100.0))
+    } ++ (1 to 5).map(j => (600L + j, 6L, "2024-01-06 00:00:00", 500.0))
+    val orders = rows
+      .toDF("o_orderkey", "o_custkey", "od", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("od"))).drop("od")
+    val out = RelationalQueries.rfmSegments(orders).collect()
+      .map(r => (r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+        r.getAs[Long]("m_q"), r.getAs[Long]("n_cust"),
+        r.getAs[Long]("segment_cents")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 2L, 50000L),
+      (2L, 2L, 2L, 1L, 90000L),
+      (3L, 3L, 3L, 1L, 160000L),
+      (4L, 4L, 4L, 2L, 500000L)))
+  }
+
   test("shipPriority: segment filter, date band, cents revenue, " +
     "top-k order") {
     val cust = Seq(
