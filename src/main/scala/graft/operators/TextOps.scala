@@ -3440,4 +3440,73 @@ object TextOps {
         col("n_types"), col("n_tokens"),
         micro(col("cum") / col("n_tokens")).as("cov_micro"))
   }
+
+  // --------------------------------------------- RAKE keyphrases (X63)
+
+  /** X63's stopword delimiters — the corpus's function words (the X1
+    * stop-ratio convention).
+    */
+  val RakeStops: Seq[String] = Seq("the", "a")
+
+  /** X63: RAKE keyphrase extraction (Rose et al. 2010) — the
+    * PHRASE-level companion of X4's term-level TF-IDF: candidate
+    * phrases are maximal stopword-free token runs (gaps-and-islands on
+    * stopword positions), each word scores degree/frequency over the
+    * candidate set (degree = Σ length of phrases containing the word —
+    * co-occurring words inflate it, so multi-word domain phrases
+    * outrank bare frequent terms), and a phrase scores the sum of its
+    * member word scores. The top-k census is what keyword-tagging and
+    * topic-labeling stages consume.
+    *
+    * Contract: candidates longer than `maxLen` tokens are DISCARDED
+    * (the standard RAKE cap — an uncapped run lets one-off long
+    * phrases inflate member degrees) and word statistics run over the
+    * capped candidate set, self-consistently. Identical phrase TEXTS
+    * aggregate: same members ⇒ same score, so the census carries
+    * (phrase, n_occ, score).
+    *
+    * Exactness: freq/degree are exact integer counts; a word's score
+    * is ONE integer micro division (deg·1e6) div freq; a phrase's
+    * score is an INTEGER sum of those — association-free. Phrase
+    * assembly is order-pinned both sides (array_sort on (pos, tok) /
+    * string_agg ORDER BY pos); ties at the cut break (score DESC,
+    * phrase) — ASCII keeps collations aligned.
+    *
+    * Scale shape: one corpus scan explodes tokens; the islands window
+    * partitions BY DOCUMENT (document-sized frames, never corpus
+    * ones); word stats are two (term)-keyed partial-agg'd Exchanges
+    * (vocabulary-sized census); the phrase relation is bounded by
+    * token count / 1 and its rollup keys on phrase text; the final
+    * top-k is a bounded TakeOrderedAndProject — no global sort.
+    */
+  def rakeKeyphrases(docs: DataFrame, maxLen: Int = 3,
+                     k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = parallelized(docs).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val ns = tok.filter(!col("tok").isin(RakeStops: _*))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = ns.withColumn("grp", col("pos") - row_number().over(w))
+    val phr = isl.groupBy("doc_id", "grp")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= maxLen.toLong)
+    val words = isl.select(col("doc_id"), col("grp"), col("tok"))
+      .join(phr.select(col("doc_id"), col("grp"), col("len")),
+        Seq("doc_id", "grp"))
+    val wsc = words.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("tok"), expr("(deg * 1000000) div freq").as("wscore"))
+    val psc = words.join(wsc, Seq("tok"))
+      .groupBy("doc_id", "grp")
+      .agg(sum("wscore").as("score"))
+      .join(phr.select(col("doc_id"), col("grp"), col("phrase")),
+        Seq("doc_id", "grp"))
+    psc.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max("score").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
 }

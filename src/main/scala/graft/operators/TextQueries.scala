@@ -2815,7 +2815,62 @@ object TextQueries {
        |FROM r ORDER BY lang""".stripMargin
   }
 
+  /** X63: RAKE keyphrase top-k. */
+  def qKeyphrase(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rakeKeyphrases(docs(spark, dir))
+
+  /** X63 oracle: same islands, the same capped candidate set feeding
+    * the word statistics, integer scores throughout; `ns`/`phr`/`words`
+    * are multiply referenced, hence MATERIALIZED. DuckDB's 1-based
+    * ordinality shifts every grp by a constant vs Spark's 0-based pos
+    * — grp is only a GROUP KEY, never output, so the partitions are
+    * identical.
+    */
+  private val keyphraseOracle = {
+    val stops = TextOps.RakeStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+       |         unnest(toks) AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)
+       |),
+       |ns AS MATERIALIZED (
+       |  SELECT doc_id, pos, tok,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS grp
+       |  FROM tk WHERE tok NOT IN ($stops)
+       |),
+       |phr AS MATERIALIZED (
+       |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos)
+       |      AS phrase,
+       |    CAST(count(*) AS BIGINT) AS len
+       |  FROM ns GROUP BY 1, 2 HAVING count(*) <= 3
+       |),
+       |words AS MATERIALIZED (
+       |  SELECT n.doc_id, n.grp, n.tok, p.len
+       |  FROM ns n JOIN phr p USING (doc_id, grp)
+       |),
+       |wsc AS (
+       |  SELECT tok,
+       |    CAST((CAST(sum(len) AS BIGINT) * 1000000)
+       |         // CAST(count(*) AS BIGINT) AS BIGINT) AS wscore
+       |  FROM words GROUP BY 1
+       |),
+       |psc AS (
+       |  SELECT w.doc_id, w.grp, p.phrase,
+       |    CAST(sum(s.wscore) AS BIGINT) AS score
+       |  FROM words w JOIN wsc s USING (tok)
+       |  JOIN phr p USING (doc_id, grp)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(max(score) AS BIGINT) AS score_micro
+       |FROM psc GROUP BY 1
+       |ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keyphrase"      -> (qKeyphrase _),
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_encode"     -> (qBpeEncode _),
     "q_fertility"      -> (qFertility _),
@@ -2890,6 +2945,7 @@ object TextQueries {
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_keyphrase"      -> keyphraseOracle,
     "q_bpe_train"      -> bpeTrainOracle,
     "q_bpe_encode"     -> bpeEncodeOracle,
     "q_fertility"      -> fertilityOracle,

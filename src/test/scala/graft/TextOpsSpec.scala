@@ -1333,4 +1333,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("B", "C")) === out(("A", "C")),
       "x|y mirror symmetry: C is equidistant from A and B")
   }
+
+  test("rakeKeyphrases: hand-computed degree/frequency scores, " +
+    "stopword islands, over-cap candidates discarded with their words") {
+    import sqlImplicits._
+    // doc1 "deep learning the deep model" -> phrases "deep learning",
+    //   "deep model"; doc2 "a deep model" -> "deep model";
+    // doc3 "model" -> "model";
+    // doc4 is ONE 4-token island -> discarded by the len cap, and its
+    //   words must not enter the freq/deg census
+    // word scores: deep deg 6 freq 3 -> 2e6; learning 2/1 -> 2e6;
+    //   model deg 5 freq 3 -> 1666666
+    // phrases: "deep learning" 4000000 x1, "deep model" 3666666 x2,
+    //   "model" 1666666 x1
+    val d = Seq(
+      (1L, "deep learning the deep model"),
+      (2L, "a deep model"),
+      (3L, "model"),
+      (4L, "big fast new shiny")).toDF("doc_id", "text")
+    val out = TextOps.rakeKeyphrases(d).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("score_micro")))
+    assert(out.toSeq === Seq(
+      ("deep learning", 1L, 4000000L),
+      ("deep model", 2L, 3666666L),
+      ("model", 1L, 1666666L)))
+  }
 }
