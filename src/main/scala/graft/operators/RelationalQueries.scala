@@ -2429,6 +2429,220 @@ object RelationalQueries {
        |FROM conv c, tot t
        |ORDER BY c.event_type""".stripMargin
 
+  // ------------------------------------------- Mann-Whitney U (R34)
+
+  /** R34: Mann-Whitney U experiment readout — R33's companion for a
+    * CONTINUOUS metric: where R33 tests a conversion proportion, this
+    * rank-tests each event type's `value` distribution between the
+    * same two parity arms (the nonparametric two-sample test product
+    * analytics reaches for when revenue-per-event is heavy-tailed and
+    * a t-test's mean is hostage to whales). Output per type: the
+    * exact U statistic, the tie-correction mass, and the normal-
+    * approximation z — |z| ≥ 1.96 is the same α = 0.05 gate as R33's
+    * chi².
+    *
+    * Exactness: ranks live on the VALUE CENSUS with midrank ties —
+    * kept exact by DOUBLING (a tied group entering after C rows with
+    * m members has average rank C + (m+1)/2, so 2·rank = 2C + m + 1
+    * stays an integer); R₁ and U₁ are integer sums of those, the tie
+    * term Σ(t³−t) is exact, and z is ONE micro-floored fixed double
+    * tree (variance with the standard tie correction) guarded by
+    * var > 0 — an all-tied type reads NULL z rather than dividing by
+    * zero, and the guard compares the IDENTICAL double both engines
+    * compute.
+    *
+    * Scale shape: one partial-agg'd Exchange to the (type, value)
+    * census with per-arm counts; the rank window partitions BY TYPE
+    * over census rows (the X33/X51 census-window discipline); the
+    * rollup is ≤ #event_types rows. No event-grain window, no sort.
+    */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyCensus(events(spark, dir))
+
+  /** The test over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def mannWhitneyCensus(ev: DataFrame): DataFrame = {
+    val cen = ev
+      .select(col("event_type"), cents(col("value")).as("v"),
+        expr("user_id % 2").as("arm"))
+      .groupBy("event_type", "v")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb_v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    val ranked = cen
+      .withColumn("m", col("na_v") + col("nb_v"))
+      .withColumn("cum", sum("m").over(w))
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("m")) + col("m") + 1L)
+    val zSql =
+      """(CAST(n_a * n_b AS DOUBLE) / 12.0) *
+        | (CAST(n_a + n_b + 1 AS DOUBLE) -
+        |  CAST(tie_cubes AS DOUBLE) /
+        |  CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))"""
+        .stripMargin.replaceAll("\\s+", " ").trim
+    ranked.groupBy("event_type")
+      .agg(sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+        sum(col("na_v") * col("rank2")).as("r1_x2"),
+        sum(col("m") * col("m") * col("m") - col("m")).as("tie_cubes"))
+      .withColumn("u1_x2",
+        col("r1_x2") - col("n_a") * (col("n_a") + 1L))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("u1_x2"), col("tie_cubes"),
+        expr(s"""CASE WHEN $zSql > 0.0 THEN
+          | CAST(floor(1000000.0 * (CAST(u1_x2 - n_a * n_b AS DOUBLE) /
+          |   (2.0 * sqrt($zSql)))) AS BIGINT) END"""
+          .stripMargin.replaceAll("\\s+", " ").trim).as("z_micro"))
+      .orderBy("event_type")
+  }
+
+  private val mannWhitneyOracle = {
+    val zSql =
+      """(CAST(n_a * n_b AS DOUBLE) / 12.0) *
+        | (CAST(n_a + n_b + 1 AS DOUBLE) -
+        |  CAST(tie_cubes AS DOUBLE) /
+        |  CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))"""
+        .stripMargin.replaceAll("\\s+", " ").trim
+    s"""$evCte,
+       |cen AS (
+       |  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS na_v,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS nb_v
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT event_type, na_v, nb_v, na_v + nb_v AS m,
+       |    2 * (CAST(sum(na_v + nb_v) OVER (PARTITION BY event_type
+       |           ORDER BY v) AS BIGINT) - (na_v + nb_v))
+       |      + (na_v + nb_v) + 1 AS rank2
+       |  FROM cen
+       |),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(sum(na_v) AS BIGINT) AS n_a,
+       |    CAST(sum(nb_v) AS BIGINT) AS n_b,
+       |    CAST(sum(na_v * rank2) AS BIGINT) AS r1_x2,
+       |    CAST(sum(m * m * m - m) AS BIGINT) AS tie_cubes
+       |  FROM ranked GROUP BY 1
+       |),
+       |u AS (
+       |  SELECT event_type, n_a, n_b,
+       |    CAST(r1_x2 - n_a * (n_a + 1) AS BIGINT) AS u1_x2, tie_cubes
+       |  FROM agg
+       |)
+       |SELECT event_type, n_a, n_b, u1_x2, tie_cubes,
+       |  CASE WHEN $zSql > 0.0 THEN
+       |    CAST(floor(1000000.0 * (CAST(u1_x2 - n_a * n_b AS DOUBLE) /
+       |      (2.0 * sqrt($zSql)))) AS BIGINT) END AS z_micro
+       |FROM u ORDER BY event_type""".stripMargin
+  }
+
+  // --------------------------------------- Poisson bootstrap (R35)
+
+  /** R35's resample count. */
+  val BootstrapB = 32
+
+  /** Poisson(1) inverse-CDF thresholds on the 60-bit hash range:
+    * T_k = floor(P(X ≤ k) · 2⁶⁰) for k = 0..7, computed ONCE here and
+    * inlined as the same integer literals into the oracle SQL (the
+    * V32 weight-table discipline). A row's replicate weight is
+    * #{k : h ≥ T_k} ∈ [0, 8] — the residual mass beyond 8 copies is
+    * ~10⁻⁵ and truncates by contract.
+    */
+  val PoissonThresholds: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L, 1152909688087595776L)
+
+  /** R35: Poisson-bootstrap census of the mean order value — the
+    * error bar every pipeline metric needs before a ship decision
+    * reads it: B independent resamples of the orders relation, each
+    * row carried with a DETERMINISTIC Poisson(1) weight derived from
+    * md5(orderkey, replicate) against the inverse-CDF thresholds —
+    * the streaming-friendly bootstrap (no resample materialization,
+    * no shared-state RNG; Poisson(1) is the large-N limit of the
+    * multinomial bootstrap weight). The replicate census (mean per
+    * resample, rank-ordered) IS the sampling distribution; a CI is a
+    * rank read-off (ranks ⌈0.025·B⌉ / ⌈0.975·B⌉).
+    *
+    * Exactness: weights are integer threshold counts off the 60-bit
+    * md5; per-replicate Σw and Σw·cents are exact integer sums; the
+    * mean is ONE micro-floored division of exact integers; the rank
+    * window orders (mean_micro, b) over exactly B rows.
+    *
+    * Scale shape: ONE corpus scan fans out ×B (sequence explode) with
+    * the weight computed per row by an 8-literal codegen comparison
+    * chain — no join against the threshold table — and map-side
+    * partial aggregation collapses the fan-out before the Exchange
+    * (shuffle carries B × partitions rows); everything after is
+    * B-row census work.
+    */
+  def qBootstrap(spark: SparkSession, dir: String): DataFrame =
+    bootstrapMean(Tables.orders(spark, dir), BootstrapB)
+
+  /** The census over any orders-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def bootstrapMean(orders: DataFrame, b: Int): DataFrame = {
+    val weight = PoissonThresholds
+      .map(t => when(col("h") >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = orders
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("p"))
+      .select(col("o_orderkey"), col("p"),
+        explode(sequence(lit(0L), lit(b.toLong - 1L))).as("b"))
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("bs:"), col("o_orderkey").cast("string"),
+          lit(":"), col("b").cast("string"))))
+      .withColumn("wt", weight)
+    val cen = rep.groupBy("b")
+      .agg(sum("wt").as("n_eff"), sum(col("wt") * col("p")).as("sum_cents"))
+      .select(col("b"), col("n_eff"), col("sum_cents"),
+        micro(col("sum_cents") / col("n_eff")).as("mean_micro"))
+    cen.withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("mean_micro"), col("b")))
+        .cast("long"))
+      .orderBy("b")
+  }
+
+  private val bootstrapOracle = {
+    val wSql = PoissonThresholds
+      .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH rep AS (
+       |  SELECT o.o_orderkey,
+       |    CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS p,
+       |    g.b
+       |  FROM orders o,
+       |       (SELECT CAST(unnest(range(0, $BootstrapB)) AS BIGINT)
+       |          AS b) g
+       |),
+       |hashed AS (
+       |  SELECT b, p,
+       |    ${graft.functions.Hashing.md5LongSql(
+      "'bs:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")}
+       |      AS h
+       |  FROM rep
+       |),
+       |wtd AS (SELECT b, p, CAST($wSql AS BIGINT) AS wt FROM hashed),
+       |cen AS (
+       |  SELECT b, CAST(sum(wt) AS BIGINT) AS n_eff,
+       |    CAST(sum(wt * p) AS BIGINT) AS sum_cents
+       |  FROM wtd GROUP BY 1
+       |),
+       |sc AS (
+       |  SELECT b, n_eff, sum_cents,
+       |    ${microSql("sum_cents / n_eff")} AS mean_micro
+       |  FROM cen
+       |)
+       |SELECT b, n_eff, sum_cents, mean_micro,
+       |  CAST(row_number() OVER (ORDER BY mean_micro, b) AS BIGINT)
+       |    AS rk
+       |FROM sc ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
@@ -2467,6 +2681,8 @@ object RelationalQueries {
     "q_rfm"          -> (qRfm _),
     "q_forecast"     -> (qForecast _),
     "q_ab_test"      -> (qAbTest _),
+    "q_mannwhitney"  -> (qMannWhitney _),
+    "q_bootstrap"    -> (qBootstrap _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -2507,5 +2723,7 @@ object RelationalQueries {
     "q_rfm"          -> rfmOracle,
     "q_forecast"     -> forecastOracle,
     "q_ab_test"      -> abTestOracle,
+    "q_mannwhitney"  -> mannWhitneyOracle,
+    "q_bootstrap"    -> bootstrapOracle,
     "q_asof"         -> asofOracle)
 }

@@ -220,6 +220,71 @@ class ScaleOpsSpec extends SparkSpec {
       ("view", 2L, 2L, 1L, 1L, 500000L, 500000L, 1000000L, 0L)))
   }
 
+  test("mannWhitneyCensus: doubled midranks stay integer, " +
+    "hand-computed U and z, all-tied type reads NULL z") {
+    // type t: arm A (even users) cents {100, 200, 200},
+    //         arm B (odd users) cents {200, 300}
+    // census ranks (doubled): 100 -> 2, 200 (m=3, C=1) -> 6, 300 -> 10
+    // R1_x2 = 1*2 + 2*6 = 14; U1_x2 = 14 - 3*4 = 2 (U1 = 1)
+    // tie_cubes = 24; var = 0.5*(6 - 24/20) = 2.4
+    // z = (2 - 6) / (2*sqrt(2.4)) = -1.2909944... -> floor -1290995
+    // type u: every value 5.00 -> one tied census row, doubled
+    //   midrank 3, U1_x2 = 3 - 1*2 = 1 (U1 = 0.5); var = 0 -> NULL z
+    val rows = Seq(
+      (2L, "t", 1.00), (2L, "t", 2.00), (4L, "t", 2.00),
+      (1L, "t", 2.00), (1L, "t", 3.00),
+      (2L, "u", 5.00), (1L, "u", 5.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.mannWhitneyCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("u1_x2"),
+        r.getAs[Long]("tie_cubes"),
+        Option(r.getAs[java.lang.Long]("z_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", 3L, 2L, 2L, 24L, Some(-1290995L)),
+      ("u", 1L, 1L, 1L, 6L, None)))
+  }
+
+  test("bootstrapMean: weights reproduce an independent JVM md5 " +
+    "reimplementation, census sums and rank are exact") {
+    val orders = (1 to 8).map(k =>
+        (k.toLong, k.toLong, "2024-01-01 00:00:00", k * 100.0))
+      .toDF("o_orderkey", "o_custkey", "od", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("od"))).drop("od")
+    val b = 4
+    // independent reimplementation: MessageDigest md5, first 15 hex
+    // chars as a long, weight = thresholds <= h
+    def h(key: Long, rep: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"bs:$key:$rep".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def wt(key: Long, rep: Long): Long =
+      RelationalQueries.PoissonThresholds.count(_ <= h(key, rep)).toLong
+    val expect = (0L until b.toLong).map { rep =>
+      val ws = (1 to 8).map(k => (wt(k.toLong, rep), k * 10000L))
+      val nEff = ws.map(_._1).sum
+      val sum = ws.map { case (w, p) => w * p }.sum
+      (rep, nEff, sum,
+        math.floor(1e6 * (sum.toDouble / nEff.toDouble)).toLong)
+    }
+    val out = RelationalQueries.bootstrapMean(orders, b).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("n_eff"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("mean_micro")))
+    assert(out.toSeq === expect)
+    // the rank column is a permutation of 1..B ordered by mean
+    val rks = RelationalQueries.bootstrapMean(orders, b).collect()
+      .map(r => (r.getAs[Long]("mean_micro"), r.getAs[Long]("rk")))
+    assert(rks.map(_._2).sorted.toSeq === (1L to b.toLong))
+    assert(rks.sortBy(_._2).map(_._1).toSeq ===
+      rks.map(_._1).sorted.toSeq)
+  }
+
   test("rfmSegments: rank-picked quintile edges, tied customers merge " +
     "into one cell, census-threshold scores") {
     // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
