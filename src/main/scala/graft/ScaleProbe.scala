@@ -1247,6 +1247,120 @@ object ScaleProbe {
           f"${per1024 / per128}%.2fx at 1024 merges")
       corpus.unpersist()
     }
+
+    // ---- round-9 operators: closed-form invariants at 1x and kx ----
+    {
+      import graft.operators.RelationalQueries
+      val orders = graft.sources.Tables.orders(spark, dir)
+      val events = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+
+      // hubness: Σ k_occ·n_vecs must equal Σ_clusters |c|·min(k,|c|−1)
+      // exactly — every vector emits min(k, |c|−1) directed edges.
+      // Codebook trained once at 1x so the kx run measures the pair
+      // join, not a retrain.
+      val cents = SimilarityOps.kmeansCodebook(emb, 10,
+        SimilarityOps.KmRounds)
+      Seq(1, k).foreach { c =>
+        val e = replicate(emb, "vec_id", c)
+        val kNN = 5
+        var census: Array[(Long, Long)] = Array.empty
+        time(s"hubness_${c}x") {
+          census = SimilarityOps.hubnessCensus(e, cents, kNN).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          census.length.toLong
+        }
+        val edges = census.map { case (o, n) => o * n }.sum
+        val sizes = e.select(graft.functions.KmeansAssign
+            .kmeansAssign(col("embedding"), cents).as("cl"))
+          .groupBy("cl").count().collect().map(_.getLong(1))
+        val expect = sizes.map(s => s * math.min(kNN.toLong, s - 1)).sum
+        require(edges == expect,
+          s"hubness edge closed form broke at ${c}x: $edges != $expect")
+        require(census.map(_._2).sum == emb.count() * c,
+          s"hubness must place every vector exactly once at ${c}x")
+      }
+
+      // Mann-Whitney: U1 + U2 = n_a·n_b (doubled: 2·n_a·n_b) — run the
+      // census on the raw and arm-flipped frames and add.
+      Seq(1, k).foreach { c =>
+        val ev = replicate(events, "event_id", c)
+        var u1: Map[String, (Long, Long, Long)] = Map.empty
+        time(s"mannwhitney_${c}x") {
+          u1 = RelationalQueries.mannWhitneyCensus(ev).collect()
+            .map(r => r.getAs[String]("event_type") ->
+              ((r.getAs[Long]("u1_x2"), r.getAs[Long]("n_a"),
+                r.getAs[Long]("n_b")))).toMap
+          u1.size.toLong
+        }
+        val flipped = RelationalQueries.mannWhitneyCensus(
+            ev.withColumn("user_id", col("user_id") + 1L)).collect()
+          .map(r => r.getAs[String]("event_type") ->
+            r.getAs[Long]("u1_x2")).toMap
+        u1.foreach { case (t, (u1x2, na, nb)) =>
+          require(u1x2 + flipped(t) == 2L * na * nb,
+            s"U1 + U2 = n_a*n_b identity broke for $t at ${c}x")
+        }
+      }
+
+      // RFM: cell masses must conserve exactly — Σ n_cust = customers
+      // with orders, Σ segment_cents = total order cents.
+      Seq(1, k).foreach { c =>
+        val o = replicate(orders, "o_custkey", c)
+        var cells: Array[(Long, Long)] = Array.empty
+        time(s"rfm_${c}x") {
+          cells = RelationalQueries.rfmSegments(o).collect()
+            .map(r => (r.getAs[Long]("n_cust"),
+              r.getAs[Long]("segment_cents")))
+          cells.length.toLong
+        }
+        val nCust = o.select("o_custkey").distinct().count()
+        val cents2 = o.select(expr(
+            "CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) " +
+              "AS BIGINT)").as("t")).collect().head.getLong(0)
+        require(cells.map(_._1).sum == nCust,
+          s"rfm must place every customer exactly once at ${c}x")
+        require(cells.map(_._2).sum == cents2,
+          s"rfm segment cents must conserve at ${c}x")
+      }
+
+      // RAKE: identical-replica corpus leaves every word score exactly
+      // invariant ((k·deg·1e6) div (k·freq) ≡ (deg·1e6) div freq as
+      // rationals), so the top-k phrases and scores are bit-identical
+      // with n_occ scaled by k.
+      val base = TextOps.rakeKeyphrases(docs).collect()
+        .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("score_micro")))
+      var rep: Array[(String, Long, Long)] = Array.empty
+      time(s"keyphrase_${k}x") {
+        rep = TextOps.rakeKeyphrases(replicate(docs, "doc_id", k))
+          .collect().map(r => (r.getAs[String]("phrase"),
+            r.getAs[Long]("n_occ"), r.getAs[Long]("score_micro")))
+        rep.length.toLong
+      }
+      require(rep.toSeq == base.map { case (p, n, s) =>
+        (p, n * k, s) }.toSeq,
+        s"RAKE top-k must be replica-invariant with n_occ scaled ${k}x")
+
+      // bootstrap: per-replicate effective n concentrates at the corpus
+      // size (Poisson(1) weights: mean N, sd sqrt(N)) — 6 sigma at kx.
+      {
+        val o = replicate(orders, "o_orderkey", k)
+        val n = o.count()
+        var effs: Array[Long] = Array.empty
+        time(s"bootstrap_${k}x") {
+          effs = RelationalQueries.bootstrapMean(o,
+            RelationalQueries.BootstrapB).collect()
+            .map(_.getAs[Long]("n_eff"))
+          effs.length.toLong
+        }
+        val bound = 6.0 * math.sqrt(n.toDouble)
+        effs.foreach { e =>
+          require(math.abs(e - n) < bound,
+            s"bootstrap n_eff $e drifted past 6 sigma of $n at ${k}x")
+        }
+      }
+    }
     spark.stop()
   }
 }

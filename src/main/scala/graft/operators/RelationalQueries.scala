@@ -2643,6 +2643,97 @@ object RelationalQueries {
        |FROM sc ORDER BY b""".stripMargin
   }
 
+  // --------------------------------------- touch attribution (R36)
+
+  /** R36's lookback window. */
+  val AttributionWindowDays = 7
+
+  /** R36: first-/last-touch conversion attribution — the marketing-
+    * analytics census behind every "which channel drives purchases"
+    * readout: each purchase is attributed to the user's EARLIEST
+    * (first-touch) and LATEST (last-touch) preceding non-purchase
+    * event within a 7-day lookback, and the census counts conversions
+    * per (model, event_type). The two models bracket the credit-
+    * assignment spectrum (discovery vs closing); purchases with no
+    * touch in the window drop by contract (nothing to credit).
+    *
+    * Determinism: the lookback is STRICTLY-earlier timestamps; the
+    * argmin/argmax pick is an exact struct extreme on
+    * (unix_micros(ts), event_id) — same-instant touches break toward
+    * the smaller id for first and the larger id for last, pinned both
+    * sides, never an engine-dependent `max_by`.
+    *
+    * Scale shape: the R26 as-of pattern — a user-keyed equi join with
+    * the window band as a residual (purchases/user × touches/user
+    * fan-out, bounded by per-user activity), collapsed by ONE
+    * min/max-struct aggregation per purchase (no row_number window
+    * needed — the argmax is an aggregate, so it map-side combines);
+    * the census rollup is ≤ 2 × #event_types rows. At 100 TB: bucket
+    * events by user_id and the join co-locates (the q_asof note).
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def attributionCensus(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_type"),
+        col("ts").as("t_ts"), col("event_id").as("t_id"))
+    val picked = purchases.join(touches,
+        col("t_user") === col("user_id") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") -
+            expr(s"INTERVAL $AttributionWindowDays DAYS"))
+      .groupBy("p_id")
+      .agg(
+        min(struct(expr("unix_micros(CAST(t_ts AS TIMESTAMP))"),
+          col("t_id"), col("event_type"))).as("f"),
+        max(struct(expr("unix_micros(CAST(t_ts AS TIMESTAMP))"),
+          col("t_id"), col("event_type"))).as("l"))
+    val first = picked.select(lit("first").as("model"),
+      col("f.event_type").as("event_type"))
+    val last = picked.select(lit("last").as("model"),
+      col("l.event_type").as("event_type"))
+    first.unionByName(last)
+      .groupBy("model", "event_type")
+      .agg(count(lit(1)).as("n_attr"))
+      .orderBy("model", "event_type")
+  }
+
+  private val attributionOracle =
+    s"""$evCte,
+       |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM ev
+       |      WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id AS t_user, event_type, ts AS t_ts,
+       |        event_id AS t_id
+       |      FROM ev WHERE event_type <> 'purchase'),
+       |j AS (
+       |  SELECT p.p_id, epoch_us(t.t_ts) AS us, t.t_id, t.event_type
+       |  FROM p JOIN t ON t.t_user = p.user_id
+       |   AND t.t_ts < p.p_ts
+       |   AND t.t_ts >= p.p_ts - INTERVAL $AttributionWindowDays DAY
+       |),
+       |picked AS (
+       |  SELECT p_id,
+       |    min(struct_pack(us := us, id := t_id, et := event_type))
+       |      AS f,
+       |    max(struct_pack(us := us, id := t_id, et := event_type))
+       |      AS l
+       |  FROM j GROUP BY 1
+       |),
+       |u AS (
+       |  SELECT 'first' AS model, f.et AS event_type FROM picked
+       |  UNION ALL
+       |  SELECT 'last' AS model, l.et AS event_type FROM picked
+       |)
+       |SELECT model, event_type, CAST(count(*) AS BIGINT) AS n_attr
+       |FROM u GROUP BY 1, 2 ORDER BY model, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
@@ -2683,6 +2774,7 @@ object RelationalQueries {
     "q_ab_test"      -> (qAbTest _),
     "q_mannwhitney"  -> (qMannWhitney _),
     "q_bootstrap"    -> (qBootstrap _),
+    "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
@@ -2725,5 +2817,6 @@ object RelationalQueries {
     "q_ab_test"      -> abTestOracle,
     "q_mannwhitney"  -> mannWhitneyOracle,
     "q_bootstrap"    -> bootstrapOracle,
+    "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)
 }

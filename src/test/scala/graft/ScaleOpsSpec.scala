@@ -285,6 +285,37 @@ class ScaleOpsSpec extends SparkSpec {
       rks.map(_._1).sorted.toSeq)
   }
 
+  test("attributionCensus: first/last touch picks, same-instant id " +
+    "tiebreaks, strictly-earlier window, no-touch purchases drop") {
+    // u1: view d1, click d2, purchase d3 -> first view, last click
+    // u2: click d1, purchase d20 -> outside the 7-day window, drops
+    // u3: view+click at the SAME instant, purchase later -> first is
+    //     the smaller id (view), last the larger (click)
+    // u4: only touch is AT the purchase instant -> strictly-earlier
+    //     excludes it, purchase drops
+    val rows = Seq(
+      (0L, 1L, "view", "2024-01-01 10:00:00"),
+      (1L, 1L, "click", "2024-01-02 10:00:00"),
+      (2L, 1L, "purchase", "2024-01-03 10:00:00"),
+      (3L, 2L, "click", "2024-01-01 10:00:00"),
+      (4L, 2L, "purchase", "2024-01-20 10:00:00"),
+      (5L, 3L, "view", "2024-01-05 10:00:00"),
+      (6L, 3L, "click", "2024-01-05 10:00:00"),
+      (7L, 3L, "purchase", "2024-01-05 11:00:00"),
+      (8L, 4L, "signup", "2024-01-06 09:00:00"),
+      (9L, 4L, "purchase", "2024-01-06 09:00:00"))
+    val ev = rows
+      .map { case (i, u, t, s) => (i, u, t, s, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.attributionCensus(ev).collect()
+      .map(r => (r.getAs[String]("model"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_attr")))
+    assert(out.toSeq === Seq(
+      ("first", "view", 2L),
+      ("last", "click", 2L)))
+  }
+
   test("rfmSegments: rank-picked quintile edges, tied customers merge " +
     "into one cell, census-threshold scores") {
     // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
