@@ -3441,6 +3441,94 @@ object TextOps {
         micro(col("cum") / col("n_tokens")).as("cov_micro"))
   }
 
+  // ----------------------------------------------- LSH tuner (D24)
+
+  /** D24's config grid: every (bands, rows) factorization of the 16
+    * MinHash components.
+    */
+  val LshTuneConfigs: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** Left-associated explicit power chain `(e) * (e) * … * (e)` —
+    * integer exponents expanded to multiplication so BOTH engines
+    * evaluate the identical double tree (libm `pow` is not
+    * cross-engine reproducible; a product of identical factors is).
+    */
+  def powChainSql(e: String, k: Int): String =
+    Seq.fill(k)(s"($e)").mkString(" * ")
+
+  /** The S-curve collision probability 1 − (1 − t^r)^b at `tmid`, in
+    * micro units, as engine-portable SQL (shared verbatim between the
+    * Spark plan and the DuckDB oracle).
+    */
+  def lshCollideMicroSql(b: Int, r: Int): String =
+    "CAST(floor(1000000.0 * (1.0 - (" +
+      powChainSql(s"1.0 - (${powChainSql("tmid", r)})", b) +
+      "))) AS BIGINT)"
+
+  /** D24: MinHash-LSH band/row auto-tuner — the parameter sweep every
+    * LSH deployment runs before fixing (bands, rows): for each
+    * factorization of the 16 signature components, integrate the
+    * S-curve collision probability 1 − (1 − t^r)^b against the
+    * CORPUS'S OWN verified Jaccard histogram (the D17 census — not
+    * the uniform prior of the textbook analysis) and report, at the
+    * dedup threshold τ: expected candidates, expected wasted
+    * verifications (collisions below τ — the cost knob), and expected
+    * missed duplicates (non-collisions at/above τ — the recall knob).
+    * D16 calibrates the ESTIMATOR at the production config; this
+    * chooses the config.
+    *
+    * Exactness: the histogram masses are exact pair counts; each
+    * bucket's collision probability is ONE micro-floored double tree
+    * whose powers are explicit multiplication chains (shared verbatim
+    * with the oracle — libm pow never runs); all weighting is integer
+    * products and sums. Mass is conditioned on the D15/D17 candidate
+    * stream (pairs the current banding surfaces) — documented: the
+    * tuner reads relative config quality, not absolute corpus counts.
+    *
+    * Scale shape: everything after [[ngramPairStats]] (LSH-bounded,
+    * df-capped) is census-sized: ≤ 21 buckets × 5 configs rows, one
+    * partial-agg'd rollup to 5 rows.
+    */
+  def lshTune(docs: DataFrame, n: Int, maxDf: Long,
+              tauMicro: Long): DataFrame = {
+    val bucket = (floor(micro(
+      col("inter") / (col("n1") + col("n2") - col("inter"))) /
+      lit(50000L)) * 50000L).as("bucket_lo_micro")
+    val census = ngramPairStats(docs, n, maxDf)
+      .select(bucket)
+      .groupBy("bucket_lo_micro")
+      .agg(count(lit(1)).as("n_pairs"))
+    val cfgs = array(LshTuneConfigs.map { case (b, r) =>
+      struct(lit(b.toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        expr(lshCollideMicroSql(b, r)).as("p_micro"))
+    }: _*)
+    census
+      // midpoint clamped at 1.0: the exact-duplicate bucket's lo IS
+      // 1.0, and an unclamped mid would leave the S-curve's domain
+      // (t^r > 1 flips the sign of every factor)
+      .withColumn("tmid",
+        expr("CAST(least(bucket_lo_micro + 25000, 1000000) AS DOUBLE)" +
+          " / 1000000.0"))
+      .select(col("bucket_lo_micro"), col("n_pairs"),
+        explode(cfgs).as("c"))
+      .select(col("bucket_lo_micro"), col("n_pairs"),
+        col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("c.p_micro").as("p_micro"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum("n_pairs").as("n_pairs_total"),
+        sum(col("n_pairs") * col("p_micro")).as("exp_candidates"),
+        sum(when(col("bucket_lo_micro") + 25000L < tauMicro,
+          col("n_pairs") * col("p_micro")).otherwise(0L))
+          .as("fp_mass"),
+        sum(when(col("bucket_lo_micro") + 25000L >= tauMicro,
+          col("n_pairs") * (lit(1000000L) - col("p_micro")))
+          .otherwise(0L)).as("fn_mass"))
+      .orderBy("bands")
+  }
+
   // --------------------------------------------- RAKE keyphrases (X63)
 
   /** X63's stopword delimiters — the corpus's function words (the X1

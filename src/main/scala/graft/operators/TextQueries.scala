@@ -2819,6 +2819,55 @@ object TextQueries {
   def qKeyphrase(spark: SparkSession, dir: String): DataFrame =
     TextOps.rakeKeyphrases(docs(spark, dir))
 
+  /** D24: LSH band/row tuner at the D3 dedup threshold. */
+  def qLshTune(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lshTune(docs(spark, dir), ShingleN, MaxShingleDf,
+      MinhashJacMin)
+
+  /** D24 oracle: the D17 bucket census prefix verbatim, then the
+    * config grid with the SAME generated multiplication-chain
+    * S-curves ([[TextOps.lshCollideMicroSql]]) — libm pow never runs
+    * on either engine.
+    */
+  private val lshTuneOracle = {
+    val cfgRows = TextOps.LshTuneConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  ${TextOps.lshCollideMicroSql(b, r)} AS p_micro,
+         |  bucket_lo_micro, n_pairs FROM tg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$tokCte $shCte,
+       |$ngramCtes,
+       |hcen AS (
+       |  SELECT bucket_lo_micro, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM (
+       |    SELECT CAST(floor(${Hashing.microSql(
+      "it.inter / (s1.n + s2.n - it.inter)")} / 50000) AS BIGINT)
+       |      * 50000 AS bucket_lo_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) GROUP BY 1
+       |),
+       |tg AS (
+       |  SELECT bucket_lo_micro, n_pairs,
+       |    CAST(least(bucket_lo_micro + 25000, 1000000) AS DOUBLE)
+       |      / 1000000.0 AS tmid
+       |  FROM hcen
+       |),
+       |grid AS (
+       |$cfgRows
+       |)
+       |SELECT bands, rows_per_band,
+       |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs_total,
+       |  CAST(sum(n_pairs * p_micro) AS BIGINT) AS exp_candidates,
+       |  CAST(sum(CASE WHEN bucket_lo_micro + 25000 < $MinhashJacMin
+       |       THEN n_pairs * p_micro ELSE 0 END) AS BIGINT) AS fp_mass,
+       |  CAST(sum(CASE WHEN bucket_lo_micro + 25000 >= $MinhashJacMin
+       |       THEN n_pairs * (1000000 - p_micro) ELSE 0 END) AS BIGINT)
+       |    AS fn_mass
+       |FROM grid GROUP BY 1, 2 ORDER BY bands""".stripMargin
+  }
+
   /** X63 oracle: same islands, the same capped candidate set feeding
     * the word statistics, integer scores throughout; `ns`/`phr`/`words`
     * are multiply referenced, hence MATERIALIZED. DuckDB's 1-based
@@ -2871,6 +2920,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keyphrase"      -> (qKeyphrase _),
+    "q_lsh_tune"       -> (qLshTune _),
     "q_bpe_train"      -> (qBpeTrain _),
     "q_bpe_encode"     -> (qBpeEncode _),
     "q_fertility"      -> (qFertility _),
@@ -2946,6 +2996,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_keyphrase"      -> keyphraseOracle,
+    "q_lsh_tune"       -> lshTuneOracle,
     "q_bpe_train"      -> bpeTrainOracle,
     "q_bpe_encode"     -> bpeEncodeOracle,
     "q_fertility"      -> fertilityOracle,

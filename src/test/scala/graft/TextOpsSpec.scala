@@ -1334,6 +1334,41 @@ class TextOpsSpec extends SparkSpec {
       "x|y mirror symmetry: C is equidistant from A and B")
   }
 
+  test("lshCollideMicroSql: hand-computed S-curve values at t = 0.5, " +
+    "monotone in bands") {
+    import sqlImplicits._
+    val vals = TextOps.LshTuneConfigs.map { case (b, r) =>
+      Seq(0.5).toDF("tmid")
+        .selectExpr(TextOps.lshCollideMicroSql(b, r))
+        .collect().head.getLong(0)
+    }
+    // explicit multiplication chains, floor(1e6 * p):
+    // (16,1) 999984, (8,2) 899887, (4,4) 227523, (2,8) 7797, (1,16) 15
+    assert(vals === Seq(999984L, 899887L, 227523L, 7797L, 15L))
+    assert(vals === vals.sorted.reverse,
+      "collision probability must fall as bands coarsen into rows")
+  }
+
+  test("lshTune: exact-duplicate bucket clamps to t = 1.0 where every " +
+    "config collides with certainty") {
+    import sqlImplicits._
+    // docs 1/2 are identical (one shared 5-shingle set); doc 3 shares
+    // no 5-gram with them -> the census is the single bucket at 1.0
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = TextOps.lshTune(d, 5, 1000L, 700000L).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("n_pairs_total"), r.getAs[Long]("exp_candidates"),
+        r.getAs[Long]("fp_mass"), r.getAs[Long]("fn_mass")))
+    // at t = 1.0: t^r = 1 exactly, (1-1)^b = 0, p = 1e6 exactly ->
+    // every config expects the pair as a candidate, zero waste, zero
+    // misses
+    assert(out.toSeq === TextOps.LshTuneConfigs.sortBy(_._1).map {
+      case (b, r) => (b.toLong, r.toLong, 1L, 1000000L, 0L, 0L) })
+  }
+
   test("rakeKeyphrases: hand-computed degree/frequency scores, " +
     "stopword islands, over-cap candidates discarded with their words") {
     import sqlImplicits._
