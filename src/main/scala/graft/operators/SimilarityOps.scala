@@ -1168,10 +1168,19 @@ object SimilarityOps {
     * cluster has > k members).
     */
   def hubnessCensus(emb: DataFrame, cents: Array[Array[Long]],
-                    kNN: Int): DataFrame = {
-    val assigned = emb.select(col("vec_id"),
+                    kNN: Int): DataFrame =
+    hubnessCensusFrom(emb.select(col("vec_id"),
       assignCluster(col("embedding"), cents).as("cluster"),
-      col("embedding"))
+      col("embedding")), kNN)
+
+  /** [[hubnessCensus]] over an ALREADY-ASSIGNED (vec_id, cluster,
+    * embedding) relation — the store-backed entry point (the
+    * [[knnLabelConfusionFrom]] precedent): assignment was paid once at
+    * write time, a cluster-subset audit prunes partitions at the scan,
+    * and the antihub base is the selection itself (cluster-local
+    * semantics, like the store-backed SemDeDup subset).
+    */
+  def hubnessCensusFrom(assigned: DataFrame, kNN: Int): DataFrame = {
     val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
       col("embedding").as("e1"))
     val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
@@ -1188,7 +1197,7 @@ object SimilarityOps {
       .filter(col("rk") <= kNN)
       .groupBy(col("d2").as("vec_id"))
       .agg(count(lit(1)).as("c"))
-    emb.select(col("vec_id"))
+    assigned.select(col("vec_id"))
       .join(occ, Seq("vec_id"), "left")
       .select(coalesce(col("c"), lit(0L)).as("k_occ"))
       .groupBy("k_occ")

@@ -272,6 +272,18 @@ object VectorStore {
         .select("vec_id", "label", "cluster", "embedding"),
       kNN)
 
+  /** V33 over the stored layout: pairs form partition-locally on the
+    * written cluster id; a cluster subset prunes partitions at the
+    * scan and the antihub base is the selection (cluster-local
+    * semantics, the [[semDedup]] subset contract).
+    */
+  def hubnessCensus(spark: SparkSession, path: String, kNN: Int,
+                    clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.hubnessCensusFrom(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "cluster", "embedding"),
+      kNN)
+
   // ------------------------------------------------------------- PQ leg
 
   private def pqCodesDir(path: String) = s"$path/_pqcodes"

@@ -394,6 +394,23 @@ class StorageLayoutSpec extends SparkSpec {
       kInline.collect().map(_.toSeq).toSet)
     assert(!kStored.queryExecution.executedPlan.toString
       .contains("kmeans_assign"))
+
+    // hubness census: same kNN graph off the stored layout — equal
+    // histogram, no re-assignment, cluster subset prunes partitions
+    val hStored = graft.sources.VectorStore.hubnessCensus(spark, path, 3)
+    val hInline = graft.operators.SimilarityOps
+      .hubnessCensus(emb, cents, 3)
+    assert(hStored.collect().map(_.toSeq).toSet ===
+      hInline.collect().map(_.toSeq).toSet)
+    assert(!hStored.queryExecution.executedPlan.toString
+      .contains("kmeans_assign"))
+    val hSub = graft.sources.VectorStore
+      .hubnessCensus(spark, path, 3, Seq(0L, 1L))
+    val hScan = hSub.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters"))
+    assert(hScan.exists(s => s.contains("cluster")),
+      s"hubness cluster subset must prune partitions:\n${
+        hScan.getOrElse("")}")
   }
 
   test("bucketed ADS-B store: the whole flights plan is Exchange-free") {
