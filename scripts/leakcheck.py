@@ -82,7 +82,7 @@ def main():
                 if pat.search(line):
                     hits[cat].append(f"{rel}:{lineno}: {line.strip()[:120]}")
     out = {
-        "round": int(os.environ.get("GRAFT_ROUND", "7")),
+        "round": int(os.environ.get("GRAFT_ROUND", "9")),
         "scanned_at_utc": time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "files_scanned": n_files,
