@@ -2340,7 +2340,9 @@ object RelationalQueries {
     * (N·(ad−bc)²)/((a+b)(c+d)(a+c)(b+d)) evaluated in the identical
     * association on both engines (the X51 discipline). Degenerate
     * marginals (zero conversions anywhere, or everyone converted)
-    * read NULL lift/chi² rather than dividing by zero.
+    * read NULL lift/chi² rather than dividing by zero, and an EMPTY
+    * ARM (n_a = 0 or n_b = 0) reads NULL rates/lift/chi² on both
+    * engines — the guards fire before any division.
     *
     * Scale shape: one distinct over (event_type, user) pairs and one
     * over users — both partial-agg'd Exchanges; everything after is
@@ -2370,12 +2372,15 @@ object RelationalQueries {
       .withColumn("dd", col("n_b") - col("conv_b"))
       .select(col("event_type"), col("n_a"), col("n_b"),
         col("conv_a"), col("conv_b"),
-        expr("(conv_a * 1000000) div n_a").as("rate_a_micro"),
-        expr("(conv_b * 1000000) div n_b").as("rate_b_micro"),
-        when(col("conv_a") > 0L,
+        when(col("n_a") > 0L, expr("(conv_a * 1000000) div n_a"))
+          .as("rate_a_micro"),
+        when(col("n_b") > 0L, expr("(conv_b * 1000000) div n_b"))
+          .as("rate_b_micro"),
+        when(col("conv_a") > 0L && col("n_b") > 0L,
           expr("(conv_b * n_a * 1000000) div (n_b * conv_a)"))
           .as("lift_micro"),
-        when(col("conv_a") + col("conv_b") > 0L &&
+        when(col("n_a") > 0L && col("n_b") > 0L &&
+          col("conv_a") + col("conv_b") > 0L &&
           col("bb") + col("dd") > 0L,
           micro(((col("n_a") + col("n_b")).cast("double") *
             ((col("conv_a") * col("dd") - col("bb") * col("conv_b"))
@@ -2410,12 +2415,17 @@ object RelationalQueries {
        |  FROM cu GROUP BY 1
        |)
        |SELECT c.event_type, t.n_a, t.n_b, c.conv_a, c.conv_b,
-       |  CAST((c.conv_a * 1000000) // t.n_a AS BIGINT) AS rate_a_micro,
-       |  CAST((c.conv_b * 1000000) // t.n_b AS BIGINT) AS rate_b_micro,
-       |  CASE WHEN c.conv_a > 0 THEN
+       |  CASE WHEN t.n_a > 0 THEN
+       |    CAST((c.conv_a * 1000000) // t.n_a AS BIGINT)
+       |  END AS rate_a_micro,
+       |  CASE WHEN t.n_b > 0 THEN
+       |    CAST((c.conv_b * 1000000) // t.n_b AS BIGINT)
+       |  END AS rate_b_micro,
+       |  CASE WHEN c.conv_a > 0 AND t.n_b > 0 THEN
        |    CAST((c.conv_b * t.n_a * 1000000) // (t.n_b * c.conv_a)
        |         AS BIGINT) END AS lift_micro,
-       |  CASE WHEN c.conv_a + c.conv_b > 0
+       |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+       |        AND c.conv_a + c.conv_b > 0
        |        AND (t.n_a - c.conv_a) + (t.n_b - c.conv_b) > 0 THEN
        |    ${microSql("(CAST(t.n_a + t.n_b AS DOUBLE) * " +
       "(CAST(c.conv_a * (t.n_b - c.conv_b) - " +

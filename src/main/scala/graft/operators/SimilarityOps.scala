@@ -837,9 +837,10 @@ object SimilarityOps {
     // HERE instead of leaking into the session until LRU eviction; the
     // returned plan reads only the checkpointed codes relation (Bench's
     // persistent-RDD sweep reclaims the checkpoint blocks per query, the
-    // bpeTrainLoop precedent). `eager = true` is load-bearing: the codes
-    // must materialize from resid's cache BEFORE resid.unpersist() below,
-    // or the corpus-sized resid would silently recompute uncached.
+    // bpeTrainLoop precedent). `eager = true` only spells out the no-arg
+    // default, but eager materialization itself is load-bearing: the
+    // codes must materialize from resid's cache BEFORE resid.unpersist()
+    // below, or the corpus-sized resid would silently recompute uncached.
     val probedCodes = resid.filter(col("vec_id") =!= queryId)
       .filter(col("cluster").isin(probed.map(_.toLong): _*))
       .select(col("vec_id") +: col("cluster") +: codes: _*)

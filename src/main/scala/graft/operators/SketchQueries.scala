@@ -321,15 +321,186 @@ object SketchQueries {
        |  ${Hashing.microSql("(est - n_exact) / n_exact")} AS err_ppm
        |FROM est ORDER BY source""".stripMargin
 
+  /** X64: mergeable quantile sketch — the missing member of the sketch
+    * family (CMS counts, Bloom membership, KMV distincts, HLL rows-only
+    * distincts; THIS one: quantiles). The exact census quantiles
+    * (X8/R17) are the honest exact path but their partials are
+    * value-cardinality-bounded; this sketch's per-partition partial is
+    * CAPACITY-bounded at k rows regardless of input, so shards of a
+    * 100 TB table each ship one k-row summary and the summaries merge.
+    *
+    * Design choice (vs KLL/GK): KLL's compactor is RANDOMIZED and GK's
+    * is insertion-order-dependent — neither is reproducible across
+    * engines, so neither can be hash-oracled. We keep the mergeable-
+    * summary architecture but make the sampler deterministic: the
+    * sketch is the k rows with the SMALLEST md5 hash of the row key
+    * (the KMV/bottom-k discipline). Bottom-k by a fixed hash is a
+    * semilattice — bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) —
+    * so the merge is EXACT (the merged sketch is bit-identical to the
+    * direct sketch, pinned by spec; KLL can't say that), insertion-
+    * order-free, and duplication follows the data (a uniform sample of
+    * the multiset). The price is estimation error O(1/√k) where KLL
+    * gives O(1/k) at equal capacity — the documented tradeoff for
+    * bit-exact cross-engine verifiability; at k = 256 the p50 estimate
+    * lands within a few percent of exact rank, and the exact-census
+    * columns in the same row measure the actual error per group.
+    *
+    * Estimator: rank the k-row sample by (value, hash) and read the
+    * value at integer rank (p·(k_used−1)) div 100 — all-integer rank
+    * arithmetic (no interpolation, no doubles anywhere in the query).
+    * Groups with n < k hold the whole group (sample = population, the
+    * KMV exact-branch rule), where the estimate IS the exact type-1
+    * quantile.
+    *
+    * Scale shape: the sample is a per-group row_number ≤ k over the
+    * hash order — plans as WindowGroupLimit, so each map partition
+    * ships at most k rows per group into the single Exchange
+    * (capacity-bounded partials, the mergeable-summary property);
+    * everything downstream of the sample is ≤ k rows per group. The
+    * exact audit columns ride the (type, cents) census — a deployment
+    * drops them once the error regime is accepted.
+    */
+  val QsK = 256
+  val QsPs = Seq(10, 50, 90, 99)
+
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchCensus(Tables.events(spark, dir)
+      .select("event_id", "event_type", "value"))
+
+  /** The bounded sample itself — the mergeable summary. Factored so the
+    * spec can pin merge-exactness: union shard samples, re-take
+    * bottom-k, get the direct sample bit-for-bit.
+    */
+  def qsSample(ev: DataFrame): DataFrame =
+    qsBottomK(ev.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      md5Long(concat(lit("qs:"), col("event_id").cast("string")))
+        .as("h"),
+      col("event_id")))
+
+  /** Re-take bottom-k over any sample-shaped relation (the merge op). */
+  def qsBottomK(rows: DataFrame): DataFrame = {
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h", "event_id")
+    rows.withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= QsK)
+      .select("event_type", "cents", "h", "event_id")
+  }
+
+  def quantileSketchCensus(ev: DataFrame): DataFrame = {
+    val sample = qsSample(ev)
+    val kUsed = sample.groupBy("event_type")
+      .agg(count(lit(1)).as("k_used"))
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents", "h", "event_id")
+    val est = sample.withColumn("rs", row_number().over(wV))
+      .join(broadcast(kUsed), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("k_used")).as("k_used"),
+        QsPs.map(p => max(when(col("rs") - 1 ===
+            expr(s"($p * (k_used - 1)) div 100"), col("cents")))
+          .as(s"est_p$p")): _*)
+    val cen = ev.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents")
+    val cum = cen.withColumn("cum", sum("cnt").over(wC))
+    val n = cen.groupBy("event_type").agg(sum("cnt").as("n"))
+    val exact = cum.join(broadcast(n), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        QsPs.map(p => max(when(
+            expr(s"($p * (n - 1)) div 100") >= col("cum") - col("cnt") &&
+            expr(s"($p * (n - 1)) div 100") < col("cum"), col("cents")))
+          .as(s"exact_p$p")): _*)
+    est.join(exact, "event_type")
+      .withColumn("abs_err_p50", abs(col("est_p50") - col("exact_p50")))
+      .select(col("event_type") +: col("n") +: col("k_used") +:
+        (QsPs.map(p => col(s"est_p$p")) ++
+          QsPs.map(p => col(s"exact_p$p")) :+ col("abs_err_p50")): _*)
+      .orderBy("event_type")
+  }
+
+  private val qsOracle: String = {
+    val h = Hashing.md5LongSql("'qs:' || CAST(event_id AS VARCHAR)")
+    val estCols = QsPs.map(p =>
+      s"""    max(CASE WHEN r.rs - 1 = ($p * (k.k_used - 1)) // 100
+         |        THEN r.cents END) AS est_p$p""".stripMargin)
+      .mkString(",\n")
+    val exCols = QsPs.map(p =>
+      s"""    max(CASE WHEN ($p * (n.n - 1)) // 100 >= c.cum - c.cnt
+         |         AND ($p * (n.n - 1)) // 100 < c.cum
+         |        THEN c.cents END) AS exact_p$p""".stripMargin)
+      .mkString(",\n")
+    val outEst = QsPs.map(p => s"e.est_p$p").mkString(", ")
+    val outEx = QsPs.map(p => s"x.exact_p$p").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type, value FROM events
+       |),
+       |r AS (
+       |  SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    $h AS h, event_id
+       |  FROM ev
+       |),
+       |s AS (
+       |  SELECT event_type, cents, h, event_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY h, event_id) AS rn FROM r
+       |  ) WHERE rn <= $QsK
+       |),
+       |ks AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS k_used
+       |  FROM s GROUP BY 1
+       |),
+       |rk AS (
+       |  SELECT event_type, cents,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY cents, h, event_id) AS rs
+       |  FROM s
+       |),
+       |est AS (
+       |  SELECT r.event_type, max(k.k_used) AS k_used,
+       |$estCols
+       |  FROM rk r JOIN ks k USING (event_type) GROUP BY 1
+       |),
+       |cen AS (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |    count(*) AS cnt
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT event_type, cents, cnt,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+       |  FROM cen
+       |),
+       |nn AS (
+       |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM cen GROUP BY 1
+       |),
+       |ex AS (
+       |  SELECT c.event_type, max(n.n) AS n,
+       |$exCols
+       |  FROM cum c JOIN nn n USING (event_type) GROUP BY 1
+       |)
+       |SELECT e.event_type, x.n, e.k_used, $outEst, $outEx,
+       |  abs(e.est_p50 - x.exact_p50) AS abs_err_p50
+       |FROM est e JOIN ex x USING (event_type)
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms" -> (qCms _),
     "q_bloom" -> (qBloom _),
     "q_kmv" -> (qKmv _),
+    "q_qsketch" -> (qQuantileSketch _),
     "q_hll" -> (qHll _))
 
   /** q_hll has no oracle entry by design — see [[qHll]]. */
   val oracles: Map[String, String] = Map(
     "q_cms" -> cmsOracle,
     "q_bloom" -> bloomOracle,
-    "q_kmv" -> kmvOracle)
+    "q_kmv" -> kmvOracle,
+    "q_qsketch" -> qsOracle)
 }

@@ -82,7 +82,9 @@ object PhashStore {
     val merged = load(spark, table).unionByName(fresh)
       .groupBy("dhash")
       .agg(sum("n").as("n"), min("exemplar").as("exemplar"))
-      .localCheckpoint(eager = true) // must materialize BEFORE the overwrite truncates its source
+      // eager = true spells out the no-arg default; the point is the
+      // materialization happens BEFORE the overwrite truncates its source
+      .localCheckpoint(eager = true)
     merged.write.mode("overwrite")
       .bucketBy(nBuckets, "dhash").sortBy("dhash")
       .saveAsTable(table)

@@ -24,8 +24,12 @@ case class AttributedPurchase(user_id: Long, purchase_id: Long,
   * join; this one carries a small bounded touch buffer per active user
   * and attributes each purchase exactly once, at arrival.
   *
-  * Semantics match R36 for in-order data: a purchase is attributed to
-  * the STRICTLY-earlier touches within the lookback window; first =
+  * Semantics match R36 for in-order data WHILE a user's touches inside
+  * the lookback window stay within `maxTouches`: beyond the cap the
+  * OLDEST touches are evicted, so first_touch can diverge from the
+  * batch census even for in-order data (the eviction spec pins exactly
+  * this behavior). Within the cap, a purchase is attributed to the
+  * STRICTLY-earlier touches within the lookback window; first =
   * min(ts, event_id), last = max(ts, event_id) — same-instant ties
   * break toward the smaller/larger id, identically to the batch
   * operator (the spec pins batch parity on the R36 fixture). Rows
@@ -53,6 +57,7 @@ object StreamingAttribution {
     val spark = events.sparkSession
     import spark.implicits._
     val windowUs = windowDays * 86400000000L
+    val windowMs = windowDays * 86400000L
 
     def fn(user: Long, rows: Iterator[UserEvent],
            state: GroupState[TouchBuffer])
@@ -83,9 +88,9 @@ object StreamingAttribution {
             .take(maxTouches)
         }
       }
-      val lastUs = sorted.last.ts.getTime
+      val lastMs = sorted.last.ts.getTime // ms — setTimeoutTimestamp takes ms
       state.update(TouchBuffer(buf))
-      state.setTimeoutTimestamp(lastUs + windowDays * 86400000L)
+      state.setTimeoutTimestamp(lastMs + windowMs)
       out.result().iterator
     }
 
