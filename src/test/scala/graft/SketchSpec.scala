@@ -99,4 +99,75 @@ class SketchSpec extends SparkSpec {
     assert(rerun.toSeq ===
       rows.map(t => (t._1, t._4)).toSeq) // md5 determinism
   }
+
+  test("q_qsketch: below-capacity group reads exact type-1 quantiles " +
+    "(hand-computed)") {
+    import spark.implicits._
+    // 10 rows < k=256 => sample = population, est == exact
+    val ev = (1 to 10).map(i => (i.toLong, "a", i * 1.0)).toDF(
+      "event_id", "event_type", "value")
+    val r = SketchQueries.quantileSketchCensus(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n") === 10L)
+    assert(row.getAs[Long]("k_used") === 10L)
+    // cents 100..1000; type-1 rank idx = (p*(n-1)) div 100:
+    // p10 -> idx 0 -> 100; p50 -> idx 4 -> 500; p90 -> idx 8 -> 900;
+    // p99 -> idx 8 -> 900
+    assert(row.getAs[Long]("est_p10") === 100L)
+    assert(row.getAs[Long]("est_p50") === 500L)
+    assert(row.getAs[Long]("est_p90") === 900L)
+    assert(row.getAs[Long]("est_p99") === 900L)
+    assert(row.getAs[Long]("exact_p50") === 500L)
+    assert(row.getAs[Long]("abs_err_p50") === 0L)
+  }
+
+  test("q_qsketch: shard samples merge EXACTLY into the direct sample " +
+    "(bottom-k semilattice)") {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+    val direct = SketchQueries.qsSample(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // 4 shards by event_id — each builds its own bounded sketch; the
+    // merge is union + re-take bottom-k, and must reproduce the direct
+    // sketch bit-for-bit (KLL's randomized compactor cannot pin this)
+    val shards = (0 until 4).map(s =>
+      SketchQueries.qsSample(ev.filter(col("event_id") % 4 === s)))
+    val merged = SketchQueries.qsBottomK(shards.reduce(_ union _))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged === direct)
+  }
+
+  test("q_qsketch: p50 estimate lands within the sampling-error rank " +
+    "band on real data") {
+    val out = SketchQueries.qQuantileSketch(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { r =>
+      val t = r.getString(0)
+      val n = r.getAs[Long]("n")
+      val est = r.getAs[Long]("est_p50")
+      val rank = ev.count(e => e._1 == t && e._2 <= est).toLong
+      // sample-quantile rank error: sigma = n*sqrt(p(1-p)/k) = n/32 at
+      // k=256, p=.5; assert within ~6.4 sigma = 0.2n
+      assert(math.abs(rank - n / 2) <= math.max(n / 5, 2L),
+        s"$t: est_p50 rank $rank vs n/2 ${n / 2}")
+    }
+  }
+
+  test("q_qsketch plans the sample as WindowGroupLimit " +
+    "(capacity-bounded partials)") {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+    val p = SketchQueries.qsSample(ev)
+      .queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2,
+      s"expected partial+final WindowGroupLimit around the Exchange:\n$p")
+  }
 }
