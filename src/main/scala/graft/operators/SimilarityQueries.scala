@@ -1934,7 +1934,223 @@ object SimilarityQueries {
        |LEFT JOIN h ON q.query_id = h.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  // -------------------------------------- reciprocal-rank fusion (V34)
+
+  /** V34: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    * SIGIR 2009) — the standard serving pattern the engine can now
+    * express end-to-end: for each query, fuse the DENSE ranking (exact
+    * brute-force cosine over the embedding column, the q_ann_batch
+    * shape) with the LEXICAL ranking (X45's BM25, query-by-example:
+    * the query document's own top-[[RrfQTerms]] terms) by
+    * RRF(d) = Σ_lists 1e6 div (60 + rank_list(d)), the k = 60 constant
+    * from the paper. Rank-based fusion needs no score calibration
+    * between systems — exactly why serving stacks use it over score
+    * interpolation.
+    *
+    * Exactness: both input rankings are integer ranks from already-
+    * proven machinery (cosine micro + (cos desc, id) ties; BM25
+    * integer-micro weights + (score desc, id) ties); the fusion score
+    * is a SUM OF INTEGER DIVISIONS (1e6 div (60+r), both operands
+    * positive so Spark div ≡ DuckDB //) — no doubles anywhere past the
+    * two proven scoring trees. A doc absent from one list contributes
+    * 0 and reports rank 0 (NULL-free output keeps the cross-engine
+    * compare trivial).
+    *
+    * Scale shape: the query set is bounded and BROADCAST on both arms
+    * (dense: query vectors vs corpus, the whitelisted q_ann_batch
+    * BNLJ; lexical: ≤ Q·[[RrfQTerms]] (query, term) rows riding the
+    * X45 broadcast-query discipline — tf is one corpus-keyed partial-
+    * agg'd Exchange filtered by the broadcast term set). Both rank
+    * windows partition BY QUERY over candidate sets and cut at
+    * [[RrfDepth]] (WindowGroupLimit); the fusion joins two
+    * ≤ Q·depth-row relations. Nothing downstream of the two scoring
+    * Exchanges scales with the corpus.
+    */
+  val RrfQTerms = 8
+  val RrfDepth = 20
+  val RrfK = 10
+  val RrfC = 60
+
+  def qRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(Tables.documents(spark, dir), emb(spark, dir))
+
+  def hybridRrf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing.micro
+    import graft.functions.vector.cosineSim
+    // dense arm: exact cosine vs the broadcast query-vector set
+    val qs = embs.filter(col("vec_id") < BatchQueryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wD = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("doc_id"))
+    val dense = embs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rn").cast("long").as("dense_rank"))
+    // lexical arm: BM25 (X45's exact tree) against each query doc's
+    // own top terms
+    val occ = TextOps.parallelized(docs).select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("t"))
+    val wq = Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("t"))
+    val qt = occ.filter(col("doc_id") < BatchQueryMax)
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("tr", row_number().over(wq))
+      .filter(col("tr") <= RrfQTerms)
+      .select(col("doc_id").as("query_id"), col("t"))
+    val qTerms = qt.select("t").distinct()
+    val lens = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val totals = lens.agg(sum("dl").as("tot"),
+      count(lit(1)).as("n_docs"))
+    val tf = occ.join(broadcast(qTerms), Seq("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("t"),
+        micro(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)))).as("idf_micro"))
+    val avg = totals.select((col("tot") / col("n_docs")).as("avgdl"))
+    val wL = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val lex = tf.join(broadcast(qt), Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfc), Seq("t"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .select(col("query_id"), col("doc_id"),
+        floor(col("idf_micro") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          .cast("long").as("w"))
+      .groupBy("query_id", "doc_id").agg(sum("w").as("score_micro"))
+      .withColumn("rn", row_number().over(wL))
+      .filter(col("rn") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"),
+        col("rn").cast("long").as("lex_rank"))
+    // fuse: integer RRF, absent-from-list reads rank 0 / contributes 0
+    val fused = dense
+      .join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"))
+      .withColumn("rrf_score",
+        when(col("dense_rank") > 0L,
+          expr(s"1000000 div ($RrfC + dense_rank)")).otherwise(0L) +
+        when(col("lex_rank") > 0L,
+          expr(s"1000000 div ($RrfC + lex_rank)")).otherwise(0L))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= RrfK)
+      .select(col("query_id"), col("rn").cast("long").as("rank"),
+        col("doc_id"), col("dense_rank"), col("lex_rank"),
+        col("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val rrfOracle: String = {
+    val idfExpr = "ln((n_docs - df + CAST(0.5 AS DOUBLE)) / " +
+      "(df + CAST(0.5 AS DOUBLE)))"
+    s"""$evCte,
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |    sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |dsc AS (
+       |  SELECT d.query_id, d.doc_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM dots d JOIN nrm ne ON d.doc_id = ne.vec_id
+       |              JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |dense AS (
+       |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS dense_rank
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_micro DESC, doc_id) AS rn FROM dsc
+       |  ) WHERE rn <= $RrfDepth
+       |),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents),
+       |occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |qtc AS (
+       |  SELECT doc_id, t, count(*) AS c FROM occ
+       |  WHERE doc_id < $BatchQueryMax GROUP BY 1, 2
+       |),
+       |qt AS (
+       |  SELECT doc_id AS query_id, t FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY c DESC, t) AS tr FROM qtc
+       |  ) WHERE tr <= $RrfQTerms
+       |),
+       |qterms AS (SELECT DISTINCT t FROM qt),
+       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+       |         FROM tok),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+       |               count(*) AS n_docs FROM lens),
+       |tf AS (
+       |  SELECT o.doc_id, o.t, count(*) AS tf
+       |  FROM occ o JOIN qterms USING (t) GROUP BY 1, 2
+       |),
+       |dfc AS (
+       |  SELECT t, ${Hashing.microSql(idfExpr)} AS idf_micro
+       |  FROM (SELECT t, count(*) AS df FROM tf GROUP BY 1), tot
+       |),
+       |avg AS (SELECT tot / n_docs AS avgdl FROM tot),
+       |lw AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(floor(d.idf_micro * (tf.tf * CAST(2.2 AS DOUBLE)) /
+       |         (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |          CAST(0.75 AS DOUBLE) * (l.dl / a.avgdl))))
+       |         AS BIGINT) AS w
+       |  FROM tf JOIN qt q USING (t) JOIN dfc d USING (t)
+       |       JOIN lens l ON tf.doc_id = l.doc_id, avg a
+       |  WHERE tf.doc_id <> q.query_id
+       |),
+       |ls AS (
+       |  SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score_micro
+       |  FROM lw GROUP BY 1, 2
+       |),
+       |lex AS (
+       |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rn FROM ls
+       |  ) WHERE rn <= $RrfDepth
+       |),
+       |fused AS (
+       |  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+       |         COALESCE(d.doc_id, l.doc_id) AS doc_id,
+       |         COALESCE(d.dense_rank, 0) AS dense_rank,
+       |         COALESCE(l.lex_rank, 0) AS lex_rank,
+       |    (CASE WHEN d.dense_rank IS NOT NULL
+       |          THEN 1000000 // ($RrfC + d.dense_rank) ELSE 0 END) +
+       |    (CASE WHEN l.lex_rank IS NOT NULL
+       |          THEN 1000000 // ($RrfC + l.lex_rank) ELSE 0 END)
+       |      AS rrf_score
+       |  FROM dense d FULL OUTER JOIN lex l
+       |    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+       |)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+       |  CAST(dense_rank AS BIGINT) AS dense_rank,
+       |  CAST(lex_rank AS BIGINT) AS lex_rank,
+       |  CAST(rrf_score AS BIGINT) AS rrf_score
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS rn FROM fused
+       |) WHERE rn <= $RrfK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf"            -> (qRrf _),
     "q_sq_search"      -> (qSqSearch _),
     "q_mrl_recall"     -> (qMrlRecall _),
     "q_mrr"            -> (qMrr _),
@@ -1974,6 +2190,7 @@ object SimilarityQueries {
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_rrf"            -> rrfOracle,
     "q_sq_search"      -> sqSearchOracle,
     "q_mrl_recall"     -> mrlRecallOracle,
     "q_mrr"            -> mrrOracle,

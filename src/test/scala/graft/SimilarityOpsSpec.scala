@@ -942,4 +942,45 @@ class SimilarityOpsSpec extends SparkSpec {
     val expected = sizes.map(s => s * math.min(k.toLong, s - 1)).sum
     assert(edges === expected)
   }
+
+  test("hybridRrf: fusion arithmetic exact, both-lists-first dominates, " +
+    "deterministic, rank cuts as WindowGroupLimit") {
+    import graft.operators.SimilarityQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.qRrf(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getAs[Long]("rank"), r.getLong(2),
+        r.getAs[Long]("dense_rank"), r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("rrf_score")))
+    assert(out.nonEmpty)
+    val c = SimilarityQueries.RrfC
+    // the fusion score IS the RRF formula over the reported ranks
+    out.foreach { case (q, _, d, dr, lr, s) =>
+      val expect = (if (dr > 0) 1000000L / (c + dr) else 0L) +
+        (if (lr > 0) 1000000L / (c + lr) else 0L)
+      assert(s === expect, s"query $q doc $d: rrf $s != $expect")
+      assert(dr > 0 || lr > 0, "fused doc must come from some list")
+    }
+    // ranks are 1..K dense per query, score non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0)._6 >= p(1)._6), s"query $q not sorted")
+    }
+    // a doc first in BOTH lists has the maximum attainable score and
+    // must be fused rank 1
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      rows.find(r => r._4 == 1L && r._5 == 1L).foreach { both =>
+        assert(both._2 === 1L, s"query $q: dual-first doc not rank 1")
+      }
+    }
+    val rerun = SimilarityQueries.qRrf(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getAs[Long]("rank"), r.getLong(2)))
+    assert(rerun.toSeq === out.map(t => (t._1, t._2, t._3)).toSeq)
+    val plan = SimilarityQueries.qRrf(spark, dir)
+      .queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(limits >= 2,
+      s"expected WindowGroupLimit rank cuts on both arms:\n$plan")
+  }
 }
