@@ -74,6 +74,47 @@ object KmeansAssign {
                    sqrts: Array[Double]): Long =
     best(arr, cents, sqrts)._2
 
+  /** The rank-2 CENTROID ID of the (score DESC, cid) order — the
+    * multi-probe sibling of [[computeSecond]]: same one-loop leader
+    * tracking, returning WHICH cluster is the runner-up instead of its
+    * score (a later centroid tying the best goes to second place; on a
+    * second-place score tie the earlier — lower — cid is kept, exactly
+    * the oracle's row_number semantics). Returns -1 for degenerate
+    * single-centroid codebooks.
+    */
+  def computeSecondId(arr: ArrayData, cents: Array[Array[Long]],
+                      sqrts: Array[Double]): Long = {
+    if (cents.length < 2) return -1L
+    val nDims = arr.numElements()
+    val vm = new Array[Long](nDims)
+    var i = 0
+    while (i < nDims) {
+      vm(i) = math.floor(arr.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    var bestScore = Long.MinValue
+    var bestJ = -1
+    var secondScore = Long.MinValue
+    var secondJ = -1
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(nDims, c.length)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += vm(i) * c(i); i += 1 }
+      val score =
+        if (sqrts(j) == 0.0) ScoreEmpty
+        else math.floor(1000000.0 * (dot.toDouble / sqrts(j))).toLong
+      if (score > bestScore) {
+        secondScore = bestScore; secondJ = bestJ
+        bestScore = score; bestJ = j
+      } else if (score > secondScore) { secondScore = score; secondJ = j }
+      j += 1
+    }
+    secondJ.toLong
+  }
+
   /** The rank-2 score of the (score DESC, cid) order — one loop
     * tracking both leaders; a later centroid TYING the best goes to
     * second place, exactly the oracle's row_number semantics. Returns
@@ -312,5 +353,54 @@ object KmeansSecond {
   /** Column-API entry point. */
   def kmeansSecond(embedding: Column, cents: Array[Array[Long]]): Column =
     GraftSqlBridge.column(KmeansSecond(
+      GraftSqlBridge.expression(embedding), cents))
+}
+
+/** The RUNNER-UP centroid ID — rank 2 of the same (score DESC, cid)
+  * order the assignment argmax uses: the second-nearest cluster, the
+  * multi-probe companion of [[KmeansAssign]] (a cluster-blocked
+  * operator that also probes each vector's runner-up cluster sees
+  * across the one boundary that actually cuts its neighborhood —
+  * the V35 graph-edge discipline). Same compiled-kernel shape as its
+  * siblings.
+  */
+case class KmeansSecondId(child: Expression, cents: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"kmeans_second_id requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "kmeans_second_id"
+
+  @transient private lazy val sqrts: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KmeansSecondId = copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansAssign.computeSecondId(input.asInstanceOf[ArrayData], cents,
+      sqrts)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    val sqrtsRef = ctx.addReferenceObj("kmSqrts", sqrts, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KmeansAssign$$.MODULE$$" +
+        s".computeSecondId($c, $centsRef, $sqrtsRef);")
+  }
+}
+
+object KmeansSecondId {
+  /** Column-API entry point. */
+  def kmeansSecondId(embedding: Column,
+                     cents: Array[Array[Long]]): Column =
+    GraftSqlBridge.column(KmeansSecondId(
       GraftSqlBridge.expression(embedding), cents))
 }

@@ -1205,6 +1205,125 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** V35: graph ANN — deterministic kNN-graph construction + beam
+    * search, the graph-index architecture (the HNSW/NSG family) next
+    * to the quantization family (IVF/PQ/SQ8/MRL): where IVF prunes by
+    * PARTITION, a graph index NAVIGATES — hop from an entry point
+    * toward the query along precomputed neighbor edges, touching only
+    * the vectors the walk visits.
+    *
+    * Determinism (what makes it oracle-able where real HNSW is not):
+    * (1) edges — each node's top-`m` by (micro cosine DESC, id) among
+    * MULTI-PROBE candidates: members of its own cluster AND its
+    * runner-up cluster ([[graft.functions.KmeansSecondId]]), so edges
+    * cross the one boundary that actually cuts a node's neighborhood
+    * (a purely cluster-blocked graph is disconnected by construction
+    * and a beam could never leave its entry component); (2) entry —
+    * the best-scoring node per query among the k-means SEED nodes (the
+    * md5-ordered first-[[SimilarityQueries.NCentroids]] rows, exactly
+    * the trained codebook's own seeds — the role HNSW's upper layers
+    * play); (3) rounds — a FIXED number of synchronous beam rounds:
+    * expand every beam node's out-edges, accumulate the visited set,
+    * re-rank by (cos DESC, id), keep the top-`beamW`. No randomness,
+    * no insertion-order dependence, no data-dependent stopping — the
+    * whole trajectory replays as unrolled MATERIALIZED CTEs.
+    *
+    * Output: per query, the visited count (the measured search cost)
+    * and recall@k against brute-force truth — the V7 recall-curve
+    * discipline applied to the graph architecture.
+    *
+    * Scale shape: edge construction pays the V12 cluster-blocked pair
+    * bound (×2 for the runner-up probe), ranked by a per-node
+    * WindowGroupLimit — the one corpus-sized stage, paid once at
+    * index-build time (a deployment persists the edge relation, the
+    * GramStore discipline). Search touches only beam-sized relations:
+    * every round joins a ≤ Q·beamW-row beam against the bounded edge
+    * list and re-ranks ≤ visited rows per query; scoring joins ride
+    * the broadcast query set. The fixed-round loop materializes each
+    * round's visited set (localCheckpoint) so lineage stays flat.
+    */
+  def graphAnn(embs: DataFrame, cents: Array[Array[Long]],
+               queryMax: Long, m: Int, beamW: Int, rounds: Int, k: Int,
+               nSeeds: Int): DataFrame = {
+    val assigned = embs.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("c1"),
+      graft.functions.KmeansSecondId.kmeansSecondId(col("embedding"),
+        cents).as("c2"),
+      col("embedding"))
+    val probes = assigned.select(col("vec_id").as("d1"),
+      explode(array(col("c1"), col("c2"))).as("cluster"),
+      col("embedding").as("e1"))
+    val nodes = assigned.select(col("vec_id").as("d2"),
+      col("c1").as("cluster"), col("embedding").as("e2"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1").orderBy(col("cos_micro").desc, col("d2"))
+    // the index: bounded n*m edge relation, materialized once and
+    // reused by every beam round
+    val fwd = probes.join(nodes, Seq("cluster"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= m)
+      .select("d1", "d2")
+    // bidirectional links (the HNSW discipline): a node is reachable
+    // through anyone who selected it, which is what makes a sparse
+    // graph navigable; out-degree stays <= 2m
+    val edges = fwd
+      .union(fwd.select(col("d2").as("d1"), col("d1").as("d2")))
+      .distinct()
+      .localCheckpoint()
+    val qs = embs.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // query-vs-corpus scores: needed for brute-force truth anyway (the
+    // eval protocol); the beam reads its candidate scores off it — a
+    // deployment scores candidates on demand, bounded per round
+    val qscore = embs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .localCheckpoint()
+    val seeds = embs.select(col("vec_id"))
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy("h", "vec_id").limit(nSeeds).select("vec_id")
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    val entry = qscore.join(broadcast(seeds), Seq("vec_id"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") === 1)
+      .select("query_id", "vec_id")
+    var visited = entry
+    var beam = entry
+    for (_ <- 1 to rounds) {
+      val frontier = beam.as("b")
+        .join(edges.as("g"), col("b.vec_id") === col("g.d1"))
+        .select(col("b.query_id").as("query_id"),
+          col("g.d2").as("vec_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+      visited = visited.union(frontier).distinct().localCheckpoint()
+      beam = visited.join(qscore, Seq("query_id", "vec_id"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= beamW)
+        .select("query_id", "vec_id")
+    }
+    val ans = visited.join(qscore, Seq("query_id", "vec_id"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id")
+    val truth = qscore.withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= k).select("query_id", "vec_id")
+    val hits = ans.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    visited.groupBy("query_id").agg(count(lit(1)).as("n_visited"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_visited"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_micro", expr(s"(hits * 1000000) div $k"))
+      .orderBy("query_id")
+  }
+
   /** V32's discount weight at rank i: floor(1e6 · ln 2 / ln(i+1)) —
     * the binary-relevance DCG gain 1/log2(i+1) in micro units. The
     * constant is computed ONCE here and inlined as the same integer

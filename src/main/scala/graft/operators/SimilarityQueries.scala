@@ -1934,6 +1934,142 @@ object SimilarityQueries {
        |LEFT JOIN h ON q.query_id = h.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  // ------------------------------------------------ graph ANN (V35)
+
+  /** V35 dials: out-degree m, beam width, synchronous rounds. Small
+    * enough that the unrolled oracle CTE chain stays tractable at
+    * sf0.01; the operator takes them as parameters.
+    */
+  val GraphM = 8
+  val GraphBeam = 16
+  val GraphRounds = 4
+
+  def qGraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.graphAnn(e, cents, BatchQueryMax, GraphM, GraphBeam,
+      GraphRounds, TopK, NCentroids)
+  }
+
+  /** V35 oracle: trained CTEs give the assignment and the md5-ordered
+    * seeds; the runner-up cluster is rank 2 of the same (score DESC,
+    * cid) order; edges, entry, and the three beam rounds replay as
+    * MATERIALIZED CTEs (the k-means/PCA iterative-oracle discipline);
+    * truth and recall ride the same score relation.
+    */
+  private val graphAnnOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val roundCtes = (1 to GraphRounds).map { t =>
+      s"""gf$t AS (
+         |  SELECT b.query_id, g.d2 AS vec_id
+         |  FROM gb${t - 1} b JOIN gedges g ON b.vec_id = g.d1
+         |  WHERE g.d2 <> b.query_id
+         |),
+         |gv$t AS MATERIALIZED (
+         |  SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM gv${t - 1}
+         |    UNION ALL SELECT query_id, vec_id FROM gf$t)
+         |),
+         |gb$t AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT v.query_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY v.query_id
+         |        ORDER BY s.cos_micro DESC, v.vec_id) AS rn
+         |    FROM gv$t v JOIN gqs s ON v.query_id = s.query_id
+         |                          AND v.vec_id = s.vec_id
+         |  ) WHERE rn <= $GraphBeam
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$kmeansTrainedCtes,
+       |gmr AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY score DESC, cid) AS rn
+       |  FROM sc$r
+       |),
+       |gpr AS (SELECT vec_id, cid FROM gmr WHERE rn <= 2),
+       |gcd AS MATERIALIZED (
+       |  SELECT p.vec_id AS d1, a.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM gpr p JOIN a$r a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+       |  JOIN ev x ON x.vec_id = p.vec_id
+       |  JOIN ev y ON y.vec_id = a.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |gcm AS MATERIALIZED (
+       |  SELECT c.d1, c.d2,
+       |    ${Hashing.microSql("c.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM gcd c JOIN nrm n1 ON c.d1 = n1.vec_id
+       |             JOIN nrm n2 ON c.d2 = n2.vec_id
+       |),
+       |gfwd AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2, row_number() OVER (PARTITION BY d1
+       |      ORDER BY cos_micro DESC, d2) AS rk FROM gcm
+       |  ) WHERE rk <= $GraphM
+       |),
+       |gedges AS MATERIALIZED (
+       |  SELECT DISTINCT d1, d2 FROM (
+       |    SELECT d1, d2 FROM gfwd
+       |    UNION ALL SELECT d2 AS d1, d1 AS d2 FROM gfwd)
+       |),
+       |gqd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |gqs AS MATERIALIZED (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM gqd d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |             JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |gent AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.cos_micro DESC, s.vec_id) AS rn
+       |    FROM gqs s JOIN seeds se ON s.vec_id = se.vec_id
+       |  ) WHERE rn = 1
+       |),
+       |gv0 AS MATERIALIZED (SELECT query_id, vec_id FROM gent),
+       |gb0 AS MATERIALIZED (SELECT query_id, vec_id FROM gent),
+       |$roundCtes,
+       |gans AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT v.query_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY v.query_id
+       |        ORDER BY s.cos_micro DESC, v.vec_id) AS rn
+       |    FROM gv$GraphRounds v JOIN gqs s ON v.query_id = s.query_id
+       |                                    AND v.vec_id = s.vec_id
+       |  ) WHERE rn <= $TopK
+       |),
+       |gtr AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM gqs
+       |  ) WHERE rn <= $TopK
+       |),
+       |gh AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM gans a JOIN gtr t ON a.query_id = t.query_id
+       |                        AND a.vec_id = t.vec_id
+       |  GROUP BY 1
+       |),
+       |gnv AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_visited
+       |  FROM gv$GraphRounds GROUP BY 1
+       |)
+       |SELECT n.query_id, n.n_visited,
+       |  COALESCE(h.hits, 0) AS hits,
+       |  CAST((COALESCE(h.hits, 0) * 1000000) // $TopK AS BIGINT)
+       |    AS recall_micro
+       |FROM gnv n LEFT JOIN gh h USING (query_id)
+       |ORDER BY n.query_id""".stripMargin
+  }
+
   // -------------------------------------- reciprocal-rank fusion (V34)
 
   /** V34: hybrid retrieval via reciprocal-rank fusion (Cormack et al.
@@ -2150,6 +2286,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ann"      -> (qGraphAnn _),
     "q_rrf"            -> (qRrf _),
     "q_sq_search"      -> (qSqSearch _),
     "q_mrl_recall"     -> (qMrlRecall _),
@@ -2190,6 +2327,7 @@ object SimilarityQueries {
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_ann"      -> graphAnnOracle,
     "q_rrf"            -> rrfOracle,
     "q_sq_search"      -> sqSearchOracle,
     "q_mrl_recall"     -> mrlRecallOracle,

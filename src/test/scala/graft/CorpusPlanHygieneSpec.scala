@@ -25,6 +25,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
   private val bnljWhitelist = Set(
     "q_ann_batch",      // broadcast query-vector set vs corpus scores
     "q_rrf",            // broadcast query vectors + one-row avgdl/totals
+    "q_graph_ann",      // broadcast query-vector set vs corpus scores
     "q_ann_filtered",   // broadcast query-vector set vs corpus scores
     "q_ann_ivf",        // broadcast nProbe cluster list
     "q_ann_recall",     // broadcast probe ranks grid (Q x nCentroids)

@@ -943,6 +943,62 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(edges === expected)
   }
 
+  test("kmeansSecondId: rank-2 id with row_number tie semantics") {
+    import org.apache.spark.sql.functions.col
+    // c0 and c2 identical; c1 orthogonal
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L),
+      Array(1000L, 0L))
+    val df = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        graft.functions.KmeansAssign.kmeansAssign(col("embedding"), cents)
+          .as("c1"),
+        graft.functions.KmeansSecondId.kmeansSecondId(col("embedding"),
+          cents).as("c2"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val m = out
+    // v0 ties c0/c2 at the top: best = earlier (0), second = later (2)
+    assert(m(0L) === ((0L, 2L)))
+    // v1: best c1; c0/c2 tie for second: earlier (0) kept
+    assert(m(1L) === ((1L, 0L)))
+  }
+
+  test("graphAnn: complete-graph fixture reaches recall 1.0; " +
+    "deterministic and visit-bounded on real data") {
+    import org.apache.spark.sql.functions.col
+    // two well-separated clusters; m >= n-1 makes the graph complete,
+    // so one round from any entry must find the full truth set
+    val rows = (0 to 5).map(i => (i.toLong, Seq(1f, 0.01f * i, 0f, 0f), 0)) ++
+      (6 to 11).map(i => (i.toLong, Seq(0.01f * (i - 6), 1f, 0f, 0f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val cents = SimilarityOps.kmeansCodebook(e, 2, SimilarityOps.KmRounds)
+    val out = SimilarityOps.graphAnn(e, cents, 1L, 11, 12, 3, 5, 2)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_visited") === 11L)
+    assert(out.head.getAs[Long]("hits") === 5L)
+    assert(out.head.getAs[Long]("recall_micro") === 1000000L)
+    // real data: deterministic rerun, structural visit bound, recall
+    // consistent with hits
+    import graft.operators.SimilarityQueries
+    val dir = "/root/testdata/sf0.001"
+    val a = SimilarityQueries.qGraphAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_visited"),
+        r.getAs[Long]("hits"), r.getAs[Long]("recall_micro")))
+    val bound = 1L + SimilarityQueries.GraphRounds.toLong *
+      SimilarityQueries.GraphBeam * 2 * SimilarityQueries.GraphM
+    a.foreach { case (q, nv, h, rm) =>
+      assert(nv >= 1L && nv <= bound, s"query $q visited $nv > $bound")
+      assert(h <= 10L)
+      assert(rm === h * 1000000L / 10L)
+    }
+    val b = SimilarityQueries.qGraphAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_visited"),
+        r.getAs[Long]("hits"), r.getAs[Long]("recall_micro")))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("hybridRrf: fusion arithmetic exact, both-lists-first dominates, " +
     "deterministic, rank cuts as WindowGroupLimit") {
     import graft.operators.SimilarityQueries
