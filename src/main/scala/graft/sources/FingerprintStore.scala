@@ -41,6 +41,26 @@ object FingerprintStore {
   def load(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Create the table empty if it does not exist — the cold-start path
+    * for streaming loops that append from the first batch
+    * ([[graft.streaming.IncrementalClusters]]).
+    */
+  def ensure(spark: SparkSession, table: String,
+             nBuckets: Int = 8): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import org.apache.spark.sql.types.{LongType, StringType,
+        StructField, StructType}
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType, nullable = false),
+            StructField("fingerprint", LongType, nullable = false),
+            StructField("split", StringType, nullable = true))))
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "fingerprint").sortBy("fingerprint")
+        .saveAsTable(table)
+    }
+
   /** Contamination audit against the persisted store: identical output
     * to [[TextOps.contamination]] on the same corpus/params (the spec
     * asserts it), but the winnow scan is amortized across audits and
