@@ -284,6 +284,33 @@ object VectorStore {
         .select("vec_id", "cluster", "embedding"),
       kNN)
 
+  /** nDCG@k retrieval eval over the stored layout — the hubness
+    * precedent applied to the retrieval evals: vectors, labels and the
+    * audit subset come off the cluster-partitioned store (labels from
+    * the store's own metadata columns, no corpus-side join; a cluster
+    * subset prunes partitions at the scan; no assignment kernel
+    * anywhere in the plan). Output ≡ the in-query path on the same
+    * rows (StorageLayoutSpec). With a cluster subset the relevance
+    * budgets (n_label) are SUBSET-LOCAL and the query set is the
+    * subset's — the store-backed SemDeDup/hubness semantics.
+    */
+  def ndcgAtK(spark: SparkSession, path: String, queryMax: Long,
+              k: Int, clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.ndcgAtK(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "embedding", "label"),
+      queryMax, k)
+
+  /** Label-MRR over the stored layout — same contract as
+    * [[ndcgAtK]] above.
+    */
+  def labelMrr(spark: SparkSession, path: String, queryMax: Long,
+               clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.labelMrr(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "embedding", "label"),
+      queryMax)
+
   // ------------------------------------------------------------- PQ leg
 
   private def pqCodesDir(path: String) = s"$path/_pqcodes"

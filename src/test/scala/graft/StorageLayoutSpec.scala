@@ -411,6 +411,30 @@ class StorageLayoutSpec extends SparkSpec {
     assert(hScan.exists(s => s.contains("cluster")),
       s"hubness cluster subset must prune partitions:\n${
         hScan.getOrElse("")}")
+
+    // retrieval evals (nDCG@k, label MRR) off the stored layout:
+    // labels ride the store's own metadata columns, output == the
+    // in-query path, no assignment kernel in either plan, and a
+    // cluster subset prunes partitions
+    val nStored = graft.sources.VectorStore.ndcgAtK(spark, path, 5L, 10)
+    val nInline = graft.operators.SimilarityOps.ndcgAtK(emb, 5L, 10)
+    assert(nStored.collect().map(_.toSeq).toSet ===
+      nInline.collect().map(_.toSeq).toSet)
+    assert(!nStored.queryExecution.executedPlan.toString
+      .contains("kmeans_assign"))
+    val mStored = graft.sources.VectorStore.labelMrr(spark, path, 5L)
+    val mInline = graft.operators.SimilarityOps.labelMrr(emb, 5L)
+    assert(mStored.collect().map(_.toSeq).toSet ===
+      mInline.collect().map(_.toSeq).toSet)
+    assert(!mStored.queryExecution.executedPlan.toString
+      .contains("kmeans_assign"))
+    val nSub = graft.sources.VectorStore
+      .ndcgAtK(spark, path, 5L, 10, Seq(0L, 1L))
+    val nScan = nSub.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("PartitionFilters"))
+    assert(nScan.exists(s => s.contains("cluster")),
+      s"ndcg cluster subset must prune partitions:\n${
+        nScan.getOrElse("")}")
   }
 
   test("bucketed ADS-B store: the whole flights plan is Exchange-free") {
