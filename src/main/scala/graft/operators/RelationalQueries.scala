@@ -2744,7 +2744,282 @@ object RelationalQueries {
        |SELECT model, event_type, CAST(count(*) AS BIGINT) AS n_attr
        |FROM u GROUP BY 1, 2 ORDER BY model, event_type""".stripMargin
 
+  // -------------------------------------------------- survival (R37)
+
+  /** R37: censoring horizon — a user whose LAST event falls within this
+    * many days of the stream's observed end is censored (still active:
+    * we did not watch long enough to call it churn), everyone else is a
+    * churn event at their lifetime duration.
+    */
+  val SurvivalCensorDays = 14
+
+  /** R37: Nelson–Aalen cumulative-hazard census over user lifetimes —
+    * the survival-analysis member of the statistics family (R33 A/B,
+    * R34 Mann-Whitney, R35 bootstrap): per lifetime day t, the risk set
+    * n_t (users whose lifetime ≥ t, churned OR censored — the standard
+    * right-censoring convention keeps same-day censored users at risk),
+    * churn count d_t, and the Nelson–Aalen cumulative hazard
+    * H(t) = Σ_{s≤t} d_s/n_s. Deliberately Nelson–Aalen and NOT
+    * Kaplan-Meier: KM's survival product Π(1−d/n) has no exact integer
+    * form (hundreds of factors overflow any fixed precision, and
+    * exp/ln round differently across engines' libm), while NA is a SUM
+    * of per-day hazards — each an integer division of exact integers
+    * ((10⁶·d) div n), so the whole curve is bit-exact cross-engine;
+    * S(t) ≈ exp(−H(t)) is the consumer-side read.
+    *
+    * Exactness: lifetimes are calendar-day differences (both engines
+    * subtract date-truncated timestamps); all counts and both running
+    * sums are integers; the only division is the integer hazard.
+    *
+    * Scale shape: one partial-agg'd user Exchange (the min/max lifetime
+    * rollup), then a duration census bounded by the observation span in
+    * DAYS — the windows run over that tiny census, never the stream;
+    * the horizon is a 1-row broadcast.
+    */
+  def qSurvival(spark: SparkSession, dir: String): DataFrame =
+    survivalCensus(events(spark, dir), SurvivalCensorDays)
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def survivalCensus(ev: DataFrame, censorDays: Int): DataFrame = {
+    val users = ev.groupBy("user_id")
+      .agg(to_date(min("ts")).as("fd"), to_date(max("ts")).as("ld"))
+    val horizon = users.agg(max("ld").as("md"))
+    val durations = users.crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("ld"), col("fd")).cast("long").as("duration_days"),
+        when(datediff(col("md"), col("ld")) < censorDays, 1L)
+          .otherwise(0L).as("cens"))
+    val cells = durations.groupBy("duration_days")
+      .agg(sum(lit(1L) - col("cens")).as("n_deaths"),
+        sum("cens").as("n_censored"))
+    val desc = Window.partitionBy(lit(0))
+      .orderBy(col("duration_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asc = Window.partitionBy(lit(0)).orderBy(col("duration_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("at_risk",
+        sum(col("n_deaths") + col("n_censored")).over(desc))
+      .withColumn("hazard_micro",
+        expr("(1000000 * n_deaths) div at_risk"))
+      .withColumn("cumhaz_micro", sum("hazard_micro").over(asc))
+      .orderBy("duration_days")
+  }
+
+  // duration census rows are unique per duration, so DuckDB's default
+  // RANGE window frame coincides with the Spark ROWS frame (the
+  // cosCensus discipline)
+  private val survivalOracle =
+    s"""$evCte,
+       |u AS (SELECT user_id, CAST(min(ts) AS DATE) AS fd,
+       |        CAST(max(ts) AS DATE) AS ld
+       |      FROM ev GROUP BY 1),
+       |mx AS (SELECT max(ld) AS md FROM u),
+       |du AS (
+       |  SELECT CAST(date_diff('day', u.fd, u.ld) AS BIGINT)
+       |      AS duration_days,
+       |    CASE WHEN date_diff('day', u.ld, mx.md) < $SurvivalCensorDays
+       |         THEN 1 ELSE 0 END AS cens
+       |  FROM u, mx),
+       |cells AS (
+       |  SELECT duration_days, CAST(sum(1 - cens) AS BIGINT) AS n_deaths,
+       |    CAST(sum(cens) AS BIGINT) AS n_censored
+       |  FROM du GROUP BY 1),
+       |r AS (
+       |  SELECT duration_days, n_deaths, n_censored,
+       |    CAST(sum(n_deaths + n_censored)
+       |      OVER (ORDER BY duration_days DESC) AS BIGINT) AS at_risk
+       |  FROM cells)
+       |SELECT duration_days, n_deaths, n_censored, at_risk,
+       |  CAST((1000000 * n_deaths) // at_risk AS BIGINT) AS hazard_micro,
+       |  CAST(sum((1000000 * n_deaths) // at_risk)
+       |    OVER (ORDER BY duration_days) AS BIGINT) AS cumhaz_micro
+       |FROM r ORDER BY duration_days""".stripMargin
+
+  // ------------------------------------------------ changepoint (R38)
+
+  /** R38: CUSUM changepoint census over the daily event volume — the
+    * page-one monitoring question ("did the level of this stream shift,
+    * and when?") answered with the classic cumulative-sum statistic:
+    * CUSUM_t = Σ_{i≤t}(n_i − n̄), whose |max| locates the most likely
+    * single level-shift point (the offline CUSUM estimator). The mean
+    * subtraction is where naive implementations go non-deterministic
+    * (n̄ is rational); this census works in DAYS-SCALED units —
+    * S'_t = D·cum_t − t·T (D = #days, T = total events) = D·CUSUM_t —
+    * so every row is an EXACT integer and the argmax needs no doubles
+    * at all. The normalized score (|S'|/(D·T) = |CUSUM|/T) is one
+    * integer division. The changepoint flag marks the EARLIEST day
+    * attaining the peak |S'| (deterministic under ties).
+    *
+    * Exactness: all integers; score_micro = (10⁶·|S'|) div (D·T) stays
+    * under 2⁶³ through ~10¹² daily-census events (document shards
+    * census per-source at that scale).
+    *
+    * Scale shape: one partial-agg'd (day) Exchange; both windows and
+    * the peak scan run over the calendar-bounded census; the totals
+    * row is a 1-row broadcast.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame =
+    cusumCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def cusumCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val tot = daily.agg(count(lit(1)).as("d_days"),
+      sum("n").as("t_events"))
+    val ascRows = Window.partitionBy(lit(0)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("t", row_number()
+        .over(Window.partitionBy(lit(0)).orderBy(col("day")))
+        .cast("long"))
+      .withColumn("cum_n", sum("n").over(ascRows))
+      .crossJoin(broadcast(tot))
+      .withColumn("cusum_scaled",
+        col("d_days") * col("cum_n") - col("t") * col("t_events"))
+      .withColumn("score_micro",
+        expr("(1000000 * abs(cusum_scaled)) div (d_days * t_events)"))
+      .withColumn("peak", max(abs(col("cusum_scaled"))).over(all))
+      .withColumn("fpd",
+        min(when(abs(col("cusum_scaled")) === col("peak"), col("day")))
+          .over(all))
+      .select(col("day").cast("string").as("day"), col("n"),
+        col("cum_n"), col("cusum_scaled"), col("score_micro"),
+        when(col("day") === col("fpd"), 1L).otherwise(0L)
+          .as("is_changepoint"))
+      .orderBy("day")
+  }
+
+  private val cusumOracle =
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS d_days,
+       |          CAST(sum(n) AS BIGINT) AS t_events FROM daily),
+       |r AS (
+       |  SELECT day, n,
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+       |    CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n
+       |  FROM daily),
+       |c AS (
+       |  SELECT r.day, r.n, r.cum_n,
+       |    tot.d_days * r.cum_n - r.t * tot.t_events AS cusum_scaled,
+       |    (1000000 * abs(tot.d_days * r.cum_n - r.t * tot.t_events))
+       |      // (tot.d_days * tot.t_events) AS score_micro
+       |  FROM r, tot),
+       |p AS (SELECT max(abs(cusum_scaled)) AS peak FROM c),
+       |fp AS (SELECT min(day) AS fpd FROM c, p
+       |       WHERE abs(c.cusum_scaled) = p.peak)
+       |SELECT CAST(c.day AS VARCHAR) AS day, c.n, c.cum_n,
+       |  CAST(c.cusum_scaled AS BIGINT) AS cusum_scaled,
+       |  CAST(c.score_micro AS BIGINT) AS score_micro,
+       |  CAST(CASE WHEN c.day = fp.fpd THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_changepoint
+       |FROM c, fp ORDER BY c.day""".stripMargin
+
+  // ---------------------------------------------- autocorrelation (R39)
+
+  /** R39: lags the daily-volume autocorrelation is measured at — 1
+    * (day-over-day persistence), 2, and 7 (weekly seasonality, the
+    * q_dow signal as a correlation).
+    */
+  val AutocorrLags: Seq[Int] = Seq(1, 2, 7)
+
+  /** R39: lag-k autocorrelation of the daily event volume — Pearson r
+    * between (volume on day d, volume on day d+k) for each lag k, the
+    * seasonality/persistence diagnostic behind forecasting-model choice
+    * (R24's EWMA assumes short memory; a high lag-7 r says the model
+    * needs a weekly term). Pairs join on the CALENDAR (day d with day
+    * d+k), so gap days drop pairs rather than silently shifting the
+    * series — the census is honest about missing days.
+    *
+    * Exactness: the X48 discipline — five exact integer power sums per
+    * lag, then ONE double tree (cov/√var·√var; sqrt is IEEE-correctly-
+    * rounded, so cross-engine safe) micro-floored; degenerate variance
+    * reads 0.
+    *
+    * Scale shape: the daily census (calendar-bounded) self-joins per
+    * lag — ≤ 3·D pair rows; everything else is a 3-row rollup.
+    */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrCensus(events(spark, dir), AutocorrLags)
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def autocorrCensus(ev: DataFrame, lags: Seq[Int]): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val a = daily.select(col("day"), col("n").as("x"))
+    val b = daily.select(col("day").as("day2"), col("n").as("y"))
+    val pairs = a.crossJoin(broadcast(lags.map(_.toLong).toDF("lag")))
+      .join(b,
+        col("day2") === date_add(col("day"), col("lag").cast("int")))
+    val s = pairs.groupBy("lag").agg(
+      count(lit(1)).as("m"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(col("lag"), col("m"),
+      (col("m") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+      (col("m") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+      (col("m") * col("syy") - col("sy") * col("sy")).as("var_y"))
+      .withColumn("r_micro",
+        when(col("var_x") > 0 && col("var_y") > 0,
+          micro(col("cov_num") /
+            (sqrt(col("var_x")) * sqrt(col("var_y")))))
+          .otherwise(0L))
+      .orderBy("lag")
+  }
+
+  private val autocorrOracle =
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |lags AS (SELECT CAST(unnest([${AutocorrLags.mkString(", ")}])
+       |           AS BIGINT) AS lag),
+       |p AS (
+       |  SELECT l.lag, a.n AS x, b.n AS y
+       |  FROM daily a CROSS JOIN lags l
+       |  JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+       |),
+       |s AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM p GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT lag, m,
+       |    CAST(m * sxy - sx * sy AS BIGINT) AS cov_num,
+       |    CAST(m * sxx - sx * sx AS BIGINT) AS var_x,
+       |    CAST(m * syy - sy * sy AS BIGINT) AS var_y
+       |  FROM s
+       |)
+       |SELECT lag, m, cov_num, var_x, var_y,
+       |  CASE WHEN var_x > 0 AND var_y > 0
+       |       THEN ${microSql("cov_num / (sqrt(var_x) * sqrt(var_y))")}
+       |       ELSE CAST(0 AS BIGINT) END AS r_micro
+       |FROM f ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival"        -> (qSurvival _),
+    "q_cusum"           -> (qCusum _),
+    "q_autocorr"        -> (qAutocorr _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
     "q_skew_join"       -> (qSkewJoin _),
@@ -2788,6 +3063,9 @@ object RelationalQueries {
     "q_asof"         -> (qAsof _))
 
   val oracles: Map[String, String] = Map(
+    "q_survival"        -> survivalOracle,
+    "q_cusum"           -> cusumOracle,
+    "q_autocorr"        -> autocorrOracle,
     "q_latest_snapshot" -> latestSnapshotOracle,
     "q_scd2"            -> scd2Oracle,
     "q_skew_join"       -> skewJoinOracle,

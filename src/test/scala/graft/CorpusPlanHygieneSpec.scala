@@ -47,6 +47,9 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_basket",         // broadcast one-row order total
     "q_dow",            // broadcast one-row grand total
     "q_lorenz",         // one-row totals x 3-row broadcast cut grid
+    "q_survival",       // broadcast one-row censoring horizon
+    "q_cusum",          // broadcast one-row (D, T) totals
+    "q_autocorr",       // daily census x broadcast 3-row lag grid
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids
     "q_ab_test",        // broadcast one-row arm-totals relation
     "q_mips",           // broadcast single query vector + one-row tau

@@ -316,6 +316,80 @@ class ScaleOpsSpec extends SparkSpec {
       ("last", "click", 2L)))
   }
 
+  test("survivalCensus: risk sets, censoring horizon, integer hazards, " +
+    "cumulative Nelson-Aalen sum") {
+    // horizon = max last-day = 2024-02-01 (u4), censorDays = 14:
+    // u1 lives 01-01..01-05 -> duration 4, churn (27 days before end)
+    // u2 single event 01-03 -> duration 0, churn
+    // u3 01-02..01-04 -> duration 2, churn
+    // u4 01-01..02-01 -> duration 31, CENSORED (0 days before end)
+    // risk sets (desc cumsum): d31:1, d4:2, d2:3, d0:4
+    // hazards: 10^6*1 div 4 = 250000; div 3 = 333333; div 2 = 500000; 0
+    val rows = Seq(
+      (0L, 1L, "2024-01-01 08:00:00"), (1L, 1L, "2024-01-05 20:00:00"),
+      (2L, 2L, "2024-01-03 12:00:00"),
+      (3L, 3L, "2024-01-02 00:30:00"), (4L, 3L, "2024-01-04 23:00:00"),
+      (5L, 4L, "2024-01-01 10:00:00"), (6L, 4L, "2024-02-01 09:00:00"))
+    val ev = rows.toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.survivalCensus(ev, censorDays = 14)
+      .collect()
+      .map(r => (r.getAs[Long]("duration_days"),
+        r.getAs[Long]("n_deaths"), r.getAs[Long]("n_censored"),
+        r.getAs[Long]("at_risk"), r.getAs[Long]("hazard_micro"),
+        r.getAs[Long]("cumhaz_micro")))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 0L, 4L, 250000L, 250000L),
+      (2L, 1L, 0L, 3L, 333333L, 583333L),
+      (4L, 1L, 0L, 2L, 500000L, 1083333L),
+      (31L, 0L, 1L, 1L, 0L, 1083333L)))
+  }
+
+  test("cusumCensus: days-scaled integer CUSUM, peak picks the level " +
+    "shift, earliest-day tiebreak, last row zero") {
+    // volumes 2,2,8,8 over 4 days: D=4, T=20; S' = 4*cum - t*20 =
+    // -12, -24, -12, 0 -> peak |S'| = 24 at day 2, exactly the level
+    // shift; scores (10^6*|S'|) div 80 = 150000, 300000, 150000, 0
+    val rows =
+      (1 to 2).map(i => s"2024-01-01 0$i:00:00") ++
+      (1 to 2).map(i => s"2024-01-02 0$i:00:00") ++
+      (1 to 8).map(i => s"2024-01-03 0$i:00:00") ++
+      (1 to 8).map(i => s"2024-01-04 0$i:00:00")
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.cusumCensus(ev).collect()
+      .map(r => (r.getAs[String]("day"),
+        r.getAs[Long]("n"), r.getAs[Long]("cum_n"),
+        r.getAs[Long]("cusum_scaled"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("is_changepoint")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, -12L, 150000L, 0L),
+      ("2024-01-02", 2L, 4L, -24L, 300000L, 1L),
+      ("2024-01-03", 8L, 12L, -12L, 150000L, 0L),
+      ("2024-01-04", 8L, 20L, 0L, 0L, 0L)))
+  }
+
+  test("autocorrCensus: calendar-joined lag pairs, exact power sums, " +
+    "micro-floored Pearson, empty lag drops") {
+    // daily volumes 1,3,2,5,4 on consecutive days; lag 7 has no pairs
+    // lag 1: m=4 sums -> cov 2, var 35/20 -> r = 2/sqrt(700) -> 75592
+    // lag 2: m=3 sums -> cov 9, var 6/14 -> r = 9/sqrt(84) -> 981980
+    val vols = Seq(1, 3, 2, 5, 4)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.autocorrCensus(ev, Seq(1, 2, 7))
+      .collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("m"),
+        r.getAs[Long]("cov_num"), r.getAs[Long]("var_x"),
+        r.getAs[Long]("var_y"), r.getAs[Long]("r_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L, 35L, 20L, 75592L),
+      (2L, 3L, 9L, 6L, 14L, 981980L)))
+  }
+
   test("rfmSegments: rank-picked quintile edges, tied customers merge " +
     "into one cell, census-threshold scores") {
     // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
