@@ -1698,6 +1698,85 @@ object SimilarityOps {
         when(col("dup_cos_micro").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** V36: deterministic cluster-blocked DBSCAN over the embedding
+    * corpus — density clustering as the geometry-driven complement to
+    * k-means partitions (D12/V9 assume convex cells; DBSCAN finds
+    * arbitrary-shape dense regions and names the sparse rest NOISE,
+    * which for a training corpus reads "outlier/junk candidate").
+    *
+    * Semantics (all deterministic, hence oracle-able):
+    *  - neighborhood = same trained k-means cell AND micro-cosine ≥
+    *    `epsCosMin` (the candidate relation IS the definition — the
+    *    blocked-DBSCAN contract, documented; a cross-cell ε-ball
+    *    neighbor a pure DBSCAN would see is out of scope by design,
+    *    exactly like D12's within-cluster dedup bar);
+    *  - core ⇔ ≥ `minPts` neighbors (self excluded);
+    *  - clusters = connected components of the core-core edge graph
+    *    (labels = min reachable core id — the D7 discipline);
+    *  - border = non-core with ≥ 1 core neighbor, adopting the MIN
+    *    core neighbor's component (deterministic under multi-core
+    *    reach); everything else is noise (cluster −1).
+    *
+    * Returns one row per vector: (vec_id, n_neighbors, role
+    * 2=core/1=border/0=noise, cluster).
+    *
+    * Scale shape: the pair relation pays the D12 within-cluster bound
+    * (never all-pairs) and materializes ONCE (localCheckpoint —
+    * referenced by degree, core-edge, and border legs); components run
+    * on the core-core subgraph through [[TextOps.connectedComponents]]
+    * (driver union-find under the 2²² gate, distributed pointer
+    * jumping above it); every later leg joins against bounded
+    * relations.
+    */
+  def dbscan(emb: DataFrame, cents: Array[Array[Long]],
+             epsCosMin: Long, minPts: Int): DataFrame = {
+    val assigned = emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+      .filter(col("cos_micro") >= epsCosMin)
+      .select("d1", "d2")
+      .localCheckpoint()
+    val deg = pairs.select(col("d1").as("v"), col("d2").as("u"))
+      .unionAll(pairs.select(col("d2").as("v"), col("d1").as("u")))
+    val degCount = deg.groupBy("v").agg(count(lit(1)).as("n_neighbors"))
+    val cores = degCount.filter(col("n_neighbors") >= minPts)
+      .select(col("v"))
+    val coreEdges = pairs
+      .join(cores.select(col("v").as("d1")), "d1")
+      .join(cores.select(col("v").as("d2")), "d2")
+      .select("d1", "d2")
+    val cc = TextOps.connectedComponents(coreEdges)
+    val coreLbl = cores
+      .join(cc, cores("v") === cc("doc_id"), "left")
+      .select(col("v").as("vec_id"),
+        coalesce(col("component"), col("v")).as("core_cluster"))
+    val borderLbl = deg
+      .join(coreLbl.select(col("vec_id").as("u"),
+        col("core_cluster").as("uc")), "u")
+      .groupBy("v").agg(min("uc").as("border_cluster"))
+    assigned.select("vec_id")
+      .join(degCount.select(col("v").as("vec_id"), col("n_neighbors")),
+        Seq("vec_id"), "left")
+      .join(coreLbl, Seq("vec_id"), "left")
+      .join(borderLbl.select(col("v").as("vec_id"),
+        col("border_cluster")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        when(col("core_cluster").isNotNull, 2L)
+          .when(col("border_cluster").isNotNull, 1L)
+          .otherwise(0L).as("role"),
+        coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
+          .as("cluster"))
+  }
+
   // ------------------------------------------- scalar quantization (V20)
 
   /** Per-element int8 codes under [[quantizeInt8]]'s law —

@@ -2285,7 +2285,103 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** V36: DBSCAN neighborhood bar (micro cosine ≥ 0.3 within the
+    * trained cell — the [[EmbedCosMin]] near-dup bar) and core density
+    * (≥ 3 neighbors, self excluded). At the corpus's cosine
+    * concentration (within-cell pairs center near 0) this yields the
+    * genuine three-way split: dense cores, attached borders, and a
+    * large noise majority — the "outlier candidate" read.
+    */
+  val DbscanCosMin = 300000L
+  val DbscanMinPts = 3
+
+  /** V36: deterministic cluster-blocked DBSCAN under the same trained
+    * codebook as q_ann_ivf — per-vector density role + component.
+    */
+  def qDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.dbscan(e, cents, DbscanCosMin, DbscanMinPts)
+      .orderBy("vec_id")
+  }
+
+  /** V36 oracle: the semDedup pair chain (threshold at the DBSCAN bar),
+    * mirrored degrees, core set, and the D7 recursive-reachability
+    * component chain over the core-core subgraph; border adoption is a
+    * MIN over core-neighbor components. Every multiply-referenced CTE
+    * is MATERIALIZED (the DuckDB 1.0 inline-expansion gotcha).
+    */
+  private val dbscanOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""${kmeansTrainedCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |dd AS MATERIALIZED (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |dpr AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (
+       |    SELECT p.d1, p.d2,
+       |      ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cm
+       |    FROM dd p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |               JOIN nrm n2 ON p.d2 = n2.vec_id
+       |  ) WHERE cm >= $DbscanCosMin
+       |),
+       |mir AS MATERIALIZED (
+       |  SELECT d1 AS v, d2 AS u FROM dpr
+       |  UNION ALL SELECT d2, d1 FROM dpr
+       |),
+       |dg AS MATERIALIZED (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS n_neighbors
+       |  FROM mir GROUP BY 1
+       |),
+       |cores AS MATERIALIZED (
+       |  SELECT v FROM dg WHERE n_neighbors >= $DbscanMinPts
+       |),
+       |cedges AS MATERIALIZED (
+       |  SELECT m.v AS a, m.u AS b FROM mir m
+       |  WHERE m.v IN (SELECT v FROM cores)
+       |    AND m.u IN (SELECT v FROM cores)
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM cedges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+       |),
+       |comp AS MATERIALIZED (
+       |  SELECT a AS v, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |corelbl AS MATERIALIZED (
+       |  SELECT c.v AS vec_id, COALESCE(k.component, c.v) AS core_cluster
+       |  FROM cores c LEFT JOIN comp k ON c.v = k.v
+       |),
+       |blbl AS MATERIALIZED (
+       |  SELECT m.v, min(cl.core_cluster) AS border_cluster
+       |  FROM mir m JOIN corelbl cl ON m.u = cl.vec_id
+       |  GROUP BY 1
+       |),
+       |ids AS (SELECT DISTINCT vec_id FROM embeddings)
+       |SELECT i.vec_id,
+       |  CAST(COALESCE(dg.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       |  CAST(CASE WHEN cl.vec_id IS NOT NULL THEN 2
+       |            WHEN bl.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS role,
+       |  CAST(COALESCE(cl.core_cluster, bl.border_cluster, -1) AS BIGINT)
+       |    AS cluster
+       |FROM ids i
+       |LEFT JOIN dg ON i.vec_id = dg.v
+       |LEFT JOIN corelbl cl ON i.vec_id = cl.vec_id
+       |LEFT JOIN blbl bl ON i.vec_id = bl.v
+       |ORDER BY i.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan"         -> (qDbscan _),
     "q_graph_ann"      -> (qGraphAnn _),
     "q_rrf"            -> (qRrf _),
     "q_sq_search"      -> (qSqSearch _),
@@ -2327,6 +2423,7 @@ object SimilarityQueries {
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_dbscan"         -> dbscanOracle,
     "q_graph_ann"      -> graphAnnOracle,
     "q_rrf"            -> rrfOracle,
     "q_sq_search"      -> sqSearchOracle,

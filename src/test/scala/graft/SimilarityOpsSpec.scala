@@ -1039,4 +1039,44 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(limits >= 2,
       s"expected WindowGroupLimit rank cuts on both arms:\n$plan")
   }
+
+  test("dbscan: core density, border adoption, cross-component " +
+    "isolation, mutual non-core pair and singleton read noise") {
+    // cell c0 = x-axis, cell c1 = z-axis (explicit milli codebook).
+    // eps = cos 0.9, minPts = 2:
+    //  a-triple (10,11,12) identical -> mutual cos 1.0, plus b1 at
+    //    cos ~.95 -> all core, one component labeled min id 10
+    //  b1 (20) cos ~.95 to each a, cos ~.97 to b2 -> 4 neighbors, core
+    //  b2 (21) only neighbor is b1 (cos to a ~.85 < .9) -> border,
+    //    adopts b1's component (10)
+    //  m-pair (30,31) identical -> 1 neighbor each, neither core, no
+    //    core neighbor -> BOTH noise (density, not connectivity)
+    //  n1 (40) isolated in c1 (cos ~.70 to m) -> noise, 0 neighbors
+    val e = emb(
+      (10L, Seq(1f, 0f, 0f, 0f), 0),
+      (11L, Seq(1f, 0f, 0f, 0f), 0),
+      (12L, Seq(1f, 0f, 0f, 0f), 0),
+      (20L, Seq(0.95f, 0.312f, 0f, 0f), 0),
+      (21L, Seq(0.85f, 0.527f, 0f, 0f), 0),
+      (30L, Seq(0f, 0f, 1f, 0f), 1),
+      (31L, Seq(0f, 0f, 1f, 0f), 1),
+      (40L, Seq(0f, 0f, 0.7f, -0.714f), 1))
+    val cents = Array(
+      Array(1000L, 0L, 0L, 0L),
+      Array(0L, 0L, 1000L, 0L))
+    val out = SimilarityOps
+      .dbscan(e, cents, epsCosMin = 900000L, minPts = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_neighbors"),
+        r.getAs[Long]("role"), r.getAs[Long]("cluster")))
+    assert(out.toSeq === Seq(
+      (10L, 3L, 2L, 10L),
+      (11L, 3L, 2L, 10L),
+      (12L, 3L, 2L, 10L),
+      (20L, 4L, 2L, 10L),
+      (21L, 1L, 1L, 10L),
+      (30L, 1L, 0L, -1L),
+      (31L, 1L, 0L, -1L),
+      (40L, 0L, 0L, -1L)))
+  }
 }
