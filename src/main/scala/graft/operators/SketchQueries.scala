@@ -387,19 +387,27 @@ object SketchQueries {
       .select("event_type", "cents", "h", "event_id")
   }
 
-  def quantileSketchCensus(ev: DataFrame): DataFrame = {
-    val sample = qsSample(ev)
+  /** Type-1 quantile estimates off any sample-shaped relation — the
+    * serving read shared by the batch census and the streaming
+    * [[graft.sources.QuantileStore]].
+    */
+  def qsEstimates(sample: DataFrame): DataFrame = {
     val kUsed = sample.groupBy("event_type")
       .agg(count(lit(1)).as("k_used"))
     val wV = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("cents", "h", "event_id")
-    val est = sample.withColumn("rs", row_number().over(wV))
+    sample.withColumn("rs", row_number().over(wV))
       .join(broadcast(kUsed), "event_type")
       .groupBy("event_type")
       .agg(max(col("k_used")).as("k_used"),
         QsPs.map(p => max(when(col("rs") - 1 ===
             expr(s"($p * (k_used - 1)) div 100"), col("cents")))
           .as(s"est_p$p")): _*)
+  }
+
+  def quantileSketchCensus(ev: DataFrame): DataFrame = {
+    val sample = qsSample(ev)
+    val est = qsEstimates(sample)
     val cen = ev.select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
