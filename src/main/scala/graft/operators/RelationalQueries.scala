@@ -3016,8 +3016,148 @@ object RelationalQueries {
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY lag""".stripMargin
 
+  // ------------------------------------------- z-order layout (R40)
+
+  /** R40: zone-map data-skipping audit across three physical layouts —
+    * THE 100 TB storage question ("which file layout lets a two-
+    * dimensional workload skip the most data?") answered with measured
+    * numbers instead of folklore. Rows are bucketed into 64 "files"
+    * three ways over the 8-bit (part, supp) key projections:
+    * arrival (orderkey mod 64 — insertion-time files, every dimension
+    * mixed), part-sorted (p8 div 4 — range files on ONE dimension),
+    * and Z-ORDER (top 6 bits of the 16-bit Morton interleave — range
+    * files on the space-filling curve). Each bucket's zone map
+    * (min/max of both dimensions) is probed with 8 evenly spaced
+    * point predicates per dimension; a bucket is scanned iff the
+    * probe lands inside its zone. The punchline is the measured
+    * asymmetry: single-dim sort skips almost everything on ITS
+    * dimension and nothing on the other, Z-order skips ~7/8 on BOTH —
+    * the balanced-workload argument for Morton layouts, as data.
+    *
+    * Exactness: bit extraction is integer div/mod arithmetic (shared
+    * term-for-term with the oracle); zones, hits, and row counts are
+    * exact integers; scan_ppm is one integer division.
+    *
+    * Scale shape: NO global sort anywhere — all three layouts bucket
+    * by RADIX (a projection), exactly how real writers assign
+    * range-files; one (layout, bucket) partial-agg Exchange builds
+    * the 192-row zone-map relation, and everything downstream (probe
+    * grid, hit census) is census-over-census with the 16-row probe
+    * grid broadcast. A deployment materializes the chosen layout with
+    * repartitionByRange + sortWithinPartitions; this query is the
+    * decision audit that picks it.
+    */
+  val ZorderBuckets = 64
+  val ZorderProbes: Seq[Int] = (0 until 8).map(j => 16 * j + 15)
+
+  /** The 16-bit Morton interleave of two 8-bit keys, as pure integer
+    * arithmetic both engines evaluate identically.
+    */
+  private def mortonExpr(p: String, s: String): String =
+    (0 until 8).map(i =>
+      s"((($p div ${1L << i}) % 2) * ${1L << (2 * i + 1)}) + " +
+        s"((($s div ${1L << i}) % 2) * ${1L << (2 * i)})")
+      .mkString(" + ")
+
+  private def mortonSql(p: String, s: String): String =
+    (0 until 8).map(i =>
+      s"((($p // ${1L << i}) % 2) * ${1L << (2 * i + 1)}) + " +
+        s"((($s // ${1L << i}) % 2) * ${1L << (2 * i)})")
+      .mkString(" + ")
+
+  def qZorder(spark: SparkSession, dir: String): DataFrame =
+    zorderAudit(Tables.lineitem(spark, dir), ZorderProbes)
+
+  /** The audit over any lineitem-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def zorderAudit(lineitem: DataFrame, probeVals: Seq[Int]): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val base = lineitem.select(
+      (col("l_partkey") % 256).as("p8"),
+      (col("l_suppkey") % 256).as("s8"),
+      col("l_orderkey"))
+      .withColumn("z", expr(mortonExpr("p8", "s8")))
+    val tagged = base.selectExpr(
+      s"stack(3, 'arrival', l_orderkey % $ZorderBuckets, " +
+        "'part_sorted', p8 div 4, " +
+        "'zorder', z div 1024) AS (layout, bucket)",
+      "p8", "s8")
+    val zones = tagged.groupBy("layout", "bucket").agg(
+      min("p8").as("min_p"), max("p8").as("max_p"),
+      min("s8").as("min_s"), max("s8").as("max_s"),
+      count(lit(1)).as("n"))
+    val totals = zones.groupBy("layout").agg(
+      count(lit(1)).as("buckets_total"), sum("n").as("rows_total"))
+    val probes = Seq("part", "supp").flatMap(d =>
+      probeVals.map(v => (d, v.toLong))).toDF("dim", "probe")
+    val hits = zones.join(broadcast(probes),
+      (col("dim") === "part" &&
+        col("probe").between(col("min_p"), col("max_p"))) ||
+      (col("dim") === "supp" &&
+        col("probe").between(col("min_s"), col("max_s"))))
+      .groupBy("layout", "dim", "probe")
+      .agg(count(lit(1)).as("buckets_hit"),
+        sum("n").as("rows_scanned"))
+    hits.join(totals, "layout")
+      .select(col("layout"), col("dim"), col("probe"),
+        col("buckets_hit"), col("buckets_total"), col("rows_scanned"),
+        col("rows_total"),
+        expr("(1000000 * rows_scanned) div rows_total")
+          .as("scan_ppm"))
+      .orderBy("layout", "dim", "probe")
+  }
+
+  private val zorderOracle = {
+    val probeRows = Seq("part", "supp").flatMap(d =>
+      ZorderProbes.map(v => s"('$d', CAST($v AS BIGINT))"))
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT l_partkey % 256 AS p8, l_suppkey % 256 AS s8,
+       |    l_orderkey, ${mortonSql("l_partkey % 256",
+                                    "l_suppkey % 256")} AS z
+       |  FROM lineitem
+       |),
+       |tagged AS (
+       |  SELECT 'arrival' AS layout, l_orderkey % $ZorderBuckets
+       |    AS bucket, p8, s8 FROM base
+       |  UNION ALL
+       |  SELECT 'part_sorted', p8 // 4, p8, s8 FROM base
+       |  UNION ALL
+       |  SELECT 'zorder', z // 1024, p8, s8 FROM base
+       |),
+       |zones AS (
+       |  SELECT layout, bucket, min(p8) AS min_p, max(p8) AS max_p,
+       |    min(s8) AS min_s, max(s8) AS max_s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM tagged GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT layout, CAST(count(*) AS BIGINT) AS buckets_total,
+       |    CAST(sum(n) AS BIGINT) AS rows_total
+       |  FROM zones GROUP BY 1
+       |),
+       |probes(dim, probe) AS (SELECT * FROM (VALUES $probeRows)),
+       |hits AS (
+       |  SELECT z.layout, p.dim, p.probe,
+       |    CAST(count(*) AS BIGINT) AS buckets_hit,
+       |    CAST(sum(z.n) AS BIGINT) AS rows_scanned
+       |  FROM zones z JOIN probes p
+       |    ON (p.dim = 'part' AND p.probe BETWEEN z.min_p AND z.max_p)
+       |    OR (p.dim = 'supp' AND p.probe BETWEEN z.min_s AND z.max_s)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT h.layout, h.dim, h.probe, h.buckets_hit,
+       |  t.buckets_total, h.rows_scanned, t.rows_total,
+       |  (1000000 * h.rows_scanned) // t.rows_total AS scan_ppm
+       |FROM hits h JOIN tot t USING (layout)
+       |ORDER BY h.layout, h.dim, h.probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_survival"        -> (qSurvival _),
+    "q_zorder"          -> (qZorder _),
     "q_cusum"           -> (qCusum _),
     "q_autocorr"        -> (qAutocorr _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
@@ -3064,6 +3204,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_survival"        -> survivalOracle,
+    "q_zorder"          -> zorderOracle,
     "q_cusum"           -> cusumOracle,
     "q_autocorr"        -> autocorrOracle,
     "q_latest_snapshot" -> latestSnapshotOracle,

@@ -390,6 +390,36 @@ class ScaleOpsSpec extends SparkSpec {
       (2L, 3L, 9L, 6L, 14L, 981980L)))
   }
 
+  test("zorderAudit: morton interleave, radix buckets per layout, " +
+    "zone-map hit counts, scan shares") {
+    // 4 rows: (p,s,orderkey) = (0,0,0),(3,0,1),(0,3,2),(255,255,3)
+    // morton z = 0, 10, 5, 65535
+    // arrival buckets: 0..3 (one row each)
+    // part_sorted: p div 4 -> bucket 0 {rows 1-3}, bucket 63 {row 4}
+    // zorder: z div 1024 -> bucket 0 {rows 1-3}, bucket 63 {row 4}
+    val li = Seq(
+      (0L, 0L, 0L), (3L, 0L, 1L), (0L, 3L, 2L), (255L, 255L, 3L))
+      .toDF("l_partkey", "l_suppkey", "l_orderkey")
+    val out = RelationalQueries.zorderAudit(li, Seq(0, 255)).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("dim"),
+        r.getAs[Long]("probe"), r.getAs[Long]("buckets_hit"),
+        r.getAs[Long]("buckets_total"), r.getAs[Long]("rows_scanned"),
+        r.getAs[Long]("rows_total"), r.getAs[Long]("scan_ppm")))
+    assert(out.toSeq === Seq(
+      ("arrival", "part", 0L, 2L, 4L, 2L, 4L, 500000L),
+      ("arrival", "part", 255L, 1L, 4L, 1L, 4L, 250000L),
+      ("arrival", "supp", 0L, 2L, 4L, 2L, 4L, 500000L),
+      ("arrival", "supp", 255L, 1L, 4L, 1L, 4L, 250000L),
+      ("part_sorted", "part", 0L, 1L, 2L, 3L, 4L, 750000L),
+      ("part_sorted", "part", 255L, 1L, 2L, 1L, 4L, 250000L),
+      ("part_sorted", "supp", 0L, 1L, 2L, 3L, 4L, 750000L),
+      ("part_sorted", "supp", 255L, 1L, 2L, 1L, 4L, 250000L),
+      ("zorder", "part", 0L, 1L, 2L, 3L, 4L, 750000L),
+      ("zorder", "part", 255L, 1L, 2L, 1L, 4L, 250000L),
+      ("zorder", "supp", 0L, 1L, 2L, 3L, 4L, 750000L),
+      ("zorder", "supp", 255L, 1L, 2L, 1L, 4L, 250000L)))
+  }
+
   test("rfmSegments: rank-picked quintile edges, tied customers merge " +
     "into one cell, census-threshold scores") {
     // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
