@@ -347,6 +347,46 @@ object MultimodalOps {
     }
   }
 
+  // ------------------------------- M10: audio zero-crossing rate (WAV)
+
+  case class ZcrStats(doc_id: Long, n_samples: Long, n_cross: Long,
+                      zcr_ppm: Long)
+
+  /** M10: per-doc zero-crossing-rate census over the decoded PCM16
+    * samples — the classic O(n) voiced/unvoiced + noisiness audio
+    * feature (high ZCR ≈ noise/fricatives, low ≈ tonal content), the
+    * time-domain complement to M5's energy windows. A crossing is a
+    * SIGN-CLASS change between consecutive samples with zero counted
+    * non-negative (the convention is part of the contract — ties must
+    * break identically in the decoder loop and the oracle's lag
+    * window). zcr_ppm = (10⁶ · crossings) div (n − 1): crossings per
+    * transition, integer-exact.
+    *
+    * Scale shape: the same batched `mapPartitions` decode as M5 (the
+    * vectorized-codec shape) — one scalar pass per blob, one row out
+    * per doc, no shuffle at all until the caller's orderBy.
+    */
+  def wavZeroCrossings(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[ZcrStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          var c = 0L
+          var i = 1
+          while (i < d.length) {
+            if ((d(i) >= 0) != (d(i - 1) >= 0)) c += 1
+            i += 1
+          }
+          val n = d.length.toLong
+          ZcrStats(rec.doc_id, n, c,
+            if (n > 1) (1000000L * c) / (n - 1) else 0L)
+        }
+      }
+    }
+  }
+
   /** The [[decodeWav]] chunk walk, returning the raw PCM16 samples —
     * shared parsing, per-frame consumers do their own math.
     */

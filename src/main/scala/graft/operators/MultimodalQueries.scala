@@ -40,6 +40,11 @@ object MultimodalQueries {
       MultimodalOps.mediaBinary(docs(spark, dir)))
       .toDF().orderBy("doc_id", "window_idx")
 
+  def qMediaZcr(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.wavZeroCrossings(
+      MultimodalOps.mediaBinary(docs(spark, dir)))
+      .toDF().orderBy("doc_id")
+
   def qMediaResize(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.bmpResizeStats(
       MultimodalOps.mediaBinary(docs(spark, dir)))
@@ -206,6 +211,39 @@ object MultimodalQueries {
        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
        |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin
 
+  /** M10 oracle: crossings recomputed from the WAV generative closed
+    * form via a per-doc lag window — zero counted NON-NEGATIVE on both
+    * sides (the decoder's `>= 0` sign class), ppm an integer division
+    * of exact integers.
+    */
+  private val mediaZcrOracle =
+    """WITH wav AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n
+      |  FROM documents WHERE doc_id % 2 = 1
+      |),
+      |s AS (
+      |  SELECT w.doc_id, g.i,
+      |    ((w.doc_id * 31 + g.i * 17) % 4096) - 2048 AS v
+      |  FROM wav w, unnest(range(0, w.n)) AS g(i)
+      |),
+      |x AS (
+      |  SELECT doc_id, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s
+      |),
+      |c AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |    CAST(sum(CASE WHEN pv IS NOT NULL
+      |                    AND ((v >= 0) <> (pv >= 0))
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT doc_id, n_samples, n_cross,
+      |  CASE WHEN n_samples > 1
+      |       THEN (1000000 * n_cross) // (n_samples - 1)
+      |       ELSE CAST(0 AS BIGINT) END AS zcr_ppm
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** M6 oracle: the 2× box filter replayed over the generative pixel
     * grid in IMAGE coordinates — the byte index of image row r is
     * `(h-1-r)·3w + 3c + ch` (bottom-up storage), so a decoder that
@@ -367,6 +405,7 @@ object MultimodalQueries {
     "q_media_features" -> (qMediaFeatures _),
     "q_media_dedup"    -> (qMediaDedup _),
     "q_media_energy"   -> (qMediaEnergy _),
+    "q_media_zcr"      -> (qMediaZcr _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
 
@@ -376,6 +415,7 @@ object MultimodalQueries {
     "q_media_features" -> mediaFeaturesOracle,
     "q_media_dedup"    -> mediaDedupOracle,
     "q_media_energy"   -> mediaEnergyOracle,
+    "q_media_zcr"      -> mediaZcrOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,

@@ -257,6 +257,39 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.toSeq === (selfRows ++ nearRows).sortBy(t => (t._1, t._2)))
   }
 
+  test("wavZeroCrossings: sign-class changes with zero non-negative, " +
+    "ppm per transition, single-sample reads zero") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    // [1,-1,0,-2,3]: every adjacent pair crosses (0 counts as
+    // NON-negative, so -1 -> 0 is a crossing) -> 4/4 transitions
+    // [5,7,0,2]: no negatives anywhere -> 0 crossings
+    // [9]: one sample, no transitions -> ppm 0 by contract
+    val blobs = Seq(
+      MediaBlob(1L, "wav", wav(Array[Short](1, -1, 0, -2, 3))),
+      MediaBlob(2L, "wav", wav(Array[Short](5, 7, 0, 2))),
+      MediaBlob(3L, "wav", wav(Array[Short](9)))).toDS()
+    val out = MultimodalOps.wavZeroCrossings(blobs)
+      .collect().sortBy(_.doc_id)
+      .map(z => (z.doc_id, z.n_samples, z.n_cross, z.zcr_ppm))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 4L, 1000000L),
+      (2L, 4L, 0L, 0L),
+      (3L, 1L, 0L, 0L)))
+  }
+
   test("magicSniff + magicCensus: bytes beat labels, garbage reads " +
     "unknown, fractions per declared row") {
     import sqlImplicits._
