@@ -321,6 +321,220 @@ object SketchQueries {
        |  ${Hashing.microSql("(est - n_exact) / n_exact")} AS err_ppm
        |FROM est ORDER BY source""".stripMargin
 
+  /** X65: KMV sketch size. */
+  val JcK = 64
+
+  /** X65: join-cardinality estimation from KMV sketches — the
+    * query-optimizer statistic behind every join-order decision,
+    * measured against its own ground truth: for each (fact key, dim
+    * key) pair, both sides' distinct-key KMV sketches (X49's bottom-k
+    * by md5) combine into the UNION sketch (bottom-k of the sketch
+    * union — the KMV semilattice), the overlap fraction ρ = |{h ∈ U :
+    * h ∈ SA ∧ h ∈ SB}| / k estimates the key-overlap cardinality as
+    * ρ·|A∪B|̂ (Beyer et al., SIGMOD 2007), and exact audit columns
+    * (n_a, n_b, true intersection) measure the error in-row. This is
+    * what a CBO does with column NDV sketches at plan time — here as
+    * an oracled census.
+    *
+    * Exactness: hashes and counts exact integers; the two cardinality
+    * estimates are the X49 fixed double tree (floor((k−1)·2⁶⁰/kth));
+    * est_inter = (matches · est_union) div k_used is an integer
+    * product-division; below capacity every branch degrades to exact.
+    *
+    * Scale shape: sketches build through the X49 prefilter (the
+    * h < 8k·2⁶⁰/n cut drops all but O(k) rows per side BEFORE the
+    * rank window) and plan as WindowGroupLimit; everything after the
+    * sketch relations is ≤ 3k rows per pair. The exact-intersection
+    * audit joins the distinct key-hash relations (dimension-bounded);
+    * a deployment drops the audit columns and keeps only sketch math.
+    */
+  def qJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      ("cust",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("k"))),
+      ("part",
+        Tables.lineitem(spark, dir).select(col("l_partkey").as("k")),
+        Tables.part(spark, dir).select(col("p_partkey").as("k"))),
+      ("supp",
+        Tables.lineitem(spark, dir).select(col("l_suppkey").as("k")),
+        Tables.supplier(spark, dir).select(col("s_suppkey").as("k"))))
+    joinCardCensus(pairs)
+  }
+
+  /** The census over any (pair, fact keys, dim keys) list — factored
+    * for the hand-computed spec.
+    */
+  def joinCardCensus(
+      pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    val pow60 = lit(1.152921504606846976e18)
+    def leg(p: String, side: String, df: DataFrame) =
+      df.select(lit(p).as("pair"), lit(side).as("side"),
+        md5Long(concat(lit("jc:"), col("k").cast("string"))).as("h"))
+    val hs = pairs.map { case (p, a, b) =>
+      leg(p, "a", a).unionByName(leg(p, "b", b))
+    }.reduce(_ unionByName _).distinct()
+    val exact = hs.groupBy("pair", "side").agg(count(lit(1)).as("n"))
+    val interExact = hs.filter(col("side") === "a")
+      .select(col("pair"), col("h"))
+      .join(hs.filter(col("side") === "b").select(col("pair"), col("h")),
+        Seq("pair", "h"))
+      .groupBy("pair").agg(count(lit(1)).as("n_inter_exact"))
+    val pref = hs.join(broadcast(exact), Seq("pair", "side"))
+      .filter(col("n") <= lit(8L * JcK) ||
+        col("h") < floor(lit(8.0 * JcK) * pow60 / col("n"))
+          .cast("long"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("pair", "side").orderBy("h")
+    val sk = pref.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= JcK).select("pair", "side", "h", "rn")
+    val kthSide = sk.filter(col("rn") === JcK)
+      .select(col("pair"), col("side"), col("h").as("kth"))
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("pair").orderBy("h")
+    val u = sk.select("pair", "h").distinct()
+      .withColumn("ru", row_number().over(wU))
+      .filter(col("ru") <= JcK)
+    val uStats = u.groupBy("pair").agg(count(lit(1)).as("k_used"),
+      max(when(col("ru") === JcK, col("h"))).as("kth_u"))
+    val matches = u.select("pair", "h")
+      .join(sk.filter(col("side") === "a").select("pair", "h"),
+        Seq("pair", "h"))
+      .join(sk.filter(col("side") === "b").select("pair", "h"),
+        Seq("pair", "h"))
+      .groupBy("pair").agg(count(lit(1)).as("n_match"))
+    val estSide = exact.join(kthSide, Seq("pair", "side"), "left")
+      .select(col("pair"), col("side"), col("n"),
+        when(col("n") < JcK, col("n"))
+          .otherwise(floor(lit((JcK - 1).toDouble) * pow60 /
+            col("kth")).cast("long")).as("est"))
+    def pick(side: String, c: String, as: String) =
+      estSide.filter(col("side") === side)
+        .select(col("pair"), col(c).as(as))
+    val estU = uStats.select(col("pair"), col("k_used"),
+      when(col("k_used") < JcK, col("k_used"))
+        .otherwise(floor(lit((JcK - 1).toDouble) * pow60 /
+          col("kth_u")).cast("long")).as("est_union"))
+    pick("a", "n", "n_a").join(pick("b", "n", "n_b"), "pair")
+      .join(interExact, Seq("pair"), "left")
+      .join(pick("a", "est", "est_a"), "pair")
+      .join(pick("b", "est", "est_b"), "pair")
+      .join(estU, "pair")
+      .join(matches, Seq("pair"), "left")
+      .withColumn("n_inter_exact",
+        coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .withColumn("est_inter",
+        expr("(n_match * est_union) div k_used"))
+      .withColumn("err_ppm",
+        when(col("n_inter_exact") > 0,
+          Hashing.micro((col("est_inter") - col("n_inter_exact")) /
+            col("n_inter_exact"))).otherwise(0L))
+      .select("pair", "n_a", "n_b", "n_inter_exact", "est_a", "est_b",
+        "k_used", "est_union", "n_match", "est_inter", "err_ppm")
+      .orderBy("pair")
+  }
+
+  private val jcOracle: String = {
+    val k = JcK
+    def legSql(p: String, key: String, table: String) =
+      s"""SELECT '$p' AS pair, '${if (table == "lineitem" ||
+        table == "orders") "a" else "b"}' AS side,
+         |  ${Hashing.md5LongSql(s"'jc:' || CAST($key AS VARCHAR)")} AS h
+         |FROM $table""".stripMargin
+    s"""WITH hs AS (
+       |  ${legSql("cust", "o_custkey", "orders")}
+       |  UNION
+       |  ${legSql("cust", "c_custkey", "customer")}
+       |  UNION
+       |  ${legSql("part", "l_partkey", "lineitem")}
+       |  UNION
+       |  ${legSql("part", "p_partkey", "part")}
+       |  UNION
+       |  ${legSql("supp", "l_suppkey", "lineitem")}
+       |  UNION
+       |  ${legSql("supp", "s_suppkey", "supplier")}
+       |),
+       |ex AS (SELECT pair, side, CAST(count(*) AS BIGINT) AS n
+       |       FROM hs GROUP BY 1, 2),
+       |ie AS (
+       |  SELECT a.pair, CAST(count(*) AS BIGINT) AS n_inter_exact
+       |  FROM hs a JOIN hs b ON a.pair = b.pair AND a.h = b.h
+       |   AND a.side = 'a' AND b.side = 'b'
+       |  GROUP BY 1
+       |),
+       |pref AS (
+       |  SELECT s.pair, s.side, s.h
+       |  FROM hs s JOIN ex e USING (pair, side)
+       |  WHERE e.n <= ${8 * k}
+       |     OR s.h < CAST(floor(CAST(${8 * k} AS DOUBLE) * $pow60
+       |                         / e.n) AS BIGINT)
+       |),
+       |sk AS (
+       |  SELECT pair, side, h, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pair, side
+       |      ORDER BY h) AS rn FROM pref
+       |  ) WHERE rn <= $k
+       |),
+       |kth AS (SELECT pair, side, h AS kth FROM sk WHERE rn = $k),
+       |u AS (
+       |  SELECT pair, h, ru FROM (
+       |    SELECT pair, h, row_number() OVER (PARTITION BY pair
+       |      ORDER BY h) AS ru
+       |    FROM (SELECT DISTINCT pair, h FROM sk)
+       |  ) WHERE ru <= $k
+       |),
+       |us AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS k_used,
+       |    max(CASE WHEN ru = $k THEN h END) AS kth_u
+       |  FROM u GROUP BY 1
+       |),
+       |mt AS (
+       |  SELECT u.pair, CAST(count(*) AS BIGINT) AS n_match
+       |  FROM u JOIN sk a ON u.pair = a.pair AND u.h = a.h
+       |     AND a.side = 'a'
+       |  JOIN sk b ON u.pair = b.pair AND u.h = b.h AND b.side = 'b'
+       |  GROUP BY 1
+       |),
+       |es AS (
+       |  SELECT e.pair, e.side, e.n,
+       |    CASE WHEN e.n < $k THEN e.n
+       |         ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * $pow60
+       |                         / kt.kth) AS BIGINT) END AS est
+       |  FROM ex e LEFT JOIN kth kt USING (pair, side)
+       |),
+       |eu AS (
+       |  SELECT pair, k_used,
+       |    CASE WHEN k_used < $k THEN k_used
+       |         ELSE CAST(floor(CAST(${k - 1} AS DOUBLE) * $pow60
+       |                         / kth_u) AS BIGINT) END AS est_union
+       |  FROM us
+       |),
+       |f AS (
+       |  SELECT ea.pair, ea.n AS n_a, eb.n AS n_b,
+       |    COALESCE(ie.n_inter_exact, 0) AS n_inter_exact,
+       |    ea.est AS est_a, eb.est AS est_b, eu.k_used, eu.est_union,
+       |    COALESCE(mt.n_match, 0) AS n_match,
+       |    (COALESCE(mt.n_match, 0) * eu.est_union) // eu.k_used
+       |      AS est_inter
+       |  FROM es ea
+       |  JOIN es eb ON ea.pair = eb.pair
+       |   AND ea.side = 'a' AND eb.side = 'b'
+       |  JOIN eu ON ea.pair = eu.pair
+       |  LEFT JOIN ie ON ea.pair = ie.pair
+       |  LEFT JOIN mt ON ea.pair = mt.pair
+       |)
+       |SELECT pair, n_a, n_b,
+       |  CAST(n_inter_exact AS BIGINT) AS n_inter_exact, est_a, est_b,
+       |  k_used, est_union, CAST(n_match AS BIGINT) AS n_match,
+       |  CAST(est_inter AS BIGINT) AS est_inter,
+       |  CASE WHEN n_inter_exact > 0
+       |       THEN ${Hashing.microSql(
+                  "(est_inter - n_inter_exact) / n_inter_exact")}
+       |       ELSE CAST(0 AS BIGINT) END AS err_ppm
+       |FROM f ORDER BY pair""".stripMargin
+  }
+
   /** X64: mergeable quantile sketch — the missing member of the sketch
     * family (CMS counts, Bloom membership, KMV distincts, HLL rows-only
     * distincts; THIS one: quantiles). The exact census quantiles
@@ -503,6 +717,7 @@ object SketchQueries {
     "q_bloom" -> (qBloom _),
     "q_kmv" -> (qKmv _),
     "q_qsketch" -> (qQuantileSketch _),
+    "q_join_card" -> (qJoinCard _),
     "q_hll" -> (qHll _))
 
   /** q_hll has no oracle entry by design — see [[qHll]]. */
@@ -510,5 +725,6 @@ object SketchQueries {
     "q_cms" -> cmsOracle,
     "q_bloom" -> bloomOracle,
     "q_kmv" -> kmvOracle,
-    "q_qsketch" -> qsOracle)
+    "q_qsketch" -> qsOracle,
+    "q_join_card" -> jcOracle)
 }

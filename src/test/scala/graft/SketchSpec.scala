@@ -160,6 +160,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("joinCardCensus: exact branch below capacity, sketch estimate " +
+    "in the sampling band above it, deterministic") {
+    import spark.implicits._
+    def keys(r: Range) = r.map(_.toLong).toDF("k")
+    // small: 40 vs 40 keys, 20 overlap — everything under k = 64, so
+    // every branch degrades to exact
+    // big: 1000 vs 1000 keys, 500 overlap of a 1500-key union — the
+    // sketch actually estimates; ρ ~ Binomial(64, 1/3)/64 and the
+    // union KMV carries ~12% relative error, so a generous 5-sigma
+    // band is [150, 1200]
+    val pairs = Seq(
+      ("big", keys(1 to 1000), keys(501 to 1500)),
+      ("small", keys(1 to 40), keys(21 to 60)))
+    val out = SketchQueries.joinCardCensus(pairs).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_inter_exact"),
+        r.getAs[Long]("k_used"), r.getAs[Long]("est_inter")))
+    val small = out.find(_._1 == "small").get
+    assert(small === ("small", 40L, 40L, 20L, 60L, 20L))
+    val big = out.find(_._1 == "big").get
+    assert((big._2, big._3, big._4, big._5) === (1000L, 1000L, 500L, 64L))
+    assert(big._6 >= 150L && big._6 <= 1200L,
+      s"big est_inter ${big._6} outside the sampling band")
+    val rerun = SketchQueries.joinCardCensus(pairs).collect()
+      .map(r => r.toSeq)
+    assert(rerun.toSeq === SketchQueries.joinCardCensus(pairs)
+      .collect().map(_.toSeq).toSeq)
+  }
+
   test("q_qsketch plans the sample as WindowGroupLimit " +
     "(capacity-bounded partials)") {
     val ev = Tables.events(spark, dir)
