@@ -1777,6 +1777,44 @@ object SimilarityOps {
           .as("cluster"))
   }
 
+  /** V37: the k-means model-selection curve — the spherical-k-means
+    * objective (sum over vectors of the best-centroid score in the
+    * kernel's norm-scaled units, 10⁶·|vm|·cos — the V17 convention;
+    * HIGHER = tighter, the cosine analog of negative inertia) measured
+    * at several codebook sizes, plus the balance columns (clusters
+    * actually used, largest cluster) that catch the degenerate fits a
+    * bare objective hides. The "pick k" decision every IVF/SemDeDup/
+    * blocking deployment makes — as an oracled census instead of a
+    * rule of thumb.
+    *
+    * Each k trains its own codebook through [[kmeansCodebook]] (the
+    * deterministic md5-seeded integer trainer), so the oracle replays
+    * every trajectory via chained CTEs — the q_pq_recall discipline.
+    *
+    * Scale shape: per k, ONE corpus scan through the compiled
+    * assign/score kernels into a (cluster) partial agg; the curve is
+    * a ks.length-row union of 1-row rollups. Training cost is the
+    * documented per-k driver loop (bounded codebook tables).
+    */
+  def kmeansElbow(emb: DataFrame, ks: Seq[Int], rounds: Int)
+  : DataFrame =
+    ks.map { k =>
+      val cents = kmeansCodebook(emb, k, rounds)
+      emb.select(
+        assignCluster(col("embedding"), cents).as("cluster"),
+        graft.functions.KmeansScore.kmeansScore(col("embedding"), cents)
+          .as("score"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum("score").as("ssc"))
+        .agg(sum("n").as("n_vectors"),
+          sum("ssc").as("sum_score_micro"),
+          count(lit(1)).as("n_clusters_used"),
+          max("n").as("max_cluster_n"))
+        .select(lit(k.toLong).as("k"), col("n_vectors"),
+          col("sum_score_micro"), col("n_clusters_used"),
+          col("max_cluster_n"))
+    }.reduce(_ unionByName _)
+
   // ------------------------------------------- scalar quantization (V20)
 
   /** Per-element int8 codes under [[quantizeInt8]]'s law —

@@ -2380,7 +2380,53 @@ object SimilarityQueries {
        |ORDER BY i.vec_id""".stripMargin
   }
 
+  /** V37: codebook sizes the elbow curve is measured at. */
+  val ElbowKs: Seq[Int] = Seq(2, 5, 10)
+
+  /** V37: spherical-k-means objective + balance per codebook size. */
+  def qElbow(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kmeansElbow(emb(spark, dir), ElbowKs,
+      SimilarityOps.KmRounds).orderBy("k")
+
+  /** V37 oracle: one full training-trajectory replay per k (prefixed
+    * CTE chains, the q_pq_recall discipline), then the assigned-score
+    * rollup per k unioned into the curve.
+    */
+  private val elbowOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    val chains = ElbowKs.map(k =>
+      kmeansCtesFor(s"e$k", k, 1, 1 << 20)).mkString(",\n")
+    val rowCtes = ElbowKs.map { k =>
+      s"""e${k}cl AS (
+         |  SELECT a.vec_id, a.cid, s.score
+         |  FROM e${k}a$rounds a JOIN e${k}sc$rounds s
+         |    ON a.vec_id = s.vec_id AND a.cid = s.cid
+         |),
+         |e${k}by AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(score) AS BIGINT) AS ssc
+         |  FROM e${k}cl GROUP BY 1
+         |),
+         |e${k}row AS (
+         |  SELECT CAST($k AS BIGINT) AS k,
+         |    CAST(sum(n) AS BIGINT) AS n_vectors,
+         |    CAST(sum(ssc) AS BIGINT) AS sum_score_micro,
+         |    CAST(count(*) AS BIGINT) AS n_clusters_used,
+         |    CAST(max(n) AS BIGINT) AS max_cluster_n
+         |  FROM e${k}by
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = ElbowKs.map(k => s"SELECT * FROM e${k}row")
+      .mkString("\nUNION ALL\n")
+    s"""$evCte,
+       |$chains,
+       |$rowCtes
+       |$union
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_elbow"          -> (qElbow _),
     "q_dbscan"         -> (qDbscan _),
     "q_graph_ann"      -> (qGraphAnn _),
     "q_rrf"            -> (qRrf _),
@@ -2423,6 +2469,7 @@ object SimilarityQueries {
     "q_topk_per_label" -> (qTopkPerLabel _))
 
   val oracles: Map[String, String] = Map(
+    "q_elbow"          -> elbowOracle,
     "q_dbscan"         -> dbscanOracle,
     "q_graph_ann"      -> graphAnnOracle,
     "q_rrf"            -> rrfOracle,

@@ -1040,6 +1040,40 @@ class SimilarityOpsSpec extends SparkSpec {
       s"expected WindowGroupLimit rank cuts on both arms:\n$plan")
   }
 
+  test("kmeansElbow: identical corpus collapses to one used cluster " +
+    "at every k with exact unit scores; deterministic") {
+    // all vectors identical: every centroid is the same direction, so
+    // ties send every vector to the SMALLEST cid (the rank-1 tie
+    // order) -> n_clusters_used = 1; each score is exactly 1e9 in the
+    // kernel's norm-scaled units (1e6 * |vm| * cos, |vm| = 1000 here)
+    val e = emb((1 to 6).map(i => (i.toLong, Seq(1f, 0f, 0f), 0)): _*)
+    val out = SimilarityOps.kmeansElbow(e, Seq(1, 2, 4), rounds = 2)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("sum_score_micro"),
+        r.getAs[Long]("n_clusters_used"),
+        r.getAs[Long]("max_cluster_n")))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 6000000000L, 1L, 6L),
+      (2L, 6L, 6000000000L, 1L, 6L),
+      (4L, 6L, 6000000000L, 1L, 6L)))
+    // real-shaped data: structural invariants + determinism
+    val mixed = emb((1 to 12).map(i =>
+      (i.toLong, Seq((i % 3).toFloat + 0.1f, (i % 4).toFloat,
+        (i % 5).toFloat), i % 2)): _*)
+    val rows = SimilarityOps.kmeansElbow(mixed, Seq(2, 4), rounds = 2)
+      .orderBy("k").collect().map(_.toSeq)
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r(1) === 12L)
+      assert(r(3).asInstanceOf[Long] <= r(0).asInstanceOf[Long])
+      assert(r(4).asInstanceOf[Long] <= 12L)
+    }
+    val rerun = SimilarityOps.kmeansElbow(mixed, Seq(2, 4), rounds = 2)
+      .orderBy("k").collect().map(_.toSeq)
+    assert(rerun.toSeq === rows.toSeq)
+  }
+
   test("dbscan: core density, border adoption, cross-component " +
     "isolation, mutual non-core pair and singleton read noise") {
     // cell c0 = x-axis, cell c1 = z-axis (explicit milli codebook).
