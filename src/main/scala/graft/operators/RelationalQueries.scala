@@ -3155,8 +3155,101 @@ object RelationalQueries {
        |ORDER BY h.layout, h.dim, h.probe""".stripMargin
   }
 
+  // --------------------------------------------------- FK audit (R41)
+
+  /** R41: referential-integrity audit across the star schema — the
+    * dbt-test staple ("does every fact row have its dimension row, and
+    * which dimension rows are dead?") as one census over all four FK
+    * relationships: per relationship, child/parent row counts, child
+    * DISTINCT keys, orphan children (FK with no parent — the
+    * join-loses-rows bug found BEFORE the join), childless parents
+    * (dead dimension rows — the candidates for pruning), and the
+    * orphan ppm. On clean TPC-H-shaped data every orphan count reads
+    * 0 — the audit's value is that it MEASURES that instead of
+    * assuming it.
+    *
+    * Exactness: pure counts off distinct-key anti/semi joins; ppm is
+    * one integer division.
+    *
+    * Scale shape: each relationship aggregates the child side to its
+    * DISTINCT keys first (one partial-agg Exchange over the fact
+    * table), so the orphan/childless legs join key relations bounded
+    * by dimension cardinality — the fact table is never joined raw;
+    * at 100 TB the child distinct is the same pre-aggregate every
+    * dimension join already needs.
+    */
+  def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rels = Seq(
+      ("lineitem_orders", li.select(col("l_orderkey").as("k")),
+        Tables.orders(spark, dir).select(col("o_orderkey").as("k"))),
+      ("lineitem_part", li.select(col("l_partkey").as("k")),
+        Tables.part(spark, dir).select(col("p_partkey").as("k"))),
+      ("lineitem_supplier", li.select(col("l_suppkey").as("k")),
+        Tables.supplier(spark, dir).select(col("s_suppkey").as("k"))),
+      ("orders_customer",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("k"))))
+    fkAudit(rels)
+  }
+
+  /** The audit over any (name, child keys, parent keys) list —
+    * factored for the hand-computed spec.
+    */
+  def fkAudit(rels: Seq[(String, DataFrame, DataFrame)]): DataFrame =
+    rels.map { case (name, child, parent) =>
+      val ck = child.groupBy("k").agg(count(lit(1)).as("c"))
+      val pk = parent.select("k").distinct()
+      val tot = child.agg(count(lit(1)).as("n_child"))
+      val dk = ck.agg(count(lit(1)).as("n_child_keys"))
+      val np = pk.agg(count(lit(1)).as("n_parent"))
+      val orphans = ck.join(pk, Seq("k"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("orphan_keys"),
+          coalesce(sum("c"), lit(0L)).as("orphan_rows"))
+      val childless = pk.join(ck, Seq("k"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("childless_parents"))
+      tot.crossJoin(dk).crossJoin(np).crossJoin(orphans)
+        .crossJoin(childless)
+        .select(lit(name).as("rel"), col("n_child"),
+          col("n_child_keys"), col("n_parent"), col("orphan_keys"),
+          col("orphan_rows"), col("childless_parents"),
+          expr("(1000000 * orphan_rows) div n_child").as("orphan_ppm"))
+    }.reduce(_ unionByName _).orderBy("rel")
+
+  private val fkAuditOracle = {
+    def relSql(name: String, ck: String, ct: String, pk: String,
+               pt: String) =
+      s"""SELECT '$name' AS rel, t.n_child, d.n_child_keys, p.n_parent,
+         |  o.orphan_keys, o.orphan_rows, cl.childless_parents,
+         |  (1000000 * o.orphan_rows) // t.n_child AS orphan_ppm
+         |FROM
+         |  (SELECT CAST(count(*) AS BIGINT) AS n_child FROM $ct) t,
+         |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT) AS n_child_keys
+         |   FROM $ct) d,
+         |  (SELECT CAST(count(DISTINCT $pk) AS BIGINT) AS n_parent
+         |   FROM $pt) p,
+         |  (SELECT CAST(COALESCE(count(*), 0) AS BIGINT) AS orphan_keys,
+         |     CAST(COALESCE(sum(c), 0) AS BIGINT) AS orphan_rows
+         |   FROM (SELECT $ck AS k, count(*) AS c FROM $ct GROUP BY 1) c0
+         |   WHERE c0.k NOT IN (SELECT $pk FROM $pt)) o,
+         |  (SELECT CAST(count(*) AS BIGINT) AS childless_parents
+         |   FROM (SELECT DISTINCT $pk AS k FROM $pt) p0
+         |   WHERE p0.k NOT IN (SELECT $ck FROM $ct)) cl""".stripMargin
+    Seq(
+      relSql("lineitem_orders", "l_orderkey", "lineitem",
+        "o_orderkey", "orders"),
+      relSql("lineitem_part", "l_partkey", "lineitem",
+        "p_partkey", "part"),
+      relSql("lineitem_supplier", "l_suppkey", "lineitem",
+        "s_suppkey", "supplier"),
+      relSql("orders_customer", "o_custkey", "orders",
+        "c_custkey", "customer"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_survival"        -> (qSurvival _),
+    "q_fk_audit"        -> (qFkAudit _),
     "q_zorder"          -> (qZorder _),
     "q_cusum"           -> (qCusum _),
     "q_autocorr"        -> (qAutocorr _),
@@ -3204,6 +3297,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_survival"        -> survivalOracle,
+    "q_fk_audit"        -> fkAuditOracle,
     "q_zorder"          -> zorderOracle,
     "q_cusum"           -> cusumOracle,
     "q_autocorr"        -> autocorrOracle,

@@ -420,6 +420,28 @@ class ScaleOpsSpec extends SparkSpec {
       ("zorder", "supp", 255L, 1L, 2L, 1L, 4L, 250000L)))
   }
 
+  test("fkAudit: orphan children, childless parents, duplicate child " +
+    "keys, ppm") {
+    // child rows [1,1,2,3,9] vs parents [1..5]: key 9 is an orphan
+    // (1 key, 1 row), parents 4 and 5 are childless
+    val child = Seq(1L, 1L, 2L, 3L, 9L).toDF("k")
+    val parent = (1L to 5L).toDF("k")
+    val out = RelationalQueries
+      .fkAudit(Seq(("t", child, parent))).collect()
+      .map(r => (r.getAs[String]("rel"), r.getAs[Long]("n_child"),
+        r.getAs[Long]("n_child_keys"), r.getAs[Long]("n_parent"),
+        r.getAs[Long]("orphan_keys"), r.getAs[Long]("orphan_rows"),
+        r.getAs[Long]("childless_parents"),
+        r.getAs[Long]("orphan_ppm")))
+    assert(out.toSeq === Seq(("t", 5L, 4L, 5L, 1L, 1L, 2L, 200000L)))
+    // a clean relationship reads all-zero violations
+    val clean = RelationalQueries
+      .fkAudit(Seq(("c", Seq(1L, 2L).toDF("k"), Seq(1L, 2L).toDF("k"))))
+      .collect().head
+    assert(clean.getAs[Long]("orphan_rows") === 0L)
+    assert(clean.getAs[Long]("childless_parents") === 0L)
+  }
+
   test("rfmSegments: rank-picked quintile edges, tied customers merge " +
     "into one cell, census-threshold scores") {
     // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
