@@ -1361,6 +1361,107 @@ object ScaleProbe {
         }
       }
     }
+
+    // ---- round-10 operators: closed-form invariants at 1x and kx ----
+    {
+      import graft.operators.{RelationalQueries, SketchQueries}
+      val events = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val lineitem = graft.sources.Tables.lineitem(spark, dir)
+
+      // survival: replicating every USER k-fold scales deaths/censored/
+      // at-risk by exactly k per duration day, and the hazard curve is
+      // BIT-IDENTICAL ((1e6·kd) div (kn) ≡ (1e6·d) div n — same
+      // rational) — Nelson-Aalen is duplication-blind in rates.
+      {
+        val base = RelationalQueries.survivalCensus(events, 14)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        var rep: Array[(Long, Long, Long, Long, Long, Long)] =
+          Array.empty
+        time(s"survival_${k}x") {
+          rep = RelationalQueries
+            .survivalCensus(replicate(events, "user_id", k), 14)
+            .collect().map(r => (r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.map { case (d, de, ce, ar, h, ch) =>
+          (d, de * k, ce * k, ar * k, h, ch) }.toSeq,
+          s"survival hazard curve must be duplication-blind at ${k}x")
+      }
+
+      // cusum: k-fold replication scales counts and the days-scaled
+      // statistic by k, leaves score_micro and the changepoint day
+      // bit-identical (same rational |S'|/(D·T)).
+      {
+        val base = RelationalQueries.cusumCensus(events).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        var rep: Array[(String, Long, Long, Long, Long, Long)] =
+          Array.empty
+        time(s"cusum_${k}x") {
+          rep = RelationalQueries
+            .cusumCensus(replicate(events, "event_id", k)).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5)))
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.map { case (d, n, c, s, sc, f) =>
+          (d, n * k, c * k, s * k, sc, f) }.toSeq,
+          s"cusum score/changepoint must be volume-homogeneous at ${k}x")
+      }
+
+      // zorder: replicating rows (fresh orderkeys, same part/supp keys)
+      // leaves the part_sorted and zorder zone maps IDENTICAL — same
+      // buckets hit, same scan shares, rows scaled k. (Arrival buckets
+      // depend on the new orderkeys by design and are excluded.)
+      {
+        def nonArrival(df: DataFrame) = df
+          .filter(col("layout") =!= "arrival").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getLong(7)))
+        val base = nonArrival(RelationalQueries
+          .zorderAudit(lineitem, RelationalQueries.ZorderProbes))
+        var rep: Array[(String, String, Long, Long, Long, Long, Long,
+          Long)] = Array.empty
+        time(s"zorder_${k}x") {
+          rep = nonArrival(RelationalQueries.zorderAudit(
+            replicate(lineitem, "l_orderkey", k),
+            RelationalQueries.ZorderProbes))
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.map {
+          case (l, d, p, bh, bt, rs, rt, ppm) =>
+            (l, d, p, bh, bt, rs * k, rt * k, ppm) }.toSeq,
+          s"zorder zone maps must be replica-invariant at ${k}x")
+      }
+
+      // join_card: the KMV estimates read DISTINCT key hashes, so
+      // duplicating every row k-fold changes NOTHING — the whole
+      // census is bit-identical (duplication-blindness, the X49/KMV
+      // property carried into the join estimator).
+      {
+        def keys(df: DataFrame, c: String) = df.select(col(c).as("k"))
+        val pairs = Seq(("cust",
+          keys(graft.sources.Tables.orders(spark, dir), "o_custkey"),
+          keys(graft.sources.Tables.customer(spark, dir), "c_custkey")))
+        val base = SketchQueries.joinCardCensus(pairs).collect()
+          .map(_.toSeq)
+        var rep: Array[Seq[Any]] = Array.empty
+        time(s"join_card_${k}x") {
+          val dup = pairs.map { case (n, a, b) =>
+            (n, (1 to k).map(_ => a).reduce(_ unionAll _),
+              (1 to k).map(_ => b).reduce(_ unionAll _)) }
+          rep = SketchQueries.joinCardCensus(dup).collect()
+            .map(_.toSeq)
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.toSeq,
+          s"join_card estimates must be duplication-blind at ${k}x")
+      }
+    }
     spark.stop()
   }
 }

@@ -371,6 +371,10 @@ object SketchQueries {
     def leg(p: String, side: String, df: DataFrame) =
       df.select(lit(p).as("pair"), lit(side).as("side"),
         md5Long(concat(lit("jc:"), col("k").cast("string"))).as("h"))
+    // three consumers re-derive this relation; a cache was measured
+    // NEUTRAL at sf0.1 (the cost sits in the exact-intersection join
+    // and the sketch windows, not the hash scans), so the plan stays
+    // cache-free — the deployment form drops the exact audit anyway
     val hs = pairs.map { case (p, a, b) =>
       leg(p, "a", a).unionByName(leg(p, "b", b))
     }.reduce(_ unionByName _).distinct()
