@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
 import graft.functions.Hashing.{micro, microSql}
 import graft.sources.Tables
 
@@ -3247,8 +3248,142 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
   }
 
+  // ----------------------------------------- compaction plan (R42)
+
+  /** R42: number of simulated small files (the key-mod grouping below)
+    * and the target rows per compacted file.
+    */
+  val CompactionFiles = 1024
+  val CompactionTarget = 4096L
+
+  /** R42: small-file compaction planning — the OPTIMIZE/compaction
+    * command's decision step as an oracled census: given the per-file
+    * row census (simulated as l_orderkey mod 1024 — the "thousands of
+    * tiny files" state every streaming sink drifts into), assign files
+    * to compacted bins by NEXT-FIT over the (rows DESC, file) order:
+    * bin = floor(cum_before / target), a pure window computation —
+    * deterministic, one pass, and within max-file-size of the target
+    * per bin (the classic next-fit bound), vs first-fit-decreasing's
+    * sequential state that cannot be expressed as a window. Output =
+    * per-bin file count, rows, and fill ppm — the before/after story
+    * (1024 files → ~⌈total/target⌉ bins) a compaction job reports.
+    *
+    * Exactness: all integers; fill_ppm = (10⁶·rows) div target.
+    *
+    * Scale shape: ONE (file) partial-agg Exchange builds the file
+    * census; the planning windows run over that bounded census (files,
+    * not rows); actual data movement is the separate rewrite job this
+    * plan feeds.
+    */
+  def qCompaction(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") % CompactionFiles).as("file_id")),
+      CompactionTarget)
+
+  /** The plan over any (file_id) row stream — factored for the
+    * hand-computed spec.
+    */
+  def compactionPlan(rows: DataFrame, target: Long): DataFrame = {
+    val files = rows.groupBy("file_id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("n").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("bin", expr(s"(cum - n) div $target"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("n").as("rows_total"))
+      .withColumn("fill_ppm",
+        expr(s"(1000000 * rows_total) div $target"))
+      .orderBy("bin")
+  }
+
+  private val compactionOracle =
+    s"""WITH f AS (
+       |  SELECT l_orderkey % $CompactionFiles AS file_id,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lineitem GROUP BY 1
+       |),
+       |r AS (
+       |  SELECT file_id, n,
+       |    CAST(sum(n) OVER (ORDER BY n DESC, file_id) AS BIGINT)
+       |      AS cum
+       |  FROM f
+       |)
+       |SELECT (cum - n) // $CompactionTarget AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(n) AS BIGINT) AS rows_total,
+       |  (1000000 * CAST(sum(n) AS BIGINT)) // $CompactionTarget
+       |    AS fill_ppm
+       |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------- bucket skew (R43)
+
+  /** R43: candidate bucket counts the skew audit is measured at. */
+  val SkewBucketCounts: Seq[Int] = Seq(32, 256, 1024)
+
+  /** R43: hash-bucket skew audit — the partition-count decision
+    * (shuffle partitions, bucketBy N, file layout) as measured data:
+    * for each candidate bucket count, hash the join key (md5, the
+    * engine-portable hash) and census the buckets — buckets used,
+    * largest bucket, total rows, and the skew ratio max/ideal in ppm
+    * (10⁶ = perfectly balanced). Rising skew_ppm with N is how a
+    * too-fine bucketing reads BEFORE it becomes stragglers; the
+    * salting dial (R15) is the remedy this audit says when to apply.
+    *
+    * Exactness: counts exact; skew_ppm = (10⁶·max·N) div total.
+    *
+    * Scale shape: one scan fans out ×|counts| via stack (the R40
+    * discipline), one (nb, bucket) partial-agg Exchange bounded by
+    * Σ counts buckets; rollups are 3 rows.
+    */
+  def qBucketSkew(spark: SparkSession, dir: String): DataFrame =
+    bucketSkew(Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("k")), SkewBucketCounts)
+
+  /** The audit over any single-key frame — factored for the spec. */
+  def bucketSkew(keys: DataFrame, counts: Seq[Int]): DataFrame = {
+    val h = Hashing.md5Long(concat(lit("sk:"), col("k").cast("string")))
+    val stacked = keys.withColumn("h", h)
+      .selectExpr(s"stack(${counts.length}, " +
+        counts.map(n => s"$n, h % $n").mkString(", ") +
+        ") AS (nb, bucket)")
+    val census = stacked.groupBy("nb", "bucket")
+      .agg(count(lit(1)).as("n"))
+    census.groupBy("nb")
+      .agg(count(lit(1)).as("buckets_used"), max("n").as("max_n"),
+        sum("n").as("total"))
+      .withColumn("skew_ppm",
+        expr("(1000000 * max_n * nb) div total"))
+      .select(col("nb").cast("long").as("nb"), col("buckets_used"),
+        col("max_n"), col("total"), col("skew_ppm"))
+      .orderBy("nb")
+  }
+
+  private val bucketSkewOracle = {
+    val h = Hashing.md5LongSql("'sk:' || CAST(l_partkey AS VARCHAR)")
+    val legs = SkewBucketCounts.map(n =>
+      s"SELECT $n AS nb, $h % $n AS bucket FROM lineitem")
+      .mkString("\nUNION ALL\n")
+    s"""WITH st AS (
+       |$legs
+       |),
+       |cen AS (
+       |  SELECT nb, bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM st GROUP BY 1, 2
+       |)
+       |SELECT CAST(nb AS BIGINT) AS nb,
+       |  CAST(count(*) AS BIGINT) AS buckets_used,
+       |  CAST(max(n) AS BIGINT) AS max_n,
+       |  CAST(sum(n) AS BIGINT) AS total,
+       |  (1000000 * max(n) * nb) // CAST(sum(n) AS BIGINT) AS skew_ppm
+       |FROM cen GROUP BY nb ORDER BY nb""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_survival"        -> (qSurvival _),
+    "q_compaction"      -> (qCompaction _),
+    "q_bucket_skew"     -> (qBucketSkew _),
     "q_fk_audit"        -> (qFkAudit _),
     "q_zorder"          -> (qZorder _),
     "q_cusum"           -> (qCusum _),
@@ -3297,6 +3432,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_survival"        -> survivalOracle,
+    "q_compaction"      -> compactionOracle,
+    "q_bucket_skew"     -> bucketSkewOracle,
     "q_fk_audit"        -> fkAuditOracle,
     "q_zorder"          -> zorderOracle,
     "q_cusum"           -> cusumOracle,

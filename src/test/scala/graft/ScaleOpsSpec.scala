@@ -442,6 +442,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(clean.getAs[Long]("childless_parents") === 0L)
   }
 
+  test("compactionPlan: next-fit over decreasing sizes, bin cuts at " +
+    "the target offset, fill ppm") {
+    // sizes 7,7,4,2 at target 10: cum 7,14,18,20 -> bins (cum-n) div 10
+    // = 0,0,1,1 -> bin0 {7,7}=14 rows 140%, bin1 {4,2}=6 rows 60%
+    val rows = Seq.fill(7)(1L) ++ Seq.fill(7)(2L) ++
+      Seq.fill(4)(3L) ++ Seq.fill(2)(4L)
+    val out = RelationalQueries
+      .compactionPlan(rows.toDF("file_id"), target = 10L).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("rows_total"), r.getAs[Long]("fill_ppm")))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 14L, 1400000L),
+      (1L, 2L, 6L, 600000L)))
+  }
+
+  test("bucketSkew: totals conserve, degenerate single bucket is " +
+    "perfectly balanced, skew never below ideal, deterministic") {
+    val keys = (1L to 100L).toDF("k")
+    val out = RelationalQueries.bucketSkew(keys, Seq(1, 4)).collect()
+      .map(r => (r.getAs[Long]("nb"), r.getAs[Long]("buckets_used"),
+        r.getAs[Long]("max_n"), r.getAs[Long]("total"),
+        r.getAs[Long]("skew_ppm")))
+    val one = out.find(_._1 == 1L).get
+    assert(one === (1L, 1L, 100L, 100L, 1000000L))
+    val four = out.find(_._1 == 4L).get
+    assert(four._4 === 100L)
+    assert(four._2 <= 4L && four._3 >= 25L)
+    assert(four._5 >= 1000000L)
+    val rerun = RelationalQueries.bucketSkew(keys, Seq(1, 4)).collect()
+      .map(_.toSeq)
+    assert(rerun.toSeq === RelationalQueries.bucketSkew(keys, Seq(1, 4))
+      .collect().map(_.toSeq).toSeq)
+  }
+
   test("rfmSegments: rank-picked quintile edges, tied customers merge " +
     "into one cell, census-threshold scores") {
     // c_k (k = 1..5): k orders on day 2024-01-(11-k), each k*100.00
