@@ -586,6 +586,75 @@ object SimilarityOps {
         micro(coalesce(col("hits"), lit(0L)) / lit(k)).as("recall_micro"))
   }
 
+  /** V38: the IVF cost-vs-recall curve — [[annRecall]]'s recall column
+    * joined by the number the serving decision actually trades against:
+    * VISITED candidates per (query, nProbe), i.e. the fraction of the
+    * corpus an nProbe-deep probe list scans (the IVF counterpart of
+    * q_graph_ann's visited-count discipline). Together the two columns
+    * are the knee plot that picks nProbe in production.
+    *
+    * Scale shape: identical to [[annRecall]] (one scored corpus scan
+    * cached for truth + candidates; probe ranks a bounded broadcast);
+    * the visited census is one extra partial agg over the SAME
+    * candidate relation the top-k already reads.
+    */
+  def ivfCostCurve(emb: DataFrame, queryMax: Long,
+                   cents: Array[Array[Long]], nProbes: Seq[Int],
+                   k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        assignCluster(col("embedding"), cents).as("cluster"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .cache()
+    val qvm = emb.filter(col("vec_id") < queryMax)
+      .select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+      .collect()
+    val prank = qvm.toSeq.flatMap { r =>
+      val vm = r.getSeq[Long](1).toArray
+      cents.indices.sortBy(j => (-centScoreLocal(vm, cents(j)), j))
+        .zipWithIndex.map { case (j, rank) =>
+          (r.getLong(0), j.toLong, (rank + 1).toLong)
+        }
+    }.toDF("query_id", "cluster", "prank")
+    val np = nProbes.map(_.toLong).toDF("nprobe")
+    def topk(df: DataFrame, parts: Seq[String]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts.map(col): _*)
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+    val cand = scored.join(broadcast(prank), Seq("query_id", "cluster"))
+      .crossJoin(broadcast(np))
+      .filter(col("prank") <= col("nprobe"))
+      .cache()
+    val visited = cand.groupBy("query_id", "nprobe")
+      .agg(count(lit(1)).as("visited"))
+    val truth = topk(scored, Seq("query_id"))
+      .select("query_id", "vec_id")
+    val hits = topk(cand, Seq("query_id", "nprobe"))
+      .join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id", "nprobe").agg(count(lit(1)).as("hits"))
+    val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
+    queries.select("query_id").crossJoin(broadcast(np))
+      .join(visited, Seq("query_id", "nprobe"), "left")
+      .join(hits, Seq("query_id", "nprobe"), "left")
+      .crossJoin(broadcast(nCorpus))
+      .withColumn("visited", coalesce(col("visited"), lit(0L)))
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .select(col("query_id"), col("nprobe"), col("visited"),
+        expr("(1000000 * visited) div (n_corpus - 1)")
+          .as("visited_ppm"),
+        col("hits"), micro(col("hits") / lit(k)).as("recall_micro"))
+  }
+
   /** Embedding-space data mix: cluster the corpus with the trained
     * codebook, then report each cluster's population share and the
     * balanced-sampling weight (uniform target share / actual share)

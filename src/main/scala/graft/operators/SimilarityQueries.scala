@@ -2425,8 +2425,104 @@ object SimilarityQueries {
        |ORDER BY k""".stripMargin
   }
 
+  /** V38: the IVF cost-vs-recall knee plot under the same trained
+    * codebook and probe grid as q_ann_recall — what each probe depth
+    * COSTS (visited corpus fraction) next to what it BUYS (recall@k).
+    */
+  def qIvfCost(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.ivfCostCurve(e, BatchQueryMax, cents, RecallProbes,
+      TopK).orderBy("query_id", "nprobe")
+  }
+
+  /** V38 oracle: the q_ann_recall chain plus a visited census over the
+    * same candidate relation and the corpus-size ppm division.
+    */
+  private val ivfCostOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    val npVals = RecallProbes.map(p => s"($p)").mkString(", ")
+    s"""$kmeansTrainedCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY score DESC, cid) AS BIGINT)
+       |      AS prank
+       |  FROM sc$rounds WHERE vec_id < $BatchQueryMax
+       |),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |qcm AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM qd d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |             JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM qcm
+       |  ) WHERE rn <= $TopK
+       |),
+       |np(nprobe) AS (SELECT CAST(v.c AS BIGINT)
+       |               FROM (VALUES $npVals) v(c)),
+       |cand AS MATERIALIZED (
+       |  SELECT n.nprobe, q.query_id, q.vec_id, q.cos_micro
+       |  FROM qcm q
+       |  JOIN a$rounds a ON q.vec_id = a.vec_id
+       |  JOIN probes p ON p.query_id = q.query_id AND p.cid = a.cid
+       |  CROSS JOIN np n
+       |  WHERE p.prank <= n.nprobe
+       |),
+       |vis AS (
+       |  SELECT query_id, nprobe, CAST(count(*) AS BIGINT) AS visited
+       |  FROM cand GROUP BY 1, 2
+       |),
+       |ann AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT nprobe, query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id, nprobe
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM cand
+       |  ) WHERE rn <= $TopK
+       |),
+       |h AS (
+       |  SELECT a.query_id, a.nprobe, count(*) AS hits
+       |  FROM ann a JOIN truth t
+       |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+       |       FROM embeddings),
+       |grid AS (
+       |  SELECT q.query_id, n.nprobe
+       |  FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |        WHERE vec_id < $BatchQueryMax) q CROSS JOIN np n
+       |)
+       |SELECT g.query_id, g.nprobe,
+       |  CAST(COALESCE(v.visited, 0) AS BIGINT) AS visited,
+       |  (1000000 * CAST(COALESCE(v.visited, 0) AS BIGINT))
+       |    // (nc.n_corpus - 1) AS visited_ppm,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  ${Hashing.microSql(s"COALESCE(h.hits, 0) / $TopK")}
+       |    AS recall_micro
+       |FROM grid g
+       |LEFT JOIN vis v ON g.query_id = v.query_id
+       |  AND g.nprobe = v.nprobe
+       |LEFT JOIN h ON g.query_id = h.query_id AND g.nprobe = h.nprobe
+       |CROSS JOIN nc
+       |ORDER BY g.query_id, g.nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_elbow"          -> (qElbow _),
+    "q_ivf_cost"       -> (qIvfCost _),
     "q_dbscan"         -> (qDbscan _),
     "q_graph_ann"      -> (qGraphAnn _),
     "q_rrf"            -> (qRrf _),
@@ -2470,6 +2566,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_elbow"          -> elbowOracle,
+    "q_ivf_cost"       -> ivfCostOracle,
     "q_dbscan"         -> dbscanOracle,
     "q_graph_ann"      -> graphAnnOracle,
     "q_rrf"            -> rrfOracle,

@@ -1074,6 +1074,33 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rerun.toSeq === rows.toSeq)
   }
 
+  test("ivfCostCurve: visited counts per probe depth, full-probe row " +
+    "reads the whole corpus at recall 1") {
+    // cluster 0 = x-axis {0,1,2}, cluster 1 = z-axis {3,4,5};
+    // query 0: probe rank c0 then c1. truth top-2 = {1 (cos 1),
+    // 2 (cos .8)} both in c0 -> nprobe=1: visited 2 of 5 (400000 ppm),
+    // recall 1; nprobe=2: visited 5 (1000000 ppm), recall 1
+    val e = emb(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.8f, 0.6f, 0f, 0f), 0),
+      (3L, Seq(0f, 0f, 1f, 0f), 1),
+      (4L, Seq(0f, 0f, 1f, 0f), 1),
+      (5L, Seq(0f, 0f, 0.9f, 0.1f), 1))
+    val cents = Array(
+      Array(1000L, 0L, 0L, 0L),
+      Array(0L, 0L, 1000L, 0L))
+    val out = SimilarityOps
+      .ivfCostCurve(e, queryMax = 1L, cents, Seq(1, 2), k = 2)
+      .orderBy("nprobe").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nprobe"),
+        r.getAs[Long]("visited"), r.getAs[Long]("visited_ppm"),
+        r.getAs[Long]("hits"), r.getAs[Long]("recall_micro")))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 2L, 400000L, 2L, 1000000L),
+      (0L, 2L, 5L, 1000000L, 2L, 1000000L)))
+  }
+
   test("dbscan: core density, border adoption, cross-component " +
     "isolation, mutual non-core pair and singleton read noise") {
     // cell c0 = x-axis, cell c1 = z-axis (explicit milli codebook).
