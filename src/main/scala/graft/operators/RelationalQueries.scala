@@ -3232,10 +3232,11 @@ object RelationalQueries {
          |  (SELECT CAST(COALESCE(count(*), 0) AS BIGINT) AS orphan_keys,
          |     CAST(COALESCE(sum(c), 0) AS BIGINT) AS orphan_rows
          |   FROM (SELECT $ck AS k, count(*) AS c FROM $ct GROUP BY 1) c0
-         |   WHERE c0.k NOT IN (SELECT $pk FROM $pt)) o,
+         |   WHERE NOT EXISTS (SELECT 1 FROM $pt WHERE $pk = c0.k)) o,
          |  (SELECT CAST(count(*) AS BIGINT) AS childless_parents
          |   FROM (SELECT DISTINCT $pk AS k FROM $pt) p0
-         |   WHERE p0.k NOT IN (SELECT $ck FROM $ct)) cl""".stripMargin
+         |   WHERE NOT EXISTS (SELECT 1 FROM $ct WHERE $ck = p0.k)) cl"""
+        .stripMargin
     Seq(
       relSql("lineitem_orders", "l_orderkey", "lineitem",
         "o_orderkey", "orders"),

@@ -643,7 +643,11 @@ object SimilarityOps {
       .join(truth, Seq("query_id", "vec_id"))
       .groupBy("query_id", "nprobe").agg(count(lit(1)).as("hits"))
     val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
-    queries.select("query_id").crossJoin(broadcast(np))
+    // The curve is bounded (queries × nProbes rows): materialize it
+    // eagerly so BOTH corpus-sized caches (scored, cand) can be
+    // released HERE instead of accumulating executor storage across a
+    // bench run — the pqServe resid.unpersist() discipline.
+    val curve = queries.select("query_id").crossJoin(broadcast(np))
       .join(visited, Seq("query_id", "nprobe"), "left")
       .join(hits, Seq("query_id", "nprobe"), "left")
       .crossJoin(broadcast(nCorpus))
@@ -653,6 +657,10 @@ object SimilarityOps {
         expr("(1000000 * visited) div (n_corpus - 1)")
           .as("visited_ppm"),
         col("hits"), micro(col("hits") / lit(k)).as("recall_micro"))
+      .localCheckpoint(eager = true)
+    cand.unpersist()
+    scored.unpersist()
+    curve
   }
 
   /** Embedding-space data mix: cluster the corpus with the trained

@@ -61,9 +61,15 @@ object CusumMonitor {
                         batchId: Long): DataFrame = {
     import spark.implicits._
     val zero = Seq((0L, 0L)).toDF("s_pos", "s_neg")
-    val dir = new java.io.File(monitorDir)
-    val hasRows = dir.exists() && dir.listFiles() != null &&
-      dir.listFiles().exists(_.getName.startsWith("batch_id="))
+    // Resolve through the Hadoop FileSystem API, not java.io.File: the
+    // monitor directory may live on HDFS/S3/DBFS where a local-File
+    // probe always reads false and every batch would silently fold
+    // from zero state.
+    val path = new org.apache.hadoop.fs.Path(monitorDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    val hasRows = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
     if (!hasRows) zero
     else {
       val prev = spark.read
@@ -81,9 +87,12 @@ object CusumMonitor {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          processBatch(spark, batch, monitorDir, batchId, mu0, slack,
-            threshold)
+        // Empty batches are folded as n=0, NOT skipped: a rate collapse
+        // to zero is the strongest possible down-shift evidence and
+        // must advance s_neg. Replay convergence is guaranteed by the
+        // per-batch_id overwrite, not by an emptiness guard.
+        processBatch(spark, batch, monitorDir, batchId, mu0, slack,
+          threshold)
       }
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()

@@ -48,6 +48,16 @@ class CusumMonitorSpec extends SparkSpec {
     assert(monitorRows(dir).toSeq === expected)
   }
 
+  test("empty batches fold as n=0 and accumulate the down-shift side") {
+    val dir = Files.createTempDirectory("graft-cusum-empty").toString
+    val empty = rows(0, 0L).toDF("event_id", "event_type")
+    // n=0 per batch: s_neg += mu0 - 0 - slack = 8 → 8, 16(ALARM)
+    CusumMonitor.processBatch(spark, empty, dir, 0L, mu0, slack, h)
+    CusumMonitor.processBatch(spark, empty, dir, 1L, mu0, slack, h)
+    assert(monitorRows(dir).toSeq ===
+      Seq((0L, 0L, 8L, false), (0L, 0L, 16L, true)))
+  }
+
   test("replayed batch re-reads its predecessor and rewrites an " +
     "identical row") {
     val dir = Files.createTempDirectory("graft-cusum-replay").toString
