@@ -716,12 +716,147 @@ object SketchQueries {
        |ORDER BY e.event_type""".stripMargin
   }
 
+  // ------------------------------------ Misra-Gries heavy hitters (X66)
+
+  /** MG counter budget (max survivors per summary) and the shard-model
+    * bucket count (a power of two: [[MgLevels]] pairwise merge levels
+    * collapse the [[MgBuckets]] shard summaries to one).
+    */
+  val MgK = 16
+  val MgBuckets = 8
+  val MgLevels = 3
+
+  /** One Misra-Gries summarize/merge step: given (group, token, c)
+    * counter rows, subtract the (k+1)-th largest counter value in each
+    * group from every counter and keep the positive ones — at most k
+    * survive (everything tied with the (k+1)-th largest collapses to
+    * zero). This is the MERGE operation of the mergeable-summaries
+    * formulation (Agarwal et al., PODS 2012): summing two summaries'
+    * counters then applying this step preserves the MG guarantee
+    * err ≤ N/(k+1), which is why the sketch can be built shard-by-shard
+    * and combined in any tree.
+    *
+    * Determinism: the subtrahend is the VALUE at rank k+1 under
+    * (c DESC, token) — a multiset property, unaffected by tie order.
+    */
+  def mgStep(rows: DataFrame, group: Column): DataFrame = {
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(col("c").desc, col("token"))
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy(group)
+    rows.select(group.as("bucket"), col("token"), col("c"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("t",
+        max(when(col("rn") === MgK + 1, col("c")).otherwise(lit(0L)))
+          .over(wGrp))
+      .filter(col("c") - col("t") > 0)
+      .select(col("bucket"), col("token"), (col("c") - col("t")).as("c"))
+  }
+
+  /** X66: the mergeable frequent-items sketch — the deterministic
+    * heavy-hitters member of the sketch family (X5 CMS estimates ANY
+    * key's count; this maintains the top-k candidate SET under a fixed
+    * k-counter budget, the Misra-Gries/SpaceSaving shape every
+    * streaming top-k uses). The corpus token census is sharded into
+    * [[MgBuckets]] deterministic hash buckets (the stand-in for "one
+    * summary per input shard" — bucket identity is a function of the
+    * token, so the result is independent of physical partitioning),
+    * each bucket census is MG-summarized to [[MgK]] counters, and the
+    * shard summaries merge pairwise up a fixed binary tree. Every
+    * true heavy hitter with frequency > N/(k+1) is GUARANTEED to
+    * survive, and each survivor's counter underestimates its true
+    * count by at most N/(k+1) — both facts audited in-row (`err`
+    * against `bound`).
+    *
+    * Exactness: counters are exact integers end-to-end; each merge
+    * subtracts a rank-(k+1) VALUE (tie-proof); the oracle replays the
+    * identical tree as chained MATERIALIZED CTEs.
+    *
+    * Scale shape: the only corpus-sized work is the (token, partial)
+    * census Exchange (vocab-bounded, map-side combined); bucket
+    * summaries are windows over that census; every merge level touches
+    * ≤ MgBuckets·MgK rows. In deployment the per-shard summaries come
+    * from per-partition streams and this exact merge runs as the
+    * reduce — capacity-bounded partials, the X64/T13 property with
+    * counters instead of samples.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersCensus(Tables.documents(spark, dir)
+      .select("doc_id", "text"))
+
+  def heavyHittersCensus(docs: DataFrame): DataFrame = {
+    // three consumers (shard summaries, truth join, total) — cache the
+    // vocab-bounded census so the corpus scans once (the minhash `sh`
+    // discipline; Verify/Bench clearCache between queries)
+    val census = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .cache()
+    val sharded = census
+      .withColumn("bucket", md5Long(col("token")) % MgBuckets)
+    val merged = (0 until MgLevels).foldLeft(
+      mgStep(sharded, col("bucket"))) { (acc, _) =>
+      val summed = acc.groupBy(expr("bucket div 2").as("bucket"),
+        col("token")).agg(sum("c").as("c"))
+      mgStep(summed, col("bucket"))
+    }
+    val tot = census.agg(sum("c").as("n_total"))
+    census.join(broadcast(merged.select(col("token"),
+        col("c").as("mg_count"))), "token")
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("mg_count"), col("c").as("true_count"),
+        (col("c") - col("mg_count")).as("err"),
+        expr(s"n_total div ${MgK + 1}").as("bound"))
+      .orderBy(col("mg_count").desc, col("token"))
+  }
+
+  private val heavyOracle: String = {
+    val h = Hashing.md5LongSql("token")
+    // one MG summarize/merge step over (bucket, token, c) rows
+    def step(src: String, grp: String): String =
+      s"""  SELECT bucket, token, c - t AS c FROM (
+         |    SELECT bucket, token, c,
+         |      max(CASE WHEN rn = ${MgK + 1} THEN c ELSE 0 END)
+         |        OVER (PARTITION BY bucket) AS t
+         |    FROM (
+         |      SELECT $grp AS bucket, token, c,
+         |        row_number() OVER (PARTITION BY $grp
+         |          ORDER BY c DESC, token) AS rn
+         |      FROM $src
+         |    )
+         |  ) WHERE c - t > 0""".stripMargin
+    val levels = (1 to MgLevels).map { l =>
+      s""",
+         |s$l AS MATERIALIZED (
+         |${step(
+        s"(SELECT bucket // 2 AS bucket, token, sum(c) AS c " +
+          s"FROM s${l - 1} GROUP BY 1, 2)", "bucket")}
+         |)""".stripMargin
+    }.mkString
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |),
+       |cen AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c,
+       |    $h % $MgBuckets AS bucket
+       |  FROM tok GROUP BY 1
+       |),
+       |s0 AS MATERIALIZED (
+       |${step("cen", "bucket")}
+       |)$levels,
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cen)
+       |SELECT cen.token, f.c AS mg_count, cen.c AS true_count,
+       |  cen.c - f.c AS err, tot.n_total // ${MgK + 1} AS bound
+       |FROM s$MgLevels f JOIN cen ON f.token = cen.token, tot
+       |ORDER BY mg_count DESC, cen.token""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms" -> (qCms _),
     "q_bloom" -> (qBloom _),
     "q_kmv" -> (qKmv _),
     "q_qsketch" -> (qQuantileSketch _),
     "q_join_card" -> (qJoinCard _),
+    "q_heavy" -> (qHeavyHitters _),
     "q_hll" -> (qHll _))
 
   /** q_hll has no oracle entry by design — see [[qHll]]. */
@@ -730,5 +865,6 @@ object SketchQueries {
     "q_bloom" -> bloomOracle,
     "q_kmv" -> kmvOracle,
     "q_qsketch" -> qsOracle,
-    "q_join_card" -> jcOracle)
+    "q_join_card" -> jcOracle,
+    "q_heavy" -> heavyOracle)
 }

@@ -53,6 +53,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_autocorr",       // daily census x broadcast 3-row lag grid
     "q_zorder",         // 192-row zone maps x broadcast 16-row probes
     "q_fk_audit",       // five 1-row audit aggregates cross-joined
+    "q_heavy",          // broadcast one-row corpus token total N
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids
     "q_ab_test",        // broadcast one-row arm-totals relation
     "q_mips",           // broadcast single query vector + one-row tau

@@ -199,4 +199,65 @@ class SketchSpec extends SparkSpec {
     assert(limits >= 2,
       s"expected partial+final WindowGroupLimit around the Exchange:\n$p")
   }
+
+  test("mgStep: hand-computed summarize — subtract the rank-17 value, " +
+    "keep the positive 16") {
+    import sqlImplicits._
+    // 18 counters 20..3 in one group: rank-17 value is 4, so survivors
+    // are the 16 counters > 4, each decremented by 4
+    val rows = (0 until 18).map(i => (0L, f"t$i%02d", 20L - i))
+      .toDF("bucket", "token", "c")
+    val got = SketchQueries.mgStep(rows, col("bucket"))
+      .orderBy(desc("c"), col("token"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    val want = (0 until 16).map(i => (f"t$i%02d", 16L - i))
+    assert(got === want)
+  }
+
+  test("mgStep: ties with the rank-17 value collapse to zero " +
+    "(value-threshold is tie-proof)") {
+    import sqlImplicits._
+    // 20 counters: 3 heavies (100) + 17 tied at 5 — the rank-17 value
+    // is 5, every tied counter drops, survivors are exactly the heavies
+    val rows = ((0 until 3).map(i => (0L, s"h$i", 100L)) ++
+      (0 until 17).map(i => (0L, f"s$i%02d", 5L)))
+      .toDF("bucket", "token", "c")
+    val got = SketchQueries.mgStep(rows, col("bucket"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("h0", 95L), ("h1", 95L), ("h2", 95L)))
+  }
+
+  test("q_heavy: MG guarantee — every counter underestimates by at " +
+    "most N/(k+1), and every token above the bound survives") {
+    import sqlImplicits._
+    // dominant tokens + uniform background noise tokens
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta n${i % 37} m${i % 29} x$i")
+    }.toDF("doc_id", "text")
+    val out = SketchQueries.heavyHittersCensus(docs).collect()
+    assert(out.length <= SketchQueries.MgK)
+    val bound = out.head.getAs[Long]("bound")
+    out.foreach { r =>
+      val err = r.getAs[Long]("err")
+      assert(err >= 0 && err <= bound,
+        s"${r.getString(0)}: err=$err bound=$bound")
+      assert(r.getAs[Long]("true_count") - r.getAs[Long]("mg_count")
+        === err)
+    }
+    // alpha and beta each have true count 60 > bound = 300/17 = 17 —
+    // the MG guarantee says they MUST be in the summary
+    val kept = out.map(_.getString(0)).toSet
+    assert(kept.contains("alpha") && kept.contains("beta"))
+  }
+
+  test("q_heavy: summary is partitioning-invariant (bucket identity " +
+    "is a token function, not a layout function)") {
+    val direct = SketchQueries.qHeavyHitters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val shuffled = SketchQueries.heavyHittersCensus(
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .repartition(17))
+      .collect().map(_.toSeq).toSeq
+    assert(direct === shuffled)
+  }
 }
