@@ -3017,6 +3017,147 @@ object RelationalQueries {
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY lag""".stripMargin
 
+  // ---------------------------------------------- Theil–Sen trend (R44)
+
+  /** Offset that makes every slope floor-division operand positive:
+    * Spark `div` and DuckDB `//` agree only on non-negative operands,
+    * so floor((num + K·den)/den) − K computes the true floor for
+    * negative numerators too. K·den stays far below Long range
+    * (den ≤ calendar days, num ≤ 10⁶·daily volume).
+    */
+  val TheilsenOffset = 10000000000000L
+
+  /** R44: Theil–Sen robust trend over the daily event volume — the
+    * median of all pairwise slopes (y_j−y_i)/(d_j−d_i), the estimator
+    * with a 29.3 % breakdown point that one crawler outage day cannot
+    * drag the way it drags least squares (the volume series' R24/R32
+    * models assume a trend input somebody sanity-checked; this is the
+    * sanity check). The same row carries the OLS slope from the exact
+    * power sums, so the robust-vs-LS gap — the outlier influence
+    * itself — is measured in-row.
+    *
+    * Exactness: day index d = day − min(day) (calendar days, exact
+    * integers); each pair slope is ONE positive-operand floor division
+    * via [[TheilsenOffset]]; medians are lower medians — the VALUE at
+    * row_number rank (m+1) div 2 under a fully tie-broken order
+    * (slope, d1, d2) / (b, d); the intercept census is integer
+    * arithmetic (med_i of 10⁶·y_i − slope·d_i); the OLS slope is one
+    * micro-floored division of exact integer moment sums.
+    *
+    * Scale shape: ONE (day) partial-agg Exchange builds the daily
+    * census; the pair relation is the calendar-bounded census
+    * self-joined (≤ D²/2 rows where D = distinct days — bounded by
+    * the calendar, not the data); both median windows and the moment
+    * rollup run over census-sized relations; every join after the
+    * census is a broadcast of one-row or D-row relations.
+    */
+  def qTheilsen(spark: SparkSession, dir: String): DataFrame =
+    theilsenCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def theilsenCensus(ev: DataFrame): DataFrame = {
+    val k = TheilsenOffset
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val d0 = daily.agg(min("day").as("day0"))
+    val idx = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("day0")).cast("long").as("d"),
+        col("n").as("y"))
+    val a = idx.select(col("d").as("d1"), col("y").as("y1"))
+    val b = idx.select(col("d").as("d2"), col("y").as("y2"))
+    val pairs = a.join(b, col("d2") > col("d1"))
+      .withColumn("slope_micro",
+        expr(s"((1000000 * (y2 - y1) + $k * (d2 - d1)) div (d2 - d1))" +
+          s" - $k"))
+    val wAllP = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSlope = Window.partitionBy(lit(0))
+      .orderBy(col("slope_micro"), col("d1"), col("d2"))
+    val slope = pairs
+      .withColumn("m", count(lit(1)).over(wAllP))
+      .withColumn("rs", row_number().over(wSlope))
+      .filter(col("rs") === expr("(m + 1) div 2"))
+      .select(col("slope_micro"), col("m").as("n_pairs"))
+    val wB = Window.partitionBy(lit(0)).orderBy(col("b"), col("d"))
+    val intercept = idx.crossJoin(broadcast(slope))
+      .withColumn("b", lit(1000000L) * col("y") -
+        col("slope_micro") * col("d"))
+      .withColumn("nd", count(lit(1)).over(wAllP))
+      .withColumn("rb", row_number().over(wB))
+      .filter(col("rb") === expr("(nd + 1) div 2"))
+      .select(col("slope_micro"), col("n_pairs"),
+        col("b").as("intercept_micro"), col("nd").as("n_days"))
+    val moments = idx.agg(max("d").as("d_max"),
+      sum("d").as("sd"), sum("y").as("sy"),
+      sum(col("d") * col("y")).as("sdy"),
+      sum(col("d") * col("d")).as("sdd"),
+      count(lit(1)).as("nd2"))
+    intercept.crossJoin(broadcast(moments))
+      .withColumn("ols_slope_micro",
+        when(col("nd2") * col("sdd") - col("sd") * col("sd") > 0,
+          micro((col("nd2") * col("sdy") - col("sd") * col("sy")) /
+            (col("nd2") * col("sdd") - col("sd") * col("sd"))))
+          .otherwise(lit(0L)))
+      .select(col("n_days"), col("n_pairs"), col("slope_micro"),
+        col("intercept_micro"), col("ols_slope_micro"),
+        (col("slope_micro") * col("d_max") + col("intercept_micro"))
+          .as("pred_last_micro"))
+  }
+
+  private val theilsenOracle = {
+    val k = TheilsenOffset
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |d0 AS (SELECT min(day) AS day0 FROM daily),
+       |idx AS MATERIALIZED (
+       |  SELECT CAST(daily.day - d0.day0 AS BIGINT) AS d,
+       |         daily.n AS y
+       |  FROM daily, d0),
+       |p AS (
+       |  SELECT a.d AS d1, b.d AS d2, a.y AS y1, b.y AS y2,
+       |    ((1000000 * (b.y - a.y) + $k * (b.d - a.d)) // (b.d - a.d))
+       |      - $k AS slope_micro
+       |  FROM idx a JOIN idx b ON b.d > a.d),
+       |sl AS (
+       |  SELECT slope_micro, m AS n_pairs FROM (
+       |    SELECT slope_micro,
+       |      CAST(count(*) OVER () AS BIGINT) AS m,
+       |      row_number() OVER (ORDER BY slope_micro, d1, d2) AS rs
+       |    FROM p
+       |  ) WHERE rs = (m + 1) // 2),
+       |ic AS (
+       |  SELECT slope_micro, n_pairs, b AS intercept_micro,
+       |         nd AS n_days FROM (
+       |    SELECT sl.slope_micro, sl.n_pairs,
+       |      1000000 * idx.y - sl.slope_micro * idx.d AS b, idx.d,
+       |      CAST(count(*) OVER () AS BIGINT) AS nd,
+       |      row_number() OVER (
+       |        ORDER BY 1000000 * idx.y - sl.slope_micro * idx.d,
+       |                 idx.d) AS rb
+       |    FROM idx, sl
+       |  ) WHERE rb = (nd + 1) // 2),
+       |mo AS (
+       |  SELECT CAST(max(d) AS BIGINT) AS d_max,
+       |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(d * y) AS BIGINT) AS sdy,
+       |    CAST(sum(d * d) AS BIGINT) AS sdd,
+       |    CAST(count(*) AS BIGINT) AS nd2
+       |  FROM idx)
+       |SELECT ic.n_days, ic.n_pairs, ic.slope_micro,
+       |  ic.intercept_micro,
+       |  CASE WHEN mo.nd2 * mo.sdd - mo.sd * mo.sd > 0
+       |       THEN ${microSql("(mo.nd2 * mo.sdy - mo.sd * mo.sy) / " +
+      "(mo.nd2 * mo.sdd - mo.sd * mo.sd)")}
+       |       ELSE CAST(0 AS BIGINT) END AS ols_slope_micro,
+       |  ic.slope_micro * mo.d_max + ic.intercept_micro
+       |    AS pred_last_micro
+       |FROM ic, mo""".stripMargin
+  }
+
   // ------------------------------------------- z-order layout (R40)
 
   /** R40: zone-map data-skipping audit across three physical layouts —
@@ -3389,6 +3530,7 @@ object RelationalQueries {
     "q_zorder"          -> (qZorder _),
     "q_cusum"           -> (qCusum _),
     "q_autocorr"        -> (qAutocorr _),
+    "q_theilsen"        -> (qTheilsen _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
     "q_skew_join"       -> (qSkewJoin _),
@@ -3439,6 +3581,7 @@ object RelationalQueries {
     "q_zorder"          -> zorderOracle,
     "q_cusum"           -> cusumOracle,
     "q_autocorr"        -> autocorrOracle,
+    "q_theilsen"        -> theilsenOracle,
     "q_latest_snapshot" -> latestSnapshotOracle,
     "q_scd2"            -> scd2Oracle,
     "q_skew_join"       -> skewJoinOracle,

@@ -54,6 +54,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_zorder",         // 192-row zone maps x broadcast 16-row probes
     "q_fk_audit",       // five 1-row audit aggregates cross-joined
     "q_heavy",          // broadcast one-row corpus token total N
+    "q_theilsen",       // calendar-bounded daily census self-pairs
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids
     "q_ab_test",        // broadcast one-row arm-totals relation
     "q_mips",           // broadcast single query vector + one-row tau

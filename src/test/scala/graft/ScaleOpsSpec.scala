@@ -369,6 +369,51 @@ class ScaleOpsSpec extends SparkSpec {
       ("2024-01-04", 8L, 20L, 0L, 0L, 0L)))
   }
 
+  test("theilsenCensus: hand-computed pair slopes, lower medians, " +
+    "OLS comparison column") {
+    // days 0..3, volumes 1,5,2,4: six pair slopes (micro)
+    // 4000000, 500000, 1000000, -3000000, -500000, 2000000;
+    // sorted rank (6+1) div 2 = 3 -> slope 500000.
+    // intercepts 10^6*y - slope*d = 1000000, 4500000, 1000000,
+    // 2500000; sorted (b, d) rank (4+1) div 2 = 2 -> 1000000.
+    // OLS: (4*21 - 6*12) / (4*14 - 36) = 12/20 -> 600000.
+    val vols = Seq(1, 5, 2, 4)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.theilsenCensus(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("slope_micro"), r.getAs[Long]("intercept_micro"),
+      r.getAs[Long]("ols_slope_micro"), r.getAs[Long]("pred_last_micro"))
+      === (4L, 6L, 500000L, 1000000L, 600000L, 2500000L))
+  }
+
+  test("theilsenCensus: negative fractional slope floors identically " +
+    "to the oracle's // (the offset trick)") {
+    // days 0..3, volumes 2,1,1,1: slopes (micro) -1000000, -500000,
+    // -333334, 0, 0, 0 -> sorted rank 3 = floor(-1/3 * 1e6) = -333334
+    // (true floor, NOT truncation toward zero, which would read
+    // -333333). Intercepts 10^6*y + 333334*d = 2000000, 1333334,
+    // 1666668, 2000002 -> rank 2 = 1666668; pred_last = -333334*3 +
+    // 1666668 = 666666; OLS (4*6 - 6*5)/(4*14 - 36) = -0.3.
+    val vols = Seq(2, 1, 1, 1)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.theilsenCensus(ev).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("slope_micro"),
+      r.getAs[Long]("intercept_micro"),
+      r.getAs[Long]("ols_slope_micro"),
+      r.getAs[Long]("pred_last_micro"))
+      === (4L, -333334L, 1666668L, -300000L, 666666L))
+  }
+
   test("autocorrCensus: calendar-joined lag pairs, exact power sums, " +
     "micro-floored Pearson, empty lag drops") {
     // daily volumes 1,3,2,5,4 on consecutive days; lag 7 has no pairs
