@@ -3017,6 +3017,113 @@ object RelationalQueries {
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY lag""".stripMargin
 
+  // ------------------------------------------------ Benford audit (R45)
+
+  /** floor(10⁶·log10(1 + 1/d)) for d = 1..9 — INTEGER LITERALS shared
+    * verbatim with the oracle (the q_ndcg discount discipline: neither
+    * engine evaluates a transcendental).
+    */
+  val BenfordExpPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+    5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Nigrini MAD conformity thresholds, in ppm. */
+  val BenfordMadCuts: Seq[(Long, String)] = Seq(
+    2200L -> "close", 6100L -> "acceptable", 12000L -> "marginal")
+
+  /** R45: Benford first-digit audit over order totals — the
+    * fabricated-data / broken-feed detector accounting forensics
+    * standardized (Nigrini): naturally occurring multi-scale amounts
+    * follow P(d) = log10(1 + 1/d); a generator that draws uniforms, a
+    * clamped feed, or a copy-paste batch shows up as first-digit mass
+    * in the wrong cells long before any distribution test on the full
+    * values. Output: per-digit observed vs expected ppm, the signed
+    * deviation, and the Nigrini MAD conformity statistic + verdict
+    * label (the same on all 9 rows — the census IS the report).
+    *
+    * Exactness: ALL integers end to end — cents = round(100·price)
+    * (the money discipline), first digit via string head of a positive
+    * integer, observed ppm one positive integer division, expected ppm
+    * are the [[BenfordExpPpm]] literals, MAD = Σ|dev| div 9. No
+    * doubles anywhere, so nothing can drift.
+    *
+    * Scale shape: ONE (digit, partial) agg Exchange — nine groups,
+    * map-side combined; the 9-row expectation grid and one-row total
+    * broadcast; everything downstream is 9 rows.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordCensus(Tables.orders(spark, dir)
+      .select(col("o_totalprice").as("amount")))
+
+  /** The census over any (amount: double > 0) frame — factored for the
+    * hand-computed spec.
+    */
+  def benfordCensus(amounts: DataFrame): DataFrame = {
+    val spark = amounts.sparkSession
+    import spark.implicits._
+    val cen = amounts
+      .select(substring(round(col("amount") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val grid = BenfordExpPpm.map { case (d, e) => (d.toLong, e) }
+      .toDF("digit", "exp_ppm")
+    val tot = cen.agg(sum("obs").as("n"))
+    val d = grid.join(cen, Seq("digit"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("(1000000 * obs) div n"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d.withColumn("mad_ppm",
+        (sum(abs(col("dev_ppm"))).over(wAll)).cast("long"))
+      .withColumn("mad_ppm", expr("mad_ppm div 9"))
+      .withColumn("conformity",
+        when(col("mad_ppm") < BenfordMadCuts(0)._1,
+          lit(BenfordMadCuts(0)._2))
+          .when(col("mad_ppm") < BenfordMadCuts(1)._1,
+            lit(BenfordMadCuts(1)._2))
+          .when(col("mad_ppm") < BenfordMadCuts(2)._1,
+            lit(BenfordMadCuts(2)._2))
+          .otherwise(lit("nonconforming")))
+      .select("digit", "obs", "n", "obs_ppm", "exp_ppm", "dev_ppm",
+        "mad_ppm", "conformity")
+      .orderBy("digit")
+  }
+
+  private val benfordOracle = {
+    val grid = BenfordExpPpm.map { case (d, e) => s"($d, $e)" }
+      .mkString(", ")
+    s"""WITH cen AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS obs
+       |  FROM orders GROUP BY 1),
+       |g AS (SELECT CAST(digit AS BIGINT) AS digit,
+       |        CAST(exp_ppm AS BIGINT) AS exp_ppm
+       |      FROM (VALUES $grid) v(digit, exp_ppm)),
+       |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cen),
+       |d AS (
+       |  SELECT g.digit, COALESCE(cen.obs, 0) AS obs, tot.n,
+       |    (1000000 * COALESCE(cen.obs, 0)) // tot.n AS obs_ppm,
+       |    g.exp_ppm,
+       |    (1000000 * COALESCE(cen.obs, 0)) // tot.n - g.exp_ppm
+       |      AS dev_ppm
+       |  FROM g LEFT JOIN cen USING (digit), tot),
+       |m AS (SELECT CAST(sum(abs(dev_ppm)) // 9 AS BIGINT) AS mad_ppm
+       |      FROM d)
+       |SELECT d.digit, d.obs, d.n, d.obs_ppm, d.exp_ppm, d.dev_ppm,
+       |  m.mad_ppm,
+       |  CASE WHEN m.mad_ppm < ${BenfordMadCuts(0)._1}
+       |         THEN '${BenfordMadCuts(0)._2}'
+       |       WHEN m.mad_ppm < ${BenfordMadCuts(1)._1}
+       |         THEN '${BenfordMadCuts(1)._2}'
+       |       WHEN m.mad_ppm < ${BenfordMadCuts(2)._1}
+       |         THEN '${BenfordMadCuts(2)._2}'
+       |       ELSE 'nonconforming' END AS conformity
+       |FROM d, m ORDER BY d.digit""".stripMargin
+  }
+
   // ---------------------------------------------- Theil–Sen trend (R44)
 
   /** Offset that makes every slope floor-division operand positive:
@@ -3531,6 +3638,7 @@ object RelationalQueries {
     "q_cusum"           -> (qCusum _),
     "q_autocorr"        -> (qAutocorr _),
     "q_theilsen"        -> (qTheilsen _),
+    "q_benford"         -> (qBenford _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
     "q_skew_join"       -> (qSkewJoin _),
@@ -3582,6 +3690,7 @@ object RelationalQueries {
     "q_cusum"           -> cusumOracle,
     "q_autocorr"        -> autocorrOracle,
     "q_theilsen"        -> theilsenOracle,
+    "q_benford"         -> benfordOracle,
     "q_latest_snapshot" -> latestSnapshotOracle,
     "q_scd2"            -> scd2Oracle,
     "q_skew_join"       -> skewJoinOracle,

@@ -369,6 +369,39 @@ class ScaleOpsSpec extends SparkSpec {
       ("2024-01-04", 8L, 20L, 0L, 0L, 0L)))
   }
 
+  test("benfordCensus: hand-computed digit census, zero-obs digits " +
+    "kept, integer MAD verdict") {
+    // cents 123, 1000, 200, 98700 -> digits 1,1,2,9: obs_ppm
+    // 500000/250000/250000, devs vs the literals sum to 954241
+    // -> MAD 954241 div 9 = 106026 -> nonconforming
+    val amounts = Seq(1.23, 10.00, 2.00, 987.00).toDF("amount")
+    val out = RelationalQueries.benfordCensus(amounts).collect()
+    assert(out.length === 9)
+    val byDigit = out.map(r => r.getAs[Long]("digit") ->
+      (r.getAs[Long]("obs"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("dev_ppm"), r.getAs[Long]("mad_ppm"),
+        r.getAs[String]("conformity"))).toMap
+    assert(byDigit(1L) === (2L, 500000L, 198971L, 106026L,
+      "nonconforming"))
+    assert(byDigit(2L) === (1L, 250000L, 73909L, 106026L,
+      "nonconforming"))
+    assert(byDigit(9L) === (1L, 250000L, 204243L, 106026L,
+      "nonconforming"))
+    assert(byDigit(5L) === (0L, 0L, -79181L, 106026L, "nonconforming"))
+  }
+
+  test("benfordCensus: a near-Benford mixture reads acceptable") {
+    // 100 rows split 30/18/12/10/8/7/6/5/4 across digits 1..9 (within
+    // ~1% of the Benford proportions): Sum|dev| = 25757 -> MAD 2861
+    val counts = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4)
+    val amounts = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(_ => (i + 1) * 1.0)
+    }.toDF("amount")
+    val r = RelationalQueries.benfordCensus(amounts).collect().head
+    assert(r.getAs[Long]("mad_ppm") === 2861L)
+    assert(r.getAs[String]("conformity") === "acceptable")
+  }
+
   test("theilsenCensus: hand-computed pair slopes, lower medians, " +
     "OLS comparison column") {
     // days 0..3, volumes 1,5,2,4: six pair slopes (micro)
