@@ -634,6 +634,51 @@ object TextOps {
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "n_match", "inter", "jac_micro")
 
+  /** D25: LSH-blocked EDIT-DISTANCE dedup — the character-level
+    * verifier the set-based family can't provide. Every Jaccard-family
+    * verdict (D2/D3/D15) is ORDER-BLIND: two docs with the same token
+    * multiset in different order read Jaccard 1.0; Levenshtein reads
+    * the reorder as edits. Conversely, record-linkage-grade edits
+    * (typos, field swaps, truncations) move edit distance by exactly
+    * the edit size while barely denting a 5-gram shingle set. Blocking
+    * stays the production LSH (same [[minhashCandidates]] join — the
+    * realistic pipeline shape: candidates from MinHash bands,
+    * verification by the expensive exact measure on candidates ONLY);
+    * verification is `levenshtein` over the first `capChars`
+    * characters — the documented O(cap²)-per-pair cost dial that makes
+    * the verifier affordable at any document length (both engines'
+    * levenshtein implement the standard character-level DP, parity
+    * probed cross-engine).
+    *
+    * Output: per surviving pair, both capped lengths, the edit
+    * distance, and rel_micro = (10⁶·dist) div max(len) — 0 identical,
+    * 10⁶ fully-rewritten.
+    *
+    * Scale shape: candidates are LSH-bounded (never all-pairs); the
+    * text prefix join touches candidate docs only; the DP cost is
+    * capChars²-bounded per pair regardless of document size.
+    */
+  def editDistancePairs(docs: DataFrame, n: Int, capChars: Int,
+      relMicroMax: Long, nBands: Int = 4, rowsPerBand: Int = 4,
+      seeds: Seq[(Long, Long)] = Hashing.MinhashSeeds): DataFrame = {
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h0"))
+    val cand = minhashCandidates(sh, nBands, rowsPerBand, seeds)
+      .select("d1", "d2")
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, capChars).as("p"))
+    cand
+      .join(pre.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
+      .join(pre.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
+      .select(col("d1"), col("d2"),
+        length(col("p1")).cast("long").as("len1"),
+        length(col("p2")).cast("long").as("len2"),
+        levenshtein(col("p1"), col("p2")).cast("long").as("edit_dist"))
+      .withColumn("rel_micro",
+        expr("(1000000 * edit_dist) div greatest(len1, len2, 1)"))
+      .filter(col("rel_micro") <= relMicroMax)
+  }
+
   /** MinHash estimator calibration — the dedup analogue of the ANN
     * recall curve: over the PRODUCTION candidate stream (same banding,
     * no similarity bar), group pairs by the signature estimate

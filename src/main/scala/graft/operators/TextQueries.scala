@@ -182,6 +182,16 @@ object TextQueries {
     TextOps.simhashPairs(docs(spark, dir), SimhashMaxHamming)
       .orderBy("d1", "d2")
 
+  /** D25 dials: verify on the first 256 chars (the O(cap²) cost cap),
+    * keep pairs within 60 % relative edit distance.
+    */
+  val EditCapChars = 256
+  val EditRelMax = 600000L
+
+  def qEditDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.editDistancePairs(docs(spark, dir), ShingleN, EditCapChars,
+      EditRelMax).orderBy("d1", "d2")
+
   val TfIdfK = 3
   val ChunkLen = 200
   val ChunkStride = 150
@@ -1280,6 +1290,29 @@ object TextQueries {
     s"""$minhashScoredCtes
        |SELECT * FROM scored
        |WHERE jac_micro >= $MinhashJacMin ORDER BY d1, d2""".stripMargin
+
+  /** D25: the same `cand` blocking CTE (unreferenced CTEs downstream
+    * of it cost nothing — plain CTEs only run when referenced), then
+    * levenshtein verification over capped prefixes.
+    */
+  private val editDedupOracle: String =
+    s"""$minhashScoredCtes,
+       |pre AS (
+       |  SELECT doc_id, substr(text, 1, $EditCapChars) AS p
+       |  FROM documents),
+       |v AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(length(a.p) AS BIGINT) AS len1,
+       |    CAST(length(b.p) AS BIGINT) AS len2,
+       |    CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+       |  FROM cand c JOIN pre a ON c.d1 = a.doc_id
+       |              JOIN pre b ON c.d2 = b.doc_id)
+       |SELECT d1, d2, len1, len2, edit_dist,
+       |  (1000000 * edit_dist) // greatest(len1, len2, 1) AS rel_micro
+       |FROM v
+       |WHERE (1000000 * edit_dist) // greatest(len1, len2, 1)
+       |  <= $EditRelMax
+       |ORDER BY d1, d2""".stripMargin
 
   /** D16: the estimator-calibration census over the same `scored`
     * stream — estimate is micro(n_match/seeds), means are
@@ -2992,6 +3025,7 @@ object TextQueries {
     "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_edit_dedup" -> (qEditDedup _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
@@ -3068,5 +3102,6 @@ object TextQueries {
     "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
+    "q_edit_dedup" -> editDedupOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

@@ -1394,4 +1394,38 @@ class TextOpsSpec extends SparkSpec {
       ("deep model", 2L, 3666666L),
       ("model", 1L, 1666666L)))
   }
+
+  test("editDistancePairs: LSH-blocked candidates verified by " +
+    "character-level edit distance") {
+    // doc 1 = doc 0 with ONE char substituted; doc 2 = exact copy of
+    // doc 0. All three share nearly all 5-gram shingles, so the LSH
+    // bands them; verification reads dist 0 for the copy, dist 1 for
+    // the substitution. Text length 60 tokens x 6 chars - 1 = 359.
+    val base = (0 until 60).map(i => f"tok$i%02d0").mkString(" ")
+    val edited = base.replace("tok300", "tok30x")
+    val d = Seq((0L, base), (1L, edited), (2L, base))
+      .toDF("doc_id", "text")
+    val out = TextOps.editDistancePairs(d, 5, capChars = 1000,
+      relMicroMax = 1000000L)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("len1"), r.getAs[Long]("edit_dist"),
+        r.getAs[Long]("rel_micro")))
+    val len = base.length.toLong
+    assert(out.toSeq === Seq(
+      (0L, 1L, len, 1L, 1000000L / len),
+      (0L, 2L, len, 0L, 0L),
+      (1L, 2L, len, 1L, 1000000L / len)))
+  }
+
+  test("editDistancePairs: the capChars dial bounds the verified " +
+    "prefix (identical prefixes read zero)") {
+    val base = (0 until 60).map(i => f"tok$i%02d0").mkString(" ")
+    val edited = base.replace("tok300", "tok30x") // edit at char ~185
+    val d = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val out = TextOps.editDistancePairs(d, 5, capChars = 50,
+      relMicroMax = 1000000L).collect()
+      .map(r => (r.getAs[Long]("len1"), r.getAs[Long]("edit_dist")))
+    assert(out.toSeq === Seq((50L, 0L)))
+  }
 }
