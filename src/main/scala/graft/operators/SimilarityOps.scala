@@ -2021,6 +2021,64 @@ object SimilarityOps {
     selected
   }
 
+  /** Sentinel "distance to the empty selected set" for the k-center
+    * seed row: below any real micro-cosine, mirrored in the oracle.
+    */
+  val KcSeedCos: Long = -1000000L
+
+  /** V39: greedy k-center (farthest-point / Gonzalez) coreset
+    * selection — the data-selection primitive behind coreset
+    * construction and diverse seed picking: start from the lowest
+    * vec_id, then repeatedly add the point FARTHEST from everything
+    * already selected (here: lowest max-cosine, ties to the smaller
+    * vec_id). The greedy is a 2-approximation of the optimal k-center
+    * cover (Gonzalez 1985), and the output's `dis_micro` column IS the
+    * coverage-radius curve: row t's value is the worst-covered point's
+    * dissimilarity after t−1 centers — the "how many centers until the
+    * corpus is δ-covered" decision table, read directly off the run.
+    * MMR (V24) diversifies a top-k SHORTLIST against a query; this
+    * selects from the WHOLE corpus with no query — index seeds,
+    * annotation batches, eval panels.
+    *
+    * Determinism/exactness: every round is an integer argmin over
+    * micro-cosines (greatest of the per-center kernel scores) with
+    * vec_id ties; the seed row carries the [[KcSeedCos]] sentinel.
+    * The oracle replays the identical greedy as unrolled MATERIALIZED
+    * CTE rounds (the V24/V35 discipline).
+    *
+    * Scale shape: each round is ONE corpus scan — a codegen projection
+    * against the ≤ rounds collected center vectors (the kmeansCodebook
+    * driver-state discipline; the collected state is rounds × dims
+    * longs) into a TakeOrdered(1); no joins, no shuffles beyond the
+    * argmin's single-row reduction; rounds are a fixed constant.
+    */
+  def kcenterSelect(emb: DataFrame, rounds: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seed = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    var chosen = Vector(
+      (seed.getLong(0), seed.getSeq[Float](1).toArray, KcSeedCos))
+    (2 to rounds).foreach { t =>
+      val scores = chosen.map { case (_, e, _) =>
+        micro(cosineSim(col("embedding"), typedlit(e.toSeq)))
+      }
+      val mc = if (scores.size == 1) scores.head
+        else greatest(scores: _*)
+      val pick = emb
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .select(col("vec_id"), col("embedding"), mc.as("mc"))
+        .orderBy(col("mc").asc, col("vec_id")).limit(1)
+        .collect().head
+      chosen = chosen :+
+        ((pick.getLong(0), pick.getSeq[Float](1).toArray,
+          pick.getLong(2)))
+    }
+    chosen.zipWithIndex.map { case ((id, _, m), i) =>
+      ((i + 1).toLong, id, m, 1000000L - m)
+    }.toDF("round", "vec_id", "max_cos_prior_micro", "dis_micro")
+  }
+
   // --------------------------------------- filtered search (V23)
 
   /** V23: FILTERED vector search — the pre-filter vs post-filter

@@ -395,6 +395,13 @@ object SimilarityQueries {
     SimilarityOps.mmrDiversified(emb(spark, dir), QueryVecId,
       MmrPoolK, MmrK).orderBy("rank")
 
+  /** V39: enough rounds that the radius curve has a visible knee. */
+  val KcRounds = 8
+
+  def qKcenter(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kcenterSelect(emb(spark, dir), KcRounds)
+      .orderBy("round")
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -430,6 +437,49 @@ object SimilarityQueries {
     * selection is an integer argmax with vec_id ties, so the
     * trajectory is bit-identical to the Spark loop.
     */
+  /** V39 oracle: the greedy replayed as unrolled MATERIALIZED CTE
+    * rounds (the V24 discipline) — each round scores non-selected
+    * points against the selected set and takes the integer argmin
+    * with vec_id ties.
+    */
+  private val kcenterOracle = {
+    val rounds = (2 to KcRounds).map { t =>
+      s"""d$t AS (
+         |  SELECT a.vec_id, s.vec_id AS sid, sum(a.v * s.v) AS dot
+         |  FROM kce a JOIN kce s ON a.i = s.i
+         |  JOIN sel${t - 1} sl ON s.vec_id = sl.vec_id
+         |  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY 1, 2
+         |),
+         |m$t AS (
+         |  SELECT d.vec_id,
+         |    max(${Hashing.microSql("d.dot / (na.nrm * ns.nrm)")}) AS mc
+         |  FROM d$t d JOIN knrm na ON d.vec_id = na.vec_id
+         |             JOIN knrm ns ON d.sid = ns.vec_id
+         |  GROUP BY 1
+         |),
+         |p$t AS MATERIALIZED (
+         |  SELECT vec_id, CAST($t AS BIGINT) AS round, mc
+         |  FROM m$t ORDER BY mc, vec_id LIMIT 1
+         |),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$evCte,
+       |kce AS MATERIALIZED (SELECT vec_id, v, i FROM ev),
+       |knrm AS MATERIALIZED (SELECT vec_id, nrm FROM nrm),
+       |sel1 AS MATERIALIZED (
+       |  SELECT min(vec_id) AS vec_id, CAST(1 AS BIGINT) AS round,
+       |    CAST(${SimilarityOps.KcSeedCos} AS BIGINT) AS mc
+       |  FROM kce
+       |),
+       |$rounds
+       |SELECT round, vec_id, mc AS max_cos_prior_micro,
+       |  1000000 - mc AS dis_micro
+       |FROM sel$KcRounds ORDER BY round""".stripMargin
+  }
+
   private val mmrOracle = {
     val rounds = (2 to MmrK).map { t =>
       s"""cand$t AS (
@@ -2533,6 +2583,7 @@ object SimilarityQueries {
     "q_hubness"        -> (qHubness _),
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
+    "q_kcenter"        -> (qKcenter _),
     "q_centroid_drift" -> (qCentroidDrift _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
@@ -2577,6 +2628,7 @@ object SimilarityQueries {
     "q_hubness"        -> hubnessOracle,
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
+    "q_kcenter"        -> kcenterOracle,
     "q_centroid_drift" -> centroidDriftOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,

@@ -1140,4 +1140,30 @@ class SimilarityOpsSpec extends SparkSpec {
       (31L, 1L, 0L, -1L),
       (40L, 0L, 0L, -1L)))
   }
+
+  test("kcenterSelect: greedy farthest-point picks, exact sentinel " +
+    "and exact orthogonal/opposite rounds, shrinking radius") {
+    // v0 seed (min id); v3 = -v0 is farthest (cos -1 exactly);
+    // then v2 (orthogonal to both, cos 0 exactly); then v1, whose
+    // max cos to {v0,v3,v2} is ~0.8 (vs v2; float32 quantization of
+    // 0.6/0.8 puts the IEEE double one ulp under, so the micro floor
+    // reads 799999). mc trajectory: sentinel, -1000000, 0, 799999.
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.6f, 0.8f), 0),
+      (2L, Seq(0f, 1f), 0),
+      (3L, Seq(-1f, 0f), 0))
+    val out = SimilarityOps.kcenterSelect(e, 4).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("max_cos_prior_micro"),
+        r.getAs[Long]("dis_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 0L, SimilarityOps.KcSeedCos, 2000000L),
+      (2L, 3L, -1000000L, 2000000L),
+      (3L, 2L, 0L, 1000000L),
+      (4L, 1L, 799999L, 200001L)))
+    // coverage radius (dis) is non-increasing after the seed
+    val dis = out.map(_._4).drop(1)
+    assert(dis.zip(dis.tail).forall { case (a, b) => a >= b })
+  }
 }
