@@ -1702,6 +1702,63 @@ object SimilarityOps {
       .withColumn("boundary",
         when(col("margin_micro") <= boundaryMicroMax, 1L).otherwise(0L))
 
+  /** Ambiguity bar for the silhouette census: points with s below this
+    * are "could belong to either cluster".
+    */
+  val SilAmbiguousMax = 100000L
+
+  /** V40: simplified-silhouette clustering-quality census — the
+    * model-level verdict V17's per-point margins feed into: per point,
+    * a′ = dissimilarity to the OWN centroid and b′ = dissimilarity to
+    * the nearest OTHER centroid (both 10⁶ − kernel micro-cosine), and
+    * s = (b′ − a′)/max(a′, b′) — the centroid-based silhouette
+    * (Hruschka et al.), the standard O(n·k) stand-in for Rousseeuw's
+    * O(n²) pairwise silhouette at corpus scale. Nearest-centroid
+    * assignment makes a′ ≤ b′, so s ∈ [0, 1]: the per-CLUSTER census
+    * (mean, min, ambiguous share under [[SilAmbiguousMax]]) ranks
+    * clusters by internal coherence — the "which clusters are real vs
+    * which are k-means artifacts" table that decides k next to V37's
+    * elbow curve.
+    *
+    * Exactness: the kernel scores are vector-scale-UNnormalized
+    * (micro(dot_milli/|c|) — fine for argmax, wrong for a ratio), so
+    * the silhouette divides them through the row's own milli norm:
+    * with best = 10⁶·|vm|·cos_a and R = 10⁶·√ssq_vm = 10⁶·|vm|,
+    * s = (cos_a − cos_b)/(1 − cos_b … ) collapses to
+    * (best − second) / max(R − best, R − second, 1) after multiplying
+    * both sides by R — an integer numerator over ONE double tree
+    * (sqrt is IEEE-exact; the degenerate R = best case guards to
+    * divisor 1), micro-floored, mirrored term-for-term. Mean = integer
+    * floor division of non-negative sums; shares are integer ppm.
+    *
+    * Scale shape: assignment + both kernel scores + the row ssq are
+    * one zero-shuffle codegen projection over the corpus; the census
+    * is one (cluster, partial) agg Exchange over nCentroids groups.
+    */
+  def silhouetteCensus(emb: DataFrame,
+                       cents: Array[Array[Long]]): DataFrame =
+    emb.select(assignCluster(col("embedding"), cents).as("cluster"),
+        graft.functions.KmeansScore.kmeansScore(col("embedding"), cents)
+          .as("best"),
+        graft.functions.KmeansSecond.kmeansSecond(col("embedding"),
+          cents).as("second"),
+        graft.functions.vector.milliDot(col("embedding"),
+          col("embedding")).as("ssq"))
+      .withColumn("r", lit(1000000.0) * sqrt(col("ssq").cast("double")))
+      .withColumn("s_micro", micro((col("best") - col("second")) /
+        greatest(col("r") - col("best"), col("r") - col("second"),
+          lit(1.0))))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("s_micro").as("sum_s"),
+        min("s_micro").as("min_sil_micro"),
+        sum(when(col("s_micro") < SilAmbiguousMax, 1L).otherwise(0L))
+          .as("n_amb"))
+      .select(col("cluster"), col("n_vecs"),
+        expr("sum_s div n_vecs").as("mean_sil_micro"),
+        col("min_sil_micro"),
+        expr("(1000000 * n_amb) div n_vecs").as("amb_ppm"))
+
   /** Hard-negative mining — the contrastive-training data-prep stage
     * (the DPR/ANCE shape): for every query in the batch set, the k
     * vectors that score HIGHEST against it while carrying a DIFFERENT

@@ -402,6 +402,13 @@ object SimilarityQueries {
     SimilarityOps.kcenterSelect(emb(spark, dir), KcRounds)
       .orderBy("round")
 
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.silhouetteCensus(e, cents).orderBy("cluster")
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** Unnested elements + per-vector L2 norms. */
@@ -478,6 +485,42 @@ object SimilarityQueries {
        |SELECT round, vec_id, mc AS max_cos_prior_micro,
        |  1000000 - mc AS dis_micro
        |FROM sel$KcRounds ORDER BY round""".stripMargin
+  }
+
+  /** V40 oracle: the V17 best/second ranking off the trained-codebook
+    * CTEs, then the silhouette census in the identical expression
+    * tree.
+    */
+  private val silhouetteOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val amb = SimilarityOps.SilAmbiguousMax
+    s"""$kmeansTrainedCtes,
+       |mr AS (
+       |  SELECT vec_id, cid, score,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY score DESC, cid) AS rn
+       |  FROM sc$r
+       |),
+       |vsq AS (
+       |  SELECT vec_id,
+       |    1000000.0 * sqrt(CAST(sum(vm * vm) AS DOUBLE)) AS r
+       |  FROM mv GROUP BY 1
+       |),
+       |sv AS (
+       |  SELECT s1.cid AS cluster,
+       |    ${Hashing.microSql(
+        "(s1.score - s2.score) / " +
+          "greatest(q.r - s1.score, q.r - s2.score, 1.0)")} AS s_micro
+       |  FROM (SELECT * FROM mr WHERE rn = 1) s1
+       |  JOIN (SELECT * FROM mr WHERE rn = 2) s2 USING (vec_id)
+       |  JOIN vsq q USING (vec_id)
+       |)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(s_micro) AS BIGINT) // count(*) AS mean_sil_micro,
+       |  CAST(min(s_micro) AS BIGINT) AS min_sil_micro,
+       |  (1000000 * CAST(sum(CASE WHEN s_micro < $amb THEN 1 ELSE 0
+       |    END) AS BIGINT)) // count(*) AS amb_ppm
+       |FROM sv GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
   private val mmrOracle = {
@@ -2584,6 +2627,7 @@ object SimilarityQueries {
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
     "q_kcenter"        -> (qKcenter _),
+    "q_silhouette"     -> (qSilhouette _),
     "q_centroid_drift" -> (qCentroidDrift _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
@@ -2629,6 +2673,7 @@ object SimilarityQueries {
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
     "q_kcenter"        -> kcenterOracle,
+    "q_silhouette"     -> silhouetteOracle,
     "q_centroid_drift" -> centroidDriftOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,

@@ -1166,4 +1166,25 @@ class SimilarityOpsSpec extends SparkSpec {
     val dis = out.map(_._4).drop(1)
     assert(dis.zip(dis.tail).forall { case (a, b) => a >= b })
   }
+
+  test("silhouetteCensus: hand-built codebook — perfectly-centered " +
+    "points read s=1, the 0.6/0.8 point reads exactly 0.5") {
+    // cents c0=(1000,0), c1=(0,1000) milli. v0/v2=(1,0): best=c0
+    // score 1e9, second 0, R=1e9 -> s=(1e9-0)/max(0,1e9)=1.
+    // v1=(0.6,0.8): vm=(600,800), best=c1 8e8, second c0 6e8, R=1e9
+    // -> s = 2e8/max(2e8,4e8) = 0.5.
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.6f, 0.8f), 0),
+      (2L, Seq(1f, 0f), 0))
+    val cents = Array(Array(1000L, 0L), Array(0L, 1000L))
+    val out = SimilarityOps.silhouetteCensus(e, cents)
+      .orderBy("cluster").collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("mean_sil_micro"), r.getAs[Long]("min_sil_micro"),
+        r.getAs[Long]("amb_ppm")))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 1000000L, 1000000L, 0L),
+      (1L, 1L, 500000L, 500000L, 0L)))
+  }
 }
