@@ -297,6 +297,74 @@ object MultimodalOps {
   def mediaFeatures(docs: DataFrame): DataFrame =
     decodeMedia(mediaBinary(docs)).toDF()
 
+  // ------------------------------- M11: pixel-value histogram (BMP)
+
+  /** Decoded 8-bin pixel-value histogram row. */
+  case class MediaHist(doc_id: Long, width: Long, height: Long,
+                       n_pixels: Long, b0: Long, b1: Long, b2: Long,
+                       b3: Long, b4: Long, b5: Long, b6: Long, b7: Long)
+
+  /** BMP pixel histogram: the [[decodeBmp]] header/stride walk, but
+    * binning every unsigned pixel byte into value div 32 — the
+    * distribution profile (washed-out, clipped, or banded images show
+    * up as mass piled into few bins long before a human looks).
+    */
+  def decodeBmpHist(docId: Long, bytes: Array[Byte]): MediaHist = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = math.abs(b.getInt(22))
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: unsupported BMP variant")
+    val rowBytes = 3 * w
+    val stride = (rowBytes + 3) & ~3
+    val bins = new Array[Long](8)
+    var r = 0
+    while (r < h) {
+      var i = dataOffset + r * stride
+      val end = i + rowBytes
+      while (i < end) {
+        bins((bytes(i) & 0xff) >> 5) += 1L
+        i += 1
+      }
+      r += 1
+    }
+    MediaHist(docId, w.toLong, h.toLong, rowBytes.toLong * h,
+      bins(0), bins(1), bins(2), bins(3), bins(4), bins(5), bins(6),
+      bins(7))
+  }
+
+  /** M11: per-image pixel-value histogram census over REAL decoded
+    * bytes — the image-quality profile a curation pipeline reads
+    * before training (uniform = healthy synthetic gradient; mass in
+    * one bin = constant/clipped frame): 8 bins of value div 32 per
+    * image plus the dominant-bin share. Decode rides the M3
+    * `mapPartitions` batch shape; the oracle recomputes every bin from
+    * the generative closed form (id·7 + k·13) mod 256 without parsing
+    * a byte — the encode→decode differential test, per bin.
+    *
+    * Scale shape: decode is embarrassingly parallel per partition
+    * (batched, no driver collection); the output is one row per image
+    * with 8 integer columns; dom_ppm is one integer division.
+    */
+  def mediaHistogram(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hist = mediaBinary(docs).filter(col("kind") === "bmp")
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatchSize).flatMap { batch =>
+          batch.iterator.map(rec =>
+            decodeBmpHist(rec.doc_id, rec.payload))
+        }
+      }.toDF()
+    hist.withColumn("dom_ppm",
+      expr("(1000000 * greatest(b0, b1, b2, b3, b4, b5, b6, b7))" +
+        " div n_pixels"))
+  }
+
   // ------------------------------------- M5: audio frame energy (WAV)
 
   /** Samples per analysis frame for [[wavEnergyWindows]]. */

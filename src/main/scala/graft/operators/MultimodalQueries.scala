@@ -45,6 +45,9 @@ object MultimodalQueries {
       MultimodalOps.mediaBinary(docs(spark, dir)))
       .toDF().orderBy("doc_id")
 
+  def qMediaHist(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
+
   def qMediaResize(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.bmpResizeStats(
       MultimodalOps.mediaBinary(docs(spark, dir)))
@@ -101,6 +104,36 @@ object MultimodalQueries {
        |  sha256(substr(text, CAST(g.i * 32 + 1 AS BIGINT), 16)) AS frame_sha
        |FROM documents, unnest(range(0, $nFramesSql)) AS g(i)
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** M11 oracle: every bin recomputed from the generative closed form
+    * (id·7 + k·13) mod 256 — the per-bin encode→decode differential.
+    */
+  private val mediaHistOracle: String = {
+    val binCols = (0 until 8).map(i =>
+      s"    CAST(sum(CASE WHEN bin = $i THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS b$i").mkString(",\n")
+    val bs = (0 until 8).map(i => s"b$i").mkString(", ")
+    s"""WITH bmp AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |),
+       |px AS (
+       |  SELECT b.doc_id, b.w, b.h,
+       |    ((b.doc_id * 7 + g.k * 13) % 256) // 32 AS bin
+       |  FROM bmp b, unnest(range(0, 3 * b.w * b.h)) AS g(k)
+       |),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST(max(w) AS BIGINT) AS width,
+       |    CAST(max(h) AS BIGINT) AS height,
+       |    CAST(count(*) AS BIGINT) AS n_pixels,
+       |$binCols
+       |  FROM px GROUP BY doc_id
+       |)
+       |SELECT doc_id, width, height, n_pixels, $bs,
+       |  (1000000 * greatest($bs)) // n_pixels AS dom_ppm
+       |FROM hs ORDER BY doc_id""".stripMargin
+  }
 
   /** M3 oracle: the decoder's output recomputed from the generative
     * model. Even doc_ids are 24-bpp BMPs of w=4+id%5, h=2+id%3 with
@@ -406,6 +439,7 @@ object MultimodalQueries {
     "q_media_dedup"    -> (qMediaDedup _),
     "q_media_energy"   -> (qMediaEnergy _),
     "q_media_zcr"      -> (qMediaZcr _),
+    "q_media_hist"     -> (qMediaHist _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
 
@@ -416,6 +450,7 @@ object MultimodalQueries {
     "q_media_dedup"    -> mediaDedupOracle,
     "q_media_energy"   -> mediaEnergyOracle,
     "q_media_zcr"      -> mediaZcrOracle,
+    "q_media_hist"     -> mediaHistOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,

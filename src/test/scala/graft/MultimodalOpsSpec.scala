@@ -111,6 +111,24 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("sum_units") === wavVals.sum)
   }
 
+  test("mediaHistogram: hand-computed 8-bin pixel histogram off real " +
+    "decoded BMP bytes; WAVs excluded") {
+    val docsDf = Seq(
+      (0L, "x", "en", "src0", 1L), (1L, "y", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc 0: w=4, h=2 -> 24 pixel bytes valued (13k) % 256; bins of
+    // value div 32 count 6,3,3,2,3,2,3,2; dominant 6/24 = 250000 ppm
+    val out = MultimodalOps.mediaHistogram(docsDf).collect()
+    assert(out.length === 1) // the WAV doc never reaches the decoder
+    val r = out.head
+    assert((r.getAs[Long]("doc_id"), r.getAs[Long]("width"),
+      r.getAs[Long]("height"), r.getAs[Long]("n_pixels")) ===
+      (0L, 4L, 2L, 24L))
+    assert((0 until 8).map(i => r.getAs[Long](s"b$i")) ===
+      Seq(6L, 3L, 3L, 2L, 3L, 2L, 3L, 2L))
+    assert(r.getAs[Long]("dom_ppm") === 250000L)
+  }
+
   test("mediaDedupCensus: cross-format dup counts once in ALL") {
     // "dup" stored under png (src0), jpeg (src1), and bin (src9) —
     // invisible to every per-format census, visible only to ALL;
