@@ -3017,6 +3017,77 @@ object RelationalQueries {
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY lag""".stripMargin
 
+  // ------------------------------------------------- gap census (R46)
+
+  /** R46: calendar-gap / data-completeness audit — the "did the feed
+    * actually deliver every day" check that runs BEFORE any of the
+    * daily-series analytics (R24/R32/R38/R39/R44 all consume the daily
+    * census; R39 documents that gap days silently DROP pairs — this
+    * query is where a pipeline finds out it has gap days at all).
+    * Output: the gap-length histogram (one row per distinct gap
+    * length) with the summary carried on every row (active days, span,
+    * coverage ppm) — a complete feed reads one (0, 0, …, 10⁶) row.
+    *
+    * Exactness: all integers — calendar-day arithmetic (datediff on
+    * DATE), counts, one positive integer division for coverage.
+    *
+    * Scale shape: ONE distinct-day partial-agg Exchange builds the
+    * census; the lag window and histogram run over the CALENDAR-
+    * bounded census; the one-row summary broadcasts into the ≤ span
+    * histogram rows.
+    */
+  def qGapCensus(spark: SparkSession, dir: String): DataFrame =
+    gapCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def gapCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(lit(0)).orderBy(col("day"))
+    val gaps = daily
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("gap_len",
+        (datediff(col("day"), col("prev")) - 1).cast("long"))
+      .filter(col("gap_len") > 0)
+      .groupBy("gap_len").agg(count(lit(1)).as("n_gaps"))
+    val s = daily
+      .agg(count(lit(1)).as("n_days"), min("day").as("d0"),
+        max("day").as("d1"))
+      .select(col("n_days"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long")
+          .as("span_days"))
+      .withColumn("coverage_ppm",
+        expr("(1000000 * n_days) div span_days"))
+    s.join(gaps, lit(true), "left")
+      .select(coalesce(col("gap_len"), lit(0L)).as("gap_len"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        col("n_days"), col("span_days"), col("coverage_ppm"))
+      .orderBy("gap_len")
+  }
+
+  private val gapCensusOracle =
+    s"""$evCte,
+       |daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM ev),
+       |g AS (
+       |  SELECT CAST(day - lag(day) OVER (ORDER BY day) - 1 AS BIGINT)
+       |    AS gap_len
+       |  FROM daily),
+       |hist AS (
+       |  SELECT gap_len, CAST(count(*) AS BIGINT) AS n_gaps
+       |  FROM g WHERE gap_len > 0 GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+       |    (1000000 * CAST(count(*) AS BIGINT))
+       |      // CAST(max(day) - min(day) + 1 AS BIGINT) AS coverage_ppm
+       |  FROM daily)
+       |SELECT COALESCE(h.gap_len, 0) AS gap_len,
+       |  COALESCE(h.n_gaps, 0) AS n_gaps,
+       |  s.n_days, s.span_days, s.coverage_ppm
+       |FROM s LEFT JOIN hist h ON true
+       |ORDER BY gap_len""".stripMargin
+
   // ------------------------------------------------ Benford audit (R45)
 
   /** floor(10⁶·log10(1 + 1/d)) for d = 1..9 — INTEGER LITERALS shared
@@ -3639,6 +3710,7 @@ object RelationalQueries {
     "q_autocorr"        -> (qAutocorr _),
     "q_theilsen"        -> (qTheilsen _),
     "q_benford"         -> (qBenford _),
+    "q_gap_census"      -> (qGapCensus _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
     "q_skew_join"       -> (qSkewJoin _),
@@ -3691,6 +3763,7 @@ object RelationalQueries {
     "q_autocorr"        -> autocorrOracle,
     "q_theilsen"        -> theilsenOracle,
     "q_benford"         -> benfordOracle,
+    "q_gap_census"      -> gapCensusOracle,
     "q_latest_snapshot" -> latestSnapshotOracle,
     "q_scd2"            -> scd2Oracle,
     "q_skew_join"       -> skewJoinOracle,

@@ -369,6 +369,33 @@ class ScaleOpsSpec extends SparkSpec {
       ("2024-01-04", 8L, 20L, 0L, 0L, 0L)))
   }
 
+  test("gapCensus: hand-computed gap histogram with summary carried " +
+    "on every row") {
+    // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);
+    // 5 active days over a 10-day span -> coverage 500000 ppm
+    val days = Seq(1, 2, 5, 6, 10)
+    val ev = days.map(d => f"2024-01-$d%02d 01:00:00").toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.gapCensus(ev).collect()
+      .map(r => (r.getAs[Long]("gap_len"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("n_days"), r.getAs[Long]("span_days"),
+        r.getAs[Long]("coverage_ppm")))
+    assert(out.toSeq === Seq(
+      (2L, 1L, 5L, 10L, 500000L),
+      (3L, 1L, 5L, 10L, 500000L)))
+  }
+
+  test("gapCensus: a complete feed reads one (0, 0, ..., 1e6) row") {
+    val ev = Seq(1, 2, 3).map(d => f"2024-01-0$d%d 01:00:00")
+      .toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.gapCensus(ev).collect()
+      .map(r => (r.getAs[Long]("gap_len"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("n_days"), r.getAs[Long]("span_days"),
+        r.getAs[Long]("coverage_ppm")))
+    assert(out.toSeq === Seq((0L, 0L, 3L, 3L, 1000000L)))
+  }
+
   test("benfordCensus: hand-computed digit census, zero-obs digits " +
     "kept, integer MAD verdict") {
     // cents 123, 1000, 200, 98700 -> digits 1,1,2,9: obs_ppm
