@@ -730,6 +730,62 @@ object SimilarityOps {
     emb.select(col("vec_id") +: codes: _*)
   }
 
+  /** V41: PQ quantization-distortion census — the codec-side quality
+    * number next to the retrieval-side recall curves (V7/V10/V21): per
+    * subspace, the exact squared L2 between each vector's milli slice
+    * and its assigned sub-centroid, rolled up to sum/mean/max and the
+    * noise-to-signal ratio (10⁶·Σdist) div Σ‖slice‖² — the "how many
+    * bits does THIS corpus need" table that picks nCents/subLen before
+    * anyone re-runs a recall sweep, and the per-subspace breakdown
+    * that catches one badly-trained slice (dimension-correlated data
+    * makes subspace distortion wildly uneven; that unevenness is this
+    * census's whole signal).
+    *
+    * Exactness: every quantity is an exact integer (milli components,
+    * integer centroids, integer squares); mean and NSR are positive
+    * integer floor divisions. No flooring of intermediates anywhere.
+    *
+    * Scale shape: one corpus scan fans out nSub×subLen (vec, subspace,
+    * dim) rows with the assignment kernel riding the same projection;
+    * the tiny codebook relation broadcasts; per-(vec, subspace)
+    * partials collapse map-side into ONE Exchange, then an
+    * nSub-group rollup. The raw vectors are read once.
+    */
+  def pqDistortion(emb: DataFrame, books: Seq[Array[Array[Long]]],
+                   subLen: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val perSub = books.zipWithIndex.map { case (cents, j) =>
+      emb.select(col("vec_id"), lit(j.toLong).as("subspace"),
+        assignCluster(slice(col("embedding"), j * subLen + 1, subLen),
+          cents).as("cid"),
+        posexplode(milliVec(
+          slice(col("embedding"), j * subLen + 1, subLen)))
+          .as(Seq("i", "v")))
+    }.reduce(_ unionByName _)
+    val bookRows = books.zipWithIndex.flatMap { case (cents, j) =>
+      cents.toSeq.zipWithIndex.flatMap { case (c, cid) =>
+        c.toSeq.zipWithIndex.map { case (s, i) =>
+          (j.toLong, cid.toLong, i, s)
+        }
+      }
+    }.toDF("subspace", "cid", "i", "s")
+    val perVec = perSub
+      .join(broadcast(bookRows), Seq("subspace", "cid", "i"))
+      .groupBy("vec_id", "subspace")
+      .agg(sum((col("v") - col("s")) * (col("v") - col("s")))
+        .as("dist"),
+        sum(col("v") * col("v")).as("ssq"))
+    perVec.groupBy("subspace")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("sum_dist"),
+        max("dist").as("max_dist"), sum("ssq").as("sum_ssq"))
+      .select(col("subspace"), col("n_vecs"), col("sum_dist"),
+        expr("sum_dist div n_vecs").as("mean_dist"), col("max_dist"),
+        expr("(1000000 * sum_dist) div greatest(sum_ssq, 1)")
+          .as("nsr_ppm"))
+      .orderBy("subspace")
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     * UNcompressed — its milli vector forms one `nSub × nCents` lookup
     * table of exact integer sub-dots against the codebooks (driver-side:

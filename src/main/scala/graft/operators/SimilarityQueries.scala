@@ -402,6 +402,11 @@ object SimilarityQueries {
     SimilarityOps.kcenterSelect(emb(spark, dir), KcRounds)
       .orderBy("round")
 
+  def qPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    SimilarityOps.pqDistortion(e, pqBooks(e), PqSubLen)
+  }
+
   def qSilhouette(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
@@ -485,6 +490,42 @@ object SimilarityQueries {
        |SELECT round, vec_id, mc AS max_cos_prior_micro,
        |  1000000 - mc AS dis_micro
        |FROM sel$KcRounds ORDER BY round""".stripMargin
+  }
+
+  /** V41 oracle: per subspace, the exact squared L2 between each milli
+    * slice and its assigned final sub-centroid — the pqChains training
+    * replayed, then pure integer arithmetic.
+    */
+  private val pqDistortionOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val subs = (0 until PqSub).map { j =>
+      s"""dd$j AS (
+         |  SELECT a.vec_id,
+         |    CAST(sum((m.vm - c.S) * (m.vm - c.S)) AS BIGINT) AS dist,
+         |    CAST(sum(m.vm * m.vm) AS BIGINT) AS ssq
+         |  FROM p${j}_a$r a
+         |  JOIN p${j}_mv m ON m.vec_id = a.vec_id
+         |  JOIN p${j}_c$r c ON c.cid = a.cid AND c.i = m.i
+         |  GROUP BY 1
+         |),
+         |ss$j AS (
+         |  SELECT CAST($j AS BIGINT) AS subspace,
+         |    CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |    CAST(sum(dist) AS BIGINT) // count(*) AS mean_dist,
+         |    CAST(max(dist) AS BIGINT) AS max_dist,
+         |    (1000000 * CAST(sum(dist) AS BIGINT))
+         |      // greatest(CAST(sum(ssq) AS BIGINT), 1) AS nsr_ppm
+         |  FROM dd$j
+         |)""".stripMargin
+    }.mkString(",\n")
+    val tail = (0 until PqSub).map(j => s"SELECT * FROM ss$j")
+      .mkString("\nUNION ALL\n")
+    s"""$evCte,
+       |$pqChains,
+       |$subs
+       |$tail
+       |ORDER BY subspace""".stripMargin
   }
 
   /** V40 oracle: the V17 best/second ranking off the trained-codebook
@@ -2628,6 +2669,7 @@ object SimilarityQueries {
     "q_mmr"            -> (qMmr _),
     "q_kcenter"        -> (qKcenter _),
     "q_silhouette"     -> (qSilhouette _),
+    "q_pq_distortion"  -> (qPqDistortion _),
     "q_centroid_drift" -> (qCentroidDrift _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
@@ -2674,6 +2716,7 @@ object SimilarityQueries {
     "q_mmr"            -> mmrOracle,
     "q_kcenter"        -> kcenterOracle,
     "q_silhouette"     -> silhouetteOracle,
+    "q_pq_distortion"  -> pqDistortionOracle,
     "q_centroid_drift" -> centroidDriftOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,

@@ -1167,6 +1167,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(dis.zip(dis.tail).forall { case (a, b) => a >= b })
   }
 
+  test("pqDistortion: hand-built sub-codebooks — exact squared-L2 " +
+    "residuals per subspace, integer mean/max/NSR") {
+    // 2 subspaces x 2 dims, 2 sub-centroids each. v0/v1 sit exactly
+    // on centroids (dist 0); v2's slices read dist 400000 (sub 0,
+    // assigned (0,1000) by the cosine kernel) and 500000 (sub 1,
+    // score tie between both centroids -> lower cid (500,500)).
+    val e = emb(
+      (0L, Seq(1f, 0f, 0.5f, 0.5f), 0),
+      (1L, Seq(0f, 1f, -0.5f, 0.5f), 0),
+      (2L, Seq(0.6f, 0.8f, 0f, 1f), 0))
+    val books = Seq(
+      Array(Array(1000L, 0L), Array(0L, 1000L)),
+      Array(Array(500L, 500L), Array(-500L, 500L)))
+    val out = SimilarityOps.pqDistortion(e, books, 2).collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("sum_dist"), r.getAs[Long]("mean_dist"),
+        r.getAs[Long]("max_dist"), r.getAs[Long]("nsr_ppm")))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 400000L, 133333L, 400000L, 133333L),
+      (1L, 3L, 500000L, 166666L, 500000L, 250000L)))
+  }
+
   test("silhouetteCensus: hand-built codebook — perfectly-centered " +
     "points read s=1, the 0.6/0.8 point reads exactly 0.5") {
     // cents c0=(1000,0), c1=(0,1000) milli. v0/v2=(1,0): best=c0
