@@ -3017,6 +3017,196 @@ object RelationalQueries {
        |       ELSE CAST(0 AS BIGINT) END AS r_micro
        |FROM f ORDER BY lag""".stripMargin
 
+  // --------------------------------- Wald–Wolfowitz runs test (R48)
+
+  /** R48: runs test for randomness of the daily volume series — the
+    * nonparametric "is this sequence random or does it cluster?"
+    * check that complements R38 (looks for ONE level shift) and R39
+    * (linear correlation only): days above/below the median volume
+    * form a ±-sequence; too FEW runs means regimes (clustered highs —
+    * campaigns, outages), too MANY means oscillation (retry storms,
+    * batch-vs-realtime interleave). Neither pattern moves the mean,
+    * the chi, or necessarily lag-k r.
+    *
+    * Determinism/exactness: the median is the lower median (VALUE at
+    * rank (D+1) div 2 under (n, day)); days EQUAL to the median drop
+    * (the standard Wald–Wolfowitz treatment, deterministic); runs/n1/
+    * n2 are exact integers off a lag window in calendar order; E[R]
+    * and z are ONE double tree each from integer operands (a single
+    * division, a single sqrt — IEEE-exact), micro-floored; degenerate
+    * one-sided sequences (n1·n2 = 0) guard to z = 0.
+    *
+    * Scale shape: ONE (day) partial-agg Exchange; median rank, sign
+    * sequence, and lag window all run over the calendar-bounded
+    * census; the one-row median broadcasts.
+    */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def runsTestCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wVal = Window.partitionBy(lit(0)).orderBy(col("n"), col("day"))
+    val med = daily
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("r", row_number().over(wVal))
+      .filter(col("r") === expr("(m + 1) div 2"))
+      .select(col("n").as("med"), col("m").as("n_days"))
+    val wDay = Window.partitionBy(lit(0)).orderBy(col("day"))
+    val s = daily.crossJoin(broadcast(med))
+      .filter(col("n") =!= col("med"))
+      .select(col("day"), col("med"), col("n_days"),
+        when(col("n") > col("med"), 1L).otherwise(0L).as("sgn"))
+      .withColumn("prev", lag(col("sgn"), 1).over(wDay))
+      .agg(max("med").as("med"), max("n_days").as("n_days"),
+        sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("runs"),
+        sum(col("sgn")).as("n1"),
+        sum(lit(1L) - col("sgn")).as("n2"))
+    val e = lit(1.0) +
+      (lit(2L) * col("n1") * col("n2")) / (col("n1") + col("n2"))
+    val varNum = lit(2L) * col("n1") * col("n2") *
+      (lit(2L) * col("n1") * col("n2") - col("n1") - col("n2"))
+    val varDen = (col("n1") + col("n2")) * (col("n1") + col("n2")) *
+      (col("n1") + col("n2") - 1L)
+    s.select(col("n_days"), col("med"), col("n1"), col("n2"),
+        col("runs"),
+        when(col("n1") + col("n2") > 0, micro(e)).otherwise(lit(0L))
+          .as("e_micro"),
+        when(col("n1") > 0 && col("n2") > 0 && varNum > 0,
+          micro((col("runs") - e) / sqrt(varNum / varDen)))
+          .otherwise(lit(0L)).as("z_micro"))
+  }
+
+  private val runsTestOracle = {
+    val e = "(1.0 + (2 * n1 * n2) / (n1 + n2))"
+    val varNum = "(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))"
+    val varDen = "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))"
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |md AS (
+       |  SELECT n AS med, m AS n_days FROM (
+       |    SELECT n, CAST(count(*) OVER () AS BIGINT) AS m,
+       |      row_number() OVER (ORDER BY n, day) AS r
+       |    FROM daily
+       |  ) WHERE r = (m + 1) // 2),
+       |sg AS (
+       |  SELECT d.day, md.med, md.n_days,
+       |    CAST(CASE WHEN d.n > md.med THEN 1 ELSE 0 END AS BIGINT)
+       |      AS sgn
+       |  FROM daily d, md WHERE d.n <> md.med),
+       |st AS (
+       |  SELECT max(med) AS med, max(n_days) AS n_days,
+       |    CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+       |    CAST(sum(sgn) AS BIGINT) AS n1,
+       |    CAST(sum(1 - sgn) AS BIGINT) AS n2
+       |  FROM (SELECT med, n_days, sgn,
+       |               lag(sgn) OVER (ORDER BY day) AS prev
+       |        FROM sg))
+       |SELECT n_days, med, n1, n2, runs,
+       |  CASE WHEN n1 + n2 > 0 THEN ${microSql(e)}
+       |       ELSE CAST(0 AS BIGINT) END AS e_micro,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND $varNum > 0
+       |       THEN ${microSql(
+      s"(runs - $e) / sqrt($varNum / $varDen)")}
+       |       ELSE CAST(0 AS BIGINT) END AS z_micro
+       |FROM st""".stripMargin
+  }
+
+  // -------------------------------------- weekday ANOVA / eta² (R47)
+
+  /** R47: weekday seasonality STRENGTH — the one-way-ANOVA variance
+    * decomposition of the daily volume series by day-of-week:
+    * η² = SS_between/SS_total, the share of daily-volume variance the
+    * weekday alone explains. R29 (chi) asks "is weekday seasonality
+    * statistically there?"; R39's lag-7 asks "does it persist?"; this
+    * asks the modeling question — "how MUCH of the variance does a
+    * weekly term buy?" (η² ≈ 0 says drop the term however significant
+    * the chi was at scale).
+    *
+    * Exactness: the weekday key is fixed 1..7, so the 7 groups PIVOT
+    * into one row (conditional aggregation) and η² is ONE row-level
+    * double tree with an explicit literal association chain
+    * ((s1²/m1 + s2²/m2) + …) — no double ever crosses an aggregation,
+    * so cross-engine summation order cannot exist. Empty weekdays
+    * contribute a guarded 0 term. All inputs are exact integer counts.
+    *
+    * Scale shape: ONE (day) partial-agg Exchange builds the daily
+    * census; the pivot is a single 1-row aggregation over the
+    * calendar-bounded census; everything else is row-level arithmetic.
+    */
+  def qAnovaDow(spark: SparkSession, dir: String): DataFrame =
+    anovaDowCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec. Weekday numbering: dayofweek (1 = Sunday),
+    * identical in DuckDB via dayofweek(day) + 1.
+    */
+  def anovaDowCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .select(dayofweek(col("day")).cast("long").as("g"), col("n"))
+    val aggs = (1 to 7).flatMap { g =>
+      Seq(sum(when(col("g") === g, 1L).otherwise(0L)).as(s"m$g"),
+        sum(when(col("g") === g, col("n")).otherwise(0L)).as(s"s$g"))
+    } ++ Seq(count(lit(1)).as("d_days"), sum("n").as("t_events"),
+      sum(col("n") * col("n")).as("ssq"))
+    val row = daily.agg(aggs.head, aggs.tail: _*)
+    // ((s1²/m1 + s2²/m2) + …): literal association chain, guarded
+    val between = (1 to 7).map(g =>
+        when(col(s"m$g") > 0,
+          (col(s"s$g") * col(s"s$g")) / col(s"m$g")).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    row
+      .withColumn("eta2_micro",
+        when(col("ssq") - (col("t_events") * col("t_events")) /
+            col("d_days") > 0,
+          micro((between -
+            (col("t_events") * col("t_events")) / col("d_days")) /
+            (col("ssq") - (col("t_events") * col("t_events")) /
+              col("d_days"))))
+          .otherwise(lit(0L)))
+      .select(col("d_days") +: col("t_events") +: col("ssq") +:
+        ((1 to 7).flatMap(g => Seq(col(s"m$g"), col(s"s$g"))) :+
+          col("eta2_micro")): _*)
+  }
+
+  private val anovaDowOracle = {
+    val aggs = (1 to 7).flatMap(g => Seq(
+      s"CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS m$g",
+      s"CAST(sum(CASE WHEN g = $g THEN n ELSE 0 END) AS BIGINT) AS s$g"))
+      .mkString(",\n    ")
+    val between = (1 to 7).map(g =>
+      s"(CASE WHEN m$g > 0 THEN (s$g * s$g) / m$g ELSE 0.0 END)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val grand = "(t_events * t_events) / d_days"
+    s"""$evCte,
+       |daily AS (
+       |  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS g,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ev GROUP BY CAST(ts AS DATE)),
+       |p AS (
+       |  SELECT $aggs,
+       |    CAST(count(*) AS BIGINT) AS d_days,
+       |    CAST(sum(n) AS BIGINT) AS t_events,
+       |    CAST(sum(n * n) AS BIGINT) AS ssq
+       |  FROM daily)
+       |SELECT d_days, t_events, ssq,
+       |  ${(1 to 7).flatMap(g => Seq(s"m$g", s"s$g")).mkString(", ")},
+       |  CASE WHEN ssq - $grand > 0
+       |       THEN ${microSql(s"($between - $grand) / (ssq - $grand)")}
+       |       ELSE CAST(0 AS BIGINT) END AS eta2_micro
+       |FROM p""".stripMargin
+  }
+
   // ------------------------------------------------- gap census (R46)
 
   /** R46: calendar-gap / data-completeness audit — the "did the feed
@@ -3711,6 +3901,8 @@ object RelationalQueries {
     "q_theilsen"        -> (qTheilsen _),
     "q_benford"         -> (qBenford _),
     "q_gap_census"      -> (qGapCensus _),
+    "q_anova_dow"       -> (qAnovaDow _),
+    "q_runs_test"       -> (qRunsTest _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_scd2"            -> (qScd2 _),
     "q_skew_join"       -> (qSkewJoin _),
@@ -3764,6 +3956,8 @@ object RelationalQueries {
     "q_theilsen"        -> theilsenOracle,
     "q_benford"         -> benfordOracle,
     "q_gap_census"      -> gapCensusOracle,
+    "q_anova_dow"       -> anovaDowOracle,
+    "q_runs_test"       -> runsTestOracle,
     "q_latest_snapshot" -> latestSnapshotOracle,
     "q_scd2"            -> scd2Oracle,
     "q_skew_join"       -> skewJoinOracle,

@@ -369,6 +369,47 @@ class ScaleOpsSpec extends SparkSpec {
       ("2024-01-04", 8L, 20L, 0L, 0L, 0L)))
   }
 
+  test("anovaDowCensus: volume that is a pure weekday function reads " +
+    "eta2 = 1 exactly; constant volume hits the degenerate guard") {
+    // two full weeks from Mon 2024-01-01: Mondays 5 events, others 2.
+    // between = 98 = ssq, grand = 1156/14 -> eta2 = 1.0 exactly.
+    def ev(monVol: Int, otherVol: Int) = {
+      val rows = (0 until 14).flatMap { d =>
+        val vol = if (d % 7 == 0) monVol else otherVol
+        (1 to vol).map(i => f"2024-01-${d + 1}%02d 0$i%d:00:00")
+      }
+      rows.toDF("ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    }
+    val r = RelationalQueries.anovaDowCensus(ev(5, 2)).collect().head
+    assert((r.getAs[Long]("d_days"), r.getAs[Long]("t_events"),
+      r.getAs[Long]("ssq"), r.getAs[Long]("eta2_micro")) ===
+      (14L, 34L, 98L, 1000000L))
+    // every weekday has m=2 days
+    (1 to 7).foreach(g => assert(r.getAs[Long](s"m$g") === 2L))
+    val c = RelationalQueries.anovaDowCensus(ev(2, 2)).collect().head
+    assert(c.getAs[Long]("eta2_micro") === 0L)
+  }
+
+  test("runsTestCensus: hand-computed runs, median-tie drop, exact " +
+    "z for a clustered sequence") {
+    // volumes 5,5,1,1,6,6 on consecutive days: lower median = 5
+    // (rank 3 of sorted 1,1,5,5,6,6); the two median days DROP;
+    // retained signs in calendar order 0,0,1,1 -> runs 2, n1=n2=2,
+    // E[R]=3 -> 3000000; z = (2-3)/sqrt(2/3) -> floor -1224745
+    val vols = Seq(5, 5, 1, 1, 6, 6)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.runsTestCensus(ev).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("med"),
+      r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("runs"),
+      r.getAs[Long]("e_micro"), r.getAs[Long]("z_micro")) ===
+      (6L, 5L, 2L, 2L, 2L, 3000000L, -1224745L))
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);
