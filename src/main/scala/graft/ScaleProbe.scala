@@ -1462,6 +1462,139 @@ object ScaleProbe {
           s"join_card estimates must be duplication-blind at ${k}x")
       }
     }
+
+    // ---- round-11 operators: closed-form invariants at 1x and kx ----
+    {
+      import graft.operators.{RelationalQueries, SketchQueries}
+      val events = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val orders = graft.sources.Tables.orders(spark, dir)
+
+      // q_heavy: k-fold doc replication multiplies every token count
+      // by k; the MG threshold is the rank-(k+1) VALUE, so counters
+      // scale exactly xk with the SAME surviving token set (bound
+      // recomputed as (kN) div 17 — integer floor does not commute
+      // with the xk).
+      {
+        val base = SketchQueries.heavyHittersCensus(docs).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        val n = docs.select(explode(TextOps.tokens(col("text")))).count()
+        var rep: Array[(String, Long, Long, Long, Long)] = Array.empty
+        time(s"heavy_${k}x") {
+          rep = SketchQueries
+            .heavyHittersCensus(replicate(docs, "doc_id", k)).collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getAs[Long]("bound")))
+          rep.length.toLong
+        }
+        require(rep.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+          base.map { case (t, mg, tc, e) => (t, mg * k, tc * k, e * k) }
+            .toSeq,
+          s"MG counters must scale exactly x$k under replication")
+        require(rep.forall(_._5 == (n * k) / (SketchQueries.MgK + 1)),
+          "MG bound must be (kN) div (k+1 counters)")
+      }
+
+      // q_benford: duplication-blindness of every ppm column —
+      // floor((1e6*k*obs)/(k*n)) is the same rational as
+      // floor((1e6*obs)/n).
+      {
+        val amounts = orders.select(col("o_totalprice").as("amount"))
+        val base = RelationalQueries.benfordCensus(amounts).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+            r.getString(7)))
+        var rep: Array[(Long, Long, Long, Long, Long, Long, Long,
+          String)] = Array.empty
+        time(s"benford_${k}x") {
+          val dup = (1 to k).map(_ => amounts).reduce(_ unionAll _)
+          rep = RelationalQueries.benfordCensus(dup).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+              r.getString(7)))
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.map {
+          case (d, o, n, op, ep, dv, m, c) =>
+            (d, o * k, n * k, op, ep, dv, m, c) }.toSeq,
+          s"benford ppm columns must be duplication-blind at ${k}x")
+      }
+
+      // q_anova_dow: volume homogeneity — xk events per day scale
+      // every s_g by k and ssq by k²; with k a power of two the k²
+      // scaling of each double term is IEEE-exact, so eta² is
+      // bit-identical.
+      {
+        require((k & (k - 1)) == 0, "anova probe needs a power-of-2 k")
+        val base = RelationalQueries.anovaDowCensus(events).collect()
+          .head
+        var rep: org.apache.spark.sql.Row = null
+        time(s"anova_dow_${k}x") {
+          rep = RelationalQueries
+            .anovaDowCensus(replicate(events, "event_id", k))
+            .collect().head
+          1L
+        }
+        require(rep.getAs[Long]("eta2_micro") ==
+          base.getAs[Long]("eta2_micro"),
+          s"eta2 must be volume-homogeneous at ${k}x")
+        (1 to 7).foreach { g =>
+          require(rep.getAs[Long](s"m$g") == base.getAs[Long](s"m$g") &&
+            rep.getAs[Long](s"s$g") == base.getAs[Long](s"s$g") * k)
+        }
+      }
+
+      // q_runs_test: xk volumes scale the median by k and leave every
+      // sign — hence runs, n1, n2, E[R], z — bit-identical.
+      {
+        val base = RelationalQueries.runsTestCensus(events).collect()
+          .head
+        var rep: org.apache.spark.sql.Row = null
+        time(s"runs_test_${k}x") {
+          rep = RelationalQueries
+            .runsTestCensus(replicate(events, "event_id", k))
+            .collect().head
+          1L
+        }
+        require(rep.getAs[Long]("med") == base.getAs[Long]("med") * k &&
+          Seq("n1", "n2", "runs", "e_micro", "z_micro").forall(c =>
+            rep.getAs[Long](c) == base.getAs[Long](c)),
+          s"runs test must be volume-homogeneous at ${k}x")
+      }
+
+      // q_gap_census: duplication-blind outright (distinct days).
+      {
+        val base = RelationalQueries.gapCensus(events).collect()
+          .map(_.toSeq)
+        var rep: Array[Seq[Any]] = Array.empty
+        time(s"gap_census_${k}x") {
+          rep = RelationalQueries
+            .gapCensus(replicate(events, "event_id", k)).collect()
+            .map(_.toSeq)
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.toSeq,
+          s"gap census must be duplication-blind at ${k}x")
+      }
+
+      // q_kcenter: exact-copy replicas (higher vec_ids) never win the
+      // argmin tie, so the greedy trajectory — picks, radii — is
+      // bit-identical over the replicated corpus.
+      {
+        val base = SimilarityOps.kcenterSelect(emb, 8).collect()
+          .map(_.toSeq)
+        var rep: Array[Seq[Any]] = Array.empty
+        time(s"kcenter_${k}x") {
+          rep = SimilarityOps
+            .kcenterSelect(replicate(emb, "vec_id", k), 8).collect()
+            .map(_.toSeq)
+          rep.length.toLong
+        }
+        require(rep.toSeq == base.toSeq,
+          s"k-center trajectory must be replica-invariant at ${k}x")
+      }
+    }
     spark.stop()
   }
 }
