@@ -1815,6 +1815,52 @@ object SimilarityOps {
         col("min_sil_micro"),
         expr("(1000000 * n_amb) div n_vecs").as("amb_ppm"))
 
+  /** V42: clustering-stability audit — the exact Rand index and
+    * adjusted Rand index between two k-means clusterings of the same
+    * corpus (here the production k=10 codebook vs a coarse k=5), the
+    * "is the cluster structure REAL or a k-means artifact?" check: a
+    * genuinely clustered corpus nests (high ARI — fine clusters sit
+    * inside coarse ones); a structureless corpus re-partitions almost
+    * independently (ARI ≈ 0), which warns every cluster-blocked
+    * operator (D12, V12, V36…) that its blocks are arbitrary.
+    *
+    * Both indices come EXACTLY from the k₁×k₂ contingency census —
+    * never from pairs: Σᵢⱼ C(nᵢⱼ,2), row/column sums, and T = C(n,2)
+    * are all integers; Rand and ARI are each ONE double tree over
+    * them, micro-floored (ARI's degenerate denominator guards to 0).
+    *
+    * Scale shape: two assignment kernel projections ride ONE corpus
+    * scan into a ≤ k₁·k₂-cell partial-agg census; everything after is
+    * arithmetic over ≤ 50 rows.
+    */
+  def clusterStability(emb: DataFrame, centsA: Array[Array[Long]],
+                       centsB: Array[Array[Long]]): DataFrame = {
+    val cont = emb.select(
+        assignCluster(col("embedding"), centsA).as("ca"),
+        assignCluster(col("embedding"), centsB).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+    val rows = cont.groupBy("ca").agg(sum("nij").as("ri"))
+      .agg(sum(expr("(ri * (ri - 1)) div 2")).as("s_a"))
+    val cols = cont.groupBy("cb").agg(sum("nij").as("cj"))
+      .agg(sum(expr("(cj * (cj - 1)) div 2")).as("s_b"))
+    val tot = cont.agg(sum("nij").as("n"),
+      count(lit(1)).as("cells"),
+      sum(expr("(nij * (nij - 1)) div 2")).as("s_both"))
+    val t = expr("(n * (n - 1)) div 2")
+    val exp = (col("s_a") * col("s_b")) / t
+    val ariDen = (col("s_a") + col("s_b")) / lit(2.0) - exp
+    tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+      .withColumn("t_pairs", t)
+      .select(col("n"), col("cells"), col("s_both"), col("s_a"),
+        col("s_b"), col("t_pairs"),
+        micro((col("s_both") +
+          (col("t_pairs") - col("s_a") - col("s_b") + col("s_both"))) /
+          col("t_pairs")).as("rand_micro"),
+        when(ariDen =!= 0.0,
+          micro((col("s_both") - exp) / ariDen)).otherwise(lit(0L))
+          .as("ari_micro"))
+  }
+
   /** Hard-negative mining — the contrastive-training data-prep stage
     * (the DPR/ANCE shape): for every query in the batch set, the k
     * vectors that score HIGHEST against it while carrying a DIFFERENT

@@ -402,6 +402,20 @@ object SimilarityQueries {
     SimilarityOps.kcenterSelect(emb(spark, dir), KcRounds)
       .orderBy("round")
 
+  /** V42: the coarse clustering the production k=10 is audited
+    * against.
+    */
+  val StabilityCoarseK = 5
+
+  def qClusterStability(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents10 = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    val cents5 = SimilarityOps.kmeansCodebook(e, StabilityCoarseK,
+      SimilarityOps.KmRounds)
+    SimilarityOps.clusterStability(e, cents10, cents5)
+  }
+
   def qPqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     SimilarityOps.pqDistortion(e, pqBooks(e), PqSubLen)
@@ -490,6 +504,43 @@ object SimilarityQueries {
        |SELECT round, vec_id, mc AS max_cos_prior_micro,
        |  1000000 - mc AS dis_micro
        |FROM sel$KcRounds ORDER BY round""".stripMargin
+  }
+
+  /** V42 oracle: both trainings replayed (the "" k=10 chain + an
+    * "st_"-prefixed k=5 chain), then exact pair-counting off the
+    * contingency census.
+    */
+  private val clusterStabilityOracle: String = {
+    val r = SimilarityOps.KmRounds
+    val t = "((n * (n - 1)) // 2)"
+    val exp = s"(s_a * s_b) / $t"
+    val den = s"((s_a + s_b) / 2.0 - $exp)"
+    s"""$kmeansTrainedCtes,
+       |${kmeansCtesFor("st_", StabilityCoarseK, 1, 1 << 20)},
+       |cont AS MATERIALIZED (
+       |  SELECT a.cid AS ca, b.cid AS cb,
+       |    CAST(count(*) AS BIGINT) AS nij
+       |  FROM a$r a JOIN st_a$r b USING (vec_id) GROUP BY 1, 2),
+       |ra AS (
+       |  SELECT CAST(sum((ri * (ri - 1)) // 2) AS BIGINT) AS s_a
+       |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS ri
+       |        FROM cont GROUP BY ca)),
+       |rb AS (
+       |  SELECT CAST(sum((cj * (cj - 1)) // 2) AS BIGINT) AS s_b
+       |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS cj
+       |        FROM cont GROUP BY cb)),
+       |tt AS (
+       |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS cells,
+       |    CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS s_both
+       |  FROM cont)
+       |SELECT n, cells, s_both, s_a, s_b, $t AS t_pairs,
+       |  ${Hashing.microSql(
+        s"(s_both + ($t - s_a - s_b + s_both)) / $t")} AS rand_micro,
+       |  CASE WHEN $den <> 0
+       |       THEN ${Hashing.microSql(s"(s_both - $exp) / $den")}
+       |       ELSE CAST(0 AS BIGINT) END AS ari_micro
+       |FROM tt, ra, rb""".stripMargin
   }
 
   /** V41 oracle: per subspace, the exact squared L2 between each milli
@@ -2670,6 +2721,7 @@ object SimilarityQueries {
     "q_kcenter"        -> (qKcenter _),
     "q_silhouette"     -> (qSilhouette _),
     "q_pq_distortion"  -> (qPqDistortion _),
+    "q_cluster_stability" -> (qClusterStability _),
     "q_centroid_drift" -> (qCentroidDrift _),
     "q_quantize"       -> (qQuantize _),
     "q_embed_lsh"      -> (qEmbedLsh _),
@@ -2717,6 +2769,7 @@ object SimilarityQueries {
     "q_kcenter"        -> kcenterOracle,
     "q_silhouette"     -> silhouetteOracle,
     "q_pq_distortion"  -> pqDistortionOracle,
+    "q_cluster_stability" -> clusterStabilityOracle,
     "q_centroid_drift" -> centroidDriftOracle,
     "q_quantize"       -> quantizeOracle,
     "q_embed_lsh"      -> embedLshOracle,

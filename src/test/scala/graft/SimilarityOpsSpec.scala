@@ -1189,6 +1189,33 @@ class SimilarityOpsSpec extends SparkSpec {
       (1L, 3L, 500000L, 166666L, 500000L, 250000L)))
   }
 
+  test("clusterStability: hand-computed Rand/ARI — a perfect " +
+    "refinement and the identical-partition identity") {
+    // 8 points in 4 tight axis groups; fine codebook = 4 axes, coarse
+    // = the two diagonals. Perfect nesting: s_both=4, s_a=4, s_b=12,
+    // T=28 -> Rand 20/28 = 714285, ARI (4-48/28)/(8-48/28) = 363636.
+    val pts = emb(
+      (0L, Seq(1f, 0.05f), 0), (1L, Seq(1f, -0.05f), 0),
+      (2L, Seq(0.05f, 1f), 0), (3L, Seq(-0.05f, 1f), 0),
+      (4L, Seq(-1f, 0.05f), 0), (5L, Seq(-1f, -0.05f), 0),
+      (6L, Seq(0.05f, -1f), 0), (7L, Seq(-0.05f, -1f), 0))
+    val fine = Array(Array(1000L, 0L), Array(0L, 1000L),
+      Array(-1000L, 0L), Array(0L, -1000L))
+    val coarse = Array(Array(1000L, 1000L), Array(-1000L, -1000L))
+    val r = SimilarityOps.clusterStability(pts, fine, coarse)
+      .collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("cells"),
+      r.getAs[Long]("s_both"), r.getAs[Long]("s_a"),
+      r.getAs[Long]("s_b"), r.getAs[Long]("t_pairs"),
+      r.getAs[Long]("rand_micro"), r.getAs[Long]("ari_micro")) ===
+      (8L, 4L, 4L, 4L, 12L, 28L, 714285L, 363636L))
+    // identical partitions read Rand = ARI = 1 exactly
+    val i = SimilarityOps.clusterStability(pts, coarse, coarse)
+      .collect().head
+    assert((i.getAs[Long]("rand_micro"), i.getAs[Long]("ari_micro"))
+      === (1000000L, 1000000L))
+  }
+
   test("silhouetteCensus: hand-built codebook — perfectly-centered " +
     "points read s=1, the 0.6/0.8 point reads exactly 0.5") {
     // cents c0=(1000,0), c1=(0,1000) milli. v0/v2=(1,0): best=c0
