@@ -275,6 +275,15 @@ object TextOps {
     // same hash, so any would affect both sides identically)
     val sh = shingleSet(docs, n)
       .select(col("doc_id"), md5Long(col("sh")).as("h")).cache()
+    ngramPairStatsFrom(sh, maxDf)
+  }
+
+  /** [[ngramPairStats]] over an ALREADY-HASHED (doc_id, h) shingle
+    * relation — lets callers that need BOTH blocking paths (D26) share
+    * one shingle scan.
+    */
+  private def ngramPairStatsFrom(sh: DataFrame,
+                                 maxDf: Long): DataFrame = {
     val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     val shf = sh.join(keep, "h")
@@ -576,6 +585,16 @@ object TextOps {
     // one md5 pass; the cached working set and every join key are longs
     val sh = shingleSet(docs, n)
       .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+    minhashScoredFrom(sh, nBands, rowsPerBand, seeds)
+  }
+
+  /** [[minhashScoredCandidates]] over an ALREADY-HASHED (doc_id, h0)
+    * shingle relation — lets callers that need BOTH blocking paths
+    * (D26) share one shingle scan.
+    */
+  private def minhashScoredFrom(sh: DataFrame,
+      nBands: Int, rowsPerBand: Int,
+      seeds: Seq[(Long, Long)]): DataFrame = {
     val cand = minhashCandidates(sh, nBands, rowsPerBand, seeds)
       .select(col("d1"), col("d2"), col("sig1"), col("sig2"),
         col("n1"), col("n2"))
@@ -633,6 +652,51 @@ object TextOps {
     minhashScoredCandidates(docs, n, nBands, rowsPerBand, seeds)
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "n_match", "inter", "jac_micro")
+
+  /** D26: measured LSH blocking recall — D24's auto-tuner picks the
+    * banding config from S-curve THEORY plus the Jaccard histogram;
+    * this measures what the production config actually catches: of
+    * all verified above-bar pairs reachable through the df-capped
+    * inverted index (the D2 truth relation every downstream dedup
+    * stage consumes), what fraction did the MinHash bands block
+    * together (recall), and how many above-bar pairs did the bands
+    * find that the df-cap had HIDDEN from the inverted index
+    * (extra — banding does not df-cap, so a pair whose shared
+    * shingles are all boilerplate-capped can still collide; a nonzero
+    * extra share is the measured cost of the df-cap, not an LSH
+    * error). Both sides verify at the SAME bar, so the comparison is
+    * blocking-vs-blocking, not threshold-vs-threshold.
+    *
+    * Scale shape: both pair relations are candidate-bounded by
+    * construction (df-capped buckets / LSH bands — never all-pairs);
+    * the intersection joins two pair lists bounded by true
+    * duplication; the output is one row.
+    */
+  def lshRecallAudit(docs: DataFrame, n: Int, maxDf: Long,
+                     jacMicroMin: Long): DataFrame = {
+    // ONE shingle scan + md5 pass feeds BOTH blocking paths
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+    val truth = ngramPairStatsFrom(
+        sh.select(col("doc_id"), col("h0").as("h")), maxDf)
+      .withColumn("jac_micro",
+        micro(col("inter") / (col("n1") + col("n2") - col("inter"))))
+      .filter(col("jac_micro") >= jacMicroMin)
+      .select("d1", "d2")
+    val lsh = minhashScoredFrom(sh, 4, 4, Hashing.MinhashSeeds)
+      .filter(col("jac_micro") >= jacMicroMin)
+      .select("d1", "d2")
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nH = truth.join(lsh, Seq("d1", "d2"))
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(broadcast(nL)).crossJoin(broadcast(nH))
+      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+        expr("(1000000 * n_hit) div greatest(n_truth, 1)")
+          .as("recall_ppm"),
+        expr("(1000000 * (n_lsh - n_hit)) div greatest(n_lsh, 1)")
+          .as("extra_ppm"))
+  }
 
   /** D25: LSH-blocked EDIT-DISTANCE dedup — the character-level
     * verifier the set-based family can't provide. Every Jaccard-family

@@ -192,6 +192,10 @@ object TextQueries {
     TextOps.editDistancePairs(docs(spark, dir), ShingleN, EditCapChars,
       EditRelMax).orderBy("d1", "d2")
 
+  def qLshRecall(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lshRecallAudit(docs(spark, dir), ShingleN, MaxShingleDf,
+      MinhashJacMin)
+
   val TfIdfK = 3
   val ChunkLen = 200
   val ChunkStride = 150
@@ -1290,6 +1294,41 @@ object TextQueries {
     s"""$minhashScoredCtes
        |SELECT * FROM scored
        |WHERE jac_micro >= $MinhashJacMin ORDER BY d1, d2""".stripMargin
+
+  /** D26: both blocking paths in one statement off the shared hs0
+    * shingle-hash relation — the df-capped inverted-index truth
+    * (t_-prefixed to avoid the minhash chain's hs/sz/it names) vs the
+    * banded `scored` stream, verified at the same bar.
+    */
+  private val lshRecallOracle: String =
+    s"""$minhashScoredCtes,
+       |t_keep AS (SELECT h0 FROM hs0 GROUP BY h0
+       |           HAVING count(*) <= $MaxShingleDf),
+       |t_shf AS (SELECT s.doc_id, s.h0 FROM hs0 s
+       |          JOIN t_keep USING (h0)),
+       |t_sz AS (SELECT doc_id, count(*) AS n FROM hs0 GROUP BY 1),
+       |t_it AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM t_shf a JOIN t_shf b
+       |    ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2,
+       |      ${Hashing.microSql("inter / (s1.n + s2.n - inter)")} AS j
+       |    FROM t_it JOIN t_sz s1 ON t_it.d1 = s1.doc_id
+       |              JOIN t_sz s2 ON t_it.d2 = s2.doc_id
+       |  ) WHERE j >= $MinhashJacMin),
+       |lshp AS MATERIALIZED (
+       |  SELECT d1, d2 FROM scored WHERE jac_micro >= $MinhashJacMin)
+       |SELECT t.n_truth, l.n_lsh, h.n_hit,
+       |  (1000000 * h.n_hit) // greatest(t.n_truth, 1) AS recall_ppm,
+       |  (1000000 * (l.n_lsh - h.n_hit)) // greatest(l.n_lsh, 1)
+       |    AS extra_ppm
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth) t,
+       |     (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lshp) l,
+       |     (SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |      FROM truth JOIN lshp USING (d1, d2)) h""".stripMargin
 
   /** D25: the same `cand` blocking CTE (unreferenced CTEs downstream
     * of it cost nothing — plain CTEs only run when referenced), then
@@ -3026,6 +3065,7 @@ object TextQueries {
     "q_zipf"          -> (qZipf _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_dedup" -> (qEditDedup _),
+    "q_lsh_recall" -> (qLshRecall _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
@@ -3103,5 +3143,6 @@ object TextQueries {
     "q_zipf"          -> zipfOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_edit_dedup" -> editDedupOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

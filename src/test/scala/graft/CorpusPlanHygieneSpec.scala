@@ -59,6 +59,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census
     "q_cluster_stability", // three one-row pair-count relations joined
+    "q_lsh_recall",     // three one-row pair-count relations joined
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids
     "q_ab_test",        // broadcast one-row arm-totals relation
     "q_mips",           // broadcast single query vector + one-row tau

@@ -1395,6 +1395,27 @@ class TextOpsSpec extends SparkSpec {
       ("model", 1L, 1666666L)))
   }
 
+  test("lshRecallAudit: full recall on an uncapped dup pair; the " +
+    "df-cap-hidden pair surfaces as extra, not as an LSH miss") {
+    val base = (0 until 40).map(i => f"tok$i%02d").mkString(" ")
+    val other = (0 until 40).map(i => f"zzz$i%02d").mkString(" ")
+    val d2 = Seq((0L, base), (1L, base), (2L, other))
+      .toDF("doc_id", "text")
+    val r = TextOps.lshRecallAudit(d2, 5, maxDf = 10L,
+      jacMicroMin = 700000L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (1L, 1L, 1L, 1000000L, 0L))
+    // three identical docs with maxDf=2: every shared shingle is
+    // df-capped, so the inverted index is BLIND to all 3 pairs —
+    // the bands still block them: n_truth 0, extra 100%
+    val d3 = Seq((0L, base), (1L, base), (2L, base))
+      .toDF("doc_id", "text")
+    val c = TextOps.lshRecallAudit(d3, 5, maxDf = 2L,
+      jacMicroMin = 700000L).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3),
+      c.getLong(4)) === (0L, 3L, 0L, 0L, 1000000L))
+  }
+
   test("editDistancePairs: LSH-blocked candidates verified by " +
     "character-level edit distance") {
     // doc 1 = doc 0 with ONE char substituted; doc 2 = exact copy of
