@@ -1,18 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev scratch main for quick cross-engine parity probes. */
+/** Dev scratch main: queries/oracles map set-diff audit. */
 object DevScratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val df = Seq(("kitten", "sitting"), ("", "abc"), ("abc", "abc"),
-      ("flaw", "lawn")).toDF("a", "b")
-    df.select(levenshtein(col("a"), col("b"))).show()
-    spark.stop()
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    println(s"queries=${q.size} oracles=${o.size}")
+    println(s"queries-without-oracle=${(q -- o).toSeq.sorted}")
+    println(s"oracles-without-query=${(o -- q).toSeq.sorted}")
   }
 }
