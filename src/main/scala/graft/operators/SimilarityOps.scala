@@ -2214,28 +2214,73 @@ object SimilarityOps {
   def kcenterSelect(emb: DataFrame, rounds: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    kcenterChosen(emb, rounds).zipWithIndex.map {
+      case ((id, _, m), i) => ((i + 1).toLong, id, m, 1000000L - m)
+    }.toDF("round", "vec_id", "max_cos_prior_micro", "dis_micro")
+  }
+
+  /** The greedy itself, returning (vec_id, embedding, max-cos-to-
+    * prior) per pick — shared by [[kcenterSelect]] and the V43
+    * coverage census.
+    */
+  private def kcenterChosen(emb: DataFrame, rounds: Int)
+  : Vector[(Long, Array[Float], Long)] = {
     val seed = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("embedding")).collect().head
     var chosen = Vector(
       (seed.getLong(0), seed.getSeq[Float](1).toArray, KcSeedCos))
     (2 to rounds).foreach { t =>
-      val scores = chosen.map { case (_, e, _) =>
-        micro(cosineSim(col("embedding"), typedlit(e.toSeq)))
-      }
-      val mc = if (scores.size == 1) scores.head
-        else greatest(scores: _*)
       val pick = emb
         .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
-        .select(col("vec_id"), col("embedding"), mc.as("mc"))
+        .select(col("vec_id"), col("embedding"),
+          kcMaxCos(chosen).as("mc"))
         .orderBy(col("mc").asc, col("vec_id")).limit(1)
         .collect().head
       chosen = chosen :+
         ((pick.getLong(0), pick.getSeq[Float](1).toArray,
           pick.getLong(2)))
     }
-    chosen.zipWithIndex.map { case ((id, _, m), i) =>
-      ((i + 1).toLong, id, m, 1000000L - m)
-    }.toDF("round", "vec_id", "max_cos_prior_micro", "dis_micro")
+    chosen
+  }
+
+  private def kcMaxCos(
+      chosen: Vector[(Long, Array[Float], Long)]): Column = {
+    val scores = chosen.map { case (_, e, _) =>
+      micro(cosineSim(col("embedding"), typedlit(e.toSeq)))
+    }
+    if (scores.size == 1) scores.head else greatest(scores: _*)
+  }
+
+  /** V43: the coverage census that GRADES the V39 selection — after
+    * the `rounds` greedy picks, every non-center point's
+    * dissimilarity to its nearest center: max (the would-be next-pick
+    * radius), floor-mean, and the share already within the last
+    * recorded pick radius. q_kcenter's curve says how fast the radius
+    * shrank; this says what the final center set actually covers —
+    * the acceptance number for "is k enough" before anyone ships the
+    * coreset.
+    *
+    * Exactness: one more integer argmin-free scan off the SAME
+    * collected centers; max/mean/share are integer aggregate
+    * arithmetic (floor mean, positive ppm division).
+    *
+    * Scale shape: the greedy's rounds scans plus exactly ONE more
+    * corpus scan into a single-row aggregate.
+    */
+  def kcenterCoverage(emb: DataFrame, rounds: Int): DataFrame = {
+    val chosen = kcenterChosen(emb, rounds)
+    val radius = 1000000L - chosen.last._3
+    emb.filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+      .select((lit(1000000L) - kcMaxCos(chosen)).as("dis"))
+      .agg(count(lit(1)).as("n_points"),
+        max("dis").as("max_dis_micro"),
+        sum("dis").as("sum_dis"),
+        sum(when(col("dis") <= radius, 1L).otherwise(0L)).as("n_in"))
+      .select(col("n_points"),
+        lit(radius).as("last_pick_dis_micro"),
+        col("max_dis_micro"),
+        expr("sum_dis div n_points").as("mean_dis_micro"),
+        expr("(1000000 * n_in) div n_points").as("within_last_ppm"))
   }
 
   // --------------------------------------- filtered search (V23)

@@ -402,6 +402,9 @@ object SimilarityQueries {
     SimilarityOps.kcenterSelect(emb(spark, dir), KcRounds)
       .orderBy("round")
 
+  def qKcenterCover(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kcenterCoverage(emb(spark, dir), KcRounds)
+
   /** V42: the coarse clustering the production k=10 is audited
     * against.
     */
@@ -468,7 +471,10 @@ object SimilarityQueries {
     * points against the selected set and takes the integer argmin
     * with vec_id ties.
     */
-  private val kcenterOracle = {
+  /** The V39 greedy CTE chain up to and including sel{KcRounds} —
+    * shared by the V39 and V43 oracles.
+    */
+  private val kcenterCtes = {
     val rounds = (2 to KcRounds).map { t =>
       s"""d$t AS (
          |  SELECT a.vec_id, s.vec_id AS sid, sum(a.v * s.v) AS dot
@@ -500,11 +506,14 @@ object SimilarityQueries {
        |    CAST(${SimilarityOps.KcSeedCos} AS BIGINT) AS mc
        |  FROM kce
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val kcenterOracle: String =
+    s"""$kcenterCtes
        |SELECT round, vec_id, mc AS max_cos_prior_micro,
        |  1000000 - mc AS dis_micro
        |FROM sel$KcRounds ORDER BY round""".stripMargin
-  }
 
   /** V42 oracle: both trainings replayed (the "" k=10 chain + an
     * "st_"-prefixed k=5 chain), then exact pair-counting off the
@@ -613,6 +622,39 @@ object SimilarityQueries {
        |  (1000000 * CAST(sum(CASE WHEN s_micro < $amb THEN 1 ELSE 0
        |    END) AS BIGINT)) // count(*) AS amb_ppm
        |FROM sv GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
+  /** V43 oracle: the V39 chain plus one coverage round that aggregates
+    * instead of picking.
+    */
+  private val kcenterCoverOracle: String = {
+    val t = KcRounds
+    s"""$kcenterCtes,
+       |dc AS (
+       |  SELECT a.vec_id, s.vec_id AS sid, sum(a.v * s.v) AS dot
+       |  FROM kce a JOIN kce s ON a.i = s.i
+       |  JOIN sel$t sl ON s.vec_id = sl.vec_id
+       |  WHERE a.vec_id NOT IN (SELECT vec_id FROM sel$t)
+       |  GROUP BY 1, 2
+       |),
+       |mc AS (
+       |  SELECT d.vec_id,
+       |    max(${Hashing.microSql("d.dot / (na.nrm * ns.nrm)")}) AS mc
+       |  FROM dc d JOIN knrm na ON d.vec_id = na.vec_id
+       |            JOIN knrm ns ON d.sid = ns.vec_id
+       |  GROUP BY 1
+       |),
+       |rr AS (SELECT 1000000 - mc AS radius FROM sel$t
+       |       WHERE round = $t)
+       |SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |  rr.radius AS last_pick_dis_micro,
+       |  CAST(max(1000000 - mc) AS BIGINT) AS max_dis_micro,
+       |  CAST(sum(1000000 - mc) AS BIGINT) // count(*)
+       |    AS mean_dis_micro,
+       |  (1000000 * CAST(sum(CASE WHEN 1000000 - mc <= rr.radius
+       |     THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+       |    AS within_last_ppm
+       |FROM mc, rr GROUP BY rr.radius""".stripMargin
   }
 
   private val mmrOracle = {
@@ -2719,6 +2761,7 @@ object SimilarityQueries {
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
     "q_kcenter"        -> (qKcenter _),
+    "q_kcenter_cover"  -> (qKcenterCover _),
     "q_silhouette"     -> (qSilhouette _),
     "q_pq_distortion"  -> (qPqDistortion _),
     "q_cluster_stability" -> (qClusterStability _),
@@ -2767,6 +2810,7 @@ object SimilarityQueries {
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
     "q_kcenter"        -> kcenterOracle,
+    "q_kcenter_cover"  -> kcenterCoverOracle,
     "q_silhouette"     -> silhouetteOracle,
     "q_pq_distortion"  -> pqDistortionOracle,
     "q_cluster_stability" -> clusterStabilityOracle,

@@ -1189,6 +1189,24 @@ class SimilarityOpsSpec extends SparkSpec {
       (1L, 3L, 500000L, 166666L, 500000L, 250000L)))
   }
 
+  test("kcenterCoverage: hand-computed coverage of the one " +
+    "non-center point after 3 greedy rounds") {
+    // greedy over the kcenter fixture picks v0, v3, v2 (see the
+    // kcenterSelect spec); the last pick's dis is 1000000. The one
+    // remaining point v1 has max-cos 799999 -> dis 200001.
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.6f, 0.8f), 0),
+      (2L, Seq(0f, 1f), 0),
+      (3L, Seq(-1f, 0f), 0))
+    val r = SimilarityOps.kcenterCoverage(e, 3).collect().head
+    assert((r.getAs[Long]("n_points"),
+      r.getAs[Long]("last_pick_dis_micro"),
+      r.getAs[Long]("max_dis_micro"), r.getAs[Long]("mean_dis_micro"),
+      r.getAs[Long]("within_last_ppm")) ===
+      (1L, 1000000L, 200001L, 200001L, 1000000L))
+  }
+
   test("clusterStability: hand-computed Rand/ARI — a perfect " +
     "refinement and the identical-partition identity") {
     // 8 points in 4 tight axis groups; fine codebook = 4 axes, coarse
