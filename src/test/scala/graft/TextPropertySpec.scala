@@ -441,6 +441,58 @@ class TextPropertySpec extends SparkSpec {
     assert(out(26L) === (("tail", 6L)))
   }
 
+  test("mgStep invariants on arbitrary counter multisets: <= k " +
+    "survivors, counters never overcount, decrement bounded by the " +
+    "rank-(k+1) value") {
+    import org.apache.spark.sql.functions.col
+    val genCounts: Gen[List[Long]] = for {
+      n <- Gen.chooseNum(1, 60)
+      cs <- Gen.listOfN(n, Gen.chooseNum(1L, 500L))
+    } yield cs
+    (1L to 6L).foreach { seed =>
+      val counts = draw(genCounts, 7000 + seed)
+      val rows = counts.zipWithIndex
+        .map { case (c, i) => (0L, f"t$i%02d", c) }
+        .toDF("bucket", "token", "c")
+      val truth = counts.zipWithIndex
+        .map { case (c, i) => f"t$i%02d" -> c }.toMap
+      val k = graft.operators.SketchQueries.MgK
+      val t = counts.sorted(Ordering[Long].reverse)
+        .drop(k).headOption.getOrElse(0L)
+      val out = graft.operators.SketchQueries
+        .mgStep(rows, col("bucket")).collect()
+        .map(r => r.getString(1) -> r.getLong(2))
+      assert(out.length <= k, s"seed $seed: ${out.length} survivors")
+      out.foreach { case (tok, c) =>
+        assert(c > 0 && c == truth(tok) - t,
+          s"seed $seed: $tok counter $c vs true ${truth(tok)} t=$t")
+      }
+      // every counter above the threshold survives
+      val survivors = out.map(_._1).toSet
+      truth.foreach { case (tok, c) =>
+        if (c > t) assert(survivors.contains(tok), s"seed $seed: $tok")
+      }
+    }
+  }
+
+  test("editDistancePairs invariants: dist bounded by capped lengths " +
+    "and symmetric in content") {
+    val d = docs(303L, 30)
+    val out = TextOps.editDistancePairs(d, 5, capChars = 64,
+      relMicroMax = 1000000L).collect()
+    out.foreach { r =>
+      val (l1, l2, dist, rel) = (r.getAs[Long]("len1"),
+        r.getAs[Long]("len2"), r.getAs[Long]("edit_dist"),
+        r.getAs[Long]("rel_micro"))
+      assert(l1 <= 64 && l2 <= 64)
+      assert(dist <= math.max(l1, l2),
+        "edit distance never exceeds the longer string")
+      assert(dist >= math.abs(l1 - l2),
+        "edit distance at least the length difference")
+      assert(rel >= 0L && rel <= 1000000L)
+    }
+  }
+
   test("ccDistributed: 65-node chain converges in log-diameter rounds") {
     // worst case for plain min-label propagation (diameter 64 would need
     // 64 rounds); pointer jumping must collapse it in ~log2(64) rounds
