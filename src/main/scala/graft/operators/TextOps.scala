@@ -653,6 +653,54 @@ object TextOps {
       .filter(col("jac_micro") >= jacMicroMin)
       .select("d1", "d2", "n_match", "inter", "jac_micro")
 
+  /** X67: lexicon rank-drift census — the RANK-order drift lens next
+    * to X44's value-distribution KS and X51's decile PSI: take the
+    * corpus-wide top-V terms, rank them inside each half of the corpus
+    * (doc_id parity — the deterministic interleaved split), and
+    * report each term's rank displacement plus Spearman's footrule
+    * Σ|r₁ − r₂| carried on every row. Frequency drift that preserves
+    * RANKS (uniform growth) reads footrule 0 however much counts
+    * move; a lexicon reshuffle (topic shift, new template flooding
+    * specific terms) moves ranks long before marginal distributions
+    * trip KS — the complementary alarm.
+    *
+    * Exactness: counts exact integers (absent-in-half terms count 0);
+    * ranks are row_number under (count DESC, token) — fully
+    * tie-broken; footrule an integer sum. No doubles anywhere.
+    *
+    * Scale shape: one token-census Exchange (vocab-bounded, map-side
+    * combined) with the half key riding the same aggregation; the
+    * top-V cut is census-sized; ranking windows run over 2·V rows.
+    */
+  def rankDriftCensus(docs: DataFrame, topV: Int): DataFrame = {
+    val tok = docs.select((col("doc_id") % 2).as("half"),
+      explode(tokens(col("text"))).as("token"))
+    val cen = tok.groupBy("token", "half")
+      .agg(count(lit(1)).as("c"))
+    val top = cen.groupBy("token").agg(sum("c").as("ct"))
+      .orderBy(col("ct").desc, col("token")).limit(topV)
+      .select("token")
+    def halfRank(h: Int, cName: String, rName: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0))
+        .orderBy(col(cName).desc, col("token"))
+      top.join(cen.filter(col("half") === h)
+            .select(col("token"), col("c").as(cName)),
+          Seq("token"), "left")
+        .withColumn(cName, coalesce(col(cName), lit(0L)))
+        .withColumn(rName, row_number().over(w).cast("long"))
+    }
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    halfRank(0, "c0", "r0").join(halfRank(1, "c1", "r1"), "token")
+      .withColumn("dr", abs(col("r0") - col("r1")))
+      .withColumn("footrule", sum("dr").over(wAll))
+      .select("token", "c0", "c1", "r0", "r1", "dr", "footrule")
+  }
+
   /** D26: measured LSH blocking recall — D24's auto-tuner picks the
     * banding config from S-curve THEORY plus the Jaccard histogram;
     * this measures what the production config actually catches: of

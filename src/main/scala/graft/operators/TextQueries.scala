@@ -196,6 +196,12 @@ object TextQueries {
     TextOps.lshRecallAudit(docs(spark, dir), ShingleN, MaxShingleDf,
       MinhashJacMin)
 
+  val RankDriftTopV = 20
+
+  def qRankDrift(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rankDriftCensus(docs(spark, dir), RankDriftTopV)
+      .orderBy("r0")
+
   val TfIdfK = 3
   val ChunkLen = 200
   val ChunkStride = 150
@@ -1294,6 +1300,45 @@ object TextQueries {
     s"""$minhashScoredCtes
        |SELECT * FROM scored
        |WHERE jac_micro >= $MinhashJacMin ORDER BY d1, d2""".stripMargin
+
+  /** X67: top-V cut, per-half counts (absent = 0), tie-broken ranks,
+    * integer footrule.
+    */
+  private val rankDriftOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id % 2 AS half,
+       |    unnest(string_split(text, ' ')) AS token
+       |  FROM documents
+       |),
+       |cen AS MATERIALIZED (
+       |  SELECT token, half, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2
+       |),
+       |top AS MATERIALIZED (
+       |  SELECT token FROM (
+       |    SELECT token, sum(c) AS ct FROM cen GROUP BY 1
+       |    ORDER BY ct DESC, token LIMIT $RankDriftTopV
+       |  )
+       |),
+       |h0 AS (
+       |  SELECT t.token, COALESCE(c.c, 0) AS c0,
+       |    CAST(row_number() OVER (ORDER BY COALESCE(c.c, 0) DESC,
+       |      t.token) AS BIGINT) AS r0
+       |  FROM top t LEFT JOIN (SELECT token, c FROM cen WHERE half = 0)
+       |    c USING (token)
+       |),
+       |h1 AS (
+       |  SELECT t.token, COALESCE(c.c, 0) AS c1,
+       |    CAST(row_number() OVER (ORDER BY COALESCE(c.c, 0) DESC,
+       |      t.token) AS BIGINT) AS r1
+       |  FROM top t LEFT JOIN (SELECT token, c FROM cen WHERE half = 1)
+       |    c USING (token)
+       |)
+       |SELECT h0.token, h0.c0, h1.c1, h0.r0, h1.r1,
+       |  abs(h0.r0 - h1.r1) AS dr,
+       |  CAST(sum(abs(h0.r0 - h1.r1)) OVER () AS BIGINT) AS footrule
+       |FROM h0 JOIN h1 USING (token)
+       |ORDER BY h0.r0""".stripMargin
 
   /** D26: both blocking paths in one statement off the shared hs0
     * shingle-hash relation — the df-capped inverted-index truth
@@ -3066,6 +3111,7 @@ object TextQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_dedup" -> (qEditDedup _),
     "q_lsh_recall" -> (qLshRecall _),
+    "q_rank_drift" -> (qRankDrift _),
     "q_dedup_simhash" -> (qDedupSimhash _))
 
   val oracles: Map[String, String] = Map(
@@ -3144,5 +3190,6 @@ object TextQueries {
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_edit_dedup" -> editDedupOracle,
     "q_lsh_recall" -> lshRecallOracle,
+    "q_rank_drift" -> rankDriftOracle,
     "q_dedup_simhash" -> dedupSimhashOracle)
 }

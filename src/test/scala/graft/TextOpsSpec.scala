@@ -1395,6 +1395,33 @@ class TextOpsSpec extends SparkSpec {
       ("model", 1L, 1666666L)))
   }
 
+  test("rankDriftCensus: hand-computed half ranks, absent-in-half " +
+    "zero counts, integer footrule") {
+    // half 0 (even ids): aa 3, bb 1, cc 1; half 1 (odd): bb 3, aa 1,
+    // dd 1. Ranks: h0 = aa,bb,cc,dd; h1 = bb,aa,dd,cc -> every term
+    // displaced by 1, footrule 4.
+    val d = Seq((0L, "aa aa bb"), (2L, "aa cc"),
+      (1L, "bb bb aa"), (3L, "bb dd")).toDF("doc_id", "text")
+    val out = TextOps.rankDriftCensus(d, 20).orderBy("r0").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("c0"),
+        r.getAs[Long]("c1"), r.getAs[Long]("r0"), r.getAs[Long]("r1"),
+        r.getAs[Long]("dr"), r.getAs[Long]("footrule")))
+    assert(out.toSeq === Seq(
+      ("aa", 3L, 1L, 1L, 2L, 1L, 4L),
+      ("bb", 1L, 3L, 2L, 1L, 1L, 4L),
+      ("cc", 1L, 0L, 3L, 4L, 1L, 4L),
+      ("dd", 0L, 1L, 4L, 3L, 1L, 4L)))
+  }
+
+  test("rankDriftCensus: rank-preserving uniform growth reads " +
+    "footrule 0 however much counts move") {
+    val d = Seq((0L, "aa aa aa bb bb cc"),
+      (1L, "aa aa aa aa aa aa bb bb bb bb cc cc")).toDF("doc_id", "text")
+    val out = TextOps.rankDriftCensus(d, 20).collect()
+    assert(out.forall(_.getAs[Long]("footrule") == 0L))
+    assert(out.forall(_.getAs[Long]("dr") == 0L))
+  }
+
   test("lshRecallAudit: full recall on an uncapped dup pair; the " +
     "df-cap-hidden pair surfaces as extra, not as an LSH miss") {
     val base = (0 until 40).map(i => f"tok$i%02d").mkString(" ")
