@@ -58,8 +58,18 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        # Driver parity: the driver's hash is dtype-sensitive, so the
+        # local replica must be at least as strict (the q_heavy r11
+        # HUGEINT->float64 lesson). Fail on any dtype divergence.
+        dmis = [(c, str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns
+                if str(got[c].dtype) != str(want[c].dtype)]
+        if dmis:
+            print(f"FAIL {name}: dtypes differ (spark vs oracle) {dmis}")
+            failures += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(got, want, check_dtype=False,
+            pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                           check_exact=True)
             print(f"OK   {name}: {len(got)} rows")
         except AssertionError as e:

@@ -144,7 +144,7 @@ object AdsbQueries {
       .orderBy(col("parsed_time"), col("lon"))
     Views.locations(eventsAsAdsb(spark, dir))
       .select(col("hex_ident"), col("parsed_time"), col("lon"), col("lat"))
-      .withColumn("num", row_number().over(w))
+      .withColumn("num", row_number().over(w).cast("long"))
       .withColumn("x2", lead(col("lon"), 1).over(w))
       .withColumn("y2", lead(col("lat"), 1).over(w))
       .filter(col("y2").isNotNull)
@@ -175,7 +175,7 @@ object AdsbQueries {
       .orderBy(col("parsed_time"), col("lon"))
     Views.locations(eventsAsAdsb(spark, dir))
       .select(col("hex_ident"), col("parsed_time"), col("lon"), col("lat"))
-      .withColumn("num", row_number().over(w))
+      .withColumn("num", row_number().over(w).cast("long"))
       .withColumn("x2", lead(col("lon"), 1).over(w))
       .withColumn("y2", lead(col("lat"), 1).over(w))
       .filter(col("y2").isNotNull)

@@ -1050,7 +1050,8 @@ object RelationalQueries {
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(custIn), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("supp_nation"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("revenue_cents"))
     val totals = cen.groupBy("o_year")
@@ -3160,19 +3161,23 @@ object RelationalQueries {
     } ++ Seq(count(lit(1)).as("d_days"), sum("n").as("t_events"),
       sum(col("n") * col("n")).as("ssq"))
     val row = daily.agg(aggs.head, aggs.tail: _*)
-    // ((s1²/m1 + s2²/m2) + …): literal association chain, guarded
+    // ((s1²/m1 + s2²/m2) + …): literal association chain, guarded.
+    // Moment products (s_g², t_events²) are promoted to double BEFORE
+    // multiplying — as Longs they overflow past ~3e9 total events and
+    // Spark would wrap silently while DuckDB errors. They only feed
+    // double ratios; both engines round the IEEE product identically.
+    // Mirrored in anovaDowOracle.
     val between = (1 to 7).map(g =>
         when(col(s"m$g") > 0,
-          (col(s"s$g") * col(s"s$g")) / col(s"m$g")).otherwise(lit(0.0)))
+          (col(s"s$g").cast("double") * col(s"s$g").cast("double")) /
+            col(s"m$g")).otherwise(lit(0.0)))
       .reduceLeft(_ + _)
+    val grand = (col("t_events").cast("double") *
+      col("t_events").cast("double")) / col("d_days")
     row
       .withColumn("eta2_micro",
-        when(col("ssq") - (col("t_events") * col("t_events")) /
-            col("d_days") > 0,
-          micro((between -
-            (col("t_events") * col("t_events")) / col("d_days")) /
-            (col("ssq") - (col("t_events") * col("t_events")) /
-              col("d_days"))))
+        when(col("ssq") - grand > 0,
+          micro((between - grand) / (col("ssq") - grand)))
           .otherwise(lit(0L)))
       .select(col("d_days") +: col("t_events") +: col("ssq") +:
         ((1 to 7).flatMap(g => Seq(col(s"m$g"), col(s"s$g"))) :+
@@ -3185,9 +3190,11 @@ object RelationalQueries {
       s"CAST(sum(CASE WHEN g = $g THEN n ELSE 0 END) AS BIGINT) AS s$g"))
       .mkString(",\n    ")
     val between = (1 to 7).map(g =>
-      s"(CASE WHEN m$g > 0 THEN (s$g * s$g) / m$g ELSE 0.0 END)")
+      s"(CASE WHEN m$g > 0 THEN (CAST(s$g AS DOUBLE) * " +
+        s"CAST(s$g AS DOUBLE)) / m$g ELSE 0.0 END)")
       .reduceLeft((a, b) => s"($a + $b)")
-    val grand = "(t_events * t_events) / d_days"
+    val grand =
+      "(CAST(t_events AS DOUBLE) * CAST(t_events AS DOUBLE)) / d_days"
     s"""$evCte,
        |daily AS (
        |  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS g,
@@ -3462,11 +3469,17 @@ object RelationalQueries {
       sum(col("d") * col("y")).as("sdy"),
       sum(col("d") * col("d")).as("sdd"),
       count(lit(1)).as("nd2"))
+    // OLS moment products (nd2·sdd, sd·sd, nd2·sdy, sd·sy) overflow
+    // Long at high daily volumes (Spark wraps silently, DuckDB errors);
+    // promote each operand to double BEFORE multiplying — they only
+    // feed the one double ratio, and both engines round the IEEE
+    // products identically. Mirrored in theilsenOracle.
+    def dbl(c: String) = col(c).cast("double")
     intercept.crossJoin(broadcast(moments))
       .withColumn("ols_slope_micro",
-        when(col("nd2") * col("sdd") - col("sd") * col("sd") > 0,
-          micro((col("nd2") * col("sdy") - col("sd") * col("sy")) /
-            (col("nd2") * col("sdd") - col("sd") * col("sd"))))
+        when(dbl("nd2") * dbl("sdd") - dbl("sd") * dbl("sd") > 0,
+          micro((dbl("nd2") * dbl("sdy") - dbl("sd") * dbl("sy")) /
+            (dbl("nd2") * dbl("sdd") - dbl("sd") * dbl("sd"))))
           .otherwise(lit(0L)))
       .select(col("n_days"), col("n_pairs"), col("slope_micro"),
         col("intercept_micro"), col("ols_slope_micro"),
@@ -3517,9 +3530,13 @@ object RelationalQueries {
        |  FROM idx)
        |SELECT ic.n_days, ic.n_pairs, ic.slope_micro,
        |  ic.intercept_micro,
-       |  CASE WHEN mo.nd2 * mo.sdd - mo.sd * mo.sd > 0
-       |       THEN ${microSql("(mo.nd2 * mo.sdy - mo.sd * mo.sy) / " +
-      "(mo.nd2 * mo.sdd - mo.sd * mo.sd)")}
+       |  CASE WHEN CAST(mo.nd2 AS DOUBLE) * CAST(mo.sdd AS DOUBLE)
+       |            - CAST(mo.sd AS DOUBLE) * CAST(mo.sd AS DOUBLE) > 0
+       |       THEN ${microSql(
+      "(CAST(mo.nd2 AS DOUBLE) * CAST(mo.sdy AS DOUBLE) - " +
+        "CAST(mo.sd AS DOUBLE) * CAST(mo.sy AS DOUBLE)) / " +
+        "(CAST(mo.nd2 AS DOUBLE) * CAST(mo.sdd AS DOUBLE) - " +
+        "CAST(mo.sd AS DOUBLE) * CAST(mo.sd AS DOUBLE))")}
        |       ELSE CAST(0 AS BIGINT) END AS ols_slope_micro,
        |  ic.slope_micro * mo.d_max + ic.intercept_micro
        |    AS pred_last_micro

@@ -1847,7 +1847,11 @@ object SimilarityOps {
       count(lit(1)).as("cells"),
       sum(expr("(nij * (nij - 1)) div 2")).as("s_both"))
     val t = expr("(n * (n - 1)) div 2")
-    val exp = (col("s_a") * col("s_b")) / t
+    // s_a·s_b is a pair-count product (~C(n,2)²) that overflows Long past
+    // ~1e5 vectors; promote to double BEFORE multiplying (exp only ever
+    // feeds double ratios; both engines then round the IEEE product
+    // identically). Mirrored in clusterStabilityOracle.
+    val exp = (col("s_a").cast("double") * col("s_b").cast("double")) / t
     val ariDen = (col("s_a") + col("s_b")) / lit(2.0) - exp
     tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
       .withColumn("t_pairs", t)

@@ -522,7 +522,7 @@ object SimilarityQueries {
   private val clusterStabilityOracle: String = {
     val r = SimilarityOps.KmRounds
     val t = "((n * (n - 1)) // 2)"
-    val exp = s"(s_a * s_b) / $t"
+    val exp = s"(CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)) / $t"
     val den = s"((s_a + s_b) / 2.0 - $exp)"
     s"""$kmeansTrainedCtes,
        |${kmeansCtesFor("st_", StabilityCoarseK, 1, 1 << 20)},

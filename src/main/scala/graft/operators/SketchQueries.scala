@@ -828,7 +828,7 @@ object SketchQueries {
       s""",
          |s$l AS MATERIALIZED (
          |${step(
-        s"(SELECT bucket // 2 AS bucket, token, sum(c) AS c " +
+        s"(SELECT bucket // 2 AS bucket, token, CAST(sum(c) AS BIGINT) AS c " +
           s"FROM s${l - 1} GROUP BY 1, 2)", "bucket")}
          |)""".stripMargin
     }.mkString

@@ -56,17 +56,24 @@ object StreamingHeavyHitters {
     * the Hadoop FileSystem API (works on HDFS/S3 paths, the
     * CusumMonitor fix).
     */
+  /** True iff the store dir exists and holds ≥1 batch partition —
+    * the shared probe both reads gate on (Hadoop FileSystem API, so
+    * HDFS/S3 paths work).
+    */
+  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
   private def loadState(spark: SparkSession, storeDir: String,
                         batchId: Long): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, Long)]
       .toDF("bucket", "token", "c")
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    val hasRows = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-    if (!hasRows) empty
+    if (!hasBatches(spark, storeDir)) empty
     else {
       // the partition column infers as INT — cast before comparing
       val all = spark.read.option("basePath", storeDir).parquet(storeDir)
@@ -80,14 +87,20 @@ object StreamingHeavyHitters {
   }
 
   /** The serving read: the current summary (latest batch partition),
-    * heaviest counters first.
+    * heaviest counters first; an empty (token, c) frame when the store
+    * has no batch partitions yet (same probe as [[loadState]]).
     */
   def summary(spark: SparkSession, storeDir: String): DataFrame = {
-    val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val latest = all.agg(max("batch_id")).head().getLong(0)
-    all.filter(col("batch_id") === latest)
-      .select("token", "c").orderBy(col("c").desc, col("token"))
+    import spark.implicits._
+    if (!hasBatches(spark, storeDir))
+      Seq.empty[(String, Long)].toDF("token", "c")
+    else {
+      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val latest = all.agg(max("batch_id")).head().getLong(0)
+      all.filter(col("batch_id") === latest)
+        .select("token", "c").orderBy(col("c").desc, col("token"))
+    }
   }
 
   def start(spark: SparkSession, docs: DataFrame, storeDir: String,

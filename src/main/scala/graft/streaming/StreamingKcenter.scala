@@ -120,15 +120,21 @@ object StreamingKcenter {
       .toLong
   }
 
-  private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long, tau0: Long)
-  : (Vector[(Long, Array[Float])], Long) = {
+  /** True iff the store dir exists and holds ≥1 batch partition —
+    * shared by [[loadState]] and the serving read.
+    */
+  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = org.apache.hadoop.fs.FileSystem
       .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    val hasRows = fs.exists(path) &&
+    fs.exists(path) &&
       fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-    if (!hasRows) (Vector.empty, tau0)
+  }
+
+  private def loadState(spark: SparkSession, storeDir: String,
+                        batchId: Long, tau0: Long)
+  : (Vector[(Long, Array[Float])], Long) = {
+    if (!hasBatches(spark, storeDir)) (Vector.empty, tau0)
     else {
       val all = spark.read.option("basePath", storeDir).parquet(storeDir)
         .withColumn("batch_id", col("batch_id").cast("long"))
@@ -147,13 +153,20 @@ object StreamingKcenter {
     }
   }
 
-  /** The serving read: current centers + threshold. */
+  /** The serving read: current centers + threshold; an empty
+    * (cid, tau) frame when the store has no batch partitions yet.
+    */
   def centers(spark: SparkSession, storeDir: String): DataFrame = {
-    val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val latest = all.agg(max("batch_id")).head().getLong(0)
-    all.filter(col("batch_id") === latest)
-      .select("cid", "tau").orderBy("cid")
+    import spark.implicits._
+    if (!hasBatches(spark, storeDir))
+      Seq.empty[(Long, Long)].toDF("cid", "tau")
+    else {
+      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val latest = all.agg(max("batch_id")).head().getLong(0)
+      all.filter(col("batch_id") === latest)
+        .select("cid", "tau").orderBy("cid")
+    }
   }
 
   def start(spark: SparkSession, vecs: DataFrame, storeDir: String,

@@ -28,6 +28,18 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     StreamingHeavyHitters.summary(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
+  test("summary() on a nonexistent or empty store returns an empty " +
+    "(token, c) frame instead of throwing") {
+    val missing = Files.createTempDirectory("graft-hh-missing")
+      .resolve("never-written").toString
+    val emptyDir = Files.createTempDirectory("graft-hh-empty").toString
+    Seq(missing, emptyDir).foreach { d =>
+      val df = StreamingHeavyHitters.summary(spark, d)
+      assert(df.columns.toSeq === Seq("token", "c"))
+      assert(df.count() === 0L)
+    }
+  }
+
   test("cross-batch heavy token accumulates while per-batch junk " +
     "never reaches the store; hand-computed counters") {
     val dir = Files.createTempDirectory("graft-hh-store").toString
@@ -51,9 +63,17 @@ class StreamingHeavyHittersSpec extends SparkSpec {
         batchDocs(b).toDF("doc_id", "text"), dir, b.toLong)
     }
     val once = storeRows(dir).toSeq
+    // the partition the replay will rewrite — read DIRECTLY (summary()
+    // only reads the latest partition, batch 2, which a replay of
+    // batch 1 never touches)
+    def batch1Rows() = spark.read.parquet(s"$dir/batch_id=1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val b1Once = batch1Rows()
     // replay the middle batch: reads batch 0's state, rewrites batch 1
     StreamingHeavyHitters.processBatch(spark,
       batchDocs(1).toDF("doc_id", "text"), dir, 1L)
+    assert(batch1Rows() === b1Once)
+    assert(b1Once === Seq(("hv", 28L)))
     assert(storeRows(dir).toSeq === once)
     assert(once === Seq(("hv", 42L)))
   }

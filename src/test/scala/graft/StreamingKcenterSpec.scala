@@ -26,6 +26,18 @@ class StreamingKcenterSpec extends SparkSpec {
     (0L, Seq(1f, 0f)), (1L, Seq(0.999f, 0.004f)), (2L, Seq(0f, 1f)))
   private val batch1 = Seq((10L, Seq(-1f, 0f)))
 
+  test("centers() on a nonexistent or empty store returns an empty " +
+    "(cid, tau) frame instead of throwing") {
+    val missing = Files.createTempDirectory("graft-skc-missing")
+      .resolve("never-written").toString
+    val emptyDir = Files.createTempDirectory("graft-skc-empty").toString
+    Seq(missing, emptyDir).foreach { d =>
+      val df = StreamingKcenter.centers(spark, d)
+      assert(df.columns.toSeq === Seq("cid", "tau"))
+      assert(df.count() === 0L)
+    }
+  }
+
   test("hand-computed doubling trajectory: admission, overflow, " +
     "thin in cid order") {
     val dir = Files.createTempDirectory("graft-skc").toString
