@@ -109,12 +109,30 @@ object SketchQueries {
     * production deployment drops once the FP rate is accepted.
     */
   def qBloom(spark: SparkSession, dir: String): DataFrame = {
-    val tp = TextQueries.TrainPct
-    val vp = TextQueries.ValPct
-    val keyed = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        TextOps.splitAssign(tp, vp).as("split"),
-        sha2(col("text").cast("binary"), 256).as("key"))
+    val keyed = bloomKeyed(Tables.documents(spark, dir))
+    val trainKeys = keyed.filter(col("split") === "train")
+      .select("key").distinct().withColumn("present", lit(1L))
+    bloomClaims(keyed).join(trainKeys, Seq("key"), "left")
+      .select(col("doc_id"), col("claimed"),
+        coalesce(col("present"), lit(0L)).as("actual"))
+      .withColumn("false_positive",
+        when(col("claimed") === 1L && col("actual") === 0L, 1L)
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private def bloomKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.splitAssign(TextQueries.TrainPct, TextQueries.ValPct)
+        .as("split"),
+      sha2(col("text").cast("binary"), 256).as("key"))
+
+  /** The sketch-side claims relation (doc_id, key, claimed) — what a
+    * deployment serves (the exact-membership audit join is dropped
+    * once the FP rate is accepted; [[bloomServing]] below is that
+    * form, spec-pinned equal to the audit's overlapping columns).
+    */
+  private def bloomClaims(keyed: DataFrame): DataFrame = {
     def positions: Column = posexplode(array((0 until BloomK).map(i =>
       md5Long(concat(lit(s"bloom:$i:"), col("key"))) % BloomBits): _*))
     val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
@@ -123,7 +141,7 @@ object SketchQueries {
       .select(positions.as(Seq("i0", "pos")))
       .select(word.as("w"), mask.as("mask"))
       .groupBy("w").agg(bit_or(col("mask")).as("word"))
-    val claimed = keyed.filter(col("split") =!= "train")
+    keyed.filter(col("split") =!= "train")
       .select(col("doc_id"), col("key"), positions.as(Seq("i0", "pos")))
       .select(col("doc_id"), col("key"), word.as("w"), mask.as("mask"))
       .join(broadcast(words), Seq("w"), "left")
@@ -132,16 +150,17 @@ object SketchQueries {
           col("word").bitwiseAND(col("mask")) =!= 0L, 1L)
           .otherwise(0L).as("hit"))
       .groupBy("doc_id", "key").agg(min("hit").as("claimed"))
-    val trainKeys = keyed.filter(col("split") === "train")
-      .select("key").distinct().withColumn("present", lit(1L))
-    claimed.join(trainKeys, Seq("key"), "left")
-      .select(col("doc_id"), col("claimed"),
-        coalesce(col("present"), lit(0L)).as("actual"))
-      .withColumn("false_positive",
-        when(col("claimed") === 1L && col("actual") === 0L, 1L)
-          .otherwise(0L))
-      .orderBy("doc_id")
   }
+
+  /** X41 deployment form: membership claims from the broadcast filter
+    * words ONLY — no exact-membership join (the audit column a
+    * production gate drops). Output (doc_id, claimed) is spec-pinned
+    * equal to [[qBloom]]'s overlapping columns, and the plan is
+    * pinned join-shape: the filter is the only join, a broadcast.
+    */
+  def bloomServing(docs: DataFrame): DataFrame =
+    bloomClaims(bloomKeyed(docs))
+      .select("doc_id", "claimed").orderBy("doc_id")
 
   private val bloomOracle: String = {
     val tp = TextQueries.TrainPct
@@ -367,23 +386,58 @@ object SketchQueries {
     */
   def joinCardCensus(
       pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
-    val pow60 = lit(1.152921504606846976e18)
-    def leg(p: String, side: String, df: DataFrame) =
-      df.select(lit(p).as("pair"), lit(side).as("side"),
-        md5Long(concat(lit("jc:"), col("k").cast("string"))).as("h"))
-    // three consumers re-derive this relation; a cache was measured
-    // NEUTRAL at sf0.1 (the cost sits in the exact-intersection join
-    // and the sketch windows, not the hash scans), so the plan stays
-    // cache-free — the deployment form drops the exact audit anyway
-    val hs = pairs.map { case (p, a, b) =>
-      leg(p, "a", a).unionByName(leg(p, "b", b))
-    }.reduce(_ unionByName _).distinct()
-    val exact = hs.groupBy("pair", "side").agg(count(lit(1)).as("n"))
+    val hs = jcHashes(pairs)
     val interExact = hs.filter(col("side") === "a")
       .select(col("pair"), col("h"))
       .join(hs.filter(col("side") === "b").select(col("pair"), col("h")),
         Seq("pair", "h"))
       .groupBy("pair").agg(count(lit(1)).as("n_inter_exact"))
+    jcSketchEstimates(hs)
+      .join(interExact, Seq("pair"), "left")
+      .withColumn("n_inter_exact",
+        coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("err_ppm",
+        when(col("n_inter_exact") > 0,
+          Hashing.micro((col("est_inter") - col("n_inter_exact")) /
+            col("n_inter_exact"))).otherwise(0L))
+      .select("pair", "n_a", "n_b", "n_inter_exact", "est_a", "est_b",
+        "k_used", "est_union", "n_match", "est_inter", "err_ppm")
+      .orderBy("pair")
+  }
+
+  /** X65 deployment form: the sketch math only — the exact-
+    * intersection audit join (the measured cost center, BENCH r11)
+    * drops once the error regime is accepted; what remains is what a
+    * CBO reads at plan time. Output columns are spec-pinned equal to
+    * [[joinCardCensus]]'s overlapping columns; the plan is pinned to
+    * scan each base table once (the audit form re-derives the hash
+    * relation for the intersection, doubling the scans).
+    */
+  def joinCardServing(
+      pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame =
+    jcSketchEstimates(jcHashes(pairs)).orderBy("pair")
+
+  private def jcHashes(
+      pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    def leg(p: String, side: String, df: DataFrame) =
+      df.select(lit(p).as("pair"), lit(side).as("side"),
+        md5Long(concat(lit("jc:"), col("k").cast("string"))).as("h"))
+    // consumers re-derive this relation; a cache was measured NEUTRAL
+    // at sf0.1 (the cost sits in the exact-intersection join and the
+    // sketch windows, not the hash scans), so the plan stays
+    // cache-free — the deployment form drops the exact audit anyway
+    pairs.map { case (p, a, b) =>
+      leg(p, "a", a).unionByName(leg(p, "b", b))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** Everything except the exact-intersection audit: per-side counts,
+    * bottom-k sketches, union sketch, match count, and the three KMV
+    * estimates — shared by the census (audit) and serving forms.
+    */
+  private def jcSketchEstimates(hs: DataFrame): DataFrame = {
+    val pow60 = lit(1.152921504606846976e18)
+    val exact = hs.groupBy("pair", "side").agg(count(lit(1)).as("n"))
     val pref = hs.join(broadcast(exact), Seq("pair", "side"))
       .filter(col("n") <= lit(8L * JcK) ||
         col("h") < floor(lit(8.0 * JcK) * pow60 / col("n"))
@@ -420,23 +474,15 @@ object SketchQueries {
         .otherwise(floor(lit((JcK - 1).toDouble) * pow60 /
           col("kth_u")).cast("long")).as("est_union"))
     pick("a", "n", "n_a").join(pick("b", "n", "n_b"), "pair")
-      .join(interExact, Seq("pair"), "left")
       .join(pick("a", "est", "est_a"), "pair")
       .join(pick("b", "est", "est_b"), "pair")
       .join(estU, "pair")
       .join(matches, Seq("pair"), "left")
-      .withColumn("n_inter_exact",
-        coalesce(col("n_inter_exact"), lit(0L)))
       .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
       .withColumn("est_inter",
         expr("(n_match * est_union) div k_used"))
-      .withColumn("err_ppm",
-        when(col("n_inter_exact") > 0,
-          Hashing.micro((col("est_inter") - col("n_inter_exact")) /
-            col("n_inter_exact"))).otherwise(0L))
-      .select("pair", "n_a", "n_b", "n_inter_exact", "est_a", "est_b",
-        "k_used", "est_union", "n_match", "est_inter", "err_ppm")
-      .orderBy("pair")
+      .select("pair", "n_a", "n_b", "est_a", "est_b",
+        "k_used", "est_union", "n_match", "est_inter")
   }
 
   private val jcOracle: String = {

@@ -260,4 +260,69 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(direct === shuffled)
   }
+
+  // --- deployment (audit-free) serving forms: pinned equal to the
+  // audit queries on overlapping columns, with the plan shape the
+  // Scaladoc claims (the StorageLayoutSpec precedent) ---
+
+  test("bloomServing: (doc_id, claimed) identical to the audit form; " +
+    "the only join is the broadcast filter (no exact-membership join)") {
+    val docs = Tables.documents(spark, dir)
+    val audit = SketchQueries.qBloom(spark, dir)
+      .select("doc_id", "claimed").collect().map(_.toSeq).toSeq
+    val serving = SketchQueries.bloomServing(docs)
+    assert(serving.collect().map(_.toSeq).toSeq === audit)
+    val plan = serving.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"serving form must join only the broadcast filter words:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("joinCardServing: sketch columns identical to the audit form; " +
+    "strictly fewer base-table scans (the exact-intersection join " +
+    "re-derives the hash relation)") {
+    val sketchCols = Seq("pair", "n_a", "n_b", "est_a", "est_b",
+      "k_used", "est_union", "n_match", "est_inter")
+    val audit = SketchQueries.qJoinCard(spark, dir)
+      .select(sketchCols.map(col): _*).collect().map(_.toSeq).toSeq
+    def pairs = Seq(
+      ("cust",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("k"))),
+      ("part",
+        Tables.lineitem(spark, dir).select(col("l_partkey").as("k")),
+        Tables.part(spark, dir).select(col("p_partkey").as("k"))),
+      ("supp",
+        Tables.lineitem(spark, dir).select(col("l_suppkey").as("k")),
+        Tables.supplier(spark, dir).select(col("s_suppkey").as("k"))))
+    val serving = SketchQueries.joinCardServing(pairs)
+    assert(serving.collect().map(_.toSeq).toSeq === audit)
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectLeaves()
+        .count(_.toString.contains("parquet"))
+    val s = scans(serving)
+    val a = scans(SketchQueries.qJoinCard(spark, dir))
+    assert(s < a, s"serving scans $s must be < audit scans $a")
+  }
+
+  test("qsEstimates(qsSample(...)): estimate columns identical to the " +
+    "audit census; no exact-census pass (fewer events scans)") {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+    val estCols = "event_type" +: "k_used" +:
+      SketchQueries.QsPs.map(p => s"est_p$p")
+    val audit = SketchQueries.quantileSketchCensus(ev)
+      .select(estCols.map(col): _*).orderBy("event_type")
+      .collect().map(_.toSeq).toSeq
+    val serving = SketchQueries.qsEstimates(SketchQueries.qsSample(ev))
+      .orderBy("event_type")
+    assert(serving.collect().map(_.toSeq).toSeq === audit)
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collectLeaves()
+        .count(_.toString.contains("parquet"))
+    val s = scans(serving)
+    val a = scans(SketchQueries.quantileSketchCensus(ev))
+    assert(s < a, s"serving scans $s must be < audit scans $a")
+  }
 }

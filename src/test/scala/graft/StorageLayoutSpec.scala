@@ -29,7 +29,9 @@ class StorageLayoutSpec extends SparkSpec {
   test("qProfile reads the table in ONE scan (grouping via Expand)") {
     val df = graft.operators.RelationalQueries
       .qProfile(spark, "/root/testdata/sf0.001")
-    val scans = df.queryExecution.executedPlan.collectLeaves()
+    // sparkPlan, not executedPlan: the AQE wrapper is itself a leaf,
+    // so counting executedPlan leaves is vacuously 1
+    val scans = df.queryExecution.sparkPlan.collectLeaves()
       .count(_.toString.contains("documents"))
     assert(scans === 1,
       s"profiling must not scan once per column, got $scans scans")
