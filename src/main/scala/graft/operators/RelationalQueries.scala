@@ -3122,6 +3122,94 @@ object RelationalQueries {
        |FROM st""".stripMargin
   }
 
+  // ------------------------------------ Mann-Kendall trend test (R49)
+
+  /** R49: Mann-Kendall trend test over the daily volume series — the
+    * nonparametric "is there a monotone trend AT ALL" decision that
+    * fronts R44's Theil–Sen (which estimates the slope this test
+    * decides exists; the two are the standard pairing: MK for the
+    * verdict, TS for the magnitude — Mann 1945, Kendall 1975). Unlike
+    * R48's runs test (randomness around the median), MK accumulates
+    * DIRECTION over every day pair, so a gradual drift the runs test
+    * misses still drives |S| up. Output: S, the tie-corrected variance
+    * numerator (var = var_num/18), and the continuity-corrected normal
+    * z — the feed-health number a pipeline alarms on.
+    *
+    * Exactness: S = Σ_{i<j} sign(y_j − y_i) and the tie correction
+    * Σ t(t−1)(2t+5) are exact integers; z is ONE double tree
+    * ((S∓1)/sqrt(var_num/18.0)) micro-floored, mirrored verbatim —
+    * sqrt is IEEE-correctly-rounded, so both engines agree bit-exactly.
+    *
+    * Scale shape: the pair relation is the CALENDAR-BOUNDED daily
+    * census self-join (the R44 shape — days², not events²); everything
+    * after is one-row arithmetic. All products are day-count-sized
+    * (≤ ~10⁴ days ⇒ n³ ≈ 10¹² ≪ 2⁶³) — no overflow headroom issue.
+    */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def mannKendallCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val a = daily.select(col("day").as("d1"), col("n").as("y1"))
+    val b = daily.select(col("day").as("d2"), col("n").as("y2"))
+    val s = a.join(b, col("d2") > col("d1"))
+      .agg(coalesce(sum(when(col("y2") > col("y1"), 1L)
+          .when(col("y2") < col("y1"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("n").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+          .as("tie_corr"),
+        count(lit(1)).as("n_tie_groups"))
+    val z = (col("s_stat") + when(col("s_stat") > 0, -1L)
+      .when(col("s_stat") < 0, 1L).otherwise(0L)) /
+      sqrt(col("var_num") / lit(18.0))
+    nd.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .withColumn("var_num",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5)") -
+          col("tie_corr"))
+      .select(col("n_days"), col("s_stat"), col("n_tie_groups"),
+        col("tie_corr"), col("var_num"),
+        when(col("var_num") > 0 && col("s_stat") =!= 0, micro(z))
+          .otherwise(lit(0L)).as("z_micro"))
+  }
+
+  private val mannKendallOracle = {
+    val z = "(s_stat + CASE WHEN s_stat > 0 THEN -1 " +
+      "WHEN s_stat < 0 THEN 1 ELSE 0 END) / sqrt(var_num / 18.0)"
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN b.n > a.n THEN 1
+       |           WHEN b.n < a.n THEN -1 ELSE 0 END), 0) AS BIGINT)
+       |    AS s_stat
+       |  FROM daily a JOIN daily b ON b.day > a.day),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+       |tg AS (SELECT CAST(count(*) AS BIGINT) AS t
+       |       FROM daily GROUP BY n HAVING count(*) > 1),
+       |ties AS (
+       |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+       |           AS BIGINT) AS tie_corr,
+       |         CAST(count(*) AS BIGINT) AS n_tie_groups
+       |  FROM tg),
+       |st AS (
+       |  SELECT n_days, s_stat, n_tie_groups, tie_corr,
+       |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr
+       |      AS var_num
+       |  FROM nd, s, ties)
+       |SELECT n_days, s_stat, n_tie_groups, tie_corr, var_num,
+       |  CASE WHEN var_num > 0 AND s_stat <> 0 THEN ${microSql(z)}
+       |       ELSE CAST(0 AS BIGINT) END AS z_micro
+       |FROM st""".stripMargin
+  }
+
   // -------------------------------------- weekday ANOVA / eta² (R47)
 
   /** R47: weekday seasonality STRENGTH — the one-way-ANOVA variance
@@ -3916,6 +4004,7 @@ object RelationalQueries {
     "q_cusum"           -> (qCusum _),
     "q_autocorr"        -> (qAutocorr _),
     "q_theilsen"        -> (qTheilsen _),
+    "q_mann_kendall"    -> (qMannKendall _),
     "q_benford"         -> (qBenford _),
     "q_gap_census"      -> (qGapCensus _),
     "q_anova_dow"       -> (qAnovaDow _),
@@ -3971,6 +4060,7 @@ object RelationalQueries {
     "q_cusum"           -> cusumOracle,
     "q_autocorr"        -> autocorrOracle,
     "q_theilsen"        -> theilsenOracle,
+    "q_mann_kendall"    -> mannKendallOracle,
     "q_benford"         -> benfordOracle,
     "q_gap_census"      -> gapCensusOracle,
     "q_anova_dow"       -> anovaDowOracle,

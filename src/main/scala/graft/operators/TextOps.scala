@@ -2215,6 +2215,50 @@ object TextOps {
       sum("n_tokens").over(w).as("n_tokens_at_or_above"))
   }
 
+  /** X68: Good-Turing smoothing census — [[zipfCensus]]'s N_c table
+    * turned into the estimators it exists for (Good 1953; Gale &
+    * Sampson 1995): per observed count r, the smoothed count
+    * r* = (r+1)·N_{r+1}/N_r (0 where the next cell is empty — simple
+    * GT leaves those to the fitted regime), and on every row the
+    * global unseen-mass estimate p₀ = N₁/T — the number that says how
+    * much probability a vocabulary-closed LM must reserve for words
+    * it has never seen, i.e. how far from closed this corpus's
+    * vocabulary still is (the Heaps/X37 question, answered as a
+    * probability instead of a curve).
+    *
+    * Exactness: all inputs are exact integers off the token census;
+    * r* and p₀ are single positive integer floor-divisions
+    * (`(10⁶·(r+1)·N_{r+1}) div N_r`), no doubles anywhere. Long
+    * headroom: 10⁶·(r+1)·N_{r+1} ≤ ~2·10⁶·T, exact up to T ≈ 4.6·10¹²
+    * tokens per corpus — beyond that, shard the census (documented
+    * ceiling, not a silent wrap; DuckDB errors past it identically).
+    *
+    * Scale shape: the [[zipfCensus]] shape exactly — one vocab-bounded
+    * (word, partial) Exchange, one ≤ √(2T)-row frequency census, then
+    * a census-sized self-join on r+1 and a one-row broadcast of the
+    * totals. Nothing corpus-sized past the first Exchange.
+    */
+  def goodTuringCensus(docs: DataFrame): DataFrame = {
+    val ff = parallelized(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val ffNext = ff.select((col("r") - 1).as("r"),
+      col("n_r").as("n_next"))
+    val tot = ff.agg(sum(col("r") * col("n_r")).as("t_tokens"),
+      sum("n_r").as("v_types"),
+      coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L))
+        .as("n1"))
+    ff.join(ffNext, Seq("r"), "left")
+      .withColumn("n_next", coalesce(col("n_next"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_next"),
+        expr("(1000000 * (r + 1) * n_next) div n_r")
+          .as("r_star_micro"),
+        col("t_tokens"), col("v_types"),
+        expr("(1000000 * n1) div t_tokens").as("p0_micro"))
+  }
+
   /** [[zipfCensus]] with a TWO-LEVEL cumulative — the formulation for
     * the regime past the census bound's comfort zone. The plain census
     * is provably ≤ √(2T) rows (c·N_c ≤ T), ~6.3M rows at 100 TB — one

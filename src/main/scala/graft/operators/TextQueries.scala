@@ -162,6 +162,9 @@ object TextQueries {
   def qZipf(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfCensus(docs(spark, dir)).orderBy("freq")
 
+  def qGoodTuring(spark: SparkSession, dir: String): DataFrame =
+    TextOps.goodTuringCensus(docs(spark, dir)).orderBy("r")
+
   def qJacHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
       .orderBy("bucket_lo_micro")
@@ -1219,6 +1222,36 @@ object TextQueries {
        |  CAST(sum(n_tokens) OVER (ORDER BY freq DESC) AS BIGINT)
        |    AS n_tokens_at_or_above
        |FROM census ORDER BY freq""".stripMargin
+
+  /** X68: the N_c table turned into simple-GT estimators — r* and p₀
+    * as positive integer floor-divisions, totals via CAST (DuckDB
+    * sum(BIGINT) widens to HUGEINT; the q_heavy lesson).
+    */
+  private val goodTuringOracle =
+    s"""$tokCte,
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS r FROM (
+       |    SELECT unnest(toks) AS w FROM tok
+       |  ) GROUP BY 1
+       |),
+       |ff AS (
+       |  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(r * n_r) AS BIGINT) AS t_tokens,
+       |    CAST(sum(n_r) AS BIGINT) AS v_types,
+       |    CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+       |      AS BIGINT) AS n1
+       |  FROM ff)
+       |SELECT f.r, f.n_r, COALESCE(x.n_next, 0) AS n_next,
+       |  (1000000 * (f.r + 1) * COALESCE(x.n_next, 0)) // f.n_r
+       |    AS r_star_micro,
+       |  t.t_tokens, t.v_types,
+       |  (1000000 * t.n1) // t.t_tokens AS p0_micro
+       |FROM ff f
+       |LEFT JOIN (SELECT r - 1 AS r, n_r AS n_next FROM ff) x
+       |  USING (r), tot t
+       |ORDER BY f.r""".stripMargin
 
   /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
     * column windows over the ≤ 21 census rows (unique bucket values,
@@ -3108,6 +3141,7 @@ object TextQueries {
     "q_corr"          -> (qCorr _),
     "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
+    "q_good_turing"   -> (qGoodTuring _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_dedup" -> (qEditDedup _),
     "q_lsh_recall" -> (qLshRecall _),
@@ -3187,6 +3221,7 @@ object TextQueries {
     "q_corr"          -> corrOracle,
     "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
+    "q_good_turing"   -> goodTuringOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_edit_dedup" -> editDedupOracle,
     "q_lsh_recall" -> lshRecallOracle,

@@ -55,6 +55,8 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_fk_audit",       // five 1-row audit aggregates cross-joined
     "q_heavy",          // broadcast one-row corpus token total N
     "q_theilsen",       // calendar-bounded daily census self-pairs
+    "q_mann_kendall",   // calendar-bounded census self-pairs + one-rows
+    "q_good_turing",    // broadcast one-row totals (T, V, N1)
     "q_benford",        // broadcast one-row total into the 9-digit grid
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census

@@ -410,6 +410,39 @@ class ScaleOpsSpec extends SparkSpec {
       (6L, 5L, 2L, 2L, 2L, 3000000L, -1224745L))
   }
 
+  test("mannKendallCensus: hand-computed S, tie correction, exact z") {
+    // volumes 1,3,2,2,5 on consecutive days: S over the 10 pairs =
+    // +4 (from day1) -1 (day2: two inversions, one rise) +1 +1 = 5;
+    // one tie group (value 2, t=2) -> corr = 2*1*9 = 18;
+    // var_num = 5*4*15 - 18 = 282; z = (5-1)/sqrt(282/18) ->
+    // floor(1.0105815...e6) = 1010582
+    val vols = Seq(1, 3, 2, 2, 5)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.mannKendallCensus(ev).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"),
+      r.getAs[Long]("n_tie_groups"), r.getAs[Long]("tie_corr"),
+      r.getAs[Long]("var_num"), r.getAs[Long]("z_micro")) ===
+      (5L, 5L, 1L, 18L, 282L, 1010582L))
+  }
+
+  test("mannKendallCensus: strictly increasing volumes hit the " +
+    "no-tie maximum S = n(n-1)/2") {
+    val vols = Seq(1, 2, 3, 4)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.mannKendallCensus(ev).collect().head
+    assert(r.getAs[Long]("s_stat") === 6L)
+    assert(r.getAs[Long]("tie_corr") === 0L)
+    assert(r.getAs[Long]("z_micro") > 0L)
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);

@@ -10,6 +10,22 @@ class TextOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("goodTuringCensus: hand-computed r*, unseen mass, totals") {
+    // tokens a a a b b c -> counts a:3 b:2 c:1 -> N_1=N_2=N_3=1;
+    // T=6, V=3; r*(1) = 2*N_2/N_1 = 2.0; r*(2) = 3*N_3/N_2 = 3.0;
+    // r*(3) = 0 (empty next cell); p0 = N_1/T = 1/6 -> 166666
+    val out = TextOps.goodTuringCensus(docs((1L, "a a a b b c")))
+      .orderBy("r").collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+        r.getAs[Long]("n_next"), r.getAs[Long]("r_star_micro"),
+        r.getAs[Long]("t_tokens"), r.getAs[Long]("v_types"),
+        r.getAs[Long]("p0_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 2000000L, 6L, 3L, 166666L),
+      (2L, 1L, 1L, 3000000L, 6L, 3L, 166666L),
+      (3L, 1L, 0L, 0L, 6L, 3L, 166666L)))
+  }
+
   test("shingles: 5-grams in order, empty below n tokens") {
     val out = docs((1L, "a b c d e f"), (2L, "a b"))
       .select($"doc_id", TextOps.shingles(TextOps.tokens($"text"), 5).as("s"))
