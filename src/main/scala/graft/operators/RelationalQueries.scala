@@ -3210,6 +3210,200 @@ object RelationalQueries {
        |FROM st""".stripMargin
   }
 
+  // ------------------------------------------------ Cramér's V (R50)
+
+  /** R50: Cramér's V between order status and order priority — the
+    * single-number association STRENGTH for a categorical pair, the
+    * effect-size companion of R29's per-cell chi census (R29 says
+    * WHICH cells deviate from independence; this says HOW MUCH the
+    * two columns are coupled overall, normalized to [0, 1] so the
+    * answer is comparable across tables and scales — Cramér 1946).
+    * The contingency grid is the FULL levels×levels cross product
+    * (observed levels only), so zero cells contribute their expected
+    * mass — a census over observed cells alone understates chi² and
+    * breaks the V = 1 perfect-association anchor (spec-pinned).
+    *
+    * Exactness: cell counts and marginals exact integers; each cell's
+    * chi term is ONE micro-floored double tree ((n − e)²/e with
+    * e = (rt·ct as double)/t — the product promotes to double BEFORE
+    * multiplying, the ADVICE r11 overflow rule), and chi² is the
+    * INTEGER sum of the per-cell micro floors — deterministic because
+    * no double ever crosses an aggregation boundary (the q_anova_dow
+    * rule, achieved here by flooring before summing; the quantization
+    * error is < #cells micro-units, identical on both engines).
+    * V = sqrt(chi²/1e6/t/(min(r,c)−1)) — a division chain of exact
+    * operands + IEEE sqrt. Long headroom on the chi² sum: ≤ ~2·10⁶·t,
+    * exact to t ≈ 4.6·10¹² rows.
+    *
+    * Scale shape: one (a, b) partial-agg Exchange; the grid is
+    * levels², marginals and totals census-over-census; everything
+    * after the first aggregation is ≤ r·c rows; the one-row level
+    * relations broadcast (whitelisted BNLJ).
+    */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersV(Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("a"),
+        col("o_orderpriority").as("b")))
+
+  /** The census over any two-category frame — factored for the spec. */
+  def cramersV(pairs: DataFrame): DataFrame = {
+    val cells = pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val la = cells.select("a").distinct()
+    val lb = cells.select("b").distinct()
+    val grid = la.crossJoin(broadcast(lb))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val ra = cells.groupBy("a").agg(sum("n").as("rt"))
+    val cb = cells.groupBy("b").agg(sum("n").as("ct"))
+    val lv = cells.agg(countDistinct(col("a")).as("r_levels"),
+      countDistinct(col("b")).as("c_levels"), sum("n").as("t"))
+    val e = (col("rt").cast("double") * col("ct")) / col("t")
+    val chi = grid.join(ra, Seq("a")).join(cb, Seq("b"))
+      .crossJoin(broadcast(lv))
+      .select(micro((col("n") - e) * (col("n") - e) / e).as("cm"))
+      .agg(coalesce(sum("cm"), lit(0L)).as("chi2_micro"))
+    val k = least(col("r_levels"), col("c_levels")) - 1
+    val v = sqrt(col("chi2_micro") / lit(1000000.0) / col("t") / k)
+    lv.crossJoin(broadcast(chi))
+      .select(col("r_levels"), col("c_levels"), col("t").as("n_total"),
+        col("chi2_micro"),
+        when(col("t") > 0 && k > 0, micro(v)).otherwise(lit(0L))
+          .as("v_micro"))
+  }
+
+  private val cramersVOracle = {
+    val e = "(CAST(rt AS DOUBLE) * ct) / t"
+    val v = "sqrt(chi2_micro / 1000000.0 / t / " +
+      "(least(r_levels, c_levels) - 1))"
+    s"""WITH cells AS (
+       |  SELECT o_orderstatus AS a, o_orderpriority AS b,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT la.a, lb.b, coalesce(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT a FROM cells) la
+       |  CROSS JOIN (SELECT DISTINCT b FROM cells) lb
+       |  LEFT JOIN cells c USING (a, b)),
+       |ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS rt
+       |       FROM cells GROUP BY 1),
+       |cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct
+       |       FROM cells GROUP BY 1),
+       |lv AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+       |         CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
+       |         CAST(sum(n) AS BIGINT) AS t
+       |       FROM cells),
+       |chi AS (
+       |  SELECT CAST(coalesce(sum(
+       |    ${microSql(s"(g.n - $e) * (g.n - $e) / ($e)")}), 0)
+       |    AS BIGINT) AS chi2_micro
+       |  FROM grid g JOIN ra USING (a) JOIN cb USING (b), lv)
+       |SELECT r_levels, c_levels, t AS n_total, chi2_micro,
+       |  CASE WHEN t > 0 AND least(r_levels, c_levels) > 1
+       |       THEN ${microSql(v)} ELSE CAST(0 AS BIGINT) END AS v_micro
+       |FROM lv, chi""".stripMargin
+  }
+
+  // -------------------------------------------- Kendall tau-b (R51)
+
+  /** R51: Kendall tau-b between the daily event volume and the daily
+    * distinct-user count — the nonparametric rank correlation of TWO
+    * series that R49 specializes to series-vs-time (Mann-Kendall IS
+    * Kendall tau against the calendar; Kendall 1945 for the tie-aware
+    * tau-b). The question it answers that R48's Pearson-style moments
+    * cannot: does volume RANK-track audience size (growth = more
+    * users), or is volume moving independently of reach (bots, retry
+    * storms, a heavy-user subpopulation) — monotone but nonlinear
+    * coupling reads high here and diluted in Pearson r.
+    *
+    * Exactness: concordant/discordant/tie counts are exact integers
+    * off sign products in {−1, 0, 1}; tau-b is ONE micro-floored
+    * double tree (C − D)/sqrt(((n0 − tx)·1.0)·(n0 − ty)) — the tie
+    * factors promote to double BEFORE multiplying (the ADVICE r11
+    * rule; n0 ≈ days²/2 so the Long product would hold to ~3·10⁹
+    * days anyway, but the promotion removes the ceiling). Degenerate
+    * (all-tied either axis) guards to 0.
+    *
+    * Scale shape: the CALENDAR-BOUNDED daily-census self-join (the
+    * R44/R49 shape — days², never events²); the distinct-user count
+    * is one partial-agg'd (day, user) pre-aggregation feeding the
+    * census; the tie relations and one-row aggregates broadcast
+    * (whitelisted BNLJ).
+    */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTauCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the spec. */
+  def kendallTauCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(count(lit(1)).as("x"),
+        countDistinct(col("user_id")).as("y"))
+    val a = daily.select(col("day").as("d1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = daily.select(col("day").as("d2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val sx = when(col("x2") > col("x1"), 1).when(col("x2") < col("x1"), -1)
+      .otherwise(0)
+    val sy = when(col("y2") > col("y1"), 1).when(col("y2") < col("y1"), -1)
+      .otherwise(0)
+    val cd = a.join(b, col("d2") > col("d1"))
+      .select((sx * sy).as("s"))
+      .agg(coalesce(sum(when(col("s") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("concordant"),
+        coalesce(sum(when(col("s") === -1, 1L).otherwise(0L)), lit(0L))
+          .as("discordant"))
+    def tiePairs(c: String) = daily.groupBy(c).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)))
+    val tx = tiePairs("x").toDF("tx")
+    val ty = tiePairs("y").toDF("ty")
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val n0 = expr("n_days * (n_days - 1) div 2")
+    val tb = (col("concordant") - col("discordant")) /
+      sqrt(((col("n0") - col("tx")).cast("double")) *
+        (col("n0") - col("ty")))
+    nd.crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .withColumn("n0", n0)
+      .select(col("n_days"), col("n0"), col("concordant"),
+        col("discordant"), col("tx"), col("ty"),
+        when(col("n0") > col("tx") && col("n0") > col("ty"), micro(tb))
+          .otherwise(lit(0L)).as("taub_micro"))
+  }
+
+  private val kendallTauOracle = {
+    val tb = "(concordant - discordant) / " +
+      "sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty))"
+    s"""$evCte,
+       |daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+       |  FROM ev GROUP BY 1),
+       |cd AS (
+       |  SELECT
+       |    CAST(coalesce(sum(CASE WHEN
+       |      (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+       |      * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0
+       |         END) = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+       |    CAST(coalesce(sum(CASE WHEN
+       |      (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+       |      * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0
+       |         END) = -1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+       |  FROM daily a JOIN daily b ON b.day > a.day),
+       |tx AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT)
+       |         AS tx
+       |       FROM (SELECT count(*) AS t FROM daily GROUP BY x)),
+       |ty AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT)
+       |         AS ty
+       |       FROM (SELECT count(*) AS t FROM daily GROUP BY y)),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n0
+       |       FROM daily)
+       |SELECT n_days, n0, concordant, discordant, tx, ty,
+       |  CASE WHEN n0 > tx AND n0 > ty THEN ${microSql(tb)}
+       |       ELSE CAST(0 AS BIGINT) END AS taub_micro
+       |FROM nd, cd, tx, ty""".stripMargin
+  }
+
   // -------------------------------------- weekday ANOVA / eta² (R47)
 
   /** R47: weekday seasonality STRENGTH — the one-way-ANOVA variance
@@ -4005,6 +4199,8 @@ object RelationalQueries {
     "q_autocorr"        -> (qAutocorr _),
     "q_theilsen"        -> (qTheilsen _),
     "q_mann_kendall"    -> (qMannKendall _),
+    "q_cramers_v"       -> (qCramersV _),
+    "q_kendall_tau"     -> (qKendallTau _),
     "q_benford"         -> (qBenford _),
     "q_gap_census"      -> (qGapCensus _),
     "q_anova_dow"       -> (qAnovaDow _),
@@ -4061,6 +4257,8 @@ object RelationalQueries {
     "q_autocorr"        -> autocorrOracle,
     "q_theilsen"        -> theilsenOracle,
     "q_mann_kendall"    -> mannKendallOracle,
+    "q_cramers_v"       -> cramersVOracle,
+    "q_kendall_tau"     -> kendallTauOracle,
     "q_benford"         -> benfordOracle,
     "q_gap_census"      -> gapCensusOracle,
     "q_anova_dow"       -> anovaDowOracle,

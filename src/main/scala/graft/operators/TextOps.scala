@@ -2259,6 +2259,64 @@ object TextOps {
         expr("(1000000 * n1) div t_tokens").as("p0_micro"))
   }
 
+  /** X69: nonparametric vocabulary-richness estimators — Chao1 and
+    * ACE over the frequency-of-frequencies census (Chao 1984; Chao &
+    * Lee 1992): where X68's Good-Turing p₀ says how much probability
+    * mass the unseen vocabulary holds, this says how many TYPES are
+    * still unseen — the "how big is the vocabulary really" question
+    * behind tokenizer sizing and corpus-coverage planning. Chao1's
+    * bias-corrected form V + N₁(N₁−1)/(2(N₂+1)) is defined even with
+    * no doubletons; ACE splits the vocabulary at the standard
+    * abundance threshold r ≤ 10 and inflates the rare block by its
+    * sample coverage C = 1 − N₁/N_rare with a CV correction γ².
+    *
+    * Exactness: every input is an exact integer off the census;
+    * chao1_extra is a single POSITIVE integer floor-division (whole
+    * types — a fractional species estimate is spurious precision);
+    * ACE is ONE micro-floored double tree (three divisions + one
+    * max(0, ·), products promoted to double before multiplying),
+    * mirrored verbatim. Guards: coverage C ≤ 0 (N₁ = N_rare — every
+    * rare type a singleton) or n_rare < 2 reads ace_micro = 0, the
+    * standard "fall back to Chao1" signal. Long headroom:
+    * N₁·(N₁−1) exact to N₁ ≈ 3·10⁹ singleton types (documented
+    * ceiling — DuckDB errors identically past it).
+    *
+    * Scale shape: the [[zipfCensus]] shape — one vocab-bounded
+    * (word, partial) Exchange, a ≤ √(2T)-row frequency census, then
+    * ONE-ROW arithmetic. Nothing corpus-sized past the first
+    * Exchange.
+    */
+  def richnessCensus(docs: DataFrame): DataFrame = {
+    val ff = parallelized(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val agg = ff.agg(
+      sum("n_r").as("v_types"),
+      sum(col("r") * col("n_r")).as("t_tokens"),
+      coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("r") === 2, col("n_r"))), lit(0L)).as("n2"),
+      coalesce(sum(when(col("r") <= 10, col("n_r"))), lit(0L))
+        .as("v_rare"),
+      coalesce(sum(when(col("r") <= 10, col("r") * col("n_r"))), lit(0L))
+        .as("n_rare"),
+      coalesce(sum(when(col("r") <= 10,
+        col("r") * (col("r") - 1) * col("n_r"))), lit(0L)).as("sum_rr1"))
+    val cAce = lit(1.0) - col("n1") / col("n_rare")
+    val g2 = greatest(lit(0.0),
+      (col("v_rare").cast("double") * col("sum_rr1")) /
+        ((cAce * col("n_rare")) * (col("n_rare") - 1)) - lit(1.0))
+    val ace = (col("v_types") - col("v_rare")) + col("v_rare") / cAce +
+      (col("n1") / cAce) * g2
+    agg.select(col("v_types"), col("t_tokens"), col("n1"), col("n2"),
+      col("v_rare"), (col("v_types") - col("v_rare")).as("v_abund"),
+      col("n_rare"),
+      (col("v_types") +
+        expr("(n1 * (n1 - 1)) div (2 * (n2 + 1))")).as("chao1_est"),
+      when(col("n_rare") >= 2 && col("n1") < col("n_rare"),
+        micro(ace)).otherwise(lit(0L)).as("ace_micro"))
+  }
+
   /** [[zipfCensus]] with a TWO-LEVEL cumulative — the formulation for
     * the regime past the census bound's comfort zone. The plain census
     * is provably ≤ √(2T) rows (c·N_c ≤ T), ~6.3M rows at 100 TB — one

@@ -165,6 +165,9 @@ object TextQueries {
   def qGoodTuring(spark: SparkSession, dir: String): DataFrame =
     TextOps.goodTuringCensus(docs(spark, dir)).orderBy("r")
 
+  def qRichness(spark: SparkSession, dir: String): DataFrame =
+    TextOps.richnessCensus(docs(spark, dir))
+
   def qJacHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
       .orderBy("bucket_lo_micro")
@@ -1252,6 +1255,46 @@ object TextQueries {
        |LEFT JOIN (SELECT r - 1 AS r, n_r AS n_next FROM ff) x
        |  USING (r), tot t
        |ORDER BY f.r""".stripMargin
+
+  /** X69: Chao1 + ACE richness estimators off the N_c census — chao1
+    * a positive integer floor-division, ACE one micro-floored double
+    * tree mirrored verbatim (products promoted to double first).
+    */
+  private val richnessOracle = {
+    val c = "(1 - n1 / n_rare)"
+    val g2 = s"greatest(0.0, (CAST(v_rare AS DOUBLE) * sum_rr1) / " +
+      s"(($c * n_rare) * (n_rare - 1)) - 1.0)"
+    val ace = s"(v_types - v_rare) + v_rare / $c + (n1 / $c) * $g2"
+    s"""$tokCte,
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS r FROM (
+       |    SELECT unnest(toks) AS w FROM tok
+       |  ) GROUP BY 1
+       |),
+       |ff AS (
+       |  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY 1
+       |),
+       |a AS (
+       |  SELECT CAST(sum(n_r) AS BIGINT) AS v_types,
+       |    CAST(sum(r * n_r) AS BIGINT) AS t_tokens,
+       |    CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+       |      AS BIGINT) AS n1,
+       |    CAST(coalesce(sum(CASE WHEN r = 2 THEN n_r END), 0)
+       |      AS BIGINT) AS n2,
+       |    CAST(coalesce(sum(CASE WHEN r <= 10 THEN n_r END), 0)
+       |      AS BIGINT) AS v_rare,
+       |    CAST(coalesce(sum(CASE WHEN r <= 10 THEN r * n_r END), 0)
+       |      AS BIGINT) AS n_rare,
+       |    CAST(coalesce(sum(CASE WHEN r <= 10
+       |      THEN r * (r - 1) * n_r END), 0) AS BIGINT) AS sum_rr1
+       |  FROM ff)
+       |SELECT v_types, t_tokens, n1, n2, v_rare,
+       |  v_types - v_rare AS v_abund, n_rare,
+       |  v_types + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1_est,
+       |  CASE WHEN n_rare >= 2 AND n1 < n_rare THEN ${Hashing.microSql(ace)}
+       |       ELSE CAST(0 AS BIGINT) END AS ace_micro
+       |FROM a""".stripMargin
+  }
 
   /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
     * column windows over the ≤ 21 census rows (unique bucket values,
@@ -3142,6 +3185,7 @@ object TextQueries {
     "q_novelty"       -> (qNovelty _),
     "q_zipf"          -> (qZipf _),
     "q_good_turing"   -> (qGoodTuring _),
+    "q_richness"      -> (qRichness _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_dedup" -> (qEditDedup _),
     "q_lsh_recall" -> (qLshRecall _),
@@ -3222,6 +3266,7 @@ object TextQueries {
     "q_novelty"       -> noveltyOracle,
     "q_zipf"          -> zipfOracle,
     "q_good_turing"   -> goodTuringOracle,
+    "q_richness"      -> richnessOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_edit_dedup" -> editDedupOracle,
     "q_lsh_recall" -> lshRecallOracle,

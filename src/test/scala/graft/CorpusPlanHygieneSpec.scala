@@ -57,6 +57,8 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_theilsen",       // calendar-bounded daily census self-pairs
     "q_mann_kendall",   // calendar-bounded census self-pairs + one-rows
     "q_good_turing",    // broadcast one-row totals (T, V, N1)
+    "q_cramers_v",      // levels x levels grid + one-row totals
+    "q_kendall_tau",    // daily census self-pairs + one-row C/D/tie rows
     "q_benford",        // broadcast one-row total into the 9-digit grid
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census

@@ -443,6 +443,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("z_micro") > 0L)
   }
 
+  test("cramersV: perfect association reads exactly 1, independence 0," +
+    " degenerate single level guards to 0") {
+    import spark.implicits._
+    // 2x2 diagonal: every observed cell 10, zero cells contribute
+    // their expected mass e=5 -> chi2 = 4*5 = 20, V = sqrt(20/20/1)=1
+    val perfect = (Seq.fill(10)(("a1", "b1")) ++
+      Seq.fill(10)(("a2", "b2"))).toDF("a", "b")
+    val p = RelationalQueries.cramersV(perfect).collect().head
+    assert((p.getAs[Long]("r_levels"), p.getAs[Long]("c_levels"),
+      p.getAs[Long]("n_total"), p.getAs[Long]("chi2_micro"),
+      p.getAs[Long]("v_micro")) === (2L, 2L, 20L, 20000000L, 1000000L))
+    val indep = (for { a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    assert(RelationalQueries.cramersV(indep).collect().head
+      .getAs[Long]("v_micro") === 0L)
+    val degen = Seq(("a1", "b1"), ("a2", "b1")).toDF("a", "b")
+    assert(RelationalQueries.cramersV(degen).collect().head
+      .getAs[Long]("v_micro") === 0L)
+  }
+
+  test("kendallTauCensus: hand-computed concordant/tie split, " +
+    "exact tau-b") {
+    // daily (x=volume, y=distinct users): (1,1),(2,2),(2,1),(3,3)
+    // -> C=4, D=0, tx=1 (x=2 twice), ty=1 (y=1 twice), n0=6,
+    // tau-b = 4/sqrt(5*5) = 0.8
+    val rows = Seq(
+      ("2024-01-01 01:00:00", 1L),
+      ("2024-01-02 01:00:00", 1L), ("2024-01-02 02:00:00", 2L),
+      ("2024-01-03 01:00:00", 1L), ("2024-01-03 02:00:00", 1L),
+      ("2024-01-04 01:00:00", 1L), ("2024-01-04 02:00:00", 2L),
+      ("2024-01-04 03:00:00", 3L))
+    val ev = rows.toDF("ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.kendallTauCensus(ev).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("n0"),
+      r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+      r.getAs[Long]("tx"), r.getAs[Long]("ty"),
+      r.getAs[Long]("taub_micro")) ===
+      (4L, 6L, 4L, 0L, 1L, 1L, 800000L))
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);

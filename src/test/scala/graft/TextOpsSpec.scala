@@ -26,6 +26,27 @@ class TextOpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L, 6L, 3L, 166666L)))
   }
 
+  test("richnessCensus: hand-computed Chao1 and ACE, all-singleton " +
+    "coverage guard") {
+    // tokens a a a b b c: V=3, N1=N2=1, all rare (r<=10) -> v_rare=3,
+    // n_rare=6, sum_rr1 = 2*1*1 + 3*2*1 = 8; chao1 = 3 + 0//4 = 3;
+    // C = 1 - 1/6, gamma2 = max(0, 24/25 - 1) = 0,
+    // ace = 0 + 3/C + (1/C)*0 = 3.5999999999999996 -> 3599999
+    val r = TextOps.richnessCensus(docs((1L, "a a a b b c")))
+      .collect().head
+    assert((r.getAs[Long]("v_types"), r.getAs[Long]("t_tokens"),
+      r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("v_rare"), r.getAs[Long]("v_abund"),
+      r.getAs[Long]("n_rare"), r.getAs[Long]("chao1_est"),
+      r.getAs[Long]("ace_micro")) ===
+      (3L, 6L, 1L, 1L, 3L, 0L, 6L, 3L, 3599999L))
+    // all singletons: n1 = n_rare -> C = 0 -> ACE undefined, guard 0;
+    // chao1 = 3 + (3*2)//(2*1) = 6
+    val s = TextOps.richnessCensus(docs((1L, "a b c"))).collect().head
+    assert(s.getAs[Long]("chao1_est") === 6L)
+    assert(s.getAs[Long]("ace_micro") === 0L)
+  }
+
   test("shingles: 5-grams in order, empty below n tokens") {
     val out = docs((1L, "a b c d e f"), (2L, "a b"))
       .select($"doc_id", TextOps.shingles(TextOps.tokens($"text"), 5).as("s"))
