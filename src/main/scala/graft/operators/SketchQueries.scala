@@ -132,25 +132,43 @@ object SketchQueries {
     * once the FP rate is accepted; [[bloomServing]] below is that
     * form, spec-pinned equal to the audit's overlapping columns).
     */
-  private def bloomClaims(keyed: DataFrame): DataFrame = {
-    def positions: Column = posexplode(array((0 until BloomK).map(i =>
+  private def bloomPositions: Column =
+    posexplode(array((0 until BloomK).map(i =>
       md5Long(concat(lit(s"bloom:$i:"), col("key"))) % BloomBits): _*))
-    val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-    val word = (col("pos") / 32).cast("long")
-    val words = keyed.filter(col("split") === "train")
-      .select(positions.as(Seq("i0", "pos")))
-      .select(word.as("w"), mask.as("mask"))
+
+  private val bloomMask =
+    expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+
+  private def bloomWord = (col("pos") / 32).cast("long")
+
+  /** The 32-word filter of a (key)-keyed frame — the mergeable
+    * summary itself (word partials OR together), factored so the T18
+    * streaming store shares the exact kernel with the batch build.
+    */
+  def bloomWordsOf(keys: DataFrame): DataFrame =
+    keys.select(bloomPositions.as(Seq("i0", "pos")))
+      .select(bloomWord.as("w"), bloomMask.as("mask"))
       .groupBy("w").agg(bit_or(col("mask")).as("word"))
-    keyed.filter(col("split") =!= "train")
-      .select(col("doc_id"), col("key"), positions.as(Seq("i0", "pos")))
-      .select(col("doc_id"), col("key"), word.as("w"), mask.as("mask"))
+
+  /** Membership claims of a (doc_id, key) frame against a 32-word
+    * filter relation — the probe side, shared with T18 serving.
+    */
+  def bloomProbe(words: DataFrame, keyed: DataFrame): DataFrame =
+    keyed.select(col("doc_id"), col("key"),
+        bloomPositions.as(Seq("i0", "pos")))
+      .select(col("doc_id"), col("key"), bloomWord.as("w"),
+        bloomMask.as("mask"))
       .join(broadcast(words), Seq("w"), "left")
       .select(col("doc_id"), col("key"),
         when(col("word").isNotNull &&
           col("word").bitwiseAND(col("mask")) =!= 0L, 1L)
           .otherwise(0L).as("hit"))
       .groupBy("doc_id", "key").agg(min("hit").as("claimed"))
-  }
+
+  private def bloomClaims(keyed: DataFrame): DataFrame =
+    bloomProbe(
+      bloomWordsOf(keyed.filter(col("split") === "train").select("key")),
+      keyed.filter(col("split") =!= "train"))
 
   /** X41 deployment form: membership claims from the broadcast filter
     * words ONLY — no exact-membership join (the audit column a
@@ -213,6 +231,32 @@ object SketchQueries {
     */
   val HllRsd = 0.02
 
+  /** Register count for the EXPLICIT md5-based HLL (T20's streaming
+    * state): m = 256 → rsd ≈ 1.04/√256 = 6.5 %, the smallest register
+    * file that still demonstrates the full estimator pipeline.
+    */
+  val HllM = 256L
+
+  /** Explicit HLL registers of a (user_id) frame: bucket = low 8 bits
+    * of the 60-bit md5, rho = leading-zero rank of the remaining 52
+    * bits (53 when they are all zero). Register merge is element-wise
+    * max — the semilattice the T20 store rides. Unlike [[qHll]]'s
+    * engine-internal sketch, this register relation is a plain
+    * DataFrame, so streamed-vs-batch parity is bit-exact and testable.
+    */
+  def hllRegistersOf(keys: DataFrame): DataFrame = {
+    val h = md5Long(col("user_id").cast("string"))
+    // integer div, NOT `/` — Column./ is double division and a 60-bit
+    // hash loses low bits past 2^53
+    val hashed = keys.select((h % HllM).as("bucket"), h.as("h"))
+      .select(col("bucket"), expr(s"h div $HllM").as("v"))
+    hashed.select(col("bucket"),
+        when(col("v") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("v")))).cast("long")
+          .as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
   /** HyperLogLog++ approx-distinct users per event type, next to the
     * exact distinct count and the absolute error in parts-per-million.
     *
@@ -272,14 +316,51 @@ object SketchQueries {
   def qKmv(spark: SparkSession, dir: String): DataFrame =
     kmvCensus(Tables.documents(spark, dir))
 
-  def kmvCensus(docs: DataFrame): DataFrame = {
-    // universe = per-source distinct word 5-grams (thousands per
-    // source, so the estimator actually fires; distinct TEXTS would
-    // be ≤ docs-per-source and always take the exact branch)
-    val hs = docs
-      .select(col("source"), explode(TextOps.shingles(
+  /** Per-source distinct word-5-gram hashes of a docs frame — the KMV
+    * universe relation (thousands per source, so the estimator
+    * actually fires; distinct TEXTS would be ≤ docs-per-source and
+    * always take the exact branch). Factored so the T19 streaming
+    * store shares the exact universe with the batch census.
+    */
+  def kmvHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(TextOps.shingles(
         TextOps.tokens(col("text")), 5)).as("sh"))
       .select(col("source"), md5Long(col("sh")).as("h")).distinct()
+
+  /** Bottom-k per source of a (source, h) relation — the KMV state.
+    * Union + re-take is an EXACT semilattice (the X64/T13 bottom-k
+    * property), which is what makes the T19 store bit-identical to
+    * the batch sketch.
+    */
+  def kmvBottomK(hs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    hs.distinct().withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK).select("source", "h")
+  }
+
+  /** Distinct-count estimates off a bottom-k state: exact when the
+    * state holds fewer than k hashes (the whole set fits), else the
+    * (k−1)·2⁶⁰/kth KMV estimator — the same branch [[kmvCensus]]
+    * takes, so serving estimates match the batch census bit-for-bit.
+    */
+  def kmvEstimates(state: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    state.withColumn("rn", row_number().over(w))
+      .groupBy("source").agg(count(lit(1)).as("n_state"),
+        coalesce(max(when(col("rn") === KmvK, col("h"))), lit(0L))
+          .as("kth_min"))
+      .select(col("source"), col("n_state"), col("kth_min"),
+        when(col("n_state") < KmvK, col("n_state"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(1.152921504606846976e18) / col("kth_min")).cast("long"))
+          .as("est"))
+      .orderBy("source")
+  }
+
+  def kmvCensus(docs: DataFrame): DataFrame = {
+    val hs = kmvHashes(docs)
     val exact = hs.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val pref = hs.join(broadcast(exact), Seq("source"))
       .filter(col("n_exact") <= lit(8L * KmvK) ||
