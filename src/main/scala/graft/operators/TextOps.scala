@@ -883,6 +883,61 @@ object TextOps {
     * component = minimum doc_id reachable (so keepers are the rows with
     * component == doc_id).
     */
+  /** D27: dedup-cluster purity — the CHAINING detector for
+    * transitive-closure dedup. Connected components merge by
+    * REACHABILITY, so two documents can share a cluster while sharing
+    * almost nothing (A≈B≥bar, B≈C≥bar, A~C ≈ 2·bar−1 — and lower down
+    * longer chains); a keep-one-per-cluster excision policy then
+    * silently drops non-duplicates. This audits every cluster with the
+    * STAR form: exact n-gram Jaccard from the cluster representative
+    * (the min-doc_id component label) to each member — linear in
+    * cluster size where the full pairwise audit is quadratic, and the
+    * star from the keeper is exactly the question excision asks ("how
+    * similar is what I kept to what I dropped"). min_star flags the
+    * chained clusters; mean_star summarizes. Jaccard uses UNFILTERED
+    * shingle sets (the df cap is a candidate-generation device, not
+    * part of the metric — the [[ngramJaccardPairs]] discipline).
+    *
+    * Exactness: inter/sizes exact integers; per-member jac micro-
+    * floored (one division); the cluster mean is an INTEGER division
+    * of the micro sum (never a double crossing an aggregation).
+    *
+    * Scale shape: components over the candidate-bounded pair graph
+    * (the D7 machinery); the member- and representative-shingle
+    * relations are equi-joins on (component, h) whose per-key fan-out
+    * is bounded by cluster size; everything aggregates to one row per
+    * cluster.
+    */
+  def clusterPurity(docs: DataFrame, pairs: DataFrame,
+                    n: Int): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val members = cc.filter(col("doc_id") =!= col("component"))
+    val memSh = members.join(sh, Seq("doc_id"))
+    val repSh = cc.select("component").distinct()
+      .join(sh.select(col("doc_id").as("component"), col("h")),
+        Seq("component"))
+    val inter = memSh.join(repSh, Seq("component", "h"))
+      .groupBy("component", "doc_id").agg(count(lit(1)).as("inter"))
+    val jm = micro(col("inter") /
+      (col("n_m") + col("n_r") - col("inter")))
+    members
+      .join(inter, Seq("component", "doc_id"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id"), col("sz").as("n_m")),
+        Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("component"),
+        col("sz").as("n_r")), Seq("component"))
+      .select(col("component"), jm.as("jm"))
+      .groupBy("component")
+      .agg((count(lit(1)) + 1).as("n_docs"),
+        min("jm").as("min_star_micro"),
+        expr("sum(jm) div count(1)").as("mean_star_micro"))
+      .orderBy("component")
+  }
+
   def connectedComponents(pairs: DataFrame,
                           driverMaxPairs: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession

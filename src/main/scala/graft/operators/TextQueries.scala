@@ -1613,6 +1613,14 @@ object TextQueries {
     TextOps.connectedComponents(ngramPairs(spark, dir))
       .orderBy("doc_id")
 
+  /** D27: star-form purity audit of the D7 clusters — the chaining
+    * detector (how similar is the kept representative to each dropped
+    * member; see [[TextOps.clusterPurity]]).
+    */
+  def qClusterPurity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.clusterPurity(docs(spark, dir), ngramPairs(spark, dir),
+      ShingleN)
+
   private val dedupClustersOracle =
     s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
        |$ngramCtes,
@@ -1636,6 +1644,65 @@ object TextQueries {
        |)
        |SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** D27 oracle: the D7 recursive component chain (cc MATERIALIZED),
+    * then the star audit — member-vs-representative exact Jaccard
+    * over the UNFILTERED hash sets, cluster mean as an integer
+    * division of the micro sum (sum CAST before `//` — the q_heavy
+    * HUGEINT lesson).
+    */
+  private val clusterPurityOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |cc AS MATERIALIZED (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |mem AS (SELECT doc_id, component FROM cc
+       |        WHERE doc_id <> component),
+       |msh AS (SELECT m.component, m.doc_id, h.h
+       |        FROM mem m JOIN hs h USING (doc_id)),
+       |rsh AS (SELECT c.component, h.h
+       |        FROM (SELECT DISTINCT component FROM cc) c
+       |        JOIN hs h ON h.doc_id = c.component),
+       |it2 AS (
+       |  SELECT m.component, m.doc_id, count(*) AS inter
+       |  FROM msh m JOIN rsh r ON m.component = r.component
+       |                       AND m.h = r.h
+       |  GROUP BY 1, 2),
+       |star AS (
+       |  SELECT m.component,
+       |    ${Hashing.microSql(
+             "coalesce(it2.inter, 0) / " +
+             "(s1.n + s2.n - coalesce(it2.inter, 0))")} AS jm
+       |  FROM mem m
+       |  LEFT JOIN it2 ON m.component = it2.component
+       |              AND m.doc_id = it2.doc_id
+       |  JOIN sz s1 ON m.doc_id = s1.doc_id
+       |  JOIN sz s2 ON m.component = s2.doc_id)
+       |SELECT component, CAST(count(*) + 1 AS BIGINT) AS n_docs,
+       |  CAST(min(jm) AS BIGINT) AS min_star_micro,
+       |  CAST(sum(jm) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_star_micro
+       |FROM star GROUP BY 1 ORDER BY component""".stripMargin
 
   /** D23 oracle: the D7 recursive-reachability component chain (cc
     * MATERIALIZED — referenced twice, by ds and nd, and DuckDB 1.0
@@ -3186,6 +3253,7 @@ object TextQueries {
     "q_zipf"          -> (qZipf _),
     "q_good_turing"   -> (qGoodTuring _),
     "q_richness"      -> (qRichness _),
+    "q_cluster_purity" -> (qClusterPurity _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_dedup" -> (qEditDedup _),
     "q_lsh_recall" -> (qLshRecall _),
@@ -3267,6 +3335,7 @@ object TextQueries {
     "q_zipf"          -> zipfOracle,
     "q_good_turing"   -> goodTuringOracle,
     "q_richness"      -> richnessOracle,
+    "q_cluster_purity" -> clusterPurityOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_edit_dedup" -> editDedupOracle,
     "q_lsh_recall" -> lshRecallOracle,

@@ -47,6 +47,23 @@ class TextOpsSpec extends SparkSpec {
     assert(s.getAs[Long]("ace_micro") === 0L)
   }
 
+  test("clusterPurity: star audit exposes a chained cluster the " +
+    "pairwise bar admitted") {
+    // shingle sets (n=5): doc1 {abcde,bcdef}, doc2 {abcde,bcdeg},
+    // doc3 {xyzwv,yzwvu}; pairs (1,2),(2,3) chain all three into
+    // component 1; star from rep 1: jac(1,2)=1/3 -> 333333,
+    // jac(1,3)=0 -> min exposes the chain; mean = 333333 div 2
+    val d = docs((1L, "a b c d e f"), (2L, "a b c d e g"),
+      (3L, "x y z w v u"))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val out = TextOps.clusterPurity(d, pairs, 5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("component"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("min_star_micro"),
+      r.getAs[Long]("mean_star_micro")) === (1L, 3L, 0L, 166666L))
+  }
+
   test("shingles: 5-grams in order, empty below n tokens") {
     val out = docs((1L, "a b c d e f"), (2L, "a b"))
       .select($"doc_id", TextOps.shingles(TextOps.tokens($"text"), 5).as("s"))
