@@ -1338,6 +1338,73 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** V44: kNN reciprocity census — the symmetry diagnostic on the same
+    * kNN graph V33's hubness reads asymmetrically: for each vector,
+    * how many of its k out-edges are RECIPROCATED (it sits in its own
+    * neighbors' k-lists). Reciprocity is the other face of hubness
+    * (Radovanović JMLR 2010; reciprocal-kNN reranking, Qin CVPR 2011):
+    * hubs inflate everyone's lists without returning the favor, so a
+    * low-reciprocity mass is the actionable symptom behind a fat N_k
+    * tail — reciprocal edges are exactly the ones mutual-NN dedup
+    * (SemDeDup-style) and reciprocal-rerank serving can trust. Output
+    * is the full histogram (n_recip ∈ [0, k], n_vecs), antihubs and
+    * singleton-cluster vectors included via the corpus left join.
+    *
+    * Neighbor semantics are IDENTICAL to V12/V33
+    * ([[hubnessCensusFrom]]): cluster-blocked candidates, rank by
+    * (micro cosine DESC, vec_id) — all three audits read the same
+    * graph.
+    *
+    * Exactness: edge membership is exact (micro-cosine ranks, the
+    * deterministic tiebreak); reciprocation is a self-join of the edge
+    * relation on swapped keys — pure integer counting, no doubles.
+    *
+    * Scale shape: the V12 pair bound (Σ|cluster|², dialed by
+    * nCentroids) to build edges; the reciprocity self-join touches the
+    * N·k-bounded edge relation only (equi-join on (d1, d2), never
+    * all-pairs); the histogram is ≤ k+1 rows. Closed-form invariant
+    * (ScaleProbe): Σ n_recip · n_vecs is EVEN — every reciprocal pair
+    * is counted once from each endpoint.
+    */
+  def knnReciprocityCensus(emb: DataFrame, cents: Array[Array[Long]],
+                           kNN: Int): DataFrame =
+    knnReciprocityCensusFrom(emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding")), kNN)
+
+  /** [[knnReciprocityCensus]] over an ALREADY-ASSIGNED (vec_id,
+    * cluster, embedding) relation — the store-backed entry point (the
+    * [[hubnessCensusFrom]] precedent).
+    */
+  def knnReciprocityCensusFrom(assigned: DataFrame,
+                               kNN: Int): DataFrame = {
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1")
+      .orderBy(col("cos_micro").desc, col("d2"))
+    val edges = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kNN)
+      .select(col("d1"), col("d2"))
+    val rec = edges
+      .join(edges.select(col("d2").as("d1"), col("d1").as("d2")),
+        Seq("d1", "d2"))
+      .groupBy(col("d1").as("vec_id"))
+      .agg(count(lit(1)).as("c"))
+    assigned.select(col("vec_id"))
+      .join(rec, Seq("vec_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("n_recip"))
+      .groupBy("n_recip")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** V35: graph ANN — deterministic kNN-graph construction + beam
     * search, the graph-index architecture (the HNSW/NSG family) next
     * to the quantization family (IVF/PQ/SQ8/MRL): where IVF prunes by

@@ -375,6 +375,17 @@ object SimilarityQueries {
     SimilarityOps.hubnessCensus(e, cents, KnnK).orderBy("k_occ")
   }
 
+  /** V44: reciprocity census on the same kNN graph (see
+    * [[SimilarityOps.knnReciprocityCensus]]).
+    */
+  def qKnnRecip(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.knnReciprocityCensus(e, cents, KnnK)
+      .orderBy("n_recip")
+  }
+
   /** V23: the metadata predicate for filtered search — labels 0–4, half
     * the 10-label space, so post-filtering visibly loses candidates.
     */
@@ -2109,6 +2120,52 @@ object SimilarityQueries {
        |) GROUP BY 1 ORDER BY k_occ""".stripMargin
   }
 
+  /** V44 oracle: the V33 kNN edge relation verbatim (htopk —
+    * MATERIALIZED here because reciprocity references it twice; DuckDB
+    * 1.0 inlines plain CTEs per reference), then the swapped-key
+    * self-join and the corpus-left-join census.
+    */
+  private val knnRecipOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    s"""$kmeansTrainedCtes,
+       |kpr AS MATERIALIZED (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |kcm AS MATERIALIZED (
+       |  SELECT p.d1, p.d2,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM kpr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |),
+       |dcos AS (
+       |  SELECT d1, d2, cos_micro FROM kcm
+       |  UNION ALL
+       |  SELECT d2 AS d1, d1 AS d2, cos_micro FROM kcm
+       |),
+       |htopk AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2, row_number() OVER (PARTITION BY d1
+       |      ORDER BY cos_micro DESC, d2) AS rk
+       |    FROM dcos
+       |  ) WHERE rk <= $KnnK
+       |),
+       |rec AS (
+       |  SELECT t1.d1 AS vec_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM htopk t1 JOIN htopk t2
+       |    ON t1.d1 = t2.d2 AND t1.d2 = t2.d1
+       |  GROUP BY 1
+       |)
+       |SELECT n_recip, CAST(count(*) AS BIGINT) AS n_vecs FROM (
+       |  SELECT COALESCE(r.c, 0) AS n_recip
+       |  FROM embeddings e LEFT JOIN rec r ON e.vec_id = r.vec_id
+       |) GROUP BY 1 ORDER BY n_recip""".stripMargin
+  }
+
   /** V23 oracle: same scored relation, pre-filter ranking vs
     * filtered unfiltered ranking, dense per-query grid.
     */
@@ -2758,6 +2815,7 @@ object SimilarityQueries {
     "q_mrr"            -> (qMrr _),
     "q_ndcg"           -> (qNdcg _),
     "q_hubness"        -> (qHubness _),
+    "q_knn_recip"      -> (qKnnRecip _),
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
     "q_kcenter"        -> (qKcenter _),
@@ -2807,6 +2865,7 @@ object SimilarityQueries {
     "q_mrr"            -> mrrOracle,
     "q_ndcg"           -> ndcgOracle,
     "q_hubness"        -> hubnessOracle,
+    "q_knn_recip"      -> knnRecipOracle,
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
     "q_kcenter"        -> kcenterOracle,

@@ -926,6 +926,39 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("knnReciprocityCensus: hand-computed reciprocal pair, " +
+    "non-reciprocated edge, corpus left join") {
+    // one cluster, k = 1: v0 -> v1, v1 -> v0 (reciprocal pair),
+    // v2 -> v0 but v0's list is {v1} -> not reciprocated
+    // census: n_recip 0 -> 1 vec (v2), n_recip 1 -> 2 vecs (v0, v1)
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1))
+    val cents = Array(Array(1000L, 0L))
+    val out = SimilarityOps.knnReciprocityCensus(m, cents, 1)
+      .orderBy("n_recip")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((0L, 1L), (1L, 2L)))
+  }
+
+  test("knnReciprocityCensus: sum n_recip * n_vecs is even (every " +
+    "reciprocal pair counted from both endpoints) and bounded by the " +
+    "hubness edge total") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, 5, SimilarityOps.KmRounds)
+    val k = 3
+    val out = SimilarityOps.knnReciprocityCensus(e, cents, k).collect()
+    val recipEdges = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(recipEdges % 2 === 0L)
+    assert(recipEdges > 0L) // top-1-of-each-other pairs exist
+    assert(out.map(_.getLong(1)).sum === e.count()) // every vector once
+    val hubEdges = SimilarityOps.hubnessCensus(e, cents, k).collect()
+      .map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(recipEdges <= hubEdges)
+    assert(out.forall(_.getLong(0) <= k)) // n_recip ∈ [0, k]
+  }
+
   test("hubnessCensus: edge-count closed form — sum k_occ * n_vecs = " +
     "sum over clusters of |c| * min(k, |c| - 1)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
