@@ -455,6 +455,53 @@ object MultimodalOps {
     }
   }
 
+  // --------------------------- M12: audio clipping / dynamic range
+
+  case class ClipStats(doc_id: Long, n_samples: Long, max_abs: Long,
+                       n_clip: Long, sum_sq: Long)
+
+  /** M12: per-doc clipping + dynamic-range INTEGER moments over the
+    * decoded PCM16 samples — the admission gate audio curation runs
+    * before any model sees a waveform: clipped recordings (samples
+    * pinned at/near full scale) carry saturation distortion no
+    * augmentation undoes, and a crest factor (peak/RMS) near 1 means
+    * square-wave-like or limiter-crushed content while very high
+    * crest means transient spikes over near-silence. This op emits
+    * only EXACT integers (n, max|s|, #{|s| ≥ clipAbs}, Σs²) — the
+    * fractional forms (clip ppm, crest micro) are derived in the
+    * query layer as single mirrored expression trees, keeping the
+    * decoder loop pure integer and the doubles declarative/codegen.
+    *
+    * Long headroom: Σs² ≤ n·32768² — exact past 2⁴³ samples per doc
+    * (≈ 31 years of 8 kHz audio); DuckDB errors identically beyond.
+    *
+    * Scale shape: the same batched `mapPartitions` decode as M5/M10
+    * (the vectorized-codec shape) — one scalar pass per blob, one row
+    * out per doc, no shuffle until the caller's orderBy.
+    */
+  def wavClippingStats(media: org.apache.spark.sql.Dataset[MediaBlob],
+                       clipAbs: Long)
+  : org.apache.spark.sql.Dataset[ClipStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          var mabs = 0L; var nclip = 0L; var ssq = 0L
+          var i = 0
+          while (i < d.length) {
+            val v = d(i); val a = math.abs(v)
+            if (a > mabs) mabs = a
+            if (a >= clipAbs) nclip += 1
+            ssq += v * v
+            i += 1
+          }
+          ClipStats(rec.doc_id, d.length.toLong, mabs, nclip, ssq)
+        }
+      }
+    }
+  }
+
   /** The [[decodeWav]] chunk walk, returning the raw PCM16 samples —
     * shared parsing, per-frame consumers do their own math.
     */

@@ -45,6 +45,28 @@ object MultimodalQueries {
       MultimodalOps.mediaBinary(docs(spark, dir)))
       .toDF().orderBy("doc_id")
 
+  /** M12: |s| ≥ ClipAbs counts as clipped — 1900 sits inside the
+    * generative sample range [−2048, 2047] so the synthetic corpus
+    * exercises both branches (≈ 7 % of residues clip).
+    */
+  val ClipAbs = 1900L
+
+  def qMediaClipping(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit, sqrt, when}
+    import graft.functions.Hashing.micro
+    MultimodalOps.wavClippingStats(
+        MultimodalOps.mediaBinary(docs(spark, dir)), ClipAbs)
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("max_abs"),
+        col("n_clip"), col("sum_sq"),
+        expr("(1000000 * n_clip) div n_samples").as("clip_ppm"),
+        when(col("sum_sq") === 0L, lit(0L))
+          .otherwise(micro(col("max_abs") /
+            sqrt(col("sum_sq") / col("n_samples"))))
+          .as("crest_micro"))
+      .orderBy("doc_id")
+  }
+
   def qMediaHist(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
 
@@ -277,6 +299,39 @@ object MultimodalQueries {
       |       ELSE CAST(0 AS BIGINT) END AS zcr_ppm
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** M12 oracle: clipping + crest recomputed from the WAV generative
+    * closed form; the integer moments CAST (the HUGEINT lesson), the
+    * ppm a positive integer floor-division, crest ONE double tree
+    * (max_abs / sqrt(sum_sq / n) — `/` on BIGINTs is double division
+    * in both engines, sqrt IEEE) mirrored verbatim, zero-energy
+    * guarded to 0.
+    */
+  private val mediaClippingOracle =
+    s"""WITH wav AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n
+       |  FROM documents WHERE doc_id % 2 = 1
+       |),
+       |s AS (
+       |  SELECT w.doc_id,
+       |    ((w.doc_id * 31 + g.i * 17) % 4096) - 2048 AS v
+       |  FROM wav w, unnest(range(0, w.n)) AS g(i)
+       |),
+       |c AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |    CAST(max(abs(v)) AS BIGINT) AS max_abs,
+       |    CAST(sum(CASE WHEN abs(v) >= ${MultimodalQueries.ClipAbs}
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_clip,
+       |    CAST(sum(v * v) AS BIGINT) AS sum_sq
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT doc_id, n_samples, max_abs, n_clip, sum_sq,
+       |  CAST((1000000 * n_clip) // n_samples AS BIGINT) AS clip_ppm,
+       |  CASE WHEN sum_sq = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE ${graft.functions.Hashing.microSql(
+                  "max_abs / sqrt(sum_sq / n_samples)")}
+       |  END AS crest_micro
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** M6 oracle: the 2× box filter replayed over the generative pixel
     * grid in IMAGE coordinates — the byte index of image row r is
     * `(h-1-r)·3w + 3c + ch` (bottom-up storage), so a decoder that
@@ -439,6 +494,7 @@ object MultimodalQueries {
     "q_media_dedup"    -> (qMediaDedup _),
     "q_media_energy"   -> (qMediaEnergy _),
     "q_media_zcr"      -> (qMediaZcr _),
+    "q_media_clipping" -> (qMediaClipping _),
     "q_media_hist"     -> (qMediaHist _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
@@ -450,6 +506,7 @@ object MultimodalQueries {
     "q_media_dedup"    -> mediaDedupOracle,
     "q_media_energy"   -> mediaEnergyOracle,
     "q_media_zcr"      -> mediaZcrOracle,
+    "q_media_clipping" -> mediaClippingOracle,
     "q_media_hist"     -> mediaHistOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,

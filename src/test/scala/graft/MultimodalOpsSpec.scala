@@ -308,6 +308,41 @@ class MultimodalOpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("wavClippingStats: threshold inclusive at |s| >= clipAbs, " +
+    "exact integer moments, silence reads all zeros") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    // doc 1: symmetric full swing — both samples clip, sum_sq exact
+    // doc 2: boundary — 1900 clips (inclusive), -1899 does not
+    // doc 3: quiet — nothing clips
+    // doc 4: silence — the zero-energy guard input
+    val blobs = Seq(
+      MediaBlob(1L, "wav", wav(Array[Short](2000, -2000))),
+      MediaBlob(2L, "wav", wav(Array[Short](1900, -1899))),
+      MediaBlob(3L, "wav", wav(Array[Short](100, -100, 0))),
+      MediaBlob(4L, "wav", wav(Array[Short](0, 0)))).toDS()
+    val out = MultimodalOps.wavClippingStats(blobs, 1900L)
+      .collect().sortBy(_.doc_id)
+      .map(c => (c.doc_id, c.n_samples, c.max_abs, c.n_clip, c.sum_sq))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2000L, 2L, 8000000L),
+      (2L, 2L, 1900L, 1L, 3610000L + 3606201L),
+      (3L, 3L, 100L, 0L, 20000L),
+      (4L, 2L, 0L, 0L, 0L)))
+  }
+
   test("magicSniff + magicCensus: bytes beat labels, garbage reads " +
     "unknown, fractions per declared row") {
     import sqlImplicits._
