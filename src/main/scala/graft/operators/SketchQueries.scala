@@ -244,17 +244,87 @@ object SketchQueries {
     * engine-internal sketch, this register relation is a plain
     * DataFrame, so streamed-vs-batch parity is bit-exact and testable.
     */
-  def hllRegistersOf(keys: DataFrame): DataFrame = {
+  def hllRegistersOf(keys: DataFrame): DataFrame =
+    hllRegistersGrouped(keys.select(lit(1L).as("g"), col("user_id")),
+      "g").drop("g")
+
+  /** [[hllRegistersOf]] per group column — ONE rho kernel shared by
+    * the T20 streaming store (trivial group) and X70's per-group
+    * register census: bucket = h % m, rho = leading-zero rank of
+    * h div m (53 when zero; integer `div`, never `/` — Column./ is
+    * double division and a 60-bit hash loses low bits past 2^53),
+    * register merge = element-wise max.
+    */
+  def hllRegistersGrouped(keys: DataFrame, group: String): DataFrame = {
     val h = md5Long(col("user_id").cast("string"))
-    // integer div, NOT `/` — Column./ is double division and a 60-bit
-    // hash loses low bits past 2^53
-    val hashed = keys.select((h % HllM).as("bucket"), h.as("h"))
-      .select(col("bucket"), expr(s"h div $HllM").as("v"))
-    hashed.select(col("bucket"),
+    val hashed = keys.select(col(group), (h % HllM).as("bucket"),
+        h.as("h"))
+      .select(col(group), col("bucket"), expr(s"h div $HllM").as("v"))
+    hashed.select(col(group), col("bucket"),
         when(col("v") === 0L, lit(53L))
           .otherwise(lit(53L) - length(bin(col("v")))).cast("long")
           .as("rho"))
-      .groupBy("bucket").agg(max("rho").as("rho"))
+      .groupBy(group, "bucket").agg(max("rho").as("rho"))
+  }
+
+  /** X70: register-explicit HLL distinct-count census — the fully
+    * hash-oracle-able twin of [[qHll]]'s engine-internal sketch (whose
+    * register layout is implementation-specific, hence its documented
+    * rows-only contract — the ONE such id in the corpus). Built on the
+    * T20 register relation ([[hllRegistersGrouped]]), every stage is
+    * cross-engine exact: the md5 bucket/rho split is integer, and the
+    * raw-HLL denominator Z = Σⱼ 2^(−Mⱼ) is DYADIC — scaled by 2⁵³ it
+    * is the exact integer z_int = (m − observed)·2⁵³ + Σ 2^(53−ρ)
+    * (≤ m·2⁵³ = 2⁶¹, Long-exact; empty registers contribute 2⁰ at
+    * scale, i.e. 2⁵³), so the only doubles are the α·m²·2⁵³ literal
+    * chain and ONE final division, floored (Flajolet et al. 2007, raw
+    * estimator; the small-range linear-counting switch is the SERVING
+    * branch — T20's estimate() — deliberately outside this census,
+    * which emits v_zero = m − observed so serving can branch).
+    * err_ppm against the exact count rides in the same row; integer
+    * product exact to est ≈ 9·10¹² (DuckDB widens to HUGEINT then
+    * casts — identical floor).
+    *
+    * Scale shape: ONE (group, bucket) partial-agg'd Exchange whose
+    * payload is capacity-bounded at m = 256 rows per group regardless
+    * of input (the mergeable-summary property — partials are
+    * element-wise-max registers, never keys); the exact-count audit
+    * column is the deployment-droppable expensive side, the
+    * q_join_card discipline.
+    */
+  def qHllCensus(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val regs = hllRegistersGrouped(
+      ev.select(col("event_type"), col("user_id")), "event_type")
+    val z = regs.groupBy("event_type").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(53 - rho as int))"))
+        .as("z_obs"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    // α_256·m²·2⁵³ as a pinned literal chain — left-associated, every
+    // operand double, mirrored token for token in the oracle
+    val alphaNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0)
+    z.join(exact, Seq("event_type"))
+      .withColumn("z_int",
+        (lit(HllM) - col("n_buckets")) * lit(9007199254740992L) +
+          col("z_obs"))
+      .withColumn("est_users",
+        floor(alphaNum / col("z_int")).cast("long"))
+      .select(col("event_type"), col("n_buckets"),
+        (lit(HllM) - col("n_buckets")).as("v_zero"), col("z_int"),
+        col("est_users"), col("exact_users"),
+        expr("(1000000 * abs(est_users - exact_users))" +
+          " div greatest(exact_users, 1)").as("err_ppm"),
+        // Flajolet's small-range switch (E ≤ 5m/2 with empty
+        // registers → serve linear counting instead): integer-exact
+        // decision, so the census is self-describing about which
+        // regime the raw estimate is in
+        when(col("est_users") <= lit(5L * HllM / 2L) &&
+          col("n_buckets") < lit(HllM), lit(1L)).otherwise(lit(0L))
+          .as("use_lc"))
+      .orderBy("event_type")
   }
 
   /** HyperLogLog++ approx-distinct users per event type, next to the
@@ -977,6 +1047,67 @@ object SketchQueries {
        |ORDER BY mg_count DESC, cen.token""".stripMargin
   }
 
+  /** X70 oracle: the T20 register relation replayed in SQL — md5
+    * bucket/rho split (DuckDB `bin` has no leading zeros, matching
+    * Spark's), element-wise-max registers, the dyadic Z scaled to the
+    * exact integer z_int, then the α·m²·2⁵³ literal chain (every
+    * operand CAST to DOUBLE — bare fractional literals are DECIMAL in
+    * DuckDB) and ONE floored division; err_ppm a positive integer
+    * floor-division, CAST (the HUGEINT lesson).
+    */
+  private val hllCensusOracle: String = {
+    val alphaNum = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      "CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * " +
+      "CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)"
+    s"""WITH hv AS (
+       |  SELECT event_type,
+       |    ${Hashing.md5LongSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |),
+       |r AS (
+       |  SELECT event_type, h % $HllM AS bucket,
+       |    CAST(CASE WHEN h // $HllM = 0 THEN 53
+       |         ELSE 53 - length(bin(h // $HllM)) END AS BIGINT) AS rho0
+       |  FROM hv
+       |),
+       |reg AS (
+       |  SELECT event_type, bucket, max(rho0) AS rho
+       |  FROM r GROUP BY 1, 2
+       |),
+       |z AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - rho AS INT))
+       |         AS BIGINT) AS z_obs
+       |  FROM reg GROUP BY 1
+       |),
+       |ex AS (
+       |  SELECT event_type,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       |  FROM events GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT z.event_type, z.n_buckets,
+       |    CAST($HllM - z.n_buckets AS BIGINT) AS v_zero,
+       |    CAST(($HllM - z.n_buckets) * 9007199254740992 + z.z_obs
+       |         AS BIGINT) AS z_int,
+       |    ex.exact_users
+       |  FROM z JOIN ex ON z.event_type = ex.event_type
+       |),
+       |g AS (
+       |  SELECT *, CAST(floor(($alphaNum) / z_int) AS BIGINT)
+       |    AS est_users
+       |  FROM f
+       |)
+       |SELECT event_type, n_buckets, v_zero, z_int, est_users,
+       |  exact_users,
+       |  CAST((1000000 * abs(est_users - exact_users))
+       |       // greatest(exact_users, 1) AS BIGINT) AS err_ppm,
+       |  CAST(CASE WHEN est_users <= ${5L * HllM / 2L}
+       |            AND n_buckets < $HllM
+       |       THEN 1 ELSE 0 END AS BIGINT) AS use_lc
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms" -> (qCms _),
     "q_bloom" -> (qBloom _),
@@ -984,14 +1115,18 @@ object SketchQueries {
     "q_qsketch" -> (qQuantileSketch _),
     "q_join_card" -> (qJoinCard _),
     "q_heavy" -> (qHeavyHitters _),
-    "q_hll" -> (qHll _))
+    "q_hll" -> (qHll _),
+    "q_hll_census" -> (qHllCensus _))
 
-  /** q_hll has no oracle entry by design — see [[qHll]]. */
+  /** q_hll has no oracle entry by design — see [[qHll]]; its
+    * register-explicit twin q_hll_census IS fully oracled.
+    */
   val oracles: Map[String, String] = Map(
     "q_cms" -> cmsOracle,
     "q_bloom" -> bloomOracle,
     "q_kmv" -> kmvOracle,
     "q_qsketch" -> qsOracle,
     "q_join_card" -> jcOracle,
-    "q_heavy" -> heavyOracle)
+    "q_heavy" -> heavyOracle,
+    "q_hll_census" -> hllCensusOracle)
 }

@@ -24,6 +24,46 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_census: z_int identity against the T20 register " +
+    "relation, duplication invariance, small-range switch") {
+    import sqlImplicits._
+    val out = SketchQueries.qHllCensus(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, dir)
+    // z_int recomputed from the shared register kernel, per group
+    val regs = SketchQueries.hllRegistersGrouped(
+        ev.select(col("event_type"), col("user_id")), "event_type")
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.foreach { r =>
+      val g = regs(r.getAs[String]("event_type"))
+      val zObs = g.map(x => 1L << (53 - x.getAs[Long]("rho")).toInt).sum
+      val zInt = (SketchQueries.HllM - g.length) *
+        9007199254740992L + zObs
+      assert(r.getAs[Long]("z_int") === zInt)
+      assert(r.getAs[Long]("n_buckets") === g.length.toLong)
+      assert(r.getAs[Long]("v_zero") ===
+        SketchQueries.HllM - g.length)
+      // the small-range switch: integer-exact decision
+      val expectLc = r.getAs[Long]("est_users") <=
+        5L * SketchQueries.HllM / 2L &&
+        r.getAs[Long]("n_buckets") < SketchQueries.HllM
+      assert(r.getAs[Long]("use_lc") === (if (expectLc) 1L else 0L))
+    }
+    // the estimate is a function of the REGISTER FILE only: feeding
+    // every event twice changes nothing (element-wise max absorbs)
+    val doubled = Tables.events(spark, dir)
+    val est2 = SketchQueries.hllRegistersGrouped(
+        doubled.unionAll(doubled)
+          .select(col("event_type"), col("user_id")), "event_type")
+      .collect().groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(x => (x.getAs[Long]("bucket"),
+        x.getAs[Long]("rho"))).toSet).toMap
+    val est1 = regs.view.mapValues(_.map(x =>
+      (x.getAs[Long]("bucket"), x.getAs[Long]("rho"))).toSet).toMap
+    assert(est1 === est2)
+  }
+
   test("q_hll: estimate is partitioning-invariant (sketches merge)") {
     // HLL registers combine by element-wise max — associative and
     // commutative — so the merged estimate cannot depend on how rows
