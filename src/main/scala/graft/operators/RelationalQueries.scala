@@ -3210,6 +3210,106 @@ object RelationalQueries {
        |FROM st""".stripMargin
   }
 
+  // --------------------------------- CUSUM changepoint census (R52)
+
+  /** R52: offline CUSUM changepoint over the daily volume series —
+    * the batch twin of the T14 streaming CUSUM monitor (the V39/T16
+    * pairing discipline: T14 ALARMS online, this LOCATES offline):
+    * WHERE did the level shift, by how much. The classic cumulative-
+    * sum locator (Page 1954; Pettitt 1979's CUSUM form): S_k =
+    * Σ_{i≤k}(x_i − x̄) peaks at the shift point. Kept integer-exact
+    * by scaling out the mean — S'_k = N·cum_k − k·T ≡ N·S_k — which
+    * preserves the argmax and needs no division anywhere in the
+    * trace. Output one row: the argmax day (tie → earliest), the
+    * peak |S'|, its normalized magnitude, and the before/after level
+    * read (floor day-means, whole events/day — the shift estimate).
+    * Complements R49 (monotone-trend verdict) and R48 (randomness):
+    * a single level SHIFT is exactly the signature those two blur.
+    *
+    * Exactness: the whole trace is integers (cum via a ROWS-pinned
+    * window on the UNIQUE day key, so DuckDB's default RANGE frame
+    * agrees); argmax by (|S'| DESC, day) row_number — deterministic;
+    * means are positive integer floor-divisions; the one double is
+    * the normalized magnitude micro(|S'| / (N·T)) with the product
+    * promoted to double BEFORE multiplying (the ADVICE-r11 rule).
+    * Long headroom: N·cum ≤ N·T, exact to ~10⁴ days × 10¹⁴
+    * events/day-sum (N·T < 2⁶³); DuckDB errors identically past it.
+    *
+    * Scale shape: ONE (day) partial-agg'd Exchange (map-side
+    * combine), then every window/join runs over the CALENDAR-BOUNDED
+    * census (≤ ~10⁴ rows however big the corpus) with the one-row
+    * totals broadcast.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def cusumChangepoint(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day")
+    val cum = daily.select(col("day"), col("n"),
+      sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("cum"),
+      row_number().over(w).cast("long").as("k"))
+    val tot = daily.agg(sum("n").as("t"), count(lit(1)).as("n_days"))
+    val sc = cum.crossJoin(broadcast(tot))
+      .withColumn("s_scaled",
+        col("n_days") * col("cum") - col("k") * col("t"))
+    val wr = Window.orderBy(abs(col("s_scaled")).desc, col("day"))
+    sc.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("n_days"), col("t").as("total"),
+        col("day").cast("string").as("cp_day"), col("k").as("k_cp"),
+        abs(col("s_scaled")).as("s_abs_max"),
+        expr("cum div k").as("mean_pre"),
+        when(col("n_days") === col("k"), lit(0L))
+          .otherwise(expr("(t - cum) div (n_days - k)"))
+          .as("mean_post"))
+      .withColumn("shift_per_day",
+        when(col("n_days") === col("k_cp"), lit(0L))
+          .otherwise(col("mean_post") - col("mean_pre")))
+      .withColumn("cusum_norm_micro",
+        micro(col("s_abs_max") /
+          (col("n_days").cast("double") * col("total"))))
+  }
+
+  private val changepointOracle = {
+    val norm = "s_abs_max / (CAST(n_days AS DOUBLE) * total)"
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+       |          CAST(count(*) AS BIGINT) AS n_days FROM daily),
+       |c AS (SELECT day, n,
+       |        CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum,
+       |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+       |      FROM daily),
+       |sc AS (SELECT c.day, c.cum, c.k, tot.t, tot.n_days,
+       |         n_days * cum - k * t AS s_scaled
+       |       FROM c, tot),
+       |r AS (SELECT *, row_number() OVER
+       |        (ORDER BY abs(s_scaled) DESC, day) AS rk
+       |      FROM sc),
+       |p AS (SELECT n_days, t AS total, CAST(day AS VARCHAR) AS cp_day,
+       |        k AS k_cp, CAST(abs(s_scaled) AS BIGINT) AS s_abs_max,
+       |        CAST(cum // k AS BIGINT) AS mean_pre,
+       |        CAST(CASE WHEN n_days = k THEN 0
+       |             ELSE (t - cum) // (n_days - k) END AS BIGINT)
+       |          AS mean_post
+       |      FROM r WHERE rk = 1)
+       |SELECT n_days, total, cp_day, k_cp, s_abs_max, mean_pre,
+       |  mean_post,
+       |  CAST(CASE WHEN n_days = k_cp THEN 0
+       |       ELSE mean_post - mean_pre END AS BIGINT)
+       |    AS shift_per_day,
+       |  ${microSql(norm)} AS cusum_norm_micro
+       |FROM p""".stripMargin
+  }
+
   // ------------------------------------------------ Cramér's V (R50)
 
   /** R50: Cramér's V between order status and order priority — the
@@ -4199,6 +4299,7 @@ object RelationalQueries {
     "q_autocorr"        -> (qAutocorr _),
     "q_theilsen"        -> (qTheilsen _),
     "q_mann_kendall"    -> (qMannKendall _),
+    "q_changepoint"     -> (qChangepoint _),
     "q_cramers_v"       -> (qCramersV _),
     "q_kendall_tau"     -> (qKendallTau _),
     "q_benford"         -> (qBenford _),
@@ -4257,6 +4358,7 @@ object RelationalQueries {
     "q_autocorr"        -> autocorrOracle,
     "q_theilsen"        -> theilsenOracle,
     "q_mann_kendall"    -> mannKendallOracle,
+    "q_changepoint"     -> changepointOracle,
     "q_cramers_v"       -> cramersVOracle,
     "q_kendall_tau"     -> kendallTauOracle,
     "q_benford"         -> benfordOracle,

@@ -443,6 +443,43 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("z_micro") > 0L)
   }
 
+  test("cusumChangepoint: hand-computed level shift — argmax at the " +
+    "last pre-shift day, floor means, exact normalized magnitude") {
+    // volumes 10,10,10,40,40: N=5, T=110, cums 10,20,30,70,110;
+    // S' = 5*cum - k*110: -60,-120,-180,-90,0 -> argmax |S'|=180 at
+    // k=3 (day 3); mean_pre = 30 div 3 = 10, mean_post =
+    // 80 div 2 = 40, shift = 30; norm = floor(1e6*180/(5.0*110))
+    // = 327272
+    val vols = Seq(10, 10, 10, 40, 40)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-01-0${d + 1}%d ${i / 60}%02d:${i % 60}%02d:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.cusumChangepoint(ev).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("total"),
+      r.getAs[String]("cp_day"), r.getAs[Long]("k_cp"),
+      r.getAs[Long]("s_abs_max"), r.getAs[Long]("mean_pre"),
+      r.getAs[Long]("mean_post"), r.getAs[Long]("shift_per_day"),
+      r.getAs[Long]("cusum_norm_micro")) ===
+      (5L, 110L, "2024-01-03", 3L, 180L, 10L, 40L, 30L, 327272L))
+  }
+
+  test("cusumChangepoint: constant series reads S'=0 everywhere, " +
+    "argmax ties break to the earliest day, zero shift") {
+    val rows = (1 to 3).flatMap(d =>
+      (1 to 5).map(i => f"2024-02-0$d%d 0$i%d:00:00"))
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.cusumChangepoint(ev).collect().head
+    assert((r.getAs[String]("cp_day"), r.getAs[Long]("s_abs_max"),
+      r.getAs[Long]("shift_per_day"),
+      r.getAs[Long]("cusum_norm_micro")) ===
+      ("2024-02-01", 0L, 0L, 0L))
+    assert(r.getAs[Long]("mean_pre") === 5L)
+    assert(r.getAs[Long]("mean_post") === 5L)
+  }
+
   test("cramersV: perfect association reads exactly 1, independence 0," +
     " degenerate single level guards to 0") {
     import spark.implicits._
