@@ -3310,6 +3310,103 @@ object RelationalQueries {
        |FROM p""".stripMargin
   }
 
+  // ------------------------------- daily autocorrelation census (R53)
+
+  /** R53: autocorrelation function of the daily volume series at lags
+    * 1–7 — the MEMORY/periodicity lens the rest of the time-series
+    * battery lacks: R49 decides monotone trend, R52 locates a level
+    * shift, R47 compares weekday MEANS, but none of them answers "does
+    * today predict tomorrow (r₁) and is there a weekly CYCLE (r₇
+    * peak)" — the standard pre-model diagnostic (Box & Jenkins 1970)
+    * behind both seasonality-aware sampling and alarm de-noising.
+    * Series semantics: lag in SERIES INDEX over the day-ordered
+    * census (row_number on the unique day key), the textbook sample
+    * ACF over the n−L aligned pairs per lag, Pearson-normalized per
+    * lag so each row is a correlation in [−1, 1].
+    *
+    * Exactness: the six moments per lag (m, Σx, Σy, Σx², Σy², Σxy)
+    * are exact integer aggregates; r is ONE micro-floored double tree
+    * (m·Σxy − Σx·Σy)/sqrt((m·Σx²−Σx·Σx)·(m·Σy²−Σy·Σy)) with every
+    * product's first factor CAST to double BEFORE multiplying (the
+    * ADVICE-r11 rule), zero-variance lags guarded to 0. Integer
+    * headroom: Σ x·x products are exact to ~10⁹ events/day on a
+    * 30-year series (DuckDB's BIGINT multiply errors past it).
+    *
+    * Scale shape: ONE (day) partial-agg'd Exchange; the lag grid
+    * (≤ 7 rows, broadcast) × calendar census stays calendar-bounded
+    * (7·n_days rows), the self-join is an equi-join on the shifted
+    * index, and the output is exactly 7 rows.
+    */
+  def qAcf(spark: SparkSession, dir: String): DataFrame =
+    acfCensus(events(spark, dir), 7)
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def acfCensus(ev: DataFrame, maxLag: Int): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val idx = daily.select(
+      row_number().over(Window.orderBy("day")).cast("long").as("k"),
+      col("n"))
+    val lags = ev.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val a = idx.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("k") + col("lag")).as("k2"),
+        col("n").as("x"))
+    val b = idx.select(col("k").as("k2"), col("n").as("y"))
+    val m = a.join(b, Seq("k2"))
+      .groupBy("lag").agg(count(lit(1)).as("m"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+    val num = col("m").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val vx = col("m").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val vy = col("m").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    m.select(col("lag"), col("m").as("n_pairs"),
+        when(col("m").cast("double") * col("sxx") ===
+          col("sx").cast("double") * col("sx"), lit(0L))
+          .when(col("m").cast("double") * col("syy") ===
+            col("sy").cast("double") * col("sy"), lit(0L))
+          .otherwise(micro(num / sqrt(vx * vy))).as("r_micro"))
+      .orderBy("lag")
+  }
+
+  private val acfOracle = {
+    val num = "CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy"
+    val vx = "(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    val vy = "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    s"""$evCte,
+       |daily AS (SELECT CAST(ts AS DATE) AS day,
+       |            CAST(count(*) AS BIGINT) AS n
+       |          FROM ev GROUP BY 1),
+       |idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+       |          AS k, n
+       |        FROM daily),
+       |lg AS (SELECT CAST(g.l AS BIGINT) AS lag
+       |       FROM unnest(range(1, 8)) AS g(l)),
+       |pr AS (SELECT lg.lag, a.n AS x, b.n AS y
+       |       FROM idx a CROSS JOIN lg
+       |       JOIN idx b ON b.k = a.k + lg.lag),
+       |mo AS (SELECT lag, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |       FROM pr GROUP BY 1)
+       |SELECT lag, m AS n_pairs,
+       |  CASE WHEN CAST(m AS DOUBLE) * sxx = CAST(sx AS DOUBLE) * sx
+       |         OR CAST(m AS DOUBLE) * syy = CAST(sy AS DOUBLE) * sy
+       |       THEN CAST(0 AS BIGINT)
+       |       ELSE ${microSql(s"($num) / sqrt($vx * $vy)")}
+       |  END AS r_micro
+       |FROM mo ORDER BY lag""".stripMargin
+  }
+
   // ------------------------------------------------ Cramér's V (R50)
 
   /** R50: Cramér's V between order status and order priority — the
@@ -4300,6 +4397,7 @@ object RelationalQueries {
     "q_theilsen"        -> (qTheilsen _),
     "q_mann_kendall"    -> (qMannKendall _),
     "q_changepoint"     -> (qChangepoint _),
+    "q_acf"             -> (qAcf _),
     "q_cramers_v"       -> (qCramersV _),
     "q_kendall_tau"     -> (qKendallTau _),
     "q_benford"         -> (qBenford _),
@@ -4359,6 +4457,7 @@ object RelationalQueries {
     "q_theilsen"        -> theilsenOracle,
     "q_mann_kendall"    -> mannKendallOracle,
     "q_changepoint"     -> changepointOracle,
+    "q_acf"             -> acfOracle,
     "q_cramers_v"       -> cramersVOracle,
     "q_kendall_tau"     -> kendallTauOracle,
     "q_benford"         -> benfordOracle,

@@ -33,6 +33,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ann_topk",       // broadcast single query vector
     "q_bm25",           // broadcast one-row corpus totals + avgdl
     "q_burstiness",     // broadcast one-row corpus doc count N
+    "q_acf",            // calendar census x broadcast <= 7-row lag grid
     "q_changepoint",    // calendar census x broadcast one-row totals
     "q_cooc",           // broadcast one-row corpus doc count N
     "q_dsir",           // broadcast one-row target/raw census totals

@@ -480,6 +480,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("mean_post") === 5L)
   }
 
+  test("acfCensus: alternating series reads r1 = -1 and r2 = +1 " +
+    "exactly; constant series guards to 0") {
+    // volumes 1,2,1,2: lag-1 pairs (1,2),(2,1),(1,2) -> m=3 sx=4 sy=5
+    // sxx=6 syy=9 sxy=6: num=18-20=-2, vx=18-16=2, vy=27-25=2 ->
+    // r = -2/2 = -1 exactly; lag-2 pairs (1,1),(2,2) -> r = +1;
+    // lag-3 single pair -> both variances 0 -> guard 0
+    val vols = Seq(1, 2, 1, 2)
+    val rows = vols.zipWithIndex.flatMap { case (v, d) =>
+      (1 to v).map(i => f"2024-03-0${d + 1}%d 0$i%d:00:00")
+    }
+    val ev = rows.toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.acfCensus(ev, 3).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("r_micro")))
+    assert(out.toSeq === Seq((1L, 3L, -1000000L), (2L, 2L, 1000000L),
+      (3L, 1L, 0L)))
+    // constant series: every lag zero-variance -> all guards fire
+    val cev = (1 to 3).flatMap(d => (1 to 4).map(i =>
+        f"2024-04-0$d%d 0$i%d:00:00")).toDF("ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    assert(RelationalQueries.acfCensus(cev, 2).collect()
+      .forall(_.getAs[Long]("r_micro") === 0L))
+  }
+
   test("cramersV: perfect association reads exactly 1, independence 0," +
     " degenerate single level guards to 0") {
     import spark.implicits._
