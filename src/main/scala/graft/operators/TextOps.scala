@@ -938,6 +938,66 @@ object TextOps {
       .orderBy("component")
   }
 
+  /** D28: cluster chain-depth census — the STRUCTURAL companion of
+    * D27's purity audit: D27 measures how dissimilar a cluster's
+    * members are from its keeper, this measures WHY — BFS eccentricity
+    * of the representative over the verified pair graph. A star-shaped
+    * cluster (every member directly paired with the rep) has ecc 1
+    * however large it is; ecc ≥ 2 means members joined by TRANSITIVITY
+    * only, and each extra hop compounds the worst-case similarity
+    * decay (at bar b, a depth-d member can sit as low as d·b − (d−1)
+    * from the keeper) — D27's min_star tells you it happened, ecc
+    * tells you the mechanism and how far the chain ran.
+    *
+    * Determinism: a FIXED `maxDepth` frontier-expansion rounds (no
+    * data-dependent stop — rounds past the eccentricity add empty
+    * frontiers), BFS depth is a shortest-path property (min over
+    * paths — order-free); members deeper than the cap surface as
+    * ecc = maxDepth + 1 with n_beyond counting them (loud, never
+    * silently truncated).
+    *
+    * Scale shape: `maxDepth` rounds of (frontier ⋈ edges) equi-joins
+    * over the candidate-bounded pair graph, each round
+    * `localCheckpoint`ed (the ccDistributed discipline — flat
+    * lineage); frontier rows are (doc, depth) — component-bounded;
+    * one (component) aggregate to a per-cluster row.
+    */
+  def clusterDepthCensus(pairs: DataFrame,
+                         maxDepth: Int = 8): DataFrame = {
+    val cc = connectedComponents(pairs).localCheckpoint()
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().localCheckpoint()
+    var frontier = cc.select(col("component").as("doc_id")).distinct()
+      .withColumn("depth", lit(0L)).localCheckpoint()
+    var dist = frontier
+    var d = 1
+    var advancing = true
+    while (d <= maxDepth && advancing) {
+      // expand the FRONTIER only (textbook BFS — settled nodes never
+      // contribute new neighbors); the empty-frontier early exit is
+      // result-identical (further rounds add nothing) so replay
+      // determinism is unaffected
+      val nxt = frontier
+        .join(edges.withColumnRenamed("a", "doc_id"), Seq("doc_id"))
+        .select(col("b").as("doc_id")).distinct()
+        .join(dist.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint()
+      advancing = nxt.count() > 0
+      if (advancing) dist = dist.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+      d += 1
+    }
+    cc.join(dist, Seq("doc_id"), "left")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"),
+        max(coalesce(col("depth"), lit(maxDepth + 1L))).as("ecc"),
+        sum(when(col("depth").isNull, 1L).otherwise(0L))
+          .as("n_beyond"))
+      .orderBy("component")
+  }
+
   def connectedComponents(pairs: DataFrame,
                           driverMaxPairs: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession

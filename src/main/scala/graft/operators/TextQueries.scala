@@ -1621,6 +1621,15 @@ object TextQueries {
     TextOps.clusterPurity(docs(spark, dir), ngramPairs(spark, dir),
       ShingleN)
 
+  /** D28: BFS eccentricity of each cluster representative over the
+    * verified pair graph — the structural WHY behind D27's purity
+    * read (see [[TextOps.clusterDepthCensus]]).
+    */
+  val ClusterMaxDepth = 8
+
+  def qClusterDepth(spark: SparkSession, dir: String): DataFrame =
+    TextOps.clusterDepthCensus(ngramPairs(spark, dir), ClusterMaxDepth)
+
   private val dedupClustersOracle =
     s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
        |$ngramCtes,
@@ -1703,6 +1712,56 @@ object TextQueries {
        |  CAST(sum(jm) AS BIGINT) // CAST(count(*) AS BIGINT)
        |    AS mean_star_micro
        |FROM star GROUP BY 1 ORDER BY component""".stripMargin
+
+  /** D28 oracle: the D7 component chain, then BFS from every
+    * representative as a second recursive CTE — depth-capped rows
+    * (doc_id, depth) per path length, min(depth) = the shortest-path
+    * distance; edges MATERIALIZED (now referenced by BOTH recursions
+    * plus the seed — the DuckDB plain-CTE re-expansion rule); members
+    * past the cap surface as NULL → ecc cap+1 and n_beyond, exactly
+    * the engine's loud-truncation contract.
+    */
+  private val clusterDepthOracle =
+    s"""${tokCte.replaceFirst("WITH ", "WITH RECURSIVE ")} $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT d1 AS a, d2 AS b FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs
+       |),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |cc AS MATERIALIZED (
+       |  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component
+       |  FROM reach GROUP BY a
+       |),
+       |bfs(doc_id, depth) AS (
+       |  SELECT component AS doc_id, 0 AS depth
+       |  FROM (SELECT DISTINCT component FROM cc)
+       |  UNION
+       |  SELECT e.b, r.depth + 1 FROM bfs r JOIN edges e ON e.a = r.doc_id
+       |  WHERE r.depth < ${ClusterMaxDepth}
+       |),
+       |md AS (SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+       |       FROM bfs GROUP BY 1)
+       |SELECT c.component, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max(coalesce(md.depth, ${ClusterMaxDepth + 1}))
+       |       AS BIGINT) AS ecc,
+       |  CAST(sum(CASE WHEN md.depth IS NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_beyond
+       |FROM cc c LEFT JOIN md ON c.doc_id = md.doc_id
+       |GROUP BY 1 ORDER BY component""".stripMargin
 
   /** D23 oracle: the D7 recursive-reachability component chain (cc
     * MATERIALIZED — referenced twice, by ds and nd, and DuckDB 1.0
@@ -3254,6 +3313,7 @@ object TextQueries {
     "q_good_turing"   -> (qGoodTuring _),
     "q_richness"      -> (qRichness _),
     "q_cluster_purity" -> (qClusterPurity _),
+    "q_cluster_depth" -> (qClusterDepth _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_edit_dedup" -> (qEditDedup _),
     "q_lsh_recall" -> (qLshRecall _),
@@ -3336,6 +3396,7 @@ object TextQueries {
     "q_good_turing"   -> goodTuringOracle,
     "q_richness"      -> richnessOracle,
     "q_cluster_purity" -> clusterPurityOracle,
+    "q_cluster_depth" -> clusterDepthOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_edit_dedup" -> editDedupOracle,
     "q_lsh_recall" -> lshRecallOracle,

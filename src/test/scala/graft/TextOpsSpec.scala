@@ -64,6 +64,26 @@ class TextOpsSpec extends SparkSpec {
       r.getAs[Long]("mean_star_micro")) === (1L, 3L, 0L, 166666L))
   }
 
+  test("clusterDepthCensus: BFS ecc on a chain, star reads ecc 1, " +
+    "cap surfaces deep members as n_beyond") {
+    import sqlImplicits._
+    // chain 1-2-3-4-5: rep 1, depths 0..4 -> ecc 4;
+    // star 10-{11,12,13}: rep 10, ecc 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("d1", "d2")
+    val out = TextOps.clusterDepthCensus(pairs, 8)
+      .collect().map(r => (r.getAs[Long]("component"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("ecc"),
+        r.getAs[Long]("n_beyond")))
+    assert(out.toSeq === Seq((1L, 5L, 4L, 0L), (10L, 4L, 1L, 0L)))
+    // cap 2: chain members 4,5 sit past the horizon -> ecc cap+1,
+    // counted loudly, never silently dropped
+    val capped = TextOps.clusterDepthCensus(pairs, 2)
+      .collect().map(r => (r.getAs[Long]("component"),
+        r.getAs[Long]("ecc"), r.getAs[Long]("n_beyond"))).toSeq
+    assert(capped === Seq((1L, 3L, 2L), (10L, 1L, 0L)))
+  }
+
   test("shingles: 5-grams in order, empty below n tokens") {
     val out = docs((1L, "a b c d e f"), (2L, "a b"))
       .select($"doc_id", TextOps.shingles(TextOps.tokens($"text"), 5).as("s"))
