@@ -3407,6 +3407,190 @@ object RelationalQueries {
        |FROM mo ORDER BY lag""".stripMargin
   }
 
+  // ------------------------------- Spearman rank correlation (R54)
+
+  /** R54: Spearman's ρ between the daily event volume and the daily
+    * distinct-user count — the third face of the correlation triad
+    * over the same two series: X48's Pearson r reads LINEAR coupling,
+    * R51's Kendall τ-b reads pairwise concordance, and Spearman reads
+    * monotone coupling as Pearson OVER THE RANKS (Spearman 1904) —
+    * the robust default when either series is heavy-tailed (one viral
+    * day wrecks Pearson, moves ρ by one rank). Ties take AVERAGE
+    * (fractional) ranks — the tie-corrected estimator, equivalent to
+    * the textbook tie-adjusted formula — kept exact by working on the
+    * DOUBLED rank scale: 2·avgrank = 2·rank_low + (ties − 1) is always
+    * an integer (rank_low from a rank() window, ties from a
+    * partition count), so every moment below is an exact integer.
+    *
+    * Exactness: the six moments (n, Σa, Σb, Σa², Σb², Σab on the 2r
+    * scale) are exact integer aggregates; ρ is ONE micro-floored
+    * double tree (n·Σab − Σa·Σb)/sqrt((n·Σa²−Σa·Σa)·(n·Σb²−Σb·Σb))
+    * with every product's first factor CAST to double BEFORE
+    * multiplying (the ADVICE-r11 rule — no Long product, no ceiling);
+    * an all-tied axis zeroes its variance and guards ρ to 0. The
+    * doubling cancels in the ratio (numerator and each variance carry
+    * the same 4×), so ρ is the standard statistic, not a scaled one.
+    * Closed-form anchor (spec-pinned): Σ2r = n(n+1) on each axis,
+    * ties or not.
+    *
+    * Scale shape: ONE (day) partial-agg'd Exchange builds the daily
+    * census (volume + distinct users together); ranks are two
+    * single-partition windows over the CALENDAR-BOUNDED census (the
+    * R52 discipline — ≤ ~10⁴ rows regardless of corpus size); the
+    * moments are one single-row aggregate. Nothing corpus-sized past
+    * the first Exchange.
+    */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame =
+    spearmanCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def spearmanCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(count(lit(1)).as("x"),
+        countDistinct(col("user_id")).as("y"))
+    def rank2(c: String) =
+      (rank().over(Window.orderBy(c)).cast("long") * 2L +
+        count(lit(1)).over(Window.partitionBy(c)) - 1L)
+    val ranked = daily.select(rank2("x").as("a"), rank2("y").as("b"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum("a").as("sa"), sum("b").as("sb"),
+      sum(expr("a * a")).as("saa"), sum(expr("b * b")).as("sbb"),
+      sum(expr("a * b")).as("sab"))
+    val num = col("n").cast("double") * col("sab") -
+      col("sa").cast("double") * col("sb")
+    val va = col("n").cast("double") * col("saa") -
+      col("sa").cast("double") * col("sa")
+    val vb = col("n").cast("double") * col("sbb") -
+      col("sb").cast("double") * col("sb")
+    m.select(col("n").as("n_days"), col("sa"), col("sb"),
+      col("saa"), col("sbb"), col("sab"),
+      when(col("n").cast("double") * col("saa") ===
+          col("sa").cast("double") * col("sa"), lit(0L))
+        .when(col("n").cast("double") * col("sbb") ===
+          col("sb").cast("double") * col("sb"), lit(0L))
+        .otherwise(micro(num / sqrt(va * vb))).as("rho_micro"))
+  }
+
+  private val spearmanOracle = {
+    val num = "CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb"
+    val va = "(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)"
+    val vb = "(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)"
+    s"""$evCte,
+       |daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS y
+       |  FROM ev GROUP BY 1),
+       |rk AS (
+       |  SELECT
+       |    CAST(rank() OVER (ORDER BY x) * 2
+       |      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS a,
+       |    CAST(rank() OVER (ORDER BY y) * 2
+       |      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS b
+       |  FROM daily),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+       |    CAST(sum(a * a) AS BIGINT) AS saa,
+       |    CAST(sum(b * b) AS BIGINT) AS sbb,
+       |    CAST(sum(a * b) AS BIGINT) AS sab
+       |  FROM rk)
+       |SELECT n AS n_days, sa, sb, saa, sbb, sab,
+       |  CASE WHEN CAST(n AS DOUBLE) * saa = CAST(sa AS DOUBLE) * sa
+       |         OR CAST(n AS DOUBLE) * sbb = CAST(sb AS DOUBLE) * sb
+       |       THEN CAST(0 AS BIGINT)
+       |       ELSE ${microSql(s"($num) / sqrt($va * $vb)")}
+       |  END AS rho_micro
+       |FROM mo""".stripMargin
+  }
+
+  // -------------------------- per-user dispersion census (R55)
+
+  /** R55: per-user Fano-factor (index-of-dispersion) census — WHO is
+    * bursty, where the rest of the battery reads the corpus as one
+    * series: R13 histograms corpus inter-arrivals, X50 reads token
+    * burstiness, R53 reads global memory, but none attributes
+    * burstiness to USERS — the bot/retry-storm attribution question
+    * (a handful of F ≫ 1 users explains a fat daily-volume tail that
+    * corpus-level lenses can only detect, not localize). F = σ²/μ of
+    * the user's daily count over their ACTIVE SPAN (zero days count
+    * as zeros — regularity means showing up, so a 2-day user and a
+    * 100-day user are both scored against their own calendar);
+    * F = 1 is the Poisson baseline (Fano 1947), F < 1 metronomic
+    * automation, F ≫ 1 bursts (Barabási, Nature 2005). Output is the
+    * half-unit histogram of users by F with the user count and event
+    * mass per bucket — bounded rows, and the bucket ≥ 3 tail IS the
+    * investigation list's size.
+    *
+    * Exactness: INTEGER-EXACT end to end — with T events over a
+    * span-day calendar, F = (span·Σn² − T²)/(span·T), so fano_micro
+    * is one positive integer floor-division (Cauchy–Schwarz gives
+    * span·Σn² ≥ T², so the numerator is never negative — no signed
+    * floor asymmetry). No doubles anywhere. Long headroom:
+    * 10⁶·span·Σn² exact to ~10⁶ events/user-day at a 10⁴-day span
+    * (documented ceiling; DuckDB's BIGINT multiply errors identically
+    * past it, no silent wrap).
+    *
+    * Scale shape: one (user, day) partial-agg'd Exchange, one (user)
+    * partial-agg'd Exchange (both map-side combined), then the
+    * histogram aggregate over user-cardinality rows; the one-row
+    * totals broadcast (whitelisted BNLJ). Nothing corpus-sized past
+    * the first Exchange.
+    */
+  def qFano(spark: SparkSession, dir: String): DataFrame =
+    fanoCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def fanoCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val per = daily.groupBy("user_id")
+      .agg(sum("n").as("t"), sum(col("n") * col("n")).as("sq"),
+        (datediff(max("day"), min("day")) + 1).cast("long").as("span"))
+      .select(col("t"),
+        expr("(1000000 * (span * sq - t * t)) div (span * t)")
+          .as("fano_micro"))
+    val tot = per.agg(count(lit(1)).as("n_users_total"),
+      max("fano_micro").as("fano_max_micro"))
+    per.select((expr("fano_micro div 500000") * lit(500000L))
+          .as("bucket_lo_micro"), col("t"))
+      .groupBy("bucket_lo_micro")
+      .agg(count(lit(1)).as("n_users"), sum("t").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_lo_micro"), col("n_users"), col("n_events"),
+        col("n_users_total"), col("fano_max_micro"))
+      .orderBy("bucket_lo_micro")
+  }
+
+  private val fanoOracle =
+    s"""$evCte,
+       |daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ev GROUP BY 1, 2),
+       |per AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS t,
+       |    CAST((1000000 * (
+       |        (date_diff('day', min(day), max(day)) + 1) * sum(n * n)
+       |        - sum(n) * sum(n)))
+       |      // ((date_diff('day', min(day), max(day)) + 1) * sum(n))
+       |      AS BIGINT) AS fano_micro
+       |  FROM daily GROUP BY user_id),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users_total,
+       |    CAST(max(fano_micro) AS BIGINT) AS fano_max_micro
+       |  FROM per)
+       |SELECT CAST((fano_micro // 500000) * 500000 AS BIGINT)
+       |    AS bucket_lo_micro,
+       |  CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(t) AS BIGINT) AS n_events,
+       |  n_users_total, fano_max_micro
+       |FROM per, tot GROUP BY 1, 4, 5 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ Cramér's V (R50)
 
   /** R50: Cramér's V between order status and order priority — the
@@ -4398,6 +4582,8 @@ object RelationalQueries {
     "q_mann_kendall"    -> (qMannKendall _),
     "q_changepoint"     -> (qChangepoint _),
     "q_acf"             -> (qAcf _),
+    "q_spearman"        -> (qSpearman _),
+    "q_fano"            -> (qFano _),
     "q_cramers_v"       -> (qCramersV _),
     "q_kendall_tau"     -> (qKendallTau _),
     "q_benford"         -> (qBenford _),
@@ -4458,6 +4644,8 @@ object RelationalQueries {
     "q_mann_kendall"    -> mannKendallOracle,
     "q_changepoint"     -> changepointOracle,
     "q_acf"             -> acfOracle,
+    "q_spearman"        -> spearmanOracle,
+    "q_fano"            -> fanoOracle,
     "q_cramers_v"       -> cramersVOracle,
     "q_kendall_tau"     -> kendallTauOracle,
     "q_benford"         -> benfordOracle,

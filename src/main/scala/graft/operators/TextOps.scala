@@ -2432,6 +2432,53 @@ object TextOps {
         micro(ace)).otherwise(lit(0L)).as("ace_micro"))
   }
 
+  /** X71: Yule's characteristic K + unbiased Simpson repeat rate per
+    * source — the LENGTH-INVARIANT lexical-repetition constant (Yule
+    * 1944; Herdan 1964; Tweedie & Baayen 1998 for the invariance
+    * result): K = 10⁴·(Σc² − T)/T² is asymptotically stable under
+    * corpus growth where raw TTR (X54's window workaround) and
+    * entropy (X55) drift with T — the one repetition number you can
+    * compare ACROSS sources of wildly different sizes without a
+    * length correction, which is exactly the mixing-policy question
+    * (which source is template-spam before weighting it). The
+    * companion column is the unbiased Simpson repeat rate
+    * S = Σc(c−1)/(T(T−1)) — the probability two tokens drawn without
+    * replacement are the same type (K ≈ 10⁴·S for large T; both
+    * emitted so the small-source bias is visible).
+    *
+    * Exactness: V, T, M2 = Σc² are exact integer aggregates off the
+    * per-source token census; K and S are each ONE micro-floored
+    * double tree with products promoted to double BEFORE multiplying
+    * (the ADVICE-r11 rule — T² never forms as a Long). Long headroom
+    * on M2: worst case one type carrying all tokens, exact to
+    * T ≈ 3·10⁹ tokens per source (documented ceiling; DuckDB's
+    * BIGINT multiply errors identically past it, no silent wrap).
+    * Degenerate guards: T = 0 → both 0; T = 1 → S = 0.
+    *
+    * Scale shape: ONE (source, word) partial-agg'd Exchange with
+    * map-side combine (vocabulary-bounded per source), then a
+    * source-cardinality aggregate — nothing corpus-sized past the
+    * first Exchange, no windows, no joins.
+    */
+  def yuleK(docs: DataFrame): DataFrame = {
+    val counts = parallelized(docs)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy("source")
+      .agg(count(lit(1)).as("v_types"), sum("c").as("t_tokens"),
+        sum(col("c") * col("c")).as("m2"))
+    val t = col("t_tokens").cast("double")
+    val k = lit(10000.0) * (col("m2") - col("t_tokens")) / (t * t)
+    val s = (col("m2") - col("t_tokens")).cast("double") /
+      (t * (col("t_tokens") - 1))
+    agg.select(col("source"), col("t_tokens"), col("v_types"),
+      col("m2"),
+      when(col("t_tokens") > 0, micro(k)).otherwise(lit(0L))
+        .as("yule_k_micro"),
+      when(col("t_tokens") > 1, micro(s)).otherwise(lit(0L))
+        .as("simpson_micro"))
+  }
+
   /** [[zipfCensus]] with a TWO-LEVEL cumulative — the formulation for
     * the regime past the census bound's comfort zone. The plain census
     * is provably ≤ √(2T) rows (c·N_c ≤ T), ~6.3M rows at 100 TB — one

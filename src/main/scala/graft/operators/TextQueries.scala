@@ -168,6 +168,9 @@ object TextQueries {
   def qRichness(spark: SparkSession, dir: String): DataFrame =
     TextOps.richnessCensus(docs(spark, dir))
 
+  def qYuleK(spark: SparkSession, dir: String): DataFrame =
+    TextOps.yuleK(Tables.documents(spark, dir)).orderBy("source")
+
   def qJacHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
       .orderBy("bucket_lo_micro")
@@ -1294,6 +1297,33 @@ object TextQueries {
        |  CASE WHEN n_rare >= 2 AND n1 < n_rare THEN ${Hashing.microSql(ace)}
        |       ELSE CAST(0 AS BIGINT) END AS ace_micro
        |FROM a""".stripMargin
+  }
+
+  /** X71: Yule's K + unbiased Simpson per source — both ratios one
+    * micro-floored double tree with products promoted to double
+    * before multiplying (the ADVICE-r11 rule), mirrored verbatim.
+    */
+  private val yuleKOracle = {
+    val t = "CAST(t_tokens AS DOUBLE)"
+    val k = s"10000.0 * (m2 - t_tokens) / ($t * t_tokens)"
+    val s = s"CAST(m2 - t_tokens AS DOUBLE) / ($t * (t_tokens - 1))"
+    s"""WITH wc AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents
+       |  ) GROUP BY 1, 2
+       |),
+       |a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS v_types,
+       |    CAST(sum(c) AS BIGINT) AS t_tokens,
+       |    CAST(sum(c * c) AS BIGINT) AS m2
+       |  FROM wc GROUP BY 1)
+       |SELECT source, t_tokens, v_types, m2,
+       |  CASE WHEN t_tokens > 0 THEN ${Hashing.microSql(k)}
+       |       ELSE CAST(0 AS BIGINT) END AS yule_k_micro,
+       |  CASE WHEN t_tokens > 1 THEN ${Hashing.microSql(s)}
+       |       ELSE CAST(0 AS BIGINT) END AS simpson_micro
+       |FROM a ORDER BY source""".stripMargin
   }
 
   /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
@@ -3312,6 +3342,7 @@ object TextQueries {
     "q_zipf"          -> (qZipf _),
     "q_good_turing"   -> (qGoodTuring _),
     "q_richness"      -> (qRichness _),
+    "q_yule_k"        -> (qYuleK _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_cluster_depth" -> (qClusterDepth _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -3395,6 +3426,7 @@ object TextQueries {
     "q_zipf"          -> zipfOracle,
     "q_good_turing"   -> goodTuringOracle,
     "q_richness"      -> richnessOracle,
+    "q_yule_k"        -> yuleKOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_cluster_depth" -> clusterDepthOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

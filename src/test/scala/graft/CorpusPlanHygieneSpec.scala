@@ -64,6 +64,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_benford",        // broadcast one-row total into the 9-digit grid
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census
+    "q_fano",           // broadcast one-row user-total summary
     "q_cluster_stability", // three one-row pair-count relations joined
     "q_lsh_recall",     // three one-row pair-count relations joined
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids

@@ -546,6 +546,57 @@ class ScaleOpsSpec extends SparkSpec {
       (4L, 6L, 4L, 0L, 1L, 1L, 800000L))
   }
 
+  test("spearmanCensus: tie-aware average ranks, exact rho, " +
+    "rank-sum invariant, all-tied guard") {
+    // daily (x=volume, y=distinct users): (1,1),(2,2),(2,1),(3,3).
+    // 2*avgranks a=[2,5,5,8], b=[3,6,3,8]; both sum to n(n+1)=20;
+    // moments saa=sbb=118, sab=115 -> rho = 60/72 = 0.8333..
+    val rows = Seq(
+      ("2024-01-01 01:00:00", 1L),
+      ("2024-01-02 01:00:00", 1L), ("2024-01-02 02:00:00", 2L),
+      ("2024-01-03 01:00:00", 1L), ("2024-01-03 02:00:00", 1L),
+      ("2024-01-04 01:00:00", 1L), ("2024-01-04 02:00:00", 2L),
+      ("2024-01-04 03:00:00", 3L))
+    val ev = rows.toDF("ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.spearmanCensus(ev).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("sa"),
+      r.getAs[Long]("sb"), r.getAs[Long]("saa"), r.getAs[Long]("sbb"),
+      r.getAs[Long]("sab"), r.getAs[Long]("rho_micro")) ===
+      (4L, 20L, 20L, 118L, 118L, 115L, 833333L))
+    // constant volume: x all-tied -> variance 0 -> guard fires even
+    // though y varies
+    val cev = Seq(("2024-02-01 01:00:00", 1L), ("2024-02-02 01:00:00", 2L),
+      ("2024-02-03 01:00:00", 2L)).toDF("ts_s", "user_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    assert(RelationalQueries.spearmanCensus(cev).collect().head
+      .getAs[Long]("rho_micro") === 0L)
+  }
+
+  test("fanoCensus: metronomic user reads exactly 0, bursty user's " +
+    "integer floor division, summary carried on every row") {
+    // user 1: one event on each of 3 consecutive days -> T=3, sq=3,
+    // span=3 -> F = (9-9)/9 = 0 -> bucket 0
+    // user 2: 4 events day 1 + 1 event day 3 -> T=5, sq=17, span=3 ->
+    // F = (3*17-25)/(3*5) = 26/15 -> 26000000 div 15 = 1733333 ->
+    // bucket 1500000
+    val rows = Seq(
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-02 01:00:00"),
+      (1L, "2024-01-03 01:00:00"),
+      (2L, "2024-01-01 01:00:00"), (2L, "2024-01-01 02:00:00"),
+      (2L, "2024-01-01 03:00:00"), (2L, "2024-01-01 04:00:00"),
+      (2L, "2024-01-03 01:00:00"))
+    val ev = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.fanoCensus(ev).collect()
+      .map(r => (r.getAs[Long]("bucket_lo_micro"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users_total"), r.getAs[Long]("fano_max_micro")))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 3L, 2L, 1733333L),
+      (1500000L, 1L, 5L, 2L, 1733333L)))
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);
@@ -900,7 +951,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("marketShare: per-year shares partition the year's revenue") {
     val out = RelationalQueries
       .qMarketShare(spark, "/root/testdata/sf0.001").collect()
-      .map(r => (r.getAs[Int]("o_year"), r.getAs[Long]("revenue_cents"),
+      .map(r => (r.getAs[Long]("o_year"), r.getAs[Long]("revenue_cents"),
         r.getAs[Long]("share_micro")))
     assert(out.nonEmpty)
     out.groupBy(_._1).foreach { case (y, rows) =>

@@ -47,6 +47,26 @@ class TextOpsSpec extends SparkSpec {
     assert(s.getAs[Long]("ace_micro") === 0L)
   }
 
+  test("yuleK: hand-computed K and Simpson, all-distinct reads zero, " +
+    "single-token guard") {
+    import spark.implicits._
+    // srcA "a a a b": counts 3,1 -> T=4, V=2, M2=10;
+    // K = 1e4*(10-4)/16 = 3750 -> 3750000000 micro;
+    // S = 6/(4*3) = 0.5 -> 500000
+    // srcB "a b c d": M2 = T -> K = 0, S = 0
+    // srcC "a": T=1 -> K = 0 (1e4*(1-1)/1), S guard fires
+    val corpus = Seq((1L, "a a a b", "srcA"), (2L, "a b c d", "srcB"),
+      (3L, "a", "srcC")).toDF("doc_id", "text", "source")
+    val out = TextOps.yuleK(corpus).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("t_tokens"),
+        r.getAs[Long]("v_types"), r.getAs[Long]("m2"),
+        r.getAs[Long]("yule_k_micro"), r.getAs[Long]("simpson_micro")))
+    assert(out.toSeq === Seq(
+      ("srcA", 4L, 2L, 10L, 3750000000L, 500000L),
+      ("srcB", 4L, 4L, 4L, 0L, 0L),
+      ("srcC", 1L, 1L, 1L, 0L, 0L)))
+  }
+
   test("clusterPurity: star audit exposes a chained cluster the " +
     "pairwise bar admitted") {
     // shingle sets (n=5): doc1 {abcde,bcdef}, doc2 {abcde,bcdeg},
