@@ -1405,6 +1405,101 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** V45: local-intrinsic-dimensionality (LID) census — the MLE
+    * dimension estimate over each vector's kNN distance profile
+    * (Levina & Bickel, NIPS 2004; Amsaleg et al., KDD 2015:
+    * LID(x) = [ (1/k) Σᵢ ln(dₖ/dᵢ) ]⁻¹), aggregated per cluster. This
+    * is the CAUSE the V33/V44 pair diagnose symptoms of: hubness and
+    * asymmetric kNN graphs are driven by high LOCAL intrinsic
+    * dimensionality, and a cluster whose LID census reads high is
+    * exactly where IVF/PQ recall degrades and where LID-aware
+    * verification (Houle's expansion-based pruning) pays — the
+    * "which regions of the embedding space are hard" map an index
+    * planner reads before spending nprobe/beam budget.
+    *
+    * Neighbor semantics IDENTICAL to V12/V33/V44
+    * ([[hubnessCensusFrom]]): cluster-blocked candidates, rank by
+    * (micro cosine DESC, vec_id) — all four audits read one graph.
+    * Distances are micro cosine DISSIMILARITIES d = 10⁶ − cos, floored
+    * at 1 micro-unit (an exactly-duplicate neighbor has d = 0; ln
+    * needs d > 0 — the clamp is the documented resolution limit).
+    *
+    * Exactness: each edge term ln(dₖ/dᵢ) is a log of a ratio of EXACT
+    * INTEGERS, micro-floored per term; the per-vector reduction is an
+    * INTEGER sum; lid_micro = (k·10¹²) div Σterms is one positive
+    * integer floor-division (k ≤ 5 keeps the numerator ≤ 5·10¹² —
+    * no ceiling). A vector whose neighbors all sit at the same
+    * distance (Σterms = 0 — a uniform shell, LID → ∞) reads the 0
+    * sentinel and is counted in n_unscored, not averaged. Per-cluster
+    * mean is a floor of an integer ratio over the per-vector floors.
+    *
+    * Scale shape: the V12 pair bound (Σ|cluster|², dialed by
+    * nCentroids) builds edges once; dₖ/k come from one (d1) aggregate
+    * over the N·k-bounded edge relation re-joined edge-keyed; the
+    * census is one nCentroids-group aggregate. Nothing all-pairs,
+    * nothing corpus-sized past the edge build.
+    */
+  def lidCensus(emb: DataFrame, cents: Array[Array[Long]],
+                kNN: Int): DataFrame =
+    lidCensusFrom(emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding")), kNN)
+
+  /** [[lidCensus]] over an ALREADY-ASSIGNED (vec_id, cluster,
+    * embedding) relation — the store-backed entry point (the
+    * [[hubnessCensusFrom]] precedent).
+    */
+  def lidCensusFrom(assigned: DataFrame, kNN: Int): DataFrame = {
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1")
+      .orderBy(col("cos_micro").desc, col("d2"))
+    val edges = pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kNN)
+      .select(col("d1"),
+        greatest(lit(1000000L) - col("cos_micro"), lit(1L)).as("dis"))
+    val prof = edges.groupBy("d1")
+      .agg(count(lit(1)).as("k_x"), max("dis").as("dk"))
+    val lid = edges.join(prof, Seq("d1"))
+      .select(col("d1"), col("k_x"),
+        micro(log(col("dk").cast("double") / col("dis")))
+          .as("term_micro"))
+      .groupBy("d1")
+      .agg(max("k_x").as("k_x"), sum("term_micro").as("sum_ln"))
+      .select(col("d1"),
+        when(col("sum_ln") > 0,
+          expr("(k_x * 1000000 * 1000000) div sum_ln"))
+          .otherwise(lit(0L)).as("lid_micro"))
+    assigned.select(col("vec_id").as("d1"), col("cluster"))
+      .join(lid, Seq("d1"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("lid_micro") > 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_scored"),
+        coalesce(sum(when(coalesce(col("lid_micro"), lit(0L)) === 0L,
+          1L).otherwise(0L)), lit(0L)).as("n_unscored"),
+        coalesce(sum(when(col("lid_micro") > 0, col("lid_micro"))),
+          lit(0L)).as("lid_sum"),
+        coalesce(min(when(col("lid_micro") > 0, col("lid_micro"))),
+          lit(0L)).as("lid_min_micro"),
+        coalesce(max(when(col("lid_micro") > 0, col("lid_micro"))),
+          lit(0L)).as("lid_max_micro"))
+      .select(col("cluster"), col("n_vecs"), col("n_scored"),
+        col("n_unscored"),
+        when(col("n_scored") > 0,
+          expr("lid_sum div n_scored")).otherwise(lit(0L))
+          .as("lid_mean_micro"),
+        col("lid_min_micro"), col("lid_max_micro"))
+  }
+
   /** V35: graph ANN — deterministic kNN-graph construction + beam
     * search, the graph-index architecture (the HNSW/NSG family) next
     * to the quantization family (IVF/PQ/SQ8/MRL): where IVF prunes by

@@ -386,6 +386,16 @@ object SimilarityQueries {
       .orderBy("n_recip")
   }
 
+  /** V45: per-cluster LID census on the same kNN graph (see
+    * [[SimilarityOps.lidCensus]]).
+    */
+  def qLid(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.lidCensus(e, cents, KnnK).orderBy("cluster")
+  }
+
   /** V23: the metadata predicate for filtered search — labels 0–4, half
     * the 10-label space, so post-filtering visibly loses candidates.
     */
@@ -2166,6 +2176,74 @@ object SimilarityQueries {
        |) GROUP BY 1 ORDER BY n_recip""".stripMargin
   }
 
+  /** V45 oracle: the V33/V44 kNN edge relation verbatim, distances as
+    * clamped micro dissimilarities, each ln term micro-floored from a
+    * ratio of exact integers, the per-vector LID one positive integer
+    * floor-division, and the census off the a-chain assignment.
+    */
+  private val lidOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    val term = Hashing.microSql("ln(CAST(p.dk AS DOUBLE) / t.dis)")
+    s"""$kmeansTrainedCtes,
+       |kpr AS MATERIALIZED (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |kcm AS MATERIALIZED (
+       |  SELECT p.d1, p.d2,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM kpr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |),
+       |dcos AS (
+       |  SELECT d1, d2, cos_micro FROM kcm
+       |  UNION ALL
+       |  SELECT d2 AS d1, d1 AS d2, cos_micro FROM kcm
+       |),
+       |htopk AS MATERIALIZED (
+       |  SELECT d1, greatest(1000000 - cos_micro, 1) AS dis FROM (
+       |    SELECT d1, d2, cos_micro, row_number() OVER (PARTITION BY d1
+       |      ORDER BY cos_micro DESC, d2) AS rk
+       |    FROM dcos
+       |  ) WHERE rk <= $KnnK
+       |),
+       |prof AS (
+       |  SELECT d1, CAST(count(*) AS BIGINT) AS k_x,
+       |    CAST(max(dis) AS BIGINT) AS dk
+       |  FROM htopk GROUP BY 1),
+       |lt AS (
+       |  SELECT t.d1, max(p.k_x) AS k_x,
+       |    CAST(sum($term) AS BIGINT) AS sum_ln
+       |  FROM htopk t JOIN prof p USING (d1) GROUP BY 1),
+       |lv AS (
+       |  SELECT d1, CASE WHEN sum_ln > 0
+       |      THEN (k_x * 1000000 * 1000000) // sum_ln
+       |      ELSE CAST(0 AS BIGINT) END AS lid_micro
+       |  FROM lt)
+       |SELECT a.cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN COALESCE(l.lid_micro, 0) > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |  CAST(sum(CASE WHEN COALESCE(l.lid_micro, 0) = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unscored,
+       |  CAST(CASE WHEN sum(CASE WHEN COALESCE(l.lid_micro, 0) > 0
+       |      THEN 1 ELSE 0 END) > 0
+       |    THEN sum(CASE WHEN COALESCE(l.lid_micro, 0) > 0
+       |        THEN l.lid_micro ELSE 0 END)
+       |      // sum(CASE WHEN COALESCE(l.lid_micro, 0) > 0
+       |        THEN 1 ELSE 0 END)
+       |    ELSE 0 END AS BIGINT) AS lid_mean_micro,
+       |  CAST(COALESCE(min(CASE WHEN l.lid_micro > 0
+       |    THEN l.lid_micro END), 0) AS BIGINT) AS lid_min_micro,
+       |  CAST(COALESCE(max(CASE WHEN l.lid_micro > 0
+       |    THEN l.lid_micro END), 0) AS BIGINT) AS lid_max_micro
+       |FROM a$rounds a LEFT JOIN lv l ON a.vec_id = l.d1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** V23 oracle: same scored relation, pre-filter ranking vs
     * filtered unfiltered ranking, dense per-query grid.
     */
@@ -2816,6 +2894,7 @@ object SimilarityQueries {
     "q_ndcg"           -> (qNdcg _),
     "q_hubness"        -> (qHubness _),
     "q_knn_recip"      -> (qKnnRecip _),
+    "q_lid"            -> (qLid _),
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
     "q_kcenter"        -> (qKcenter _),
@@ -2866,6 +2945,7 @@ object SimilarityQueries {
     "q_ndcg"           -> ndcgOracle,
     "q_hubness"        -> hubnessOracle,
     "q_knn_recip"      -> knnRecipOracle,
+    "q_lid"            -> lidOracle,
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
     "q_kcenter"        -> kcenterOracle,

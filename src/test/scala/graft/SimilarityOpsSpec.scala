@@ -942,6 +942,40 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L), (1L, 2L)))
   }
 
+  test("lidCensus: hand-built distance profiles — uniform-shell " +
+    "sentinel, duplicate-neighbor clamp, per-cluster census") {
+    // one centroid -> one cluster; k = 2; vectors:
+    //   v0 (1,0), v1 (1,0) exact duplicates, v2 (1,1), v3 (0,1).
+    // cos micro: v0~v1 = 1e6 (dis clamped to 1), v0~v2 = 707106
+    // (dis 292894), v0~v3 = 0 (dis 1e6).
+    // v0/v1: dis [1, 292894] -> sum = micro(ln 292894), scored.
+    // v2: all three neighbors tied at 707106 -> top-2 dis equal ->
+    //     sum_ln = 0 -> uniform-shell sentinel (unscored).
+    // v3: dis [292894, 1000000] -> sum = micro(ln(1e6/292894)).
+    val m = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(1f, 1f), 0),
+      (3L, Seq(0f, 1f), 1))
+    val cents = Array(Array(1000L, 0L))
+    def lidOf(ds: Seq[Long]): Long = {
+      val dk = ds.max
+      val s = ds.map(d =>
+        math.floor(1e6 * math.log(dk.toDouble / d)).toLong).sum
+      if (s > 0) ds.length.toLong * 1000000L * 1000000L / s else 0L
+    }
+    val lid0 = lidOf(Seq(1L, 292894L))
+    val lid3 = lidOf(Seq(292894L, 1000000L))
+    assert(lid0 > 0L && lid3 > 0L && lid0 != lid3)
+    val r = SimilarityOps.lidCensus(m, cents, 2).collect().head
+    assert((r.getAs[Long]("cluster"), r.getAs[Long]("n_vecs"),
+      r.getAs[Long]("n_scored"), r.getAs[Long]("n_unscored"),
+      r.getAs[Long]("lid_mean_micro"), r.getAs[Long]("lid_min_micro"),
+      r.getAs[Long]("lid_max_micro")) ===
+      (0L, 4L, 3L, 1L, (2L * lid0 + lid3) / 3L,
+        math.min(lid0, lid3), math.max(lid0, lid3)))
+  }
+
   test("knnReciprocityCensus: sum n_recip * n_vecs is even (every " +
     "reciprocal pair counted from both endpoints) and bounded by the " +
     "hubness edge total") {
