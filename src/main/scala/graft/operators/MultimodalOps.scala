@@ -365,6 +365,87 @@ object MultimodalOps {
         " div n_pixels"))
   }
 
+  // --------------------- M13: total-variation sharpness census (BMP)
+
+  /** Decoded gradient-energy row: exact integer total variation of the
+    * per-pixel gray values, split by direction (`tv_h` over horizontal
+    * neighbor pairs, `tv_v` over vertical), with the pair counts so
+    * the per-pixel-pair mean is one integer division downstream.
+    */
+  case class MediaTv(doc_id: Long, width: Long, height: Long,
+                     n_h: Long, n_v: Long, tv_h: Long, tv_v: Long)
+
+  /** BMP total variation: the [[decodeBmp]] header/stride walk, gray
+    * per pixel as (b+g+r)/3 (the `dhashBmp` gray), then
+    * Σ|∇gray| over horizontally and vertically adjacent pixel pairs.
+    * Storage orientation is deliberately NOT flipped here (unlike
+    * [[bmpResizeStats]], where box pairing depends on row order): the
+    * SET of adjacent row pairs is invariant under a bottom-up flip, so
+    * TV computed in file order equals TV in image order — which is
+    * also what lets the generative oracle index pixels without header
+    * knowledge.
+    */
+  def decodeBmpTv(docId: Long, bytes: Array[Byte]): MediaTv = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = math.abs(b.getInt(22))
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: unsupported BMP variant")
+    val stride = (3 * w + 3) & ~3
+    def gray(r: Int, c: Int): Int = {
+      val base = dataOffset + r * stride + c * 3
+      ((bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+        (bytes(base + 2) & 0xff)) / 3
+    }
+    var tvH = 0L; var tvV = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val g = gray(r, c)
+        if (c + 1 < w) tvH += math.abs(gray(r, c + 1) - g)
+        if (r + 1 < h) tvV += math.abs(gray(r + 1, c) - g)
+        c += 1
+      }
+      r += 1
+    }
+    MediaTv(docId, w.toLong, h.toLong, h.toLong * (w - 1),
+      (h - 1).toLong * w, tvH, tvV)
+  }
+
+  /** M13: per-image gradient-energy (total-variation) census over REAL
+    * decoded pixels — the sharpness/blur admission gate image curation
+    * runs before spending embedding compute (a blurred or flat frame
+    * carries little trainable signal however large; TV per pixel pair
+    * is the standard no-reference proxy — Rudin, Osher & Fatemi 1992
+    * for the functional): Σ|∇gray| split by direction plus the
+    * per-pair mean as one integer floor-division. All-integer outputs;
+    * the oracle recomputes both directional sums from the generative
+    * closed form (id·7 + k·13) mod 256 — the encode→decode
+    * differential, exercising the stride walk and gray reduction.
+    *
+    * Scale shape: the M3/M11 batched `mapPartitions` decode — one
+    * scalar pass per blob, one row per image, no shuffle until the
+    * caller's orderBy.
+    */
+  def mediaTotalVariation(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    mediaBinary(docs).filter(col("kind") === "bmp")
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatchSize).flatMap { batch =>
+          batch.iterator.map(rec =>
+            decodeBmpTv(rec.doc_id, rec.payload))
+        }
+      }.toDF()
+      .withColumn("tv_pair_micro",
+        expr("(1000000 * (tv_h + tv_v)) div (n_h + n_v)"))
+  }
+
   // ------------------------------------- M5: audio frame energy (WAV)
 
   /** Samples per analysis frame for [[wavEnergyWindows]]. */

@@ -70,6 +70,10 @@ object MultimodalQueries {
   def qMediaHist(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
 
+  def qMediaTv(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaTotalVariation(docs(spark, dir))
+      .orderBy("doc_id")
+
   def qMediaResize(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.bmpResizeStats(
       MultimodalOps.mediaBinary(docs(spark, dir)))
@@ -265,6 +269,44 @@ object MultimodalQueries {
        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
        |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin
+
+  /** M13 oracle: both directional total-variation sums recomputed from
+    * the BMP generative closed form (pixel byte k = (id·7 + k·13) mod
+    * 256 in FILE row-major order, padding excluded) — the adjacency
+    * set is flip-invariant, so the oracle never needs the header's
+    * orientation; the per-pair mean is a positive integer
+    * floor-division.
+    */
+  private val mediaTvOracle =
+    """WITH bmp AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      |  FROM documents WHERE doc_id % 2 = 0
+      |),
+      |px AS MATERIALIZED (
+      |  SELECT b.doc_id, g.j // b.w AS r, g.j % b.w AS c,
+      |    (((b.doc_id * 7 + (3 * g.j) * 13) % 256)
+      |     + ((b.doc_id * 7 + (3 * g.j + 1) * 13) % 256)
+      |     + ((b.doc_id * 7 + (3 * g.j + 2) * 13) % 256)) // 3 AS gy
+      |  FROM bmp b, unnest(range(0, b.w * b.h)) AS g(j)
+      |),
+      |tvh AS (
+      |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_h,
+      |    CAST(sum(abs(b.gy - a.gy)) AS BIGINT) AS tv_h
+      |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r
+      |    AND b.c = a.c + 1
+      |  GROUP BY 1),
+      |tvv AS (
+      |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_v,
+      |    CAST(sum(abs(b.gy - a.gy)) AS BIGINT) AS tv_v
+      |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.r = a.r + 1
+      |    AND b.c = a.c
+      |  GROUP BY 1)
+      |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width,
+      |  CAST(m.h AS BIGINT) AS height, h.n_h, v.n_v, h.tv_h, v.tv_v,
+      |  CAST((1000000 * (h.tv_h + v.tv_v)) // (h.n_h + v.n_v)
+      |    AS BIGINT) AS tv_pair_micro
+      |FROM bmp m JOIN tvh h USING (doc_id) JOIN tvv v USING (doc_id)
+      |ORDER BY m.doc_id""".stripMargin
 
   /** M10 oracle: crossings recomputed from the WAV generative closed
     * form via a per-doc lag window — zero counted NON-NEGATIVE on both
@@ -496,6 +538,7 @@ object MultimodalQueries {
     "q_media_zcr"      -> (qMediaZcr _),
     "q_media_clipping" -> (qMediaClipping _),
     "q_media_hist"     -> (qMediaHist _),
+    "q_media_tv"       -> (qMediaTv _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
 
@@ -508,6 +551,7 @@ object MultimodalQueries {
     "q_media_zcr"      -> mediaZcrOracle,
     "q_media_clipping" -> mediaClippingOracle,
     "q_media_hist"     -> mediaHistOracle,
+    "q_media_tv"       -> mediaTvOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,

@@ -253,6 +253,36 @@ class MultimodalOpsSpec extends SparkSpec {
     ids.foreach(id => assert(got(id) === expected(id), s"id $id"))
   }
 
+  test("mediaTotalVariation: directional TV sums match the closed " +
+    "form, pair counts exact, per-pair mean one floor division") {
+    import sqlImplicits._
+    // closed-form replica in FILE row order — TV's adjacency set is
+    // flip-invariant, so no orientation term (unlike dhash's h-1-r)
+    def expected(id: Long): (Long, Long, Long, Long) = {
+      val w = (4 + id % 5).toInt; val h = (2 + id % 3).toInt
+      def gray(r: Int, c: Int): Int = (0 until 3).map { ch =>
+        ((id * 7 + (r * 3 * w + c * 3 + ch) * 13) % 256).toInt
+      }.sum / 3
+      val tvH = (for (r <- 0 until h; c <- 0 until w - 1)
+        yield math.abs(gray(r, c + 1) - gray(r, c)).toLong).sum
+      val tvV = (for (r <- 0 until h - 1; c <- 0 until w)
+        yield math.abs(gray(r + 1, c) - gray(r, c)).toLong).sum
+      (h.toLong * (w - 1), (h - 1).toLong * w, tvH, tvV)
+    }
+    val docs = (0L until 20L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = MultimodalOps.mediaTotalVariation(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_h"), r.getAs[Long]("n_v"),
+          r.getAs[Long]("tv_h"), r.getAs[Long]("tv_v"),
+          r.getAs[Long]("tv_pair_micro"))).toMap
+    assert(out.size === 10) // even doc_ids only
+    out.foreach { case (id, (nH, nV, tvH, tvV, ppm)) =>
+      val (eH, eV, etH, etV) = expected(id)
+      assert((nH, nV, tvH, tvV) === (eH, eV, etH, etV), s"id $id")
+      assert(ppm === 1000000L * (etH + etV) / (eH + eV), s"ppm id $id")
+    }
+  }
+
   test("phashCensus: self/near rows equal brute-force Hamming pairing") {
     import sqlImplicits._
     val docs = (0L until 120L).map(i => (i, s"d$i")).toDF("doc_id", "text")
