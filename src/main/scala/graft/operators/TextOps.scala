@@ -184,13 +184,27 @@ object TextOps {
     * cut is a bounded TakeOrdered — no shuffle carries more than N
     * rows per partition.
     */
-  def weightedSample(docs: DataFrame, n: Int): DataFrame = {
+  def weightedSample(docs: DataFrame, n: Int): DataFrame =
+    aesTopN(aesKeys(docs), n)
+
+  /** The A-ES key projection — one scan, no shuffle. Factored so the
+    * T21 streaming store reduces each micro-batch with the SAME kernel
+    * the batch sample uses.
+    */
+  def aesKeys(docs: DataFrame): DataFrame = {
     val w = greatest(size(tokens(col("text"))).cast("long"), lit(1L))
     val u = greatest(md5Long(concat(lit("aes:"),
       col("doc_id").cast("string"))), lit(1L)) /
       lit(1152921504606846976.0) // 2^60, exactly representable
-    val keyed = parallelized(docs).select(col("doc_id"), col("source"),
+    parallelized(docs).select(col("doc_id"), col("source"),
       w.as("toks"), micro(log(u) / w).as("key_micro"))
+  }
+
+  /** Re-take the top-n keys over any keyed relation (the merge op —
+    * top-n under (key DESC, doc_id) is an exact semilattice, the
+    * X64/T13 bottom-k property mirrored).
+    */
+  def aesTopN(keyed: DataFrame, n: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(0))
       .orderBy(col("key_micro").desc, col("doc_id"))
