@@ -3591,6 +3591,90 @@ object RelationalQueries {
        |  n_users_total, fano_max_micro
        |FROM per, tot GROUP BY 1, 4, 5 ORDER BY 1""".stripMargin
 
+  // --------------------------- Hill tail-index estimator (R56)
+
+  /** R56: Hill estimator of the power-law tail index over the per-user
+    * activity distribution (Hill 1975) — the single number that says
+    * HOW HEAVY the heavy tail is, where R24's Lorenz/Gini says how
+    * UNEQUAL the mass is and R55's Fano says WHO is bursty: α̂ ≈ 1
+    * means the top users dominate so hard that capacity planning,
+    * skew-join salting (R15), and per-user rate limits are all
+    * top-k problems; α̂ > 2 means finite variance and the mean is
+    * trustworthy. Estimator: α̂⁻¹ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the k largest per-user counts against the (k+1)-th — the
+    * conditional MLE on the tail exceedances, and EXACTLY the V45 LID
+    * MLE with "distance from the query" replaced by "rank in the
+    * activity order" (Hill and Levina–Bickel are the same estimator;
+    * the cross-reference is the point).
+    *
+    * Exactness: per-user counts exact integers; each term is a
+    * micro-floored ln of a ratio of EXACT INTEGERS; the reduction is
+    * an INTEGER sum; α̂_micro = (k·10¹²) div Σ — one positive integer
+    * floor-division (x₍ᵢ₎ ≥ x₍ₖ₊₁₎ keeps every term ≥ 0). A degenerate
+    * tail (all k counts equal to the threshold — Σ = 0, α̂ → ∞) reads
+    * the 0 sentinel, mirroring V45's uniform-shell convention.
+    *
+    * Scale shape: one (user) partial-agg'd Exchange; the top-(k+1)
+    * cut is a bounded rank filter over user-cardinality rows (k + 1
+    * rows survive); every later relation is one-row and broadcasts
+    * (whitelisted BNLJ). Nothing corpus-sized past the first
+    * Exchange.
+    */
+  val HillK = 64L
+
+  def qHill(spark: SparkSession, dir: String): DataFrame =
+    hillCensus(events(spark, dir), HillK)
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def hillCensus(ev: DataFrame, kMax: Long): DataFrame = {
+    val per = ev.groupBy("user_id").agg(count(lit(1)).as("x"))
+    val nt = per.agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy(col("x").desc, col("user_id"))
+    val rk = per.select(col("x"),
+        row_number().over(w).cast("long").as("rn"))
+      .crossJoin(broadcast(nt))
+      .withColumn("k", least(lit(kMax), col("n_users") - 1L))
+    val thr = rk.filter(col("rn") === col("k") + 1L)
+      .select(col("x").as("xk1"), col("k"), col("n_users"))
+    val sums = rk.filter(col("rn") <= col("k"))
+      .crossJoin(broadcast(thr.select("xk1")))
+      .select(micro(log(col("x").cast("double") / col("xk1"))).as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("sum_ln"))
+    thr.crossJoin(broadcast(sums))
+      .select(col("n_users"), col("k").as("k_used"), col("xk1"),
+        col("sum_ln"))
+      .withColumn("alpha_micro",
+        when(col("sum_ln") > 0,
+          expr("(k_used * 1000000 * 1000000) div sum_ln"))
+          .otherwise(lit(0L)))
+  }
+
+  private val hillOracle = {
+    val term = microSql("ln(CAST(r.x AS DOUBLE) / thr.xk1)")
+    s"""$evCte,
+       |per AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM ev GROUP BY 1),
+       |rk AS (
+       |  SELECT x, CAST(row_number() OVER (ORDER BY x DESC, user_id)
+       |    AS BIGINT) AS rn
+       |  FROM per),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM per),
+       |kk AS (SELECT CAST(least($HillK, n_users - 1) AS BIGINT) AS k
+       |       FROM nt),
+       |thr AS (SELECT CAST(r.x AS BIGINT) AS xk1
+       |        FROM rk r, kk WHERE r.rn = kk.k + 1),
+       |s AS (SELECT CAST(coalesce(sum($term), 0) AS BIGINT) AS sum_ln
+       |      FROM rk r, kk, thr WHERE r.rn <= kk.k)
+       |SELECT nt.n_users, kk.k AS k_used, thr.xk1, s.sum_ln,
+       |  CASE WHEN s.sum_ln > 0
+       |       THEN (kk.k * 1000000 * 1000000) // s.sum_ln
+       |       ELSE CAST(0 AS BIGINT) END AS alpha_micro
+       |FROM nt, kk, thr, s""".stripMargin
+  }
+
   // ------------------------------------------------ Cramér's V (R50)
 
   /** R50: Cramér's V between order status and order priority — the
@@ -4584,6 +4668,7 @@ object RelationalQueries {
     "q_acf"             -> (qAcf _),
     "q_spearman"        -> (qSpearman _),
     "q_fano"            -> (qFano _),
+    "q_hill"            -> (qHill _),
     "q_cramers_v"       -> (qCramersV _),
     "q_kendall_tau"     -> (qKendallTau _),
     "q_benford"         -> (qBenford _),
@@ -4646,6 +4731,7 @@ object RelationalQueries {
     "q_acf"             -> acfOracle,
     "q_spearman"        -> spearmanOracle,
     "q_fano"            -> fanoOracle,
+    "q_hill"            -> hillOracle,
     "q_cramers_v"       -> cramersVOracle,
     "q_kendall_tau"     -> kendallTauOracle,
     "q_benford"         -> benfordOracle,

@@ -2252,6 +2252,83 @@ object TextOps {
         floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
   }
 
+  /** X72: interpolated Kneser–Ney bigram scoring — THE standard n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998's interpolated
+    * form with a fixed discount D = 0.75), next to X19's add-one
+    * baseline: where add-one hands unseen bigrams a mass proportional
+    * to nothing, KN backs off to the CONTINUATION probability — how
+    * many distinct contexts a word follows, not how often it occurs —
+    * the distinction that scores "San Francisco"-style collocations
+    * correctly and is why every production n-gram LM shipped KN for
+    * two decades. Scoring twin columns to X19 (same split, same
+    * per-doc average-log-prob shape) so the two models' verdicts
+    * diff row-for-row.
+    *
+    * Model (train split): P(w₂|w₁) = max(c₁₂ − D, 0)/c₁ +
+    * (D·N₁₊(w₁·)/c₁)·Pc(w₂), with Pc(w₂) = (N₁₊(·w₂) + 1)/(B + V + 1)
+    * — the continuation distribution Laplace-+1-smoothed over the
+    * B observed bigram types plus a V+1-sized vocab floor (the
+    * X19/X52 discipline: smoothing documented, not ε-hidden) so
+    * unseen-word scores stay finite; an unseen CONTEXT (c₁ = 0) backs
+    * off wholly to Pc (λ = 1, the standard limit).
+    *
+    * Exactness: all counts exact integers; each bigram's P is ONE
+    * fixed double tree (the literal association above — integer
+    * subtraction against the 0.75 literal promotes, every division
+    * IEEE), micro-floored PER TERM; the per-doc reduction sums
+    * INTEGERS and the average is one floored division (the X19
+    * protocol exactly).
+    *
+    * Scale shape: the X19 shape — vocabulary-bounded count tables off
+    * one cached bigram relation (broadcast at realistic sizes,
+    * bucketed by w1 at the extreme), 1:1 lookup joins keyed on the
+    * bigram, one per-doc partial agg; the two one-row model constants
+    * broadcast (whitelisted BNLJ).
+    */
+  def knScore(docs: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    val toks = parallelized(docs).select(col("doc_id"),
+      splitAssign(trainPct, valPct).as("split"),
+      posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val bi = toks.withColumn("w1", lag("w", 1).over(win))
+      .filter(col("w1").isNotNull)
+      .cache()
+    // the bigram TYPE table feeds four consumers (lookup, context
+    // totals + fan-out, continuation counts, the B constant) — cache
+    // the reduced relation, not the stream
+    val cb = bi.filter(col("split") === "train")
+      .groupBy("w1", "w").agg(count(lit(1)).as("cb"))
+      .cache()
+    val ctx = cb.groupBy("w1")
+      .agg(sum("cb").as("cu"), count(lit(1)).as("nf"))
+    val nb = cb.groupBy("w").agg(count(lit(1)).as("nb"))
+    val vocab = toks.filter(col("split") === "train")
+      .agg(countDistinct("w").as("v"))
+      .select(when(col("v") > 0L, col("v"))
+        .otherwise(raise_error(
+          lit("knScore: empty train split (vocabulary V = 0)")))
+        .as("v"))
+    val bt = cb.agg(count(lit(1)).as("b"))
+    val pc = (coalesce(col("nb"), lit(0L)) + lit(1L)) /
+      (col("b") + col("v") + lit(1L))
+    val p = when(coalesce(col("cu"), lit(0L)) > 0L,
+        greatest(coalesce(col("cb"), lit(0L)) - lit(0.75), lit(0.0)) /
+          col("cu") +
+          ((lit(0.75) * coalesce(col("nf"), lit(0L))) / col("cu")) * pc)
+      .otherwise(pc)
+    bi.join(cb, Seq("w1", "w"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(nb, Seq("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"), col("split"), micro(log(p)).as("lp_micro"))
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("slp"))
+      .select(col("doc_id"), col("split"), col("n_bigrams"),
+        floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
+  }
+
   /** Heaps-law vocabulary growth curve — the scaling diagnostic behind
     * vocabulary budgeting: distinct word count at nested corpus
     * fractions 1/8, 1/4, 1/2, 1 (docs bucketed by salted md5, so each

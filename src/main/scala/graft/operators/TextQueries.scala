@@ -2250,6 +2250,9 @@ object TextQueries {
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(docs(spark, dir), TrainPct, ValPct).orderBy("doc_id")
 
+  def qKnScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.knScore(docs(spark, dir), TrainPct, ValPct).orderBy("doc_id")
+
   def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
     TextOps.pplBuckets(
       Tables.documents(spark, dir).select("doc_id", "text", "lang"),
@@ -2308,6 +2311,64 @@ object TextQueries {
     s"""$lmCtes
        |SELECT doc_id, split, n_bigrams, avg_lp_micro
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** X72 oracle: the lmCtes split/bigram prefix rebuilt with the KN
+    * model tables (bigram types, context totals + fan-out,
+    * continuation counts, the two one-row constants); P is the same
+    * literal double tree as the engine, micro-floored per bigram.
+    */
+  private lazy val knScoreOracle = {
+    val pcSql = "((COALESCE(nb.nb, 0) + 1) / (bt.b + v.v + 1))"
+    val pSql =
+      s"""CASE WHEN COALESCE(ctx.cu, 0) > 0
+         |  THEN greatest(COALESCE(cb.cb, 0) - 0.75, 0.0) / ctx.cu
+         |    + ((0.75 * COALESCE(ctx.nf, 0)) / ctx.cu) * $pcSql
+         |  ELSE $pcSql END""".stripMargin
+    s"""$tokCte,
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    toks
+       |  FROM tok
+       |),
+       |bi AS (
+       |  SELECT doc_id, split, toks[i] AS w1, toks[i + 1] AS w
+       |  FROM t, unnest(range(1, len(toks))) AS g(i)
+       |),
+       |cb AS MATERIALIZED (
+       |  SELECT w1, w, CAST(count(*) AS BIGINT) AS cb FROM bi
+       |  WHERE split = 'train' GROUP BY 1, 2
+       |),
+       |ctx AS (
+       |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+       |    CAST(count(*) AS BIGINT) AS nf
+       |  FROM cb GROUP BY 1
+       |),
+       |nb AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS nb FROM cb GROUP BY 1
+       |),
+       |v AS (
+       |  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM t WHERE split = 'train')
+       |),
+       |bt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS b FROM cb
+       |),
+       |scores AS (
+       |  SELECT b.doc_id, b.split,
+       |    ${Hashing.microSql(s"ln($pSql)")} AS lp
+       |  FROM bi b
+       |  LEFT JOIN cb ON b.w1 = cb.w1 AND b.w = cb.w
+       |  LEFT JOIN ctx ON b.w1 = ctx.w1
+       |  LEFT JOIN nb ON b.w = nb.w
+       |  CROSS JOIN v CROSS JOIN bt
+       |)
+       |SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(floor(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micro
+       |FROM scores GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+  }
 
   /** X33: the lmCtes prefix, then the census-threshold terciles —
     * cumulative counts over DISTINCT (lang, score) rows pick each
@@ -3274,6 +3335,7 @@ object TextQueries {
     "q_bpe_encode"     -> (qBpeEncode _),
     "q_fertility"      -> (qFertility _),
     "q_lm_score"       -> (qLmScore _),
+    "q_kn_score"       -> (qKnScore _),
     "q_ppl_buckets"    -> (qPplBuckets _),
     "q_mix"            -> (qMix _),
     "q_upsample"       -> (qUpsample _),
@@ -3358,6 +3420,7 @@ object TextQueries {
     "q_bpe_encode"     -> bpeEncodeOracle,
     "q_fertility"      -> fertilityOracle,
     "q_lm_score"       -> lmScoreOracle,
+    "q_kn_score"       -> knScoreOracle,
     "q_ppl_buckets"    -> pplBucketsOracle,
     "q_mix"            -> mixOracle,
     "q_upsample"       -> upsampleOracle,

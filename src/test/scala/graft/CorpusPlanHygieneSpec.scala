@@ -65,6 +65,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census
     "q_fano",           // broadcast one-row user-total summary
+    "q_hill",           // one-row threshold/total/sum relations joined
     "q_cluster_stability", // three one-row pair-count relations joined
     "q_lsh_recall",     // three one-row pair-count relations joined
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids
@@ -74,6 +75,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_pca",            // broadcast one-row rescale max per round
     "q_skipgram",       // broadcast one-row pair total
     "q_lm_score",       // broadcast one-row vocab-size V
+    "q_kn_score",       // broadcast one-row V and B model constants
     "q_mix",            // broadcast one-row bottleneck-source argmin
     "q_mrl_recall",     // broadcast query-vector set + 3-row dim grid
     "q_mrr",            // broadcast query-vector set vs corpus scores

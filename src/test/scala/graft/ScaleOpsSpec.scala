@@ -597,6 +597,34 @@ class ScaleOpsSpec extends SparkSpec {
       (1500000L, 1L, 5L, 2L, 1733333L)))
   }
 
+  test("hillCensus: hand-computed tail index over top-k exceedances, " +
+    "flat-tail sentinel") {
+    // per-user counts 8,4,2,1 with kMax=2: k=2, threshold x_(3)=2,
+    // sum = micro(ln 4) + micro(ln 2) = 1386294 + 693147 = 2079441,
+    // alpha = 2e12 div 2079441
+    val rows = Seq(8, 4, 2, 1).zipWithIndex.flatMap { case (c, u) =>
+      (1 to c).map(i => ((u + 1).toLong, f"2024-01-01 ${i}%02d:00:00"))
+    }
+    val ev = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val r = RelationalQueries.hillCensus(ev, 2L).collect().head
+    val expSum = math.floor(1e6 * math.log(8.0 / 2)).toLong +
+      math.floor(1e6 * math.log(4.0 / 2)).toLong
+    assert((r.getAs[Long]("n_users"), r.getAs[Long]("k_used"),
+      r.getAs[Long]("xk1"), r.getAs[Long]("sum_ln"),
+      r.getAs[Long]("alpha_micro")) ===
+      (4L, 2L, 2L, expSum, 2L * 1000000L * 1000000L / expSum))
+    // flat tail: every user at the same count -> all terms 0 -> the
+    // infinite-alpha sentinel
+    val flat = (1 to 4).flatMap(u => (1 to 3).map(i =>
+        (u.toLong, f"2024-02-01 ${i}%02d:00:00")))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val f = RelationalQueries.hillCensus(flat, 2L).collect().head
+    assert((f.getAs[Long]("xk1"), f.getAs[Long]("alpha_micro")) ===
+      (3L, 0L))
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);

@@ -67,6 +67,36 @@ class TextOpsSpec extends SparkSpec {
       ("srcC", 1L, 1L, 1L, 0L, 0L)))
   }
 
+  test("knScore: hand-computed single-doc KN probability; continuation " +
+    "probability separates what add-one cannot") {
+    // all-train (trainPct 100): "a b a b a" -> cb (a,b)=2 (b,a)=2;
+    // ctx a/b: cu=2 nf=1; nb a/b: 1; B=2, V=2 -> pc = 2/5;
+    // P = max(2-0.75,0)/2 + (0.75*1/2)*(2/5) for BOTH bigram types
+    val p = math.max(2 - 0.75, 0.0) / 2 + ((0.75 * 1) / 2) * (2.0 / 5)
+    val exp = math.floor(1e6 * math.log(p)).toLong
+    val one = TextOps.knScore(docs((1L, "a b a b a")), 100, 0)
+      .collect().head
+    assert((one.getAs[String]("split"), one.getAs[Long]("n_bigrams"),
+      one.getAs[Long]("avg_lp_micro")) === ("train", 4L, exp))
+
+    // KN's signature: "francisco" is FREQUENT but follows one context;
+    // "the" is rarer but follows many. Probe bigrams (q1,francisco) and
+    // (q2,the) both occur once, so ADD-ONE scores them identically —
+    // KN ranks the many-context word higher via Pc.
+    val corpus = docs(
+      (1L, Seq.fill(10)("san francisco").mkString(" ")),
+      (2L, "x the y the z the"),
+      (3L, "q1 francisco"),
+      (4L, "q2 the"))
+    def score(df: org.apache.spark.sql.DataFrame, id: Long): Long =
+      df.filter(col("doc_id") === id).collect()
+        .head.getAs[Long]("avg_lp_micro")
+    val kn = TextOps.knScore(corpus, 100, 0)
+    assert(score(kn, 4L) > score(kn, 3L))
+    val addOne = TextOps.lmScore(corpus, 100, 0)
+    assert(score(addOne, 4L) === score(addOne, 3L))
+  }
+
   test("clusterPurity: star audit exposes a chained cluster the " +
     "pairwise bar admitted") {
     // shingle sets (n=5): doc1 {abcde,bcdef}, doc2 {abcde,bcdeg},
