@@ -3453,6 +3453,81 @@ object TextOps {
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
 
+  /** D29: detector disagreement census — the CROSS-DETECTOR audit
+    * over the two near-dup families the engine ships: which pairs do
+    * MinHash-LSH (D3, set-resemblance) and SimHash (D4, weighted
+    * Hamming) agree on, and what does each one see alone? The two
+    * detectors measure DIFFERENT similarities (Jaccard over 5-gram
+    * sets vs cosine-like bit agreement over token frequencies —
+    * Broder 1997 vs Charikar STOC 2002), so their symmetric
+    * difference is not noise: simhash-only pairs are typically
+    * bag-similar but order-shuffled (low shingle Jaccard), and
+    * minhash-only pairs sit just past the Hamming bar. The census
+    * reports each verdict class with its exact 5-gram-Jaccard profile
+    * — the evidence for choosing (or stacking) detectors at a given
+    * bar, measured on the corpus itself instead of asserted.
+    *
+    * Exactness: pair sets are the D3/D4 pipelines verbatim (shared
+    * kernels); every union pair's exact Jaccard is recomputed from
+    * the full shingle relation (docs below the shingle length with
+    * empty sets read jac = 0 — guarded, mirrored); the class means
+    * are floors of integer sums (the D16 protocol).
+    *
+    * Scale shape: both pair relations are candidate-bounded (banded,
+    * never all-pairs); the union is pair-bounded; the exact-verify
+    * join fans each pair through the shingle relation doc-keyed (the
+    * D3 `inter` shape). An audit query by design (the D26 precedent)
+    * — it re-derives both pipelines; a deployment reading persisted
+    * pair tables pays only the union + classify.
+    */
+  def detectorDisagreement(docs: DataFrame, n: Int, jacMicroMin: Long,
+                           maxHamming: Int): DataFrame = {
+    val sh = shingleSet(docs, n)
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+    // each pair relation feeds two consumers — cache the pair-bounded
+    // relations, not the pipelines (the lmScore shared-relation
+    // discipline; without this Spark re-derives the whole detector
+    // pipeline per reference). MinHash pairs already carry their
+    // verified exact Jaccard, so only the simhash-only remainder pays
+    // the exact-verify join — half the audit's shingle traffic.
+    val mhp = minhashScoredFrom(sh, 4, 4, Hashing.MinhashSeeds)
+      .filter(col("jac_micro") >= jacMicroMin)
+      .select(col("d1"), col("d2"), col("jac_micro").as("jac")).cache()
+    val shp = simhashPairs(docs, maxHamming)
+      .select(col("d1"), col("d2"), lit(1L).as("in_sh")).cache()
+    val shOnly = shp.select("d1", "d2")
+      .join(mhp.select("d1", "d2"), Seq("d1", "d2"), "left_anti")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shOnly
+      .join(sh.select(col("doc_id").as("d1"), col("h0")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("h0")), Seq("d2", "h0"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val shOnlyJ = shOnly.join(inter, Seq("d1", "d2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")),
+        Seq("d1"), "left")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")),
+        Seq("d2"), "left")
+      .withColumn("n1", coalesce(col("n1"), lit(0L)))
+      .withColumn("n2", coalesce(col("n2"), lit(0L)))
+      .select(col("d1"), col("d2"),
+        when(col("n1") + col("n2") - col("inter") > 0,
+          micro(col("inter") /
+            (col("n1") + col("n2") - col("inter"))))
+          .otherwise(lit(0L)).as("jac"),
+        lit("simhash_only").as("verdict"))
+    val mhRows = mhp.join(shp, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("jac"),
+        when(col("in_sh").isNotNull, lit("both"))
+          .otherwise(lit("minhash_only")).as("verdict"))
+    mhRows.unionByName(shOnlyJ)
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(sum("jac") / count(lit(1))).as("mean_jac_micro"),
+        min("jac").as("min_jac_micro"),
+        max("jac").as("max_jac_micro"))
+  }
+
   /** X53: median/MAD robust outlier census per source — the
     * breakdown-point-0.5 companion of X46's winsorized mean: median
     * and Median Absolute Deviation are immune to up to half the data

@@ -197,6 +197,10 @@ object TextQueries {
   val EditCapChars = 256
   val EditRelMax = 600000L
 
+  def qDetectorDiff(spark: SparkSession, dir: String): DataFrame =
+    TextOps.detectorDisagreement(docs(spark, dir), ShingleN,
+      MinhashJacMin, SimhashMaxHamming).orderBy("verdict")
+
   def qEditDedup(spark: SparkSession, dir: String): DataFrame =
     TextOps.editDistancePairs(docs(spark, dir), ShingleN, EditCapChars,
       EditRelMax).orderBy("d1", "d2")
@@ -1551,6 +1555,83 @@ object TextQueries {
        |       CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
        |FROM pr WHERE bit_count(xor(sh1, sh2)) <= $SimhashMaxHamming
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** D29: both detector chains in one statement — the minhash chain
+    * verbatim plus the simhash chain s_-prefixed (the D26 renaming
+    * precedent), the union pairs re-verified against the full hs0
+    * shingle relation (empty-set pairs guarded to 0, mirrored), class
+    * means as floors of integer sums (the D16 protocol).
+    */
+  private val detectorDiffOracle: String = {
+    val bitSums = (0 until Hashing.SimhashBits).map(b =>
+      s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)" +
+        s" AS BIGINT) AS s$b")
+      .mkString(",\n    ")
+    val simExpr = (0 until Hashing.SimhashBits).map(b =>
+      s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString(" + ")
+    val jac = Hashing.microSql(
+      "COALESCE(ui.inter, 0) / (COALESCE(s1.n, 0) + COALESCE(s2.n, 0)" +
+        " - COALESCE(ui.inter, 0))")
+    s"""$minhashScoredCtes,
+       |s_tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |),
+       |s_th AS (SELECT doc_id, ${h60("t")} % ${Hashing.SimhashMod} AS h
+       |         FROM s_tok),
+       |s_bs AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM s_th GROUP BY doc_id
+       |),
+       |s_sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+       |          FROM s_bs),
+       |s_bands AS (
+       |  SELECT doc_id, simhash, k.k, (simhash >> (8 * k.k)) & 255 AS band
+       |  FROM s_sim, (VALUES (0), (1), (2), (3)) k(k)
+       |),
+       |shp AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM s_bands a JOIN s_bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash))
+       |    <= $SimhashMaxHamming
+       |),
+       |mhp AS MATERIALIZED (
+       |  SELECT d1, d2 FROM scored WHERE jac_micro >= $MinhashJacMin
+       |),
+       |uni AS MATERIALIZED (
+       |  SELECT d1, d2 FROM mhp UNION SELECT d1, d2 FROM shp
+       |),
+       |uit AS (
+       |  SELECT u.d1, u.d2, count(*) AS inter
+       |  FROM uni u JOIN hs0 a ON a.doc_id = u.d1
+       |             JOIN hs0 b ON b.doc_id = u.d2 AND b.h0 = a.h0
+       |  GROUP BY 1, 2
+       |),
+       |cls AS (
+       |  SELECT
+       |    CASE WHEN m.d1 IS NOT NULL AND s.d1 IS NOT NULL THEN 'both'
+       |         WHEN m.d1 IS NOT NULL THEN 'minhash_only'
+       |         ELSE 'simhash_only' END AS verdict,
+       |    CASE WHEN COALESCE(s1.n, 0) + COALESCE(s2.n, 0)
+       |           - COALESCE(ui.inter, 0) > 0
+       |         THEN $jac ELSE CAST(0 AS BIGINT) END AS jac
+       |  FROM uni u
+       |  LEFT JOIN uit ui ON u.d1 = ui.d1 AND u.d2 = ui.d2
+       |  LEFT JOIN sz s1 ON u.d1 = s1.doc_id
+       |  LEFT JOIN sz s2 ON u.d2 = s2.doc_id
+       |  LEFT JOIN mhp m ON u.d1 = m.d1 AND u.d2 = m.d2
+       |  LEFT JOIN shp s ON u.d1 = s.d1 AND u.d2 = s.d2
+       |)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(floor(sum(jac) * 1.0 / count(*)) AS BIGINT)
+       |    AS mean_jac_micro,
+       |  CAST(min(jac) AS BIGINT) AS min_jac_micro,
+       |  CAST(max(jac) AS BIGINT) AS max_jac_micro
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private val tfIdfOracle =
@@ -3405,6 +3486,7 @@ object TextQueries {
     "q_good_turing"   -> (qGoodTuring _),
     "q_richness"      -> (qRichness _),
     "q_yule_k"        -> (qYuleK _),
+    "q_detector_diff" -> (qDetectorDiff _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_cluster_depth" -> (qClusterDepth _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -3490,6 +3572,7 @@ object TextQueries {
     "q_good_turing"   -> goodTuringOracle,
     "q_richness"      -> richnessOracle,
     "q_yule_k"        -> yuleKOracle,
+    "q_detector_diff" -> detectorDiffOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_cluster_depth" -> clusterDepthOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

@@ -97,6 +97,36 @@ class TextOpsSpec extends SparkSpec {
     assert(score(addOne, 4L) === score(addOne, 3L))
   }
 
+  test("detectorDisagreement: class counts partition both detectors' " +
+    "pair sets; jac profile ordered") {
+    import graft.operators.TextQueries
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val out = TextOps.detectorDisagreement(corpus, TextQueries.ShingleN,
+      TextQueries.MinhashJacMin, TextQueries.SimhashMaxHamming)
+      .collect()
+      .map(r => r.getAs[String]("verdict") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("mean_jac_micro"),
+          r.getAs[Long]("min_jac_micro"), r.getAs[Long]("max_jac_micro")))
+      .toMap
+    def n(v: String) = out.get(v).map(_._1).getOrElse(0L)
+    // the census classes partition each detector's own pair set
+    val mhPairs = TextOps.minhashLshPairs(corpus, TextQueries.ShingleN,
+      TextQueries.MinhashJacMin).count()
+    val shPairs = TextOps.simhashPairs(corpus,
+      TextQueries.SimhashMaxHamming).count()
+    assert(n("both") + n("minhash_only") === mhPairs)
+    assert(n("both") + n("simhash_only") === shPairs)
+    assert(n("both") > 0L) // true dups are caught by both detectors
+    // per-class profile is internally consistent
+    out.values.foreach { case (np, mean, mn, mx) =>
+      assert(np > 0L && mn <= mean && mean <= mx)
+    }
+    // the detectors genuinely disagree somewhere (the census's reason
+    // to exist): at least one of the exclusive classes is non-empty
+    assert(n("minhash_only") + n("simhash_only") > 0L)
+  }
+
   test("clusterPurity: star audit exposes a chained cluster the " +
     "pairwise bar admitted") {
     // shingle sets (n=5): doc1 {abcde,bcdef}, doc2 {abcde,bcdeg},
