@@ -365,6 +365,64 @@ object MultimodalOps {
         " div n_pixels"))
   }
 
+  // ------------------------- M14: low-energy trim census (WAV)
+
+  /** M14 dial: a window is "low-energy" iff its mean |sample| sits
+    * under this bar — sum_abs < LowMeanAbs·n_samples, an INTEGER
+    * compare, no division. Half of PCM16-at-12-bit full scale (2048),
+    * so the synthetic uniform corpus exercises both verdicts.
+    */
+  val LowMeanAbs = 1024L
+
+  /** M14: leading/trailing low-energy trim census over the M5 energy
+    * frames — the edge-trim accounting audio curation runs before
+    * windowing a corpus into training clips (leading room tone and
+    * trailing silence dilute token-per-second yield and skew
+    * duration-balanced sampling; trimming is the first op in every
+    * speech pipeline, cf. SoX `silence`/librosa `effects.trim` —
+    * this census answers "how much would trimming reclaim" corpus-wide
+    * BEFORE anyone re-encodes audio). Per doc: the first/last
+    * above-bar window (−1 sentinel when the whole clip is low), the
+    * leading/trailing low run lengths, and the reclaimable sample
+    * share as one positive integer floor-division.
+    *
+    * Exactness: rides the M5 frames' exact integer moments; the
+    * low-energy verdict is an integer compare (no division); run
+    * bounds are conditional min/max over window indices; trim_ppm one
+    * integer floor-division. No doubles anywhere.
+    *
+    * Scale shape: the M5 decode pass (batched `mapPartitions`, one
+    * scalar pass per blob), then two doc-keyed aggregates over the
+    * per-doc-bounded frame relation (the second joins the first's
+    * run bounds back frame-keyed). Nothing corpus-sized past decode.
+    */
+  def wavTrimCensus(media: org.apache.spark.sql.Dataset[MediaBlob])
+      : DataFrame = {
+    val fr = wavEnergyWindows(media).toDF()
+    val perWin = fr.select(col("doc_id"), col("window_idx"),
+      col("n_samples"),
+      (col("sum_abs") < lit(LowMeanAbs) * col("n_samples")).as("is_low"))
+      .cache()
+    val agg = perWin.groupBy("doc_id").agg(
+      count(lit(1)).as("n_windows"),
+      sum("n_samples").as("n_samples"),
+      min(when(!col("is_low"), col("window_idx"))).as("first_loud"),
+      max(when(!col("is_low"), col("window_idx"))).as("last_loud"))
+    val trimmed = perWin
+      .join(agg.select("doc_id", "first_loud", "last_loud"), "doc_id")
+      .filter(col("first_loud").isNull ||
+        col("window_idx") < col("first_loud") ||
+        col("window_idx") > col("last_loud"))
+      .groupBy("doc_id").agg(sum("n_samples").as("trim_samples"))
+    agg.join(trimmed, Seq("doc_id"), "left")
+      .withColumn("trim_samples", coalesce(col("trim_samples"), lit(0L)))
+      .select(col("doc_id"), col("n_windows"), col("n_samples"),
+        coalesce(col("first_loud"), lit(-1L)).as("first_loud"),
+        coalesce(col("last_loud"), lit(-1L)).as("last_loud"),
+        col("trim_samples"),
+        expr("(1000000 * trim_samples) div n_samples").as("trim_ppm"))
+  }
+
   // --------------------- M13: total-variation sharpness census (BMP)
 
   /** Decoded gradient-energy row: exact integer total variation of the

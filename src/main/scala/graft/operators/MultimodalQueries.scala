@@ -70,6 +70,11 @@ object MultimodalQueries {
   def qMediaHist(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
 
+  def qMediaTrim(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.wavTrimCensus(
+      MultimodalOps.mediaBinary(docs(spark, dir)))
+      .orderBy("doc_id")
+
   def qMediaTv(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaTotalVariation(docs(spark, dir))
       .orderBy("doc_id")
@@ -269,6 +274,56 @@ object MultimodalQueries {
        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
        |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin
+
+  /** M14 oracle: the M5 window framing recomputed from the WAV
+    * generative closed form, the low-energy verdict an integer
+    * compare, run bounds conditional min/max, trim_ppm a positive
+    * integer floor-division.
+    */
+  private val mediaTrimOracle =
+    s"""WITH wav AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n
+       |  FROM documents WHERE doc_id % 2 = 1
+       |),
+       |s AS (
+       |  SELECT w.doc_id, g.i,
+       |    ((w.doc_id * 31 + g.i * 17) % 4096) - 2048 AS v
+       |  FROM wav w, unnest(range(0, w.n)) AS g(i)
+       |),
+       |f AS (
+       |  SELECT doc_id, CAST(i // ${MultimodalOps.EnergyWindow} AS BIGINT)
+       |      AS window_idx,
+       |    CAST(count(*) AS BIGINT) AS n_samples,
+       |    CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+       |  FROM s GROUP BY 1, 2
+       |),
+       |w2 AS (
+       |  SELECT doc_id, window_idx, n_samples,
+       |    (sum_abs < ${MultimodalOps.LowMeanAbs} * n_samples) AS is_low
+       |  FROM f
+       |),
+       |a AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(sum(n_samples) AS BIGINT) AS n_samples,
+       |    min(CASE WHEN NOT is_low THEN window_idx END) AS first_loud,
+       |    max(CASE WHEN NOT is_low THEN window_idx END) AS last_loud
+       |  FROM w2 GROUP BY 1
+       |),
+       |t AS (
+       |  SELECT w2.doc_id, CAST(sum(w2.n_samples) AS BIGINT)
+       |      AS trim_samples
+       |  FROM w2 JOIN a USING (doc_id)
+       |  WHERE a.first_loud IS NULL OR w2.window_idx < a.first_loud
+       |     OR w2.window_idx > a.last_loud
+       |  GROUP BY 1
+       |)
+       |SELECT a.doc_id, a.n_windows, a.n_samples,
+       |  CAST(COALESCE(a.first_loud, -1) AS BIGINT) AS first_loud,
+       |  CAST(COALESCE(a.last_loud, -1) AS BIGINT) AS last_loud,
+       |  CAST(COALESCE(t.trim_samples, 0) AS BIGINT) AS trim_samples,
+       |  CAST((1000000 * COALESCE(t.trim_samples, 0)) // a.n_samples
+       |    AS BIGINT) AS trim_ppm
+       |FROM a LEFT JOIN t USING (doc_id) ORDER BY a.doc_id""".stripMargin
 
   /** M13 oracle: both directional total-variation sums recomputed from
     * the BMP generative closed form (pixel byte k = (id·7 + k·13) mod
@@ -539,6 +594,7 @@ object MultimodalQueries {
     "q_media_clipping" -> (qMediaClipping _),
     "q_media_hist"     -> (qMediaHist _),
     "q_media_tv"       -> (qMediaTv _),
+    "q_media_trim"     -> (qMediaTrim _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
 
@@ -552,6 +608,7 @@ object MultimodalQueries {
     "q_media_clipping" -> mediaClippingOracle,
     "q_media_hist"     -> mediaHistOracle,
     "q_media_tv"       -> mediaTvOracle,
+    "q_media_trim"     -> mediaTrimOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,

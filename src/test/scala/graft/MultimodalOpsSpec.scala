@@ -338,6 +338,47 @@ class MultimodalOpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("wavTrimCensus: leading/trailing low runs, all-low sentinel, " +
+    "all-loud zero trim, exact ppm") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    def win(v: Short, n: Int) = Array.fill(n)(v)
+    // doc 1: low(100) | loud(2000) | low(0) | loud(1500) | low(50, 8
+    // samples partial) -> first_loud 1, last_loud 3, trim 16+8 = 24
+    // of 72 -> ppm 333333 (inner low window 2 is NOT trimmed)
+    val d1 = win(100, 16) ++ win(2000, 16) ++ win(0, 16) ++
+      win(1500, 16) ++ win(50, 8)
+    // doc 2: all low -> sentinel -1s, everything trimmed
+    val d2 = win(10, 20)
+    // doc 3: all loud single window -> zero trim
+    val d3 = win(2000, 16)
+    val blobs = Seq(MediaBlob(1L, "wav", wav(d1)),
+      MediaBlob(2L, "wav", wav(d2)),
+      MediaBlob(3L, "wav", wav(d3))).toDS()
+    val out = MultimodalOps.wavTrimCensus(blobs).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("first_loud"),
+        r.getAs[Long]("last_loud"), r.getAs[Long]("trim_samples"),
+        r.getAs[Long]("trim_ppm")))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 72L, 1L, 3L, 24L, 333333L),
+      (2L, 2L, 20L, -1L, -1L, 20L, 1000000L),
+      (3L, 1L, 16L, 0L, 0L, 0L, 0L)))
+  }
+
   test("wavClippingStats: threshold inclusive at |s| >= clipAbs, " +
     "exact integer moments, silence reads all zeros") {
     import sqlImplicits._
