@@ -1595,6 +1595,73 @@ object ScaleProbe {
           s"k-center trajectory must be replica-invariant at ${k}x")
       }
     }
+
+    // ---- round-12 operators: closed-form invariants at 1x and kx ----
+    {
+      import graft.operators.RelationalQueries
+      val events = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+
+      // q_spearman: xk event replication scales every daily volume by
+      // k (a monotone map — rank structure and tie groups unchanged)
+      // and leaves distinct users alone, so both rank sequences and
+      // therefore ALL six moments and rho are bit-identical.
+      {
+        val base = RelationalQueries.spearmanCensus(events).collect()
+          .head.toSeq
+        var rep: Seq[Any] = Seq.empty
+        time(s"spearman_${k}x") {
+          rep = RelationalQueries
+            .spearmanCensus(replicate(events, "event_id", k))
+            .collect().head.toSeq
+          1L
+        }
+        require(rep == base,
+          s"spearman must be volume-homogeneous at ${k}x")
+      }
+
+      // q_hill: xk replication scales every per-user count by k, so
+      // every exceedance RATIO x_i/x_(k+1) — hence each micro-floored
+      // ln term, the sum, and alpha — is bit-identical, while the
+      // threshold count scales exactly xk.
+      {
+        val base = RelationalQueries
+          .hillCensus(events, RelationalQueries.HillK).collect().head
+        var rep: org.apache.spark.sql.Row = null
+        time(s"hill_${k}x") {
+          rep = RelationalQueries
+            .hillCensus(replicate(events, "event_id", k),
+              RelationalQueries.HillK).collect().head
+          1L
+        }
+        require(rep.getAs[Long]("xk1") == base.getAs[Long]("xk1") * k &&
+          Seq("n_users", "k_used", "sum_ln", "alpha_micro").forall(c =>
+            rep.getAs[Long](c) == base.getAs[Long](c)),
+          s"hill tail index must be scale-free at ${k}x")
+      }
+
+      // q_fano: xk scales each user's F by exactly k (bucket floors do
+      // not commute with xk, so pin the conserved columns: the user
+      // census and the event mass).
+      {
+        val base = RelationalQueries.fanoCensus(events).collect()
+        var rep: Array[org.apache.spark.sql.Row] = Array.empty
+        time(s"fano_${k}x") {
+          rep = RelationalQueries
+            .fanoCensus(replicate(events, "event_id", k)).collect()
+          rep.length.toLong
+        }
+        def users(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(_.getAs[Long]("n_users")).sum
+        def mass(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(_.getAs[Long]("n_events")).sum
+        require(users(rep) == users(base) &&
+          rep.head.getAs[Long]("n_users_total") ==
+            base.head.getAs[Long]("n_users_total") &&
+          mass(rep) == mass(base) * k,
+          s"fano census must conserve users and scale mass x$k")
+      }
+    }
     spark.stop()
   }
 }

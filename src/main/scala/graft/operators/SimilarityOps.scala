@@ -1619,6 +1619,104 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** V46: graph-ANN beam-width cost/recall curve — the serving-dial
+    * table for the V35 graph index, completing the story V38's
+    * nProbe curve tells for IVF: the SAME edge relation, entry
+    * points, and synchronous-round protocol as [[graphAnn]], swept
+    * over beam widths, so each (beam_w, query) row reads visited
+    * count (the measured cost) against recall@k — "what beam do I
+    * serve at" answered with data (the HNSW efSearch dial, measured
+    * instead of folklore). The widest beam slice is definitionally
+    * the V35 configuration (spec-pinned EQUAL to [[graphAnn]]'s
+    * output row-for-row).
+    *
+    * Scale shape: the corpus-sized stages — edge construction (the
+    * V12 pair bound ×2 for the runner-up probe) and the query-score
+    * relation — are built ONCE and localCheckpointed; each beam's
+    * search touches only beam-sized relations per round (the
+    * [[graphAnn]] budget), so the sweep costs index-build + Σ beams,
+    * not beams × index-build. Brute-force truth is beam-independent
+    * and computed once.
+    */
+  def graphAnnSweep(embs: DataFrame, cents: Array[Array[Long]],
+                    queryMax: Long, m: Int, beams: Seq[Int],
+                    rounds: Int, k: Int, nSeeds: Int): DataFrame = {
+    val assigned = embs.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("c1"),
+      graft.functions.KmeansSecondId.kmeansSecondId(col("embedding"),
+        cents).as("c2"),
+      col("embedding"))
+    val probes = assigned.select(col("vec_id").as("d1"),
+      explode(array(col("c1"), col("c2"))).as("cluster"),
+      col("embedding").as("e1"))
+    val nodes = assigned.select(col("vec_id").as("d2"),
+      col("c1").as("cluster"), col("embedding").as("e2"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1").orderBy(col("cos_micro").desc, col("d2"))
+    val fwd = probes.join(nodes, Seq("cluster"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= m)
+      .select("d1", "d2")
+    val edges = fwd
+      .union(fwd.select(col("d2").as("d1"), col("d1").as("d2")))
+      .distinct()
+      .localCheckpoint()
+    val qs = embs.filter(col("vec_id") < queryMax)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val qscore = embs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .localCheckpoint()
+    val seeds = embs.select(col("vec_id"))
+      .withColumn("h", graft.functions.Hashing.md5Long(
+        concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy("h", "vec_id").limit(nSeeds).select("vec_id")
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("vec_id"))
+    val entry = qscore.join(broadcast(seeds), Seq("vec_id"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") === 1)
+      .select("query_id", "vec_id")
+      .localCheckpoint()
+    val truth = qscore.withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= k).select("query_id", "vec_id")
+      .localCheckpoint()
+    val perBeam = beams.map { bw =>
+      var visited = entry
+      var beam = entry
+      for (_ <- 1 to rounds) {
+        val frontier = beam.as("b")
+          .join(edges.as("g"), col("b.vec_id") === col("g.d1"))
+          .select(col("b.query_id").as("query_id"),
+            col("g.d2").as("vec_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+        visited = visited.union(frontier).distinct().localCheckpoint()
+        beam = visited.join(qscore, Seq("query_id", "vec_id"))
+          .withColumn("rn", row_number().over(wQ))
+          .filter(col("rn") <= bw)
+          .select("query_id", "vec_id")
+      }
+      val ans = visited.join(qscore, Seq("query_id", "vec_id"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter(col("rn") <= k)
+        .select("query_id", "vec_id")
+      val hits = ans.join(truth, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      visited.groupBy("query_id").agg(count(lit(1)).as("n_visited"))
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(bw.toLong).as("beam_w"), col("query_id"),
+          col("n_visited"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_micro", expr(s"(hits * 1000000) div $k"))
+    }
+    perBeam.reduce(_ unionByName _).orderBy("beam_w", "query_id")
+  }
+
   /** V32's discount weight at rank i: floor(1e6 · ln 2 / ln(i+1)) —
     * the binary-relevance DCG gain 1/log2(i+1) in micro units. The
     * constant is computed ONCE here and inlined as the same integer

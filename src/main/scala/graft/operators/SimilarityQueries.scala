@@ -2314,6 +2314,20 @@ object SimilarityQueries {
       GraphRounds, TopK, NCentroids)
   }
 
+  /** V46 dials: the swept beam widths — the widest is [[GraphBeam]],
+    * so the sweep's top slice IS the V35 configuration (spec-pinned
+    * equal).
+    */
+  val BeamSweep = Seq(4, 8, GraphBeam)
+
+  def qBeamCost(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.graphAnnSweep(e, cents, BatchQueryMax, GraphM,
+      BeamSweep, GraphRounds, TopK, NCentroids)
+  }
+
   /** V35 oracle: trained CTEs give the assignment and the md5-ordered
     * seeds; the runner-up cluster is rank 2 of the same (score DESC,
     * cid) order; edges, entry, and the three beam rounds replay as
@@ -2430,6 +2444,129 @@ object SimilarityQueries {
        |    AS recall_micro
        |FROM gnv n LEFT JOIN gh h USING (query_id)
        |ORDER BY n.query_id""".stripMargin
+  }
+
+  /** V46 oracle: the V35 oracle's shared prefix (edges, query scores,
+    * entry, truth) built ONCE, then one _w-suffixed round chain per
+    * swept beam width, finals UNION ALL'd with the beam literal.
+    */
+  private val beamCostOracle: String = {
+    val r = SimilarityOps.KmRounds
+    def chain(bw: Int): String = {
+      val rounds = (1 to GraphRounds).map { t =>
+        s"""gf${t}_w$bw AS (
+           |  SELECT b.query_id, g.d2 AS vec_id
+           |  FROM gb${t - 1}_w$bw b JOIN gedges g ON b.vec_id = g.d1
+           |  WHERE g.d2 <> b.query_id
+           |),
+           |gv${t}_w$bw AS MATERIALIZED (
+           |  SELECT DISTINCT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id FROM gv${t - 1}_w$bw
+           |    UNION ALL SELECT query_id, vec_id FROM gf${t}_w$bw)
+           |),
+           |gb${t}_w$bw AS MATERIALIZED (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT v.query_id, v.vec_id,
+           |      row_number() OVER (PARTITION BY v.query_id
+           |        ORDER BY s.cos_micro DESC, v.vec_id) AS rn
+           |    FROM gv${t}_w$bw v JOIN gqs s ON v.query_id = s.query_id
+           |                                 AND v.vec_id = s.vec_id
+           |  ) WHERE rn <= $bw
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""gv0_w$bw AS MATERIALIZED (SELECT query_id, vec_id FROM gent),
+         |gb0_w$bw AS MATERIALIZED (SELECT query_id, vec_id FROM gent),
+         |$rounds,
+         |gans_w$bw AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT v.query_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY v.query_id
+         |        ORDER BY s.cos_micro DESC, v.vec_id) AS rn
+         |    FROM gv${GraphRounds}_w$bw v
+         |    JOIN gqs s ON v.query_id = s.query_id
+         |              AND v.vec_id = s.vec_id
+         |  ) WHERE rn <= $TopK
+         |),
+         |gh_w$bw AS (
+         |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS hits
+         |  FROM gans_w$bw a JOIN gtr t ON a.query_id = t.query_id
+         |                             AND a.vec_id = t.vec_id
+         |  GROUP BY 1
+         |),
+         |gnv_w$bw AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_visited
+         |  FROM gv${GraphRounds}_w$bw GROUP BY 1
+         |)""".stripMargin
+    }
+    val beamSelects = BeamSweep.map { bw =>
+      s"""SELECT CAST($bw AS BIGINT) AS beam_w, n.query_id, n.n_visited,
+         |  COALESCE(h.hits, 0) AS hits,
+         |  CAST((COALESCE(h.hits, 0) * 1000000) // $TopK AS BIGINT)
+         |    AS recall_micro
+         |FROM gnv_w$bw n LEFT JOIN gh_w$bw h USING (query_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$kmeansTrainedCtes,
+       |gmr AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY score DESC, cid) AS rn
+       |  FROM sc$r
+       |),
+       |gpr AS (SELECT vec_id, cid FROM gmr WHERE rn <= 2),
+       |gcd AS MATERIALIZED (
+       |  SELECT p.vec_id AS d1, a.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM gpr p JOIN a$r a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+       |  JOIN ev x ON x.vec_id = p.vec_id
+       |  JOIN ev y ON y.vec_id = a.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |gcm AS MATERIALIZED (
+       |  SELECT c.d1, c.d2,
+       |    ${Hashing.microSql("c.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM gcd c JOIN nrm n1 ON c.d1 = n1.vec_id
+       |             JOIN nrm n2 ON c.d2 = n2.vec_id
+       |),
+       |gfwd AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT d1, d2, row_number() OVER (PARTITION BY d1
+       |      ORDER BY cos_micro DESC, d2) AS rk FROM gcm
+       |  ) WHERE rk <= $GraphM
+       |),
+       |gedges AS MATERIALIZED (
+       |  SELECT DISTINCT d1, d2 FROM (
+       |    SELECT d1, d2 FROM gfwd
+       |    UNION ALL SELECT d2 AS d1, d1 AS d2 FROM gfwd)
+       |),
+       |gqd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < $BatchQueryMax
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |gqs AS MATERIALIZED (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM gqd d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |             JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |gent AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT s.query_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY s.cos_micro DESC, s.vec_id) AS rn
+       |    FROM gqs s JOIN seeds se ON s.vec_id = se.vec_id
+       |  ) WHERE rn = 1
+       |),
+       |gtr AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM gqs
+       |  ) WHERE rn <= $TopK
+       |),
+       |${BeamSweep.map(chain).mkString(",\n")}
+       |$beamSelects
+       |ORDER BY beam_w, query_id""".stripMargin
   }
 
   // -------------------------------------- reciprocal-rank fusion (V34)
@@ -2895,6 +3032,7 @@ object SimilarityQueries {
     "q_hubness"        -> (qHubness _),
     "q_knn_recip"      -> (qKnnRecip _),
     "q_lid"            -> (qLid _),
+    "q_beam_cost"      -> (qBeamCost _),
     "q_ann_filtered"   -> (qAnnFiltered _),
     "q_mmr"            -> (qMmr _),
     "q_kcenter"        -> (qKcenter _),
@@ -2946,6 +3084,7 @@ object SimilarityQueries {
     "q_hubness"        -> hubnessOracle,
     "q_knn_recip"      -> knnRecipOracle,
     "q_lid"            -> lidOracle,
+    "q_beam_cost"      -> beamCostOracle,
     "q_ann_filtered"   -> annFilteredOracle,
     "q_mmr"            -> mmrOracle,
     "q_kcenter"        -> kcenterOracle,

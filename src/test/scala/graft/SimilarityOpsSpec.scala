@@ -942,6 +942,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L), (1L, 2L)))
   }
 
+  test("graphAnnSweep: widest-beam slice equals graphAnn row-for-row; " +
+    "full grid emitted with sane recall bounds") {
+    import graft.operators.SimilarityQueries._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    val sweep = SimilarityOps.graphAnnSweep(e, cents, BatchQueryMax,
+      GraphM, BeamSweep, GraphRounds, TopK, NCentroids).collect()
+      .map(r => (r.getAs[Long]("beam_w"), r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_visited"), r.getAs[Long]("hits"),
+        r.getAs[Long]("recall_micro")))
+    val nQ = e.filter(
+      org.apache.spark.sql.functions.col("vec_id") < BatchQueryMax)
+      .count()
+    assert(sweep.length === BeamSweep.size * nQ)
+    assert(sweep.forall(t => t._5 >= 0L && t._5 <= 1000000L))
+    assert(sweep.forall(t => t._3 >= 1L)) // entry point always visited
+    // the widest beam IS the V35 configuration
+    val wide = sweep.filter(_._1 == GraphBeam.toLong)
+      .map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1).toSeq
+    val v35 = SimilarityOps.graphAnn(e, cents, BatchQueryMax, GraphM,
+      GraphBeam, GraphRounds, TopK, NCentroids).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_visited"),
+        r.getAs[Long]("hits"), r.getAs[Long]("recall_micro")))
+      .sortBy(_._1).toSeq
+    assert(wide === v35)
+  }
+
   test("lidCensus: hand-built distance profiles — uniform-shell " +
     "sentinel, duplicate-neighbor clamp, per-cluster census") {
     // one centroid -> one cluster; k = 2; vectors:
