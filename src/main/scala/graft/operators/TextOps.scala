@@ -2329,6 +2329,73 @@ object TextOps {
         floor(col("slp") / col("n_bigrams")).as("avg_lp_micro"))
   }
 
+  /** X73: document splice-coherence census — the glued-document
+    * detector extraction pipelines need and none of the per-doc
+    * lenses provides: X21's repetition and X28's rule battery read a
+    * document as ONE bag, so two unrelated documents concatenated by
+    * a bad extractor (boilerplate joints, truncated-page merges, the
+    * classic WET-file splice) sail through both. Here each document's
+    * token stream is cut at the midpoint and the two halves'
+    * VOCABULARIES are compared — a topically coherent document shares
+    * most of its vocabulary across halves (function words + topic
+    * terms recur); a splice of unrelated sources reads near-zero
+    * Jaccard. Per-source census: mean coherence, the share under the
+    * suspect bar, and the minimum — the triage table for extractor
+    * QA.
+    *
+    * Exactness: half membership is an integer compare (2i < n); the
+    * half vocabularies, intersection, and union are exact integer
+    * counts; per-doc coherence is ONE micro-floored division;
+    * sub-2-token docs (single-half) read 0 and are counted in
+    * n_degenerate, not averaged (the V45 sentinel discipline); the
+    * source mean is a floor of the integer sum (the D16 protocol).
+    *
+    * Scale shape: one posexplode scan with a per-doc count window
+    * (doc_id-partitioned — the same shuffle the per-doc aggregate
+    * needs anyway), one (doc, half, word) distinct, two doc-keyed
+    * aggregates, one source-cardinality census. Nothing corpus-sized
+    * past the token stream.
+    */
+  val SpliceBarMicro = 200000L
+
+  def spliceCoherence(docs: DataFrame): DataFrame = {
+    val toks = parallelized(docs).select(col("doc_id"), col("source"),
+      posexplode(tokens(col("text"))).as(Seq("i", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    val halves = toks.withColumn("n", count(lit(1)).over(win))
+      .select(col("doc_id"), col("source"),
+        when(lit(2L) * col("i") < col("n"), 0L).otherwise(1L).as("half"),
+        col("w"))
+      .distinct()
+    val perDoc = halves.groupBy("doc_id", "source")
+      .agg(countDistinct(col("w")).as("v_union"),
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("v0"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("v1"))
+      .withColumn("inter", col("v0") + col("v1") - col("v_union"))
+      .withColumn("coh_micro",
+        when(col("v0") > 0 && col("v1") > 0,
+          micro(col("inter") / col("v_union"))).otherwise(lit(0L)))
+      .withColumn("degenerate",
+        when(col("v0") === 0 || col("v1") === 0, 1L).otherwise(0L))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("degenerate").as("n_degenerate"),
+        coalesce(sum(when(col("degenerate") === 0L, col("coh_micro"))),
+          lit(0L)).as("coh_sum"),
+        coalesce(sum(when(col("degenerate") === 0L &&
+            col("coh_micro") < SpliceBarMicro, 1L).otherwise(0L)),
+          lit(0L)).as("n_suspect"),
+        coalesce(min(when(col("degenerate") === 0L, col("coh_micro"))),
+          lit(0L)).as("coh_min_micro"))
+      .select(col("source"), col("n_docs"), col("n_degenerate"),
+        col("n_suspect"),
+        when(col("n_docs") - col("n_degenerate") > 0,
+          expr("coh_sum div (n_docs - n_degenerate)"))
+          .otherwise(lit(0L)).as("coh_mean_micro"),
+        col("coh_min_micro"))
+  }
+
   /** Heaps-law vocabulary growth curve — the scaling diagnostic behind
     * vocabulary budgeting: distinct word count at nested corpus
     * fractions 1/8, 1/4, 1/2, 1 (docs bucketed by salted md5, so each

@@ -171,6 +171,10 @@ object TextQueries {
   def qYuleK(spark: SparkSession, dir: String): DataFrame =
     TextOps.yuleK(Tables.documents(spark, dir)).orderBy("source")
 
+  def qSplice(spark: SparkSession, dir: String): DataFrame =
+    TextOps.spliceCoherence(Tables.documents(spark, dir))
+      .orderBy("source")
+
   def qJacHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.jaccardHistogram(docs(spark, dir), ShingleN, MaxShingleDf)
       .orderBy("bucket_lo_micro")
@@ -1329,6 +1333,53 @@ object TextQueries {
        |       ELSE CAST(0 AS BIGINT) END AS simpson_micro
        |FROM a ORDER BY source""".stripMargin
   }
+
+  /** X73: midpoint cut mirrored via the 1-based unnest index
+    * (2·(i−1) < len ⟺ Spark's 2i < n on the 0-based posexplode);
+    * coherence one micro-floored division; the mean a floor of the
+    * integer sum over non-degenerate docs.
+    */
+  private val spliceOracle =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents
+       |),
+       |tk AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN 2 * (g.i - 1) < len(toks) THEN 0 ELSE 1 END AS half,
+       |    toks[i] AS w
+       |  FROM tok, unnest(range(1, len(toks) + 1)) AS g(i)
+       |),
+       |hd AS (SELECT DISTINCT doc_id, source, half, w FROM tk),
+       |pd AS (
+       |  SELECT doc_id, source,
+       |    CAST(count(DISTINCT w) AS BIGINT) AS v_union,
+       |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v0,
+       |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v1
+       |  FROM hd GROUP BY 1, 2
+       |),
+       |sc AS (
+       |  SELECT source,
+       |    CASE WHEN v0 > 0 AND v1 > 0
+       |         THEN ${Hashing.microSql("(v0 + v1 - v_union) / v_union")}
+       |         ELSE CAST(0 AS BIGINT) END AS coh,
+       |    CASE WHEN v0 = 0 OR v1 = 0 THEN 1 ELSE 0 END AS degen
+       |  FROM pd
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(degen) AS BIGINT) AS n_degenerate,
+       |  CAST(coalesce(sum(CASE WHEN degen = 0
+       |    AND coh < ${TextOps.SpliceBarMicro} THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_suspect,
+       |  CAST(CASE WHEN count(*) - sum(degen) > 0
+       |    THEN coalesce(sum(CASE WHEN degen = 0 THEN coh END), 0)
+       |      // (count(*) - sum(degen))
+       |    ELSE 0 END AS BIGINT) AS coh_mean_micro,
+       |  CAST(coalesce(min(CASE WHEN degen = 0 THEN coh END), 0)
+       |    AS BIGINT) AS coh_min_micro
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** D17: candidate pairs bucketed by exact Jaccard; the cumulative
     * column windows over the ≤ 21 census rows (unique bucket values,
@@ -3487,6 +3538,7 @@ object TextQueries {
     "q_richness"      -> (qRichness _),
     "q_yule_k"        -> (qYuleK _),
     "q_detector_diff" -> (qDetectorDiff _),
+    "q_splice"        -> (qSplice _),
     "q_cluster_purity" -> (qClusterPurity _),
     "q_cluster_depth" -> (qClusterDepth _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -3573,6 +3625,7 @@ object TextQueries {
     "q_richness"      -> richnessOracle,
     "q_yule_k"        -> yuleKOracle,
     "q_detector_diff" -> detectorDiffOracle,
+    "q_splice"        -> spliceOracle,
     "q_cluster_purity" -> clusterPurityOracle,
     "q_cluster_depth" -> clusterDepthOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,

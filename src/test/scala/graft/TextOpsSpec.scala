@@ -97,6 +97,23 @@ class TextOpsSpec extends SparkSpec {
     assert(score(addOne, 4L) === score(addOne, 3L))
   }
 
+  test("spliceCoherence: coherent doc reads 1e6, spliced doc reads 0 " +
+    "and flags suspect, single-half doc is degenerate not averaged") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b", "srcA"),  // halves {a,b}/{a,b} -> coherence 1e6
+      (2L, "a a b b", "srcA"),  // halves {a}/{b} -> 0, under the bar
+      (3L, "x", "srcB"))        // single token -> second half empty
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.spliceCoherence(corpus).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_degenerate"), r.getAs[Long]("n_suspect"),
+        r.getAs[Long]("coh_mean_micro"), r.getAs[Long]("coh_min_micro")))
+    assert(out.toSeq === Seq(
+      ("srcA", 2L, 0L, 1L, 500000L, 0L),
+      ("srcB", 1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("detectorDisagreement: class counts partition both detectors' " +
     "pair sets; jac profile ordered") {
     import graft.operators.TextQueries
