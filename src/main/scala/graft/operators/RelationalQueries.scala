@@ -171,9 +171,11 @@ object RelationalQueries {
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
   val FunnelWindowHours = 24
 
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+  /** The three funnel stage relations + the (step, n) census —
+    * factored so R57's Wilson intervals read the SAME stage semantics
+    * as the R4 funnel.
+    */
+  private def funnelStepCensus(ev: DataFrame): DataFrame = {
     val deadline = col("t1") + expr(s"INTERVAL $FunnelWindowHours HOURS")
     val s1 = ev.filter(col("event_type") === FunnelSteps.head)
       .groupBy("user_id").agg(min("ts").as("t1"))
@@ -185,12 +187,18 @@ object RelationalQueries {
       .join(s2, "user_id")
       .filter(col("ts") > col("t2") && col("ts") <= deadline)
       .groupBy("user_id").agg(min("ts").as("t3"))
-    val census = s1.agg(count(lit(1)).as("n"))
+    s1.agg(count(lit(1)).as("n"))
       .select(lit(1L).as("step"), col("n"))
       .unionByName(s2.agg(count(lit(1)).as("n"))
         .select(lit(2L).as("step"), col("n")))
       .unionByName(s3.agg(count(lit(1)).as("n"))
         .select(lit(3L).as("step"), col("n")))
+  }
+
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val census = funnelStepCensus(ev)
     val stepName = when(col("step") === 1L, FunnelSteps.head)
       .when(col("step") === 2L, FunnelSteps(1))
       .otherwise(FunnelSteps(2))
@@ -259,6 +267,117 @@ object RelationalQueries {
       "c.n * 1.0 / (SELECT n FROM fc p WHERE p.step = 1)")}
        |       ELSE 0 END AS BIGINT) AS conv_first_micro
        |FROM fc c ORDER BY c.step""".stripMargin
+
+  // ----------------------- funnel Wilson intervals (R57)
+
+  /** R57: Wilson score intervals on the funnel's step-conversion
+    * rates (Wilson 1927; Brown, Cai & DasGupta 2001 for why Wald
+    * intervals are the wrong default) — R4's funnel reports point
+    * conversions, which at small step populations invite decisions on
+    * noise; the Wilson interval is the standard small-n-safe band
+    * (never leaves [0,1], behaves at p near 0/1 where Wald collapses)
+    * — the "is this step's drop real or just 40 users" guard rail
+    * before anyone ships a checkout change. z = 1.96 (95 %), a
+    * LITERAL shared by both engines.
+    *
+    * Exactness: step populations are exact integers off the SAME
+    * stage relations as R4 ([[funnelStepCensus]] — factored, q_funnel
+    * re-verified post-refactor); p̂ and both bounds are each ONE
+    * micro-floored double tree with explicit literal association,
+    * mirrored term-for-term; an empty previous step guards all three
+    * to 0.
+    *
+    * Scale shape: the funnel's own joins (user-keyed, each stage
+    * bounded by the previous); the census is 3 rows, the step
+    * self-join census-sized. Nothing new is corpus-sized.
+    */
+  def qFunnelCi(spark: SparkSession, dir: String): DataFrame =
+    funnelWilson(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def funnelWilson(ev: DataFrame): DataFrame = {
+    val census = funnelStepCensus(ev)
+    val a = census.select(col("step"), col("n").as("n_users"))
+    val b = census.select((col("step") + 1L).as("step"),
+      col("n").as("prev_n"))
+    val z = lit(1.96)
+    val nD = col("prev_n").cast("double")
+    val p = col("n_users") / col("prev_n")
+    val denom = lit(1.0) + (z * z) / nD
+    val center = p + (z * z) / (lit(2.0) * nD)
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      (z * z) / ((lit(4.0) * nD) * nD))
+    val stepName = when(col("step") === 2L, FunnelSteps(1))
+      .otherwise(FunnelSteps(2))
+    a.join(b, "step").filter(col("step") >= 2L)
+      .select(col("step"), stepName.as("event_type"), col("n_users"),
+        col("prev_n"),
+        when(col("prev_n") > 0L, micro(p)).otherwise(lit(0L))
+          .as("p_micro"),
+        when(col("prev_n") > 0L, micro((center - half) / denom))
+          .otherwise(lit(0L)).as("lo_micro"),
+        when(col("prev_n") > 0L, micro((center + half) / denom))
+          .otherwise(lit(0L)).as("hi_micro"))
+      .orderBy("step")
+  }
+
+  private val funnelCiOracle = {
+    val n = "CAST(prev_n AS DOUBLE)"
+    val p = "(n_users / prev_n)"
+    val denom = s"(1.0 + (1.96 * 1.96) / $n)"
+    val center = s"($p + (1.96 * 1.96) / (2.0 * $n))"
+    val half = s"(1.96 * sqrt($p * (1.0 - $p) / $n" +
+      s" + (1.96 * 1.96) / ((4.0 * $n) * $n)))"
+    s"""WITH fev AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events
+       |),
+       |f1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM fev
+       |  WHERE event_type = '${FunnelSteps.head}' GROUP BY 1
+       |),
+       |f2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2, min(f1.t1) AS t1
+       |  FROM fev e JOIN f1 USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > f1.t1
+       |    AND e.ts <= f1.t1 + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1
+       |),
+       |f3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3
+       |  FROM fev e JOIN f2 USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > f2.t2
+       |    AND e.ts <= f2.t1 + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1
+       |),
+       |fc AS (
+       |  SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n
+       |  FROM f1
+       |  UNION ALL SELECT 2, count(*) FROM f2
+       |  UNION ALL SELECT 3, count(*) FROM f3
+       |),
+       |fj AS (
+       |  SELECT c.step, c.n AS n_users, p.n AS prev_n
+       |  FROM fc c JOIN fc p ON p.step = c.step - 1
+       |  WHERE c.step >= 2
+       |)
+       |SELECT step,
+       |  CASE step WHEN 2 THEN '${FunnelSteps(1)}'
+       |            ELSE '${FunnelSteps(2)}' END AS event_type,
+       |  n_users, prev_n,
+       |  CASE WHEN prev_n > 0 THEN ${microSql(p)}
+       |       ELSE CAST(0 AS BIGINT) END AS p_micro,
+       |  CASE WHEN prev_n > 0
+       |       THEN ${microSql(s"($center - $half) / $denom")}
+       |       ELSE CAST(0 AS BIGINT) END AS lo_micro,
+       |  CASE WHEN prev_n > 0
+       |       THEN ${microSql(s"($center + $half) / $denom")}
+       |       ELSE CAST(0 AS BIGINT) END AS hi_micro
+       |FROM fj ORDER BY step""".stripMargin
+  }
 
   // -------------------------------------------------------- sessionization
 
@@ -4700,6 +4819,7 @@ object RelationalQueries {
     "q_active_users" -> (qActiveUsers _),
     "q_retention"    -> (qRetention _),
     "q_funnel"       -> (qFunnel _),
+    "q_funnel_ci"    -> (qFunnelCi _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops"      -> (qSetOps _),
     "q_rollup"       -> (qRollup _),
@@ -4763,6 +4883,7 @@ object RelationalQueries {
     "q_active_users" -> activeUsersOracle,
     "q_retention"    -> retentionOracle,
     "q_funnel"       -> funnelOracle,
+    "q_funnel_ci"    -> funnelCiOracle,
     "q_window_suite" -> windowSuiteOracle,
     "q_set_ops"      -> setOpsOracle,
     "q_rollup"       -> rollupOracle,

@@ -625,6 +625,40 @@ class ScaleOpsSpec extends SparkSpec {
       (3L, 0L))
   }
 
+  test("funnelWilson: hand-computed Wilson bounds at p = 1/2, bounds " +
+    "bracket the point estimate and stay inside [0, 1e6]") {
+    // 4 viewers -> 2 clickers -> 1 purchaser, all inside the window
+    val rows =
+      (1 to 4).map(u => (u.toLong, "view", "2024-01-01 01:00:00")) ++
+      (1 to 2).map(u => (u.toLong, "click", "2024-01-01 02:00:00")) ++
+      Seq((1L, "purchase", "2024-01-01 03:00:00"))
+    val ev = rows.toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    def wilson(x: Long, n: Long): (Long, Long, Long) = {
+      val z = 1.96; val nD = n.toDouble; val p = x.toDouble / n
+      val denom = 1.0 + (z * z) / nD
+      val center = p + (z * z) / (2.0 * nD)
+      val half = z * math.sqrt(p * (1.0 - p) / nD +
+        (z * z) / ((4.0 * nD) * nD))
+      (math.floor(1e6 * p).toLong,
+        math.floor(1e6 * ((center - half) / denom)).toLong,
+        math.floor(1e6 * ((center + half) / denom)).toLong)
+    }
+    val (p2, lo2, hi2) = wilson(2, 4)
+    val (p3, lo3, hi3) = wilson(1, 2)
+    val out = RelationalQueries.funnelWilson(ev).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("prev_n"),
+        r.getAs[Long]("p_micro"), r.getAs[Long]("lo_micro"),
+        r.getAs[Long]("hi_micro")))
+    assert(out.toSeq === Seq(
+      (2L, "click", 2L, 4L, p2, lo2, hi2),
+      (3L, "purchase", 1L, 2L, p3, lo3, hi3)))
+    out.foreach { case (_, _, _, _, p, lo, hi) =>
+      assert(0L <= lo && lo <= p && p <= hi && hi <= 1000000L)
+    }
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);
