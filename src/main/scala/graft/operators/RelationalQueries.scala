@@ -3673,12 +3673,19 @@ object RelationalQueries {
       .select(col("t"),
         expr("(1000000 * (span * sq - t * t)) div (span * t)")
           .as("fano_micro"))
-    val tot = per.agg(count(lit(1)).as("n_users_total"),
-      max("fano_micro").as("fano_max_micro"))
-    per.select((expr("fano_micro div 500000") * lit(500000L))
-          .as("bucket_lo_micro"), col("t"))
+    // the summary derives from the BUCKET CENSUS, not a second pass
+    // over the user relation (max fano rides each bucket and reduces
+    // over census rows) — events are scanned exactly once
+    val census = per
+      .select((expr("fano_micro div 500000") * lit(500000L))
+          .as("bucket_lo_micro"), col("t"), col("fano_micro"))
       .groupBy("bucket_lo_micro")
-      .agg(count(lit(1)).as("n_users"), sum("t").as("n_events"))
+      .agg(count(lit(1)).as("n_users"), sum("t").as("n_events"),
+        max("fano_micro").as("bucket_max"))
+      .localCheckpoint() // bucket-cardinality rows; two consumers
+    val tot = census.agg(sum("n_users").as("n_users_total"),
+      max("bucket_max").as("fano_max_micro"))
+    census
       .crossJoin(broadcast(tot))
       .select(col("bucket_lo_micro"), col("n_users"), col("n_events"),
         col("n_users_total"), col("fano_max_micro"))
@@ -3748,13 +3755,20 @@ object RelationalQueries {
     * hand-computed spec.
     */
   def hillCensus(ev: DataFrame, kMax: Long): DataFrame = {
-    val per = ev.groupBy("user_id").agg(count(lit(1)).as("x"))
+    // the user census feeds two consumers (the total and the top cut)
+    // — cache the reduced relation so events are scanned once
+    val per = ev.groupBy("user_id").agg(count(lit(1)).as("x")).cache()
     val nt = per.agg(count(lit(1)).as("n_users"))
+    // the top-(kMax+1) cut is a bounded TakeOrdered (kMax is static),
+    // NOT a global-sort window over the whole user relation; the rank
+    // window then runs over ≤ kMax+1 rows
     val w = Window.orderBy(col("x").desc, col("user_id"))
-    val rk = per.select(col("x"),
-        row_number().over(w).cast("long").as("rn"))
+    val rk = per.orderBy(col("x").desc, col("user_id"))
+      .limit(kMax.toInt + 1)
+      .select(col("x"), row_number().over(w).cast("long").as("rn"))
       .crossJoin(broadcast(nt))
       .withColumn("k", least(lit(kMax), col("n_users") - 1L))
+      .localCheckpoint()
     val thr = rk.filter(col("rn") === col("k") + 1L)
       .select(col("x").as("xk1"), col("k"), col("n_users"))
     val sums = rk.filter(col("rn") <= col("k"))

@@ -40,6 +40,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"expected no explode:\n$p")
   }
 
+  test("spearmanCensus: two hash Exchanges (the distinct-user daily " +
+    "census), windows confined to SinglePartition over the census") {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val p = plan(graft.operators.RelationalQueries.spearmanCensus(ev))
+    val h = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(h === 2, s"expected (day,user)+(day) Exchanges only:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort anywhere:\n$p")
+  }
+
+  test("yuleK: exactly two hash Exchanges ((source,word) census then " +
+    "source rollup), no windows, no joins") {
+    val p = plan(TextOps.yuleK(Tables.documents(spark, dir)))
+    val h = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(h === 2, s"expected two partial-agg'd Exchanges:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning"),
+      s"nothing funnels to one partition:\n$p")
+  }
+
+  test("spliceCoherence: two hash Exchanges — the doc window's " +
+    "partitioning is reused by the distinct and the doc aggregate") {
+    val p = plan(TextOps.spliceCoherence(Tables.documents(spark, dir)))
+    val h = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(h === 2, s"expected doc + source Exchanges only:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort anywhere:\n$p")
+  }
+
   test("sampleSplit aggregates with map-side partials") {
     val p = plan(TextOps.sampleSplit(Tables.documents(spark, dir), 80, 10))
     assert(p.contains("partial_count") || p.contains("partial"),
