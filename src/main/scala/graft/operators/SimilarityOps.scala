@@ -1461,11 +1461,15 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("d1")
       .orderBy(col("cos_micro").desc, col("d2"))
+    // the edge relation (the expensive cluster-blocked pair join) has
+    // two consumers — the profile aggregate and the term join; cache
+    // the N·k-bounded result so the pair join runs once
     val edges = pairs
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kNN)
       .select(col("d1"),
         greatest(lit(1000000L) - col("cos_micro"), lit(1L)).as("dis"))
+      .cache()
     val prof = edges.groupBy("d1")
       .agg(count(lit(1)).as("k_x"), max("dis").as("dk"))
     val lid = edges.join(prof, Seq("d1"))
