@@ -1389,10 +1389,14 @@ object SimilarityOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("d1")
       .orderBy(col("cos_micro").desc, col("d2"))
+    // the reciprocation SELF-join reads the edge relation twice;
+    // cache the N·k-bounded rows so the cluster-blocked pair join
+    // runs once (the V45 fix, applied to its sibling)
     val edges = pairs
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= kNN)
       .select(col("d1"), col("d2"))
+      .cache()
     val rec = edges
       .join(edges.select(col("d2").as("d1"), col("d1").as("d2")),
         Seq("d1", "d2"))
