@@ -268,6 +268,133 @@ object RelationalQueries {
        |       ELSE 0 END AS BIGINT) AS conv_first_micro
        |FROM fc c ORDER BY c.step""".stripMargin
 
+  // ----------------------- retention half-life (R58)
+
+  /** R58: pooled retention half-life — the ONE number the R3 cohort
+    * retention matrix exists to produce: fit ln r(d) over the pooled
+    * day-offset curve with a Theil–Sen robust slope (the R44
+    * machinery on a new series) and report the exponential-decay
+    * half-life −ln2/slope in days. Product work runs on this number
+    * (churn budgeting, LTV discounting, "did the onboarding change
+    * move the half-life"), and a robust fit matters because day-7 /
+    * day-30 marketing re-activations put bumps in r(d) that wreck an
+    * OLS line. Censoring is handled honestly: the day-d denominator
+    * counts only cohorts OLD ENOUGH to be observed at offset d (the
+    * at-risk population), so late cohorts never read as churn.
+    *
+    * Exactness: pooled numerators/denominators are exact integers;
+    * ln r(d) is a micro-floored ln of an exact-integer ratio; pair
+    * slopes use the R44 positive-shift floor-division idiom (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — the shift
+    * makes every dividend positive so they agree); the median picks
+    * rank (m+1) div 2 under (slope, d1, d2) — fully tie-broken; the
+    * half-life is one positive integer floor-division, 0-sentineled
+    * when the slope is ≥ 0 (no decay — flat or growing retention).
+    *
+    * Scale shape: the R3 aggregates (two (user)-keyed + one
+    * (cohort, offset) partial-agg'd Exchange), then EVERYTHING is
+    * calendar-bounded: the at-risk relation is the broadcast offset
+    * grid × the cohort-size census (days², whitelisted BNLJ — the
+    * R44 pair discipline), pair slopes are offsets², and the median
+    * windows run over those pairs.
+    */
+  def qRetentionSlope(spark: SparkSession, dir: String): DataFrame =
+    retentionSlope(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def retentionSlope(ev: DataFrame): DataFrame = {
+    val k = TheilsenOffset
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val co = du.groupBy("user_id").agg(min("day").as("cohort"))
+    val cs = co.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    val md = du.agg(max("day").as("max_day"))
+    val pooled = du.join(co, "user_id")
+      .select(datediff(col("day"), col("cohort")).cast("long").as("d"))
+      .filter(col("d") >= 1L)
+      .groupBy("d").agg(count(lit(1)).as("act"))
+    val risk = pooled.select("d")
+      .crossJoin(broadcast(md))
+      .join(cs,
+        col("cohort") <= expr("date_sub(max_day, cast(d as int))"))
+      .groupBy("d").agg(sum("cohort_size").as("risk"))
+    val idx = pooled.join(risk, "d")
+      .select(col("d"),
+        micro(log(col("act").cast("double") / col("risk"))).as("lnr"))
+    val a = idx.select(col("d").as("d1"), col("lnr").as("l1"))
+    val b = idx.select(col("d").as("d2"), col("lnr").as("l2"))
+    val pairs = a.join(b, col("d2") > col("d1"))
+      .withColumn("slope_micro",
+        expr(s"(((l2 - l1) + $k * (d2 - d1)) div (d2 - d1)) - $k"))
+    val wAllP = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wSlope = Window.partitionBy(lit(0))
+      .orderBy(col("slope_micro"), col("d1"), col("d2"))
+    val nPts = idx.agg(count(lit(1)).as("n_points"))
+    pairs
+      .withColumn("m", count(lit(1)).over(wAllP))
+      .withColumn("rs", row_number().over(wSlope))
+      .filter(col("rs") === expr("(m + 1) div 2"))
+      .select(col("slope_micro"), col("m").as("n_pairs"))
+      .crossJoin(broadcast(nPts))
+      .select(col("n_points"), col("n_pairs"), col("slope_micro"),
+        when(col("slope_micro") < 0L,
+          expr("693147000000 div (-slope_micro)"))
+          .otherwise(lit(0L)).as("half_life_days_micro"))
+  }
+
+  private val retentionSlopeOracle = {
+    val k = TheilsenOffset
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |),
+       |co AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY 1),
+       |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+       |       FROM co GROUP BY 1),
+       |md AS (SELECT max(day) AS max_day FROM du),
+       |pooled AS (
+       |  SELECT CAST(du.day - c.cohort AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS act
+       |  FROM du JOIN co c USING (user_id)
+       |  WHERE du.day - c.cohort >= 1 GROUP BY 1
+       |),
+       |risk AS (
+       |  SELECT p.d, CAST(sum(s.cohort_size) AS BIGINT) AS risk
+       |  FROM (SELECT d FROM pooled) p CROSS JOIN md
+       |  JOIN cs s ON s.cohort <= md.max_day - CAST(p.d AS INTEGER)
+       |  GROUP BY 1
+       |),
+       |idx AS (
+       |  SELECT p.d,
+       |    ${microSql("ln(CAST(p.act AS DOUBLE) / r.risk)")} AS lnr
+       |  FROM pooled p JOIN risk r USING (d)
+       |),
+       |pr AS (
+       |  SELECT a.d1, a.d2,
+       |    (((a.l2 - a.l1) + $k * (a.d2 - a.d1)) // (a.d2 - a.d1)) - $k
+       |      AS slope_micro
+       |  FROM (SELECT x.d AS d1, x.lnr AS l1, y.d AS d2, y.lnr AS l2
+       |        FROM idx x JOIN idx y ON y.d > x.d) a
+       |),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM idx),
+       |sl AS (
+       |  SELECT CAST(slope_micro AS BIGINT) AS slope_micro,
+       |    CAST(m AS BIGINT) AS n_pairs
+       |  FROM (
+       |    SELECT slope_micro, count(*) OVER () AS m,
+       |      row_number() OVER (ORDER BY slope_micro, d1, d2) AS rs
+       |    FROM pr
+       |  ) WHERE rs = (m + 1) // 2
+       |)
+       |SELECT np.n_points, sl.n_pairs, sl.slope_micro,
+       |  CAST(CASE WHEN sl.slope_micro < 0
+       |       THEN 693147000000 // (-sl.slope_micro)
+       |       ELSE 0 END AS BIGINT) AS half_life_days_micro
+       |FROM sl, np""".stripMargin
+  }
+
   // ----------------------- funnel Wilson intervals (R57)
 
   /** R57: Wilson score intervals on the funnel's step-conversion
@@ -4834,6 +4961,7 @@ object RelationalQueries {
     "q_retention"    -> (qRetention _),
     "q_funnel"       -> (qFunnel _),
     "q_funnel_ci"    -> (qFunnelCi _),
+    "q_retention_slope" -> (qRetentionSlope _),
     "q_window_suite" -> (qWindowSuite _),
     "q_set_ops"      -> (qSetOps _),
     "q_rollup"       -> (qRollup _),
@@ -4898,6 +5026,7 @@ object RelationalQueries {
     "q_retention"    -> retentionOracle,
     "q_funnel"       -> funnelOracle,
     "q_funnel_ci"    -> funnelCiOracle,
+    "q_retention_slope" -> retentionSlopeOracle,
     "q_window_suite" -> windowSuiteOracle,
     "q_set_ops"      -> setOpsOracle,
     "q_rollup"       -> rollupOracle,

@@ -659,6 +659,31 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("retentionSlope: censoring-honest at-risk denominators, exact " +
+    "single-pair slope and half-life") {
+    // cohort d1: u1-u4; u1,u2 return at offset 1; u1 at offset 2.
+    // cohort d2: u5 (never returns). cohort d3: u6. max day = d3.
+    // pooled: act(1)=2 over risk(1)=5 (cohorts d1+d2 old enough),
+    //         act(2)=1 over risk(2)=4 (cohort d1 only).
+    val rows = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-01"),
+      (4L, "2024-01-01"),
+      (1L, "2024-01-02"), (2L, "2024-01-02"), (5L, "2024-01-02"),
+      (1L, "2024-01-03"), (6L, "2024-01-03"))
+    val ev = rows.toDF("user_id", "day_s")
+      .withColumn("ts", to_timestamp(concat(col("day_s"),
+        lit(" 01:00:00")))).drop("day_s")
+    val l1 = math.floor(1e6 * math.log(2.0 / 5)).toLong
+    val l2 = math.floor(1e6 * math.log(1.0 / 4)).toLong
+    val slope = l2 - l1 // one pair at gap 1: the shift cancels exactly
+    assert(slope < 0L)
+    val hl = 693147L * 1000000L / (-slope)
+    val r = RelationalQueries.retentionSlope(ev).collect().head
+    assert((r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("slope_micro"),
+      r.getAs[Long]("half_life_days_micro")) === (2L, 1L, slope, hl))
+  }
+
   test("gapCensus: hand-computed gap histogram with summary carried " +
     "on every row") {
     // active days 1,2,5,6,10 -> gaps of 2 (days 3-4) and 3 (7-9);
