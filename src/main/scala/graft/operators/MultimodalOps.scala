@@ -365,6 +365,67 @@ object MultimodalOps {
         " div n_pixels"))
   }
 
+  // ------------------- M15: frame-difference motion census
+
+  /** Exact integer motion row: Σ|byte diff| over consecutive frame
+    * pairs, plus the loudest single pair.
+    */
+  case class MediaMotion(doc_id: Long, n_frames: Long, n_pairs: Long,
+                         motion_sum: Long, max_pair_sum: Long)
+
+  /** M15: temporal-activity census over the M2 frame slicing — the
+    * static-content detector video curation runs before paying decode
+    * or embedding compute: a slideshow, a frozen webcam, or a looping
+    * test card reads near-zero inter-frame difference however long the
+    * clip, while real footage accumulates motion energy (frame
+    * differencing is the classic shot/activity primitive — Zhang,
+    * Kankanhalli & Smoliar, ACM MM Systems 1993). Per payload:
+    * Σ|bᵢ − bᵢ₊₁| over corresponding bytes of consecutive M2 frames
+    * (same FrameLen/FrameStride walk), the loudest single pair (a cut
+    * detector's raw signal), and the per-byte mean as one positive
+    * integer floor-division.
+    *
+    * Exactness: all integer — unsigned byte diffs summed in a scalar
+    * pass; the oracle recomputes both sums from the payload text via
+    * ord(substr(·)) (byte = char for the ASCII test corpus, the M1
+    * oracle caveat) — the differential proves the stride walk and the
+    * pairing.
+    *
+    * Scale shape: the M5/M12 batched `mapPartitions` shape — one
+    * scalar pass per payload, one all-integer row per doc, no shuffle
+    * until the caller's orderBy.
+    */
+  def frameMotion(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    media(docs).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = if (bytes.length >= FrameLen)
+            (bytes.length - FrameLen) / FrameStride + 1 else 0
+          var total = 0L; var maxPair = 0L
+          var i = 0
+          while (i < n - 1) {
+            var s = 0L; var p = 0
+            while (p < FrameLen) {
+              s += math.abs((bytes(i * FrameStride + p) & 0xff) -
+                (bytes((i + 1) * FrameStride + p) & 0xff))
+              p += 1
+            }
+            total += s
+            if (s > maxPair) maxPair = s
+            i += 1
+          }
+          MediaMotion(id, n.toLong, math.max(n - 1, 0).toLong, total,
+            maxPair)
+        }
+      }.toDF()
+      .withColumn("motion_mean_micro",
+        when(col("n_pairs") > 0,
+          expr(s"(1000000 * motion_sum) div (n_pairs * $FrameLen)"))
+          .otherwise(lit(0L)))
+  }
+
   // ------------------------- M14: low-energy trim census (WAV)
 
   /** M14 dial: a window is "low-energy" iff its mean |sample| sits

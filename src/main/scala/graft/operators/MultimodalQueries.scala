@@ -70,6 +70,9 @@ object MultimodalQueries {
   def qMediaHist(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
 
+  def qMediaMotion(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.frameMotion(docs(spark, dir)).orderBy("doc_id")
+
   def qMediaTrim(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.wavTrimCensus(
       MultimodalOps.mediaBinary(docs(spark, dir)))
@@ -274,6 +277,54 @@ object MultimodalQueries {
        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
        |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin
+
+  /** M15 oracle: both motion sums recomputed from the payload text via
+    * ord(substr(·)) — byte = char on the ASCII test corpus (the M1
+    * oracle caveat); frame pairing over the same stride walk.
+    */
+  private val mediaMotionOracle =
+    s"""WITH m AS (
+       |  SELECT doc_id, text, $byteLenSql AS len FROM documents
+       |),
+       |fr AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len >= ${MultimodalOps.FrameLen}
+       |         THEN (len - ${MultimodalOps.FrameLen})
+       |              // ${MultimodalOps.FrameStride} + 1
+       |         ELSE 0 END AS n
+       |  FROM m
+       |),
+       |pd AS (
+       |  SELECT f.doc_id, g.i,
+       |    abs(ord(substr(f.text,
+       |          CAST(g.i * ${MultimodalOps.FrameStride} + p.p AS BIGINT),
+       |          1))
+       |      - ord(substr(f.text,
+       |          CAST((g.i + 1) * ${MultimodalOps.FrameStride} + p.p
+       |            AS BIGINT), 1))) AS d
+       |  FROM fr f,
+       |    unnest(range(0, f.n - 1)) AS g(i),
+       |    unnest(range(1, ${MultimodalOps.FrameLen} + 1)) AS p(p)
+       |),
+       |ps AS (
+       |  SELECT doc_id, i, CAST(sum(d) AS BIGINT) AS s
+       |  FROM pd GROUP BY 1, 2
+       |),
+       |ag AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS motion_sum,
+       |    CAST(max(s) AS BIGINT) AS max_pair_sum
+       |  FROM ps GROUP BY 1
+       |)
+       |SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_frames,
+       |  CAST(greatest(f.n - 1, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(a.motion_sum, 0) AS BIGINT) AS motion_sum,
+       |  CAST(COALESCE(a.max_pair_sum, 0) AS BIGINT) AS max_pair_sum,
+       |  CAST(CASE WHEN f.n - 1 > 0
+       |       THEN (1000000 * COALESCE(a.motion_sum, 0))
+       |            // ((f.n - 1) * ${MultimodalOps.FrameLen})
+       |       ELSE 0 END AS BIGINT) AS motion_mean_micro
+       |FROM fr f LEFT JOIN ag a USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
 
   /** M14 oracle: the M5 window framing recomputed from the WAV
     * generative closed form, the low-energy verdict an integer
@@ -595,6 +646,7 @@ object MultimodalQueries {
     "q_media_hist"     -> (qMediaHist _),
     "q_media_tv"       -> (qMediaTv _),
     "q_media_trim"     -> (qMediaTrim _),
+    "q_media_motion"   -> (qMediaMotion _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
 
@@ -609,6 +661,7 @@ object MultimodalQueries {
     "q_media_hist"     -> mediaHistOracle,
     "q_media_tv"       -> mediaTvOracle,
     "q_media_trim"     -> mediaTrimOracle,
+    "q_media_motion"   -> mediaMotionOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,

@@ -338,6 +338,28 @@ class MultimodalOpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("frameMotion: byte-exact pair differencing over the frame " +
+    "stride, static clip reads zero, sub-frame payload degenerate") {
+    import sqlImplicits._
+    val pad = "." * 16
+    // doc 1: frame0 16x'a', frame1 16x'b' -> every byte differs by 1
+    val moving = ("a" * 16) + pad + ("b" * 16)
+    // doc 2: identical frames -> zero motion
+    val static0 = ("c" * 16) + pad + ("c" * 16)
+    val docs = Seq((1L, moving, "src0"), (2L, static0, "src0"),
+      (3L, "short", "src0")).toDF("doc_id", "text", "source")
+    val out = MultimodalOps.frameMotion(docs).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("motion_sum"),
+        r.getAs[Long]("max_pair_sum"),
+        r.getAs[Long]("motion_mean_micro")))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 16L, 16L, 1000000L),
+      (2L, 2L, 1L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("wavTrimCensus: leading/trailing low runs, all-low sentinel, " +
     "all-loud zero trim, exact ppm") {
     import sqlImplicits._
