@@ -2206,6 +2206,59 @@ object SimilarityOps {
         when(col("dup_cos_micro").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** V47: SemDeDup ε yield curve — the tuning table for D12's
+    * semantic-dedup bar, completing the threshold-sweep trilogy (D24
+    * tunes the MinHash band config, V46 the graph beam, this the
+    * cosine bar): ONE threshold-free pass computes every vector's
+    * max within-cluster cosine (the same pair relation D12 filters),
+    * then each swept ε is a row-level compare over that per-vector
+    * profile — so the curve costs one pair scan + |ε| census
+    * aggregates, not |ε| dedup runs. Reading it answers "how much
+    * corpus does an 0.05 tighter bar excise" with data before anyone
+    * re-runs semantic dedup (Abbas et al., SemDeDup 2023 tune exactly
+    * this dial by sweep). The production bar is IN the grid, so the
+    * D12 verdict is one row of this table (spec-pinned: n_excised at
+    * ε = SemDedupCosMin equals q_semdedup's kept=0 count).
+    *
+    * Exactness: max cosine is the exact micro kernel; verdicts are
+    * integer compares; keep_ppm one positive integer floor-division;
+    * pair-less vectors carry a below-any-ε sentinel (−2·10⁶ < −cos
+    * range) so they read kept at every ε.
+    *
+    * Scale shape: the D12 within-cluster pair bound paid ONCE
+    * (threshold-free max is the same aggregate D12 runs); the sweep
+    * is the broadcast ≤ |ε|-row grid × the per-vector profile
+    * (whitelisted BNLJ), aggregated per ε.
+    */
+  def semDedupSweep(emb: DataFrame, cents: Array[Array[Long]],
+                    epsList: Seq[Long]): DataFrame = {
+    import emb.sparkSession.implicits._
+    val assigned = emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"),
+      col("embedding"))
+    val a = assigned.select(col("vec_id").as("d1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = assigned.select(col("vec_id").as("d2"), col("cluster"),
+      col("embedding").as("e2"))
+    val maxc = a.join(b, Seq("cluster"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d2").as("vec_id"),
+        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
+      .groupBy("vec_id").agg(max("cos_micro").as("maxc"))
+    val grid = epsList.toDF("eps_micro")
+    assigned.select("vec_id")
+      .join(maxc, Seq("vec_id"), "left")
+      .withColumn("maxc", coalesce(col("maxc"), lit(-2000000L)))
+      .crossJoin(broadcast(grid))
+      .groupBy("eps_micro")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("maxc") >= col("eps_micro"), 1L).otherwise(0L))
+          .as("n_excised"))
+      .withColumn("n_kept", col("n_vecs") - col("n_excised"))
+      .withColumn("keep_ppm", expr("(1000000 * n_kept) div n_vecs"))
+      .orderBy("eps_micro")
+  }
+
   /** V36: deterministic cluster-blocked DBSCAN over the embedding
     * corpus — density clustering as the geometry-driven complement to
     * k-means partitions (D12/V9 assume convex cells; DBSCAN finds

@@ -264,6 +264,20 @@ object SimilarityQueries {
     SimilarityOps.semDedup(e, cents, SemDedupCosMin).orderBy("vec_id")
   }
 
+  /** V47 dials: the swept cosine bars — the production
+    * [[SemDedupCosMin]] is in the grid, so the D12 verdict is one row
+    * of the curve (spec-pinned).
+    */
+  val SemDedupEpsSweep: Seq[Long] =
+    Seq(SemDedupCosMin, 600000L, 800000L, 950000L)
+
+  def qSemdedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.semDedupSweep(e, cents, SemDedupEpsSweep)
+  }
+
   /** V11: the within-cluster cosine distribution under the same
     * trained codebook — the curve the D12 bar is read from.
     */
@@ -1231,6 +1245,48 @@ object SimilarityQueries {
        |    AS kept
        |FROM a$rounds a LEFT JOIN sdup d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** V47 oracle: the D12 pair chain threshold-free (per-vector max
+    * cosine), a VALUES ε grid, one census aggregate per bar.
+    */
+  private val semdedupSweepOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    val gridVals = SemDedupEpsSweep.map(e => s"($e)").mkString(", ")
+    s"""$kmeansTrainedCtes,
+       |spr AS (
+       |  SELECT a1.vec_id AS d1, a2.vec_id AS d2, sum(x.v * y.v) AS dot
+       |  FROM a$rounds a1 JOIN a$rounds a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN ev x ON x.vec_id = a1.vec_id
+       |  JOIN ev y ON y.vec_id = a2.vec_id AND y.i = x.i
+       |  GROUP BY 1, 2
+       |),
+       |scm AS (
+       |  SELECT p.d2 AS vec_id,
+       |    ${Hashing.microSql("p.dot / (n1.nrm * n2.nrm)")} AS cos_micro
+       |  FROM spr p JOIN nrm n1 ON p.d1 = n1.vec_id
+       |             JOIN nrm n2 ON p.d2 = n2.vec_id
+       |),
+       |smax AS (
+       |  SELECT vec_id, CAST(max(cos_micro) AS BIGINT) AS maxc
+       |  FROM scm GROUP BY 1
+       |),
+       |sall AS (
+       |  SELECT a.vec_id, COALESCE(m.maxc, -2000000) AS maxc
+       |  FROM a$rounds a LEFT JOIN smax m ON a.vec_id = m.vec_id
+       |),
+       |grid(eps_micro) AS (VALUES $gridVals)
+       |SELECT CAST(g.eps_micro AS BIGINT) AS eps_micro,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN s.maxc >= g.eps_micro THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_excised,
+       |  CAST(count(*) - sum(CASE WHEN s.maxc >= g.eps_micro
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST((1000000 * (count(*) - sum(CASE WHEN s.maxc >= g.eps_micro
+       |    THEN 1 ELSE 0 END))) // count(*) AS BIGINT) AS keep_ppm
+       |FROM sall s CROSS JOIN grid g
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** V11: the semDedup pair machinery threshold-free, bucketed at
@@ -3055,6 +3111,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> (qAnnRecall _),
     "q_cluster_mix"    -> (qClusterMix _),
     "q_semdedup"       -> (qSemDedup _),
+    "q_semdedup_sweep" -> (qSemdedupSweep _),
     "q_cos_census"     -> (qCosCensus _),
     "q_knn_label"      -> (qKnnLabel _),
     "q_pq_encode"      -> (qPqEncode _),
@@ -3107,6 +3164,7 @@ object SimilarityQueries {
     "q_ann_recall"     -> annRecallOracle,
     "q_cluster_mix"    -> clusterMixOracle,
     "q_semdedup"       -> semDedupOracle,
+    "q_semdedup_sweep" -> semdedupSweepOracle,
     "q_cos_census"     -> cosCensusOracle,
     "q_knn_label"      -> knnLabelOracle,
     "q_pq_encode"      -> pqEncodeOracle,

@@ -67,6 +67,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_fano",           // broadcast one-row user-total summary
     "q_hill",           // one-row threshold/total/sum relations joined
     "q_retention_slope", // offset grid x cohort census + pair slopes
+    "q_semdedup_sweep", // broadcast 4-row eps grid x vector profile
     "q_cluster_stability", // three one-row pair-count relations joined
     "q_lsh_recall",     // three one-row pair-count relations joined
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids

@@ -970,6 +970,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(wide === v35)
   }
 
+  test("semDedupSweep: the production-bar row equals the D12 verdict; " +
+    "excision monotone in epsilon; every row covers the corpus") {
+    import graft.operators.SimilarityQueries._
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    val sweep = SimilarityOps
+      .semDedupSweep(e, cents, SemDedupEpsSweep).collect()
+      .map(r => (r.getAs[Long]("eps_micro"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_excised"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("keep_ppm")))
+    val n = e.count()
+    assert(sweep.length === SemDedupEpsSweep.size)
+    assert(sweep.forall(_._2 === n))
+    assert(sweep.forall(t => t._3 + t._4 === n))
+    // excision can only shrink as the bar rises (same max-cos profile)
+    val byEps = sweep.sortBy(_._1).map(_._3)
+    assert(byEps.zip(byEps.tail).forall { case (lo, hi) => lo >= hi })
+    // the production bar's row IS the D12 verdict
+    val d12Excised = SimilarityOps.semDedup(e, cents, SemDedupCosMin)
+      .filter(org.apache.spark.sql.functions.col("kept") === 0L).count()
+    assert(sweep.find(_._1 == SemDedupCosMin).get._3 === d12Excised)
+    assert(d12Excised > 0L) // the pin is non-vacuous at sf0.001
+  }
+
   test("lidCensus: hand-built distance profiles — uniform-shell " +
     "sentinel, duplicate-neighbor clamp, per-cluster census") {
     // one centroid -> one cluster; k = 2; vectors:
