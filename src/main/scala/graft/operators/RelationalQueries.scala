@@ -315,9 +315,11 @@ object RelationalQueries {
       .select(datediff(col("day"), col("cohort")).cast("long").as("d"))
       .filter(col("d") >= 1L)
       .groupBy("d").agg(count(lit(1)).as("act"))
-    val risk = pooled.select("d")
-      .crossJoin(broadcast(md))
-      .join(cs,
+    // both non-equi joins are calendar-bounded on one side — hint the
+    // broadcast explicitly (aggregate outputs carry no size stats, so
+    // the planner would otherwise fall back to CartesianProduct)
+    val risk = cs
+      .join(broadcast(pooled.select("d").crossJoin(broadcast(md))),
         col("cohort") <= expr("date_sub(max_day, cast(d as int))"))
       .groupBy("d").agg(sum("cohort_size").as("risk"))
     val idx = pooled.join(risk, "d")
@@ -325,7 +327,7 @@ object RelationalQueries {
         micro(log(col("act").cast("double") / col("risk"))).as("lnr"))
     val a = idx.select(col("d").as("d1"), col("lnr").as("l1"))
     val b = idx.select(col("d").as("d2"), col("lnr").as("l2"))
-    val pairs = a.join(b, col("d2") > col("d1"))
+    val pairs = a.join(broadcast(b), col("d2") > col("d1"))
       .withColumn("slope_micro",
         expr(s"(((l2 - l1) + $k * (d2 - d1)) div (d2 - d1)) - $k"))
     val wAllP = Window.partitionBy(lit(0))
