@@ -284,6 +284,29 @@ object VectorStore {
         .select("vec_id", "cluster", "embedding"),
       kNN)
 
+  /** V44 over the stored layout — the [[hubnessCensus]] contract:
+    * edges form partition-locally on the written cluster id, a
+    * cluster subset prunes partitions, the zero-reciprocity base is
+    * the selection itself.
+    */
+  def knnReciprocityCensus(spark: SparkSession, path: String, kNN: Int,
+                           clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.knnReciprocityCensusFrom(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "cluster", "embedding"),
+      kNN)
+
+  /** V45 over the stored layout — same contract; the per-cluster LID
+    * census rows for a subset equal the full audit filtered to those
+    * clusters (cluster-local semantics).
+    */
+  def lidCensus(spark: SparkSession, path: String, kNN: Int,
+                clusters: Seq[Long] = Nil): DataFrame =
+    SimilarityOps.lidCensusFrom(
+      storeRows(spark, path, clusters)
+        .select("vec_id", "cluster", "embedding"),
+      kNN)
+
   /** nDCG@k retrieval eval over the stored layout — the hubness
     * precedent applied to the retrieval evals: vectors, labels and the
     * audit subset come off the cluster-partitioned store (labels from

@@ -414,6 +414,29 @@ class StorageLayoutSpec extends SparkSpec {
       s"hubness cluster subset must prune partitions:\n${
         hScan.getOrElse("")}")
 
+    // reciprocity + LID censuses: the same stored kNN graph — equal
+    // outputs, no re-assignment, and the LID cluster subset equals
+    // the full audit filtered to those clusters (cluster-local)
+    val rStored = graft.sources.VectorStore
+      .knnReciprocityCensus(spark, path, 3)
+    val rInline = graft.operators.SimilarityOps
+      .knnReciprocityCensus(emb, cents, 3)
+    assert(rStored.collect().map(_.toSeq).toSet ===
+      rInline.collect().map(_.toSeq).toSet)
+    assert(!rStored.queryExecution.executedPlan.toString
+      .contains("kmeans_assign"))
+    val lStored = graft.sources.VectorStore.lidCensus(spark, path, 3)
+    val lInline = graft.operators.SimilarityOps.lidCensus(emb, cents, 3)
+    assert(lStored.collect().map(_.toSeq).toSet ===
+      lInline.collect().map(_.toSeq).toSet)
+    assert(!lStored.queryExecution.executedPlan.toString
+      .contains("kmeans_assign"))
+    val lSub = graft.sources.VectorStore
+      .lidCensus(spark, path, 3, Seq(0L, 1L))
+    assert(lSub.collect().map(_.toSeq).toSet ===
+      lStored.filter($"cluster".isin(0L, 1L))
+        .collect().map(_.toSeq).toSet)
+
     // retrieval evals (nDCG@k, label MRR) off the stored layout:
     // labels ride the store's own metadata columns, output == the
     // in-query path, no assignment kernel in either plan, and a
