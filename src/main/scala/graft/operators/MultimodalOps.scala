@@ -365,6 +365,105 @@ object MultimodalOps {
         " div n_pixels"))
   }
 
+  // ------------------ M16: channel-correlation census (BMP)
+
+  /** Exact integer channel moments per image: sums, squares, and
+    * cross products of the B/G/R planes plus the absolute inter-plane
+    * gaps (the integer grayscale witness).
+    */
+  case class MediaChannels(doc_id: Long, n_px: Long,
+                           sb: Long, sg: Long, sr: Long,
+                           sbb: Long, sgg: Long, srr: Long,
+                           sbg: Long, sbr: Long, sgr: Long,
+                           gap_bg: Long, gap_br: Long)
+
+  /** M16: per-image channel-correlation census over the REAL BMP
+    * decode — the grayscale/tint detector image curation runs before
+    * color augmentation or color-conditioned training (a grayscale
+    * scan answers every hue probe with noise; a sepia/tint batch
+    * skews color statistics corpus-wide): Pearson correlation between
+    * the B/G/R planes, plus the INTEGER grayscale witness
+    * Σ|b−g| = Σ|b−r| = 0 ⟺ exactly grayscale (no epsilon, no
+    * float). All decoder outputs are exact integer moments; each
+    * correlation is ONE micro-floored double tree (the R53 moment
+    * form — products promoted to double BEFORE multiplying),
+    * zero-variance planes guard to 0.
+    *
+    * Scale shape: the M3/M11 batched `mapPartitions` decode — one
+    * scalar pass per blob, one all-integer row per image; the
+    * correlations are declarative row-level expressions (whole-stage
+    * codegen, no UDF); no shuffle until the caller's orderBy.
+    */
+  def decodeBmpChannels(docId: Long, bytes: Array[Byte]): MediaChannels = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M',
+      s"doc $docId: not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = math.abs(b.getInt(22))
+    require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
+      s"doc $docId: unsupported BMP variant")
+    val stride = (3 * w + 3) & ~3
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var sbb = 0L; var sgg = 0L; var srr = 0L
+    var sbg = 0L; var sbr = 0L; var sgr = 0L
+    var gapBg = 0L; var gapBr = 0L
+    var row = 0
+    while (row < h) {
+      var c = 0
+      val base = dataOffset + row * stride
+      while (c < w) {
+        val vb = (bytes(base + 3 * c) & 0xff).toLong
+        val vg = (bytes(base + 3 * c + 1) & 0xff).toLong
+        val vr = (bytes(base + 3 * c + 2) & 0xff).toLong
+        sb += vb; sg += vg; sr += vr
+        sbb += vb * vb; sgg += vg * vg; srr += vr * vr
+        sbg += vb * vg; sbr += vb * vr; sgr += vg * vr
+        gapBg += math.abs(vb - vg); gapBr += math.abs(vb - vr)
+        c += 1
+      }
+      row += 1
+    }
+    MediaChannels(docId, w.toLong * h, sb, sg, sr, sbb, sgg, srr,
+      sbg, sbr, sgr, gapBg, gapBr)
+  }
+
+  def channelCensus(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def corr(sxy: String, sx: String, sy: String,
+             sxx: String, syy: String) = {
+      val num = col("n_px").cast("double") * col(sxy) -
+        col(sx).cast("double") * col(sy)
+      val vx = col("n_px").cast("double") * col(sxx) -
+        col(sx).cast("double") * col(sx)
+      val vy = col("n_px").cast("double") * col(syy) -
+        col(sy).cast("double") * col(sy)
+      when(col("n_px").cast("double") * col(sxx) ===
+          col(sx).cast("double") * col(sx), lit(0L))
+        .when(col("n_px").cast("double") * col(syy) ===
+          col(sy).cast("double") * col(sy), lit(0L))
+        .otherwise(graft.functions.Hashing.micro(num / sqrt(vx * vy)))
+    }
+    mediaBinary(docs).filter(col("kind") === "bmp")
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatchSize).flatMap { batch =>
+          batch.iterator.map(rec =>
+            decodeBmpChannels(rec.doc_id, rec.payload))
+        }
+      }.toDF()
+      .withColumn("corr_bg_micro",
+        corr("sbg", "sb", "sg", "sbb", "sgg"))
+      .withColumn("corr_br_micro",
+        corr("sbr", "sb", "sr", "sbb", "srr"))
+      .withColumn("corr_gr_micro",
+        corr("sgr", "sg", "sr", "sgg", "srr"))
+      .withColumn("is_gray",
+        when(col("gap_bg") === 0L && col("gap_br") === 0L, 1L)
+          .otherwise(0L))
+  }
+
   // ------------------- M15: frame-difference motion census
 
   /** Exact integer motion row: Σ|byte diff| over consecutive frame

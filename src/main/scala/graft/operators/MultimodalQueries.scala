@@ -70,6 +70,9 @@ object MultimodalQueries {
   def qMediaHist(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
 
+  def qMediaChannels(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.channelCensus(docs(spark, dir)).orderBy("doc_id")
+
   def qMediaMotion(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.frameMotion(docs(spark, dir)).orderBy("doc_id")
 
@@ -277,6 +280,61 @@ object MultimodalQueries {
        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
        |  CAST(max(abs(v)) AS BIGINT) AS max_abs
        |FROM s GROUP BY 1, 2 ORDER BY doc_id, window_idx""".stripMargin
+
+  /** M16 oracle: per-pixel channel triples recomputed from the BMP
+    * generative closed form (byte j of pixel p is channel j mod 3 —
+    * padding is excluded from the generative index, so the mapping
+    * needs no stride term); moments CAST (the HUGEINT lesson), each
+    * correlation the R53 moment tree mirrored, grayscale an integer
+    * witness.
+    */
+  private val mediaChannelsOracle: String = {
+    def corr(sxy: String, sx: String, sy: String,
+             sxx: String, syy: String): String = {
+      val num = s"CAST(n_px AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy"
+      val vx = s"(CAST(n_px AS DOUBLE) * $sxx - CAST($sx AS DOUBLE) * $sx)"
+      val vy = s"(CAST(n_px AS DOUBLE) * $syy - CAST($sy AS DOUBLE) * $sy)"
+      s"""CASE WHEN CAST(n_px AS DOUBLE) * $sxx = CAST($sx AS DOUBLE) * $sx
+         |       OR CAST(n_px AS DOUBLE) * $syy = CAST($sy AS DOUBLE) * $sy
+         |     THEN CAST(0 AS BIGINT)
+         |     ELSE ${graft.functions.Hashing.microSql(
+                  s"($num) / sqrt($vx * $vy)")} END""".stripMargin
+    }
+    s"""WITH bmp AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |),
+       |pix AS (
+       |  SELECT b.doc_id,
+       |    (b.doc_id * 7 + (3 * g.p) * 13) % 256 AS vb,
+       |    (b.doc_id * 7 + (3 * g.p + 1) * 13) % 256 AS vg,
+       |    (b.doc_id * 7 + (3 * g.p + 2) * 13) % 256 AS vr
+       |  FROM bmp b, unnest(range(0, b.w * b.h)) AS g(p)
+       |),
+       |mo AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+       |    CAST(sum(vb) AS BIGINT) AS sb,
+       |    CAST(sum(vg) AS BIGINT) AS sg,
+       |    CAST(sum(vr) AS BIGINT) AS sr,
+       |    CAST(sum(vb * vb) AS BIGINT) AS sbb,
+       |    CAST(sum(vg * vg) AS BIGINT) AS sgg,
+       |    CAST(sum(vr * vr) AS BIGINT) AS srr,
+       |    CAST(sum(vb * vg) AS BIGINT) AS sbg,
+       |    CAST(sum(vb * vr) AS BIGINT) AS sbr,
+       |    CAST(sum(vg * vr) AS BIGINT) AS sgr,
+       |    CAST(sum(abs(vb - vg)) AS BIGINT) AS gap_bg,
+       |    CAST(sum(abs(vb - vr)) AS BIGINT) AS gap_br
+       |  FROM pix GROUP BY 1
+       |)
+       |SELECT doc_id, n_px, sb, sg, sr, sbb, sgg, srr, sbg, sbr, sgr,
+       |  gap_bg, gap_br,
+       |  ${corr("sbg", "sb", "sg", "sbb", "sgg")} AS corr_bg_micro,
+       |  ${corr("sbr", "sb", "sr", "sbb", "srr")} AS corr_br_micro,
+       |  ${corr("sgr", "sg", "sr", "sgg", "srr")} AS corr_gr_micro,
+       |  CAST(CASE WHEN gap_bg = 0 AND gap_br = 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_gray
+       |FROM mo ORDER BY doc_id""".stripMargin
+  }
 
   /** M15 oracle: both motion sums recomputed from the payload text via
     * ord(substr(·)) — byte = char on the ASCII test corpus (the M1
@@ -647,6 +705,7 @@ object MultimodalQueries {
     "q_media_tv"       -> (qMediaTv _),
     "q_media_trim"     -> (qMediaTrim _),
     "q_media_motion"   -> (qMediaMotion _),
+    "q_media_channels" -> (qMediaChannels _),
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _))
 
@@ -662,6 +721,7 @@ object MultimodalQueries {
     "q_media_tv"       -> mediaTvOracle,
     "q_media_trim"     -> mediaTrimOracle,
     "q_media_motion"   -> mediaMotionOracle,
+    "q_media_channels" -> mediaChannelsOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,

@@ -338,6 +338,70 @@ class MultimodalOpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L)))
   }
 
+  test("channelCensus: closed-form moment replica; grayscale witness " +
+    "exact; constant channel guards its correlations") {
+    import sqlImplicits._
+    // generative replica: channel = byte index mod 3, padding excluded
+    def expected(id: Long): (Long, Long, Long, Long) = {
+      val w = (4 + id % 5).toInt; val h = (2 + id % 3).toInt
+      def v(j: Int) = (id * 7 + j * 13) % 256
+      val n = w * h
+      val trips = (0 until n).map(p => (v(3 * p), v(3 * p + 1), v(3 * p + 2)))
+      (n.toLong, trips.map(_._1).sum, trips.map(t => t._1 * t._2).sum,
+        trips.map(t => math.abs(t._1 - t._2)).sum)
+    }
+    val gen = (0L until 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = MultimodalOps.channelCensus(gen).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_px"), r.getAs[Long]("sb"),
+          r.getAs[Long]("sbg"), r.getAs[Long]("gap_bg"))).toMap
+    out.foreach { case (id, got) =>
+      assert(got === expected(id), s"id $id")
+    }
+    // hand-built: a 2x1 grayscale ramp -> witness fires, corr exactly
+    // 1e6 on every pair; a constant-B image guards its two corrs
+    def bmp(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val rowBytes = 3 * w; val stride = (rowBytes + 3) & ~3
+      val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+        .putInt(0).putInt(54).putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (r <- 0 until h) {
+        for (c <- 0 until w) {
+          val (vb, vg, vr) = px(r * w + c)
+          buf.put(vb.toByte).put(vg.toByte).put(vr.toByte)
+        }
+        (rowBytes until stride).foreach(_ => buf.put(0.toByte))
+      }
+      buf.array()
+    }
+    val gray = MultimodalOps.decodeBmpChannels(100L,
+      bmp(2, 1, Seq((10, 10, 10), (200, 200, 200))))
+    assert((gray.gap_bg, gray.gap_br) === (0L, 0L))
+    assert((gray.sb, gray.sg, gray.sr) === (210L, 210L, 210L))
+    // Pearson of identical varying planes is exactly 1 under the
+    // production expression — check via the same moment tree
+    def corr(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long,
+             syy: Long): Long = {
+      val num = n.toDouble * sxy - sx.toDouble * sy
+      val vx = n.toDouble * sxx - sx.toDouble * sx
+      val vy = n.toDouble * syy - sy.toDouble * sy
+      if (vx == 0.0 || vy == 0.0) 0L
+      else math.floor(1e6 * num / math.sqrt(vx * vy)).toLong
+    }
+    assert(corr(gray.n_px, gray.sb, gray.sg, gray.sbg, gray.sbb,
+      gray.sgg) === 1000000L)
+    // constant B plane: its two correlations guard to 0, the G/R pair
+    // stays perfectly correlated on this ramp
+    val const = MultimodalOps.decodeBmpChannels(101L,
+      bmp(2, 1, Seq((5, 10, 20), (5, 30, 40))))
+    assert(const.sbb * const.n_px === const.sb * const.sb) // var B = 0
+    assert(corr(const.n_px, const.sg, const.sr, const.sgr, const.sgg,
+      const.srr) === 1000000L)
+  }
+
   test("frameMotion: byte-exact pair differencing over the frame " +
     "stride, static clip reads zero, sub-frame payload degenerate") {
     import sqlImplicits._
