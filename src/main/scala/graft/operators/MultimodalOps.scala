@@ -405,6 +405,9 @@ object MultimodalOps {
     require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
       s"doc $docId: unsupported BMP variant")
     val stride = (3 * w + 3) & ~3
+    require(dataOffset >= 54 && w >= 0 &&
+      dataOffset + h.toLong * stride <= bytes.length,
+      s"doc $docId: truncated BMP")
     var sb = 0L; var sg = 0L; var sr = 0L
     var sbb = 0L; var sgg = 0L; var srr = 0L
     var sbg = 0L; var sbr = 0L; var sgr = 0L
@@ -439,10 +442,11 @@ object MultimodalOps {
         col(sx).cast("double") * col(sx)
       val vy = col("n_px").cast("double") * col(syy) -
         col(sy).cast("double") * col(sy)
-      when(col("n_px").cast("double") * col(sxx) ===
-          col(sx).cast("double") * col(sx), lit(0L))
-        .when(col("n_px").cast("double") * col(syy) ===
-          col(sy).cast("double") * col(sy), lit(0L))
+      // vx/vy <= 0 (not exact-equality-to-zero): the moment products
+      // exceed 2^53 past ~0.4 MP, where a near-constant plane can
+      // round its variance slightly negative — the inequality guards
+      // the NaN-from-sqrt path as well as the exact-constant one.
+      when(vx <= 0d || vy <= 0d, lit(0L))
         .otherwise(graft.functions.Hashing.micro(num / sqrt(vx * vy)))
     }
     mediaBinary(docs).filter(col("kind") === "bmp")
@@ -614,6 +618,9 @@ object MultimodalOps {
     require(b.getShort(28).toInt == 24 && b.getInt(30) == 0,
       s"doc $docId: unsupported BMP variant")
     val stride = (3 * w + 3) & ~3
+    require(dataOffset >= 54 && w >= 0 &&
+      dataOffset + h.toLong * stride <= bytes.length,
+      s"doc $docId: truncated BMP")
     def gray(r: Int, c: Int): Int = {
       val base = dataOffset + r * stride + c * 3
       ((bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +

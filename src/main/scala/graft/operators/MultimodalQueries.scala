@@ -294,8 +294,7 @@ object MultimodalQueries {
       val num = s"CAST(n_px AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy"
       val vx = s"(CAST(n_px AS DOUBLE) * $sxx - CAST($sx AS DOUBLE) * $sx)"
       val vy = s"(CAST(n_px AS DOUBLE) * $syy - CAST($sy AS DOUBLE) * $sy)"
-      s"""CASE WHEN CAST(n_px AS DOUBLE) * $sxx = CAST($sx AS DOUBLE) * $sx
-         |       OR CAST(n_px AS DOUBLE) * $syy = CAST($sy AS DOUBLE) * $sy
+      s"""CASE WHEN $vx <= 0 OR $vy <= 0
          |     THEN CAST(0 AS BIGINT)
          |     ELSE ${graft.functions.Hashing.microSql(
                   s"($num) / sqrt($vx * $vy)")} END""".stripMargin

@@ -923,8 +923,18 @@ object TextOps {
     * cluster.
     */
   def clusterPurity(docs: DataFrame, pairs: DataFrame,
-                    n: Int): DataFrame = {
-    val cc = connectedComponents(pairs)
+                    n: Int): DataFrame =
+    clusterPurityFrom(docs, connectedComponents(pairs), n)
+
+  /** D27 over a PRECOMPUTED component relation (doc_id, component) —
+    * the store-backed path ([[graft.sources.PairStore]]): at 100 TB
+    * the pair graph is computed once and audited many times, so the
+    * audit reads the materialized cluster table instead of re-running
+    * the candidate pipeline + union-find per query. Output ≡ the
+    * in-query path under the same pair relation (spec-pinned).
+    */
+  def clusterPurityFrom(docs: DataFrame, cc: DataFrame,
+                        n: Int): DataFrame = {
     val sh = shingleSet(docs, n)
       .select(col("doc_id"), md5Long(col("sh")).as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -977,8 +987,17 @@ object TextOps {
     * one (component) aggregate to a per-cluster row.
     */
   def clusterDepthCensus(pairs: DataFrame,
-                         maxDepth: Int = 8): DataFrame = {
-    val cc = connectedComponents(pairs).localCheckpoint()
+                         maxDepth: Int = 8): DataFrame =
+    clusterDepthFrom(connectedComponents(pairs).localCheckpoint(),
+      pairs, maxDepth)
+
+  /** D28 over a PRECOMPUTED component relation — the store-backed
+    * path (the [[clusterPurityFrom]] contract): components and the
+    * verified pair list are read from their persisted tables; only
+    * the BFS rounds run per audit.
+    */
+  def clusterDepthFrom(cc: DataFrame, pairs: DataFrame,
+                       maxDepth: Int = 8): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct().localCheckpoint()
@@ -2291,9 +2310,11 @@ object TextOps {
       posexplode(tokens(col("text"))).as(Seq("i", "w")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
+    // bi is corpus-sized: never cached (the nothing-corpus-sized-
+    // past-the-exchange discipline) — the scoring join re-derives it
+    // with one extra token scan
     val bi = toks.withColumn("w1", lag("w", 1).over(win))
       .filter(col("w1").isNotNull)
-      .cache()
     // the bigram TYPE table feeds four consumers (lookup, context
     // totals + fan-out, continuation counts, the B constant) — cache
     // the reduced relation, not the stream
@@ -3559,9 +3580,26 @@ object TextOps {
     // the exact-verify join — half the audit's shingle traffic.
     val mhp = minhashScoredFrom(sh, 4, 4, Hashing.MinhashSeeds)
       .filter(col("jac_micro") >= jacMicroMin)
-      .select(col("d1"), col("d2"), col("jac_micro").as("jac")).cache()
+      .select(col("d1"), col("d2"), col("jac_micro")).cache()
     val shp = simhashPairs(docs, maxHamming)
-      .select(col("d1"), col("d2"), lit(1L).as("in_sh")).cache()
+      .select(col("d1"), col("d2")).cache()
+    detectorDisagreementFrom(sh, mhp, shp)
+  }
+
+  /** D29 over PRECOMPUTED pair relations — the store-backed path the
+    * D29 Scaladoc promises ("a deployment reading persisted pair
+    * tables pays only the union + classify"): `mhp` is the verified
+    * MinHash pair relation (d1, d2, jac_micro — bar already applied),
+    * `shp` the SimHash pair relation (d1, d2), `sh` the hashed
+    * shingle relation the simhash-only remainder exact-verifies
+    * against. Output ≡ the in-query path under the same dials
+    * (spec-pinned).
+    */
+  def detectorDisagreementFrom(sh: DataFrame, mhp0: DataFrame,
+                               shp0: DataFrame): DataFrame = {
+    val mhp = mhp0.select(col("d1"), col("d2"),
+      col("jac_micro").as("jac"))
+    val shp = shp0.select(col("d1"), col("d2"), lit(1L).as("in_sh"))
     val shOnly = shp.select("d1", "d2")
       .join(mhp.select("d1", "d2"), Seq("d1", "d2"), "left_anti")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -3714,8 +3752,15 @@ object TextOps {
     * back to the corpus is doc-keyed against that bounded relation;
     * the rollup is source-sized with map-side partials.
     */
-  def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
+  def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupWeightsFrom(docs, connectedComponents(pairs))
+
+  /** D22 over a PRECOMPUTED component relation — the store-backed
+    * path; with the component table bucketed on `component` (the
+    * [[graft.sources.PairStore]] layout) the cluster-size aggregate
+    * needs no Exchange.
+    */
+  def dedupWeightsFrom(docs: DataFrame, cc: DataFrame): DataFrame = {
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("s"))
     val dsz = cc.join(sizes, "component").select(col("doc_id"), col("s"))
     parallelized(docs).select(col("doc_id"), col("source"),
@@ -3751,8 +3796,13 @@ object TextOps {
     * map-side partials; the collect_set per cluster is bounded by the
     * source universe, not the cluster size.
     */
-  def dedupProvenance(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
+  def dedupProvenance(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupProvenanceFrom(docs, connectedComponents(pairs))
+
+  /** D23 over a PRECOMPUTED component relation — the store-backed
+    * path (the [[dedupWeightsFrom]] contract).
+    */
+  def dedupProvenanceFrom(docs: DataFrame, cc: DataFrame): DataFrame = {
     parallelized(docs).select(col("doc_id"), col("source"))
       .join(cc, Seq("doc_id"))
       .groupBy("component")

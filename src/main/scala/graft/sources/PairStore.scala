@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.md5Long
+import graft.operators.TextOps
+
+/** Persisted near-dup pair + component store — the BATCH half of the
+  * dedup-cluster serving story (the [[ComponentStore]] maintains the
+  * same component relation incrementally for the streaming loop; this
+  * is the deployment layout a batch pipeline writes once and audits
+  * many times).
+  *
+  * Motivation (the [[VectorStore]] audit-path precedent): the
+  * D-family cluster audits — purity (D27), chain depth (D28),
+  * effective-mass weights (D22), provenance (D23), cross-detector
+  * disagreement (D29) — all consume the SAME verified pair relation
+  * and its transitive closure. In-query they re-derive the candidate
+  * pipeline (shingle → band → bucket-join → exact-verify) and re-run
+  * union-find per audit; at 100 TB that graph is computed ONCE, and
+  * every audit after the first should read the materialized tables.
+  *
+  * Layout (the [[FingerprintStore]]/[[GramStore]] bucketed-table
+  * discipline — bucket METADATA must live in the catalog, which
+  * path-parquet cannot carry):
+  *  - `<base>_pairs`: the verified pair relation, ALL input columns
+  *    preserved (jac_micro / hamming ride along, the [[VectorStore]]
+  *    metadata contract), bucketed + sorted by d1 — the BFS frontier
+  *    expansion and any per-node audit join d1-keyed.
+  *  - `<base>_components`: (doc_id, component) — the D7 transitive
+  *    closure, computed ONCE at write time via
+  *    [[TextOps.connectedComponents]] (driver-gated union-find with
+  *    the distributed pointer-jumping fallback), bucketed + sorted by
+  *    `component` — cluster-size aggregates and per-cluster rollups
+  *    group Exchange-free on the bucket column (spec-pinned).
+  *
+  * Every audit below is output-identical to its in-query twin under
+  * the same pair relation (StorageLayoutSpec-pinned) and reads the
+  * stored closure instead of re-deriving it — the plans contain no
+  * minhash/banding kernels and no union-find jobs.
+  */
+object PairStore {
+
+  private def pairsTable(base: String) = s"${base}_pairs"
+  private def componentsTable(base: String) = s"${base}_components"
+
+  /** Persist a verified pair relation (d1, d2, metadata...) and its
+    * transitive closure. The component relation is derived here, at
+    * write time — audits never pay it again.
+    */
+  def save(pairs: DataFrame, base: String, nBuckets: Int = 8): Unit = {
+    val cols = pairs.columns
+    require(cols.take(2).sameElements(Array("d1", "d2")),
+      s"pair relation must lead with (d1, d2), got ${cols.toSeq}")
+    pairs.write.mode("overwrite")
+      .bucketBy(nBuckets, "d1").sortBy("d1", "d2")
+      .saveAsTable(pairsTable(base))
+    TextOps.connectedComponents(pairs)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "component").sortBy("component")
+      .saveAsTable(componentsTable(base))
+  }
+
+  // bucketed saveAsTable stores the bucket column first regardless of
+  // logical order; both loads pin the logical order with a select
+  // (the ComponentStore.load gotcha)
+
+  /** The stored pair relation, original column order. */
+  def pairs(spark: SparkSession, base: String): DataFrame = {
+    val t = spark.table(pairsTable(base))
+    val rest = t.columns.filterNot(c => c == "d1" || c == "d2")
+    t.select("d1", ("d2" +: rest.toSeq): _*)
+  }
+
+  /** The stored component relation (doc_id, component). */
+  def components(spark: SparkSession, base: String): DataFrame =
+    spark.table(componentsTable(base)).select("doc_id", "component")
+
+  /** D27 purity audit over the stored closure — union-find read, not
+    * re-run; only the star-Jaccard shingle joins execute per audit.
+    */
+  def clusterPurity(spark: SparkSession, base: String, docs: DataFrame,
+                    n: Int): DataFrame =
+    TextOps.clusterPurityFrom(docs, components(spark, base), n)
+
+  /** D28 chain-depth audit over the stored closure + pair list — the
+    * plan never scans the corpus at all (spec-pinned: zero document
+    * scans), only the two store tables.
+    */
+  def clusterDepthCensus(spark: SparkSession, base: String,
+                         maxDepth: Int = 8): DataFrame =
+    TextOps.clusterDepthFrom(components(spark, base),
+      pairs(spark, base), maxDepth)
+
+  /** D22 effective-mass census over the stored closure; the
+    * cluster-size aggregate groups on the bucket column —
+    * Exchange-free (spec-pinned).
+    */
+  def dedupWeights(spark: SparkSession, base: String,
+                   docs: DataFrame): DataFrame =
+    TextOps.dedupWeightsFrom(docs, components(spark, base))
+
+  /** D23 provenance census over the stored closure — same contract. */
+  def dedupProvenance(spark: SparkSession, base: String,
+                      docs: DataFrame): DataFrame =
+    TextOps.dedupProvenanceFrom(docs, components(spark, base))
+
+  /** D29 cross-detector disagreement over TWO stored pair relations
+    * (a MinHash store carrying jac_micro and a SimHash store) — the
+    * deployment shape the D29 Scaladoc promises: union + classify +
+    * the simhash-only exact-verify, with both detector pipelines read
+    * from their tables instead of re-derived.
+    */
+  def detectorDisagreement(spark: SparkSession, mhBase: String,
+                           shBase: String, docs: DataFrame,
+                           n: Int): DataFrame =
+    TextOps.detectorDisagreementFrom(
+      TextOps.shingleSet(docs, n)
+        .select(col("doc_id"), md5Long(col("sh")).as("h0")),
+      pairs(spark, mhBase).select("d1", "d2", "jac_micro"),
+      pairs(spark, shBase).select("d1", "d2"))
+}

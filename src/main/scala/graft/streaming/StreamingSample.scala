@@ -34,14 +34,42 @@ import graft.operators.TextOps
   */
 object StreamingSample {
 
-  /** One micro-batch of (doc_id, text, source) rows. */
+  /** One micro-batch of (doc_id, text, source) rows. The union is
+    * deduplicated on doc_id before the top-n re-take: A-ES keys are
+    * deterministic per doc, so a doc redelivered across DIFFERENT
+    * batch ids (source-level at-least-once) collapses to one row and
+    * cannot occupy two reservoir slots — the idempotence claim above
+    * holds for cross-batch redelivery, not just same-batch-id replay.
+    * After a successful write, partitions older than the immediate
+    * predecessor are pruned (two kept — the replay fixed point reads
+    * the predecessor), so store size and per-trigger listing stay
+    * O(n), not O(total batches).
+    */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    storeDir: String, batchId: Long, n: Int): Unit = {
     val merged = TextOps.aesTopN(
       loadState(spark, storeDir, batchId)
-        .unionByName(TextOps.aesKeys(batch)), n)
+        .unionByName(TextOps.aesKeys(batch))
+        .dropDuplicates("doc_id"), n)
     merged.write.mode("overwrite")
       .parquet(s"$storeDir/batch_id=$batchId")
+    pruneBefore(spark, storeDir, batchId - 1)
+  }
+
+  /** Delete batch_id partitions strictly below `keepFrom` (the replay
+    * fixed point needs only the immediate predecessor). */
+  private def pruneBefore(spark: SparkSession, storeDir: String,
+                          keepFrom: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.listStatus(path).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("batch_id=") &&
+          scala.util.Try(nm.stripPrefix("batch_id=").toLong)
+            .toOption.exists(_ < keepFrom))
+        fs.delete(st.getPath, true)
+    }
   }
 
   private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {

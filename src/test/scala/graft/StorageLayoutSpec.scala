@@ -526,6 +526,114 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("batch pair store: D-family cluster audits read the stored " +
+      "closure — output == in-query paths, no pipeline re-derivation") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val (n, maxDf, jacMin) = (5, 1000L, 800000L)
+    val ngp = graft.operators.TextOps
+      .ngramJaccardPairs(docs, n, maxDf, jacMin)
+    graft.sources.PairStore.save(ngp, "pairstore_test")
+    try {
+      // the stored pair relation round-trips, original column order
+      val stored = graft.sources.PairStore.pairs(spark, "pairstore_test")
+      assert(stored.columns.toSeq === ngp.columns.toSeq)
+      assert(stored.collect().map(_.toSeq).toSet ===
+        ngp.collect().map(_.toSeq).toSet)
+      assert(stored.count() > 0, "fixture must exercise real pairs")
+
+      // component closure was computed ONCE at write time and equals
+      // the in-query union-find
+      assert(graft.sources.PairStore.components(spark, "pairstore_test")
+        .collect().map(_.toSeq).toSet ===
+        graft.operators.TextOps.connectedComponents(ngp)
+          .collect().map(_.toSeq).toSet)
+
+      // D27/D28/D22/D23 store-backed == in-query, row for row
+      assert(graft.sources.PairStore
+        .clusterPurity(spark, "pairstore_test", docs, n)
+        .collect().map(_.toSeq).toSet ===
+        graft.operators.TextOps.clusterPurity(docs, ngp, n)
+          .collect().map(_.toSeq).toSet)
+      val depthStored = graft.sources.PairStore
+        .clusterDepthCensus(spark, "pairstore_test")
+      assert(depthStored.collect().map(_.toSeq).toSet ===
+        graft.operators.TextOps.clusterDepthCensus(ngp)
+          .collect().map(_.toSeq).toSet)
+      assert(graft.sources.PairStore
+        .dedupWeights(spark, "pairstore_test", docs)
+        .collect().map(_.toSeq).toSet ===
+        graft.operators.TextOps.dedupWeights(docs, ngp)
+          .collect().map(_.toSeq).toSet)
+      assert(graft.sources.PairStore
+        .dedupProvenance(spark, "pairstore_test", docs)
+        .collect().map(_.toSeq).toSet ===
+        graft.operators.TextOps.dedupProvenance(docs, ngp)
+          .collect().map(_.toSeq).toSet)
+
+      // the depth audit's plan reads ONLY the store — zero corpus
+      // scans (the "computed once, audited many times" pin)
+      val depthScans = depthStored.queryExecution.sparkPlan
+        .collectLeaves().count(_.toString.contains("documents"))
+      assert(depthScans === 0,
+        s"store-backed depth audit must not scan the corpus, " +
+          s"got $depthScans document scans")
+
+      // cluster-size aggregate groups on the bucket column:
+      // Exchange-free (the bucketed-table discipline)
+      val sizes = graft.sources.PairStore
+        .components(spark, "pairstore_test")
+        .groupBy("component")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      val sizesPlan = sizes.queryExecution.executedPlan.toString
+      assert(!sizesPlan.contains("Exchange"),
+        s"component-bucketed size aggregate must be shuffle-free:\n" +
+          sizesPlan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairstore_test_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_test_components")
+    }
+  }
+
+  test("batch pair store: D29 detector diff reads BOTH stored pair " +
+      "relations — no detector kernels in the plan") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val (n, mhJacMin, maxHamming) = (5, 700000L, 3)
+    graft.sources.PairStore.save(
+      graft.operators.TextOps.minhashLshPairs(docs, n, mhJacMin),
+      "pairstore_mh")
+    graft.sources.PairStore.save(
+      graft.operators.TextOps.simhashPairs(docs, maxHamming),
+      "pairstore_sh")
+    try {
+      val stored = graft.sources.PairStore
+        .detectorDisagreement(spark, "pairstore_mh", "pairstore_sh",
+          docs, n)
+      val inline = graft.operators.TextOps
+        .detectorDisagreement(docs, n, mhJacMin, maxHamming)
+      assert(stored.collect().map(_.toSeq).toSet ===
+        inline.collect().map(_.toSeq).toSet)
+      assert(stored.count() > 0)
+      // the stored path pays union + classify + the simhash-only
+      // exact-verify — NEITHER detector pipeline runs: no simhash
+      // bit_count, no minhash signature zip_with
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(!plan.contains("bit_count"),
+        s"stored detector diff must not re-run the simhash kernel:\n" +
+          plan.take(4000))
+      assert(!plan.contains("zip_with"),
+        s"stored detector diff must not re-run the minhash kernel:\n" +
+          plan.take(4000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairstore_mh_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_mh_components")
+      spark.sql("DROP TABLE IF EXISTS pairstore_sh_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_sh_components")
+    }
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString

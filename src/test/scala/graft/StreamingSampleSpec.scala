@@ -61,8 +61,9 @@ class StreamingSampleSpec extends SparkSpec {
     assert(batchSample.exists(_._2 < 40L))
   }
 
-  test("streamed via foreachBatch: same identity; replayed batch " +
-    "rewrites an identical partition (fixed point)") {
+  test("streamed via foreachBatch: same identity; replayed LATEST batch " +
+    "rewrites an identical partition (fixed point); older partitions " +
+    "pruned to the predecessor") {
     val dir = Files.createTempDirectory("graft-aes-st").toString
     val ckpt = Files.createTempDirectory("graft-aes-ck").toString
     val ms = MemoryStream[(Long, String, String)](spark)
@@ -74,15 +75,43 @@ class StreamingSampleSpec extends SparkSpec {
       }
     } finally q.stop()
     val once = sampleRows(dir)
-    def batch1Rows() = spark.read.parquet(s"$dir/batch_id=1")
+    // prune discipline: only the latest partition and its predecessor
+    // survive (store size O(n), not O(total batches))
+    def partitions() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partitions() === Seq("batch_id=1", "batch_id=2"))
+    // the engine's at-least-once contract replays the LATEST
+    // uncommitted batch (its predecessor is kept for exactly this);
+    // the rewrite must be byte-identical
+    def batch2Rows() = spark.read.parquet(s"$dir/batch_id=2")
       .collect().map(r => (r.getAs[Long]("rank"),
         r.getAs[Long]("doc_id"), r.getAs[String]("source"),
         r.getAs[Long]("toks"), r.getAs[Long]("key_micro")))
       .sorted.toSeq
-    val b1Once = batch1Rows()
+    val b2Once = batch2Rows()
     StreamingSample.processBatch(spark,
-      batchRows(1).toDF("doc_id", "text", "source"), dir, 1L, N)
-    assert(batch1Rows() === b1Once)
+      batchRows(2).toDF("doc_id", "text", "source"), dir, 2L, N)
+    assert(batch2Rows() === b2Once)
     assert(sampleRows(dir) === once)
+    assert(partitions() === Seq("batch_id=1", "batch_id=2"))
+  }
+
+  test("a doc redelivered in a LATER batch (source-level at-least-once) " +
+    "occupies one reservoir slot, not two") {
+    val dir = Files.createTempDirectory("graft-aes-dup").toString
+    val rows = batchRows(0)
+    StreamingSample.processBatch(spark,
+      rows.toDF("doc_id", "text", "source"), dir, 0L, N)
+    // redeliver the SAME rows under a new batch id: reservoir must be
+    // unchanged (same docs, same keys, same ranks) — without the
+    // cross-batch dedup the duplicates would shadow distinct docs
+    StreamingSample.processBatch(spark,
+      rows.toDF("doc_id", "text", "source"), dir, 1L, N)
+    val after = sampleRows(dir)
+    assert(after.map(_._2).distinct.size === after.size)
+    assert(after === TextOps.weightedSample(
+      rows.toDF("doc_id", "text", "source"), N).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq)
   }
 }
