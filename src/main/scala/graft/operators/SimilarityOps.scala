@@ -1547,12 +1547,38 @@ object SimilarityOps {
     */
   def graphAnn(embs: DataFrame, cents: Array[Array[Long]],
                queryMax: Long, m: Int, beamW: Int, rounds: Int, k: Int,
-               nSeeds: Int): DataFrame = {
-    val assigned = embs.select(col("vec_id"),
+               nSeeds: Int): DataFrame =
+    graphAnnFrom(embs,
+      knnGraphEdges(embs, cents, m).localCheckpoint(),
+      queryMax, beamW, rounds, k, nSeeds)
+
+  /** The (vec_id, c1, c2, embedding) relation edge construction reads
+    * — c1 is the stored cluster on the persisted layout (assignment
+    * read, not recomputed), c2 the runner-up probe.
+    */
+  private def graphAssigned(embs: DataFrame,
+                            cents: Array[Array[Long]]): DataFrame =
+    embs.select(col("vec_id"),
       assignCluster(col("embedding"), cents).as("c1"),
       graft.functions.KmeansSecondId.kmeansSecondId(col("embedding"),
         cents).as("c2"),
       col("embedding"))
+
+  /** The V35 kNN edge relation (d1, d2): per-node top-`m` by (cos
+    * DESC, id) over multi-probe candidates, symmetrized. The one
+    * corpus-sized index stage — a deployment persists it
+    * ([[graft.sources.VectorStore.saveGraph]]) and serves beam
+    * search off the table.
+    */
+  def knnGraphEdges(embs: DataFrame, cents: Array[Array[Long]],
+                    m: Int): DataFrame =
+    knnGraphEdgesFrom(graphAssigned(embs, cents), m)
+
+  /** Edge construction over a PRECOMPUTED (vec_id, c1, c2, embedding)
+    * relation — the store-backed build path reads c1 off the
+    * persisted layout instead of re-running the assignment kernel.
+    */
+  def knnGraphEdgesFrom(assigned: DataFrame, m: Int): DataFrame = {
     val probes = assigned.select(col("vec_id").as("d1"),
       explode(array(col("c1"), col("c2"))).as("cluster"),
       col("embedding").as("e1"))
@@ -1572,10 +1598,20 @@ object SimilarityOps {
     // bidirectional links (the HNSW discipline): a node is reachable
     // through anyone who selected it, which is what makes a sparse
     // graph navigable; out-degree stays <= 2m
-    val edges = fwd
+    fwd
       .union(fwd.select(col("d2").as("d1"), col("d1").as("d2")))
       .distinct()
-      .localCheckpoint()
+  }
+
+  /** V35 beam search over a PREBUILT edge relation — the store-backed
+    * serving path: the graph was persisted once
+    * ([[graft.sources.VectorStore.saveGraph]]) and every session
+    * reads it; only beam-sized relations move per round. Output ≡
+    * [[graphAnn]] under the same edges (spec-pinned).
+    */
+  def graphAnnFrom(embs: DataFrame, edges: DataFrame, queryMax: Long,
+                   beamW: Int, rounds: Int, k: Int,
+                   nSeeds: Int): DataFrame = {
     val qs = embs.filter(col("vec_id") < queryMax)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     // query-vs-corpus scores: needed for brute-force truth anyway (the
@@ -1648,30 +1684,18 @@ object SimilarityOps {
     */
   def graphAnnSweep(embs: DataFrame, cents: Array[Array[Long]],
                     queryMax: Long, m: Int, beams: Seq[Int],
-                    rounds: Int, k: Int, nSeeds: Int): DataFrame = {
-    val assigned = embs.select(col("vec_id"),
-      assignCluster(col("embedding"), cents).as("c1"),
-      graft.functions.KmeansSecondId.kmeansSecondId(col("embedding"),
-        cents).as("c2"),
-      col("embedding"))
-    val probes = assigned.select(col("vec_id").as("d1"),
-      explode(array(col("c1"), col("c2"))).as("cluster"),
-      col("embedding").as("e1"))
-    val nodes = assigned.select(col("vec_id").as("d2"),
-      col("c1").as("cluster"), col("embedding").as("e2"))
-    val wE = org.apache.spark.sql.expressions.Window
-      .partitionBy("d1").orderBy(col("cos_micro").desc, col("d2"))
-    val fwd = probes.join(nodes, Seq("cluster"))
-      .filter(col("d1") =!= col("d2"))
-      .select(col("d1"), col("d2"),
-        micro(cosineSim(col("e1"), col("e2"))).as("cos_micro"))
-      .withColumn("rk", row_number().over(wE))
-      .filter(col("rk") <= m)
-      .select("d1", "d2")
-    val edges = fwd
-      .union(fwd.select(col("d2").as("d1"), col("d1").as("d2")))
-      .distinct()
-      .localCheckpoint()
+                    rounds: Int, k: Int, nSeeds: Int): DataFrame =
+    graphAnnSweepFrom(embs,
+      knnGraphEdges(embs, cents, m).localCheckpoint(),
+      queryMax, beams, rounds, k, nSeeds)
+
+  /** V46 beam sweep over a PREBUILT edge relation — the store-backed
+    * tuning path (the [[graphAnnFrom]] contract): the sweep costs
+    * Σ beams only, the index is read.
+    */
+  def graphAnnSweepFrom(embs: DataFrame, edges: DataFrame,
+                        queryMax: Long, beams: Seq[Int], rounds: Int,
+                        k: Int, nSeeds: Int): DataFrame = {
     val qs = embs.filter(col("vec_id") < queryMax)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val qscore = embs.crossJoin(broadcast(qs))

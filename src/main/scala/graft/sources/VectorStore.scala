@@ -390,6 +390,59 @@ object VectorStore {
     * (spec-pinned); narrower probes trade recall for scan bytes on
     * BOTH axes at once — partition pruning and 16-byte code rows.
     */
+  // ----------------------- persisted graph-ANN index (V35/V46)
+
+  /** Build and persist the V35 kNN edge relation off the stored
+    * layout: c1 is the stored cluster (assignment READ off the
+    * partition column, never recomputed — the semDedup discipline),
+    * only the runner-up probe runs the codebook kernel, and that once,
+    * at build time. The edge table is bucketed + sorted by source node
+    * (the GramStore discipline), so serving sessions read a navigable
+    * graph — beam search and beam sweeps never pay the corpus-sized
+    * pair stage again.
+    */
+  def saveGraph(spark: SparkSession, path: String, table: String,
+                m: Int, nBuckets: Int = 8): Unit = {
+    val meta = readMeta(spark, path)
+    val assigned = spark.read.parquet(path)
+      .select(col("vec_id"), col("cluster").as("c1"),
+        graft.functions.KmeansSecondId.kmeansSecondId(col("embedding"),
+          meta.cents).as("c2"),
+        col("embedding"))
+    SimilarityOps.knnGraphEdgesFrom(assigned, m)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "d1").sortBy("d1", "d2")
+      .saveAsTable(table)
+  }
+
+  /** The persisted edge relation (d1, d2) — logical order pinned
+    * (the bucketed-table column-order gotcha).
+    */
+  def graphEdges(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select("d1", "d2")
+
+  /** V35 beam search over the persisted graph — zero graph-
+    * construction stages (spec-pinned: no assignment or runner-up
+    * kernel in the plan); output ≡ [[SimilarityOps.graphAnn]] under
+    * the same codebook and out-degree.
+    */
+  def graphAnn(spark: SparkSession, path: String, table: String,
+               queryMax: Long, beamW: Int, rounds: Int, k: Int,
+               nSeeds: Int): DataFrame =
+    SimilarityOps.graphAnnFrom(
+      spark.read.parquet(path).select("vec_id", "embedding"),
+      graphEdges(spark, table), queryMax, beamW, rounds, k, nSeeds)
+
+  /** V46 beam sweep over the persisted graph — the sweep costs
+    * Σ beams only; same parity contract as [[graphAnn]].
+    */
+  def graphAnnSweep(spark: SparkSession, path: String, table: String,
+                    queryMax: Long, beams: Seq[Int], rounds: Int,
+                    k: Int, nSeeds: Int): DataFrame =
+    SimilarityOps.graphAnnSweepFrom(
+      spark.read.parquet(path).select("vec_id", "embedding"),
+      graphEdges(spark, table), queryMax, beams, rounds, k, nSeeds)
+
   def pqAdcTopK(spark: SparkSession, path: String, queryId: Long,
                 nProbe: Int, k: Int): DataFrame = {
     val meta = readMeta(spark, path)

@@ -634,6 +634,54 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("persisted graph-ANN index: beam search and beam sweep read " +
+      "the edge table — zero graph-construction stages, output == " +
+      "in-query paths") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val path = Files.createTempDirectory("graft-gann").toString
+    val (m, beam, rounds, k, nSeeds, qMax) = (8, 16, 4, 10, 10, 5L)
+    val cents = graft.sources.VectorStore.save(emb, path, nSeeds)
+    graft.sources.VectorStore.saveGraph(spark, path, "gann_edges", m)
+    try {
+      // the persisted edges ARE the in-query edge relation
+      assert(graft.sources.VectorStore.graphEdges(spark, "gann_edges")
+        .collect().map(_.toSeq).toSet ===
+        graft.operators.SimilarityOps.knnGraphEdges(emb, cents, m)
+          .collect().map(_.toSeq).toSet)
+
+      val stored = graft.sources.VectorStore
+        .graphAnn(spark, path, "gann_edges", qMax, beam, rounds, k,
+          nSeeds)
+      val inline = graft.operators.SimilarityOps
+        .graphAnn(emb, cents, qMax, m, beam, rounds, k, nSeeds)
+      assert(stored.collect().map(_.toSeq) ===
+        inline.collect().map(_.toSeq))
+      // serving never rebuilds the graph: no assignment kernel, no
+      // runner-up kernel in the plan — the edge table is read
+      val plan = stored.queryExecution.executedPlan.toString
+      assert(!plan.contains("kmeans_assign"),
+        s"store-backed beam search must not re-assign clusters:\n" +
+          plan.take(4000))
+      assert(!plan.contains("kmeans_second"),
+        s"store-backed beam search must not recompute probes:\n" +
+          plan.take(4000))
+
+      val sweepStored = graft.sources.VectorStore
+        .graphAnnSweep(spark, path, "gann_edges", qMax, Seq(4, 8, beam),
+          rounds, k, nSeeds)
+      val sweepInline = graft.operators.SimilarityOps
+        .graphAnnSweep(emb, cents, qMax, m, Seq(4, 8, beam), rounds, k,
+          nSeeds)
+      assert(sweepStored.collect().map(_.toSeq) ===
+        sweepInline.collect().map(_.toSeq))
+      assert(!sweepStored.queryExecution.executedPlan.toString
+        .contains("kmeans_second"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gann_edges")
+    }
+  }
+
   test("ORC round-trip preserves the ADS-B frame (alternate columnar sink)") {
     import sqlImplicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
