@@ -3021,36 +3021,78 @@ object TextOps {
     * sources × 10 rows.
     */
   def psiDrift(docs: DataFrame): DataFrame = {
-    // no `parallelized`: tokenizing into a census is scan-cheap, and
-    // the repartition it inserts would shuffle full document text for
-    // a projection the scan parallelism already covers
-    val scen = docs.select(col("source"),
+    val scen = lengthCensus(docs).cache()
+    psiFromBuckets(sourceBucketsFromCensus(scen,
+      lengthDecileEdgesFromCensus(scen)))
+  }
+
+  /** The (source, token-length) count census X51 reduces the corpus
+    * to.
+    *
+    * No `parallelized`: tokenizing into a census is scan-cheap, and
+    * the repartition it inserts would shuffle full document text for
+    * a projection the scan parallelism already covers.
+    */
+  private def lengthCensus(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         size(tokens(col("text"))).cast("long").as("v"))
       .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
-      .cache()
+
+  /** X51's reference bucket edges: the 9 rank-picked length deciles
+    * (i, edge) of a REFERENCE corpus — exposed so a drift monitor can
+    * fix them once ([[graft.streaming.StreamingPsi]] persists them
+    * next to its store) and score every later batch against the same
+    * grid.
+    */
+  def lengthDecileEdges(docs: DataFrame): DataFrame =
+    lengthDecileEdgesFromCensus(lengthCensus(docs))
+
+  private def lengthDecileEdgesFromCensus(scen: DataFrame): DataFrame = {
     val cen = scen.groupBy("v").agg(sum("cnt").as("cnt"))
     val cum = cen.withColumn("cum",
       sum("cnt").over(org.apache.spark.sql.expressions.Window
         .partitionBy(lit(0)).orderBy("v")))
     val nAll = cen.agg(sum("cnt").as("n_all"))
-    val edges = nAll
+    nAll
       .select(explode(sequence(lit(1), lit(9))).as("i"), col("n_all"))
       .withColumn("r",
         floor((col("n_all") - 1L) * col("i") / lit(10.0)).cast("long"))
       .join(cum, col("r") >= col("cum") - col("cnt") &&
         col("r") < col("cum"))
       .select(col("i"), col("v").as("edge"))
-    val bucketOf = scen.crossJoin(broadcast(edges))
+  }
+
+  /** The per-(source, bucket) integer mass census on a FIXED edge
+    * grid — X51's middle relation, and the streaming store's merge
+    * unit: counts on the same edges merge by plain integer sum (an
+    * exact semilattice), so accumulated batch censuses equal the
+    * concatenated corpus's census bit-for-bit.
+    */
+  def sourceBuckets(docs: DataFrame, edges: DataFrame): DataFrame =
+    sourceBucketsFromCensus(lengthCensus(docs), edges)
+
+  private def sourceBucketsFromCensus(scen: DataFrame,
+                                      edges: DataFrame): DataFrame =
+    scen.crossJoin(broadcast(edges))
       .groupBy("source", "v")
       .agg(max("cnt").as("cnt"),
         sum(when(col("v") > col("edge"), 1L).otherwise(0L))
           .as("bucket"))
-    val perSrcBucket = bucketOf.groupBy("source", "bucket")
+      .groupBy("source", "bucket")
       .agg(sum("cnt").as("n_b"))
+
+  /** X51's PSI rollup over a (source, bucket, n_b) mass census — the
+    * reference distribution is the pooled census (all sources), the
+    * total is its integer sum, and every downstream double tree is
+    * the X51 original verbatim, so PSI off an accumulated streaming
+    * census is bit-identical to the batch query over the same rows.
+    */
+  def psiFromBuckets(perSrcBucket: DataFrame): DataFrame = {
     val srcTotals = perSrcBucket.groupBy("source")
       .agg(sum("n_b").as("n_s"))
     val refBucket = perSrcBucket.groupBy("bucket")
       .agg(sum("n_b").as("m_b"))
+    val nAll = perSrcBucket.agg(sum("n_b").as("n_all"))
     val grid = srcTotals.select(col("source"), col("n_s"),
       explode(sequence(lit(0L), lit(9L))).as("bucket"))
     val terms = grid
