@@ -294,29 +294,46 @@ object SketchQueries {
     */
   def qHllCensus(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val regs = hllRegistersGrouped(
-      ev.select(col("event_type"), col("user_id")), "event_type")
-    val z = regs.groupBy("event_type").agg(
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    hllServing(ev.select(col("event_type"), col("user_id")),
+        "event_type")
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_buckets"), col("v_zero"),
+        col("z_int"), col("est_users"), col("exact_users"),
+        expr("(1000000 * abs(est_users - exact_users))" +
+          " div greatest(exact_users, 1)").as("err_ppm"),
+        col("use_lc"))
+      .orderBy("event_type")
+  }
+
+  /** X70's deployment (audit-free) serving form — the
+    * [[bloomServing]]/[[joinCardServing]] discipline: the sketch
+    * columns (n_buckets, v_zero, z_int, est_users, use_lc) verbatim,
+    * WITHOUT the exact `count_distinct` audit side a deployment
+    * drops (at 100 TB the exact distinct count is the expensive
+    * relation; the register census is capacity-bounded at m rows per
+    * group). Pinned equal to [[qHllCensus]] on the shared columns,
+    * with zero exact-count aggregates in the plan (SketchSpec).
+    */
+  def hllServing(keys: DataFrame, group: String): DataFrame = {
+    val regs = hllRegistersGrouped(keys, group)
+    val z = regs.groupBy(group).agg(
       count(lit(1)).as("n_buckets"),
       sum(expr("shiftleft(cast(1 as bigint), cast(53 - rho as int))"))
         .as("z_obs"))
-    val exact = ev.groupBy("event_type")
-      .agg(count_distinct(col("user_id")).as("exact_users"))
     // α_256·m²·2⁵³ as a pinned literal chain — left-associated, every
     // operand double, mirrored token for token in the oracle
     val alphaNum = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(9007199254740992.0)
-    z.join(exact, Seq("event_type"))
-      .withColumn("z_int",
+    z.withColumn("z_int",
         (lit(HllM) - col("n_buckets")) * lit(9007199254740992L) +
           col("z_obs"))
       .withColumn("est_users",
         floor(alphaNum / col("z_int")).cast("long"))
-      .select(col("event_type"), col("n_buckets"),
+      .select(col(group), col("n_buckets"),
         (lit(HllM) - col("n_buckets")).as("v_zero"), col("z_int"),
-        col("est_users"), col("exact_users"),
-        expr("(1000000 * abs(est_users - exact_users))" +
-          " div greatest(exact_users, 1)").as("err_ppm"),
+        col("est_users"),
         // Flajolet's small-range switch (E ≤ 5m/2 with empty
         // registers → serve linear counting instead): integer-exact
         // decision, so the census is self-describing about which
@@ -324,7 +341,7 @@ object SketchQueries {
         when(col("est_users") <= lit(5L * HllM / 2L) &&
           col("n_buckets") < lit(HllM), lit(1L)).otherwise(lit(0L))
           .as("use_lc"))
-      .orderBy("event_type")
+      .orderBy(group)
   }
 
   /** HyperLogLog++ approx-distinct users per event type, next to the
@@ -428,6 +445,16 @@ object SketchQueries {
           .as("est"))
       .orderBy("source")
   }
+
+  /** X49's deployment (audit-free) serving form — the bottom-k state
+    * plus [[kmvEstimates]], exactly the relation the T19 streaming
+    * store serves: sketch columns (kth_min, est) equal to
+    * [[kmvCensus]]'s (spec-pinned), WITHOUT the exact per-source
+    * distinct count the audit carries (n_exact is the corpus-sized
+    * side a deployment drops; the state is ≤ k rows per source).
+    */
+  def kmvServing(docs: DataFrame): DataFrame =
+    kmvEstimates(kmvBottomK(kmvHashes(docs)))
 
   def kmvCensus(docs: DataFrame): DataFrame = {
     val hs = kmvHashes(docs)

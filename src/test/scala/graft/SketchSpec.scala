@@ -365,4 +365,38 @@ class SketchSpec extends SparkSpec {
     val a = scans(SketchQueries.quantileSketchCensus(ev))
     assert(s < a, s"serving scans $s must be < audit scans $a")
   }
+
+  test("kmvServing: sketch columns (kth_min, est) identical to the " +
+    "audit census; the exact-count relation never enters the plan") {
+    val docs = Tables.documents(spark, dir)
+    val audit = SketchQueries.qKmv(spark, dir)
+      .select("source", "kth_min", "est").orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    val serving = SketchQueries.kmvServing(docs)
+      .select("source", "kth_min", "est").orderBy("source")
+    assert(serving.collect().map(_.toSeq).toSeq === audit)
+    // the audit joins the exact per-source distinct count back to the
+    // hash relation (its prefix filter and err_ppm need it); serving
+    // works off the <= k-row bottom-k state alone
+    val plan = serving.queryExecution.executedPlan.toString
+    assert(!plan.contains("n_exact"),
+      s"serving form must not build the exact-count relation:\n" +
+        plan.take(4000))
+  }
+
+  test("hllServing: sketch columns identical to the audit census; " +
+    "zero exact-distinct aggregates in the plan") {
+    val sketchCols = Seq("event_type", "n_buckets", "v_zero", "z_int",
+      "est_users", "use_lc")
+    val audit = SketchQueries.qHllCensus(spark, dir)
+      .select(sketchCols.map(col): _*).collect().map(_.toSeq).toSeq
+    val serving = SketchQueries.hllServing(
+      Tables.events(spark, dir).select(col("event_type"),
+        col("user_id")), "event_type")
+    assert(serving.collect().map(_.toSeq).toSeq === audit)
+    val plan = serving.queryExecution.executedPlan.toString
+    assert(!plan.contains("exact_users") && !plan.contains("distinct"),
+      s"serving form must not pay the exact count_distinct side:\n" +
+        plan.take(4000))
+  }
 }
