@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Targeted re-measure mode (dev): a comma-separated id list limits
+    // the run to those queries — the clean-window protocol for
+    // adjudicating single-query movers without paying the full corpus.
+    // The driver never sets this; the official bench always runs all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
@@ -11,6 +17,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     // Full-evaluation semantics: a bare count() lets Catalyst prune the
     // computation under measurement — projection-only queries collapse
     // to a parquet row count (the regex/hash work never runs), and
@@ -34,13 +44,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Steady-state methodology: run every query once AT THE MEASURED SF
     // first, so whole-stage-codegen compilation, JIT, and — crucially —
     // the AQE-dependent physical shapes (which differ between SFs as
     // broadcast/coalesce decisions change with data size) are charged
     // to warmup, not to whichever measured query first touches them.
     // Queries are then timed in deterministic (sorted) order.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       clean()
     }
@@ -58,28 +70,52 @@ object Bench {
       clean()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val measured = selected.map { case (name, fn) =>
       val times = (1 to 2).map(_ => timed(fn))
       // outlier re-run: two passes disagreeing by >2x mean one of them
       // caught a host-contention spike — a third pass arbitrates, and
       // the min over all passes stands as the uncontended estimate
-      val best =
-        if (times.max > 2 * times.min) (times :+ timed(fn)).min
-        else times.min
-      name -> best
+      val all =
+        if (times.max > 2 * times.min) times :+ timed(fn) else times
+      (name, all)
     }
+    val results = measured.map { case (name, all) => name -> all.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout is the driver contract; the sidecar file is the durable
-    // copy — round 6's official artifact was a truncated stdout capture,
-    // so the full parsed line must survive independently of the pipe
+    // stdout is the driver contract (ONE line, schema frozen); the
+    // sidecar file is the durable copy — round 6's official artifact
+    // was a truncated stdout capture, so the full parsed line must
+    // survive independently of the pipe. The sidecar additionally
+    // carries the run metadata cross-round tooling needs to tell a
+    // contended single run from a regression (the round-12 208 s
+    // sidecar vs 175 s min-of-2 ambiguity): protocol name, passes per
+    // query, EVERY pass's timing (not just the min), per-pass totals,
+    // and the host load average at start/end. Schema documented in
+    // PLANS.md ("Bench sidecar schema").
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL.json")
+    val runsJson = measured.map { case (k, all) =>
+      s"\"" + k + "\":[" + all.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val maxPasses =
+      if (measured.isEmpty) 0 else measured.map(_._2.length).max
+    val passTotals = (0 until maxPasses).map { i =>
+      measured.map { case (_, all) => if (i < all.length) all(i) else 0.0 }
+        .sum
+    }
+    val sidecar =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","protocol":"warmup+min-of-2(+arbitration)",""" +
+        s""""cpus":$cpus,"n_queries":${results.length},""" +
+        s""""subset":${only.isDefined},""" +
+        s""""pass_totals":[${passTotals.mkString(",")}],""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadAvg,""" +
+        s""""runs":$runsJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (sidecar + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

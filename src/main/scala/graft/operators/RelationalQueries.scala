@@ -4916,6 +4916,384 @@ object RelationalQueries {
        |FROM cen GROUP BY nb ORDER BY nb""".stripMargin
   }
 
+  // ------------------------------------------------ Welch's t (R59)
+
+  /** Shared statistic trees for [[welchCensus]] — ONE fixed double
+    * tree per statistic, interpolated verbatim into both engines (the
+    * mannWhitney zSql discipline) so association is identical.
+    */
+  private val welchVarA =
+    """((CAST(ss_a AS DOUBLE) -
+      |  (CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)) /
+      |   CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+  private val welchVarB =
+    """((CAST(ss_b AS DOUBLE) -
+      |  (CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)) /
+      |   CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+  private val welchSe2 =
+    s"(($welchVarA / CAST(n_a AS DOUBLE)) + " +
+      s"($welchVarB / CAST(n_b AS DOUBLE)))"
+  private val welchT =
+    s"(((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - " +
+      s"(CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) / sqrt($welchSe2))"
+  private val welchDf =
+    s"(($welchSe2 * $welchSe2) / " +
+      s"((($welchVarA / CAST(n_a AS DOUBLE)) * " +
+      s"($welchVarA / CAST(n_a AS DOUBLE))) / CAST(n_a - 1 AS DOUBLE) + " +
+      s"(($welchVarB / CAST(n_b AS DOUBLE)) * " +
+      s"($welchVarB / CAST(n_b AS DOUBLE))) / CAST(n_b - 1 AS DOUBLE)))"
+  private val welchGuard =
+    s"n_a >= 2 AND n_b >= 2 AND $welchSe2 > 0.0"
+
+  /** R59: Welch's unequal-variance t-test per event type — the
+    * CONTINUOUS-outcome companion of R33's 2×2 conversion chi² (the
+    * other half of every experiment readout: "did users convert" is
+    * R33, "did converting users spend MORE" is this): users split into
+    * the same deterministic arms (user_id parity — a salted hash
+    * bucket in production), each user's outcome is their total event
+    * value in cents, and the arms are compared by Welch's t (the
+    * unequal-variance form — the default recommendation since Welch
+    * 1947/Ruxton 2006, because experiment arms rarely share variance)
+    * with the Satterthwaite effective df beside it — |t| ≥ ~1.96 at
+    * large df is the same α = 0.05 gate as R33's 3.84 chi² and R34's
+    * z. R34 (Mann–Whitney) asks the rank question on event grain;
+    * this asks the mean question on USER grain — different unit of
+    * randomization, the one experiments actually randomize.
+    *
+    * Exactness: per-user outcomes are exact integer cents sums; the
+    * six census inputs (n, Σx, Σx² per arm) are exact integer
+    * aggregates (Σx² exact to ~10⁶-cent users × 10⁶ users/arm — the
+    * documented Long-headroom ceiling, DuckDB errors identically past
+    * it); arm means are integer micro floor-divisions; t and df are
+    * each ONE micro-floored fixed double tree (Σx promoted to double
+    * BEFORE squaring — the ADVICE-r11 rule) interpolated verbatim into
+    * both engines. Degenerate arms (n < 2 either side, or zero pooled
+    * standard error — identical constant outcomes) read NULL t and df,
+    * and the guard compares the IDENTICAL double both engines compute.
+    *
+    * Scale shape: one (event_type, user) partial-agg'd Exchange (the
+    * per-user outcome), one (event_type) partial-agg'd Exchange with
+    * map-side combine carrying six integers — the census; everything
+    * after is ≤ #event_types rows of scalar arithmetic. No window, no
+    * join, no sort until the final census orderBy.
+    */
+  def qWelchT(spark: SparkSession, dir: String): DataFrame =
+    welchCensus(events(spark, dir))
+
+  /** The test over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def welchCensus(ev: DataFrame): DataFrame = {
+    val m = ev
+      .select(col("event_type"), col("user_id"),
+        cents(col("value")).as("v"))
+      .groupBy("event_type", "user_id").agg(sum("v").as("s"))
+      .withColumn("arm", expr("user_id % 2"))
+    m.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0L, col("s")).otherwise(0L)).as("sum_a"),
+        sum(when(col("arm") === 1L, col("s")).otherwise(0L)).as("sum_b"),
+        sum(when(col("arm") === 0L, col("s") * col("s")).otherwise(0L))
+          .as("ss_a"),
+        sum(when(col("arm") === 1L, col("s") * col("s")).otherwise(0L))
+          .as("ss_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("sum_a"), col("sum_b"), col("ss_a"), col("ss_b"),
+        when(col("n_a") > 0L, expr("(sum_a * 1000000) div n_a"))
+          .as("mean_a_micro"),
+        when(col("n_b") > 0L, expr("(sum_b * 1000000) div n_b"))
+          .as("mean_b_micro"),
+        expr(s"CASE WHEN $welchGuard THEN " +
+          s"CAST(floor(1000000.0 * $welchT) AS BIGINT) END")
+          .as("t_micro"),
+        expr(s"CASE WHEN $welchGuard THEN " +
+          s"CAST(floor(1000000.0 * $welchDf) AS BIGINT) END")
+          .as("df_micro"))
+      .orderBy("event_type")
+  }
+
+  private val welchOracle =
+    s"""$evCte,
+       |m AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_b
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT event_type, n_a, n_b, sum_a, sum_b, ss_a, ss_b,
+       |  CASE WHEN n_a > 0 THEN
+       |    CAST((sum_a * 1000000) // n_a AS BIGINT) END AS mean_a_micro,
+       |  CASE WHEN n_b > 0 THEN
+       |    CAST((sum_b * 1000000) // n_b AS BIGINT) END AS mean_b_micro,
+       |  CASE WHEN $welchGuard THEN
+       |    CAST(floor(1000000.0 * $welchT) AS BIGINT) END AS t_micro,
+       |  CASE WHEN $welchGuard THEN
+       |    CAST(floor(1000000.0 * $welchDf) AS BIGINT) END AS df_micro
+       |FROM cen ORDER BY event_type""".stripMargin
+
+  // -------------------------------- Brown–Forsythe / Levene (R60)
+
+  /** Shared F tree for [[leveneCensus]] over the one-row global census
+    * (nn, kk, zz, sstot, uu) — interpolated verbatim into both engines.
+    */
+  private val leveneF =
+    """((CAST(nn - kk AS DOUBLE) / CAST(kk - 1 AS DOUBLE)) *
+      | ((CAST(uu AS DOUBLE) -
+      |   (CAST(zz AS DOUBLE) * CAST(zz AS DOUBLE)) / CAST(nn AS DOUBLE))
+      |  / (CAST(sstot AS DOUBLE) - CAST(uu AS DOUBLE))))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+  private val leveneGuard =
+    "kk >= 2 AND nn > kk AND " +
+      "(CAST(sstot AS DOUBLE) - CAST(uu AS DOUBLE)) > 0.0"
+
+  /** R61 census term: Σz per group squared over n, floored to an
+    * integer in cents² units so the cross-group reduction sums
+    * INTEGERS (Spark's partial aggregation and DuckDB's sequential
+    * scan would associate a cross-group double sum differently — the
+    * X51 per-term-floor discipline; the dropped sub-cents² fraction is
+    * identical on both engines).
+    */
+  private val leveneU =
+    """CAST(floor((CAST(z_sum AS DOUBLE) * CAST(z_sum AS DOUBLE)) /
+      | CAST(n AS DOUBLE)) AS BIGINT)"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  /** R60: Brown–Forsythe variance-equality test across market
+    * segments — the HETEROSCEDASTICITY gate in front of every
+    * mean-comparison in the family (R47's ANOVA and R59's pooled
+    * reading assume comparable spreads; this is the standard check
+    * that assumption deserves — Brown & Forsythe 1974, the
+    * median-centered Levene variant, robust where the mean-centered
+    * original is itself wrecked by the outliers it is looking for):
+    * per-segment account-balance deviations z = |x − median| feed a
+    * one-way ANOVA; a large F says the segments' SPREADS differ, so
+    * segment-pooled variance estimates (and any downstream t) are
+    * suspect. Production reading: which customer segment is the
+    * high-variance one before trusting a cross-segment comparison.
+    *
+    * Exactness: balances are exact integer cents; medians are lower
+    * medians rank-picked off the (segment, value) census — actual
+    * corpus values, no interpolation, so z stays integer; per-segment
+    * n, Σz, Σz² are exact integer aggregates; each segment's Σz²/n
+    * term is floored to integer cents² BEFORE the cross-group sum
+    * (the X51 discipline — cross-group double accumulation is
+    * association-dependent), and F is ONE micro-floored fixed double
+    * tree over the five global integers, interpolated verbatim into
+    * both engines. Degenerate layouts (k < 2 segments, N ≤ k, or zero
+    * within-group deviation mass) read NULL F — the guard compares
+    * the IDENTICAL double both engines compute.
+    *
+    * Scale shape: ONE (segment, value) partial-agg'd Exchange builds
+    * the census; the median pick is a census-window cumulative (the
+    * X46 rank-pick discipline), the deviation relation is census ⋈
+    * broadcast k-row medians, the rollup is k rows, and the global
+    * constants ride a broadcast ONE-ROW relation (whitelisted BNLJ).
+    * Nothing row-grain past the first Exchange.
+    */
+  def qLevene(spark: SparkSession, dir: String): DataFrame =
+    leveneCensus(Tables.customer(spark, dir))
+
+  /** The test over any customer-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def leveneCensus(cust: DataFrame): DataFrame = {
+    val cen = cust
+      .select(col("c_mktsegment").as("segment"),
+        cents(col("c_acctbal")).as("v"))
+      .groupBy("segment", "v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("segment").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window.partitionBy("segment")
+    val med = cen
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("nseg", sum("cnt").over(wSeg))
+      .filter(col("cum") >= expr("(nseg + 1) div 2"))
+      .groupBy("segment").agg(min("v").as("med"))
+    val z = cen.join(broadcast(med), "segment")
+      .select(col("segment"), col("cnt"), col("med"),
+        abs(col("v") - col("med")).as("z"))
+    val grp = z.groupBy("segment")
+      .agg(max("med").as("med_cents"), sum("cnt").as("n"),
+        sum(col("cnt") * col("z")).as("z_sum"),
+        sum(col("cnt") * col("z") * col("z")).as("z_ss"))
+      .withColumn("u", expr(leveneU))
+    val g = grp.agg(sum("n").as("nn"), count(lit(1)).as("kk"),
+      sum("z_sum").as("zz"), sum("z_ss").as("sstot"),
+      sum("u").as("uu"))
+    grp.crossJoin(broadcast(g))
+      .select(col("segment"), col("n"), col("med_cents"),
+        col("z_sum"), col("z_ss"), col("u"),
+        expr(s"CASE WHEN $leveneGuard THEN " +
+          s"CAST(floor(1000000.0 * $leveneF) AS BIGINT) END")
+          .as("f_micro"),
+        (col("kk") - 1L).as("df1"), (col("nn") - col("kk")).as("df2"))
+      .orderBy("segment")
+  }
+
+  private val leveneOracle =
+    s"""WITH cen AS (
+       |  SELECT c_mktsegment AS segment,
+       |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM customer GROUP BY 1, 2
+       |),
+       |wc AS (
+       |  SELECT segment, v, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS nseg
+       |  FROM cen
+       |),
+       |med AS (
+       |  SELECT segment, min(v) AS med FROM wc
+       |  WHERE cum >= (nseg + 1) // 2 GROUP BY 1
+       |),
+       |z AS (
+       |  SELECT c.segment, c.cnt, m.med, abs(c.v - m.med) AS z
+       |  FROM cen c JOIN med m USING (segment)
+       |),
+       |grp AS (
+       |  SELECT segment, CAST(max(med) AS BIGINT) AS med_cents,
+       |    CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(cnt * z) AS BIGINT) AS z_sum,
+       |    CAST(sum(cnt * z * z) AS BIGINT) AS z_ss
+       |  FROM z GROUP BY 1
+       |),
+       |gu AS (SELECT *, $leveneU AS u FROM grp),
+       |g AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(count(*) AS BIGINT) AS kk,
+       |    CAST(sum(z_sum) AS BIGINT) AS zz,
+       |    CAST(sum(z_ss) AS BIGINT) AS sstot,
+       |    CAST(sum(u) AS BIGINT) AS uu
+       |  FROM gu
+       |)
+       |SELECT segment, n, med_cents, z_sum, z_ss, u,
+       |  CASE WHEN $leveneGuard THEN
+       |    CAST(floor(1000000.0 * $leveneF) AS BIGINT) END AS f_micro,
+       |  CAST(kk - 1 AS BIGINT) AS df1,
+       |  CAST(nn - kk AS BIGINT) AS df2
+       |FROM gu, g ORDER BY segment""".stripMargin
+
+  // ------------------------------------ higher-moment census (R61)
+
+  /** Shared central-moment trees for [[momentsCensus]] over the
+    * (n, s1..s4) integer census — interpolated verbatim into both
+    * engines; every division and product parenthesized so the parse
+    * is identical.
+    */
+  private val momMean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val momM2 =
+    s"((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - ($momMean * $momMean))"
+  private val momM3 =
+    s"(((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+      s"((3.0 * $momMean) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))) + " +
+      s"(((2.0 * $momMean) * $momMean) * $momMean))"
+  private val momM4 =
+    s"((((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+      s"((4.0 * $momMean) * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))) + " +
+      s"(((6.0 * $momMean) * $momMean) * " +
+      s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))) - " +
+      s"((((3.0 * $momMean) * $momMean) * $momMean) * $momMean))"
+  private val momSkew = s"($momM3 / ($momM2 * sqrt($momM2)))"
+  private val momKurt = s"(($momM4 / ($momM2 * $momM2)) - 3.0)"
+  private val momGuard = s"n >= 2 AND $momM2 > 0.0"
+
+  /** R61: skewness + excess-kurtosis census of per-user activity —
+    * the SHAPE profile of the engagement distribution that mean/
+    * variance monitoring is blind to: a mean-stable metric can hide a
+    * power-user regime forming (right skew rising), a bot cohort
+    * (kurtosis spiking — heavy tails of hyperactive accounts), or a
+    * bimodal split; skewness and kurtosis are the standard third/
+    * fourth-moment readouts (Pearson moment coefficients, the g₁/g₂
+    * population forms), read per event type next to R31's RFM and
+    * X44/X51's distribution-drift alarms — those compare SNAPSHOTS,
+    * this profiles one snapshot's tail weight.
+    *
+    * Exactness: the metric (events per user) is an exact integer, so
+    * the four power sums are exact integer aggregates (Σx⁴ exact to
+    * ~1000-event users × 10¹² users — the documented Long-headroom
+    * ceiling, DuckDB errors identically past it); the mean is an
+    * integer micro floor-division; g₁ and g₂ are each ONE
+    * micro-floored fixed double tree over (n, s1..s4), fully
+    * parenthesized and interpolated verbatim into both engines.
+    * Degenerate types (n < 2 users, or zero variance — every user
+    * identical) read NULL g₁/g₂; the guard compares the IDENTICAL
+    * double both engines compute.
+    *
+    * Scale shape: one (event_type, user) partial-agg'd Exchange (the
+    * per-user count), one (event_type) partial-agg'd Exchange with
+    * map-side combine carrying five integers; everything after is
+    * ≤ #event_types rows of scalar arithmetic. No window, no join.
+    */
+  def qMoments(spark: SparkSession, dir: String): DataFrame =
+    momentsCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def momentsCensus(ev: DataFrame): DataFrame = {
+    val m = ev.select(col("event_type"), col("user_id"))
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+    m.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        expr("(s1 * 1000000) div n").as("mean_micro"),
+        expr(s"CASE WHEN $momGuard THEN " +
+          s"CAST(floor(1000000.0 * $momSkew) AS BIGINT) END")
+          .as("skew_micro"),
+        expr(s"CASE WHEN $momGuard THEN " +
+          s"CAST(floor(1000000.0 * $momKurt) AS BIGINT) END")
+          .as("kurt_micro"))
+      .orderBy("event_type")
+  }
+
+  private val momentsOracle =
+    s"""$evCte,
+       |m AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s1,
+       |    CAST(sum(x * x) AS BIGINT) AS s2,
+       |    CAST(sum(x * x * x) AS BIGINT) AS s3,
+       |    CAST(sum(x * x * x * x) AS BIGINT) AS s4
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT event_type, n, s1, s2, s3, s4,
+       |  CAST((s1 * 1000000) // n AS BIGINT) AS mean_micro,
+       |  CASE WHEN $momGuard THEN
+       |    CAST(floor(1000000.0 * $momSkew) AS BIGINT) END AS skew_micro,
+       |  CASE WHEN $momGuard THEN
+       |    CAST(floor(1000000.0 * $momKurt) AS BIGINT) END AS kurt_micro
+       |FROM cen ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_survival"        -> (qSurvival _),
     "q_compaction"      -> (qCompaction _),
@@ -4977,6 +5355,9 @@ object RelationalQueries {
     "q_forecast"     -> (qForecast _),
     "q_ab_test"      -> (qAbTest _),
     "q_mannwhitney"  -> (qMannWhitney _),
+    "q_welch_t"      -> (qWelchT _),
+    "q_levene"       -> (qLevene _),
+    "q_moments"      -> (qMoments _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -5042,6 +5423,9 @@ object RelationalQueries {
     "q_forecast"     -> forecastOracle,
     "q_ab_test"      -> abTestOracle,
     "q_mannwhitney"  -> mannWhitneyOracle,
+    "q_welch_t"      -> welchOracle,
+    "q_levene"       -> leveneOracle,
+    "q_moments"      -> momentsOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

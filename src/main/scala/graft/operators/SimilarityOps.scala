@@ -2785,4 +2785,141 @@ object SimilarityOps {
         micro(coalesce(col("hits"), lit(0L)) / lit(k))
           .as("recall_micro"))
   }
+
+  /** V48: anisotropy census — the expected cosine between two RANDOM
+    * distinct vectors, per label and for the whole corpus (Ethayarajh
+    * 2019: contextual embedding spaces are anisotropic — random pairs
+    * read cosine ≫ 0, which silently inflates every V1/V12 similarity
+    * readout and shrinks the usable score range; Mu & Viswanath 2018's
+    * "all-but-the-top" is the standard fix, and V31's dominant
+    * direction is its axis — THIS is the number that says whether the
+    * correction is needed at all). The n² pairwise mean is computed
+    * WITHOUT pairing via the sum-vector identity
+    * Σ_{i≠j} ûᵢ·ûⱼ = ‖Σᵢûᵢ‖² − Σᵢ‖ûᵢ‖², so the whole census rides the
+    * per-dim component sums.
+    *
+    * Exactness: components milli-quantize first ([[milliVec]]); each
+    * row's unit vector re-quantizes to integer milli via ONE double
+    * tree per component, floor(1000·m_d/√ssq) — deterministic per row
+    * — so per-dim sums S_d, per-row self-mass Σq², and their label
+    * rollups are EXACT integer aggregates; the corpus row is the
+    * integer SUM of the label censuses (never a second scan). ‖S‖² is
+    * per-dim floor((S_d)²) in milli² (S_d promoted to double before
+    * squaring — the ADVICE-r11 rule; exact to ~3·10⁶ vectors/label,
+    * documented, DuckDB errors identically past it) summed as
+    * INTEGERS, and the mean cosine is ONE micro-floored double tree
+    * over (pairsum, n). Zero-norm rows are excluded before
+    * normalization (the guard both engines share); labels with n < 2
+    * read NULL mean.
+    *
+    * Scale shape: one posexplode scan into TWO partial-agg'd
+    * Exchanges — the (label, dim) component-sum census (labels × dims
+    * rows) and the (label) self-mass census; the corpus rollup and
+    * every statistic are census-sized. No pairing anywhere — the
+    * identity IS the scale design.
+    */
+  def anisotropyCensus(emb: DataFrame): DataFrame = {
+    val m = emb.select(col("label").cast("long").as("label"),
+        milliVec(col("embedding")).as("m"))
+      .withColumn("ssq", aggregate(col("m"), lit(0L),
+        (acc, v) => acc + (v.cast("long") * v.cast("long"))))
+      .filter(col("ssq") > 0L)
+      .withColumn("q", transform(col("m"),
+        v => floor(lit(1000.0) * v.cast("double") /
+          sqrt(col("ssq").cast("double"))).cast("long")))
+    val rows = m.select(col("label"),
+      posexplode(col("q")).as(Seq("dim", "qd")))
+    // (label, dim) component sums + per-label n and self-cos mass
+    val dimCen = rows.groupBy("label", "dim")
+      .agg(sum("qd").as("s_d"),
+        sum(col("qd") * col("qd")).as("self_d"))
+    val byLabel = dimCen.groupBy("label")
+      .agg(sum(expr("CAST(floor(CAST(s_d AS DOUBLE) * " +
+          "CAST(s_d AS DOUBLE)) AS BIGINT)")).as("snorm2"),
+        sum("self_d").as("selfsum"))
+    val nByLabel = m.groupBy("label").agg(count(lit(1)).as("n"))
+    val lab = byLabel.join(nByLabel, "label")
+    // corpus row: integer rollup of the label censuses (label = -1);
+    // ‖S‖² re-floors off the corpus-level per-dim sums
+    val corpusDim = dimCen.groupBy("dim")
+      .agg(sum("s_d").as("s_d"), sum("self_d").as("self_d"))
+    val corpus = corpusDim
+      .agg(sum(expr("CAST(floor(CAST(s_d AS DOUBLE) * " +
+          "CAST(s_d AS DOUBLE)) AS BIGINT)")).as("snorm2"),
+        sum("self_d").as("selfsum"))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("n"))))
+      .select(lit(-1L).as("label"), col("snorm2"), col("selfsum"),
+        col("n"))
+    lab.select(col("label"), col("snorm2"), col("selfsum"), col("n"))
+      .unionByName(corpus)
+      .withColumn("pairsum", col("snorm2") - col("selfsum"))
+      .select(col("label"), col("n"), col("snorm2"), col("selfsum"),
+        col("pairsum"),
+        when(col("n") >= 2L,
+          expr("CAST(floor(1000000.0 * " +
+            "((CAST(pairsum AS DOUBLE) / 1000000.0) / " +
+            "CAST(n * (n - 1) AS DOUBLE))) AS BIGINT)"))
+          .as("anis_micro"))
+      .orderBy("label")
+  }
+
+  /** V49: dimension-redundancy census — pairwise Pearson correlation
+    * between embedding DIMENSIONS (X48's per-source machinery turned
+    * 90°: X48 correlates two metrics across docs, this correlates
+    * every dim pair across vectors): two strongly-correlated
+    * dimensions carry one dimension of information while costing two
+    * everywhere — in the V10/V18 quantizers (PQ sub-spaces assume
+    * independent sub-vectors), the V26 scalar quantizer's budget, and
+    * V29's per-dim variance audit which CANNOT see redundancy (two
+    * perfectly-correlated dims both read healthy variance). The
+    * standard readout before picking PQ sub-space splits or trusting
+    * a dim-prune.
+    *
+    * Exactness: the five pair sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact integer aggregates over milli components (the X48 census
+    * shape; n·Σxy and Σx·Σy exact to ~10⁹ vectors at these magnitudes
+    * — documented, at the extreme the sums move to DECIMAL(38) as in
+    * X48); cov/var numerators stay INTEGER columns and r is ONE
+    * micro-floored fixed double tree with the X48 radicand guard
+    * (zero-variance dims read r = 0, never NaN).
+    *
+    * Scale shape: one posexplode scan, one self-join on vec_id
+    * restricted to dim_a < dim_b (co-partitioned on the id — the
+    * only row-grain stage, n·d²/2 work: the unavoidable price of a
+    * covariance matrix), then ONE (dim_a, dim_b) partial-agg'd
+    * Exchange carrying five integers per cell with map-side combine —
+    * the shuffle is d²/2 cells, never rows. Everything after is
+    * census-sized.
+    */
+  val RedundantAbsMicro = 800000L
+
+  def dimCorrCensus(emb: DataFrame): DataFrame = {
+    val el = emb.select(col("vec_id"),
+        posexplode(milliVec(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("long").as("v"))
+    val pairs = el.as("a").join(el.as("b"), Seq("vec_id"))
+      .filter(col("a.dim") < col("b.dim"))
+      .select(col("a.dim").as("dim_a"), col("b.dim").as("dim_b"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    pairs.groupBy("dim_a", "dim_b")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("dim_a"), col("dim_b"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
+      .withColumn("r_micro",
+        when(col("var_x") > 0L && col("var_y") > 0L,
+          micro(col("cov_num") /
+            (sqrt(col("var_x")) * sqrt(col("var_y")))))
+          .otherwise(0L))
+      .withColumn("is_redundant",
+        abs(col("r_micro")) >= RedundantAbsMicro)
+      .select("dim_a", "dim_b", "n", "cov_num", "var_x", "var_y",
+        "r_micro", "is_redundant")
+      .orderBy("dim_a", "dim_b")
+  }
 }

@@ -49,6 +49,124 @@ object SimilarityQueries {
   def qNormCensus(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.normCensus(emb(spark, dir)).orderBy("bucket")
 
+  def qAnisotropy(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.anisotropyCensus(emb(spark, dir))
+
+  def qDimCorr(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.dimCorrCensus(emb(spark, dir))
+
+  /** V48 oracle: the sum-vector identity over the same milli-quantized
+    * unit vectors — per-(label, dim) integer component sums, per-dim
+    * squares floored from the double product, label censuses rolled
+    * into the corpus row by INTEGER sums (never a second scan).
+    */
+  private val anisotropyOracle =
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |mv AS (
+       |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(v * 1000.0) AS BIGINT) AS m
+       |  FROM ev
+       |),
+       |ss AS (
+       |  SELECT vec_id, CAST(sum(m * m) AS BIGINT) AS ssq
+       |  FROM mv GROUP BY 1
+       |),
+       |q AS (
+       |  SELECT e.vec_id, e.label, e.dim,
+       |    CAST(floor(1000.0 * CAST(e.m AS DOUBLE) /
+       |      sqrt(CAST(s.ssq AS DOUBLE))) AS BIGINT) AS qd
+       |  FROM mv e JOIN ss s USING (vec_id) WHERE s.ssq > 0
+       |),
+       |dimcen AS (
+       |  SELECT label, dim, CAST(sum(qd) AS BIGINT) AS s_d,
+       |    CAST(sum(qd * qd) AS BIGINT) AS self_d
+       |  FROM q GROUP BY 1, 2
+       |),
+       |bylabel AS (
+       |  SELECT label,
+       |    CAST(sum(CAST(floor(CAST(s_d AS DOUBLE) *
+       |      CAST(s_d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS snorm2,
+       |    CAST(sum(self_d) AS BIGINT) AS selfsum
+       |  FROM dimcen GROUP BY 1
+       |),
+       |nlab AS (
+       |  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+       |  FROM q GROUP BY 1
+       |),
+       |corpusdim AS (
+       |  SELECT dim, CAST(sum(s_d) AS BIGINT) AS s_d,
+       |    CAST(sum(self_d) AS BIGINT) AS self_d
+       |  FROM dimcen GROUP BY 1
+       |),
+       |un AS (
+       |  SELECT b.label, n.n, b.snorm2, b.selfsum
+       |  FROM bylabel b JOIN nlab n USING (label)
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT) AS label,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM ss WHERE ssq > 0) AS n,
+       |    CAST(sum(CAST(floor(CAST(s_d AS DOUBLE) *
+       |      CAST(s_d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS snorm2,
+       |    CAST(sum(self_d) AS BIGINT) AS selfsum
+       |  FROM corpusdim
+       |)
+       |SELECT label, n, snorm2, selfsum,
+       |  snorm2 - selfsum AS pairsum,
+       |  CASE WHEN n >= 2 THEN
+       |    CAST(floor(1000000.0 *
+       |      ((CAST(snorm2 - selfsum AS DOUBLE) / 1000000.0) /
+       |       CAST(n * (n - 1) AS DOUBLE))) AS BIGINT) END AS anis_micro
+       |FROM un ORDER BY label""".stripMargin
+
+  /** V49 oracle: the X48 five-sum census on every dim pair. */
+  private val dimCorrOracle =
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |mv AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(v * 1000.0) AS BIGINT) AS v
+       |  FROM ev
+       |),
+       |p AS (
+       |  SELECT a.dim AS dim_a, b.dim AS dim_b, a.v AS x, b.v AS y
+       |  FROM mv a JOIN mv b USING (vec_id)
+       |  WHERE a.dim < b.dim
+       |),
+       |g AS (
+       |  SELECT dim_a, dim_b, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM p GROUP BY 1, 2
+       |),
+       |f AS (
+       |  SELECT dim_a, dim_b, n,
+       |    CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       |    CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+       |    CAST(n * syy - sy * sy AS BIGINT) AS var_y
+       |  FROM g
+       |),
+       |r AS (
+       |  SELECT dim_a, dim_b, n, cov_num, var_x, var_y,
+       |    CASE WHEN var_x > 0 AND var_y > 0
+       |         THEN ${graft.functions.Hashing.microSql(
+                  "cov_num / (sqrt(var_x) * sqrt(var_y))")}
+       |         ELSE CAST(0 AS BIGINT) END AS r_micro
+       |  FROM f
+       |)
+       |SELECT dim_a, dim_b, n, cov_num, var_x, var_y, r_micro,
+       |  abs(r_micro) >= ${SimilarityOps.RedundantAbsMicro}
+       |    AS is_redundant
+       |FROM r ORDER BY dim_a, dim_b""".stripMargin
+
   val PerLabelK = 3
   val LshPlanes = 16
   val LshBandBits = 4
@@ -3104,6 +3222,8 @@ object SimilarityQueries {
     "q_mips"           -> (qMips _),
     "q_label_balance"  -> (qLabelBalance _),
     "q_dim_variance"   -> (qDimVariance _),
+    "q_anisotropy"     -> (qAnisotropy _),
+    "q_dim_corr"       -> (qDimCorr _),
     "q_norm_census"    -> (qNormCensus _),
     "q_pca"            -> (qPca _),
     "q_ann_batch"      -> (qAnnBatch _),
@@ -3157,6 +3277,8 @@ object SimilarityQueries {
     "q_mips"           -> mipsOracle,
     "q_label_balance"  -> labelBalanceOracle,
     "q_dim_variance"   -> dimVarianceOracle,
+    "q_anisotropy"     -> anisotropyOracle,
+    "q_dim_corr"       -> dimCorrOracle,
     "q_norm_census"    -> normCensusOracle,
     "q_pca"            -> pcaOracle,
     "q_ann_batch"      -> annBatchOracle,

@@ -4343,4 +4343,93 @@ object TextOps {
       .orderBy(col("score_micro").desc, col("phrase"))
       .limit(k)
   }
+
+  /** D30: duplicate-opener census — documents sharing their first
+    * [[PrefixDupTokens]] tokens, the TEMPLATE-OPENER detector the
+    * whole-document lenses miss: a boilerplate disclaimer, a scraped
+    * nav header, or a form letter's fixed opening glues thousands of
+    * otherwise-distinct documents into one opener class, which D1
+    * (exact hash) never groups (the bodies differ) and D2/D3 only
+    * catch pairwise at Jaccard cost — here the grouping is a single
+    * hash-groupBy on the prefix key, the cheapest lens in the family,
+    * and the standard first pass extraction pipelines run (CCNet-
+    * style line/prefix dedup operates on exactly this signal). Read
+    * next to X27's line-frequency boilerplate: X27 finds repeated
+    * LINES anywhere, this finds repeated OPENINGS — the signature of
+    * template instantiation rather than quoted content.
+    *
+    * Semantics: key = md5 of the first min(P, len) tokens re-joined;
+    * documents shorter than P key on their full text (they group only
+    * with equals of the same short prefix — documented); groups of
+    * one drop (the census reports duplication, not the corpus).
+    * Exactness: counts are exact integers, the key the shared md5
+    * primitive; the exemplar is min(doc_id) — deterministic.
+    *
+    * Scale shape: ONE scan into ONE (prefix-hash) partial-agg'd
+    * Exchange with map-side combine; output is bounded by the number
+    * of DUPLICATED openers. No pairing, no window, no join — the
+    * opener class materializes directly, where a pairwise detector
+    * would pay |class|²/2.
+    */
+  val PrefixDupTokens = 8
+
+  def prefixDupCensus(docs: DataFrame, p: Int): DataFrame =
+    parallelized(docs).select(col("source"), col("doc_id"),
+        md5Long(concat_ws(" ", slice(tokens(col("text")), 1, p)))
+          .as("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        min("doc_id").as("exemplar"))
+      .filter(col("n_docs") >= 2L)
+      .orderBy(col("n_docs").desc, col("pk"))
+
+  /** D31: shingle document-frequency spectrum — the tuning table
+    * behind every df cap in the family (D2's inverted index, D9's
+    * gram blocking, X17's winnow buckets all carry a maxDf dial whose
+    * value has so far been an argument; this is the measurement): the
+    * 5-gram df distribution bucketed by power of two, each bucket
+    * carrying the gram count, the occurrence mass, and — the number
+    * the cap actually trades — the candidate-PAIR mass Σ df·(df−1)/2
+    * an inverted index would emit if grams of that df were kept, plus
+    * the running cumulative. Reading: the cap belongs where
+    * cum_pair_mass turns vertical — above it sit boilerplate grams
+    * that generate quadratic pair traffic and no dedup signal
+    * (Broder's classic super-shingle observation).
+    *
+    * Exactness: everything is exact integer arithmetic — the bucket
+    * is floor(log₂ df)+1 computed from the BINARY STRING LENGTH
+    * (`bin`/`printf('%b')` — no floating log, so exact at powers of
+    * two where log2 rounds wrong); pair mass df·(df−1) is even, so
+    * the halving floor-division is exact; bucket bounds are
+    * power-of-two doubles cast back (exact to 2⁵³).
+    *
+    * Scale shape: one shingle scan into the (gram) df census (the D2
+    * relation), then a ≤ 64-row bucket census; the cumulative window
+    * runs over those ≤ 64 rows (the X33 census-window discipline).
+    */
+  def shingleDfCensus(docs: DataFrame, n: Int, capDf: Long): DataFrame = {
+    val dfs = shingleSet(docs, n).groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+    val buckets = dfs
+      .withColumn("bucket", length(bin(col("df"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_grams"), sum("df").as("occ_mass"),
+        sum(expr("(df * (df - 1)) div 2")).as("pair_mass"),
+        sum(when(col("df") <= capDf, 1L).otherwise(0L))
+          .as("n_under_cap"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    buckets
+      .select(col("bucket"),
+        expr("CAST(power(2, bucket - 1) AS BIGINT)").as("lo"),
+        (expr("CAST(power(2, bucket) AS BIGINT)") - 1L).as("hi"),
+        col("n_grams"), col("occ_mass"), col("pair_mass"),
+        col("n_under_cap"))
+      .withColumn("cum_pair_mass", sum("pair_mass").over(wCum))
+      .orderBy("bucket")
+  }
 }

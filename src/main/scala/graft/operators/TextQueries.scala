@@ -67,6 +67,59 @@ object TextQueries {
   def qHeaps(spark: SparkSession, dir: String): DataFrame =
     TextOps.heapsCurve(docs(spark, dir)).orderBy("fraction_eighths")
 
+  def qPrefixDup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.prefixDupCensus(Tables.documents(spark, dir),
+      TextOps.PrefixDupTokens)
+
+  def qShingleDf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shingleDfCensus(docs(spark, dir), ShingleN, MaxShingleDf)
+
+  /** D30 oracle: same md5 prefix key over the first 8 tokens. */
+  private val prefixDupOracle = {
+    val pk = Hashing.md5LongSql(
+      "list_aggregate(string_split(text, ' ')[1:8], 'string_agg', ' ')")
+    s"""WITH k AS (
+       |  SELECT doc_id, source, $pk AS pk FROM documents
+       |),
+       |g AS (
+       |  SELECT pk, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(min(doc_id) AS BIGINT) AS exemplar
+       |  FROM k GROUP BY 1
+       |)
+       |SELECT pk, n_docs, n_sources, exemplar FROM g
+       |WHERE n_docs >= 2 ORDER BY n_docs DESC, pk""".stripMargin
+  }
+
+  /** D31 oracle: binary-string-length buckets (exact floor(log₂)+1,
+    * no floating log), even-product halving, census-window cumulative.
+    * Lazy: tokCte/shCte are declared further down the object body.
+    */
+  private lazy val shingleDfOracle =
+    s"""$tokCte $shCte,
+       |dfs AS (
+       |  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shs GROUP BY 1
+       |),
+       |b AS (
+       |  SELECT df, CAST(length(printf('%b', df)) AS BIGINT) AS bucket
+       |  FROM dfs
+       |),
+       |g AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(df) AS BIGINT) AS occ_mass,
+       |    CAST(sum((df * (df - 1)) // 2) AS BIGINT) AS pair_mass,
+       |    CAST(sum(CASE WHEN df <= $MaxShingleDf THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_under_cap
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT bucket, CAST(power(2, bucket - 1) AS BIGINT) AS lo,
+       |  CAST(power(2, bucket) AS BIGINT) - 1 AS hi,
+       |  n_grams, occ_mass, pair_mass, n_under_cap,
+       |  CAST(sum(pair_mass) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_pair_mass
+       |FROM g ORDER BY bucket""".stripMargin
+
   /** G1: PageRank iterations over the verified dup-pair graph. A
     * constant — the oracle unrolls exactly this many CTE rounds, so
     * the count is part of the cross-engine contract (the
@@ -3512,6 +3565,8 @@ object TextQueries {
     "q_minhash_calib" -> (qMinhashCalib _),
     "q_jac_hist"      -> (qJacHist _),
     "q_heaps"         -> (qHeaps _),
+    "q_prefix_dup"    -> (qPrefixDup _),
+    "q_shingle_df"    -> (qShingleDf _),
     "q_pagerank"      -> (qPagerank _),
     "q_triangles"     -> (qTriangles _),
     "q_cooc"          -> (qCooc _),
@@ -3599,6 +3654,8 @@ object TextQueries {
     "q_minhash_calib" -> minhashCalibOracle,
     "q_jac_hist"      -> jacHistOracle,
     "q_heaps"         -> heapsOracle,
+    "q_prefix_dup"    -> prefixDupOracle,
+    "q_shingle_df"    -> shingleDfOracle,
     "q_pagerank"      -> pagerankOracle,
     "q_triangles"     -> trianglesOracle,
     "q_cooc"          -> coocOracle,

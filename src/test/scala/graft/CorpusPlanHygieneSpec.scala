@@ -64,6 +64,8 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_benford",        // broadcast one-row total into the 9-digit grid
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census
+    "q_levene",         // broadcast one-row global (N,k,Z,SS,U) census
+    "q_anisotropy",     // broadcast one-row corpus n onto the rollup
     "q_fano",           // broadcast one-row user-total summary
     "q_hill",           // one-row threshold/total/sum relations joined
     "q_retention_slope", // offset grid x cohort census + pair slopes

@@ -1162,4 +1162,101 @@ class ScaleOpsSpec extends SparkSpec {
     val u20 = out.filter(_.getAs[Long]("user_id") == 20L)
     assert(u20.length === 1 && u20.head.getAs[Boolean]("is_current"))
   }
+
+  test("welchCensus: hand-computed t and Satterthwaite df, " +
+    "single-user arms and zero-variance arms read NULL") {
+    // type t: arm A (even users): user 2 -> 100+200=300 cents,
+    //   user 4 -> 200; arm B (odd): user 1 -> 300, user 3 -> 100.
+    //   n=2/2, sums 500/400, ss 130000/100000 -> va=5000, vb=20000,
+    //   se2=12500, t = 50/sqrt(12500) = 0.447213..., df = 12500^2 /
+    //   (2500^2 + 10000^2) = 1.470588...
+    // type u: one user per arm -> n < 2 -> NULL t/df
+    // type w: both arms constant (s=100 each user) -> se2 = 0 -> NULL
+    val rows = Seq(
+      (2L, "t", 1.00), (2L, "t", 2.00), (4L, "t", 2.00),
+      (1L, "t", 3.00), (3L, "t", 1.00),
+      (2L, "u", 5.00), (1L, "u", 5.00),
+      (2L, "w", 1.00), (4L, "w", 1.00), (1L, "w", 1.00),
+      (3L, "w", 1.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.welchCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("sum_a"),
+        r.getAs[Long]("sum_b"), r.getAs[Long]("ss_a"),
+        r.getAs[Long]("ss_b"), r.getAs[Long]("mean_a_micro"),
+        r.getAs[Long]("mean_b_micro"),
+        Option(r.getAs[java.lang.Long]("t_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("df_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", 2L, 2L, 500L, 400L, 130000L, 100000L,
+        250000000L, 200000000L, Some(447213L), Some(1470588L)),
+      ("u", 1L, 1L, 500L, 500L, 250000L, 250000L,
+        500000000L, 500000000L, None, None),
+      ("w", 2L, 2L, 200L, 200L, 20000L, 20000L,
+        100000000L, 100000000L, None, None)))
+  }
+
+  test("leveneCensus: rank-picked lower medians, integer deviation " +
+    "sums, hand-computed Brown-Forsythe F") {
+    // S1: cents {100, 200, 300, 1000} -> med = rank (4+1) div 2 = 2
+    //   -> 200; z = {100, 0, 100, 800}: z_sum 1000, z_ss 660000,
+    //   u = floor(1000^2/4) = 250000
+    // S2: cents {100, 100, 500} -> target 2, cum at 100 is 2 -> med
+    //   100; z = {0, 0, 400}: z_sum 400, z_ss 160000,
+    //   u = floor(400^2/3) = 53333
+    // global: nn=7 kk=2 zz=1400 sstot=820000 uu=303333
+    //   F = 5 * ((303333 - 1400^2/7) / (820000 - 303333))
+    //     = 5 * 23333/516667 = 0.225803... -> 225803
+    val cust = Seq(
+      (1L, "S1", 1.00), (2L, "S1", 2.00), (3L, "S1", 3.00),
+      (4L, "S1", 10.00),
+      (5L, "S2", 1.00), (6L, "S2", 1.00), (7L, "S2", 5.00))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val out = RelationalQueries.leveneCensus(cust).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n"),
+        r.getAs[Long]("med_cents"), r.getAs[Long]("z_sum"),
+        r.getAs[Long]("z_ss"), r.getAs[Long]("u"),
+        Option(r.getAs[java.lang.Long]("f_micro")).map(_.toLong),
+        r.getAs[Long]("df1"), r.getAs[Long]("df2")))
+    assert(out.toSeq === Seq(
+      ("S1", 4L, 200L, 1000L, 660000L, 250000L, Some(225803L), 1L, 5L),
+      ("S2", 3L, 100L, 400L, 160000L, 53333L, Some(225803L), 1L, 5L)))
+    // single-segment corpus: k < 2 -> NULL F on its one row
+    val one = RelationalQueries.leveneCensus(
+      cust.filter(col("c_mktsegment") === "S1")).collect()
+    assert(one.length === 2 - 1)
+    assert(one.head.getAs[java.lang.Long]("f_micro") === null)
+  }
+
+  test("momentsCensus: exact power sums, IEEE-pinned skew/kurtosis, " +
+    "zero-variance type reads NULL") {
+    // type t: per-user counts {3, 1, 2} -> n=3 s1=6 s2=14 s3=36 s4=98
+    //   mean 2; m2 = 2/3; m3 = 0 exactly under the pinned tree ->
+    //   skew 0; m4/m2^2 - 3 = -1.50000...06 -> kurt floor -1500001
+    //   (the tree's last bit differs from the algebraic -1.5 — the
+    //   pinned constant is the IEEE value both engines compute)
+    // type c: both users 1 event -> m2 = 0 -> NULL skew/kurt
+    val rows = Seq(
+      (1L, "t"), (1L, "t"), (1L, "t"), (2L, "t"), (3L, "t"), (3L, "t"),
+      (1L, "c"), (2L, "c"))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.momentsCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("s1"), r.getAs[Long]("s2"), r.getAs[Long]("s3"),
+        r.getAs[Long]("s4"), r.getAs[Long]("mean_micro"),
+        Option(r.getAs[java.lang.Long]("skew_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("kurt_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("c", 2L, 2L, 2L, 2L, 2L, 1000000L, None, None),
+      ("t", 3L, 6L, 14L, 36L, 98L, 2000000L,
+        Some(0L), Some(-1500001L))))
+  }
 }

@@ -1374,4 +1374,59 @@ class SimilarityOpsSpec extends SparkSpec {
       (0L, 2L, 1000000L, 1000000L, 0L),
       (1L, 1L, 500000L, 500000L, 0L)))
   }
+
+  test("anisotropyCensus: sum-vector identity hand trace, corpus row " +
+    "is the integer label rollup, zero vectors excluded, n<2 NULL") {
+    // label 0: two copies of (1,0) -> q = (1000,0) each, S = (2000,0),
+    //   snorm2 4e6, selfsum 2e6, pairsum 2e6, anis = 2e6/1e6/2 = 1.0
+    // label 1: (0,1) and (1,0) -> orthogonal, pairsum 0, anis 0
+    // label 2: single (0.5,0) -> q = (1000,0); n = 1 -> NULL anis
+    // label 3: only a sub-milli vector -> excluded -> no label-3 row
+    // corpus: S = (4000,1000) -> snorm2 17e6, selfsum 5e6,
+    //   pairsum 12e6, n = 5 -> anis = (12/20)*1e6 = 600000
+    val m = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(1f, 0f), 1),
+      (4L, Seq(0.5f, 0f), 2),
+      (5L, Seq(0.0004f, 0f), 3))
+    val out = SimilarityOps.anisotropyCensus(m).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n"),
+        r.getAs[Long]("snorm2"), r.getAs[Long]("selfsum"),
+        r.getAs[Long]("pairsum"),
+        Option(r.getAs[java.lang.Long]("anis_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      (-1L, 5L, 17000000L, 5000000L, 12000000L, Some(600000L)),
+      (0L, 2L, 4000000L, 2000000L, 2000000L, Some(1000000L)),
+      (1L, 2L, 2000000L, 2000000L, 0L, Some(0L)),
+      (2L, 1L, 1000000L, 1000000L, 0L, None)))
+    // antipodal pair: exact cosine -1 must floor to -1000000, not
+    // truncate toward zero
+    val anti = SimilarityOps.anisotropyCensus(emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(-1f, 0f), 0))).collect()
+      .map(r => (r.getAs[Long]("label"),
+        r.getAs[java.lang.Long]("anis_micro")))
+    assert(anti.toSeq === Seq(
+      (-1L, java.lang.Long.valueOf(-1000000L)),
+      (0L, java.lang.Long.valueOf(-1000000L))))
+  }
+
+  test("dimCorrCensus: exact five-sum census, perfect correlation " +
+    "reads 1e6 and redundant, constant dim guards r to 0") {
+    // dims 0/1 perfectly correlated (y = 2x), dim 2 constant
+    val m = emb(
+      (0L, Seq(1f, 2f, 1f), 0),
+      (1L, Seq(2f, 4f, 1f), 0),
+      (2L, Seq(3f, 6f, 1f), 0))
+    val out = SimilarityOps.dimCorrCensus(m).collect()
+      .map(r => (r.getAs[Long]("dim_a"), r.getAs[Long]("dim_b"),
+        r.getAs[Long]("n"), r.getAs[Long]("cov_num"),
+        r.getAs[Long]("var_x"), r.getAs[Long]("var_y"),
+        r.getAs[Long]("r_micro"), r.getAs[Boolean]("is_redundant")))
+    // (0,1): cov 3*28e6-6000*12000 = 12e6, var_x 6e6, var_y 24e6,
+    //   r = 12e6/sqrt(6e6*24e6) = 1.0
+    assert(out.toSeq === Seq(
+      (0L, 1L, 3L, 12000000L, 6000000L, 24000000L, 1000000L, true),
+      (0L, 2L, 3L, 0L, 6000000L, 0L, 0L, false),
+      (1L, 2L, 3L, 0L, 24000000L, 0L, 0L, false)))
+  }
 }

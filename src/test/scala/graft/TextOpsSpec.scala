@@ -1647,4 +1647,39 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("len1"), r.getAs[Long]("edit_dist")))
     assert(out.toSeq === Seq((50L, 0L)))
   }
+
+  test("prefixDupCensus: opener classes group on the first-8-token " +
+    "key, short docs key on full text, singletons drop") {
+    // d1/d2 share an 8-token opener with different tails; d3/d4 are
+    // identical 2-token docs (key = full short text); d5 is unique
+    val d = Seq(
+      (1L, "a b c d e f g h tail one", "s0"),
+      (2L, "a b c d e f g h other tail", "s1"),
+      (3L, "short text", "s0"),
+      (4L, "short text", "s0"),
+      (5L, "totally different opener words here now ok yes", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.prefixDupCensus(d, TextOps.PrefixDupTokens)
+      .collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("exemplar")))
+    assert(out.toSeq.sortBy(_._3) === Seq((2L, 2L, 1L), (2L, 1L, 3L)))
+  }
+
+  test("shingleDfCensus: exact log2 buckets off binary length, even " +
+    "pair mass halves exactly, census cumulative") {
+    // three identical 5-token docs -> one gram with df=3 (bucket 2);
+    // one 6-token doc -> two df=1 grams (bucket 1)
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "w1 w2 w3 w4 w5"), (4L, "a b c d e f"))
+    val out = TextOps.shingleDfCensus(d, 5, 1000L).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("occ_mass"), r.getAs[Long]("pair_mass"),
+        r.getAs[Long]("n_under_cap"), r.getAs[Long]("cum_pair_mass")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 2L, 2L, 0L, 2L, 0L),
+      (2L, 2L, 3L, 1L, 3L, 3L, 1L, 3L)))
+  }
 }
