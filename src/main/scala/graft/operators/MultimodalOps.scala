@@ -761,6 +761,96 @@ object MultimodalOps {
     }
   }
 
+  // ----------------------- M17: lag-1 autocorrelation (tonality)
+
+  case class AutocorrStats(doc_id: Long, n_pairs: Long, sx: Long,
+                           sy: Long, sxy: Long, sxx: Long, syy: Long)
+
+  /** M17: per-doc lag-1 sample autocorrelation moments over the
+    * decoded PCM16 samples — the cheapest tonality/periodicity lens in
+    * classical audio analysis (a strongly positive lag-1 r means
+    * smooth/tonal content, near zero means broadband noise, strongly
+    * negative means Nyquist-rate alternation — aliasing or synthetic
+    * artifacts), the frequency-domain complement to M10's ZCR read
+    * without an FFT: r(1) is the first point of the autocorrelation
+    * function every pitch tracker starts from. Curation reading: a
+    * corpus whose "speech" shard reads r(1) ≈ 0 is noise, not speech.
+    *
+    * The decoder loop emits only EXACT integers — the five Pearson
+    * sums over the (sᵢ, sᵢ₊₁) pair stream (the X48 census shape on the
+    * lag pairing); r itself is derived in the query layer as the
+    * mirrored integer-column tree with the X48 radicand guard.
+    *
+    * Long headroom: Σsᵢsᵢ₊₁ ≤ n·32768² — same 2⁴³-samples-per-doc
+    * ceiling as M12, documented there; DuckDB errors identically.
+    *
+    * Scale shape: the batched `mapPartitions` decode (M5/M10/M12's
+    * vectorized-codec shape) — one scalar pass per blob, one integer
+    * row per doc, no shuffle until the caller's orderBy.
+    */
+  def wavAutocorrStats(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[AutocorrStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          var sx = 0L; var sy = 0L; var sxy = 0L
+          var sxx = 0L; var syy = 0L
+          var i = 0
+          while (i < d.length - 1) {
+            val x = d(i); val y = d(i + 1)
+            sx += x; sy += y; sxy += x * y
+            sxx += x * x; syy += y * y
+            i += 1
+          }
+          AutocorrStats(rec.doc_id, math.max(0, d.length - 1).toLong,
+            sx, sy, sxy, sxx, syy)
+        }
+      }
+    }
+  }
+
+  // ----------------------------- M18: DC offset + half-split drift
+
+  case class DcStats(doc_id: Long, n_samples: Long, sum_all: Long,
+                     sum_first: Long, sum_second: Long)
+
+  /** M18: per-doc DC offset + half-split drift over the decoded PCM16
+    * samples — the two bias integrity checks audio QA runs before
+    * spectral work: a non-zero mean (DC offset — a miscalibrated ADC
+    * or buggy converter) wastes headroom and leaks a 0 Hz spike into
+    * every downstream spectrogram, and a mean that DRIFTS between the
+    * recording's halves indicates charging-capacitor/thermal drift or
+    * a splice of mismatched sources (the audio twin of X73's text
+    * splice lens). Both derive from three exact integer sums (whole,
+    * first half ⌊n/2⌋, second half) emitted by one decoder pass; the
+    * micro forms are mirrored single trees in the query layer.
+    *
+    * Scale shape: the batched `mapPartitions` decode (the
+    * vectorized-codec shape) — one scalar pass per blob, one integer
+    * row per doc, no shuffle until the caller's orderBy.
+    */
+  def wavDcStats(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[DcStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          val half = d.length / 2
+          var sa = 0L; var sf = 0L
+          var i = 0
+          while (i < d.length) {
+            sa += d(i); if (i < half) sf += d(i)
+            i += 1
+          }
+          DcStats(rec.doc_id, d.length.toLong, sa, sf, sa - sf)
+        }
+      }
+    }
+  }
+
   // --------------------------- M12: audio clipping / dynamic range
 
   case class ClipStats(doc_id: Long, n_samples: Long, max_abs: Long,

@@ -85,6 +85,120 @@ object MultimodalQueries {
     MultimodalOps.mediaTotalVariation(docs(spark, dir))
       .orderBy("doc_id")
 
+  /** M17: the decoder's five integer Pearson sums over the lag-1
+    * pairing, r derived as the mirrored X48 integer-column tree.
+    */
+  def qMediaAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{sqrt, when, lit}
+    import graft.functions.Hashing.micro
+    MultimodalOps.wavAutocorrStats(
+        MultimodalOps.mediaBinary(docs(spark, dir)))
+      .toDF()
+      .select(col("doc_id"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+          .as("cov_num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+          .as("var_x"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+          .as("var_y"))
+      .withColumn("r_micro",
+        when(col("var_x") > 0L && col("var_y") > 0L,
+          micro(col("cov_num") /
+            (sqrt(col("var_x")) * sqrt(col("var_y")))))
+          .otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  /** M18 statistic trees — shared verbatim with the oracle. */
+  private val dcTree =
+    "CAST(sum_all AS DOUBLE) / CAST(n_samples AS DOUBLE)"
+  private val driftTree =
+    "(CAST(sum_second AS DOUBLE) / CAST(n_samples - n_first AS DOUBLE))" +
+      " - (CAST(sum_first AS DOUBLE) / CAST(n_first AS DOUBLE))"
+
+  def qMediaDc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    MultimodalOps.wavDcStats(
+        MultimodalOps.mediaBinary(docs(spark, dir)))
+      .toDF()
+      .withColumn("n_first", expr("n_samples div 2"))
+      .select(col("doc_id"), col("n_samples"), col("n_first"),
+        col("sum_all"), col("sum_first"), col("sum_second"),
+        expr(s"CAST(floor(1000000.0 * ($dcTree)) AS BIGINT)")
+          .as("dc_micro"),
+        expr(s"CASE WHEN n_first > 0 THEN " +
+          s"CAST(floor(1000000.0 * ($driftTree)) AS BIGINT) " +
+          s"ELSE CAST(0 AS BIGINT) END").as("drift_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val wavSampleCte =
+    """WITH wav AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n
+      |  FROM documents WHERE doc_id % 2 = 1
+      |),
+      |s AS (
+      |  SELECT w.doc_id, w.n, g.i,
+      |    ((w.doc_id * 31 + g.i * 17) % 4096) - 2048 AS v
+      |  FROM wav w, unnest(range(0, w.n)) AS g(i)
+      |)""".stripMargin
+
+  /** M17 oracle: the lag pairing replayed over the generative sample
+    * recurrence, the same integer five-sum census and guarded tree.
+    */
+  private val mediaAutocorrOracle =
+    s"""$wavSampleCte,
+       |p AS (
+       |  SELECT a.doc_id, a.v AS x, b.v AS y
+       |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |),
+       |c AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM p GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT doc_id, n_pairs,
+       |    CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+       |    CAST(n_pairs * sxx - sx * sx AS BIGINT) AS var_x,
+       |    CAST(n_pairs * syy - sy * sy AS BIGINT) AS var_y
+       |  FROM c
+       |)
+       |SELECT doc_id, n_pairs, cov_num, var_x, var_y,
+       |  CASE WHEN var_x > 0 AND var_y > 0
+       |       THEN ${graft.functions.Hashing.microSql(
+                  "cov_num / (sqrt(var_x) * sqrt(var_y))")}
+       |       ELSE CAST(0 AS BIGINT) END AS r_micro
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** M18 oracle: the same three integer sums off the recurrence, the
+    * shared micro trees.
+    */
+  private val mediaDcOracle =
+    s"""$wavSampleCte,
+       |c AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |    CAST(sum(v) AS BIGINT) AS sum_all,
+       |    CAST(sum(CASE WHEN i < n // 2 THEN v ELSE 0 END)
+       |         AS BIGINT) AS sum_first
+       |  FROM s GROUP BY 1
+       |),
+       |d AS (
+       |  SELECT doc_id, n_samples, n_samples // 2 AS n_first,
+       |    sum_all, sum_first, sum_all - sum_first AS sum_second
+       |  FROM c
+       |)
+       |SELECT doc_id, n_samples, CAST(n_first AS BIGINT) AS n_first,
+       |  sum_all, sum_first, sum_second,
+       |  CAST(floor(1000000.0 * ($dcTree)) AS BIGINT) AS dc_micro,
+       |  CASE WHEN n_first > 0 THEN
+       |    CAST(floor(1000000.0 * ($driftTree)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS drift_micro
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def qMediaResize(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.bmpResizeStats(
       MultimodalOps.mediaBinary(docs(spark, dir)))
@@ -702,6 +816,8 @@ object MultimodalQueries {
     "q_media_clipping" -> (qMediaClipping _),
     "q_media_hist"     -> (qMediaHist _),
     "q_media_tv"       -> (qMediaTv _),
+    "q_media_autocorr" -> (qMediaAutocorr _),
+    "q_media_dc"       -> (qMediaDc _),
     "q_media_trim"     -> (qMediaTrim _),
     "q_media_motion"   -> (qMediaMotion _),
     "q_media_channels" -> (qMediaChannels _),
@@ -718,6 +834,8 @@ object MultimodalQueries {
     "q_media_clipping" -> mediaClippingOracle,
     "q_media_hist"     -> mediaHistOracle,
     "q_media_tv"       -> mediaTvOracle,
+    "q_media_autocorr" -> mediaAutocorrOracle,
+    "q_media_dc"       -> mediaDcOracle,
     "q_media_trim"     -> mediaTrimOracle,
     "q_media_motion"   -> mediaMotionOracle,
     "q_media_channels" -> mediaChannelsOracle,

@@ -5195,6 +5195,223 @@ object RelationalQueries {
        |  CAST(nn - kk AS BIGINT) AS df2
        |FROM gu, g ORDER BY segment""".stripMargin
 
+  // -------------------------------- Wilcoxon signed-rank (R62)
+
+  /** Shared variance/z trees for [[wilcoxonCensus]] over the
+    * (n, w_x2, tie_cubes) integer census — interpolated verbatim.
+    */
+  private val wilcoxonVar =
+    """((CAST((n * (n + 1)) * (2 * n + 1) AS DOUBLE) / 24.0) -
+      | (CAST(tie_cubes AS DOUBLE) / 48.0))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+  private val wilcoxonZ =
+    s"(((CAST(w_x2 AS DOUBLE) / 2.0) - " +
+      s"(CAST(n * (n + 1) AS DOUBLE) / 4.0)) / sqrt($wilcoxonVar))"
+
+  /** R62: Wilcoxon signed-rank test per event type — the PAIRED
+    * completion of the experiment battery (R33 chi² on conversion,
+    * R59 Welch on independent means, R34 Mann–Whitney on independent
+    * ranks — this is the within-subject lens): each user is their own
+    * control, the paired difference is their LAST event value minus
+    * their FIRST (did the metric move over the user's own history —
+    * the session-growth / habituation readout), |d| is midranked and
+    * the positive-rank sum W⁺ tested against its null (Wilcoxon 1945;
+    * the normal approximation with the standard tie correction).
+    * Zero differences drop (the classic Wilcoxon treatment), so
+    * single-event users never contribute.
+    *
+    * Exactness: first/last are arg-min/arg-max by the unique
+    * event_id (deterministic, no timestamp ties to adjudicate);
+    * differences are exact integer cents; ranks live on the
+    * (type, |d|) census with midrank ties kept exact by DOUBLING
+    * (the R34 discipline — 2·rank stays integer); W⁺·2, n, and the
+    * tie term Σ(t³−t) are exact integers; z is ONE micro-floored
+    * fixed double tree. Degenerate types (no nonzero differences, or
+    * zero variance — all |d| tied at one value... still positive var;
+    * var = 0 only at n = 0) read NULL z on the identical guard.
+    *
+    * Scale shape: one (event_type, user) partial-agg'd Exchange (the
+    * per-user first/last pair), one (type, |d|) census Exchange; the
+    * rank window partitions BY TYPE over census rows (the R34
+    * census-window discipline); the rollup is ≤ #event_types rows.
+    */
+  def qWilcoxon(spark: SparkSession, dir: String): DataFrame =
+    wilcoxonCensus(events(spark, dir))
+
+  /** The test over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def wilcoxonCensus(ev: DataFrame): DataFrame = {
+    val d = ev
+      .select(col("event_type"), col("user_id"),
+        cents(col("value")).as("v"), col("event_id"))
+      .groupBy("event_type", "user_id")
+      .agg((max_by(col("v"), col("event_id")) -
+        min_by(col("v"), col("event_id"))).as("d"))
+      .filter(col("d") =!= 0L)
+    val cen = d.select(col("event_type"), abs(col("d")).as("a"),
+        when(col("d") > 0L, 1L).otherwise(0L).as("pos"))
+      .groupBy("event_type", "a")
+      .agg(sum("pos").as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+    val w = Window.partitionBy("event_type").orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cen
+      .withColumn("m", col("n_pos") + col("n_neg"))
+      .withColumn("cum", sum("m").over(w))
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("m")) + col("m") + 1L)
+    ranked.groupBy("event_type")
+      .agg(sum("m").as("n"),
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(col("n_pos") * col("rank2")).as("w_x2"),
+        sum(col("m") * col("m") * col("m") - col("m")).as("tie_cubes"))
+      .select(col("event_type"), col("n"), col("n_pos"), col("n_neg"),
+        col("w_x2"), col("tie_cubes"),
+        expr(s"CASE WHEN n > 0 AND $wilcoxonVar > 0.0 THEN " +
+          s"CAST(floor(1000000.0 * $wilcoxonZ) AS BIGINT) END")
+          .as("z_micro"))
+      .orderBy("event_type")
+  }
+
+  private val wilcoxonOracle =
+    s"""$evCte,
+       |d0 AS (
+       |  SELECT event_type, user_id,
+       |    CAST(arg_max(CAST(round(value * 100.0) AS BIGINT), event_id)
+       |      - arg_min(CAST(round(value * 100.0) AS BIGINT), event_id)
+       |      AS BIGINT) AS d
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |d AS (SELECT * FROM d0 WHERE d <> 0),
+       |cen AS (
+       |  SELECT event_type, abs(d) AS a,
+       |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pos,
+       |    CAST(sum(CASE WHEN d > 0 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_neg
+       |  FROM d GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT event_type, n_pos, n_neg, n_pos + n_neg AS m,
+       |    2 * (CAST(sum(n_pos + n_neg) OVER (PARTITION BY event_type
+       |           ORDER BY a) AS BIGINT) - (n_pos + n_neg))
+       |      + (n_pos + n_neg) + 1 AS rank2
+       |  FROM cen
+       |),
+       |agg AS (
+       |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+       |    CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       |    CAST(sum(n_pos * rank2) AS BIGINT) AS w_x2,
+       |    CAST(sum(m * m * m - m) AS BIGINT) AS tie_cubes
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT event_type, n, n_pos, n_neg, w_x2, tie_cubes,
+       |  CASE WHEN n > 0 AND $wilcoxonVar > 0.0 THEN
+       |    CAST(floor(1000000.0 * $wilcoxonZ) AS BIGINT) END AS z_micro
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  // ---------------------------- two-sample KS between arms (R63)
+
+  /** R63: two-sample Kolmogorov–Smirnov test between experiment arms
+    * per event type — the SHAPE lens of the experiment battery (R33:
+    * did conversion move; R59: did the mean move; R34: did the ranks
+    * shift; THIS: did the distribution change shape anywhere — a
+    * variance squeeze, a new mode, a fattened tail all move D while
+    * leaving mean and median still): D = sup|F_a − F_b| over the
+    * pooled value census, with the asymptotic statistic
+    * √(n_a·n_b/(n_a+n_b))·D whose 1.36 bar is the α = 0.05 gate
+    * (Smirnov 1948). X44 runs one-sample KS per source against the
+    * corpus; this is the two-sample form on the experiment split.
+    *
+    * Exactness: D is computed as an INTEGER maximization —
+    * max|cum_a·n_b − cum_b·n_a| over census rows (the common
+    * denominator n_a·n_b cleared, so the sup is exact rational
+    * arithmetic with no doubles anywhere); the D and KS statistics
+    * are each ONE micro-floored double tree over exact integers.
+    * Single-arm types (n_a·n_b = 0) read NULL on the shared guard.
+    *
+    * Scale shape: one (event_type, value) partial-agg'd Exchange with
+    * per-arm counts; cumulative sums ride the census window BY TYPE
+    * (the R34/X33 discipline); the rollup is ≤ #event_types rows.
+    */
+  def qKsArms(spark: SparkSession, dir: String): DataFrame =
+    ksArmsCensus(events(spark, dir))
+
+  /** The test over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def ksArmsCensus(ev: DataFrame): DataFrame = {
+    val cen = ev
+      .select(col("event_type"), cents(col("value")).as("v"),
+        expr("user_id % 2").as("arm"))
+      .groupBy("event_type", "v")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wType = Window.partitionBy("event_type")
+    val cum = cen
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("n_a", sum("ca").over(wType))
+      .withColumn("n_b", sum("cb").over(wType))
+    cum.groupBy("event_type")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max(abs(col("cum_a") * col("n_b") -
+          col("cum_b") * col("n_a"))).as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "CAST(floor(1000000.0 * (CAST(d_num AS DOUBLE) / " +
+          "CAST(n_a * n_b AS DOUBLE))) AS BIGINT) END").as("d_micro"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "CAST(floor(1000000.0 * (sqrt(CAST(n_a * n_b AS DOUBLE) / " +
+          "CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / " +
+          "CAST(n_a * n_b AS DOUBLE)))) AS BIGINT) END").as("ks_micro"))
+      .orderBy("event_type")
+  }
+
+  private val ksArmsOracle =
+    s"""$evCte,
+       |cen AS (
+       |  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS cb
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT event_type, ca, cb,
+       |    CAST(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+       |         AS BIGINT) AS cum_a,
+       |    CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+       |         AS BIGINT) AS cum_b,
+       |    CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT)
+       |      AS n_b
+       |  FROM cen
+       |),
+       |agg AS (
+       |  SELECT event_type, CAST(max(n_a) AS BIGINT) AS n_a,
+       |    CAST(max(n_b) AS BIGINT) AS n_b,
+       |    CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+       |      AS d_num
+       |  FROM cum GROUP BY 1
+       |)
+       |SELECT event_type, n_a, n_b, d_num,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(floor(1000000.0 * (CAST(d_num AS DOUBLE) /
+       |      CAST(n_a * n_b AS DOUBLE))) AS BIGINT) END AS d_micro,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    CAST(floor(1000000.0 * (sqrt(CAST(n_a * n_b AS DOUBLE) /
+       |      CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) /
+       |      CAST(n_a * n_b AS DOUBLE)))) AS BIGINT) END AS ks_micro
+       |FROM agg ORDER BY event_type""".stripMargin
+
   // ------------------------------------ higher-moment census (R61)
 
   /** Shared central-moment trees for [[momentsCensus]] over the
@@ -5358,6 +5575,8 @@ object RelationalQueries {
     "q_welch_t"      -> (qWelchT _),
     "q_levene"       -> (qLevene _),
     "q_moments"      -> (qMoments _),
+    "q_wilcoxon"     -> (qWilcoxon _),
+    "q_ks_arms"      -> (qKsArms _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -5426,6 +5645,8 @@ object RelationalQueries {
     "q_welch_t"      -> welchOracle,
     "q_levene"       -> leveneOracle,
     "q_moments"      -> momentsOracle,
+    "q_wilcoxon"     -> wilcoxonOracle,
+    "q_ks_arms"      -> ksArmsOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

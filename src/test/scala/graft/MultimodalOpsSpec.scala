@@ -500,6 +500,66 @@ class MultimodalOpsSpec extends SparkSpec {
       (4L, 2L, 0L, 0L, 0L)))
   }
 
+  test("wavAutocorrStats: exact lag-1 five-sum census, alternating " +
+    "signal yields the r = -1 sums, single sample reads zeros") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    val blobs = Seq(
+      MediaBlob(1L, "wav", wav(Array[Short](1, 2, 3))),
+      MediaBlob(2L, "wav", wav(Array[Short](5, -5, 5, -5))),
+      MediaBlob(3L, "wav", wav(Array[Short](7)))).toDS()
+    val out = MultimodalOps.wavAutocorrStats(blobs)
+      .collect().sortBy(_.doc_id)
+      .map(a => (a.doc_id, a.n_pairs, a.sx, a.sy, a.sxy, a.sxx, a.syy))
+    // doc 1: pairs (1,2),(2,3) -> sx 3, sy 5, sxy 8, sxx 5, syy 13
+    // doc 2: alternating -> cov = 3*(-75) - 5*(-5) = -200,
+    //   var_x = var_y = 3*75 - 25 = 200 -> r = -1 downstream
+    assert(out.toSeq === Seq(
+      (1L, 2L, 3L, 5L, 8L, 5L, 13L),
+      (2L, 3L, 5L, -5L, -75L, 75L, 75L),
+      (3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("wavDcStats: halves split at floor(n/2), signed sums exact") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    val blobs = Seq(
+      MediaBlob(1L, "wav", wav(Array[Short](10, 20, 30))),
+      MediaBlob(2L, "wav", wav(Array[Short](-5, 5)))).toDS()
+    val out = MultimodalOps.wavDcStats(blobs)
+      .collect().sortBy(_.doc_id)
+      .map(d => (d.doc_id, d.n_samples, d.sum_all, d.sum_first,
+        d.sum_second))
+    // doc 1: half = 1 -> first {10}, second {20, 30}
+    assert(out.toSeq === Seq(
+      (1L, 3L, 60L, 10L, 50L),
+      (2L, 2L, 0L, -5L, 5L)))
+  }
+
   test("magicSniff + magicCensus: bytes beat labels, garbage reads " +
     "unknown, fractions per declared row") {
     import sqlImplicits._

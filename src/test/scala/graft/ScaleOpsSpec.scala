@@ -1232,6 +1232,59 @@ class ScaleOpsSpec extends SparkSpec {
     assert(one.head.getAs[java.lang.Long]("f_micro") === null)
   }
 
+  test("wilcoxonCensus: first/last by event_id, zero diffs drop, " +
+    "doubled midranks, hand-computed z") {
+    // type t: user 1 d=+200, user 2 d=-100, user 3 single event
+    //   (d=0, drops), user 4 d=+200
+    // census: a=100 (0 pos, 1 neg) rank2=2; a=200 (2 pos) rank2=5
+    // n=3, W+*2 = 10, tie_cubes = 6, var = 3.375,
+    // z = (5-3)/sqrt(3.375) = 1.088662... -> 1088662
+    // type u: every user single-event -> no rows at all
+    val rows = Seq(
+      (1L, "t", 1.00), (1L, "t", 3.00),
+      (2L, "t", 2.00), (2L, "t", 1.00),
+      (3L, "t", 5.00),
+      (4L, "t", 1.00), (4L, "t", 3.00),
+      (1L, "u", 9.00), (2L, "u", 4.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.wilcoxonCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Long]("w_x2"), r.getAs[Long]("tie_cubes"),
+        Option(r.getAs[java.lang.Long]("z_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", 3L, 2L, 1L, 10L, 6L, Some(1088662L))))
+  }
+
+  test("ksArmsCensus: integer sup over the pooled census, exact D, " +
+    "single-arm type reads NULL") {
+    // type t: arm A (even users) cents {100, 300}, arm B (odd)
+    //   {300, 300}; sup at v=100: |1*2 - 0*2| = 2 -> D = 0.5,
+    //   KS = sqrt(4/4)*0.5 = 0.5
+    // type u: only an odd user -> n_a = 0 -> NULLs
+    val rows = Seq(
+      (2L, "t", 1.00), (4L, "t", 3.00),
+      (1L, "t", 3.00), (3L, "t", 3.00),
+      (1L, "u", 2.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.ksArmsCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("d_num"),
+        Option(r.getAs[java.lang.Long]("d_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("ks_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", 2L, 2L, 2L, Some(500000L), Some(500000L)),
+      ("u", 0L, 1L, 0L, None, None)))
+  }
+
   test("momentsCensus: exact power sums, IEEE-pinned skew/kurtosis, " +
     "zero-variance type reads NULL") {
     // type t: per-user counts {3, 1, 2} -> n=3 s1=6 s2=14 s3=36 s4=98
