@@ -4922,28 +4922,39 @@ object RelationalQueries {
     * tree per statistic, interpolated verbatim into both engines (the
     * mannWhitney zSql discipline) so association is identical.
     */
+  // divisors floored at 1 via greatest(): an identity wherever the
+  // guard admits the row (n >= 2), and it keeps the tree evaluable on
+  // degenerate rows — Spark's subexpression elimination hoists the
+  // shared variance subtree OUT of the CASE guards, so under ANSI a
+  // division by (n-1)=0 would throw even though the guard is false
+  // (the mdeCensus spec caught this on its single-user arm).
   private val welchVarA =
     """((CAST(ss_a AS DOUBLE) -
       |  (CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)) /
-      |   CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))"""
+      |   CAST(greatest(n_a, 1) AS DOUBLE)) /
+      |  CAST(greatest(n_a - 1, 1) AS DOUBLE))"""
       .stripMargin.replaceAll("\\s+", " ").trim
   private val welchVarB =
     """((CAST(ss_b AS DOUBLE) -
       |  (CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)) /
-      |   CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"""
+      |   CAST(greatest(n_b, 1) AS DOUBLE)) /
+      |  CAST(greatest(n_b - 1, 1) AS DOUBLE))"""
       .stripMargin.replaceAll("\\s+", " ").trim
   private val welchSe2 =
-    s"(($welchVarA / CAST(n_a AS DOUBLE)) + " +
-      s"($welchVarB / CAST(n_b AS DOUBLE)))"
+    s"(($welchVarA / CAST(greatest(n_a, 1) AS DOUBLE)) + " +
+      s"($welchVarB / CAST(greatest(n_b, 1) AS DOUBLE)))"
   private val welchT =
-    s"(((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - " +
-      s"(CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))) / sqrt($welchSe2))"
+    s"(((CAST(sum_a AS DOUBLE) / CAST(greatest(n_a, 1) AS DOUBLE)) - " +
+      s"(CAST(sum_b AS DOUBLE) / CAST(greatest(n_b, 1) AS DOUBLE))) / " +
+      s"sqrt($welchSe2))"
   private val welchDf =
     s"(($welchSe2 * $welchSe2) / " +
-      s"((($welchVarA / CAST(n_a AS DOUBLE)) * " +
-      s"($welchVarA / CAST(n_a AS DOUBLE))) / CAST(n_a - 1 AS DOUBLE) + " +
-      s"(($welchVarB / CAST(n_b AS DOUBLE)) * " +
-      s"($welchVarB / CAST(n_b AS DOUBLE))) / CAST(n_b - 1 AS DOUBLE)))"
+      s"((($welchVarA / CAST(greatest(n_a, 1) AS DOUBLE)) * " +
+      s"($welchVarA / CAST(greatest(n_a, 1) AS DOUBLE))) / " +
+      s"CAST(greatest(n_a - 1, 1) AS DOUBLE) + " +
+      s"(($welchVarB / CAST(greatest(n_b, 1) AS DOUBLE)) * " +
+      s"($welchVarB / CAST(greatest(n_b, 1) AS DOUBLE))) / " +
+      s"CAST(greatest(n_b - 1, 1) AS DOUBLE)))"
   private val welchGuard =
     s"n_a >= 2 AND n_b >= 2 AND $welchSe2 > 0.0"
 
@@ -4982,10 +4993,10 @@ object RelationalQueries {
   def qWelchT(spark: SparkSession, dir: String): DataFrame =
     welchCensus(events(spark, dir))
 
-  /** The test over any events-shaped frame — factored for the
-    * hand-computed spec.
+  /** The six-integer per-arm census both R59 and R64 read — one
+    * (type, user) Exchange then one (type) Exchange.
     */
-  def welchCensus(ev: DataFrame): DataFrame = {
+  private def welchBase(ev: DataFrame): DataFrame = {
     val m = ev
       .select(col("event_type"), col("user_id"),
         cents(col("value")).as("v"))
@@ -5001,6 +5012,13 @@ object RelationalQueries {
           .as("ss_a"),
         sum(when(col("arm") === 1L, col("s") * col("s")).otherwise(0L))
           .as("ss_b"))
+  }
+
+  /** The test over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def welchCensus(ev: DataFrame): DataFrame = {
+    welchBase(ev)
       .select(col("event_type"), col("n_a"), col("n_b"),
         col("sum_a"), col("sum_b"), col("ss_a"), col("ss_b"),
         when(col("n_a") > 0L, expr("(sum_a * 1000000) div n_a"))
@@ -5048,6 +5066,92 @@ object RelationalQueries {
        |    CAST(floor(1000000.0 * $welchT) AS BIGINT) END AS t_micro,
        |  CASE WHEN $welchGuard THEN
        |    CAST(floor(1000000.0 * $welchDf) AS BIGINT) END AS df_micro
+       |FROM cen ORDER BY event_type""".stripMargin
+
+  // ---------------------- minimum detectable effect / power (R64)
+
+  /** Shared MDE trees over the welch census — z_{α/2} = 1.96 and
+    * z_power = 0.8416 (80 % power) as explicit DOUBLE-cast literals
+    * (a bare decimal literal is DECIMAL in DuckDB — the documented
+    * association trap), interpolated verbatim into both engines.
+    */
+  private val mdeAbs =
+    s"(CAST(2.8016 AS DOUBLE) * sqrt($welchSe2))"
+  private val mdeRel =
+    s"($mdeAbs / (CAST(sum_a AS DOUBLE) / " +
+      s"CAST(greatest(n_a, 1) AS DOUBLE)))"
+
+  /** R64: minimum detectable effect per event type — the number an
+    * experimentation platform reports BEFORE any test result, and the
+    * first sanity check on R33/R59 readouts: with these arm sizes and
+    * this outcome variance, the smallest true difference the Welch
+    * test would flag at α = 0.05 with 80 % power is
+    * (z_{α/2} + z_{0.8}) · SE = 2.8016·√(s²_a/n_a + s²_b/n_b)
+    * (the standard two-sample power identity — Cohen 1988); a "no
+    * significant difference" verdict on a metric whose MDE is 40 % of
+    * its mean is not evidence of no effect, it is an underpowered
+    * test, and THIS census is how that state is detected. Reported
+    * absolute (micro-cents) and relative to the control-arm mean
+    * (micro-ratio) — the form sample-size planning actually uses.
+    *
+    * Exactness: the SAME six-integer census as R59 (one shared
+    * builder — q_welch_t re-verified post-refactor); MDE trees are
+    * each ONE micro-floored fixed double tree over the exact
+    * integers, the z-sum literal DOUBLE-cast on both engines.
+    * Degenerate arms read NULL on the R59 guard; the relative form
+    * additionally guards a non-positive control mean.
+    *
+    * Scale shape: identical to R59 — two partial-agg'd Exchanges,
+    * ≤ #event_types rows after.
+    */
+  def qMde(spark: SparkSession, dir: String): DataFrame =
+    mdeCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def mdeCensus(ev: DataFrame): DataFrame =
+    welchBase(ev)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("sum_a"), col("sum_b"),
+        expr(s"CASE WHEN $welchGuard THEN " +
+          s"CAST(floor(1000000.0 * $mdeAbs) AS BIGINT) END")
+          .as("mde_abs_micro"),
+        expr(s"CASE WHEN $welchGuard AND sum_a > 0 THEN " +
+          s"CAST(floor(1000000.0 * $mdeRel) AS BIGINT) END")
+          .as("mde_rel_micro"))
+      .orderBy("event_type")
+
+  private val mdeOracle =
+    s"""$evCte,
+       |m AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_b
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT event_type, n_a, n_b, sum_a, sum_b,
+       |  CASE WHEN $welchGuard THEN
+       |    CAST(floor(1000000.0 * $mdeAbs) AS BIGINT) END
+       |    AS mde_abs_micro,
+       |  CASE WHEN $welchGuard AND sum_a > 0 THEN
+       |    CAST(floor(1000000.0 * $mdeRel) AS BIGINT) END
+       |    AS mde_rel_micro
        |FROM cen ORDER BY event_type""".stripMargin
 
   // -------------------------------- Brown–Forsythe / Levene (R60)
@@ -5577,6 +5681,7 @@ object RelationalQueries {
     "q_moments"      -> (qMoments _),
     "q_wilcoxon"     -> (qWilcoxon _),
     "q_ks_arms"      -> (qKsArms _),
+    "q_mde"          -> (qMde _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -5647,6 +5752,7 @@ object RelationalQueries {
     "q_moments"      -> momentsOracle,
     "q_wilcoxon"     -> wilcoxonOracle,
     "q_ks_arms"      -> ksArmsOracle,
+    "q_mde"          -> mdeOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -2922,4 +2922,40 @@ object SimilarityOps {
         "r_micro", "is_redundant")
       .orderBy("dim_a", "dim_b")
   }
+
+  /** V50: PQ sub-space independence audit — V49's dim-pair
+    * correlations rolled up to the PRODUCT-QUANTIZER block grid:
+    * PQ's entire accuracy argument (Jégou et al. 2011 §II.C)
+    * assumes sub-vectors quantize independently, so correlation
+    * mass that lands in CROSS-block cells is distortion the V10/V18
+    * codebooks structurally cannot remove (the failure OPQ's learned
+    * rotation exists to fix — this census is the "do we need OPQ"
+    * measurement), while within-block mass is harmless (the block's
+    * own codebook sees it). Read before choosing the V10 sub-space
+    * split; a hot off-diagonal cell says re-order dims or rotate.
+    *
+    * Exactness: per-cell counts and Σ|r| are exact integer
+    * aggregates over V49's micro integers; the mean is one integer
+    * floor-division. Same documented headroom as V49.
+    *
+    * Scale shape: the V49 pipeline plus a ≤ (d/subLen)²-row census
+    * rollup — the bench protocol re-derives the pair census (the
+    * D-family audit discipline); the cells after it are ≤ 10 rows.
+    */
+  def pqBlockCorr(emb: DataFrame, subLen: Int,
+                  barMicro: Long): DataFrame =
+    dimCorrCensus(emb)
+      .select(expr(s"dim_a div $subLen").as("block_a"),
+        expr(s"dim_b div $subLen").as("block_b"),
+        abs(col("r_micro")).as("ar"))
+      .groupBy("block_a", "block_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ar") >= barMicro, 1L).otherwise(0L))
+          .as("n_redundant"),
+        sum("ar").as("sum_abs_r"), max("ar").as("max_abs_r"))
+      .select(col("block_a"), col("block_b"), col("n_pairs"),
+        col("n_redundant"), col("sum_abs_r"), col("max_abs_r"),
+        expr("sum_abs_r div n_pairs").as("mean_abs_r_micro"),
+        (col("block_a") =!= col("block_b")).as("is_cross"))
+      .orderBy("block_a", "block_b")
 }

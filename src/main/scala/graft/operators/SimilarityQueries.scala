@@ -55,6 +55,16 @@ object SimilarityQueries {
   def qDimCorr(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.dimCorrCensus(emb(spark, dir))
 
+  /** V50: dims per PQ sub-space — matches [[PqSubLen]] (declared
+    * further down; duplicated here as a plain literal because the
+    * oracle strings below initialize before it).
+    */
+  val PqBlockSubLen = 16
+
+  def qPqBlockCorr(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.pqBlockCorr(emb(spark, dir), PqBlockSubLen,
+      SimilarityOps.RedundantAbsMicro)
+
   /** V48 oracle: the sum-vector identity over the same milli-quantized
     * unit vectors — per-(label, dim) integer component sums, per-dim
     * squares floored from the double product, label censuses rolled
@@ -122,8 +132,10 @@ object SimilarityQueries {
        |       CAST(n * (n - 1) AS DOUBLE))) AS BIGINT) END AS anis_micro
        |FROM un ORDER BY label""".stripMargin
 
-  /** V49 oracle: the X48 five-sum census on every dim pair. */
-  private val dimCorrOracle =
+  /** V49/V50 shared oracle CTE: the X48 five-sum census on every
+    * dim pair, through the guarded r relation.
+    */
+  private val dimCorrCte =
     s"""WITH ev AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |    generate_subscripts(embedding, 1) AS i
@@ -161,11 +173,40 @@ object SimilarityQueries {
                   "cov_num / (sqrt(var_x) * sqrt(var_y))")}
        |         ELSE CAST(0 AS BIGINT) END AS r_micro
        |  FROM f
-       |)
+       |)""".stripMargin
+
+  private val dimCorrOracle =
+    s"""$dimCorrCte
        |SELECT dim_a, dim_b, n, cov_num, var_x, var_y, r_micro,
        |  abs(r_micro) >= ${SimilarityOps.RedundantAbsMicro}
        |    AS is_redundant
        |FROM r ORDER BY dim_a, dim_b""".stripMargin
+
+  /** V50 oracle: the shared dim-pair r relation rolled up to the PQ
+    * block grid with integer floor-division means.
+    */
+  private val pqBlockCorrOracle =
+    s"""$dimCorrCte,
+       |bl AS (
+       |  SELECT dim_a // $PqBlockSubLen AS block_a,
+       |    dim_b // $PqBlockSubLen AS block_b,
+       |    abs(r_micro) AS ar
+       |  FROM r
+       |),
+       |g2 AS (
+       |  SELECT block_a, block_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN ar >= ${SimilarityOps.RedundantAbsMicro}
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+       |    CAST(sum(ar) AS BIGINT) AS sum_abs_r,
+       |    CAST(max(ar) AS BIGINT) AS max_abs_r
+       |  FROM bl GROUP BY 1, 2
+       |)
+       |SELECT CAST(block_a AS BIGINT) AS block_a,
+       |  CAST(block_b AS BIGINT) AS block_b,
+       |  n_pairs, n_redundant, sum_abs_r, max_abs_r,
+       |  CAST(sum_abs_r // n_pairs AS BIGINT) AS mean_abs_r_micro,
+       |  block_a <> block_b AS is_cross
+       |FROM g2 ORDER BY block_a, block_b""".stripMargin
 
   val PerLabelK = 3
   val LshPlanes = 16
@@ -3224,6 +3265,7 @@ object SimilarityQueries {
     "q_dim_variance"   -> (qDimVariance _),
     "q_anisotropy"     -> (qAnisotropy _),
     "q_dim_corr"       -> (qDimCorr _),
+    "q_pq_block_corr"  -> (qPqBlockCorr _),
     "q_norm_census"    -> (qNormCensus _),
     "q_pca"            -> (qPca _),
     "q_ann_batch"      -> (qAnnBatch _),
@@ -3279,6 +3321,7 @@ object SimilarityQueries {
     "q_dim_variance"   -> dimVarianceOracle,
     "q_anisotropy"     -> anisotropyOracle,
     "q_dim_corr"       -> dimCorrOracle,
+    "q_pq_block_corr"  -> pqBlockCorrOracle,
     "q_norm_census"    -> normCensusOracle,
     "q_pca"            -> pcaOracle,
     "q_ann_batch"      -> annBatchOracle,

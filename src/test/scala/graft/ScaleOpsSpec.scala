@@ -1200,6 +1200,30 @@ class ScaleOpsSpec extends SparkSpec {
         100000000L, 100000000L, None, None)))
   }
 
+  test("mdeCensus: hand-computed absolute and relative MDE off the " +
+    "shared welch census, degenerate arms read NULL") {
+    // the welch 't' fixture: se2 = 12500, mde = 2.8016*sqrt(12500)
+    //   = 313.228402... cents -> 313228402 micro;
+    //   rel vs mean_a = 250 cents -> 1252913 micro
+    val rows = Seq(
+      (2L, "t", 1.00), (2L, "t", 2.00), (4L, "t", 2.00),
+      (1L, "t", 3.00), (3L, "t", 1.00),
+      (2L, "u", 5.00), (1L, "u", 5.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.mdeCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"),
+        Option(r.getAs[java.lang.Long]("mde_abs_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("mde_rel_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", 2L, 2L, Some(313228402L), Some(1252913L)),
+      ("u", 1L, 1L, None, None)))
+  }
+
   test("leveneCensus: rank-picked lower medians, integer deviation " +
     "sums, hand-computed Brown-Forsythe F") {
     // S1: cents {100, 200, 300, 1000} -> med = rank (4+1) div 2 = 2

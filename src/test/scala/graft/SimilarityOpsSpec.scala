@@ -1429,4 +1429,22 @@ class SimilarityOpsSpec extends SparkSpec {
       (0L, 2L, 3L, 0L, 6000000L, 0L, 0L, false),
       (1L, 2L, 3L, 0L, 24000000L, 0L, 0L, false)))
   }
+
+  test("pqBlockCorr: dim pairs roll up to the block grid, cross " +
+    "cells flagged, integer mean") {
+    // subLen 2 over 3 dims -> blocks {0: dims 0,1} {1: dim 2};
+    // (0,1) within-block r=1e6; (0,2)/(1,2) cross, r=0
+    val m = emb(
+      (0L, Seq(1f, 2f, 1f), 0),
+      (1L, Seq(2f, 4f, 1f), 0),
+      (2L, Seq(3f, 6f, 1f), 0))
+    val out = SimilarityOps.pqBlockCorr(m, 2, 800000L).collect()
+      .map(r => (r.getAs[Long]("block_a"), r.getAs[Long]("block_b"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_redundant"),
+        r.getAs[Long]("sum_abs_r"), r.getAs[Long]("max_abs_r"),
+        r.getAs[Long]("mean_abs_r_micro"), r.getAs[Boolean]("is_cross")))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1L, 1L, 1000000L, 1000000L, 1000000L, false),
+      (0L, 1L, 2L, 0L, 0L, 0L, 0L, true)))
+  }
 }
