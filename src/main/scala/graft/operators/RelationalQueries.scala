@@ -5154,6 +5154,218 @@ object RelationalQueries {
        |    AS mde_rel_micro
        |FROM cen ORDER BY event_type""".stripMargin
 
+  // ------------------------------------- CUPED pre-period fit (R65)
+
+  /** Shared trees for [[cupedCensus]] over the (n, cov_num, var_x,
+    * var_y) integer census — interpolated verbatim.
+    */
+  private val cupedTheta =
+    "(CAST(cov_num AS DOUBLE) / CAST(greatest(var_x, 1) AS DOUBLE))"
+  private val cupedRho2 =
+    """((CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE)) /
+      | (CAST(greatest(var_x, 1) AS DOUBLE) *
+      |  CAST(greatest(var_y, 1) AS DOUBLE)))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  /** R65: CUPED pre-period covariate fit per event type — the
+    * variance-reduction technique every large experimentation
+    * platform runs by default (Deng, Xu, Kohavi & Walker, WSDM 2013:
+    * "Improving the sensitivity of online controlled experiments"):
+    * each user's PRE-period activity predicts their post-period
+    * outcome, and regressing it out shrinks outcome variance by the
+    * squared correlation ρ² — a ρ² of 0.5 halves the R64 MDE without
+    * adding a single user. This census measures what CUPED would buy
+    * HERE: θ = cov(X,Y)/var(X) (the adjustment coefficient) and ρ²
+    * (the variance-reduction fraction), where X = the user's value
+    * mass before the corpus median day and Y = their mass from it on.
+    *
+    * Determinism/exactness: the pre/post boundary is the LOWER MEDIAN
+    * event day rank-picked off the event-weighted (day) census (the
+    * X46 discipline — an actual corpus day, no interpolation); per
+    * user X and Y are exact integer cents sums (absent halves read 0
+    * — CUPED's standard treatment of missing pre-period); the five
+    * sums are exact integer aggregates and cov/var numerators stay
+    * INTEGER columns (the X48 shape; headroom documented there);
+    * θ and ρ² each ONE micro-floored tree with greatest()-floored
+    * divisors (identity under the guard; the R64 hoisting lesson).
+    * Degenerate types (zero pre-period variance or n < 2) read NULL.
+    *
+    * Scale shape: one (day) census Exchange for the median (the R48
+    * machinery), one (event_type, user) partial-agg'd Exchange with
+    * the broadcast one-row median, one (event_type) census Exchange
+    * carrying five integers; ≤ #event_types rows after.
+    */
+  def qCuped(spark: SparkSession, dir: String): DataFrame =
+    cupedCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def cupedCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(lit(0)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0))
+    val med = daily
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("t", sum("cnt").over(wAll))
+      .filter(col("cum") >= expr("(t + 1) div 2"))
+      .agg(min("day").as("med_day"))
+    val xy = ev.crossJoin(broadcast(med))
+      .select(col("event_type"), col("user_id"), col("med_day"),
+        cents(col("value")).as("v"),
+        (to_date(col("ts")) < col("med_day")).as("pre"))
+      .groupBy("event_type", "user_id")
+      .agg(max(col("med_day").cast("string")).as("med_day"),
+        sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(col("pre"), 0L).otherwise(col("v"))).as("y"))
+    xy.groupBy("event_type")
+      .agg(max("med_day").as("med_day"), count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("med_day"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
+      .select(col("event_type"), col("med_day"), col("n"),
+        col("cov_num"), col("var_x"), col("var_y"),
+        expr(s"CASE WHEN n >= 2 AND var_x > 0 THEN " +
+          s"CAST(floor(1000000.0 * $cupedTheta) AS BIGINT) END")
+          .as("theta_micro"),
+        expr(s"CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0 THEN " +
+          s"CAST(floor(1000000.0 * $cupedRho2) AS BIGINT) END")
+          .as("rho2_micro"))
+      .orderBy("event_type")
+  }
+
+  private val cupedOracle =
+    s"""$evCte,
+       |daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT)
+       |    AS cnt
+       |  FROM ev GROUP BY 1
+       |),
+       |wc AS (
+       |  SELECT day,
+       |    CAST(sum(cnt) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS t
+       |  FROM daily
+       |),
+       |med AS (SELECT min(day) AS med_day FROM wc
+       |        WHERE cum >= (t + 1) // 2),
+       |xy AS (
+       |  SELECT event_type, user_id,
+       |    max(CAST(m.med_day AS VARCHAR)) AS med_day,
+       |    CAST(sum(CASE WHEN CAST(ts AS DATE) < m.med_day
+       |      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN CAST(ts AS DATE) < m.med_day
+       |      THEN 0 ELSE CAST(round(value * 100.0) AS BIGINT) END)
+       |      AS BIGINT) AS y
+       |  FROM ev, med m GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type, max(med_day) AS med_day,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM xy GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT event_type, med_day, n,
+       |    CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       |    CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+       |    CAST(n * syy - sy * sy AS BIGINT) AS var_y
+       |  FROM cen
+       |)
+       |SELECT event_type, med_day, n, cov_num, var_x, var_y,
+       |  CASE WHEN n >= 2 AND var_x > 0 THEN
+       |    CAST(floor(1000000.0 * $cupedTheta) AS BIGINT) END
+       |    AS theta_micro,
+       |  CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0 THEN
+       |    CAST(floor(1000000.0 * $cupedRho2) AS BIGINT) END
+       |    AS rho2_micro
+       |FROM f ORDER BY event_type""".stripMargin
+
+  // ------------------------------- sample-ratio mismatch (R66)
+
+  /** χ²(1) upper bound at α = 0.001 in micro units — SRM pages at a
+    * much stricter bar than effect tests (a true SRM invalidates the
+    * whole experiment, so false alarms are expensive): 10.828.
+    */
+  val SrmChi2MicroBar = 10827566L
+
+  /** R66: sample-ratio-mismatch check per event type — the FIRST
+    * validity alarm every experimentation platform runs before
+    * reading any effect (Fabijan et al. 2019, "Diagnosing sample
+    * ratio mismatch"): if the arm sizes deviate from the designed
+    * 50/50 beyond chance, the assignment or logging pipeline is
+    * broken (bot filtering one arm, a crash path dropping events,
+    * redirect asymmetry) and EVERY downstream readout — R33, R59,
+    * R34, R63, R64 — is invalid regardless of its p-value. The
+    * two-cell χ² collapses to (n_a − n_b)²/n exactly.
+    *
+    * Exactness: arm counts are exact distinct-user integers; χ² is
+    * ONE micro-floored tree over them ((n_a − n_b)² exact to ~3·10⁹
+    * users per type); the alarm is an integer compare against the
+    * documented α = 0.001 bar. Empty types read NULL on the guard.
+    *
+    * Scale shape: one distinct over (event_type, user), one
+    * (event_type) census Exchange; ≤ #event_types rows after.
+    */
+  def qSrm(spark: SparkSession, dir: String): DataFrame =
+    srmCensus(events(spark, dir))
+
+  /** The check over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def srmCensus(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm", expr("user_id % 2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("CASE WHEN n_a + n_b > 0 THEN " +
+          "CAST(floor(1000000.0 * " +
+          "(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
+          "CAST(n_a + n_b AS DOUBLE))) AS BIGINT) END")
+          .as("chi2_micro"))
+      .withColumn("srm_alarm",
+        coalesce(col("chi2_micro") >= SrmChi2MicroBar, lit(false)))
+      .orderBy("event_type")
+
+  private val srmOracle =
+    s"""$evCte,
+       |u AS (SELECT DISTINCT event_type, user_id FROM ev),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b
+       |  FROM u GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT event_type, n_a, n_b,
+       |    CASE WHEN n_a + n_b > 0 THEN
+       |      CAST(floor(1000000.0 *
+       |        (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) /
+       |         CAST(n_a + n_b AS DOUBLE))) AS BIGINT) END
+       |      AS chi2_micro
+       |  FROM cen
+       |)
+       |SELECT event_type, n_a, n_b, chi2_micro,
+       |  coalesce(chi2_micro >= $SrmChi2MicroBar, false) AS srm_alarm
+       |FROM f ORDER BY event_type""".stripMargin
+
   // -------------------------------- Brown–Forsythe / Levene (R60)
 
   /** Shared F tree for [[leveneCensus]] over the one-row global census
@@ -5682,6 +5894,8 @@ object RelationalQueries {
     "q_wilcoxon"     -> (qWilcoxon _),
     "q_ks_arms"      -> (qKsArms _),
     "q_mde"          -> (qMde _),
+    "q_cuped"        -> (qCuped _),
+    "q_srm"          -> (qSrm _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -5753,6 +5967,8 @@ object RelationalQueries {
     "q_wilcoxon"     -> wilcoxonOracle,
     "q_ks_arms"      -> ksArmsOracle,
     "q_mde"          -> mdeOracle,
+    "q_cuped"        -> cupedOracle,
+    "q_srm"          -> srmOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

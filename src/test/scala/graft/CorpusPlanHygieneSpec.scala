@@ -66,6 +66,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_runs_test",      // broadcast one-row median into the day census
     "q_levene",         // broadcast one-row global (N,k,Z,SS,U) census
     "q_anisotropy",     // broadcast one-row corpus n onto the rollup
+    "q_cuped",          // broadcast one-row median-day boundary
     "q_fano",           // broadcast one-row user-total summary
     "q_hill",           // one-row threshold/total/sum relations joined
     "q_retention_slope", // offset grid x cohort census + pair slopes

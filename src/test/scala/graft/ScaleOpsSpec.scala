@@ -1224,6 +1224,57 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 1L, 1L, None, None)))
   }
 
+  test("cupedCensus: event-weighted median day splits pre/post, " +
+    "missing pre reads 0, hand-computed theta and rho2") {
+    // 2 events on day1, 3 on day2 -> target (5+1) div 2 = 3 ->
+    // med_day = day2; pre = day1
+    // type t: u1 x=100 y=200; u2 x=300 y=100; u3 x=0 y=400
+    // cov = 3*50000 - 400*700 = -130000; var_x = var_y = 140000
+    // theta = -0.92857.. -> -928572; rho2 = 16900/19600 -> 862244
+    val rows = Seq(
+      (1L, "t", "2024-01-01 10:00:00", 1.00),
+      (2L, "t", "2024-01-01 11:00:00", 3.00),
+      (1L, "t", "2024-01-02 10:00:00", 2.00),
+      (2L, "t", "2024-01-02 11:00:00", 1.00),
+      (3L, "t", "2024-01-02 12:00:00", 4.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, ts, v), i) => (i.toLong, u, t, ts, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.cupedCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("med_day"), r.getAs[Long]("n"),
+        r.getAs[Long]("cov_num"), r.getAs[Long]("var_x"),
+        r.getAs[Long]("var_y"),
+        Option(r.getAs[java.lang.Long]("theta_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("rho2_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", "2024-01-02", 3L, -130000L, 140000L, 140000L,
+        Some(-928572L), Some(862244L))))
+  }
+
+  test("srmCensus: two-cell chi2 collapses to (na-nb)^2/n, alarm at " +
+    "the 0.001 bar") {
+    // type t: 3 even vs 1 odd user -> chi2 = 4/4 = 1.0, no alarm
+    // type w: 12 even, 0 odd -> chi2 = 144/12 = 12 >= 10.827566 ->
+    //   alarm
+    val rows =
+      Seq((2L, "t"), (4L, "t"), (6L, "t"), (1L, "t")) ++
+        (1 to 12).map(i => (2L * i, "w"))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.srmCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("chi2_micro"),
+        r.getAs[Boolean]("srm_alarm")))
+    assert(out.toSeq === Seq(
+      ("t", 3L, 1L, 1000000L, false),
+      ("w", 12L, 0L, 12000000L, true)))
+  }
+
   test("leveneCensus: rank-picked lower medians, integer deviation " +
     "sums, hand-computed Brown-Forsythe F") {
     // S1: cents {100, 200, 300, 1000} -> med = rank (4+1) div 2 = 2
