@@ -518,6 +518,163 @@ object SketchQueries {
        |  ${Hashing.microSql("(est - n_exact) / n_exact")} AS err_ppm
        |FROM est ORDER BY source""".stripMargin
 
+  /** D32: KMV-sketched pairwise source overlap — the SKETCH twin of
+    * X40's exact cross-source duplication census, and the shape a
+    * 100 TB deployment actually runs first: X40 pays the full
+    * inverted-index pair derivation to measure who shares bytes with
+    * whom; THIS answers the same triage question from the ≤ k-row
+    * per-source KMV states (the T19 store relation) via sketch-union
+    * inclusion–exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union sketch is the bottom-k of the two states' union (the
+    * standard KMV union; Beyer et al. SIGMOD'07 §3.3) — and only the
+    * pairs the sketch flags loud need the exact X40 pass. The EXACT
+    * distinct-shingle intersection rides beside the estimate as the
+    * audit column (the q_join_card discipline: the corpus-sized side
+    * a deployment drops).
+    *
+    * Exactness: md5 hashing makes both engines' sketches IDENTICAL
+    * (not just statistically equivalent), union + re-take is the
+    * exact bottom-k semilattice, estimates take the same two branches
+    * as [[kmvEstimates]] (exact below k, (k−1)·2⁶⁰/kth at k), and
+    * inclusion–exclusion is integer arithmetic floored at 0 — every
+    * column hash-verifiable.
+    *
+    * Scale shape: per-source states are ≤ k rows (the kmvBottomK
+    * window — production keeps a k-heap per partition, the documented
+    * X49 note); the pair grid is |sources|² broadcast rows
+    * (whitelisted BNLJ) and every union/rank/estimate stage is
+    * (pairs × 2k)-sized; the ONLY corpus-sized relation is the hash
+    * set feeding the states and the audit intersection (one
+    * h-co-partitioned self-join bounded by sources-per-hash).
+    */
+  def kmvOverlap(docs: DataFrame): DataFrame = {
+    val hs = kmvHashes(docs).cache()
+    val state = kmvBottomK(hs)
+    val est = kmvEstimates(state)
+    val srcs = state.select("source").distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("source_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val u = pairs
+      .join(state.withColumnRenamed("source", "source_a"), "source_a")
+      .select("source_a", "source_b", "h")
+      .unionByName(pairs
+        .join(state.withColumnRenamed("source", "source_b"),
+          "source_b")
+        .select("source_a", "source_b", "h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source_a", "source_b").orderBy("h")
+    val ue = u.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_union_state"),
+        coalesce(max(when(col("rn") === KmvK, col("h"))), lit(0L))
+          .as("kth_union"))
+      .withColumn("est_union",
+        when(col("n_union_state") < KmvK, col("n_union_state"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) *
+            lit(1.152921504606846976e18) / col("kth_union"))
+            .cast("long")))
+    val exact = hs.as("x").join(hs.as("y"), Seq("h"))
+      .filter(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"),
+        col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    ue
+      .join(broadcast(est.select(col("source").as("source_a"),
+        col("est").as("est_a"))), "source_a")
+      .join(broadcast(est.select(col("source").as("source_b"),
+        col("est").as("est_b"))), "source_b")
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("est_a"),
+        col("est_b"), col("n_union_state"), col("kth_union"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0L)).as("est_inter"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val kmvOverlapOracle =
+    s"""WITH tok AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents
+       |),
+       |shs AS (
+       |  SELECT source,
+       |    list_aggregate(toks[i:i+4], 'string_agg', ' ') AS sh
+       |  FROM tok, unnest(range(1, greatest(len(toks) - 3, 1))) AS g(i)
+       |),
+       |hs AS (
+       |  SELECT DISTINCT source, ${Hashing.md5LongSql("sh")} AS h
+       |  FROM shs
+       |),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hs
+       |),
+       |st AS (SELECT source, h FROM rk WHERE rn <= $KmvK),
+       |es AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_state,
+       |    CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS BIGINT)
+       |         ELSE CAST(floor(CAST(${KmvK - 1} AS DOUBLE) * $pow60
+       |                         / max(h)) AS BIGINT) END AS est
+       |  FROM st GROUP BY source
+       |),
+       |srcs AS (SELECT DISTINCT source FROM st),
+       |pr AS (
+       |  SELECT a.source AS source_a, b.source AS source_b
+       |  FROM srcs a, srcs b WHERE a.source < b.source
+       |),
+       |u AS (
+       |  SELECT DISTINCT source_a, source_b, h FROM (
+       |    SELECT p.source_a, p.source_b, s.h
+       |    FROM pr p JOIN st s ON s.source = p.source_a
+       |    UNION ALL
+       |    SELECT p.source_a, p.source_b, s.h
+       |    FROM pr p JOIN st s ON s.source = p.source_b
+       |  )
+       |),
+       |ur AS (
+       |  SELECT source_a, source_b, h, row_number() OVER (
+       |    PARTITION BY source_a, source_b ORDER BY h) AS rn
+       |  FROM u
+       |),
+       |ue AS (
+       |  SELECT source_a, source_b,
+       |    CAST(count(*) AS BIGINT) AS n_union_state,
+       |    CAST(coalesce(max(CASE WHEN rn = $KmvK THEN h END), 0)
+       |         AS BIGINT) AS kth_union
+       |  FROM ur WHERE rn <= $KmvK GROUP BY 1, 2
+       |),
+       |uest AS (
+       |  SELECT source_a, source_b, n_union_state, kth_union,
+       |    CASE WHEN n_union_state < $KmvK THEN n_union_state
+       |         ELSE CAST(floor(CAST(${KmvK - 1} AS DOUBLE) * $pow60
+       |                         / kth_union) AS BIGINT) END
+       |      AS est_union
+       |  FROM ue
+       |),
+       |ext AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter_exact
+       |  FROM hs x JOIN hs y USING (h)
+       |  WHERE x.source < y.source GROUP BY 1, 2
+       |)
+       |SELECT u.source_a, u.source_b,
+       |  ea.est AS est_a, eb.est AS est_b,
+       |  u.n_union_state, u.kth_union, u.est_union,
+       |  greatest(ea.est + eb.est - u.est_union, 0) AS est_inter,
+       |  CAST(coalesce(x.n_inter_exact, 0) AS BIGINT)
+       |    AS n_inter_exact
+       |FROM uest u
+       |JOIN es ea ON ea.source = u.source_a
+       |JOIN es eb ON eb.source = u.source_b
+       |LEFT JOIN ext x ON x.source_a = u.source_a
+       |              AND x.source_b = u.source_b
+       |ORDER BY u.source_a, u.source_b""".stripMargin
+
   /** X65: KMV sketch size. */
   val JcK = 64
 
@@ -1139,6 +1296,8 @@ object SketchQueries {
     "q_cms" -> (qCms _),
     "q_bloom" -> (qBloom _),
     "q_kmv" -> (qKmv _),
+    "q_kmv_overlap" -> ((sp: SparkSession, dir: String) =>
+      kmvOverlap(Tables.documents(sp, dir))),
     "q_qsketch" -> (qQuantileSketch _),
     "q_join_card" -> (qJoinCard _),
     "q_heavy" -> (qHeavyHitters _),
@@ -1152,6 +1311,7 @@ object SketchQueries {
     "q_cms" -> cmsOracle,
     "q_bloom" -> bloomOracle,
     "q_kmv" -> kmvOracle,
+    "q_kmv_overlap" -> kmvOverlapOracle,
     "q_qsketch" -> qsOracle,
     "q_join_card" -> jcOracle,
     "q_heavy" -> heavyOracle,

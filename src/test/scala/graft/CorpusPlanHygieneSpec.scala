@@ -67,6 +67,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_levene",         // broadcast one-row global (N,k,Z,SS,U) census
     "q_anisotropy",     // broadcast one-row corpus n onto the rollup
     "q_cuped",          // broadcast one-row median-day boundary
+    "q_kmv_overlap",    // broadcast tiny source-pair grid
     "q_fano",           // broadcast one-row user-total summary
     "q_hill",           // one-row threshold/total/sum relations joined
     "q_retention_slope", // offset grid x cohort census + pair slopes

@@ -399,4 +399,41 @@ class SketchSpec extends SparkSpec {
       s"serving form must not pay the exact count_distinct side:\n" +
         plan.take(4000))
   }
+
+  test("kmvOverlap: below k the whole pipeline is exact — est_inter " +
+    "equals the audit intersection on every pair") {
+    import sqlImplicits._
+    // every source far below k = 64 distinct shingles -> all four
+    // estimates take the exact branch, so inclusion-exclusion is an
+    // identity: est_inter == n_inter_exact
+    // A: tokens a..h -> shingles {a..e, b..f, c..g, d..h} (4)
+    // B: shares A's suffix (c..h) -> shingles {c..g, d..h} + own
+    // C: disjoint
+    val docs = Seq(
+      (1L, "a b c d e f g h", "A"),
+      (2L, "c d e f g h", "B"),
+      (3L, "z y x w v u t s", "C")).toDF("doc_id", "text", "source")
+    val out = SketchQueries.kmvOverlap(docs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b"), r.getAs[Long]("est_a"),
+        r.getAs[Long]("est_b"), r.getAs[Long]("est_union"),
+        r.getAs[Long]("est_inter"), r.getAs[Long]("n_inter_exact")))
+    // A has 4 shingles, B 2 (both shared with A), C 4 disjoint
+    assert(out.toSeq === Seq(
+      ("A", "B", 4L, 2L, 4L, 2L, 2L),
+      ("A", "C", 4L, 4L, 8L, 0L, 0L),
+      ("B", "C", 2L, 4L, 6L, 0L, 0L)))
+    // at / past k the estimator branch engages: union state caps at k
+    val big = (0 until 2).map { s =>
+      (s.toLong, (0 until 100).map(i => s"w${s * 60 + i}")
+        .mkString(" "), s"S$s")
+    }.toDF("doc_id", "text", "source")
+    val b = SketchQueries.kmvOverlap(big).collect()
+    assert(b.length === 1)
+    val r = b.head
+    assert(r.getAs[Long]("n_union_state") === SketchQueries.KmvK)
+    assert(r.getAs[Long]("est_inter") ===
+      math.max(0L, r.getAs[Long]("est_a") + r.getAs[Long]("est_b") -
+        r.getAs[Long]("est_union")))
+  }
 }
