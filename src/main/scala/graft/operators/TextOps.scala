@@ -4373,10 +4373,17 @@ object TextOps {
     */
   val PrefixDupTokens = 8
 
-  def prefixDupCensus(docs: DataFrame, p: Int): DataFrame =
+  /** The (source, doc_id, pk) keying shared by the batch census and
+    * the T23 streaming store — factored so streamed-vs-batch parity
+    * is the same kernel, not a twin implementation.
+    */
+  def prefixKeys(docs: DataFrame, p: Int): DataFrame =
     parallelized(docs).select(col("source"), col("doc_id"),
-        md5Long(concat_ws(" ", slice(tokens(col("text")), 1, p)))
-          .as("pk"))
+      md5Long(concat_ws(" ", slice(tokens(col("text")), 1, p)))
+        .as("pk"))
+
+  def prefixDupCensus(docs: DataFrame, p: Int): DataFrame =
+    prefixKeys(docs, p)
       .groupBy("pk")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("source").as("n_sources"),
