@@ -163,6 +163,73 @@ object TextOps {
       micro(best / total).as("conf_micro"))
   }
 
+  /** The [[graft.functions.LangScores]] kernel over an arbitrary text
+    * column — one compiled pass per row returning the per-language
+    * score array (shared by [[langId]]'s whole-doc read and X74's
+    * half-split read).
+    */
+  private def langScoresOf(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LangScores(
+        org.apache.spark.sql.GraftSqlBridge.expression(text),
+        LangProfiles.map(_._2.map(_._1.toLong).toArray).toArray,
+        LangProfiles.map(_._2.map(_._2).toArray).toArray))
+
+  /** Argmax language off a score-array column (declaration-order
+    * tie-break — the [[langId]] rule).
+    */
+  private def langPredOf(sc: Column): Column = {
+    val scores = LangProfiles.indices.map(i => element_at(sc, i + 1))
+    val best = greatest(scores: _*)
+    LangProfiles.zipWithIndex.foldRight(lit("und")) {
+      case (((l, _), i), acc) =>
+        when(scores(i) >= best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** X74: code-switching census — X73's half-split lens pointed at
+    * LANGUAGE instead of vocabulary: the token stream is cut at the
+    * midpoint and each half is language-identified independently (the
+    * X2 classifier, same kernel); halves that disagree mark a MIXED
+    * document — concatenated bilingual pages, partially-translated
+    * boilerplate, the extractor gluing a nav bar in another language —
+    * which X2's whole-document argmax hides behind whichever language
+    * wins the sum (the standard failure mode per-document language
+    * labels inherit from their classifier; CCNet and its descendants
+    * segment before labeling for exactly this reason). Per-source
+    * triage census: how much of each provider is language-mixed.
+    *
+    * Determinism: halves are rebuilt from the token split (floor(n/2)
+    * tokens / the rest) joined by single spaces — both engines build
+    * the identical strings; sub-2-token docs read two degenerate
+    * halves that both predict 'und' and therefore never count as
+    * mixed (documented); counts exact, the ppm an integer floor
+    * division.
+    *
+    * Scale shape: one scan (two kernel passes per row, no explode),
+    * ONE (source) partial-agg'd Exchange — the cheapest census in the
+    * X family.
+    */
+  def langMixCensus(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val half = floor(n / lit(2)).cast("int")
+    val scored = parallelized(docs).select(col("source"),
+        langScoresOf(concat_ws(" ",
+          slice(toks, lit(1), half))).as("sa"),
+        langScoresOf(concat_ws(" ",
+          slice(toks, half + lit(1), n - half))).as("sb"))
+      .select(col("source"), langPredOf(col("sa")).as("lang_a"),
+        langPredOf(col("sb")).as("lang_b"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_a") =!= col("lang_b"), 1L).otherwise(0L))
+          .as("n_mixed"))
+      .select(col("source"), col("n_docs"), col("n_mixed"),
+        expr("(1000000 * n_mixed) div n_docs").as("mixed_ppm"))
+      .orderBy("source")
+  }
+
   /** X57: weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES) — the missing third sampling mode beside X31's
     * exact-N uniform strata and X29's rate-based temperature mix: an

@@ -39,6 +39,9 @@ object TextQueries {
     TextOps.langConfusion(Tables.documents(spark, dir))
       .orderBy("lang", "lang_pred")
 
+  def qLangMix(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langMixCensus(Tables.documents(spark, dir))
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(spark, dir), ShingleN).orderBy("doc_id")
 
@@ -400,6 +403,64 @@ object TextQueries {
        |  ${Hashing.microSql("c.n / t.n_lang")} AS frac_micro
        |FROM c JOIN t USING (lang)
        |ORDER BY lang, lang_pred""".stripMargin
+
+  /** X74 oracle helpers: the q_lang_id replace-trick score fragments
+    * parameterized by column, one set per half.
+    */
+  private def langCntOf(c: String, sub: String): String = {
+    val esc = sub.replace("'", "''")
+    s"CAST((length($c) - length(replace($c, '$esc', ''))) / " +
+      s"${sub.length} AS BIGINT)"
+  }
+  private def langScoreDefsOf(c: String, sfx: String): String =
+    TextOps.LangProfiles.map { case (l, evid) =>
+      val e = evid.map { case (w, s) => s"$w * ${langCntOf(c, s)}" }
+        .mkString(" + ")
+      s"($e) AS score_${l}_$sfx"
+    }.mkString(",\n    ")
+  private def langPredOf(sfx: String): String = {
+    val names = TextOps.LangProfiles.map { case (l, _) =>
+      s"score_${l}_$sfx"
+    }
+    val best = s"greatest(${names.mkString(", ")})"
+    TextOps.LangProfiles.map { case (l, _) =>
+      s"WHEN score_${l}_$sfx >= $best THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  private val langMixOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents
+       |),
+       |h AS (
+       |  SELECT doc_id, source,
+       |    coalesce(list_aggregate(toks[1:len(toks) // 2],
+       |      'string_agg', ' '), '') AS ha,
+       |    coalesce(list_aggregate(toks[len(toks) // 2 + 1:len(toks)],
+       |      'string_agg', ' '), '') AS hb
+       |  FROM tok
+       |),
+       |s AS (
+       |  SELECT doc_id, source,
+       |    ${langScoreDefsOf("ha", "a")},
+       |    ${langScoreDefsOf("hb", "b")}
+       |  FROM h
+       |),
+       |p AS (
+       |  SELECT source, ${langPredOf("a")} AS lang_a,
+       |    ${langPredOf("b")} AS lang_b
+       |  FROM s
+       |),
+       |c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN lang_a <> lang_b THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_mixed
+       |  FROM p GROUP BY 1
+       |)
+       |SELECT source, n_docs, n_mixed,
+       |  CAST((1000000 * n_mixed) // n_docs AS BIGINT) AS mixed_ppm
+       |FROM c ORDER BY source""".stripMargin
 
   private val fingerprintOracle =
     s"""$tokCte $shCte,
@@ -3557,6 +3618,7 @@ object TextQueries {
     "q_token_stats"   -> (qTokenStats _),
     "q_lang_id"       -> (qLangId _),
     "q_lang_confusion" -> (qLangConfusion _),
+    "q_lang_mix"      -> (qLangMix _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
@@ -3646,6 +3708,7 @@ object TextQueries {
     "q_token_stats"   -> tokenStatsOracle,
     "q_lang_id"       -> langIdOracle,
     "q_lang_confusion" -> langConfusionOracle,
+    "q_lang_mix"      -> langMixOracle,
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,

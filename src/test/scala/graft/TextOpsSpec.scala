@@ -1666,6 +1666,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq.sortBy(_._3) === Seq((2L, 2L, 1L), (2L, 1L, 3L)))
   }
 
+  test("langMixCensus: engineered bilingual halves read mixed, " +
+    "monolingual and degenerate docs do not") {
+    // doc 1: en-evidence first half, de-evidence second -> mixed
+    // doc 2: en both halves -> not mixed
+    // doc 3: single token -> both halves 'und' -> not mixed
+    val d = Seq(
+      (1L, "ththth ththth scscsc scscsc", "s0"),
+      (2L, "ththth hehe ththth hehe", "s0"),
+      (3L, "x", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.langMixCensus(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_mixed"), r.getAs[Long]("mixed_ppm")))
+    assert(out.toSeq === Seq(("s0", 2L, 1L, 500000L),
+      ("s1", 1L, 0L, 0L)))
+  }
+
   test("shingleDfCensus: exact log2 buckets off binary length, even " +
     "pair mass halves exactly, census cumulative") {
     // three identical 5-token docs -> one gram with df=3 (bucket 2);
