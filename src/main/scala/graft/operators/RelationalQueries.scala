@@ -5728,6 +5728,112 @@ object RelationalQueries {
        |      CAST(n_a * n_b AS DOUBLE)))) AS BIGINT) END AS ks_micro
        |FROM agg ORDER BY event_type""".stripMargin
 
+  // --------------------------- quantile treatment effects (R67)
+
+  /** R67: quantile treatment effects per event type — the
+    * DISTRIBUTIONAL experiment readout (Koenker's quantile-regression
+    * viewpoint applied to two-sample comparison): R59 answers "did
+    * the MEAN move", but a treatment that fattens the p90 while
+    * thinning the p25 can leave the mean still — pricing, latency,
+    * and engagement interventions routinely move specific quantiles
+    * — so platforms report the per-quantile arm difference at
+    * {p25, p50, p75, p90}. Read next to R63's KS (which says "the
+    * shape moved SOMEWHERE"); this says WHERE.
+    *
+    * Exactness: quantiles are rank-picked ACTUAL cents values (the
+    * X46 lower-quantile discipline — position ((n−1)·num) div den + 1
+    * on the per-arm value census, no interpolation, so every column
+    * including the difference is an exact integer). Single-arm types
+    * emit no rows for the missing arm's quantiles — the join is
+    * inner, so the census only carries types with BOTH arms
+    * (documented; R66 pages on those first anyway).
+    *
+    * Scale shape: one (event_type, arm, value) partial-agg'd census
+    * Exchange; cumulative ranks ride census windows BY (type, arm);
+    * the quantile grid is a broadcast 4-row relation (whitelisted
+    * BNLJ); everything after is (types × 4)-sized.
+    */
+  val QteQuantiles: Seq[(String, Int, Int)] =
+    Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+  def qQte(spark: SparkSession, dir: String): DataFrame =
+    qteCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def qteCensus(ev: DataFrame): DataFrame = {
+    val cen = ev
+      .select(col("event_type"), expr("user_id % 2").as("arm"),
+        cents(col("value")).as("v"))
+      .groupBy("event_type", "arm", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type", "arm").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wArm = Window.partitionBy("event_type", "arm")
+    val ranked = cen
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wArm))
+    val grid = ev.sparkSession
+      .createDataFrame(QteQuantiles.map { case (l, nu, de) =>
+        (l, nu.toLong, de.toLong)
+      }).toDF("q_label", "num", "den")
+    val picked = ranked.crossJoin(broadcast(grid))
+      .filter(col("cum") >=
+        expr("((n - 1) * num) div den + 1"))
+      .groupBy("event_type", "arm", "q_label")
+      .agg(min("v").as("q"), max("n").as("n"))
+    picked.filter(col("arm") === 0L)
+      .select(col("event_type"), col("q_label"),
+        col("n").as("n_a"), col("q").as("q_a"))
+      .join(picked.filter(col("arm") === 1L)
+        .select(col("event_type"), col("q_label"),
+          col("n").as("n_b"), col("q").as("q_b")),
+        Seq("event_type", "q_label"))
+      .select(col("event_type"), col("q_label"), col("n_a"),
+        col("n_b"), col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("qte"))
+      .orderBy("event_type", "q_label")
+  }
+
+  private val qteOracle = {
+    val gridSql = QteQuantiles.map { case (l, nu, de) =>
+      s"SELECT '$l' AS q_label, $nu AS num, $de AS den"
+    }.mkString("\nUNION ALL\n")
+    s"""$evCte,
+       |cen AS (
+       |  SELECT event_type, user_id % 2 AS arm,
+       |    CAST(round(value * 100.0) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2, 3
+       |),
+       |ranked AS (
+       |  SELECT event_type, arm, v,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type, arm ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY event_type, arm)
+       |      AS BIGINT) AS n
+       |  FROM cen
+       |),
+       |grid AS (
+       |$gridSql
+       |),
+       |picked AS (
+       |  SELECT event_type, arm, q_label,
+       |    CAST(min(v) AS BIGINT) AS q, CAST(max(n) AS BIGINT) AS n
+       |  FROM ranked, grid
+       |  WHERE cum >= ((n - 1) * num) // den + 1
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT a.event_type, a.q_label, a.n AS n_a, b.n AS n_b,
+       |  a.q AS q_a, b.q AS q_b, b.q - a.q AS qte
+       |FROM picked a JOIN picked b
+       |  ON a.event_type = b.event_type AND a.q_label = b.q_label
+       |WHERE a.arm = 0 AND b.arm = 1
+       |ORDER BY a.event_type, a.q_label""".stripMargin
+  }
+
   // ------------------------------------ higher-moment census (R61)
 
   /** Shared central-moment trees for [[momentsCensus]] over the
@@ -5896,6 +6002,7 @@ object RelationalQueries {
     "q_mde"          -> (qMde _),
     "q_cuped"        -> (qCuped _),
     "q_srm"          -> (qSrm _),
+    "q_qte"          -> (qQte _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -5969,6 +6076,7 @@ object RelationalQueries {
     "q_mde"          -> mdeOracle,
     "q_cuped"        -> cupedOracle,
     "q_srm"          -> srmOracle,
+    "q_qte"          -> qteOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

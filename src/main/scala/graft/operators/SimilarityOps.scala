@@ -2942,6 +2942,61 @@ object SimilarityOps {
     * rollup — the bench protocol re-derives the pair census (the
     * D-family audit discipline); the cells after it are ≤ 10 rows.
     */
+  /** V51: effective dimensionality (participation ratio, diagonal
+    * approximation) — ONE number for "how many dimensions is this
+    * embedding actually using": PR = (Σ_d v_d)²/(Σ_d v_d²) over the
+    * per-dimension variances, the standard effective-dimension
+    * readout (the participation ratio of statistical physics, used
+    * for exactly this purpose on representations); PR = d when all
+    * dims carry equal variance, PR → 1 under total collapse. V29
+    * flags dims that are individually dead; THIS integrates the whole
+    * spectrum into the capacity number an index budget or a
+    * dimensionality-reduction decision reads first. Diagonal
+    * approximation documented: the exact effective rank needs the
+    * eigenvalues (V31's power iteration finds the top one); on
+    * near-axis-aligned spectra the two agree, and the diagonal form
+    * is the one computable in one pass.
+    *
+    * Exactness: per-dim variance numerators v_d = n·Σv² − (Σv)² are
+    * exact integers off milli components (X48 shape); each v_d² is
+    * floored in 10¹⁸-scaled units BEFORE the cross-dim sum (the X51
+    * per-term-floor discipline — sub-ppm distortion at production
+    * scale, coarser at toy SFs, IDENTICAL on both engines either
+    * way); PR and PR/d are each ONE micro-floored tree over the three
+    * global integers. All-constant embeddings (Σv_d² = 0) read NULL.
+    *
+    * Scale shape: one posexplode into the dims-sized variance census
+    * (the V29 Exchange), then ONE-ROW arithmetic.
+    */
+  def effectiveDim(emb: DataFrame): DataFrame = {
+    val el = emb.select(posexplode(milliVec(col("embedding"))))
+      .select(col("pos").cast("long").as("dim"),
+        col("col").cast("long").as("v"))
+    val g = el.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      .select((col("n") * col("s2") - col("s") * col("s"))
+        .as("v_num"))
+      .withColumn("v_sq_e18",
+        expr("CAST(floor((CAST(v_num AS DOUBLE) * " +
+          "CAST(v_num AS DOUBLE)) / " +
+          "CAST(1000000000000000000 AS DOUBLE)) AS BIGINT)"))
+    val prTree =
+      "(((CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE)) / " +
+        "CAST(1000000000000000000 AS DOUBLE)) / " +
+        "CAST(greatest(sum_v_sq_e18, 1) AS DOUBLE))"
+    g.agg(count(lit(1)).as("n_dims"), sum("v_num").as("sum_v"),
+        sum("v_sq_e18").as("sum_v_sq_e18"))
+      .select(col("n_dims"), col("sum_v"), col("sum_v_sq_e18"),
+        expr(s"CASE WHEN sum_v_sq_e18 > 0 THEN " +
+          s"CAST(floor(1000000.0 * $prTree) AS BIGINT) END")
+          .as("pr_micro"),
+        expr(s"CASE WHEN sum_v_sq_e18 > 0 THEN " +
+          s"CAST(floor(1000000.0 * ($prTree / " +
+          s"CAST(n_dims AS DOUBLE))) AS BIGINT) END")
+          .as("pr_frac_micro"))
+  }
+
   def pqBlockCorr(emb: DataFrame, subLen: Int,
                   barMicro: Long): DataFrame =
     dimCorrCensus(emb)

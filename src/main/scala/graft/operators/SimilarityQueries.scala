@@ -65,6 +65,56 @@ object SimilarityQueries {
     SimilarityOps.pqBlockCorr(emb(spark, dir), PqBlockSubLen,
       SimilarityOps.RedundantAbsMicro)
 
+  def qEffectiveDim(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.effectiveDim(emb(spark, dir))
+
+  /** V51 oracle: the V29 variance census, per-dim squares floored in
+    * 10¹⁸-scaled units before the cross-dim sum, one-row PR trees.
+    */
+  private val effectiveDimOracle = {
+    val prTree =
+      "(((CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE)) / " +
+        "CAST(1000000000000000000 AS DOUBLE)) / " +
+        "CAST(greatest(sum_v_sq_e18, 1) AS DOUBLE))"
+    s"""WITH ev AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |),
+       |mv AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(floor(v * 1000.0) AS BIGINT) AS v
+       |  FROM ev
+       |),
+       |g AS (
+       |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS s,
+       |    CAST(sum(v * v) AS BIGINT) AS s2
+       |  FROM mv GROUP BY 1
+       |),
+       |vn AS (
+       |  SELECT CAST(n * s2 - s * s AS BIGINT) AS v_num,
+       |    CAST(floor((CAST(n * s2 - s * s AS DOUBLE) *
+       |      CAST(n * s2 - s * s AS DOUBLE)) /
+       |      CAST(1000000000000000000 AS DOUBLE)) AS BIGINT)
+       |      AS v_sq_e18
+       |  FROM g
+       |),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_dims,
+       |    CAST(sum(v_num) AS BIGINT) AS sum_v,
+       |    CAST(sum(v_sq_e18) AS BIGINT) AS sum_v_sq_e18
+       |  FROM vn
+       |)
+       |SELECT n_dims, sum_v, sum_v_sq_e18,
+       |  CASE WHEN sum_v_sq_e18 > 0 THEN
+       |    CAST(floor(1000000.0 * $prTree) AS BIGINT) END AS pr_micro,
+       |  CASE WHEN sum_v_sq_e18 > 0 THEN
+       |    CAST(floor(1000000.0 * ($prTree / CAST(n_dims AS DOUBLE)))
+       |      AS BIGINT) END AS pr_frac_micro
+       |FROM t""".stripMargin
+  }
+
   /** V48 oracle: the sum-vector identity over the same milli-quantized
     * unit vectors — per-(label, dim) integer component sums, per-dim
     * squares floored from the double product, label censuses rolled
@@ -3266,6 +3316,7 @@ object SimilarityQueries {
     "q_anisotropy"     -> (qAnisotropy _),
     "q_dim_corr"       -> (qDimCorr _),
     "q_pq_block_corr"  -> (qPqBlockCorr _),
+    "q_effective_dim"  -> (qEffectiveDim _),
     "q_norm_census"    -> (qNormCensus _),
     "q_pca"            -> (qPca _),
     "q_ann_batch"      -> (qAnnBatch _),
@@ -3322,6 +3373,7 @@ object SimilarityQueries {
     "q_anisotropy"     -> anisotropyOracle,
     "q_dim_corr"       -> dimCorrOracle,
     "q_pq_block_corr"  -> pqBlockCorrOracle,
+    "q_effective_dim"  -> effectiveDimOracle,
     "q_norm_census"    -> normCensusOracle,
     "q_pca"            -> pcaOracle,
     "q_ann_batch"      -> annBatchOracle,

@@ -230,6 +230,66 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X75: junk bar for [[tokenLenCensus]] — whitespace tokens longer
+    * than this are overwhelmingly URLs, hashes, DNA-style runs, or
+    * extraction failures in web corpora.
+    */
+  val LongTokenLen = 15L
+
+  /** X75: token-length census per source — the tokenizer-facing
+    * diagnostic X61's CHARACTER classes cannot see: two sources with
+    * identical alpha/digit splits can still differ wildly in token
+    * GEOMETRY (mean length, tail length), and that geometry is what
+    * drives BPE fertility (X34), budget estimates (X1's bytes/token),
+    * and the classic junk signals — very long whitespace tokens are
+    * URLs, base64 blobs, and no-space extraction failures (the
+    * Gopher rule set carries exactly this bar). Per source: token
+    * count, exact mean length, rank-picked p95 length, max, and the
+    * over-bar share.
+    *
+    * Exactness: lengths and counts exact integers; mean an integer
+    * micro floor-division; p95 the rank-picked ACTUAL length at
+    * position ((n−1)·19) div 20 + 1 of the (source, len) census (the
+    * X46 discipline, no interpolation); share an integer ppm floor
+    * division.
+    *
+    * Scale shape: one token scan into the (source, len) census
+    * partial-agg (lengths are ≤ max-token-length distinct values per
+    * source, so the census is tiny); the rank pick and every rollup
+    * ride census windows — nothing corpus-sized past the first
+    * Exchange.
+    */
+  def tokenLenCensus(docs: DataFrame): DataFrame = {
+    val cen = parallelized(docs)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("source"), length(col("t")).cast("long").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("cnt"))
+    val base = cen.groupBy("source")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt") * col("len")).as("sum_len"),
+        max("len").as("max_len"),
+        sum(when(col("len") > LongTokenLen, col("cnt")).otherwise(0L))
+          .as("n_long"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("len")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+    val p95 = cen
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wSrc))
+      .filter(col("cum") >= expr("((n - 1) * 19) div 20 + 1"))
+      .groupBy("source").agg(min("len").as("p95_len"))
+    base.join(p95, "source")
+      .select(col("source"), col("n_tokens"),
+        expr("(sum_len * 1000000) div n_tokens").as("mean_len_micro"),
+        col("p95_len"), col("max_len"),
+        expr("(1000000 * n_long) div n_tokens").as("long_ppm"))
+      .orderBy("source")
+  }
+
   /** X57: weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES) — the missing third sampling mode beside X31's
     * exact-N uniform strata and X29's rate-based temperature mix: an

@@ -42,6 +42,51 @@ object TextQueries {
   def qLangMix(spark: SparkSession, dir: String): DataFrame =
     TextOps.langMixCensus(Tables.documents(spark, dir))
 
+  def qTokLen(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenLenCensus(Tables.documents(spark, dir))
+
+  /** X75 oracle: the (source, len) census, rank-picked p95, integer
+    * floor divisions.
+    */
+  private val tokLenOracle =
+    s"""WITH tl AS (
+       |  SELECT source, CAST(length(t) AS BIGINT) AS len
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |),
+       |cen AS (
+       |  SELECT source, len, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tl GROUP BY 1, 2
+       |),
+       |base AS (
+       |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cnt * len) AS BIGINT) AS sum_len,
+       |    CAST(max(len) AS BIGINT) AS max_len,
+       |    CAST(sum(CASE WHEN len > ${TextOps.LongTokenLen}
+       |             THEN cnt ELSE 0 END) AS BIGINT) AS n_long
+       |  FROM cen GROUP BY 1
+       |),
+       |rk AS (
+       |  SELECT source, len,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM cen
+       |),
+       |p95 AS (
+       |  SELECT source, CAST(min(len) AS BIGINT) AS p95_len FROM rk
+       |  WHERE cum >= ((n - 1) * 19) // 20 + 1 GROUP BY 1
+       |)
+       |SELECT b.source, b.n_tokens,
+       |  CAST((b.sum_len * 1000000) // b.n_tokens AS BIGINT)
+       |    AS mean_len_micro,
+       |  p.p95_len, b.max_len,
+       |  CAST((1000000 * b.n_long) // b.n_tokens AS BIGINT)
+       |    AS long_ppm
+       |FROM base b JOIN p95 p USING (source)
+       |ORDER BY source""".stripMargin
+
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(spark, dir), ShingleN).orderBy("doc_id")
 
@@ -3619,6 +3664,7 @@ object TextQueries {
     "q_lang_id"       -> (qLangId _),
     "q_lang_confusion" -> (qLangConfusion _),
     "q_lang_mix"      -> (qLangMix _),
+    "q_tok_len"       -> (qTokLen _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
@@ -3709,6 +3755,7 @@ object TextQueries {
     "q_lang_id"       -> langIdOracle,
     "q_lang_confusion" -> langConfusionOracle,
     "q_lang_mix"      -> langMixOracle,
+    "q_tok_len"       -> tokLenOracle,
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,

@@ -1360,6 +1360,34 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 0L, 1L, 0L, None, None)))
   }
 
+  test("qteCensus: rank-picked per-arm quantiles, exact integer " +
+    "differences, single-arm types emit nothing") {
+    // type t: arm A values {100,200,300,400}, arm B {200,400,600,800}
+    // positions on n=4: p25->1, p50->2, p75->3, p90->3
+    // type u: only odd users -> inner join drops it
+    val rows = Seq(
+      (2L, "t", 1.00), (4L, "t", 2.00), (6L, "t", 3.00),
+      (8L, "t", 4.00),
+      (1L, "t", 2.00), (3L, "t", 4.00), (5L, "t", 6.00),
+      (7L, "t", 8.00),
+      (1L, "u", 5.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.qteCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("q_label"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("q_a"),
+        r.getAs[Long]("q_b"), r.getAs[Long]("qte")))
+    assert(out.toSeq === Seq(
+      ("t", "p25", 4L, 4L, 100L, 200L, 100L),
+      ("t", "p50", 4L, 4L, 200L, 400L, 200L),
+      ("t", "p75", 4L, 4L, 300L, 600L, 300L),
+      ("t", "p90", 4L, 4L, 300L, 600L, 300L)))
+  }
+
   test("momentsCensus: exact power sums, IEEE-pinned skew/kurtosis, " +
     "zero-variance type reads NULL") {
     // type t: per-user counts {3, 1, 2} -> n=3 s1=6 s2=14 s3=36 s4=98

@@ -1430,6 +1430,25 @@ class SimilarityOpsSpec extends SparkSpec {
       (1L, 2L, 3L, 0L, 24000000L, 0L, 0L, false)))
   }
 
+  test("effectiveDim: PR = d on an isotropic pair, PR = 1 under " +
+    "collapse, constant embeddings read NULL") {
+    // isotropic: v_num = 1e12 per dim, squares floor to 1e6 exactly
+    // -> PR = (2e12)^2/1e18 / 2e6 = 2.0
+    val iso = SimilarityOps.effectiveDim(emb(
+      (0L, Seq(1000f, 0f), 0), (1L, Seq(0f, 1000f), 0))).collect()
+    assert(iso.length === 1)
+    assert(iso.head.getAs[Long]("pr_micro") === 2000000L)
+    assert(iso.head.getAs[Long]("pr_frac_micro") === 1000000L)
+    // collapsed onto dim 0: v_num = (4e12, 0) -> PR = 1.0
+    val col1 = SimilarityOps.effectiveDim(emb(
+      (0L, Seq(1000f, 5f), 0), (1L, Seq(3000f, 5f), 0))).collect()
+    assert(col1.head.getAs[Long]("pr_micro") === 1000000L)
+    // constant embedding: zero variance everywhere -> NULL
+    val const = SimilarityOps.effectiveDim(emb(
+      (0L, Seq(7f, 7f), 0), (1L, Seq(7f, 7f), 0))).collect()
+    assert(const.head.getAs[java.lang.Long]("pr_micro") === null)
+  }
+
   test("pqBlockCorr: dim pairs roll up to the block grid, cross " +
     "cells flagged, integer mean") {
     // subLen 2 over 3 dims -> blocks {0: dims 0,1} {1: dim 2};

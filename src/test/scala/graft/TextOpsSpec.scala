@@ -1683,6 +1683,22 @@ class TextOpsSpec extends SparkSpec {
       ("s1", 1L, 0L, 0L)))
   }
 
+  test("tokenLenCensus: exact mean, rank-picked p95, junk bar") {
+    // s0: lens {1,2,3} -> n 3, mean 2.0, p95 pos = 2 -> len 2, max 3
+    // s1: lens {18,1} -> mean 9.5, p95 pos = 1 -> len 1, one long
+    val d = Seq(
+      (1L, "a bb ccc", "s0"),
+      (2L, "aaaaaaaaaaaaaaaaaa x", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.tokenLenCensus(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("mean_len_micro"), r.getAs[Long]("p95_len"),
+        r.getAs[Long]("max_len"), r.getAs[Long]("long_ppm")))
+    assert(out.toSeq === Seq(
+      ("s0", 3L, 2000000L, 2L, 3L, 0L),
+      ("s1", 2L, 9500000L, 1L, 18L, 500000L)))
+  }
+
   test("shingleDfCensus: exact log2 buckets off binary length, even " +
     "pair mass halves exactly, census cumulative") {
     // three identical 5-token docs -> one gram with df=3 (bucket 2);
