@@ -5294,6 +5294,146 @@ object RelationalQueries {
        |    AS rho2_micro
        |FROM f ORDER BY event_type""".stripMargin
 
+  // ------------------------- difference-in-differences (R68)
+
+  /** Shared cell-mean and DID trees over the eight-integer census —
+    * greatest() floors per the R64 hoisting rule.
+    */
+  private def didMean(s: String, n: String): String =
+    s"(CAST($s AS DOUBLE) / CAST(greatest($n, 1) AS DOUBLE))"
+  private val didTree =
+    s"((${didMean("s_b_post", "n_b_post")} - " +
+      s"${didMean("s_b_pre", "n_b_pre")}) - " +
+      s"(${didMean("s_a_post", "n_a_post")} - " +
+      s"${didMean("s_a_pre", "n_a_pre")}))"
+  private val didGuard =
+    "n_a_pre > 0 AND n_a_post > 0 AND n_b_pre > 0 AND n_b_post > 0"
+
+  /** R68: difference-in-differences per event type — the causal
+    * readout when assignment is NOT randomized (Card & Krueger 1994
+    * made it canonical): the treatment arm's pre→post change minus
+    * the control arm's pre→post change cancels any level difference
+    * between the arms AND any common time shock, leaving the
+    * treatment effect under the parallel-trends assumption. Here the
+    * arms are the same deterministic split as R33/R59 and the period
+    * boundary is R65's event-weighted median day, so the whole
+    * experiment battery reads one consistent design; cell outcome =
+    * total cents / distinct users in the cell (the repeated
+    * cross-section form).
+    *
+    * Exactness: the eight cell integers (distinct users + cents sums
+    * per arm × period) are exact; the four cell means are integer
+    * micro floor-divisions in the output; DID is ONE micro-floored
+    * fixed double tree with greatest()-floored divisors (the R64
+    * rule), NULL when any cell is empty — the guard compares
+    * integers only.
+    *
+    * Scale shape: the R65 median census, then one
+    * (type, arm, period, user) distinct → one (type) census Exchange
+    * carrying eight integers; ≤ #event_types rows after.
+    */
+  def qDid(spark: SparkSession, dir: String): DataFrame =
+    didCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def didCensus(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(lit(0)).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(0))
+    val med = daily
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("t", sum("cnt").over(wAll))
+      .filter(col("cum") >= expr("(t + 1) div 2"))
+      .agg(min("day").as("med_day"))
+    val cell = ev.crossJoin(broadcast(med))
+      .select(col("event_type"), col("user_id"),
+        expr("user_id % 2").as("arm"),
+        (to_date(col("ts")) < col("med_day")).as("pre"),
+        cents(col("value")).as("v"))
+      .groupBy("event_type", "user_id", "arm", "pre")
+      .agg(sum("v").as("s"))
+    cell.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0L && col("pre"), 1L).otherwise(0L))
+          .as("n_a_pre"),
+        sum(when(col("arm") === 0L && !col("pre"), 1L).otherwise(0L))
+          .as("n_a_post"),
+        sum(when(col("arm") === 1L && col("pre"), 1L).otherwise(0L))
+          .as("n_b_pre"),
+        sum(when(col("arm") === 1L && !col("pre"), 1L).otherwise(0L))
+          .as("n_b_post"),
+        sum(when(col("arm") === 0L && col("pre"), col("s"))
+          .otherwise(0L)).as("s_a_pre"),
+        sum(when(col("arm") === 0L && !col("pre"), col("s"))
+          .otherwise(0L)).as("s_a_post"),
+        sum(when(col("arm") === 1L && col("pre"), col("s"))
+          .otherwise(0L)).as("s_b_pre"),
+        sum(when(col("arm") === 1L && !col("pre"), col("s"))
+          .otherwise(0L)).as("s_b_post"))
+      .select(col("event_type"), col("n_a_pre"), col("n_a_post"),
+        col("n_b_pre"), col("n_b_post"), col("s_a_pre"),
+        col("s_a_post"), col("s_b_pre"), col("s_b_post"),
+        expr(s"CASE WHEN $didGuard THEN " +
+          s"CAST(floor(1000000.0 * $didTree) AS BIGINT) END")
+          .as("did_micro"))
+      .orderBy("event_type")
+  }
+
+  private val didOracle =
+    s"""$evCte,
+       |daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1
+       |),
+       |wc AS (
+       |  SELECT day,
+       |    CAST(sum(cnt) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS t
+       |  FROM daily
+       |),
+       |med AS (SELECT min(day) AS med_day FROM wc
+       |        WHERE cum >= (t + 1) // 2),
+       |cell AS (
+       |  SELECT event_type, user_id, user_id % 2 AS arm,
+       |    CAST(ts AS DATE) < m.med_day AS pre,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+       |      AS s
+       |  FROM ev, med m GROUP BY 1, 2, 3, 4
+       |),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN arm = 0 AND pre THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a_pre,
+       |    CAST(sum(CASE WHEN arm = 0 AND NOT pre THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a_post,
+       |    CAST(sum(CASE WHEN arm = 1 AND pre THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b_pre,
+       |    CAST(sum(CASE WHEN arm = 1 AND NOT pre THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b_post,
+       |    CAST(sum(CASE WHEN arm = 0 AND pre THEN s ELSE 0 END)
+       |         AS BIGINT) AS s_a_pre,
+       |    CAST(sum(CASE WHEN arm = 0 AND NOT pre THEN s ELSE 0 END)
+       |         AS BIGINT) AS s_a_post,
+       |    CAST(sum(CASE WHEN arm = 1 AND pre THEN s ELSE 0 END)
+       |         AS BIGINT) AS s_b_pre,
+       |    CAST(sum(CASE WHEN arm = 1 AND NOT pre THEN s ELSE 0 END)
+       |         AS BIGINT) AS s_b_post
+       |  FROM cell GROUP BY 1
+       |)
+       |SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+       |  s_a_pre, s_a_post, s_b_pre, s_b_post,
+       |  CASE WHEN $didGuard THEN
+       |    CAST(floor(1000000.0 * $didTree) AS BIGINT) END
+       |    AS did_micro
+       |FROM cen ORDER BY event_type""".stripMargin
+
   // ------------------------------- sample-ratio mismatch (R66)
 
   /** χ²(1) upper bound at α = 0.001 in micro units — SRM pages at a
@@ -6003,6 +6143,7 @@ object RelationalQueries {
     "q_cuped"        -> (qCuped _),
     "q_srm"          -> (qSrm _),
     "q_qte"          -> (qQte _),
+    "q_did"          -> (qDid _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6077,6 +6218,7 @@ object RelationalQueries {
     "q_cuped"        -> cupedOracle,
     "q_srm"          -> srmOracle,
     "q_qte"          -> qteOracle,
+    "q_did"          -> didOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -1253,6 +1253,37 @@ class ScaleOpsSpec extends SparkSpec {
         Some(-928572L), Some(862244L))))
   }
 
+  test("didCensus: four cells off the shared median boundary, " +
+    "hand-computed DID, empty cell reads NULL") {
+    // med_day = day2 (2 events day1, 3 day2)
+    // type t: a_pre {u2:100}, a_post {u2:200, u4:400},
+    //         b_pre {u1:300}, b_post {u1:100}
+    // DID = (100-300) - (300-100) = -400 cents -> -400000000 micro
+    // type u: post-only odd user -> n_b_pre = 0 -> NULL
+    val rows = Seq(
+      (2L, "t", "2024-01-01 10:00:00", 1.00),
+      (1L, "t", "2024-01-01 11:00:00", 3.00),
+      (2L, "t", "2024-01-02 10:00:00", 2.00),
+      (4L, "t", "2024-01-02 11:00:00", 4.00),
+      (1L, "t", "2024-01-02 12:00:00", 1.00),
+      (1L, "u", "2024-01-02 13:00:00", 9.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, ts, v), i) => (i.toLong, u, t, ts, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.didCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_a_pre"), r.getAs[Long]("n_a_post"),
+        r.getAs[Long]("n_b_pre"), r.getAs[Long]("n_b_post"),
+        r.getAs[Long]("s_a_pre"), r.getAs[Long]("s_a_post"),
+        r.getAs[Long]("s_b_pre"), r.getAs[Long]("s_b_post"),
+        Option(r.getAs[java.lang.Long]("did_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("t", 1L, 2L, 1L, 1L, 100L, 600L, 300L, 100L,
+        Some(-400000000L)),
+      ("u", 0L, 0L, 0L, 1L, 0L, 0L, 0L, 900L, None)))
+  }
+
   test("srmCensus: two-cell chi2 collapses to (na-nb)^2/n, alarm at " +
     "the 0.001 bar") {
     // type t: 3 even vs 1 odd user -> chi2 = 4/4 = 1.0, no alarm
