@@ -2829,25 +2829,30 @@ object SimilarityOps {
           sqrt(col("ssq").cast("double"))).cast("long")))
     val rows = m.select(col("label"),
       posexplode(col("q")).as(Seq("dim", "qd")))
-    // (label, dim) component sums + per-label n and self-cos mass
+    // ONE census Exchange carries everything: component sums,
+    // self-cos mass, AND the vector count — every vector contributes
+    // every dim (fixed-length arrays), so any dim's row count IS the
+    // label's n, and no second scan of the quantization pipeline is
+    // needed (the first integration re-derived it three times —
+    // PlanProbe-caught, 1.96 s → one-scan shape)
     val dimCen = rows.groupBy("label", "dim")
       .agg(sum("qd").as("s_d"),
-        sum(col("qd") * col("qd")).as("self_d"))
-    val byLabel = dimCen.groupBy("label")
+        sum(col("qd") * col("qd")).as("self_d"),
+        count(lit(1)).as("cnt"))
+      .cache()
+    val lab = dimCen.groupBy("label")
       .agg(sum(expr("CAST(floor(CAST(s_d AS DOUBLE) * " +
           "CAST(s_d AS DOUBLE)) AS BIGINT)")).as("snorm2"),
-        sum("self_d").as("selfsum"))
-    val nByLabel = m.groupBy("label").agg(count(lit(1)).as("n"))
-    val lab = byLabel.join(nByLabel, "label")
+        sum("self_d").as("selfsum"), max("cnt").as("n"))
     // corpus row: integer rollup of the label censuses (label = -1);
-    // ‖S‖² re-floors off the corpus-level per-dim sums
-    val corpusDim = dimCen.groupBy("dim")
-      .agg(sum("s_d").as("s_d"), sum("self_d").as("self_d"))
-    val corpus = corpusDim
+    // ‖S‖² re-floors off the corpus-level per-dim sums, n sums over
+    // any one dim's counts
+    val corpus = dimCen.groupBy("dim")
+      .agg(sum("s_d").as("s_d"), sum("self_d").as("self_d"),
+        sum("cnt").as("cnt"))
       .agg(sum(expr("CAST(floor(CAST(s_d AS DOUBLE) * " +
           "CAST(s_d AS DOUBLE)) AS BIGINT)")).as("snorm2"),
-        sum("self_d").as("selfsum"))
-      .crossJoin(broadcast(m.agg(count(lit(1)).as("n"))))
+        sum("self_d").as("selfsum"), max("cnt").as("n"))
       .select(lit(-1L).as("label"), col("snorm2"), col("selfsum"),
         col("n"))
     lab.select(col("label"), col("snorm2"), col("selfsum"), col("n"))

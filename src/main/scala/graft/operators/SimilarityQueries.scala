@@ -144,31 +144,29 @@ object SimilarityQueries {
        |),
        |dimcen AS (
        |  SELECT label, dim, CAST(sum(qd) AS BIGINT) AS s_d,
-       |    CAST(sum(qd * qd) AS BIGINT) AS self_d
+       |    CAST(sum(qd * qd) AS BIGINT) AS self_d,
+       |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM q GROUP BY 1, 2
        |),
        |bylabel AS (
        |  SELECT label,
        |    CAST(sum(CAST(floor(CAST(s_d AS DOUBLE) *
        |      CAST(s_d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS snorm2,
-       |    CAST(sum(self_d) AS BIGINT) AS selfsum
+       |    CAST(sum(self_d) AS BIGINT) AS selfsum,
+       |    CAST(max(cnt) AS BIGINT) AS n
        |  FROM dimcen GROUP BY 1
-       |),
-       |nlab AS (
-       |  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
-       |  FROM q GROUP BY 1
        |),
        |corpusdim AS (
        |  SELECT dim, CAST(sum(s_d) AS BIGINT) AS s_d,
-       |    CAST(sum(self_d) AS BIGINT) AS self_d
+       |    CAST(sum(self_d) AS BIGINT) AS self_d,
+       |    CAST(sum(cnt) AS BIGINT) AS cnt
        |  FROM dimcen GROUP BY 1
        |),
        |un AS (
-       |  SELECT b.label, n.n, b.snorm2, b.selfsum
-       |  FROM bylabel b JOIN nlab n USING (label)
+       |  SELECT label, n, snorm2, selfsum FROM bylabel
        |  UNION ALL
        |  SELECT CAST(-1 AS BIGINT) AS label,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM ss WHERE ssq > 0) AS n,
+       |    CAST(max(cnt) AS BIGINT) AS n,
        |    CAST(sum(CAST(floor(CAST(s_d AS DOUBLE) *
        |      CAST(s_d AS DOUBLE)) AS BIGINT)) AS BIGINT) AS snorm2,
        |    CAST(sum(self_d) AS BIGINT) AS selfsum
