@@ -3699,7 +3699,11 @@ object TextOps {
     * band, so bucket-join + exact `bit_count(xor)` filter finds all of
     * them without a cross join.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+  /** The banded candidate stream with exact Hamming distances, BEFORE
+    * the bar — shared by [[simhashPairs]] (which filters) and D33's
+    * histogram (which censuses the whole stream).
+    */
+  def simhashCandidates(docs: DataFrame): DataFrame =
     Banding.bandedCandidates(simhash(docs), "doc_id",
       (0 until 4).map(k =>
         shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))),
@@ -3708,7 +3712,42 @@ object TextOps {
         col("simhash2").as("sh2"))
       .withColumn("hamming",
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashCandidates(docs).filter(col("hamming") <= maxHamming)
+
+  /** D33: SimHash candidate Hamming histogram — D17's measured-basis
+    * table for the OTHER detector (D17 histograms the MinHash
+    * candidates' exact Jaccard to place the D2/D3 bar; this
+    * histograms the banded SimHash candidates' exact Hamming to place
+    * D4's): per distance, the pair count, the running cumulative, and
+    * whether the distance sits within the production bar — "what does
+    * loosening the bar to h admit" answered from the candidate stream
+    * the index actually produces. Completeness is the banding
+    * pigeonhole: distances ≤ 3 are ALL pairs (4×8-bit bands); above,
+    * rows census what the index surfaces — exactly the population a
+    * bar change would act on (documented; a wider-band index would
+    * widen the complete region).
+    *
+    * Exactness: distances are bit_count over integer XOR; counts and
+    * the cumulative exact integers; the bar flag an integer compare.
+    *
+    * Scale shape: the D4 candidate pipeline (banded, never all-pairs)
+    * into a ≤ 33-row histogram census; the cumulative window runs
+    * over those rows (the X33 discipline).
+    */
+  def simhashHammingHist(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val c = simhashCandidates(docs).groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("hamming")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    c.withColumn("cum_pairs", sum("n_pairs").over(wCum))
+      .withColumn("within_bar", col("hamming") <= maxHamming)
+      .orderBy("hamming")
+  }
 
   /** D29: detector disagreement census — the CROSS-DETECTOR audit
     * over the two near-dup families the engine ships: which pairs do

@@ -45,6 +45,60 @@ object TextQueries {
   def qTokLen(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenLenCensus(Tables.documents(spark, dir))
 
+  def qSimhashHist(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashHammingHist(docs(spark, dir), SimhashMaxHamming)
+
+  /** D33 oracle: the q_dedup_simhash chain through the candidate
+    * relation, then the histogram census.
+    */
+  private val simhashHistOracle: String = {
+    val bitSums = (0 until Hashing.SimhashBits).map(b =>
+      s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)" +
+        s" AS BIGINT) AS s$b")
+      .mkString(",\n    ")
+    val simExpr = (0 until Hashing.SimhashBits).map(b =>
+      s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString(" + ")
+    s"""WITH tok2 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |),
+       |th AS (SELECT doc_id,
+       |       ${h60("t")} % ${Hashing.SimhashMod} AS h FROM tok2),
+       |bs AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id
+       |),
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+       |        FROM bs),
+       |bands AS (
+       |  SELECT doc_id, simhash, k.k,
+       |    (simhash >> (8 * k.k)) & 255 AS band
+       |  FROM sim, (VALUES (0), (1), (2), (3)) k(k)
+       |),
+       |pr AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         a.simhash AS sh1, b.simhash AS sh2
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+       |),
+       |g AS (
+       |  SELECT CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+       |  FROM pr
+       |),
+       |c AS (
+       |  SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM g GROUP BY 1
+       |)
+       |SELECT hamming, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY hamming
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_pairs,
+       |  hamming <= $SimhashMaxHamming AS within_bar
+       |FROM c ORDER BY hamming""".stripMargin
+  }
+
   /** X75 oracle: the (source, len) census, rank-picked p95, integer
     * floor divisions.
     */
@@ -3665,6 +3719,7 @@ object TextQueries {
     "q_lang_confusion" -> (qLangConfusion _),
     "q_lang_mix"      -> (qLangMix _),
     "q_tok_len"       -> (qTokLen _),
+    "q_simhash_hist"  -> (qSimhashHist _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
@@ -3756,6 +3811,7 @@ object TextQueries {
     "q_lang_confusion" -> langConfusionOracle,
     "q_lang_mix"      -> langMixOracle,
     "q_tok_len"       -> tokLenOracle,
+    "q_simhash_hist"  -> simhashHistOracle,
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,

@@ -65,7 +65,6 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_gap_census",     // one-row summary x calendar-bounded histogram
     "q_runs_test",      // broadcast one-row median into the day census
     "q_levene",         // broadcast one-row global (N,k,Z,SS,U) census
-    "q_anisotropy",     // broadcast one-row corpus n onto the rollup
     "q_cuped",          // broadcast one-row median-day boundary
     "q_kmv_overlap",    // broadcast tiny source-pair grid
     "q_qte",            // census x broadcast 4-row quantile grid

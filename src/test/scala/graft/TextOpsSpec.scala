@@ -1683,6 +1683,26 @@ class TextOpsSpec extends SparkSpec {
       ("s1", 1L, 0L, 0L)))
   }
 
+  test("simhashHammingHist: identical docs read distance 0, the " +
+    "histogram partitions the candidate stream, cumulative exact") {
+    val d = docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different words everywhere now"))
+    val hist = TextOps.simhashHammingHist(d, 3).collect()
+      .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("cum_pairs"), r.getAs[Boolean]("within_bar")))
+    // docs 1/2 are byte-identical -> a distance-0 candidate pair
+    assert(hist.head._1 === 0L && hist.head._2 >= 1L)
+    // cumulative is a running sum and the bar flag matches <= 3
+    hist.foldLeft(0L) { case (acc, (h, n, cum, bar)) =>
+      assert(cum === acc + n); assert(bar === (h <= 3L)); cum
+    }
+    // the histogram censuses exactly the unfiltered candidate stream
+    val total = TextOps.simhashCandidates(d).count()
+    assert(hist.map(_._2).sum === total)
+  }
+
   test("tokenLenCensus: exact mean, rank-picked p95, junk bar") {
     // s0: lens {1,2,3} -> n 3, mean 2.0, p95 pos = 2 -> len 2, max 3
     // s1: lens {18,1} -> mean 9.5, p95 pos = 1 -> len 1, one long
