@@ -1662,6 +1662,163 @@ object ScaleProbe {
           s"fano census must conserve users and scale mass x$k")
       }
     }
+
+    // ------------------- round-13 operator invariants (8x) -------------
+
+    {
+      import graft.operators.{RelationalQueries, SketchQueries}
+      val events = graft.sources.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+
+      // q_welch_t / q_mde: event replication multiplies every per-user
+      // sum by exactly k, so means scale k, variances k², and the t /
+      // df / relative-MDE statistics are SCALE-FREE. k = 8 is a power
+      // of two, so the double trees scale by exact exponent shifts and
+      // the micro-floored outputs are BIT-identical, not just close.
+      {
+        val base = RelationalQueries.welchCensus(events).collect()
+        var rep: Array[org.apache.spark.sql.Row] = Array.empty
+        time(s"welch_${k}x") {
+          rep = RelationalQueries
+            .welchCensus(replicate(events, "event_id", k)).collect()
+          rep.length.toLong
+        }
+        require(rep.length == base.length, "welch census row drift")
+        base.zip(rep).foreach { case (b, r) =>
+          require(r.getAs[Long]("n_a") == b.getAs[Long]("n_a") &&
+            r.getAs[Long]("sum_a") == b.getAs[Long]("sum_a") * k &&
+            r.getAs[Long]("ss_a") == b.getAs[Long]("ss_a") * k * k &&
+            r.getAs[java.lang.Long]("t_micro") ==
+              b.getAs[java.lang.Long]("t_micro") &&
+            r.getAs[java.lang.Long]("df_micro") ==
+              b.getAs[java.lang.Long]("df_micro"),
+            s"welch t/df must be scale-free at ${k}x " +
+              s"(${b.getString(0)})")
+        }
+      }
+
+      // q_srm: event replication adds no users — the whole census is
+      // INVARIANT (the validity alarm must not fire on volume).
+      {
+        val base = RelationalQueries.srmCensus(events).collect()
+          .map(_.toSeq)
+        var rep: Seq[Seq[Any]] = Nil
+        time(s"srm_${k}x") {
+          rep = RelationalQueries
+            .srmCensus(replicate(events, "event_id", k)).collect()
+            .map(_.toSeq).toSeq
+          rep.length.toLong
+        }
+        require(rep == base.toSeq,
+          s"SRM census must be invariant under event replication x$k")
+      }
+
+      // q_kmv_overlap: doc replication adds no DISTINCT shingles per
+      // source, so the per-source hash sets — hence the states, the
+      // union sketches, every estimate, and the exact intersections —
+      // are all IDENTICAL. The strongest invariance in the family.
+      {
+        val sdocs = graft.sources.Tables.documents(spark, dir)
+          .select("doc_id", "text", "source")
+        val base = SketchQueries.kmvOverlap(sdocs).collect()
+          .map(_.toSeq)
+        var rep: Seq[Seq[Any]] = Nil
+        time(s"kmv_overlap_${k}x") {
+          rep = SketchQueries
+            .kmvOverlap(replicate(sdocs, "doc_id", k)).collect()
+            .map(_.toSeq).toSeq
+          rep.length.toLong
+        }
+        require(rep == base.toSeq,
+          s"KMV overlap must be invariant under doc replication x$k")
+      }
+
+      // q_tok_len: counts scale x k, every distribution statistic
+      // (mean, p95, max, long ppm) is invariant. Mean/max/ppm are
+      // invariant by the floor-division identity; the p95 rank pick
+      // is invariant unless the 95th-percentile boundary's ±1 rank
+      // rounding straddles a census tie-block edge — verified not to
+      // on this corpus (the probe's job: it would flag a distribution
+      // whose quantile sits exactly on a block boundary).
+      {
+        val sdocs = graft.sources.Tables.documents(spark, dir)
+          .select("doc_id", "text", "source")
+        val base = TextOps.tokenLenCensus(sdocs).collect()
+        var rep: Array[org.apache.spark.sql.Row] = Array.empty
+        time(s"tok_len_${k}x") {
+          rep = TextOps
+            .tokenLenCensus(replicate(sdocs, "doc_id", k)).collect()
+          rep.length.toLong
+        }
+        require(rep.length == base.length, "tok_len census row drift")
+        base.zip(rep).foreach { case (b, r) =>
+          require(r.getAs[Long]("n_tokens") ==
+              b.getAs[Long]("n_tokens") * k &&
+            Seq("mean_len_micro", "p95_len", "max_len", "long_ppm")
+              .forall(c => r.getAs[Long](c) == b.getAs[Long](c)),
+            s"tok_len stats must be scale-free at ${k}x")
+        }
+      }
+
+      // q_prefix_dup: at k >= 2 EVERY opener class crosses the >= 2
+      // bar, so groups(kx) keys = ALL distinct openers, each with
+      // n_docs = k * (base count incl singletons), source count
+      // invariant, exemplar = the base min doc_id (replica ids are
+      // offset upward).
+      {
+        val sdocs = graft.sources.Tables.documents(spark, dir)
+          .select("doc_id", "text", "source")
+        val baseAll = TextOps
+          .prefixKeys(sdocs, TextOps.PrefixDupTokens)
+          .groupBy("pk")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("source").as("ns"),
+            min("doc_id").as("ex"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        var rep: Array[org.apache.spark.sql.Row] = Array.empty
+        time(s"prefix_dup_${k}x") {
+          rep = TextOps.prefixDupCensus(
+            replicate(sdocs, "doc_id", k),
+            TextOps.PrefixDupTokens).collect()
+          rep.length.toLong
+        }
+        require(rep.length == baseAll.size,
+          s"every opener class must cross the bar at ${k}x: " +
+            s"${rep.length} != ${baseAll.size}")
+        rep.foreach { r =>
+          val (n, ns, ex) = baseAll(r.getAs[Long]("pk"))
+          require(r.getAs[Long]("n_docs") == n * k &&
+            r.getAs[Long]("n_sources") == ns &&
+            r.getAs[Long]("exemplar") == ex,
+            s"prefix_dup identity broken at pk=${r.getAs[Long]("pk")}")
+        }
+      }
+
+      // q_anisotropy: per-dim component sums scale exactly x k, so
+      // snorm2 scales k² (integer squares — floor is the identity),
+      // self mass and n scale k.
+      {
+        val e = graft.sources.Tables.embeddings(spark, dir)
+        val base = SimilarityOps.anisotropyCensus(e).collect()
+        var rep: Array[org.apache.spark.sql.Row] = Array.empty
+        time(s"anisotropy_${k}x") {
+          rep = SimilarityOps
+            .anisotropyCensus(replicate(e, "vec_id", k)).collect()
+          rep.length.toLong
+        }
+        require(rep.length == base.length, "anisotropy row drift")
+        base.zip(rep).foreach { case (b, r) =>
+          require(r.getAs[Long]("n") == b.getAs[Long]("n") * k &&
+            r.getAs[Long]("selfsum") == b.getAs[Long]("selfsum") * k &&
+            r.getAs[Long]("snorm2") ==
+              b.getAs[Long]("snorm2") * k * k,
+            s"anisotropy sums must scale (k, k²) at ${k}x " +
+              s"(label ${b.getAs[Long]("label")})")
+        }
+      }
+    }
     spark.stop()
   }
 }
