@@ -259,11 +259,23 @@ object TextOps {
     * ride census windows — nothing corpus-sized past the first
     * Exchange.
     */
-  def tokenLenCensus(docs: DataFrame): DataFrame = {
-    val cen = parallelized(docs)
+  def tokenLenCensus(docs: DataFrame): DataFrame =
+    tokenLenFromCensus(tokenLenPartial(docs))
+
+  /** The (source, len, cnt) census of one documents-shaped frame —
+    * the T24 store's per-batch partial AND the batch census's first
+    * stage (shared kernel, so streamed-vs-batch parity is exact).
+    */
+  def tokenLenPartial(docs: DataFrame): DataFrame =
+    parallelized(docs)
       .select(col("source"), explode(tokens(col("text"))).as("t"))
       .select(col("source"), length(col("t")).cast("long").as("len"))
       .groupBy("source", "len").agg(count(lit(1)).as("cnt"))
+
+  /** X75's statistics off any (source, len, cnt) census — also the
+    * T24 serving read.
+    */
+  def tokenLenFromCensus(cen: DataFrame): DataFrame = {
     val base = cen.groupBy("source")
       .agg(sum("cnt").as("n_tokens"),
         sum(col("cnt") * col("len")).as("sum_len"),
