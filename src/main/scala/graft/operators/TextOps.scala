@@ -302,6 +302,60 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** D34: dedup-yield decision table — the ONE-table summary a
+    * pipeline owner reads before choosing a dedup stack: for each
+    * detector lens the engine ships (D1 exact bytes, D30 opener
+    * class, D3 MinHash set-resemblance at the production bar, D4
+    * SimHash bit agreement at its bar), how many documents are
+    * DUPLICATE-INVOLVED — members of a ≥ 2 class (group detectors) or
+    * of ≥ 1 verified pair (pair detectors) — and what corpus share
+    * that is. D29 answers how the detectors DISAGREE pairwise; this
+    * answers what each one would touch, the number that picks the
+    * stack before any pair-level comparison matters. Semantics
+    * documented: "involved", not "to remove" (removal = involved −
+    * clusters, the D14 keeper question).
+    *
+    * Exactness: every leg is exact integer counting over the shared
+    * kernels (sha256 bytes, the D30 prefix key, the D3/D4 verified
+    * pair relations at their production bars); the share is one
+    * integer ppm floor-division.
+    *
+    * Scale shape: the group legs are one hash-groupBy each; the pair
+    * legs are the candidate-bounded D3/D4 pipelines (re-derived by
+    * bench protocol — deployments read the PairStore tables); all
+    * four reduce to ONE-ROW relations joined against the broadcast
+    * one-row corpus total (whitelisted BNLJ). Output is 4 rows.
+    */
+  def dedupYield(docs: DataFrame, n: Int, jacMicroMin: Long,
+                 maxHamming: Int, prefixP: Int): DataFrame = {
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    def flaggedOfGroups(groups: DataFrame, label: String): DataFrame =
+      groups.filter(col("n") >= 2L)
+        .agg(coalesce(sum("n"), lit(0L)).as("n_flagged"))
+        .select(lit(label).as("detector"), col("n_flagged"))
+    def flaggedOfPairs(pairs: DataFrame, label: String): DataFrame =
+      pairs.select(col("d1").as("doc"))
+        .unionByName(pairs.select(col("d2").as("doc")))
+        .distinct()
+        .agg(count(lit(1)).as("n_flagged"))
+        .select(lit(label).as("detector"), col("n_flagged"))
+    val exact = flaggedOfGroups(
+      docs.groupBy(sha2(col("text"), 256)).agg(count(lit(1)).as("n")),
+      "exact")
+    val opener = flaggedOfGroups(
+      prefixKeys(docs, prefixP).groupBy("pk")
+        .agg(count(lit(1)).as("n")),
+      "opener")
+    val mh = flaggedOfPairs(
+      minhashLshPairs(docs, n, jacMicroMin), "minhash")
+    val sh = flaggedOfPairs(simhashPairs(docs, maxHamming), "simhash")
+    exact.unionByName(opener).unionByName(mh).unionByName(sh)
+      .crossJoin(broadcast(tot))
+      .select(col("detector"), col("n_flagged"), col("n_docs"),
+        expr("(1000000 * n_flagged) div n_docs").as("flagged_ppm"))
+      .orderBy("detector")
+  }
+
   /** X57: weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES) — the missing third sampling mode beside X31's
     * exact-N uniform strata and X29's rate-based temperature mix: an

@@ -48,6 +48,96 @@ object TextQueries {
   def qSimhashHist(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashHammingHist(docs(spark, dir), SimhashMaxHamming)
 
+  def qDedupYield(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dedupYield(Tables.documents(spark, dir), ShingleN,
+      MinhashJacMin, SimhashMaxHamming, TextOps.PrefixDupTokens)
+
+  /** D34 oracle: the minhash chain verbatim, the simhash chain
+    * s_-prefixed (the D29 renaming precedent), group legs inline.
+    */
+  private lazy val dedupYieldOracle: String = {
+    val bitSums = (0 until Hashing.SimhashBits).map(b =>
+      s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)" +
+        s" AS BIGINT) AS s$b")
+      .mkString(",\n    ")
+    val simExpr = (0 until Hashing.SimhashBits).map(b =>
+      s"(CASE WHEN s$b >= 0 THEN 1 ELSE 0 END) * ${1L << b}")
+      .mkString(" + ")
+    val pk = Hashing.md5LongSql(
+      "list_aggregate(string_split(text, ' ')[1:8], 'string_agg', ' ')")
+    s"""$minhashScoredCtes,
+       |s_tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |),
+       |s_th AS (SELECT doc_id,
+       |         ${h60("t")} % ${Hashing.SimhashMod} AS h FROM s_tok),
+       |s_bs AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM s_th GROUP BY doc_id
+       |),
+       |s_sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+       |          FROM s_bs),
+       |s_bands AS (
+       |  SELECT doc_id, simhash, k.k,
+       |    (simhash >> (8 * k.k)) & 255 AS band
+       |  FROM s_sim, (VALUES (0), (1), (2), (3)) k(k)
+       |),
+       |s_pr AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         a.simhash AS sh1, b.simhash AS sh2
+       |  FROM s_bands a JOIN s_bands b
+       |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+       |),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+       |        FROM documents),
+       |ex AS (
+       |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_flagged
+       |  FROM (SELECT count(*) AS n FROM documents
+       |        GROUP BY sha256(text))
+       |  WHERE n >= 2
+       |),
+       |op AS (
+       |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_flagged
+       |  FROM (SELECT count(*) AS n
+       |        FROM (SELECT $pk AS pk FROM documents) GROUP BY pk)
+       |  WHERE n >= 2
+       |),
+       |mhd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_flagged FROM (
+       |    SELECT DISTINCT doc FROM (
+       |      SELECT d1 AS doc FROM scored
+       |      WHERE jac_micro >= $MinhashJacMin
+       |      UNION ALL
+       |      SELECT d2 AS doc FROM scored
+       |      WHERE jac_micro >= $MinhashJacMin
+       |    )
+       |  )
+       |),
+       |shd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_flagged FROM (
+       |    SELECT DISTINCT doc FROM (
+       |      SELECT d1 AS doc FROM s_pr
+       |      WHERE bit_count(xor(sh1, sh2)) <= $SimhashMaxHamming
+       |      UNION ALL
+       |      SELECT d2 AS doc FROM s_pr
+       |      WHERE bit_count(xor(sh1, sh2)) <= $SimhashMaxHamming
+       |    )
+       |  )
+       |),
+       |u AS (
+       |  SELECT 'exact' AS detector, n_flagged FROM ex
+       |  UNION ALL SELECT 'minhash', n_flagged FROM mhd
+       |  UNION ALL SELECT 'opener', n_flagged FROM op
+       |  UNION ALL SELECT 'simhash', n_flagged FROM shd
+       |)
+       |SELECT u.detector, u.n_flagged, t.n_docs,
+       |  CAST((1000000 * u.n_flagged) // t.n_docs AS BIGINT)
+       |    AS flagged_ppm
+       |FROM u, tot t ORDER BY detector""".stripMargin
+  }
+
   /** D33 oracle: the q_dedup_simhash chain through the candidate
     * relation, then the histogram census.
     */
@@ -3720,6 +3810,7 @@ object TextQueries {
     "q_lang_mix"      -> (qLangMix _),
     "q_tok_len"       -> (qTokLen _),
     "q_simhash_hist"  -> (qSimhashHist _),
+    "q_dedup_yield"   -> (qDedupYield _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
@@ -3812,6 +3903,7 @@ object TextQueries {
     "q_lang_mix"      -> langMixOracle,
     "q_tok_len"       -> tokLenOracle,
     "q_simhash_hist"  -> simhashHistOracle,
+    "q_dedup_yield"   -> dedupYieldOracle,
     "q_fingerprint"   -> fingerprintOracle,
     "q_dedup_exact"   -> dedupExactOracle,
     "q_dedup_ngram"   -> dedupNgramOracle,

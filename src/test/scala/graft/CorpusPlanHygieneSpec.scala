@@ -69,6 +69,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_kmv_overlap",    // broadcast tiny source-pair grid
     "q_qte",            // census x broadcast 4-row quantile grid
     "q_did",            // broadcast one-row median-day boundary
+    "q_dedup_yield",    // four one-row legs x broadcast corpus total
     "q_fano",           // broadcast one-row user-total summary
     "q_hill",           // one-row threshold/total/sum relations joined
     "q_retention_slope", // offset grid x cohort census + pair slopes

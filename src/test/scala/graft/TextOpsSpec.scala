@@ -1703,6 +1703,34 @@ class TextOpsSpec extends SparkSpec {
     assert(hist.map(_._2).sum === total)
   }
 
+  test("dedupYield: per-detector duplicate-involved counts on an " +
+    "engineered corpus, exact ppm shares") {
+    // d1/d2 identical; d3 shares their 8-token opener but its full
+    // Jaccard (4/9 = 0.44) sits below the 0.7 minhash bar; d4 unique
+    val d = Seq(
+      (1L, "a b c d e f g h i j", "s0"),
+      (2L, "a b c d e f g h i j", "s1"),
+      (3L, "a b c d e f g h zz yy xx", "s0"),
+      (4L, "z y x w v u t s r q", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.dedupYield(d, 5, 700000L, 3,
+      TextOps.PrefixDupTokens).collect()
+      .map(r => r.getAs[String]("detector") ->
+        (r.getAs[Long]("n_flagged"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("flagged_ppm"))).toMap
+    assert(out("exact") === ((2L, 4L, 500000L)))
+    assert(out("opener") === ((3L, 4L, 750000L)))
+    assert(out("minhash") === ((2L, 4L, 500000L)))
+    // simhash flags are bar-dependent on the engineered tail — pin
+    // self-consistency against the pair relation instead
+    val shDocs = TextOps.simhashPairs(d, 3)
+      .select("d1").union(TextOps.simhashPairs(d, 3).select("d2"))
+      .distinct().count()
+    assert(out("simhash")._1 === shDocs)
+    assert(out("simhash")._3 ===
+      1000000L * out("simhash")._1 / 4L)
+  }
+
   test("tokenLenCensus: exact mean, rank-picked p95, junk bar") {
     // s0: lens {1,2,3} -> n 3, mean 2.0, p95 pos = 2 -> len 2, max 3
     // s1: lens {18,1} -> mean 9.5, p95 pos = 1 -> len 1, one long
