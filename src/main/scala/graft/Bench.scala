@@ -83,8 +83,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // a BENCH_ONLY run renames the stdout metric and carries the
+    // subset size, so a captured line from a targeted re-measure can
+    // never be mistaken for a full-run total (the sidecar's `subset`
+    // flag alone didn't protect stdout captures); the official driver
+    // run never sets the filter, so its stdout schema is unchanged
+    val metric = if (only.isDefined) "subset_total" else "total"
+    val subsetMark =
+      if (only.isDefined) s""","subset":true,"n_queries":${results.length}"""
+      else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetMark}"""
     // stdout is the driver contract (ONE line, schema frozen); the
     // sidecar file is the durable copy — round 6's official artifact
     // was a truncated stdout capture, so the full parsed line must

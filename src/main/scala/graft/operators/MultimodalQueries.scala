@@ -124,8 +124,15 @@ object MultimodalQueries {
       .withColumn("n_first", expr("n_samples div 2"))
       .select(col("doc_id"), col("n_samples"), col("n_first"),
         col("sum_all"), col("sum_first"), col("sum_second"),
-        expr(s"CAST(floor(1000000.0 * ($dcTree)) AS BIGINT)")
-          .as("dc_micro"),
+        // n_samples > 0 guard matches the drift guard below: a
+        // zero-sample WAV would read 0.0/0.0 = NaN, which Spark's
+        // non-ANSI BIGINT cast silently zeroes while DuckDB errors —
+        // the one cross-engine divergence in the family's tree
+        // discipline (unreachable on the synthetic corpus, guarded
+        // for the contract)
+        expr(s"CASE WHEN n_samples > 0 THEN " +
+          s"CAST(floor(1000000.0 * ($dcTree)) AS BIGINT) " +
+          s"ELSE CAST(0 AS BIGINT) END").as("dc_micro"),
         expr(s"CASE WHEN n_first > 0 THEN " +
           s"CAST(floor(1000000.0 * ($driftTree)) AS BIGINT) " +
           s"ELSE CAST(0 AS BIGINT) END").as("drift_micro"))
@@ -193,7 +200,9 @@ object MultimodalQueries {
        |)
        |SELECT doc_id, n_samples, CAST(n_first AS BIGINT) AS n_first,
        |  sum_all, sum_first, sum_second,
-       |  CAST(floor(1000000.0 * ($dcTree)) AS BIGINT) AS dc_micro,
+       |  CASE WHEN n_samples > 0 THEN
+    CAST(floor(1000000.0 * ($dcTree)) AS BIGINT)
+  ELSE CAST(0 AS BIGINT) END AS dc_micro,
        |  CASE WHEN n_first > 0 THEN
        |    CAST(floor(1000000.0 * ($driftTree)) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END AS drift_micro

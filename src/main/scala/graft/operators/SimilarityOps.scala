@@ -2968,7 +2968,15 @@ object SimilarityOps {
     * per-term-floor discipline — sub-ppm distortion at production
     * scale, coarser at toy SFs, IDENTICAL on both engines either
     * way); PR and PR/d are each ONE micro-floored tree over the three
-    * global integers. All-constant embeddings (Σv_d² = 0) read NULL.
+    * global integers. NULL readout (Σ floored v_d² = 0) covers TWO
+    * states, deliberately undistinguished: genuinely all-constant
+    * embeddings (every v_d = 0 exactly) AND a corpus so small that
+    * every per-dim squared numerator sits under the 10¹⁸ scaling bar
+    * (v_num below ~10⁹, i.e. the quantization floor zeroes every
+    * term) — the readout is "no measurable variance mass at this
+    * scale", not specifically "constant input"; a consumer that needs
+    * the distinction reads the exact integer sum_v column (non-zero
+    * iff some dim varies at all), which is emitted for exactly this.
     *
     * Scale shape: one posexplode into the dims-sized variance census
     * (the V29 Exchange), then ONE-ROW arithmetic.

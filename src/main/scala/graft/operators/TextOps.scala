@@ -201,9 +201,17 @@ object TextOps {
     *
     * Determinism: halves are rebuilt from the token split (floor(n/2)
     * tokens / the rest) joined by single spaces — both engines build
-    * the identical strings; sub-2-token docs read two degenerate
-    * halves that both predict 'und' and therefore never count as
-    * mixed (documented); counts exact, the ppm an integer floor
+    * the identical strings. Degenerate halves (a sub-2-token doc's
+    * empty first half, or a half whose tokens carry no profile
+    * evidence) score all-zero, and the classifier's argmax tie-break
+    * then yields the FIRST profile language (scores ≥ best holds at 0
+    * for every profile — the X2 fixed tie order), NOT 'und': a
+    * 1-token doc whose single token carries non-first-language
+    * evidence therefore reads lang_a = first-profile vs lang_b = that
+    * language and DOES count as mixed. Deterministic and mirrored
+    * verbatim by the oracle, but it means 1-token docs skew mixed_ppm
+    * toward mixed — a triage census over such a corpus should filter
+    * on token count first. Counts exact, the ppm an integer floor
     * division.
     *
     * Scale shape: one scan (two kernel passes per row, no explode),

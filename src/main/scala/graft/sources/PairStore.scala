@@ -62,6 +62,64 @@ object PairStore {
       .saveAsTable(componentsTable(base))
   }
 
+  /** Incremental append — the operations half of the 100 TB story
+    * ([[save]] is "compute the pair graph once"; THIS is "append
+    * tomorrow's docs without recomputing yesterday's components"):
+    * `newPairs` (same schema as the stored relation) append into the
+    * bucketed pair table under the SAME bucket spec, and the stored
+    * closure merges incrementally — the [[ComponentStore.mergeBatch]]
+    * discipline lifted batch-side. New pairs can BRIDGE existing
+    * components, so the merge recomputes components over
+    * (new pairs ∪ the stored rows of every component they touch —
+    * each stored (doc, label) row IS an edge doc→label, and the label
+    * is a member doc of the same component, so minimum labels are
+    * preserved) and leaves every untouched component's rows
+    * byte-identical. The union-find input is bounded by the new
+    * pairs' component fan-out, never the stored graph, and the
+    * rewrite localCheckpoints before overwriting (the PhashStore
+    * ordering contract).
+    *
+    * Equivalence (StorageLayoutSpec-pinned): for any split A ⊎ B of a
+    * pair relation, save(A); append(B) ≡ save(A ∪ B) on BOTH tables —
+    * identical rows, identical bucket layout (the pairs append rides
+    * `mode("append")` against the unchanged catalog bucket spec; the
+    * components rewrite re-declares it).
+    */
+  def append(spark: SparkSession, newPairs: DataFrame, base: String,
+             nBuckets: Int = 8): Unit = {
+    val storedCols = spark.table(pairsTable(base)).columns.toSet
+    require(newPairs.columns.toSet == storedCols &&
+        newPairs.columns.take(2).sameElements(Array("d1", "d2")),
+      s"appended pair relation must match the stored schema " +
+        s"(${storedCols.toSeq.sorted}), got ${newPairs.columns.toSeq}")
+    // component merge first: it reads only the components table and
+    // the new pairs — the pair-table append cannot affect it
+    val store = components(spark, base)
+    val touched = newPairs.select(col("d1").as("doc_id"))
+      .union(newPairs.select(col("d2").as("doc_id"))).distinct()
+    val touchedRoots = store.join(touched, Seq("doc_id"))
+      .select("component").distinct()
+    val affected = store.join(touchedRoots, Seq("component"))
+      .select("doc_id", "component")
+    val edges = newPairs.select(col("d1"), col("d2"))
+      .union(affected.select(col("doc_id").as("d1"),
+        col("component").as("d2")))
+    val comps = TextOps.connectedComponents(edges)
+    val unaffected = store.join(touchedRoots, Seq("component"),
+      "left_anti")
+    val merged = unaffected
+      .unionByName(comps.select("doc_id", "component"))
+      // eager materialization BEFORE the overwrite truncates the
+      // source table the lineage reads (the PhashStore contract)
+      .localCheckpoint(eager = true)
+    merged.write.mode("overwrite")
+      .bucketBy(nBuckets, "component").sortBy("component")
+      .saveAsTable(componentsTable(base))
+    newPairs.write.mode("append")
+      .bucketBy(nBuckets, "d1").sortBy("d1", "d2")
+      .saveAsTable(pairsTable(base))
+  }
+
   // bucketed saveAsTable stores the bucket column first regardless of
   // logical order; both loads pin the logical order with a select
   // (the ComponentStore.load gotcha)

@@ -634,6 +634,83 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("PairStore.append merges components incrementally — a new " +
+      "pair BRIDGES two stored components, untouched components " +
+      "stay, disjoint new pairs open their own component") {
+    val a = Seq((1L, 2L, 900000L), (3L, 4L, 900000L),
+      (10L, 11L, 900000L)).toDF("d1", "d2", "jac_micro")
+    val b = Seq((2L, 3L, 850000L), (20L, 21L, 990000L))
+      .toDF("d1", "d2", "jac_micro")
+    graft.sources.PairStore.save(a, "pairstore_app")
+    try {
+      graft.sources.PairStore.append(spark, b, "pairstore_app")
+      val comps = graft.sources.PairStore
+        .components(spark, "pairstore_app").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the (2,3) pair fuses stored components {1,2} and {3,4} under
+      // the global min label 1; {10,11} is untouched; (20,21) is a
+      // brand-new component
+      assert(comps === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+        (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+      // the pair table is A ∪ B with metadata columns intact
+      assert(graft.sources.PairStore.pairs(spark, "pairstore_app")
+        .collect().map(_.toSeq).toSet ===
+        a.unionByName(b).collect().map(_.toSeq).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairstore_app_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_app_components")
+    }
+  }
+
+  test("PairStore.append(A then B) ≡ save(A ∪ B) on both tables, " +
+      "bucket layout intact after the append (Exchange-free " +
+      "bucket-column aggregates on both)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val ngp = graft.operators.TextOps
+      .ngramJaccardPairs(docs, 5, 1000L, 800000L).cache()
+    // deterministic disjoint split of the PAIR relation — (d1+d2)
+    // parity, so components routinely straddle the halves and the
+    // append path's bridging merge actually runs on real data
+    val aa = ngp.filter((col("d1") + col("d2")) % 2 === 0)
+    val bb = ngp.filter((col("d1") + col("d2")) % 2 =!= 0)
+    assert(aa.count() > 0 && bb.count() > 0,
+      "fixture must exercise both halves of the split")
+    graft.sources.PairStore.save(aa, "pairstore_inc")
+    graft.sources.PairStore.save(ngp, "pairstore_fullref")
+    try {
+      graft.sources.PairStore.append(spark, bb, "pairstore_inc")
+      assert(graft.sources.PairStore.pairs(spark, "pairstore_inc")
+        .collect().map(_.toSeq).toSet ===
+        graft.sources.PairStore.pairs(spark, "pairstore_fullref")
+          .collect().map(_.toSeq).toSet)
+      assert(graft.sources.PairStore.components(spark, "pairstore_inc")
+        .collect().map(_.toSeq).toSet ===
+        graft.sources.PairStore
+          .components(spark, "pairstore_fullref")
+          .collect().map(_.toSeq).toSet)
+      // the appended pair table keeps its catalog bucket metadata: a
+      // d1-keyed aggregate is still Exchange-free, and the rewritten
+      // components table likewise on its bucket column
+      val pairAgg = spark.table("pairstore_inc_pairs")
+        .groupBy("d1").agg(count(lit(1)))
+      assert(!pairAgg.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "bucketed pair table must stay Exchange-free after append")
+      val compAgg = spark.table("pairstore_inc_components")
+        .groupBy("component").agg(count(lit(1)))
+      assert(!compAgg.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "rewritten components table must stay Exchange-free")
+    } finally {
+      ngp.unpersist()
+      spark.sql("DROP TABLE IF EXISTS pairstore_inc_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_inc_components")
+      spark.sql("DROP TABLE IF EXISTS pairstore_fullref_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_fullref_components")
+    }
+  }
+
   test("persisted graph-ANN index: beam search and beam sweep read " +
       "the edge table — zero graph-construction stages, output == " +
       "in-query paths") {

@@ -1670,7 +1670,11 @@ class TextOpsSpec extends SparkSpec {
     "monolingual and degenerate docs do not") {
     // doc 1: en-evidence first half, de-evidence second -> mixed
     // doc 2: en both halves -> not mixed
-    // doc 3: single token -> both halves 'und' -> not mixed
+    // doc 3: single token with NO profile evidence -> both halves
+    // score all-zero and the argmax tie-break reads the FIRST profile
+    // language on both sides -> equal labels, not mixed (a 1-token doc
+    // whose token DID carry non-first-language evidence would read
+    // mixed — the documented degenerate-half semantics)
     val d = Seq(
       (1L, "ththth ththth scscsc scscsc", "s0"),
       (2L, "ththth hehe ththth hehe", "s0"),
