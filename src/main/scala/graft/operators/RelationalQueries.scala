@@ -5434,6 +5434,201 @@ object RelationalQueries {
        |    AS did_micro
        |FROM cen ORDER BY event_type""".stripMargin
 
+  // ------------------- always-valid sequential test (R69, mSPRT)
+
+  /** R69 mixture variance τ² in cents² (τ = 100 cents = $1) — the
+    * mSPRT's one tuning knob: the prior scale of the effect sizes the
+    * test is powered for (Johari et al. recommend matching it to the
+    * historically-typical effect; a fixed documented constant keeps
+    * the statistic deterministic and cross-engine exact).
+    */
+  val MsprtTau2 = "10000.0"
+
+  /** R69 rejection bar in micro-units of −ln p: always-valid −ln p ≥
+    * ln(1/α) at α = 0.05 → ln 20 = 2.995732… — an INTEGER literal so
+    * the crossing compare never touches a transcendental.
+    */
+  val MsprtLnBarMicro = 2995732L
+
+  /** Shared double trees over the six cumulative integers — every
+    * divisor greatest()-floored (the R64 hoisting rule: Spark's
+    * subexpression elimination evaluates CASE-condition subtrees on
+    * degenerate rows too, so each tree must be evaluable at
+    * cn = 0/1), interpolated verbatim into both engines.
+    */
+  private def msprtS2(n: String, s: String, ss: String): String =
+    s"((CAST($ss AS DOUBLE) - (CAST($s AS DOUBLE) * " +
+      s"CAST($s AS DOUBLE)) / CAST(greatest($n, 1) AS DOUBLE)) / " +
+      s"CAST(greatest($n - 1, 1) AS DOUBLE))"
+  private val msprtV =
+    s"(${msprtS2("cn_a", "csum_a", "css_a")} / " +
+      s"CAST(greatest(cn_a, 1) AS DOUBLE) + " +
+      s"${msprtS2("cn_b", "csum_b", "css_b")} / " +
+      s"CAST(greatest(cn_b, 1) AS DOUBLE))"
+  private val msprtDelta =
+    "(CAST(csum_a AS DOUBLE) / CAST(greatest(cn_a, 1) AS DOUBLE) - " +
+      "CAST(csum_b AS DOUBLE) / CAST(greatest(cn_b, 1) AS DOUBLE))"
+  // log Λ_n over the hoisted v_d column; the ln argument and the 2V
+  // divisor are floored at 1e-300 — unreachable under the v_d > 0
+  // guard (cents-integer variances bottom out ~1e-12), but they keep
+  // the eagerly-evaluated tree finite on degenerate rows where
+  // v_d = 0 (DuckDB ERRORS on ln(0); Spark would NaN the division)
+  private val msprtLlr =
+    s"(0.5 * ln(greatest(v_d / (v_d + $MsprtTau2), 1e-300)) + " +
+      s"($MsprtTau2 * ($msprtDelta * $msprtDelta)) / " +
+      s"((2.0 * greatest(v_d, 1e-300)) * (v_d + $MsprtTau2)))"
+  private val msprtGuard = "cn_a >= 2 AND cn_b >= 2 AND v_d > 0.0"
+
+  /** R69: mixture sequential probability ratio test (mSPRT) per
+    * (event_type, day) — the ALWAYS-VALID sequential readout the
+    * fixed-horizon battery (R59/R63/R64) cannot give: every real
+    * experimentation platform peeks at results daily, and a
+    * fixed-horizon p-value re-read daily inflates false positives
+    * severalfold; the mSPRT's mixture likelihood ratio
+    * Λ_n = √(V_n/(V_n+τ²)) · exp(τ²·Δ̂_n²/(2V_n(V_n+τ²))) yields
+    * p_n = min(1, 1/max_{k≤n} Λ_k), valid at EVERY peek
+    * simultaneously (Johari, Koomen, Pekelis & Walsh, KDD 2017,
+    * "Peeking at A/B tests"; Robbins 1970 for the mixture rule).
+    * Reported in LOG domain to stay transcendental-minimal: llr =
+    * ln Λ at each day, and lp = max over the prefix of max(0, llr) —
+    * the always-valid −ln p, monotone non-decreasing BY CONSTRUCTION
+    * (the always-valid property made visible); `crossed` compares lp
+    * against the integer ln(1/0.05) bar, so the decision column never
+    * evaluates a transcendental.
+    *
+    * Sequential unit: the EVENT (the R34 event-grain precedent) —
+    * cumulative per-arm daily censuses (count, Σcents, Σcents²) are
+    * exact integer window sums over the (event_type, day, arm) daily
+    * census, so day n's statistic reads exactly the data available at
+    * that day's close.
+    *
+    * Exactness: the six cumulative columns are exact integers; V, Δ̂
+    * and ln Λ ride ONE fixed double tree over them (divisors
+    * greatest()-floored; the ln argument and the 2V divisor floored
+    * at an unreachable 1e-300 so degenerate rows stay finite under
+    * eager subexpression evaluation — DuckDB errors on ln(0));
+    * micro-flooring commutes with max(0, ·) on integers, so lp_day =
+    * greatest(0, llr_micro) EXACTLY and the running max is pure
+    * integer window arithmetic. Days before both arms reach n ≥ 2
+    * with positive variance read NULL (min/max ignore NULLs in both
+    * engines, so lp picks up from the first defined day).
+    *
+    * Scale shape: one (event_type, day, arm→columns) partial-agg'd
+    * Exchange — the daily census (≤ types × days rows); cumulative
+    * sums and the running max ride census windows BY TYPE; nothing
+    * after the first Exchange is corpus-sized.
+    */
+  def qMsprt(spark: SparkSession, dir: String): DataFrame =
+    msprtCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def msprtCensus(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("user_id % 2").as("arm"), cents(col("value")).as("v"))
+      .groupBy("event_type", "day")
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("dn_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("dn_b"),
+        sum(when(col("arm") === 0L, col("v")).otherwise(0L))
+          .as("dsum_a"),
+        sum(when(col("arm") === 1L, col("v")).otherwise(0L))
+          .as("dsum_b"),
+        sum(when(col("arm") === 0L, col("v") * col("v"))
+          .otherwise(0L)).as("dss_a"),
+        sum(when(col("arm") === 1L, col("v") * col("v"))
+          .otherwise(0L)).as("dss_b"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("event_type"), col("day"),
+      sum("dn_a").over(w).as("cn_a"),
+      sum("dn_b").over(w).as("cn_b"),
+      sum("dsum_a").over(w).as("csum_a"),
+      sum("dsum_b").over(w).as("csum_b"),
+      sum("dss_a").over(w).as("css_a"),
+      sum("dss_b").over(w).as("css_b"))
+    val scoredDay = cum
+      .withColumn("v_d", expr(msprtV))
+      .select(col("event_type"), col("day"),
+        col("cn_a"), col("cn_b"), col("csum_a"), col("csum_b"),
+        expr(s"CASE WHEN $msprtGuard THEN " +
+          s"CAST(floor(1000000.0 * $msprtLlr) AS BIGINT) END")
+          .as("llr_micro"))
+      .withColumn("lp_day_micro",
+        expr("CASE WHEN llr_micro IS NOT NULL THEN " +
+          "greatest(CAST(0 AS BIGINT), llr_micro) END"))
+    scoredDay
+      .withColumn("lp_micro", max("lp_day_micro").over(w))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("cn_a"), col("cn_b"), col("csum_a"), col("csum_b"),
+        col("llr_micro"), col("lp_day_micro"), col("lp_micro"),
+        coalesce(col("lp_micro") >= MsprtLnBarMicro, lit(false))
+          .as("crossed"))
+      .orderBy("event_type", "day")
+  }
+
+  private val msprtOracle =
+    s"""$evCte,
+       |d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS dn_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS dn_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN
+       |      CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS dsum_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN
+       |      CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS dsum_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN
+       |      CAST(round(value * 100.0) AS BIGINT) *
+       |      CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS dss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN
+       |      CAST(round(value * 100.0) AS BIGINT) *
+       |      CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS dss_b
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |c AS (
+       |  SELECT event_type, day,
+       |    CAST(sum(dn_a) OVER w AS BIGINT) AS cn_a,
+       |    CAST(sum(dn_b) OVER w AS BIGINT) AS cn_b,
+       |    CAST(sum(dsum_a) OVER w AS BIGINT) AS csum_a,
+       |    CAST(sum(dsum_b) OVER w AS BIGINT) AS csum_b,
+       |    CAST(sum(dss_a) OVER w AS BIGINT) AS css_a,
+       |    CAST(sum(dss_b) OVER w AS BIGINT) AS css_b
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |h AS (SELECT *, $msprtV AS v_d FROM c),
+       |l AS (
+       |  SELECT event_type, day, cn_a, cn_b, csum_a, csum_b,
+       |    CASE WHEN $msprtGuard THEN
+       |      CAST(floor(1000000.0 * $msprtLlr) AS BIGINT) END
+       |      AS llr_micro
+       |  FROM h
+       |),
+       |p AS (
+       |  SELECT *, CASE WHEN llr_micro IS NOT NULL THEN
+       |    greatest(CAST(0 AS BIGINT), llr_micro) END AS lp_day_micro
+       |  FROM l
+       |)
+       |SELECT event_type, CAST(day AS VARCHAR) AS day, cn_a, cn_b,
+       |  csum_a, csum_b, llr_micro, lp_day_micro,
+       |  max(lp_day_micro) OVER (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS lp_micro,
+       |  coalesce(max(lp_day_micro) OVER (PARTITION BY event_type
+       |    ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    >= $MsprtLnBarMicro, false) AS crossed
+       |FROM p ORDER BY event_type, day""".stripMargin
+
   // ------------------------------- sample-ratio mismatch (R66)
 
   /** χ²(1) upper bound at α = 0.001 in micro units — SRM pages at a
@@ -6144,6 +6339,7 @@ object RelationalQueries {
     "q_srm"          -> (qSrm _),
     "q_qte"          -> (qQte _),
     "q_did"          -> (qDid _),
+    "q_msprt"        -> (qMsprt _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6219,6 +6415,7 @@ object RelationalQueries {
     "q_srm"          -> srmOracle,
     "q_qte"          -> qteOracle,
     "q_did"          -> didOracle,
+    "q_msprt"        -> msprtOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -1284,6 +1284,69 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 0L, 0L, 0L, 1L, 0L, 0L, 0L, 900L, None)))
   }
 
+  test("msprtCensus: hand-computed log-Lambda per day, always-valid " +
+    "-ln p monotone, null arms never cross, degenerate days NULL") {
+    // type t (real effect): day1 arm a (u2) = {0.00, 2.00}, arm b
+    //   (u1) = {10.00, 10.00} -> V = s2a/2 + 0 = 10000 = tau^2,
+    //   delta = 100 - 1000 = -900 cents ->
+    //   llr = 0.5*ln(1/2) + 1e4*810000/(2*1e4*2e4)
+    //       = -0.34657359.. + 20.25 = 19.90342640.. -> 19903426,
+    //   crossed (>= ln 20 = 2995732)
+    //   day2 adds a:{1.00} b:{10.00} -> V = 10000/3, delta = -900 ->
+    //   llr = 91.125 - ln 2 = 90.43185281.. -> 90431852; lp ratchets
+    // type n (null): identical arm values each day -> delta = 0 ->
+    //   llr = 0.5*ln(V/(V+tau^2)) < 0 -> lp_day = 0 -> lp stays 0,
+    //   NEVER crosses (the always-valid no-crossing null)
+    //   day1: 0.5*ln(2/3) -> -202733; day2: 0.5*ln(2/5) -> -458146
+    // type u (degenerate): day1 single event per arm (n < 2) -> NULL;
+    //   day2 both arms constant -> V = 0 -> still NULL, never crosses
+    val rows = Seq(
+      (2L, "t", "2024-01-01 10:00:00", 0.00),
+      (2L, "t", "2024-01-01 11:00:00", 2.00),
+      (1L, "t", "2024-01-01 12:00:00", 10.00),
+      (1L, "t", "2024-01-01 13:00:00", 10.00),
+      (2L, "t", "2024-01-02 10:00:00", 1.00),
+      (1L, "t", "2024-01-02 11:00:00", 10.00),
+      (2L, "n", "2024-01-01 10:00:00", 1.00),
+      (2L, "n", "2024-01-01 11:00:00", 3.00),
+      (1L, "n", "2024-01-01 12:00:00", 1.00),
+      (1L, "n", "2024-01-01 13:00:00", 3.00),
+      (2L, "n", "2024-01-02 10:00:00", 2.00),
+      (1L, "n", "2024-01-02 11:00:00", 2.00),
+      (2L, "u", "2024-01-01 10:00:00", 5.00),
+      (1L, "u", "2024-01-01 11:00:00", 5.00),
+      (2L, "u", "2024-01-02 10:00:00", 5.00),
+      (1L, "u", "2024-01-02 11:00:00", 5.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, ts, v), i) => (i.toLong, u, t, ts, v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.msprtCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Long]("cn_a"), r.getAs[Long]("cn_b"),
+        r.getAs[Long]("csum_a"), r.getAs[Long]("csum_b"),
+        Option(r.getAs[java.lang.Long]("llr_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("lp_micro")).map(_.toLong),
+        r.getAs[Boolean]("crossed")))
+    assert(out.toSeq === Seq(
+      ("n", "2024-01-01", 2L, 2L, 400L, 400L,
+        Some(-202733L), Some(0L), false),
+      ("n", "2024-01-02", 3L, 3L, 600L, 600L,
+        Some(-458146L), Some(0L), false),
+      ("t", "2024-01-01", 2L, 2L, 200L, 2000L,
+        Some(19903426L), Some(19903426L), true),
+      ("t", "2024-01-02", 3L, 3L, 300L, 3000L,
+        Some(90431852L), Some(90431852L), true),
+      ("u", "2024-01-01", 1L, 1L, 500L, 500L, None, None, false),
+      ("u", "2024-01-02", 2L, 2L, 1000L, 1000L, None, None, false)))
+    // the always-valid statistic is monotone non-decreasing within
+    // every type (running max of a non-negative day statistic)
+    out.groupBy(_._1).foreach { case (_, days) =>
+      val lps = days.sortBy(_._2).flatMap(_._8)
+      assert(lps === lps.sorted, s"lp must be monotone: ${lps.toSeq}")
+    }
+  }
+
   test("srmCensus: two-cell chi2 collapses to (na-nb)^2/n, alarm at " +
     "the 0.001 bar") {
     // type t: 3 even vs 1 odd user -> chi2 = 4/4 = 1.0, no alarm
