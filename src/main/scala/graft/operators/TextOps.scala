@@ -4179,11 +4179,30 @@ object TextOps {
     * ALL remaining relations are (sources × (V+1))-sized — the
     * pairwise join is census × census, never touching the corpus.
     */
-  def jsdDrift(docs: DataFrame, topV: Int): DataFrame = {
-    val scen = parallelized(docs).select(col("source"),
+  def jsdDrift(docs: DataFrame, topV: Int): DataFrame =
+    jsdFromCensus(sourceTermCensus(docs), topV)
+
+  /** The (source, t, cnt) unigram census [[jsdDrift]] reduces the
+    * corpus to — factored so the T25 streaming store accumulates the
+    * SAME relation per micro-batch (integer counts form an exact
+    * merge semilattice: per-batch censuses summed term-wise equal the
+    * census of the concatenated stream bit-for-bit).
+    */
+  def sourceTermCensus(docs: DataFrame): DataFrame =
+    parallelized(docs).select(col("source"),
         explode(tokens(col("text"))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
-      .cache()
+
+  /** X52's statistics stage over any (source, t, cnt) census — the
+    * top-V cut, residual bucket, and pairwise JSD rollup; shared by
+    * the batch query and the T25 streaming store's serving read
+    * (store ≡ batch bit-for-bit, StreamingJsdSpec-pinned — unlike
+    * PSI's fixed reference grid, the top-V cut is a pure function of
+    * the census itself, so the identity holds with no edge-pinning
+    * caveat).
+    */
+  def jsdFromCensus(census: DataFrame, topV: Int): DataFrame = {
+    val scen = census.cache()
     val top = scen.groupBy("t").agg(sum("cnt").as("c"))
       .orderBy(col("c").desc, col("t")).limit(topV).select("t")
     val nS = scen.groupBy("source").agg(sum("cnt").as("n_s"))

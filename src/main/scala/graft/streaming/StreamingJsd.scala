@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.TextOps
+
+/** T25: streaming Jensen–Shannon divergence — the incremental twin of
+  * X52's batch JSD (q_jsd), closing the drift family: KS (T9) watches
+  * document LENGTH live, PSI (T22) watches bucketed length mass, and
+  * until now JSD — the lens that compares WHAT WORDS each source uses,
+  * the number a mixture-weights tuner actually reads — was batch-only.
+  *
+  * Architecture (the T22 discipline over vocabulary censuses):
+  *  - each micro-batch reduces to its (source, t, cnt) unigram census
+  *    ([[TextOps.sourceTermCensus]] — the SAME relation the batch
+  *    query builds) BEFORE anything crosses the batch boundary, then
+  *    merges into the persisted census by plain integer sum — an
+  *    exact semilattice, so the accumulated census is BIT-IDENTICAL
+  *    to the batch census over the concatenated stream.
+  *  - [[jsd]] rolls the stored census through X52's own statistics
+  *    stage ([[TextOps.jsdFromCensus]] — shared code, not a
+  *    reimplementation): top-V cut, residual bucket, Laplace
+  *    smoothing, pairwise rollup. Because the top-V cut is a pure
+  *    function of the census (deterministic (Σcnt desc, t) order),
+  *    store ≡ batch JSD bit-for-bit UNCONDITIONALLY — no analogue of
+  *    PSI's fixed-reference-grid caveat (spec-pinned).
+  *
+  * Replay convergence (at-least-once foreachBatch): integer sums are
+  * not idempotent, so state rides the T15/T17/T22 discipline — each
+  * batch reads the census of the latest batch_id STRICTLY BELOW its
+  * own and overwrites its own partition; a replayed batch re-reads
+  * the same predecessor and rewrites an identical partition
+  * (spec-pinned fixed point).
+  *
+  * State bound: the accumulated census is vocabulary-sized
+  * (sources × distinct terms — Heaps-bounded, the X37 measurement),
+  * NOT corpus-sized; the serving read is census arithmetic over
+  * sources × (V+1) rows.
+  */
+object StreamingJsd {
+
+  /** One micro-batch of (doc_id, text, source) rows. */
+  def processBatch(spark: SparkSession, batch: DataFrame,
+                   storeDir: String, batchId: Long): Unit = {
+    val merged = loadState(spark, storeDir, batchId)
+      .unionByName(TextOps.sourceTermCensus(batch))
+      .groupBy("source", "t").agg(sum("cnt").as("cnt"))
+    merged.write.mode("overwrite")
+      .parquet(s"$storeDir/batch_id=$batchId")
+  }
+
+  private def hasBatches(spark: SparkSession,
+                         storeDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) &&
+      fs.listStatus(path)
+        .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long)].toDF("source", "t", "cnt")
+  }
+
+  /** The census of the latest batch strictly BEFORE `batchId` (empty
+    * when none) — the read that makes replays converge.
+    */
+  private def loadState(spark: SparkSession, storeDir: String,
+                        batchId: Long): DataFrame = {
+    if (!hasBatches(spark, storeDir)) emptyState(spark)
+    else {
+      // the partition column infers as INT — cast before comparing
+      val all = spark.read.option("basePath", storeDir)
+        .parquet(storeDir)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .filter(col("batch_id") < batchId)
+      val latest = all.agg(max("batch_id")).head()
+      if (latest.isNullAt(0)) emptyState(spark)
+      else all.filter(col("batch_id") === latest.getLong(0))
+        .select("source", "t", "cnt")
+    }
+  }
+
+  /** The stored (source, t, cnt) census (latest batch). */
+  def census(spark: SparkSession, storeDir: String): DataFrame =
+    if (!hasBatches(spark, storeDir)) emptyState(spark)
+    else {
+      val all = spark.read.option("basePath", storeDir)
+        .parquet(storeDir)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val latest = all.agg(max("batch_id")).head().getLong(0)
+      all.filter(col("batch_id") === latest)
+        .select("source", "t", "cnt")
+    }
+
+  /** The serving read: pairwise JSD over the accumulated census —
+    * X52's own rollup (same columns as q_jsd: source_a, source_b,
+    * n_a, n_b, jsd_micro).
+    */
+  def jsd(spark: SparkSession, storeDir: String,
+          topV: Int): DataFrame =
+    TextOps.jsdFromCensus(census(spark, storeDir), topV)
+      .orderBy("source_a", "source_b")
+
+  def start(spark: SparkSession, docs: DataFrame, storeDir: String,
+            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, storeDir, batchId)
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+}
