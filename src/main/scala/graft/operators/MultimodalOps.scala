@@ -811,6 +811,77 @@ object MultimodalOps {
     }
   }
 
+  // --------------------- M19: integer Goertzel tone-energy census
+
+  /** M19 recurrence coefficients c = 2·cos(ω) for the five bins where
+    * the Goertzel coefficient is an INTEGER — ω = 0, π/3, π/2, 2π/3, π
+    * (normalized frequency f/fs = 0, 1/6, 1/4, 1/3, 1/2; at the
+    * corpus's 8 kHz rate: 0, 1333, 2000, 2667, 4000 Hz). Exactly the
+    * bins whose whole trajectory stays in exact integers.
+    */
+  val GoertzelCoefs: Array[Long] = Array(2L, 1L, 0L, -1L, -2L)
+
+  case class GoertzelStats(doc_id: Long, n_samples: Long, p0: Long,
+                           p1: Long, p2: Long, p3: Long, p4: Long)
+
+  /** M19: per-doc Goertzel spectral energy at the five integer-
+    * coefficient bins — the SPECTRAL lens the M17 Scaladoc itself
+    * names as missing ("periodicity without an FFT"): M17's lag-1 r
+    * says content is tonal, THIS says WHERE the tone sits — the
+    * fixed-bin tone census audio QA runs for hum (DC / mains images),
+    * test-tone, and aliasing (Nyquist-adjacent energy) triage, and
+    * the Goertzel algorithm (Goertzel 1958) is the standard way to
+    * read a few known bins at O(n) per bin without an FFT.
+    *
+    * Exactness: with c = 2cos(ω) restricted to the integer values
+    * {2, 1, 0, −1, −2}, the Goertzel recurrence
+    * s_n = x_n + c·s_{n−1} − s_{n−2} runs ENTIRELY in exact Long
+    * arithmetic, and the bin power |X(ω)|² =
+    * s²_{N−1} + s²_{N−2} − c·s_{N−1}·s_{N−2} is an exact integer.
+    * The oracle never runs the recurrence: it computes the SAME
+    * integer from the DFT closed form 4·|X|² = C² + w·S² with C, S
+    * integer conditional sums over the n-mod-{1,6,4,3,2} sign
+    * patterns of 2cos(ωn) and 2sin(ωn)/√(w) (w = 3 for the π/3 bins
+    * where sin carries √3/2, else 1) — the two sides agree only if
+    * the recurrence, the decode, and the closed form all match
+    * (the q_media_features differential discipline).
+    *
+    * Long headroom: |s_n| ≤ n²·max|x| at the resonant worst case
+    * (c = 2) — ~2⁴⁵ for a 2²⁰-sample doc at full PCM16 scale, squares
+    * within 2⁶³ up to ~2²⁹ samples/doc (≈ 9 h at 8 kHz
+    * NON-resonant; DC-resonant material bounds at ~2¹⁵ samples —
+    * longer docs should window first; DuckDB errors identically past
+    * the bound rather than wrapping).
+    *
+    * Scale shape: the batched `mapPartitions` decode (the
+    * vectorized-codec shape) — one scalar pass per blob per bin (5
+    * sequential integer recurrences), one integer row per doc, no
+    * shuffle until the caller's orderBy.
+    */
+  def wavGoertzelStats(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[GoertzelStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          val p = GoertzelCoefs.map { c =>
+            var s1 = 0L; var s2 = 0L
+            var i = 0
+            while (i < d.length) {
+              val s0 = d(i) + c * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            s1 * s1 + s2 * s2 - c * s1 * s2
+          }
+          GoertzelStats(rec.doc_id, d.length.toLong,
+            p(0), p(1), p(2), p(3), p(4))
+        }
+      }
+    }
+  }
+
   // ----------------------------- M18: DC offset + half-split drift
 
   case class DcStats(doc_id: Long, n_samples: Long, sum_all: Long,

@@ -208,6 +208,91 @@ object MultimodalQueries {
        |  ELSE CAST(0 AS BIGINT) END AS drift_micro
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** M19: the decoder's five exact integer Goertzel bin energies,
+    * unpivoted to (doc_id, bin) rows with the per-doc energy share —
+    * pure projection, zero windows (the share reads the pre-unpivot
+    * row total). Column is `energy`/`bin_idx` (not `power`/`bin` —
+    * both are DuckDB function names).
+    */
+  def qMediaGoertzel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    MultimodalOps.wavGoertzelStats(
+        MultimodalOps.mediaBinary(docs(spark, dir)))
+      .toDF()
+      .withColumn("tot",
+        col("p0") + col("p1") + col("p2") + col("p3") + col("p4"))
+      .selectExpr("doc_id", "n_samples", "tot",
+        "stack(5, CAST(0 AS BIGINT), p0, CAST(1 AS BIGINT), p1, " +
+          "CAST(2 AS BIGINT), p2, CAST(3 AS BIGINT), p3, " +
+          "CAST(4 AS BIGINT), p4) AS (bin_idx, energy)")
+      .select(col("doc_id"), col("bin_idx"),
+        expr("CAST(CASE bin_idx WHEN 0 THEN 2 WHEN 1 THEN 1 " +
+          "WHEN 2 THEN 0 WHEN 3 THEN -1 ELSE -2 END AS BIGINT)")
+          .as("coef"),
+        col("n_samples"), col("energy"),
+        expr("CASE WHEN tot > 0 THEN (1000000 * energy) div tot " +
+          "ELSE CAST(0 AS BIGINT) END").as("energy_ppm"))
+      .orderBy("doc_id", "bin_idx")
+  }
+
+  /** M19 oracle: the generative sample recurrence scored by the DFT
+    * CLOSED FORM 4·|X(ω)|² = C² + w·S² (integer conditional sums over
+    * the n-mod-{1,6,4,3,2} sign patterns; w = 3 where sin carries
+    * √3/2) — the engine runs the Goertzel RECURRENCE, so the compare
+    * passes only if recurrence ≡ closed form ≡ decode (the
+    * q_media_features differential discipline).
+    */
+  private val mediaGoertzelOracle =
+    s"""$wavSampleCte,
+       |cen AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |    CAST(sum(2 * v) AS BIGINT) AS c0,
+       |    CAST(sum(v * (CASE i % 6 WHEN 0 THEN 2 WHEN 1 THEN 1
+       |      WHEN 2 THEN -1 WHEN 3 THEN -2 WHEN 4 THEN -1
+       |      ELSE 1 END)) AS BIGINT) AS c1,
+       |    CAST(sum(v * (CASE i % 6 WHEN 1 THEN 1 WHEN 2 THEN 1
+       |      WHEN 4 THEN -1 WHEN 5 THEN -1 ELSE 0 END))
+       |      AS BIGINT) AS s1,
+       |    CAST(sum(v * (CASE i % 4 WHEN 0 THEN 2 WHEN 2 THEN -2
+       |      ELSE 0 END)) AS BIGINT) AS c2,
+       |    CAST(sum(v * (CASE i % 4 WHEN 1 THEN 2 WHEN 3 THEN -2
+       |      ELSE 0 END)) AS BIGINT) AS s2,
+       |    CAST(sum(v * (CASE i % 3 WHEN 0 THEN 2 ELSE -1 END))
+       |      AS BIGINT) AS c3,
+       |    CAST(sum(v * (CASE i % 3 WHEN 1 THEN 1 WHEN 2 THEN -1
+       |      ELSE 0 END)) AS BIGINT) AS s3,
+       |    CAST(sum(v * (CASE i % 2 WHEN 0 THEN 2 ELSE -2 END))
+       |      AS BIGINT) AS c4
+       |  FROM s GROUP BY 1
+       |),
+       |e AS (
+       |  SELECT doc_id, n_samples,
+       |    CAST((c0 * c0) // 4 AS BIGINT) AS p0,
+       |    CAST((c1 * c1 + 3 * s1 * s1) // 4 AS BIGINT) AS p1,
+       |    CAST((c2 * c2 + s2 * s2) // 4 AS BIGINT) AS p2,
+       |    CAST((c3 * c3 + 3 * s3 * s3) // 4 AS BIGINT) AS p3,
+       |    CAST((c4 * c4) // 4 AS BIGINT) AS p4
+       |  FROM cen
+       |),
+       |t AS (SELECT *, p0 + p1 + p2 + p3 + p4 AS tot FROM e),
+       |u AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS bin_idx,
+       |    CAST(2 AS BIGINT) AS coef, n_samples, p0 AS energy, tot
+       |  FROM t
+       |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT),
+       |    CAST(1 AS BIGINT), n_samples, p1, tot FROM t
+       |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT),
+       |    CAST(0 AS BIGINT), n_samples, p2, tot FROM t
+       |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT),
+       |    CAST(-1 AS BIGINT), n_samples, p3, tot FROM t
+       |  UNION ALL SELECT doc_id, CAST(4 AS BIGINT),
+       |    CAST(-2 AS BIGINT), n_samples, p4, tot FROM t
+       |)
+       |SELECT doc_id, bin_idx, coef, n_samples, energy,
+       |  CASE WHEN tot > 0 THEN CAST((1000000 * energy) // tot
+       |    AS BIGINT) ELSE CAST(0 AS BIGINT) END AS energy_ppm
+       |FROM u ORDER BY doc_id, bin_idx""".stripMargin
+
   def qMediaResize(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.bmpResizeStats(
       MultimodalOps.mediaBinary(docs(spark, dir)))
@@ -827,6 +912,7 @@ object MultimodalQueries {
     "q_media_tv"       -> (qMediaTv _),
     "q_media_autocorr" -> (qMediaAutocorr _),
     "q_media_dc"       -> (qMediaDc _),
+    "q_media_goertzel" -> (qMediaGoertzel _),
     "q_media_trim"     -> (qMediaTrim _),
     "q_media_motion"   -> (qMediaMotion _),
     "q_media_channels" -> (qMediaChannels _),
@@ -845,6 +931,7 @@ object MultimodalQueries {
     "q_media_tv"       -> mediaTvOracle,
     "q_media_autocorr" -> mediaAutocorrOracle,
     "q_media_dc"       -> mediaDcOracle,
+    "q_media_goertzel" -> mediaGoertzelOracle,
     "q_media_trim"     -> mediaTrimOracle,
     "q_media_motion"   -> mediaMotionOracle,
     "q_media_channels" -> mediaChannelsOracle,

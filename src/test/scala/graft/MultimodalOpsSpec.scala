@@ -305,6 +305,61 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.toSeq === (selfRows ++ nearRows).sortBy(t => (t._1, t._2)))
   }
 
+  test("wavGoertzelStats: pure quarter-rate tone concentrates in the " +
+    "c = 0 bin exactly, orthogonal bins read zero, recurrence equals " +
+    "the DFT closed form on arbitrary samples") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    // doc 1: x_n = 1000*cos(pi*n/2) over N = 12 (full periods of every
+    // bin) -> |X(pi/2)|^2 = (A*N/2)^2 = 6000^2 = 36,000,000 and ZERO
+    // at the four orthogonal bins -> energy share 10^6 at bin 2
+    val tone = Array.tabulate(12)(n => (Seq(1000, 0, -1000, 0)(n % 4))
+      .toShort)
+    // doc 2: arbitrary samples for the recurrence == closed-form check
+    val arb = Array[Short](-300, 5, 1200, -4, 0, 97, -88)
+    val blobs = Seq(
+      MediaBlob(1L, "wav", wav(tone)),
+      MediaBlob(2L, "wav", wav(arb))).toDS()
+    val out = MultimodalOps.wavGoertzelStats(blobs)
+      .collect().sortBy(_.doc_id)
+    val t = out(0)
+    assert((t.n_samples, t.p0, t.p1, t.p2, t.p3, t.p4) ===
+      (12L, 0L, 0L, 36000000L, 0L, 0L))
+    // closed form 4|X|^2 = C^2 + w*S^2 over the integer sign patterns
+    def closed(xs: Array[Short]): Seq[Long] = {
+      val a = Map(
+        0 -> (Array(2L), Array(0L), 1L),
+        1 -> (Array(2L, 1L, -1L, -2L, -1L, 1L),
+              Array(0L, 1L, 1L, 0L, -1L, -1L), 3L),
+        2 -> (Array(2L, 0L, -2L, 0L), Array(0L, 2L, 0L, -2L), 1L),
+        3 -> (Array(2L, -1L, -1L), Array(0L, 1L, -1L), 3L),
+        4 -> (Array(2L, -2L), Array(0L), 1L))
+      (0 to 4).map { k =>
+        val (ca, sa, w) = a(k)
+        val c = xs.zipWithIndex
+          .map { case (x, n) => x * ca(n % ca.length) }.sum
+        val s = xs.zipWithIndex
+          .map { case (x, n) => x * sa(n % sa.length) }.sum
+        (c * c + w * s * s) / 4
+      }
+    }
+    val g = out(1)
+    assert(Seq(g.p0, g.p1, g.p2, g.p3, g.p4) === closed(arb))
+    assert(closed(tone) === Seq(0L, 0L, 36000000L, 0L, 0L))
+  }
+
   test("wavZeroCrossings: sign-class changes with zero non-negative, " +
     "ppm per transition, single-sample reads zero") {
     import sqlImplicits._
