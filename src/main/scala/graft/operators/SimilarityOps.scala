@@ -586,6 +586,111 @@ object SimilarityOps {
         micro(coalesce(col("hits"), lit(0L)) / lit(k)).as("recall_micro"))
   }
 
+  /** V52: sampled-truth IVF recall audit — the 100 TB protocol for
+    * the recall family: [[annRecall]]'s truth side brute-force-scores
+    * corpus × queries, fine when the query set is the bounded
+    * vec_id < queryMax prefix but unpayable when "the queries" are
+    * the corpus itself; the deployment answer (standard in every ANN
+    * benchmark run at scale) is exact truth on a SEEDED RANDOM QUERY
+    * SAMPLE with a confidence interval on the pooled recall. Sample =
+    * the first `sampleQ` vectors by md5('rs:' ∥ vec_id) rank (X31's
+    * salted-rank discipline — never rand(); same corpus ⇒ identical
+    * draw, DuckDB re-derives it exactly); per nProbe the pooled
+    * recall hits/(Q·k) carries a Wilson 95 % interval (the R57
+    * machinery verbatim — z = 1.96 literal, one micro-floored tree
+    * per bound). The interval treats the Q·k truth slots as pooled
+    * Bernoulli trials; hits cluster by query, so it is the standard
+    * slightly-anti-conservative pooled read (documented — per-query
+    * jackknife is the refinement a deployment adds when Q is tiny).
+    * Endpoint note: at p̂ = 1 the exact Wilson upper bound is 1, but
+    * the float evaluation of (center + half)/denom can land one ulp
+    * under it and micro-floor to 999999 — deterministic and
+    * cross-engine identical (the trees match verbatim), just not the
+    * exact endpoint; bounds are NOT clamped (spec-pinned with a
+    * one-micro slack).
+    *
+    * Scale shape: the scored relation is |corpus| × Q with Q =
+    * sampleQ REGARDLESS of corpus size (vs annRecall's corpus-
+    * dependent prefix) — the sample is a bounded TakeOrdered on the
+    * hash rank, broadcast into the one corpus scan; probe ranks ride
+    * the same bounded driver table as annRecall; output is
+    * |nProbes| rows.
+    */
+  def annRecallSampled(emb: DataFrame, sampleQ: Int,
+                       cents: Array[Array[Long]], nProbes: Seq[Int],
+                       k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qids = emb.select(col("vec_id"),
+        graft.functions.Hashing.md5Long(
+          concat(lit("rs:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(sampleQ)
+      .select("vec_id")
+    val queries = emb.join(broadcast(qids), "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        assignCluster(col("embedding"), cents).as("cluster"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        micro(cosineSim(col("embedding"), col("qe"))).as("cos_micro"))
+      .cache()
+    // bounded driver state: sampleQ ids, then sampleQ query embeddings
+    val qset = qids.collect().map(_.getLong(0)).toSeq
+    val qvm = emb.filter(col("vec_id").isin(qset: _*))
+      .select(col("vec_id"), milliVec(col("embedding")).as("vm"))
+      .collect()
+    val prank = qvm.toSeq.flatMap { r =>
+      val vm = r.getSeq[Long](1).toArray
+      cents.indices.sortBy(j => (-centScoreLocal(vm, cents(j)), j))
+        .zipWithIndex.map { case (j, rank) =>
+          (r.getLong(0), j.toLong, (rank + 1).toLong)
+        }
+    }.toDF("query_id", "cluster", "prank")
+    val np = nProbes.map(_.toLong).toDF("nprobe")
+    def topk(df: DataFrame, parts: Seq[String]) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts.map(col): _*)
+        .orderBy(col("cos_micro").desc, col("vec_id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+    val truth = topk(scored, Seq("query_id"))
+      .select("query_id", "vec_id")
+    val ann = topk(
+      scored.join(broadcast(prank), Seq("query_id", "cluster"))
+        .crossJoin(broadcast(np))
+        .filter(col("prank") <= col("nprobe")),
+      Seq("query_id", "nprobe"))
+    val hits = ann.join(truth, Seq("query_id", "vec_id"))
+      .groupBy("query_id", "nprobe").agg(count(lit(1)).as("hits"))
+    val pooled = queries.select("query_id").crossJoin(broadcast(np))
+      .join(hits, Seq("query_id", "nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_queries"), sum("hits").as("hits"))
+      .select(col("nprobe"), col("n_queries"),
+        (col("n_queries") * lit(k.toLong)).as("trials"), col("hits"))
+    // Wilson 95 % on the pooled recall — the R57 trees verbatim
+    val z = lit(1.96)
+    val nD = col("trials").cast("double")
+    val p = col("hits") / col("trials")
+    val denom = lit(1.0) + (z * z) / nD
+    val center = p + (z * z) / (lit(2.0) * nD)
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      (z * z) / ((lit(4.0) * nD) * nD))
+    pooled.select(col("nprobe"), col("n_queries"), col("trials"),
+      col("hits"),
+      when(col("trials") > 0L, micro(p)).otherwise(lit(0L))
+        .as("recall_micro"),
+      when(col("trials") > 0L, micro((center - half) / denom))
+        .otherwise(lit(0L)).as("lo_micro"),
+      when(col("trials") > 0L, micro((center + half) / denom))
+        .otherwise(lit(0L)).as("hi_micro"))
+  }
+
   /** V38: the IVF cost-vs-recall curve — [[annRecall]]'s recall column
     * joined by the number the serving decision actually trades against:
     * VISITED candidates per (query, nProbe), i.e. the fraction of the

@@ -357,6 +357,25 @@ object SimilarityQueries {
       .orderBy("query_id", "nprobe")
   }
 
+  /** V52: queries in the seeded md5-ranked recall sample — small
+    * enough that the spec's full-truth containment check is cheap,
+    * large enough that the Wilson band is informative.
+    */
+  val RecallSampleQ = 10
+
+  /** V52: sampled-truth recall audit — exact truth on a seeded
+    * md5-ranked query sample with a Wilson 95 % interval on the
+    * pooled recall per probe width; the 100 TB protocol for the
+    * recall family (annRecall's corpus×prefix truth side priced out).
+    */
+  def qAnnRecallSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = SimilarityOps.kmeansCodebook(e, NCentroids,
+      SimilarityOps.KmRounds)
+    SimilarityOps.annRecallSampled(e, RecallSampleQ, cents,
+      RecallProbes, TopK).orderBy("nprobe")
+  }
+
   /** Embedding-space data mix under the same trained codebook as
     * q_ann_ivf — cluster shares + balanced sampling weights.
     */
@@ -1399,6 +1418,95 @@ object SimilarityQueries {
        |FROM grid g LEFT JOIN h
        |  ON g.query_id = h.query_id AND g.nprobe = h.nprobe
        |ORDER BY g.query_id, g.nprobe""".stripMargin
+  }
+
+  /** V52 oracle: the annRecall machinery restricted to the seeded
+    * md5-ranked query sample, pooled per nProbe with the R57 Wilson
+    * trees verbatim.
+    */
+  private val annRecallSampledOracle: String = {
+    val rounds = SimilarityOps.KmRounds
+    val npVals = RecallProbes.map(p => s"($p)").mkString(", ")
+    val n = "CAST(trials AS DOUBLE)"
+    val p = "(hits / trials)"
+    val denom = s"(1.0 + (1.96 * 1.96) / $n)"
+    val center = s"($p + (1.96 * 1.96) / (2.0 * $n))"
+    val half = s"(1.96 * sqrt($p * (1.0 - $p) / $n" +
+      s" + (1.96 * 1.96) / ((4.0 * $n) * $n)))"
+    s"""$kmeansTrainedCtes,
+       |sq AS (
+       |  SELECT vec_id AS query_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY
+       |      ${Hashing.md5LongSql("'rs:' || CAST(vec_id AS VARCHAR)")},
+       |      vec_id) AS rn
+       |    FROM embeddings
+       |  ) WHERE rn <= $RecallSampleQ
+       |),
+       |probes AS (
+       |  SELECT s.vec_id AS query_id, s.cid,
+       |    CAST(row_number() OVER (PARTITION BY s.vec_id
+       |                            ORDER BY s.score DESC, s.cid)
+       |      AS BIGINT) AS prank
+       |  FROM sc$rounds s JOIN sq ON s.vec_id = sq.query_id
+       |),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, sum(e.v * q.v) AS dot
+       |  FROM ev e JOIN ev q ON e.i = q.i
+       |  JOIN sq ON q.vec_id = sq.query_id
+       |  WHERE e.vec_id <> q.vec_id GROUP BY 1, 2
+       |),
+       |qcm AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    ${Hashing.microSql("d.dot / (ne.nrm * nq.nrm)")} AS cos_micro
+       |  FROM qd d JOIN nrm ne ON d.vec_id = ne.vec_id
+       |             JOIN nrm nq ON d.query_id = nq.vec_id
+       |),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_micro DESC, vec_id) AS rn
+       |    FROM qcm
+       |  ) WHERE rn <= $TopK
+       |),
+       |np(nprobe) AS (SELECT CAST(v.c AS BIGINT) FROM (VALUES $npVals) v(c)),
+       |ann AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT n.nprobe, q.query_id, q.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id, n.nprobe
+       |                         ORDER BY q.cos_micro DESC, q.vec_id) AS rn
+       |    FROM qcm q
+       |    JOIN a$rounds a ON q.vec_id = a.vec_id
+       |    JOIN probes p ON p.query_id = q.query_id AND p.cid = a.cid
+       |    CROSS JOIN np n
+       |    WHERE p.prank <= n.nprobe
+       |  ) WHERE rn <= $TopK
+       |),
+       |h AS (
+       |  SELECT a.query_id, a.nprobe, count(*) AS hits
+       |  FROM ann a JOIN truth t
+       |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |pooled AS (
+       |  SELECT n.nprobe,
+       |    CAST(count(*) AS BIGINT) AS n_queries,
+       |    CAST(count(*) * $TopK AS BIGINT) AS trials,
+       |    CAST(sum(COALESCE(h.hits, 0)) AS BIGINT) AS hits
+       |  FROM sq q CROSS JOIN np n
+       |  LEFT JOIN h ON q.query_id = h.query_id AND n.nprobe = h.nprobe
+       |  GROUP BY 1
+       |)
+       |SELECT nprobe, n_queries, trials, hits,
+       |  CASE WHEN trials > 0 THEN ${Hashing.microSql(p)}
+       |    ELSE CAST(0 AS BIGINT) END AS recall_micro,
+       |  CASE WHEN trials > 0 THEN
+       |    ${Hashing.microSql(s"($center - $half) / $denom")}
+       |    ELSE CAST(0 AS BIGINT) END AS lo_micro,
+       |  CASE WHEN trials > 0 THEN
+       |    ${Hashing.microSql(s"($center + $half) / $denom")}
+       |    ELSE CAST(0 AS BIGINT) END AS hi_micro
+       |FROM pooled ORDER BY nprobe""".stripMargin
   }
 
   /** Cluster-mix oracle: the trained assignments, aggregated. Both
@@ -3320,6 +3428,7 @@ object SimilarityQueries {
     "q_ann_batch"      -> (qAnnBatch _),
     "q_ann_ivf"        -> (qAnnIvf _),
     "q_ann_recall"     -> (qAnnRecall _),
+    "q_ann_recall_sampled" -> (qAnnRecallSampled _),
     "q_cluster_mix"    -> (qClusterMix _),
     "q_semdedup"       -> (qSemDedup _),
     "q_semdedup_sweep" -> (qSemdedupSweep _),
@@ -3377,6 +3486,7 @@ object SimilarityQueries {
     "q_ann_batch"      -> annBatchOracle,
     "q_ann_ivf"        -> annIvfOracle,
     "q_ann_recall"     -> annRecallOracle,
+    "q_ann_recall_sampled" -> annRecallSampledOracle,
     "q_cluster_mix"    -> clusterMixOracle,
     "q_semdedup"       -> semDedupOracle,
     "q_semdedup_sweep" -> semdedupSweepOracle,

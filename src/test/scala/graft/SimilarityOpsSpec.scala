@@ -276,6 +276,67 @@ class SimilarityOpsSpec extends SparkSpec {
       r.getAs[Long]("recall_micro") === r.getAs[Long]("hits") * 100000L))
   }
 
+  test("annRecallSampled: sample-covers-corpus case equals full-truth " +
+    "recall exactly; Wilson band behaves at the anchors") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val cents = SimilarityOps.kmeansCodebook(e, 10, SimilarityOps.KmRounds)
+    val k = 10
+    val probes = Seq(1, 3, 10)
+    // full-truth reference: annRecall over EVERY vector as a query
+    val full = SimilarityOps.annRecall(e, n + 1, cents, probes, k)
+      .groupBy("nprobe")
+      .agg(org.apache.spark.sql.functions.sum("hits").as("hits"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("nq"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // (1) sample >= corpus: the sampled estimate IS full-truth recall
+    val whole = SimilarityOps
+      .annRecallSampled(e, n.toInt + 5, cents, probes, k)
+      .orderBy("nprobe").collect()
+    whole.foreach { r =>
+      val (fh, fq) = full(r.getLong(0))
+      assert(r.getAs[Long]("n_queries") === fq)
+      assert(r.getAs[Long]("hits") === fh,
+        s"pooled hits must equal full-truth hits at nprobe ${r.getLong(0)}")
+      assert(r.getAs[Long]("trials") === fq * k)
+      assert(r.getAs[Long]("recall_micro") ===
+        math.floor(1e6 * (fh.toDouble / (fq * k))).toLong)
+    }
+    // (2) a genuine sample: interval brackets the point estimate,
+    // CONTAINS the full-truth pooled recall at every probe width on
+    // this corpus, hits monotone in nProbe, exact anchor at full probe
+    val sampled = SimilarityOps
+      .annRecallSampled(e, 10, cents, probes, k)
+      .orderBy("nprobe").collect()
+    assert(sampled.map(_.getAs[Long]("hits")).toSeq ===
+      sampled.map(_.getAs[Long]("hits")).sortBy(identity).toSeq)
+    // Wilson endpoint float wobble: at p-hat = 1 the exact upper
+    // bound is (1 + z^2/n)/(1 + z^2/n) = 1, but the numerator and
+    // denominator round DIFFERENTLY (half's sqrt path vs the direct
+    // z^2/n), so the computed ratio can land one ulp under 1 and
+    // micro-floor to 999999 — deterministic and identical on both
+    // engines (the oracle hash-matches), just not the exact endpoint;
+    // the band claims below carry a one-micro slack for exactly this
+    sampled.foreach { r =>
+      val (lo, mid, hi) = (r.getAs[Long]("lo_micro"),
+        r.getAs[Long]("recall_micro"), r.getAs[Long]("hi_micro"))
+      assert(lo <= mid && mid <= hi + 1L)
+      val (fh, fq) = full(r.getLong(0))
+      val fullRecall = (1e6 * fh.toDouble / (fq * k)).toLong
+      assert(lo <= fullRecall && fullRecall <= hi + 1L,
+        s"Wilson band must contain full-truth recall at nprobe " +
+          s"${r.getLong(0)}: [$lo, $hi] vs $fullRecall")
+    }
+    val anchor = sampled.last
+    assert(anchor.getLong(0) === 10L)
+    assert(anchor.getAs[Long]("recall_micro") === 1000000L,
+      "probing every cluster is brute force")
+    assert(anchor.getAs[Long]("hi_micro") >= 999999L)
+    assert(anchor.getAs[Long]("lo_micro") < 1000000L)
+  }
+
   test("clusterMix: shares and weights from the assignment census") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = e.count()
