@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** Dev tool (VERDICT r13 item 8): the V-family scale curve — the
+  * [[DedupScale]] protocol applied to the embedding pipelines: one
+  * recorded 32× run of the sign-LSH candidate/verified pipelines and
+  * the IVF probe path, turning the ANN 100 TB extrapolation from
+  * argument into measurement.
+  *
+  * Method: the ScaleProbe replica construction (vec_id-offset copies —
+  * identical embedding content, c× the rows). Copies carry identical
+  * sign-LSH signatures and identical cluster assignments, so:
+  *  - sign-LSH raw candidates follow the exact closed form
+  *    cand(c) = c²·cand(1) + n·c(c−1)/2 (every 1× candidate pair in
+  *    all c² copy combinations; every doc pairs with its own c−1
+  *    copies — all docs are eligible, every vector has a signature);
+  *  - verified pairs follow the SAME closed form (cosine verification
+  *    is a deterministic function of content; identical copies score
+  *    exactly 10⁶ ≥ any bar);
+  *  - IVF visited mass follows visited(c) = c·(visited(1) + Q) − Q
+  *    (cluster populations scale exactly ×c under a FIXED 1×-trained
+  *    codebook — the deployment shape, codebooks train on samples;
+  *    each query excludes only itself, not its copies).
+  * The quantity under test is WALL TIME against that known output
+  * growth: a pipeline whose time tracks its output is
+  * candidate-bounded; an all-pairs hider would grow with the corpus
+  * square irrespective of output.
+  *
+  * Usage: sbt "runMain graft.VectorScale [c1 c2 ...]" (default
+  * 1 8 32). Prints one `VECTORSCALE` line per (pipeline, point) and
+  * per-pipeline curve lines with the closed-form check and the
+  * candidate FRACTION of the all-pairs square.
+  */
+object VectorScale {
+  def main(args: Array[String]): Unit = {
+    val points = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(1, 8, 32)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val (planes, bandBits, cosMin) = (16, 4, 400000L)
+    val (nCent, nProbe, k, qMax) = (10, 3, 10, 8L)
+    // codebook trained ONCE at 1× — the deployment shape (codebooks
+    // train on a bounded sample, not the full corpus)
+    val cents = SimilarityOps.kmeansCodebook(emb, nCent,
+      SimilarityOps.KmRounds)
+
+    def replicate(df: DataFrame, copies: Int): DataFrame = {
+      val off = 10000000L
+      df.crossJoin(spark.range(copies).toDF("__r"))
+        .withColumn("vec_id", col("vec_id") + col("__r") * off)
+        .drop("__r")
+    }
+
+    def timed(name: String, c: Int)(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"VECTORSCALE $name%-16s c=$c%-3d $dt%8.2f s  rows=$rows")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      (dt, rows)
+    }
+
+    case class Curve(name: String, form: (Long, Int) => Long) {
+      var base: Long = -1L
+      var rows = Vector.empty[(Int, Double, Long)]
+      def record(c: Int, dt: Double, cnt: Long): Unit = {
+        if (c == 1) base = cnt
+        rows :+= ((c, dt, cnt))
+      }
+      def report(): Unit = rows.foreach { case (c, dt, cnt) =>
+        val expected = form(base, c)
+        val t1 = rows.find(_._1 == 1).map(_._2).getOrElse(dt)
+        val allPairs = (n * c) * (n * c - 1) / 2
+        val fracPpm = if (allPairs > 0) 1000000L * cnt / allPairs else 0L
+        println(f"VECTORSCALE curve $name%-14s c=$c%-3d " +
+          f"time=${dt}%7.2f s (x${dt / t1}%6.1f vs 1x) rows=$cnt " +
+          f"expected=$expected frac_ppm=$fracPpm " +
+          (if (base >= 0 && cnt == expected) "IDENTITY-OK"
+           else if (base < 0) "no-1x-base" else "MISMATCH"))
+      }
+    }
+    val lshCand = Curve("signlsh_cand",
+      (b, c) => b * c * c + n * c.toLong * (c - 1) / 2)
+    val lshPairs = Curve("signlsh_pairs",
+      (b, c) => b * c * c + n * c.toLong * (c - 1) / 2)
+    // visited(c) = c*(visited(1) + Q) - Q; fraction denominator is the
+    // per-query corpus (n*c - 1) * Q
+    val ivf = Curve("ivf_visited",
+      (b, c) => c.toLong * (b + qMax) - qMax)
+
+    points.foreach { c =>
+      val d = replicate(emb, c)
+      println(s"--- ${c}x sf0.1 (${n * c} vectors) ---")
+      val (tC, nC) = timed("signlsh_cand", c)(
+        SimilarityOps.signLshCandidates(d, planes, bandBits).count())
+      lshCand.record(c, tC, nC)
+      val (tP, nP) = timed("signlsh_pairs", c)(
+        SimilarityOps.signLshPairs(d, planes, bandBits, cosMin).count())
+      lshPairs.record(c, tP, nP)
+      // IVF probe path: per 1×-query probed-cluster candidate mass +
+      // the served top-k — the q_ann_ivf serving shape, measured as
+      // one pass over the Q-query batch
+      val (tV, nV) = timed("ivf_visited", c) {
+        val queries = d.filter(col("vec_id") < qMax)
+          .select(col("vec_id").as("query_id"))
+        val probed = (0L until qMax).flatMap { q =>
+          SimilarityOps.probeClusters(d, cents, q, nProbe)
+            .map(cl => (q, cl.toLong))
+        }.toSeq
+        import spark.implicits._
+        val pr = probed.toDF("query_id", "cluster")
+        val assigned = SimilarityOps.clusterAssignments(d, cents)
+        assigned.join(broadcast(pr), Seq("cluster"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .count()
+      }
+      ivf.record(c, tV, nV)
+    }
+    println(s"=== curves (n=$n per copy; closed forms: LSH " +
+      s"c^2*base + n*c(c-1)/2, IVF c*(base+Q)-Q with Q=$qMax) ===")
+    lshCand.report(); lshPairs.report(); ivf.report()
+    spark.stop()
+  }
+}

@@ -5524,9 +5524,18 @@ object RelationalQueries {
   /** The census over any events-shaped frame — factored for the
     * hand-computed spec.
     */
-  def msprtCensus(ev: DataFrame): DataFrame = {
-    val daily = ev
-      .select(col("event_type"), to_date(col("ts")).as("day"),
+  def msprtCensus(ev: DataFrame): DataFrame =
+    msprtFromDaily(msprtDailyCensus(ev))
+
+  /** The (event_type, day, six-integer-arm-census) relation R69
+    * reduces the event stream to — factored so the T26 streaming
+    * store accumulates the SAME relation per micro-batch (integer
+    * counts and sums form an exact merge semilattice: per-batch daily
+    * censuses summed cell-wise equal the daily census of the
+    * concatenated stream bit-for-bit).
+    */
+  def msprtDailyCensus(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), to_date(col("ts")).as("day"),
         expr("user_id % 2").as("arm"), cents(col("value")).as("v"))
       .groupBy("event_type", "day")
       .agg(
@@ -5540,6 +5549,14 @@ object RelationalQueries {
           .otherwise(0L)).as("dss_a"),
         sum(when(col("arm") === 1L, col("v") * col("v"))
           .otherwise(0L)).as("dss_b"))
+
+  /** R69's statistics stage over any daily arm census — cumulative
+    * integer windows, the guarded llr tree, the always-valid running
+    * max; shared by the batch query and the T26 streaming store's
+    * serving read (store ≡ batch bit-for-bit, StreamingMsprtSpec-
+    * pinned — the statistic is a pure function of the daily census).
+    */
+  def msprtFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = daily.select(col("event_type"), col("day"),

@@ -786,6 +786,17 @@ object SimilarityOps {
     * out. Two Exchanges total: the (cluster, partial) aggregation and
     * a single-row global step.
     */
+  /** The (vec_id, cluster) assignment relation under a trained
+    * codebook — the projection every IVF consumer starts from,
+    * exposed for the scale probes ([[graft.VectorScale]]) and any
+    * caller that wants the raw assignment without a downstream
+    * rollup. Pure per-row codegen kernel, zero shuffles.
+    */
+  def clusterAssignments(emb: DataFrame,
+                         cents: Array[Array[Long]]): DataFrame =
+    emb.select(col("vec_id"),
+      assignCluster(col("embedding"), cents).as("cluster"))
+
   def clusterMix(emb: DataFrame, cents: Array[Array[Long]],
                  nCentroids: Int): DataFrame = {
     val counts = emb

@@ -3223,8 +3223,16 @@ object TextOps {
     */
   def psiDrift(docs: DataFrame): DataFrame = {
     val scen = lengthCensus(docs).cache()
+    // the bucket census (≤ sources × 10 rows) is consumed FOUR times
+    // by the rollup (srcTotals, refBucket, nAll, the terms join);
+    // uncached, each consumer re-runs the edge derivation INCLUDING
+    // its broadcast job — the r13 factoring moved nAll from a
+    // one-stage agg over the cached length census onto this chain and
+    // cost q_psi ~0.9 s of pure job overhead (the r14 mover
+    // adjudication); caching the tiny census restores one-execution
+    // semantics for the whole chain
     psiFromBuckets(sourceBucketsFromCensus(scen,
-      lengthDecileEdgesFromCensus(scen)))
+      lengthDecileEdgesFromCensus(scen)).cache())
   }
 
   /** The (source, token-length) count census X51 reduces the corpus
