@@ -94,10 +94,25 @@ object VectorScale {
            else if (base < 0) "no-1x-base" else "MISMATCH"))
       }
     }
-    val lshCand = Curve("signlsh_cand",
-      (b, c) => b * c * c + n * c.toLong * (c - 1) / 2)
-    val lshPairs = Curve("signlsh_pairs",
-      (b, c) => b * c * c + n * c.toLong * (c - 1) / 2)
+    // Sign-LSH's scale dial is BAND WIDTH (the df-cap analogue of the
+    // DedupScale discipline, which scaled caps ×c): at a FIXED width
+    // the per-band bucket count is constant, so buckets grow Θ(n) and
+    // candidate mass Θ(n²) — the production 4-bit setting (16
+    // buckets/band) already reads 23 % of all pairs as candidates at
+    // 1× on this clustered corpus, and at 32× its biggest bucket is a
+    // single ~10⁸-pair generation task (measured: the run pins 2
+    // cores for >12 min — the quadratic wall, ON PURPOSE the probe's
+    // first finding). The production query's own setting is therefore
+    // measured to 8× only; the 32× curve runs at the WIDENED 8-bit
+    // banding (2 bands × 256 buckets) a deployment would switch to at
+    // this corpus size. Closed forms hold at each width separately
+    // (the identity is per-parameterization).
+    val lshForm = (b: Long, c: Int) =>
+      b * c * c + n * c.toLong * (c - 1) / 2
+    val lshCandW4 = Curve("signlsh_cand_w4", lshForm)
+    val lshPairsW4 = Curve("signlsh_pairs_w4", lshForm)
+    val lshCandW8 = Curve("signlsh_cand_w8", lshForm)
+    val lshPairsW8 = Curve("signlsh_pairs_w8", lshForm)
     // visited(c) = c*(visited(1) + Q) - Q; fraction denominator is the
     // per-query corpus (n*c - 1) * Q
     val ivf = Curve("ivf_visited",
@@ -106,12 +121,21 @@ object VectorScale {
     points.foreach { c =>
       val d = replicate(emb, c)
       println(s"--- ${c}x sf0.1 (${n * c} vectors) ---")
-      val (tC, nC) = timed("signlsh_cand", c)(
-        SimilarityOps.signLshCandidates(d, planes, bandBits).count())
-      lshCand.record(c, tC, nC)
-      val (tP, nP) = timed("signlsh_pairs", c)(
-        SimilarityOps.signLshPairs(d, planes, bandBits, cosMin).count())
-      lshPairs.record(c, tP, nP)
+      if (c <= 8) {
+        val (tC, nC) = timed("signlsh_cand_w4", c)(
+          SimilarityOps.signLshCandidates(d, planes, bandBits).count())
+        lshCandW4.record(c, tC, nC)
+        val (tP, nP) = timed("signlsh_pairs_w4", c)(
+          SimilarityOps.signLshPairs(d, planes, bandBits, cosMin)
+            .count())
+        lshPairsW4.record(c, tP, nP)
+      }
+      val (tC8, nC8) = timed("signlsh_cand_w8", c)(
+        SimilarityOps.signLshCandidates(d, planes, 8).count())
+      lshCandW8.record(c, tC8, nC8)
+      val (tP8, nP8) = timed("signlsh_pairs_w8", c)(
+        SimilarityOps.signLshPairs(d, planes, 8, cosMin).count())
+      lshPairsW8.record(c, tP8, nP8)
       // IVF probe path: per 1×-query probed-cluster candidate mass +
       // the served top-k — the q_ann_ivf serving shape, measured as
       // one pass over the Q-query batch
@@ -133,7 +157,8 @@ object VectorScale {
     }
     println(s"=== curves (n=$n per copy; closed forms: LSH " +
       s"c^2*base + n*c(c-1)/2, IVF c*(base+Q)-Q with Q=$qMax) ===")
-    lshCand.report(); lshPairs.report(); ivf.report()
+    lshCandW4.report(); lshPairsW4.report()
+    lshCandW8.report(); lshPairsW8.report(); ivf.report()
     spark.stop()
   }
 }

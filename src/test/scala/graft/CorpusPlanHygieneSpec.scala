@@ -29,6 +29,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_ann_filtered",   // broadcast query-vector set vs corpus scores
     "q_ann_ivf",        // broadcast nProbe cluster list
     "q_ann_recall",     // broadcast probe ranks grid (Q x nCentroids)
+    "q_ann_recall_sampled", // broadcast sampled query set + probe grid
     "q_ivf_cost",       // broadcast query-vector set vs corpus scores
     "q_ann_topk",       // broadcast single query vector
     "q_bm25",           // broadcast one-row corpus totals + avgdl
