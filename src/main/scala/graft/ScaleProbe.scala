@@ -1818,6 +1818,71 @@ object ScaleProbe {
               s"(label ${b.getAs[Long]("label")})")
         }
       }
+
+      // R69: the daily arm census — the only corpus-sized relation in
+      // the sequential test — scales EXACTLY under event replication
+      // (every cumulative column ×k; user/ts/value ride unchanged, so
+      // arms and days are preserved), and the always-valid statistic
+      // stays monotone per type at k× (the no-peeking guarantee is
+      // scale-free).
+      {
+        val ev = graft.sources.Tables.events(spark, dir)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        def cen(c: Int) = {
+          val e = if (c == 1) ev else replicate(ev, "event_id", c)
+          graft.operators.RelationalQueries.msprtCensus(e).collect()
+        }
+        val b = cen(1)
+        var r: Array[org.apache.spark.sql.Row] = Array.empty
+        time(s"msprt_${k}x") { r = cen(k); r.length.toLong }
+        require(r.length == b.length, "msprt type-day row drift")
+        b.zip(r).foreach { case (x, y) =>
+          require(y.getAs[Long]("cn_a") == x.getAs[Long]("cn_a") * k &&
+            y.getAs[Long]("cn_b") == x.getAs[Long]("cn_b") * k &&
+            y.getAs[Long]("csum_a") == x.getAs[Long]("csum_a") * k &&
+            y.getAs[Long]("csum_b") == x.getAs[Long]("csum_b") * k,
+            "msprt cumulative census must scale exactly by k")
+        }
+        r.groupBy(_.getAs[String]("event_type")).foreach {
+          case (_, rows) =>
+            val lps = rows.sortBy(_.getAs[String]("day"))
+              .flatMap(x =>
+                Option(x.getAs[java.lang.Long]("lp_micro")))
+              .map(_.toLong)
+            require(lps.sameElements(lps.sorted),
+              s"lp must stay monotone at ${k}x")
+        }
+        println(s"SCALE msprt_census_scaling ok (cn/csum exactly xk " +
+          s"over ${b.length} type-days; lp monotone at ${k}x)")
+      }
+
+      // M19 ⟷ M18 cross-operator identity: the Goertzel DC bin is
+      // the square of the decoder's integer sample sum —
+      // |X(0)|² = (Σx)² EXACTLY, for every doc, at 1× AND k×
+      // (replica ids generate FRESH synthetic WAVs, so the k× pass
+      // exercises k× new content, not copies).
+      {
+        def check(c: Int): Long = {
+          val d = replicate(docs, "doc_id", c)
+          val g = MultimodalOps
+            .wavGoertzelStats(MultimodalOps.mediaBinary(d))
+            .toDF().select("doc_id", "p0")
+          val s = MultimodalOps
+            .wavDcStats(MultimodalOps.mediaBinary(d))
+            .toDF().select(col("doc_id"),
+              (col("sum_all") * col("sum_all")).as("sq"))
+          val bad = g.join(s, "doc_id")
+            .filter(col("p0") =!= col("sq")).count()
+          require(bad == 0L,
+            s"Goertzel DC bin must equal (sum)^2, $bad rows differ")
+          g.count()
+        }
+        check(1)
+        var n = 0L
+        time(s"goertzel_dc_${k}x") { n = check(k); n }
+        println(s"SCALE goertzel_dc_identity ok ($n wav docs at " +
+          s"${k}x, p0 == sum_all² exactly)")
+      }
     }
     spark.stop()
   }

@@ -84,6 +84,14 @@ object PairStore {
     * identical rows, identical bucket layout (the pairs append rides
     * `mode("append")` against the unchanged catalog bucket spec; the
     * components rewrite re-declares it).
+    *
+    * Scale note (the [[ComponentStore]] contract, inherited): the
+    * UNION-FIND input is bounded by the new pairs' fan-out, but the
+    * components rewrite here materializes unaffected ∪ relabeled rows
+    * and overwrites the whole table; at deployment scale the same
+    * merge writes per-component-bucket partitions and rewrites only
+    * buckets holding affected rows — the single-table overwrite keeps
+    * the test-scale layout exact and the bucket metadata intact.
     */
   def append(spark: SparkSession, newPairs: DataFrame, base: String,
              nBuckets: Int = 8): Unit = {
