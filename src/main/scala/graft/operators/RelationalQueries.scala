@@ -5646,6 +5646,112 @@ object RelationalQueries {
        |    >= $MsprtLnBarMicro, false) AS crossed
        |FROM p ORDER BY event_type, day""".stripMargin
 
+  // ----------------------- sample-size planning curve (R70)
+
+  /** R70 relative-effect grid: the detectable effect targets the
+    * planning table is computed at, as percent of the control-arm
+    * mean — the rows an experiment-sizing page actually shows.
+    */
+  val PowerDeltaPcts: Seq[Long] = Seq(1L, 5L, 10L, 25L)
+
+  /** Shared R70 trees over the welch census × the Δ grid — the R64
+    * identity inverted: R64 answers "what can I detect at the n I
+    * have", THIS answers "what n do I need for the Δ I care about":
+    * n_req per arm = (z_{α/2} + z_{0.8})² · (s²_a + s²_b) / Δ²_abs
+    * with Δ_abs = (delta_pct/100) · control mean. The Δ² divisor is
+    * greatest()-floored at an unreachable 1e-300 (the R69 rule — the
+    * guard excludes sum_a ≤ 0, the floor keeps the hoisted tree
+    * finite on degenerate rows).
+    */
+  private val powerDeltaAbs =
+    "((CAST(delta_pct AS DOUBLE) / CAST(100 AS DOUBLE)) * " +
+      "(CAST(sum_a AS DOUBLE) / CAST(greatest(n_a, 1) AS DOUBLE)))"
+  private val powerNReq =
+    s"((CAST(2.8016 AS DOUBLE) * CAST(2.8016 AS DOUBLE)) * " +
+      s"($welchVarA + $welchVarB) / " +
+      s"greatest($powerDeltaAbs * $powerDeltaAbs, 1e-300))"
+  private val powerGuard = s"$welchGuard AND sum_a > 0"
+
+  /** R70: sample-size planning curve per event type — the table an
+    * experimentation platform shows BEFORE a test is designed (the
+    * forward form of R64's MDE): for each relative effect target
+    * (1/5/10/25 % of the control mean), the users-per-arm required to
+    * detect it at α = 0.05 with 80 % power under the observed
+    * outcome variance (the standard two-sample identity, Cohen 1988),
+    * and whether the CURRENT arms already suffice — the
+    * "how much longer must this run" readout R64's backward form
+    * makes the reader derive by hand.
+    *
+    * Exactness: the same six-integer census as R59/R64 (shared
+    * builder); n_req is ONE double tree over the exact integers,
+    * ceil'd to BIGINT identically on both engines (shared verbatim);
+    * `sufficient` is an integer compare under the guard. Degenerate
+    * arms (R59 guard) or a non-positive control mean read NULL and
+    * sufficient = false.
+    *
+    * Scale shape: identical to R59/R64 (two partial-agg'd Exchanges)
+    * plus a broadcast 4-row Δ grid — ≤ #event_types × 4 rows after.
+    */
+  def qPower(spark: SparkSession, dir: String): DataFrame =
+    powerCensus(events(spark, dir))
+
+  /** The curve over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def powerCensus(ev: DataFrame): DataFrame = {
+    val grid = ev.sparkSession
+      .createDataFrame(PowerDeltaPcts.map(Tuple1(_)))
+      .toDF("delta_pct")
+    welchBase(ev).crossJoin(broadcast(grid))
+      .select(col("event_type"), col("delta_pct"),
+        col("n_a"), col("n_b"),
+        expr(s"CASE WHEN $powerGuard THEN " +
+          s"CAST(ceil($powerNReq) AS BIGINT) END").as("n_req"),
+        expr(s"CASE WHEN $powerGuard THEN " +
+          s"n_a >= CAST(ceil($powerNReq) AS BIGINT) AND " +
+          s"n_b >= CAST(ceil($powerNReq) AS BIGINT) " +
+          s"ELSE false END").as("sufficient"))
+      .orderBy("event_type", "delta_pct")
+  }
+
+  private val powerOracle =
+    s"""$evCte,
+       |m AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_b
+       |  FROM m GROUP BY 1
+       |),
+       |grid(delta_pct) AS (
+       |  SELECT CAST(v.c AS BIGINT)
+       |  FROM (VALUES ${PowerDeltaPcts.map(p => s"($p)").mkString(", ")})
+       |    v(c)
+       |)
+       |SELECT event_type, delta_pct, n_a, n_b,
+       |  CASE WHEN $powerGuard THEN
+       |    CAST(ceil($powerNReq) AS BIGINT) END AS n_req,
+       |  CASE WHEN $powerGuard THEN
+       |    n_a >= CAST(ceil($powerNReq) AS BIGINT) AND
+       |    n_b >= CAST(ceil($powerNReq) AS BIGINT)
+       |  ELSE false END AS sufficient
+       |FROM cen CROSS JOIN grid
+       |ORDER BY event_type, delta_pct""".stripMargin
+
   // ------------------------------- sample-ratio mismatch (R66)
 
   /** χ²(1) upper bound at α = 0.001 in micro units — SRM pages at a
@@ -6357,6 +6463,7 @@ object RelationalQueries {
     "q_qte"          -> (qQte _),
     "q_did"          -> (qDid _),
     "q_msprt"        -> (qMsprt _),
+    "q_power"        -> (qPower _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6433,6 +6540,7 @@ object RelationalQueries {
     "q_qte"          -> qteOracle,
     "q_did"          -> didOracle,
     "q_msprt"        -> msprtOracle,
+    "q_power"        -> powerOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -69,6 +69,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_cuped",          // broadcast one-row median-day boundary
     "q_kmv_overlap",    // broadcast tiny source-pair grid
     "q_qte",            // census x broadcast 4-row quantile grid
+    "q_power",          // welch census x broadcast 4-row delta grid
     "q_did",            // broadcast one-row median-day boundary
     "q_dedup_yield",    // four one-row legs x broadcast corpus total
     "q_fano",           // broadcast one-row user-total summary

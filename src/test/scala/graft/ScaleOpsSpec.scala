@@ -1284,6 +1284,40 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 0L, 0L, 0L, 1L, 0L, 0L, 0L, 900L, None)))
   }
 
+  test("powerCensus: hand-computed users-per-arm over the delta " +
+    "grid, degenerate arms read NULL and never sufficient") {
+    // the welch 't' fixture: s2_a = 5000, s2_b = 20000 (sum 25000),
+    // mean_a = 250 cents; n_req = 2.8016^2 * 25000 / (pct/100 * 250)^2
+    //   1% (2.5c):  196224.064/6.25    = 31395.85.. -> 31396
+    //   5% (12.5c): /156.25            = 1255.83..  -> 1256
+    //   10% (25c):  /625               = 313.95..   -> 314
+    //   25% (62.5c):/3906.25           = 50.23..    -> 51
+    // type u: single-user arms -> guard fails -> NULL, false
+    val rows = Seq(
+      (2L, "t", 1.00), (2L, "t", 2.00), (4L, "t", 2.00),
+      (1L, "t", 3.00), (3L, "t", 1.00),
+      (2L, "u", 5.00), (1L, "u", 5.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.powerCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("delta_pct"),
+        Option(r.getAs[java.lang.Long]("n_req")).map(_.toLong),
+        r.getAs[Boolean]("sufficient")))
+    assert(out.toSeq === Seq(
+      ("t", 1L, Some(31396L), false),
+      ("t", 5L, Some(1256L), false),
+      ("t", 10L, Some(314L), false),
+      ("t", 25L, Some(51L), false),
+      ("u", 1L, None, false),
+      ("u", 5L, None, false),
+      ("u", 10L, None, false),
+      ("u", 25L, None, false)))
+  }
+
   test("msprtCensus: hand-computed log-Lambda per day, always-valid " +
     "-ln p monotone, null arms never cross, degenerate days NULL") {
     // type t (real effect): day1 arm a (u2) = {0.00, 2.00}, arm b
