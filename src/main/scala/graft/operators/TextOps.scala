@@ -3650,6 +3650,57 @@ object TextOps {
           col("r_stop"))
   }
 
+  /** X76: quality-score calibration table — "is the cheap score a
+    * usable proxy for the expensive battery": X1's one-pass weighted
+    * quality score is what a pipeline GATES on at scan time (it costs
+    * one projection), X28's Gopher rule battery is what it TRUSTS
+    * (it costs a token explode and two aggregations) — this is the
+    * reliability table between them: docs bucketed into score deciles
+    * (rank-picked edges off the score census — the X51 discipline, so
+    * tied scores always share a bucket), each decile reporting its
+    * battery pass rate. A monotone pass_ppm column says the cheap
+    * score ranks documents the way the battery would (gate on it and
+    * audit a sample); a flat or inverted one says the gate threshold
+    * is fiction. The standard calibration/reliability-diagram read,
+    * applied to the curation stack itself.
+    *
+    * Exactness: scores and pass flags are the X1/X28 kernels verbatim
+    * (shared code — both re-verified post-composition); the decile
+    * edges are rank-picked ACTUAL score values; every output column
+    * is an exact integer, the rate one ppm floor division.
+    *
+    * Scale shape: the X1 projection and the X28 token explode (its
+    * own partial-agg'd Exchanges), joined doc-keyed, then ONE
+    * (score_micro) census Exchange — everything after (edges, buckets,
+    * the 10-row rollup) is census-sized; the edges broadcast.
+    */
+  def scoreCalibration(docs: DataFrame, minTok: Long, maxTok: Long,
+                       ttrMinMicro: Long, topMaxMicro: Long,
+                       minStops: Long): DataFrame = {
+    val scored = tokenStats(docs)
+      .select(col("doc_id"), col("quality_micro"))
+    val passed = qualityRules(docs, minTok, maxTok, ttrMinMicro,
+        topMaxMicro, minStops)
+      .select(col("doc_id"), col("pass"))
+    val cen = scored.join(passed, Seq("doc_id"))
+      .groupBy(col("quality_micro").as("v"))
+      .agg(count(lit(1)).as("cnt"), sum("pass").as("n_pass"))
+      .cache()
+    val edges = lengthDecileEdgesFromCensus(cen)
+    cen.crossJoin(broadcast(edges))
+      .groupBy("v")
+      .agg(max("cnt").as("cnt"), max("n_pass").as("n_pass"),
+        sum(when(col("v") > col("edge"), 1L).otherwise(0L))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(min("v").as("score_lo"), max("v").as("score_hi"),
+        sum("cnt").as("n_docs"), sum("n_pass").as("n_pass"))
+      .select(col("bucket"), col("score_lo"), col("score_hi"),
+        col("n_docs"), col("n_pass"),
+        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"))
+      .orderBy("bucket")
+  }
+
   /** Temperature-based source mixing at α = ½ — the multilingual
     * sampling rule (q_i ∝ p_i^α) in its most common setting, as a
     * keep-all-of-the-smallest downsampling plan: with α = ½ the rate

@@ -3128,6 +3128,92 @@ object TextQueries {
        |  CAST(r_len * r_wlen * r_ttr * r_top * r_stop AS BIGINT) AS pass
        |FROM qr ORDER BY doc_id""".stripMargin
 
+  /** X76: the cheap-score vs rule-battery calibration table at the
+    * production thresholds.
+    */
+  def qScoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    TextOps.scoreCalibration(docs(spark, dir), QrMinTok, QrMaxTok,
+      QrTtrMin, QrTopMax, QrMinStops)
+
+  /** X76 oracle: the X1 score tree + the X28 rule CTEs composed, the
+    * psi-oracle decile-edge machinery over the score census, the
+    * 10-row rollup.
+    */
+  private val scoreCalibrationOracle =
+    s"""$tokCte,
+       |qfl AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |qtc AS (SELECT doc_id, t, count(*) AS c FROM qfl GROUP BY 1, 2),
+       |qagg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(max(c) AS BIGINT) AS max_tok
+       |  FROM qtc GROUP BY 1
+       |),
+       |qtx AS (
+       |  SELECT doc_id,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |    CAST($stopFilter AS BIGINT) AS n_stops
+       |  FROM tok
+       |),
+       |qm AS (
+       |  SELECT a.doc_id, a.n_tokens,
+       |    ${Hashing.microSql("x.n_chars * 1.0 / a.n_tokens")}
+       |      AS mean_wlen_micro,
+       |    ${Hashing.microSql("a.n_distinct * 1.0 / a.n_tokens")}
+       |      AS ttr_micro,
+       |    ${Hashing.microSql("a.max_tok * 1.0 / a.n_tokens")}
+       |      AS top_share_micro,
+       |    x.n_stops
+       |  FROM qagg a JOIN qtx x ON a.doc_id = x.doc_id
+       |),
+       |qp AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN n_tokens BETWEEN $QrMinTok AND $QrMaxTok
+       |         THEN 1 ELSE 0 END
+       |       * CASE WHEN mean_wlen_micro BETWEEN 3000000 AND 10000000
+       |         THEN 1 ELSE 0 END
+       |       * CASE WHEN ttr_micro >= $QrTtrMin THEN 1 ELSE 0 END
+       |       * CASE WHEN top_share_micro <= $QrTopMax THEN 1 ELSE 0 END
+       |       * CASE WHEN n_stops >= $QrMinStops THEN 1 ELSE 0 END
+       |       AS BIGINT) AS pass
+       |  FROM qm
+       |),
+       |qq AS (
+       |  SELECT doc_id, ${Hashing.microSql(qualityExpr)} AS v FROM tok
+       |),
+       |cen AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(pass) AS BIGINT) AS n_pass
+       |  FROM qq JOIN qp USING (doc_id) GROUP BY 1
+       |),
+       |cum AS (SELECT v, cnt,
+       |        CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+       |        FROM cen),
+       |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM cen),
+       |ed AS (
+       |  SELECT t.i,
+       |    CAST(floor((n_all - 1) * t.i / CAST(10.0 AS DOUBLE))
+       |         AS BIGINT) AS r
+       |  FROM na, unnest(range(1, 10)) AS t(i)
+       |),
+       |edges AS (
+       |  SELECT e.i, c.v AS edge FROM ed e
+       |  JOIN cum c ON e.r >= c.cum - c.cnt AND e.r < c.cum
+       |),
+       |bk AS (
+       |  SELECT c.v, max(c.cnt) AS cnt, max(c.n_pass) AS n_pass,
+       |    CAST(sum(CASE WHEN c.v > e2.edge THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS bucket
+       |  FROM cen c CROSS JOIN edges e2 GROUP BY 1
+       |)
+       |SELECT bucket, CAST(min(v) AS BIGINT) AS score_lo,
+       |  CAST(max(v) AS BIGINT) AS score_hi,
+       |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_pass) AS BIGINT) AS n_pass,
+       |  CAST((1000000 * sum(n_pass)) // sum(cnt) AS BIGINT)
+       |    AS pass_ppm
+       |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
     TextOps.sampleSplit(Tables.documents(spark, dir), TrainPct, ValPct)
       .orderBy("lang", "split")
@@ -3809,6 +3895,7 @@ object TextQueries {
     "q_lang_confusion" -> (qLangConfusion _),
     "q_lang_mix"      -> (qLangMix _),
     "q_tok_len"       -> (qTokLen _),
+    "q_score_calibration" -> (qScoreCalibration _),
     "q_simhash_hist"  -> (qSimhashHist _),
     "q_dedup_yield"   -> (qDedupYield _),
     "q_fingerprint"   -> (qFingerprint _),
@@ -3902,6 +3989,7 @@ object TextQueries {
     "q_lang_confusion" -> langConfusionOracle,
     "q_lang_mix"      -> langMixOracle,
     "q_tok_len"       -> tokLenOracle,
+    "q_score_calibration" -> scoreCalibrationOracle,
     "q_simhash_hist"  -> simhashHistOracle,
     "q_dedup_yield"   -> dedupYieldOracle,
     "q_fingerprint"   -> fingerprintOracle,

@@ -93,6 +93,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_sq_search",      // broadcast query-vector set vs corpus scores
     "q_ppl_buckets",    // broadcast one-row vocab-size V (via lmScore)
     "q_psi",            // 9-row broadcast decile edges + one-row total
+    "q_score_calibration", // 9-row broadcast decile edges over census
     "q_pq_recall",      // broadcast query-vector set vs corpus (truth)
     "q_pq_rerank",      // broadcast single query vector (rerank stage)
     "q_pq_serve",       // broadcast single query vector (rerank stage)

@@ -1666,6 +1666,46 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq.sortBy(_._3) === Seq((2L, 2L, 1L), (2L, 1L, 3L)))
   }
 
+  test("scoreCalibration: buckets partition the corpus, tied scores " +
+    "never split, engineered junk sinks the bottom bucket and prose " +
+    "tops out at 10^6") {
+    // 4 junk docs (3-6 stopword-ish tokens: fail r_len, low score),
+    // 3 IDENTICAL mid docs (one tied score — must land in ONE bucket),
+    // 4 good docs (>= 21 distinct words + one stopword: pass the
+    // whole battery, highest scores)
+    def goodDoc(k: Int): String =
+      ("the" +: (0 until (20 + k)).map(j => s"word$k$j")).mkString(" ")
+    val rows =
+      (1 to 4).map(i => (i.toLong, ("a " * (i + 2)).trim, "s")) ++
+        (5 to 7).map(i => (i.toLong, "the quick brown fox jumps over", "s")) ++
+        (8 to 11).map(i => (i.toLong, goodDoc(i), "s"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = TextOps.scoreCalibration(d, 20L, 1000L, 300000L,
+        200000L, 1L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("score_lo"),
+        r.getAs[Long]("score_hi"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_pass"), r.getAs[Long]("pass_ppm")))
+    // partition: bucket doc/pass sums equal the corpus totals
+    assert(out.map(_._4).sum === rows.size.toLong)
+    val passTotal = TextOps.qualityRules(d, 20L, 1000L, 300000L,
+      200000L, 1L).agg(sum("pass")).head().getLong(0)
+    assert(out.map(_._5).sum === passTotal && passTotal === 4L)
+    // buckets are ordered, ranges disjoint ascending — tied scores
+    // can therefore never straddle two buckets
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._3 < b._2,
+          s"bucket ranges must ascend disjointly: $a then $b")
+      case _ => ()
+    }
+    // the 3 identical mids share one score -> one bucket holds >= 3
+    assert(out.exists(_._4 >= 3L), s"tied docs split: ${out.toSeq}")
+    // junk bottoms out at 0, prose tops out at exactly 10^6
+    assert(out.head._6 === 0L)
+    assert(out.last._6 === 1000000L)
+  }
+
   test("langMixCensus: engineered bilingual halves read mixed, " +
     "monolingual and degenerate docs do not") {
     // doc 1: en-evidence first half, de-evidence second -> mixed
