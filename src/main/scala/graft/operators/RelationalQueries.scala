@@ -5646,6 +5646,93 @@ object RelationalQueries {
        |    >= $MsprtLnBarMicro, false) AS crossed
        |FROM p ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------- A/A calibration test (R71)
+
+  /** R71: A/A calibration test per event type — the experimentation
+    * platform's own health check (run CONTINUOUSLY on every real
+    * platform; Kohavi et al., "Trustworthy Online Controlled
+    * Experiments" §19 make it the first diagnostic): split the SAME
+    * population by a hash ORTHOGONAL to the experiment's arm hash and
+    * run the full Welch readout — there is no treatment, so a
+    * significant |t| means the stats pipeline itself is broken
+    * (mis-clustered randomization unit, variance under-estimation,
+    * logging skew), and every real readout it produces is suspect.
+    * Arms = md5('aa:' ∥ user_id) parity — hash-based like production
+    * assignment, orthogonal to R59's user_id parity, DuckDB-exact.
+    *
+    * Implementation shares the ENTIRE R59 machinery by a user-id
+    * remap identity: user_id ↦ 2·user_id + aa_arm keeps users unique
+    * and makes user parity EQUAL the A/A arm, so [[welchCensus]] runs
+    * verbatim (spec-pinned against an explicitly relabeled frame).
+    * `calibrated` = |t| < 1.96 at the same α as the real readouts;
+    * degenerate types (NULL t — nothing measurable) read calibrated =
+    * true: an empty cell is not a broken pipeline.
+    *
+    * Scale shape: exactly R59 — two partial-agg'd Exchanges, ≤
+    * #event_types rows after.
+    */
+  def qAaTest(spark: SparkSession, dir: String): DataFrame =
+    aaCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def aaCensus(ev: DataFrame): DataFrame = {
+    val arm = Hashing.md5Long(
+      concat(lit("aa:"), col("user_id").cast("string"))) % 2L
+    welchCensus(ev.withColumn("user_id", col("user_id") * 2L + arm))
+      .withColumn("calibrated",
+        coalesce(abs(col("t_micro")) < lit(1960000L), lit(true)))
+  }
+
+  private val aaOracle =
+    s"""$evCte,
+       |aaev AS (
+       |  SELECT event_id,
+       |    2 * user_id +
+       |      (${Hashing.md5LongSql(
+              "'aa:' || CAST(user_id AS VARCHAR)")} % 2) AS user_id,
+       |    event_type, ts, value
+       |  FROM ev
+       |),
+       |m AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM aaev GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_b
+       |  FROM m GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT event_type, n_a, n_b, sum_a, sum_b, ss_a, ss_b,
+       |    CASE WHEN n_a > 0 THEN
+       |      CAST((sum_a * 1000000) // n_a AS BIGINT) END
+       |      AS mean_a_micro,
+       |    CASE WHEN n_b > 0 THEN
+       |      CAST((sum_b * 1000000) // n_b AS BIGINT) END
+       |      AS mean_b_micro,
+       |    CASE WHEN $welchGuard THEN
+       |      CAST(floor(1000000.0 * $welchT) AS BIGINT) END AS t_micro,
+       |    CASE WHEN $welchGuard THEN
+       |      CAST(floor(1000000.0 * $welchDf) AS BIGINT) END AS df_micro
+       |  FROM cen
+       |)
+       |SELECT *, coalesce(abs(t_micro) < 1960000, true) AS calibrated
+       |FROM w ORDER BY event_type""".stripMargin
+
   // ----------------------- sample-size planning curve (R70)
 
   /** R70 relative-effect grid: the detectable effect targets the
@@ -6464,6 +6551,7 @@ object RelationalQueries {
     "q_did"          -> (qDid _),
     "q_msprt"        -> (qMsprt _),
     "q_power"        -> (qPower _),
+    "q_aa_test"      -> (qAaTest _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6541,6 +6629,7 @@ object RelationalQueries {
     "q_did"          -> didOracle,
     "q_msprt"        -> msprtOracle,
     "q_power"        -> powerOracle,
+    "q_aa_test"      -> aaOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

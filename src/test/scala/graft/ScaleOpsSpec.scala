@@ -1284,6 +1284,51 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 0L, 0L, 0L, 1L, 0L, 0L, 0L, 900L, None)))
   }
 
+  test("aaCensus: arm derivation equals an explicit md5-parity " +
+    "relabel through the shared welch machinery; degenerate null " +
+    "reads calibrated") {
+    val rows = Seq(
+      (1L, "t", 1.00), (2L, "t", 2.00), (3L, "t", 3.00),
+      (4L, "t", 4.00), (5L, "t", 2.50), (6L, "t", 1.50),
+      (1L, "u", 5.00), (2L, "u", 5.00))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // independent relabel: derive the md5 arms in the TEST, remap
+    // user parity to them, run the plain welch census — must equal
+    // the operator row for row (plus its calibrated column)
+    import graft.functions.Hashing
+    val relabeled = ev.withColumn("user_id",
+      col("user_id") * 2L + Hashing.md5Long(
+        concat(lit("aa:"), col("user_id").cast("string"))) % 2L)
+    val expected = RelationalQueries.welchCensus(relabeled).collect()
+      .map(_.toSeq)
+    val out = RelationalQueries.aaCensus(ev).collect()
+    assert(out.map(_.toSeq.dropRight(1)).toSeq === expected.toSeq)
+    // type u: every user holds the same constant value -> zero
+    // variance in any split -> NULL t -> calibrated (an empty cell is
+    // not a broken pipeline)
+    val u = out.find(_.getAs[String]("event_type") == "u").get
+    assert(u.isNullAt(u.fieldIndex("t_micro")))
+    assert(u.getAs[Boolean]("calibrated"))
+    // fixture sanity: `calibrated` is exactly the |t| < 1.96 compare
+    // (NULL -> true). NOTE deliberately NOT "all types calibrated":
+    // a true A/A flags each type with probability alpha = 5 %, so a
+    // 5-type corpus reads a false positive ~23 % of the time — on
+    // this deterministic fixture one type does, which is the test
+    // WORKING (the per-type rate is what the platform monitors)
+    val fixture = RelationalQueries
+      .qAaTest(spark, "/root/testdata/sf0.001").collect()
+    assert(fixture.nonEmpty)
+    fixture.foreach { r =>
+      val t = Option(r.getAs[java.lang.Long]("t_micro")).map(_.toLong)
+      assert(r.getAs[Boolean]("calibrated") ===
+        t.forall(v => math.abs(v) < 1960000L))
+    }
+  }
+
   test("powerCensus: hand-computed users-per-arm over the delta " +
     "grid, degenerate arms read NULL and never sufficient") {
     // the welch 't' fixture: s2_a = 5000, s2_b = 20000 (sum 25000),
