@@ -3676,16 +3676,36 @@ object TextOps {
     */
   def scoreCalibration(docs: DataFrame, minTok: Long, maxTok: Long,
                        ttrMinMicro: Long, topMaxMicro: Long,
-                       minStops: Long): DataFrame = {
+                       minStops: Long): DataFrame =
+    calibrationFromCensus(scoreCensus(docs, minTok, maxTok,
+      ttrMinMicro, topMaxMicro, minStops))
+
+  /** The (v = score, cnt, n_pass) census X76 reduces the corpus to —
+    * factored so the T27 streaming store accumulates the SAME
+    * relation per micro-batch (integer counts form an exact merge
+    * semilattice).
+    */
+  def scoreCensus(docs: DataFrame, minTok: Long, maxTok: Long,
+                  ttrMinMicro: Long, topMaxMicro: Long,
+                  minStops: Long): DataFrame = {
     val scored = tokenStats(docs)
       .select(col("doc_id"), col("quality_micro"))
     val passed = qualityRules(docs, minTok, maxTok, ttrMinMicro,
         topMaxMicro, minStops)
       .select(col("doc_id"), col("pass"))
-    val cen = scored.join(passed, Seq("doc_id"))
+    scored.join(passed, Seq("doc_id"))
       .groupBy(col("quality_micro").as("v"))
       .agg(count(lit(1)).as("cnt"), sum("pass").as("n_pass"))
-      .cache()
+  }
+
+  /** X76's statistics stage over any (v, cnt, n_pass) census — the
+    * decile edges, buckets, and 10-row rollup; shared by the batch
+    * query and the T27 streaming store's serving read (store ≡ batch
+    * bit-for-bit — the edges are a pure function of the census, the
+    * T25 discipline).
+    */
+  def calibrationFromCensus(census: DataFrame): DataFrame = {
+    val cen = census.cache()
     val edges = lengthDecileEdgesFromCensus(cen)
     cen.crossJoin(broadcast(edges))
       .groupBy("v")
