@@ -5646,6 +5646,159 @@ object RelationalQueries {
        |    >= $MsprtLnBarMicro, false) AS crossed
        |FROM p ORDER BY event_type, day""".stripMargin
 
+  // --------------------- empirical-Bayes shrinkage census (R72)
+
+  /** Shared R72 trees over the one-row global census (k, n_all,
+    * sumn2, ssw_e6, ssb_e6) joined to each type's (n, sum) — the
+    * one-way random-effects method-of-moments fit (Efron & Morris
+    * 1975; Morris 1983): σ̂²_w = SSW/(N−k), τ̂² = max(0,
+    * (SSB − (k−1)·σ̂²_w)/(N − Σn²/N)), per-type weight
+    * w = τ̂²/(τ̂² + σ̂²_w/n). SSW/SSB are integer sums of per-type
+    * micro-floored terms (the X51 per-term-floor discipline — their
+    * cross-type accumulation must not be double-associative);
+    * divisors greatest()-floored per the R69 rule.
+    */
+  private val ebSigW =
+    "((CAST(ssw_e6 AS DOUBLE) / 1000000.0) / " +
+      "CAST(greatest(n_all - k, 1) AS DOUBLE))"
+  private val ebTau2 =
+    s"greatest(0.0, ((CAST(ssb_e6 AS DOUBLE) / 1000000.0) - " +
+      s"CAST(k - 1 AS DOUBLE) * $ebSigW) / " +
+      s"greatest(CAST(n_all AS DOUBLE) - CAST(sumn2 AS DOUBLE) / " +
+      s"CAST(greatest(n_all, 1) AS DOUBLE), 1e-300))"
+  private val ebW =
+    s"($ebTau2 / greatest($ebTau2 + $ebSigW / " +
+      s"CAST(greatest(n, 1) AS DOUBLE), 1e-300))"
+  private val ebShrunk =
+    s"((CAST(sum_all AS DOUBLE) / CAST(greatest(n_all, 1) AS DOUBLE))" +
+      s" + $ebW * ((CAST(s AS DOUBLE) / " +
+      s"CAST(greatest(n, 1) AS DOUBLE)) - " +
+      s"(CAST(sum_all AS DOUBLE) / CAST(greatest(n_all, 1) AS DOUBLE))))"
+  private val ebGuard =
+    "k >= 2 AND n_all > k AND (ssw_e6 > 0 OR ssb_e6 > 0)"
+
+  /** R72: empirical-Bayes shrinkage of per-segment means — the
+    * READOUT layer every metrics platform puts in front of small
+    * segments (Efron & Morris 1975 made it canonical with the
+    * baseball estimator; Morris 1983 for the parametric EB frame):
+    * a segment mean over 40 users is mostly noise, and reporting it
+    * raw invites decisions on that noise — the one-way random-effects
+    * model shrinks each segment's mean toward the grand mean with a
+    * weight that is exactly the signal fraction
+    * τ̂²/(τ̂² + σ̂²_w/n): big segments keep their mean (w → 1), tiny
+    * ones collapse to the pool (w → 0), and the CROSS-SEGMENT
+    * variance τ̂² is estimated from the data itself (method of
+    * moments), which is what makes it "empirical". Read next to
+    * R59/R71: those test differences, this is what the dashboard
+    * should DISPLAY per segment.
+    *
+    * Exactness: per-user outcomes exact integer cents (the R59
+    * grain); per-type (n, Σ, vnum = n·ΣΣ² − Σ²) exact integers; the
+    * SSW/SSB pools are integer sums of per-type micro-floored terms
+    * (X51 per-term-floor — documented sub-ppm, identical cross-
+    * engine); σ̂²_w, τ̂², w and the shrunken mean are each ONE
+    * micro-floored tree over the one-row global census with
+    * greatest()-floored divisors. Zero total variance (every user
+    * identical everywhere), k < 2, or N ≤ k read NULL w/shrunk.
+    *
+    * Scale shape: one (event_type, user) partial-agg'd Exchange, one
+    * (event_type) census Exchange carrying three integers, one-row
+    * global rollup broadcast back (whitelisted BNLJ); ≤ #event_types
+    * rows after.
+    */
+  def qShrinkage(spark: SparkSession, dir: String): DataFrame =
+    shrinkageCensus(events(spark, dir))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def shrinkageCensus(ev: DataFrame): DataFrame = {
+    val perType = ev
+      .select(col("event_type"), col("user_id"),
+        cents(col("value")).as("v"))
+      .groupBy("event_type", "user_id").agg(sum("v").as("s0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("s0").as("s"),
+        sum(col("s0") * col("s0")).as("ss"))
+    val globals = perType
+      .select(col("n"), col("s"),
+        (col("n") * col("ss") - col("s") * col("s")).as("vnum"))
+      .agg(count(lit(1)).as("k"), sum("n").as("n_all"),
+        sum("s").as("sum_all"),
+        sum(col("n") * col("n")).as("sumn2"),
+        sum(expr("CAST(floor(1000000.0 * (CAST(vnum AS DOUBLE) / " +
+          "CAST(greatest(n, 1) AS DOUBLE))) AS BIGINT)")).as("ssw_e6"))
+    val withG = perType.crossJoin(broadcast(globals))
+      .withColumn("ssb_term",
+        expr("CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * " +
+          "((CAST(s AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) - " +
+          "(CAST(sum_all AS DOUBLE) / " +
+          "CAST(greatest(n_all, 1) AS DOUBLE))) * " +
+          "((CAST(s AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) - " +
+          "(CAST(sum_all AS DOUBLE) / " +
+          "CAST(greatest(n_all, 1) AS DOUBLE))))) AS BIGINT)"))
+    val ssb = withG.agg(sum("ssb_term").as("ssb_e6"))
+    withG.crossJoin(broadcast(ssb))
+      .select(col("event_type"), col("n"), col("s"),
+        when(col("n") > 0L, expr("(s * 1000000) div n"))
+          .as("mean_micro"),
+        expr(s"CASE WHEN $ebGuard THEN " +
+          s"CAST(floor(1000000.0 * $ebW) AS BIGINT) END")
+          .as("w_micro"),
+        expr(s"CASE WHEN $ebGuard THEN " +
+          s"CAST(floor(1000000.0 * $ebShrunk) AS BIGINT) END")
+          .as("shrunk_micro"))
+      .orderBy("event_type")
+  }
+
+  private val shrinkageOracle =
+    s"""$evCte,
+       |m AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+       |      AS s0
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |pt AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(s0) AS BIGINT) AS s,
+       |    CAST(sum(s0 * s0) AS BIGINT) AS ss
+       |  FROM m GROUP BY 1
+       |),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(n) AS BIGINT) AS n_all,
+       |    CAST(sum(s) AS BIGINT) AS sum_all,
+       |    CAST(sum(n * n) AS BIGINT) AS sumn2,
+       |    CAST(sum(CAST(floor(1000000.0 *
+       |      (CAST(n * ss - s * s AS DOUBLE) /
+       |       CAST(greatest(n, 1) AS DOUBLE))) AS BIGINT))
+       |      AS BIGINT) AS ssw_e6
+       |  FROM pt
+       |),
+       |wg AS (
+       |  SELECT pt.*, g.*,
+       |    CAST(floor(1000000.0 * (CAST(n AS DOUBLE) *
+       |      ((CAST(s AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) -
+       |       (CAST(sum_all AS DOUBLE) /
+       |        CAST(greatest(n_all, 1) AS DOUBLE))) *
+       |      ((CAST(s AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) -
+       |       (CAST(sum_all AS DOUBLE) /
+       |        CAST(greatest(n_all, 1) AS DOUBLE))))) AS BIGINT)
+       |      AS ssb_term
+       |  FROM pt, g
+       |),
+       |sb AS (SELECT CAST(sum(ssb_term) AS BIGINT) AS ssb_e6 FROM wg)
+       |SELECT event_type, n, s,
+       |  CASE WHEN n > 0 THEN CAST((s * 1000000) // n AS BIGINT) END
+       |    AS mean_micro,
+       |  CASE WHEN $ebGuard THEN
+       |    CAST(floor(1000000.0 * $ebW) AS BIGINT) END AS w_micro,
+       |  CASE WHEN $ebGuard THEN
+       |    CAST(floor(1000000.0 * $ebShrunk) AS BIGINT) END
+       |    AS shrunk_micro
+       |FROM wg, sb ORDER BY event_type""".stripMargin
+
   // ------------------------------- A/A calibration test (R71)
 
   /** R71: A/A calibration test per event type — the experimentation
@@ -6552,6 +6705,7 @@ object RelationalQueries {
     "q_msprt"        -> (qMsprt _),
     "q_power"        -> (qPower _),
     "q_aa_test"      -> (qAaTest _),
+    "q_shrinkage"    -> (qShrinkage _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6630,6 +6784,7 @@ object RelationalQueries {
     "q_msprt"        -> msprtOracle,
     "q_power"        -> powerOracle,
     "q_aa_test"      -> aaOracle,
+    "q_shrinkage"    -> shrinkageOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -80,6 +80,7 @@ class CorpusPlanHygieneSpec extends SparkSpec {
     "q_lsh_recall",     // three one-row pair-count relations joined
     "q_rfm",            // one-row as-of date x 4-row quintile edge grids
     "q_ab_test",        // broadcast one-row arm-totals relation
+    "q_shrinkage",      // two broadcast one-row global-fit relations
     "q_mips",           // broadcast single query vector + one-row tau
     "q_norm_census",    // broadcast one-row total
     "q_pca",            // broadcast one-row rescale max per round

@@ -1284,6 +1284,57 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 0L, 0L, 0L, 1L, 0L, 0L, 0L, 900L, None)))
   }
 
+  test("shrinkageCensus: hand-computed MoM fit, small segments " +
+    "shrink harder, zero-variance corpus and single type read NULL") {
+    // type a: users {100, 300} cents -> n=2 mean 200
+    // type b: users {500, 700}      -> n=2 mean 600
+    // type c: user  {400}           -> n=1 mean 400 (= grand mean)
+    // grand m = 400; SSW = 40000 -> sig2w = 20000; SSB = 160000;
+    // c = 5 - 9/5 = 3.2 -> tau2 = 120000/3.2 = 37500
+    // w_a = w_b = 37500/47500 = 15/19 -> 789473 micro
+    //   shrunk_a = 400 - (15/19)*200 = 4600/19 -> 242105263
+    //   shrunk_b = 10600/19           -> 557894736
+    // w_c = 37500/57500 = 15/23 -> 652173; shrunk_c = 400 exactly
+    val rows = Seq(
+      (2L, "a", 1.00), (4L, "a", 3.00),
+      (1L, "b", 5.00), (3L, "b", 7.00),
+      (5L, "c", 4.00))
+    def mk(rs: Seq[(Long, String, Double)]) = rs.zipWithIndex
+      .map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.shrinkageCensus(mk(rows)).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("mean_micro"),
+        Option(r.getAs[java.lang.Long]("w_micro")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("shrunk_micro")).map(_.toLong)))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 200000000L, Some(789473L), Some(242105263L)),
+      ("b", 2L, 600000000L, Some(789473L), Some(557894736L)),
+      ("c", 1L, 400000000L, Some(652173L), Some(400000000L))))
+    // the single-user segment shrinks HARDER (w_c < w_a) and no
+    // segment overshoots the grand mean
+    assert(out(2)._4.get < out(0)._4.get)
+    out.foreach { case (_, _, mean, _, shrunk) =>
+      shrunk.foreach(s => assert(
+        math.abs(s - 400000000L) <= math.abs(mean - 400000000L)))
+    }
+    // zero total variance (every user identical) -> NULL fit
+    val flat = mk(Seq((2L, "a", 5.00), (4L, "a", 5.00),
+      (1L, "b", 5.00), (3L, "b", 5.00), (5L, "c", 5.00)))
+    RelationalQueries.shrinkageCensus(flat).collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("w_micro")))
+      assert(r.isNullAt(r.fieldIndex("shrunk_micro")))
+    }
+    // single type (k = 1): nothing to pool across -> NULL fit
+    val one = mk(Seq((2L, "a", 1.00), (4L, "a", 3.00),
+      (6L, "a", 5.00)))
+    RelationalQueries.shrinkageCensus(one).collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("w_micro")))
+    }
+  }
+
   test("aaCensus: arm derivation equals an explicit md5-parity " +
     "relabel through the shared welch machinery; degenerate null " +
     "reads calibrated") {
