@@ -811,6 +811,58 @@ object MultimodalOps {
     }
   }
 
+  // ------------------------- M20: clipping-run census
+
+  case class ClipRunStats(doc_id: Long, n_samples: Long, n_clip: Long,
+                          n_runs: Long, max_run: Long)
+
+  /** M20: per-doc clipped-sample RUN census — the hard-clipping
+    * detector M12's counts cannot see: the same 5 % clipped-sample
+    * share can be 5 % isolated peaks (benign transients, a limiter
+    * doing its job) or one solid squared-off run (true hard clipping
+    * — the waveform flat-tops and every harmonic above it is
+    * fabricated); audio QA reads the RUN structure, maximal
+    * consecutive |s| ≥ bar stretches: n_runs (islands) and max_run
+    * (the longest flat-top). One decoder pass, three exact integer
+    * counters.
+    *
+    * Oracle differential: the engine runs the imperative run loop
+    * inside the batched decode; the oracle re-derives the SAME
+    * integers from the generative sample stream by the classic SQL
+    * gaps-and-islands formulation (i − row_number() over clipped rows
+    * groups each island) — the two agree only if decode, loop, and
+    * the relational islands all match.
+    *
+    * Scale shape: the batched `mapPartitions` decode — one scalar
+    * pass per blob, one integer row per doc, no shuffle until the
+    * caller's orderBy.
+    */
+  def wavClipRuns(media: org.apache.spark.sql.Dataset[MediaBlob],
+                  clipAbs: Long)
+  : org.apache.spark.sql.Dataset[ClipRunStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "wav").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val d = decodeWavSamples(rec.doc_id, rec.payload)
+          var nClip = 0L; var nRuns = 0L; var maxRun = 0L
+          var run = 0L
+          var i = 0
+          while (i < d.length) {
+            if (math.abs(d(i)) >= clipAbs) {
+              nClip += 1; run += 1
+              if (run == 1L) nRuns += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0L
+            i += 1
+          }
+          ClipRunStats(rec.doc_id, d.length.toLong, nClip, nRuns,
+            maxRun)
+        }
+      }
+    }
+  }
+
   // --------------------- M19: integer Goertzel tone-energy census
 
   /** M19 recurrence coefficients c = 2·cos(ω) for the five bins where

@@ -67,6 +67,61 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** M20: the decoder's clipped-run integers at the M12 bar, plus the
+    * share of clipped mass sitting in the longest run — high means
+    * one squared-off stretch (hard clipping), low means isolated
+    * peaks.
+    */
+  def qMediaClipRuns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    MultimodalOps.wavClipRuns(
+        MultimodalOps.mediaBinary(docs(spark, dir)), ClipAbs)
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("n_clip"),
+        col("n_runs"), col("max_run"),
+        expr("CASE WHEN n_clip > 0 THEN " +
+          "(1000000 * max_run) div n_clip " +
+          "ELSE CAST(0 AS BIGINT) END").as("max_run_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** M20 oracle: the generative sample stream through the classic
+    * gaps-and-islands formulation — i − row_number() over clipped
+    * rows groups each maximal run. Lazy: wavSampleCte is declared
+    * further down the object body.
+    */
+  private lazy val mediaClipRunsOracle =
+    s"""$wavSampleCte,
+       |clipped AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+       |      AS grp
+       |  FROM s WHERE abs(v) >= $ClipAbs
+       |),
+       |runs AS (
+       |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+       |  FROM clipped GROUP BY 1, 2
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_clip,
+       |    CAST(count(*) AS BIGINT) AS n_runs,
+       |    CAST(max(run_len) AS BIGINT) AS max_run
+       |  FROM runs GROUP BY 1
+       |),
+       |base AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT b.doc_id, b.n_samples,
+       |  CAST(COALESCE(a.n_clip, 0) AS BIGINT) AS n_clip,
+       |  CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs,
+       |  CAST(COALESCE(a.max_run, 0) AS BIGINT) AS max_run,
+       |  CASE WHEN COALESCE(a.n_clip, 0) > 0 THEN
+       |    CAST((1000000 * a.max_run) // a.n_clip AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS max_run_ppm
+       |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   def qMediaHist(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaHistogram(docs(spark, dir)).orderBy("doc_id")
 
@@ -913,6 +968,7 @@ object MultimodalQueries {
     "q_media_autocorr" -> (qMediaAutocorr _),
     "q_media_dc"       -> (qMediaDc _),
     "q_media_goertzel" -> (qMediaGoertzel _),
+    "q_media_clip_runs" -> (qMediaClipRuns _),
     "q_media_trim"     -> (qMediaTrim _),
     "q_media_motion"   -> (qMediaMotion _),
     "q_media_channels" -> (qMediaChannels _),
@@ -932,6 +988,7 @@ object MultimodalQueries {
     "q_media_autocorr" -> mediaAutocorrOracle,
     "q_media_dc"       -> mediaDcOracle,
     "q_media_goertzel" -> mediaGoertzelOracle,
+    "q_media_clip_runs" -> mediaClipRunsOracle,
     "q_media_trim"     -> mediaTrimOracle,
     "q_media_motion"   -> mediaMotionOracle,
     "q_media_channels" -> mediaChannelsOracle,

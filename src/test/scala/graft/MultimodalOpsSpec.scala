@@ -305,6 +305,42 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.toSeq === (selfRows ++ nearRows).sortBy(t => (t._1, t._2)))
   }
 
+  test("wavClipRuns: maximal runs counted exactly — boundary " +
+    "inclusive, solid clip reads one full-length run, clean audio " +
+    "reads zero") {
+    import sqlImplicits._
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(buf.capacity() - 8).put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+    // doc 1: runs {0,1} len 2 (|-1900| at the INCLUSIVE bar), {3} len
+    //   1, {5} len 1 -> n_clip 4, n_runs 3, max_run 2
+    // doc 2: solid clip -> one run of 4
+    // doc 3: all under the bar -> zeros
+    val blobs = Seq(
+      MediaBlob(1L, "wav",
+        wav(Array[Short](1900, -1900, 0, 1950, 5, 1900))),
+      MediaBlob(2L, "wav",
+        wav(Array[Short](2000, -2000, 2000, -2000))),
+      MediaBlob(3L, "wav", wav(Array[Short](1899, -1899, 0)))).toDS()
+    val out = MultimodalOps.wavClipRuns(blobs, 1900L)
+      .collect().sortBy(_.doc_id)
+      .map(r => (r.doc_id, r.n_samples, r.n_clip, r.n_runs, r.max_run))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 4L, 3L, 2L),
+      (2L, 4L, 4L, 1L, 4L),
+      (3L, 3L, 0L, 0L, 0L)))
+  }
+
   test("wavGoertzelStats: pure quarter-rate tone concentrates in the " +
     "c = 0 bin exactly, orthogonal bins read zero, recurrence equals " +
     "the DFT closed form on arbitrary samples") {
