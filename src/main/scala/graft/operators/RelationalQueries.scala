@@ -5646,6 +5646,153 @@ object RelationalQueries {
        |    >= $MsprtLnBarMicro, false) AS crossed
        |FROM p ORDER BY event_type, day""".stripMargin
 
+  // -------------------------- funnel latency quantiles (R73)
+
+  /** R73: funnel step-latency quantiles — the TIME dimension R4/R57
+    * leave out: conversion RATES say how many users advance, this
+    * says how LONG the advancing users took (p50/p90/mean seconds
+    * per step transition) — the number a checkout or onboarding team
+    * actually optimizes once the rate is acceptable, and the one that
+    * exposes a slow-step regression a stable conversion rate hides
+    * (users still convert, but later — the precursor of the drop).
+    * Stage relations are the R4 funnel's own semantics (first
+    * qualifying event per user per step, the shared 24 h window
+    * anchored at t1).
+    *
+    * Exactness: per-user step latencies are exact integer seconds
+    * (µs-epoch difference floor-divided — both engines already at µs
+    * precision); p50/p90 are rank-picked ACTUAL latencies at position
+    * ((n−1)·num) div den + 1 of the (step, dt) census (the X46/R67
+    * discipline, no interpolation); the mean is one integer micro
+    * floor-division. Steps with zero conversions are ABSENT
+    * (documented — R57/R66 page on those first).
+    *
+    * Scale shape: the funnel's own user-keyed stage joins (each stage
+    * bounded by the previous); ONE (step, dt) census Exchange;
+    * cumulative ranks ride census windows BY STEP; 2 rows out.
+    */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatency(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+
+  /** The census over any events-shaped frame — factored for the
+    * hand-computed spec.
+    */
+  def funnelLatency(ev: DataFrame): DataFrame = {
+    val deadline = col("t1") + expr(s"INTERVAL $FunnelWindowHours HOURS")
+    val s1 = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= deadline)
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= deadline)
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t2").as("t2"))
+    // the TIMESTAMP cast is an identity relabel for unix_micros
+    // (NTZ source, UTC session — the R23 interarrival precedent)
+    val dts = s2.select(lit(2L).as("step"),
+        expr("(unix_micros(CAST(t2 AS TIMESTAMP)) - " +
+          "unix_micros(CAST(t1 AS TIMESTAMP))) div 1000000")
+          .as("dt_s"))
+      .unionByName(s3.select(lit(3L).as("step"),
+        expr("(unix_micros(CAST(t3 AS TIMESTAMP)) - " +
+          "unix_micros(CAST(t2 AS TIMESTAMP))) div 1000000")
+          .as("dt_s")))
+    val cen = dts.groupBy("step", "dt_s").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("step").orderBy("dt_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("step")
+    val ranked = cen.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("sumdt", sum(col("dt_s") * col("cnt")).over(wAll))
+    val p50 = ranked
+      .filter(col("cum") >= expr("((n - 1) * 1) div 2 + 1"))
+      .groupBy("step").agg(min("dt_s").as("p50_s"))
+    val p90 = ranked
+      .filter(col("cum") >= expr("((n - 1) * 9) div 10 + 1"))
+      .groupBy("step").agg(min("dt_s").as("p90_s"))
+    val tot = ranked.groupBy("step")
+      .agg(max("n").as("n_users"), max("sumdt").as("sum_dt_s"))
+    val stepName = when(col("step") === 2L, lit(FunnelSteps(1)))
+      .otherwise(lit(FunnelSteps(2)))
+    tot.join(p50, "step").join(p90, "step")
+      .select(col("step"), stepName.as("event_type"), col("n_users"),
+        expr("(1000000 * sum_dt_s) div n_users").as("mean_s_micro"),
+        col("p50_s"), col("p90_s"))
+      .orderBy("step")
+  }
+
+  private val funnelLatencyOracle =
+    s"""WITH fev AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+       |  FROM events
+       |),
+       |f1 AS (
+       |  SELECT user_id, min(ts) AS t1 FROM fev
+       |  WHERE event_type = '${FunnelSteps.head}' GROUP BY 1
+       |),
+       |f2 AS (
+       |  SELECT e.user_id, min(e.ts) AS t2, min(f1.t1) AS t1
+       |  FROM fev e JOIN f1 USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > f1.t1
+       |    AND e.ts <= f1.t1 + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1
+       |),
+       |f3 AS (
+       |  SELECT e.user_id, min(e.ts) AS t3, min(f2.t2) AS t2
+       |  FROM fev e JOIN f2 USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > f2.t2
+       |    AND e.ts <= f2.t1 + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1
+       |),
+       |dts AS (
+       |  SELECT CAST(2 AS BIGINT) AS step,
+       |    CAST((epoch_us(t2) - epoch_us(t1)) // 1000000 AS BIGINT)
+       |      AS dt_s
+       |  FROM f2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT),
+       |    CAST((epoch_us(t3) - epoch_us(t2)) // 1000000 AS BIGINT)
+       |  FROM f3
+       |),
+       |cen AS (
+       |  SELECT step, dt_s, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM dts GROUP BY 1, 2
+       |),
+       |rk AS (
+       |  SELECT step, dt_s, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY step ORDER BY dt_s)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY step) AS BIGINT) AS n,
+       |    CAST(sum(dt_s * cnt) OVER (PARTITION BY step) AS BIGINT)
+       |      AS sumdt
+       |  FROM cen
+       |),
+       |q50 AS (
+       |  SELECT step, min(dt_s) AS p50_s FROM rk
+       |  WHERE cum >= ((n - 1) * 1) // 2 + 1 GROUP BY 1
+       |),
+       |q90 AS (
+       |  SELECT step, min(dt_s) AS p90_s FROM rk
+       |  WHERE cum >= ((n - 1) * 9) // 10 + 1 GROUP BY 1
+       |),
+       |t AS (
+       |  SELECT step, max(n) AS n_users, max(sumdt) AS sum_dt_s
+       |  FROM rk GROUP BY 1
+       |)
+       |SELECT t.step,
+       |  CASE t.step WHEN 2 THEN '${FunnelSteps(1)}'
+       |              ELSE '${FunnelSteps(2)}' END AS event_type,
+       |  CAST(t.n_users AS BIGINT) AS n_users,
+       |  CAST((1000000 * t.sum_dt_s) // t.n_users AS BIGINT)
+       |    AS mean_s_micro,
+       |  CAST(q50.p50_s AS BIGINT) AS p50_s,
+       |  CAST(q90.p90_s AS BIGINT) AS p90_s
+       |FROM t JOIN q50 USING (step) JOIN q90 USING (step)
+       |ORDER BY t.step""".stripMargin
+
   // --------------------- empirical-Bayes shrinkage census (R72)
 
   /** Shared R72 trees over the one-row global census (k, n_all,
@@ -6706,6 +6853,7 @@ object RelationalQueries {
     "q_power"        -> (qPower _),
     "q_aa_test"      -> (qAaTest _),
     "q_shrinkage"    -> (qShrinkage _),
+    "q_funnel_latency" -> (qFunnelLatency _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6785,6 +6933,7 @@ object RelationalQueries {
     "q_power"        -> powerOracle,
     "q_aa_test"      -> aaOracle,
     "q_shrinkage"    -> shrinkageOracle,
+    "q_funnel_latency" -> funnelLatencyOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -1284,6 +1284,49 @@ class ScaleOpsSpec extends SparkSpec {
       ("u", 0L, 0L, 0L, 1L, 0L, 0L, 0L, 900L, None)))
   }
 
+  test("funnelLatency: rank-picked step latencies, window and " +
+    "ordering exclusions, absent zero-conversion steps") {
+    // u1: view->click 600 s, click->purchase 1800 s
+    // u2: view->click 300 s, click->purchase 3600 s
+    // u3: view->click 1200 s, no purchase
+    // u4: view only; u5: click BEFORE its view (never qualifies);
+    // u6: click 25 h after view (outside the 24 h window)
+    // step 2 dts {300,600,1200}: p50 = pick at ((3-1)*1) div 2 + 1 =
+    //   pos 2 -> 600; p90 at ((2)*9) div 10 + 1 = pos 2 -> 600;
+    //   mean = 2100/3 = 700 s
+    // step 3 dts {1800,3600}: p50 = pos 1 -> 1800; p90 = pos 1 ->
+    //   1800; mean = 2700 s
+    val rows = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:10:00"),
+      (1L, "purchase", "2024-01-01 10:40:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:05:00"),
+      (2L, "purchase", "2024-01-01 11:05:00"),
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-01 10:20:00"),
+      (4L, "view", "2024-01-01 10:00:00"),
+      (5L, "click", "2024-01-01 09:00:00"),
+      (5L, "view", "2024-01-01 10:00:00"),
+      (6L, "view", "2024-01-01 10:00:00"),
+      (6L, "click", "2024-01-02 11:00:00"))
+    val ev = rows
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.funnelLatency(ev).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("mean_s_micro"),
+        r.getAs[Long]("p50_s"), r.getAs[Long]("p90_s")))
+    assert(out.toSeq === Seq(
+      (2L, "click", 3L, 700000000L, 600L, 600L),
+      (3L, "purchase", 2L, 2700000000L, 1800L, 1800L)))
+    // zero-conversion steps are ABSENT, not zero-filled: drop the
+    // purchases and only step 2 remains
+    val noPurch = ev.filter(col("event_type") =!= "purchase")
+    val out2 = RelationalQueries.funnelLatency(noPurch).collect()
+    assert(out2.map(_.getAs[Long]("step")).toSeq === Seq(2L))
+  }
+
   test("shrinkageCensus: hand-computed MoM fit, small segments " +
     "shrink harder, zero-variance corpus and single type read NULL") {
     // type a: users {100, 300} cents -> n=2 mean 200
