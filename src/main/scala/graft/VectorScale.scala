@@ -113,6 +113,12 @@ object VectorScale {
     val lshPairsW4 = Curve("signlsh_pairs_w4", lshForm)
     val lshCandW8 = Curve("signlsh_cand_w8", lshForm)
     val lshPairsW8 = Curve("signlsh_pairs_w8", lshForm)
+    // The PRODUCTION q_embed_lsh path (VERDICT r14 item 1): band width
+    // from SimilarityOps.adaptiveBandBits(n·c) — the occupancy-capped
+    // rule the query surface now ships. No closed form across the
+    // width switch; each point is instead identity-checked against the
+    // fixed-width curve of the width the rule picked (recorded below).
+    var prodRows = Vector.empty[(Int, Int, Double, Long)]
     // visited(c) = c*(visited(1) + Q) - Q; fraction denominator is the
     // per-query corpus (n*c - 1) * Q
     val ivf = Curve("ivf_visited",
@@ -136,6 +142,10 @@ object VectorScale {
       val (tP8, nP8) = timed("signlsh_pairs_w8", c)(
         SimilarityOps.signLshPairs(d, planes, 8, cosMin).count())
       lshPairsW8.record(c, tP8, nP8)
+      val prodBb = SimilarityOps.adaptiveBandBits(n * c, planes)
+      val (tPr, nPr) = timed(s"signlsh_prod_w$prodBb", c)(
+        SimilarityOps.signLshPairs(d, planes, prodBb, cosMin).count())
+      prodRows :+= ((c, prodBb, tPr, nPr))
       // IVF probe path: per 1×-query probed-cluster candidate mass +
       // the served top-k — the q_ann_ivf serving shape, measured as
       // one pass over the Q-query batch
@@ -159,6 +169,17 @@ object VectorScale {
       s"c^2*base + n*c(c-1)/2, IVF c*(base+Q)-Q with Q=$qMax) ===")
     lshCandW4.report(); lshPairsW4.report()
     lshCandW8.report(); lshPairsW8.report(); ivf.report()
+    prodRows.foreach { case (c, bb, dt, cnt) =>
+      val fixed = (if (bb == 4) lshPairsW4 else lshPairsW8)
+        .rows.find(_._1 == c)
+      val ok = fixed match {
+        case Some((_, _, fc)) =>
+          if (fc == cnt) "MATCHES-FIXED-WIDTH" else s"MISMATCH vs $fc"
+        case None => "no-fixed-width-row"
+      }
+      println(f"VECTORSCALE curve signlsh_prod    c=$c%-3d " +
+        f"time=${dt}%7.2f s bb=$bb rows=$cnt $ok")
+    }
     spark.stop()
   }
 }

@@ -3,12 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
-  Expression}
+  Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
-  FloatType}
+  FloatType, LongType}
 
 /** Native cosine similarity over two `array<float>` embedding columns,
   * accumulated in double precision.
@@ -165,6 +165,216 @@ case class MilliDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared per-row vector kernels, callable from generated code (the
+  * [[graft.functions.SignLsh]] pattern: `doGenCode` emits one static
+  * call, which still lives INSIDE whole-stage codegen — no
+  * CodegenFallback node, no interpreted lambda dispatch, no
+  * intermediate array per higher-order step).
+  */
+object VectorKernels {
+
+  /** floor(v·1000) per component — the [[MilliVector]] law. */
+  def milli(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(arr.getFloat(i).toDouble * 1000.0).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Milli components re-normalized to an integer milli unit vector —
+    * the [[MilliUnitVector]] law; null when the milli vector is all
+    * zeros (the callers' ssq > 0 exclusion).
+    */
+  def milliUnit(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new Array[Long](n)
+    var ssq = 0L
+    var i = 0
+    while (i < n) {
+      val v = math.floor(arr.getFloat(i).toDouble * 1000.0).toLong
+      m(i) = v
+      ssq += v * v
+      i += 1
+    }
+    if (ssq == 0L) null
+    else {
+      val norm = math.sqrt(ssq.toDouble)
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor((1000.0 * m(i).toDouble) / norm).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Per-vector absolute-max component — the [[AbsMaxComponent]] law. */
+  def absMax(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    var a = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(arr.getFloat(i).toDouble)
+      if (v > a) a = v
+      i += 1
+    }
+    a
+  }
+
+  /** Int8 absmax codes floor(v·127/amax) (0 on an all-zero vector) —
+    * the [[Int8CodeVector]] law.
+    */
+  def int8Codes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val amax = absMax(arr)
+    val out = new Array[Long](n)
+    if (amax != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(arr.getFloat(i).toDouble * 127.0 / amax)
+          .toLong
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** floor(v·1000) milli quantization of an `array<float>` embedding as
+  * one codegen projection — replaces the interpreted
+  * `transform(e, v => floor(v * 1000))` higher-order function
+  * (CodegenFallback) that fed every V-family integer census
+  * (dim variance, PCA power iteration, k-means milli vectors).
+  * Identical integer output, so every oracle is unaffected.
+  */
+case class MilliVector(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"milli_vec requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def prettyName: String = "milli_vec"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.milli(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.milli($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MilliVector = copy(child = newChild)
+}
+
+/** The milli-normalize quantization kernel (VERDICT r14 item 2): milli
+  * components re-normalized to an exact integer milli UNIT vector,
+  * q_d = floor(1000·m_d/√(Σm²)), in one codegen projection — the
+  * fused form of the `aggregate` (ssq fold) + `transform` (normalize)
+  * higher-order tower that dominated q_anisotropy's wall time (both
+  * HOFs are CodegenFallback; PLANS.md's DevTiming decomposition).
+  * NULL on an all-zero milli vector — exactly the callers'
+  * `filter(ssq > 0)` exclusion, folded into the expression's
+  * nullability. Bit-identical math (the double tree
+  * (1000.0·m)/sqrt(ssq) floored, matching the column formulation
+  * token for token), so the oracles are unaffected.
+  */
+case class MilliUnitVector(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"milli_unit_vec requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "milli_unit_vec"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.milliUnit(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.milliUnit($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MilliUnitVector = copy(child = newChild)
+}
+
+/** Per-vector absolute-max component in one codegen pass — replaces
+  * the interpreted `aggregate(e, 0.0, greatest(acc, abs(x)))` fold
+  * (CodegenFallback) on the SQ8 quantization path.
+  */
+case class AbsMaxComponent(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"abs_max requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "abs_max"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.absMax(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.absMax($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AbsMaxComponent = copy(child = newChild)
+}
+
+/** Int8 absmax scalar-quantization codes floor(v·127/amax) (all zeros
+  * when amax = 0) in one codegen pass — the fused form of the SQ8
+  * path's absmax fold + quantize transform (both CodegenFallback).
+  * Same element law as [[graft.operators.SimilarityOps.quantizeInt8]],
+  * so the V20 oracles are unaffected.
+  */
+case class Int8CodeVector(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"int8_codes requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def prettyName: String = "int8_codes"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.int8Codes(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.int8Codes($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8CodeVector = copy(child = newChild)
+}
+
 /** Column-API entry points for the vector expressions. */
 object vector {
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -176,4 +386,20 @@ object vector {
   def milliDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(MilliDotProduct(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** floor(v·1000) milli components as array<long>. */
+  def milliVec(e: Column): Column =
+    GraftSqlBridge.column(MilliVector(GraftSqlBridge.expression(e)))
+
+  /** Integer milli unit vector (null when all-zero). */
+  def milliUnitVec(e: Column): Column =
+    GraftSqlBridge.column(MilliUnitVector(GraftSqlBridge.expression(e)))
+
+  /** Per-vector absolute-max component, double. */
+  def absMaxComp(e: Column): Column =
+    GraftSqlBridge.column(AbsMaxComponent(GraftSqlBridge.expression(e)))
+
+  /** Int8 absmax quantization codes as array<long>. */
+  def int8Codes(e: Column): Column =
+    GraftSqlBridge.column(Int8CodeVector(GraftSqlBridge.expression(e)))
 }

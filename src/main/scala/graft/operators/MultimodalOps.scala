@@ -898,12 +898,18 @@ object MultimodalOps {
     * the recurrence, the decode, and the closed form all match
     * (the q_media_features differential discipline).
     *
-    * Long headroom: |s_n| ≤ n²·max|x| at the resonant worst case
-    * (c = 2) — ~2⁴⁵ for a 2²⁰-sample doc at full PCM16 scale, squares
-    * within 2⁶³ up to ~2²⁹ samples/doc (≈ 9 h at 8 kHz
-    * NON-resonant; DC-resonant material bounds at ~2¹⁵ samples —
-    * longer docs should window first; DuckDB errors identically past
-    * the bound rather than wrapping).
+    * Long headroom: at the resonant worst case (|c| = 2, tone exactly
+    * on the bin) |s_n| grows ~ max|x|·n²/2 — ≈ 2⁵⁴ for a 2²⁰-sample
+    * doc at full PCM16 scale — and the power's s² terms need
+    * |s| < 2³¹·⁵, so full-scale resonant content is exact only to
+    * ~2⁹ samples (amplitude-A resonant content to n ≈ √(2³²·⁵/A);
+    * non-resonant content keeps s bounded by the tone's off-resonance
+    * envelope and is exact at realistic lengths). The recurrence and
+    * the power expression therefore run under Math.addExact /
+    * multiplyExact (ADVICE r14): past the headroom this engine throws
+    * ArithmeticException exactly where the DuckDB oracle errors on
+    * BIGINT overflow, instead of the two diverging silently on
+    * wrapped values — longer resonant docs should window first.
     *
     * Scale shape: the batched `mapPartitions` decode (the
     * vectorized-codec shape) — one scalar pass per blob per bin (5
@@ -921,11 +927,15 @@ object MultimodalOps {
             var s1 = 0L; var s2 = 0L
             var i = 0
             while (i < d.length) {
-              val s0 = d(i) + c * s1 - s2
+              val s0 = Math.subtractExact(
+                Math.addExact(d(i).toLong, Math.multiplyExact(c, s1)), s2)
               s2 = s1; s1 = s0
               i += 1
             }
-            s1 * s1 + s2 * s2 - c * s1 * s2
+            Math.subtractExact(
+              Math.addExact(Math.multiplyExact(s1, s1),
+                Math.multiplyExact(s2, s2)),
+              Math.multiplyExact(c, Math.multiplyExact(s1, s2)))
           }
           GoertzelStats(rec.doc_id, d.length.toLong,
             p(0), p(1), p(2), p(3), p(4))

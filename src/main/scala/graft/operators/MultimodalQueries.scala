@@ -256,8 +256,8 @@ object MultimodalQueries {
        |SELECT doc_id, n_samples, CAST(n_first AS BIGINT) AS n_first,
        |  sum_all, sum_first, sum_second,
        |  CASE WHEN n_samples > 0 THEN
-    CAST(floor(1000000.0 * ($dcTree)) AS BIGINT)
-  ELSE CAST(0 AS BIGINT) END AS dc_micro,
+       |    CAST(floor(1000000.0 * ($dcTree)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS dc_micro,
        |  CASE WHEN n_first > 0 THEN
        |    CAST(floor(1000000.0 * ($driftTree)) AS BIGINT)
        |  ELSE CAST(0 AS BIGINT) END AS drift_micro

@@ -298,6 +298,35 @@ object SimilarityOps {
   val ScaleLshPlanes = 32
   val ScaleLshBandBits = 8
 
+  /** Expected-bucket-occupancy cap for [[adaptiveBandBits]]: the band
+    * width is widened until a band's EXPECTED bucket size n/2ᵇ is at
+    * most this — the df-cap discipline (bound the quadratic term by
+    * bounding per-bucket membership) applied to sign-LSH banding. At
+    * cap 1024 the expected per-bucket pair mass is ≤ 2¹⁹ and the total
+    * random-collision candidate mass ≤ nBands·n·cap/2 — linear in n,
+    * never quadratic, at every corpus size.
+    */
+  val BandOccupancyCap = 1024L
+
+  /** Scale-adaptive sign-LSH band width (VERDICT r14 item 1): the
+    * SMALLEST width b dividing nPlanes with n ≤ [[BandOccupancyCap]]·2ᵇ.
+    * Narrow bands maximize recall (band match prob pᵇ falls with b), so
+    * the rule widens only when the occupancy cap forces it — exactly
+    * when the VectorScale probe measured fixed-4-bit banding going
+    * near-all-pairs (230,473 ppm candidates at 32× sf0.1, one bucket
+    * pinning cores >12 min) while 8-bit carried the same corpus in
+    * 15–23 s at 9,099 ppm. Deterministic in (n, nPlanes) alone, so the
+    * DuckDB oracle mirrors it as a CASE over count(*) and both engines
+    * pick the same width by construction. At the test corpus sizes
+    * (500 / 500 / 2000 vectors) the rule selects 4 bits — the
+    * historical tuning — and first widens to 8 past 16,384 vectors.
+    */
+  def adaptiveBandBits(n: Long, nPlanes: Int): Int = {
+    val menu = (1 to nPlanes).filter(b => nPlanes % b == 0 && b >= 4)
+    menu.find(b => b >= 63 || n <= (BandOccupancyCap << b))
+      .getOrElse(menu.last)
+  }
+
   /** Embedding dimensionality the plane table covers (the corpus
     * contract; extra dimensions would carry no weight).
     */
@@ -358,17 +387,16 @@ object SimilarityOps {
     * (vec_id, position) plus the micro-quantized scale needed to
     * dequantize.
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val amax = aggregate(col("embedding"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
-    emb.select(col("vec_id"), amax.as("amax"),
-        posexplode(col("embedding")).as(Seq("i0", "v")))
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    // codes + absmax each ONE codegen kernel pass (the former
+    // aggregate/transform HOF pair was CodegenFallback) — identical
+    // integer output, V20 oracle unaffected
+    emb.select(col("vec_id"),
+        graft.functions.vector.absMaxComp(col("embedding")).as("amax"),
+        posexplode(graft.functions.vector.int8Codes(col("embedding")))
+          .as(Seq("i0", "q")))
       .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"),
-        when(col("amax") === 0.0, 0L)
-          .otherwise(floor(col("v").cast("double") * lit(127.0) /
-            col("amax")).cast("long")).as("q"),
-        micro(col("amax")).as("amax_micro"))
-  }
+        col("q"), micro(col("amax")).as("amax_micro"))
 
   // --------------------------------------------------------- k-means IVF
 
@@ -390,10 +418,13 @@ object SimilarityOps {
     * the whole training trajectory — are bit-identical across engines,
     * partitionings, and retries. Milli (not micro) keeps every derived
     * integer (ssq ≤ dims·S²) exactly representable in doubles through
-    * the score division even at 100× this corpus.
+    * the score division even at 100× this corpus. Since r15 a codegen
+    * projection ([[graft.functions.MilliVector]]) instead of the
+    * interpreted `transform` HOF — same integers, zero plan change
+    * beyond the CodegenFallback node disappearing.
     */
   private[graft] def milliVec(emb: Column): Column =
-    transform(emb, v => floor(v.cast("double") * lit(1000.0)))
+    graft.functions.vector.milliVec(emb)
 
   /** Nearest-centroid id under a codebook — a zero-shuffle per-row
     * projection through [[graft.functions.KmeansAssign]] (one compiled
@@ -2524,13 +2555,10 @@ object SimilarityOps {
     * vectors flow through the same codegen'd
     * [[graft.functions.CosineSimilarity]] kernel as the raw floats.
     */
-  def int8CodeVec(e: Column): Column = {
-    val amax = aggregate(e, lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
-    transform(e, v => when(amax === 0.0, lit(0L))
-      .otherwise(floor(v.cast("double") * lit(127.0) / amax)))
-      .cast("array<float>")
-  }
+  def int8CodeVec(e: Column): Column =
+    // fused absmax fold + quantize transform (both were CodegenFallback
+    // HOFs) — one codegen pass, identical codes (VERDICT r14 item 2)
+    graft.functions.vector.int8Codes(e).cast("array<float>")
 
   /** V20: scalar-quantized (SQ8) search with measured fidelity — the
     * OTHER standard vector-compression serving path next to PQ/ADC
@@ -2935,14 +2963,13 @@ object SimilarityOps {
     * identity IS the scale design.
     */
   def anisotropyCensus(emb: DataFrame): DataFrame = {
+    // the milli-quantize + ssq-fold + normalize tower fused into ONE
+    // codegen projection (VERDICT r14 item 2 — the former aggregate +
+    // transform HOFs were CodegenFallback and dominated wall time);
+    // null = the ssq > 0 exclusion, folded into the kernel
     val m = emb.select(col("label").cast("long").as("label"),
-        milliVec(col("embedding")).as("m"))
-      .withColumn("ssq", aggregate(col("m"), lit(0L),
-        (acc, v) => acc + (v.cast("long") * v.cast("long"))))
-      .filter(col("ssq") > 0L)
-      .withColumn("q", transform(col("m"),
-        v => floor(lit(1000.0) * v.cast("double") /
-          sqrt(col("ssq").cast("double"))).cast("long")))
+        graft.functions.vector.milliUnitVec(col("embedding")).as("q"))
+      .filter(col("q").isNotNull)
     val rows = m.select(col("label"),
       posexplode(col("q")).as(Seq("dim", "qd")))
     // ONE census Exchange carries everything: component sums,

@@ -240,9 +240,9 @@ object SketchQueries {
   /** Explicit HLL registers of a (user_id) frame: bucket = low 8 bits
     * of the 60-bit md5, rho = leading-zero rank of the remaining 52
     * bits (53 when they are all zero). Register merge is element-wise
-    * max — the semilattice the T20 store rides. Unlike [[qHll]]'s
-    * engine-internal sketch, this register relation is a plain
-    * DataFrame, so streamed-vs-batch parity is bit-exact and testable.
+    * max — the semilattice the T20 store rides. The register relation
+    * is a plain DataFrame, so streamed-vs-batch parity is bit-exact
+    * and testable, and [[qHll]] serves from it directly.
     */
   def hllRegistersOf(keys: DataFrame): DataFrame =
     hllRegistersGrouped(keys.select(lit(1L).as("g"), col("user_id")),
@@ -267,10 +267,10 @@ object SketchQueries {
       .groupBy(group, "bucket").agg(max("rho").as("rho"))
   }
 
-  /** X70: register-explicit HLL distinct-count census — the fully
-    * hash-oracle-able twin of [[qHll]]'s engine-internal sketch (whose
-    * register layout is implementation-specific, hence its documented
-    * rows-only contract — the ONE such id in the corpus). Built on the
+  /** X70: register-explicit HLL distinct-count census — the audit
+    * form of the sketch [[qHll]] serves (all intermediate register
+    * statistics emitted as columns; since r15 both ids share the
+    * register path and both are fully hash-oracled). Built on the
     * T20 register relation ([[hllRegistersGrouped]]), every stage is
     * cross-engine exact: the md5 bucket/rho split is integer, and the
     * raw-HLL denominator Z = Σⱼ 2^(−Mⱼ) is DYADIC — scaled by 2⁵³ it
@@ -344,28 +344,59 @@ object SketchQueries {
       .orderBy(group)
   }
 
-  /** HyperLogLog++ approx-distinct users per event type, next to the
-    * exact distinct count and the absolute error in parts-per-million.
+  /** Linear-counting serving table: floor(m·ln(m/V)) for V ∈ 1..m,
+    * precomputed ONCE here and consumed as identical integer literals
+    * by BOTH engines (ln is not reproducible to the last ulp across
+    * libm implementations; a shared literal table is — the same
+    * move as the sign-LSH plane table). V = v_zero, the count of
+    * empty registers; the m+0 case never serves LC (use_lc requires
+    * n_buckets < m ⟺ v_zero ≥ 1).
+    */
+  private val hllLcTable: IndexedSeq[(Long, Long)] =
+    (1 to HllM.toInt).map(v => (v.toLong,
+      math.floor(HllM * math.log(HllM.toDouble / v)).toLong))
+
+  /** HLL approx-distinct users per event type, next to the exact
+    * distinct count and the absolute error in parts-per-million —
+    * served from the engine's OWN register-explicit sketch (the T20
+    * store's registers, [[hllRegistersGrouped]]) with Flajolet's
+    * small-range switch: raw α·m²/Z when the estimate is large,
+    * linear counting m·ln(m/v_zero) (via [[hllLcTable]]) below 5m/2
+    * with empty registers remaining.
     *
-    * The one sketch family that canNOT be oracle-checked: HLL register
-    * layouts and bias tables are implementation-specific, so DuckDB's
-    * approx_count_distinct returns a *different* estimate for the same
-    * set. The driver records a rows-only check (the M3 precedent); the
-    * ScalaTest spec asserts the documented error bound and that the
-    * estimate is partitioning-invariant (register merge = element-wise
-    * max, so partial sketches combine associatively — the mergeable-
-    * summary property that makes HLL the 100 TB distinct-count rollup:
-    * each partition ships one 16 KB sketch, never its keys).
+    * History: through round 14 this query ran Spark's internal
+    * `approx_count_distinct` (HLL++), whose register layout and bias
+    * tables are implementation-specific — DuckDB computes a different
+    * estimate for the same set, so the id carried the corpus's one
+    * rows-only contract. Serving the portable register sketch instead
+    * (VERDICT r14 item 3) makes the estimate deterministic, identical
+    * to what the streaming store serves, and fully hash-oracled —
+    * and it is the better engineering: batch and streaming now answer
+    * distinct-count questions from the SAME sketch definition.
+    *
+    * Scale shape: ONE (group, bucket) partial-agg'd Exchange whose
+    * payload is capacity-bounded at m = 256 rows per group (mergeable
+    * summary — partials are element-wise-max registers, never keys);
+    * the LC table is a 256-row broadcast; the exact-count audit column
+    * is the deployment-droppable expensive side.
     */
   def qHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ev = Tables.events(spark, dir)
-    ev.groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
-        count_distinct(col("user_id")).as("exact_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    val lc = hllLcTable.toDF("v_zero", "lc_users")
+    hllServing(ev.select(col("event_type"), col("user_id")),
+        "event_type")
+      .join(broadcast(lc), Seq("v_zero"), "left")
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        when(col("use_lc") === 1L, col("lc_users"))
+          .otherwise(col("est_users")).as("approx_users"),
+        col("exact_users"))
       .withColumn("err_ppm",
-        floor(abs(col("approx_users") - col("exact_users")) *
-          lit(1000000L) / greatest(col("exact_users"), lit(1L))))
+        expr("(1000000 * abs(approx_users - exact_users))" +
+          " div greatest(exact_users, 1)"))
       .orderBy("event_type")
   }
 
@@ -1239,7 +1270,7 @@ object SketchQueries {
     * DuckDB) and ONE floored division; err_ppm a positive integer
     * floor-division, CAST (the HUGEINT lesson).
     */
-  private val hllCensusOracle: String = {
+  private val hllCoreCte: String = {
     val alphaNum = "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
       "CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))) * " +
       "CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)"
@@ -1281,7 +1312,11 @@ object SketchQueries {
        |  SELECT *, CAST(floor(($alphaNum) / z_int) AS BIGINT)
        |    AS est_users
        |  FROM f
-       |)
+       |)""".stripMargin
+  }
+
+  private val hllCensusOracle: String =
+    s"""$hllCoreCte
        |SELECT event_type, n_buckets, v_zero, z_int, est_users,
        |  exact_users,
        |  CAST((1000000 * abs(est_users - exact_users))
@@ -1290,6 +1325,31 @@ object SketchQueries {
        |            AND n_buckets < $HllM
        |       THEN 1 ELSE 0 END AS BIGINT) AS use_lc
        |FROM g ORDER BY event_type""".stripMargin
+
+  /** q_hll oracle (VERDICT r14 item 3 — the id's rows-only contract
+    * retired): the shared register CTEs, the [[hllLcTable]] literals
+    * as a VALUES relation, and the serving CASE between raw HLL and
+    * linear counting.
+    */
+  private val hllOracle: String = {
+    val lcRows = hllLcTable
+      .map { case (v, e) => s"($v, CAST($e AS BIGINT))" }
+      .mkString(", ")
+    s"""$hllCoreCte,
+       |lc(v_zero, lc_users) AS (SELECT * FROM (VALUES $lcRows) t(v, l))
+       |SELECT g.event_type,
+       |  CAST(CASE WHEN g.est_users <= ${5L * HllM / 2L}
+       |            AND g.n_buckets < $HllM
+       |       THEN lc.lc_users ELSE g.est_users END AS BIGINT)
+       |    AS approx_users,
+       |  g.exact_users,
+       |  CAST((1000000 * abs(CASE WHEN g.est_users <= ${5L * HllM / 2L}
+       |                           AND g.n_buckets < $HllM
+       |                      THEN lc.lc_users ELSE g.est_users END
+       |                      - g.exact_users))
+       |       // greatest(g.exact_users, 1) AS BIGINT) AS err_ppm
+       |FROM g LEFT JOIN lc ON g.v_zero = lc.v_zero
+       |ORDER BY g.event_type""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1304,10 +1364,8 @@ object SketchQueries {
     "q_hll" -> (qHll _),
     "q_hll_census" -> (qHllCensus _))
 
-  /** q_hll has no oracle entry by design — see [[qHll]]; its
-    * register-explicit twin q_hll_census IS fully oracled.
-    */
   val oracles: Map[String, String] = Map(
+    "q_hll" -> hllOracle,
     "q_cms" -> cmsOracle,
     "q_bloom" -> bloomOracle,
     "q_kmv" -> kmvOracle,

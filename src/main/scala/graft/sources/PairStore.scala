@@ -85,6 +85,17 @@ object PairStore {
     * `mode("append")` against the unchanged catalog bucket spec; the
     * components rewrite re-declares it).
     *
+    * Retry safety (ADVICE r14): the two writes cannot be atomic, so
+    * append is REPLAY-IDEMPOTENT instead — the streaming stores'
+    * fixed-point discipline. The pairs append first dedups against
+    * the stored relation (left_anti on (d1, d2) — the relation is a
+    * set of verified edges, functionally determining its metadata),
+    * so a retried batch appends zero duplicate rows; the component
+    * merge runs AFTER the pairs append from the full `newPairs` (not
+    * the deduped remainder), so a retry after a crash between the two
+    * writes re-derives exactly the merge the first attempt lost and
+    * converges both tables to the save(A ∪ B) state.
+    *
     * Scale note (the [[ComponentStore]] contract, inherited): the
     * UNION-FIND input is bounded by the new pairs' fan-out, but the
     * components rewrite here materializes unaffected ∪ relabeled rows
@@ -100,8 +111,19 @@ object PairStore {
         newPairs.columns.take(2).sameElements(Array("d1", "d2")),
       s"appended pair relation must match the stored schema " +
         s"(${storedCols.toSeq.sorted}), got ${newPairs.columns.toSeq}")
-    // component merge first: it reads only the components table and
-    // the new pairs — the pair-table append cannot affect it
+    // pairs first, deduped: a retried batch adds nothing. The anti-
+    // join reads the table being appended to, so materialize before
+    // the write (the PhashStore lineage-ordering contract).
+    val fresh = newPairs.join(
+        pairs(spark, base).select("d1", "d2"), Seq("d1", "d2"),
+        "left_anti")
+      .select(newPairs.columns.head, newPairs.columns.tail: _*)
+      .localCheckpoint(eager = true)
+    fresh.write.mode("append")
+      .bucketBy(nBuckets, "d1").sortBy("d1", "d2")
+      .saveAsTable(pairsTable(base))
+    // component merge from the FULL newPairs (fixed point: a retry
+    // whose pairs all deduped away still heals a lost merge)
     val store = components(spark, base)
     val touched = newPairs.select(col("d1").as("doc_id"))
       .union(newPairs.select(col("d2").as("doc_id"))).distinct()
@@ -123,10 +145,24 @@ object PairStore {
     merged.write.mode("overwrite")
       .bucketBy(nBuckets, "component").sortBy("component")
       .saveAsTable(componentsTable(base))
-    newPairs.write.mode("append")
-      .bucketBy(nBuckets, "d1").sortBy("d1", "d2")
-      .saveAsTable(pairsTable(base))
   }
+
+  /** Compact the append-forever pairs table (VERDICT r14 item 7 —
+    * the [[graft.streaming.Maintenance.compactBucketed]] discipline
+    * applied to this store): every [[append]] adds one file per
+    * bucket it touches, and at daily cadence a year is ~365 files
+    * per bucket on every audit's scan. The rewrite goes THROUGH the
+    * unchanged bucket spec (a bucketed scan is one partition per
+    * bucket, so the output is exactly one file per bucket) and swaps
+    * catalog names; the components table is a per-merge overwrite —
+    * already file-bounded — so only the pairs table compacts. Same
+    * quiesce-first caveat as compactBucketed. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, base: String,
+              nBuckets: Int = 8): (Int, Int) =
+    graft.streaming.Maintenance.compactBucketed(spark,
+      pairsTable(base), nBuckets, "d1", Seq("d1", "d2"))
 
   // bucketed saveAsTable stores the bucket column first regardless of
   // logical order; both loads pin the logical order with a select

@@ -72,10 +72,22 @@ object Maintenance {
     val tmp = s"${table}__compact_tmp"
     val old = s"${table}__compact_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    val writer = spark.table(table).write
-      .bucketBy(nBuckets, bucketCol, Nil: _*)
-    (if (sortCols.nonEmpty) writer.sortBy(sortCols.head, sortCols.tail: _*)
-     else writer).saveAsTable(tmp)
+    // force the BUCKET-AWARE scan for the rewrite: with the default
+    // autoBucketedScan a plain scan (no join/agg to feed) falls back
+    // to size-based file splits, so two input splits holding the same
+    // bucket's rows re-emit two files per bucket — the rewrite would
+    // not bound the file count. Bucket-aware, the scan is exactly one
+    // partition per bucket and the write one file per occupied bucket.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoWas = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val writer = spark.table(table).write
+        .bucketBy(nBuckets, bucketCol, Nil: _*)
+      (if (sortCols.nonEmpty)
+         writer.sortBy(sortCols.head, sortCols.tail: _*)
+       else writer).saveAsTable(tmp)
+    } finally spark.conf.set(autoKey, autoWas)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     try spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     catch {

@@ -52,45 +52,22 @@ object StreamingBloom {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("w", "word")
   }
 
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    import spark.implicits._
-    val empty = Seq.empty[(Long, Long)].toDF("w", "word")
-    if (!hasBatches(spark, storeDir)) empty
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) empty
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select(col("w"), col("word"))
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("w", "word"), Some(batchId))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: the current filter (latest batch partition) as
     * (w, word) rows; empty when the store has no batches yet.
     */
-  def words(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(Long, Long)].toDF("w", "word")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("w", "word").orderBy("w")
-    }
-  }
+  def words(spark: SparkSession, storeDir: String): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("w", "word"))
+      .getOrElse(emptyState(spark)).orderBy("w")
 
   /** Membership claims for a (doc_id, text) frame against the current
     * filter — the [[SketchQueries.bloomProbe]] kernel over a ≤ 32-row

@@ -51,16 +51,6 @@ object StreamingCalibration {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession,
-                         storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path)
-        .exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, Long, Long)].toDF("v", "cnt", "n_pass")
@@ -70,32 +60,14 @@ object StreamingCalibration {
     * when none) — the read that makes replays converge.
     */
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      // the partition column infers as INT — cast before comparing
-      val all = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) emptyState(spark)
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select("v", "cnt", "n_pass")
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("v", "cnt", "n_pass"),
+      Some(batchId)).getOrElse(emptyState(spark))
 
   /** The stored (v, cnt, n_pass) census (latest batch). */
   def census(spark: SparkSession, storeDir: String): DataFrame =
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      val all = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("v", "cnt", "n_pass")
-    }
+    BatchStore.latest(spark, storeDir, Seq("v", "cnt", "n_pass"))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: the calibration table over the accumulated
     * census — X76's own rollup (same columns as q_score_calibration).

@@ -60,50 +60,25 @@ object StreamingCms {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  /** True iff the store dir exists and holds ≥1 batch partition. */
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long)].toDF("j", "bucket", "c")
   }
 
   /** The sketch of the latest batch strictly BEFORE `batchId` (empty
     * when none) — the read that makes replays converge.
     */
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    import spark.implicits._
-    val empty = Seq.empty[(Int, Long, Long)].toDF("j", "bucket", "c")
-    if (!hasBatches(spark, storeDir)) empty
-    else {
-      // the partition column infers as INT — cast before comparing
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) empty
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select(col("j"), col("bucket"), col("c"))
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("j", "bucket", "c"),
+      Some(batchId)).getOrElse(emptyState(spark))
 
   /** The serving read: the current sketch (latest batch partition) as
     * (j, bucket, c) rows; empty when the store has no batches yet.
     */
-  def sketch(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(Int, Long, Long)].toDF("j", "bucket", "c")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("j", "bucket", "c").orderBy("j", "bucket")
-    }
-  }
+  def sketch(spark: SparkSession, storeDir: String): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("j", "bucket", "c"))
+      .getOrElse(emptyState(spark)).orderBy("j", "bucket")
 
   /** Point estimate for a set of keys against the current sketch —
     * min over the d rows of each key's bucket counters (missing

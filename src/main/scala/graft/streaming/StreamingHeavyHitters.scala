@@ -56,34 +56,13 @@ object StreamingHeavyHitters {
     * the Hadoop FileSystem API (works on HDFS/S3 paths, the
     * CusumMonitor fix).
     */
-  /** True iff the store dir exists and holds ≥1 batch partition —
-    * the shared probe both reads gate on (Hadoop FileSystem API, so
-    * HDFS/S3 paths work).
-    */
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def loadState(spark: SparkSession, storeDir: String,
                         batchId: Long): DataFrame = {
     import spark.implicits._
-    val empty = Seq.empty[(Long, String, Long)]
-      .toDF("bucket", "token", "c")
-    if (!hasBatches(spark, storeDir)) empty
-    else {
-      // the partition column infers as INT — cast before comparing
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) empty
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select(lit(0L).as("bucket"), col("token"), col("c"))
-    }
+    BatchStore.latest(spark, storeDir, Seq("token", "c"), Some(batchId))
+      .map(_.select(lit(0L).as("bucket"), col("token"), col("c")))
+      .getOrElse(Seq.empty[(Long, String, Long)]
+        .toDF("bucket", "token", "c"))
   }
 
   /** The serving read: the current summary (latest batch partition),
@@ -92,15 +71,9 @@ object StreamingHeavyHitters {
     */
   def summary(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(String, Long)].toDF("token", "c")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("token", "c").orderBy(col("c").desc, col("token"))
-    }
+    BatchStore.latest(spark, storeDir, Seq("token", "c"))
+      .getOrElse(Seq.empty[(String, Long)].toDF("token", "c"))
+      .orderBy(col("c").desc, col("token"))
   }
 
   def start(spark: SparkSession, docs: DataFrame, storeDir: String,

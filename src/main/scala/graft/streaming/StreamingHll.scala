@@ -46,43 +46,20 @@ object StreamingHll {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("bucket", "rho")
   }
 
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    import spark.implicits._
-    val empty = Seq.empty[(Long, Long)].toDF("bucket", "rho")
-    if (!hasBatches(spark, storeDir)) empty
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) empty
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select(col("bucket"), col("rho"))
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("bucket", "rho"), Some(batchId))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: the current register file as (bucket, rho). */
-  def registers(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(Long, Long)].toDF("bucket", "rho")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("bucket", "rho").orderBy("bucket")
-    }
-  }
+  def registers(spark: SparkSession, storeDir: String): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("bucket", "rho"))
+      .getOrElse(emptyState(spark)).orderBy("bucket")
 
   /** The distinct-count estimate off the current registers: raw HLL
     * (alpha·m²/Σ2^(−rho), absent buckets reading rho = 0) with the

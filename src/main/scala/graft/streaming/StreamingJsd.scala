@@ -51,16 +51,6 @@ object StreamingJsd {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession,
-                         storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path)
-        .exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, String, Long)].toDF("source", "t", "cnt")
@@ -70,32 +60,14 @@ object StreamingJsd {
     * when none) — the read that makes replays converge.
     */
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      // the partition column infers as INT — cast before comparing
-      val all = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) emptyState(spark)
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select("source", "t", "cnt")
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("source", "t", "cnt"),
+      Some(batchId)).getOrElse(emptyState(spark))
 
   /** The stored (source, t, cnt) census (latest batch). */
   def census(spark: SparkSession, storeDir: String): DataFrame =
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      val all = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("source", "t", "cnt")
-    }
+    BatchStore.latest(spark, storeDir, Seq("source", "t", "cnt"))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: pairwise JSD over the accumulated census —
     * X52's own rollup (same columns as q_jsd: source_a, source_b,

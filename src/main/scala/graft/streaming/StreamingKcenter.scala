@@ -120,53 +120,28 @@ object StreamingKcenter {
       .toLong
   }
 
-  /** True iff the store dir exists and holds ≥1 batch partition —
-    * shared by [[loadState]] and the serving read.
-    */
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def loadState(spark: SparkSession, storeDir: String,
                         batchId: Long, tau0: Long)
-  : (Vector[(Long, Array[Float])], Long) = {
-    if (!hasBatches(spark, storeDir)) (Vector.empty, tau0)
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) (Vector.empty, tau0)
-      else {
-        val rows = all.filter(col("batch_id") === latest.getLong(0))
-          .select("cid", "embedding", "tau")
-          .orderBy("cid").collect()
+  : (Vector[(Long, Array[Float])], Long) =
+    BatchStore.latest(spark, storeDir, Seq("cid", "embedding", "tau"),
+      Some(batchId)) match {
+      case None => (Vector.empty, tau0)
+      case Some(state) =>
+        val rows = state.orderBy("cid").collect()
         val cs = rows.map(r =>
           (r.getLong(0), r.getSeq[Float](1).toArray)).toVector
         val t = if (rows.isEmpty) tau0 else rows.head.getLong(2)
         (cs, t)
-      }
     }
-  }
 
   /** The serving read: current centers + threshold; an empty
     * (cid, tau) frame when the store has no batch partitions yet.
     */
   def centers(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(Long, Long)].toDF("cid", "tau")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("cid", "tau").orderBy("cid")
-    }
+    BatchStore.latest(spark, storeDir, Seq("cid", "tau"))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("cid", "tau"))
+      .orderBy("cid")
   }
 
   def start(spark: SparkSession, vecs: DataFrame, storeDir: String,

@@ -42,43 +42,20 @@ object StreamingKmv {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("source", "h")
   }
 
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    import spark.implicits._
-    val empty = Seq.empty[(String, Long)].toDF("source", "h")
-    if (!hasBatches(spark, storeDir)) empty
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) empty
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select(col("source"), col("h"))
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("source", "h"), Some(batchId))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: the current bottom-k state as (source, h). */
-  def state(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(String, Long)].toDF("source", "h")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("source", "h").orderBy("source", "h")
-    }
-  }
+  def state(spark: SparkSession, storeDir: String): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("source", "h"))
+      .getOrElse(emptyState(spark)).orderBy("source", "h")
 
   /** Per-source distinct-count estimates off the current state —
     * exact below k, the (k−1)·2⁶⁰/kth estimator at k, matching the

@@ -57,16 +57,6 @@ object StreamingMsprt {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession,
-                         storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path)
-        .exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, java.sql.Date, Long, Long, Long, Long, Long,
@@ -78,37 +68,20 @@ object StreamingMsprt {
   /** The census of the latest batch strictly BEFORE `batchId` (empty
     * when none) — the read that makes replays converge.
     */
+  private val StateCols = Seq("event_type", "day", "dn_a", "dn_b",
+    "dsum_a", "dsum_b", "dss_a", "dss_b")
+
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      // the partition column infers as INT — cast before comparing
-      val all = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) emptyState(spark)
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select("event_type", "day", "dn_a", "dn_b", "dsum_a",
-          "dsum_b", "dss_a", "dss_b")
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, StateCols, Some(batchId))
+      .getOrElse(emptyState(spark))
 
   /** The stored (event_type, day, six-integer) daily census (latest
     * batch).
     */
   def dailyCensus(spark: SparkSession, storeDir: String): DataFrame =
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      val all = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("event_type", "day", "dn_a", "dn_b", "dsum_a",
-          "dsum_b", "dss_a", "dss_b")
-    }
+    BatchStore.latest(spark, storeDir, StateCols)
+      .getOrElse(emptyState(spark))
 
   /** The serving read: the always-valid sequential readout over the
     * accumulated census — R69's own rollup (same columns as q_msprt:

@@ -51,48 +51,25 @@ object StreamingPrefix {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Long, Long)]
+      .toDF("pk", "source", "n", "min_doc")
   }
 
   /** The state of the latest batch strictly BEFORE `batchId` (empty
     * when none) — the read that makes replays converge.
     */
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    import spark.implicits._
-    val empty = Seq.empty[(Long, String, Long, Long)]
-      .toDF("pk", "source", "n", "min_doc")
-    if (!hasBatches(spark, storeDir)) empty
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) empty
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select("pk", "source", "n", "min_doc")
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir,
+      Seq("pk", "source", "n", "min_doc"), Some(batchId))
+      .getOrElse(emptyState(spark))
 
   /** Current state (latest batch partition); empty when unwritten. */
-  def state(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(Long, String, Long, Long)]
-        .toDF("pk", "source", "n", "min_doc")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("pk", "source", "n", "min_doc")
-    }
-  }
+  def state(spark: SparkSession, storeDir: String): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("pk", "source", "n", "min_doc"))
+      .getOrElse(emptyState(spark))
 
   /** The serving census off the store — the EXACT batch-census shape
     * (pk, n_docs, n_sources, exemplar over classes with ≥ 2 docs), so

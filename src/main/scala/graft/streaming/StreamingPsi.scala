@@ -72,14 +72,6 @@ object StreamingPsi {
       .parquet(s"$storeDir/batch_id=$batchId")
   }
 
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(String, Long, Long)].toDF("source", "bucket", "n_b")
@@ -89,30 +81,14 @@ object StreamingPsi {
     * when none) — the read that makes replays converge.
     */
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      // the partition column infers as INT — cast before comparing
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) emptyState(spark)
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select("source", "bucket", "n_b")
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir, Seq("source", "bucket", "n_b"),
+      Some(batchId)).getOrElse(emptyState(spark))
 
   /** The stored (source, bucket, n_b) census (latest batch). */
   def buckets(spark: SparkSession, storeDir: String): DataFrame =
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("source", "bucket", "n_b")
-    }
+    BatchStore.latest(spark, storeDir, Seq("source", "bucket", "n_b"))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: per-source PSI against the fixed reference —
     * X51's own rollup over the accumulated census (same columns as

@@ -72,14 +72,6 @@ object StreamingSample {
     }
   }
 
-  private def hasBatches(spark: SparkSession, storeDir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
-  }
-
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, String, Long, Long)]
@@ -87,18 +79,10 @@ object StreamingSample {
   }
 
   private def loadState(spark: SparkSession, storeDir: String,
-                        batchId: Long): DataFrame = {
-    if (!hasBatches(spark, storeDir)) emptyState(spark)
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") < batchId)
-      val latest = all.agg(max("batch_id")).head()
-      if (latest.isNullAt(0)) emptyState(spark)
-      else all.filter(col("batch_id") === latest.getLong(0))
-        .select("doc_id", "source", "toks", "key_micro")
-    }
-  }
+                        batchId: Long): DataFrame =
+    BatchStore.latest(spark, storeDir,
+      Seq("doc_id", "source", "toks", "key_micro"), Some(batchId))
+      .getOrElse(emptyState(spark))
 
   /** The serving read: the current reservoir, rank order — the same
     * (rank, doc_id, source, toks, key_micro) shape as the batch
@@ -106,17 +90,11 @@ object StreamingSample {
     */
   def sample(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    if (!hasBatches(spark, storeDir))
-      Seq.empty[(Long, Long, String, Long, Long)]
-        .toDF("rank", "doc_id", "source", "toks", "key_micro")
-    else {
-      val all = spark.read.option("basePath", storeDir).parquet(storeDir)
-        .withColumn("batch_id", col("batch_id").cast("long"))
-      val latest = all.agg(max("batch_id")).head().getLong(0)
-      all.filter(col("batch_id") === latest)
-        .select("rank", "doc_id", "source", "toks", "key_micro")
-        .orderBy("rank")
-    }
+    BatchStore.latest(spark, storeDir,
+      Seq("rank", "doc_id", "source", "toks", "key_micro"))
+      .getOrElse(Seq.empty[(Long, Long, String, Long, Long)]
+        .toDF("rank", "doc_id", "source", "toks", "key_micro"))
+      .orderBy("rank")
   }
 
   def start(spark: SparkSession, docs: DataFrame, storeDir: String,

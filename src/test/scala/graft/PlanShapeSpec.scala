@@ -18,6 +18,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
   }
 
+  test("milli-normalize / SQ8 kernels stay in whole-stage codegen — " +
+      "zero CodegenFallback in the touched plans (VERDICT r14 item 2)") {
+    // the former aggregate/transform higher-order formulations were
+    // CodegenFallback; the fused expressions must not be
+    val emb = Tables.embeddings(spark, dir)
+    Seq(
+      "anisotropy" -> SimilarityOps.anisotropyCensus(emb),
+      "quantizeInt8" -> SimilarityOps.quantizeInt8(emb),
+      "dimVariance" -> SimilarityOps.dimVariance(emb)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("CodegenFallback"),
+        s"$name must carry no interpreted HOF:\n$p")
+      assert(!p.contains("transform(") && !p.contains("aggregate("),
+        s"$name must not plan higher-order functions:\n$p")
+    }
+  }
+
   test("tokenCounts is shuffle-free (pure projection)") {
     val p = plan(TextOps.tokenCounts(
       Tables.documents(spark, dir).select("doc_id", "text")))

@@ -711,6 +711,53 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("PairStore.append replay fixed point + compact: a retried " +
+      "batch adds zero duplicate rows, appendxN + compact == " +
+      "save(union) bit-for-bit, file count back to one per bucket") {
+    val a = Seq((1L, 2L, 900000L), (3L, 4L, 900000L))
+      .toDF("d1", "d2", "jac_micro")
+    val b = Seq((2L, 3L, 850000L)).toDF("d1", "d2", "jac_micro")
+    // c shares d1=1 with a's first row: its append stacks a second
+    // file onto an already-occupied bucket, so compaction must shrink
+    val c = Seq((1L, 5L, 990000L)).toDF("d1", "d2", "jac_micro")
+    graft.sources.PairStore.save(a, "pairstore_rt")
+    graft.sources.PairStore.save(
+      a.unionByName(b).unionByName(c), "pairstore_rtref")
+    try {
+      graft.sources.PairStore.append(spark, b, "pairstore_rt")
+      // at-least-once replay: the SAME batch again is a no-op on the
+      // pair rows and a fixed point on components (ADVICE r14)
+      graft.sources.PairStore.append(spark, b, "pairstore_rt")
+      graft.sources.PairStore.append(spark, c, "pairstore_rt")
+      graft.sources.PairStore.append(spark, c, "pairstore_rt")
+      def rows(base: String) = (
+        graft.sources.PairStore.pairs(spark, base)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.sources.PairStore.components(spark, base)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+      assert(rows("pairstore_rt") === rows("pairstore_rtref"))
+      assert(graft.sources.PairStore.pairs(spark, "pairstore_rt")
+        .count() === 4, "replayed batches must not duplicate rows")
+      // compaction: the appends piled files; the rewrite brings the
+      // table back to one file per bucket with rows + layout intact
+      val (before, after) =
+        graft.sources.PairStore.compact(spark, "pairstore_rt")
+      assert(after <= 8 && after < before,
+        s"compact must bound files (before=$before after=$after)")
+      assert(rows("pairstore_rt") === rows("pairstore_rtref"))
+      val agg = spark.table("pairstore_rt_pairs")
+        .groupBy("d1").agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "compacted pair table must keep its bucket metadata")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairstore_rt_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_rt_components")
+      spark.sql("DROP TABLE IF EXISTS pairstore_rtref_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_rtref_components")
+    }
+  }
+
   test("persisted graph-ANN index: beam search and beam sweep read " +
       "the edge table — zero graph-construction stages, output == " +
       "in-query paths") {
