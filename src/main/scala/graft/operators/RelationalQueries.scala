@@ -6172,7 +6172,16 @@ object RelationalQueries {
     * hand-computed spec.
     */
   def srmCensus(ev: DataFrame): DataFrame =
-    ev.select(col("event_type"), col("user_id")).distinct()
+    srmFromUsers(ev.select(col("event_type"), col("user_id")).distinct())
+
+  /** The SRM statistics stage over an already-distinct
+    * (event_type, user_id) relation — factored so the T28 streaming
+    * store ([[graft.streaming.StreamingSrm]]) serves the EXACT batch
+    * shape from its accumulated user relation (shared code, not a
+    * reimplementation — the T25/T26 discipline).
+    */
+  def srmFromUsers(users: DataFrame): DataFrame =
+    users
       .withColumn("arm", expr("user_id % 2"))
       .groupBy("event_type")
       .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),

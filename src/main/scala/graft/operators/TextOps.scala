@@ -3773,6 +3773,111 @@ object TextOps {
           .as("eff_share_micro"))
   }
 
+  /** x^(eNum/2^log2den) as a FIXED product of sqrt chains — the
+    * cross-engine-exact dyadic power (VERDICT r14 item 6): IEEE 754
+    * requires sqrt and multiply to be correctly rounded, so any
+    * composition tree of them is bit-reproducible across engines,
+    * while `pow`'s rounding is implementation-defined. Bit j of eNum
+    * contributes the (log2den − j)-fold sqrt chain x^(1/2^(log2den−j));
+    * factors multiply left-to-right in ascending-j order — the same
+    * tree [[dyadicPowSql]] prints for the oracle.
+    */
+  private def dyadicPow(x: Column, eNum: Int, log2den: Int): Column = {
+    require(eNum > 0 && eNum < (1 << log2den),
+      s"dyadic exponent $eNum/2^$log2den must lie in (0, 1)")
+    (0 until log2den).filter(j => ((eNum >> j) & 1) == 1)
+      .map(j => (1 to (log2den - j)).foldLeft(x)((c, _) => sqrt(c)))
+      .reduceLeft(_ * _)
+  }
+
+  /** The SQL mirror of [[dyadicPow]] — token for token. */
+  private def dyadicPowSql(x: String, eNum: Int, log2den: Int): String =
+    (0 until log2den).filter(j => ((eNum >> j) & 1) == 1)
+      .map(j => (1 to (log2den - j)).foldLeft(x)((c, _) => s"sqrt($c)"))
+      .reduceLeft((a, b) => s"($a * $b)")
+
+  /** [[temperatureMix]] at GENERIC dyadic α = alphaNum/2^alphaLog2Den
+    * (X77, VERDICT r14 item 6): the multilingual sampling rule
+    * q_i ∝ p_i^α as a keep-all-of-the-bottleneck plan,
+    * rate_i = (t_min/t_i)^(1−α) — at α = ½ this IS [[temperatureMix]].
+    * Dyadic α keeps the α=½ exactness argument for every rate: the
+    * exponent (1−α) is m/2ⁿ, so the rate is a fixed product of
+    * correctly-rounded sqrt chains over ONE exact integer division
+    * ([[dyadicPow]]) — no `pow`, whose cross-engine rounding is
+    * unpinned (the reason generic α stayed unoracled through r14).
+    * α = ¼ and ¾ bracket the public mixing defaults (UniMax/mT5-class
+    * pipelines run α ≈ 0.3); any k/2ⁿ grid point oracles the same way.
+    *
+    * Output: (alpha_micro, source, n_docs, tokens, rate_micro,
+    * kept_tokens, eff_share_micro). Scale shape identical to
+    * [[temperatureMix]] (one census Exchange, mixture-sized folds).
+    */
+  def temperatureMixAlpha(docs: DataFrame, alphaNum: Int,
+                          alphaLog2Den: Int): DataFrame = {
+    val den = 1 << alphaLog2Den
+    val eNum = den - alphaNum // exponent 1 − α in 2^-n units
+    val counts = parallelized(docs)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("tokens"))
+    def rateMicro(t: Column, tmin: Column): Column =
+      micro(dyadicPow(tmin / t, eNum, alphaLog2Den))
+    def keptOf(t: Column, tmin: Column): Column =
+      floor(t * rateMicro(t, tmin) / lit(1000000.0)).cast("long")
+    counts
+      .agg(collect_list(struct(col("source"), col("n_docs"),
+        col("tokens"))).as("cs"))
+      .select(aggregate(col("cs"), lit(Long.MaxValue),
+        (a, x) => least(a, x.getField("tokens"))).as("tmin"), col("cs"))
+      .select(col("tmin"),
+        aggregate(col("cs"), lit(0L),
+          (a, x) => a + keptOf(x.getField("tokens"), col("tmin")))
+          .as("total_kept"),
+        explode(col("cs")).as("c"))
+      .select(
+        lit(1000000L * alphaNum / den).as("alpha_micro"),
+        col("c.source").as("source"), col("c.n_docs").as("n_docs"),
+        col("c.tokens").as("tokens"),
+        rateMicro(col("c.tokens"), col("tmin")).as("rate_micro"),
+        keptOf(col("c.tokens"), col("tmin")).as("kept_tokens"),
+        micro(keptOf(col("c.tokens"), col("tmin")) / col("total_kept"))
+          .as("eff_share_micro"))
+  }
+
+  /** One α branch of the X77 oracle — the [[temperatureMixAlpha]]
+    * algebra in SQL with the SAME [[dyadicPowSql]] rate tree.
+    */
+  def temperatureMixAlphaOracleBranch(alphaNum: Int,
+                                      alphaLog2Den: Int): String = {
+    val den = 1 << alphaLog2Den
+    val rate = dyadicPowSql("(m.tmin * 1.0 / p.tokens)",
+      den - alphaNum, alphaLog2Den)
+    s"""SELECT CAST(${1000000L * alphaNum / den} AS BIGINT)
+       |    AS alpha_micro, k.source, k.n_docs, k.tokens, k.rate_micro,
+       |  k.kept_tokens,
+       |  ${graft.functions.Hashing.microSql(
+            "k.kept_tokens * 1.0 / t.total_kept")} AS eff_share_micro
+       |FROM (
+       |  SELECT *, CAST(floor(tokens * rate_micro / 1000000.0)
+       |    AS BIGINT) AS kept_tokens
+       |  FROM (
+       |    SELECT p.source, p.n_docs, p.tokens,
+       |      ${graft.functions.Hashing.microSql(rate)} AS rate_micro
+       |    FROM per p CROSS JOIN mn m
+       |  )
+       |) k CROSS JOIN (
+       |  SELECT CAST(sum(kept_tokens) AS BIGINT) AS total_kept FROM (
+       |    SELECT CAST(floor(tokens * rate_micro / 1000000.0)
+       |      AS BIGINT) AS kept_tokens
+       |    FROM (
+       |      SELECT p.tokens,
+       |        ${graft.functions.Hashing.microSql(rate)} AS rate_micro
+       |      FROM per p CROSS JOIN mn m
+       |    )
+       |  )
+       |) t""".stripMargin
+  }
+
   /** Training-mix computation — the source-reweighting stage between
     * curation and packing: given target mixture percentages per source,
     * compute each source's sampling rate for the max-data-retention mix

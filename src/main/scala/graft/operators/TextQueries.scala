@@ -2994,6 +2994,33 @@ object TextQueries {
        |    AS eff_share_micro
        |FROM k CROSS JOIN tk t ORDER BY k.source""".stripMargin
 
+  /** X77 α grid: ¼ and ¾ — dyadic points bracketing the α ≈ 0.3
+    * public mixing default (UniMax/mT5-class), each (num, log2den).
+    */
+  val TempMixAlphas = Seq((1, 2), (3, 2))
+
+  /** X77: temperature mixing at GENERIC dyadic α (VERDICT r14 item 6)
+    * — q_temp_mix's α = ½ restriction lifted via sqrt-chain dyadic
+    * powers ([[TextOps.temperatureMixAlpha]]); one row set per grid α.
+    */
+  def qTempMixAlpha(spark: SparkSession, dir: String): DataFrame =
+    TempMixAlphas.map { case (n, l) =>
+      TextOps.temperatureMixAlpha(Tables.documents(spark, dir)
+        .select("doc_id", "source", "text"), n, l)
+    }.reduce(_ unionByName _).orderBy("alpha_micro", "source")
+
+  private val tempMixAlphaOracle: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |mn AS (SELECT min(tokens) AS tmin FROM per)
+       |${TempMixAlphas.map { case (n, l) =>
+          TextOps.temperatureMixAlphaOracleBranch(n, l) }
+          .mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY alpha_micro, source""".stripMargin
+
   val RepN = 3
 
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
@@ -3865,6 +3892,7 @@ object TextQueries {
     "q_boilerplate"    -> (qBoilerplate _),
     "q_quality_rules"  -> (qQualityRules _),
     "q_temp_mix"       -> (qTempMix _),
+    "q_temp_mix_alpha" -> (qTempMixAlpha _),
     "q_decontam"       -> (qDecontam _),
     "q_ngram_overlap"  -> (qNgramOverlap _),
     "q_stratified"     -> (qStratified _),
@@ -3959,6 +3987,7 @@ object TextQueries {
     "q_boilerplate"    -> boilerplateOracle,
     "q_quality_rules"  -> qualityRulesOracle,
     "q_temp_mix"       -> tempMixOracle,
+    "q_temp_mix_alpha" -> tempMixAlphaOracle,
     "q_decontam"       -> decontamOracle,
     "q_ngram_overlap"  -> ngramOverlapOracle,
     "q_stratified"     -> stratifiedOracle,

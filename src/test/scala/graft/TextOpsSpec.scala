@@ -421,6 +421,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out("wiki") === ((1L, 8L, 500000L, 4L, 400000L)))
   }
 
+  test("temperatureMixAlpha: dyadic rates exact by hand at α = ¼ and " +
+      "¾; α = ½ reproduces temperatureMix") {
+    // sources a: 4 tokens, b: 64 tokens → x_b = tmin/t_b = 1/16, a
+    // power of two so every sqrt chain lands on exact dyadics:
+    //  α = ¼ (e = ¾): rate_b = (1/16)^(3/4) = 1/8  → 125000 micro,
+    //    kept 4 + 8 = 12 → shares 333333 / 666666
+    //  α = ¾ (e = ¼): rate_b = (1/16)^(1/4) = 1/2  → 500000 micro,
+    //    kept 4 + 32 = 36 → shares 111111 / 888888
+    val d = Seq(
+      (1L, "a", "t1 t2 t3 t4"),
+      (2L, "b", (1 to 64).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def rowsAt(num: Int, l2d: Int) =
+      TextOps.temperatureMixAlpha(d, num, l2d).orderBy("source")
+        .collect().map(r => r.getString(1) ->
+          (r.getAs[Long]("alpha_micro"), r.getAs[Long]("rate_micro"),
+            r.getAs[Long]("kept_tokens"),
+            r.getAs[Long]("eff_share_micro"))).toMap
+    val q = rowsAt(1, 2)
+    assert(q("a") === ((250000L, 1000000L, 4L, 333333L)))
+    assert(q("b") === ((250000L, 125000L, 8L, 666666L)))
+    val th = rowsAt(3, 2)
+    assert(th("a") === ((750000L, 1000000L, 4L, 111111L)))
+    assert(th("b") === ((750000L, 500000L, 32L, 888888L)))
+    // α = ½ through the dyadic machinery ≡ the dedicated sqrt form
+    val half = TextOps.temperatureMixAlpha(d, 1, 1)
+      .drop("alpha_micro").orderBy("source").collect().map(_.toSeq)
+    val fixed = TextOps.temperatureMix(d).orderBy("source")
+      .collect().map(_.toSeq)
+    assert(half.toSeq === fixed.toSeq)
+  }
+
   test("boilerplateStats top-k cut is deterministic under df ties") {
     // every bigram has df 1 -> the cut falls entirely on the gram
     // string order; k=2 must select the two lexicographically smallest
