@@ -1223,8 +1223,15 @@ object MultimodalOps {
     * near-dup hash pair (hamming 1..maxHamming), with class sizes,
     * exemplar doc ids, and the implied pair count.
     */
-  def phashCensus(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val cls = imageDHash(mediaBinary(docs)).toDF()
+  def phashCensus(docs: DataFrame, maxHamming: Int): DataFrame =
+    phashCensusOf(imageDHash(mediaBinary(docs)).toDF(), maxHamming)
+
+  /** [[phashCensus]] over an already-computed dHash relation —
+    * factored so the MediaScale probe runs the census on replicated
+    * blob sets (same statistics stage, shared code).
+    */
+  def phashCensusOf(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val cls = hashes
       .groupBy("dhash")
       .agg(count(lit(1)).as("n"), min("doc_id").as("exemplar"))
       .cache()
