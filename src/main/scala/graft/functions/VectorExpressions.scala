@@ -226,6 +226,27 @@ object VectorKernels {
     a
   }
 
+  /** [Σm·q, Σm², Σq²] with m = milli components floor(v·1000) and
+    * q = int8 absmax codes — the three exact integers the V53 SQ8
+    * fidelity cosine divides ([[Int8FidelityParts]] law). One pass,
+    * no intermediate arrays.
+    */
+  def int8FidelityParts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val amax = absMax(arr)
+    var dot = 0L; var sm = 0L; var sq = 0L
+    var i = 0
+    while (i < n) {
+      val v = arr.getFloat(i).toDouble
+      val m = math.floor(v * 1000.0).toLong
+      val q = if (amax == 0.0) 0L
+        else math.floor(v * 127.0 / amax).toLong
+      dot += m * q; sm += m * m; sq += q * q
+      i += 1
+    }
+    new GenericArrayData(Array(dot, sm, sq))
+  }
+
   /** Int8 absmax codes floor(v·127/amax) (0 on an all-zero vector) —
     * the [[Int8CodeVector]] law.
     */
@@ -375,6 +396,34 @@ case class Int8CodeVector(child: Expression) extends UnaryExpression {
       newChild: Expression): Int8CodeVector = copy(child = newChild)
 }
 
+/** The V53 SQ8 fidelity parts [Σm·q, Σm², Σq²] in one codegen pass —
+  * the exact integers whose mirrored cosine tree measures how much
+  * angle int8 absmax quantization costs each vector.
+  */
+case class Int8FidelityParts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"int8_fid_parts requires an array<float> column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def prettyName: String = "int8_fid_parts"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.int8FidelityParts(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.int8FidelityParts($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8FidelityParts = copy(child = newChild)
+}
+
 /** Column-API entry points for the vector expressions. */
 object vector {
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -402,4 +451,8 @@ object vector {
   /** Int8 absmax quantization codes as array<long>. */
   def int8Codes(e: Column): Column =
     GraftSqlBridge.column(Int8CodeVector(GraftSqlBridge.expression(e)))
+
+  /** SQ8 fidelity parts [Σm·q, Σm², Σq²] as array<long>. */
+  def int8FidParts(e: Column): Column =
+    GraftSqlBridge.column(Int8FidelityParts(GraftSqlBridge.expression(e)))
 }

@@ -6220,6 +6220,161 @@ object RelationalQueries {
        |  coalesce(chi2_micro >= $SrmChi2MicroBar, false) AS srm_alarm
        |FROM f ORDER BY event_type""".stripMargin
 
+  // ------------------------- cluster-robust standard errors (R74)
+
+  /** Shared double trees for [[clusterSeCensus]] — interpolated
+    * verbatim into both engines. Operands: per-arm event count nn,
+    * cents sum ss, cents² sum qq, floored cluster-residual mass crn
+    * (all exact integers).
+    */
+  private val clusterSeZ =
+    """((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) -
+      |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) /
+      | sqrt(CAST(crna AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)) +
+      |      CAST(crnb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+  private val clusterSeDeff =
+    """((CAST(crn AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      | (CAST(qq AS DOUBLE) / CAST(nn AS DOUBLE) -
+      |  (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |  (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))))"""
+      .stripMargin.replaceAll("\\s+", " ").trim
+
+  def qClusterSe(spark: SparkSession, dir: String): DataFrame =
+    clusterSeCensus(events(spark, dir))
+
+  /** R74: cluster-robust (CR0) standard errors for the per-event arm
+    * means — the variance an experiment platform MUST use when it
+    * randomizes by user but analyzes per-event metrics: a user's
+    * events share everything the user carries, so the iid SE
+    * understates the truth by the design effect (≈ 1 + (m̄−1)ρ,
+    * Kish), and "significant" results evaporate under re-randomization
+    * (the classic A/B pitfall; Liang–Zeger 1986 sandwich, CR0 form).
+    *
+    * Exactness: per-user totals T_c and event counts n_c are integer
+    * cents/counts; the cluster residual T_c − n_c·(S/n) scales to the
+    * exact integer n·T_c − n_c·S, and each cluster's squared residual
+    * (that integer / n)² is floored to integer cents² PER TERM (the
+    * R61 per-term-floor discipline) so the cross-cluster reduction
+    * sums integers — partial-agg association cannot drift it. The z
+    * and design-effect readouts are single mirrored double trees over
+    * the six-integer census. Integer bound: |n·T_c| must stay inside
+    * int64 (≈ 9·10¹⁸ — e.g. 10⁹ events against 10⁹-cent user totals);
+    * both engines error loudly past it rather than wrapping.
+    *
+    * Output per event_type: event counts, distinct users, cents sums,
+    * floored cluster-residual masses, the cluster-robust z of the B−A
+    * per-event mean difference, and each arm's design effect (cluster
+    * variance / iid variance — the "how wrong was naive" number).
+    *
+    * Scale shape: ONE (event_type, user) cluster-census Exchange
+    * (user-bounded, the natural experiment grain), a broadcast of the
+    * event_type-sized arm totals back onto it, then ONE (event_type)
+    * rollup carrying six integers per arm.
+    */
+  def clusterSeCensus(ev: DataFrame): DataFrame = {
+    val cl = ev.select(col("event_type"),
+        col("user_id"), expr("user_id % 2").as("arm"),
+        cents(col("value")).as("v"))
+      .groupBy("event_type", "user_id", "arm")
+      .agg(count(lit(1)).as("n_c"), sum("v").as("t_c"),
+        sum(col("v") * col("v")).as("q_c"))
+    val tot = cl.groupBy("event_type", "arm")
+      .agg(sum("n_c").as("nn"), sum("t_c").as("ss"))
+    val terms = cl.join(broadcast(tot), Seq("event_type", "arm"))
+      .select(col("event_type"), col("arm"), col("n_c"), col("t_c"),
+        col("q_c"), col("nn"), col("ss"),
+        expr("CAST(floor(" +
+          "(CAST(nn * t_c - n_c * ss AS DOUBLE) / CAST(nn AS DOUBLE)) * " +
+          "(CAST(nn * t_c - n_c * ss AS DOUBLE) / CAST(nn AS DOUBLE))" +
+          ") AS BIGINT)").as("term"))
+    val arms = terms.groupBy("event_type", "arm")
+      .agg(max("nn").as("nn"), max("ss").as("ss"),
+        count(lit(1)).as("uu"), sum("q_c").as("qq"),
+        sum("term").as("crn"))
+      .withColumn("deff_micro",
+        when(expr("qq * nn > ss * ss"),
+          expr(s"CAST(floor(1000000.0 * $clusterSeDeff) AS BIGINT)")))
+    val a = arms.filter(col("arm") === 0L)
+      .select(col("event_type"), col("nn").as("na"),
+        col("uu").as("users_a"), col("ss").as("sa"),
+        col("crn").as("crna"), col("deff_micro").as("deff_a_micro"))
+    val b = arms.filter(col("arm") === 1L)
+      .select(col("event_type"), col("nn").as("nb"),
+        col("uu").as("users_b"), col("ss").as("sb"),
+        col("crn").as("crnb"), col("deff_micro").as("deff_b_micro"))
+    a.join(b, Seq("event_type"))
+      .select(col("event_type"), col("na").as("n_a"),
+        col("nb").as("n_b"), col("users_a"), col("users_b"),
+        col("sa").as("sum_a_cents"), col("sb").as("sum_b_cents"),
+        col("crna").as("cr_mass_a"), col("crnb").as("cr_mass_b"),
+        when(col("crna") + col("crnb") > 0L,
+          expr(s"CAST(floor(1000000.0 * $clusterSeZ) AS BIGINT)"))
+          .as("z_micro"),
+        col("deff_a_micro"), col("deff_b_micro"))
+      .orderBy("event_type")
+  }
+
+  private val clusterSeOracle = {
+    val deffA = clusterSeDeff.replace("crn", "crna").replace("nn", "na")
+      .replace("ss", "sa").replace("qq", "qa")
+    val deffB = clusterSeDeff.replace("crn", "crnb").replace("nn", "nb")
+      .replace("ss", "sb").replace("qq", "qb")
+    s"""$evCte,
+       |cl AS (
+       |  SELECT event_type, user_id, user_id % 2 AS arm,
+       |    CAST(count(*) AS BIGINT) AS n_c,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+       |      AS t_c,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT) *
+       |             CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+       |      AS q_c
+       |  FROM ev GROUP BY 1, 2, 3
+       |),
+       |tot AS (
+       |  SELECT event_type, arm, CAST(sum(n_c) AS BIGINT) AS nn,
+       |    CAST(sum(t_c) AS BIGINT) AS ss
+       |  FROM cl GROUP BY 1, 2
+       |),
+       |terms AS (
+       |  SELECT c.event_type, c.arm, c.q_c, t.nn, t.ss,
+       |    CAST(floor(
+       |      (CAST(t.nn * c.t_c - c.n_c * t.ss AS DOUBLE) /
+       |       CAST(t.nn AS DOUBLE)) *
+       |      (CAST(t.nn * c.t_c - c.n_c * t.ss AS DOUBLE) /
+       |       CAST(t.nn AS DOUBLE))) AS BIGINT) AS term
+       |  FROM cl c JOIN tot t USING (event_type, arm)
+       |),
+       |arms AS (
+       |  SELECT event_type, arm, max(nn) AS nn, max(ss) AS ss,
+       |    CAST(count(*) AS BIGINT) AS uu,
+       |    CAST(sum(q_c) AS BIGINT) AS qq,
+       |    CAST(sum(term) AS BIGINT) AS crn
+       |  FROM terms GROUP BY 1, 2
+       |),
+       |j AS (
+       |  SELECT a.event_type,
+       |    a.nn AS na, b.nn AS nb, a.uu AS users_a, b.uu AS users_b,
+       |    a.ss AS sa, b.ss AS sb, a.qq AS qa, b.qq AS qb,
+       |    a.crn AS crna, b.crn AS crnb
+       |  FROM arms a JOIN arms b ON a.event_type = b.event_type
+       |  WHERE a.arm = 0 AND b.arm = 1
+       |)
+       |SELECT event_type, na AS n_a, nb AS n_b, users_a, users_b,
+       |  sa AS sum_a_cents, sb AS sum_b_cents,
+       |  crna AS cr_mass_a, crnb AS cr_mass_b,
+       |  CASE WHEN crna + crnb > 0 THEN
+       |    CAST(floor(1000000.0 * $clusterSeZ) AS BIGINT) END
+       |    AS z_micro,
+       |  CASE WHEN qa * na > sa * sa THEN
+       |    CAST(floor(1000000.0 * $deffA) AS BIGINT) END
+       |    AS deff_a_micro,
+       |  CASE WHEN qb * nb > sb * sb THEN
+       |    CAST(floor(1000000.0 * $deffB) AS BIGINT) END
+       |    AS deff_b_micro
+       |FROM j ORDER BY event_type""".stripMargin
+  }
+
   // -------------------------------- Brown–Forsythe / Levene (R60)
 
   /** Shared F tree for [[leveneCensus]] over the one-row global census
@@ -6863,6 +7018,7 @@ object RelationalQueries {
     "q_aa_test"      -> (qAaTest _),
     "q_shrinkage"    -> (qShrinkage _),
     "q_funnel_latency" -> (qFunnelLatency _),
+    "q_cluster_se"   -> (qClusterSe _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -6943,6 +7099,7 @@ object RelationalQueries {
     "q_aa_test"      -> aaOracle,
     "q_shrinkage"    -> shrinkageOracle,
     "q_funnel_latency" -> funnelLatencyOracle,
+    "q_cluster_se"   -> clusterSeOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -318,6 +318,10 @@ object SimilarityQueries {
   def qQuantize(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.quantizeInt8(emb(spark, dir)).orderBy("vec_id", "i")
 
+  /** V53: SQ8 angular-fidelity census (loss-decade histogram). */
+  def qSq8Fidelity(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sq8FidelityCensus(emb(spark, dir))
+
   val BatchQueryMax = 5L // query set = vec_id < 5
   val BatchK = 3
 
@@ -2270,6 +2274,58 @@ object SimilarityQueries {
     * (integer dot — association-free — over code values, then one
     * division), rank, and flag against the exact-cosine truth.
     */
+  /** V53 oracle: milli components × int8 codes, the three exact
+    * integer sums per vector, the mirrored cosine tree, decade
+    * buckets, min_by exemplar on the (fid, vec_id) composite.
+    */
+  private val sq8FidelityOracle =
+    s"""$evCte,
+       |am AS (SELECT vec_id, max(abs(v)) AS amax FROM ev GROUP BY 1),
+       |mq AS (
+       |  SELECT e.vec_id,
+       |    CAST(floor(e.v * 1000.0) AS BIGINT) AS m,
+       |    CASE WHEN am.amax = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor(e.v * 127.0 / am.amax) AS BIGINT) END
+       |      AS q
+       |  FROM ev e JOIN am ON e.vec_id = am.vec_id
+       |),
+       |parts AS (
+       |  SELECT vec_id, CAST(sum(m * q) AS BIGINT) AS dot,
+       |    CAST(sum(m * m) AS BIGINT) AS sm,
+       |    CAST(sum(q * q) AS BIGINT) AS sq
+       |  FROM mq GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT vec_id,
+       |    ${Hashing.microSql("dot / (sqrt(sm) * sqrt(sq))")} AS fid
+       |  FROM parts WHERE sm > 0 AND sq > 0
+       |),
+       |b AS (
+       |  SELECT vec_id, fid, 1000000 - fid AS loss,
+       |    CAST(CASE WHEN 1000000 - fid <= 0 THEN 0
+       |         WHEN 1000000 - fid <= 10 THEN 1
+       |         WHEN 1000000 - fid <= 100 THEN 2
+       |         WHEN 1000000 - fid <= 1000 THEN 3
+       |         WHEN 1000000 - fid <= 10000 THEN 4
+       |         ELSE 5 END AS BIGINT) AS bucket
+       |  FROM f
+       |),
+       |cen AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    min(fid) AS min_fid, max(fid) AS max_fid,
+       |    CAST(sum(fid) AS BIGINT) AS sum_fid
+       |  FROM b GROUP BY bucket
+       |),
+       |worst AS (
+       |  SELECT c.bucket, min(b.vec_id) AS worst_vec
+       |  FROM cen c JOIN b ON b.bucket = c.bucket AND b.fid = c.min_fid
+       |  GROUP BY 1
+       |)
+       |SELECT c.bucket, c.n_vecs, c.min_fid, c.max_fid, c.sum_fid,
+       |  w.worst_vec, c.sum_fid // c.n_vecs AS mean_fid
+       |FROM cen c JOIN worst w ON c.bucket = w.bucket
+       |ORDER BY c.bucket""".stripMargin
+
   private val sqSearchOracle =
     s"""$evCte,
        |am AS (SELECT vec_id, max(abs(v)) AS amax FROM ev GROUP BY 1),
@@ -3426,6 +3482,7 @@ object SimilarityQueries {
     "q_graph_ann"      -> (qGraphAnn _),
     "q_rrf"            -> (qRrf _),
     "q_sq_search"      -> (qSqSearch _),
+    "q_sq8_fidelity"   -> (qSq8Fidelity _),
     "q_mrl_recall"     -> (qMrlRecall _),
     "q_mrr"            -> (qMrr _),
     "q_ndcg"           -> (qNdcg _),
@@ -3484,6 +3541,7 @@ object SimilarityQueries {
     "q_graph_ann"      -> graphAnnOracle,
     "q_rrf"            -> rrfOracle,
     "q_sq_search"      -> sqSearchOracle,
+    "q_sq8_fidelity"   -> sq8FidelityOracle,
     "q_mrl_recall"     -> mrlRecallOracle,
     "q_mrr"            -> mrrOracle,
     "q_ndcg"           -> ndcgOracle,

@@ -1542,6 +1542,46 @@ class ScaleOpsSpec extends SparkSpec {
       ("w", 12L, 0L, 12000000L, true)))
   }
 
+  test("clusterSeCensus: hand-computed CR0 cluster residuals, z, and " +
+    "design effects (deff 2.0 when all variation is between-user)") {
+    // type "t" — arm a (even users): user 2 events {1.00, 3.00}
+    //   (T=400, n=2), user 4 {5.00} (T=500): na=3, sa=900, m=300;
+    //   devs ±200 -> crna = 2·40000 = 80000
+    //   arm b (odd): user 1 {1.00}, user 3 {7.00}: nb=2, sb=800,
+    //   m=400; devs ±300 -> crnb = 2·90000 = 180000
+    //   z = (400-300)/√(80000/9 + 180000/4) -> 430774 micro
+    // type "corr" — arm a: user 2 {1.00, 1.00}, user 4 {3.00, 3.00}
+    //   (ALL variation between users): cluster var of the mean =
+    //   2× the iid one -> deff_a exactly 2.0; arm b: user 1
+    //   {1.00, 3.00}, user 3 {1.00, 3.00} (all variation WITHIN
+    //   users): crnb = 0 -> deff_b = 0, z = 0 exactly
+    val rows = Seq(
+      (2L, "t", 1.00), (2L, "t", 3.00), (4L, "t", 5.00),
+      (1L, "t", 1.00), (3L, "t", 7.00),
+      (2L, "corr", 1.00), (2L, "corr", 1.00),
+      (4L, "corr", 3.00), (4L, "corr", 3.00),
+      (1L, "corr", 1.00), (1L, "corr", 3.00),
+      (3L, "corr", 1.00), (3L, "corr", 3.00))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.clusterSeCensus(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("users_a"), r.getAs[Long]("users_b"),
+          r.getAs[Long]("cr_mass_a"), r.getAs[Long]("cr_mass_b"),
+          Option(r.getAs[java.lang.Long]("z_micro")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("deff_a_micro"))
+            .map(_.toLong),
+          Option(r.getAs[java.lang.Long]("deff_b_micro"))
+            .map(_.toLong))).toMap
+    assert(out("t") === ((3L, 2L, 2L, 2L, 80000L, 180000L,
+      Some(430774L), Some(999999L), Some(1000000L))))
+    assert(out("corr") === ((4L, 4L, 2L, 2L, 80000L, 0L,
+      Some(0L), Some(2000000L), Some(0L))))
+  }
+
   test("leveneCensus: rank-picked lower medians, integer deviation " +
     "sums, hand-computed Brown-Forsythe F") {
     // S1: cents {100, 200, 300, 1000} -> med = rank (4+1) div 2 = 2

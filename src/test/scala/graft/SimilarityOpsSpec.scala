@@ -244,6 +244,29 @@ class SimilarityOpsSpec extends SparkSpec {
       (1L, 2L, 0L, 0L)))
   }
 
+  test("sq8FidelityCensus: hand-computed integer parts, buckets, " +
+      "zero-vector exclusion, lexicographic worst exemplar") {
+    // hand-computed (milli × int8 integer cosine):
+    //  v0 [0.5, 0.5]    → parts (127000, 500000, 32258) → fid 10⁶,
+    //    bucket 0 (codes perfectly aligned)
+    //  v1 [0.25, -0.75] → (105750, 625000, 17893) → fid 999997,
+    //    bucket 1 (loss 3)
+    //  v2 [0.001, 1.0]  → (127000, 1000001, 16129) → fid 999999,
+    //    bucket 1 (loss 1) — ties into v1's bucket; min-fid exemplar
+    //    must be v1 (fid 999997 < 999999)
+    //  v3 [0, 0]        → sm = 0, EXCLUDED
+    val out = SimilarityOps.sq8FidelityCensus(emb(
+        (0L, Seq(0.5f, 0.5f), 0),
+        (1L, Seq(0.25f, -0.75f), 0),
+        (2L, Seq(0.001f, 1f), 0),
+        (3L, Seq(0f, 0f), 0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, 1000000L, 1000000L, 1000000L, 0L, 1000000L),
+      (1L, 2L, 999997L, 999999L, 1999996L, 1L, 999998L)))
+  }
+
   test("signLshPairs: identical vectors always collide; verified cosine exact") {
     // v0 == v5 (identical, all 16 sign bits equal -> every band matches);
     // the rest are axis-aligned and orthogonal-ish
