@@ -195,9 +195,16 @@ object RelationalQueries {
         .select(lit(3L).as("step"), col("n")))
   }
 
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"))
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelCensus(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+
+  /** R4's full funnel rollup over any events-shaped frame — factored
+    * (r15) so the T29 streaming store serves the EXACT batch shape
+    * from its accumulated event relation (shared code, the
+    * T25/T26/T28 discipline).
+    */
+  def funnelCensus(ev: DataFrame): DataFrame = {
     val census = funnelStepCensus(ev)
     val stepName = when(col("step") === 1L, FunnelSteps.head)
       .when(col("step") === 2L, FunnelSteps(1))
