@@ -32,6 +32,30 @@ class AdaptiveBandingSpec extends SparkSpec {
     assert(adaptiveBandBits(1000000L, 32) === 16)
   }
 
+  test("selection rule properties: divides planes, ≥ 4 bits, monotone " +
+      "in n, occupancy cap honored below the widest width") {
+    import SimilarityOps.{adaptiveBandBits, BandOccupancyCap}
+    for (planes <- Seq(16, 32)) {
+      val widest = (1 to planes).filter(b => planes % b == 0).max
+      var prev = 0
+      // sweep n across six orders of magnitude incl. the exact
+      // boundaries of every menu width
+      val ns = (0 to 20).map(1L << _) ++
+        (2 to 16).map(b => (BandOccupancyCap << b)) ++
+        (2 to 16).map(b => (BandOccupancyCap << b) + 1)
+      ns.sorted.foreach { n =>
+        val b = adaptiveBandBits(n, planes)
+        assert(planes % b === 0, s"width $b must divide $planes")
+        assert(b >= 4)
+        assert(b >= prev, s"rule must widen monotonically in n ($n)")
+        if (b < widest)
+          assert(n <= (BandOccupancyCap << b),
+            s"occupancy cap violated: n=$n width=$b")
+        prev = b
+      }
+    }
+  }
+
   test("query surface at test-corpus size ≡ the historical 4-bit path") {
     val dir = "/root/testdata/sf0.001"
     val adaptive = SimilarityQueries.qEmbedLsh(spark, dir).collect()
