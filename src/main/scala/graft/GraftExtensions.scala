@@ -114,5 +114,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireRange("sign_lsh_sig", "dims", dims, 1, Int.MaxValue)
         SignLshSignature(children.head, nPlanes, dims)
       }))
+    // the r15 quantization kernels — same SQL parity as the Column API
+    def unary(name: String, cls: Class[_],
+              mk: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          requireArity(name, 1, children)
+          mk(children.head)
+        }))
+    unary("milli_vec", classOf[graft.functions.MilliVector],
+      graft.functions.MilliVector(_))
+    unary("milli_unit_vec", classOf[graft.functions.MilliUnitVector],
+      graft.functions.MilliUnitVector(_))
+    unary("abs_max", classOf[graft.functions.AbsMaxComponent],
+      graft.functions.AbsMaxComponent(_))
+    unary("int8_codes", classOf[graft.functions.Int8CodeVector],
+      graft.functions.Int8CodeVector(_))
+    unary("int8_fid_parts", classOf[graft.functions.Int8FidelityParts],
+      graft.functions.Int8FidelityParts(_))
   }
 }

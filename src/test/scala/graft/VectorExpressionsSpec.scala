@@ -86,6 +86,49 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaSql === withCodegen.head.getLong(0))
   }
 
+  test("r15 quantization kernels: known values, codegen ≡ interpreted, " +
+      "SQL registration parity") {
+    import graft.functions.vector._
+    val d = Seq((0L, Seq(0.5f, -0.25f)), (1L, Seq(0f, 0f)))
+      .toDF("id", "e")
+    def all(frame: org.apache.spark.sql.DataFrame) = frame.select(
+      $"id", milliVec($"e").as("mv"), milliUnitVec($"e").as("mu"),
+      absMaxComp($"e").as("am"), int8Codes($"e").as("c8"),
+      int8FidParts($"e").as("fp")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1),
+        Option(r.getSeq[Long](2)), r.getDouble(3), r.getSeq[Long](4),
+        r.getSeq[Long](5))).toSeq
+    val cg = all(d)
+    // hand values: milli [500, -250]; ssq=312500 → unit
+    //   [floor(500000/559.017..)=894, floor(-250000/559.017)=-448];
+    //   amax 0.5; codes [127, floor(-63.5)=-64];
+    //   parts: dot=500·127+(-250)(-64)=79500, sm=312500, sq=20225
+    assert(cg(0) === ((0L, Seq(500L, -250L), Some(Seq(894L, -448L)),
+      0.5, Seq(127L, -64L), Seq(79500L, 312500L, 20225L))))
+    // zero vector: unit is NULL, codes zero, parts zero
+    assert(cg(1) === ((1L, Seq(0L, 0L), None, 0.0, Seq(0L, 0L),
+      Seq(0L, 0L, 0L))))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(all(d) === cg)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    d.createOrReplaceTempView("qk_v")
+    val viaSql = spark.sql(
+      "SELECT milli_vec(e), milli_unit_vec(e), abs_max(e), " +
+        "int8_codes(e), int8_fid_parts(e) FROM qk_v WHERE id = 0")
+      .collect().head
+    assert(viaSql.getSeq[Long](0) === Seq(500L, -250L))
+    assert(viaSql.getSeq[Long](1) === Seq(894L, -448L))
+    assert(viaSql.getDouble(2) === 0.5)
+    assert(viaSql.getSeq[Long](3) === Seq(127L, -64L))
+    assert(viaSql.getSeq[Long](4) === Seq(79500L, 312500L, 20225L))
+  }
+
   test("cosine_sim: null array yields null; length mismatch truncates") {
     val out = Seq((Some(Seq(1f, 0f)), None: Option[Seq[Float]]))
       .toDF("a", "b")
