@@ -5075,6 +5075,179 @@ object RelationalQueries {
        |    CAST(floor(1000000.0 * $welchDf) AS BIGINT) END AS df_micro
        |FROM cen ORDER BY event_type""".stripMargin
 
+  // ------------------- family-wise multiple testing (R75)
+
+  /** Acklam's rational approximation of the inverse normal CDF
+    * (|relative error| < 1.15·10⁻⁹ — Acklam 2003, the standard
+    * dependency-free Φ⁻¹). Used ONLY to precompute the shared literal
+    * threshold table [[multTestThrMicro]] — cross-engine exactness
+    * never touches it, both engines consume identical integers (the
+    * [[graft.operators.SketchQueries]] hllLcTable discipline); the
+    * spec pins the generated values against reference quantiles.
+    */
+  private def invNorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val (plow, phigh) = (0.02425, 1 - 0.02425)
+    if (p < plow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) / ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= phigh) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r +
+        a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -((((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q +
+        c(5)) / ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1))
+    }
+  }
+
+  /** Family-wise α for R75 (two-sided 0.05 — the R64 convention). */
+  val MultTestMaxFamily = 64
+
+  /** Holm divisor → micro z threshold floor(10⁶·Φ⁻¹(1 − 0.025/d)),
+    * d = 1..[[MultTestMaxFamily]] — shared verbatim by both engines.
+    */
+  val multTestThrMicro: IndexedSeq[(Long, Long)] =
+    (1 to MultTestMaxFamily).map(d =>
+      (d.toLong, math.floor(1e6 * invNorm(1 - 0.025 / d)).toLong))
+
+  def qMultTest(spark: SparkSession, dir: String): DataFrame =
+    multTestCensus(events(spark, dir))
+
+  /** R75: Holm–Bonferroni step-down over the event-type test family —
+    * the correction every experiment REVIEW applies before believing a
+    * dashboard of per-metric tests: at α = 0.05 a 20-metric readout
+    * shows one "significant" mover by luck alone, and the fix
+    * (Holm 1979 — uniformly more powerful than plain Bonferroni, no
+    * independence assumption) is the first thing a metrics platform
+    * bolts on top of its per-metric statistics. The family is the
+    * event types; the per-type statistic is R59's Welch t (|t| on the
+    * large-df normal gate — the R64 convention); ranked by |t|
+    * descending, rank i tests against z_{α/(2(k−i+1))} and rejection
+    * stops at the first failure (the step-down).
+    *
+    * Exactness: t_micro is R59's own mirrored tree (shared code);
+    * thresholds are SHARED PRECOMPUTED LITERALS ([[multTestThrMicro]]
+    * — Φ⁻¹ is not cross-engine reproducible, identical integers are);
+    * ranking, divisor arithmetic, threshold compares, and the
+    * step-down cumulative AND are all integers. Ties in |t| break on
+    * event_type (both engines' ORDER BY).
+    *
+    * Output: one row per TESTABLE type (NULL-t degenerates are
+    * excluded from the family and the readout — they are not tests),
+    * with the family size, rank, Holm divisor and threshold, and the
+    * three verdicts (naive per-test, Bonferroni, Holm step-down).
+    *
+    * Scale shape: R59's two Exchanges produce the ≤#event_types
+    * census; everything after (window ranks, threshold join, step-down
+    * min) runs on census rows — the zipfCensus discipline.
+    */
+  def multTestCensus(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val thr = multTestThrMicro.toDF("divisor", "thr_micro")
+    val t = welchCensus(ev)
+      .select(col("event_type"), col("t_micro"))
+      .filter(col("t_micro").isNotNull)
+      .withColumn("abs_t_micro", abs(col("t_micro")))
+    val wRank = Window.orderBy(col("abs_t_micro").desc, col("event_type"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naiveThr = multTestThrMicro.head._2
+    t.withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("divisor", col("k") - col("rank") + 1L)
+      .join(broadcast(thr), Seq("divisor"))
+      .join(broadcast(thr.select(col("divisor").as("k"),
+        col("thr_micro").as("bonf_thr_micro"))), Seq("k"))
+      .withColumn("pass", col("abs_t_micro") >= col("thr_micro"))
+      .withColumn("holm_sig",
+        min(when(col("pass"), 1L).otherwise(0L)).over(wCum) === 1L)
+      .select(col("event_type"), col("k").as("family"), col("rank"),
+        col("t_micro"), col("abs_t_micro"), col("divisor"),
+        col("thr_micro").as("holm_thr_micro"),
+        (col("abs_t_micro") >= naiveThr).as("naive_sig"),
+        (col("abs_t_micro") >= col("bonf_thr_micro"))
+          .as("bonferroni_sig"),
+        col("holm_sig"))
+      .orderBy("rank")
+  }
+
+  private val multTestOracle = {
+    val thrRows = multTestThrMicro
+      .map { case (d, t) => s"($d, CAST($t AS BIGINT))" }
+      .mkString(", ")
+    val naiveThr = multTestThrMicro.head._2
+    s"""$evCte,
+       |m AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |cen AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s ELSE 0 END)
+       |         AS BIGINT) AS sum_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN s * s ELSE 0 END)
+       |         AS BIGINT) AS ss_b
+       |  FROM m GROUP BY 1
+       |),
+       |tt AS (
+       |  SELECT event_type,
+       |    CASE WHEN $welchGuard THEN
+       |      CAST(floor(1000000.0 * $welchT) AS BIGINT) END AS t_micro
+       |  FROM cen
+       |),
+       |f AS (
+       |  SELECT event_type, t_micro, abs(t_micro) AS abs_t_micro,
+       |    CAST(row_number() OVER (ORDER BY abs(t_micro) DESC,
+       |      event_type) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER () AS BIGINT) AS k
+       |  FROM tt WHERE t_micro IS NOT NULL
+       |),
+       |thr(divisor, thr_micro) AS (SELECT * FROM (VALUES $thrRows)),
+       |g AS (
+       |  SELECT f.*, f.k - f.rank + 1 AS divisor, h.thr_micro,
+       |    b.thr_micro AS bonf_thr_micro,
+       |    CASE WHEN f.abs_t_micro >= h.thr_micro THEN 1 ELSE 0 END
+       |      AS pass
+       |  FROM f JOIN thr h ON h.divisor = f.k - f.rank + 1
+       |         JOIN thr b ON b.divisor = f.k
+       |)
+       |SELECT event_type, k AS family, rank, t_micro, abs_t_micro,
+       |  divisor, thr_micro AS holm_thr_micro,
+       |  abs_t_micro >= $naiveThr AS naive_sig,
+       |  abs_t_micro >= bonf_thr_micro AS bonferroni_sig,
+       |  min(pass) OVER (ORDER BY rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       |    AS holm_sig
+       |FROM g ORDER BY rank""".stripMargin
+  }
+
   // ---------------------- minimum detectable effect / power (R64)
 
   /** Shared MDE trees over the welch census — z_{α/2} = 1.96 and
@@ -7026,6 +7199,7 @@ object RelationalQueries {
     "q_shrinkage"    -> (qShrinkage _),
     "q_funnel_latency" -> (qFunnelLatency _),
     "q_cluster_se"   -> (qClusterSe _),
+    "q_multtest"     -> (qMultTest _),
     "q_bootstrap"    -> (qBootstrap _),
     "q_attribution"  -> (qAttribution _),
     "q_asof"         -> (qAsof _))
@@ -7107,6 +7281,7 @@ object RelationalQueries {
     "q_shrinkage"    -> shrinkageOracle,
     "q_funnel_latency" -> funnelLatencyOracle,
     "q_cluster_se"   -> clusterSeOracle,
+    "q_multtest"     -> multTestOracle,
     "q_bootstrap"    -> bootstrapOracle,
     "q_attribution"  -> attributionOracle,
     "q_asof"         -> asofOracle)

@@ -1582,6 +1582,49 @@ class ScaleOpsSpec extends SparkSpec {
       Some(0L), Some(2000000L), Some(0L))))
   }
 
+  test("multTestThrMicro: shared literal quantile table matches " +
+    "reference normal quantiles") {
+    val thr = RelationalQueries.multTestThrMicro.toMap
+    // z_{0.975}, z_{0.9875}, z_{0.995}, z_{1-0.025/64} — textbook /
+    // NormalDist reference values in micro
+    assert(thr(1L) === 1959963L)
+    assert(thr(2L) === 2241402L)
+    assert(thr(5L) === 2575829L)
+    assert(thr(64L) === 3359353L)
+    assert(thr.size === RelationalQueries.MultTestMaxFamily)
+    // monotone: wider families demand larger |z|
+    (2 to RelationalQueries.MultTestMaxFamily).foreach(d =>
+      assert(thr(d.toLong) > thr(d.toLong - 1)))
+  }
+
+  test("multTestCensus: Holm step-down stops at the first failure — " +
+    "a later rank can pass its own bar yet stay non-significant") {
+    // |t| engineered: big ≈ 14142 (passes everything), mid ≈ 2.10
+    //   (fails its Holm bar z_{α/4} = 2.2414), small ≈ 1.98 (passes
+    //   the naive 1.96 bar but sits AFTER the stop)
+    val rows = Seq(
+      (2L, "big", 100.00), (4L, "big", 100.01),
+      (1L, "big", 0.00), (3L, "big", 0.01),
+      (2L, "mid", 0.00), (4L, "mid", 2.00),
+      (1L, "mid", 2.97), (3L, "mid", 4.97),
+      (2L, "small", 0.00), (4L, "small", 2.00),
+      (1L, "small", 2.80), (3L, "small", 4.80))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalQueries.multTestCensus(ev).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("family"), r.getAs[Long]("rank"),
+        r.getAs[Long]("divisor"), r.getAs[Long]("holm_thr_micro"),
+        r.getAs[Boolean]("naive_sig"), r.getAs[Boolean]("bonferroni_sig"),
+        r.getAs[Boolean]("holm_sig"))).toSeq
+    assert(out === Seq(
+      ("big", 3L, 1L, 3L, 2393979L, true, true, true),
+      ("mid", 3L, 2L, 2L, 2241402L, true, false, false),
+      ("small", 3L, 3L, 1L, 1959963L, true, false, false)))
+  }
+
   test("leveneCensus: rank-picked lower medians, integer deviation " +
     "sums, hand-computed Brown-Forsythe F") {
     // S1: cents {100, 200, 300, 1000} -> med = rank (4+1) div 2 = 2
