@@ -26,6 +26,31 @@ object BatchStore {
       fs.listStatus(path).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** Delete batch_id partitions strictly below `keepFrom` — the
+    * replay-history retention every batch-versioned store eventually
+    * needs (each batch writes a FULL state snapshot, so an untrimmed
+    * store grows O(batches × state); the replay fixed point only ever
+    * reads the immediate predecessor, so `batchId − 1` is the tightest
+    * safe bound — [[StreamingSample]] prunes inline at that bound,
+    * the other stores call this from their maintenance window when
+    * replay history has served its audit purpose). Returns the number
+    * of partitions deleted.
+    */
+  def pruneBefore(spark: SparkSession, storeDir: String,
+                  keepFrom: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count { st =>
+      val nm = st.getPath.getName
+      nm.startsWith("batch_id=") &&
+        scala.util.Try(nm.stripPrefix("batch_id=").toLong)
+          .toOption.exists(_ < keepFrom) &&
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Rows of the latest committed batch (strictly below `maxExclusive`
     * when given — the foreachBatch replay-safety bound), projected to
     * `cols`; None when the store has no partitions OR every qualifying

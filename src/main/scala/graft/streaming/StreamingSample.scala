@@ -53,23 +53,8 @@ object StreamingSample {
         .dropDuplicates("doc_id"), n)
     merged.write.mode("overwrite")
       .parquet(s"$storeDir/batch_id=$batchId")
-    pruneBefore(spark, storeDir, batchId - 1)
-  }
-
-  /** Delete batch_id partitions strictly below `keepFrom` (the replay
-    * fixed point needs only the immediate predecessor). */
-  private def pruneBefore(spark: SparkSession, storeDir: String,
-                          keepFrom: Long): Unit = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(path.toUri, spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.listStatus(path).foreach { st =>
-      val nm = st.getPath.getName
-      if (nm.startsWith("batch_id=") &&
-          scala.util.Try(nm.stripPrefix("batch_id=").toLong)
-            .toOption.exists(_ < keepFrom))
-        fs.delete(st.getPath, true)
-    }
+    // the replay fixed point needs only the immediate predecessor
+    BatchStore.pruneBefore(spark, storeDir, batchId - 1)
   }
 
   private def emptyState(spark: SparkSession): DataFrame = {

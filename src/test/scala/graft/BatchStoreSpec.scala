@@ -40,6 +40,28 @@ class BatchStoreSpec extends SparkSpec {
       .get.count() === 1L)
   }
 
+  test("pruneBefore: trims replay history, leaves serving and the " +
+    "replay-of-the-retained-window intact") {
+    val dir = Files.createTempDirectory("graft-bs-prune").toString
+    (0 to 3).foreach { b =>
+      Seq(("s", b.toLong)).toDF("a", "b")
+        .write.parquet(s"$dir/batch_id=$b")
+    }
+    val before = BatchStore.latest(spark, dir, Seq("a", "b"))
+      .get.collect().map(_.toSeq).toSeq
+    // keep the newest + its predecessor (the replay fixed point bound)
+    assert(BatchStore.pruneBefore(spark, dir, 2L) === 2)
+    assert(BatchStore.latest(spark, dir, Seq("a", "b"))
+      .get.collect().map(_.toSeq).toSeq === before)
+    // a replay of batch 3 still finds its predecessor (batch 2)
+    assert(BatchStore.latest(spark, dir, Seq("a", "b"), Some(3L))
+      .get.collect().head.getLong(1) === 2L)
+    assert(new java.io.File(s"$dir/batch_id=0").exists === false)
+    assert(new java.io.File(s"$dir/batch_id=2").exists === true)
+    // idempotent
+    assert(BatchStore.pruneBefore(spark, dir, 2L) === 0)
+  }
+
   test("serving reads survive the empty-first-batch store (the r14 " +
     "ADVICE NPE)") {
     val dir = Files.createTempDirectory("graft-bs-msprt").toString
