@@ -1883,6 +1883,86 @@ object ScaleProbe {
         println(s"SCALE goertzel_dc_identity ok ($n wav docs at " +
           s"${k}x, p0 == sum_all² exactly)")
       }
+
+      // V53: SQ8 fidelity census under vec-replication — fidelity is
+      // a pure function of the vector bytes, so the bucket census
+      // scales EXACTLY: counts/sums ×k, min/max/mean and the worst
+      // exemplar (base min vec_id rides below the replica offset)
+      // byte-identical.
+      {
+        def census(c: Int) = SimilarityOps.sq8FidelityCensus(
+            replicate(emb, "vec_id", c))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6))).toMap
+        val b1 = census(1)
+        var bk: Map[Long, (Long, Long, Long, Long, Long, Long)] = null
+        time(s"sq8_fidelity_${k}x") { bk = census(k); bk.size.toLong }
+        require(bk.keySet == b1.keySet, "bucket set must not move")
+        b1.foreach { case (bu, (n1, mn, mx, sm, wv, mean)) =>
+          val (nk, mnk, mxk, smk, wvk, meank) = bk(bu)
+          require(nk == k * n1 && mnk == mn && mxk == mx &&
+            smk == k * sm && wvk == wv && meank == mean,
+            s"bucket $bu must scale exactly: base=${b1(bu)} k×=${bk(bu)}")
+        }
+        println(s"SCALE sq8_fidelity_census ok (${b1.size} buckets: " +
+          s"counts/sums x$k, min/max/mean/exemplar invariant)")
+      }
+
+      // R74: cluster-robust SE under user-replication (new user ids,
+      // parity preserved): arm means are unchanged, so every cluster
+      // residual replicates verbatim → n/users/sums/cr_mass scale
+      // EXACTLY ×k and each arm's design effect is BYTE-IDENTICAL
+      // (crn/n and the naive variance are both replication-invariant).
+      {
+        val ev = graft.sources.Tables.events(spark, dir)
+          .select(col("event_type"), col("user_id"), col("value"))
+        def rep(c: Int) = ev.crossJoin(spark.range(c).toDF("__r"))
+          .withColumn("user_id",
+            col("user_id") + col("__r") * 10000000L) // even offset
+          .drop("__r")
+        def census(c: Int) = RelationalQueries.clusterSeCensus(rep(c))
+          .collect().map(r => r.getString(0) -> (r.getLong(1),
+            r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7),
+            r.getLong(8),
+            Option(r.getAs[java.lang.Long]("deff_a_micro")),
+            Option(r.getAs[java.lang.Long]("deff_b_micro")))).toMap
+        val b1 = census(1)
+        var bk: Map[String, (Long, Long, Long, Long, Long, Long,
+          Option[java.lang.Long], Option[java.lang.Long])] = null
+        time(s"cluster_se_${k}x") { bk = census(k); bk.size.toLong }
+        b1.foreach { case (t, (na, nb, sa, sb, ca, cb, da, db)) =>
+          val (nak, nbk, sak, sbk, cak, cbk, dak, dbk) = bk(t)
+          require(nak == k * na && nbk == k * nb && sak == k * sa &&
+            sbk == k * sb && cak == k * ca && cbk == k * cb,
+            s"$t: integer census must scale exactly x$k")
+          require(dak == da && dbk == db,
+            s"$t: design effects must be replication-invariant")
+        }
+        println(s"SCALE cluster_se_census ok (${b1.size} types: " +
+          s"counts/sums/cr_mass x$k, design effects invariant)")
+      }
+
+      // X77: dyadic-α temperature mixing under doc-replication —
+      // rates depend only on token-total RATIOS, so every rate_micro
+      // (and the α grid itself) is replication-invariant.
+      {
+        def rates(c: Int) = Seq((1, 2), (3, 2)).map { case (nu, l) =>
+          TextOps.temperatureMixAlpha(
+              replicate(graft.sources.Tables.documents(spark, dir)
+                .select("doc_id", "source", "text"), "doc_id", c),
+              nu, l)
+            .collect().map(r => (r.getLong(0), r.getString(1)) ->
+              r.getAs[Long]("rate_micro")).toMap
+        }.reduce(_ ++ _)
+        val r1 = rates(1)
+        var rk: Map[(Long, String), Long] = null
+        time(s"temp_mix_alpha_${k}x") { rk = rates(k); rk.size.toLong }
+        require(rk == r1,
+          "dyadic-α rates must be replication-invariant")
+        println(s"SCALE temp_mix_alpha ok (${r1.size} (α, source) " +
+          s"rates byte-identical at ${k}x)")
+      }
     }
     spark.stop()
   }
