@@ -1366,6 +1366,63 @@ object TextOps {
           .as("avg_quality_micro"))
   }
 
+  /** X80: the curation WATERFALL — the per-stage drop-attribution
+    * table every data team publishes next to a release (raw →
+    * quality gate → near-dup dedup, per source): [[curate]] DECIDES
+    * what survives and reports only the survivors; this reports WHERE
+    * everything else went, in pipeline order — the number that tells
+    * you whether a shrinking corpus lost mass to a mis-tuned quality
+    * bar or to genuine duplication, per source. Sequential
+    * attribution is the contract: a doc that is both low-quality AND
+    * a dup target counts against the QUALITY stage (the first gate it
+    * failed), exactly like the pipeline that would never have paid
+    * its dedup candidate generation; the drop relation itself derives
+    * from the FULL corpus (dedup runs before gating in this engine's
+    * [[curate]], so the pair relation is shared verbatim).
+    *
+    * Output per source: raw/quality/final doc and token masses, the
+    * per-stage doc drops, and doc/token retention in ppm.
+    *
+    * Scale shape: the per-doc stage flags are one quality projection
+    * plus one left join against the (distinct dup-target) relation;
+    * ONE (source) aggregate with conditional partial sums carries the
+    * whole table — no per-stage re-scans.
+    */
+  def curationWaterfall(docs: DataFrame, n: Int, maxDf: Long,
+                        dupJacMin: Long, qualityMicroMin: Long,
+                        pairs: Option[DataFrame] = None): DataFrame = {
+    val stats = tokenStats(docs).select("doc_id", "n_tokens",
+      "quality_micro")
+    val drops = pairs
+      .getOrElse(ngramJaccardPairs(docs, n, maxDf, dupJacMin))
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val flags = docs.select(col("doc_id"), col("source"))
+      .join(stats, "doc_id")
+      .withColumn("q_pass", col("quality_micro") >= qualityMicroMin)
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("f_pass", col("q_pass") && col("is_dup").isNull)
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum("n_tokens").as("tokens_raw"),
+        sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("q_pass"), col("n_tokens")).otherwise(0L))
+          .as("tokens_quality"),
+        sum(when(col("f_pass"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("f_pass"), col("n_tokens")).otherwise(0L))
+          .as("tokens_final"))
+      .select(col("source"), col("n_raw"), col("tokens_raw"),
+        col("n_quality"), col("tokens_quality"), col("n_final"),
+        col("tokens_final"),
+        (col("n_raw") - col("n_quality")).as("drop_quality"),
+        (col("n_quality") - col("n_final")).as("drop_dedup"),
+        expr("(1000000 * n_final) div greatest(n_raw, 1)")
+          .as("doc_retention_ppm"),
+        expr("(1000000 * tokens_final) div greatest(tokens_raw, 1)")
+          .as("token_retention_ppm"))
+      .orderBy("source")
+  }
+
   /** Corpus card — the per-source datasheet a dataset release ships
     * (docs, tokens, exact-duplicate fraction, mean quality, dominant
     * language), composed from this engine's own per-doc stages

@@ -507,6 +507,13 @@ object TextQueries {
       CurateQualityMin, pairs = Some(ngramPairs(spark, dir)))
       .orderBy("lang_pred")
 
+  /** X80: per-source curation waterfall (raw → quality → dedup). */
+  def qCurationWaterfall(spark: SparkSession, dir: String): DataFrame =
+    TextOps.curationWaterfall(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      ShingleN, MaxShingleDf, NgramJacMin, CurateQualityMin,
+      pairs = Some(ngramPairs(spark, dir)))
+
   // ------------------------------------------------------------- oracles
 
   /** Shared CTEs: tokenization + distinct 5-gram shingle sets. DuckDB
@@ -2058,6 +2065,56 @@ object TextQueries {
        |  CAST(floor(sum(quality_micro) / count(*)) AS BIGINT)
        |    AS avg_quality_micro
        |FROM kept GROUP BY 1 ORDER BY lang_pred""".stripMargin
+
+  /** X80 oracle: the shared shingle-pair + quality CTEs, per-doc
+    * stage flags, one source rollup with sequential drop attribution.
+    */
+  private val curationWaterfallOracle =
+    s"""$tokCte $shCte,
+       |$ngramCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT it.d1, it.d2,
+       |      ${Hashing.microSql("it.inter / (s1.n + s2.n - it.inter)")}
+       |        AS jac_micro
+       |    FROM it JOIN sz s1 ON it.d1 = s1.doc_id
+       |            JOIN sz s2 ON it.d2 = s2.doc_id
+       |  ) WHERE jac_micro >= $NgramJacMin
+       |),
+       |drops AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+       |q AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    ${Hashing.microSql(qualityExpr)} AS quality_micro
+       |  FROM tok
+       |),
+       |f AS (
+       |  SELECT d.source, q.n_tokens,
+       |    CASE WHEN q.quality_micro >= $CurateQualityMin
+       |         THEN 1 ELSE 0 END AS q_pass,
+       |    CASE WHEN q.quality_micro >= $CurateQualityMin AND NOT
+       |           EXISTS (SELECT 1 FROM drops x
+       |                   WHERE x.doc_id = q.doc_id)
+       |         THEN 1 ELSE 0 END AS f_pass
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+       |    CAST(sum(q_pass) AS BIGINT) AS n_quality,
+       |    CAST(sum(q_pass * n_tokens) AS BIGINT) AS tokens_quality,
+       |    CAST(sum(f_pass) AS BIGINT) AS n_final,
+       |    CAST(sum(f_pass * n_tokens) AS BIGINT) AS tokens_final
+       |  FROM f GROUP BY 1
+       |)
+       |SELECT source, n_raw, tokens_raw, n_quality, tokens_quality,
+       |  n_final, tokens_final,
+       |  n_raw - n_quality AS drop_quality,
+       |  n_quality - n_final AS drop_dedup,
+       |  CAST((1000000 * n_final) // greatest(n_raw, 1) AS BIGINT)
+       |    AS doc_retention_ppm,
+       |  CAST((1000000 * tokens_final) // greatest(tokens_raw, 1)
+       |       AS BIGINT) AS token_retention_ppm
+       |FROM g ORDER BY source""".stripMargin
 
   private val chunkDedupOracle = {
     val c = s"substr(text, CAST(g.i * $ChunkStride + 1 AS BIGINT), $ChunkLen)"
@@ -3893,6 +3950,7 @@ object TextQueries {
     "q_quality_rules"  -> (qQualityRules _),
     "q_temp_mix"       -> (qTempMix _),
     "q_temp_mix_alpha" -> (qTempMixAlpha _),
+    "q_curation_waterfall" -> (qCurationWaterfall _),
     "q_decontam"       -> (qDecontam _),
     "q_ngram_overlap"  -> (qNgramOverlap _),
     "q_stratified"     -> (qStratified _),
@@ -3988,6 +4046,7 @@ object TextQueries {
     "q_quality_rules"  -> qualityRulesOracle,
     "q_temp_mix"       -> tempMixOracle,
     "q_temp_mix_alpha" -> tempMixAlphaOracle,
+    "q_curation_waterfall" -> curationWaterfallOracle,
     "q_decontam"       -> decontamOracle,
     "q_ngram_overlap"  -> ngramOverlapOracle,
     "q_stratified"     -> stratifiedOracle,

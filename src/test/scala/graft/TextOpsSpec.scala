@@ -453,6 +453,37 @@ class TextOpsSpec extends SparkSpec {
     assert(half.toSeq === fixed.toSeq)
   }
 
+  test("curationWaterfall: sequential drop attribution — a doc failing " +
+      "BOTH gates counts against quality, the first gate") {
+    val d = Seq(
+      (1L, "s", "alpha beta gamma delta"),  // clean survivor
+      (2L, "s", "alpha beta gamma delta"),  // dup target of 1
+      (3L, "s", "zz"))                       // to be quality-dropped
+      .toDF("doc_id", "source", "text")
+    val pairs = Seq((1L, 2L, 900000L), (1L, 3L, 900000L))
+      .toDF("d1", "d2", "jac_micro")
+    // bar 0: everything passes quality; docs 2 AND 3 drop at dedup
+    val loose = TextOps.curationWaterfall(d, 5, 1000L, 800000L, 0L,
+        Some(pairs)).collect().head
+    assert((loose.getAs[Long]("n_raw"), loose.getAs[Long]("n_quality"),
+      loose.getAs[Long]("n_final"), loose.getAs[Long]("drop_quality"),
+      loose.getAs[Long]("drop_dedup")) === ((3L, 3L, 1L, 0L, 2L)))
+    // impossible bar: every doc drops at QUALITY — the dup flags on
+    // docs 2/3 must NOT double-count at the dedup stage
+    val strict = TextOps.curationWaterfall(d, 5, 1000L, 800000L,
+        2000000L, Some(pairs)).collect().head
+    assert((strict.getAs[Long]("n_quality"),
+      strict.getAs[Long]("n_final"), strict.getAs[Long]("drop_quality"),
+      strict.getAs[Long]("drop_dedup"),
+      strict.getAs[Long]("doc_retention_ppm")) ===
+      ((0L, 0L, 3L, 0L, 0L)))
+    // token masses: raw counts all tokens, final only the survivor's
+    assert(loose.getAs[Long]("tokens_raw") === 4L + 4L + 1L)
+    assert(loose.getAs[Long]("tokens_final") === 4L)
+    assert(loose.getAs[Long]("token_retention_ppm") ===
+      1000000L * 4L / 9L)
+  }
+
   test("boilerplateStats top-k cut is deterministic under df ties") {
     // every bigram has df 1 -> the cut falls entirely on the gram
     // string order; k=2 must select the two lexicographically smallest
