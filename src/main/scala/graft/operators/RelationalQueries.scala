@@ -5155,6 +5155,12 @@ object RelationalQueries {
     * Scale shape: R59's two Exchanges produce the ≤#event_types
     * census; everything after (window ranks, threshold join, step-down
     * min) runs on census rows — the zipfCensus discipline.
+    *
+    * Family cap: the precomputed threshold menu stops at
+    * [[MultTestMaxFamily]]; a larger family raises a loud execution
+    * error (left join + raise_error on the unmatched threshold) rather
+    * than silently truncating the readout (ScaleOpsSpec pins the
+    * throw at 65 types).
     */
   def multTestCensus(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -5170,12 +5176,27 @@ object RelationalQueries {
     val wCum = Window.orderBy("rank")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naiveThr = multTestThrMicro.head._2
+    // LEFT joins + raise_error, not inner (ADVICE r15): an inner join
+    // against the 64-row threshold menu would silently DROP the
+    // top-ranked rows of a >64-test family (divisor > 64 matches
+    // nothing) and empty the whole readout (b.divisor = f.k matches
+    // nothing) — and the oracle mirrors the truncation, so parity
+    // cannot catch it. A family past the menu is a caller error and
+    // must fail loudly at execution, distributed (k is data-dependent;
+    // a driver-side require would cost an extra counting job).
+    val overflow = raise_error(concat(
+      lit("multTestCensus: family size "), col("k").cast("string"),
+      lit(s" exceeds MultTestMaxFamily = $MultTestMaxFamily")))
     t.withColumn("rank", row_number().over(wRank).cast("long"))
       .withColumn("k", count(lit(1)).over(wAll))
       .withColumn("divisor", col("k") - col("rank") + 1L)
-      .join(broadcast(thr), Seq("divisor"))
+      .join(broadcast(thr), Seq("divisor"), "left")
       .join(broadcast(thr.select(col("divisor").as("k"),
-        col("thr_micro").as("bonf_thr_micro"))), Seq("k"))
+        col("thr_micro").as("bonf_thr_micro"))), Seq("k"), "left")
+      .withColumn("thr_micro", when(col("thr_micro").isNull,
+        overflow.cast("long")).otherwise(col("thr_micro")))
+      .withColumn("bonf_thr_micro", when(col("bonf_thr_micro").isNull,
+        overflow.cast("long")).otherwise(col("bonf_thr_micro")))
       .withColumn("pass", col("abs_t_micro") >= col("thr_micro"))
       .withColumn("holm_sig",
         min(when(col("pass"), 1L).otherwise(0L)).over(wCum) === 1L)
@@ -6440,7 +6461,11 @@ object RelationalQueries {
     * and design-effect readouts are single mirrored double trees over
     * the six-integer census. Integer bound: |n·T_c| must stay inside
     * int64 (≈ 9·10¹⁸ — e.g. 10⁹ events against 10⁹-cent user totals);
-    * both engines error loudly past it rather than wrapping.
+    * both engines error loudly past it rather than wrapping — DuckDB
+    * unconditionally, Spark under ANSI mode (the Spark 4 default;
+    * non-ANSI BIGINT arithmetic wraps silently, so the census REQUIRES
+    * `spark.sql.ansi.enabled` up front rather than trusting the
+    * session — ADVICE r15; ScaleOpsSpec pins the overflow throw).
     *
     * Output per event_type: event counts, distinct users, cents sums,
     * floored cluster-residual masses, the cluster-robust z of the B−A
@@ -6453,6 +6478,11 @@ object RelationalQueries {
     * rollup carrying six integers per arm.
     */
   def clusterSeCensus(ev: DataFrame): DataFrame = {
+    // the exactness contract above leans on ANSI overflow semantics;
+    // a non-ANSI session would wrap n·T_c silently instead of erroring
+    require(ev.sparkSession.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "clusterSeCensus requires spark.sql.ansi.enabled (loud int64 " +
+        "overflow; non-ANSI arithmetic wraps silently)")
     val cl = ev.select(col("event_type"),
         col("user_id"), expr("user_id % 2").as("arm"),
         cents(col("value")).as("v"))

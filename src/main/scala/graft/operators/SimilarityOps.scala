@@ -2580,9 +2580,14 @@ object SimilarityOps {
     * compares. Zero vectors (Σm² = 0 — nothing to quantize) are
     * excluded by the same guard both engines share.
     *
-    * Scale shape: one zero-shuffle projection pass, ONE ≤6-row bucket
-    * census Exchange; min_by/max_by exemplars ride the same
-    * aggregate.
+    * Scale shape: one zero-shuffle projection pass into ONE ≤6-row
+    * bucket census Exchange — the worst-vector exemplar (the (fid,
+    * vec_id) lexicographic min) rides the SAME aggregate as a
+    * struct-min, so the corpus is scanned exactly once (the r15
+    * cache-then-rejoin form scanned twice and leaked a cached frame
+    * per invocation — ADVICE r15). DuckDB has no composite-ordering
+    * min_by, so the oracle keeps its join formulation; both reduce to
+    * "min vec_id among the bucket's min-fid rows".
     */
   def sq8FidelityCensus(emb: DataFrame): DataFrame = {
     val parts = emb.select(col("vec_id"),
@@ -2597,20 +2602,12 @@ object SimilarityOps {
         when(col("loss") <= 0L, 0L).when(col("loss") <= 10L, 1L)
           .when(col("loss") <= 100L, 2L).when(col("loss") <= 1000L, 3L)
           .when(col("loss") <= 10000L, 4L).otherwise(5L))
-    val rows = parts.cache()
-    val census = rows.groupBy("bucket")
+    parts.groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min("fid").as("min_fid"),
-        max("fid").as("max_fid"), sum("fid").as("sum_fid"))
-    // exemplar = min vec_id among the bucket's min-fid rows — the
-    // (fid, vec_id) lexicographic min, expressed the same way on both
-    // engines (DuckDB's min_by has no composite-ordering form)
-    val worst = census.select(col("bucket"), col("min_fid"))
-      .join(rows, Seq("bucket"))
-      .filter(col("fid") === col("min_fid"))
-      .groupBy("bucket").agg(min("vec_id").as("worst_vec"))
-    census.join(worst, Seq("bucket"))
+        max("fid").as("max_fid"), sum("fid").as("sum_fid"),
+        min(struct(col("fid"), col("vec_id"))).as("w"))
       .select(col("bucket"), col("n_vecs"), col("min_fid"),
-        col("max_fid"), col("sum_fid"), col("worst_vec"),
+        col("max_fid"), col("sum_fid"), col("w.vec_id").as("worst_vec"),
         expr("sum_fid div n_vecs").as("mean_fid"))
       .orderBy("bucket")
   }

@@ -26,6 +26,21 @@ object SimilarityQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
 
+  /** Corpus size per testdata dir, memoized (ADVICE r15): the count is
+    * a PLAN-SELECTION scalar (the adaptive-banding dial), and an eager
+    * full-scan count on every [[qEmbedLsh]] invocation doubled the
+    * query's source reads for a corpus whose size never changes within
+    * a session (the testdata dirs are immutable; a long-lived
+    * deployment would read the catalog's row-count statistics here —
+    * same shape, statistics → physical dial).
+    */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embCount(spark: SparkSession, dir: String): Long =
+    corpusCount.computeIfAbsent(dir, d => Long.box(emb(spark, d).count()))
+      .longValue
+
   def qEmbedPairs(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.embedNearDupPairs(emb(spark, dir), EmbedCosMin)
       .orderBy("d1", "d2")
@@ -267,9 +282,10 @@ object SimilarityQueries {
     * [[SimilarityOps.BandOccupancyCap]], so the candidate join's
     * quadratic term is capped at every corpus size instead of pinned to
     * the 4-bit tuning the 32× VectorScale probe measured as
-    * near-all-pairs. The corpus count is ONE metadata-cheap aggregate
-    * collected as a scalar for plan selection (the AQE shape:
-    * statistics → physical dial), not a data collect; the DuckDB
+    * near-all-pairs. The corpus count is ONE aggregate collected as a
+    * scalar for plan selection (the AQE shape: statistics → physical
+    * dial), memoized per dir ([[embCount]]) so repeated invocations
+    * never re-pay the counting scan, not a data collect; the DuckDB
     * oracle re-derives the same width from count(*) so both engines
     * band identically by construction. At the test SFs (≤ 2000
     * vectors) the rule picks 4 bits — bit-for-bit the historical
@@ -277,7 +293,7 @@ object SimilarityQueries {
     */
   def qEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val bb = SimilarityOps.adaptiveBandBits(e.count(), LshPlanes)
+    val bb = SimilarityOps.adaptiveBandBits(embCount(spark, dir), LshPlanes)
     SimilarityOps.signLshPairs(e, LshPlanes, bb, LshCosMin)
       .orderBy("d1", "d2")
   }

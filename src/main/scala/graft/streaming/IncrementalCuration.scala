@@ -1,0 +1,180 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.TextOps
+import graft.sources.{FingerprintStore, PairStore, ShingleStore}
+
+/** The composed daily-increment curation pipeline — ingest → admission
+  * → pair-store append → component merge → waterfall/corpus-card
+  * refresh, wired end-to-end (VERDICT r15 item 1: every store is
+  * individually proven; THIS is the loop a 100 TB deployment actually
+  * runs, where nobody recomputes).
+  *
+  * One increment ([[runIncrement]]):
+  *  1. ADMISSION — [[CorpusAdmission.admitBatch]]: in-batch exact
+  *     dedup, winnow near-dup gate against the fingerprint store;
+  *     admitted rows land in a `batch_id`-keyed OVERWRITE partition of
+  *     the corpus sink, quarantined rows likewise (replay replaces,
+  *     never duplicates).
+  *  2. STORE APPENDS — fingerprints ([[CorpusAdmission.appendToStore]])
+  *     and shingles + sizes ([[ShingleStore.append]]): batch N's docs
+  *     reject their copies and pair with their near-dups in batch N+1.
+  *     History is never re-scanned — both appends read only the shard.
+  *  3. PAIR REFRESH — [[ShingleStore.incrementalPairs]] derives the
+  *     verified D2 pairs touching the shard (store-side Exchange-free),
+  *     and [[PairStore.append]] merges them into the persisted pair
+  *     relation + transitive closure (union-find bounded by the new
+  *     pairs' component fan-out).
+  *  4. SERVING — [[waterfall]] / [[card]] read the cumulative corpus
+  *     sink and the PERSISTED pair relation: the X80 release-note
+  *     table and the corpus card refresh without any candidate
+  *     generation (the audit/deployment split every 3–5 s audit query
+  *     documents).
+  *
+  * The capstone equivalence (IncrementalPipelineSpec, run over
+  * replayed AND out-of-order batches): after N increments, while no
+  * supporting shingle has crossed the df cap,
+  *
+  *  - `PairStore.pairs` ≡ [[TextOps.ngramJaccardPairs]] recomputed
+  *    from scratch over the realized admitted corpus, bit-for-bit
+  *    (metadata included);
+  *  - `PairStore.components` ≡ [[TextOps.connectedComponents]] of that
+  *    recompute;
+  *  - [[waterfall]] ≡ the self-contained
+  *    [[TextOps.curationWaterfall]] over the admitted corpus;
+  *  - [[card]] ≡ [[TextOps.corpusCard]] over the admitted corpus;
+  *  - a REPLAYED increment is a fixed point: every store's readable
+  *    content and every serving output is byte-identical before and
+  *    after the replay.
+  *
+  * Past the cap boundary the increments keep their decision-time
+  * verdicts (the [[ShingleStore.incrementalPairs]] contract — pairs
+  * once verified are never unfound); the recompute-equivalence window
+  * is exactly "no supporting shingle crossed maxDf", which at daily
+  * grain is the common case and is auditable from the store's own df
+  * census.
+  *
+  * At-least-once: admission decisions replay deterministically
+  * (CorpusAdmission's contract), sinks are batch-id OVERWRITE,
+  * fingerprint/shingle appends dedup on read, and
+  * [[PairStore.append]] is replay-idempotent — so a crash anywhere in
+  * the five writes converges on redelivery.
+  */
+object IncrementalCuration {
+
+  /** The pipeline's policy knobs, one value object (the
+    * [[UnifiedAdmission.Config]] shape). Defaults mirror the batch
+    * query family's constants: winnow k=8/w=4 with the 0.5
+    * shared-ratio bar; D2 5-gram shingles, df cap 1000, Jaccard 0.8;
+    * X80's 0.4 quality bar.
+    */
+  final case class Config(
+      k: Int = 8, w: Int = 4, winnowMaxDf: Long = 1000L,
+      ratioMicroMin: Long = 500000L,
+      n: Int = 5, maxDf: Long = 1000L, jacMicroMin: Long = 800000L,
+      qualityMicroMin: Long = 400000L, nBuckets: Int = 8)
+
+  def fpTable(base: String): String = s"${base}_fp"
+
+  /** Cold start: empty fingerprint + shingle stores (the pair store
+    * is created by the first increment's [[PairStore.save]] — its
+    * schema carries the pair metadata, so it is defined by data).
+    */
+  def init(spark: SparkSession, base: String, cfg: Config = Config()): Unit = {
+    FingerprintStore.ensure(spark, fpTable(base), cfg.nBuckets)
+    ShingleStore.ensure(spark, base, cfg.nBuckets)
+  }
+
+  /** One daily increment (steps 1–3 above). `batch` must carry
+    * (doc_id, source, text); extra columns ride into the corpus sink
+    * untouched. Returns (nAdmitted, nQuarantined) for the caller's
+    * monitoring.
+    */
+  def runIncrement(spark: SparkSession, batch: DataFrame, batchId: Long,
+                   base: String, corpusDir: String, quarantineDir: String,
+                   cfg: Config = Config()): (Long, Long) = {
+    // SESSION CONSISTENCY: under foreachBatch `batch` is bound to the
+    // stream's CLONE session while `spark` is the caller's. Every read
+    // and write of this increment runs on the batch's OWN session —
+    // mixing them loses the write→read coherence Spark guarantees
+    // within one session (a saveAsTable append invalidates the WRITING
+    // session's relation cache; a refreshTable on the other session
+    // raced this and batch N+1's pair derivation read a pre-append
+    // snapshot — measured: the in-batch near-dup pair was never found).
+    val sp = batch.sparkSession
+    // the clone's relation cache may still pin batch N-1's listing of
+    // tables a different driver session wrote between increments
+    Seq(fpTable(base), s"${base}_sh", s"${base}_sizes", s"${base}_pairs",
+        s"${base}_components")
+      .filter(sp.catalog.tableExists)
+      .foreach(sp.catalog.refreshTable)
+    val (admitted, quarantined) = CorpusAdmission.admitBatch(sp,
+      batch, fpTable(base), cfg.k, cfg.w, cfg.winnowMaxDf,
+      cfg.ratioMicroMin)
+    // PIN the admission decision by truncating lineage, not by cache():
+    // the fingerprint append below is a catalog-table write, and the
+    // CacheManager RECACHES (re-evaluates) any cached plan referencing
+    // the written table — a cached `admitted` would silently re-decide
+    // against the grown store mid-increment (measured: the sink got the
+    // whole batch while the shingle store got the post-append verdicts).
+    // localCheckpoint makes the decision a materialized fact the later
+    // writes cannot perturb — decisions are made when the doc arrives.
+    val keep = admitted.localCheckpoint(eager = true)
+    val quar = quarantined.localCheckpoint(eager = true)
+    keep.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+    quar.write.mode("overwrite")
+      .parquet(s"$quarantineDir/batch_id=$batchId")
+    CorpusAdmission.appendToStore(keep, fpTable(base), cfg.k, cfg.w,
+      cfg.nBuckets)
+    val docs = keep.select("doc_id", "text")
+    ShingleStore.append(docs, cfg.n, base, cfg.nBuckets)
+    val newPairs = ShingleStore.incrementalPairs(sp, base, docs,
+      cfg.n, cfg.maxDf, cfg.jacMicroMin)
+    if (sp.catalog.tableExists(s"${base}_pairs"))
+      PairStore.append(sp, newPairs, base, cfg.nBuckets)
+    else PairStore.save(newPairs, base, cfg.nBuckets)
+    (keep.count(), quar.count())
+  }
+
+  /** The cumulative admitted corpus (the sink read back; `batch_id`
+    * rides as an ordinary partition column and is dropped so serving
+    * reads see the batch-agnostic document schema).
+    */
+  def corpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(corpusDir).drop("batch_id")
+
+  /** Step 4a: the X80 waterfall served from the persisted pair
+    * relation — candidate generation is never re-paid.
+    */
+  def waterfall(spark: SparkSession, base: String, corpusDir: String,
+                cfg: Config = Config()): DataFrame =
+    TextOps.curationWaterfall(
+      corpus(spark, corpusDir).select("doc_id", "source", "text"),
+      cfg.n, cfg.maxDf, cfg.jacMicroMin, cfg.qualityMicroMin,
+      pairs = Some(PairStore.pairs(spark, base)))
+
+  /** Step 4b: the corpus card over the cumulative admitted corpus. */
+  def card(spark: SparkSession, corpusDir: String): DataFrame =
+    TextOps.corpusCard(
+      corpus(spark, corpusDir).select("doc_id", "source", "text"))
+
+  /** The streaming form: every micro-batch is one increment. Same
+    * foreachBatch at-least-once story as [[CorpusAdmission.start]] —
+    * each write inside [[runIncrement]] is individually
+    * replay-convergent.
+    */
+  def start(spark: SparkSession, docs: DataFrame, base: String,
+            corpusDir: String, quarantineDir: String,
+            checkpointDir: String, cfg: Config = Config()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runIncrement(spark, batch, batchId, base, corpusDir,
+          quarantineDir, cfg): Unit
+      }
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+}

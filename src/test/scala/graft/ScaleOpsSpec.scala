@@ -1625,6 +1625,64 @@ class ScaleOpsSpec extends SparkSpec {
       ("small", 3L, 3L, 1L, 1959963L, true, false, false)))
   }
 
+  test("multTestCensus: a family past MultTestMaxFamily fails LOUDLY " +
+    "(raise_error), never silently truncates the readout") {
+    // 65 testable types (needs n>=2 per arm + nonzero pooled variance):
+    // 4 users per type, arm-a values differ -> welch guard passes
+    val n = RelationalQueries.MultTestMaxFamily + 1
+    val rows = for {
+      t <- 0 until n
+      u <- Seq(1L, 2L, 3L, 4L)
+    } yield (u, f"t$t%03d", if (u == 2L) 1.00 + t * 0.01 else 3.00)
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val e = intercept[Exception] {
+      RelationalQueries.multTestCensus(ev).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exceeds MultTestMaxFamily")),
+      s"expected the family-cap raise_error, got: $e")
+    // one under the cap still works end-to-end
+    val okRows = rows.filter(_._2 < f"t${n - 1}%03d")
+    val okEv = okRows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val ok = RelationalQueries.multTestCensus(okEv).collect()
+    assert(ok.length === RelationalQueries.MultTestMaxFamily)
+    assert(ok.forall(_.getAs[Long]("family") ===
+      RelationalQueries.MultTestMaxFamily.toLong))
+  }
+
+  test("clusterSeCensus: int64 overflow of the n*T_c cluster residual " +
+    "errors loudly under the session's ANSI mode (never wraps)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "suite session must run ANSI (the Spark 4 default) — the " +
+        "clusterSe exactness contract depends on it")
+    // arm a (even users): 10 users, one event each of 1e16 -> t_c =
+    // 1e18 cents, nn = 10 -> nn*t_c = 1e19 > Long.MaxValue; arm b
+    // (odd users) benign so neither join side is empty
+    val rows = (1L to 10L).map(u => (u * 2, "t", 1.0e16)) ++
+      (1L to 10L).map(u => (u * 2 + 1, "t", 1.0))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+        (i.toLong, u, t, "2024-01-01 12:00:00", v) }
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val e = intercept[Exception] {
+      RelationalQueries.clusterSeCensus(ev).collect()
+    }
+    def all(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: all(x.getCause))
+    assert(all(e).exists(t => t.isInstanceOf[ArithmeticException] ||
+        Option(t.getMessage).exists(m =>
+          m.toLowerCase.contains("overflow"))),
+      s"expected a loud arithmetic overflow, got: $e")
+  }
+
   test("leveneCensus: rank-picked lower medians, integer deviation " +
     "sums, hand-computed Brown-Forsythe F") {
     // S1: cents {100, 200, 300, 1000} -> med = rank (4+1) div 2 = 2

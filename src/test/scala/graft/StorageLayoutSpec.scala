@@ -596,6 +596,43 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("batch pair store: X80 curation waterfall served store-fed — " +
+      "PairStore.pairs ≡ the in-query D2 re-derivation, bit-for-bit") {
+    // the deployment split every 3–5 s audit-class query documents
+    // (VERDICT r15 item 3): in-query the waterfall re-derives the D2
+    // candidate pipeline BY PROTOCOL to measure it; a deployment
+    // reads the persisted pair relation and pays only the quality
+    // projection + one bucketed-store join.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+    import graft.operators.{TextOps, TextQueries}
+    val (n, maxDf, jacMin, qMin) =
+      (TextQueries.ShingleN, TextQueries.MaxShingleDf,
+        TextQueries.NgramJacMin, TextQueries.CurateQualityMin)
+    val ngp = TextOps.ngramJaccardPairs(docs, n, maxDf, jacMin)
+    graft.sources.PairStore.save(ngp, "pairstore_wf")
+    try {
+      val inQuery = TextOps.curationWaterfall(
+        docs, n, maxDf, jacMin, qMin).collect()
+      val storeFed = TextOps.curationWaterfall(docs, n, maxDf, jacMin,
+        qMin, pairs =
+          Some(graft.sources.PairStore.pairs(spark, "pairstore_wf")))
+      assert(storeFed.collect().map(_.toSeq).toSeq ===
+        inQuery.map(_.toSeq).toSeq)
+      assert(inQuery.nonEmpty, "fixture must exercise real sources")
+      // the served plan carries no candidate generation: zero minhash
+      // / banding / shingle-explode stages — only the store scan and
+      // the quality projection
+      val plan = storeFed.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("explode"),
+        s"store-fed waterfall must not re-derive shingles:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pairstore_wf_pairs")
+      spark.sql("DROP TABLE IF EXISTS pairstore_wf_components")
+    }
+  }
+
   test("batch pair store: D29 detector diff reads BOTH stored pair " +
       "relations — no detector kernels in the plan") {
     val dir = "/root/testdata/sf0.001"
