@@ -31,9 +31,11 @@ import graft.operators.SimilarityOps
   * square irrespective of output.
   *
   * Usage: sbt "runMain graft.VectorScale [c1 c2 ...]" (default
-  * 1 8 32). Prints one `VECTORSCALE` line per (pipeline, point) and
-  * per-pipeline curve lines with the closed-form check and the
-  * candidate FRACTION of the all-pairs square.
+  * 1 8 32; points past 32 run the production adaptive path only —
+  * c=132 crosses the 16-bit banding boundary on this corpus). Prints
+  * one `VECTORSCALE` line per (pipeline, point) and per-pipeline curve
+  * lines with the closed-form check and the candidate FRACTION of the
+  * all-pairs square.
   */
 object VectorScale {
   def main(args: Array[String]): Unit = {
@@ -116,9 +118,18 @@ object VectorScale {
     // The PRODUCTION q_embed_lsh path (VERDICT r14 item 1): band width
     // from SimilarityOps.adaptiveBandBits(n·c) — the occupancy-capped
     // rule the query surface now ships. No closed form across the
-    // width switch; each point is instead identity-checked against the
-    // fixed-width curve of the width the rule picked (recorded below).
+    // width switch; WITHIN a width the replication identity holds, so
+    // each point is checked against c²·base₁(bb) + n·c(c−1)/2 with
+    // base₁(bb) the 1× verified-pair count measured AT THE WIDTH the
+    // rule picked (memoized — one cheap 1× run per distinct width;
+    // this covers the 16-bit branch, which no fixed-width curve
+    // carries). Points past 32× run the production path ONLY: the
+    // fixed-width curves are quadratic there BY DESIGN (the probe's
+    // first finding), and the 16-bit rule boundary sits at 262,145
+    // vectors — c=132 on this corpus (VERDICT r15 item 5: measure the
+    // wide branch, don't just pin its arithmetic).
     var prodRows = Vector.empty[(Int, Int, Double, Long)]
+    val prodBase = scala.collection.mutable.Map.empty[Int, Long]
     // visited(c) = c*(visited(1) + Q) - Q; fraction denominator is the
     // per-query corpus (n*c - 1) * Q
     val ivf = Curve("ivf_visited",
@@ -136,47 +147,60 @@ object VectorScale {
             .count())
         lshPairsW4.record(c, tP, nP)
       }
-      val (tC8, nC8) = timed("signlsh_cand_w8", c)(
-        SimilarityOps.signLshCandidates(d, planes, 8).count())
-      lshCandW8.record(c, tC8, nC8)
-      val (tP8, nP8) = timed("signlsh_pairs_w8", c)(
-        SimilarityOps.signLshPairs(d, planes, 8, cosMin).count())
-      lshPairsW8.record(c, tP8, nP8)
+      if (c <= 32) {
+        val (tC8, nC8) = timed("signlsh_cand_w8", c)(
+          SimilarityOps.signLshCandidates(d, planes, 8).count())
+        lshCandW8.record(c, tC8, nC8)
+        val (tP8, nP8) = timed("signlsh_pairs_w8", c)(
+          SimilarityOps.signLshPairs(d, planes, 8, cosMin).count())
+        lshPairsW8.record(c, tP8, nP8)
+      }
       val prodBb = SimilarityOps.adaptiveBandBits(n * c, planes)
+      prodBase.getOrElseUpdate(prodBb,
+        SimilarityOps.signLshPairs(emb, planes, prodBb, cosMin).count())
       val (tPr, nPr) = timed(s"signlsh_prod_w$prodBb", c)(
         SimilarityOps.signLshPairs(d, planes, prodBb, cosMin).count())
       prodRows :+= ((c, prodBb, tPr, nPr))
-      // IVF probe path: per 1×-query probed-cluster candidate mass +
-      // the served top-k — the q_ann_ivf serving shape, measured as
-      // one pass over the Q-query batch
-      val (tV, nV) = timed("ivf_visited", c) {
-        val queries = d.filter(col("vec_id") < qMax)
-          .select(col("vec_id").as("query_id"))
-        val probed = (0L until qMax).flatMap { q =>
-          SimilarityOps.probeClusters(d, cents, q, nProbe)
-            .map(cl => (q, cl.toLong))
-        }.toSeq
-        import spark.implicits._
-        val pr = probed.toDF("query_id", "cluster")
-        val assigned = SimilarityOps.clusterAssignments(d, cents)
-        assigned.join(broadcast(pr), Seq("cluster"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .count()
+      if (c <= 32) {
+        // IVF probe path: per 1×-query probed-cluster candidate mass +
+        // the served top-k — the q_ann_ivf serving shape, measured as
+        // one pass over the Q-query batch
+        val (tV, nV) = timed("ivf_visited", c) {
+          val queries = d.filter(col("vec_id") < qMax)
+            .select(col("vec_id").as("query_id"))
+          val probed = (0L until qMax).flatMap { q =>
+            SimilarityOps.probeClusters(d, cents, q, nProbe)
+              .map(cl => (q, cl.toLong))
+          }.toSeq
+          import spark.implicits._
+          val pr = probed.toDF("query_id", "cluster")
+          val assigned = SimilarityOps.clusterAssignments(d, cents)
+          assigned.join(broadcast(pr), Seq("cluster"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .count()
+        }
+        ivf.record(c, tV, nV)
       }
-      ivf.record(c, tV, nV)
     }
     println(s"=== curves (n=$n per copy; closed forms: LSH " +
       s"c^2*base + n*c(c-1)/2, IVF c*(base+Q)-Q with Q=$qMax) ===")
     lshCandW4.report(); lshPairsW4.report()
     lshCandW8.report(); lshPairsW8.report(); ivf.report()
     prodRows.foreach { case (c, bb, dt, cnt) =>
+      // within-width replication identity against the 1× base measured
+      // at the SAME width (covers the 16-bit branch, which no
+      // fixed-width curve carries); the fixed-width cross-check rides
+      // along where that curve exists
+      val expected = lshForm(prodBase(bb), c)
       val fixed = (if (bb == 4) lshPairsW4 else lshPairsW8)
         .rows.find(_._1 == c)
-      val ok = fixed match {
-        case Some((_, _, fc)) =>
-          if (fc == cnt) "MATCHES-FIXED-WIDTH" else s"MISMATCH vs $fc"
-        case None => "no-fixed-width-row"
-      }
+      val ok =
+        (if (cnt == expected) "IDENTITY-OK" else s"MISMATCH vs $expected") +
+        (fixed match {
+          case Some((_, _, fc)) if fc == cnt => " MATCHES-FIXED-WIDTH"
+          case Some((_, _, fc)) => s" MISMATCH-FIXED vs $fc"
+          case None => ""
+        })
       println(f"VECTORSCALE curve signlsh_prod    c=$c%-3d " +
         f"time=${dt}%7.2f s bb=$bb rows=$cnt $ok")
     }

@@ -1929,6 +1929,57 @@ object TextOps {
       .select("test_doc", "train_doc", "shared_fps", "ratio_micro")
   }
 
+  /** Eval-gate contamination pairs — the X30 rule turned into an
+    * ADMISSION decision (the live twin of [[contamination]]): for each
+    * incoming train candidate, every PROTECTED eval document whose
+    * winnow-fingerprint set it covers at `ratio_micro` ≥ the bar.
+    * `incFps` is (new_doc, fingerprint); `evalFps` is (eval_doc,
+    * fingerprint) — the persisted benchmark-suite index
+    * ([[graft.sources.FingerprintStore.auditAgainstEval]] feeds the
+    * bucketed table here; the batch query builds both sides inline).
+    *
+    * Two deliberate divergences from [[contaminationFrom]], both
+    * FORCED by the admission setting and both in the safe direction:
+    *  - `ratio_micro` = shared / n_fp(EVAL doc) — the benchmark's
+    *    coverage is what the rule protects (identical to the X30
+    *    pair ratio, which is test-doc-relative), NOT
+    *    [[graft.sources.FingerprintStore.auditIncoming]]'s
+    *    incoming-relative ratio (which serves near-dup admission);
+    *  - the df cap and the n_fp denominator are computed over the
+    *    EVAL INDEX ALONE, never the (growing) train side: eval sets
+    *    are static and curated, so every quantity in the decision is
+    *    time-invariant → gating document-by-document over any batch
+    *    sequence, in any order, with any replay, is BIT-FOR-BIT the
+    *    one-shot batch gate over the union (StreamingDecontamSpec
+    *    pins it). [[contaminationFrom]]'s combined-side cap would
+    *    make today's verdict depend on tomorrow's corpus.
+    * When no fingerprint's df crosses the cap on either definition the
+    * two rules coincide exactly (the spec cross-checks q_decontam's
+    * drop set on such a corpus).
+    *
+    * Scale shape: df cap, cap semi-join, and overlap join all key on
+    * `fingerprint` — against the bucketed eval store they run with
+    * zero store-side Exchanges and the eval side is benchmark-sized
+    * (thousands of docs) anyway; only the incoming shard's
+    * fingerprints are hashed in. Output is bounded by true
+    * contamination, never the corpus square.
+    */
+  def evalGatePairs(incFps: DataFrame, evalFps: DataFrame, maxDf: Long,
+                    ratioMicroMin: Long): DataFrame = {
+    val keep = evalFps.groupBy("fingerprint")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fingerprint")
+    val evk = evalFps.join(keep, "fingerprint")
+    val nf = evk.groupBy("eval_doc").agg(count(lit(1)).as("n_fp"))
+    val ov = incFps.join(evk, "fingerprint")
+      .groupBy("new_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_fps"))
+    ov.join(nf, "eval_doc")
+      .withColumn("ratio_micro", micro(col("shared_fps") / col("n_fp")))
+      .filter(col("ratio_micro") >= ratioMicroMin)
+      .select("new_doc", "eval_doc", "shared_fps", "ratio_micro")
+  }
+
   /** PII detection/redaction patterns — the RE2∩Java-safe subset
     * (ASCII classes, no lookahead), so Spark and the oracle match
     * byte-for-byte. Real deployments extend the pattern list; the

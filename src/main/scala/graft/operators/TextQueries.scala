@@ -2538,6 +2538,29 @@ object TextQueries {
       WinnowW, ContamMaxDf, ContamRatioMin)
       .orderBy("split")
 
+  /** X81: the eval-gate contamination pairs — the ADMISSION form of
+    * the X30 rule ([[TextOps.evalGatePairs]]): train candidates gated
+    * against the test split's winnow index, df cap and ratio
+    * denominator over the EVAL side alone so every verdict is
+    * time-invariant (the property the T30 streaming twin's stream ≡
+    * batch identity rests on). Same winnow/cap/bar constants as
+    * q_contamination; when no fingerprint crosses either rule's df
+    * cap the flagged pairs coincide with q_contamination's test×train
+    * pairs exactly (StreamingDecontamSpec cross-checks).
+    */
+  def qEvalGate(spark: SparkSession, dir: String): DataFrame = {
+    // cache: the eval and train sides would otherwise each re-run the
+    // winnow scan — the contamination discipline
+    val fs = TextOps.winnowedSplit(docs(spark, dir), WinnowK, WinnowW,
+      TrainPct, ValPct).cache()
+    val ev = fs.filter(col("split") === "test")
+      .select(col("doc_id").as("eval_doc"), col("fingerprint"))
+    val inc = fs.filter(col("split") === "train")
+      .select(col("doc_id").as("new_doc"), col("fingerprint"))
+    TextOps.evalGatePairs(inc, ev, ContamMaxDf, ContamRatioMin)
+      .orderBy("new_doc", "eval_doc")
+  }
+
   /** X39: word n-gram width and dirty bar of the exact-overlap audit
     * — 8-grams at a 70 % membership bar, the PaLM-style rule (GPT-3
     * used 13-grams; the synthetic corpus's docs are short enough that
@@ -2682,6 +2705,62 @@ object TextQueries {
        |    AS retained_micro
        |FROM s LEFT JOIN cdrop d ON s.doc_id = d.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** X81 oracle: the winnow/split CTE prefix with the df cap and the
+    * n_fp denominator computed over the EVAL (test-split) side only —
+    * the one semantic divergence from `contamCtes`, mirrored exactly
+    * (see [[TextOps.evalGatePairs]]).
+    */
+  private lazy val evalGateOracle = {
+    val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
+    s"""WITH kg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) >= $k THEN
+       |      list_transform(range(1, length(text) - $k + 2), i ->
+       |        list_reduce(list_prepend(0, list_transform(range(0, $k),
+       |          j -> ord(text[i+j]))), (a, b) -> (a * 31 + b) % $m))
+       |    ELSE [] END AS hs
+       |  FROM documents
+       |), fp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) >= $w THEN
+       |      list_distinct(list_transform(range(1, len(hs) - $w + 2), p ->
+       |        list_min(hs[p:p+${w - 1}])))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE [] END AS fps
+       |  FROM kg
+       |), f AS (
+       |  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM fp
+       |), s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $splitBucketSql < $TrainPct THEN 'train'
+       |         WHEN $splitBucketSql < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), ef AS (
+       |  SELECT f.doc_id AS eval_doc, f.fingerprint
+       |  FROM f JOIN s USING(doc_id) WHERE s.split = 'test'
+       |), keep AS (
+       |  SELECT fingerprint FROM ef GROUP BY 1
+       |  HAVING count(*) <= $ContamMaxDf
+       |), efk AS MATERIALIZED (
+       |  SELECT eval_doc, fingerprint FROM ef JOIN keep USING(fingerprint)
+       |), nf AS (
+       |  SELECT eval_doc, count(*) AS n_fp FROM efk GROUP BY 1
+       |), tf AS (
+       |  SELECT f.doc_id AS new_doc, f.fingerprint
+       |  FROM f JOIN s USING(doc_id) WHERE s.split = 'train'
+       |), ov AS (
+       |  SELECT new_doc, eval_doc, count(*) AS shared_fps
+       |  FROM tf JOIN efk USING(fingerprint) GROUP BY 1, 2
+       |)
+       |SELECT ov.new_doc, ov.eval_doc, ov.shared_fps,
+       |  ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")} AS ratio_micro
+       |FROM ov JOIN nf USING(eval_doc)
+       |WHERE ${Hashing.microSql("ov.shared_fps * 1.0 / nf.n_fp")}
+       |  >= $ContamRatioMin
+       |ORDER BY new_doc, eval_doc""".stripMargin
+  }
 
   private val winnowOracle = {
     val (k, w, m) = (WinnowK, WinnowW, TextOps.WinnowMod)
@@ -3952,6 +4031,7 @@ object TextQueries {
     "q_temp_mix_alpha" -> (qTempMixAlpha _),
     "q_curation_waterfall" -> (qCurationWaterfall _),
     "q_decontam"       -> (qDecontam _),
+    "q_eval_gate"      -> (qEvalGate _),
     "q_ngram_overlap"  -> (qNgramOverlap _),
     "q_stratified"     -> (qStratified _),
     "q_pii"            -> (qPii _),
@@ -4048,6 +4128,7 @@ object TextQueries {
     "q_temp_mix_alpha" -> tempMixAlphaOracle,
     "q_curation_waterfall" -> curationWaterfallOracle,
     "q_decontam"       -> decontamOracle,
+    "q_eval_gate"      -> evalGateOracle,
     "q_ngram_overlap"  -> ngramOverlapOracle,
     "q_stratified"     -> stratifiedOracle,
     "q_pii"            -> piiOracle,

@@ -94,6 +94,33 @@ object FingerprintStore {
     * first time. The dedup's grouping keys are a superset of the bucket
     * key, so it too runs without an Exchange.
     */
+  /** Decontamination admission gate (T30): which INCOMING train
+    * candidates contaminate which documents of a PROTECTED eval suite
+    * persisted as a fingerprint table — the live twin of the X30 batch
+    * decontaminator, run where it actually prevents contamination (at
+    * ingest, before the doc ever trains). `ratio_micro` is relative to
+    * the EVAL doc's capped fingerprint count and the df cap is over
+    * the eval index alone — see [[TextOps.evalGatePairs]] for why both
+    * choices make the gate's verdicts time-invariant (stream ≡ batch
+    * bit-for-bit over any batch order/replay, unconditionally).
+    *
+    * The store is deduplicated on (doc_id, fingerprint) — replay
+    * tolerance, dedup keys ⊇ bucket key so no Exchange — and the df
+    * cap / overlap join ride the fingerprint bucketing; only the
+    * incoming shard's fingerprints are hashed in.
+    */
+  def auditAgainstEval(spark: SparkSession, table: String,
+                       newDocs: DataFrame, k: Int, w: Int, maxDf: Long,
+                       ratioMicroMin: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = load(spark, table)
+      .dropDuplicates("doc_id", "fingerprint")
+      .select(col("doc_id").as("eval_doc"), col("fingerprint"))
+    val inc = TextOps.winnowFingerprints(newDocs, k, w)
+      .select(col("doc_id").as("new_doc"), col("fingerprint"))
+    TextOps.evalGatePairs(inc, ev, maxDf, ratioMicroMin)
+  }
+
   def auditIncoming(spark: SparkSession, table: String,
                     newDocs: DataFrame, k: Int, w: Int, maxDf: Long,
                     ratioMicroMin: Long): DataFrame = {

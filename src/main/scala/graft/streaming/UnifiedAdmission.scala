@@ -32,6 +32,12 @@ import graft.sources.{FingerprintStore, GramStore, VectorStore,
   *    benchmark suite is quarantined BEFORE it can contaminate
   *    training — the streaming form of the X39 release-note rule;
   *    opt-in by passing `evalGramTable`,
+  *  - optionally a PROTECTED eval winnow-fingerprint index
+  *    ([[FingerprintStore.auditAgainstEval]] — signal `decontam`,
+  *    matched_id = the contaminated EVAL doc, score = the
+  *    eval-relative coverage ratio in micro units): the X30
+  *    decontamination rule as an admission decision — the T30
+  *    streaming twin; opt-in by passing `evalFpTable`,
   *
   * and a document flagged by ANY signal is quarantined — one row PER
   * FIRING SIGNAL, `(doc_id, signal, matched_id, score)`, so the
@@ -72,7 +78,8 @@ object UnifiedAdmission {
       qMinTok: Long = 0L, qMaxTok: Long = Long.MaxValue,
       qTtrMinMicro: Long = 0L, qTopMaxMicro: Long = 1000000L,
       qMinStops: Long = 0L,
-      overlapN: Int = 8, evalOverlapMicroMin: Long = 700000L)
+      overlapN: Int = 8, evalOverlapMicroMin: Long = 700000L,
+      evalFpMaxDf: Long = 1000L, evalFpRatioMicroMin: Long = 500000L)
 
   /** Every (doc, firing signal) row for one already-deduplicated
     * micro-batch — the union of the three audits in the unified
@@ -81,7 +88,8 @@ object UnifiedAdmission {
   def signalMatches(spark: SparkSession, batch: DataFrame,
                     fpTable: String, gramTable: String, vecPath: String,
                     cfg: Config,
-                    evalGramTable: Option[String] = None): DataFrame = {
+                    evalGramTable: Option[String] = None,
+                    evalFpTable: Option[String] = None): DataFrame = {
     val texts = batch.select("doc_id", "text")
     val winnow = FingerprintStore.auditIncoming(spark, fpTable, texts,
         cfg.winnowK, cfg.winnowW, cfg.winnowMaxDf,
@@ -123,7 +131,7 @@ object UnifiedAdmission {
     // matched_id = -1: the match is against the SET, not one doc.
     val base = winnow.unionByName(gram).unionByName(vector)
       .unionByName(quality)
-    evalGramTable match {
+    val withOverlap = evalGramTable match {
       case Some(t) =>
         val ev = WordGramStore.overlapAgainst(spark, t, texts,
             cfg.overlapN)
@@ -132,6 +140,30 @@ object UnifiedAdmission {
             lit(-1L).as("matched_id"), col("overlap_micro").as("score"))
         base.unionByName(ev)
       case None => base
+    }
+    // SIXTH signal (T30), opt-in via a persisted protected eval
+    // FINGERPRINT index (FingerprintStore of the benchmark suite): the
+    // X30 decontamination rule as an admission decision — an incoming
+    // train candidate covering any eval doc's winnow-fingerprint set
+    // at the ratio bar is quarantined at ingest. Unlike eval_overlap
+    // (gram-SET membership, matched_id = -1), this is the PAIRWISE
+    // rule: matched_id = the contaminated eval doc, score = the
+    // eval-relative coverage ratio. Every quantity in the verdict is
+    // a function of (doc text, static eval index) alone — see
+    // TextOps.evalGatePairs — so the signal is time-invariant across
+    // batch order and replay (StreamingDecontamSpec pins stream ≡
+    // batch bit-for-bit).
+    evalFpTable match {
+      case Some(t) =>
+        val dc = FingerprintStore.auditAgainstEval(spark, t, texts,
+            cfg.winnowK, cfg.winnowW, cfg.evalFpMaxDf,
+            cfg.evalFpRatioMicroMin)
+          .select(col("new_doc").as("doc_id"),
+            lit("decontam").as("signal"),
+            col("eval_doc").as("matched_id"),
+            col("ratio_micro").as("score"))
+        withOverlap.unionByName(dc)
+      case None => withOverlap
     }
   }
 
@@ -142,7 +174,8 @@ object UnifiedAdmission {
     */
   def admitBatch(spark: SparkSession, batch: DataFrame, fpTable: String,
                  gramTable: String, vecPath: String, cfg: Config,
-                 evalGramTable: Option[String] = None)
+                 evalGramTable: Option[String] = None,
+                 evalFpTable: Option[String] = None)
       : (DataFrame, DataFrame) = {
     // in-batch exact dedup: one row per content hash (min doc_id wins),
     // the CorpusAdmission discipline
@@ -153,7 +186,7 @@ object UnifiedAdmission {
       .withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") === 1).drop("__rn")
     val signals = signalMatches(spark, distinctBatch, fpTable, gramTable,
-      vecPath, cfg, evalGramTable)
+      vecPath, cfg, evalGramTable, evalFpTable)
     val admitted = distinctBatch.join(
       signals.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     (admitted, signals)
@@ -171,12 +204,13 @@ object UnifiedAdmission {
             quarantineDir: String, checkpointDir: String, cfg: Config,
             nBuckets: Int = 8,
             onDrift: VectorStore.Drift => Unit = _ => (),
-            evalGramTable: Option[String] = None): StreamingQuery =
+            evalGramTable: Option[String] = None,
+            evalFpTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (admitted, quarantined) = admitBatch(spark, batch, fpTable,
-          gramTable, vecPath, cfg, evalGramTable)
+          gramTable, vecPath, cfg, evalGramTable, evalFpTable)
         val keep = admitted.cache() // four consumers: sink + 3 appends
         try {
           keep.write.mode("overwrite")
