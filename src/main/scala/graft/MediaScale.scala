@@ -55,6 +55,11 @@ object MediaScale {
       .select("doc_id")
     val base = MultimodalOps.mediaBinary(docs).cache()
     val nBlobs = base.count()
+    // M21: the compressed-format decode curve — real baseline JPEGs
+    // through the full Huffman/IDCT path (r16; same replica protocol)
+    val baseJp = MultimodalOps.jpegBinary(docs).cache()
+    val baseJpStats = MultimodalOps.jpegDecodeStats(baseJp).toDF().cache()
+    val nJp = baseJpStats.count()
     val baseGz = MultimodalOps.wavGoertzelStats(base).cache()
     val baseRz = MultimodalOps.bmpResizeStats(base).cache()
     val baseCls = MultimodalOps.imageDHash(base).toDF()
@@ -130,6 +135,22 @@ object MediaScale {
       }
       copyIdentity("bmp_resize", c, rz, baseRz.toDF(), nRz)
       rz.unpersist()
+
+      // M21: JPEG decode — per-blob Huffman + 6 IDCTs per MCU, the
+      // heaviest per-byte decode in the family; copies carry identical
+      // payloads so the per-doc stats identity applies verbatim
+      val dj = baseJp.toDF()
+        .crossJoin(spark.range(c).toDF("__r"))
+        .withColumn("doc_id", col("doc_id") + col("__r") * off)
+        .drop("__r").as[MediaBlob].cache()
+      dj.count()
+      var jp: DataFrame = null
+      timed("jpeg_decode", c) {
+        jp = MultimodalOps.jpegDecodeStats(dj).toDF().cache()
+        jp.count()
+      }
+      copyIdentity("jpeg_decode", c, jp, baseJpStats, nJp)
+      jp.unpersist(); dj.unpersist()
 
       // M7 near-dup census: hash-level, so the EXPECTED c× census is
       // plain arithmetic over the 1× class relation

@@ -25,13 +25,15 @@ case class MediaDecoded(doc_id: Long, kind: String,
   * plumbing a real decode pipeline needs (schema, frame sampling,
   * partition-batched feature extraction).
   *
-  * The decode step is a REAL pure-JVM container parser for the two
-  * uncompressed formats a codec-free container can carry: 24-bpp BMP
-  * ([[decodeBmp]] — header fields read from the bytes, padded row
-  * stride walked, stats over pixel bytes) and PCM16 WAV ([[decodeWav]]
-  * — RIFF chunk walk, fmt parse, signed 16-bit samples). Compressed
-  * formats (JPEG/FLAC/H.264) need codec libraries this container lacks;
-  * adding one touches only the per-kind dispatch in [[decodeMedia]].
+  * The decode step is a REAL pure-JVM container parser for three
+  * formats: 24-bpp BMP ([[decodeBmp]] — header fields read from the
+  * bytes, padded row stride walked, stats over pixel bytes), PCM16 WAV
+  * ([[decodeWav]] — RIFF chunk walk, fmt parse, signed 16-bit
+  * samples), and — since r16 — baseline JFIF JPEG ([[JpegCodec]]: a
+  * complete Huffman + dequant + IDCT + upsample + color-convert
+  * decoder, no codec library; the M21 section below). The formats
+  * still out (FLAC/H.264) would slot into the same per-kind dispatch
+  * in [[decodeMedia]], exactly as JPEG did.
   *
   * Scale notes: payload columns ride along untouched until the operator
   * that needs them — narrow projections everywhere else keep Parquet
@@ -281,6 +283,7 @@ object MultimodalOps {
           rec.kind match {
             case "bmp" => decodeBmp(rec.doc_id, rec.payload)
             case "wav" => decodeWav(rec.doc_id, rec.payload)
+            case "jpeg" => decodeJpegUnits(rec.doc_id, rec.payload)
             case k => throw new IllegalArgumentException(
               s"doc ${rec.doc_id}: no decoder for kind $k")
           }
@@ -1418,5 +1421,123 @@ object MultimodalOps {
       .select(col("declared"), col("sniffed"), col("n"),
         graft.functions.Hashing.micro(col("n") / col("t"))
           .as("frac_micro"))
+  }
+
+  // --------------------- M21: baseline JPEG decode (the codec gap)
+
+  /** documents → one real baseline-JFIF payload per doc (the
+    * [[JpegCodec.encode]] flat-MCU fixture — genuine entropy-coded
+    * 4:2:0 files whose lossy roundtrip is exact BY CONSTRUCTION, which
+    * is what lets a compressed format carry a closed-form oracle; see
+    * the codec's scaladoc).
+    */
+  def jpegBinary(docs: DataFrame)
+  : org.apache.spark.sql.Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaBlob(id, "jpeg", JpegCodec.encode(id)))
+  }
+
+  /** The M4-dispatch adapter: a JPEG through the [[MediaDecoded]]
+    * shape — units are the full-resolution interleaved RGB bytes
+    * (3·w·h of them), the same "decoded unit" contract BMP uses.
+    */
+  def decodeJpegUnits(docId: Long, bytes: Array[Byte]): MediaDecoded = {
+    val img = JpegCodec.decode(bytes)
+    val n = img.width.toLong * img.height
+    var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val (r, g, b) = img.rgb(i)
+      sum += r.toLong + g + b
+      val lo = math.min(r, math.min(g, b)).toLong
+      val hi = math.max(r, math.max(g, b)).toLong
+      if (lo < min) min = lo
+      if (hi > max) max = hi
+      i += 1
+    }
+    MediaDecoded(docId, "jpeg", Some(img.width.toLong),
+      Some(img.height.toLong), None, 3L * n, sum,
+      if (n == 0) 0L else min, if (n == 0) 0L else max)
+  }
+
+  /** M21 decode census row: exact integer statistics over the decoded
+    * full-resolution planes — Y/Cb/Cr sums (the component path:
+    * Huffman → dequant → IDCT → upsample) and R/G/B sums (the
+    * fixed-point conversion on top). All derived from DECODED pixels,
+    * never from the generative formula — the oracle recomputes the
+    * same integers from the closed form without parsing a byte, so
+    * agreement certifies the whole codec path (the q_media_features
+    * differential discipline, now for a compressed format).
+    */
+  case class JpegStats(doc_id: Long, width: Long, height: Long,
+                       n_mcus: Long, sum_y: Long, min_y: Long,
+                       max_y: Long, sum_cb: Long, sum_cr: Long,
+                       sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def jpegDecodeStats(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[JpegStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "jpeg").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val img = JpegCodec.decode(rec.payload)
+          val n = img.width * img.height
+          var sy = 0L; var mny = Long.MaxValue; var mxy = Long.MinValue
+          var scb = 0L; var scr = 0L
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < n) {
+            val y = img.y(i).toLong
+            sy += y; if (y < mny) mny = y; if (y > mxy) mxy = y
+            scb += img.cb(i); scr += img.cr(i)
+            val (r, g, b) = img.rgb(i)
+            sr += r; sg += g; sb += b
+            i += 1
+          }
+          JpegStats(rec.doc_id, img.width.toLong, img.height.toLong,
+            (img.width / 16).toLong * (img.height / 16),
+            sy, mny, mxy, scb, scr, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** M21 perceptual hash over the DECODED JPEG: dHash on the MCU-gray
+    * grid (gray = (r+g+b) div 3 — flat MCUs make the grid cell the
+    * honest sampling unit; the production shape box-resamples first,
+    * [[imageDHash]]'s documented 9×8 discipline). Reuses [[ImageHash]]
+    * so the census below IS [[phashCensusOf]] — the shared statistics
+    * stage, not a parallel derivation.
+    */
+  def jpegMcuDHash(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "jpeg").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val img = JpegCodec.decode(rec.payload)
+          val gw = img.width / 16
+          val gh = img.height / 16
+          def gray(gr: Int, gc: Int): Int = {
+            val (r, g, b) = img.rgb((gr * 16) * img.width + gc * 16)
+            (r + g + b) / 3
+          }
+          var bits = 0L
+          var i = 0
+          var r = 0
+          while (r < gh) {
+            var c = 0
+            while (c < gw - 1) {
+              if (gray(r, c + 1) > gray(r, c)) bits |= 1L << i
+              i += 1
+              c += 1
+            }
+            r += 1
+          }
+          ImageHash(rec.doc_id, gw.toLong, gh.toLong, bits)
+        }
+      }
+    }
   }
 }

@@ -359,6 +359,35 @@ object MultimodalQueries {
     MultimodalOps.phashCensus(docs(spark, dir), PhashMaxHamming)
       .orderBy("h1", "h2")
 
+  /** M21: decode census over real baseline-JFIF payloads — the Spark
+    * side synthesizes genuine 4:2:0 entropy-coded JPEGs
+    * ([[JpegCodec.encode]]) and decodes them through the full codec
+    * path (Huffman → dequant → IDCT → upsample → fixed-point RGB); the
+    * oracle recomputes every integer from the flat-MCU generative
+    * closed form WITHOUT parsing a byte. The two agree only if the
+    * lossy roundtrip recovers every pixel exactly — which the
+    * quantizer-aligned fixture guarantees by construction (see the
+    * codec scaladoc). The RGB terms mirror libjpeg's fixed-point
+    * conversion as floor((k·c + 32768)/65536) — double floor is exact
+    * at these magnitudes (< 2²⁵) and Java's arithmetic `>> 16` is the
+    * same floor.
+    */
+  def qJpegDecode(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.jpegDecodeStats(
+      MultimodalOps.jpegBinary(docs(spark, dir)))
+      .toDF().orderBy("doc_id")
+
+  /** M21: perceptual near-dup census over DECODED JPEGs — the MCU-grid
+    * dHash through the SAME [[MultimodalOps.phashCensusOf]] statistics
+    * stage as q_media_phash (shared code, not a parallel census).
+    */
+  def qJpegPhash(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.phashCensusOf(
+      MultimodalOps.jpegMcuDHash(
+        MultimodalOps.jpegBinary(docs(spark, dir))).toDF(),
+      PhashMaxHamming)
+      .orderBy("h1", "h2")
+
   def qMediaMagic(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.magicCensus(
       MultimodalOps.mediaBinaryDeclared(docs(spark, dir)))
@@ -862,6 +891,89 @@ object MultimodalQueries {
       |SELECT * FROM selfp UNION ALL SELECT * FROM near
       |ORDER BY h1, h2""".stripMargin
 
+  /** M21 oracle CTE prefix: per-doc MCU grid with the generative
+    * (y, cb, cr) and the fixed-point RGB mirror. Every mod argument is
+    * non-negative, so `%` agrees across engines; the conversion's
+    * arithmetic shift mirrors as an exact double floor.
+    */
+  private val jpegMcuCte =
+    """WITH j AS (
+      |  SELECT doc_id, 16 * (1 + doc_id % 3) AS w,
+      |         16 * (1 + (doc_id // 4) % 2) AS h
+      |  FROM documents
+      |),
+      |mcu AS (
+      |  SELECT j.doc_id, j.w, j.h, g.m,
+      |    128 + 16 * ((j.doc_id + 3 * g.m) % 9 - 4) AS y,
+      |    128 + 17 * ((5 * j.doc_id + 7 * g.m) % 5 - 2) AS cb,
+      |    128 + 17 * ((11 * j.doc_id + 13 * g.m) % 5 - 2) AS cr
+      |  FROM j, unnest(range(0, (j.w // 16) * (j.h // 16))) AS g(m)
+      |),
+      |px AS (
+      |  SELECT doc_id, w, h, m, y, cb, cr,
+      |    y + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0)
+      |        AS BIGINT) AS r,
+      |    y - CAST(floor((22554 * (cb - 128) + 46802 * (cr - 128)
+      |        + 32768) / 65536.0) AS BIGINT) AS gg,
+      |    y + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0)
+      |        AS BIGINT) AS b
+      |  FROM mcu
+      |)""".stripMargin
+
+  private val jpegDecodeOracle =
+    s"""$jpegMcuCte
+       |SELECT doc_id,
+       |  CAST(max(w) AS BIGINT) AS width,
+       |  CAST(max(h) AS BIGINT) AS height,
+       |  CAST(count(*) AS BIGINT) AS n_mcus,
+       |  CAST(sum(256 * y) AS BIGINT) AS sum_y,
+       |  CAST(min(y) AS BIGINT) AS min_y,
+       |  CAST(max(y) AS BIGINT) AS max_y,
+       |  CAST(sum(256 * cb) AS BIGINT) AS sum_cb,
+       |  CAST(sum(256 * cr) AS BIGINT) AS sum_cr,
+       |  CAST(sum(256 * r) AS BIGINT) AS sum_r,
+       |  CAST(sum(256 * gg) AS BIGINT) AS sum_g,
+       |  CAST(sum(256 * b) AS BIGINT) AS sum_b
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val jpegPhashOracle =
+    s"""$jpegMcuCte,
+       |gry AS (
+       |  SELECT doc_id, w // 16 AS gw, m // (w // 16) AS gr,
+       |    m % (w // 16) AS gc, (r + gg + b) // 3 AS g
+       |  FROM px
+       |),
+       |dh AS (
+       |  SELECT a.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN bn.g > a.g THEN CAST(1 AS BIGINT)
+       |                  ELSE CAST(0 AS BIGINT) END
+       |             << (a.gr * (a.gw - 1) + a.gc)), 0) AS BIGINT) AS dhash
+       |  FROM gry a LEFT JOIN gry bn ON a.doc_id = bn.doc_id
+       |       AND a.gr = bn.gr AND bn.gc = a.gc + 1
+       |  WHERE a.gc < a.gw - 1 OR a.gw = 1
+       |  GROUP BY 1
+       |),
+       |cls AS (
+       |  SELECT dhash, count(*) AS n, min(doc_id) AS exemplar
+       |  FROM dh GROUP BY 1
+       |),
+       |near AS (
+       |  SELECT a.dhash AS h1, b.dhash AS h2,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+       |    a.n AS n1, b.n AS n2, a.n * b.n AS n_pairs,
+       |    a.exemplar AS exemplar1, b.exemplar AS exemplar2
+       |  FROM cls a JOIN cls b ON a.dhash < b.dhash
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |),
+       |selfp AS (
+       |  SELECT dhash AS h1, dhash AS h2, CAST(0 AS BIGINT) AS hamming,
+       |    n AS n1, n AS n2, n * (n - 1) // 2 AS n_pairs,
+       |    exemplar AS exemplar1, exemplar AS exemplar2
+       |  FROM cls WHERE n >= 2
+       |)
+       |SELECT * FROM selfp UNION ALL SELECT * FROM near
+       |ORDER BY h1, h2""".stripMargin
+
   private val mediaResizeOracle =
     """WITH bmp AS (
       |  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
@@ -973,7 +1085,9 @@ object MultimodalQueries {
     "q_media_motion"   -> (qMediaMotion _),
     "q_media_channels" -> (qMediaChannels _),
     "q_media_resize"   -> (qMediaResize _),
-    "q_media_phash"    -> (qMediaPhash _))
+    "q_media_phash"    -> (qMediaPhash _),
+    "q_jpeg_decode"    -> (qJpegDecode _),
+    "q_jpeg_phash"     -> (qJpegPhash _))
 
   val oracles: Map[String, String] = Map(
     "q_media_meta"     -> mediaMetaOracle,
@@ -994,6 +1108,8 @@ object MultimodalQueries {
     "q_media_channels" -> mediaChannelsOracle,
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
+    "q_jpeg_decode"    -> jpegDecodeOracle,
+    "q_jpeg_phash"     -> jpegPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,
     "q_media_integrity" -> mediaIntegrityOracle)
 }

@@ -1789,8 +1789,17 @@ object RelationalQueries {
   val FuzzyMaxDist = 2
   val FuzzyMaxDf = 500L
 
+  /** Codegen char-trigram kernel (VERDICT r15 item 7 — was the
+    * interpreted `transform(sequence(1, length-2), i => substr(i, 3))`
+    * tower, one lambda dispatch per gram of every name on both join
+    * sides); the kernel adds the below-3-chars empty-array guard the
+    * unguarded expression lacked (its `sequence(1, len-2)` DESCENDS
+    * there) — identical output wherever the expression was
+    * well-defined, which is every real name (TextKernelSpec pins both).
+    */
   private def charGrams3(c: Column): Column =
-    transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3)))
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.CharGrams(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), 3))
 
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     fuzzyResolve(Tables.customer(spark, dir)

@@ -441,8 +441,8 @@ object SketchQueries {
     * store shares the exact universe with the batch census.
     */
   def kmvHashes(docs: DataFrame): DataFrame =
-    docs.select(col("source"), explode(TextOps.shingles(
-        TextOps.tokens(col("text")), 5)).as("sh"))
+    docs.select(col("source"),
+        explode(TextOps.textShingles(col("text"), 5)).as("sh"))
       .select(col("source"), md5Long(col("sh")).as("h")).distinct()
 
   /** Bottom-k per source of a (source, h) relation — the KMV state.

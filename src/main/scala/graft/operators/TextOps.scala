@@ -31,12 +31,30 @@ object TextOps {
   /** Word n-gram shingles as an array column; empty below n tokens.
     * Spark `sequence(1, k)` DESCENDS for k < 1, so the guard is load-
     * bearing, not cosmetic.
+    *
+    * This is the EXPRESSION formulation — an interpreted higher-order
+    * tower (lambda dispatch per shingle per token), kept as the
+    * readable spec mirror; every corpus-scale consumer routes through
+    * [[textShingles]]'s compiled kernel instead (VERDICT r15 item 7 —
+    * the shingle relation is one row per word of the corpus, the
+    * X16-measured interpreted-per-element shape). TextKernelSpec pins
+    * kernel ≡ expression property-style.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** [[shingles]]∘[[tokens]] as ONE codegen kernel
+    * ([[graft.functions.WordShingles]]): shingle j is a single
+    * substring of the original text (every separator is exactly one
+    * space, so joining n consecutive tokens with spaces IS the
+    * original span) — no token array, no per-shingle lambda.
+    */
+  def textShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.WordShingles(
+      org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** Ensure a CPU-heavy derivation isn't bottlenecked on scan
     * parallelism: a small hot table often arrives as a single parquet
@@ -73,7 +91,7 @@ object TextOps {
     */
   def shingleSet(docs: DataFrame, n: Int): DataFrame =
     parallelized(docs).select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+        explode(array_distinct(textShingles(col("text"), n))).as("sh"))
 
   // ------------------------------------------------------------ analysis
 
@@ -1065,20 +1083,20 @@ object TextOps {
 
   /** Overlapping document chunking (LLM training prep): fixed-length
     * character windows every `stride` chars (overlap = chunkLen-stride).
-    * Pure expressions — sequence/transform/substr/explode — zero
+    * One fused codegen pass per document
+    * ([[graft.functions.ChunkStats]] — the expression tower evaluated
+    * each chunk's substring THREE times through interpreted lambdas:
+    * sha, length, token count; VERDICT r15 item 7) + explode; zero
     * shuffles, and the chunk count derives from exact integer floor
-    * division on both engines.
+    * division on both engines. TextKernelSpec pins kernel ≡ the
+    * expression formulation including the empty-document edge
+    * (nc = (0−1) div stride + 1 = 1: one empty chunk, one empty token).
     */
   def chunkDocs(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
-    val len = length(col("text"))
-    val nc = ((len - 1) / lit(stride)).cast("long") + 1L
-    val chunkCol = (i: Column) => substr(col("text"), i * stride + 1L,
-      lit(chunkLen))
-    val chunks = transform(sequence(lit(0L), nc - 1L), i =>
-      struct(i.as("chunk_idx"),
-        sha2(chunkCol(i).cast("binary"), 256).as("chunk_sha"),
-        length(chunkCol(i)).cast("long").as("chunk_chars"),
-        size(tokens(chunkCol(i))).cast("long").as("chunk_tokens")))
+    val chunks = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.ChunkStats(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        chunkLen, stride))
     docs.select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_sha").as("chunk_sha"),
@@ -3171,7 +3189,7 @@ object TextOps {
   def repetitionStats(docs: DataFrame, n: Int): DataFrame = {
     // multiplicity matters here: no array_distinct (unlike shingleSet)
     val grams = parallelized(docs).select(col("doc_id"),
-      explode(shingles(tokens(col("text")), n)).as("g"))
+      explode(textShingles(col("text"), n)).as("g"))
     grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"),
@@ -3205,7 +3223,7 @@ object TextOps {
   def boilerplateStats(docs: DataFrame, n: Int, k: Int,
                        barMicro: Long): DataFrame = {
     val occ = parallelized(docs).select(col("doc_id"),
-      explode(shingles(tokens(col("text")), n)).as("sh")).cache()
+      explode(textShingles(col("text"), n)).as("sh")).cache()
     val topK = occ.distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("sh")).limit(k)
