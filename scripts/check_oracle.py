@@ -29,16 +29,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect(sf_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     for name, sql in sorted(oracle.items()):
+        # fresh connection per oracle: one shared connection accumulates
+        # buffer-pool state across 270+ queries, and after a heavy sf0.1
+        # CTE every later query dies on kilobyte allocations ("Out of
+        # Memory Error: Failed to allocate block") with >100 GB free --
+        # the view setup is microseconds, the isolation is what matters
+        con = connect(sf_dir)
         spark_dir = os.path.join(out_dir, name)
         try:
             got = canon(pd.concat([pd.read_parquet(f) for f in sorted(
@@ -49,6 +59,8 @@ def main():
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
+        finally:
+            con.close()
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: schema {list(got.columns)} != "
                   f"{list(want.columns)}")

@@ -60,6 +60,9 @@ object MediaScale {
     val baseJp = MultimodalOps.jpegBinary(docs).cache()
     val baseJpStats = MultimodalOps.jpegDecodeStats(baseJp).toDF().cache()
     val nJp = baseJpStats.count()
+    val basePn = MultimodalOps.pngBinary(docs).cache()
+    val basePnStats = MultimodalOps.pngDecodeStats(basePn).toDF().cache()
+    val nPn = basePnStats.count()
     val baseGz = MultimodalOps.wavGoertzelStats(base).cache()
     val baseRz = MultimodalOps.bmpResizeStats(base).cache()
     val baseCls = MultimodalOps.imageDHash(base).toDF()
@@ -151,6 +154,20 @@ object MediaScale {
       }
       copyIdentity("jpeg_decode", c, jp, baseJpStats, nJp)
       jp.unpersist(); dj.unpersist()
+
+      // M23: PNG decode — inflate + unfilter per blob (lossless path)
+      val dp = basePn.toDF()
+        .crossJoin(spark.range(c).toDF("__r"))
+        .withColumn("doc_id", col("doc_id") + col("__r") * off)
+        .drop("__r").as[MediaBlob].cache()
+      dp.count()
+      var pn: DataFrame = null
+      timed("png_decode", c) {
+        pn = MultimodalOps.pngDecodeStats(dp).toDF().cache()
+        pn.count()
+      }
+      copyIdentity("png_decode", c, pn, basePnStats, nPn)
+      pn.unpersist(); dp.unpersist()
 
       // M7 near-dup census: hash-level, so the EXPECTED c× census is
       // plain arithmetic over the 1× class relation

@@ -284,6 +284,7 @@ object MultimodalOps {
             case "bmp" => decodeBmp(rec.doc_id, rec.payload)
             case "wav" => decodeWav(rec.doc_id, rec.payload)
             case "jpeg" => decodeJpegUnits(rec.doc_id, rec.payload)
+            case "png" => decodePngUnits(rec.doc_id, rec.payload)
             case k => throw new IllegalArgumentException(
               s"doc ${rec.doc_id}: no decoder for kind $k")
           }
@@ -1498,6 +1499,79 @@ object MultimodalOps {
           JpegStats(rec.doc_id, img.width.toLong, img.height.toLong,
             (img.width / 16).toLong * (img.height / 16),
             sy, mny, mxy, scb, scr, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  // ----------------------- M23: PNG decode (the lossless codec)
+
+  /** documents → one real PNG payload per doc ([[PngCodec.encode]] —
+    * filter types cycling per row, so every decode exercises all five
+    * unfilter paths; lossless, so no fixture constraints are needed
+    * for exactness).
+    */
+  def pngBinary(docs: DataFrame)
+  : org.apache.spark.sql.Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => MediaBlob(id, "png", PngCodec.encode(id)))
+  }
+
+  /** The M4-dispatch adapter: a PNG through the [[MediaDecoded]] shape
+    * — units are the decoded interleaved samples (RGB or gray), the
+    * BMP contract.
+    */
+  def decodePngUnits(docId: Long, bytes: Array[Byte]): MediaDecoded = {
+    val img = PngCodec.decode(bytes)
+    val n = img.samples.length.toLong
+    var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+    var i = 0
+    while (i < img.samples.length) {
+      val v = img.samples(i).toLong
+      sum += v; if (v < min) min = v; if (v > max) max = v
+      i += 1
+    }
+    MediaDecoded(docId, "png", Some(img.width.toLong),
+      Some(img.height.toLong), None, n, sum,
+      if (n == 0) 0L else min, if (n == 0) 0L else max)
+  }
+
+  /** M23 decode census row: exact integer statistics over the decoded
+    * samples, split per channel — derived from DECODED pixels through
+    * the chunk-walk/CRC/inflate/unfilter path, never the generative
+    * formula (the differential discipline; the oracle recomputes from
+    * the closed form).
+    */
+  case class PngStats(doc_id: Long, width: Long, height: Long,
+                      n_samples: Long, sum_px: Long, min_px: Long,
+                      max_px: Long, sum_r: Long, sum_g: Long,
+                      sum_b: Long)
+
+  def pngDecodeStats(media: org.apache.spark.sql.Dataset[MediaBlob])
+  : org.apache.spark.sql.Dataset[PngStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "png").mapPartitions { it =>
+      it.grouped(FeatureBatchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          val img = PngCodec.decode(rec.payload)
+          require(img.channels == 3,
+            s"doc ${rec.doc_id}: fixture is RGB")
+          var sum = 0L; var min = Long.MaxValue; var max = Long.MinValue
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < img.samples.length) {
+            val v = img.samples(i).toLong
+            sum += v; if (v < min) min = v; if (v > max) max = v
+            (i % 3) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case 2 => sb += v
+            }
+            i += 1
+          }
+          PngStats(rec.doc_id, img.width.toLong, img.height.toLong,
+            img.samples.length.toLong, sum, min, max, sr, sg, sb)
         }
       }
     }

@@ -388,6 +388,18 @@ object MultimodalQueries {
       PhashMaxHamming)
       .orderBy("h1", "h2")
 
+  /** M23: decode census over real PNG payloads — chunk walk, CRC32
+    * verification, DEFLATE inflate, all five unfilter paths (the
+    * fixture cycles filter types per row). PNG is lossless, so unlike
+    * M21 no fixture construction is needed for exactness: the oracle's
+    * closed form IS the decoded image, and any divergence anywhere in
+    * the container/compression/filter path breaks the hash.
+    */
+  def qPngDecode(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.pngDecodeStats(
+      MultimodalOps.pngBinary(docs(spark, dir)))
+      .toDF().orderBy("doc_id")
+
   def qMediaMagic(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.magicCensus(
       MultimodalOps.mediaBinaryDeclared(docs(spark, dir)))
@@ -920,6 +932,35 @@ object MultimodalQueries {
       |  FROM mcu
       |)""".stripMargin
 
+  /** M23 oracle: the generative byte stream (7·id + 13·k mod 256 over
+    * the 3wh interleaved samples) aggregated per doc and per channel —
+    * never a byte of container parsed.
+    */
+  private val pngDecodeOracle =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + (doc_id // 3) % 7 AS h
+      |  FROM documents
+      |),
+      |px AS (
+      |  SELECT p.doc_id, p.w, p.h, g.k,
+      |    (7 * p.doc_id + 13 * g.k) % 256 AS v
+      |  FROM p, unnest(range(0, 3 * p.w * p.h)) AS g(k)
+      |)
+      |SELECT doc_id,
+      |  CAST(max(w) AS BIGINT) AS width,
+      |  CAST(max(h) AS BIGINT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS sum_px,
+      |  CAST(min(v) AS BIGINT) AS min_px,
+      |  CAST(max(v) AS BIGINT) AS max_px,
+      |  CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+      |    AS sum_r,
+      |  CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+      |    AS sum_g,
+      |  CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+      |    AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val jpegDecodeOracle =
     s"""$jpegMcuCte
        |SELECT doc_id,
@@ -1087,6 +1128,7 @@ object MultimodalQueries {
     "q_media_resize"   -> (qMediaResize _),
     "q_media_phash"    -> (qMediaPhash _),
     "q_jpeg_decode"    -> (qJpegDecode _),
+    "q_png_decode"     -> (qPngDecode _),
     "q_jpeg_phash"     -> (qJpegPhash _))
 
   val oracles: Map[String, String] = Map(
@@ -1109,6 +1151,7 @@ object MultimodalQueries {
     "q_media_resize"   -> mediaResizeOracle,
     "q_media_phash"    -> mediaPhashOracle,
     "q_jpeg_decode"    -> jpegDecodeOracle,
+    "q_png_decode"     -> pngDecodeOracle,
     "q_jpeg_phash"     -> jpegPhashOracle,
     "q_media_magic"    -> mediaMagicOracle,
     "q_media_integrity" -> mediaIntegrityOracle)

@@ -92,6 +92,23 @@ object ShingleStore {
       .saveAsTable(sizeTable(base))
   }
 
+  /** Compact both append-forever tables (the [[PairStore.compact]]
+    * discipline): every [[append]] adds one file per touched bucket,
+    * and the daily-increment loop ([[graft.streaming.IncrementalCuration]])
+    * appends every day — the measured growth term in the per-increment
+    * wall is partly this file count (every df census and candidate
+    * join opens all of them). The rewrite goes through the unchanged
+    * bucket spec; same quiesce-first caveat as
+    * [[graft.streaming.Maintenance.compactBucketed]]. Returns
+    * ((shFilesBefore, shFilesAfter), (sizeFilesBefore, sizeFilesAfter)).
+    */
+  def compact(spark: SparkSession, base: String, nBuckets: Int = 8)
+  : ((Int, Int), (Int, Int)) =
+    (graft.streaming.Maintenance.compactBucketed(spark,
+      shTable(base), nBuckets, "h", Seq("h")),
+      graft.streaming.Maintenance.compactBucketed(spark,
+        sizeTable(base), nBuckets, "doc_id", Seq("doc_id")))
+
   /** The stored inverted index, replay duplicates dropped (dedup keys
     * ⊇ bucket key `h` — Exchange-free).
     */

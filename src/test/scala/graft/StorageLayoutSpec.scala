@@ -795,6 +795,47 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("ShingleStore.compact: daily appends pile files; the rewrite " +
+      "bounds both tables to one file per bucket with content and " +
+      "bucket metadata intact") {
+    val base = "shstore_ct"
+    def d(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    graft.sources.ShingleStore.ensure(spark, base)
+    try {
+      graft.sources.ShingleStore.append(
+        d((1L, "one two three four five six")), 5, base)
+      graft.sources.ShingleStore.append(
+        d((2L, "one two three four five seven")), 5, base)
+      graft.sources.ShingleStore.append(
+        d((3L, "totally different words in this row here")), 5, base)
+      def rows() = (
+        graft.sources.ShingleStore.shingles(spark, base)
+          .collect().map(_.toSeq).toSet,
+        graft.sources.ShingleStore.sizes(spark, base)
+          .collect().map(_.toSeq).toSet)
+      val beforeRows = rows()
+      val ((shB, shA), (szB, szA)) =
+        graft.sources.ShingleStore.compact(spark, base)
+      assert(shA <= 8 && shA < shB,
+        s"sh compact must bound files (before=$shB after=$shA)")
+      // the doc-keyed sizes table only stacks when two batches hit the
+      // same bucket; with three docs in three buckets the rewrite is a
+      // no-op on the count — bounded, not necessarily smaller
+      assert(szA <= 8 && szA <= szB,
+        s"sizes compact must bound files (before=$szB after=$szA)")
+      assert(rows() === beforeRows)
+      // the compacted index keeps its Exchange-free df census
+      val agg = spark.table(s"${base}_sh").groupBy("h")
+        .agg(count(lit(1)))
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "compacted shingle table must keep its bucket metadata")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_sh")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_sizes")
+    }
+  }
+
   test("persisted graph-ANN index: beam search and beam sweep read " +
       "the edge table — zero graph-construction stages, output == " +
       "in-query paths") {
