@@ -16,9 +16,13 @@ import graft.sources.{FingerprintStore, PairStore, ShingleStore}
   * One increment ([[runIncrement]]):
   *  1. ADMISSION — [[CorpusAdmission.admitBatch]]: in-batch exact
   *     dedup, winnow near-dup gate against the fingerprint store;
-  *     admitted rows land in a `batch_id`-keyed OVERWRITE partition of
-  *     the corpus sink, quarantined rows likewise (replay replaces,
-  *     never duplicates).
+  *     then (opt-in via [[Config.evalFpTable]]) the T30
+  *     eval-decontamination gate on the survivors
+  *     ([[graft.sources.FingerprintStore.auditAgainstEval]] — a
+  *     curated benchmark's winnow index, static, so the stage is
+  *     order/replay-invariant unconditionally). Admitted rows land in
+  *     a `batch_id`-keyed OVERWRITE partition of the corpus sink,
+  *     quarantined rows likewise (replay replaces, never duplicates).
   *  2. STORE APPENDS — fingerprints ([[CorpusAdmission.appendToStore]])
   *     and shingles + sizes ([[ShingleStore.append]]): batch N's docs
   *     reject their copies and pair with their near-dups in batch N+1.
@@ -75,7 +79,14 @@ object IncrementalCuration {
       k: Int = 8, w: Int = 4, winnowMaxDf: Long = 1000L,
       ratioMicroMin: Long = 500000L,
       n: Int = 5, maxDf: Long = 1000L, jacMicroMin: Long = 800000L,
-      qualityMicroMin: Long = 400000L, nBuckets: Int = 8)
+      qualityMicroMin: Long = 400000L, nBuckets: Int = 8,
+      // T30 composed in: gate admitted docs against a PROTECTED eval
+      // fingerprint index before anything persists (opt-in — eval sets
+      // are curated per deployment). Decontam runs AFTER the near-dup
+      // gate: sequential attribution, the X80 waterfall discipline (a
+      // doc failing both gates counts against the first).
+      evalFpTable: Option[String] = None,
+      evalMaxDf: Long = 1000L, evalRatioMicroMin: Long = 500000L)
 
   def fpTable(base: String): String = s"${base}_fp"
 
@@ -111,9 +122,36 @@ object IncrementalCuration {
         s"${base}_components")
       .filter(sp.catalog.tableExists)
       .foreach(sp.catalog.refreshTable)
-    val (admitted, quarantined) = CorpusAdmission.admitBatch(sp,
+    val (admitted0, quarantined0) = CorpusAdmission.admitBatch(sp,
       batch, fpTable(base), cfg.k, cfg.w, cfg.winnowMaxDf,
       cfg.ratioMicroMin)
+    // T30 stage: the eval-decontamination gate on the near-dup
+    // survivors. The eval index is STATIC, so this stage is
+    // order/replay-invariant by construction (TextOps.evalGatePairs);
+    // quarantine rows reuse the (stored_doc, ratio_micro) shape with
+    // the strongest contaminated eval doc as the match.
+    val (admitted, quarantined) = cfg.evalFpTable match {
+      case None => (admitted0, quarantined0)
+      case Some(t) =>
+        val flagged = graft.sources.FingerprintStore.auditAgainstEval(
+          sp, t, admitted0.select("doc_id", "text"), cfg.k, cfg.w,
+          cfg.evalMaxDf, cfg.evalRatioMicroMin)
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("new_doc"))
+          .orderBy(col("ratio_micro").desc, col("eval_doc"))
+        val best = flagged
+          .withColumn("__rn", row_number().over(w2))
+          .filter(col("__rn") === 1).drop("__rn")
+          .select(col("new_doc"), col("eval_doc").as("stored_doc"),
+            col("shared_fps"), col("ratio_micro"))
+        val quarEval = admitted0
+          .join(best, admitted0("doc_id") === best("new_doc"))
+          .drop("new_doc")
+        val keepEval = admitted0.join(
+          best.select("new_doc"),
+          admitted0("doc_id") === col("new_doc"), "left_anti")
+        (keepEval, quarantined0.unionByName(quarEval))
+    }
     // PIN the admission decision by truncating lineage, not by cache():
     // the fingerprint append below is a catalog-table write, and the
     // CacheManager RECACHES (re-evaluates) any cached plan referencing

@@ -113,6 +113,75 @@ class IncrementalPipelineSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("T30 composed: the eval-decontamination gate inside the " +
+    "increment loop — contaminating docs never reach any store, the " +
+    "final corpus audits clean, and increment ≡ recompute still holds") {
+    val base3 = "incpipe_eval"
+    val evalTable = s"${base3}_evalidx"
+    def dropAll3(): Unit = (Seq(s"${base3}_fp", s"${base3}_sh",
+      s"${base3}_sizes", s"${base3}_pairs", s"${base3}_components",
+      evalTable))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll3()
+    import sqlImplicits._
+    val corpusDir = Files.createTempDirectory("incpipe-e-corpus").toString
+    val quarDir = Files.createTempDirectory("incpipe-e-quar").toString
+    try {
+      val cfg3 = cfg.copy(evalFpTable = Some(evalTable))
+      // a curated eval suite: two docs drawn from the real corpus, so
+      // their near-copies genuinely arrive in the stream shards
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "source", "text")
+      val evalDocs = docs.filter(org.apache.spark.sql.functions
+        .col("doc_id").isin(7L, 13L))
+        .select(org.apache.spark.sql.functions.col("doc_id") + 900000L
+          as "doc_id", org.apache.spark.sql.functions.col("text"))
+      graft.sources.FingerprintStore.save(evalDocs, cfg3.k, cfg3.w,
+        0, 0, evalTable)
+      IncrementalCuration.init(spark, base3, cfg3)
+      def shard(i: Int) = docs.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(2L)) === i.toLong)
+      Seq(1, 0).zipWithIndex.foreach { case (s, bid) =>
+        IncrementalCuration.runIncrement(spark, shard(s), bid.toLong,
+          base3, corpusDir, quarDir, cfg3)
+      }
+      val admitted = IncrementalCuration.corpus(spark, corpusDir)
+        .select("doc_id", "source", "text").cache()
+      // (a) the verbatim eval sources were gated out (doc 7 and 13 ARE
+      // their own eval twins at ratio 1.0)
+      val ids = admitted.collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(!ids.contains(7L) && !ids.contains(13L),
+        "docs identical to eval members must be quarantined")
+      // (b) the final corpus audits CLEAN against the eval index
+      assert(graft.sources.FingerprintStore.auditAgainstEval(spark,
+        evalTable, admitted, cfg3.k, cfg3.w, cfg3.evalMaxDf,
+        cfg3.evalRatioMicroMin).count() === 0L,
+        "nothing in the admitted corpus may contaminate the eval suite")
+      // (c) every decontam-quarantined doc is genuinely flagged by the
+      // batch kernel (quarantine rows carry the eval doc as stored_doc)
+      val quar = spark.read.parquet(quarDir)
+        .filter(org.apache.spark.sql.functions.col("stored_doc")
+          >= 900000L)
+      assert(quar.count() > 0L, "fixture must exercise the eval gate")
+      val flaggedIds = quar.collect().map(_.getAs[Long]("doc_id")).toSet
+      val batchFlagged = graft.sources.FingerprintStore
+        .auditAgainstEval(spark, evalTable,
+          admitted.unionByName(quar.select("doc_id", "source", "text")),
+          cfg3.k, cfg3.w, cfg3.evalMaxDf, cfg3.evalRatioMicroMin)
+        .collect().map(_.getAs[Long]("new_doc")).toSet
+      assert(flaggedIds === batchFlagged,
+        "the gate's verdicts must be the batch kernel's")
+      // (d) the dedup stores still satisfy increment ≡ recompute over
+      // the (now eval-clean) realized corpus
+      val full = TextOps.ngramJaccardPairs(admitted, cfg3.n, cfg3.maxDf,
+        cfg3.jacMicroMin)
+      assert(rowSet(PairStore.pairs(spark, base3)) === rowSet(full))
+      admitted.unpersist()
+    } finally dropAll3()
+  }
+
   test("streaming form: the foreachBatch loop reaches the same " +
     "fixed point as the batch-driven increments") {
     dropAll()
