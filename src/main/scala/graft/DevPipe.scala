@@ -24,7 +24,8 @@ object DevPipe {
     import graft.sources.PairStore
     val base = "devpipe"
     def dropAll(): Unit = Seq(s"${base}_fp", s"${base}_sh",
-      s"${base}_sizes", s"${base}_pairs", s"${base}_components")
+      s"${base}_sizes", s"${base}_pairs", s"${base}_components",
+      s"${base}_docstats")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     dropAll()
     val cfg = IncrementalCuration.Config()
@@ -46,7 +47,7 @@ object DevPipe {
         f"adm=$adm quar=$quar pairs=${PairStore.pairs(spark, base).count()}")
     }
     val (wf, tWf) = timed(IncrementalCuration
-      .waterfall(spark, base, cd, cfg).collect())
+      .waterfall(spark, base, cfg).collect())
     println(f"PIPESCALE serve_waterfall $tWf%7.2f s rows=${wf.length}")
     val admitted = spark.read.parquet(cd).select("doc_id", "source", "text")
     val (full, tRe) = timed {

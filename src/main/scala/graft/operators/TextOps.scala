@@ -1409,14 +1409,28 @@ object TextOps {
   def curationWaterfall(docs: DataFrame, n: Int, maxDf: Long,
                         dupJacMin: Long, qualityMicroMin: Long,
                         pairs: Option[DataFrame] = None): DataFrame = {
-    val stats = tokenStats(docs).select("doc_id", "n_tokens",
-      "quality_micro")
-    val drops = pairs
-      .getOrElse(ngramJaccardPairs(docs, n, maxDf, dupJacMin))
-      .select(col("d2").as("doc_id")).distinct()
+    val stats = docs.select(col("doc_id"), col("source"))
+      .join(tokenStats(docs).select("doc_id", "n_tokens",
+        "quality_micro"), "doc_id")
+    curationWaterfallFrom(stats,
+      pairs.getOrElse(ngramJaccardPairs(docs, n, maxDf, dupJacMin))
+        .select(col("d2").as("doc_id")),
+      qualityMicroMin)
+  }
+
+  /** The waterfall's census stage over an already-materialized per-doc
+    * stats relation `stats` (doc_id, source, n_tokens, quality_micro)
+    * and dup-target doc relation — factored (T32) so the incremental
+    * pipeline's serving path ([[graft.sources.DocStatsStore]] +
+    * persisted pairs) runs the IDENTICAL statistics stage as the
+    * self-contained query: at 100 TB the served refresh reads two
+    * compact stores and never re-scans corpus text.
+    */
+  def curationWaterfallFrom(stats: DataFrame, dupDocs: DataFrame,
+                            qualityMicroMin: Long): DataFrame = {
+    val drops = dupDocs.select(col("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val flags = docs.select(col("doc_id"), col("source"))
-      .join(stats, "doc_id")
+    val flags = stats
       .withColumn("q_pass", col("quality_micro") >= qualityMicroMin)
       .join(drops, Seq("doc_id"), "left")
       .withColumn("f_pass", col("q_pass") && col("is_dup").isNull)
@@ -1454,13 +1468,30 @@ object TextOps {
     * two-phase expansion), and the dominant-language argmax runs on the
     * (source × language)-sized count table under a PARTITIONED window.
     */
-  def corpusCard(docs: DataFrame): DataFrame = {
-    val stats = tokenStats(docs).select("doc_id", "n_tokens",
-      "quality_micro")
-    val lang = langId(docs).select("doc_id", "lang_pred")
-    val perDoc = docs.select(col("doc_id"), col("source"),
+  def corpusCard(docs: DataFrame): DataFrame =
+    corpusCardFrom(docStats(docs))
+
+  /** The per-doc stats relation BOTH release-note surfaces read
+    * (doc_id, source, sha, n_tokens, quality_micro, lang_pred) — one
+    * text scan feeding the card's aggregate and the waterfall's
+    * quality flags; persisted per increment by
+    * [[graft.sources.DocStatsStore]] (a doc's stats are a pure
+    * function of its text, so the relation is append-only and
+    * replay-invariant).
+    */
+  def docStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
         sha2(col("text").cast("binary"), 256).as("sha"))
-      .join(stats, "doc_id").join(lang, "doc_id")
+      .join(tokenStats(docs).select("doc_id", "n_tokens",
+        "quality_micro"), "doc_id")
+      .join(langId(docs).select("doc_id", "lang_pred"), "doc_id")
+
+  /** The card's statistics stage over an already-materialized
+    * [[docStats]] relation — factored (T32) for the store-served
+    * refresh, same shared-stage discipline as
+    * [[curationWaterfallFrom]].
+    */
+  def corpusCardFrom(perDoc: DataFrame): DataFrame = {
     val agg = perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("sha")).as("n_distinct_docs"),

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.TextOps
-import graft.sources.{FingerprintStore, PairStore, ShingleStore}
+import graft.sources.{DocStatsStore, FingerprintStore, PairStore,
+  ShingleStore}
 
 /** The composed daily-increment curation pipeline — ingest → admission
   * → pair-store append → component merge → waterfall/corpus-card
@@ -32,11 +33,14 @@ import graft.sources.{FingerprintStore, PairStore, ShingleStore}
   *     and [[PairStore.append]] merges them into the persisted pair
   *     relation + transitive closure (union-find bounded by the new
   *     pairs' component fan-out).
-  *  4. SERVING — [[waterfall]] / [[card]] read the cumulative corpus
-  *     sink and the PERSISTED pair relation: the X80 release-note
-  *     table and the corpus card refresh without any candidate
-  *     generation (the audit/deployment split every 3–5 s audit query
-  *     documents).
+  *  4. SERVING — [[waterfall]] / [[card]] read ONLY stores (T32):
+  *     per-doc stats from [[graft.sources.DocStatsStore]] (appended at
+  *     admission — a doc's stats never change) and dup targets from
+  *     the PERSISTED pair relation, through the batch queries' own
+  *     factored census stages — the X80 release-note table and the
+  *     corpus card refresh with neither candidate generation nor a
+  *     corpus text scan (the audit/deployment split every 3–5 s audit
+  *     query documents, taken to its end state).
   *
   * The capstone equivalence (IncrementalPipelineSpec, run over
   * replayed AND out-of-order batches): after N increments, while no
@@ -97,6 +101,7 @@ object IncrementalCuration {
   def init(spark: SparkSession, base: String, cfg: Config = Config()): Unit = {
     FingerprintStore.ensure(spark, fpTable(base), cfg.nBuckets)
     ShingleStore.ensure(spark, base, cfg.nBuckets)
+    DocStatsStore.ensure(spark, base, cfg.nBuckets)
   }
 
   /** One daily increment (steps 1–3 above). `batch` must carry
@@ -119,7 +124,7 @@ object IncrementalCuration {
     // the clone's relation cache may still pin batch N-1's listing of
     // tables a different driver session wrote between increments
     Seq(fpTable(base), s"${base}_sh", s"${base}_sizes", s"${base}_pairs",
-        s"${base}_components")
+        s"${base}_components", s"${base}_docstats")
       .filter(sp.catalog.tableExists)
       .foreach(sp.catalog.refreshTable)
     val (admitted0, quarantined0) = CorpusAdmission.admitBatch(sp,
@@ -169,6 +174,10 @@ object IncrementalCuration {
       cfg.nBuckets)
     val docs = keep.select("doc_id", "text")
     ShingleStore.append(docs, cfg.n, base, cfg.nBuckets)
+    // T32: per-doc stats persisted at admission — the serving
+    // surfaces below never re-scan text
+    DocStatsStore.append(keep.select("doc_id", "source", "text"), base,
+      cfg.nBuckets)
     val newPairs = ShingleStore.incrementalPairs(sp, base, docs,
       cfg.n, cfg.maxDf, cfg.jacMicroMin)
     if (sp.catalog.tableExists(s"${base}_pairs"))
@@ -184,20 +193,28 @@ object IncrementalCuration {
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(corpusDir).drop("batch_id")
 
-  /** Step 4a: the X80 waterfall served from the persisted pair
-    * relation — candidate generation is never re-paid.
+  /** Step 4a: the X80 waterfall served ENTIRELY from stores (T32):
+    * quality flags from [[DocStatsStore]], dup targets from the
+    * persisted pair relation — neither candidate generation nor a
+    * corpus text scan is ever re-paid; the census stage is
+    * [[TextOps.curationWaterfallFrom]], the exact code the
+    * self-contained query runs (IncrementalPipelineSpec pins
+    * store-served ≡ recompute bit-for-bit).
     */
-  def waterfall(spark: SparkSession, base: String, corpusDir: String,
+  def waterfall(spark: SparkSession, base: String,
                 cfg: Config = Config()): DataFrame =
-    TextOps.curationWaterfall(
-      corpus(spark, corpusDir).select("doc_id", "source", "text"),
-      cfg.n, cfg.maxDf, cfg.jacMicroMin, cfg.qualityMicroMin,
-      pairs = Some(PairStore.pairs(spark, base)))
+    TextOps.curationWaterfallFrom(
+      DocStatsStore.load(spark, base)
+        .select("doc_id", "source", "n_tokens", "quality_micro"),
+      PairStore.pairs(spark, base).select(col("d2").as("doc_id")),
+      cfg.qualityMicroMin)
 
-  /** Step 4b: the corpus card over the cumulative admitted corpus. */
-  def card(spark: SparkSession, corpusDir: String): DataFrame =
-    TextOps.corpusCard(
-      corpus(spark, corpusDir).select("doc_id", "source", "text"))
+  /** Step 4b: the corpus card served from [[DocStatsStore]] — same
+    * store-only refresh (T32), through the card's own factored
+    * statistics stage.
+    */
+  def card(spark: SparkSession, base: String): DataFrame =
+    TextOps.corpusCardFrom(DocStatsStore.load(spark, base))
 
   /** The streaming form: every micro-batch is one increment. Same
     * foreachBatch at-least-once story as [[CorpusAdmission.start]] —

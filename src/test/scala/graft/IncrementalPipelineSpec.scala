@@ -23,7 +23,7 @@ class IncrementalPipelineSpec extends SparkSpec {
 
   private def dropAll(): Unit = Seq(
     s"${base}_fp", s"${base}_sh", s"${base}_sizes",
-    s"${base}_pairs", s"${base}_components")
+    s"${base}_pairs", s"${base}_components", s"${base}_docstats")
     .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   private def rowSet(df: DataFrame): Set[Seq[Any]] =
@@ -73,12 +73,12 @@ class IncrementalPipelineSpec extends SparkSpec {
         rowSet(TextOps.connectedComponents(full)))
       // (c) the served X80 waterfall vs the self-contained recompute
       val servedWf = IncrementalCuration
-        .waterfall(spark, base, corpusDir, cfg).collect().map(_.toSeq)
+        .waterfall(spark, base, cfg).collect().map(_.toSeq)
       assert(servedWf.toSeq === TextOps.curationWaterfall(admitted,
         cfg.n, cfg.maxDf, cfg.jacMicroMin, cfg.qualityMicroMin)
         .collect().map(_.toSeq).toSeq)
       // (d) the corpus card
-      val servedCard = rowSet(IncrementalCuration.card(spark, corpusDir))
+      val servedCard = rowSet(IncrementalCuration.card(spark, base))
       assert(servedCard === rowSet(TextOps.corpusCard(admitted)))
 
       // ---- replay fixed point: redeliver the LAST increment (its
@@ -90,7 +90,8 @@ class IncrementalPipelineSpec extends SparkSpec {
         rowSet(ShingleStore.shingles(spark, base)),
         rowSet(ShingleStore.sizes(spark, base)),
         rowSet(spark.table(IncrementalCuration.fpTable(base))
-          .dropDuplicates("doc_id", "fingerprint")))
+          .dropDuplicates("doc_id", "fingerprint")),
+        rowSet(graft.sources.DocStatsStore.load(spark, base)))
       IncrementalCuration.runIncrement(spark, shard(order.last),
         (order.size - 1).toLong, base, corpusDir, quarDir, cfg)
       val after = Seq(
@@ -99,12 +100,13 @@ class IncrementalPipelineSpec extends SparkSpec {
         rowSet(ShingleStore.shingles(spark, base)),
         rowSet(ShingleStore.sizes(spark, base)),
         rowSet(spark.table(IncrementalCuration.fpTable(base))
-          .dropDuplicates("doc_id", "fingerprint")))
+          .dropDuplicates("doc_id", "fingerprint")),
+        rowSet(graft.sources.DocStatsStore.load(spark, base)))
       assert(after === before,
         "a replayed increment must be a fixed point of every store")
-      assert(IncrementalCuration.waterfall(spark, base, corpusDir, cfg)
+      assert(IncrementalCuration.waterfall(spark, base, cfg)
         .collect().map(_.toSeq).toSeq === servedWf.toSeq)
-      assert(rowSet(IncrementalCuration.card(spark, corpusDir)) ===
+      assert(rowSet(IncrementalCuration.card(spark, base)) ===
         servedCard)
       // the corpus sink replay OVERWROTE the same rows, not appended
       assert(IncrementalCuration.corpus(spark, corpusDir)
@@ -120,7 +122,7 @@ class IncrementalPipelineSpec extends SparkSpec {
     val evalTable = s"${base3}_evalidx"
     def dropAll3(): Unit = (Seq(s"${base3}_fp", s"${base3}_sh",
       s"${base3}_sizes", s"${base3}_pairs", s"${base3}_components",
-      evalTable))
+      s"${base3}_docstats", evalTable))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     dropAll3()
     import sqlImplicits._
@@ -188,7 +190,7 @@ class IncrementalPipelineSpec extends SparkSpec {
     val base2 = "incpipe_stream"
     def dropAll2(): Unit = Seq(
       s"${base2}_fp", s"${base2}_sh", s"${base2}_sizes",
-      s"${base2}_pairs", s"${base2}_components")
+      s"${base2}_pairs", s"${base2}_components", s"${base2}_docstats")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     dropAll2()
     import sqlImplicits._
@@ -237,7 +239,7 @@ class IncrementalPipelineSpec extends SparkSpec {
         Set((3L, 4L)),
         "the in-batch near-dup pair (3,4) must be found through the " +
           "shingle store")
-      assert(IncrementalCuration.waterfall(spark, base2, corpusDir, cfg)
+      assert(IncrementalCuration.waterfall(spark, base2, cfg)
         .collect().map(_.toSeq).toSeq ===
         TextOps.curationWaterfall(admitted, cfg.n, cfg.maxDf,
           cfg.jacMicroMin, cfg.qualityMicroMin)
