@@ -856,7 +856,10 @@ object SimilarityOps {
     */
   def pqCodebooks(emb: DataFrame, nSub: Int, subLen: Int, nCents: Int,
                   rounds: Int = KmRounds): Seq[Array[Array[Long]]] =
-    (0 until nSub).map { j =>
+    // subspace trainings are independent — overlap their collect-round
+    // jobs (Materialize.concurrently; each codebook's math and the
+    // output order are unchanged)
+    Materialize.concurrently(0 until nSub) { j =>
       kmeansCodebook(emb.select(col("vec_id"),
         slice(col("embedding"), j * subLen + 1, subLen).as("embedding")),
         nCents, rounds)
@@ -1092,7 +1095,10 @@ object SimilarityOps {
         element_at(centsLit, col("cluster").cast("int") + 1),
         (a, b) => a - b))
       .cache()
-    val books = (0 until nSub).map { j =>
+    // materialize the cache BEFORE the concurrent subspace trainings:
+    // a lazy cache would race and rebuild resid once per thread
+    resid.count()
+    val books = Materialize.concurrently(0 until nSub) { j =>
       kmeansCodebookMilli(
         resid.select(col("vec_id"),
           slice(col("rm"), j * subLen + 1, subLen).as("vm")),
@@ -1281,10 +1287,14 @@ object SimilarityOps {
     */
   def pqRecallCurve(emb: DataFrame, nCentsList: Seq[Int], nSub: Int,
                     subLen: Int, queryMax: Long, k: Int): DataFrame = {
-    val truth = pqTruth(emb, queryMax, k).cache()
+    // eagerly materialized: the budget points consume it CONCURRENTLY
+    // now — a lazy cache would race and recompute the truth scan per
+    // thread (Materialize.shared)
+    val truth = pqTruth(emb, queryMax, k).transform(Materialize.shared)
     val queries = emb.filter(col("vec_id") < queryMax)
       .select(col("vec_id").as("query_id"))
-    val perBudget = nCentsList.map { nc =>
+    // budget points are independent trainings — overlap them (§2.6)
+    val perBudget = Materialize.concurrently(nCentsList) { nc =>
       val books = pqCodebooks(emb, nSub, subLen, nc)
       val ann = pqAdcBatch(emb, books, subLen, queryMax, k)
         .select("query_id", "vec_id")
@@ -1867,7 +1877,9 @@ object SimilarityOps {
     val truth = qscore.withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= k).select("query_id", "vec_id")
       .localCheckpoint()
-    val perBeam = beams.map { bw =>
+    // beam widths are independent over the same checkpointed inputs —
+    // overlap their round-checkpoint chains (§2.6)
+    val perBeam = Materialize.concurrently(beams) { bw =>
       var visited = entry
       var beam = entry
       for (_ <- 1 to rounds) {

@@ -579,7 +579,10 @@ object SketchQueries {
     * h-co-partitioned self-join bounded by sources-per-hash).
     */
   def kmvOverlap(docs: DataFrame): DataFrame = {
-    val hs = kmvHashes(docs).cache()
+    // eagerly materialized (Materialize.shared): the bottom-k state and
+    // the exact-intersection audit consume it concurrently — a lazy
+    // cache recomputes the shingle+md5 scan per consumer
+    val hs = Materialize.shared(kmvHashes(docs))
     val state = kmvBottomK(hs)
     val est = kmvEstimates(state)
     val srcs = state.select("source").distinct()
@@ -607,7 +610,8 @@ object SketchQueries {
           .otherwise(floor(lit((KmvK - 1).toDouble) *
             lit(1.152921504606846976e18) / col("kth_union"))
             .cast("long")))
-    val exact = hs.as("x").join(hs.as("y"), Seq("h"))
+    val exact = Materialize.pinned(hs, "h").as("x")
+      .join(hs.as("y"), Seq("h"))
       .filter(col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"),
         col("y.source").as("source_b"))

@@ -505,7 +505,11 @@ object TextOps {
     // hash shingles to 60-bit longs at the source: every downstream
     // shuffle/join key is 8 bytes instead of a ~30-byte string
     // (collisions at 2^-60 are negligible and the oracle mirrors the
-    // same hash, so any would affect both sides identically)
+    // same hash, so any would affect both sides identically).
+    // cache(), NOT Materialize.shared: this subtree is reachable from
+    // the session-memoized PairRelations DataFrame, which must stay
+    // recomputable after an external unpersist — a truncated-lineage
+    // checkpoint here would die on the memo's second use.
     val sh = shingleSet(docs, n)
       .select(col("doc_id"), md5Long(col("sh")).as("h")).cache()
     ngramPairStatsFrom(sh, maxDf)
@@ -519,7 +523,11 @@ object TextOps {
                                  maxDf: Long): DataFrame = {
     val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
-    val shf = sh.join(keep, "h")
+    // pinned: the self-join's fan-out is Σ df² per hash — CPU-dense at
+    // tiny byte sizes (see [[Materialize.pinned]]); pinning the capped side
+    // keys the whole keep-join + self-join + partial-agg pipeline at
+    // session parallelism
+    val shf = Materialize.pinned(sh, "h").join(keep, "h")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shf.select(col("doc_id").as("d1"), col("h"))
       .join(shf.select(col("doc_id").as("d2"), col("h")), "h")
@@ -597,7 +605,7 @@ object TextOps {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, "src").cache() // reused every round
+    val edgesD = edges.join(deg, "src").transform(Materialize.shared) // reused every round
     var ranks = deg.select(col("src").as("node"),
       lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
@@ -647,7 +655,7 @@ object TextOps {
     * pair graph — the same node set as [[dupPageRank]].
     */
   def dupTriangles(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("d1"), col("d2")).cache()
+    val e = pairs.select(col("d1"), col("d2")).transform(Materialize.shared)
     val wedges = e.as("x").join(e.as("y"),
         col("x.d1") === col("y.d1") && col("x.d2") < col("y.d2"))
       .select(col("x.d1").as("a"), col("x.d2").as("b"),
@@ -817,7 +825,7 @@ object TextOps {
       seeds: Seq[(Long, Long)]): DataFrame = {
     // one md5 pass; the cached working set and every join key are longs
     val sh = shingleSet(docs, n)
-      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).transform(Materialize.shared)
     minhashScoredFrom(sh, nBands, rowsPerBand, seeds)
   }
 
@@ -825,7 +833,7 @@ object TextOps {
     * shingle relation — lets callers that need BOTH blocking paths
     * (D26) share one shingle scan.
     */
-  private def minhashScoredFrom(sh: DataFrame,
+  private[operators] def minhashScoredFrom(sh: DataFrame,
       nBands: Int, rowsPerBand: Int,
       seeds: Seq[(Long, Long)]): DataFrame = {
     val cand = minhashCandidates(sh, nBands, rowsPerBand, seeds)
@@ -957,7 +965,7 @@ object TextOps {
                      jacMicroMin: Long): DataFrame = {
     // ONE shingle scan + md5 pass feeds BOTH blocking paths
     val sh = shingleSet(docs, n)
-      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).transform(Materialize.shared)
     val truth = ngramPairStatsFrom(
         sh.select(col("doc_id"), col("h0").as("h")), maxDf)
       .withColumn("jac_micro",
@@ -1066,6 +1074,9 @@ object TextOps {
       explode(tokens(col("text"))).as("t"))
     // tf rows are distinct (doc, term) pairs, so df folds out of tf —
     // tokens are exploded and hashed exactly once
+    // cache, not an eager checkpoint: the two consumers share one
+    // action, so exchange reuse already computes tf once — the eager
+    // materialization job would be pure overhead here (r16 measured)
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).cache()
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
@@ -1253,6 +1264,20 @@ object TextOps {
   def connectedComponents(pairs: DataFrame,
                           driverMaxPairs: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
+    // cache(), DELIBERATELY not Materialize.shared: (1) the count()
+    // materializes the cache before the single downstream consumer, so
+    // the racy-concurrent-fill problem Materialize.shared exists for
+    // does not arise here; (2) this cache is reachable from streaming
+    // foreachBatch loops (IncrementalClusters/IncrementalCuration) that
+    // APPEND to the catalog tables the pair relation reads and re-read
+    // them next batch from the PARENT session — enrolling the plan in
+    // the shared CacheManager lets the clone-session write's
+    // refreshByPath refresh the parent-cached file index in place
+    // (r16 adjudication: swapping this for an eager localCheckpoint
+    // made every post-append store read serve the stale EMPTY listing
+    // and IncrementalClustersSpec failed store≡batch; processBatch now
+    // also refreshes explicitly, but the cache stays the belt to that
+    // suspender).
     val edgesDf = pairs.select(col("d1"), col("d2")).cache()
     val n = edgesDf.count()
     if (n <= driverMaxPairs) {
@@ -1535,7 +1560,10 @@ object TextOps {
       graft.functions.WinnowFingerprints(
         org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
         k, w, WinnowMod))
-    docs.select(col("doc_id"), explode(fps).as("fingerprint"))
+    // parallelized: the kernel is CPU-dense per row, and a small hot
+    // table arrives as one parquet split — the shingleSet discipline
+    parallelized(docs).select(col("doc_id"),
+      explode(fps).as("fingerprint"))
   }
 
   /** Modulus for [[substringMatches]]' gram hashes: 2⁴⁵ — large enough
@@ -1580,7 +1608,9 @@ object TextOps {
       graft.functions.GramFirstPos(
         org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
         k, mod))
-    docs.select(col("doc_id"), explode(gfp).as("u"))
+    // parallelized: one gram per character — the heaviest explode in
+    // the family; never leave it on a single-split scan
+    parallelized(docs).select(col("doc_id"), explode(gfp).as("u"))
       .select(col("u.h").as("h"), col("doc_id"), col("u.pos").as("pos"))
   }
 
@@ -1588,7 +1618,7 @@ object TextOps {
     // Cached: three consumers (the df cap and both join sides) would
     // otherwise each re-run the scan + explode — same discipline as
     // [[contamination]]'s cached fingerprint relation.
-    substringMatchesFrom(gramFirstPositions(docs, k).cache(), maxDf)
+    substringMatchesFrom(gramFirstPositions(docs, k).transform(Materialize.shared), maxDf)
 
   /** The audit stage of [[substringMatches]] over an already-
     * materialized gram relation (h, doc_id, pos) — split out so the
@@ -1632,7 +1662,7 @@ object TextOps {
   def substringMatchesVerified(docs: DataFrame, k: Int, maxDf: Long,
                                mod: Long = SubMod): DataFrame =
     substringMatchesVerifiedFrom(
-      gramFirstPositions(docs, k, mod).cache(), docs, k, maxDf)
+      gramFirstPositions(docs, k, mod).transform(Materialize.shared), docs, k, maxDf)
 
   /** [[substringMatchesVerified]] over an already-materialized gram
     * relation — the [[graft.sources.GramStore]] deployment shape,
@@ -1844,7 +1874,7 @@ object TextOps {
     // runs once — operator-scoped, cleared by Bench/Verify per query
     val members = cc
       .join(quality.select("doc_id", "quality_micro"), "doc_id")
-      .cache()
+      .transform(Materialize.shared)
     val best = members.groupBy("component")
       .agg(max("quality_micro").as("qmax"),
         count(lit(1)).as("n_members"))
@@ -1893,7 +1923,7 @@ object TextOps {
         md5Long(concat(lit("dsir:"), col("tok"))) % buckets)
       .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("n"))
-      .cache() // four consumers: raw census, target census, totals, scores
+      .transform(Materialize.shared) // four consumers: raw census, target census, totals, scores
     val raw = db.groupBy("b").agg(sum("n").as("cr"))
     val tgt = db.filter(col("lang") === targetLang)
       .groupBy("b").agg(sum("n").as("ct"))
@@ -1929,10 +1959,16 @@ object TextOps {
   def contamination(docs: DataFrame, trainPct: Int, valPct: Int,
                     k: Int, w: Int, maxDf: Long,
                     ratioMicroMin: Long): DataFrame = {
-    // cache the fingerprint relation: four consumers (df cap, per-doc
-    // counts, test side, train side) would otherwise each re-run the
-    // winnow scan — same discipline as ngramJaccardPairs' cached `sh`
-    contaminationFrom(winnowedSplit(docs, k, w, trainPct, valPct).cache(),
+    // eagerly materialize the fingerprint relation: four consumers
+    // (df cap, per-doc counts, test side, train side) would otherwise
+    // each re-run the winnow scan. Pinned on the join key FIRST so the
+    // checkpointed blocks arrive hash-distributed at session
+    // parallelism and the overlap join's Σ te(fp)·tr(fp) fan-out never
+    // collapses to a few AQE-coalesced tasks ([[Materialize.pinned]] —
+    // the store-fed path keeps its bucketing instead).
+    contaminationFrom(
+      Materialize.shared(Materialize.pinned(
+        winnowedSplit(docs, k, w, trainPct, valPct), "fingerprint")),
       maxDf, ratioMicroMin)
   }
 
@@ -1962,6 +1998,13 @@ object TextOps {
                         ratioMicroMin: Long): DataFrame = {
     val keep = fs.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
+    // NO pin here: this function is the shared audit stage and the
+    // store-fed deployment path runs it over the fingerprint-BUCKETED
+    // FingerprintStore, where a repartition would re-introduce the
+    // exchanges the layout exists to remove (StorageLayoutSpec pins
+    // Exchange-free). The in-query audit callers, whose fs relation is
+    // a fresh winnow scan with no layout to preserve, apply
+    // [[Materialize.pinned]] BEFORE handing fs in.
     val fsk = fs.join(keep, "fingerprint")
     val nf = fsk.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val te = fsk.filter(col("split") === "test")
@@ -2020,10 +2063,16 @@ object TextOps {
       .filter(col("df") <= maxDf).select("fingerprint")
     val evk = evalFps.join(keep, "fingerprint")
     val nf = evk.groupBy("eval_doc").agg(count(lit(1)).as("n_fp"))
-    val ov = incFps.join(evk, "fingerprint")
+    // broadcast both eval-side relations: the eval index is benchmark-
+    // sized BY DESIGN (curated suites, thousands of docs) at every
+    // corpus scale, so the incoming/train side — the side that grows
+    // with the corpus — never shuffles at all (guide §3.1; r16 measured
+    // 2x on q_eval_gate: the SMJ shuffled the full train fingerprint
+    // relation to compare it against a broadcastable index)
+    val ov = incFps.join(broadcast(evk), "fingerprint")
       .groupBy("new_doc", "eval_doc")
       .agg(count(lit(1)).as("shared_fps"))
-    ov.join(nf, "eval_doc")
+    ov.join(broadcast(nf), "eval_doc")
       .withColumn("ratio_micro", micro(col("shared_fps") / col("n_fp")))
       .filter(col("ratio_micro") >= ratioMicroMin)
       .select("new_doc", "eval_doc", "shared_fps", "ratio_micro")
@@ -2081,7 +2130,9 @@ object TextOps {
   def decontaminate(docs: DataFrame, trainPct: Int, valPct: Int,
                     k: Int, w: Int, maxDf: Long,
                     ratioMicroMin: Long): DataFrame = {
-    val fs = winnowedSplit(docs, k, w, trainPct, valPct).cache()
+    // pinned-then-materialized, the contamination() discipline
+    val fs = Materialize.shared(Materialize.pinned(
+      winnowedSplit(docs, k, w, trainPct, valPct), "fingerprint"))
     val dropped = contaminationFrom(fs, maxDf, ratioMicroMin)
       .select(col("train_doc").as("doc_id")).distinct()
       .withColumn("dropped", lit(1L))
@@ -2347,7 +2398,7 @@ object TextOps {
     val toks = docs
       .select(splitAssign(trainPct, valPct).as("split"),
         explode(tokens(col("text"))).as("tok"))
-      .cache()
+      .transform(Materialize.shared)
     val vocab = toks.filter(col("split") === "train")
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(vocabSize)
@@ -2599,7 +2650,7 @@ object TextOps {
     // cached fingerprint relation
     val bi = toks.withColumn("w1", lag("w", 1).over(win))
       .filter(col("w1").isNotNull)
-      .cache()
+      .transform(Materialize.shared)
     val cb = bi.filter(col("split") === "train")
       .groupBy("w1", "w").agg(count(lit(1)).as("cb"))
     // context totals fold out of the bigram counts (sum of cb over w) —
@@ -2678,7 +2729,7 @@ object TextOps {
     // the reduced relation, not the stream
     val cb = bi.filter(col("split") === "train")
       .groupBy("w1", "w").agg(count(lit(1)).as("cb"))
-      .cache()
+      .transform(Materialize.shared)
     val ctx = cb.groupBy("w1")
       .agg(sum("cb").as("cu"), count(lit(1)).as("nf"))
     val nb = cb.groupBy("w").agg(count(lit(1)).as("nb"))
@@ -3185,7 +3236,7 @@ object TextOps {
     // two consumers (census + verdict join): cache the per-doc scores
     // so the LM aggregation pass runs once — same operator-scoped
     // discipline as lmScore's bigram cache
-    val scored = scoredIn.cache()
+    val scored = scoredIn.transform(Materialize.shared)
     val census = scored.groupBy("lang", "avg_lp_micro")
       .agg(count(lit(1)).as("c"))
     val byScoreDesc = org.apache.spark.sql.expressions.Window
@@ -3254,7 +3305,7 @@ object TextOps {
   def boilerplateStats(docs: DataFrame, n: Int, k: Int,
                        barMicro: Long): DataFrame = {
     val occ = parallelized(docs).select(col("doc_id"),
-      explode(textShingles(col("text"), n)).as("sh")).cache()
+      explode(textShingles(col("text"), n)).as("sh")).transform(Materialize.shared)
     val topK = occ.distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("sh")).limit(k)
@@ -3338,7 +3389,7 @@ object TextOps {
           sum("cnt").over(org.apache.spark.sql.expressions.Window
             .partitionBy(lit(0)).orderBy("v")))
         .select(col("v"), col(s"cum_$tag"))
-    val joined = cum(a, "a").join(cum(b, "b"), Seq("v")).cache()
+    val joined = cum(a, "a").join(cum(b, "b"), Seq("v")).transform(Materialize.shared)
     val totals = joined
       .agg(max("cum_a").as("n_a"), max("cum_b").as("n_b"))
     joined.crossJoin(broadcast(totals))
@@ -3379,7 +3430,7 @@ object TextOps {
     * sources × 10 rows.
     */
   def psiDrift(docs: DataFrame): DataFrame = {
-    val scen = lengthCensus(docs).cache()
+    val scen = lengthCensus(docs).transform(Materialize.shared)
     // the bucket census (≤ sources × 10 rows) is consumed FOUR times
     // by the rollup (srcTotals, refBucket, nAll, the terms join);
     // uncached, each consumer re-runs the edge derivation INCLUDING
@@ -3389,7 +3440,7 @@ object TextOps {
     // adjudication); caching the tiny census restores one-execution
     // semantics for the whole chain
     psiFromBuckets(sourceBucketsFromCensus(scen,
-      lengthDecileEdgesFromCensus(scen)).cache())
+      lengthDecileEdgesFromCensus(scen)).transform(Materialize.shared))
   }
 
   /** The (source, token-length) count census X51 reduces the corpus
@@ -3534,7 +3585,7 @@ object TextOps {
     val cen = parallelized(docs).select(col("source"),
         size(tokens(col("text"))).cast("long").as("v"))
       .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .transform(Materialize.shared)
     val cum = cen.withColumn("cum",
       sum("cnt").over(org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("v")))
@@ -3590,7 +3641,7 @@ object TextOps {
         size(tokens(col("text"))).cast("long").as("toks"))
       .groupBy("source")
       .agg(count(lit(1)).as("docs"), sum("toks").as("toks"))
-      .cache()
+      .transform(Materialize.shared)
     def basis(cName: String, label: String) =
       per.agg(count(lit(1)).as("n_sources"),
           sum(col(cName)).as("total"),
@@ -3726,7 +3777,7 @@ object TextOps {
     val vals = parallelized(docs).select(col("source"),
       size(tokens(col("text"))).cast("long").as("v"))
     val cen = vals.groupBy("source", "v").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .transform(Materialize.shared)
     val grid = cen.select("v").distinct()
     val srcs = cen.groupBy("source").agg(sum("cnt").as("n"))
     // every (source, grid value) point, 0 where the source lacks it
@@ -3862,7 +3913,7 @@ object TextOps {
     * T25 discipline).
     */
   def calibrationFromCensus(census: DataFrame): DataFrame = {
-    val cen = census.cache()
+    val cen = census.transform(Materialize.shared)
     val edges = lengthDecileEdgesFromCensus(cen)
     cen.crossJoin(broadcast(edges))
       .groupBy("v")
@@ -4194,7 +4245,7 @@ object TextOps {
   def detectorDisagreement(docs: DataFrame, n: Int, jacMicroMin: Long,
                            maxHamming: Int): DataFrame = {
     val sh = shingleSet(docs, n)
-      .select(col("doc_id"), md5Long(col("sh")).as("h0")).cache()
+      .select(col("doc_id"), md5Long(col("sh")).as("h0")).transform(Materialize.shared)
     // each pair relation feeds two consumers — cache the pair-bounded
     // relations, not the pipelines (the lmScore shared-relation
     // discipline; without this Spark re-derives the whole detector
@@ -4203,9 +4254,9 @@ object TextOps {
     // the exact-verify join — half the audit's shingle traffic.
     val mhp = minhashScoredFrom(sh, 4, 4, Hashing.MinhashSeeds)
       .filter(col("jac_micro") >= jacMicroMin)
-      .select(col("d1"), col("d2"), col("jac_micro")).cache()
+      .select(col("d1"), col("d2"), col("jac_micro")).transform(Materialize.shared)
     val shp = simhashPairs(docs, maxHamming)
-      .select(col("d1"), col("d2")).cache()
+      .select(col("d1"), col("d2")).transform(Materialize.shared)
     detectorDisagreementFrom(sh, mhp, shp)
   }
 
@@ -4285,7 +4336,7 @@ object TextOps {
     val cen = parallelized(docs).select(col("source"),
         size(tokens(col("text"))).cast("long").as("v"))
       .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .transform(Materialize.shared)
     val n = cen.groupBy("source").agg(sum("cnt").as("n"))
     // value at 0-based rank floor((n-1)/2) of a (source, v, cnt) census
     def lowerMedian(c: DataFrame, outName: String): DataFrame = {
@@ -4468,7 +4519,7 @@ object TextOps {
             i => col("text").substr(i, lit(2))))
           .otherwise(array().cast("array<string>"))).as("b"))
     val cen = bi.groupBy("source", "b").agg(count(lit(1)).as("c_xy"))
-      .cache()
+      .transform(Materialize.shared)
     val cond = cen.select(col("source"),
         substring(col("b"), 1, 1).as("x"), col("c_xy"))
       .groupBy("source", "x").agg(sum("c_xy").as("c_x"))
@@ -4543,7 +4594,7 @@ object TextOps {
     * caveat).
     */
   def jsdFromCensus(census: DataFrame, topV: Int): DataFrame = {
-    val scen = census.cache()
+    val scen = census.transform(Materialize.shared)
     val top = scen.groupBy("t").agg(sum("cnt").as("c"))
       .orderBy(col("c").desc, col("t")).limit(topV).select("t")
     val nS = scen.groupBy("source").agg(sum("cnt").as("n_s"))
@@ -4678,14 +4729,14 @@ object TextOps {
         col("col").as("t"))
     val top = occ.groupBy("t").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(topV).select("t")
-    val ot = occ.join(broadcast(top), Seq("t")).cache()
+    val ot = occ.join(broadcast(top), Seq("t")).transform(Materialize.shared)
     val a = ot.select(col("doc_id"), col("p"), col("t").as("x"))
     val b = ot.select(col("doc_id").as("d2"), col("p").as("q"),
       col("t").as("y"))
     val cen = a.join(b, col("doc_id") === col("d2") &&
         col("q") > col("p") && col("q") <= col("p") + window.toLong)
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-      .cache()
+      .transform(Materialize.shared)
     val mx = cen.groupBy("x").agg(sum("c_xy").as("c_x"))
     val my = cen.groupBy("y").agg(sum("c_xy").as("c_y"))
     val tot = cen.agg(sum("c_xy").as("n"))
@@ -4766,7 +4817,7 @@ object TextOps {
     val cen = parallelized(docs).select(col("source"),
         explode(tokens(col("text"))).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("c"))
-      .cache()
+      .transform(Materialize.shared)
     val tot = cen.groupBy("source")
       .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"))
     val w = Window.partitionBy("source").orderBy(col("c").desc, col("t"))

@@ -2549,10 +2549,11 @@ object TextQueries {
     * pairs exactly (StreamingDecontamSpec cross-checks).
     */
   def qEvalGate(spark: SparkSession, dir: String): DataFrame = {
-    // cache: the eval and train sides would otherwise each re-run the
-    // winnow scan — the contamination discipline
+    // eagerly materialized: the eval and train sides would otherwise
+    // each re-run the winnow scan — the contamination discipline
+    // ([[Materialize.shared]])
     val fs = TextOps.winnowedSplit(docs(spark, dir), WinnowK, WinnowW,
-      TrainPct, ValPct).cache()
+      TrainPct, ValPct).transform(Materialize.shared)
     val ev = fs.filter(col("split") === "test")
       .select(col("doc_id").as("eval_doc"), col("fingerprint"))
     val inc = fs.filter(col("split") === "train")

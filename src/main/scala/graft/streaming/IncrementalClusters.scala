@@ -72,6 +72,12 @@ object IncrementalClusters {
                    ratioMicroMin: Long, nBuckets: Int = 8): Unit = {
     val docs = batch.select("doc_id", "text")
     FingerprintStore.ensure(spark, fpTable, nBuckets)
+    // the appends land through the micro-batch's CLONED session while
+    // this read resolves through the parent session, whose relation
+    // cache would otherwise serve the previous batch's file listing —
+    // refresh makes the cross-batch visibility explicit instead of an
+    // accident of what happens to sit in the shared CacheManager
+    spark.catalog.refreshTable(fpTable)
     val batchIds = docs.select("doc_id").distinct()
     // in-batch pairs: the batch twin on the batch alone
     val inBatch = batchTwinPairs(docs, k, w, ratioMicroMin)

@@ -108,18 +108,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("substringMatches: gram dedup is in the kernel, not a shuffle") {
-    val df = TextOps.substringMatches(
-      Tables.documents(spark, dir).select("doc_id", "text"), 32, 50L)
-    val p = plan(df)
+    // r16: substringMatches eagerly materializes the gram relation
+    // (Materialize.shared), so the serving plan reads checkpointed
+    // blocks and the kernel lives in the GRAM-STAGE plan — pin each
+    // half of the split where it now executes
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val gramPlan = plan(TextOps.gramFirstPositions(docs, 32))
+    assert(gramPlan.contains("gram_first_pos"),
+      s"kernel expression must be in the gram-stage plan:\n$gramPlan")
     // the raw per-position gram stream must not hit an Exchange keyed
     // by (h, doc_id) — the per-doc reduction happens inside
     // gram_first_pos; the only hash Exchanges are the df cap / join on
     // h and the final pair aggregation
-    assert(!p.contains("hashpartitioning(h#") ||
-      !"hashpartitioning\\(h#\\d+, doc_id".r.findFirstIn(p).isDefined,
-      s"no (h, doc) shuffle — kernel dedup replaces it:\n$p")
-    assert(p.contains("gram_first_pos"),
-      s"kernel expression must be in the plan:\n$p")
+    assert(!"hashpartitioning\\(h#\\d+, doc_id".r
+      .findFirstIn(gramPlan).isDefined,
+      s"no (h, doc) shuffle — kernel dedup replaces it:\n$gramPlan")
+    val p = plan(TextOps.substringMatches(docs, 32, 50L))
+    assert(!"hashpartitioning\\(h#\\d+, doc_id".r.findFirstIn(p).isDefined,
+      s"no (h, doc) shuffle in the audit stage either:\n$p")
   }
 
   test("bpeTrain round: one pair-keyed Exchange with map-side partials") {
