@@ -523,11 +523,7 @@ object TextOps {
                                  maxDf: Long): DataFrame = {
     val keep = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
-    // pinned: the self-join's fan-out is Σ df² per hash — CPU-dense at
-    // tiny byte sizes (see [[Materialize.pinned]]); pinning the capped side
-    // keys the whole keep-join + self-join + partial-agg pipeline at
-    // session parallelism
-    val shf = Materialize.pinned(sh, "h").join(keep, "h")
+    val shf = sh.join(keep, "h")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shf.select(col("doc_id").as("d1"), col("h"))
       .join(shf.select(col("doc_id").as("d2"), col("h")), "h")
@@ -1562,6 +1558,7 @@ object TextOps {
         k, w, WinnowMod))
     // parallelized: the kernel is CPU-dense per row, and a small hot
     // table arrives as one parquet split — the shingleSet discipline
+    // (r16 A/B: q_eval_gate 1.7 s with vs 4.7-5.4 s without)
     parallelized(docs).select(col("doc_id"),
       explode(fps).as("fingerprint"))
   }
@@ -1959,17 +1956,14 @@ object TextOps {
   def contamination(docs: DataFrame, trainPct: Int, valPct: Int,
                     k: Int, w: Int, maxDf: Long,
                     ratioMicroMin: Long): DataFrame = {
-    // eagerly materialize the fingerprint relation: four consumers
-    // (df cap, per-doc counts, test side, train side) would otherwise
-    // each re-run the winnow scan. Pinned on the join key FIRST so the
-    // checkpointed blocks arrive hash-distributed at session
-    // parallelism and the overlap join's Σ te(fp)·tr(fp) fan-out never
-    // collapses to a few AQE-coalesced tasks ([[Materialize.pinned]] —
-    // the store-fed path keeps its bucketing instead).
+    // cache(), measured BETTER than an eager checkpoint here (r16: the
+    // winnow relation is corpus-wide — checkpointing it as object rows
+    // cost more than the consumers save; the dedup-audit family, whose
+    // shared relations are candidate-bounded, goes the other way);
+    // pinKey keys the fan-out join at session parallelism
     contaminationFrom(
-      Materialize.shared(Materialize.pinned(
-        winnowedSplit(docs, k, w, trainPct, valPct), "fingerprint")),
-      maxDf, ratioMicroMin)
+      winnowedSplit(docs, k, w, trainPct, valPct).cache(),
+      maxDf, ratioMicroMin, pinKey = true)
   }
 
   /** The (doc_id, fingerprint, split) relation [[contaminationFrom]]
@@ -1995,17 +1989,22 @@ object TextOps {
     * doc-keyed aggregations, which are unavoidable reductions.
     */
   def contaminationFrom(fs: DataFrame, maxDf: Long,
-                        ratioMicroMin: Long): DataFrame = {
+                        ratioMicroMin: Long,
+                        pinKey: Boolean = false): DataFrame = {
     val keep = fs.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
-    // NO pin here: this function is the shared audit stage and the
-    // store-fed deployment path runs it over the fingerprint-BUCKETED
-    // FingerprintStore, where a repartition would re-introduce the
-    // exchanges the layout exists to remove (StorageLayoutSpec pins
-    // Exchange-free). The in-query audit callers, whose fs relation is
-    // a fresh winnow scan with no layout to preserve, apply
-    // [[Materialize.pinned]] BEFORE handing fs in.
-    val fsk = fs.join(keep, "fingerprint")
+    // pinKey defaults FALSE because this function is the shared audit
+    // stage and the store-fed deployment path runs it over the
+    // fingerprint-BUCKETED FingerprintStore, where a repartition would
+    // re-introduce the exchanges the layout exists to remove
+    // (StorageLayoutSpec pins Exchange-free). The in-query audit
+    // callers, whose fs relation is a fresh winnow scan with no layout
+    // to preserve, pass true: the test×train overlap join fans out
+    // Σ te(fp)·tr(fp) — byte-tiny, CPU-dense — and AQE's byte-based
+    // coalescing otherwise collapses it to a few tasks
+    // ([[Materialize.pinned]]).
+    val fsk = (if (pinKey) Materialize.pinned(fs, "fingerprint") else fs)
+      .join(keep, "fingerprint")
     val nf = fsk.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val te = fsk.filter(col("split") === "test")
       .select(col("fingerprint"), col("doc_id").as("test_doc"))
@@ -2130,9 +2129,7 @@ object TextOps {
   def decontaminate(docs: DataFrame, trainPct: Int, valPct: Int,
                     k: Int, w: Int, maxDf: Long,
                     ratioMicroMin: Long): DataFrame = {
-    // pinned-then-materialized, the contamination() discipline
-    val fs = Materialize.shared(Materialize.pinned(
-      winnowedSplit(docs, k, w, trainPct, valPct), "fingerprint"))
+    val fs = winnowedSplit(docs, k, w, trainPct, valPct).cache()
     val dropped = contaminationFrom(fs, maxDf, ratioMicroMin)
       .select(col("train_doc").as("doc_id")).distinct()
       .withColumn("dropped", lit(1L))
