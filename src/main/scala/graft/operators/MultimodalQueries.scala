@@ -20,7 +20,11 @@ import graft.sources.Tables
 object MultimodalQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // parallelized: every M-family query drives a CPU-dense codec or
+    // signal kernel (BMP/WAV/JPEG/PNG decode, pHash DCT) and the
+    // single-file documents table otherwise runs it on ONE task (r16
+    // stage profile: q_jpeg_decode's decode stage 1 task / 1.6 s CPU)
+    TextOps.parallelized(Tables.documents(spark, dir))
 
   def qMediaMeta(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(docs(spark, dir)).orderBy("doc_id")

@@ -24,7 +24,12 @@ object SimilarityQueries {
   val NProbe = 3
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    // parallelized: the embeddings table arrives as one parquet split
+    // at the test SFs, so every first-stage aggregate (k-means
+    // assignment sums, signatures, quantization kernels) otherwise
+    // runs single-task (r16 stage profile: 400-600 ms 1-task stages
+    // under every V-family query; the TextOps.shingleSet discipline)
+    TextOps.parallelized(Tables.embeddings(spark, dir))
 
   /** Corpus size per testdata dir, memoized (ADVICE r15): the count is
     * a PLAN-SELECTION scalar (the adaptive-banding dial), and an eager

@@ -441,7 +441,10 @@ object SketchQueries {
     * store shares the exact universe with the batch census.
     */
   def kmvHashes(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
+    // parallelized: shingle kernel + md5 per row on a single-split
+    // scan otherwise runs one-task (no-op for streaming batch inputs,
+    // whose plans carry no file relation)
+    TextOps.parallelized(docs).select(col("source"),
         explode(TextOps.textShingles(col("text"), 5)).as("sh"))
       .select(col("source"), md5Long(col("sh")).as("h")).distinct()
 
@@ -738,15 +741,20 @@ object SketchQueries {
     * a deployment drops the audit columns and keeps only sketch math.
     */
   def qJoinCard(spark: SparkSession, dir: String): DataFrame = {
+    // fact legs parallelized: each leg md5-hashes every key of a
+    // single-split fact scan (lineitem twice) — one-task otherwise
     val pairs = Seq(
       ("cust",
-        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        TextOps.parallelized(
+          Tables.orders(spark, dir).select(col("o_custkey").as("k"))),
         Tables.customer(spark, dir).select(col("c_custkey").as("k"))),
       ("part",
-        Tables.lineitem(spark, dir).select(col("l_partkey").as("k")),
+        TextOps.parallelized(
+          Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))),
         Tables.part(spark, dir).select(col("p_partkey").as("k"))),
       ("supp",
-        Tables.lineitem(spark, dir).select(col("l_suppkey").as("k")),
+        TextOps.parallelized(
+          Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))),
         Tables.supplier(spark, dir).select(col("s_suppkey").as("k"))))
     joinCardCensus(pairs)
   }
