@@ -94,18 +94,32 @@ object Bench {
       else ""
     val json =
       s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetMark}"""
-    // stdout is the driver contract (ONE line, schema frozen); the
-    // sidecar file is the durable copy — round 6's official artifact
-    // was a truncated stdout capture, so the full parsed line must
-    // survive independently of the pipe. The sidecar additionally
+    // stdout contract (measurement-reporting fix, round 17): the full
+    // per-query line above grew past the driver's stdout capture tail
+    // (276 queries ≈ 12 KB vs a ~2.2 KB window), so rounds 15 and 16
+    // came back `parsed: null` and PERF empty. The LAST stdout line is
+    // now a compact total-only JSON that always fits any tail capture;
+    // the historical full line is still printed immediately before it
+    // for consumers that read the whole pipe, and the complete
+    // per-query map lives in the sidecar. Methodology and timings are
+    // unchanged — only what is printed.
+    val jsonCompact =
+      s"""{"metric":"$metric","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.length},"cpus":$cpus,"sf":"$sfDir"}"""
+    // The sidecar file is the durable copy — round 6's official
+    // artifact was a truncated stdout capture, so the full parsed line
+    // must survive independently of the pipe. The sidecar additionally
     // carries the run metadata cross-round tooling needs to tell a
     // contended single run from a regression (the round-12 208 s
     // sidecar vs 175 s min-of-2 ambiguity): protocol name, passes per
     // query, EVERY pass's timing (not just the min), per-pass totals,
     // and the host load average at start/end. Schema documented in
-    // PLANS.md ("Bench sidecar schema").
+    // PLANS.md ("Bench sidecar schema"). The default name is
+    // cpus-suffixed so a low-core scaling run cannot clobber the
+    // 32-core artifact (round 16's 8-core verification run overwrote
+    // the baseline-shaped BENCH_LOCAL.json).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_LOCAL.json")
+      s"BENCH_LOCAL_c$cpus.json")
     val runsJson = measured.map { case (k, all) =>
       s"\"" + k + "\":[" + all.mkString(",") + "]"
     }.mkString("{", ",", "}")

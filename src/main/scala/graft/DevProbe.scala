@@ -48,9 +48,15 @@ object DevProbe {
     // warm the JVM / codegen on the real query once
     val names = if (args.nonEmpty) args.toSeq else Seq("q_eval_gate")
     names.foreach { n =>
+      // NonFatal only, and loudly: a silently-swallowed warmup failure
+      // would let the probe report timings for a broken query's
+      // retry path and mislead the adjudication it exists for.
       try SparkEntry.queries(n)(spark, dir).write.format("noop")
         .mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"PROBE $n WARMUP FAILED: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       clean()
       time(n)(SparkEntry.queries(n)(spark, dir))
     }

@@ -63,18 +63,27 @@ object Materialize {
     * submission overlaps. A dedicated pool, not the global
     * ForkJoinPool: the steps block on collect(), which would starve
     * nested parallel collections sharing the common pool.
+    *
+    * The pool is CAPPED at [[MaxConcurrentJobs]] driver threads
+    * (guide §2.6: "2-3 jobs in flight is plenty" — the cap leaves
+    * headroom for short steps while bounding a future caller with a
+    * large list; excess items queue on the fixed pool). On failure the
+    * pool is shut down with `shutdownNow()` so losing futures are
+    * interrupted instead of running on in the background.
     */
+  val MaxConcurrentJobs = 8
+
   def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] =
     if (xs.lengthCompare(2) < 0) xs.map(f)
     else {
-      val pool =
-        java.util.concurrent.Executors.newFixedThreadPool(xs.length)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(xs.length, MaxConcurrentJobs))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(
           xs.map(x => scala.concurrent.Future(f(x)))),
         scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      finally pool.shutdownNow()
     }
 }

@@ -20,10 +20,23 @@ import graft.sources.Tables
 object MultimodalQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    // parallelized: every M-family query drives a CPU-dense codec or
-    // signal kernel (BMP/WAV/JPEG/PNG decode, pHash DCT) and the
-    // single-file documents table otherwise runs it on ONE task (r16
-    // stage profile: q_jpeg_decode's decode stage 1 task / 1.6 s CPU)
+    // NOT parallelized family-wide: r16's sweep repartitioned the table
+    // under all 23 M queries on a stage-profile rationale; a paired
+    // 80-query family window this round (r17, same-day back-to-back,
+    // OPTIMIZATION_r17.md §parallelized-rollback) measured it a
+    // 0.53x geomean LOSS for the family — the added round-robin
+    // exchange (plus its sort-before-repartition) costs more than the
+    // single-split parallelism it buys everywhere except the truly
+    // CPU-dense JPEG codec kernels, which keep the treatment at their
+    // own call sites below.
+    Tables.documents(spark, dir)
+
+  /** The JPEG decode queries ARE kernel-bound (full entropy decode +
+    * IDCT per blob: r16 stage profile 1.6 CPU-s on one task; r17
+    * paired family window: parallelized 1.9x on q_jpeg_decode, 1.3x on
+    * q_jpeg_phash) — the one place the extra exchange provably pays.
+    */
+  private def docsForCodec(spark: SparkSession, dir: String): DataFrame =
     TextOps.parallelized(Tables.documents(spark, dir))
 
   def qMediaMeta(spark: SparkSession, dir: String): DataFrame =
@@ -378,7 +391,7 @@ object MultimodalQueries {
     */
   def qJpegDecode(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.jpegDecodeStats(
-      MultimodalOps.jpegBinary(docs(spark, dir)))
+      MultimodalOps.jpegBinary(docsForCodec(spark, dir)))
       .toDF().orderBy("doc_id")
 
   /** M21: perceptual near-dup census over DECODED JPEGs — the MCU-grid
@@ -388,7 +401,7 @@ object MultimodalQueries {
   def qJpegPhash(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.phashCensusOf(
       MultimodalOps.jpegMcuDHash(
-        MultimodalOps.jpegBinary(docs(spark, dir))).toDF(),
+        MultimodalOps.jpegBinary(docsForCodec(spark, dir))).toDF(),
       PhashMaxHamming)
       .orderBy("h1", "h2")
 
@@ -401,7 +414,7 @@ object MultimodalQueries {
     */
   def qPngDecode(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.pngDecodeStats(
-      MultimodalOps.pngBinary(docs(spark, dir)))
+      MultimodalOps.pngBinary(docsForCodec(spark, dir)))
       .toDF().orderBy("doc_id")
 
   def qMediaMagic(spark: SparkSession, dir: String): DataFrame =

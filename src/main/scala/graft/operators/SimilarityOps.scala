@@ -476,6 +476,21 @@ object SimilarityOps {
     val vm = emb.select(col("vec_id"), col("embedding"),
         milliVec(col("embedding")).as("vm"))
       .cache()
+    try kmeansCodebookOn(vm, nCentroids, rounds)
+    finally vm.unpersist()
+  }
+
+  /** [[kmeansCodebook]]'s training loop over an ALREADY-MATERIALIZED
+    * `(vec_id, embedding, vm)` relation — no cache()/unpersist() of its
+    * own. This is the trainer concurrent sweeps must use: Spark's
+    * CacheManager keys entries by canonicalized logical plan, so two
+    * threads training DIFFERENT codebook sizes over the SAME slice plan
+    * would share one cache entry and the first to finish would
+    * unpersist it out from under the others mid-k-means (the round-16
+    * ADVICE race). The caller owns materialization and its lifetime.
+    */
+  def kmeansCodebookOn(vm: DataFrame, nCentroids: Int,
+                       rounds: Int): Array[Array[Long]] = {
     val seedRows = vm
       .withColumn("h", graft.functions.Hashing.md5Long(
         concat(lit("km:"), col("vec_id").cast("string"))))
@@ -499,7 +514,6 @@ object SimilarityOps {
       cents = next
       r += 1
     }
-    vm.unpersist()
     cents
   }
 
@@ -1287,16 +1301,41 @@ object SimilarityOps {
     */
   def pqRecallCurve(emb: DataFrame, nCentsList: Seq[Int], nSub: Int,
                     subLen: Int, queryMax: Long, k: Int): DataFrame = {
+    // ONE materialized copy of the vectors feeds everything: the truth
+    // pass, every training job, the encodes and the query collects.
+    // Budget points used to call pqCodebooks -> kmeansCodebook, whose
+    // internal cache() is plan-keyed — concurrent budgets trained over
+    // the IDENTICAL per-subspace slice plan shared one CacheManager
+    // entry, and the first budget to finish unpersisted it out from
+    // under the rest mid-k-means (round-16 ADVICE race). Training on
+    // projections of an eager localCheckpoint has no cache entry to
+    // race on, and the vectors are scanned from parquet exactly once.
+    val embM = Materialize.shared(emb.select(col("vec_id"),
+      col("embedding")))
+    def subVm(j: Int): DataFrame = embM
+      .select(col("vec_id"),
+        slice(col("embedding"), j * subLen + 1, subLen).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        milliVec(col("embedding")).as("vm"))
     // eagerly materialized: the budget points consume it CONCURRENTLY
-    // now — a lazy cache would race and recompute the truth scan per
+    // — a lazy cache would race and recompute the truth scan per
     // thread (Materialize.shared)
-    val truth = pqTruth(emb, queryMax, k).transform(Materialize.shared)
-    val queries = emb.filter(col("vec_id") < queryMax)
+    val truth = pqTruth(embM, queryMax, k).transform(Materialize.shared)
+    val queries = embM.filter(col("vec_id") < queryMax)
       .select(col("vec_id").as("query_id"))
-    // budget points are independent trainings — overlap them (§2.6)
+    // every (budget, subspace) training is independent — ONE flat
+    // concurrently over the cross product (§2.6), no nested pools
+    val trainings = for (nc <- nCentsList; j <- 0 until nSub)
+      yield (nc, j)
+    val trained = trainings.zip(
+      Materialize.concurrently(trainings) { case (nc, j) =>
+        kmeansCodebookOn(subVm(j), nc, KmRounds)
+      }).toMap
+    // the remaining per-budget work (query collect + lazy plan build)
+    // still overlaps the tail of other budgets' jobs
     val perBudget = Materialize.concurrently(nCentsList) { nc =>
-      val books = pqCodebooks(emb, nSub, subLen, nc)
-      val ann = pqAdcBatch(emb, books, subLen, queryMax, k)
+      val books = (0 until nSub).map(j => trained((nc, j)))
+      val ann = pqAdcBatch(embM, books, subLen, queryMax, k)
         .select("query_id", "vec_id")
       val hits = ann.join(truth, Seq("query_id", "vec_id"))
         .groupBy("query_id").agg(count(lit(1)).as("hits"))

@@ -24,12 +24,16 @@ object SimilarityQueries {
   val NProbe = 3
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    // parallelized: the embeddings table arrives as one parquet split
-    // at the test SFs, so every first-stage aggregate (k-means
-    // assignment sums, signatures, quantization kernels) otherwise
-    // runs single-task (r16 stage profile: 400-600 ms 1-task stages
-    // under every V-family query; the TextOps.shingleSet discipline)
-    TextOps.parallelized(Tables.embeddings(spark, dir))
+    // NOT parallelized: r16's sweep repartitioned the embeddings table
+    // under all 57 V queries on a stage-profile rationale; a paired
+    // 80-query family window this round (r17, same-day back-to-back,
+    // OPTIMIZATION_r17.md §parallelized-rollback) measured the sweep a
+    // ~0.6x geomean LOSS across the family (q_ann_ivf 0.37x,
+    // q_elbow 0.45x, q_pq_* 0.39-0.66x) — the added round-robin
+    // exchange costs more than the single-split parallelism it buys:
+    // most V queries' first stage is a cheap projection/aggregate, not
+    // a CPU-dense kernel. At 100 TB the helper is a no-op either way.
+    Tables.embeddings(spark, dir)
 
   /** Corpus size per testdata dir, memoized (ADVICE r15): the count is
     * a PLAN-SELECTION scalar (the adaptive-banding dial), and an eager

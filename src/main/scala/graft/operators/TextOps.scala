@@ -2067,7 +2067,12 @@ object TextOps {
     // corpus scale, so the incoming/train side — the side that grows
     // with the corpus — never shuffles at all (guide §3.1; r16 measured
     // 2x on q_eval_gate: the SMJ shuffled the full train fingerprint
-    // relation to compare it against a broadcastable index)
+    // relation to compare it against a broadcastable index).
+    // Failure mode (documented, accepted): a deployment whose eval-
+    // fingerprint relation outgrew the 8 GB / 512M-row broadcast cap
+    // would fail this join outright rather than fall back to SMJ —
+    // that is the design assumption surfacing, not a perf bug; drop
+    // the two broadcast() hints to restore planner choice there.
     val ov = incFps.join(broadcast(evk), "fingerprint")
       .groupBy("new_doc", "eval_doc")
       .agg(count(lit(1)).as("shared_fps"))
