@@ -2383,12 +2383,15 @@ object RelationalQueries {
       .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
         sum("p").as("monetary_cents"))
     val asof = per.agg(max("last_day").as("asof"))
-    val scored = per.crossJoin(broadcast(asof))
+    // eagerly materialized (was a lazy cache): the count, the three
+    // quintile cuts and the final bucket pass all consume it — five
+    // racy consumers of a customer-bounded relation (the
+    // Materialize.shared discipline).
+    val scored = Materialize.shared(per.crossJoin(broadcast(asof))
       .select(col("o_custkey"),
         datediff(col("asof"), col("last_day")).cast("long")
           .as("recency_days"),
-        col("frequency"), col("monetary_cents"))
-      .cache() // three quintile cuts + the final bucket pass read it
+        col("frequency"), col("monetary_cents")))
     val n = scored.agg(count(lit(1)).as("n"))
     def quintileEdges(metric: String): DataFrame = {
       val cen = scored.groupBy(col(metric).as("v"))
@@ -2401,14 +2404,30 @@ object RelationalQueries {
           col("r") < col("cum"))
         .select(col("v").as("edge"))
     }
-    def score(df: DataFrame, metric: String, q: String): DataFrame =
-      df.crossJoin(broadcast(quintileEdges(metric)))
-        .groupBy(df.columns.map(col): _*)
-        .agg((lit(1L) +
-          sum(when(col(metric) > col("edge"), 1L).otherwise(0L)))
-          .as(q))
-    val cells = score(score(score(scored, "recency_days", "r_q"),
-      "frequency", "f_q"), "monetary_cents", "m_q")
+    // score = 1 + (# edges strictly below the value), evaluated as a
+    // PROJECTION over the broadcast 4-element edge list of each
+    // metric. The previous form crossJoined the 4 edge rows and
+    // re-aggregated by every customer column — three extra
+    // customer-keyed Exchanges and a 4x row fan-out per metric, all
+    // carrying the same information as one array lookup (guide §2.4:
+    // remove shuffles outright). Sum-over-edges is order-independent,
+    // so collect_list's nondeterministic order cannot change the
+    // score; duplicate edge values still merge buckets by counting
+    // twice, exactly as the rows did.
+    def edgeArr(metric: String): DataFrame =
+      quintileEdges(metric).agg(
+        collect_list("edge").as(s"__${metric}_edges"))
+    def scoreCol(metric: String): org.apache.spark.sql.Column =
+      lit(1L) + aggregate(col(s"__${metric}_edges"), lit(0L),
+        (acc, e) => acc + when(col(metric) > e, 1L).otherwise(0L))
+    val cells = scored
+      .crossJoin(broadcast(edgeArr("recency_days")))
+      .crossJoin(broadcast(edgeArr("frequency")))
+      .crossJoin(broadcast(edgeArr("monetary_cents")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), scoreCol("recency_days").as("r_q"),
+        scoreCol("frequency").as("f_q"),
+        scoreCol("monetary_cents").as("m_q"))
     cells.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_cust"),
         sum("monetary_cents").as("segment_cents"))

@@ -741,20 +741,20 @@ object SketchQueries {
     * a deployment drops the audit columns and keeps only sketch math.
     */
   def qJoinCard(spark: SparkSession, dir: String): DataFrame = {
-    // fact legs parallelized: each leg md5-hashes every key of a
-    // single-split fact scan (lineitem twice) — one-task otherwise
+    // fact legs NOT parallelized: r16 repartitioned them against the
+    // single-split argument, but the per-row work (one md5) is scan-
+    // cheap and the added round-robin exchanges measured the query
+    // 3.4 -> 6.2 s in the same-day full-run comparison; the r17 paired
+    // window confirms the rollback (OPTIMIZATION_r17.md §q_join_card)
     val pairs = Seq(
       ("cust",
-        TextOps.parallelized(
-          Tables.orders(spark, dir).select(col("o_custkey").as("k"))),
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
         Tables.customer(spark, dir).select(col("c_custkey").as("k"))),
       ("part",
-        TextOps.parallelized(
-          Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))),
+        Tables.lineitem(spark, dir).select(col("l_partkey").as("k")),
         Tables.part(spark, dir).select(col("p_partkey").as("k"))),
       ("supp",
-        TextOps.parallelized(
-          Tables.lineitem(spark, dir).select(col("l_suppkey").as("k"))),
+        Tables.lineitem(spark, dir).select(col("l_suppkey").as("k")),
         Tables.supplier(spark, dir).select(col("s_suppkey").as("k"))))
     joinCardCensus(pairs)
   }
@@ -764,11 +764,19 @@ object SketchQueries {
     */
   def joinCardCensus(
       pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
-    val hs = jcHashes(pairs)
-    val interExact = hs.filter(col("side") === "a")
-      .select(col("pair"), col("h"))
-      .join(hs.filter(col("side") === "b").select(col("pair"), col("h")),
-        Seq("pair", "h"))
+    // eagerly materialized for the AUDIT form only: the exact-
+    // intersection pass and the two sketch-stage consumers each
+    // re-derived the union-of-6-scans + DISTINCT otherwise (the
+    // deployment form joinCardServing keeps the raw single-derivation
+    // plan its spec pins).
+    val hs = Materialize.shared(jcHashes(pairs))
+    // exact intersection as ONE aggregation instead of an a×b self-
+    // join (guide §2.3 "aggregate before you shuffle"): hs is distinct
+    // on (pair, side, h), so a hash appears on both sides of a pair
+    // exactly when its (pair, h) group holds 2 rows.
+    val interExact = hs.groupBy("pair", "h")
+      .agg(count(lit(1)).as("__sides"))
+      .filter(col("__sides") === 2L)
       .groupBy("pair").agg(count(lit(1)).as("n_inter_exact"))
     jcSketchEstimates(hs)
       .join(interExact, Seq("pair"), "left")

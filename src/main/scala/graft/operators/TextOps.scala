@@ -4172,7 +4172,15 @@ object TextOps {
     * histogram (which censuses the whole stream).
     */
   def simhashCandidates(docs: DataFrame): DataFrame =
-    Banding.bandedCandidates(simhash(docs), "doc_id",
+    // the per-doc signature relation (doc_id + one long — the
+    // narrowest relation in the dedup family) feeds BOTH sides of the
+    // banded self-join; without materialization the physical plan
+    // carries the full scan -> token-explode -> 32-sum aggregate
+    // pipeline TWICE, once under the join's broadcast side
+    // (plans/r17/q_simhash_hist_before.txt operators 1-10 vs 11-20).
+    // Eager checkpoint computes the signatures once; its recompute
+    // cost (the corpus token explode) dwarfs its stored size.
+    Banding.bandedCandidates(Materialize.shared(simhash(docs)), "doc_id",
       (0 until 4).map(k =>
         shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))),
       payload = Seq("simhash"))
